@@ -1,0 +1,80 @@
+"""Source catalog: declared inputs -> Spark DataFrames / temp views.
+
+Mirrors the reference's source layer (``models/staging/__sources.yml:3-90``
+declares 4 warehouse tables; seeds are CSVs routed to a ``raw`` schema,
+``dbt_project.yml:27-31``).  Here a *source* is a parquet table under a
+scale-factor directory (TESTDATA.md): ``region nation customer supplier part
+orders lineitem events documents embeddings``.
+
+Scale notes (100 TB): sources are plain ``spark.read.parquet`` scans so
+Catalyst predicate pushdown / column pruning / partition pruning all apply.
+The one special case is ``events``: the driver writes its ``ts`` column as
+parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+(SPARK-40819 / [PARQUET_TYPE_ILLEGAL]).  We keep the scan distributed and
+pushdown-capable by reading the physical INT64 with a user-supplied schema and
+converting ns -> microsecond TIMESTAMP_NTZ inside the plan — no driver-side
+materialization, no data copy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# events physical schema: ts is INT64 TIMESTAMP(NANOS, false); read it as long.
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one source table as a DataFrame (lazy scan)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        # ns -> us, then NTZ so timestamp semantics are session-tz independent
+        # (matches how Spark reads the other tables' TIMESTAMP(MILLIS) columns).
+        return raw.withColumn(
+            "ts",
+            # integer `div`, not `/1000` — ns-since-epoch exceeds double's 2^53
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return spark.read.parquet(path)
+
+
+def register_sources(
+    spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every source as a temp view (name == table name).
+
+    Temp views are logical plans: Catalyst inlines them, so downstream models
+    still get pushdown/pruning against the parquet scans.
+    """
+    sf_dir = sf_dir or sf_dir_from_env()
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,29 @@
+from .model import Materialization, Model
+from .dag import Project, topo_sort
+from .testing import (
+    AcceptedRange,
+    AcceptedValues,
+    DataTest,
+    NotNull,
+    Relationships,
+    TestResult,
+    Unique,
+    UniqueCombination,
+    run_tests,
+)
+
+__all__ = [
+    "Materialization",
+    "Model",
+    "Project",
+    "topo_sort",
+    "DataTest",
+    "NotNull",
+    "AcceptedValues",
+    "AcceptedRange",
+    "Unique",
+    "UniqueCombination",
+    "Relationships",
+    "TestResult",
+    "run_tests",
+]

@@ -1,0 +1,133 @@
+"""Project: model registry + DAG execution (the dbt-build equivalent).
+
+Pipeline per SURVEY.md §3.1: parse (Python registration) -> DAG assembly
+(deps = ``ref`` edges) -> topo-ordered materialization (view / table) ->
+data tests per node, short-circuited.
+
+Materialization mapping:
+
+- ``view``  -> ``createOrReplaceTempView`` (Catalyst inlines it downstream,
+  like a warehouse view: predicate pushdown and column pruning flow through);
+- ``table`` -> parquet written under ``warehouse_dir/<schema>/<name>`` and
+  re-registered as a view over the written files (a real sink + scan, like a
+  warehouse table; at 100 TB this is where partitioning/bucketing choices go);
+- ``ephemeral`` -> DataFrame held in memory only.
+
+The orchestration layer is driver-side Python on purpose — all data movement
+happens inside Spark's own DAG scheduler.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterable
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model import Materialization, Model, resolve_schema
+from .testing import TestResult, run_model_tests
+
+
+def topo_sort(models: dict[str, Model], sources: Iterable[str]) -> list[str]:
+    """Topological order of model names (sources excluded, must pre-exist)."""
+    srcs = set(sources)
+    ts: TopologicalSorter = TopologicalSorter()
+    for name, m in models.items():
+        ts.add(name, *[d for d in m.deps if d not in srcs])
+    order = [n for n in ts.static_order() if n in models]
+    return order
+
+
+class Project:
+    """A registry of sources + models, materialized in dependency order."""
+
+    def __init__(
+        self,
+        name: str,
+        target: str = "dev",
+        default_schema: str = "analytics",
+        warehouse_dir: str | None = None,
+        table_partition_cols: dict[str, list[str]] | None = None,
+    ) -> None:
+        self.name = name
+        self.target = target
+        self.default_schema = default_schema
+        self.warehouse_dir = warehouse_dir or os.path.join(
+            tempfile.gettempdir(), f"trillshop_warehouse_{os.getpid()}", target
+        )
+        self.sources: dict[str, DataFrame] = {}
+        self.models: dict[str, Model] = {}
+        self.relations: dict[str, DataFrame] = {}
+        # name -> partition columns for table sinks (scale lever: the reference
+        # documents refresh_date partitioning, google_trends_docs.md:39).
+        self.table_partition_cols = table_partition_cols or {}
+
+    # -- registration -----------------------------------------------------
+    def add_source(self, name: str, df: DataFrame) -> None:
+        self.sources[name] = df
+        self.relations[name] = df
+
+    def add_sources(self, dfs: dict[str, DataFrame]) -> None:
+        for k, v in dfs.items():
+            self.add_source(k, v)
+
+    def add_model(self, model: Model) -> None:
+        if model.name in self.models:
+            raise ValueError(f"duplicate model {model.name!r}")
+        self.models[model.name] = model
+
+    # -- resolution --------------------------------------------------------
+    def ref(self, name: str) -> DataFrame:
+        """dbt ``ref()``/``source()`` equivalent: look up a built relation."""
+        try:
+            return self.relations[name]
+        except KeyError:
+            raise KeyError(
+                f"relation {name!r} not built yet — check deps/topo order"
+            ) from None
+
+    def schema_for(self, model: Model) -> str:
+        return resolve_schema(model.schema, "model", self.target, self.default_schema)
+
+    # -- execution -----------------------------------------------------------
+    def build(
+        self, spark: SparkSession, run_tests: bool = True, subset: set[str] | None = None
+    ) -> dict[str, list[TestResult]]:
+        """Materialize every model in topo order; return test results per model."""
+        results: dict[str, list[TestResult]] = {}
+        order = topo_sort(self.models, self.sources)
+        for name in order:
+            if subset is not None and name not in subset:
+                continue
+            model = self.models[name]
+            df = model.build(spark, self.ref)
+            self.relations[name] = self._materialize(spark, model, df)
+            if run_tests and model.tests:
+                results[name] = run_model_tests(self.relations[name], model.tests, name)
+        return results
+
+    def _materialize(self, spark: SparkSession, model: Model, df: DataFrame) -> DataFrame:
+        if model.materialization is Materialization.EPHEMERAL:
+            return df
+        view_name = model.name
+        if model.materialization is Materialization.VIEW:
+            df.createOrReplaceTempView(view_name)
+            return df
+        # TABLE: write parquet, read back (a real sink; the read-back scan gets
+        # vectorized parquet + pushdown for downstream consumers).
+        schema = self.schema_for(model)
+        path = os.path.join(self.warehouse_dir, schema, model.name)
+        writer = df.write.mode("overwrite")
+        parts = self.table_partition_cols.get(model.name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+        out = spark.read.parquet(path)
+        out.createOrReplaceTempView(view_name)
+        return out
+
+    def drop_warehouse(self) -> None:
+        shutil.rmtree(self.warehouse_dir, ignore_errors=True)

