@@ -36,7 +36,9 @@ from .ext.textstats import (
     text_stats,
 )
 from .fixtures.oracle import with_prelude
+from .streaming.events import STREAM_WEEKLY_SQL, stream_weekly_rollup
 from .models.trends import build_trends_relations
+from .operators import analytics as A
 from .operators import relational as R
 
 
@@ -244,6 +246,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q_part_dollars": QuerySpec(R.part_dollars, R.PART_DOLLARS_SQL),
     "q_events_weekly": QuerySpec(R.events_weekly, R.EVENTS_WEEKLY_SQL),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
+    # --- dbt_utils / audit-helper surface + windowed analytics -------------
+    "q_date_spine_events": QuerySpec(A.date_spine_events, A.DATE_SPINE_EVENTS_SQL),
+    "q_pivot_events": QuerySpec(A.pivot_events, A.PIVOT_EVENTS_SQL),
+    "q_unpivot_events": QuerySpec(A.unpivot_events, A.UNPIVOT_EVENTS_SQL),
+    "q_surrogate_keys": QuerySpec(A.surrogate_keys, A.SURROGATE_KEYS_SQL),
+    "q_compare_relations": QuerySpec(A.compare_relations, A.COMPARE_RELATIONS_SQL),
+    "q_sessionize_events": QuerySpec(A.sessionize_events, A.SESSIONIZE_EVENTS_SQL),
+    "q_order_quartiles": QuerySpec(A.order_quartiles, A.ORDER_QUARTILES_SQL),
+    "q_revenue_rollup": QuerySpec(A.revenue_rollup, A.REVENUE_ROLLUP_SQL),
+    "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
     # --- LLM-data-pipeline extensions -------------------------------------
     "x_dedup_exact": QuerySpec(_x_dedup_exact, EXACT_DUPLICATES_SQL),
     "x_text_stats": QuerySpec(_x_text_stats, TEXT_STATS_SQL),
@@ -252,6 +264,8 @@ QUERIES: dict[str, QuerySpec] = {
         _x_knn, COSINE_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K)
     ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
+    # --- structured streaming (availableNow-drained, batch-equivalent) -----
+    "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
 }
 
 

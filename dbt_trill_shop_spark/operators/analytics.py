@@ -1,0 +1,367 @@
+"""dbt_utils / audit-helper capability surface + time-series analytics.
+
+The reference declares dbt_utils, dbt_date and audit-helper without calling
+them (``packages.yml:1-7``, SURVEY.md §2.8); these operators provide that
+declared surface natively, plus the windowed analytics the domain implies
+(SURVEY.md §2.5 W1 — reconstructing the trends `rank` column) and
+sessionization over the events stream table.
+
+Cross-engine exactness rules are the same as ``relational.py``: scaled-int
+money, microsecond-integer time arithmetic (``timestampdiff(MICROSECOND)``
+== DuckDB ``date_diff('microsecond')`` — both exact int64 on µs-precision
+timestamps), unique tie-breaks on every window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import generate_surrogate_key
+from .relational import cents
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+SESSION_GAP_MINUTES = 30
+
+
+def date_spine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.date_spine: dense calendar via sequence+explode, left-joined
+    to daily event counts with zero-fill.  The spine is generated, not
+    scanned, so it costs nothing at any scale; the join broadcasts the spine."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-02-29").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date_day")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("date_day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(daily, "date_day", "left")
+        .select("date_day", F.coalesce("n", F.lit(0)).alias("event_count"))
+        .orderBy("date_day")
+    )
+
+
+DATE_SPINE_EVENTS_SQL = """
+WITH spine AS (
+    SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-02-29',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_day
+),
+daily AS (
+    SELECT CAST(ts AS DATE) AS date_day, COUNT(*) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT spine.date_day, COALESCE(daily.n, 0) AS event_count
+FROM spine LEFT JOIN daily USING (date_day)
+ORDER BY date_day
+"""
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.pivot: weekly event counts, one column per event type.
+    Explicit value list -> single-pass pivot (no extra distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.select(F.date_trunc("week", "ts").cast("date").alias("week"), "event_type")
+        .groupBy("week")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "week", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("week")
+
+
+PIVOT_EVENTS_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events
+GROUP BY CAST(date_trunc('week', ts) AS DATE)
+ORDER BY week
+"""
+
+
+def unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.unpivot: melt the pivoted weekly counts back to long form
+    (Spark's native ``unpivot``; zero rows are preserved)."""
+    wide = pivot_events(spark, sf_dir)
+    return wide.unpivot(
+        ids=["week"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="event_count",
+    ).orderBy("week", "event_type")
+
+
+UNPIVOT_EVENTS_SQL = """
+WITH wide AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY CAST(date_trunc('week', ts) AS DATE)
+)
+SELECT week, 'click' AS event_type, click AS event_count FROM wide
+UNION ALL SELECT week, 'error', error FROM wide
+UNION ALL SELECT week, 'purchase', purchase FROM wide
+UNION ALL SELECT week, 'signup', signup FROM wide
+UNION ALL SELECT week, 'view', view FROM wide
+ORDER BY week, event_type
+"""
+
+
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.generate_surrogate_key over customer grain."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        generate_surrogate_key("c_custkey", "c_nationkey", "c_mktsegment").alias(
+            "surrogate_key"
+        ),
+    )
+
+
+SURROGATE_KEYS_SQL = """
+SELECT c_custkey,
+       md5(concat_ws('-',
+           COALESCE(CAST(c_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+           COALESCE(CAST(c_nationkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+           COALESCE(CAST(c_mktsegment AS VARCHAR), '_dbt_utils_surrogate_key_null_')))
+           AS surrogate_key
+FROM customer
+"""
+
+
+def compare_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audit_helper.compare_relations (SURVEY.md §2.8): full outer join on the
+    PK + column compare, summarized by match status.  Relation B is a
+    deterministic perturbation of orders (drop every 97th key, bump every
+    89th total) so all four statuses are exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", cents("o_totalprice").alias("total_cents"))
+    b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, cents("o_totalprice") + 1
+        )
+        .otherwise(cents("o_totalprice"))
+        .alias("total_cents"),
+    )
+    joined = a.alias("a").join(b.alias("b"), on="o_orderkey", how="full_outer")
+    status = (
+        F.when(F.col("a.total_cents").isNull(), "only_in_b")
+        .when(F.col("b.total_cents").isNull(), "only_in_a")
+        .when(F.col("a.total_cents") == F.col("b.total_cents"), "match")
+        .otherwise("mismatch")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .orderBy("status")
+    )
+
+
+COMPARE_RELATIONS_SQL = """
+WITH a AS (
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+),
+b AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 0
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1
+                ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END AS total_cents
+    FROM orders WHERE o_orderkey % 97 != 0
+)
+SELECT status, COUNT(*) AS row_count FROM (
+    SELECT CASE WHEN a.total_cents IS NULL THEN 'only_in_b'
+                WHEN b.total_cents IS NULL THEN 'only_in_a'
+                WHEN a.total_cents = b.total_cents THEN 'match'
+                ELSE 'mismatch' END AS status
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+) t
+GROUP BY status ORDER BY status
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the classic two-window
+    pattern — lag to flag session starts, running sum to number sessions,
+    then one aggregate per session.  All windows partition by user_id
+    (high cardinality -> even shuffle); time math in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > {SESSION_GAP_MINUTES} * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) by order value within each order year — windows partitioned
+    by year so no global single-partition sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("order_year").orderBy("total_cents", "o_orderkey")
+    base = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        cents("o_totalprice").alias("total_cents"),
+        "o_orderkey",
+    )
+    tiled = base.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    return (
+        tiled.groupBy("order_year", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.min("total_cents").alias("min_cents"),
+            F.max("total_cents").alias("max_cents"),
+        )
+        .orderBy("order_year", "quartile")
+    )
+
+
+ORDER_QUARTILES_SQL = """
+WITH base AS (
+    SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           o_orderkey
+    FROM orders
+),
+tiled AS (
+    SELECT order_year, total_cents,
+           CAST(NTILE(4) OVER (PARTITION BY order_year
+                               ORDER BY total_cents, o_orderkey) AS BIGINT) AS quartile
+    FROM base
+)
+SELECT order_year, quartile, COUNT(*) AS order_count,
+       MIN(total_cents) AS min_cents, MAX(total_cents) AS max_cents
+FROM tiled
+GROUP BY order_year, quartile
+ORDER BY order_year, quartile
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) subtotals + grand total over order revenue —
+    Spark computes this as a single expand+aggregate, no repeated scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.select("r_name", "n_name", cents("o_totalprice").alias("total_cents"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            (F.sum("total_cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT r_name, n_name, COUNT(*) AS order_count,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+def rank_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.5 W1 / §7.6: reproduce the trends `rank` data column from
+    raw scores with a real ``rank()`` window (ties share a rank), per
+    (week, dma).  Output is the per-(week,dma,score) rank mapping."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 50).alias("dma_id"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.least(F.floor("value") % 101, F.lit(100)).alias("score"),
+    ).distinct()
+    w = Window.partitionBy("week", "dma_id").orderBy(F.desc("score"))
+    return base.withColumn("rank_calc", F.rank().over(w).cast("bigint")).orderBy(
+        "week", "dma_id", "rank_calc"
+    )
+
+
+RANK_RECONSTRUCTION_SQL = """
+WITH base AS (
+    SELECT DISTINCT user_id % 50 AS dma_id,
+           CAST(date_trunc('week', ts) AS DATE) AS week,
+           LEAST(CAST(FLOOR(value) AS BIGINT) % 101, 100) AS score
+    FROM events
+)
+SELECT dma_id, week, score,
+       CAST(RANK() OVER (PARTITION BY week, dma_id ORDER BY score DESC) AS BIGINT)
+           AS rank_calc
+FROM base
+ORDER BY week, dma_id, rank_calc
+"""

@@ -1,0 +1,13 @@
+from .events import (
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_events,
+    weekly_event_counts_stream,
+)
+
+__all__ = [
+    "stream_events",
+    "weekly_event_counts_stream",
+    "sessionize_stream",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,144 @@
+"""Structured Streaming surface (SURVEY.md §1.1 notes the reference has no
+streams — this is engine capability the driver's `events` table motivates):
+file-source stream -> watermarked tumbling-window aggregation -> sink, plus a
+custom stateful sessionizer via ``applyInPandasWithState``.
+
+Batch/stream parity: ``weekly_event_counts_stream`` with an ``availableNow``
+trigger and complete-mode memory sink produces exactly the batch
+``q_events_weekly``-style rollup (same week bucketing: 7-day tumbling windows
+aligned to Monday), so the harness can oracle-check a streaming query.
+
+Scale posture: watermark bounds state (late events beyond 14 days dropped);
+the weekly aggregation state is (weeks × types) — tiny; sessionizer state is
+per-user fixed-size.  DISTINCT aggregations aren't supported on streams, so
+the stream rollup omits unique_users (the batch twin provides it).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _EVENTS_RAW_SCHEMA
+
+SESSION_GAP_MINUTES = 30
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (same TIMESTAMP(NANOS)
+    schema-override path as the batch catalog; 1 file per micro-batch keeps
+    demo latency bounded)."""
+    # the file source wants a directory; glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # LTZ (not NTZ like the batch catalog): watermarks require TIMESTAMP.
+    # The engine session runs in UTC, so the two are value-identical.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def weekly_event_counts_stream(events: DataFrame, watermark: str = "14 days") -> DataFrame:
+    """Watermarked tumbling weekly rollup.  ``window('7 days', startTime='4
+    days')`` aligns buckets to Monday (epoch day 0 is a Thursday), matching
+    ``date_trunc('week', ts)`` in the batch engine and the ANSI oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "7 days", "7 days", "4 days").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("week"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+STREAM_WEEKLY_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY CAST(date_trunc('week', ts) AS DATE), event_type
+"""
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a memory
+    sink and return the result table (batch DataFrame)."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry: the full stream pipeline drained to a batch result."""
+    return run_stream_to_memory(weekly_event_counts_stream(stream_events(spark, sf_dir)))
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` (update mode).
+
+    State per user: (open session start/last/count).  A session is emitted
+    when a subsequent event arrives more than ``gap_minutes`` after it ends
+    (sessions still open when the stream idles would need a ProcessingTime
+    timeout in production; the availableNow demo leaves them in state).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = "user_id long, session_start_us long, n_events long, duration_us long"
+    state_schema = "start_us long, last_us long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            # normalize to ns first — Arrow may deliver us- or ns-precision
+            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((user_id, start_us, n, last_us - start_us))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us", "n_events", "duration_us"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

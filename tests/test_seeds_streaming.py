@@ -1,0 +1,92 @@
+"""Seed ingestion (dbt-seed path) and Structured Streaming operators."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.operators.analytics import sessionize_events
+from dbt_trill_shop_spark.sources import load_seeds
+from dbt_trill_shop_spark.streaming import (
+    run_stream_to_memory,
+    sessionize_stream,
+    stream_events,
+    weekly_event_counts_stream,
+)
+
+SEED_CSVS = {
+    "raw_customers.csv": "id,name\nc1,Ada\nc2,Grace\n",
+    "raw_products.csv": (
+        "sku,name,type,price,description\nS1,Widget,jaffle,450,desc\nS2,Gadget,beverage,250,x\n"
+    ),
+    "raw_stores.csv": (
+        "id,name,opened_at,tax_rate\ns1,Downtown,2020-01-02T08:00:00,0.0825\n"
+    ),
+}
+
+
+def test_seed_loading_and_routing(spark):
+    d = tempfile.mkdtemp(prefix="seeds_")
+    for fname, content in SEED_CSVS.items():
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(content)
+    out = load_seeds(spark, d, load_source_data=True)
+    assert set(out) == {"raw_customers", "raw_products", "raw_stores"}
+    # typed per the canonical schemas, not inferred
+    prod = out["raw_products"]
+    assert dict(prod.dtypes)["price"] == "bigint"
+    stores = out["raw_stores"]
+    assert dict(stores.dtypes)["opened_at"] == "timestamp"
+    assert stores.collect()[0]["tax_rate"] == 0.0825
+    # routed to the raw schema verbatim (generate_schema_name seed branch)
+    assert spark.table("raw__raw_customers").count() == 2
+    # var gate: load_source_data=False loads nothing
+    assert load_seeds(spark, d, load_source_data=False) == {}
+
+
+def test_stream_weekly_matches_batch(spark, sf_dir):
+    stream_result = run_stream_to_memory(
+        weekly_event_counts_stream(stream_events(spark, sf_dir))
+    ).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .toPandas()
+    )
+    key = ["week", "event_type"]
+    s = stream_result.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) and len(s) > 0
+    assert (s["event_count"].values == b["event_count"].values).all()
+    assert (s["total_value"].values == b["total_value"].values).all()
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
+    """The streaming sessionizer must produce exactly the batch sessionization
+    minus each user's final (still-open) session."""
+    stream_sessions = run_stream_to_memory(
+        sessionize_stream(stream_events(spark, sf_dir)), output_mode="update"
+    ).toPandas()
+    batch = sessionize_events(spark, sf_dir).toPandas()
+    n_users = batch["user_id"].nunique()
+    assert len(stream_sessions) == len(batch) - n_users
+    # per-user closed-session event counts must line up
+    b_closed = (
+        batch.sort_values(["user_id", "session_id"])
+        .groupby("user_id")
+        .apply(lambda g: list(g["n_events"])[:-1], include_groups=False)
+    )
+    s_counts = (
+        stream_sessions.sort_values(["user_id", "session_start_us"])
+        .groupby("user_id")["n_events"]
+        .apply(list)
+    )
+    for uid, counts in s_counts.items():
+        assert counts == b_closed[uid], f"user {uid}"
