@@ -118,6 +118,30 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# Oracle for extract_features(docs_as_media(documents)): the fake decoder is
+# pure arithmetic on byte length, so the whole mapInPandas path is
+# SQL-checkable (octet_length = UTF-8 byte count = len(payload)).
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       'image/fake' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+FRAME_SAMPLE_SQL_TEMPLATE = """
+SELECT doc_id AS media_id,
+       'mem://doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       unnest(generate_series(0,
+              GREATEST(CAST(octet_length(encode(text)) // 1000 AS BIGINT) - 1, 0),
+              {every_n})) AS frame_idx
+FROM documents
+"""
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame-index
     rows (0, every_n, 2*every_n, ... based on fake duration = n_bytes//1000)

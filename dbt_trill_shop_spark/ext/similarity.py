@@ -135,6 +135,62 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    The id_a < id_b triangular self-join halves the pair count; the right side
+    is broadcast when it fits (caller can pre-filter to a block).  At 100 TB
+    run this per LSH bucket (see cosine_topk_lsh) — this function is the
+    exact within-block kernel.  Output carries only the pair ids (floats stay
+    engine-internal so the oracle compare is ulp-proof).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    ).select("id_a", "id_b")
+
+
+EMBEDDING_NEARDUP_SQL_TEMPLATE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+"""
+
+
+# Oracle for ivf_assign: same argmin with distances rounded to 6 dp before
+# the comparison so cross-engine float-summation-order noise (<=1e-12) can't
+# flip the winner; ties broken by cell asc in both engines.
+IVF_ASSIGN_SQL_TEMPLATE = """
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+    WHERE vec_id < {n_cells}
+),
+scored AS (
+    SELECT v.vec_id, c.cell,
+           ROUND(list_distance(v.embedding, c.centroid) ** 2, 6) AS d2
+    FROM embeddings v CROSS JOIN cents c
+),
+ranked AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, cell FROM ranked WHERE rn = 1
+"""
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -157,7 +213,11 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = vecs.crossJoin(F.broadcast(cents)).select(id_col, "cell", d2.alias("d2"))
+    # round to 6 dp before the argmin so float-summation-order noise across
+    # engines can't flip the winner (ties then break by cell asc).
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "cell", F.round(d2, 6).alias("d2")
+    )
     w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -144,3 +144,149 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(F.col(text_col).cast("binary")).alias("md5_fingerprint"),
         F.xxhash64(text_col).alias("xxhash64_fingerprint"),
     )
+
+
+# Polynomial rolling-hash parameters (Rabin-Karp style).  base*mod fits in
+# int64 (mod < 2^30, base 31 -> max intermediate ~ 2^35), so the fold is
+# exact integer arithmetic and bit-identical across engines.
+_ROLL_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the character codepoints:
+    ``h = (h*31 + code) mod 1e9+7`` folded left-to-right.  Pure Column
+    higher-order functions (split -> transform(ascii) -> aggregate) — no UDF,
+    whole-stage codegen'd, and exactly reproducible in ANSI SQL."""
+    codes = F.transform(F.split(F.col(text_col), ""), F.ascii)
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % _ROLL_MOD,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("md5_fingerprint"),
+        h.alias("rolling_hash"),
+    )
+
+
+ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS md5_fingerprint,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007
+       ) AS rolling_hash
+FROM documents
+"""
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+# the shape of the GPT-2 pretokenizer regex, simplified to a subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts under a BPE-ish regex pre-tokenizer plus
+    whitespace tokenization — the two standard "how many tokens is this
+    corpus" estimators for training-data sizing."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ws = F.split(F.col(text_col), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("n_distinct_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(LEN(LIST_DISTINCT(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS n_distinct_bpe_tokens,
+       CAST(LEN(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+_STOPWORD_LIST = STOPWORDS[0].split()
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       n_tokens,
+       mean_word_len,
+       alpha_ratio,
+       stopword_hits,
+       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+        + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1 ELSE 0 END
+        + CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END
+        + CASE WHEN stopword_hits >= 1 THEN 1 ELSE 0 END) AS quality_score
+FROM (
+    SELECT doc_id,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(CAST(LENGTH(text) AS BIGINT)
+                - (CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) - 1) AS DOUBLE)
+               / CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS mean_word_len,
+           CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS BIGINT) AS alpha_ratio,
+           CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STR_SPLIT(text, ' ')),
+                                   {_STOPWORD_LIST!r})) AS BIGINT) AS stopword_hits
+    FROM documents
+) t
+"""
+
+
+# Mirrors language_id()'s scoring exactly: per-language weighted function-word
+# counts via global regexp_replace length deltas (divisor = len(pattern)-4
+# floored at 1), argmax tie-broken by the lexicographically greatest lang tag
+# (Spark's array_max over (score, lang) structs).
+_LANG_PATTERNS = {
+    "en": [" the ", " and ", " is "],
+    "es": [" el ", " la ", " de ", " que "],
+    "fr": [" le ", " la ", " et ", " des "],
+    "de": [" der ", " die ", " und "],
+}
+
+
+def _lang_score_sql(pats: list[str]) -> str:
+    terms = []
+    for p in pats:
+        div = max(len(p) - 4, 1)
+        terms.append(
+            f"(LENGTH(t) - LENGTH(regexp_replace(t, '{p}', '', 'g'))) / {div}.0"
+        )
+    return " + ".join(terms)
+
+
+LANGUAGE_ID_SQL = f"""
+WITH padded AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, score FROM (
+        SELECT doc_id,
+               unnest(['en','es','fr','de']) AS lang,
+               unnest([
+                   CAST({_lang_score_sql(_LANG_PATTERNS['en'])} AS DOUBLE),
+                   CAST({_lang_score_sql(_LANG_PATTERNS['es'])} AS DOUBLE),
+                   CAST({_lang_score_sql(_LANG_PATTERNS['fr'])} AS DOUBLE),
+                   CAST({_lang_score_sql(_LANG_PATTERNS['de'])} AS DOUBLE)
+               ]) AS score
+        FROM padded
+    ) u
+),
+best AS (
+    SELECT doc_id, lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang DESC) AS rn
+    FROM scored
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       score AS lang_score
+FROM best WHERE rn = 1
+"""

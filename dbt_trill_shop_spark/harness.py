@@ -25,21 +25,48 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .ext.dedup import (
     EXACT_DUPLICATES_SQL,
+    NGRAM_JACCARD_SQL_TEMPLATE,
     exact_duplicates,
     minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
 )
-from .ext.similarity import COSINE_TOPK_SQL_TEMPLATE, cosine_topk_bruteforce
+from .ext.multimodal import (
+    FRAME_SAMPLE_SQL_TEMPLATE,
+    MEDIA_FEATURES_SQL,
+    docs_as_media,
+    extract_features,
+    frame_sample_plan,
+)
+from .ext.similarity import (
+    COSINE_TOPK_SQL_TEMPLATE,
+    EMBEDDING_NEARDUP_SQL_TEMPLATE,
+    IVF_ASSIGN_SQL_TEMPLATE,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+    ivf_assign,
+)
 from .ext.textstats import (
+    LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
+    QUALITY_SCORE_SQL,
+    ROLLING_FINGERPRINT_SQL,
     TEXT_STATS_SQL,
+    TOKEN_COUNTS_SQL,
+    language_id,
     language_profile,
+    quality_score,
+    rolling_fingerprint,
     text_stats,
+    token_counts,
 )
 from .fixtures.oracle import with_prelude
 from .streaming.events import STREAM_WEEKLY_SQL, stream_weekly_rollup
 from .models.trends import build_trends_relations
 from .operators import analytics as A
 from .operators import relational as R
+from .operators import temporal as T
 
 
 @dataclass(frozen=True)
@@ -209,6 +236,56 @@ def _x_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+_NGRAM_JACCARD_N = 3
+_NGRAM_JACCARD_THRESHOLD = 0.2
+_NEARDUP_COS_THRESHOLD = 0.4
+_IVF_CELLS = 16
+
+
+def _docs_q(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "documents"))
+
+    return run
+
+
+def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_len=_NGRAM_JACCARD_N,
+        threshold=_NGRAM_JACCARD_THRESHOLD,
+    )
+
+
+def _x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_COS_THRESHOLD
+    )
+
+
+def _x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NUM_QUERIES)
+    return cosine_topk_lsh(emb, queries, k=_KNN_K)
+
+
+def _x_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS)
+
+
+def _x_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs).select("id_a", "id_b", "hamming")
+
+
+def _m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(docs_as_media(load_table(spark, sf_dir, "documents")))
+
+
+def _m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(docs_as_media(load_table(spark, sf_dir, "documents")), every_n=10)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # --- the reference's 7 models -----------------------------------------
     "stg_top_terms": QuerySpec(
@@ -256,14 +333,41 @@ QUERIES: dict[str, QuerySpec] = {
     "q_order_quartiles": QuerySpec(A.order_quartiles, A.ORDER_QUARTILES_SQL),
     "q_revenue_rollup": QuerySpec(A.revenue_rollup, A.REVENUE_ROLLUP_SQL),
     "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
+    # --- temporal joins (as-of, range/band) --------------------------------
+    "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),
+    "q_range_join_bands": QuerySpec(T.range_join_value_bands, T.RANGE_JOIN_VALUE_BANDS_SQL),
     # --- LLM-data-pipeline extensions -------------------------------------
     "x_dedup_exact": QuerySpec(_x_dedup_exact, EXACT_DUPLICATES_SQL),
     "x_text_stats": QuerySpec(_x_text_stats, TEXT_STATS_SQL),
+    "x_token_counts": QuerySpec(_docs_q(token_counts), TOKEN_COUNTS_SQL),
+    "x_quality_score": QuerySpec(_docs_q(quality_score), QUALITY_SCORE_SQL),
+    "x_language_id": QuerySpec(_docs_q(language_id), LANGUAGE_ID_SQL),
     "x_language_profile": QuerySpec(_x_language_profile, LANGUAGE_PROFILE_SQL),
+    "x_fingerprint": QuerySpec(_docs_q(rolling_fingerprint), ROLLING_FINGERPRINT_SQL),
     "x_knn_cosine_topk": QuerySpec(
         _x_knn, COSINE_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K)
     ),
+    "x_embedding_neardup": QuerySpec(
+        _x_embedding_neardup,
+        EMBEDDING_NEARDUP_SQL_TEMPLATE.format(threshold=_NEARDUP_COS_THRESHOLD),
+    ),
+    "x_ivf_assign": QuerySpec(
+        _x_ivf_assign, IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS)
+    ),
+    "x_ngram_jaccard": QuerySpec(
+        _x_ngram_jaccard,
+        NGRAM_JACCARD_SQL_TEMPLATE.format(
+            n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
+        ),
+    ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
+    "x_knn_lsh": QuerySpec(_x_knn_lsh, None),  # LSH ANN: rows-only
+    "x_simhash_neardup": QuerySpec(_x_simhash_neardup, None),  # xxhash64: rows-only
+    # --- multimodal plumbing (fake decoder -> fully oracle-checkable) ------
+    "m_media_features": QuerySpec(_m_media_features, MEDIA_FEATURES_SQL),
+    "m_frame_sample": QuerySpec(
+        _m_frame_sample, FRAME_SAMPLE_SQL_TEMPLATE.format(every_n=10)
+    ),
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
 }
