@@ -1,5 +1,6 @@
 from .model import Materialization, Model
 from .dag import Project, topo_sort
+from .snapshot import SnapshotStore, snapshot_delta
 from .testing import (
     AcceptedRange,
     AcceptedValues,
@@ -26,4 +27,6 @@ __all__ = [
     "Relationships",
     "TestResult",
     "run_tests",
+    "SnapshotStore",
+    "snapshot_delta",
 ]

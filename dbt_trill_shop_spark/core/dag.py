@@ -109,6 +109,17 @@ class Project:
                 results[name] = run_model_tests(self.relations[name], model.tests, name)
         return results
 
+    def table_path(self, model: Model) -> str:
+        return os.path.join(self.warehouse_dir, self.schema_for(model), model.name)
+
+    def is_incremental_run(self, name: str) -> bool:
+        """dbt ``is_incremental()``: True when the model is incremental and its
+        table already exists — builders use this to restrict to the new batch."""
+        model = self.models[name]
+        return model.materialization is Materialization.INCREMENTAL and os.path.exists(
+            self.table_path(model)
+        )
+
     def _materialize(self, spark: SparkSession, model: Model, df: DataFrame) -> DataFrame:
         if model.materialization is Materialization.EPHEMERAL:
             return df
@@ -116,18 +127,52 @@ class Project:
         if model.materialization is Materialization.VIEW:
             df.createOrReplaceTempView(view_name)
             return df
-        # TABLE: write parquet, read back (a real sink; the read-back scan gets
-        # vectorized parquet + pushdown for downstream consumers).
-        schema = self.schema_for(model)
-        path = os.path.join(self.warehouse_dir, schema, model.name)
-        writer = df.write.mode("overwrite")
+        # TABLE / INCREMENTAL: write parquet, read back (a real sink; the
+        # read-back scan gets vectorized parquet + pushdown downstream).
+        path = self.table_path(model)
         parts = self.table_partition_cols.get(model.name)
+        if model.materialization is Materialization.INCREMENTAL and os.path.exists(path):
+            df = self._incremental_result(spark, model, df, path)
+        writer = df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(path)
+        # write-then-swap: df may itself read `path` (incremental merge), and
+        # an in-place overwrite would clobber its own input mid-scan.
+        tmp = path + ".__new__"
+        writer.parquet(tmp)
+        final = path + ".__old__"
+        shutil.rmtree(final, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, final)
+        os.replace(tmp, path)
+        shutil.rmtree(final, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
         out = spark.read.parquet(path)
         out.createOrReplaceTempView(view_name)
         return out
+
+    def _incremental_result(
+        self, spark: SparkSession, model: Model, batch: DataFrame, path: str
+    ) -> DataFrame:
+        """Combine the new batch with the existing table.
+
+        - ``append``: existing ∪ batch.
+        - ``merge``: upsert by ``unique_key`` — existing rows whose key appears
+          in the batch are replaced (left_anti + union), like dbt's merge on a
+          warehouse.  The anti join broadcasts the batch's key set when small
+          (the common case: one partition of new data vs years of history).
+        """
+        existing = spark.read.parquet(path)
+        batch = batch.select(*existing.columns)  # align positionally-stable
+        if model.incremental_strategy == "append":
+            return existing.unionByName(batch)
+        if not model.unique_key:
+            raise ValueError(f"incremental merge model {model.name!r} needs unique_key")
+        keys = batch.select(model.unique_key).distinct()
+        from pyspark.sql import functions as F  # local: keep module import light
+
+        survivors = existing.join(F.broadcast(keys), model.unique_key, "left_anti")
+        return survivors.unionByName(batch)
 
     def drop_warehouse(self) -> None:
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)

@@ -36,6 +36,12 @@ class Materialization(str, enum.Enum):
     VIEW = "view"  # staging models: dbt_project.yml:35-36
     TABLE = "table"  # mart models:    dbt_project.yml:37-38
     EPHEMERAL = "ephemeral"  # inlined, never registered
+    # dbt's incremental materialization (core dbt capability; the reference
+    # project materializes only view/table but the execution model it rides on
+    # supports incremental + snapshot, README.md dbt docs).  On rebuilds only
+    # the new batch is computed and appended/merged — at 100 TB this is the
+    # difference between reprocessing a day and reprocessing a decade.
+    INCREMENTAL = "incremental"
 
 
 @dataclass
@@ -47,6 +53,10 @@ class Model:
     schema: str | None = None  # custom schema, routed by resolve_schema()
     description: str = ""
     tests: list["DataTest"] = field(default_factory=list)
+    # incremental-only knobs (ignored otherwise):
+    # merge upserts by unique_key (latest batch wins); append just appends.
+    unique_key: str | None = None
+    incremental_strategy: str = "merge"  # "merge" | "append"
 
     def build(self, spark: "SparkSession", resolve: Resolver) -> "DataFrame":
         if callable(self.builder):

@@ -155,3 +155,51 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_TARGET = (224, 224)
+
+
+def resize_plan(media: DataFrame, target: tuple[int, int] = RESIZE_TARGET) -> DataFrame:
+    """Resize planning: compute each image's decode dims (fake decoder) and
+    the letterboxed output geometry for a ``target`` canvas — scale factor in
+    1e-6 fixed-point so the arithmetic is integer-exact cross-engine.  The
+    actual pixel resample would run inside the same mapInPandas pass as
+    ``extract_features`` (stubbed: no imaging libs in this container)."""
+    feats = extract_features(media)
+    tw, th = target
+    # fixed-point scale = floor(1e6 * min(tw/w, th/h)); explicit FLOOR on
+    # every double->int step (Spark casts truncate, DuckDB casts round — a
+    # bare cast would silently disagree)
+    scale = F.least(
+        F.floor(F.lit(tw * 1_000_000) / F.col("width")),
+        F.floor(F.lit(th * 1_000_000) / F.col("height")),
+    )
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        scale.alias("scale_micro"),
+        F.floor(F.col("width") * scale / 1_000_000).alias("out_width"),
+        F.floor(F.col("height") * scale / 1_000_000).alias("out_height"),
+    )
+
+
+RESIZE_PLAN_SQL = """
+WITH feats AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+    FROM documents
+),
+scaled AS (
+    SELECT media_id, width, height,
+           LEAST(CAST(FLOOR(224000000.0 / width) AS BIGINT),
+                 CAST(FLOOR(224000000.0 / height) AS BIGINT)) AS scale_micro
+    FROM feats
+)
+SELECT media_id, width, height, scale_micro,
+       CAST(FLOOR(width * scale_micro / 1000000.0) AS BIGINT) AS out_width,
+       CAST(FLOOR(height * scale_micro / 1000000.0) AS BIGINT) AS out_height
+FROM scaled
+"""

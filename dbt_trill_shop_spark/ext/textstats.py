@@ -116,14 +116,15 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
 
     def count_of(pat: str) -> Column:
-        # occurrences of a literal token with word boundaries (spaces)
-        return (F.length(t) - F.length(F.regexp_replace(t, pat, ""))) / max(len(pat) - 4, 1)
+        # non-overlapping occurrences of a literal token with space word
+        # boundaries; regexp_count keeps the expression tree small (the
+        # length-minus-replaced formulation doubled every regexp and blew up
+        # codegen size)
+        return F.regexp_count(t, F.lit(pat)).cast("double")
 
     scores = {
-        "en": count_of(r" the ") + count_of(r" and ") + count_of(r" is "),
-        "es": count_of(r" el ") + count_of(r" la ") + count_of(r" de ") + count_of(r" que "),
-        "fr": count_of(r" le ") + count_of(r" la ") + count_of(r" et ") + count_of(r" des "),
-        "de": count_of(r" der ") + count_of(r" die ") + count_of(r" und "),
+        lang: sum((count_of(p) for p in pats), F.lit(0.0))
+        for lang, pats in _LANG_PATTERNS.items()
     }
     pairs = F.array(
         *[F.struct(s.cast("double").alias("score"), F.lit(k).alias("lang")) for k, s in scores.items()]
@@ -240,10 +241,9 @@ FROM (
 """
 
 
-# Mirrors language_id()'s scoring exactly: per-language weighted function-word
-# counts via global regexp_replace length deltas (divisor = len(pattern)-4
-# floored at 1), argmax tie-broken by the lexicographically greatest lang tag
-# (Spark's array_max over (score, lang) structs).
+# Mirrors language_id()'s scoring exactly: per-language non-overlapping
+# function-word occurrence counts, argmax tie-broken by the lexicographically
+# greatest lang tag (Spark's array_max over (score, lang) structs).
 _LANG_PATTERNS = {
     "en": [" the ", " and ", " is "],
     "es": [" el ", " la ", " de ", " que "],
@@ -253,13 +253,7 @@ _LANG_PATTERNS = {
 
 
 def _lang_score_sql(pats: list[str]) -> str:
-    terms = []
-    for p in pats:
-        div = max(len(p) - 4, 1)
-        terms.append(
-            f"(LENGTH(t) - LENGTH(regexp_replace(t, '{p}', '', 'g'))) / {div}.0"
-        )
-    return " + ".join(terms)
+    return " + ".join(f"LEN(regexp_extract_all(t, '{p}'))" for p in pats)
 
 
 LANGUAGE_ID_SQL = f"""
@@ -289,4 +283,60 @@ SELECT doc_id,
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        score AS lang_score
 FROM best WHERE rn = 1
+"""
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k TF-IDF terms (single-space tokens, exact counts).
+
+    Built from explode/groupBy/window — no HashingTF, so scores are exact and
+    the whole thing is ANSI-SQL expressible.  idf = ln((N+1)/(df+1)) with N a
+    1-row aggregate cross-joined in (broadcast, keeps the plan fully lazy).
+    Scores rounded to 6 dp before ranking; ties broken by term asc.
+    """
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tfidf", F.col("rn").alias("rank"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+    FROM scored
+) t
+WHERE rn <= {k}
 """

@@ -34,9 +34,11 @@ from .ext.dedup import (
 from .ext.multimodal import (
     FRAME_SAMPLE_SQL_TEMPLATE,
     MEDIA_FEATURES_SQL,
+    RESIZE_PLAN_SQL,
     docs_as_media,
     extract_features,
     frame_sample_plan,
+    resize_plan,
 )
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
@@ -46,6 +48,7 @@ from .ext.similarity import (
     cosine_topk_lsh,
     embedding_neardup_pairs,
     ivf_assign,
+    ivf_topk,
 )
 from .ext.textstats import (
     LANGUAGE_ID_SQL,
@@ -53,12 +56,14 @@ from .ext.textstats import (
     QUALITY_SCORE_SQL,
     ROLLING_FINGERPRINT_SQL,
     TEXT_STATS_SQL,
+    TFIDF_TOP_TERMS_SQL_TEMPLATE,
     TOKEN_COUNTS_SQL,
     language_id,
     language_profile,
     quality_score,
     rolling_fingerprint,
     text_stats,
+    tfidf_top_terms,
     token_counts,
 )
 from .fixtures.oracle import with_prelude
@@ -286,6 +291,23 @@ def _m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(docs_as_media(load_table(spark, sf_dir, "documents")), every_n=10)
 
 
+def _m_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(docs_as_media(load_table(spark, sf_dir, "documents")))
+
+
+_TFIDF_K = 3
+
+
+def _x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=_TFIDF_K)
+
+
+def _x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NUM_QUERIES)
+    return ivf_topk(emb, queries, k=_KNN_K, n_cells=_IVF_CELLS, n_probe=4)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # --- the reference's 7 models -----------------------------------------
     "stg_top_terms": QuerySpec(
@@ -333,6 +355,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_order_quartiles": QuerySpec(A.order_quartiles, A.ORDER_QUARTILES_SQL),
     "q_revenue_rollup": QuerySpec(A.revenue_rollup, A.REVENUE_ROLLUP_SQL),
     "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
+    "q_json_props_stats": QuerySpec(A.json_props_stats, A.JSON_PROPS_STATS_SQL),
     # --- temporal joins (as-of, range/band) --------------------------------
     "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),
     "q_range_join_bands": QuerySpec(T.range_join_value_bands, T.RANGE_JOIN_VALUE_BANDS_SQL),
@@ -360,14 +383,19 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
         ),
     ),
+    "x_tfidf_top_terms": QuerySpec(
+        _x_tfidf, TFIDF_TOP_TERMS_SQL_TEMPLATE.format(k=_TFIDF_K)
+    ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
     "x_knn_lsh": QuerySpec(_x_knn_lsh, None),  # LSH ANN: rows-only
+    "x_ivf_topk": QuerySpec(_x_ivf_topk, None),  # IVF ANN (n_probe<cells): rows-only
     "x_simhash_neardup": QuerySpec(_x_simhash_neardup, None),  # xxhash64: rows-only
     # --- multimodal plumbing (fake decoder -> fully oracle-checkable) ------
     "m_media_features": QuerySpec(_m_media_features, MEDIA_FEATURES_SQL),
     "m_frame_sample": QuerySpec(
         _m_frame_sample, FRAME_SAMPLE_SQL_TEMPLATE.format(every_n=10)
     ),
+    "m_resize_plan": QuerySpec(_m_resize_plan, RESIZE_PLAN_SQL),
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
 }

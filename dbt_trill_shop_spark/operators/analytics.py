@@ -365,3 +365,39 @@ SELECT dma_id, week, score,
 FROM base
 ORDER BY week, dma_id, rank_calc
 """
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the events ``props``
+    JSON column (get_json_object — JVM-side Jackson path eval, no UDF) and
+    aggregate per event type.  avg is computed as exact-int SUM / COUNT so
+    the division is the only float op (cross-engine stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+FROM (
+    SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""

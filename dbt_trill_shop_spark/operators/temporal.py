@@ -115,7 +115,13 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(10) build side.  Aggregated to per-tier stats so the output is compact.
     """
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(VALUE_BANDS, ["lo", "hi", "tier"])
+    # inline VALUES (LocalRelation), not createDataFrame: the latter goes
+    # through a Python RDD (applySchemaToPythonRDD -> python workers) and
+    # can't be broadcast-planned without running a job.
+    rows = ", ".join(
+        f"(CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE), '{t}')" for lo, hi, t in VALUE_BANDS
+    )
+    bands = spark.sql(f"SELECT * FROM VALUES {rows} AS bands(lo, hi, tier)")
     joined = ev.join(
         F.broadcast(bands),
         (ev.value >= bands.lo) & (ev.value < bands.hi),
