@@ -345,6 +345,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_part_dollars": QuerySpec(R.part_dollars, R.PART_DOLLARS_SQL),
     "q_events_weekly": QuerySpec(R.events_weekly, R.EVENTS_WEEKLY_SQL),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
+    "q_set_ops_cohorts": QuerySpec(
+        R.purchasers_vs_clickers, R.PURCHASERS_VS_CLICKERS_SQL
+    ),
     # --- dbt_utils / audit-helper surface + windowed analytics -------------
     "q_date_spine_events": QuerySpec(A.date_spine_events, A.DATE_SPINE_EVENTS_SQL),
     "q_pivot_events": QuerySpec(A.pivot_events, A.PIVOT_EVENTS_SQL),

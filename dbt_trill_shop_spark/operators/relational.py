@@ -333,3 +333,40 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def purchasers_vs_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface beyond the reference's UNION ALL (SURVEY.md §2.6
+    notes INTERSECT/EXCEPT are absent there; the warehouse provides them, so
+    the engine does too): users who click AND purchase (INTERSECT) plus users
+    who click but never purchase (EXCEPT), labeled and unioned.  Spark
+    ``intersect``/``exceptAll``-free formulation is not needed — the built-in
+    set operators compile to aggregate/semi-join plans."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    both = users_of("click").intersect(users_of("purchase"))
+    click_only = users_of("click").subtract(users_of("purchase"))
+    return (
+        both.select("user_id", F.lit("click_and_purchase").alias("cohort"))
+        .union(click_only.select("user_id", F.lit("click_only").alias("cohort")))
+        .orderBy("cohort", "user_id")
+    )
+
+
+PURCHASERS_VS_CLICKERS_SQL = """
+SELECT user_id, 'click_and_purchase' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_only' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+ORDER BY cohort, user_id
+"""
