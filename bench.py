@@ -37,14 +37,26 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # headline metric = the reference's own 7 models (stable across rounds
+    # even as harness coverage grows); every query's timing is still reported.
+    headline = [
+        "stg_top_terms",
+        "stg_top_rising_terms",
+        "stg_international_top_terms",
+        "stg_international_top_rising_terms",
+        "weekly_trends_summary",
+        "top_terms_comparison",
+        "trending_terms_analysis",
+    ]
+    value = round(sum(timings[q] for q in headline if q in timings), 3)
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_time",
-                "value": total,
+                "metric": "reference_models_wall_time",
+                "value": value,
                 "unit": "sec",
                 "queries": timings,
+                "total_all_queries": round(sum(timings.values()), 3),
                 "sf": sf,
             }
         )

@@ -28,6 +28,7 @@ from .ext.dedup import (
     NGRAM_JACCARD_SQL_TEMPLATE,
     exact_duplicates,
     minhash_near_duplicates,
+    neardup_minhash_native,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
@@ -390,6 +391,12 @@ QUERIES: dict[str, QuerySpec] = {
         _x_tfidf, TFIDF_TOP_TERMS_SQL_TEMPLATE.format(k=_TFIDF_K)
     ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
+    "x_neardup_minhash_native": QuerySpec(  # banded-LSH candidates + exact verify
+        lambda spark, sf_dir: neardup_minhash_native(
+            load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+        ).select("id_a", "id_b"),
+        None,
+    ),
     "x_knn_lsh": QuerySpec(_x_knn_lsh, None),  # LSH ANN: rows-only
     "x_ivf_topk": QuerySpec(_x_ivf_topk, None),  # IVF ANN (n_probe<cells): rows-only
     "x_simhash_neardup": QuerySpec(_x_simhash_neardup, None),  # xxhash64: rows-only

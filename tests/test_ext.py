@@ -99,3 +99,22 @@ def test_frame_sample_plan(spark, sf_dir):
     plan = multimodal.frame_sample_plan(media, every_n=10)
     pdf = plan.toPandas()
     assert (pdf["frame_idx"] % 10 == 0).all()
+
+
+def test_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
+    """The banded-MinHash + exact-verify pipeline must emit ONLY true
+    above-threshold pairs (exact verify => zero false positives) and recover
+    most of the exact pair set (S-curve recall; deterministic given fixed
+    data because the hash family is seeded xxhash64)."""
+    from dbt_trill_shop_spark.ext.dedup import neardup_minhash_native, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    native = set(
+        (r.id_a, r.id_b)
+        for r in neardup_minhash_native(docs, jaccard_threshold=0.5).collect()
+    )
+    exact = set(
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    assert native - exact == set(), "exact verification must kill false positives"
+    assert len(native & exact) >= 0.8 * len(exact), (len(native), len(exact))
