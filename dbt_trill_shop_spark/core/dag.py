@@ -174,5 +174,29 @@ class Project:
         survivors = existing.join(F.broadcast(keys), model.unique_key, "left_anti")
         return survivors.unionByName(batch)
 
+    def manifest(self) -> dict:
+        """dbt-manifest-equivalent artifact: the full node graph as plain data
+        (name, deps, materialization, schema routing, description, tests) in
+        topological order — what ``dbt docs generate`` emits as manifest.json
+        (reference CI consumes it via dbt Cloud; here it's a dict for any
+        downstream tooling/lineage UI)."""
+        order = topo_sort(self.models, self.sources)
+        return {
+            "project": self.name,
+            "target": self.target,
+            "sources": sorted(self.sources),
+            "nodes": {
+                name: {
+                    "deps": list(self.models[name].deps),
+                    "materialization": self.models[name].materialization.value,
+                    "schema": self.schema_for(self.models[name]),
+                    "description": self.models[name].description,
+                    "tests": [str(t) for t in self.models[name].tests],
+                }
+                for name in order
+            },
+            "execution_order": order,
+        }
+
     def drop_warehouse(self) -> None:
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)

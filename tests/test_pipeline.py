@@ -66,3 +66,21 @@ def test_view_models_inline_into_consumers(spark, sf_dir):
     rel = build_trends_relations(spark, sf_dir)
     plan = rel["weekly_trends_summary"]._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan
+
+
+def test_manifest_artifact(built_project):
+    """dbt-manifest equivalent: full node graph with deps, materializations,
+    routed schemas, and test inventory, in a valid topological order."""
+    p, _ = built_project
+    m = p.manifest()
+    assert m["project"] and m["target"] == "dev"
+    assert len(m["nodes"]) == 7
+    order = m["execution_order"]
+    for name, node in m["nodes"].items():
+        for dep in node["deps"]:
+            if dep in m["nodes"]:
+                assert order.index(dep) < order.index(name)
+    assert m["nodes"]["weekly_trends_summary"]["materialization"] == "table"
+    assert m["nodes"]["stg_top_terms"]["materialization"] == "view"
+    # 68 declarative tests total (SURVEY.md §5)
+    assert sum(len(n["tests"]) for n in m["nodes"].values()) == 68
