@@ -30,6 +30,13 @@ def main() -> None:
 
     spark = get_spark(app_name="trillshop-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+    # warm the driver-side parquet file listings (InMemoryFileIndex builds at
+    # DataFrame creation — metadata only, no data read) so the first measured
+    # query isn't charged for one-time catalog setup.
+    from dbt_trill_shop_spark.catalog import TABLES, load_table  # noqa: E402
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t)
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

@@ -64,6 +64,11 @@ class Project:
         # name -> partition columns for table sinks (scale lever: the reference
         # documents refresh_date partitioning, google_trends_docs.md:39).
         self.table_partition_cols = table_partition_cols or {}
+        # name -> (num_buckets, [cols]) for bucketed table sinks: co-locates
+        # future joins/aggs on the bucket key (no exchange at read time).
+        # Bucketed sinks go through saveAsTable (bucket metadata lives in the
+        # session catalog), so they need a warehouse-enabled SparkSession.
+        self.table_bucket_spec: dict[str, tuple[int, list[str]]] = {}
 
     # -- registration -----------------------------------------------------
     def add_source(self, name: str, df: DataFrame) -> None:
@@ -129,6 +134,19 @@ class Project:
             return df
         # TABLE / INCREMENTAL: write parquet, read back (a real sink; the
         # read-back scan gets vectorized parquet + pushdown downstream).
+        bucket = self.table_bucket_spec.get(model.name)
+        if bucket is not None:
+            n, cols = bucket
+            table = f"{model.name}"
+            (
+                df.write.mode("overwrite")
+                .bucketBy(n, *cols)
+                .sortBy(*cols)
+                .format("parquet")
+                .saveAsTable(table)
+            )
+            out = spark.table(table)
+            return out
         path = self.table_path(model)
         parts = self.table_partition_cols.get(model.name)
         if model.materialization is Materialization.INCREMENTAL and os.path.exists(path):

@@ -1,0 +1,57 @@
+"""Skew-mitigation primitives (SURVEY.md §7.8 scale hardening).
+
+AQE's skew-join splitting handles joins automatically, but a *single hot
+grouping key* in an aggregation still funnels one partition's worth of rows
+to one task.  The classic fix is salting: two-phase aggregation through a
+composite (key, salt) shuffle.  These helpers implement it for the
+decomposable aggregates the engine uses (count/sum/min/max; avg = sum/count).
+
+Equivalence: partial(key, salt) -> final(key) re-aggregates the partials, so
+results are exactly the plain groupBy results (integer aggregates bit-equal;
+float sums differ only in summation order, same as any Spark re-partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "count": F.sum,  # counts re-aggregate by summing
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: output_name -> (fn, col) with fn in {count, sum, min, max}.
+    Phase 1 groups by (keys..., salt) — the hot key's rows spread over
+    ``salt_buckets`` tasks; phase 2 merges partials per key (tiny shuffle:
+    |keys| x salt_buckets rows).
+    """
+    unknown = {fn for fn, _ in aggs.values()} - set(_MERGE)
+    if unknown:
+        raise ValueError(f"non-decomposable aggregate(s): {sorted(unknown)}")
+
+    # deterministic per-row spread: any row-unique value mod buckets works
+    salt = (F.monotonically_increasing_id() % salt_buckets).alias("_salt")
+
+    def partial(fn: str, col: str) -> Column:
+        if fn == "count":
+            return F.count(F.lit(1))
+        return getattr(F, fn)(col)
+
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[partial(fn, col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_MERGE[fn](f"_p_{name}").alias(name) for name, (fn, col) in aggs.items()]
+    )

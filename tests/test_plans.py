@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the scale properties SCALE.md claims
+(pushdown, pruning, broadcast dims, window elimination, partition pruning)
+are asserted here so a refactor can't silently lose them."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.core import Materialization, Model, Project
+from dbt_trill_shop_spark.models.trends import build_trends_relations
+from dbt_trill_shop_spark.operators.relational import pricing_summary, regional_revenue
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the 16-column lineitem scan reads only the 7 needed
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(regional_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # dims all broadcast; no fact-fact SMJ here
+
+
+def test_unused_rank_window_pruned_from_marts(spark, sf_dir):
+    rels = build_trends_relations(spark, sf_dir)
+    plan = _plan(rels["weekly_trends_summary"])
+    assert "Window" not in plan  # staging rank windows pruned via view inlining
+
+
+def test_partitioned_table_sink_prunes(spark, sf_dir):
+    """A mart written partitionBy(week) must show partition pruning (not a
+    full scan) when filtered on week."""
+    p = Project(
+        "pp",
+        warehouse_dir=tempfile.mkdtemp(prefix="trillshop_pp_"),
+        table_partition_cols={"ev_weekly": ["week"]},
+    )
+    p.add_model(
+        Model(
+            "ev_weekly",
+            lambda s, ref: load_table(s, sf_dir, "events").select(
+                F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+                "event_type",
+                "value",
+            ),
+            materialization=Materialization.TABLE,
+        )
+    )
+    p.build(spark, run_tests=False)
+    weeks = [r.week for r in p.ref("ev_weekly").select("week").distinct().collect()]
+    filtered = p.ref("ev_weekly").filter(F.col("week") == weeks[0])
+    plan = _plan(filtered)
+    assert "PartitionFilters: [isnotnull(week" in plan, plan[:2000]
+    assert filtered.count() > 0
+    p.drop_warehouse()

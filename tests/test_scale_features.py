@@ -1,0 +1,85 @@
+"""Scale levers: bucketed table sinks (shuffle-free co-located joins) and
+salted two-phase aggregation (hot-key mitigation)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.core import Materialization, Model, Project
+from dbt_trill_shop_spark.operators.skew import salted_agg
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key must sort-merge join with NO
+    shuffle exchange on either side (bucket co-location replaces it)."""
+    p = Project("bk")
+    p.table_bucket_spec = {
+        "orders_b": (8, ["o_custkey"]),
+        "customer_b": (8, ["c_custkey"]),
+    }
+    p.add_model(
+        Model(
+            "orders_b",
+            lambda s, ref: load_table(s, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            materialization=Materialization.TABLE,
+        )
+    )
+    p.add_model(
+        Model(
+            "customer_b",
+            lambda s, ref: load_table(s, sf_dir, "customer").select(
+                "c_custkey", "c_name"
+            ),
+            materialization=Materialization.TABLE,
+        )
+    )
+    p.build(spark, run_tests=False)
+    try:
+        joined = (
+            p.ref("orders_b")
+            .join(
+                p.ref("customer_b"),
+                p.ref("orders_b").o_custkey == p.ref("customer_b").c_custkey,
+            )
+            .groupBy("c_custkey")
+            .agg(F.sum("o_totalprice").alias("total"))
+        )
+        # force a non-broadcast join so the test exercises co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # bucket co-location: neither join side shuffles; the only exchange
+        # allowed is none at all (agg key == bucket key side too)
+        assert n_exchanges == 0, f"expected shuffle-free bucketed join, saw:\n{plan[:3000]}"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+@pytest.mark.parametrize("buckets", [4, 32])
+def test_salted_agg_equals_plain_groupby(spark, sf_dir, buckets):
+    ev = load_table(spark, sf_dir, "events")
+    got = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "max_v": ("max", "value"),
+            "min_id": ("min", "event_id"),
+        },
+        salt_buckets=buckets,
+    )
+    want = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("max_v"),
+        F.min("event_id").alias("min_id"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
