@@ -26,10 +26,12 @@ from .catalog import load_table
 from .ext.dedup import (
     EXACT_DUPLICATES_SQL,
     NGRAM_JACCARD_SQL_TEMPLATE,
+    NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
     exact_duplicates,
     minhash_near_duplicates,
     neardup_minhash_native,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_filtered,
     simhash_near_duplicates,
 )
 from .ext.multimodal import (
@@ -360,6 +362,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_revenue_rollup": QuerySpec(A.revenue_rollup, A.REVENUE_ROLLUP_SQL),
     "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
     "q_json_props_stats": QuerySpec(A.json_props_stats, A.JSON_PROPS_STATS_SQL),
+    "q_revenue_cube": QuerySpec(A.revenue_cube, A.REVENUE_CUBE_SQL),
+    "q_weekly_unique_users_approx": QuerySpec(A.weekly_unique_users_approx, None),  # HLL
     # --- temporal joins (as-of, range/band) --------------------------------
     "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),
     "q_range_join_bands": QuerySpec(T.range_join_value_bands, T.RANGE_JOIN_VALUE_BANDS_SQL),
@@ -385,6 +389,17 @@ QUERIES: dict[str, QuerySpec] = {
         _x_ngram_jaccard,
         NGRAM_JACCARD_SQL_TEMPLATE.format(
             n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
+        ),
+    ),
+    "x_ngram_jaccard_filtered": QuerySpec(
+        lambda spark, sf_dir: ngram_jaccard_pairs_filtered(
+            load_table(spark, sf_dir, "documents"),
+            shingle_len=_NGRAM_JACCARD_N,
+            threshold=_NGRAM_JACCARD_THRESHOLD,
+            max_doc_freq=50,
+        ),
+        NGRAM_JACCARD_FILTERED_SQL_TEMPLATE.format(
+            n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD, max_doc_freq=50
         ),
     ),
     "x_tfidf_top_terms": QuerySpec(

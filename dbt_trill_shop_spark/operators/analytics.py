@@ -401,3 +401,55 @@ FROM (
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, week): all four grouping combinations in one
+    pass (Catalyst expands to a single shuffle).  Money kept in scaled-int
+    cents until the final division so sums are order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        cents_v.alias("cents"),
+    )
+    return (
+        base.cube("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        # grouped-out dimensions surface as 'ALL', not NULL: typed-NULL date
+        # cells are a cross-engine comparison hazard (pandas NaT vs None)
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("week").cast("string"), F.lit("ALL")).alias("week"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR), 'ALL') AS week,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS DATE))
+ORDER BY event_type, week
+"""
+
+
+def weekly_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB escape hatch for count(distinct): HyperLogLog++
+    (one pass, no expand plan).  Engine-specific estimate -> rows-only check;
+    accuracy vs the exact count is asserted in tests/test_ext.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_unique_users"))
+        .orderBy("week")
+    )

@@ -21,7 +21,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):

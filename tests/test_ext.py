@@ -118,3 +118,21 @@ def test_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
     )
     assert native - exact == set(), "exact verification must kill false positives"
     assert len(native & exact) >= 0.8 * len(exact), (len(native), len(exact))
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL estimate (rsd=2%) must land within 5% of the exact distinct count
+    on every week bucket — the documented count(distinct) escape hatch."""
+    from dbt_trill_shop_spark.operators.analytics import weekly_unique_users_approx
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r.week: r.approx_unique_users for r in weekly_unique_users_approx(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys()
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) <= max(0.05 * n, 2), (wk, approx[wk], n)
