@@ -1,0 +1,99 @@
+"""Corpus sampling & packing operators for training-data pipelines.
+
+- **Stratified sampling** (`stratified_sample`): per-stratum Bernoulli
+  sampling via `DataFrame.sampleBy` — seeded, executor-local (no shuffle),
+  the standard way to hit a language/source mix at 100 TB.
+- **Mixture planning** (`mixture_fractions`): given target proportions and
+  the current per-stratum counts, compute the per-stratum keep-fractions
+  that realize the target mix without upsampling (the largest feasible
+  subset).  Driver-side arithmetic on a tiny aggregate.
+- **Sequence packing** (`pack_documents`): assign documents to fixed-capacity
+  context-window bins via a running token-count window — the deterministic,
+  shuffle-light approximation of greedy bin packing used by pretraining
+  pipelines (documents are packed in a stable order; each bin holds
+  consecutive documents whose cumulative token count fits).  Bins are
+  per-partition-key (e.g. source) so the window never funnels the corpus
+  into one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (`sampleBy`): executor-local
+    filtering, no shuffle; deterministic for a fixed seed and partitioning."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def mixture_fractions(
+    counts: dict[str, int], target_weights: dict[str, float]
+) -> dict[str, float]:
+    """Keep-fractions realizing ``target_weights`` as the *largest feasible*
+    downsampled mixture: scale so the most-constrained stratum keeps 100%.
+
+    counts: rows per stratum; target_weights: desired output proportions
+    (normalized internally).  Returns fraction per stratum in [0, 1].
+    """
+    total_w = sum(target_weights.values())
+    w = {k: v / total_w for k, v in target_weights.items()}
+    # feasible total T satisfies T * w_k <= counts_k for all k
+    t = min(counts[k] / w[k] for k in w if w[k] > 0)
+    return {k: (t * w[k]) / counts[k] if counts[k] else 0.0 for k in w}
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a context-window bin of ``capacity`` tokens.
+
+    Deterministic next-fit packing in ``id_col`` order: bin boundaries fall
+    where the running token total crosses a capacity multiple.  Documents
+    longer than ``capacity`` get their own bin (truncation is the caller's
+    policy).  Exact SQL-window equivalent -> oracle-checkable.
+
+    Note: the cumulative-sum formulation is *next-fit* (a document that
+    straddles a boundary starts the next bin), not best-fit — the standard
+    streaming-friendly choice.
+    """
+    capped = F.least(F.col(token_col), F.lit(capacity))
+    w = (
+        Window.partitionBy(*( [part_col] if part_col else [] ))
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(capped).over(w)
+    # bin = floor((cumsum - capped_tokens) / capacity) over the capped sizes:
+    # next-fit boundaries at capacity multiples
+    out_cols = [F.col(id_col)]
+    if part_col:
+        out_cols.append(F.col(part_col))
+    return docs.select(
+        *out_cols,
+        capped.cast("bigint").alias("packed_tokens"),
+        F.floor((cum - capped) / capacity).cast("bigint").alias("bin_id"),
+    )
+
+
+PACK_DOCUMENTS_SQL_TEMPLATE = """
+SELECT doc_id,
+       source,
+       CAST(LEAST(n_tokens, {capacity}) AS BIGINT) AS packed_tokens,
+       CAST(FLOOR((SUM(LEAST(n_tokens, {capacity})) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - LEAST(n_tokens, {capacity})) / {capacity}) AS BIGINT) AS bin_id
+FROM (
+    SELECT doc_id, source,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+) t
+"""

