@@ -364,6 +364,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
     "q_json_props_stats": QuerySpec(A.json_props_stats, A.JSON_PROPS_STATS_SQL),
     "q_revenue_cube": QuerySpec(A.revenue_cube, A.REVENUE_CUBE_SQL),
+    "q_weekly_wow_change": QuerySpec(A.weekly_wow_change, A.WEEKLY_WOW_CHANGE_SQL),
+    "q_rolling_7d_user_value": QuerySpec(
+        A.rolling_7d_user_value, A.ROLLING_7D_USER_VALUE_SQL
+    ),
     "q_weekly_unique_users_approx": QuerySpec(A.weekly_unique_users_approx, None),  # HLL
     # --- temporal joins (as-of, range/band) --------------------------------
     "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),

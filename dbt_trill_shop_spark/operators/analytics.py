@@ -453,3 +453,90 @@ def weekly_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_unique_users"))
         .orderBy("week")
     )
+
+
+def weekly_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface: week-over-week change in event volume per
+    event type.  Money stays scaled-int until the final division."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        (F.col("n_events") - F.lag("n_events", 1).over(w)).alias("wow_event_delta"),
+        ((F.col("cents") - F.lag("cents", 1).over(w)).cast("double") / 100.0).alias(
+            "wow_value_delta"
+        ),
+    ).orderBy("event_type", "week")
+
+
+WEEKLY_WOW_CHANGE_SQL = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('week', ts) AS DATE)
+)
+SELECT event_type, week, n_events,
+       CAST(cents AS DOUBLE) / 100.0 AS total_value,
+       n_events - LAG(n_events, 1) OVER (PARTITION BY event_type ORDER BY week)
+           AS wow_event_delta,
+       CAST(cents - LAG(cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+            AS DOUBLE) / 100.0 AS wow_value_delta
+FROM weekly
+ORDER BY event_type, week
+"""
+
+
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window surface: per user, the 7-day trailing sum/count of
+    event value at each event (RANGE BETWEEN on event time, not ROWS —
+    semantics survive irregular event spacing).  Implemented with
+    ``rangeBetween`` over epoch-microseconds so the frame arithmetic is
+    exact integer comparison in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — session tz is UTC so
+    # the cast is value-identical
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("trailing_7d_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_7d_events"),
+    ).orderBy("event_id")
+
+
+ROLLING_7D_USER_VALUE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS trailing_7d_value,
+       CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_7d_events
+FROM events
+ORDER BY event_id
+"""
