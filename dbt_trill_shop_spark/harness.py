@@ -26,7 +26,11 @@ from .catalog import load_table
 from .ext.dedup import (
     EXACT_DUPLICATES_SQL,
     NGRAM_JACCARD_SQL_TEMPLATE,
+    CONNECTED_COMPONENTS_SQL_TEMPLATE,
+    DECONTAMINATE_SQL_TEMPLATE,
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
+    connected_components,
+    decontaminate,
     exact_duplicates,
     minhash_near_duplicates,
     neardup_minhash_native,
@@ -71,7 +75,12 @@ from .ext.textstats import (
     token_counts,
 )
 from .fixtures.oracle import with_prelude
-from .streaming.events import STREAM_WEEKLY_SQL, stream_weekly_rollup
+from .streaming.events import (
+    STREAM_DISTINCT_USERS_SQL,
+    STREAM_WEEKLY_SQL,
+    stream_distinct_users,
+    stream_weekly_rollup,
+)
 from .models.trends import build_trends_relations
 from .operators import analytics as A
 from .operators import relational as R
@@ -266,6 +275,28 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_SPLIT_ID = 20
+
+
+def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_len=_NGRAM_JACCARD_N, threshold=0.5
+    ).select("id_a", "id_b")
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+def _x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _DECON_SPLIT_ID)
+    corpus = docs.filter(F.col("doc_id") >= _DECON_SPLIT_ID)
+    return (
+        decontaminate(corpus, bench, shingle_len=_NGRAM_JACCARD_N)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_COS_THRESHOLD
@@ -422,6 +453,18 @@ QUERIES: dict[str, QuerySpec] = {
     "x_tfidf_top_terms": QuerySpec(
         _x_tfidf, TFIDF_TOP_TERMS_SQL_TEMPLATE.format(k=_TFIDF_K)
     ),
+    "x_dedup_components": QuerySpec(
+        _x_dedup_components,
+        CONNECTED_COMPONENTS_SQL_TEMPLATE.format(
+            jaccard_pairs=NGRAM_JACCARD_SQL_TEMPLATE.format(
+                n=_NGRAM_JACCARD_N, threshold=0.5
+            )
+        ),
+    ),
+    "x_decontaminate": QuerySpec(
+        _x_decontaminate,
+        DECONTAMINATE_SQL_TEMPLATE.format(split_id=_DECON_SPLIT_ID, n=_NGRAM_JACCARD_N),
+    ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
     "x_neardup_minhash_native": QuerySpec(  # banded-LSH candidates + exact verify
         lambda spark, sf_dir: neardup_minhash_native(
@@ -440,6 +483,7 @@ QUERIES: dict[str, QuerySpec] = {
     "m_resize_plan": QuerySpec(_m_resize_plan, RESIZE_PLAN_SQL),
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
+    "s_stream_distinct_users": QuerySpec(stream_distinct_users, STREAM_DISTINCT_USERS_SQL),
 }
 
 

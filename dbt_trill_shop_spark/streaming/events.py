@@ -142,3 +142,17 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES)
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: distinct user_ids over the event stream via
+    ``dropDuplicates`` state (exactly-once per key).  availableNow drain ->
+    equals batch SELECT DISTINCT; in production add
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` to bound state by
+    event time instead of keeping all keys forever."""
+    ev = stream_events(spark, sf_dir)
+    distinct = ev.select("user_id").dropDuplicates(["user_id"])
+    return run_stream_to_memory(distinct, output_mode="append")
+
+
+STREAM_DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"

@@ -180,3 +180,13 @@ def test_pack_documents_capacity_and_order(spark, sf_dir):
     assert (packed["packed_tokens"] <= cap).all()
     assert (packed["packed_tokens"] >= 1).all()
     assert per_bin.index.size >= packed["source"].nunique()
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: {1-2, 2-3} one component, {5-6} another, 9 isolated."""
+    from dbt_trill_shop_spark.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
