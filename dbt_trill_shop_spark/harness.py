@@ -58,7 +58,9 @@ from .ext.similarity import (
     ivf_assign,
     ivf_topk,
 )
+from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
 from .ext.textstats import (
+    STOPWORDS,
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
     QUALITY_SCORE_SQL,
@@ -297,6 +299,15 @@ def _x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _DECON_SPLIT_ID)
+    corpus = docs.filter(F.col("doc_id") >= _DECON_SPLIT_ID)
+    return training_data_pipeline(
+        corpus, bench, min_quality=3, capacity=512, shingle_len=_NGRAM_JACCARD_N
+    )
+
+
 def _x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_COS_THRESHOLD
@@ -464,6 +475,16 @@ QUERIES: dict[str, QuerySpec] = {
     "x_decontaminate": QuerySpec(
         _x_decontaminate,
         DECONTAMINATE_SQL_TEMPLATE.format(split_id=_DECON_SPLIT_ID, n=_NGRAM_JACCARD_N),
+    ),
+    "x_training_pipeline": QuerySpec(
+        _x_training_pipeline,
+        TRAINING_PIPELINE_SQL_TEMPLATE.format(
+            split_id=_DECON_SPLIT_ID,
+            n=_NGRAM_JACCARD_N,
+            min_quality=3,
+            capacity=512,
+            stopwords=repr(STOPWORDS[0].split()),
+        ),
     ),
     "x_neardup_minhash": QuerySpec(_x_neardup_minhash, None),  # LSH: rows-only
     "x_neardup_minhash_native": QuerySpec(  # banded-LSH candidates + exact verify
