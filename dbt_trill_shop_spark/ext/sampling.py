@@ -97,3 +97,47 @@ FROM (
     FROM documents
 ) t
 """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token chunks (window/stride), the
+    standard pre-embedding chunking step.  Returns
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens), chunk_id dense from 0.
+
+    Pure per-row array expressions (sequence + posexplode + slice): no
+    shuffle at all — chunking N docs is one narrow codegen'd stage, and the
+    output inherits the input's partitioning.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    starts = F.expr(f"sequence(0, greatest(size(t) - 1, 0), {stride})")
+    exploded = base.select(id_col, "t", F.posexplode(starts).alias("chunk_id", "start"))
+    chunk = F.slice(F.col("t"), F.col("start") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t, unnest(range(0, GREATEST(LEN(t), 1), {stride})) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST(start // {stride} AS BIGINT) AS chunk_id,
+       array_to_string(t[start + 1 : start + {window}], ' ') AS chunk_text,
+       CAST(LEN(t[start + 1 : start + {window}]) AS BIGINT) AS n_chunk_tokens
+FROM starts
+"""

@@ -288,3 +288,50 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates (Abbas et al. 2023): cluster
+    with the IVF coarse quantizer, then compute exact cosine ONLY within each
+    cell.  Returns (id_a, id_b, cell), id_a < id_b, cosine >= threshold.
+
+    The scale story vs :func:`embedding_neardup_pairs`: the self-join is
+    keyed on ``cell``, so both sides shuffle once by cell and the quadratic
+    kernel runs per-cell (N^2/C work for C balanced cells), never across the
+    whole corpus.  Approximate only in that cross-cell duplicates are missed
+    — the SemDeDup trade.  Exact and deterministic within cells, so
+    oracle-checkable end-to-end.
+
+    The lazy self-join evaluates the assignment subtree once per side;
+    that is deliberate — assignment is a linear broadcast pass, negligible
+    next to the per-cell quadratic kernel, and staying lazy keeps the whole
+    plan visible to Catalyst/AQE (vs. a persist() barrier).
+    """
+    assign = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    unit_v = F.col("v")
+    vecs = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .join(assign, id_col)
+    )
+    a = vecs.select(F.col(id_col).alias("id_a"), unit_v.alias("va"), "cell")
+    b = vecs.select(F.col(id_col).alias("id_b"), unit_v.alias("vb"), "cell")
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.filter(cos >= threshold).select("id_a", "id_b", "cell")
+
+
+SEMDEDUP_SQL_TEMPLATE = """
+WITH assign AS ({ivf_assign})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ca.cell AS cell
+FROM embeddings a
+JOIN assign ca ON a.vec_id = ca.vec_id
+JOIN assign cb ON ca.cell = cb.cell
+JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+"""

@@ -340,3 +340,174 @@ FROM (
 ) t
 WHERE rn <= {k}
 """
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A.1.1), token-level
+    variant for single-line docs:
+
+    - ``dup_word_frac``     1 - distinct/total tokens;
+    - ``top_bigram_frac``   tokens covered by the most frequent bigram
+                            (2 * max bigram count / n_tokens);
+    - ``dup_trigram_frac``  fraction of trigram occurrences whose trigram
+                            appears more than once;
+    - ``repetitive``        flag: dup_word_frac > 0.9 OR top_bigram_frac > 0.2.
+
+    All ratios are exact-int divisions rounded to 6 dp (cross-engine safe).
+    Two map-side-combinable groupBys keyed by (doc, gram) then doc — at scale
+    this partial-aggregates before the shuffle and never materializes a
+    per-document gram list on the driver.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("t"))
+
+    def grams(k: int):
+        parts = ", ' ', ".join(f"t[i + {j}]" for j in range(k))
+        return F.expr(
+            f"transform(sequence(0, size(t) - {k}), i -> concat({parts}))"
+        )
+
+    def gram_counts(k: int, out_top: bool):
+        g = (
+            base.filter(F.size("t") >= k)
+            .select(id_col, F.explode(grams(k)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        aggs = [F.sum("c").alias(f"n_{k}g")]
+        if out_top:
+            aggs.append(F.max("c").alias("top_c"))
+        else:
+            aggs.append(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c")
+            )
+        return g.groupBy(id_col).agg(*aggs)
+
+    stats = base.select(
+        id_col,
+        F.size("t").cast("bigint").alias("n"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("nd"),
+    )
+    bi = gram_counts(2, out_top=True)
+    tri = gram_counts(3, out_top=False)
+    joined = stats.join(bi, id_col, "left").join(tri, id_col, "left")
+    dup_word = F.round(F.lit(1.0) - F.col("nd").cast("double") / F.col("n"), 6)
+    top_bg = F.round(
+        F.lit(2.0) * F.coalesce(F.col("top_c"), F.lit(0)) / F.col("n"), 6
+    )
+    dup_tri = F.round(
+        F.coalesce(
+            F.col("dup_c").cast("double") / F.col("n_3g"), F.lit(0.0)
+        ),
+        6,
+    )
+    return joined.select(
+        F.col(id_col),
+        dup_word.alias("dup_word_frac"),
+        top_bg.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        ((dup_word > 0.9) | (top_bg > 0.2)).alias("repetitive"),
+    )
+
+
+REPETITION_SIGNALS_SQL = """
+WITH toks AS (
+    SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+stats AS (
+    SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n,
+           CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS nd
+    FROM toks
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, LEN(t) - 1),
+                                 i -> t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks WHERE LEN(t) >= 2
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+bga AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_2g FROM bgc GROUP BY doc_id),
+tg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, LEN(t) - 2),
+                                 i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS g
+    FROM toks WHERE LEN(t) >= 3
+),
+tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+tga AS (
+    SELECT doc_id,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+           SUM(c) AS n_3g
+    FROM tgc GROUP BY doc_id
+),
+joined AS (
+    SELECT s.doc_id, s.n, s.nd, b.top_c, t.dup_c, t.n_3g
+    FROM stats s
+    LEFT JOIN bga b ON s.doc_id = b.doc_id
+    LEFT JOIN tga t ON s.doc_id = t.doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_word_frac,
+       ROUND(2.0 * COALESCE(top_c, 0) / n, 6) AS top_bigram_frac,
+       ROUND(COALESCE(CAST(dup_c AS DOUBLE) / n_3g, 0.0), 6) AS dup_trigram_frac,
+       (ROUND(1.0 - CAST(nd AS DOUBLE) / n, 6) > 0.9
+        OR ROUND(2.0 * COALESCE(top_c, 0) / n, 6) > 0.2) AS repetitive
+FROM joined
+"""
+
+
+# PII scrub rules, applied IN ORDER (specific before general so e.g. an IP
+# isn't first mangled by the bare-number rule).  Patterns restricted to the
+# regex intersection of Java (Spark) and RE2 (DuckDB): no lookaround.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("number", r"\d+", "<NUM>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact PII-ish spans (emails, IPs, phones, bare numbers) from
+    ``text_col``; returns (id, scrubbed, n_redacted).
+
+    Sequential regexp_replace chain — counts are taken on the intermediate
+    text so a span consumed by an earlier rule is never double-counted.
+    Pure codegen'd string expressions: scrubbing is a narrow map stage, no
+    shuffle, safe to fuse into any scan.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for _, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        cur.alias("scrubbed"),
+        total.cast("bigint").alias("n_redacted"),
+    )
+
+
+def _pii_sql_steps(source_sql: str, id_col: str, text_col: str) -> str:
+    steps = [f"s0 AS (SELECT {id_col}, {text_col} AS t0, 0 AS c0 FROM {source_sql})"]
+    prev = 0
+    for i, (_, pat, repl) in enumerate(PII_RULES, start=1):
+        steps.append(
+            f"s{i} AS (SELECT {id_col}, "
+            f"regexp_replace(t{prev}, '{pat}', '{repl}', 'g') AS t{i}, "
+            f"c{prev} + LEN(regexp_extract_all(t{prev}, '{pat}')) AS c{i} "
+            f"FROM s{prev})"
+        )
+        prev = i
+    return (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT {id_col}, t{prev} AS scrubbed, CAST(c{prev} AS BIGINT) AS n_redacted FROM s{prev}"
+    )
+
+
+PII_SCRUB_EVENTS_SQL = _pii_sql_steps("events", "event_id", "props")

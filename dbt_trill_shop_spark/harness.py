@@ -47,23 +47,32 @@ from .ext.multimodal import (
     frame_sample_plan,
     resize_plan,
 )
-from .ext.sampling import PACK_DOCUMENTS_SQL_TEMPLATE, pack_documents
+from .ext.sampling import (
+    CHUNK_DOCUMENTS_SQL_TEMPLATE,
+    PACK_DOCUMENTS_SQL_TEMPLATE,
+    chunk_documents,
+    pack_documents,
+)
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
+    SEMDEDUP_SQL_TEMPLATE,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_neardup_pairs,
     ivf_assign,
     ivf_topk,
+    semantic_dedup_pairs,
 )
 from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
 from .ext.textstats import (
     STOPWORDS,
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
+    PII_SCRUB_EVENTS_SQL,
     QUALITY_SCORE_SQL,
+    REPETITION_SIGNALS_SQL,
     ROLLING_FINGERPRINT_SQL,
     TEXT_STATS_SQL,
     TFIDF_TOP_TERMS_SQL_TEMPLATE,
@@ -71,6 +80,8 @@ from .ext.textstats import (
     language_id,
     language_profile,
     quality_score,
+    repetition_signals,
+    scrub_pii,
     rolling_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -390,6 +401,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_part_dollars": QuerySpec(R.part_dollars, R.PART_DOLLARS_SQL),
     "q_events_weekly": QuerySpec(R.events_weekly, R.EVENTS_WEEKLY_SQL),
+    "q_weekly_activity_full_outer": QuerySpec(
+        R.weekly_activity_full_outer, R.WEEKLY_ACTIVITY_FULL_OUTER_SQL
+    ),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
     "q_set_ops_cohorts": QuerySpec(
         R.purchasers_vs_clickers, R.PURCHASERS_VS_CLICKERS_SQL
@@ -419,6 +433,32 @@ QUERIES: dict[str, QuerySpec] = {
     "x_text_stats": QuerySpec(_x_text_stats, TEXT_STATS_SQL),
     "x_token_counts": QuerySpec(_docs_q(token_counts), TOKEN_COUNTS_SQL),
     "x_quality_score": QuerySpec(_docs_q(quality_score), QUALITY_SCORE_SQL),
+    "x_repetition_signals": QuerySpec(
+        _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
+    ),
+    "x_chunk_documents": QuerySpec(
+        lambda spark, sf_dir: chunk_documents(
+            load_table(spark, sf_dir, "documents"), window=64, stride=48
+        ),
+        CHUNK_DOCUMENTS_SQL_TEMPLATE.format(window=64, stride=48),
+    ),
+    "x_pii_scrub": QuerySpec(
+        lambda spark, sf_dir: scrub_pii(
+            load_table(spark, sf_dir, "events"), text_col="props", id_col="event_id"
+        ),
+        PII_SCRUB_EVENTS_SQL,
+    ),
+    "x_semdedup": QuerySpec(
+        lambda spark, sf_dir: semantic_dedup_pairs(
+            load_table(spark, sf_dir, "embeddings"),
+            n_cells=_IVF_CELLS,
+            threshold=_NEARDUP_COS_THRESHOLD,
+        ),
+        SEMDEDUP_SQL_TEMPLATE.format(
+            ivf_assign=IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS),
+            threshold=_NEARDUP_COS_THRESHOLD,
+        ),
+    ),
     "x_language_id": QuerySpec(_docs_q(language_id), LANGUAGE_ID_SQL),
     "x_language_profile": QuerySpec(_x_language_profile, LANGUAGE_PROFILE_SQL),
     "x_fingerprint": QuerySpec(_docs_q(rolling_fingerprint), ROLLING_FINGERPRINT_SQL),

@@ -370,3 +370,63 @@ SELECT user_id, 'click_only' AS cohort FROM (
 )
 ORDER BY cohort, user_id
 """
+
+
+def weekly_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of weekly order revenue vs weekly event activity.
+
+    The two tables cover disjoint date ranges, so both null sides of the
+    full-outer actually occur (a `side` tag records which).  Both inputs are
+    pre-aggregated to week grain BEFORE the join — the join then matches at
+    most a few thousand weekly rows instead of raw facts, and Spark picks a
+    broadcast/SMJ on the tiny aggregates.  Revenue uses the scaled-int cents
+    trick so the checked values are exact.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("wk_o"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("order_cents"),
+        )
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("wk_e"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = orders.join(events, orders["wk_o"] == events["wk_e"], "full_outer")
+    return j.select(
+        F.coalesce("wk_o", "wk_e").alias("week"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("order_cents", F.lit(0)).cast("bigint").alias("order_cents"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("wk_o").isNull(), "events_only")
+        .when(F.col("wk_e").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("side"),
+    ).orderBy("week")
+
+
+WEEKLY_ACTIVITY_FULL_OUTER_SQL = """
+WITH o AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_o,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS order_cents
+    FROM orders GROUP BY 1
+),
+e AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS wk_e,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT COALESCE(wk_o, wk_e) AS week,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN wk_o IS NULL THEN 'events_only'
+            WHEN wk_e IS NULL THEN 'orders_only'
+            ELSE 'both' END AS side
+FROM o FULL OUTER JOIN e ON o.wk_o = e.wk_e
+ORDER BY week
+"""

@@ -190,3 +190,79 @@ def test_connected_components_known_graph(spark):
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
     got = {r.doc_id: r.component for r in connected_components(pairs, ids).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_scrub_pii_rules(spark):
+    # the sf corpus only exercises the bare-number rule; hit every rule here
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk today"),
+        (2, "server at 192.168.1.100 responded"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "order 12345 shipped 2 boxes"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r
+        for r in textstats.scrub_pii(df, text_col="t", id_col="id").collect()
+    }
+    assert out[1]["scrubbed"] == "mail me at <EMAIL> today"
+    assert out[1]["n_redacted"] == 1
+    assert out[2]["scrubbed"] == "server at <IP> responded"
+    assert out[2]["n_redacted"] == 1
+    assert "<PHONE>" in out[3]["scrubbed"] and "4567" not in out[3]["scrubbed"]
+    assert out[4]["scrubbed"] == "order <NUM> shipped <NUM> boxes"
+    assert out[4]["n_redacted"] == 2
+    assert out[5]["scrubbed"] == "no pii here at all"
+    assert out[5]["n_redacted"] == 0
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from dbt_trill_shop_spark.ext.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "solo")], ["doc_id", "text"])
+    out = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0, 48, 96 -> sizes 64, 52, 4
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [c["n_chunk_tokens"] for c in chunks] == [64, 52, 4]
+    assert chunks[0]["chunk_text"].split(" ")[0] == "w0"
+    assert chunks[1]["chunk_text"].split(" ")[0] == "w48"  # overlap of 16
+    assert chunks[2]["chunk_text"] == "w96 w97 w98 w99"
+    # every token position is covered by at least one chunk
+    covered = set()
+    for c in chunks:
+        toks = c["chunk_text"].split(" ")
+        covered.update(toks)
+    assert len(covered) == 100
+    # single-token doc -> one chunk, itself
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "solo"
+
+
+def test_repetition_signals_flags_repetitive(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert out[1]["repetitive"] is True
+    assert out[1]["dup_word_frac"] == 0.9
+    assert out[1]["top_bigram_frac"] == 1.8  # 9 identical bigrams * 2 / 10
+    assert out[2]["repetitive"] is False
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+
+def test_semdedup_finds_planted_in_cell(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = emb.union(planted)  # exact copies -> same cell, cosine 1
+    pairs = similarity.semantic_dedup_pairs(both, n_cells=8, threshold=0.99)
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 5)
+    ).count()
+    assert found == 5
