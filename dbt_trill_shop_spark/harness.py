@@ -404,6 +404,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q_weekly_activity_full_outer": QuerySpec(
         R.weekly_activity_full_outer, R.WEEKLY_ACTIVITY_FULL_OUTER_SQL
     ),
+    "q_window_distributions": QuerySpec(
+        R.window_distributions, R.WINDOW_DISTRIBUTIONS_SQL
+    ),
+    "q_revenue_percentiles": QuerySpec(
+        R.revenue_percentiles, R.REVENUE_PERCENTILES_SQL
+    ),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
     "q_set_ops_cohorts": QuerySpec(
         R.purchasers_vs_clickers, R.PURCHASERS_VS_CLICKERS_SQL

@@ -430,3 +430,79 @@ SELECT COALESCE(wk_o, wk_e) AS week,
 FROM o FULL OUTER JOIN e ON o.wk_o = e.wk_e
 ORDER BY week
 """
+
+
+def window_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions over orders, partitioned by
+    priority: ntile quartiles, percent_rank, cume_dist, nth_value.
+
+    The ORDER BY carries a unique tie-break (orderkey) so RANGE-frame peer
+    groups are singletons — nth_value/cume_dist then agree bit-for-bit across
+    engines.  percent_rank/cume_dist are exact rationals k/n evaluated in
+    double identically on both sides (single division), rounded to 6 dp.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents("o_totalprice").alias("total_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("total_cents", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "total_cents",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("total_cents", 3).over(w).alias("third_cents"),
+    )
+
+
+WINDOW_DISTRIBUTIONS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 3) OVER w AS third_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey)
+"""
+
+
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of order value per
+    priority — Spark's exact ``percentile`` aggregate vs ANSI
+    ``quantile_cont``; both interpolate lower + (upper-lower)*frac over the
+    sorted cents, rounded to 6 dp to absorb last-ulp formula differences.
+
+    Exact percentile sorts per group post-shuffle — fine when groups fit an
+    executor; at 100 TB swap in approx_percentile (t-digest) per the
+    `q_weekly_unique_users_approx` pattern.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50_cents"),
+            F.round(F.expr("percentile(c, 0.9)"), 6).alias("p90_cents"),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+REVENUE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5), 6) AS p50_cents,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9), 6) AS p90_cents,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.99), 6) AS p99_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -90,3 +90,43 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     )
     for uid, counts in s_counts.items():
         assert counts == b_closed[uid], f"user {uid}"
+
+
+def test_format_roundtrip_csv_json_orc(spark, sf_dir, tmp_path):
+    from dbt_trill_shop_spark.sources.formats import SourceSpec, read_source, write_sink
+
+    full = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # csv/json writers emit millisecond timestamps — they are ingest-edge
+    # formats; sub-milli precision belongs to the columnar formats (orc leg
+    # below keeps full micros)
+    trunc = full.withColumn("ts", F.date_trunc("second", "ts"))
+    for fmt, ev, opts in [
+        ("orc", full, {}),
+        ("csv", trunc, {"header": "true"}),
+        ("json", trunc, {}),
+    ]:
+        expected = sorted(
+            (r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in ev.collect()
+        )
+        path = str(tmp_path / f"ev_{fmt}")
+        write_sink(ev, path, fmt=fmt, **opts)
+        back = read_source(spark, SourceSpec(path, fmt, schema=ev.schema, options=opts))
+        got = sorted(
+            (r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in back.collect()
+        )
+        assert got == expected, f"{fmt} roundtrip mismatch"
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    from dbt_trill_shop_spark.sources.formats import SourceSpec, read_source, write_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_part")
+    write_sink(ev, path, fmt="parquet", partition_by=("event_type",))
+    back = read_source(spark, SourceSpec(path, "parquet"))
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type#" in plan
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()
