@@ -511,3 +511,71 @@ def _pii_sql_steps(source_sql: str, id_col: str, text_col: str) -> str:
 
 
 PII_SCRUB_EVENTS_SQL = _pii_sql_steps("events", "event_id", "props")
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style pseudo-perplexity filter: score each document by the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    model (high = unusual token mix; the classic LM-based quality cut,
+    Wenzek et al. 2020).
+
+    avg_neg_logp = ln(N_total) - mean(ln(count(token)))
+
+    Determinism: per-token ``ln(count)`` is scaled to micro-nats and SUMMED
+    AS INT64 (float summation order varies across engines; integer sums
+    don't) — the only float ops are one ln + one division at the end, both
+    rounded to 6 dp.  Two shuffles, both map-side combinable: term counts
+    keyed by term, then per-doc sums keyed by doc.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    scaled_ln = F.round(F.log(F.col("cnt")) * 1_000_000, 0).cast("bigint")
+    per_doc = (
+        tf.join(freq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * scaled_ln).alias("sum_ln_micro"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.log(F.col("n_total").cast("double"))
+                - (F.col("sum_ln_micro").cast("double") / 1_000_000.0)
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(STR_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT SUM(cnt) AS n_total FROM freq),
+per_doc AS (
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           SUM(tf.tf * CAST(ROUND(LN(freq.cnt) * 1000000, 0) AS BIGINT)) AS sum_ln_micro
+    FROM tf JOIN freq USING (term)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(LN(CAST(n_total AS DOUBLE))
+             - (CAST(sum_ln_micro AS DOUBLE) / 1000000.0) / n_tokens,
+             6) AS avg_neg_logp
+FROM per_doc CROSS JOIN total
+"""

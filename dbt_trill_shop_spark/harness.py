@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .ext.dedup import (
+    DEDUP_CANONICAL_SQL,
     EXACT_DUPLICATES_SQL,
     NGRAM_JACCARD_SQL_TEMPLATE,
     CONNECTED_COMPONENTS_SQL_TEMPLATE,
@@ -31,6 +32,7 @@ from .ext.dedup import (
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
     connected_components,
     decontaminate,
+    dedup_canonical,
     exact_duplicates,
     minhash_near_duplicates,
     neardup_minhash_native,
@@ -72,6 +74,7 @@ from .ext.textstats import (
     LANGUAGE_PROFILE_SQL,
     PII_SCRUB_EVENTS_SQL,
     QUALITY_SCORE_SQL,
+    UNIGRAM_LOGPROB_SQL,
     REPETITION_SIGNALS_SQL,
     ROLLING_FINGERPRINT_SQL,
     TEXT_STATS_SQL,
@@ -82,6 +85,7 @@ from .ext.textstats import (
     quality_score,
     repetition_signals,
     scrub_pii,
+    unigram_logprob,
     rolling_fingerprint,
     text_stats,
     tfidf_top_terms,
@@ -442,6 +446,8 @@ QUERIES: dict[str, QuerySpec] = {
     "x_repetition_signals": QuerySpec(
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
+    "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
+    "x_dedup_canonical": QuerySpec(_docs_q(dedup_canonical), DEDUP_CANONICAL_SQL),
     "x_chunk_documents": QuerySpec(
         lambda spark, sf_dir: chunk_documents(
             load_table(spark, sf_dir, "documents"), window=64, stride=48
