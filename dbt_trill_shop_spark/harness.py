@@ -414,6 +414,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_revenue_percentiles": QuerySpec(
         R.revenue_percentiles, R.REVENUE_PERCENTILES_SQL
     ),
+    "q_above_customer_avg": QuerySpec(
+        R.above_customer_avg, R.ABOVE_CUSTOMER_AVG_SQL
+    ),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
     "q_set_ops_cohorts": QuerySpec(
         R.purchasers_vs_clickers, R.PURCHASERS_VS_CLICKERS_SQL

@@ -506,3 +506,44 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# Correlated-subquery surface: expressed as SQL on purpose — the point is
+# Catalyst's decorrelation (RewriteCorrelatedScalarSubquery turns the scalar
+# subquery into an aggregate + join; EXISTS/NOT EXISTS become semi/anti
+# joins), i.e. the warehouse-SQL surface a dbt model would rely on.  The
+# DuckDB oracle runs the IDENTICAL text.
+ABOVE_CUSTOMER_AVG_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM orders o
+WHERE 2 * CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * (
+    SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey
+) > (
+    SELECT 3 * SUM(CAST(ROUND(i.o_totalprice * 100, 0) AS BIGINT))
+    FROM orders i
+    WHERE i.o_custkey = o.o_custkey
+)
+  AND EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+)
+ORDER BY o.o_orderkey
+"""
+
+
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above their customer's average order value, for customers
+    in good standing — two correlated scalar subqueries + correlated EXISTS.
+
+    Catalyst decorrelates all three: the scalar subqueries become per-custkey
+    aggregates joined back on the correlation key, EXISTS becomes a left-semi
+    join — shuffles on o_custkey, no per-row re-execution (the
+    warehouse-style nested loop a naive reading implies).  The "1.5 x avg"
+    comparison is cross-multiplied into pure int64 arithmetic
+    (2*cents*count > 3*sum_cents) so no float boundary can flip between
+    engines.
+    """
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ABOVE_CUSTOMER_AVG_SQL)
