@@ -1,5 +1,6 @@
 from .model import Materialization, Model
 from .dag import Project, topo_sort
+from .jinja_lite import compile_model_sql, extract_deps, sql_model
 from .snapshot import SnapshotStore, snapshot_delta
 from .testing import (
     AcceptedRange,
@@ -18,6 +19,9 @@ __all__ = [
     "Model",
     "Project",
     "topo_sort",
+    "sql_model",
+    "compile_model_sql",
+    "extract_deps",
     "DataTest",
     "NotNull",
     "AcceptedValues",

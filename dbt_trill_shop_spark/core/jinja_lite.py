@@ -1,0 +1,106 @@
+"""dbt-SQL model authoring: a Jinja-lite compiler for the constructs the
+reference's model files actually use (the complete list — verified against
+``models/**/*.sql`` and ``macros/*.sql``):
+
+- ``{{ ref('model') }}``            (marts, e.g. top_terms_comparison.sql:8)
+- ``{{ source('src', 'table') }}``  (staging, e.g. stg_top_terms.sql:6)
+- ``{{ macro(args) }}``             (cents_to_dollars, macros/cents_to_dollars.sql)
+- ``{# ... #}`` comments and ``{% ... %}`` statement blocks (config/docs) —
+  stripped; schema routing (generate_schema_name) happens at the Project
+  layer, not in SQL text.
+
+Deliberately NOT a Jinja engine: the grammar above is regular, so regexes
+compile it exactly, with no template-execution surface.  Dependency
+extraction (``extract_deps``) mirrors dbt's manifest graph building: the
+DAG comes from the refs/sources in the text, never declared by hand.
+
+Execution model: each dependency relation is registered as a temp view under
+its model/source name, then the compiled text runs through ``spark.sql`` —
+Catalyst inlines the views, so a view-materialized chain is ONE logical plan
+end-to-end, exactly like dbt views in a warehouse.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model import Materialization, Model
+
+_COMMENT_RE = re.compile(r"\{#.*?#\}", re.S)
+_BLOCK_RE = re.compile(r"\{%-?.*?-?%\}", re.S)
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(
+    r"\{\{\s*source\(\s*['\"][A-Za-z0-9_]+['\"]\s*,\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
+)
+_MACRO_RE = re.compile(r"\{\{\s*([A-Za-z0-9_]+)\(([^()]*)\)\s*\}\}")
+
+# SQL-text macro registry (name -> args... -> SQL fragment).  BigQuery-variant
+# semantics to match functions/macros.py cents_to_dollars.
+SQL_MACROS: dict[str, Callable[..., str]] = {
+    "cents_to_dollars": lambda col: f"ROUND(({col}) / 100, 2)",
+}
+
+
+def extract_deps(raw_sql: str) -> tuple[str, ...]:
+    """Model/source names referenced by the SQL — the model's DAG edges."""
+    body = _COMMENT_RE.sub("", raw_sql)
+    refs = _REF_RE.findall(body)
+    sources = _SOURCE_RE.findall(body)
+    seen: dict[str, None] = {}
+    for n in refs + sources:
+        seen.setdefault(n)
+    return tuple(seen)
+
+
+def compile_model_sql(
+    raw_sql: str, macros: dict[str, Callable[..., str]] | None = None
+) -> str:
+    """Compile dbt-Jinja SQL text to plain Spark SQL: refs/sources become the
+    bare relation name (registered as a temp view at build time), macros
+    expand via the registry, comments/blocks are stripped."""
+    body = _COMMENT_RE.sub("", raw_sql)
+    body = _BLOCK_RE.sub("", body)
+    # {{ config(...) }} is metadata for the Project layer (materialization,
+    # schema) — inert in the compiled SQL text
+    body = re.sub(r"\{\{\s*config\(.*?\)\s*\}\}", "", body, flags=re.S)
+    body = _REF_RE.sub(lambda m: m.group(1), body)
+    body = _SOURCE_RE.sub(lambda m: m.group(1), body)
+    reg = {**SQL_MACROS, **(macros or {})}
+
+    def expand(m: re.Match) -> str:
+        name, argtext = m.group(1), m.group(2)
+        if name not in reg:
+            raise ValueError(f"unknown SQL macro {name!r} in model text")
+        args = [a.strip().strip("'\"") for a in argtext.split(",") if a.strip()]
+        return reg[name](*args)
+
+    return _MACRO_RE.sub(expand, body)
+
+
+def sql_model(
+    name: str,
+    raw_sql: str,
+    materialization: Materialization = Materialization.VIEW,
+    macros: dict[str, Callable[..., str]] | None = None,
+    **model_kwargs,
+) -> Model:
+    """A dbt model from SQL text: deps auto-extracted, body compiled once,
+    executed via temp-view registration + ``spark.sql``."""
+    deps = extract_deps(raw_sql)
+    compiled = compile_model_sql(raw_sql, macros)
+
+    def build(spark: SparkSession, resolve) -> DataFrame:
+        for dep in deps:
+            resolve(dep).createOrReplaceTempView(dep)
+        return spark.sql(compiled)
+
+    return Model(
+        name,
+        build,
+        deps=deps,
+        materialization=materialization,
+        **model_kwargs,
+    )

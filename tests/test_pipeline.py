@@ -84,3 +84,56 @@ def test_manifest_artifact(built_project):
     assert m["nodes"]["stg_top_terms"]["materialization"] == "view"
     # 68 declarative tests total (SURVEY.md §5)
     assert sum(len(n["tests"]) for n in m["nodes"].values()) == 68
+
+
+def test_sql_text_models_match_dataframe_models(spark, sf_dir):
+    """Author the reference's stg_top_terms + a mart slice as dbt-style SQL
+    text (ref/source/macro Jinja) and build through the Project DAG; results
+    must match the DataFrame-API implementations row-for-row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.core import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+    from dbt_trill_shop_spark.models.trends import build_trends_relations
+
+    p = Project("sqltext", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_sqlwh_"))
+    p.add_sources(register_trends_sources(spark, sf_dir))
+
+    # mirrors models/staging/stg_top_terms.sql (projection w/ grouped order)
+    p.add_model(sql_model(
+        "stg_top_terms_sql",
+        """
+        {{ config(materialized='view') }}
+        SELECT dma_id, dma_name, term, refresh_date, week, score, rank
+        FROM {{ source('ecom', 'top_terms') }}
+        """,
+    ))
+    # a mart slice exercising ref() + the cents_to_dollars macro
+    p.add_model(sql_model(
+        "top_rank_dollars",
+        """
+        SELECT term, week, rank,
+               {{ cents_to_dollars('score') }} AS score_dollars
+        FROM {{ ref('stg_top_terms_sql') }}
+        WHERE rank <= 5
+        """,
+    ))
+    assert p.models["top_rank_dollars"].deps == ("stg_top_terms_sql",)
+    p.build(spark, run_tests=False)
+
+    rel = build_trends_relations(spark, sf_dir)
+    expect_stg = rel["stg_top_terms"]
+    got_stg = p.relations["stg_top_terms_sql"]
+    assert got_stg.columns == expect_stg.columns
+    assert sorted(map(tuple, got_stg.collect())) == sorted(map(tuple, expect_stg.collect()))
+
+    got = {tuple(r) for r in p.relations["top_rank_dollars"].collect()}
+    expect = {
+        tuple(r)
+        for r in expect_stg.filter(F.col("rank") <= 5)
+        .select("term", "week", "rank", F.round(F.col("score") / 100, 2).alias("score_dollars"))
+        .collect()
+    }
+    assert got == expect
