@@ -30,6 +30,7 @@ from .ext.dedup import (
     CONNECTED_COMPONENTS_SQL_TEMPLATE,
     DECONTAMINATE_SQL_TEMPLATE,
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
+    SOURCE_OVERLAP_SQL_TEMPLATE,
     connected_components,
     decontaminate,
     dedup_canonical,
@@ -39,6 +40,7 @@ from .ext.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_filtered,
     simhash_near_duplicates,
+    source_overlap,
 )
 from .ext.multimodal import (
     FRAME_SAMPLE_SQL_TEMPLATE,
@@ -451,6 +453,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
     "x_dedup_canonical": QuerySpec(_docs_q(dedup_canonical), DEDUP_CANONICAL_SQL),
+    "x_source_overlap": QuerySpec(
+        lambda spark, sf_dir: source_overlap(
+            load_table(spark, sf_dir, "documents"),
+            shingle_len=_NGRAM_JACCARD_N,
+            threshold=_NGRAM_JACCARD_THRESHOLD,
+        ),
+        SOURCE_OVERLAP_SQL_TEMPLATE.format(
+            jaccard_pairs=NGRAM_JACCARD_SQL_TEMPLATE.format(
+                n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
+            )
+        ),
+    ),
     "x_chunk_documents": QuerySpec(
         lambda spark, sf_dir: chunk_documents(
             load_table(spark, sf_dir, "documents"), window=64, stride=48
