@@ -104,3 +104,26 @@ def sql_model(
         materialization=materialization,
         **model_kwargs,
     )
+
+
+def load_sql_models(
+    directory: str,
+    materialization: Materialization = Materialization.VIEW,
+    macros: dict[str, Callable[..., str]] | None = None,
+) -> list[Model]:
+    """dbt's models/ directory convention: every ``*.sql`` file under
+    ``directory`` becomes a model named after the file stem.  Deterministic
+    (sorted) order; nesting is allowed (dbt subdirectory layout)."""
+    import os
+
+    out: list[Model] = []
+    for root, _dirs, files in sorted(os.walk(directory)):
+        for fname in sorted(files):
+            if not fname.endswith(".sql"):
+                continue
+            name = fname[: -len(".sql")]
+            with open(os.path.join(root, fname)) as fh:
+                out.append(
+                    sql_model(name, fh.read(), materialization=materialization, macros=macros)
+                )
+    return out

@@ -137,3 +137,31 @@ def test_sql_text_models_match_dataframe_models(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_sql_file_staging_models_match(spark, sf_dir):
+    """The models/sql/*.sql files (dbt directory convention) build through
+    the Project DAG and reproduce the DataFrame staging models exactly."""
+    import os
+    import tempfile
+
+    import dbt_trill_shop_spark
+    from dbt_trill_shop_spark.core import Project
+    from dbt_trill_shop_spark.core.jinja_lite import load_sql_models
+    from dbt_trill_shop_spark.models.trends import build_trends_relations
+
+    sql_dir = os.path.join(os.path.dirname(dbt_trill_shop_spark.__file__), "models", "sql")
+    p = Project("sqlfiles", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_sqlfwh_"))
+    p.add_sources(register_trends_sources(spark, sf_dir))
+    models = load_sql_models(sql_dir)
+    assert len(models) == 4
+    for m in models:
+        p.add_model(m)
+    p.build(spark, run_tests=False)
+
+    rel = build_trends_relations(spark, sf_dir)
+    for m in models:
+        expect = rel[m.name]
+        got = p.relations[m.name]
+        assert got.columns == expect.columns, m.name
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect())), m.name
