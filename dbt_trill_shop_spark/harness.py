@@ -95,9 +95,11 @@ from .ext.textstats import (
 )
 from .fixtures.oracle import with_prelude
 from .streaming.events import (
+    STREAM_ATTRIBUTION_SQL,
     STREAM_DISTINCT_USERS_SQL,
     STREAM_WEEKLY_SQL,
     stream_distinct_users,
+    stream_purchase_attribution,
     stream_weekly_rollup,
 )
 from .models.trends import build_trends_relations
@@ -574,6 +576,9 @@ QUERIES: dict[str, QuerySpec] = {
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
     "s_stream_distinct_users": QuerySpec(stream_distinct_users, STREAM_DISTINCT_USERS_SQL),
+    "s_stream_purchase_attribution": QuerySpec(
+        stream_purchase_attribution, STREAM_ATTRIBUTION_SQL
+    ),
 }
 
 

@@ -156,3 +156,66 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+def purchase_attribution_stream(
+    events: DataFrame,
+    watermark: str = "14 days",
+    attribution_minutes: int = 60,
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each purchase to every click by
+    the same user in the preceding ``attribution_minutes`` — the canonical
+    funnel-attribution shape.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict expired rows
+    (unbounded state otherwise).  State is keyed by user_id: the equi-join
+    key partitions both streams, the range condition prunes within the key.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry: stream-stream attribution join drained to batch."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        purchase_attribution_stream(ev), output_mode="append"
+    )
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+"""
