@@ -5,7 +5,7 @@ whole plan and pipelines the stages):
     exact dedup (keep min-id per text)
       -> quality filter (Gopher/C4-style signals, keep score >= min_quality)
       -> benchmark decontamination (n-gram overlap anti-join)
-      -> context-window packing (next-fit running-sum bins)
+      -> context-window packing (start-offset running-sum bins)
 
 Every stage is deterministic and ANSI-expressible, so the WHOLE pipeline is
 oracle-checked end-to-end (not just per-stage).

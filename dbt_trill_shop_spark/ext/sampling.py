@@ -55,14 +55,16 @@ def pack_documents(
 ) -> DataFrame:
     """Assign each document to a context-window bin of ``capacity`` tokens.
 
-    Deterministic next-fit packing in ``id_col`` order: bin boundaries fall
-    where the running token total crosses a capacity multiple.  Documents
-    longer than ``capacity`` get their own bin (truncation is the caller's
-    policy).  Exact SQL-window equivalent -> oracle-checkable.
+    Deterministic start-offset binning in ``id_col`` order: each document is
+    capped at ``capacity`` tokens, and its bin is the capacity-window its
+    FIRST token falls in (``bin = floor(prefix_sum / capacity)``).  A
+    document straddling a boundary stays in its start bin, so a bin holds at
+    most ``2*capacity - 2`` tokens; documents at/above capacity align
+    exactly (one per bin).  Exact SQL-window equivalent -> oracle-checkable.
 
-    Note: the cumulative-sum formulation is *next-fit* (a document that
-    straddles a boundary starts the next bin), not best-fit — the standard
-    streaming-friendly choice.
+    (True next-fit — straddlers open a new bin — needs a running *bin
+    remainder*, which is not expressible as a fixed-frame window; this
+    one-pass variant is the streaming-friendly choice.)
     """
     capped = F.least(F.col(token_col), F.lit(capacity))
     w = (

@@ -579,3 +579,49 @@ SELECT doc_id, n_tokens,
              6) AS avg_neg_logp
 FROM per_doc CROSS JOIN total
 """
+
+
+def token_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bucket: int = 16
+) -> DataFrame:
+    """Corpus length-distribution report: document counts and token volume
+    per token-count bucket (width ``bucket``) — the one-glance shape check
+    before choosing pack/chunk parameters.  One map-side-combinable
+    aggregation on a derived low-cardinality key."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    b = F.floor(n / bucket).cast("bigint")
+    return (
+        docs.select(b.alias("bucket_id"), n.alias("n"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * bucket).alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("bucket_id")
+    )
+
+
+TOKEN_HISTOGRAM_SQL_TEMPLATE = """
+WITH n AS (
+    SELECT CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n FROM documents
+)
+SELECT CAST(FLOOR(n / {bucket}) AS BIGINT) AS bucket_id,
+       CAST(FLOOR(n / {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       SUM(n) AS total_tokens,
+       MIN(n) AS min_tokens,
+       MAX(n) AS max_tokens
+FROM n
+GROUP BY FLOOR(n / {bucket})
+ORDER BY bucket_id
+"""

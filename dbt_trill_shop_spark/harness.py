@@ -82,6 +82,7 @@ from .ext.textstats import (
     TEXT_STATS_SQL,
     TFIDF_TOP_TERMS_SQL_TEMPLATE,
     TOKEN_COUNTS_SQL,
+    TOKEN_HISTOGRAM_SQL_TEMPLATE,
     language_id,
     language_profile,
     quality_score,
@@ -92,6 +93,7 @@ from .ext.textstats import (
     text_stats,
     tfidf_top_terms,
     token_counts,
+    token_histogram,
 )
 from .fixtures.oracle import with_prelude
 from .streaming.events import (
@@ -454,6 +456,12 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
     "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
+    "x_token_histogram": QuerySpec(
+        lambda spark, sf_dir: token_histogram(
+            load_table(spark, sf_dir, "documents"), bucket=16
+        ),
+        TOKEN_HISTOGRAM_SQL_TEMPLATE.format(bucket=16),
+    ),
     "x_dedup_canonical": QuerySpec(_docs_q(dedup_canonical), DEDUP_CANONICAL_SQL),
     "x_source_overlap": QuerySpec(
         lambda spark, sf_dir: source_overlap(

@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter pushdown: build a bloom filter from the small
+        # side of a shuffle join and push it into the big side's scan —
+        # row-group-level pruning for selective fact joins at scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for any pandas-UDF path (ext/ operators) — batch transfer,
         # never row-at-a-time pickling.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -61,3 +61,56 @@ def test_bucketize_matches_python_reference(spark, extra):
         for v in values:
             want = _py_bucketize(v, rules, default)
             assert got[v] == want, (name, v, got[v], want)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=40),
+    st.integers(min_value=8, max_value=512),
+)
+def test_pack_documents_invariants(spark, token_counts, capacity):
+    """Start-offset binning: result matches the one-pass Python reference
+    exactly (bin = floor(prefix_sum/capacity) over capped sizes), sizes are
+    capped to [1, capacity], and bin ids are dense from 0."""
+    from dbt_trill_shop_spark.ext.sampling import pack_documents
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: r for r in pack_documents(df, capacity=capacity).collect()}
+    assert len(out) == len(rows)
+    cum = 0
+    bins = set()
+    for i, n in rows:
+        capped = min(n, capacity)
+        assert out[i]["packed_tokens"] == capped
+        assert out[i]["bin_id"] == cum // capacity
+        bins.add(out[i]["bin_id"])
+        cum += capped
+    assert sorted(bins) == list(range(len(bins)))  # dense from 0
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=2, max_value=64),
+)
+def test_chunk_documents_invariants(spark, n_tokens, stride):
+    """Chunking: every token index covered, chunk ids dense from 0, all
+    chunks but the last are full-stride apart, sizes bounded by window."""
+    from dbt_trill_shop_spark.ext.sampling import chunk_documents
+
+    window = stride + stride // 2  # overlap = window - stride
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    seen = set()
+    for r in out:
+        toks = r["chunk_text"].split(" ")
+        assert 1 <= r["n_chunk_tokens"] <= window
+        assert len(toks) == r["n_chunk_tokens"]
+        seen.update(toks)
+    assert len(seen) == n_tokens  # full coverage
