@@ -335,3 +335,84 @@ JOIN assign cb ON ca.cell = cb.cell
 JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 """
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): split each vector
+    into ``n_blocks`` sub-vectors and store only the id of the nearest of
+    ``n_codes`` per-block centroids — the 100 TB ANN memory lever
+    (64 float32 dims -> 4 uint8-sized codes here).
+
+    Codebooks are deterministic data samples per block (ids < n_codes; a
+    per-block k-means refinement would slot in, as in ivf_assign).  Long-form
+    output (vec_id, block, code); one explode (narrow), one broadcast of the
+    tiny codebook, one windowed argmin per (vec, block) — no corpus shuffle
+    except the argmin's, keyed by the high-cardinality (vec_id, block).
+    """
+    sub = f"(size(v) div {n_blocks})"
+    block_slices = F.expr(
+        f"transform(sequence(0, {n_blocks} - 1), "
+        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
+    )
+    vecs = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .select(id_col, F.explode(block_slices).alias("s"))
+        .select(id_col, F.col("s.block").alias("block"), F.col("s.bv").alias("bv"))
+    )
+    cents = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), _as_double(F.col(vec_col)).alias("v"))
+        .select("code", F.explode(block_slices).alias("s"))
+        .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("bv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cents), "block").select(
+        id_col, "block", "code", F.round(d2, 6).alias("d2")
+    )
+    w = Window.partitionBy(id_col, "block").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("block").cast("bigint").alias("block"),
+            F.col("code").cast("bigint").alias("code"),
+        )
+    )
+
+
+PQ_ENCODE_SQL_TEMPLATE = """
+WITH blocks AS (
+    SELECT vec_id, b,
+           embedding[b * (LEN(embedding) // {m}) + 1 : (b + 1) * (LEN(embedding) // {m})] AS bv
+    FROM embeddings CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+),
+cents AS (
+    SELECT vec_id AS code, b,
+           embedding[b * (LEN(embedding) // {m}) + 1 : (b + 1) * (LEN(embedding) // {m})] AS cv
+    FROM embeddings CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+    WHERE vec_id < {k}
+),
+scored AS (
+    SELECT v.vec_id, v.b, c.code,
+           ROUND(list_distance(v.bv, c.cv) ** 2, 6) AS d2
+    FROM blocks v JOIN cents c ON v.b = c.b
+),
+ranked AS (
+    SELECT vec_id, b, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d2 ASC, code ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, CAST(b AS BIGINT) AS block, CAST(code AS BIGINT) AS code
+FROM ranked WHERE rn = 1
+"""

@@ -61,12 +61,14 @@ from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
+    PQ_ENCODE_SQL_TEMPLATE,
     SEMDEDUP_SQL_TEMPLATE,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_neardup_pairs,
     ivf_assign,
     ivf_topk,
+    pq_encode,
     semantic_dedup_pairs,
 )
 from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
@@ -486,6 +488,12 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "events"), text_col="props", id_col="event_id"
         ),
         PII_SCRUB_EVENTS_SQL,
+    ),
+    "x_pq_encode": QuerySpec(
+        lambda spark, sf_dir: pq_encode(
+            load_table(spark, sf_dir, "embeddings"), n_blocks=4, n_codes=_IVF_CELLS
+        ),
+        PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS),
     ),
     "x_semdedup": QuerySpec(
         lambda spark, sf_dir: semantic_dedup_pairs(
