@@ -416,3 +416,93 @@ ranked AS (
 SELECT vec_id, CAST(b AS BIGINT) AS block, CAST(code AS BIGINT) AS code
 FROM ranked WHERE rn = 1
 """
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance (ADC): candidates are
+    represented ONLY by their per-block codes; distance(query, candidate) =
+    sum over blocks of d2(query sub-vector, codebook centroid of the
+    candidate's code).  The 100 TB shape: the scan side carries 4 small ints
+    per vector instead of the float payload, the codebook is broadcast, and
+    per-block distances are summed as int64 micro-units so the ranking is
+    deterministic across engines (oracle-checkable despite being float math
+    underneath).
+    """
+    codes = pq_encode(
+        embeddings, n_blocks=n_blocks, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("cand_id"), "block", "code")
+    sub = f"(size(v) div {n_blocks})"
+    block_slices = F.expr(
+        f"transform(sequence(0, {n_blocks} - 1), "
+        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
+    )
+    cents = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), _as_double(F.col(vec_col)).alias("v"))
+        .select("code", F.explode(block_slices).alias("s"))
+        .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
+    )
+    qblocks = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v"))
+        .select("query_id", F.explode(block_slices).alias("s"))
+        .select("query_id", F.col("s.block").alias("block"), F.col("s.bv").alias("qv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # per-(query, block, code) lookup table, broadcast-sized: Q * m * k rows
+    lut = qblocks.join(F.broadcast(cents), "block").select(
+        "query_id", "block", "code", F.round(d2 * 1_000_000, 0).cast("bigint").alias("d2_micro")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank")
+    )
+
+
+PQ_TOPK_SQL_TEMPLATE = """
+WITH codes AS ({pq_encode}),
+blocks AS (
+    SELECT vec_id, b,
+           embedding[b * (LEN(embedding) // {m}) + 1 : (b + 1) * (LEN(embedding) // {m})] AS bv
+    FROM embeddings CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+),
+cents AS (SELECT vec_id AS code, b, bv AS cv FROM blocks WHERE vec_id < {k_codes}),
+lut AS (
+    SELECT q.vec_id AS query_id, q.b, c.code,
+           CAST(ROUND(list_distance(q.bv, c.cv) ** 2 * 1000000, 0) AS BIGINT) AS d2_micro
+    FROM blocks q JOIN cents c ON q.b = c.b
+    WHERE q.vec_id < {num_queries}
+),
+scored AS (
+    SELECT l.query_id, co.vec_id AS cand_id, SUM(l.d2_micro) AS adc_micro
+    FROM codes co JOIN lut l ON l.b = co.block AND l.code = co.code
+    GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micro ASC, cand_id ASC) AS rn
+    FROM scored
+    WHERE query_id != cand_id
+)
+SELECT query_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""

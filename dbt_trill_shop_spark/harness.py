@@ -62,6 +62,7 @@ from .ext.similarity import (
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
     PQ_ENCODE_SQL_TEMPLATE,
+    PQ_TOPK_SQL_TEMPLATE,
     SEMDEDUP_SQL_TEMPLATE,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -69,6 +70,7 @@ from .ext.similarity import (
     ivf_assign,
     ivf_topk,
     pq_encode,
+    pq_topk,
     semantic_dedup_pairs,
 )
 from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
@@ -494,6 +496,26 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), n_blocks=4, n_codes=_IVF_CELLS
         ),
         PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS),
+    ),
+    "x_pq_topk": QuerySpec(
+        lambda spark, sf_dir: pq_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+            n_blocks=4,
+            n_codes=_IVF_CELLS,
+        ),
+        PQ_TOPK_SQL_TEMPLATE.format(
+            pq_encode=PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS).replace(
+                "SELECT vec_id, CAST(b AS BIGINT) AS block", "SELECT vec_id, b AS block"
+            ),
+            m=4,
+            k_codes=_IVF_CELLS,
+            num_queries=_KNN_NUM_QUERIES,
+            k=_KNN_K,
+        ),
     ),
     "x_semdedup": QuerySpec(
         lambda spark, sf_dir: semantic_dedup_pairs(
