@@ -143,3 +143,28 @@ SELECT doc_id,
        CAST(LEN(t[start + 1 : start + {window}]) AS BIGINT) AS n_chunk_tokens
 FROM starts
 """
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep a row iff the first 16 bits
+    of md5(key || salt) fall under ``fraction`` (1/65536 granularity).
+
+    Unlike seeded Bernoulli sampling (``sampleBy``), the decision is a pure
+    function of the key — reproducible across engines, runs, partitionings,
+    and cluster sizes, and consistent for the same key in different tables
+    (join-compatible samples).  Executor-local filter, no shuffle; change
+    ``salt`` to draw an independent sample.
+    """
+    thr = format(min(int(fraction * 65536), 65536), "04x")
+    h4 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary")), 1, 4
+    )
+    return df.filter(h4 < F.lit(thr))
+
+
+HASH_SAMPLE_SQL_TEMPLATE = """
+SELECT * FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4) < '{thr}'
+"""

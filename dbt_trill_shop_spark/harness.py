@@ -53,8 +53,10 @@ from .ext.multimodal import (
 )
 from .ext.sampling import (
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
+    HASH_SAMPLE_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
     chunk_documents,
+    hash_sample,
     pack_documents,
 )
 from .ext.similarity import (
@@ -478,6 +480,12 @@ QUERIES: dict[str, QuerySpec] = {
                 n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
             )
         ),
+    ),
+    "x_hash_sample": QuerySpec(
+        lambda spark, sf_dir: hash_sample(
+            load_table(spark, sf_dir, "documents"), "doc_id", fraction=0.25
+        ),
+        HASH_SAMPLE_SQL_TEMPLATE.format(salt="", thr=format(int(0.25 * 65536), "04x")),
     ),
     "x_chunk_documents": QuerySpec(
         lambda spark, sf_dir: chunk_documents(

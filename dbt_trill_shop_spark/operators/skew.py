@@ -55,3 +55,30 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[_MERGE[fn](f"_p_{name}").alias(name) for name, (fn, col) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    spread_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side across ``n_salts``
+    salt values and spread the big side's hot keys deterministically by
+    ``pmod(xxhash64(spread_col), n_salts)`` — each formerly-hot (key)
+    shuffle partition becomes n_salts partitions of (key, salt).
+
+    ``spread_col`` must be a column of the big side that varies within a
+    key (e.g. the fact's primary key) so the spread is deterministic (no
+    rand(): reproducible results, resilient to task retries).  Result is
+    row-identical to ``big.join(small, key)`` — equivalence-tested.  Use
+    when AQE's skew-join splitting can't kick in (e.g. the skewed side
+    feeds an aggregation Spark won't split).
+    """
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    small_rep = small.withColumn("_salt", salts)
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts)).cast("int")
+    )
+    return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")

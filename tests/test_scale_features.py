@@ -83,3 +83,21 @@ def test_salted_agg_equals_plain_groupby(spark, sf_dir, buckets):
         F.min("event_id").alias("min_id"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+    salted = salted_join(
+        orders, customer, key="o_custkey", spread_col="o_orderkey", n_salts=8
+    ).select("o_orderkey", "o_custkey", "c_name")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
