@@ -1,5 +1,5 @@
 from .model import Materialization, Model
-from .dag import Project, topo_sort
+from .dag import Project, select_nodes, topo_sort
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
 from .snapshot import SnapshotStore, snapshot_delta
 from .testing import (
@@ -19,6 +19,7 @@ __all__ = [
     "Model",
     "Project",
     "topo_sort",
+    "select_nodes",
     "sql_model",
     "compile_model_sql",
     "extract_deps",

@@ -98,10 +98,16 @@ class Project:
         return resolve_schema(model.schema, "model", self.target, self.default_schema)
 
     # -- execution -----------------------------------------------------------
+    def select(self, expr: str) -> set[str]:
+        """dbt ``--select`` graph operators: ``+name`` ancestors, ``name+``
+        descendants (see :func:`select_nodes`)."""
+        return select_nodes(self.models, expr)
+
     def build(
         self, spark: SparkSession, run_tests: bool = True, subset: set[str] | None = None
     ) -> dict[str, list[TestResult]]:
-        """Materialize every model in topo order; return test results per model."""
+        """Materialize every model in topo order; return test results per
+        model.  ``subset`` (e.g. from :meth:`select`) restricts the run."""
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
         for name in order:
@@ -218,3 +224,43 @@ class Project:
 
     def drop_warehouse(self) -> None:
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)
+
+
+def _edges(models: dict[str, "Model"]) -> tuple[dict[str, set[str]], dict[str, set[str]]]:
+    parents: dict[str, set[str]] = {}
+    children: dict[str, set[str]] = {}
+    for name, m in models.items():
+        deps = {d for d in m.deps if d in models}  # model->model edges only
+        parents[name] = deps
+        for d in deps:
+            children.setdefault(d, set()).add(name)
+    return parents, children
+
+
+def select_nodes(models: dict[str, "Model"], expr: str) -> set[str]:
+    """dbt node-selection syntax (the graph operators): ``model``,
+    ``+model`` (model and every ancestor), ``model+`` (and every
+    descendant), ``+model+`` (both).  Returns model names only — sources are
+    always available and need no selection."""
+    want_anc = expr.startswith("+")
+    want_desc = expr.endswith("+")
+    name = expr.strip("+")
+    if name not in models:
+        raise KeyError(f"unknown model {name!r} in selector {expr!r}")
+    parents, children = _edges(models)
+
+    def walk(start: str, graph: dict[str, set[str]]) -> set[str]:
+        out, stack = set(), [start]
+        while stack:
+            for nxt in graph.get(stack.pop(), ()):
+                if nxt not in out:
+                    out.add(nxt)
+                    stack.append(nxt)
+        return out
+
+    selected = {name}
+    if want_anc:
+        selected |= walk(name, parents)
+    if want_desc:
+        selected |= walk(name, children)
+    return selected

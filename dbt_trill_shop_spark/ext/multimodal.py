@@ -203,3 +203,41 @@ SELECT media_id, width, height, scale_micro,
        CAST(FLOOR(height * scale_micro / 1000000.0) AS BIGINT) AS out_height
 FROM scaled
 """
+
+
+PATCH_SIZE = 16
+
+
+def patch_grid_plan(media: DataFrame, patch: int = PATCH_SIZE) -> DataFrame:
+    """ViT-style patch tokenization plan: number of non-overlapping
+    ``patch`` x ``patch`` patches per image (floor division — edge remainders
+    are cropped, the standard ViT choice) and the resulting token count.
+    Pure integer arithmetic over the fake-decoded dims; the patch pixel
+    extraction itself would ride the same mapInPandas pass as
+    :func:`extract_features`."""
+    feats = extract_features(media)
+    rows = F.floor(F.col("height") / patch).cast("bigint")
+    cols = F.floor(F.col("width") / patch).cast("bigint")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        rows.alias("patch_rows"),
+        cols.alias("patch_cols"),
+        (rows * cols).alias("n_patches"),
+    )
+
+
+PATCH_GRID_SQL_TEMPLATE = """
+WITH feats AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+    FROM documents
+)
+SELECT media_id, width, height,
+       CAST(FLOOR(height / {patch}) AS BIGINT) AS patch_rows,
+       CAST(FLOOR(width / {patch}) AS BIGINT) AS patch_cols,
+       CAST(FLOOR(height / {patch}) * FLOOR(width / {patch}) AS BIGINT) AS n_patches
+FROM feats
+"""

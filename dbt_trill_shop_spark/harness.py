@@ -45,10 +45,12 @@ from .ext.dedup import (
 from .ext.multimodal import (
     FRAME_SAMPLE_SQL_TEMPLATE,
     MEDIA_FEATURES_SQL,
+    PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
     docs_as_media,
     extract_features,
     frame_sample_plan,
+    patch_grid_plan,
     resize_plan,
 )
 from .ext.sampling import (
@@ -615,6 +617,12 @@ QUERIES: dict[str, QuerySpec] = {
     "x_simhash_neardup": QuerySpec(_x_simhash_neardup, None),  # xxhash64: rows-only
     # --- multimodal plumbing (fake decoder -> fully oracle-checkable) ------
     "m_media_features": QuerySpec(_m_media_features, MEDIA_FEATURES_SQL),
+    "m_patch_grid": QuerySpec(
+        lambda spark, sf_dir: patch_grid_plan(
+            docs_as_media(load_table(spark, sf_dir, "documents")), patch=16
+        ),
+        PATCH_GRID_SQL_TEMPLATE.format(patch=16),
+    ),
     "m_frame_sample": QuerySpec(
         _m_frame_sample, FRAME_SAMPLE_SQL_TEMPLATE.format(every_n=10)
     ),

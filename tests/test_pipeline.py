@@ -165,3 +165,28 @@ def test_sql_file_staging_models_match(spark, sf_dir):
         got = p.relations[m.name]
         assert got.columns == expect.columns, m.name
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect())), m.name
+
+
+def test_graph_selectors(spark, sf_dir):
+    """dbt --select syntax: +model pulls ancestors, model+ pulls descendants;
+    building the subset materializes exactly those nodes."""
+    import tempfile
+
+    p = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_sel_"))
+    p.add_sources(register_trends_sources(spark, sf_dir))
+
+    up = p.select("+weekly_trends_summary")
+    assert up == {
+        "weekly_trends_summary",
+        "stg_top_terms",
+        "stg_top_rising_terms",
+        "stg_international_top_terms",
+        "stg_international_top_rising_terms",
+    }
+    down = p.select("stg_top_terms+")
+    assert "stg_top_terms" in down and "weekly_trends_summary" in down
+    assert "stg_international_top_terms" not in down
+
+    p.build(spark, run_tests=False, subset=up)
+    assert set(p.relations) >= up | set(p.sources)
+    assert "top_terms_comparison" not in p.relations
