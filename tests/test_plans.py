@@ -61,3 +61,36 @@ def test_partitioned_table_sink_prunes(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(week" in plan, plan[:2000]
     assert filtered.count() > 0
     p.drop_warehouse()
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import chunk_documents
+
+    plan = _plan(chunk_documents(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan  # narrow: explode + slice only
+
+
+def test_semdedup_joins_on_cell(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.similarity import semantic_dedup_pairs
+
+    plan = _plan(semantic_dedup_pairs(load_table(spark, sf_dir, "embeddings"), n_cells=8))
+    # the quadratic kernel must be keyed on the cell, not a cross join
+    assert "SortMergeJoin" in plan and "cell" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # only the tiny centroid assigns
+
+
+def test_pq_topk_broadcasts_lut_and_codebook(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert plan.count("BroadcastExchange") >= 2  # codebook + lookup table
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_reaches_scan_without_shuffle(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import hash_sample
+
+    plan = _plan(hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 0.25))
+    assert "Exchange" not in plan  # pure filter stage
+
