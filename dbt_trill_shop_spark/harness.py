@@ -431,6 +431,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q_above_customer_avg": QuerySpec(
         R.above_customer_avg, R.ABOVE_CUSTOMER_AVG_SQL
     ),
+    "q_event_value_moments": QuerySpec(
+        R.event_value_moments, R.EVENT_VALUE_MOMENTS_SQL
+    ),
+    "q_weekday_except_all": QuerySpec(
+        R.weekday_weekend_except_all, R.WEEKDAY_WEEKEND_EXCEPT_ALL_SQL
+    ),
     "q_event_type_stats": QuerySpec(R.event_type_stats, R.EVENT_TYPE_STATS_SQL),
     "q_set_ops_cohorts": QuerySpec(
         R.purchasers_vs_clickers, R.PURCHASERS_VS_CLICKERS_SQL

@@ -547,3 +547,72 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ABOVE_CUSTOMER_AVG_SQL)
+
+
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean/variance/stddev of event value — computed FROM EXACT
+    INT64 SUMS (Σx, Σx² over cents) with the closed-form sample-variance
+    formula, so the doubles come from identical integers on every engine
+    (a raw stddev_samp aggregate is float-summation-order dependent and
+    can't be hash-checked cross-engine).  At extreme scale Σx² needs a
+    wider type (or Welford per partition); cents²-sums stay < 2^63 here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = cents("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n / 100.0
+    var = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
+        / (n - 1)
+        / 10_000.0
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+    ).orderBy("event_type")
+
+
+EVENT_VALUE_MOMENTS_SQL = """
+WITH g AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s1,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+               * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       ROUND(s1 / CAST(n AS DOUBLE) / 100.0, 6) AS mean_value,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) / 10000.0, 6) AS var_value,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) / 10000.0), 6) AS stddev_value
+FROM g
+ORDER BY event_type
+"""
+
+
+def weekday_weekend_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, duplicate-aware — vs the distinct EXCEPT
+    in q_set_ops_cohorts): per-user event-type bags on weekdays minus the
+    weekend bag.  Spark ``exceptAll`` plans as a count-annotated anti
+    semantics via generate — no distinct collapse."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = ev.filter(F.dayofweek("ts").isin(2, 3, 4, 5, 6)).select("user_id", "event_type")
+    we = ev.filter(F.dayofweek("ts").isin(1, 7)).select("user_id", "event_type")
+    return wd.exceptAll(we).orderBy("user_id", "event_type")
+
+
+WEEKDAY_WEEKEND_EXCEPT_ALL_SQL = """
+SELECT user_id, event_type FROM events WHERE dayofweek(ts) BETWEEN 1 AND 5
+EXCEPT ALL
+SELECT user_id, event_type FROM events WHERE dayofweek(ts) IN (0, 6)
+ORDER BY user_id, event_type
+"""
