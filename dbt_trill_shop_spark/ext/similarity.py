@@ -506,3 +506,139 @@ ranked AS (
 SELECT query_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM ranked WHERE rn <= {k}
 """
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full billion-scale ANN index layout in one plan (FAISS IVF-PQ,
+    Johnson et al. 2017): coarse-quantize the corpus into cells, PQ-compress
+    every vector, then answer queries by probing only ``n_probe`` cells and
+    scoring candidates with the asymmetric code distance.
+
+    Everything is deterministic (probe distances rounded to 6 dp with cell
+    tie-breaks; ADC summed as int64 micro-units), so unlike the float
+    variants this composition is exactly oracle-checkable end-to-end.
+    Per-query work: n_probe/n_cells of the corpus, at codes-only width.
+    """
+    assign = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        embeddings, n_blocks=n_blocks, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("cand_id"), "block", "code")
+
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    cell_d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", F.round(cell_d2, 6).alias("d2")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    sub = f"(size(v) div {n_blocks})"
+    block_slices = F.expr(
+        f"transform(sequence(0, {n_blocks} - 1), "
+        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
+    )
+    pq_cents = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), _as_double(F.col(vec_col)).alias("v"))
+        .select("code", F.explode(block_slices).alias("s"))
+        .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
+    )
+    qblocks = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v"))
+        .select("query_id", F.explode(block_slices).alias("s"))
+        .select("query_id", F.col("s.block").alias("block"), F.col("s.bv").alias("qv"))
+    )
+    adc_d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qblocks.join(F.broadcast(pq_cents), "block").select(
+        "query_id", "block", "code",
+        F.round(adc_d2 * 1_000_000, 0).cast("bigint").alias("d2_micro"),
+    )
+
+    cand = codes.join(assign.select(F.col(id_col).alias("cand_id"), "cell"), "cand_id")
+    in_probe = cand.join(F.broadcast(probed), "cell")
+    scored = (
+        in_probe.join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank")
+    )
+
+
+IVFPQ_TOPK_SQL_TEMPLATE = """
+WITH assign AS ({ivf_assign}),
+codes AS ({pq_encode}),
+probe AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_distance(q.embedding, c.embedding) ** 2, 6) ASC,
+                            c.vec_id ASC) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {num_queries} AND c.vec_id < {n_cells}
+    ) t WHERE rn <= {n_probe}
+),
+qblocks AS (
+    SELECT vec_id AS query_id, b,
+           embedding[b * (LEN(embedding) // {m}) + 1 : (b + 1) * (LEN(embedding) // {m})] AS bv
+    FROM embeddings CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+    WHERE vec_id < {num_queries}
+),
+pq_cents AS (
+    SELECT vec_id AS code, b,
+           embedding[b * (LEN(embedding) // {m}) + 1 : (b + 1) * (LEN(embedding) // {m})] AS cv
+    FROM embeddings CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+    WHERE vec_id < {k_codes}
+),
+lut AS (
+    SELECT q.query_id, q.b, c.code,
+           CAST(ROUND(list_distance(q.bv, c.cv) ** 2 * 1000000, 0) AS BIGINT) AS d2_micro
+    FROM qblocks q JOIN pq_cents c ON q.b = c.b
+),
+scored AS (
+    SELECT p.query_id, co.vec_id AS cand_id, SUM(l.d2_micro) AS adc_micro
+    FROM codes co
+    JOIN assign a ON a.vec_id = co.vec_id
+    JOIN probe p ON p.cell = a.cell
+    JOIN lut l ON l.query_id = p.query_id AND l.b = co.block AND l.code = co.code
+    GROUP BY p.query_id, co.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micro ASC, cand_id ASC) AS rn
+    FROM scored WHERE query_id != cand_id
+)
+SELECT query_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""

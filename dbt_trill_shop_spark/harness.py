@@ -64,6 +64,7 @@ from .ext.sampling import (
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
+    IVFPQ_TOPK_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
     PQ_ENCODE_SQL_TEMPLATE,
     PQ_TOPK_SQL_TEMPLATE,
@@ -73,6 +74,7 @@ from .ext.similarity import (
     embedding_neardup_pairs,
     ivf_assign,
     ivf_topk,
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     semantic_dedup_pairs,
@@ -512,6 +514,31 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), n_blocks=4, n_codes=_IVF_CELLS
         ),
         PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS),
+    ),
+    "x_ivfpq_topk": QuerySpec(
+        lambda spark, sf_dir: ivfpq_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+            n_cells=_IVF_CELLS,
+            n_probe=4,
+            n_blocks=4,
+            n_codes=_IVF_CELLS,
+        ),
+        IVFPQ_TOPK_SQL_TEMPLATE.format(
+            ivf_assign=IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS),
+            pq_encode=PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS).replace(
+                "SELECT vec_id, CAST(b AS BIGINT) AS block", "SELECT vec_id, b AS block"
+            ),
+            num_queries=_KNN_NUM_QUERIES,
+            n_cells=_IVF_CELLS,
+            n_probe=4,
+            m=4,
+            k_codes=_IVF_CELLS,
+            k=_KNN_K,
+        ),
     ),
     "x_pq_topk": QuerySpec(
         lambda spark, sf_dir: pq_topk(
