@@ -642,3 +642,47 @@ ranked AS (
 SELECT query_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM ranked WHERE rn <= {k}
 """
+
+
+def semantic_search(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """End-user retrieval story: exact cosine top-k over the embedding table,
+    hydrated back to the document table (id-aligned corpus) — the RAG
+    retrieve step.  The ANN kernel never carries text; only the k winners
+    per query join back to the (typically much wider) docs relation, keyed
+    on the high-cardinality doc id."""
+    hits = cosine_topk_bruteforce(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    meta = docs.select(
+        F.col(doc_id_col).alias("neighbor_id"),
+        F.col("source").alias("neighbor_source"),
+        F.substring(F.col("text"), 1, 40).alias("snippet"),
+    )
+    return hits.join(meta, "neighbor_id").select(
+        "query_id", "rank", "neighbor_id", "neighbor_source", "snippet"
+    )
+
+
+SEMANTIC_SEARCH_SQL_TEMPLATE = """
+WITH hits AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                            c.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    ) t WHERE rank <= {k}
+)
+SELECT h.query_id, h.rank, h.neighbor_id,
+       d.source AS neighbor_source,
+       substring(d.text, 1, 40) AS snippet
+FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
+"""

@@ -68,6 +68,7 @@ from .ext.similarity import (
     IVF_ASSIGN_SQL_TEMPLATE,
     PQ_ENCODE_SQL_TEMPLATE,
     PQ_TOPK_SQL_TEMPLATE,
+    SEMANTIC_SEARCH_SQL_TEMPLATE,
     SEMDEDUP_SQL_TEMPLATE,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -78,6 +79,7 @@ from .ext.similarity import (
     pq_encode,
     pq_topk,
     semantic_dedup_pairs,
+    semantic_search,
 )
 from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
 from .ext.textstats import (
@@ -514,6 +516,17 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), n_blocks=4, n_codes=_IVF_CELLS
         ),
         PQ_ENCODE_SQL_TEMPLATE.format(m=4, k=_IVF_CELLS),
+    ),
+    "x_semantic_search": QuerySpec(
+        lambda spark, sf_dir: semantic_search(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+        ),
+        SEMANTIC_SEARCH_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
     "x_ivfpq_topk": QuerySpec(
         lambda spark, sf_dir: ivfpq_topk(
