@@ -8,7 +8,7 @@ that is bit-identical across engines (integer counts, single-division ratios).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # crude stopword set for quality scoring (public/ubiquitous English list)
@@ -624,4 +624,107 @@ SELECT CAST(FLOOR(n / {bucket}) AS BIGINT) AS bucket_id,
 FROM n
 GROUP BY FLOOR(n / {bucket})
 ORDER BY bucket_id
+"""
+
+
+def corpus_ngram_counts(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global n-gram frequency table, top-``k`` with deterministic
+    tie-breaks — the corpus-statistics pass behind tokenizer and LM
+    vocabulary design.  Explode → one map-side-combinable count keyed by the
+    n-gram → global top-k (rank window over ONE ordered partition of only
+    the aggregated counts, not the raw corpus)."""
+    parts = ", ' ', ".join(f"t[i + {j}]" for j in range(n))
+    grams = F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat({parts}))")
+    counts = (
+        docs.select(F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # global sort+limit FIRST (TakeOrderedAndProject — per-partition top-k,
+    # no full sort shuffle); the rank window then sees only k rows, so the
+    # single-partition window is k-sized, never vocabulary-sized
+    top = counts.orderBy(F.desc("freq"), F.asc("gram")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "gram", "freq"
+    )
+
+
+CORPUS_NGRAM_COUNTS_SQL_TEMPLATE = """
+WITH toks AS (SELECT STR_SPLIT(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT unnest(list_transform(range(0, LEN(t) - {n} + 1),
+                                 i -> {concat_expr})) AS gram
+    FROM toks WHERE LEN(t) >= {n}
+),
+counts AS (SELECT gram, COUNT(*) AS freq FROM grams GROUP BY gram)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, gram ASC) AS BIGINT) AS rank,
+       gram, freq
+FROM counts
+ORDER BY freq DESC, gram ASC
+LIMIT {k}
+"""
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_sizes: tuple[int, ...] = (8, 16, 32), text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-design stat: for each candidate vocabulary size N, the
+    fraction of all token OCCURRENCES covered by the N most frequent types
+    (deterministic ties: count desc, token asc).  Exact int sums; one
+    aggregation + a tiny ranked-vocab cumulative window."""
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # cut to the largest vocab size via sort+limit (TakeOrderedAndProject)
+    # BEFORE the cumulative window — the single-partition window then runs
+    # over max(vocab_sizes) rows, not the whole vocabulary
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(max(vocab_sizes))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(cum).alias("cum_freq"),
+    )
+    total = counts.agg(F.sum("freq").alias("total"))
+    sizes = [(s,) for s in vocab_sizes]
+    sdf = docs.sparkSession.createDataFrame(sizes, ["vocab_size"])
+    at = ranked.join(F.broadcast(sdf), ranked.rank == sdf.vocab_size).crossJoin(
+        F.broadcast(total)
+    )
+    return at.select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("cum_freq").cast("bigint").alias("covered_tokens"),
+        F.col("total").cast("bigint").alias("total_tokens"),
+        F.round(F.col("cum_freq").cast("double") / F.col("total"), 6).alias("coverage"),
+    ).orderBy("vocab_size")
+
+
+VOCAB_COVERAGE_SQL_TEMPLATE = """
+WITH counts AS (
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest(STR_SPLIT(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok
+),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank,
+           SUM(freq) OVER (ORDER BY freq DESC, tok ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+    FROM counts
+),
+total AS (SELECT SUM(freq) AS total FROM counts)
+SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       CAST(r.cum_freq AS BIGINT) AS covered_tokens,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       ROUND(CAST(r.cum_freq AS DOUBLE) / t.total, 6) AS coverage
+FROM (VALUES {vocab_values}) AS v(vocab_size)
+JOIN ranked r ON r.rank = v.vocab_size
+CROSS JOIN total t
+ORDER BY vocab_size
 """

@@ -95,6 +95,9 @@ from .ext.textstats import (
     TFIDF_TOP_TERMS_SQL_TEMPLATE,
     TOKEN_COUNTS_SQL,
     TOKEN_HISTOGRAM_SQL_TEMPLATE,
+    CORPUS_NGRAM_COUNTS_SQL_TEMPLATE,
+    VOCAB_COVERAGE_SQL_TEMPLATE,
+    corpus_ngram_counts,
     language_id,
     language_profile,
     quality_score,
@@ -106,6 +109,7 @@ from .ext.textstats import (
     tfidf_top_terms,
     token_counts,
     token_histogram,
+    vocab_coverage,
 )
 from .fixtures.oracle import with_prelude
 from .streaming.events import (
@@ -474,6 +478,20 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
     "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
+    "x_corpus_ngrams": QuerySpec(
+        lambda spark, sf_dir: corpus_ngram_counts(
+            load_table(spark, sf_dir, "documents"), n=2, k=20
+        ),
+        CORPUS_NGRAM_COUNTS_SQL_TEMPLATE.format(
+            n=2, k=20, concat_expr="t[i + 1] || ' ' || t[i + 2]"
+        ),
+    ),
+    "x_vocab_coverage": QuerySpec(
+        lambda spark, sf_dir: vocab_coverage(
+            load_table(spark, sf_dir, "documents"), vocab_sizes=(8, 16, 32)
+        ),
+        VOCAB_COVERAGE_SQL_TEMPLATE.format(vocab_values="(8), (16), (32)"),
+    ),
     "x_token_histogram": QuerySpec(
         lambda spark, sf_dir: token_histogram(
             load_table(spark, sf_dir, "documents"), bucket=16
