@@ -29,6 +29,7 @@ from .ext.dedup import (
     NGRAM_JACCARD_SQL_TEMPLATE,
     CONNECTED_COMPONENTS_SQL_TEMPLATE,
     DECONTAMINATE_SQL_TEMPLATE,
+    NGRAM_CONTAINMENT_SQL_TEMPLATE,
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
     SOURCE_OVERLAP_SQL_TEMPLATE,
     connected_components,
@@ -37,6 +38,7 @@ from .ext.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
     neardup_minhash_native,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_filtered,
     simhash_near_duplicates,
@@ -620,6 +622,14 @@ QUERIES: dict[str, QuerySpec] = {
         NGRAM_JACCARD_SQL_TEMPLATE.format(
             n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD
         ),
+    ),
+    "x_ngram_containment": QuerySpec(
+        lambda spark, sf_dir: ngram_containment_pairs(
+            load_table(spark, sf_dir, "documents"),
+            shingle_len=_NGRAM_JACCARD_N,
+            threshold=0.8,
+        ),
+        NGRAM_CONTAINMENT_SQL_TEMPLATE.format(n=_NGRAM_JACCARD_N, threshold=0.8),
     ),
     "x_ngram_jaccard_filtered": QuerySpec(
         lambda spark, sf_dir: ngram_jaccard_pairs_filtered(
