@@ -10,6 +10,14 @@
 - SimHash: 64-bit fingerprint from token hashes; near-dups = pairs whose
   fingerprints match on at least one of 4 16-bit bands (Hamming<=3-ish
   recall), joined band-wise — again no cross join.
+- exact n-gram Jaccard / asymmetric containment: common-shingle joins
+  (documents only meet if they share a shingle), shingle relation
+  checkpointed once.
+- native banded MinHash: signature pipeline + exact-Jaccard verification of
+  candidates only (false-positive-free).
+- connected components over the pair graph -> dedup groups; canonical-doc
+  selection per group; benchmark decontamination (broadcast shingle
+  anti-join); cross-source overlap reporting.
 """
 
 from __future__ import annotations

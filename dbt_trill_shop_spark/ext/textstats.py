@@ -693,8 +693,11 @@ def vocab_coverage(
         F.sum("freq").over(cum).alias("cum_freq"),
     )
     total = counts.agg(F.sum("freq").alias("total"))
-    sizes = [(s,) for s in vocab_sizes]
-    sdf = docs.sparkSession.createDataFrame(sizes, ["vocab_size"])
+    # literal-array explode -> LocalRelation (a createDataFrame from a
+    # Python list would plan as Scan ExistingRDD and spin Python workers)
+    sdf = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in vocab_sizes])).alias("vocab_size")
+    )
     at = ranked.join(F.broadcast(sdf), ranked.rank == sdf.vocab_size).crossJoin(
         F.broadcast(total)
     )
