@@ -252,6 +252,10 @@ def simhash_near_duplicates(
     key), unioned and de-duplicated.  Verify candidates downstream with exact
     Hamming distance (cheap: popcount of xor)."""
     sim = simhash(docs, text_col, id_col)
+    # the fingerprint relation feeds BOTH sides of every band self-join
+    # (2*bands consumers) — materialize once or the 64-agg computation
+    # re-runs eight times
+    sim = sim.localCheckpoint(eager=True)
     width = 64 // bands
     mask = (1 << width) - 1
     pairs = None
