@@ -295,7 +295,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text", id_col:
     Scores rounded to 6 dp before ranking; ties broken by term asc.
     """
     toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    # tf feeds BOTH the doc-frequency aggregate and the score join —
+    # materialize once so the explode+groupBy doesn't run twice
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -532,8 +535,11 @@ def unigram_logprob(
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
+    # one explode+aggregate pass; global term counts derive algebraically
+    # from tf (sum of per-doc counts) instead of re-exploding the corpus
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.localCheckpoint(eager=True)
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n_total"))
     scaled_ln = F.round(F.log(F.col("cnt")) * 1_000_000, 0).cast("bigint")
     per_doc = (
