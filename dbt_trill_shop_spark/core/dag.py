@@ -69,6 +69,9 @@ class Project:
         # Bucketed sinks go through saveAsTable (bucket metadata lives in the
         # session catalog), so they need a warehouse-enabled SparkSession.
         self.table_bucket_spec: dict[str, tuple[int, list[str]]] = {}
+        # dbt exposures: declared downstream consumers (dashboards, ML jobs)
+        # — lineage-only metadata; name -> (type, depends_on, owner, url)
+        self.exposures: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
     def add_source(self, name: str, df: DataFrame) -> None:
@@ -83,6 +86,28 @@ class Project:
         if model.name in self.models:
             raise ValueError(f"duplicate model {model.name!r}")
         self.models[model.name] = model
+
+    def add_exposure(
+        self,
+        name: str,
+        depends_on: tuple[str, ...],
+        exposure_type: str = "dashboard",
+        owner: str = "",
+        url: str = "",
+    ) -> None:
+        """dbt exposure (schema v2): a named downstream consumer of models —
+        pure lineage metadata (no execution), surfaced in the manifest so
+        impact analysis ('what breaks if this model changes?') covers the
+        last mile past the warehouse."""
+        unknown = [d for d in depends_on if d not in self.models and d not in self.sources]
+        if unknown:
+            raise KeyError(f"exposure {name!r} depends on unknown nodes: {unknown}")
+        self.exposures[name] = {
+            "type": exposure_type,
+            "depends_on": list(depends_on),
+            "owner": owner,
+            "url": url,
+        }
 
     # -- resolution --------------------------------------------------------
     def ref(self, name: str) -> DataFrame:
@@ -220,6 +245,7 @@ class Project:
                 for name in order
             },
             "execution_order": order,
+            "exposures": dict(self.exposures),
         }
 
     def drop_warehouse(self) -> None:

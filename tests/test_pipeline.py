@@ -190,3 +190,26 @@ def test_graph_selectors(spark, sf_dir):
     p.build(spark, run_tests=False, subset=up)
     assert set(p.relations) >= up | set(p.sources)
     assert "top_terms_comparison" not in p.relations
+
+
+def test_exposures_in_manifest(spark, sf_dir):
+    import tempfile
+
+    p = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_exp_"))
+    p.add_sources(register_trends_sources(spark, sf_dir))
+    p.add_exposure(
+        "trends_dashboard",
+        depends_on=("weekly_trends_summary", "top_terms_comparison"),
+        owner="analytics",
+        url="https://example.invalid/dash",
+    )
+    try:
+        p.add_exposure("bad", depends_on=("nope",))
+        raise AssertionError("expected KeyError for unknown dep")
+    except KeyError:
+        pass
+    m = p.manifest()
+    assert m["exposures"]["trends_dashboard"]["depends_on"] == [
+        "weekly_trends_summary",
+        "top_terms_comparison",
+    ]
