@@ -438,6 +438,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_revenue_percentiles": QuerySpec(
         R.revenue_percentiles, R.REVENUE_PERCENTILES_SQL
     ),
+    "q_revenue_percentiles_approx": QuerySpec(
+        R.revenue_percentiles_approx, None  # sketch-based: rows-only
+    ),
     "q_above_customer_avg": QuerySpec(
         R.above_customer_avg, R.ABOVE_CUSTOMER_AVG_SQL
     ),

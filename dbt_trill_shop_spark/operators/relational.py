@@ -616,3 +616,23 @@ EXCEPT ALL
 SELECT user_id, event_type FROM events WHERE dayofweek(ts) IN (0, 6)
 ORDER BY user_id, event_type
 """
+
+
+def revenue_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of :func:`revenue_percentiles`: ``approx_percentile``
+    (t-digest style sketch, mergeable across partitions — no per-group sort,
+    bounded memory).  Approximate and engine-specific, so rows-only checked;
+    the accuracy bound vs the exact percentiles is asserted in
+    ``tests/test_scale_features.py``."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(c, 0.5, 1000)").alias("p50_cents"),
+            F.expr("approx_percentile(c, 0.9, 1000)").alias("p90_cents"),
+            F.expr("approx_percentile(c, 0.99, 1000)").alias("p99_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -101,3 +101,21 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(a) > 0
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import (
+        revenue_percentiles,
+        revenue_percentiles_approx,
+    )
+
+    exact = {r["o_orderpriority"]: r for r in revenue_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["o_orderpriority"]: r for r in revenue_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for key, e in exact.items():
+        a = approx[key]
+        for col in ("p50_cents", "p90_cents", "p99_cents"):
+            # t-digest with accuracy=1000: within 2% relative on this data
+            assert abs(a[col] - e[col]) <= 0.02 * e[col] + 1, (key, col, a[col], e[col])
