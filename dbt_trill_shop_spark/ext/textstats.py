@@ -67,7 +67,7 @@ def language_profile(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
 LANGUAGE_PROFILE_SQL = """
 SELECT lang,
        COUNT(*) AS doc_count,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        COUNT(DISTINCT source) AS unique_sources
 FROM documents
@@ -624,7 +624,7 @@ WITH n AS (
 SELECT CAST(FLOOR(n / {bucket}) AS BIGINT) AS bucket_id,
        CAST(FLOOR(n / {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
        COUNT(*) AS n_docs,
-       SUM(n) AS total_tokens,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens,
        MAX(n) AS max_tokens
 FROM n

@@ -246,8 +246,8 @@ WITH flagged AS (
 ),
 sessioned AS (
     SELECT user_id, ts, event_id,
-           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -391,7 +391,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_STATS_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
        ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k

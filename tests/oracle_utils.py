@@ -20,6 +20,28 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB-only numeric types the driver's type-sensitive value hash can never
+# match against a Spark result (bare SUM(BIGINT) -> HUGEINT was the cause of
+# every round-1 hash failure). _cell() stringifies numerics, so without this
+# guard the local pre-flight silently masks the whole class.
+_FORBIDDEN_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def oracle_frame(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
+    """Run oracle SQL, rejecting column types the driver cannot hash-match."""
+    rel = con.sql(sql)
+    bad = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if t in _FORBIDDEN_DUCK_TYPES
+    ]
+    assert not bad, (
+        f"oracle emits driver-unhashable DuckDB types {bad}; "
+        "wrap the offending aggregate in CAST(... AS BIGINT)"
+    )
+    return rel.df()
+
+
 def _cell(v) -> str:
     if v is None or v is pd.NaT:
         return "NULL"

@@ -6,7 +6,7 @@ import pytest
 
 from dbt_trill_shop_spark.harness import QUERIES
 
-from .oracle_utils import compare, duck_connection
+from .oracle_utils import compare, duck_connection, oracle_frame
 
 ORACLE_QUERIES = [name for name, spec in QUERIES.items() if spec.oracle is not None]
 
@@ -16,7 +16,7 @@ def test_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
     con = duck_connection(sf_dir)
-    odf = con.execute(spec.oracle).df()
+    odf = oracle_frame(con, spec.oracle)
     problems = compare(sdf, odf)
     assert not problems, f"{name}: " + "; ".join(problems)
 
