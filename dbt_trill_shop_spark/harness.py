@@ -712,6 +712,36 @@ QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+# Driver verification order. The round-1 driver recorded CORRECTNESS rows for
+# only the first 50 dict entries, which left the whole extension surface
+# (near-dup, vector search, multimodal, streaming) unverified. Keep the seven
+# reference models up front (cheap, and they are the headline), then everything
+# the round-1 run never reached, then the remaining already-verified queries.
+_ROUND1_UNSEEN = [
+    "x_source_overlap", "x_hash_sample", "x_chunk_documents", "x_pii_scrub",
+    "x_pq_encode", "x_semantic_search", "x_ivfpq_topk", "x_pq_topk",
+    "x_semdedup", "x_language_id", "x_language_profile", "x_fingerprint",
+    "x_knn_cosine_topk", "x_embedding_neardup", "x_ivf_assign",
+    "x_ngram_jaccard", "x_ngram_containment", "x_ngram_jaccard_filtered",
+    "x_pack_documents", "x_tfidf_top_terms", "x_dedup_components",
+    "x_decontaminate", "x_training_pipeline", "x_neardup_minhash",
+    "x_neardup_minhash_native", "x_knn_lsh", "x_ivf_topk", "x_simhash_neardup",
+    "m_media_features", "m_patch_grid", "m_frame_sample", "m_resize_plan",
+    "s_stream_weekly_rollup", "s_stream_distinct_users",
+    "s_stream_purchase_attribution",
+]
+_REFERENCE_MODELS = [
+    "stg_top_terms", "stg_top_rising_terms", "stg_international_top_terms",
+    "stg_international_top_rising_terms", "weekly_trends_summary",
+    "top_terms_comparison", "trending_terms_analysis",
+]
+_front = _REFERENCE_MODELS + _ROUND1_UNSEEN
+assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
+QUERIES = {
+    name: QUERIES[name]
+    for name in _front + [n for n in QUERIES if n not in set(_front)]
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
