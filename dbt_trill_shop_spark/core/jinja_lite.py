@@ -47,6 +47,10 @@ SQL_MACROS: dict[str, Callable[..., str]] = {
 def extract_deps(raw_sql: str) -> tuple[str, ...]:
     """Model/source names referenced by the SQL — the model's DAG edges."""
     body = _COMMENT_RE.sub("", raw_sql)
+    # strip {% %} statement blocks too — a ref() inside an un-taken Jinja
+    # branch or macro definition must not register a phantom DAG edge
+    # (compile_model_sql strips them in the same order)
+    body = _BLOCK_RE.sub("", body)
     refs = _REF_RE.findall(body)
     sources = _SOURCE_RE.findall(body)
     seen: dict[str, None] = {}

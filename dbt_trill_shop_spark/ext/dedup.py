@@ -500,6 +500,14 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # min-label propagation did not reach fixpoint: a dup-pair chain
+        # longer than max_iterations would get silently wrong group labels
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (a component's diameter exceeds the budget); "
+            "raise max_iterations"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 

@@ -157,7 +157,14 @@ def hash_sample(
     (join-compatible samples).  Executor-local filter, no shuffle; change
     ``salt`` to draw an independent sample.
     """
-    thr = format(min(int(fraction * 65536), 65536), "04x")
+    if fraction >= 1.0:
+        # int(1.0 * 65536) formats as the 5-char string "10000", and the
+        # lexicographic `h4 < thr` would then keep only hashes starting with
+        # "0" (~6.25% of rows) — silent data loss, so short-circuit instead.
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    thr = format(int(fraction * 65536), "04x")
     h4 = F.substring(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary")), 1, 4
     )

@@ -143,43 +143,82 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """EXACT embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    Block-matrix design: the corpus is L2-normalized and broadcast once as a
-    dense float64 matrix; each Arrow batch of the distributed side computes a
-    (batch x corpus) similarity block with one BLAS gemm and emits only the
-    above-threshold (id_a < id_b) pairs.  ~100x faster than a pairwise
-    expression fold, and the shape that scales: at 100 TB the broadcast side
-    becomes the per-LSH-bucket (or per-IVF-cell) slice and this function is
-    the exact within-block kernel.  Output carries only the pair ids (floats
-    stay engine-internal so the oracle compare is ulp-proof).
+    Distributed block-matrix design (no driver-side materialization): rows
+    are hash-assigned to ``n_blocks`` row blocks; every block pair (i <= j)
+    becomes one ``applyInPandas`` group holding the two blocks, and the group
+    kernel computes the (block x block) similarity tile with one BLAS gemm,
+    emitting only the above-threshold (id_a < id_b) pairs.  One shuffle of
+    ~n_blocks x the input (each row lands in n_blocks tiles); no collect, no
+    driver broadcast, so the corpus never has to fit on one machine — size
+    n_blocks so a single block fits an executor task.  Exact all-pairs is
+    inherently quadratic; at 100 TB route through ``semantic_dedup_pairs``
+    (IVF-cell blocking) or LSH and use this as the exact kernel inside a
+    bounded block.  Output carries only the pair ids (floats stay
+    engine-internal so the oracle compare is ulp-proof).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = embeddings.select(id_col, _as_double(F.col(vec_col)).alias("v")).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
+    n_blocks = 4
+
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # tile index (bi <= bj) as a LocalRelation-backed range, not a Python list
+    r1 = spark.range(n_blocks).select(F.col("id").alias("bi"))
+    r2 = spark.range(n_blocks).select(F.col("id").alias("bj"))
+    tiles = r1.join(r2, F.col("bi") <= F.col("bj"))
+
+    lhs = vecs.join(F.broadcast(tiles), vecs.blk == tiles.bi).select(
+        "bi", "bj", "_id", "v", F.lit(0).alias("side")
+    )
+    rhs = vecs.join(
+        F.broadcast(tiles), (vecs.blk == tiles.bj) & (tiles.bi != tiles.bj)
+    ).select("bi", "bj", "_id", "v", F.lit(1).alias("side"))
 
     out_schema = StructType(
         [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
     )
 
-    def kernel(batches):
-        ids_r, mat_r = bc.value
-        for pdf in batches:
-            a = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ mat_r.T
-            li, ri = np.nonzero(sims >= threshold)
-            id_a = pdf[id_col].to_numpy(dtype=np.int64)[li]
-            id_b = ids_r[ri]
-            keep = id_a < id_b
-            yield pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+    def _norm(pdf: pd.DataFrame):
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
 
-    dist = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    return dist.mapInPandas(kernel, schema=out_schema)
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64")})
+        if bi == bj:
+            part = pdf[pdf["side"] == 0]
+            if part.empty:
+                return empty
+            ids_a, a = _norm(part)
+            ids_b, b = ids_a, a
+        else:
+            pl, pr = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+            if pl.empty or pr.empty:
+                return empty
+            ids_a, a = _norm(pl)
+            ids_b, b = _norm(pr)
+        sims = a @ b.T
+        li, ri = np.nonzero(sims >= threshold)
+        id_a, id_b = ids_a[li], ids_b[ri]
+        lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        keep = lo < hi  # drops self-pairs on the diagonal tile
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
+
+    return (
+        lhs.unionByName(rhs)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, schema=out_schema)
+        .select("id_a", "id_b")
+    )
 
 
 EMBEDDING_NEARDUP_SQL_TEMPLATE = """

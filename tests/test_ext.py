@@ -163,6 +163,21 @@ def test_stratified_sampling_and_mixture_plan(spark, sf_dir):
         assert abs(n - t) <= max(0.35 * t, 8), (k, n, t)  # Bernoulli tolerance
 
 
+def test_hash_sample_boundary_fractions(spark, sf_dir):
+    """fraction>=1.0 must keep every row (the 5-hex-char threshold '10000'
+    used to lexicographically keep only ~6.25%) and fraction<=0 keeps none."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    assert hash_sample(docs, "doc_id", 1.5).count() == n
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    quarter = hash_sample(docs, "doc_id", 0.25).count()
+    assert abs(quarter - 0.25 * n) <= max(0.15 * n, 16)
+
+
 def test_pack_documents_capacity_and_order(spark, sf_dir):
     """No bin may exceed capacity, docs stay in id order within bins, and
     oversized docs are capped into their own allocation."""

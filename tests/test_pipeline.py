@@ -139,6 +139,23 @@ def test_sql_text_models_match_dataframe_models(spark, sf_dir):
     assert got == expect
 
 
+def test_extract_deps_ignores_statement_blocks():
+    """A ref() lexically inside a {% %} statement tag is stripped by
+    compile_model_sql, so extract_deps must not register it as a DAG edge
+    (content BETWEEN block tags stays in the compiled SQL — those refs are
+    genuine deps and must still be found)."""
+    from dbt_trill_shop_spark.core.jinja_lite import extract_deps
+
+    sql = """
+    {% set note = "see {{ ref('phantom_model') }}" %}
+    {# comment mentioning {{ ref('commented_model') }} #}
+    SELECT * FROM {{ ref('real_model') }}
+    JOIN {{ source('ecom', 'top_terms') }} USING (term)
+    {% if true %} LEFT JOIN {{ ref('branch_model') }} USING (term) {% endif %}
+    """
+    assert extract_deps(sql) == ("real_model", "branch_model", "top_terms")
+
+
 def test_sql_file_staging_models_match(spark, sf_dir):
     """The models/sql/*.sql files (dbt directory convention) build through
     the Project DAG and reproduce the DataFrame staging models exactly."""
