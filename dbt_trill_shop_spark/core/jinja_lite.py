@@ -36,12 +36,22 @@ _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*['\"][A-Za-z0-9_]+['\"]\s*,\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
 )
 _MACRO_RE = re.compile(r"\{\{\s*([A-Za-z0-9_]+)\(([^()]*)\)\s*\}\}")
+_CONFIG_RE = re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", re.S)
+_CONFIG_KV_RE = re.compile(r"([A-Za-z_]+)\s*=\s*['\"]([^'\"]*)['\"]")
 
 # SQL-text macro registry (name -> args... -> SQL fragment).  BigQuery-variant
 # semantics to match functions/macros.py cents_to_dollars.
 SQL_MACROS: dict[str, Callable[..., str]] = {
     "cents_to_dollars": lambda col: f"ROUND(({col}) / 100, 2)",
 }
+
+
+def parse_config(raw_sql: str) -> dict[str, str]:
+    """String kwargs of the model's ``{{ config(...) }}`` header — the dbt
+    in-file config surface (``materialized=``, ``schema=``), e.g.
+    reference ``dbt_project.yml:33-38`` routes staging->view, marts->table."""
+    m = _CONFIG_RE.search(raw_sql)
+    return dict(_CONFIG_KV_RE.findall(m.group(1))) if m else {}
 
 
 def extract_deps(raw_sql: str) -> tuple[str, ...]:
@@ -87,12 +97,19 @@ def compile_model_sql(
 def sql_model(
     name: str,
     raw_sql: str,
-    materialization: Materialization = Materialization.VIEW,
+    materialization: Materialization | None = None,
     macros: dict[str, Callable[..., str]] | None = None,
     **model_kwargs,
 ) -> Model:
     """A dbt model from SQL text: deps auto-extracted, body compiled once,
-    executed via temp-view registration + ``spark.sql``."""
+    executed via temp-view registration + ``spark.sql``.  The in-file
+    ``{{ config(...) }}`` supplies materialization/schema unless the caller
+    overrides them explicitly (dbt precedence: in-file config < caller)."""
+    cfg = parse_config(raw_sql)
+    if materialization is None:
+        materialization = Materialization(cfg.get("materialized", "view"))
+    if "schema" not in model_kwargs and "schema" in cfg:
+        model_kwargs["schema"] = cfg["schema"]
     deps = extract_deps(raw_sql)
     compiled = compile_model_sql(raw_sql, macros)
 
@@ -112,12 +129,14 @@ def sql_model(
 
 def load_sql_models(
     directory: str,
-    materialization: Materialization = Materialization.VIEW,
+    materialization: Materialization | None = None,
     macros: dict[str, Callable[..., str]] | None = None,
 ) -> list[Model]:
     """dbt's models/ directory convention: every ``*.sql`` file under
-    ``directory`` becomes a model named after the file stem.  Deterministic
-    (sorted) order; nesting is allowed (dbt subdirectory layout)."""
+    ``directory`` becomes a model named after the file stem, with each file's
+    ``{{ config(...) }}`` choosing view/table unless ``materialization``
+    overrides for all.  Deterministic (sorted) order; nesting is allowed
+    (dbt subdirectory layout)."""
     import os
 
     out: list[Model] = []

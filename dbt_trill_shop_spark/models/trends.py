@@ -203,20 +203,33 @@ def trending_terms_analysis(spark: SparkSession, ref) -> DataFrame:
     )
 
 
+def sql_models_dir() -> str:
+    """models/sql/ — the 7 reference models authored as dbt SQL files (the
+    project's source of truth; the DataFrame builders above are their
+    independently-implemented twins, asserted equal in tests)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "models", "sql")
+
+
 def build_trends_relations(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Ephemeral build of the whole trends DAG (sources -> staging -> marts)
     as lazy DataFrames — used by the correctness harness, where Catalyst sees
     each query as one logical plan end-to-end (views inlined, like dbt views
-    in a warehouse)."""
+    in a warehouse).  Models come from the ``models/sql/*.sql`` dbt files,
+    built in dependency order."""
+    from ..core.jinja_lite import load_sql_models
     from ..fixtures import register_trends_sources
 
     rel: dict[str, DataFrame] = dict(register_trends_sources(spark, sf_dir))
-    ref = rel.__getitem__
-    for stg in _STG_COLS:
-        rel[stg] = _staging_builder(stg)(spark, ref)
-    rel["weekly_trends_summary"] = weekly_trends_summary(spark, ref)
-    rel["top_terms_comparison"] = top_terms_comparison(spark, ref)
-    rel["trending_terms_analysis"] = trending_terms_analysis(spark, ref)
+    pending = {m.name: m for m in load_sql_models(sql_models_dir())}
+    while pending:
+        ready = [m for m in pending.values() if all(d in rel for d in m.deps)]
+        if not ready:
+            raise ValueError(f"unresolvable model deps: {sorted(pending)}")
+        for m in ready:
+            rel[m.name] = m.build(spark, rel.__getitem__)
+            del pending[m.name]
     return rel
 
 
@@ -229,9 +242,87 @@ def _not_nulls(*cols: str) -> list:
     return [NotNull(c) for c in cols]
 
 
+def _model_tests() -> dict[str, list]:
+    """The reference's 68 declarative tests, keyed by model (staging YAMLs +
+    models/marts/*.yml — SURVEY.md §5)."""
+    tests: dict[str, list] = {}
+    for stg in _STG_COLS:
+        tests[stg] = _not_nulls(
+            *[c for c in _STG_COLS[stg] if c not in ("region_code", "region_name")]
+        )
+    tests["weekly_trends_summary"] = [
+        *_not_nulls(
+            "week", "refresh_date", "trend_type", "total_terms",
+            "avg_score", "unique_geos", "trend_category", "market_scope",
+        ),
+        AcceptedValues(
+            "trend_type",
+            ("international_rising", "international_top", "us_rising", "us_top"),
+        ),
+        AcceptedValues("trend_category", ("Rising Trends", "Top Trends")),
+        AcceptedValues("market_scope", ("International", "US Market")),
+    ]
+    tests["top_terms_comparison"] = [
+        *_not_nulls(
+            "scope", "geo_name", "geo_code", "term", "week",
+            "refresh_date", "score", "rank", "rank_category", "interest_level",
+        ),
+        AcceptedValues("scope", ("international", "us_dma")),
+        AcceptedValues("rank_category", ("#1 Term", "Top 5", "Top 10", "Other")),
+        AcceptedValues(
+            "interest_level",
+            (
+                "Very High Interest", "High Interest", "Moderate Interest",
+                "Low Interest", "Very Low Interest",
+            ),
+        ),
+    ]
+    tests["trending_terms_analysis"] = [
+        *_not_nulls(
+            "scope", "geo_name", "geo_code", "term", "week", "refresh_date",
+            "score", "rank", "percent_gain", "rank_tier", "growth_category",
+        ),
+        AcceptedValues("scope", ("international", "us_dma")),
+        AcceptedValues("rank_tier", ("Top 5", "Top 10", "Top 25", "Other")),
+        AcceptedValues(
+            "growth_category",
+            (
+                "Explosive (1000%+)", "Very High (500-999%)", "High (200-499%)",
+                "Moderate (100-199%)", "Low (<100%)",
+            ),
+        ),
+    ]
+    return tests
+
+
+_MODEL_DESCRIPTIONS = {
+    "stg_top_terms": "staging projection (models/staging/stg_top_terms.sql)",
+    "stg_top_rising_terms": "staging projection (models/staging/stg_top_rising_terms.sql)",
+    "stg_international_top_terms": (
+        "staging projection (models/staging/stg_international_top_terms.sql)"
+    ),
+    "stg_international_top_rising_terms": (
+        "staging projection (models/staging/stg_international_top_rising_terms.sql)"
+    ),
+    "weekly_trends_summary": (
+        "weekly trend aggregates (models/marts/weekly_trends_summary.sql)"
+    ),
+    "top_terms_comparison": (
+        "US vs international top terms (models/marts/top_terms_comparison.sql)"
+    ),
+    "trending_terms_analysis": (
+        "rising-term growth analysis (models/marts/trending_terms_analysis.sql)"
+    ),
+}
+
+
 def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Project:
-    """Assemble the full 7-model project (sources must be added separately via
+    """Assemble the full 7-model project from the ``models/sql/*.sql`` dbt
+    files — in-file ``{{ config(...) }}`` picks view/table + schema — and
+    attach the declarative test suites (sources must be added separately via
     ``fixtures.register_trends_sources`` + ``Project.add_sources``)."""
+    from ..core.jinja_lite import load_sql_models
+
     p = Project(
         "dbt_trill_shop_spark",
         target=target,
@@ -242,93 +333,9 @@ def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Pro
         # by week so time-ranged reads prune files.
         table_partition_cols={},
     )
-    for stg in _STG_COLS:
-        tests = _not_nulls(*[c for c in _STG_COLS[stg] if c not in ("region_code", "region_name")])
-        p.add_model(
-            Model(
-                name=stg,
-                builder=_staging_builder(stg),
-                deps=(_STG_SOURCE[stg],),
-                materialization=Materialization.VIEW,
-                description=f"staging projection (models/staging/{stg}.sql)",
-                tests=tests,
-            )
-        )
-    p.add_model(
-        Model(
-            name="weekly_trends_summary",
-            builder=weekly_trends_summary,
-            deps=(
-                "stg_international_top_rising_terms",
-                "stg_international_top_terms",
-                "stg_top_rising_terms",
-                "stg_top_terms",
-            ),
-            materialization=Materialization.TABLE,
-            schema="marts",
-            description="weekly trend aggregates (models/marts/weekly_trends_summary.sql)",
-            tests=[
-                *_not_nulls(
-                    "week", "refresh_date", "trend_type", "total_terms",
-                    "avg_score", "unique_geos", "trend_category", "market_scope",
-                ),
-                AcceptedValues(
-                    "trend_type",
-                    ("international_rising", "international_top", "us_rising", "us_top"),
-                ),
-                AcceptedValues("trend_category", ("Rising Trends", "Top Trends")),
-                AcceptedValues("market_scope", ("International", "US Market")),
-            ],
-        )
-    )
-    p.add_model(
-        Model(
-            name="top_terms_comparison",
-            builder=top_terms_comparison,
-            deps=("stg_international_top_terms", "stg_top_terms"),
-            materialization=Materialization.TABLE,
-            schema="marts",
-            description="US vs international top terms (models/marts/top_terms_comparison.sql)",
-            tests=[
-                *_not_nulls(
-                    "scope", "geo_name", "geo_code", "term", "week",
-                    "refresh_date", "score", "rank", "rank_category", "interest_level",
-                ),
-                AcceptedValues("scope", ("international", "us_dma")),
-                AcceptedValues("rank_category", ("#1 Term", "Top 5", "Top 10", "Other")),
-                AcceptedValues(
-                    "interest_level",
-                    (
-                        "Very High Interest", "High Interest", "Moderate Interest",
-                        "Low Interest", "Very Low Interest",
-                    ),
-                ),
-            ],
-        )
-    )
-    p.add_model(
-        Model(
-            name="trending_terms_analysis",
-            builder=trending_terms_analysis,
-            deps=("stg_international_top_rising_terms", "stg_top_rising_terms"),
-            materialization=Materialization.TABLE,
-            schema="marts",
-            description="rising-term growth analysis (models/marts/trending_terms_analysis.sql)",
-            tests=[
-                *_not_nulls(
-                    "scope", "geo_name", "geo_code", "term", "week", "refresh_date",
-                    "score", "rank", "percent_gain", "rank_tier", "growth_category",
-                ),
-                AcceptedValues("scope", ("international", "us_dma")),
-                AcceptedValues("rank_tier", ("Top 5", "Top 10", "Top 25", "Other")),
-                AcceptedValues(
-                    "growth_category",
-                    (
-                        "Explosive (1000%+)", "Very High (500-999%)", "High (200-499%)",
-                        "Moderate (100-199%)", "Low (<100%)",
-                    ),
-                ),
-            ],
-        )
-    )
+    tests = _model_tests()
+    for m in load_sql_models(sql_models_dir()):
+        m.tests = tests.get(m.name, [])
+        m.description = _MODEL_DESCRIPTIONS.get(m.name, "")
+        p.add_model(m)
     return p

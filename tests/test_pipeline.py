@@ -156,27 +156,39 @@ def test_extract_deps_ignores_statement_blocks():
     assert extract_deps(sql) == ("real_model", "branch_model", "top_terms")
 
 
-def test_sql_file_staging_models_match(spark, sf_dir):
-    """The models/sql/*.sql files (dbt directory convention) build through
-    the Project DAG and reproduce the DataFrame staging models exactly."""
-    import os
+def test_sql_file_models_match_dataframe_twins(spark, sf_dir):
+    """All 7 models/sql/*.sql files (dbt directory convention) build through
+    the Project DAG and reproduce the independently-implemented DataFrame-API
+    builders exactly — staging and marts.  The in-file config must route
+    staging->view, marts->table."""
     import tempfile
 
-    import dbt_trill_shop_spark
-    from dbt_trill_shop_spark.core import Project
+    from dbt_trill_shop_spark.core import Materialization, Project
     from dbt_trill_shop_spark.core.jinja_lite import load_sql_models
-    from dbt_trill_shop_spark.models.trends import build_trends_relations
+    from dbt_trill_shop_spark.models import trends as T
 
-    sql_dir = os.path.join(os.path.dirname(dbt_trill_shop_spark.__file__), "models", "sql")
     p = Project("sqlfiles", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_sqlfwh_"))
     p.add_sources(register_trends_sources(spark, sf_dir))
-    models = load_sql_models(sql_dir)
-    assert len(models) == 4
+    models = load_sql_models(T.sql_models_dir())
+    assert len(models) == 7
+    mats = {m.name: m.materialization for m in models}
+    assert mats["stg_top_terms"] == Materialization.VIEW
+    assert mats["weekly_trends_summary"] == Materialization.TABLE
+    assert {m.name: m.schema for m in models}["top_terms_comparison"] == "marts"
     for m in models:
         p.add_model(m)
     p.build(spark, run_tests=False)
 
-    rel = build_trends_relations(spark, sf_dir)
+    # independent twins: DataFrame-API staging + mart builders over the raw
+    # sources (no SQL-file code path involved)
+    rel = dict(register_trends_sources(spark, sf_dir))
+    ref = rel.__getitem__
+    for stg in T._STG_COLS:
+        rel[stg] = T._staging_builder(stg)(spark, ref)
+    rel["weekly_trends_summary"] = T.weekly_trends_summary(spark, ref)
+    rel["top_terms_comparison"] = T.top_terms_comparison(spark, ref)
+    rel["trending_terms_analysis"] = T.trending_terms_analysis(spark, ref)
+
     for m in models:
         expect = rel[m.name]
         got = p.relations[m.name]
