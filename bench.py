@@ -56,16 +56,21 @@ def main() -> None:
         "trending_terms_analysis",
     ]
     value = round(sum(timings[q] for q in headline if q in timings), 3)
+    # ONE compact JSON line: the driver keeps only a bounded tail of stdout
+    # and parses the last line — round-1's pretty-printed ~4.5 KB line was
+    # truncated mid-dict and recorded as parsed:null.  Compact separators +
+    # 2-decimal per-query timings keep the whole line ~2 KB.
     print(
         json.dumps(
             {
                 "metric": "reference_models_wall_time",
                 "value": value,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "total_all_queries": round(sum(timings.values()), 3),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

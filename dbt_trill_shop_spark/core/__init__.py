@@ -1,13 +1,16 @@
 from .model import Materialization, Model
 from .dag import Project, select_nodes, topo_sort
+from .docs import load_doc_blocks, load_properties, parse_doc_blocks, resolve_doc_refs
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
 from .snapshot import SnapshotStore, snapshot_delta
 from .testing import (
     AcceptedRange,
     AcceptedValues,
+    ConfiguredTest,
     DataTest,
     NotNull,
     Relationships,
+    TestConfig,
     TestResult,
     Unique,
     UniqueCombination,
@@ -23,6 +26,10 @@ __all__ = [
     "sql_model",
     "compile_model_sql",
     "extract_deps",
+    "parse_doc_blocks",
+    "load_doc_blocks",
+    "load_properties",
+    "resolve_doc_refs",
     "DataTest",
     "NotNull",
     "AcceptedValues",
@@ -30,6 +37,8 @@ __all__ = [
     "Unique",
     "UniqueCombination",
     "Relationships",
+    "ConfiguredTest",
+    "TestConfig",
     "TestResult",
     "run_tests",
     "SnapshotStore",

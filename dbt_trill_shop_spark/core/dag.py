@@ -51,6 +51,7 @@ class Project:
         default_schema: str = "analytics",
         warehouse_dir: str | None = None,
         table_partition_cols: dict[str, list[str]] | None = None,
+        vars: dict | None = None,
     ) -> None:
         self.name = name
         self.target = target
@@ -58,7 +59,13 @@ class Project:
         self.warehouse_dir = warehouse_dir or os.path.join(
             tempfile.gettempdir(), f"trillshop_warehouse_{os.getpid()}", target
         )
+        # dbt vars (--vars / dbt_project.yml vars:), read via self.var() and
+        # {{ var('name', default) }} in SQL-file models
+        self.vars: dict = dict(vars or {})
         self.sources: dict[str, DataFrame] = {}
+        # source name -> {"description": ..., "columns": {col: desc}} — the
+        # property-YAML metadata surfaced in the manifest (dbt docs parity)
+        self.source_meta: dict[str, dict] = {}
         self.models: dict[str, Model] = {}
         self.relations: dict[str, DataFrame] = {}
         # name -> partition columns for table sinks (scale lever: the reference
@@ -74,13 +81,28 @@ class Project:
         self.exposures: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
-    def add_source(self, name: str, df: DataFrame) -> None:
+    def add_source(
+        self,
+        name: str,
+        df: DataFrame,
+        description: str = "",
+        columns: dict[str, str] | None = None,
+    ) -> None:
         self.sources[name] = df
         self.relations[name] = df
+        if description or columns:
+            self.source_meta[name] = {
+                "description": description,
+                "columns": dict(columns or {}),
+            }
 
     def add_sources(self, dfs: dict[str, DataFrame]) -> None:
         for k, v in dfs.items():
             self.add_source(k, v)
+
+    def var(self, name: str, default=None):
+        """dbt ``var()``: project-level variable lookup with a default."""
+        return self.vars.get(name, default)
 
     def add_model(self, model: Model) -> None:
         if model.name in self.models:
@@ -129,21 +151,64 @@ class Project:
         return select_nodes(self.models, expr)
 
     def build(
-        self, spark: SparkSession, run_tests: bool = True, subset: set[str] | None = None
+        self,
+        spark: SparkSession,
+        run_tests: bool = True,
+        subset: set[str] | None = None,
+        on_test_failure: str = "continue",
     ) -> dict[str, list[TestResult]]:
         """Materialize every model in topo order; return test results per
-        model.  ``subset`` (e.g. from :meth:`select`) restricts the run."""
+        model.  ``subset`` (e.g. from :meth:`select`) restricts the run.
+
+        ``on_test_failure`` routes error-severity test failures like ``dbt
+        build``: ``"continue"`` records and proceeds, ``"skip_downstream"``
+        skips the failed model's descendants (dbt's default behavior), and
+        ``"raise"`` aborts the run.  Warn-severity results never gate.
+        """
+        if on_test_failure not in ("continue", "skip_downstream", "raise"):
+            raise ValueError(f"bad on_test_failure {on_test_failure!r}")
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
+        store_dir = os.path.join(self.warehouse_dir, "test_failures")
+        skipped: set[str] = set()
         for name in order:
             if subset is not None and name not in subset:
                 continue
             model = self.models[name]
-            df = model.build(spark, self.ref)
+            if skipped & set(model.deps):
+                skipped.add(name)  # transitively skip descendants of failures
+                continue
+            df = model.build(spark, self.ref, self._build_ctx(spark, name))
             self.relations[name] = self._materialize(spark, model, df)
             if run_tests and model.tests:
-                results[name] = run_model_tests(self.relations[name], model.tests, name)
+                results[name] = run_model_tests(
+                    self.relations[name], model.tests, name, store_dir=store_dir
+                )
+                failed = [r for r in results[name] if r.status == "error"]
+                if failed and on_test_failure == "raise":
+                    raise RuntimeError(
+                        f"data test failed on {name}: "
+                        + "; ".join(r.test for r in failed)
+                    )
+                if failed and on_test_failure == "skip_downstream":
+                    skipped.add(name)
         return results
+
+    def _build_ctx(self, spark: SparkSession, name: str) -> dict:
+        """The dbt-style build context for one model: ``vars``, the
+        ``is_incremental()`` flag, and ``this`` (the existing materialized
+        relation, for incremental predicates like
+        ``WHERE ts > (SELECT max(ts) FROM {{ this }})``)."""
+        inc = self.is_incremental_run(name)
+        this = None
+        if inc:
+            this = spark.read.parquet(self.table_path(self.models[name]))
+        return {
+            "vars": self.vars,
+            "is_incremental": inc,
+            "this": this,
+            "model_name": name,
+        }
 
     def table_path(self, model: Model) -> str:
         return os.path.join(self.warehouse_dir, self.schema_for(model), model.name)
@@ -233,13 +298,20 @@ class Project:
         return {
             "project": self.name,
             "target": self.target,
-            "sources": sorted(self.sources),
+            "sources": {
+                name: {
+                    "description": self.source_meta.get(name, {}).get("description", ""),
+                    "columns": self.source_meta.get(name, {}).get("columns", {}),
+                }
+                for name in sorted(self.sources)
+            },
             "nodes": {
                 name: {
                     "deps": list(self.models[name].deps),
                     "materialization": self.models[name].materialization.value,
                     "schema": self.schema_for(self.models[name]),
                     "description": self.models[name].description,
+                    "columns": dict(self.models[name].columns),
                     "tests": [str(t) for t in self.models[name].tests],
                 }
                 for name in order

@@ -5,9 +5,16 @@ reference's model files actually use (the complete list — verified against
 - ``{{ ref('model') }}``            (marts, e.g. top_terms_comparison.sql:8)
 - ``{{ source('src', 'table') }}``  (staging, e.g. stg_top_terms.sql:6)
 - ``{{ macro(args) }}``             (cents_to_dollars, macros/cents_to_dollars.sql)
-- ``{# ... #}`` comments and ``{% ... %}`` statement blocks (config/docs) —
-  stripped; schema routing (generate_schema_name) happens at the Project
-  layer, not in SQL text.
+- ``{% if is_incremental() %} ... {% else %} ... {% endif %}`` — the dbt
+  incremental idiom: the branch is chosen per build from the Project's
+  context (first run vs. rebuild), like dbt's runtime flag;
+- ``{{ this }}``                    — the model's own existing relation
+  (incremental predicates: ``WHERE ts > (SELECT max(ts) FROM {{ this }})``);
+- ``{{ var('name', default) }}``    — project vars (dbt --vars /
+  dbt_project.yml ``vars:``, e.g. reference ``dbt_project.yml:24-25``);
+- ``{# ... #}`` comments and other ``{% ... %}`` statement blocks
+  (config/docs) — stripped; schema routing (generate_schema_name) happens at
+  the Project layer, not in SQL text.
 
 Deliberately NOT a Jinja engine: the grammar above is regular, so regexes
 compile it exactly, with no template-execution surface.  Dependency
@@ -38,6 +45,23 @@ _SOURCE_RE = re.compile(
 _MACRO_RE = re.compile(r"\{\{\s*([A-Za-z0-9_]+)\(([^()]*)\)\s*\}\}")
 _CONFIG_RE = re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", re.S)
 _CONFIG_KV_RE = re.compile(r"([A-Za-z_]+)\s*=\s*['\"]([^'\"]*)['\"]")
+_IF_INC_RE = re.compile(
+    r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)"
+    r"(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}",
+    re.S,
+)
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*['\"]([A-Za-z0-9_:]+)['\"]\s*(?:,\s*([^)]*?)\s*)?\)\s*\}\}"
+)
+
+
+def _render_var(value) -> str:
+    """A var value as SQL text: bools lowercase (valid literals in both Spark
+    and DuckDB), everything else via str() — dbt's raw-text insertion."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
 
 # SQL-text macro registry (name -> args... -> SQL fragment).  BigQuery-variant
 # semantics to match functions/macros.py cents_to_dollars.
@@ -70,12 +94,41 @@ def extract_deps(raw_sql: str) -> tuple[str, ...]:
 
 
 def compile_model_sql(
-    raw_sql: str, macros: dict[str, Callable[..., str]] | None = None
+    raw_sql: str,
+    macros: dict[str, Callable[..., str]] | None = None,
+    is_incremental: bool = False,
+    vars: dict | None = None,
+    this_name: str | None = None,
 ) -> str:
     """Compile dbt-Jinja SQL text to plain Spark SQL: refs/sources become the
     bare relation name (registered as a temp view at build time), macros
-    expand via the registry, comments/blocks are stripped."""
+    expand via the registry, ``is_incremental()`` branches resolve from the
+    flag, ``{{ this }}`` becomes ``this_name``, ``{{ var(...) }}`` resolves
+    from ``vars`` (falling back to the in-text default), and
+    comments/remaining blocks are stripped."""
     body = _COMMENT_RE.sub("", raw_sql)
+    # resolve {% if is_incremental() %} branches BEFORE the generic block
+    # strip (which would otherwise keep both branches' SQL text)
+    body = _IF_INC_RE.sub(
+        lambda m: (m.group(1) if is_incremental else (m.group(2) or "")), body
+    )
+
+    def sub_var(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if vars is not None and name in vars:
+            return _render_var(vars[name])
+        if default is None:
+            raise ValueError(f"var {name!r} has no value and no default")
+        return default.strip().strip("'\"")
+
+    body = _VAR_RE.sub(sub_var, body)
+    if _THIS_RE.search(body):
+        if this_name is None:
+            raise ValueError(
+                "{{ this }} outside an incremental context — the model's "
+                "existing relation is only defined on incremental rebuilds"
+            )
+        body = _THIS_RE.sub(this_name, body)
     body = _BLOCK_RE.sub("", body)
     # {{ config(...) }} is metadata for the Project layer (materialization,
     # schema) — inert in the compiled SQL text
@@ -110,10 +163,27 @@ def sql_model(
         materialization = Materialization(cfg.get("materialized", "view"))
     if "schema" not in model_kwargs and "schema" in cfg:
         model_kwargs["schema"] = cfg["schema"]
+    for key in ("unique_key", "incremental_strategy"):
+        if key not in model_kwargs and key in cfg:
+            model_kwargs[key] = cfg[key]
     deps = extract_deps(raw_sql)
-    compiled = compile_model_sql(raw_sql, macros)
 
-    def build(spark: SparkSession, resolve) -> DataFrame:
+    def build(spark: SparkSession, resolve, ctx: dict | None = None) -> DataFrame:
+        # compiled per build: the is_incremental()/var() context is only
+        # known at run time (dbt compiles at runtime for the same reason)
+        ctx = ctx or {}
+        inc = bool(ctx.get("is_incremental"))
+        this_view = None
+        if inc and ctx.get("this") is not None:
+            this_view = f"__this_{name}__"
+            ctx["this"].createOrReplaceTempView(this_view)
+        compiled = compile_model_sql(
+            raw_sql,
+            macros,
+            is_incremental=inc,
+            vars=ctx.get("vars"),
+            this_name=this_view,
+        )
         for dep in deps:
             resolve(dep).createOrReplaceTempView(dep)
         return spark.sql(compiled)

@@ -32,6 +32,24 @@ Resolver = Callable[[str], "DataFrame"]
 Builder = Union[str, Callable[["SparkSession", Resolver], "DataFrame"]]
 
 
+def _accepts_ctx(fn: Callable) -> bool:
+    """True when the builder declares a third (context) parameter."""
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    positional = [
+        p
+        for p in params.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(positional) >= 3 or any(
+        p.kind is p.VAR_POSITIONAL for p in params.values()
+    )
+
+
 class Materialization(str, enum.Enum):
     VIEW = "view"  # staging models: dbt_project.yml:35-36
     TABLE = "table"  # mart models:    dbt_project.yml:37-38
@@ -52,14 +70,26 @@ class Model:
     materialization: Materialization = Materialization.VIEW
     schema: str | None = None  # custom schema, routed by resolve_schema()
     description: str = ""
+    # column name -> resolved description (dbt property-YAML columns:, with
+    # {{ doc(...) }} refs expanded at parse time — core/docs.py)
+    columns: dict[str, str] = field(default_factory=dict)
     tests: list["DataTest"] = field(default_factory=list)
     # incremental-only knobs (ignored otherwise):
     # merge upserts by unique_key (latest batch wins); append just appends.
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # "merge" | "append"
 
-    def build(self, spark: "SparkSession", resolve: Resolver) -> "DataFrame":
+    def build(
+        self, spark: "SparkSession", resolve: Resolver, ctx: dict | None = None
+    ) -> "DataFrame":
+        """``ctx`` is the dbt-style build context (``vars``,
+        ``is_incremental``, ``this`` — supplied by ``Project.build``); plain
+        two-argument builders ignore it, context-aware builders (SQL-file
+        models with ``{% if is_incremental() %}`` / ``{{ var(...) }}``)
+        declare a third parameter."""
         if callable(self.builder):
+            if ctx is not None and _accepts_ctx(self.builder):
+                return self.builder(spark, resolve, ctx)
             return self.builder(spark, resolve)
         # SQL-text model: dependencies must already be resolvable as views.
         return spark.sql(self.builder)

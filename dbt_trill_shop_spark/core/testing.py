@@ -8,16 +8,23 @@ dbt compiles each to a SELECT returning violating rows; >0 rows = FAIL
 
 We add the dbt_utils-style tests the project declares but never uses
 (``packages.yml:1-7``): ``unique``, ``unique_combination_of_columns``,
-``accepted_range``, ``relationships``.
+``accepted_range``, ``relationships``, plus dbt's test *config* surface:
+``severity`` (``warn`` | ``error``), ``warn_if`` / ``error_if`` count
+thresholds, and ``store_failures`` (violations persisted for audit) — the
+dbt-core knobs a real project sets in its schema YAML.
 
-Scale posture: every test is compiled to a *violations DataFrame* and executed
-via ``.isEmpty()`` — Spark's ``limit(1)``-based probe — so a failing test on a
-100 TB table short-circuits instead of scanning everything.  ``sample_limit``
-rows of violations are collected only on failure, for diagnostics.
+Scale posture: every default-config test is compiled to a *violations
+DataFrame* and executed via ``.isEmpty()`` — Spark's ``limit(1)``-based probe
+— so a failing test on a 100 TB table short-circuits instead of scanning
+everything.  Violation *counts* are computed only when a non-default
+threshold (or a failure needing diagnostics) requires them; ``sample_limit``
+rows are collected only on non-pass, for diagnostics.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass, field
 from typing import Protocol
 
@@ -124,24 +131,103 @@ class Relationships:
         return f"relationships({self.column} -> {self.to_column})"
 
 
+@dataclass(frozen=True)
+class TestConfig:
+    """dbt test config block (schema YAML ``config:``): severity routing and
+    count thresholds.  ``warn_if`` / ``error_if`` are dbt threshold strings
+    (``">0"``, ``">=100"``, ``"!=0"`` ...) evaluated against the violation
+    count."""
+
+    severity: str = "error"  # "error" | "warn"
+    warn_if: str = ">0"
+    error_if: str = ">0"
+    store_failures: bool = False
+
+
+_THRESHOLD_RE = re.compile(r"^\s*(>=|<=|!=|=|>|<)\s*(-?\d+)\s*$")
+
+
+def eval_threshold(expr: str, count: int) -> bool:
+    m = _THRESHOLD_RE.match(expr)
+    if not m:
+        raise ValueError(f"bad threshold expression {expr!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        ">": count > n,
+        ">=": count >= n,
+        "<": count < n,
+        "<=": count <= n,
+        "=": count == n,
+        "!=": count != n,
+    }[op]
+
+
+@dataclass(frozen=True)
+class ConfiguredTest:
+    """A generic test with a non-default dbt config attached."""
+
+    test: DataTest
+    config: TestConfig
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return self.test.violations(df)
+
+    def describe(self) -> str:
+        return self.test.describe()
+
+
 @dataclass
 class TestResult:
     model: str
     test: str
-    passed: bool
+    passed: bool  # True unless status == "error" (dbt: warn is still a pass)
     sample: list | None = None
+    status: str = "pass"  # "pass" | "warn" | "error"
+    failures: int | None = None  # violation count (None when not computed)
+
+
+_DEFAULT_CONFIG = TestConfig()
+
+
+def _evaluate(
+    t, df: DataFrame, model_name: str, sample_limit: int, store_dir: str | None
+) -> TestResult:
+    cfg = t.config if isinstance(t, ConfiguredTest) else _DEFAULT_CONFIG
+    v = t.violations(df)
+    default_thresholds = cfg.warn_if == ">0" and cfg.error_if == ">0"
+    if default_thresholds and not cfg.store_failures:
+        # fast path: limit(1)-style probe, short-circuits on first violation;
+        # the full count is only paid on failure (diagnostics)
+        if v.isEmpty():
+            return TestResult(model_name, t.describe(), True)
+        n = v.count()
+    else:
+        n = v.count()
+    # dbt status routing: error_if fires only under severity=error; warn_if
+    # can fire under either severity.
+    if cfg.severity == "error" and eval_threshold(cfg.error_if, n):
+        status = "error"
+    elif eval_threshold(cfg.warn_if, n):
+        status = "warn"
+    else:
+        status = "pass"
+    sample = None
+    if status != "pass":
+        sample = [r.asDict() for r in v.limit(sample_limit).collect()]
+    if cfg.store_failures and store_dir and (n or 0) > 0:
+        safe = re.sub(r"[^A-Za-z0-9_]+", "_", t.describe())[:120]
+        v.write.mode("overwrite").parquet(os.path.join(store_dir, f"{model_name}__{safe}"))
+    return TestResult(model_name, t.describe(), status != "error", sample, status, n)
 
 
 def run_model_tests(
-    df: DataFrame, tests: list[DataTest], model_name: str, sample_limit: int = 5
+    df: DataFrame,
+    tests: list[DataTest],
+    model_name: str,
+    sample_limit: int = 5,
+    store_dir: str | None = None,
 ) -> list[TestResult]:
-    results = []
-    for t in tests:
-        v = t.violations(df)
-        ok = v.isEmpty()  # limit(1)-style probe: short-circuits on first violation
-        sample = None if ok else [r.asDict() for r in v.limit(sample_limit).collect()]
-        results.append(TestResult(model_name, t.describe(), ok, sample))
-    return results
+    return [_evaluate(t, df, model_name, sample_limit, store_dir) for t in tests]
 
 
 def run_tests(project, spark=None) -> list[TestResult]:

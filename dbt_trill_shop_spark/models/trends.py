@@ -244,7 +244,11 @@ def _not_nulls(*cols: str) -> list:
 
 def _model_tests() -> dict[str, list]:
     """The reference's 68 declarative tests, keyed by model (staging YAMLs +
-    models/marts/*.yml — SURVEY.md §5)."""
+    models/marts/*.yml — SURVEY.md §5).
+
+    Independent Python twin of the ``models/properties.yml`` declarations —
+    the YAML is the build path (``trends_project``); this dict exists so a
+    parity test can assert the two transcriptions agree test-for-test."""
     tests: dict[str, list] = {}
     for stg in _STG_COLS:
         tests[stg] = _not_nulls(
@@ -295,31 +299,31 @@ def _model_tests() -> dict[str, list]:
     return tests
 
 
-_MODEL_DESCRIPTIONS = {
-    "stg_top_terms": "staging projection (models/staging/stg_top_terms.sql)",
-    "stg_top_rising_terms": "staging projection (models/staging/stg_top_rising_terms.sql)",
-    "stg_international_top_terms": (
-        "staging projection (models/staging/stg_international_top_terms.sql)"
-    ),
-    "stg_international_top_rising_terms": (
-        "staging projection (models/staging/stg_international_top_rising_terms.sql)"
-    ),
-    "weekly_trends_summary": (
-        "weekly trend aggregates (models/marts/weekly_trends_summary.sql)"
-    ),
-    "top_terms_comparison": (
-        "US vs international top terms (models/marts/top_terms_comparison.sql)"
-    ),
-    "trending_terms_analysis": (
-        "rising-term growth analysis (models/marts/trending_terms_analysis.sql)"
-    ),
-}
+def properties_path() -> str:
+    """models/properties.yml — the dbt property YAML (sources + models with
+    column docs and the 68 data tests, doc() refs into models/docs/*.md)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "properties.yml")
+
+
+def load_trends_properties() -> dict:
+    """Parse the property YAML with every ``{{ doc(...) }}`` ref resolved
+    against the project's ``{% docs %}`` blocks — dbt's schema-parser step
+    (reference ``models/staging/__sources.yml`` + ``models/docs/
+    google_trends_docs.md``)."""
+    from ..core.docs import default_docs_paths, load_doc_blocks, load_properties
+
+    docs = load_doc_blocks(*default_docs_paths())
+    return load_properties(properties_path(), docs)
 
 
 def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Project:
     """Assemble the full 7-model project from the ``models/sql/*.sql`` dbt
-    files — in-file ``{{ config(...) }}`` picks view/table + schema — and
-    attach the declarative test suites (sources must be added separately via
+    files — in-file ``{{ config(...) }}`` picks view/table + schema — with
+    descriptions, column metadata, and the declarative test suites all parsed
+    from ``models/properties.yml`` + ``models/docs/*.md`` exactly like dbt's
+    schema parser (sources must be added separately via
     ``fixtures.register_trends_sources`` + ``Project.add_sources``)."""
     from ..core.jinja_lite import load_sql_models
 
@@ -333,9 +337,16 @@ def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Pro
         # by week so time-ranged reads prune files.
         table_partition_cols={},
     )
-    tests = _model_tests()
+    props = load_trends_properties()
+    for name, meta in props["sources"].items():
+        p.source_meta[name] = {
+            "description": meta["description"],
+            "columns": meta["columns"],
+        }
     for m in load_sql_models(sql_models_dir()):
-        m.tests = tests.get(m.name, [])
-        m.description = _MODEL_DESCRIPTIONS.get(m.name, "")
+        meta = props["models"].get(m.name, {})
+        m.tests = list(meta.get("tests", []))
+        m.description = meta.get("description", "")
+        m.columns = dict(meta.get("columns", {}))
         p.add_model(m)
     return p

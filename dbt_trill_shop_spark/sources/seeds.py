@@ -99,16 +99,25 @@ def load_seed(
 def load_seeds(
     spark: SparkSession,
     seed_dir: str,
-    load_source_data: bool = True,
+    load_source_data: bool | None = None,
     target: str = "dev",
     schemas: dict[str, T.StructType] | None = None,
+    vars: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Load every ``*.csv`` in ``seed_dir`` whose name has a declared schema.
 
-    ``load_source_data`` mirrors the reference's var gate
-    (``dbt_project.yml:31``): when False, nothing loads.
+    Gating mirrors the reference's seed config
+    (``dbt_project.yml:31`` ``+enabled: "{{ var('load_source_data', false) }}"``):
+    when ``vars`` is given, the ``load_source_data`` var decides (default
+    false, as in the reference); the explicit ``load_source_data`` parameter
+    overrides the var.  With neither supplied, seeds load (the ergonomic
+    default for direct calls).
     """
-    if not load_source_data:
+    if load_source_data is None:
+        enabled = bool(vars.get("load_source_data", False)) if vars is not None else True
+    else:
+        enabled = load_source_data
+    if not enabled:
         return {}
     schemas = schemas or JAFFLE_SEED_SCHEMAS
     out: dict[str, DataFrame] = {}

@@ -125,3 +125,41 @@ def test_snapshot_scd2(spark, tmp_path):
     # idempotency: re-running the same source changes nothing
     s3 = store.run(spark, src2, unique_key="id", updated_at="updated_at")
     assert s3.count() == len(s2_rows) == 4
+
+
+def test_incremental_sql_file_model(spark, events, tmp_path):
+    """The dbt idiom: a SQL-text model with {% if is_incremental() %} and
+    {{ this }} — first build takes the full select, the rebuild's branch
+    restricts to rows newer than the materialized table, and append-merge
+    reproduces the full result exactly."""
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    sql = """
+    {{ config(materialized='incremental', incremental_strategy='append') }}
+    SELECT event_id, user_id, value
+    FROM {{ source('ecom', 'events_src') }}
+    {% if is_incremental() %}
+    WHERE event_id > (SELECT MAX(event_id) FROM {{ this }})
+    {% endif %}
+    """
+    p = Project("inc_sql", warehouse_dir=str(tmp_path / "inc_sql"))
+    m = sql_model("events_copy", sql)
+    assert m.materialization is Materialization.INCREMENTAL
+    assert m.incremental_strategy == "append"
+    p.add_model(m)
+
+    # batch 1: first half only -> full select (non-incremental branch)
+    p.add_source("events_src", events.filter(F.col("event_id") <= cutoff))
+    p.build(spark, run_tests=False)
+    n1 = p.relations["events_copy"].count()
+    assert n1 == events.filter(F.col("event_id") <= cutoff).count()
+
+    # batch 2: the full feed arrives; the incremental branch must append
+    # ONLY rows beyond the stored MAX(event_id)
+    p.add_source("events_src", events)
+    p.build(spark, run_tests=False)
+    out = p.relations["events_copy"]
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()

@@ -242,3 +242,185 @@ def test_exposures_in_manifest(spark, sf_dir):
         "weekly_trends_summary",
         "top_terms_comparison",
     ]
+
+
+def test_doc_blocks_resolve_into_manifest(built_project):
+    """{% docs %} parsing + property-YAML column metadata: every model and
+    source in the manifest carries resolved (non-Jinja) descriptions, like
+    dbt's parse-time doc() resolution (reference __sources.yml:6 +
+    google_trends_docs.md)."""
+    p, _ = built_project
+    m = p.manifest()
+    for name, node in m["nodes"].items():
+        assert node["description"], name
+        assert "{{" not in node["description"], name
+        assert node["columns"], name
+        for col, desc in node["columns"].items():
+            assert desc and "{{" not in desc, (name, col)
+    # all four raw sources documented, column-level included
+    assert set(m["sources"]) == {
+        "top_terms", "top_rising_terms",
+        "international_top_terms", "international_top_rising_terms",
+    }
+    assert "dma_id" in m["sources"]["top_terms"]["columns"]
+    assert "percent_gain" in m["sources"]["international_top_rising_terms"]["columns"]
+    assert m["sources"]["top_terms"]["description"]
+    # marts document their derived columns
+    assert "growth_category" in m["nodes"]["trending_terms_analysis"]["columns"]
+
+
+def test_yaml_tests_match_python_twin():
+    """models/properties.yml test declarations must agree test-for-test with
+    the independently-transcribed Python suite (_model_tests) — two readings
+    of the reference YAMLs (SURVEY.md §5)."""
+    from dbt_trill_shop_spark.models.trends import _model_tests, load_trends_properties
+
+    props = load_trends_properties()
+    twin = _model_tests()
+    assert set(props["models"]) == set(twin)
+    for name, expected in twin.items():
+        got = sorted(t.describe() for t in props["models"][name]["tests"])
+        want = sorted(t.describe() for t in expected)
+        assert got == want, name
+    total = sum(len(m["tests"]) for m in props["models"].values())
+    assert total == 68
+
+
+def test_unknown_doc_ref_raises():
+    from dbt_trill_shop_spark.core.docs import resolve_doc_refs
+
+    try:
+        resolve_doc_refs('{{ doc("no_such_block") }}', {})
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_severity_and_thresholds(spark):
+    """dbt test config: severity=warn never errors; warn_if/error_if are
+    count thresholds; store_failures persists violating rows."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from dbt_trill_shop_spark.core.testing import (
+        ConfiguredTest,
+        NotNull,
+        TestConfig,
+        run_model_tests,
+    )
+
+    df = spark.createDataFrame(
+        [Row(a=1), Row(a=None), Row(a=None), Row(a=3)]
+    )  # 2 violations of not_null(a)
+
+    # default config -> error status
+    [r] = run_model_tests(df, [NotNull("a")], "m")
+    assert r.status == "error" and not r.passed
+
+    # severity=warn -> warn status, still "passed" (dbt: warn is a pass)
+    [r] = run_model_tests(
+        df, [ConfiguredTest(NotNull("a"), TestConfig(severity="warn"))], "m"
+    )
+    assert r.status == "warn" and r.passed and r.failures == 2
+
+    # error_if '>5' not met, warn_if '>0' met -> warn
+    [r] = run_model_tests(
+        df,
+        [ConfiguredTest(NotNull("a"), TestConfig(error_if=">5", warn_if=">0"))],
+        "m",
+    )
+    assert r.status == "warn" and r.failures == 2
+
+    # thresholds that tolerate the count -> pass
+    [r] = run_model_tests(
+        df,
+        [ConfiguredTest(NotNull("a"), TestConfig(error_if=">5", warn_if=">2"))],
+        "m",
+    )
+    assert r.status == "pass" and r.passed
+
+    # store_failures writes the violating rows for audit
+    d = tempfile.mkdtemp(prefix="tf_")
+    [r] = run_model_tests(
+        df,
+        [ConfiguredTest(NotNull("a"), TestConfig(severity="warn", store_failures=True))],
+        "m",
+        store_dir=d,
+    )
+    import os
+
+    stored = [x for x in os.listdir(d) if x.startswith("m__")]
+    assert len(stored) == 1
+    assert spark.read.parquet(os.path.join(d, stored[0])).count() == 2
+
+
+def test_build_test_failure_routing(spark, sf_dir):
+    """on_test_failure: 'raise' aborts on an error-severity failure,
+    'skip_downstream' skips descendants (dbt build), warn never gates."""
+    import tempfile
+
+    from dbt_trill_shop_spark.core import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+    from dbt_trill_shop_spark.core.testing import (
+        AcceptedRange,
+        ConfiguredTest,
+        TestConfig,
+    )
+
+    def fresh(on):
+        p = Project("sev", warehouse_dir=tempfile.mkdtemp(prefix="sev_"))
+        p.add_sources(register_trends_sources(spark, sf_dir))
+        parent = sql_model(
+            "ranked", "SELECT term, rank FROM {{ source('ecom','top_terms') }}"
+        )
+        # rank <= 3 fails on real data (ranks go to 25)
+        parent.tests = [AcceptedRange("rank", max_value=3)]
+        child = sql_model("child", "SELECT COUNT(*) AS n FROM {{ ref('ranked') }}")
+        p.add_model(parent)
+        p.add_model(child)
+        return p
+
+    try:
+        fresh("raise").build(spark, on_test_failure="raise")
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+
+    p = fresh("skip")
+    p.build(spark, on_test_failure="skip_downstream")
+    assert "ranked" in p.relations and "child" not in p.relations
+
+    # same violation at warn severity: downstream builds anyway
+    p = fresh("warn")
+    p.models["ranked"].tests = [
+        ConfiguredTest(AcceptedRange("rank", max_value=3), TestConfig(severity="warn"))
+    ]
+    results = p.build(spark, on_test_failure="skip_downstream")
+    assert "child" in p.relations
+    assert results["ranked"][0].status == "warn"
+
+
+def test_var_substitution_in_sql_models(spark, sf_dir):
+    """{{ var('name', default) }}: project vars flow into SQL-file models;
+    in-text defaults apply when the var is unset (dbt --vars)."""
+    import tempfile
+
+    from dbt_trill_shop_spark.core import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    sql = (
+        "SELECT term, rank FROM {{ source('ecom','top_terms') }} "
+        "WHERE rank <= {{ var('max_rank', 5) }}"
+    )
+    p = Project("vars", warehouse_dir=tempfile.mkdtemp(prefix="v1_"), vars={"max_rank": 2})
+    p.add_sources(register_trends_sources(spark, sf_dir))
+    p.add_model(sql_model("top_ranked", sql))
+    p.build(spark, run_tests=False)
+    assert p.relations["top_ranked"].agg({"rank": "max"}).collect()[0][0] == 2
+
+    p2 = Project("vars2", warehouse_dir=tempfile.mkdtemp(prefix="v2_"))
+    p2.add_sources(register_trends_sources(spark, sf_dir))
+    p2.add_model(sql_model("top_ranked", sql))
+    p2.build(spark, run_tests=False)
+    assert p2.relations["top_ranked"].agg({"rank": "max"}).collect()[0][0] == 5

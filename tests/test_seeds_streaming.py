@@ -130,3 +130,19 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type#" in plan
     assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_seed_var_gating(spark):
+    """The reference gates seeds on var('load_source_data', false)
+    (dbt_project.yml:31): unset -> skip, truthy -> load; an explicit
+    parameter overrides the var."""
+    d = tempfile.mkdtemp(prefix="seeds_var_")
+    for fname, content in SEED_CSVS.items():
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(content)
+    assert load_seeds(spark, d, vars={}) == {}  # reference default: false
+    assert load_seeds(spark, d, vars={"load_source_data": False}) == {}
+    out = load_seeds(spark, d, vars={"load_source_data": True})
+    assert set(out) == {"raw_customers", "raw_products", "raw_stores"}
+    # explicit parameter wins over the var
+    assert load_seeds(spark, d, load_source_data=False, vars={"load_source_data": True}) == {}
