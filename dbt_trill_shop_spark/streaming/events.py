@@ -77,25 +77,55 @@ GROUP BY CAST(date_trunc('week', ts) AS DATE), event_type
 
 
 def run_stream_to_memory(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a memory
-    sink and return the result table (batch DataFrame)."""
-    name = name or f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    sink and return the result table (batch DataFrame).
+
+    ``shuffle_partitions`` bounds the stateful-operator partition count for
+    this query only (the session conf is restored afterwards).  Every
+    stateful streaming operator instantiates one state store per shuffle
+    partition *per micro-batch*, so the partition count must be sized to
+    state volume, not to the session's batch-join default: a stream-stream
+    join draining one file at 32 partitions spent 3x longer creating empty
+    HDFS-backed stores than joining (9.1 s -> 2.8 s at 8 partitions,
+    sf0.1).  On a real cluster, size it to ~cores while state per partition
+    stays in the store's memory budget."""
+    spark = df.sparkSession
+    prev: str | None = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = name or f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+# Bounded state-store count for the availableNow demo drains (see
+# run_stream_to_memory docstring for the sizing rationale / measurements).
+_DRAIN_SHUFFLE_PARTITIONS = 8
 
 
 def stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harness entry: the full stream pipeline drained to a batch result."""
-    return run_stream_to_memory(weekly_event_counts_stream(stream_events(spark, sf_dir)))
+    return run_stream_to_memory(
+        weekly_event_counts_stream(stream_events(spark, sf_dir)),
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
@@ -152,7 +182,9 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time instead of keeping all keys forever."""
     ev = stream_events(spark, sf_dir)
     distinct = ev.select("user_id").dropDuplicates(["user_id"])
-    return run_stream_to_memory(distinct, output_mode="append")
+    return run_stream_to_memory(
+        distinct, output_mode="append", shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS
+    )
 
 
 STREAM_DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
@@ -207,7 +239,9 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harness entry: stream-stream attribution join drained to batch."""
     ev = stream_events(spark, sf_dir)
     return run_stream_to_memory(
-        purchase_attribution_stream(ev), output_mode="append"
+        purchase_attribution_stream(ev),
+        output_mode="append",
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
     )
 
 
