@@ -1,8 +1,8 @@
-from .model import Materialization, Model
+from .model import ContractError, Materialization, Model, enforce_contract
 from .dag import Project, select_nodes, topo_sort
 from .docs import load_doc_blocks, load_properties, parse_doc_blocks, resolve_doc_refs
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
-from .snapshot import SnapshotStore, snapshot_delta
+from .snapshot import SnapshotStore, snapshot_delta, snapshot_delta_check
 from .testing import (
     AcceptedRange,
     AcceptedValues,
@@ -18,6 +18,8 @@ from .testing import (
 )
 
 __all__ = [
+    "ContractError",
+    "enforce_contract",
     "Materialization",
     "Model",
     "Project",
@@ -43,4 +45,5 @@ __all__ = [
     "run_tests",
     "SnapshotStore",
     "snapshot_delta",
+    "snapshot_delta_check",
 ]

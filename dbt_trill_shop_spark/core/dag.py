@@ -27,7 +27,7 @@ from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .model import Materialization, Model, resolve_schema
+from .model import Materialization, Model, enforce_contract, resolve_schema
 from .testing import TestResult, run_model_tests
 
 
@@ -79,6 +79,8 @@ class Project:
         # dbt exposures: declared downstream consumers (dashboards, ML jobs)
         # — lineage-only metadata; name -> (type, depends_on, owner, url)
         self.exposures: dict[str, dict] = {}
+        # per-node outcome of the most recent build() (dbt run_results)
+        self.last_run_results: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
     def add_source(
@@ -167,19 +169,30 @@ class Project:
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
+        import time
+
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
         store_dir = os.path.join(self.warehouse_dir, "test_failures")
         skipped: set[str] = set()
+        self.last_run_results = {}
         for name in order:
             if subset is not None and name not in subset:
                 continue
             model = self.models[name]
             if skipped & set(model.deps):
                 skipped.add(name)  # transitively skip descendants of failures
+                self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
                 continue
+            t0 = time.perf_counter()
             df = model.build(spark, self.ref, self._build_ctx(spark, name))
+            if model.contract:
+                enforce_contract(name, df, model.contract)
             self.relations[name] = self._materialize(spark, model, df)
+            self.last_run_results[name] = {
+                "status": "success",
+                "execution_time": round(time.perf_counter() - t0, 3),
+            }
             if run_tests and model.tests:
                 results[name] = run_model_tests(
                     self.relations[name], model.tests, name, store_dir=store_dir
@@ -319,6 +332,35 @@ class Project:
             "execution_order": order,
             "exposures": dict(self.exposures),
         }
+
+    def write_artifacts(
+        self, directory: str, test_results: dict[str, list[TestResult]] | None = None
+    ) -> None:
+        """dbt's ``target/`` artifacts: ``manifest.json`` (the node graph +
+        docs metadata) and ``run_results.json`` (per-node status and timing
+        from the last :meth:`build`, plus per-test statuses) — the files
+        downstream tooling (lineage UIs, CI gates, freshness monitors)
+        consumes."""
+        import json
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "manifest.json"), "w") as fh:
+            json.dump(self.manifest(), fh, indent=2, default=str)
+        entries = [
+            {"unique_id": f"model.{self.name}.{n}", **res}
+            for n, res in self.last_run_results.items()
+        ]
+        for model_name, rs in (test_results or {}).items():
+            for r in rs:
+                entries.append(
+                    {
+                        "unique_id": f"test.{self.name}.{model_name}.{r.test}",
+                        "status": r.status,
+                        "failures": r.failures,
+                    }
+                )
+        with open(os.path.join(directory, "run_results.json"), "w") as fh:
+            json.dump({"results": entries}, fh, indent=2, default=str)
 
     def drop_warehouse(self) -> None:
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)

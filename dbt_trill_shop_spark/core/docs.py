@@ -134,11 +134,14 @@ def parse_test_entry(entry: str | dict, column: str | None):
 def _columns_meta(cols: list[dict], docs: dict[str, str]):
     columns: dict[str, str] = {}
     tests: list = []
+    types: dict[str, str] = {}
     for c in cols or []:
         columns[c["name"]] = resolve_doc_refs(c.get("description", ""), docs)
+        if "data_type" in c:
+            types[c["name"]] = str(c["data_type"])
         for entry in c.get("data_tests", c.get("tests", []) or []):
             tests.append(parse_test_entry(entry, c["name"]))
-    return columns, tests
+    return columns, tests, types
 
 
 def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
@@ -156,7 +159,7 @@ def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
     out: dict[str, dict] = {"sources": {}, "models": {}}
     for src in spec.get("sources", []) or []:
         for tbl in src.get("tables", []) or []:
-            columns, tests = _columns_meta(tbl.get("columns"), docs)
+            columns, tests, _types = _columns_meta(tbl.get("columns"), docs)
             out["sources"][tbl["name"]] = {
                 "source": src["name"],
                 "description": resolve_doc_refs(tbl.get("description", ""), docs),
@@ -165,13 +168,18 @@ def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
                 "tests": tests,
             }
     for mdl in spec.get("models", []) or []:
-        columns, tests = _columns_meta(mdl.get("columns"), docs)
+        columns, tests, types = _columns_meta(mdl.get("columns"), docs)
         for entry in mdl.get("data_tests", mdl.get("tests", []) or []):
             tests.append(parse_test_entry(entry, None))
+        # dbt model contract: config.contract.enforced + per-column data_type
+        enforced = bool(
+            ((mdl.get("config") or {}).get("contract") or {}).get("enforced", False)
+        )
         out["models"][mdl["name"]] = {
             "description": resolve_doc_refs(mdl.get("description", ""), docs),
             "columns": columns,
             "tests": tests,
+            "contract": types if enforced else None,
         }
     return out
 

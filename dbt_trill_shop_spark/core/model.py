@@ -73,6 +73,11 @@ class Model:
     # column name -> resolved description (dbt property-YAML columns:, with
     # {{ doc(...) }} refs expanded at parse time — core/docs.py)
     columns: dict[str, str] = field(default_factory=dict)
+    # dbt model contract (config: contract: enforced: true + per-column
+    # data_type): when set, the built DataFrame's schema must match exactly —
+    # same column set, declared Spark types — or the build fails before
+    # materialization.  None = no contract.
+    contract: dict[str, str] | None = None
     tests: list["DataTest"] = field(default_factory=list)
     # incremental-only knobs (ignored otherwise):
     # merge upserts by unique_key (latest batch wins); append just appends.
@@ -93,6 +98,32 @@ class Model:
             return self.builder(spark, resolve)
         # SQL-text model: dependencies must already be resolvable as views.
         return spark.sql(self.builder)
+
+
+class ContractError(Exception):
+    """A built model's schema violates its declared contract."""
+
+
+def enforce_contract(name: str, df: "DataFrame", contract: dict[str, str]) -> None:
+    """dbt contract enforcement: the relation must expose exactly the
+    declared columns with the declared types (compared on Spark's
+    ``simpleString`` form, case-insensitive).  Raises :class:`ContractError`
+    listing every violation — build-time schema drift fails fast instead of
+    shipping a silently-changed table to consumers."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems: list[str] = []
+    for col, declared in contract.items():
+        if col not in actual:
+            problems.append(f"missing column {col!r} (declared {declared})")
+        elif actual[col] != declared.strip().lower():
+            problems.append(
+                f"column {col!r} is {actual[col]}, contract declares {declared}"
+            )
+    for col in actual:
+        if col not in contract:
+            problems.append(f"undeclared column {col!r} ({actual[col]})")
+    if problems:
+        raise ContractError(f"model {name!r} violates its contract: " + "; ".join(problems))
 
 
 def resolve_schema(

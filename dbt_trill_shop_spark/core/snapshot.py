@@ -3,7 +3,9 @@
 The reference project ships an empty ``snapshots/`` directory
 (`dbt_project.yml:16` points snapshot-paths there), i.e. the capability is
 part of the execution model it rides on even though no snapshot is defined.
-Semantics implemented here = dbt's **timestamp strategy**:
+Both dbt strategies are implemented: **timestamp** (``snapshot_delta``) and
+**check** (``snapshot_delta_check`` — compares configured columns when the
+source has no reliable ``updated_at``).  Timestamp semantics:
 
 - first run: every row becomes current (``valid_from = updated_at``,
   ``valid_to = NULL``);
@@ -72,6 +74,74 @@ def snapshot_delta(
     return closed_rows.unionByName(updated_open).unionByName(new_versions)
 
 
+def snapshot_delta_check(
+    existing: DataFrame | None,
+    source: DataFrame,
+    unique_key: str,
+    snapshot_at,
+    check_cols: list[str] | None = None,
+) -> DataFrame:
+    """dbt's **check** snapshot strategy: a row changed iff any of
+    ``check_cols`` (default: every non-key column) differs from the open
+    version — for sources without a trustworthy ``updated_at``.
+
+    ``snapshot_at`` is the run's timestamp (dbt uses the invocation time;
+    passed explicitly here so runs are deterministic and testable).  Changed
+    keys close the open row at ``snapshot_at`` and open a new version from
+    it; new keys open; vanished keys stay open (no hard deletes).
+
+    Scale shape: both sides reduce to (key, xxhash64(check_cols)) before the
+    single key-shuffle join — the wide row never shuffles twice.
+    """
+    at = F.lit(snapshot_at).cast("timestamp")
+    src = source.withColumn(VALID_FROM, at).withColumn(
+        VALID_TO, F.lit(None).cast("timestamp")
+    )
+    if existing is None:
+        return src
+
+    cols = check_cols or [c for c in source.columns if c != unique_key]
+    # xxhash64 over the checked columns: one 8-byte comparison per pair
+    # instead of N column equalities through the join
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(unique_key).alias("_k"), F.xxhash64(*[F.col(c) for c in cols]).alias("_fp")
+        )
+
+    open_rows = existing.filter(F.col(VALID_TO).isNull())
+    closed_rows = existing.filter(F.col(VALID_TO).isNotNull())
+    changed_keys = (
+        fp(open_rows)
+        .join(
+            fp(source).withColumnRenamed("_fp", "_fp_new"),
+            "_k",
+        )
+        .filter(F.col("_fp") != F.col("_fp_new"))
+        .select("_k")
+    )
+    open_keys = open_rows.select(F.col(unique_key).alias("_k"))
+
+    # close changed open rows at snapshot_at; others stay open
+    updated_open = (
+        open_rows.join(
+            changed_keys.withColumn("_chg", F.lit(True)),
+            open_rows[unique_key] == F.col("_k"),
+            "left",
+        )
+        .withColumn(VALID_TO, F.when(F.col("_chg"), at).otherwise(F.col(VALID_TO)))
+        .drop("_k", "_chg")
+    )
+    # new versions: changed keys + never-seen keys
+    new_versions = src.join(
+        changed_keys.union(
+            src.select(F.col(unique_key).alias("_k")).join(open_keys, "_k", "left_anti")
+        ).distinct(),
+        src[unique_key] == F.col("_k"),
+        "left_semi",
+    )
+    return closed_rows.unionByName(updated_open).unionByName(new_versions)
+
+
 class SnapshotStore:
     """Parquet-backed snapshot runner (write-then-swap like Project tables).
 
@@ -85,12 +155,31 @@ class SnapshotStore:
         self.path = path
 
     def run(
-        self, spark: SparkSession, source: DataFrame, unique_key: str, updated_at: str
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        unique_key: str,
+        updated_at: str | None = None,
+        *,
+        strategy: str = "timestamp",
+        snapshot_at=None,
+        check_cols: list[str] | None = None,
     ) -> DataFrame:
         existing = (
             spark.read.parquet(self.path) if os.path.exists(self.path) else None
         )
-        result = snapshot_delta(existing, source, unique_key, updated_at)
+        if strategy == "timestamp":
+            if updated_at is None:
+                raise ValueError("timestamp strategy needs updated_at")
+            result = snapshot_delta(existing, source, unique_key, updated_at)
+        elif strategy == "check":
+            if snapshot_at is None:
+                raise ValueError("check strategy needs snapshot_at")
+            result = snapshot_delta_check(
+                existing, source, unique_key, snapshot_at, check_cols
+            )
+        else:
+            raise ValueError(f"unknown snapshot strategy {strategy!r}")
         tmp = self.path + ".__new__"
         result.write.mode("overwrite").parquet(tmp)
         old = self.path + ".__old__"

@@ -348,5 +348,6 @@ def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Pro
         m.tests = list(meta.get("tests", []))
         m.description = meta.get("description", "")
         m.columns = dict(meta.get("columns", {}))
+        m.contract = meta.get("contract")
         p.add_model(m)
     return p

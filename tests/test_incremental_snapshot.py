@@ -163,3 +163,35 @@ def test_incremental_sql_file_model(spark, events, tmp_path):
     out = p.relations["events_copy"]
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_snapshot_check_strategy(spark, tmp_path):
+    """dbt 'check' snapshot strategy: change detection by comparing declared
+    columns (no updated_at needed); changed keys close at snapshot_at and
+    reopen, unchanged pass through, vanished keys stay open."""
+    from dbt_trill_shop_spark.core import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snap_check"))
+    v1 = spark.createDataFrame(
+        [(1, "ada", "eng"), (2, "grace", "eng"), (3, "alan", "math")],
+        "id long, name string, dept string",
+    )
+    t1 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    s1 = store.run(spark, v1, "id", strategy="check", snapshot_at=t1)
+    assert s1.count() == 3
+    assert s1.filter("dbt_valid_to IS NULL").count() == 3
+
+    # v2: id=2 changes dept, id=3 vanishes, id=4 appears
+    v2 = spark.createDataFrame(
+        [(1, "ada", "eng"), (2, "grace", "research"), (4, "edsger", "eng")],
+        "id long, name string, dept string",
+    )
+    t2 = datetime.datetime(2026, 2, 1, 0, 0, 0)
+    s2 = store.run(spark, v2, "id", strategy="check", snapshot_at=t2)
+    rows = {(r["id"], r["dept"], r["dbt_valid_to"]) for r in s2.collect()}
+    assert (2, "eng", t2) in rows  # old version closed at snapshot time
+    assert (2, "research", None) in rows  # new version open
+    assert (3, "math", None) in rows  # vanished key stays open
+    assert (4, "eng", None) in rows  # new key opens
+    assert (1, "eng", None) in rows  # unchanged passes through
+    assert s2.count() == 5

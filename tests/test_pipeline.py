@@ -424,3 +424,103 @@ def test_var_substitution_in_sql_models(spark, sf_dir):
     p2.add_model(sql_model("top_ranked", sql))
     p2.build(spark, run_tests=False)
     assert p2.relations["top_ranked"].agg({"rank": "max"}).collect()[0][0] == 5
+
+
+def test_model_contract_enforcement(spark, sf_dir):
+    """dbt contracts: config contract.enforced + column data_type — a build
+    whose schema drifts (wrong type, missing or undeclared column) fails
+    before materialization."""
+    import tempfile
+
+    from dbt_trill_shop_spark.core import ContractError, Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    def project_with(contract):
+        p = Project("contract", warehouse_dir=tempfile.mkdtemp(prefix="ct_"))
+        p.add_sources(register_trends_sources(spark, sf_dir))
+        m = sql_model(
+            "ranked", "SELECT term, rank FROM {{ source('ecom','top_terms') }}"
+        )
+        m.contract = contract
+        p.add_model(m)
+        return p
+
+    # matching contract: builds fine
+    p = project_with({"term": "string", "rank": "bigint"})
+    p.build(spark, run_tests=False)
+    assert p.relations["ranked"].count() > 0
+
+    # wrong declared type
+    try:
+        project_with({"term": "string", "rank": "string"}).build(spark, run_tests=False)
+        raise AssertionError("expected ContractError")
+    except ContractError as e:
+        assert "rank" in str(e)
+
+    # undeclared column in the relation
+    try:
+        project_with({"term": "string"}).build(spark, run_tests=False)
+        raise AssertionError("expected ContractError")
+    except ContractError as e:
+        assert "undeclared" in str(e)
+
+    # declared column missing from the relation
+    try:
+        project_with(
+            {"term": "string", "rank": "bigint", "ghost": "double"}
+        ).build(spark, run_tests=False)
+        raise AssertionError("expected ContractError")
+    except ContractError as e:
+        assert "ghost" in str(e)
+
+
+def test_contract_parses_from_property_yaml(tmp_path):
+    """config: contract: enforced + data_type per column -> Model.contract."""
+    from dbt_trill_shop_spark.core.docs import load_properties
+
+    yml = tmp_path / "props.yml"
+    yml.write_text(
+        """
+version: 2
+models:
+  - name: contracted
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: id
+        data_type: bigint
+      - name: label
+        data_type: string
+  - name: uncontracted
+    columns:
+      - name: id
+        data_type: bigint
+"""
+    )
+    props = load_properties(str(yml))
+    assert props["models"]["contracted"]["contract"] == {"id": "bigint", "label": "string"}
+    assert props["models"]["uncontracted"]["contract"] is None
+
+
+def test_write_artifacts(built_project, tmp_path):
+    """dbt target/ artifacts: manifest.json + run_results.json with per-node
+    status/timing and per-test statuses."""
+    import json
+    import os
+
+    p, results = built_project
+    d = str(tmp_path / "target")
+    p.write_artifacts(d, results)
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert len(m["nodes"]) == 7 and m["project"]
+    with open(os.path.join(d, "run_results.json")) as fh:
+        rr = json.load(fh)["results"]
+    model_entries = [e for e in rr if e["unique_id"].startswith("model.")]
+    test_entries = [e for e in rr if e["unique_id"].startswith("test.")]
+    assert len(model_entries) == 7
+    assert all(e["status"] == "success" for e in model_entries)
+    assert all(e["execution_time"] >= 0 for e in model_entries)
+    assert len(test_entries) == 68
+    assert all(e["status"] == "pass" for e in test_entries)
