@@ -38,11 +38,22 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t)
 
+    def release_checkpoints() -> None:
+        """Unpersist every persistent RDD (localCheckpoint blocks from the
+        shingle/CC/banded operators).  Queries are timed independently, but
+        checkpoint blocks outlive their query and accumulate executor memory
+        across the 80+ query run — observed to inflate late queries several-
+        fold under storage/GC pressure at larger SFs."""
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_checkpoints()
 
     # headline metric = the reference's own 7 models (stable across rounds
     # even as harness coverage grows); every query's timing is still reported.

@@ -115,8 +115,10 @@ from .ext.textstats import (
 from .fixtures.oracle import with_prelude
 from .streaming.events import (
     STREAM_ATTRIBUTION_SQL,
+    STREAM_DEDUP_SQL,
     STREAM_DISTINCT_USERS_SQL,
     STREAM_WEEKLY_SQL,
+    stream_dedup_events,
     stream_distinct_users,
     stream_purchase_attribution,
     stream_weekly_rollup,
@@ -707,6 +709,8 @@ QUERIES: dict[str, QuerySpec] = {
     "s_stream_purchase_attribution": QuerySpec(
         stream_purchase_attribution, STREAM_ATTRIBUTION_SQL
     ),
+    # watermark-bounded streaming dedup (state evicted past the watermark)
+    "s_stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -725,7 +729,7 @@ _ROUND1_UNSEEN = [
     "x_knn_lsh", "x_ivf_topk", "x_simhash_neardup",
     "m_media_features", "m_patch_grid", "m_frame_sample", "m_resize_plan",
     "s_stream_weekly_rollup", "s_stream_distinct_users",
-    "s_stream_purchase_attribution",
+    "s_stream_purchase_attribution", "s_stream_dedup_events",
 ]
 _REFERENCE_MODELS = [
     "stg_top_terms", "stg_top_rising_terms", "stg_international_top_terms",

@@ -190,6 +190,28 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with event-time-bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only while the key
+    can still recur inside the watermark, then evicts — the production shape
+    for exactly-once dedup over an unbounded stream (plain ``dropDuplicates``
+    state grows forever).  Emitting only the dedup key makes the availableNow
+    drain equal batch ``SELECT DISTINCT``, so the operator is
+    oracle-checkable despite the arbitrary-representative semantics."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "14 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(
+        deduped, output_mode="append", shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS
+    )
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def purchase_attribution_stream(
     events: DataFrame,
     watermark: str = "14 days",

@@ -146,3 +146,19 @@ def test_seed_var_gating(spark):
     assert set(out) == {"raw_customers", "raw_products", "raw_stores"}
     # explicit parameter wins over the var
     assert load_seeds(spark, d, load_source_data=False, vars={"load_source_data": True}) == {}
+
+
+def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the event stream, keyed on
+    (user_id, event_type) and projected to the key, equals batch DISTINCT."""
+    from dbt_trill_shop_spark.streaming import stream_dedup_events
+
+    got = {tuple(r) for r in stream_dedup_events(spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
