@@ -2,6 +2,13 @@ from .model import ContractError, Materialization, Model, enforce_contract
 from .dag import Project, select_nodes, topo_sort
 from .docs import load_doc_blocks, load_properties, parse_doc_blocks, resolve_doc_refs
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
+from .quality import (
+    FreshnessPolicy,
+    UnitTest,
+    UnitTestResult,
+    check_freshness,
+    run_unit_test,
+)
 from .snapshot import SnapshotStore, snapshot_delta, snapshot_delta_check
 from .testing import (
     AcceptedRange,
@@ -28,6 +35,11 @@ __all__ = [
     "sql_model",
     "compile_model_sql",
     "extract_deps",
+    "FreshnessPolicy",
+    "check_freshness",
+    "UnitTest",
+    "UnitTestResult",
+    "run_unit_test",
     "parse_doc_blocks",
     "load_doc_blocks",
     "load_properties",

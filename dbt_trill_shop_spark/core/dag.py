@@ -259,6 +259,28 @@ class Project:
         path = self.table_path(model)
         parts = self.table_partition_cols.get(model.name)
         if model.materialization is Materialization.INCREMENTAL and os.path.exists(path):
+            if model.incremental_strategy == "insert_overwrite":
+                # TRUE partition-level replacement (dbt insert_overwrite on a
+                # partitioned warehouse): dynamic partitionOverwriteMode
+                # rewrites ONLY the partitions present in the batch — at
+                # 100 TB the untouched years of history are never read,
+                # shuffled, or rewritten.  No write-then-swap needed: the
+                # batch never reads `path` (it replaces whole partitions).
+                if not parts:
+                    raise ValueError(
+                        f"insert_overwrite model {model.name!r} needs partition "
+                        "columns (table_partition_cols)"
+                    )
+                (
+                    df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*parts)
+                    .parquet(path)
+                )
+                spark.catalog.refreshByPath(path)
+                out = spark.read.parquet(path)
+                out.createOrReplaceTempView(view_name)
+                return out
             df = self._incremental_result(spark, model, df, path)
         writer = df.write.mode("overwrite")
         if parts:
@@ -288,6 +310,9 @@ class Project:
           in the batch are replaced (left_anti + union), like dbt's merge on a
           warehouse.  The anti join broadcasts the batch's key set when small
           (the common case: one partition of new data vs years of history).
+
+        (``insert_overwrite`` never reaches here — it writes partition-
+        directly in ``_materialize`` with dynamic partitionOverwriteMode.)
         """
         existing = spark.read.parquet(path)
         batch = batch.select(*existing.columns)  # align positionally-stable

@@ -25,6 +25,7 @@ from typing import Any
 
 import yaml
 
+from .quality import FreshnessPolicy, parse_unit_tests
 from .testing import (
     AcceptedRange,
     AcceptedValues,
@@ -158,14 +159,23 @@ def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
         spec = yaml.safe_load(fh) or {}
     out: dict[str, dict] = {"sources": {}, "models": {}}
     for src in spec.get("sources", []) or []:
+        src_fresh = src.get("freshness")
+        src_loaded = src.get("loaded_at_field", "")
         for tbl in src.get("tables", []) or []:
             columns, tests, _types = _columns_meta(tbl.get("columns"), docs)
+            fresh_spec = tbl.get("freshness", src_fresh)  # table overrides source
+            freshness = None
+            if fresh_spec:
+                freshness = FreshnessPolicy.from_yaml(
+                    {**fresh_spec, "loaded_at_field": tbl.get("loaded_at_field", src_loaded)}
+                )
             out["sources"][tbl["name"]] = {
                 "source": src["name"],
                 "description": resolve_doc_refs(tbl.get("description", ""), docs),
                 "source_description": resolve_doc_refs(src.get("description", ""), docs),
                 "columns": columns,
                 "tests": tests,
+                "freshness": freshness,
             }
     for mdl in spec.get("models", []) or []:
         columns, tests, types = _columns_meta(mdl.get("columns"), docs)
@@ -181,6 +191,7 @@ def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
             "tests": tests,
             "contract": types if enforced else None,
         }
+    out["unit_tests"] = parse_unit_tests(spec)
     return out
 
 

@@ -195,3 +195,61 @@ def test_snapshot_check_strategy(spark, tmp_path):
     assert (4, "eng", None) in rows  # new key opens
     assert (1, "eng", None) in rows  # unchanged passes through
     assert s2.count() == 5
+
+
+def test_incremental_insert_overwrite(spark, events, tmp_path):
+    """insert_overwrite strategy: the batch replaces ONLY its own partitions
+    (dynamic partitionOverwriteMode); untouched partitions survive, and the
+    final table equals a full rebuild."""
+    def agg(df):
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("event_id").alias("max_event_id"),
+            )
+        )
+
+    full = agg(events)
+    types = sorted(r[0] for r in events.select("event_type").distinct().collect())
+    assert len(types) >= 3
+    half = types[: len(types) // 2]
+
+    p = Project(
+        "iow",
+        warehouse_dir=str(tmp_path / "iow"),
+        table_partition_cols={"by_type": ["event_type"]},
+    )
+    state = {"phase": 1}
+
+    def builder(s, ref):
+        if state["phase"] == 1:
+            return agg(events)  # first run: all partitions
+        # second run recomputes only SOME partitions with filtered data —
+        # wrong numbers on purpose, to prove untouched partitions survive
+        # and touched ones are replaced
+        return agg(events.filter(F.col("event_type").isin(half)).limit(0)).union(
+            agg(events.filter(F.col("event_type").isin(half)))
+        )
+
+    p.add_model(
+        Model(
+            "by_type",
+            builder,
+            materialization=Materialization.INCREMENTAL,
+            incremental_strategy="insert_overwrite",
+        )
+    )
+    p.build(spark, run_tests=False)
+    assert sorted(map(tuple, p.relations["by_type"].select("event_type", "n", "max_event_id").collect())) == \
+        sorted(map(tuple, full.select("event_type", "n", "max_event_id").collect()))
+
+    state["phase"] = 2
+    p.build(spark, run_tests=False)
+    got = sorted(map(tuple, p.relations["by_type"].select("event_type", "n", "max_event_id").collect()))
+    assert got == sorted(map(tuple, full.select("event_type", "n", "max_event_id").collect()))
+    # and partition directories exist per event_type (physical layout)
+    import os
+
+    base = p.table_path(p.models["by_type"])
+    assert any(d.startswith("event_type=") for d in os.listdir(base))

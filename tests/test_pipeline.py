@@ -524,3 +524,57 @@ def test_write_artifacts(built_project, tmp_path):
     assert all(e["execution_time"] >= 0 for e in model_entries)
     assert len(test_entries) == 68
     assert all(e["status"] == "pass" for e in test_entries)
+
+
+def test_source_freshness(spark, sf_dir):
+    """dbt source freshness: max(loaded_at_field) age vs warn_after /
+    error_after thresholds (declared in properties.yml, injected 'now')."""
+    import datetime
+
+    from dbt_trill_shop_spark.core import check_freshness
+    from dbt_trill_shop_spark.models.trends import load_trends_properties
+
+    props = load_trends_properties()
+    pol = props["sources"]["top_terms"]["freshness"]
+    assert pol is not None and pol.loaded_at_field == "refresh_date"
+    assert pol.warn_after == (30, "day") and pol.error_after == (90, "day")
+
+    df = register_trends_sources(spark, sf_dir)["top_terms"]
+    from pyspark.sql import functions as F
+
+    max_rd = df.agg(F.max("refresh_date")).collect()[0][0]
+    base = datetime.datetime.combine(max_rd, datetime.time())
+
+    fresh = check_freshness(df, pol.loaded_at_field, pol, base + datetime.timedelta(days=1))
+    assert fresh["status"] == "pass"
+    warn = check_freshness(df, pol.loaded_at_field, pol, base + datetime.timedelta(days=40))
+    assert warn["status"] == "warn"
+    stale = check_freshness(df, pol.loaded_at_field, pol, base + datetime.timedelta(days=100))
+    assert stale["status"] == "error"
+    empty = check_freshness(
+        df.filter("1=0"), pol.loaded_at_field, pol, base
+    )
+    assert empty["status"] == "error"
+
+
+def test_unit_tests_from_yaml(spark):
+    """dbt 1.8 unit tests: the YAML-declared fixture test builds the real
+    SQL-file model over inline rows and matches the expected output; a
+    corrupted expectation must fail."""
+    from dbt_trill_shop_spark.core import run_unit_test
+    from dbt_trill_shop_spark.core.jinja_lite import load_sql_models
+    from dbt_trill_shop_spark.models.trends import load_trends_properties, sql_models_dir
+
+    props = load_trends_properties()
+    uts = props["unit_tests"]
+    assert len(uts) >= 1
+    models = {m.name: m for m in load_sql_models(sql_models_dir())}
+    for ut in uts:
+        res = run_unit_test(spark, models[ut.model], ut)
+        assert res.passed, f"{ut.name}: {res.diff}"
+
+    # negative control: corrupt one expected bucket
+    bad = uts[0]
+    bad.expect[0]["rank_category"] = "Top 5"
+    res = run_unit_test(spark, models[bad.model], bad)
+    assert not res.passed and res.diff
