@@ -109,6 +109,18 @@ class Project:
     def add_model(self, model: Model) -> None:
         if model.name in self.models:
             raise ValueError(f"duplicate model {model.name!r}")
+        if not model.checksum and callable(model.builder):
+            # Python builders fingerprint their source (state:modified);
+            # non-introspectable callables stay unfingerprinted = always
+            # modified, the safe direction for CI selection.
+            import inspect
+
+            from .model import content_checksum
+
+            try:
+                model.checksum = content_checksum(inspect.getsource(model.builder))
+            except (OSError, TypeError):
+                pass
         self.models[model.name] = model
 
     def add_exposure(
@@ -151,6 +163,35 @@ class Project:
         """dbt ``--select`` graph operators: ``+name`` ancestors, ``name+``
         descendants (see :func:`select_nodes`)."""
         return select_nodes(self.models, expr)
+
+    def select_state_modified(
+        self, old_manifest: dict, include_descendants: bool = True
+    ) -> set[str]:
+        """dbt ``--select state:modified`` (slim CI): models whose content
+        checksum differs from ``old_manifest`` (a previous :meth:`manifest`,
+        e.g. loaded from the last deployment's artifacts), plus — with
+        ``include_descendants`` (``state:modified+``) — everything downstream
+        of a change.  New models and unfingerprintable builders count as
+        modified, the safe direction.  At 100 TB this is the difference
+        between rebuilding one touched mart and rebuilding the warehouse."""
+        old = {
+            n: node.get("checksum", "")
+            for n, node in (old_manifest.get("nodes") or {}).items()
+        }
+        changed = {
+            n
+            for n, m in self.models.items()
+            if n not in old or not m.checksum or m.checksum != old[n]
+        }
+        if include_descendants:
+            _parents, children = _edges(self.models)
+            stack = list(changed)
+            while stack:
+                for c in children.get(stack.pop(), ()):
+                    if c not in changed:
+                        changed.add(c)
+                        stack.append(c)
+        return changed
 
     def build(
         self,
@@ -350,6 +391,7 @@ class Project:
                     "schema": self.schema_for(self.models[name]),
                     "description": self.models[name].description,
                     "columns": dict(self.models[name].columns),
+                    "checksum": self.models[name].checksum,
                     "tests": [str(t) for t in self.models[name].tests],
                 }
                 for name in order

@@ -188,11 +188,14 @@ def sql_model(
             resolve(dep).createOrReplaceTempView(dep)
         return spark.sql(compiled)
 
+    from .model import content_checksum
+
     return Model(
         name,
         build,
         deps=deps,
         materialization=materialization,
+        checksum=content_checksum(raw_sql),
         **model_kwargs,
     )
 

@@ -78,6 +78,10 @@ class Model:
     # same column set, declared Spark types — or the build fails before
     # materialization.  None = no contract.
     contract: dict[str, str] | None = None
+    # content fingerprint for state comparison (dbt state:modified): SQL-file
+    # models hash their raw text; Python builders hash their source when
+    # introspectable.  Empty = no stable fingerprint (always "modified").
+    checksum: str = ""
     tests: list["DataTest"] = field(default_factory=list)
     # incremental-only knobs (ignored otherwise):
     # merge upserts by unique_key (latest batch wins); append just appends.
@@ -98,6 +102,13 @@ class Model:
             return self.builder(spark, resolve)
         # SQL-text model: dependencies must already be resolvable as views.
         return spark.sql(self.builder)
+
+
+def content_checksum(content: str) -> str:
+    """Stable md5 fingerprint of model content (dbt manifest checksum)."""
+    import hashlib
+
+    return hashlib.md5(content.encode()).hexdigest()
 
 
 class ContractError(Exception):

@@ -281,3 +281,47 @@ def test_semdedup_finds_planted_in_cell(spark, sf_dir):
         (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 5)
     ).count()
     assert found == 5
+
+
+def test_persisted_ivfpq_index_matches_one_plan_composition(spark, sf_dir, tmp_path):
+    """build_ivfpq_index + search_ivfpq_index must return exactly the rows of
+    the single-plan ivfpq_topk on the same corpus/queries, and the postings
+    scan must prune to the probed cell partitions."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.similarity import ivfpq_topk
+    from dbt_trill_shop_spark.ext.vector_index import build_ivfpq_index, search_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_cells=16, n_blocks=4, n_codes=16)
+
+    got_df = search_ivfpq_index(spark, path, queries, k=5, n_probe=4)
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=5, n_cells=16, n_probe=4, n_blocks=4, n_codes=16
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # physical layout: postings partitioned by cell; the search scan prunes
+    import os
+
+    parts = [d for d in os.listdir(os.path.join(path, "postings")) if d.startswith("cell=")]
+    assert len(parts) == 16
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [cell" in plan and "INSET" in plan, (
+        "postings scan must prune to the probed cell partitions"
+    )

@@ -578,3 +578,45 @@ def test_unit_tests_from_yaml(spark):
     bad.expect[0]["rank_category"] = "Top 5"
     res = run_unit_test(spark, models[bad.model], bad)
     assert not res.passed and res.diff
+
+
+def test_state_modified_selection(spark, sf_dir):
+    """dbt slim CI (--select state:modified+): only models whose checksum
+    changed vs a previous manifest — plus their descendants — are selected;
+    an unchanged project selects nothing."""
+    import tempfile
+
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    old = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="st0_"))
+    old_manifest = old.manifest()
+    assert all(n["checksum"] for n in old_manifest["nodes"].values())
+
+    # identical project -> nothing modified
+    new = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="st1_"))
+    assert new.select_state_modified(old_manifest) == set()
+
+    # edit one staging model's SQL -> it and its mart descendants select
+    edited = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="st2_"))
+    victim = edited.models["stg_top_terms"]
+    replacement = sql_model(
+        "stg_top_terms",
+        "SELECT dma_id, dma_name, term, refresh_date, week, score, rank "
+        "FROM {{ source('ecom', 'top_terms') }} WHERE score IS NOT NULL",
+    )
+    edited.models["stg_top_terms"] = replacement
+    got = edited.select_state_modified(old_manifest)
+    assert "stg_top_terms" in got
+    assert "weekly_trends_summary" in got and "top_terms_comparison" in got
+    assert "stg_international_top_terms" not in got
+    assert "trending_terms_analysis" not in got  # only rising-terms inputs
+
+    # without descendants: just the edited node
+    assert edited.select_state_modified(old_manifest, include_descendants=False) == {
+        "stg_top_terms"
+    }
+
+    # a brand-new model counts as modified
+    edited.add_model(sql_model("extra", "SELECT 1 AS one"))
+    assert "extra" in edited.select_state_modified(old_manifest)
+    del victim
