@@ -199,6 +199,7 @@ class Project:
         run_tests: bool = True,
         subset: set[str] | None = None,
         on_test_failure: str = "continue",
+        defer_relations: dict[str, DataFrame] | None = None,
     ) -> dict[str, list[TestResult]]:
         """Materialize every model in topo order; return test results per
         model.  ``subset`` (e.g. from :meth:`select`) restricts the run.
@@ -207,6 +208,13 @@ class Project:
         build``: ``"continue"`` records and proceeds, ``"skip_downstream"``
         skips the failed model's descendants (dbt's default behavior), and
         ``"raise"`` aborts the run.  Warn-severity results never gate.
+
+        ``defer_relations`` is dbt ``--defer``: when a subset build needs a
+        dependency that is not selected and not built here, its relation
+        resolves from this mapping (e.g. the production warehouse's tables,
+        via a previous deployment's artifacts).  Together with
+        :meth:`select_state_modified` this is the slim-CI loop — build only
+        what changed, read everything else from prod.
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
@@ -219,6 +227,12 @@ class Project:
         self.last_run_results = {}
         for name in order:
             if subset is not None and name not in subset:
+                if (
+                    defer_relations
+                    and name in defer_relations
+                    and name not in self.relations
+                ):
+                    self.relations[name] = defer_relations[name]
                 continue
             model = self.models[name]
             if skipped & set(model.deps):

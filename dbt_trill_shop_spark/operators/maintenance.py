@@ -1,0 +1,62 @@
+"""Table maintenance: small-files compaction + clustering (the OPTIMIZE /
+CLUSTER BY equivalent for parquet-path tables).
+
+At 100 TB, streaming/incremental sinks accrete thousands of small files per
+partition: every scan pays file-open overhead and loses min/max pruning.
+``compact_table`` rewrites a table to a bounded file count, range-clustered
+on the given columns so each output file covers a narrow value range —
+parquet footer min/max statistics then let later scans skip whole files for
+selective predicates (the same effect warehouse OPTIMIZE / Z-ORDER targets;
+single-dimension range clustering here, which is what
+``repartitionByRange`` gives without interleaving bit tricks).
+
+Write-then-swap like Project table sinks: readers pinned to the old file
+listing fail fast instead of reading torn state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the parquet table at ``path`` into ``target_files`` files,
+    range-clustered on ``cluster_by`` (sorted within each file).  Returns
+    ``{files_before, files_after, rows}``."""
+    df = spark.read.parquet(path)
+    files_before = len(_data_files(path))
+    if cluster_by:
+        out = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.coalesce(target_files)
+    tmp = path + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    result = spark.read.parquet(path)
+    return {
+        "files_before": files_before,
+        "files_after": len(_data_files(path)),
+        "rows": result.count(),
+    }

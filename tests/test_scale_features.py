@@ -119,3 +119,69 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         for col in ("p50_cents", "p90_cents", "p99_cents"):
             # t-digest with accuracy=1000: within 2% relative on this data
             assert abs(a[col] - e[col]) <= 0.02 * e[col] + 1, (key, col, a[col], e[col])
+
+
+def test_defer_resolves_unselected_refs(spark, sf_dir):
+    """dbt --defer: a subset build whose dependencies are unselected reads
+    them from the deferred (prod) relations instead of rebuilding — the
+    slim-CI loop together with select_state_modified."""
+    import tempfile
+
+    from dbt_trill_shop_spark.fixtures import register_trends_sources
+    from dbt_trill_shop_spark.models import trends_project
+
+    prod = trends_project(target="prod", warehouse_dir=tempfile.mkdtemp(prefix="prod_"))
+    prod.add_sources(register_trends_sources(spark, sf_dir))
+    prod.build(spark, run_tests=False)
+
+    ci = trends_project(target="dev", warehouse_dir=tempfile.mkdtemp(prefix="ci_"))
+    # no sources registered at all: every input must come from defer
+    subset = {"weekly_trends_summary"}
+    ci.build(
+        spark,
+        run_tests=False,
+        subset=subset,
+        defer_relations={n: prod.relations[n] for n in prod.models},
+    )
+    assert "weekly_trends_summary" in ci.relations
+    assert ci.relations["weekly_trends_summary"].count() == prod.relations[
+        "weekly_trends_summary"
+    ].count()
+    # staging was deferred, not rebuilt in CI's warehouse
+    import os
+
+    assert not os.path.exists(
+        os.path.join(ci.warehouse_dir, "analytics", "stg_top_terms")
+    )
+
+
+def test_compact_table_clusters_and_bounds_files(spark, sf_dir, tmp_path):
+    """compact_table: file count drops to the target, rows survive exactly,
+    and range clustering makes per-file min/max ranges non-overlapping on
+    the cluster column (footer-pruning effectiveness)."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.maintenance import compact_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_frag")
+    # simulate small-files accretion: 32 shuffled fragments
+    events.repartition(32).write.parquet(path)
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_table(spark, path, target_files=4, cluster_by=["event_id"])
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] <= 4
+    after_df = spark.read.parquet(path)
+    assert sorted(map(tuple, after_df.collect())) == before
+
+    # per-file event_id ranges must not overlap (range clustering)
+    ranges = (
+        after_df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"]
