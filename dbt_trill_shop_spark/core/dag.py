@@ -110,15 +110,24 @@ class Project:
         if model.name in self.models:
             raise ValueError(f"duplicate model {model.name!r}")
         if not model.checksum and callable(model.builder):
-            # Python builders fingerprint their source (state:modified);
-            # non-introspectable callables stay unfingerprinted = always
-            # modified, the safe direction for CI selection.
+            # Python builders fingerprint their source PLUS closure-captured
+            # values (state:modified): factory-made builders share source
+            # text, so without the closure cells every _staging_builder(x)
+            # would hash identically and a config edit would be invisible to
+            # slim CI.  Non-introspectable callables stay unfingerprinted =
+            # always modified, the safe direction.
             import inspect
 
             from .model import content_checksum
 
             try:
-                model.checksum = content_checksum(inspect.getsource(model.builder))
+                src = inspect.getsource(model.builder)
+                try:
+                    cells = inspect.getclosurevars(model.builder).nonlocals
+                    src += repr(sorted((k, repr(v)) for k, v in cells.items()))
+                except (TypeError, ValueError):
+                    pass
+                model.checksum = content_checksum(src)
             except (OSError, TypeError):
                 pass
         self.models[model.name] = model
@@ -316,22 +325,22 @@ class Project:
         if model.materialization is Materialization.INCREMENTAL and os.path.exists(path):
             if model.incremental_strategy == "insert_overwrite":
                 # TRUE partition-level replacement (dbt insert_overwrite on a
-                # partitioned warehouse): dynamic partitionOverwriteMode
-                # rewrites ONLY the partitions present in the batch — at
-                # 100 TB the untouched years of history are never read,
-                # shuffled, or rewritten.  No write-then-swap needed: the
-                # batch never reads `path` (it replaces whole partitions).
+                # partitioned warehouse): ONLY the partitions present in the
+                # batch are rewritten — at 100 TB the untouched years of
+                # history are never read, shuffled, or rewritten.  The batch
+                # is written to a scratch dir FIRST (the batch plan may read
+                # `path` itself via {{ this }} / is_incremental(), so an
+                # in-place dynamic overwrite would read its own output), then
+                # its partition directories swap into place one by one.
                 if not parts:
                     raise ValueError(
                         f"insert_overwrite model {model.name!r} needs partition "
                         "columns (table_partition_cols)"
                     )
-                (
-                    df.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy(*parts)
-                    .parquet(path)
-                )
+                tmp = path + ".__new__"
+                df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+                self._swap_partitions(tmp, path)
+                shutil.rmtree(tmp, ignore_errors=True)
                 spark.catalog.refreshByPath(path)
                 out = spark.read.parquet(path)
                 out.createOrReplaceTempView(view_name)
@@ -354,6 +363,30 @@ class Project:
         out = spark.read.parquet(path)
         out.createOrReplaceTempView(view_name)
         return out
+
+    @staticmethod
+    def _swap_partitions(src: str, dst: str) -> None:
+        """Move every partition directory tree under ``src`` into ``dst``,
+        replacing same-valued partitions and leaving the rest of ``dst``
+        untouched (the file-level form of dynamic partition overwrite).
+        Handles multi-level ``key=value/…`` layouts by recursing until the
+        leaf partition level."""
+
+        def is_part_dir(d: str) -> bool:
+            return "=" in d
+
+        for entry in os.listdir(src):
+            s = os.path.join(src, entry)
+            if not os.path.isdir(s) or not is_part_dir(entry):
+                continue  # _SUCCESS etc. stay behind
+            d = os.path.join(dst, entry)
+            sub = [e for e in os.listdir(s) if os.path.isdir(os.path.join(s, e))]
+            if sub and all(is_part_dir(e) for e in sub) and os.path.isdir(d):
+                Project._swap_partitions(s, d)  # deeper partition level
+            else:
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                os.replace(s, d)
 
     def _incremental_result(
         self, spark: SparkSession, model: Model, batch: DataFrame, path: str

@@ -140,7 +140,8 @@ def _columns_meta(cols: list[dict], docs: dict[str, str]):
         columns[c["name"]] = resolve_doc_refs(c.get("description", ""), docs)
         if "data_type" in c:
             types[c["name"]] = str(c["data_type"])
-        for entry in c.get("data_tests", c.get("tests", []) or []):
+        # an empty `data_tests:` key parses as None — treat as no tests
+        for entry in c.get("data_tests", c.get("tests")) or []:
             tests.append(parse_test_entry(entry, c["name"]))
     return columns, tests, types
 
@@ -179,7 +180,7 @@ def load_properties(path: str, docs: dict[str, str] | None = None) -> dict:
             }
     for mdl in spec.get("models", []) or []:
         columns, tests, types = _columns_meta(mdl.get("columns"), docs)
-        for entry in mdl.get("data_tests", mdl.get("tests", []) or []):
+        for entry in mdl.get("data_tests", mdl.get("tests")) or []:
             tests.append(parse_test_entry(entry, None))
         # dbt model contract: config.contract.enforced + per-column data_type
         enforced = bool(

@@ -173,8 +173,14 @@ def run_unit_test(
         ok = df.isEmpty()
         return UnitTestResult(ut.name, ut.model, ok, "" if ok else "expected 0 rows")
     cols = list(ut.expect[0].keys())
-    got = sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
-    want = sorted(tuple(r.get(c) for c in cols) for r in ut.expect)
+    # None-safe total order: rows may mix NULL and non-NULL in one column
+    # (tuple comparison would raise TypeError); order only drives the
+    # comparison, equality itself uses the raw values.
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()), key=key
+    )
+    want = sorted((tuple(r.get(c) for c in cols) for r in ut.expect), key=key)
     if got == want:
         return UnitTestResult(ut.name, ut.model, True)
     return UnitTestResult(

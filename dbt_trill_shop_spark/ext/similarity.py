@@ -36,6 +36,29 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _sq_l2(a, b):
+    """Squared L2 distance: fold over the zipped arrays.  SHARED by every
+    IVF/PQ path here and by the persisted index (vector_index.py) — the
+    bit-identical-results guarantee between them depends on this being the
+    single definition."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _block_slices(n_blocks: int):
+    """PQ block decomposition of a double-array column named ``v``: an array
+    of (block, bv) structs, one contiguous sub-vector per block.  Shared with
+    vector_index.py for the same determinism reason as :func:`_sq_l2`."""
+    sub = f"(size(v) div {n_blocks})"
+    return F.expr(
+        f"transform(sequence(0, {n_blocks} - 1), "
+        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -267,11 +290,7 @@ def ivf_assign(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sq_l2(F.col("v"), F.col("centroid"))
     # round to 6 dp before the argmin so float-summation-order noise across
     # engines can't flip the winner (ties then break by cell asc).
     scored = vecs.crossJoin(F.broadcast(cents)).select(
@@ -306,11 +325,7 @@ def ivf_topk(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sq_l2(F.col("qv"), F.col("centroid"))
     qcells = q.crossJoin(F.broadcast(cents)).select("query_id", "qv", "cell", d2.alias("d2"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probed = qcells.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe)
@@ -394,11 +409,7 @@ def pq_encode(
     tiny codebook, one windowed argmin per (vec, block) — no corpus shuffle
     except the argmin's, keyed by the high-cardinality (vec_id, block).
     """
-    sub = f"(size(v) div {n_blocks})"
-    block_slices = F.expr(
-        f"transform(sequence(0, {n_blocks} - 1), "
-        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
-    )
+    block_slices = _block_slices(n_blocks)
     vecs = (
         embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .select(id_col, F.explode(block_slices).alias("s"))
@@ -410,11 +421,7 @@ def pq_encode(
         .select("code", F.explode(block_slices).alias("s"))
         .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("bv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sq_l2(F.col("bv"), F.col("cv"))
     scored = vecs.join(F.broadcast(cents), "block").select(
         id_col, "block", "code", F.round(d2, 6).alias("d2")
     )
@@ -478,11 +485,7 @@ def pq_topk(
     codes = pq_encode(
         embeddings, n_blocks=n_blocks, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("cand_id"), "block", "code")
-    sub = f"(size(v) div {n_blocks})"
-    block_slices = F.expr(
-        f"transform(sequence(0, {n_blocks} - 1), "
-        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
-    )
+    block_slices = _block_slices(n_blocks)
     cents = (
         embeddings.filter(F.col(id_col) < n_codes)
         .select(F.col(id_col).alias("code"), _as_double(F.col(vec_col)).alias("v"))
@@ -494,11 +497,7 @@ def pq_topk(
         .select("query_id", F.explode(block_slices).alias("s"))
         .select("query_id", F.col("s.block").alias("block"), F.col("s.bv").alias("qv"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sq_l2(F.col("qv"), F.col("cv"))
     # per-(query, block, code) lookup table, broadcast-sized: Q * m * k rows
     lut = qblocks.join(F.broadcast(cents), "block").select(
         "query_id", "block", "code", F.round(d2 * 1_000_000, 0).cast("bigint").alias("d2_micro")
@@ -577,11 +576,7 @@ def ivfpq_topk(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    cell_d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cell_d2 = _sq_l2(F.col("qv"), F.col("centroid"))
     qcells = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "cell", F.round(cell_d2, 6).alias("d2")
     )
@@ -592,11 +587,7 @@ def ivfpq_topk(
         .select("query_id", "cell")
     )
 
-    sub = f"(size(v) div {n_blocks})"
-    block_slices = F.expr(
-        f"transform(sequence(0, {n_blocks} - 1), "
-        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
-    )
+    block_slices = _block_slices(n_blocks)
     pq_cents = (
         embeddings.filter(F.col(id_col) < n_codes)
         .select(F.col(id_col).alias("code"), _as_double(F.col(vec_col)).alias("v"))
@@ -608,11 +599,7 @@ def ivfpq_topk(
         .select("query_id", F.explode(block_slices).alias("s"))
         .select("query_id", F.col("s.block").alias("block"), F.col("s.bv").alias("qv"))
     )
-    adc_d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc_d2 = _sq_l2(F.col("qv"), F.col("cv"))
     lut = qblocks.join(F.broadcast(pq_cents), "block").select(
         "query_id", "block", "code",
         F.round(adc_d2 * 1_000_000, 0).cast("bigint").alias("d2_micro"),

@@ -30,22 +30,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import _as_double
-
-
-def _block_slices(n_blocks: int):
-    sub = f"(size(v) div {n_blocks})"
-    return F.expr(
-        f"transform(sequence(0, {n_blocks} - 1), "
-        f"b -> struct(b AS block, slice(v, cast(b * {sub} + 1 as int), cast({sub} as int)) AS bv))"
-    )
-
-
-_D2 = lambda a, b: F.aggregate(  # noqa: E731 — shared squared-L2 fold
-    F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-    F.lit(0.0),
-    lambda acc, x: acc + x,
-)
+# shared with similarity.py so the persisted index stays bit-identical to
+# the one-plan ivfpq_topk composition (same expression trees, same rounding)
+from .similarity import _as_double, _block_slices, _sq_l2
 
 
 def build_ivfpq_index(
@@ -112,20 +99,33 @@ def search_ivfpq_index(
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     qcells = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "cell", F.round(_D2(F.col("qv"), F.col("centroid")), 6).alias("d2")
+        "query_id", "cell", F.round(_sq_l2(F.col("qv"), F.col("centroid")), 6).alias("d2")
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probed = (
+    # the probe assignment is tiny and bounded (|queries| x n_probe rows) —
+    # collect it ONCE; the collected rows feed both the literal IN-filter
+    # (so the postings scan prunes partition directories, which a join could
+    # not do) and a VALUES relation for the candidate join (so the
+    # crossJoin + window never re-runs per consumer)
+    probed_rows = (
         qcells.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "cell")
+        .collect()
     )
-    # the probed cell set is tiny and bounded (|queries| x n_probe distinct
-    # cells at most) — collect it into a LITERAL IN-filter so the postings
-    # scan prunes partition directories, which a join could not do
-    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    if not probed_rows:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) query_id, CAST(NULL AS BIGINT) neighbor_id, "
+            "CAST(NULL AS BIGINT) rank WHERE FALSE"
+        )
+    cells = sorted({int(r["cell"]) for r in probed_rows})
     postings = spark.read.parquet(os.path.join(path, "postings")).filter(
         F.col("cell").isin(cells)
+    )
+    values = ", ".join(f"({int(r['query_id'])}, {int(r['cell'])})" for r in probed_rows)
+    probed = spark.sql(
+        f"SELECT CAST(query_id AS BIGINT) query_id, CAST(cell AS BIGINT) cell "
+        f"FROM VALUES {values} AS t(query_id, cell)"
     )
 
     codebooks = spark.read.parquet(os.path.join(path, "codebooks"))
@@ -136,7 +136,7 @@ def search_ivfpq_index(
     )
     lut = qblocks.join(F.broadcast(codebooks), "block").select(
         "query_id", "block", "code",
-        F.round(_D2(F.col("qv"), F.col("cv")) * 1_000_000, 0).cast("bigint").alias("d2_micro"),
+        F.round(_sq_l2(F.col("qv"), F.col("cv")) * 1_000_000, 0).cast("bigint").alias("d2_micro"),
     )
 
     cand = postings.select(

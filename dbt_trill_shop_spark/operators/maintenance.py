@@ -29,6 +29,23 @@ def _data_files(path: str) -> list[str]:
     return out
 
 
+def _partition_keys(path: str) -> list[str]:
+    """Infer the Hive partition-column chain (``key=value`` directory levels)
+    of a parquet table path, outermost first; [] for unpartitioned tables."""
+    keys: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return keys
+        keys.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -40,14 +57,27 @@ def compact_table(
     ``{files_before, files_after, rows}``."""
     df = spark.read.parquet(path)
     files_before = len(_data_files(path))
-    if cluster_by:
+    parts = _partition_keys(path)
+    if parts:
+        # Hive-partitioned table: the rewrite must keep the key=value
+        # directory layout (dropping it kills partition pruning and collides
+        # with the next dynamic-overwrite write).  Hash-shuffling on the
+        # partition keys lands each partition value in exactly one task, so
+        # each partition directory compacts to a single file.
+        out = df.repartition(target_files, *parts).sortWithinPartitions(
+            *parts, *(cluster_by or [])
+        )
+    elif cluster_by:
         out = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
     else:
         out = df.coalesce(target_files)
     tmp = path + ".__compact__"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
     old = path + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)

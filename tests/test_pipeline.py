@@ -580,6 +580,60 @@ def test_unit_tests_from_yaml(spark):
     assert not res.passed and res.diff
 
 
+def test_unit_test_null_mixed_column(spark):
+    """A compared column mixing NULL and non-NULL across rows (the
+    top_terms_comparison US-branch shape) must compare cleanly, not raise
+    TypeError from ordering None against str."""
+    from dbt_trill_shop_spark.core import run_unit_test
+    from dbt_trill_shop_spark.core.model import Model
+    from dbt_trill_shop_spark.core.quality import UnitTest
+
+    model = Model(
+        name="passthrough",
+        builder=lambda spark_, resolve: resolve("src"),
+        deps=("src",),
+    )
+    rows = [
+        {"term": "a", "region_name": None},
+        {"term": "b", "region_name": "Texas"},
+    ]
+    ut = UnitTest(
+        name="null_mix", model="passthrough", given={"src": rows}, expect=rows
+    )
+    assert run_unit_test(spark, model, ut).passed
+    ut_bad = UnitTest(
+        name="null_mix_bad",
+        model="passthrough",
+        given={"src": rows},
+        expect=[rows[0], {"term": "b", "region_name": "Ohio"}],
+    )
+    res = run_unit_test(spark, model, ut_bad)
+    assert not res.passed and res.diff
+
+
+def test_properties_empty_test_list(tmp_path):
+    """An empty `data_tests:` / `tests:` key (YAML None) parses as no tests
+    instead of crashing — dbt accepts this shape while iterating."""
+    from dbt_trill_shop_spark.core.docs import load_properties
+
+    yml = tmp_path / "props.yml"
+    yml.write_text(
+        """
+version: 2
+models:
+  - name: m1
+    data_tests:
+    columns:
+      - name: c1
+        data_tests:
+      - name: c2
+        tests:
+"""
+    )
+    props = load_properties(str(yml))
+    assert props["models"]["m1"]["tests"] == []
+
+
 def test_state_modified_selection(spark, sf_dir):
     """dbt slim CI (--select state:modified+): only models whose checksum
     changed vs a previous manifest — plus their descendants — are selected;

@@ -185,3 +185,33 @@ def test_compact_table_clusters_and_bounds_files(spark, sf_dir, tmp_path):
     )
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_compact_table_preserves_hive_partition_layout(spark, sf_dir, tmp_path):
+    """Compacting a Hive-partitioned table must keep the key=value directory
+    layout (losing it kills partition pruning and collides with the next
+    dynamic-overwrite write) and compact each partition to few files."""
+    import os
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.maintenance import compact_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    events.repartition(8).write.partitionBy("event_type").parquet(path)
+
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "event_type").collect())
+    )
+    stats = compact_table(spark, path, target_files=8, cluster_by=["event_id"])
+    # layout survived: top level is event_type=... directories, no flat files
+    entries = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+    assert entries and all(e.startswith("event_type=") for e in entries)
+    # each partition directory compacted to a single file
+    for e in entries:
+        files = [f for f in os.listdir(os.path.join(path, e)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "event_type").collect())
+    )
+    assert after == before and stats["files_after"] < stats["files_before"]
