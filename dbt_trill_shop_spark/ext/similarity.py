@@ -712,3 +712,152 @@ SELECT h.query_id, h.rank, h.neighbor_id,
        substring(d.text, 1, 40) AS snippet
 FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
 """
+
+
+def _lit_centroids(spark, rows) -> DataFrame:
+    """Collected (cell, cm) centroid rows -> an inline VALUES relation
+    (LocalRelation: broadcast without a job, flat lineage each iteration —
+    ``createDataFrame`` from Python objects would plan as Scan ExistingRDD)."""
+    vals = ", ".join(
+        f"({int(r['cell'])}, array({', '.join(str(int(v)) for v in r['cm'])}))"
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT CAST(cell AS BIGINT) cell, CAST(cm AS ARRAY<BIGINT>) cm "
+        f"FROM VALUES {vals} AS t(cell, cm)"
+    )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer — the step
+    :func:`ivf_assign` leaves open ("a k-means refinement would slot in
+    here").  Initial centroids are the deterministic sample (ids <
+    ``n_cells``); each of ``n_iters`` iterations reassigns every vector to
+    its nearest centroid and recomputes centroids as member means.  Returns
+    the final (vec_id, cell) assignment under the refined centroids.
+
+    Distributed shape (the Spark MLlib k-means pattern):
+
+    - vectors are held as int64 micro-unit arrays, so every distance is an
+      exact integer — assignment ties and the oracle comparison are
+      deterministic across engines (no float summation-order drift);
+    - per-iteration work is ONE broadcast-join pass computing a partial-agg
+      argmin (``min(struct(d2, cell))`` — map-side combined, no window
+      sort), plus a per-cell mean whose shuffle carries only ``n_cells``
+      grouped rows after map-side combine;
+    - centroids are bounded (``n_cells x dim`` ints), so collecting them
+      each iteration is legitimate driver traffic; re-inlining them as a
+      VALUES literal keeps the plan flat (no lineage growth across
+      iterations) and makes the broadcast free.
+
+    Centroid means use integer division (both engines truncate toward
+    zero), so refined centroids are exact integers too.
+    """
+    spark = embeddings.sparkSession
+    vm = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * 1_000_000, 0).cast("bigint"),
+        ).alias("vm"),
+    )
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    d2 = F.aggregate(
+        F.zip_with(F.col("vm"), F.col("cm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cents_df: DataFrame, keep_vm: bool) -> DataFrame:
+        aggs = [F.min(F.struct("d2", "cell")).alias("m")]
+        if keep_vm:
+            aggs.append(F.first("vm").alias("vm"))  # constant per key
+        return (
+            vm.crossJoin(F.broadcast(cents_df))
+            .select(id_col, "vm", "cell", d2.alias("d2"))
+            .groupBy(id_col)
+            .agg(*aggs)
+            .select(id_col, F.col("m.cell").alias("cell"), *(["vm"] if keep_vm else []))
+        )
+
+    cents_df = _lit_centroids(
+        spark,
+        vm.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col("vm").alias("cm"))
+        .collect(),
+    )
+    for _ in range(n_iters):
+        new_cents = (
+            assign(cents_df, keep_vm=True)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("vm", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .select(
+                "cell",
+                F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("cm"),
+            )
+            .collect()
+        )
+        cents_df = _lit_centroids(spark, new_cents)
+    return assign(cents_df, keep_vm=False).select(
+        F.col(id_col), F.col("cell").cast("bigint").alias("cell")
+    )
+
+
+def kmeans_refine_sql(n_cells: int = 16, n_iters: int = 2) -> str:
+    """DuckDB oracle for :func:`kmeans_refine`: the same Lloyd iterations in
+    long form (vec_id, dim, v) with identical int64 micro-unit arithmetic,
+    chained as one CTE per assign/update step."""
+    parts = [
+        f"""WITH vm AS (
+    SELECT vec_id, i AS dim, CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+cents0 AS (SELECT vec_id AS cell, dim, v FROM vm WHERE vec_id < {n_cells})"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+dist{t} AS (
+    SELECT a.vec_id, c.cell, CAST(SUM((a.v - c.v) * (a.v - c.v)) AS BIGINT) AS d2
+    FROM vm a JOIN cents{t - 1} c ON a.dim = c.dim
+    GROUP BY a.vec_id, c.cell
+),
+assign{t} AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM dist{t}
+    ) r WHERE rn = 1
+),
+cents{t} AS (
+    SELECT g.cell, v.dim, CAST(SUM(v.v) AS BIGINT) // COUNT(*) AS v
+    FROM assign{t} g JOIN vm v ON v.vec_id = g.vec_id
+    GROUP BY g.cell, v.dim
+)"""
+        )
+    t = n_iters + 1
+    parts.append(
+        f""",
+dist{t} AS (
+    SELECT a.vec_id, c.cell, CAST(SUM((a.v - c.v) * (a.v - c.v)) AS BIGINT) AS d2
+    FROM vm a JOIN cents{n_iters} c ON a.dim = c.dim
+    GROUP BY a.vec_id, c.cell
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist{t}
+) r WHERE rn = 1"""
+    )
+    return "".join(parts)

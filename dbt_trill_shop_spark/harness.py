@@ -78,6 +78,8 @@ from .ext.similarity import (
     ivf_assign,
     ivf_topk,
     ivfpq_topk,
+    kmeans_refine,
+    kmeans_refine_sql,
     pq_encode,
     pq_topk,
     semantic_dedup_pairs,
@@ -641,6 +643,14 @@ QUERIES: dict[str, QuerySpec] = {
     "x_ivf_assign": QuerySpec(
         _x_ivf_assign, IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS)
     ),
+    # Lloyd refinement of the IVF coarse quantizer (int64 micro-unit
+    # arithmetic -> exact cross-engine assignment parity)
+    "x_kmeans_refine": QuerySpec(
+        lambda spark, sf_dir: kmeans_refine(
+            load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS, n_iters=2
+        ),
+        kmeans_refine_sql(n_cells=_IVF_CELLS, n_iters=2),
+    ),
     "x_ngram_jaccard": QuerySpec(
         _x_ngram_jaccard,
         NGRAM_JACCARD_SQL_TEMPLATE.format(
@@ -763,7 +773,12 @@ _REFERENCE_MODELS = [
     "stg_international_top_rising_terms", "weekly_trends_summary",
     "top_terms_comparison", "trending_terms_analysis",
 ]
-_front = _REFERENCE_MODELS + _ROUND1_UNSEEN
+# New round-2 queries slot in right after the round-1-unseen block so they
+# land inside the driver's 50-entry verification window.
+_ROUND2_NEW = [
+    "x_kmeans_refine",
+]
+_front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 QUERIES = {
     name: QUERIES[name]

@@ -325,3 +325,27 @@ def test_persisted_ivfpq_index_matches_one_plan_composition(spark, sf_dir, tmp_p
     assert "PartitionFilters: [cell" in plan and "INSET" in plan, (
         "postings scan must prune to the probed cell partitions"
     )
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters, one seed point from each
+    (ids 0,1,2): two Lloyd iterations must label every point by its true
+    cluster — the refinement actually converges, not just runs."""
+    import random
+
+    from dbt_trill_shop_spark.ext.similarity import kmeans_refine
+
+    rng = random.Random(7)
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    rows = []
+    # ids 0,1,2: one point per cluster (the deterministic init sample);
+    # remaining ids interleave clusters so id order carries no signal
+    for i in range(60):
+        cx, cy = centers[i % 3]
+        rows.append((i, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r["vec_id"]: r["cell"] for r in kmeans_refine(emb, n_cells=3, n_iters=2).collect()}
+    assert len(got) == 60
+    for i, cell in got.items():
+        assert cell == i % 3, f"point {i} labeled {cell}, want {i % 3}"
