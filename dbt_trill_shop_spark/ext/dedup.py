@@ -798,3 +798,78 @@ SELECT id_a AS contained_id, id_b AS container_id,
 FROM inter JOIN sizes sa ON sa.doc_id = id_a
 WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 9) >= {threshold}
 """
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against the fingerprints already ingested —
+    the continuous-ingestion shape of exact dedup (a training corpus is
+    built batch by batch; each batch must drop rows whose content any
+    EARLIER batch already contributed, without rescanning that corpus).
+
+    ``seen`` is the persisted fingerprint store as a DataFrame (single
+    ``fingerprint`` column; None or empty for the first batch).  Returns the
+    batch's surviving rows as (doc_id, fingerprint): canonical-per-
+    fingerprint within the batch (min id), then anti-joined against
+    ``seen``.
+
+    At 100 TB the anti-join ships only (fingerprint, doc_id) pairs — 48
+    bytes a row, never the text — and the store side stays where it is:
+    bucket the store table by fingerprint and the shuffle is one-sided
+    (the small batch moves to the store's partitioning).
+    """
+    fp = batch.select(
+        F.md5(F.col(text_col).cast("binary")).alias("fingerprint"),
+        F.col(id_col),
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.min(id_col).cast("bigint").alias(id_col)
+    )
+    if seen is not None:
+        canon = canon.join(
+            seen.select("fingerprint"), on="fingerprint", how="left_anti"
+        )
+    return canon.select(id_col, "fingerprint")
+
+
+def incremental_dedup_store(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateful wrapper around :func:`incremental_dedup`: reads the
+    fingerprint store at ``store_path`` (if present), dedups the batch
+    against it, appends the surviving fingerprints, and returns the
+    surviving (doc_id, fingerprint) rows — materialized BEFORE the append
+    so the result never reads its own output."""
+    import os
+
+    seen = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    kept = incremental_dedup(batch, seen, text_col=text_col, id_col=id_col)
+    kept = kept.localCheckpoint(eager=True)  # pin rows pre-append
+    kept.select("fingerprint").write.mode("append").parquet(store_path)
+    spark.catalog.refreshByPath(store_path)
+    return kept
+
+
+INCREMENTAL_DEDUP_SQL_TEMPLATE = """
+WITH fp AS (
+    SELECT doc_id, md5(text) AS fingerprint FROM documents
+),
+seen AS (
+    SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {split}
+),
+canon AS (
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM fp WHERE doc_id >= {split}
+    GROUP BY fingerprint
+)
+SELECT c.doc_id, c.fingerprint
+FROM canon c ANTI JOIN seen s ON s.fingerprint = c.fingerprint
+"""

@@ -33,10 +33,12 @@ from .ext.dedup import (
     NGRAM_CONTAINMENT_SQL_TEMPLATE,
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
     SOURCE_OVERLAP_SQL_TEMPLATE,
+    INCREMENTAL_DEDUP_SQL_TEMPLATE,
     connected_components,
     decontaminate,
     dedup_canonical,
     exact_duplicates,
+    incremental_dedup,
     neardup_minhash_native,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -315,6 +317,7 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECON_SPLIT_ID = 20
+_INC_DEDUP_SPLIT = 250
 
 
 def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +646,19 @@ QUERIES: dict[str, QuerySpec] = {
     "x_ivf_assign": QuerySpec(
         _x_ivf_assign, IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS)
     ),
+    # continuous-ingestion exact dedup: batch (doc_id >= split) dropped
+    # against fingerprints the earlier corpus (doc_id < split) contributed
+    "x_incremental_dedup": QuerySpec(
+        lambda spark, sf_dir: incremental_dedup(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") >= _INC_DEDUP_SPLIT
+            ),
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _INC_DEDUP_SPLIT)
+            .select(F.md5(F.col("text").cast("binary")).alias("fingerprint")),
+        ),
+        INCREMENTAL_DEDUP_SQL_TEMPLATE.format(split=_INC_DEDUP_SPLIT),
+    ),
     # Lloyd refinement of the IVF coarse quantizer (int64 micro-unit
     # arithmetic -> exact cross-engine assignment parity)
     "x_kmeans_refine": QuerySpec(
@@ -777,6 +793,7 @@ _REFERENCE_MODELS = [
 # land inside the driver's 50-entry verification window.
 _ROUND2_NEW = [
     "x_kmeans_refine",
+    "x_incremental_dedup",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

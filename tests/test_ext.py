@@ -349,3 +349,30 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     assert len(got) == 60
     for i, cell in got.items():
         assert cell == i % 3, f"point {i} labeled {cell}, want {i % 3}"
+
+
+def test_incremental_dedup_store_roundtrip(spark, sf_dir, tmp_path):
+    """Two successive batches against a persisted fingerprint store: batch 2
+    must drop every text batch 1 contributed (plus its own internal dups),
+    and the store must accumulate exactly the surviving fingerprints."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.dedup import incremental_dedup_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "fp_store")
+    b1 = docs.filter("doc_id < 100")
+    b2 = docs.filter("doc_id < 200")  # overlaps b1's texts entirely for id<100
+
+    kept1 = incremental_dedup_store(spark, b1, store).collect()
+    assert len(kept1) == b1.select("text").distinct().count()
+
+    kept2 = incremental_dedup_store(spark, b2, store).collect()
+    seen1 = {r["fingerprint"] for r in kept1}
+    assert all(r["fingerprint"] not in seen1 for r in kept2)
+    # store holds exactly the union of surviving fingerprints
+    store_fps = {r["fingerprint"] for r in spark.read.parquet(store).collect()}
+    assert store_fps == seen1 | {r["fingerprint"] for r in kept2}
+
+    # an identical replay batch survives nowhere
+    kept3 = incremental_dedup_store(spark, b1, store).collect()
+    assert kept3 == []
