@@ -737,3 +737,95 @@ JOIN ranked r ON r.rank = v.vocab_size
 CROSS JOIN total t
 ORDER BY vocab_size
 """
+
+# Frozen linear-probe weights for quality_classifier (integer milli-logit
+# units — in production these come from a trained fastText-style probe;
+# inference needs only the frozen literals).
+_QC_BIAS_MILLI = -3000
+_QC_W_ALPHA = 4  # per alpha per-mille of chars
+_QC_W_STOP = 12  # per stopword-hit per-mille of tokens
+_QC_W_LEN = 2  # per token, capped at 500
+_QC_W_WL = 1  # per per-mille deviation of mean word length from 5.0 (halved)
+_QC_KEEP_MILLI = 500
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier — the serving shape of a trained
+    fastText/logistic probe (Joulin et al. 2016; the CCNet/RefinedWeb
+    quality-filter stage): engineered features x frozen weights -> logit ->
+    keep flag.
+
+    All arithmetic is exact integer (per-mille feature ratios via integer
+    division, milli-logit weights), so scoring is deterministic across
+    engines — and the whole op is JVM-side codegen'd Column expressions:
+    one per-row narrow stage, no UDF, no shuffle, linear at 100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+        .cast("bigint")
+        .alias("alpha_chars"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in _STOPWORD_LIST])
+            )
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    feats = base.select(
+        id_col,
+        F.expr("alpha_chars * 1000 div n_chars").alias("alpha_pm"),
+        F.expr("stop_hits * 1000 div n_tokens").alias("stop_pm"),
+        F.expr("least(n_tokens, 500)").alias("len_cap"),
+        # mean word length in milli-chars: (chars - separators) / tokens
+        F.expr("abs((n_chars - (n_tokens - 1)) * 1000 div n_tokens - 5000) div 2").alias(
+            "wl_dev"
+        ),
+    )
+    logit = F.expr(
+        f"{_QC_BIAS_MILLI} + {_QC_W_ALPHA} * alpha_pm + {_QC_W_STOP} * stop_pm "
+        f"+ {_QC_W_LEN} * len_cap - {_QC_W_WL} * wl_dev"
+    ).cast("bigint")
+    return feats.select(
+        id_col,
+        F.col("alpha_pm").cast("bigint").alias("alpha_pm"),
+        F.col("stop_pm").cast("bigint").alias("stop_pm"),
+        logit.alias("logit_milli"),
+        (logit >= _QC_KEEP_MILLI).cast("boolean").alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS alpha_chars,
+           CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STR_SPLIT(text, ' ')),
+                                   {_STOPWORD_LIST!r})) AS BIGINT) AS stop_hits
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           alpha_chars * 1000 // n_chars AS alpha_pm,
+           stop_hits * 1000 // n_tokens AS stop_pm,
+           LEAST(n_tokens, 500) AS len_cap,
+           ABS((n_chars - (n_tokens - 1)) * 1000 // n_tokens - 5000) // 2 AS wl_dev
+    FROM base
+)
+SELECT doc_id,
+       CAST(alpha_pm AS BIGINT) AS alpha_pm,
+       CAST(stop_pm AS BIGINT) AS stop_pm,
+       CAST({_QC_BIAS_MILLI} + {_QC_W_ALPHA} * alpha_pm + {_QC_W_STOP} * stop_pm
+            + {_QC_W_LEN} * len_cap - {_QC_W_WL} * wl_dev AS BIGINT) AS logit_milli,
+       ({_QC_BIAS_MILLI} + {_QC_W_ALPHA} * alpha_pm + {_QC_W_STOP} * stop_pm
+        + {_QC_W_LEN} * len_cap - {_QC_W_WL} * wl_dev) >= {_QC_KEEP_MILLI} AS keep
+FROM feats
+"""

@@ -93,6 +93,7 @@ from .ext.textstats import (
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
     PII_SCRUB_EVENTS_SQL,
+    QUALITY_CLASSIFIER_SQL,
     QUALITY_SCORE_SQL,
     UNIGRAM_LOGPROB_SQL,
     REPETITION_SIGNALS_SQL,
@@ -106,6 +107,7 @@ from .ext.textstats import (
     corpus_ngram_counts,
     language_id,
     language_profile,
+    quality_classifier,
     quality_score,
     repetition_signals,
     scrub_pii,
@@ -512,6 +514,10 @@ QUERIES: dict[str, QuerySpec] = {
     "x_text_stats": QuerySpec(_x_text_stats, TEXT_STATS_SQL),
     "x_token_counts": QuerySpec(_docs_q(token_counts), TOKEN_COUNTS_SQL),
     "x_quality_score": QuerySpec(_docs_q(quality_score), QUALITY_SCORE_SQL),
+    # frozen linear probe (fastText-style serving shape, milli-logit ints)
+    "x_quality_classifier": QuerySpec(
+        _docs_q(quality_classifier), QUALITY_CLASSIFIER_SQL
+    ),
     "x_repetition_signals": QuerySpec(
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
@@ -794,6 +800,7 @@ _REFERENCE_MODELS = [
 _ROUND2_NEW = [
     "x_kmeans_refine",
     "x_incremental_dedup",
+    "x_quality_classifier",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
