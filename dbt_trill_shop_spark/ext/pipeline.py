@@ -17,12 +17,12 @@ final pack windows over (source) partitions, never globally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact, decontaminate
 from .sampling import pack_documents
-from .textstats import quality_score
+from .textstats import _STOPWORD_LIST, quality_score
 
 
 def training_data_pipeline(
@@ -104,4 +104,100 @@ SELECT doc_id, source,
                    - LEAST(n_tokens, {capacity})) / {capacity}) AS BIGINT) AS bin_id
 FROM clean
 ORDER BY doc_id
+"""
+
+
+def filter_funnel(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pipeline funnel audit: how many documents survive each PREFIX of the
+    cleaning stages (length band -> alpha ratio -> stopword evidence ->
+    exact-dup canonical), in ONE aggregate pass.
+
+    Per-stage keep/drop observability is the first thing a 100 TB curation
+    run needs (a mis-tuned filter silently deleting a corpus shows up here,
+    not in the output schema).  Every stage predicate is evaluated in the
+    same narrow scan and combined with ``sum(case ...)`` — one job, one
+    tiny result, no per-stage rescans; the only shuffle is exact dedup's
+    min-id-per-text aggregate, which ships (text-hash, id) pairs only.
+
+    Returns (stage, surviving, dropped_at_stage) ordered by stage.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    alpha_chars = F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORD_LIST])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    # project per-row flags + content hash BEFORE the dedup window, so the
+    # one shuffle ships (flags, hash, id) — never the text
+    pre = docs.select(
+        ((n_tokens >= 10) & (n_tokens <= 100000)).alias("s1"),
+        (alpha_chars * 1000 >= n_chars * 600).alias("s2"),
+        (stop_hits >= 1).alias("s3"),
+        F.md5(F.col(text_col).cast("binary")).alias("h"),
+        F.col(id_col).alias("id"),
+    )
+    w_canon = Window.partitionBy("h").orderBy(F.asc("id"))
+    flags = pre.select(
+        "s1", "s2", "s3", (F.row_number().over(w_canon) == 1).alias("s4")
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        b(F.col("s1")).alias("c1"),
+        b(F.col("s1") & F.col("s2")).alias("c2"),
+        b(F.col("s1") & F.col("s2") & F.col("s3")).alias("c3"),
+        b(F.col("s1") & F.col("s2") & F.col("s3") & F.col("s4")).alias("c4"),
+    )
+    stages = ["ingested", "length_band", "alpha_ratio", "stopword_evidence", "dedup_canonical"]
+    stack = ", ".join(f"'{i}_{s}', c{i}" for i, s in enumerate(stages))
+    return agg.select(
+        F.expr(f"stack({len(stages)}, {stack}) AS (stage, surviving)")
+    ).select(
+        "stage",
+        "surviving",
+        (F.lag("surviving", 1).over(Window.orderBy("stage")) - F.col("surviving"))
+        .cast("bigint")
+        .alias("dropped_at_stage"),
+    )
+
+
+FILTER_FUNNEL_SQL_TEMPLATE = """
+WITH flags AS (
+    SELECT (n_tokens >= 10 AND n_tokens <= 100000) AS s1,
+           (alpha_chars * 1000 >= n_chars * 600) AS s2,
+           (stop_hits >= 1) AS s3,
+           (rn = 1) AS s4
+    FROM (
+        SELECT CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   AS alpha_chars,
+               LEN(LIST_INTERSECT(LIST_DISTINCT(STR_SPLIT(text, ' ')),
+                                  {stopwords!r})) AS stop_hits,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) t
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+    FROM flags
+),
+long AS (
+    SELECT '0_ingested' AS stage, c0 AS surviving FROM agg
+    UNION ALL SELECT '1_length_band', c1 FROM agg
+    UNION ALL SELECT '2_alpha_ratio', c2 FROM agg
+    UNION ALL SELECT '3_stopword_evidence', c3 FROM agg
+    UNION ALL SELECT '4_dedup_canonical', c4 FROM agg
+)
+SELECT stage, surviving,
+       CAST(LAG(surviving, 1) OVER (ORDER BY stage) - surviving AS BIGINT)
+           AS dropped_at_stage
+FROM long
 """

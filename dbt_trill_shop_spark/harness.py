@@ -87,7 +87,12 @@ from .ext.similarity import (
     semantic_dedup_pairs,
     semantic_search,
 )
-from .ext.pipeline import TRAINING_PIPELINE_SQL_TEMPLATE, training_data_pipeline
+from .ext.pipeline import (
+    FILTER_FUNNEL_SQL_TEMPLATE,
+    TRAINING_PIPELINE_SQL_TEMPLATE,
+    filter_funnel,
+    training_data_pipeline,
+)
 from .ext.textstats import (
     STOPWORDS,
     LANGUAGE_ID_SQL,
@@ -518,6 +523,11 @@ QUERIES: dict[str, QuerySpec] = {
     "x_quality_classifier": QuerySpec(
         _docs_q(quality_classifier), QUALITY_CLASSIFIER_SQL
     ),
+    # one-pass per-stage keep/drop audit of the cleaning funnel
+    "x_filter_funnel": QuerySpec(
+        _docs_q(filter_funnel),
+        FILTER_FUNNEL_SQL_TEMPLATE.format(stopwords=STOPWORDS[0].split()),
+    ),
     "x_repetition_signals": QuerySpec(
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
@@ -801,6 +811,7 @@ _ROUND2_NEW = [
     "x_kmeans_refine",
     "x_incremental_dedup",
     "x_quality_classifier",
+    "x_filter_funnel",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
