@@ -175,3 +175,65 @@ HASH_SAMPLE_SQL_TEMPLATE = """
 SELECT * FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4) < '{thr}'
 """
+
+
+def mixture_plan(
+    docs: DataFrame, target_weights: dict[str, int], strata_col: str = "source"
+) -> DataFrame:
+    """Distributed mixture planning — :func:`mixture_fractions` as ONE plan
+    over the corpus (no driver-side counts dict): given relative integer
+    ``target_weights`` per stratum, compute the largest feasible downsampled
+    mixture realizing those proportions and each stratum's keep rate.
+
+    All arithmetic is integer (ppm scale, both engines truncate division
+    toward zero), so the plan is oracle-checkable: ``t = min(n_rows * 1e6
+    div w)`` is the feasible mixture size in ppm-of-weight units;
+    ``planned = t * w div 1e6`` never exceeds ``n_rows``.  The stratum
+    count aggregate is the only shuffle (map-side combined to one row per
+    stratum); weights ride as a broadcast VALUES literal.  Returns
+    (stratum, n_rows, weight, planned_rows, keep_ppm).
+
+    Weights are small relative integers; ppm scaling bounds n_rows at
+    ~9e12 per stratum before int64 overflow — repartition the scale if a
+    single stratum exceeds that.
+    """
+    spark = docs.sparkSession
+    vals = ", ".join(f"('{k}', {int(v)})" for k, v in sorted(target_weights.items()))
+    w = spark.sql(
+        f"SELECT stratum, CAST(weight AS BIGINT) weight "
+        f"FROM VALUES {vals} AS t(stratum, weight)"
+    )
+    counts = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    j = counts.join(F.broadcast(w), "stratum")
+    t = j.select(F.expr("n_rows * 1000000 div weight").alias("t")).agg(
+        F.min("t").alias("t_min")
+    )
+    return j.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        "n_rows",
+        "weight",
+        F.expr("t_min * weight div 1000000").cast("bigint").alias("planned_rows"),
+        F.expr("(t_min * weight div 1000000) * 1000000 div n_rows")
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+
+
+MIXTURE_PLAN_SQL_TEMPLATE = """
+WITH w(stratum, weight) AS (VALUES {values}),
+counts AS (
+    SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY source
+),
+j AS (
+    SELECT c.stratum, c.n_rows, CAST(w.weight AS BIGINT) AS weight
+    FROM counts c JOIN w ON w.stratum = c.stratum
+),
+t AS (SELECT MIN(n_rows * 1000000 // weight) AS t_min FROM j)
+SELECT j.stratum, j.n_rows, j.weight,
+       CAST(t.t_min * j.weight // 1000000 AS BIGINT) AS planned_rows,
+       CAST((t.t_min * j.weight // 1000000) * 1000000 // j.n_rows AS BIGINT) AS keep_ppm
+FROM j CROSS JOIN t
+"""

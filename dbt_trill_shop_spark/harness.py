@@ -60,9 +60,11 @@ from .ext.multimodal import (
 from .ext.sampling import (
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
     HASH_SAMPLE_SQL_TEMPLATE,
+    MIXTURE_PLAN_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
+    mixture_plan,
     pack_documents,
 )
 from .ext.similarity import (
@@ -325,6 +327,9 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_SPLIT_ID = 20
 _INC_DEDUP_SPLIT = 250
+# relative target weights over the 20 synthetic sources (non-uniform so the
+# feasibility min actually binds on the highest-weight strata)
+_MIXTURE_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
 
 
 def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +532,17 @@ QUERIES: dict[str, QuerySpec] = {
     "x_filter_funnel": QuerySpec(
         _docs_q(filter_funnel),
         FILTER_FUNNEL_SQL_TEMPLATE.format(stopwords=STOPWORDS[0].split()),
+    ),
+    # largest-feasible domain-mixture plan (integer ppm arithmetic)
+    "x_mixture_plan": QuerySpec(
+        lambda spark, sf_dir: mixture_plan(
+            load_table(spark, sf_dir, "documents"), _MIXTURE_WEIGHTS
+        ),
+        MIXTURE_PLAN_SQL_TEMPLATE.format(
+            values=", ".join(
+                f"('{k}', {v})" for k, v in sorted(_MIXTURE_WEIGHTS.items())
+            )
+        ),
     ),
     "x_repetition_signals": QuerySpec(
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
@@ -812,6 +828,7 @@ _ROUND2_NEW = [
     "x_incremental_dedup",
     "x_quality_classifier",
     "x_filter_funnel",
+    "x_mixture_plan",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

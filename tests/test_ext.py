@@ -376,3 +376,21 @@ def test_incremental_dedup_store_roundtrip(spark, sf_dir, tmp_path):
     # an identical replay batch survives nowhere
     kept3 = incremental_dedup_store(spark, b1, store).collect()
     assert kept3 == []
+
+
+def test_mixture_plan_matches_driver_side_twin(spark, sf_dir):
+    """The distributed mixture plan must agree with the driver-side
+    mixture_fractions arithmetic (within ppm truncation) and never plan
+    more rows than a stratum holds."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import mixture_fractions, mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (i % 5) + 1 for i in range(20)}
+    plan = {r["stratum"]: r for r in mixture_plan(docs, weights).collect()}
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    fracs = mixture_fractions(counts, {k: float(v) for k, v in weights.items()})
+    assert set(plan) == set(weights)
+    for k, row in plan.items():
+        assert 0 <= row["planned_rows"] <= counts[k]
+        assert abs(row["keep_ppm"] / 1e6 - fracs[k]) < 2e-3
