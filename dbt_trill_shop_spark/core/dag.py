@@ -209,6 +209,7 @@ class Project:
         subset: set[str] | None = None,
         on_test_failure: str = "continue",
         defer_relations: dict[str, DataFrame] | None = None,
+        full_refresh: bool = False,
     ) -> dict[str, list[TestResult]]:
         """Materialize every model in topo order; return test results per
         model.  ``subset`` (e.g. from :meth:`select`) restricts the run.
@@ -224,10 +225,17 @@ class Project:
         via a previous deployment's artifacts).  Together with
         :meth:`select_state_modified` this is the slim-CI loop — build only
         what changed, read everything else from prod.
+
+        ``full_refresh`` is dbt ``--full-refresh``: incremental models
+        ignore their existing table and rebuild from scratch
+        (``is_incremental()`` compiles to False), the recovery path after a
+        backfill or logic change.
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
         import time
+
+        self._full_refresh = full_refresh
 
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
@@ -249,10 +257,14 @@ class Project:
                 self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
                 continue
             t0 = time.perf_counter()
+            for hook in model.pre_hook:
+                spark.sql(self._compile_hook(hook, name))
             df = model.build(spark, self.ref, self._build_ctx(spark, name))
             if model.contract:
                 enforce_contract(name, df, model.contract)
             self.relations[name] = self._materialize(spark, model, df)
+            for hook in model.post_hook:
+                spark.sql(self._compile_hook(hook, name))
             self.last_run_results[name] = {
                 "status": "success",
                 "execution_time": round(time.perf_counter() - t0, 3),
@@ -292,11 +304,21 @@ class Project:
 
     def is_incremental_run(self, name: str) -> bool:
         """dbt ``is_incremental()``: True when the model is incremental and its
-        table already exists — builders use this to restrict to the new batch."""
+        table already exists — builders use this to restrict to the new batch.
+        Always False under ``build(full_refresh=True)``."""
+        if getattr(self, "_full_refresh", False):
+            return False
         model = self.models[name]
         return model.materialization is Materialization.INCREMENTAL and os.path.exists(
             self.table_path(model)
         )
+
+    def _compile_hook(self, hook: str, name: str) -> str:
+        """Minimal hook compilation: ``{{ this }}`` resolves to the model's
+        registered relation name (dbt hooks address the just-built table)."""
+        import re
+
+        return re.sub(r"\{\{\s*this\s*\}\}", name, hook)
 
     def _materialize(self, spark: SparkSession, model: Model, df: DataFrame) -> DataFrame:
         if model.materialization is Materialization.EPHEMERAL:
@@ -322,7 +344,11 @@ class Project:
             return out
         path = self.table_path(model)
         parts = self.table_partition_cols.get(model.name)
-        if model.materialization is Materialization.INCREMENTAL and os.path.exists(path):
+        if (
+            model.materialization is Materialization.INCREMENTAL
+            and os.path.exists(path)
+            and not getattr(self, "_full_refresh", False)
+        ):
             if model.incremental_strategy == "insert_overwrite":
                 # TRUE partition-level replacement (dbt insert_overwrite on a
                 # partitioned warehouse): ONLY the partitions present in the
@@ -439,6 +465,7 @@ class Project:
                     "description": self.models[name].description,
                     "columns": dict(self.models[name].columns),
                     "checksum": self.models[name].checksum,
+                    "tags": list(self.models[name].tags),
                     "tests": [str(t) for t in self.models[name].tests],
                 }
                 for name in order
@@ -492,15 +519,23 @@ def _edges(models: dict[str, "Model"]) -> tuple[dict[str, set[str]], dict[str, s
 
 
 def select_nodes(models: dict[str, "Model"], expr: str) -> set[str]:
-    """dbt node-selection syntax (the graph operators): ``model``,
-    ``+model`` (model and every ancestor), ``model+`` (and every
-    descendant), ``+model+`` (both).  Returns model names only — sources are
+    """dbt node-selection syntax: ``model``, ``+model`` (model and every
+    ancestor), ``model+`` (and every descendant), ``+model+`` (both), and
+    the ``tag:<name>`` method (every model carrying the tag, composable
+    with the same +-operators).  Returns model names only — sources are
     always available and need no selection."""
     want_anc = expr.startswith("+")
     want_desc = expr.endswith("+")
     name = expr.strip("+")
-    if name not in models:
-        raise KeyError(f"unknown model {name!r} in selector {expr!r}")
+    if name.startswith("tag:"):
+        tag = name[len("tag:") :]
+        base = {n for n, m in models.items() if tag in m.tags}
+        if not base:
+            raise KeyError(f"no model carries tag {tag!r} (selector {expr!r})")
+    else:
+        if name not in models:
+            raise KeyError(f"unknown model {name!r} in selector {expr!r}")
+        base = {name}
     parents, children = _edges(models)
 
     def walk(start: str, graph: dict[str, set[str]]) -> set[str]:
@@ -512,9 +547,10 @@ def select_nodes(models: dict[str, "Model"], expr: str) -> set[str]:
                     stack.append(nxt)
         return out
 
-    selected = {name}
-    if want_anc:
-        selected |= walk(name, parents)
-    if want_desc:
-        selected |= walk(name, children)
+    selected = set(base)
+    for name in base:
+        if want_anc:
+            selected |= walk(name, parents)
+        if want_desc:
+            selected |= walk(name, children)
     return selected

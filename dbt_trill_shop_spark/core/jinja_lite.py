@@ -166,6 +166,11 @@ def sql_model(
     for key in ("unique_key", "incremental_strategy"):
         if key not in model_kwargs and key in cfg:
             model_kwargs[key] = cfg[key]
+    # tags='a,b' (string form of dbt's tags=[...] list)
+    if "tags" not in model_kwargs and "tags" in cfg:
+        model_kwargs["tags"] = tuple(
+            t.strip() for t in cfg["tags"].split(",") if t.strip()
+        )
     deps = extract_deps(raw_sql)
 
     def build(spark: SparkSession, resolve, ctx: dict | None = None) -> DataFrame:

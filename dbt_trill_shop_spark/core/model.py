@@ -87,6 +87,13 @@ class Model:
     # merge upserts by unique_key (latest batch wins); append just appends.
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # "merge" | "append"
+    # dbt tags (config: tags:): free-form labels selectable via
+    # Project.select("tag:<name>")
+    tags: tuple[str, ...] = ()
+    # dbt hooks: SQL statements run around materialization ({{ this }}
+    # resolves to the model's relation); the warehouse-side audit/grant slot
+    pre_hook: tuple[str, ...] = ()
+    post_hook: tuple[str, ...] = ()
 
     def build(
         self, spark: "SparkSession", resolve: Resolver, ctx: dict | None = None

@@ -253,3 +253,37 @@ def test_incremental_insert_overwrite(spark, events, tmp_path):
 
     base = p.table_path(p.models["by_type"])
     assert any(d.startswith("event_type=") for d in os.listdir(base))
+
+
+def test_full_refresh_rebuilds_incremental(spark, events, tmp_path):
+    """dbt --full-refresh: an incremental model ignores its existing table
+    and rebuilds from scratch (is_incremental() compiles False) — observable
+    when the source SHRINKS: plain incremental append keeps stale history,
+    full refresh reflects only the current source."""
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    sql = """
+    {{ config(materialized='incremental', incremental_strategy='append') }}
+    SELECT event_id, user_id, value
+    FROM {{ source('ecom', 'events_src') }}
+    {% if is_incremental() %}
+    WHERE event_id > (SELECT MAX(event_id) FROM {{ this }})
+    {% endif %}
+    """
+    p = Project("fr", warehouse_dir=str(tmp_path / "fr"))
+    p.add_model(sql_model("events_copy", sql))
+
+    p.add_source("events_src", events)
+    p.build(spark, run_tests=False)
+    assert p.relations["events_copy"].count() == events.count()
+
+    # source shrinks to half; incremental append keeps the stale rows
+    half = events.filter(F.col("event_id") <= cutoff)
+    p.add_source("events_src", half)
+    p.build(spark, run_tests=False)
+    assert p.relations["events_copy"].count() == events.count()
+
+    # --full-refresh rebuilds from the current source only
+    p.build(spark, run_tests=False, full_refresh=True)
+    assert p.relations["events_copy"].count() == half.count()

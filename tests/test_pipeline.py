@@ -674,3 +674,54 @@ def test_state_modified_selection(spark, sf_dir):
     edited.add_model(sql_model("extra", "SELECT 1 AS one"))
     assert "extra" in edited.select_state_modified(old_manifest)
     del victim
+
+
+def test_tag_selection(spark):
+    """dbt tag: selection — tag:<name> selects every tagged model, composes
+    with the +descendants operator, and tags flow from the SQL-file
+    config() into the manifest."""
+    from dbt_trill_shop_spark.core.dag import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    p = Project("tags")
+    p.add_source("src", spark.range(5).withColumnRenamed("id", "v"))
+    p.add_model(
+        sql_model("a", "{{ config(tags='staging,hourly') }} SELECT v FROM {{ source('x','src') }}")
+    )
+    p.add_model(sql_model("b", "{{ config(tags='staging') }} SELECT v FROM {{ ref('a') }}"))
+    p.add_model(sql_model("c", "SELECT v FROM {{ ref('b') }}"))
+
+    assert p.select("tag:staging") == {"a", "b"}
+    assert p.select("tag:hourly+") == {"a", "b", "c"}
+    assert p.select("tag:staging+") == {"a", "b", "c"}
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        p.select("tag:nope")
+    assert p.manifest()["nodes"]["a"]["tags"] == ["staging", "hourly"]
+
+
+def test_pre_post_hooks(spark):
+    """dbt hooks: pre_hook runs before the build, post_hook after
+    materialization with {{ this }} bound to the built relation — the
+    audit-table / GRANT slot."""
+    from dbt_trill_shop_spark.core.dag import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    spark.sql("DROP VIEW IF EXISTS hook_audit")
+    p = Project("hooks")
+    p.add_source("src", spark.range(7).withColumnRenamed("id", "v"))
+    m = sql_model(
+        "audited",
+        "SELECT v FROM {{ source('x','src') }} WHERE v >= {{ var('min_v', 3) }}",
+        pre_hook=("SET spark.sql.hook.probe=ran",),
+        post_hook=(
+            "CREATE OR REPLACE TEMP VIEW hook_audit AS "
+            "SELECT 'audited' AS model, COUNT(*) AS n FROM {{ this }}",
+        ),
+    )
+    p.add_model(m)
+    p.build(spark, run_tests=False)
+    assert spark.conf.get("spark.sql.hook.probe") == "ran"
+    audit = spark.table("hook_audit").collect()
+    assert audit[0]["model"] == "audited" and audit[0]["n"] == 4
