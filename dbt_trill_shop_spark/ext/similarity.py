@@ -751,13 +751,21 @@ def kmeans_refine(
       argmin (``min(struct(d2, cell))`` — map-side combined, no window
       sort), plus a per-cell mean whose shuffle carries only ``n_cells``
       grouped rows after map-side combine;
+    - centroid means shuffle LONG-FORM (cell, dim, sum, count) partial
+      aggregates — ``n_cells x dim`` grouped rows after map-side combine —
+      instead of a ``dim``-wide aggregate expression list, which stalls
+      whole-stage codegen at wide dims;
     - centroids are bounded (``n_cells x dim`` ints), so collecting them
       each iteration is legitimate driver traffic; re-inlining them as a
       VALUES literal keeps the plan flat (no lineage growth across
-      iterations) and makes the broadcast free.
+      iterations) and makes the broadcast free;
+    - the micro-encoded corpus is checkpointed once and reused by every
+      pass (MLlib caches its input for the same reason — lazy re-encoding
+      would re-run the scan per iteration).
 
-    Centroid means use integer division (both engines truncate toward
-    zero), so refined centroids are exact integers too.
+    Centroid means use integer division truncating toward zero (Spark
+    ``div`` == DuckDB ``//``; the driver-side assembly emulates the same),
+    so refined centroids are exact integers too.
     """
     spark = embeddings.sparkSession
     vm = embeddings.select(
@@ -766,8 +774,7 @@ def kmeans_refine(
             _as_double(F.col(vec_col)),
             lambda x: F.round(x * 1_000_000, 0).cast("bigint"),
         ).alias("vm"),
-    )
-    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    ).localCheckpoint(eager=True)
     d2 = F.aggregate(
         F.zip_with(F.col("vm"), F.col("cm"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
@@ -792,21 +799,28 @@ def kmeans_refine(
         .select(F.col(id_col).alias("cell"), F.col("vm").alias("cm"))
         .collect(),
     )
+    def trunc_div(s: int, n: int) -> int:
+        # toward-zero integer division (Python // floors; n > 0 here):
+        # match Spark `div` / DuckDB `//`
+        return s // n if s >= 0 else -((-s) // n)
+
     for _ in range(n_iters):
-        new_cents = (
+        sums = (
             assign(cents_df, keep_vm=True)
-            .groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("vm", i + 1)).alias(f"s{i}") for i in range(dim)],
-            )
-            .select(
-                "cell",
-                F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("cm"),
-            )
+            .select("cell", F.posexplode("vm").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        cents_df = _lit_centroids(spark, new_cents)
+        n_dims = max(int(r["dim"]) for r in sums) + 1
+        by_cell: dict[int, list[int]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), [0] * n_dims)[int(r["dim"])] = trunc_div(
+                int(r["s"]), int(r["n"])
+            )
+        cents_df = _lit_centroids(
+            spark, [{"cell": c, "cm": cm} for c, cm in sorted(by_cell.items())]
+        )
     return assign(cents_df, keep_vm=False).select(
         F.col(id_col), F.col("cell").cast("bigint").alias("cell")
     )
