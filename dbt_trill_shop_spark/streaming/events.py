@@ -280,3 +280,63 @@ JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
 """
+
+
+def stream_merge_into_table(
+    stream: DataFrame,
+    path: str,
+    unique_key: str,
+    checkpoint_dir: str,
+    shuffle_partitions: int | None = 8,
+) -> None:
+    """Streaming incremental materialization: drain ``stream`` with
+    ``foreachBatch``, upserting each micro-batch into the parquet table at
+    ``path`` by ``unique_key`` — the streaming->warehouse bridge (a dbt
+    incremental-merge model fed by a stream instead of scheduled batches).
+
+    Inside ``foreachBatch`` the micro-batch is a plain DataFrame, so the
+    merge is the same left_anti + union + write-then-swap the batch
+    incremental path uses; the checkpoint gives exactly-once micro-batch
+    tracking (a restarted drain resumes, never re-merges a completed
+    batch).  At 100 TB the per-batch anti-join broadcasts the batch's key
+    set against years of history — partition the table on the merge grain
+    so each swap touches one partition's files.
+    """
+    import os
+    import shutil
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            keys = batch.select(unique_key).distinct()
+            out = existing.join(F.broadcast(keys), unique_key, "left_anti").unionByName(
+                batch.select(*existing.columns)
+            )
+        else:
+            out = batch
+        tmp, old = path + ".__new__", path + ".__old__"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+
+    spark = stream.sparkSession
+    prev: str | None = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -162,3 +162,32 @@ def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_merge_into_table(spark, sf_dir, tmp_path):
+    """foreachBatch streaming upsert: a multi-micro-batch drain merged by
+    event_id reproduces the batch table exactly, and a resumed drain on the
+    same checkpoint is a no-op (exactly-once micro-batch tracking)."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.streaming.events import (
+        stream_events,
+        stream_merge_into_table,
+    )
+
+    path = str(tmp_path / "events_merged")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    stream_merge_into_table(stream, path, unique_key="event_id", checkpoint_dir=ckpt)
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+    # same checkpoint -> no new micro-batches -> table unchanged
+    stream2 = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    stream_merge_into_table(stream2, path, unique_key="event_id", checkpoint_dir=ckpt)
+    again = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert again == want
