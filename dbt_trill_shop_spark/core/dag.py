@@ -81,6 +81,10 @@ class Project:
         self.exposures: dict[str, dict] = {}
         # per-node outcome of the most recent build() (dbt run_results)
         self.last_run_results: dict[str, dict] = {}
+        # dbt on-run-start / on-run-end (dbt_project.yml): project-level SQL
+        # run once around the whole build (audit bookkeeping, session conf)
+        self.on_run_start: list[str] = []
+        self.on_run_end: list[str] = []
 
     # -- registration -----------------------------------------------------
     def add_source(
@@ -170,8 +174,26 @@ class Project:
     # -- execution -----------------------------------------------------------
     def select(self, expr: str) -> set[str]:
         """dbt ``--select`` graph operators: ``+name`` ancestors, ``name+``
-        descendants (see :func:`select_nodes`)."""
+        descendants, ``tag:<name>`` (see :func:`select_nodes`)."""
         return select_nodes(self.models, expr)
+
+    def select_many(
+        self,
+        select: Iterable[str] | None = None,
+        exclude: Iterable[str] | None = None,
+    ) -> set[str]:
+        """dbt CLI selection algebra: union of ``--select`` expressions minus
+        the union of ``--exclude`` expressions; no ``select`` means all
+        models (``dbt build`` with only ``--exclude``)."""
+        chosen: set[str] = set()
+        if select is None:
+            chosen = set(self.models)
+        else:
+            for expr in select:
+                chosen |= select_nodes(self.models, expr)
+        for expr in exclude or ():
+            chosen -= select_nodes(self.models, expr)
+        return chosen
 
     def select_state_modified(
         self, old_manifest: dict, include_descendants: bool = True
@@ -236,6 +258,8 @@ class Project:
         import time
 
         self._full_refresh = full_refresh
+        for stmt in self.on_run_start:
+            spark.sql(stmt)
 
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
@@ -281,6 +305,8 @@ class Project:
                     )
                 if failed and on_test_failure == "skip_downstream":
                     skipped.add(name)
+        for stmt in self.on_run_end:
+            spark.sql(stmt)
         return results
 
     def _build_ctx(self, spark: SparkSession, name: str) -> dict:

@@ -725,3 +725,29 @@ def test_pre_post_hooks(spark):
     assert spark.conf.get("spark.sql.hook.probe") == "ran"
     audit = spark.table("hook_audit").collect()
     assert audit[0]["model"] == "audited" and audit[0]["n"] == 4
+
+
+def test_run_hooks_and_select_algebra(spark):
+    """Project-level on-run-start/end run once around the build; select_many
+    implements the CLI union-minus-exclude algebra."""
+    from dbt_trill_shop_spark.core.dag import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    spark.sql("DROP VIEW IF EXISTS run_audit")
+    p = Project("runhooks")
+    p.add_source("src", spark.range(3).withColumnRenamed("id", "v"))
+    p.add_model(sql_model("a", "{{ config(tags='stg') }} SELECT v FROM {{ source('x','src') }}"))
+    p.add_model(sql_model("b", "SELECT v FROM {{ ref('a') }}"))
+    p.add_model(sql_model("c", "{{ config(tags='slow') }} SELECT v FROM {{ ref('b') }}"))
+    p.on_run_start = ["SET spark.sql.run.hook=started"]
+    p.on_run_end = [
+        "CREATE OR REPLACE TEMP VIEW run_audit AS SELECT 'done' AS status"
+    ]
+    p.build(spark, run_tests=False)
+    assert spark.conf.get("spark.sql.run.hook") == "started"
+    assert spark.table("run_audit").collect()[0]["status"] == "done"
+
+    assert p.select_many() == {"a", "b", "c"}
+    assert p.select_many(exclude=["tag:slow"]) == {"a", "b"}
+    assert p.select_many(["tag:stg+"], exclude=["c"]) == {"a", "b"}
+    assert p.select_many(["a", "c"]) == {"a", "c"}
