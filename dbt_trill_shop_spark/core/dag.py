@@ -31,6 +31,58 @@ from .model import Materialization, Model, enforce_contract, resolve_schema
 from .testing import TestResult, run_model_tests
 
 
+def _stable_value_repr(v) -> str:
+    """A process-stable repr for closure-captured values (checksum input):
+    default reprs of functions/objects carry memory addresses that differ
+    every run, which would make state:modified flag the model on every
+    slim-CI pass.  Captured callables hash their source when available."""
+    import inspect
+    import re
+
+    if callable(v):
+        try:
+            return inspect.getsource(v)
+        except (OSError, TypeError):
+            return f"<fn {getattr(v, '__module__', '')}.{getattr(v, '__qualname__', '?')}>"
+    return re.sub(r"0x[0-9a-fA-F]+", "0x", repr(v))
+
+
+def recover_swap(path: str) -> None:
+    """Crash recovery for :func:`swap_into_place`: if a previous swap died
+    between its two renames, the table directory is missing but the
+    ``.__old__`` sibling still holds the full pre-swap table — restore it.
+    Call before reading or rebuilding a swap-managed path."""
+    old = path + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
+
+
+def swap_into_place(tmp: str, path: str) -> None:
+    """Atomically-enough replace ``path`` with ``tmp`` (write-then-swap).
+    The crash window between the two renames leaves the previous table in
+    ``path.__old__``; :func:`recover_swap` restores it, so no failure
+    point loses committed history."""
+    old = path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def merge_upsert(existing: DataFrame, batch: DataFrame, unique_key: str) -> DataFrame:
+    """Upsert ``batch`` into ``existing`` by ``unique_key``: existing rows
+    whose key appears in the batch are replaced (left_anti + union).  The
+    anti join broadcasts the batch's key set — the common shape: one
+    partition of new data against years of history."""
+    from pyspark.sql import functions as F
+
+    keys = batch.select(unique_key).distinct()
+    return existing.join(F.broadcast(keys), unique_key, "left_anti").unionByName(
+        batch.select(*existing.columns)
+    )
+
+
 def topo_sort(models: dict[str, Model], sources: Iterable[str]) -> list[str]:
     """Topological order of model names (sources excluded, must pre-exist)."""
     srcs = set(sources)
@@ -128,7 +180,9 @@ class Project:
                 src = inspect.getsource(model.builder)
                 try:
                     cells = inspect.getclosurevars(model.builder).nonlocals
-                    src += repr(sorted((k, repr(v)) for k, v in cells.items()))
+                    src += repr(
+                        sorted((k, _stable_value_repr(v)) for k, v in cells.items())
+                    )
                 except (TypeError, ValueError):
                     pass
                 model.checksum = content_checksum(src)
@@ -183,10 +237,12 @@ class Project:
         exclude: Iterable[str] | None = None,
     ) -> set[str]:
         """dbt CLI selection algebra: union of ``--select`` expressions minus
-        the union of ``--exclude`` expressions; no ``select`` means all
-        models (``dbt build`` with only ``--exclude``)."""
+        the union of ``--exclude`` expressions; no ``select`` (None OR empty,
+        the argparse-default shape) means all models (``dbt build`` with
+        only ``--exclude``)."""
         chosen: set[str] = set()
-        if select is None:
+        select = list(select or ())
+        if not select:
             chosen = set(self.models)
         else:
             for expr in select:
@@ -255,11 +311,30 @@ class Project:
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
-        import time
-
         self._full_refresh = full_refresh
-        for stmt in self.on_run_start:
-            spark.sql(stmt)
+        try:
+            for stmt in self.on_run_start:
+                spark.sql(stmt)
+            return self._build_inner(
+                spark, run_tests, subset, on_test_failure, defer_relations
+            )
+        finally:
+            # on-run-end runs even on failed builds (dbt semantics: the
+            # audit bookkeeping must record failures too), and the
+            # full-refresh flag must not leak past this build
+            self._full_refresh = False
+            for stmt in self.on_run_end:
+                spark.sql(stmt)
+
+    def _build_inner(
+        self,
+        spark: SparkSession,
+        run_tests: bool,
+        subset: set[str] | None,
+        on_test_failure: str,
+        defer_relations: dict[str, DataFrame] | None,
+    ) -> dict[str, list[TestResult]]:
+        import time
 
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
@@ -281,6 +356,15 @@ class Project:
                 self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
                 continue
             t0 = time.perf_counter()
+            if model.pre_hook:
+                # {{ this }} in a pre-hook addresses the EXISTING relation;
+                # in a fresh session the view isn't registered yet, so bind
+                # it to the on-disk table first (dbt resolves {{ this }} to
+                # the physical relation for the same reason)
+                path = self.table_path(model)
+                recover_swap(path)
+                if os.path.exists(path):
+                    spark.read.parquet(path).createOrReplaceTempView(name)
             for hook in model.pre_hook:
                 spark.sql(self._compile_hook(hook, name))
             df = model.build(spark, self.ref, self._build_ctx(spark, name))
@@ -305,8 +389,6 @@ class Project:
                     )
                 if failed and on_test_failure == "skip_downstream":
                     skipped.add(name)
-        for stmt in self.on_run_end:
-            spark.sql(stmt)
         return results
 
     def _build_ctx(self, spark: SparkSession, name: str) -> dict:
@@ -335,8 +417,10 @@ class Project:
         if getattr(self, "_full_refresh", False):
             return False
         model = self.models[name]
+        path = self.table_path(model)
+        recover_swap(path)  # a crashed swap must not read as "first build"
         return model.materialization is Materialization.INCREMENTAL and os.path.exists(
-            self.table_path(model)
+            path
         )
 
     def _compile_hook(self, hook: str, name: str) -> str:
@@ -369,6 +453,7 @@ class Project:
             out = spark.table(table)
             return out
         path = self.table_path(model)
+        recover_swap(path)  # restore a crashed previous swap before deciding
         parts = self.table_partition_cols.get(model.name)
         if (
             model.materialization is Materialization.INCREMENTAL
@@ -405,12 +490,7 @@ class Project:
         # an in-place overwrite would clobber its own input mid-scan.
         tmp = path + ".__new__"
         writer.parquet(tmp)
-        final = path + ".__old__"
-        shutil.rmtree(final, ignore_errors=True)
-        if os.path.exists(path):
-            os.replace(path, final)
-        os.replace(tmp, path)
-        shutil.rmtree(final, ignore_errors=True)
+        swap_into_place(tmp, path)
         spark.catalog.refreshByPath(path)
         out = spark.read.parquet(path)
         out.createOrReplaceTempView(view_name)
@@ -451,8 +531,8 @@ class Project:
           warehouse.  The anti join broadcasts the batch's key set when small
           (the common case: one partition of new data vs years of history).
 
-        (``insert_overwrite`` never reaches here — it writes partition-
-        directly in ``_materialize`` with dynamic partitionOverwriteMode.)
+        (``insert_overwrite`` never reaches here — ``_materialize`` swaps
+        its partition directories file-level.)
         """
         existing = spark.read.parquet(path)
         batch = batch.select(*existing.columns)  # align positionally-stable
@@ -460,11 +540,7 @@ class Project:
             return existing.unionByName(batch)
         if not model.unique_key:
             raise ValueError(f"incremental merge model {model.name!r} needs unique_key")
-        keys = batch.select(model.unique_key).distinct()
-        from pyspark.sql import functions as F  # local: keep module import light
-
-        survivors = existing.join(F.broadcast(keys), model.unique_key, "left_anti")
-        return survivors.unionByName(batch)
+        return merge_upsert(existing, batch, model.unique_key)
 
     def manifest(self) -> dict:
         """dbt-manifest-equivalent artifact: the full node graph as plain data

@@ -793,12 +793,23 @@ def kmeans_refine(
             .select(id_col, F.col("m.cell").alias("cell"), *(["vm"] if keep_vm else []))
         )
 
-    cents_df = _lit_centroids(
-        spark,
+    seeds = (
         vm.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cell"), F.col("vm").alias("cm"))
-        .collect(),
+        .collect()
     )
+    if not seeds:
+        if vm.isEmpty():  # empty corpus -> empty assignment, typed
+            return spark.sql(
+                "SELECT CAST(NULL AS BIGINT) AS "
+                + id_col
+                + ", CAST(NULL AS BIGINT) AS cell WHERE FALSE"
+            )
+        raise ValueError(
+            f"kmeans_refine needs seed vectors with {id_col} < n_cells "
+            f"(= {n_cells}) for the deterministic init sample"
+        )
+    cents_df = _lit_centroids(spark, seeds)
     def trunc_div(s: int, n: int) -> int:
         # toward-zero integer division (Python // floors; n > 0 here):
         # match Spark `div` / DuckDB `//`

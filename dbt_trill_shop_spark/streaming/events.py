@@ -295,33 +295,31 @@ def stream_merge_into_table(
     incremental-merge model fed by a stream instead of scheduled batches).
 
     Inside ``foreachBatch`` the micro-batch is a plain DataFrame, so the
-    merge is the same left_anti + union + write-then-swap the batch
-    incremental path uses; the checkpoint gives exactly-once micro-batch
-    tracking (a restarted drain resumes, never re-merges a completed
-    batch).  At 100 TB the per-batch anti-join broadcasts the batch's key
-    set against years of history — partition the table on the merge grain
-    so each swap touches one partition's files.
+    merge IS the batch incremental path's code: ``merge_upsert`` +
+    ``swap_into_place`` imported from ``core.dag`` (one definition of the
+    upsert and of the crash-safe swap — ``recover_swap`` first, so a drain
+    killed between the swap's two renames never mistakes the surviving
+    ``.__old__`` table for a first build and never loses history).  The
+    checkpoint gives exactly-once micro-batch tracking (a restarted drain
+    resumes, never re-merges a completed batch).  At 100 TB the per-batch
+    anti-join broadcasts the batch's key set against years of history —
+    partition the table on the merge grain so each swap touches one
+    partition's files.
     """
     import os
-    import shutil
+
+    from ..core.dag import merge_upsert, recover_swap, swap_into_place
 
     def merge(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
+        recover_swap(path)
         if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            keys = batch.select(unique_key).distinct()
-            out = existing.join(F.broadcast(keys), unique_key, "left_anti").unionByName(
-                batch.select(*existing.columns)
-            )
+            out = merge_upsert(spark.read.parquet(path), batch, unique_key)
         else:
             out = batch
-        tmp, old = path + ".__new__", path + ".__old__"
+        tmp = path + ".__new__"
         out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.replace(path, old)
-        os.replace(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_into_place(tmp, path)
         spark.catalog.refreshByPath(path)
 
     spark = stream.sparkSession

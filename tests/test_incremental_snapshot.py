@@ -287,3 +287,59 @@ def test_full_refresh_rebuilds_incremental(spark, events, tmp_path):
     # --full-refresh rebuilds from the current source only
     p.build(spark, run_tests=False, full_refresh=True)
     assert p.relations["events_copy"].count() == half.count()
+
+
+def test_swap_crash_recovery(spark, events, tmp_path):
+    """A build (or streaming merge) killed between the swap's two renames
+    leaves the table only in .__old__; the next incremental build must
+    restore it — NOT treat the model as a first build and lose history."""
+    import os
+
+    from dbt_trill_shop_spark.core.dag import recover_swap
+
+    cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    p = Project("crash", warehouse_dir=str(tmp_path / "crash"))
+    p.add_model(
+        Model(
+            "ev",
+            lambda s, ref: ref("events_src"),
+            deps=("events_src",),
+            materialization=Materialization.INCREMENTAL,
+            incremental_strategy="merge",
+            unique_key="event_id",
+        )
+    )
+    p.add_source("events_src", events.filter(F.col("event_id") <= cutoff))
+    p.build(spark, run_tests=False)
+    path = p.table_path(p.models["ev"])
+    n1 = spark.read.parquet(path).count()
+
+    # simulate the crash window: table renamed away, new dir never landed
+    os.replace(path, path + ".__old__")
+    assert not os.path.exists(path)
+    recover_swap(path)
+    assert os.path.exists(path)
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == n1
+
+    # and the build loop itself recovers (crash again, then rebuild)
+    os.replace(path, path + ".__old__")
+    p.add_source("events_src", events)
+    p.build(spark, run_tests=False)
+    assert p.relations["ev"].count() == events.count()  # history survived
+
+
+def test_builder_checksum_is_process_stable():
+    """Closure-captured callables/objects must not leak memory addresses
+    into the state:modified checksum (a repr like '<function f at 0x..>'
+    would differ every process and defeat slim CI)."""
+    from dbt_trill_shop_spark.core.dag import _stable_value_repr
+
+    def probe(x):
+        return x
+
+    r1 = _stable_value_repr(probe)
+    assert "0x" not in r1 and "probe" in r1
+    obj = object()
+    assert _stable_value_repr(obj) == _stable_value_repr(object()) or "0x7" not in _stable_value_repr(obj)
+    assert _stable_value_repr({"a": 1}) == "{'a': 1}"
