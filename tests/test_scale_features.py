@@ -215,3 +215,49 @@ def test_compact_table_preserves_hive_partition_layout(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(path).select("event_id", "event_type").collect())
     )
     assert after == before and stats["files_after"] < stats["files_before"]
+
+
+def test_compact_table_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must bound per-file min/max ranges on BOTH cluster
+    columns; linear range clustering on (a, b) only bounds the leading one.
+    Compare mean per-file span of the SECOND column under each layout."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.maintenance import compact_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def mean_span(path, col):
+        spans = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return float(spans)
+
+    full_span = (
+        events.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    )
+
+    linear = str(tmp_path / "linear")
+    events.repartition(16).write.parquet(linear)
+    compact_table(spark, linear, target_files=16, cluster_by=["event_id", "user_id"])
+
+    zordered = str(tmp_path / "zorder")
+    events.repartition(16).write.parquet(zordered)
+    compact_table(
+        spark, zordered, target_files=16,
+        cluster_by=["event_id", "user_id"], zorder=True,
+    )
+
+    # rows survive exactly
+    assert sorted(map(tuple, spark.read.parquet(zordered).collect())) == sorted(
+        map(tuple, events.collect())
+    )
+    # linear clustering leaves the 2nd column unclustered (~full span per
+    # file); z-order cuts it substantially
+    assert mean_span(linear, "user_id") > 0.8 * full_span
+    assert mean_span(zordered, "user_id") < 0.6 * mean_span(linear, "user_id")
