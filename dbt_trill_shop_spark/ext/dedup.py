@@ -873,3 +873,105 @@ canon AS (
 SELECT c.doc_id, c.fingerprint
 FROM canon c ANTI JOIN seen s ON s.fingerprint = c.fingerprint
 """
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    shingle_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-text fraction (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the share of a document's
+    tokens covered by some ``shingle_len``-gram that also occurs in ANOTHER
+    document.  Doc-level near-dup filters miss partial boilerplate; this is
+    the standard metric for it.
+
+    Plan shape: positional shingle explode (narrow) -> duplicated-shingle
+    set via a count-distinct-docs aggregate on the 8-byte shingle hash ->
+    semi join back -> covered token indices via a clamped sequence explode
+    -> distinct + count per doc.  Only (hash, doc, pos) rows ever shuffle —
+    never text — and the shingle relation is checkpointed once for its two
+    consumers.  Output: (doc_id, n_tokens, covered_tokens, dup_ppm).
+    """
+    n = shingle_len
+    tokens = F.split(F.col(text_col), r"\s+")
+    base = docs.select(
+        F.col(id_col), tokens.alias("t"), F.size(tokens).alias("n_tokens")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0)))
+    sh = (
+        base.select(id_col, "n_tokens", "t", F.explode(starts).alias("pos"))
+        .select(
+            id_col,
+            "n_tokens",
+            "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos") + 1, n)).alias("s"),
+        )
+        .filter(F.col("s") != "")
+        .select(id_col, "n_tokens", "pos", F.xxhash64("s").alias("sh"))
+    )
+    # one explode feeds both the dup-set aggregate and the coverage join
+    sh = sh.localCheckpoint(eager=True)
+    dups = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    covered = (
+        sh.join(dups, "sh", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + n - 1, F.col("n_tokens") - 1),
+                )
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("covered_tokens"))
+    )
+    nt = docs.select(F.col(id_col), F.size(tokens).cast("bigint").alias("n_tokens"))
+    return (
+        nt.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.expr("coalesce(covered_tokens, 0) * 1000000 div n_tokens")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+DUP_SPAN_COVERAGE_SQL_TEMPLATE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS tokens FROM documents
+),
+sh AS (
+    SELECT doc_id, LEN(tokens) AS n_tokens, i AS pos,
+           array_to_string(tokens[i + 1 : i + {n}], ' ') AS s
+    FROM toks CROSS JOIN UNNEST(range(0, GREATEST(LEN(tokens) - {n}, 0) + 1)) AS u(i)
+),
+shf AS (SELECT * FROM sh WHERE s <> ''),
+dups AS (SELECT s FROM shf GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+    SELECT doc_id, COUNT(*) AS covered FROM (
+        SELECT DISTINCT doc_id, unnest(range(pos, LEAST(pos + {n}, n_tokens))) AS idx
+        FROM shf JOIN dups USING (s)
+    ) e GROUP BY doc_id
+),
+nt AS (
+    SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT nt.doc_id, nt.n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(cov.covered, 0) * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
+FROM nt LEFT JOIN cov USING (doc_id)
+"""

@@ -33,10 +33,12 @@ from .ext.dedup import (
     NGRAM_CONTAINMENT_SQL_TEMPLATE,
     NGRAM_JACCARD_FILTERED_SQL_TEMPLATE,
     SOURCE_OVERLAP_SQL_TEMPLATE,
+    DUP_SPAN_COVERAGE_SQL_TEMPLATE,
     INCREMENTAL_DEDUP_SQL_TEMPLATE,
     connected_components,
     decontaminate,
     dedup_canonical,
+    dup_span_coverage,
     exact_duplicates,
     incremental_dedup,
     neardup_minhash_native,
@@ -678,6 +680,14 @@ QUERIES: dict[str, QuerySpec] = {
     "x_ivf_assign": QuerySpec(
         _x_ivf_assign, IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS)
     ),
+    # Lee et al. duplicated-text fraction: tokens covered by cross-doc
+    # duplicated n-gram spans (partial-boilerplate metric)
+    "x_dup_span_coverage": QuerySpec(
+        lambda spark, sf_dir: dup_span_coverage(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        DUP_SPAN_COVERAGE_SQL_TEMPLATE.format(n=_NGRAM_JACCARD_N),
+    ),
     # continuous-ingestion exact dedup: batch (doc_id >= split) dropped
     # against fingerprints the earlier corpus (doc_id < split) contributed
     "x_incremental_dedup": QuerySpec(
@@ -829,6 +839,7 @@ _ROUND2_NEW = [
     "x_quality_classifier",
     "x_filter_funnel",
     "x_mixture_plan",
+    "x_dup_span_coverage",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

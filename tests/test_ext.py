@@ -394,3 +394,24 @@ def test_mixture_plan_matches_driver_side_twin(spark, sf_dir):
     for k, row in plan.items():
         assert 0 <= row["planned_rows"] <= counts[k]
         assert abs(row["keep_ppm"] / 1e6 - fracs[k]) < 2e-3
+
+
+def test_dup_span_coverage_planted_boilerplate(spark):
+    """Two docs sharing only a boilerplate sentence: coverage must span
+    exactly the shared shingles' tokens in each; a fully unique doc is 0."""
+    from dbt_trill_shop_spark.ext.dedup import dup_span_coverage
+
+    shared = "all rights reserved contact us here"  # 6 tokens
+    rows = [
+        (0, f"alpha beta gamma {shared}"),
+        (1, f"{shared} delta epsilon zeta eta"),
+        (2, "totally unique words nothing repeats anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_coverage(docs, shingle_len=3).collect()}
+    # doc 0: shared occupies the last 6 of 9 tokens -> covered == 6
+    assert got[0]["n_tokens"] == 9 and got[0]["covered_tokens"] == 6
+    # doc 1: shared occupies the first 6 of 10 tokens -> covered == 6
+    assert got[1]["n_tokens"] == 10 and got[1]["covered_tokens"] == 6
+    assert got[2]["covered_tokens"] == 0 and got[2]["dup_ppm"] == 0
+    assert got[0]["dup_ppm"] == 6 * 1_000_000 // 9
