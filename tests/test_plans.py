@@ -94,3 +94,38 @@ def test_hash_sample_reaches_scan_without_shuffle(spark, sf_dir):
     plan = _plan(hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 0.25))
     assert "Exchange" not in plan  # pure filter stage
 
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.textstats import quality_classifier
+
+    plan = _plan(quality_classifier(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan  # per-row Column expressions only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_plan_broadcasts_literals(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import mixture_plan
+
+    weights = {f"src{i}": (i % 5) + 1 for i in range(20)}
+    plan = _plan(mixture_plan(load_table(spark, sf_dir, "documents"), weights))
+    # weights + feasibility min ride as broadcasts; the only aggregation
+    # shuffle is the per-stratum count
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" not in plan  # VALUES literal, not an RDD scan
+
+
+def test_incremental_dedup_ships_hashes_not_text(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id < 250").select(
+        F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    plan = _plan(incremental_dedup(docs.filter("doc_id >= 250"), seen))
+    # the anti-join/groupBy exchanges must carry fingerprints, never text
+    import re
+
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in exch, exch
