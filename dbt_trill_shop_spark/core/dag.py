@@ -137,6 +137,8 @@ class Project:
         # run once around the whole build (audit bookkeeping, session conf)
         self.on_run_start: list[str] = []
         self.on_run_end: list[str] = []
+        # dbt run-operation registry: name -> macro callable returning SQL
+        self.macros: dict = {}
 
     # -- registration -----------------------------------------------------
     def add_source(
@@ -211,6 +213,15 @@ class Project:
             "owner": owner,
             "url": url,
         }
+
+    def run_operation(self, spark: SparkSession, name: str, **kwargs) -> DataFrame:
+        """dbt ``run-operation``: invoke a registered macro standalone (the
+        maintenance-macro idiom — vacuum/grant/backfill helpers).  The macro
+        returns a SQL string, which runs against the session with every
+        built relation addressable by name."""
+        if name not in self.macros:
+            raise KeyError(f"unknown operation macro {name!r}")
+        return spark.sql(self.macros[name](**kwargs))
 
     # -- resolution --------------------------------------------------------
     def ref(self, name: str) -> DataFrame:

@@ -508,6 +508,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_surrogate_keys": QuerySpec(A.surrogate_keys, A.SURROGATE_KEYS_SQL),
     "q_compare_relations": QuerySpec(A.compare_relations, A.COMPARE_RELATIONS_SQL),
     "q_sessionize_events": QuerySpec(A.sessionize_events, A.SESSIONIZE_EVENTS_SQL),
+    # the built-in session_window twin (streaming-ready gap sessions)
+    "q_session_windows": QuerySpec(A.session_windows, A.SESSION_WINDOWS_SQL),
     "q_order_quartiles": QuerySpec(A.order_quartiles, A.ORDER_QUARTILES_SQL),
     "q_revenue_rollup": QuerySpec(A.revenue_rollup, A.REVENUE_ROLLUP_SQL),
     "q_rank_reconstruction": QuerySpec(A.rank_reconstruction, A.RANK_RECONSTRUCTION_SQL),
@@ -840,6 +842,7 @@ _ROUND2_NEW = [
     "x_filter_funnel",
     "x_mixture_plan",
     "x_dup_span_coverage",
+    "q_session_windows",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

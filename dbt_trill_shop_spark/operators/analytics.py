@@ -540,3 +540,57 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``session_window`` — the
+    native alternative to :func:`sessionize_events`' two-window
+    reconstruction: one groupBy on (session_window(ts, gap), user_id), no
+    lag/running-sum windows, and the same operator works unchanged on a
+    stream (dynamic gap session windows are a Structured Streaming
+    primitive).  Merge semantics differ at the boundary: ``session_window``
+    starts a NEW session when the gap is >= 30 min (window end is
+    exclusive), while the lag formulation merges exactly-30-min gaps — the
+    oracle mirrors the built-in.
+
+    Returns (user_id, session_start, session_end, n_events);
+    session_end = last event + gap, the built-in's definition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                     < {SESSION_GAP_MINUTES} * 60 * 1000000
+                THEN 0 ELSE 1 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""

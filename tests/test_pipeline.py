@@ -751,3 +751,23 @@ def test_run_hooks_and_select_algebra(spark):
     assert p.select_many(exclude=["tag:slow"]) == {"a", "b"}
     assert p.select_many(["tag:stg+"], exclude=["c"]) == {"a", "b"}
     assert p.select_many(["a", "c"]) == {"a", "c"}
+
+
+def test_run_operation(spark):
+    """dbt run-operation: a registered macro runs standalone against the
+    built relations (the vacuum/grant/backfill idiom)."""
+    import pytest as _pytest
+
+    from dbt_trill_shop_spark.core.dag import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    p = Project("ops")
+    p.add_source("src", spark.range(10).withColumnRenamed("id", "v"))
+    p.add_model(sql_model("m", "SELECT v FROM {{ source('x','src') }}"))
+    p.build(spark, run_tests=False)
+    p.macros["count_over"] = (
+        lambda relation, min_v=0: f"SELECT COUNT(*) AS n FROM {relation} WHERE v >= {min_v}"
+    )
+    assert p.run_operation(spark, "count_over", relation="m", min_v=5).collect()[0]["n"] == 5
+    with _pytest.raises(KeyError):
+        p.run_operation(spark, "nope")
