@@ -191,3 +191,45 @@ def test_stream_merge_into_table(spark, sf_dir, tmp_path):
     stream_merge_into_table(stream2, path, unique_key="event_id", checkpoint_dir=ckpt)
     again = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert again == want
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """The same session_window groupBy runs unchanged as a stream: a
+    watermarked availableNow drain must reproduce the batch gap-sessions
+    exactly (the reason q_session_windows exists next to the lag-based
+    sessionizer)."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.operators.analytics import session_windows
+    from dbt_trill_shop_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    # complete mode: every batch re-emits all session state, so the final
+    # table is the full result regardless of where the watermark stands
+    # (append mode would emit only windows the watermark has passed)
+    sessions = (
+        ev.withWatermark("ts", "14 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                sessions, output_mode="complete", shuffle_partitions=8
+            ).collect(),
+        )
+    )
+    # batch twin computes on TIMESTAMP_NTZ, the stream on UTC LTZ — same
+    # instants in a UTC session; compare as naive values
+    want = sorted(map(tuple, session_windows(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
