@@ -114,3 +114,48 @@ def test_chunk_documents_invariants(spark, n_tokens, stride):
         assert len(toks) == r["n_chunk_tokens"]
         seen.update(toks)
     assert len(seen) == n_tokens  # full coverage
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=8),
+    weights=st.lists(st.integers(min_value=1, max_value=50), min_size=8, max_size=8),
+)
+def test_mixture_plan_arithmetic_invariants(counts, weights):
+    """The integer-ppm mixture arithmetic (the same formulas mixture_plan
+    executes in-plan) must never overplan a stratum, must saturate the
+    binding stratum near 100%, and must preserve weight ratios within
+    ppm truncation."""
+    strata = {f"s{i}": (c, w) for i, (c, w) in enumerate(zip(counts, weights))}
+    t_min = min((c * 1_000_000) // w for c, w in strata.values())
+    planned = {k: (t_min * w) // 1_000_000 for k, (c, w) in strata.items()}
+    for k, (c, w) in strata.items():
+        assert 0 <= planned[k] <= c
+    # the binding stratum keeps (almost) everything: within 1 of its count
+    binder = min(strata, key=lambda k: (strata[k][0] * 1_000_000) // strata[k][1])
+    assert planned[binder] >= strata[binder][0] - 1
+    # pairwise ratio preservation: planned_a/planned_b ~= w_a/w_b
+    ks = list(strata)
+    for a in ks:
+        for b in ks:
+            wa, wb = strata[a][1], strata[b][1]
+            pa, pb = planned[a], planned[b]
+            if pb > 0 and pa > 0:
+                assert abs(pa * wb - pb * wa) <= wa + wb  # truncation slack
+
+
+@settings(deadline=None, max_examples=50)
+@given(s=st.integers(min_value=-(10**15), max_value=10**15),
+       n=st.integers(min_value=1, max_value=10**6))
+def test_trunc_div_matches_engine_semantics(s, n):
+    """kmeans_refine's driver-side centroid assembly emulates Spark `div` /
+    DuckDB `//` (truncation toward zero) — verify against DuckDB itself."""
+    import duckdb
+
+    def trunc_div(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    want = duckdb.sql(
+        f"SELECT CAST({s} AS BIGINT) // CAST({n} AS BIGINT)"
+    ).fetchall()[0][0]
+    assert trunc_div(s, n) == want
