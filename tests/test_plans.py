@@ -129,3 +129,13 @@ def test_incremental_dedup_ships_hashes_not_text(spark, sf_dir):
 
     for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in exch, exch
+
+
+def test_dup_span_coverage_ships_hashes_not_text(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.dedup import dup_span_coverage
+
+    plan = _plan(dup_span_coverage(load_table(spark, sf_dir, "documents")))
+    import re
+
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in exch and " s#" not in exch, exch
