@@ -52,15 +52,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one source table as a DataFrame (lazy scan)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        # ns -> us, then NTZ so timestamp semantics are session-tz independent
-        # (matches how Spark reads the other tables' TIMESTAMP(MILLIS) columns).
-        return raw.withColumn(
-            "ts",
-            # integer `div`, not `/1000` — ns-since-epoch exceeds double's 2^53
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        return _load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def events_ts_is_native(spark: SparkSession, path: str) -> bool:
+    """True when the events parquet stores ``ts`` with a logical timestamp type
+    Spark can read natively (MICROS/MILLIS); False for the INT64-NANOS layout.
+    Footer-only schema inference — no data is read."""
+    try:
+        for f in spark.read.parquet(path).schema.fields:
+            if f.name == "ts":
+                return f.dataType.simpleString().startswith("timestamp")
+    except Exception:
+        pass
+    return False
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load ``events`` with a ``timestamp_ntz`` ``ts`` regardless of how the
+    driver encoded the column.
+
+    The parquet layout has varied across testdata generations: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects, SPARK-40819) and TIMESTAMP(MICROS)
+    (natively readable).  Detect from the footer-inferred schema — a metadata-only
+    read — instead of hardcoding either layout.
+    """
+    if events_ts_is_native(spark, path):
+        # MICROS layout: native scan keeps pushdown/pruning; session tz is
+        # pinned UTC so the instant->NTZ cast preserves the wall-clock value.
+        return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # NANOS layout: read the physical INT64 with a user-supplied schema and
+    # convert ns -> microsecond TIMESTAMP_NTZ inside the plan — no driver-side
+    # materialization, no data copy.
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn(
+        "ts",
+        # integer `div`, not `/1000` — ns-since-epoch exceeds double's 2^53
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    )
 
 
 def register_sources(

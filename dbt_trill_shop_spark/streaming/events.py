@@ -21,24 +21,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import _EVENTS_RAW_SCHEMA
+import os
+
+from ..catalog import _EVENTS_RAW_SCHEMA, events_ts_is_native
 
 SESSION_GAP_MINUTES = 30
 
+_EVENTS_NATIVE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (same TIMESTAMP(NANOS)
-    schema-override path as the batch catalog; 1 file per micro-batch keeps
-    demo latency bounded)."""
+    """events.parquet as a file-source stream (same ts-layout detection as the
+    batch catalog — native TIMESTAMP vs INT64-NANOS schema override; 1 file per
+    micro-batch keeps demo latency bounded)."""
     # the file source wants a directory; glob-filter down to the events file
+    native = events_ts_is_native(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_EVENTS_NATIVE_SCHEMA if native else _EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # LTZ (not NTZ like the batch catalog): watermarks require TIMESTAMP.
-    # The engine session runs in UTC, so the two are value-identical.
+    if native:
+        # LTZ (not NTZ like the batch catalog): watermarks require TIMESTAMP.
+        # The engine session runs in UTC, so the two are value-identical.
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -233,3 +233,24 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     # instants in a UTC session; compare as naive values
     want = sorted(map(tuple, session_windows(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_events_ts_absolute_parity_with_duckdb(spark, sf_dir):
+    """Absolute guard on the events ts decoding (not just batch/stream parity).
+
+    The driver has regenerated testdata with different parquet timestamp
+    encodings across rounds (INT64-NANOS, then TIMESTAMP(MICROS)); a hardcoded
+    ns->us conversion silently collapsed every timestamp to 1970.  Compare the
+    decoded range against DuckDB reading the same file, which always honors the
+    logical type.
+    """
+    import duckdb
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    smin, smax = ev.agg(F.min("ts"), F.max("ts")).first()
+    dmin, dmax = duckdb.sql(
+        f"select min(ts), max(ts) from read_parquet('{path}')"
+    ).fetchone()
+    assert (smin, smax) == (dmin, dmax), (smin, smax, dmin, dmax)
+    assert 2000 <= smin.year <= 2100
