@@ -56,17 +56,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_TS_LAYOUT_CACHE: dict[str, bool] = {}
+
+
 def events_ts_is_native(spark: SparkSession, path: str) -> bool:
     """True when the events parquet stores ``ts`` with a logical timestamp type
     Spark can read natively (MICROS/MILLIS); False for the INT64-NANOS layout.
-    Footer-only schema inference — no data is read."""
+    Footer-only schema inference — no data is read; cached per path so repeated
+    ``load_table`` calls don't re-list files."""
+    if path in _TS_LAYOUT_CACHE:
+        return _TS_LAYOUT_CACHE[path]
+    native = False
     try:
         for f in spark.read.parquet(path).schema.fields:
             if f.name == "ts":
-                return f.dataType.simpleString().startswith("timestamp")
+                native = f.dataType.simpleString().startswith("timestamp")
     except Exception:
-        pass
-    return False
+        native = False
+    _TS_LAYOUT_CACHE[path] = native
+    return native
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -975,3 +975,94 @@ SELECT nt.doc_id, nt.n_tokens,
        CAST(COALESCE(cov.covered, 0) * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
 FROM nt LEFT JOIN cov USING (doc_id)
 """
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    block_len: int = 10,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove cross-document boilerplate blocks and reassemble the text
+    (CCNet/Dolma-style paragraph dedup, adapted to fixed ``block_len``-word
+    blocks since the corpus has no paragraph breaks).
+
+    A block is boilerplate when it occurs in more than ``max_df`` distinct
+    documents (headers, navigation chrome, license banners).  Unlike
+    :func:`dup_span_coverage`, which only *measures* duplication, this
+    rewrites each document with the offending blocks removed.
+
+    Shape at 100 TB: blocks explode narrowly (no shuffle); the document
+    frequency aggregate and the flag join both key on ``xxhash64`` of the
+    block — 8-byte shuffle keys, text stays in place (the oracle groups by
+    the block string itself; identical modulo 64-bit hash collisions).
+    Reassembly is one groupBy(doc_id) collecting (position, block) structs,
+    sorted per group — each document's blocks land in one task, so memory is
+    bounded by the largest single document, not the corpus.
+
+    Returns (doc_id, n_blocks, n_dropped, clean_text); fully-boilerplate
+    documents survive with ``clean_text = ''``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    starts = F.expr(f"sequence(0, greatest(size(t) - 1, 0), {block_len})")
+    blocks = base.select(
+        "doc_id",
+        F.posexplode(starts).alias("blk", "start"),
+        F.array_join(F.slice(F.col("t"), F.col("start") + 1, block_len), " ").alias("btext"),
+    ).select("doc_id", F.col("blk").cast("bigint").alias("blk"), "btext")
+    hashed = blocks.withColumn("h", F.xxhash64("btext"))
+    flagged_hashes = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dfc"))
+        .filter(F.col("dfc") > max_df)
+        .select("h")
+    )
+    marked = hashed.join(
+        flagged_hashes.withColumn("is_bp", F.lit(True)), "h", "left"
+    ).withColumn("is_bp", F.coalesce(F.col("is_bp"), F.lit(False)))
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(~F.col("is_bp"), F.struct("blk", "btext")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.concat_ws(" ", F.transform(kept_structs, lambda x: x["btext"])).alias(
+                "clean_text"
+            ),
+        )
+        .select("doc_id", "n_blocks", "n_dropped", "clean_text")
+    )
+
+
+BOILERPLATE_STRIP_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+blocks AS (
+    SELECT doc_id,
+           CAST(start // {block_len} AS BIGINT) AS blk,
+           array_to_string(t[start + 1 : start + {block_len}], ' ') AS btext
+    FROM (
+        SELECT doc_id, t, unnest(range(0, GREATEST(LEN(t), 1), {block_len})) AS start
+        FROM toks
+    ) s
+),
+dfreq AS (
+    SELECT btext, COUNT(DISTINCT doc_id) AS dfc FROM blocks GROUP BY btext
+),
+flagged AS (
+    SELECT b.doc_id, b.blk, b.btext, (d.dfc > {max_df}) AS is_bp
+    FROM blocks b JOIN dfreq d USING (btext)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT is_bp THEN btext END, ' ' ORDER BY blk), '')
+           AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""

@@ -237,3 +237,137 @@ SELECT j.stratum, j.n_rows, j.weight,
        CAST((t.t_min * j.weight // 1000000) * 1000000 // j.n_rows AS BIGINT) AS keep_ppm
 FROM j CROSS JOIN t
 """
+
+
+def source_caps(
+    docs: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document quota (RefinedWeb/CCNet-style domain caps): keep at
+    most ``cap`` documents per stratum, preferring larger ``order_col`` (a
+    quality proxy), ties broken by ``id_col``.
+
+    Caps are how web-scale corpora stop a handful of template-heavy domains
+    from dominating the mix.  The ranking window runs on a SLIM projection
+    (stratum, order, id) — the shuffle never carries document text; callers
+    re-attach payload columns by semi-joining the returned ids.  Stratum is
+    the partition key, so skew is bounded by the largest single domain (salt
+    the stratum if one domain exceeds an executor's share).
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.desc(order_col), F.asc(id_col))
+    slim = docs.select(id_col, strata_col, order_col)
+    return (
+        slim.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= cap)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col(order_col).cast("bigint").alias(order_col),
+            "rk",
+        )
+    )
+
+
+SOURCE_CAPS_SQL_TEMPLATE = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= {cap}
+"""
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    token_col_expr: str = "size(split(text, ' '))",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the highest-scoring documents whose cumulative token count fits a
+    corpus budget — WITHOUT a global sort.
+
+    Semantically: order by (score DESC, id), keep every doc whose running
+    token total (including itself) is <= ``budget``.  A naive global window
+    funnels the corpus through one task; this is the two-phase shape that
+    holds at 100 TB:
+
+    1. aggregate (n_docs, sum_tokens) per score value — a relation the size
+       of the score's cardinality (bounded: scores are bucketed ints), then a
+       window cumsum over THAT tiny relation finds each score group's
+       starting offset;
+    2. score groups that fit wholly are kept with a broadcast join; only the
+       single boundary score group runs a per-doc cumsum window, partitioned
+       by its (constant) score — a partition of one group, not the corpus.
+
+    The output (doc_id, score, n_tokens, cum_tokens) is bit-identical to the
+    naive global-window SQL, so the oracle stays a plain window query.
+    """
+    slim = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"CAST({score_col} AS BIGINT) AS score",
+        f"CAST({token_col_expr} AS BIGINT) AS n_tokens",
+    )
+    per_score = slim.groupBy("score").agg(F.sum("n_tokens").alias("g_tokens"))
+    # tiny relation (|distinct scores|): global window here is deliberate
+    wc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_score.select(
+        "score",
+        (F.sum("g_tokens").over(wc) - F.col("g_tokens")).alias("cum_before"),
+        (F.sum("g_tokens").over(wc)).alias("cum_through"),
+    )
+    joined = slim.join(F.broadcast(offsets), "score")
+    whole = joined.filter(F.col("cum_through") <= budget).select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        (
+            F.col("cum_before")
+            + F.sum("n_tokens").over(
+                Window.partitionBy("score")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum_tokens"),
+    )
+    boundary = (
+        joined.filter((F.col("cum_before") < budget) & (F.col("cum_through") > budget))
+        .withColumn(
+            "cum_tokens",
+            F.col("cum_before")
+            + F.sum("n_tokens").over(
+                Window.partitionBy("score")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    )
+    return whole.unionAll(boundary)
+
+
+TOKEN_BUDGET_SELECT_SQL_TEMPLATE = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS score,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, score, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, score, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= {budget}
+"""

@@ -35,6 +35,8 @@ from .ext.dedup import (
     SOURCE_OVERLAP_SQL_TEMPLATE,
     DUP_SPAN_COVERAGE_SQL_TEMPLATE,
     INCREMENTAL_DEDUP_SQL_TEMPLATE,
+    BOILERPLATE_STRIP_SQL_TEMPLATE,
+    boilerplate_strip,
     connected_components,
     decontaminate,
     dedup_canonical,
@@ -64,10 +66,14 @@ from .ext.sampling import (
     HASH_SAMPLE_SQL_TEMPLATE,
     MIXTURE_PLAN_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
+    SOURCE_CAPS_SQL_TEMPLATE,
+    TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
     mixture_plan,
     pack_documents,
+    source_caps,
+    token_budget_select,
 )
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
@@ -329,6 +335,10 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_SPLIT_ID = 20
 _INC_DEDUP_SPLIT = 250
+_SOURCE_CAP = 15
+_TOKEN_BUDGET = 15_000
+_BOILERPLATE_BLOCK = 10
+_BOILERPLATE_MAX_DF = 2
 # relative target weights over the 20 synthetic sources (non-uniform so the
 # feasibility min actually binds on the highest-weight strata)
 _MIXTURE_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
@@ -807,6 +817,32 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # watermark-bounded streaming dedup (state evicted past the watermark)
     "s_stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
+    # --- round-2 additions past the 50-entry window (verified next round) ---
+    # RefinedWeb-style per-domain quota: slim (id, stratum, order) ranking
+    "x_source_caps": QuerySpec(
+        lambda spark, sf_dir: source_caps(
+            load_table(spark, sf_dir, "documents"), cap=_SOURCE_CAP
+        ),
+        SOURCE_CAPS_SQL_TEMPLATE.format(cap=_SOURCE_CAP),
+    ),
+    # corpus token-budget selection without a global sort (two-phase cumsum)
+    "x_token_budget_select": QuerySpec(
+        lambda spark, sf_dir: token_budget_select(
+            load_table(spark, sf_dir, "documents"), budget=_TOKEN_BUDGET
+        ),
+        TOKEN_BUDGET_SELECT_SQL_TEMPLATE.format(budget=_TOKEN_BUDGET),
+    ),
+    # cross-document boilerplate-block removal with text reassembly
+    "x_boilerplate_strip": QuerySpec(
+        lambda spark, sf_dir: boilerplate_strip(
+            load_table(spark, sf_dir, "documents"),
+            block_len=_BOILERPLATE_BLOCK,
+            max_df=_BOILERPLATE_MAX_DF,
+        ),
+        BOILERPLATE_STRIP_SQL_TEMPLATE.format(
+            block_len=_BOILERPLATE_BLOCK, max_df=_BOILERPLATE_MAX_DF
+        ),
+    ),
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for

@@ -415,3 +415,79 @@ def test_dup_span_coverage_planted_boilerplate(spark):
     assert got[1]["n_tokens"] == 10 and got[1]["covered_tokens"] == 6
     assert got[2]["covered_tokens"] == 0 and got[2]["dup_ppm"] == 0
     assert got[0]["dup_ppm"] == 6 * 1_000_000 // 9
+
+
+# --- round-2 curation additions: caps / budget select / boilerplate strip ---
+
+
+def test_source_caps_respects_quota_and_order(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import source_caps
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = source_caps(docs, cap=5).toPandas()
+    per = capped.groupby("source").size()
+    assert (per <= 5).all() and len(per) > 0
+    # kept docs are the top-n_chars ones of their source (ties by doc_id)
+    full = docs.select("doc_id", "source", "n_chars").toPandas()
+    for src, grp in full.groupby("source"):
+        want = set(
+            grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(5)["doc_id"]
+        )
+        got = set(capped[capped["source"] == src]["doc_id"])
+        assert got == want, src
+
+
+def test_token_budget_select_matches_naive_global_window(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    for budget in (0, 37, 5_000, 10**9):
+        got = sorted(
+            map(tuple, token_budget_select(docs, budget=budget).collect())
+        )
+        naive = docs.selectExpr(
+            "doc_id",
+            "CAST(n_chars AS BIGINT) AS score",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        ).selectExpr(
+            "doc_id", "score", "n_tokens",
+            "SUM(n_tokens) OVER (ORDER BY score DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum_tokens",
+        ).filter(F.col("cum_tokens") <= budget)
+        want = sorted(map(tuple, naive.collect()))
+        assert got == want, budget
+    # a huge budget keeps the whole corpus
+    assert len(token_budget_select(docs, budget=10**9).collect()) == docs.count()
+
+
+def test_boilerplate_strip_removes_planted_block(spark):
+    from dbt_trill_shop_spark.ext.dedup import boilerplate_strip
+
+    banner = "all rights reserved by the example corporation please do not"
+    rows = [(i, f"{banner} unique{i} alpha beta gamma delta epsilon zeta eta theta iota") for i in range(4)]
+    rows.append((99, "completely original text with no shared blocks at all here now"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs, block_len=10, max_df=2).collect()}
+    # the 10-word banner block appears in 4 > 2 docs -> stripped everywhere
+    for i in range(4):
+        assert out[i]["n_dropped"] == 1
+        assert out[i]["clean_text"].startswith(f"unique{i} alpha")
+        assert banner not in out[i]["clean_text"]
+    # the unique doc is untouched and reassembled in order
+    assert out[99]["n_dropped"] == 0
+    assert out[99]["clean_text"] == "completely original text with no shared blocks at all here now"
+
+
+def test_boilerplate_strip_fully_boilerplate_doc_survives_empty(spark):
+    from dbt_trill_shop_spark.ext.dedup import boilerplate_strip
+
+    block = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, block) for i in range(3)], "doc_id long, text string"
+    )
+    out = boilerplate_strip(docs, block_len=10, max_df=2).collect()
+    assert len(out) == 3
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in out)
