@@ -139,3 +139,37 @@ def test_dup_span_coverage_ships_hashes_not_text(spark, sf_dir):
 
     for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in exch and " s#" not in exch, exch
+
+
+def test_source_caps_shuffle_never_carries_text(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import source_caps
+
+    plan = _plan(source_caps(load_table(spark, sf_dir, "documents"), cap=5))
+    # ranking runs on the slim (id, stratum, order) projection: the document
+    # text column must be pruned before the window's hash exchange
+    assert "Window" in plan and "Exchange" in plan
+    assert "text" not in plan
+
+
+def test_token_budget_select_has_no_corpus_global_window(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import token_budget_select
+
+    df = token_budget_select(load_table(spark, sf_dir, "documents"), budget=5_000)
+    plan = _plan(df)
+    # per-score offsets ride a broadcast join; every SinglePartition exchange
+    # feeds from the per-score HashAggregate (|distinct scores| rows), never
+    # from the corpus scan directly
+    assert "BroadcastExchange" in plan
+    singles = plan.split("Exchange SinglePartition")[1:]
+    assert singles, plan[:1500]
+    for tail in singles:
+        assert "HashAggregate(keys=[score" in tail[:300], tail[:400]
+
+
+def test_boilerplate_strip_joins_on_hash(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.dedup import boilerplate_strip
+
+    plan = _plan(boilerplate_strip(load_table(spark, sf_dir, "documents")))
+    # flag join + document-frequency agg key on xxhash64, not the block string
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
