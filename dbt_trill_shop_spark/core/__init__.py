@@ -2,6 +2,7 @@ from .model import ContractError, Materialization, Model, enforce_contract
 from .dag import Project, select_nodes, topo_sort
 from .docs import load_doc_blocks, load_properties, parse_doc_blocks, resolve_doc_refs
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
+from .metrics import Metric, metric_frame, parse_metrics
 from .quality import (
     FreshnessPolicy,
     UnitTest,
@@ -33,6 +34,9 @@ __all__ = [
     "topo_sort",
     "select_nodes",
     "sql_model",
+    "Metric",
+    "metric_frame",
+    "parse_metrics",
     "compile_model_sql",
     "extract_deps",
     "FreshnessPolicy",

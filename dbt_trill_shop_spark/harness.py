@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .core.metrics import Metric, metric_frame
 from .ext.dedup import (
     DEDUP_CANONICAL_SQL,
     EXACT_DUPLICATES_SQL,
@@ -336,6 +337,51 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_SPLIT_ID = 20
 _INC_DEDUP_SPLIT = 250
 _SOURCE_CAP = 15
+
+
+_EVENT_METRICS = [
+    # declared once, compiled to one grouped aggregate (core/metrics.py);
+    # cents-scaled ints keep every output bit-stable for the DuckDB oracle
+    Metric(
+        name="total_value_cents", model="events", calculation_method="sum",
+        expression="CAST(ROUND(value * 100, 0) AS BIGINT)", timestamp="ts",
+    ),
+    Metric(
+        name="n_events", model="events", calculation_method="count",
+        expression="*", timestamp="ts",
+    ),
+    Metric(
+        name="purchases", model="events", calculation_method="count",
+        expression="*", timestamp="ts", filters=("event_type = 'purchase'",),
+    ),
+    Metric(
+        name="buyers", model="events", calculation_method="count_distinct",
+        expression="user_id", timestamp="ts", filters=("event_type = 'purchase'",),
+    ),
+    Metric(
+        name="cents_per_event", model="events", calculation_method="derived",
+        expression="total_value_cents div greatest(n_events, 1)",
+    ),
+]
+
+
+def _d_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = load_table(spark, sf_dir, "events")
+    return metric_frame(rel, _EVENT_METRICS, grain="week").orderBy("metric_time")
+
+
+METRICS_EVENTS_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS metric_time,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // GREATEST(COUNT(*), 1) AS BIGINT)
+           AS cents_per_event
+FROM events
+GROUP BY date_trunc('week', ts)
+ORDER BY metric_time
+"""
 _TOKEN_BUDGET = 15_000
 _BOILERPLATE_BLOCK = 10
 _BOILERPLATE_MAX_DF = 2
@@ -832,6 +878,8 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         TOKEN_BUDGET_SELECT_SQL_TEMPLATE.format(budget=_TOKEN_BUDGET),
     ),
+    # dbt semantic-layer metrics compiled to ONE grouped pass over events
+    "d_metrics_events": QuerySpec(_d_metrics_events, METRICS_EVENTS_SQL),
     # cross-document boilerplate-block removal with text reassembly
     "x_boilerplate_strip": QuerySpec(
         lambda spark, sf_dir: boilerplate_strip(

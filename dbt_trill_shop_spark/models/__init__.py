@@ -1,3 +1,3 @@
-from .trends import trends_project
+from .trends import properties_path, trends_project
 
-__all__ = ["trends_project"]
+__all__ = ["properties_path", "trends_project"]

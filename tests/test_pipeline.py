@@ -86,6 +86,31 @@ def test_manifest_artifact(built_project):
     assert sum(len(n["tests"]) for n in m["nodes"].values()) == 68
 
 
+def test_catalog_artifact(built_project, tmp_path):
+    """dbt docs generate's catalog.json: per built relation, materialized
+    column types + one-pass profile stats (rows, non-null, approx distinct,
+    min/max) — cross-checked against directly computed values."""
+    import json
+
+    p, _ = built_project
+    p.write_artifacts(str(tmp_path), with_catalog=True)
+    cat = json.load(open(tmp_path / "catalog.json"))
+    assert set(cat["nodes"]) == set(p.manifest()["nodes"])
+    wts = cat["nodes"]["weekly_trends_summary"]
+    df = p.ref("weekly_trends_summary")
+    assert wts["stats"]["row_count"] == df.count()
+    week = wts["columns"]["week"]
+    assert week["type"] == "date"
+    lo, hi = df.selectExpr("min(week)", "max(week)").first()
+    assert week["stats"]["min"] == str(lo) and week["stats"]["max"] == str(hi)
+    assert week["stats"]["non_null"] == wts["stats"]["row_count"]
+    # HLL estimate within its documented error of the exact distinct count
+    exact = df.select("week").distinct().count()
+    assert abs(week["stats"]["approx_distinct"] - exact) <= max(2, 0.1 * exact)
+    # column index order mirrors the materialized schema
+    assert [c for c, _ in sorted(wts["columns"].items(), key=lambda kv: kv[1]["index"])] == df.columns
+
+
 def test_sql_text_models_match_dataframe_models(spark, sf_dir):
     """Author the reference's stg_top_terms + a mart slice as dbt-style SQL
     text (ref/source/macro Jinja) and build through the Project DAG; results
@@ -771,3 +796,36 @@ def test_run_operation(spark):
     assert p.run_operation(spark, "count_over", relation="m", min_v=5).collect()[0]["n"] == 5
     with _pytest.raises(KeyError):
         p.run_operation(spark, "nope")
+
+
+def test_yaml_metrics_compile_to_one_grouped_pass(built_project):
+    """metrics: YAML entries parse into Metric specs and metric_frame
+    reproduces a hand-written rollup over the built mart."""
+    import yaml
+
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.core.metrics import metric_frame, parse_metrics
+    from dbt_trill_shop_spark.models import properties_path
+
+    p, _ = built_project
+    spec = yaml.safe_load(open(properties_path()))
+    metrics = parse_metrics(spec)
+    assert [m.name for m in metrics] == ["weekly_terms_tracked", "weekly_peak_gain"]
+    assert all(m.model == "weekly_trends_summary" for m in metrics)
+
+    rel = p.ref("weekly_trends_summary")
+    got = metric_frame(rel, metrics, grain="week", dimensions=("trend_type",))
+    want = rel.groupBy(
+        F.date_trunc("week", F.col("week")).cast("date").alias("metric_time"),
+        "trend_type",
+    ).agg(
+        F.sum("total_terms").alias("weekly_terms_tracked"),
+        F.expr(
+            "max(CASE WHEN (max_percent_gain IS NOT NULL) THEN max_percent_gain END)"
+        ).alias("weekly_peak_gain"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # one grouped aggregate: a single hash-partition exchange, no join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
