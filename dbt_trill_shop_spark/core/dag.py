@@ -682,6 +682,30 @@ class Project:
         with open(os.path.join(directory, "run_results.json"), "w") as fh:
             json.dump({"results": entries}, fh, indent=2, default=str)
 
+    def clone_from(self, other: "Project", select: Iterable[str] | None = None) -> list[str]:
+        """``dbt clone``: bring another target's BUILT relations into this
+        project without rebuilding them.
+
+        Views/ephemerals are pointer copies (Catalyst logical plans cost
+        nothing to share); table-backed relations stay zero-copy — the clone
+        reads the other target's parquet location read-only (Spark's parquet
+        tables have no metadata-layer shallow copy, so sharing the files is
+        the honest equivalent; a subsequent :meth:`build` of the same name in
+        THIS project materializes into this project's own warehouse and
+        leaves the source untouched).  Model definitions ride along so a
+        follow-up subset build (slim CI: clone prod, rebuild only
+        ``state:modified+``) can layer on the clones via ``ref``.
+        """
+        names = list(select) if select is not None else list(other.relations)
+        missing = [n for n in names if n not in other.relations]
+        if missing:
+            raise KeyError(f"cannot clone unbuilt relations {missing}")
+        for n in names:
+            self.relations[n] = other.relations[n]
+            if n in other.models and n not in self.models:
+                self.models[n] = other.models[n]
+        return names
+
     def drop_warehouse(self) -> None:
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)
 

@@ -371,3 +371,49 @@ SELECT doc_id, score, n_tokens, cum_tokens
 FROM c
 WHERE cum_tokens <= {budget}
 """
+
+
+def stratified_exact_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (or all of a smaller stratum), drawn by
+    deterministic content-hash order — the reproducible twin of per-stratum
+    reservoir sampling.
+
+    ``stratified_sample`` (Bernoulli) only hits ``n`` in expectation; exact
+    quotas need a rank.  Ranking by ``md5(id || salt)`` instead of a random
+    number keeps the draw a pure function of the key: stable across runs,
+    partitionings, and engines (the DuckDB oracle reproduces it bit-for-bit),
+    and a different ``salt`` yields an independent draw.  Like
+    :func:`source_caps` the window ranks a slim (id, stratum, hash)
+    projection — one shuffle keyed on the stratum, no payload columns.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy("h4", id_col)
+    return (
+        df.select(F.col(id_col), F.col(strata_col), h.alias("h4"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= n_per_stratum)
+        .select(id_col, strata_col, "rk")
+    )
+
+
+STRATIFIED_EXACT_N_SQL_TEMPLATE = """
+WITH hashed AS (
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR) || '{salt}') AS h4
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h4, doc_id) AS rk
+    FROM hashed
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= {n}
+"""

@@ -68,12 +68,14 @@ from .ext.sampling import (
     MIXTURE_PLAN_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
     SOURCE_CAPS_SQL_TEMPLATE,
+    STRATIFIED_EXACT_N_SQL_TEMPLATE,
     TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
     mixture_plan,
     pack_documents,
     source_caps,
+    stratified_exact_n,
     token_budget_select,
 )
 from .ext.similarity import (
@@ -337,6 +339,7 @@ def _x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_SPLIT_ID = 20
 _INC_DEDUP_SPLIT = 250
 _SOURCE_CAP = 15
+_STRAT_N = 10
 
 
 _EVENT_METRICS = [
@@ -877,6 +880,13 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "documents"), budget=_TOKEN_BUDGET
         ),
         TOKEN_BUDGET_SELECT_SQL_TEMPLATE.format(budget=_TOKEN_BUDGET),
+    ),
+    # exact-n per-stratum reproducible draw (hash-ordered reservoir twin)
+    "x_stratified_exact_n": QuerySpec(
+        lambda spark, sf_dir: stratified_exact_n(
+            load_table(spark, sf_dir, "documents"), n_per_stratum=_STRAT_N
+        ),
+        STRATIFIED_EXACT_N_SQL_TEMPLATE.format(n=_STRAT_N, salt=""),
     ),
     # dbt semantic-layer metrics compiled to ONE grouped pass over events
     "d_metrics_events": QuerySpec(_d_metrics_events, METRICS_EVENTS_SQL),

@@ -491,3 +491,20 @@ def test_boilerplate_strip_fully_boilerplate_doc_survives_empty(spark):
     out = boilerplate_strip(docs, block_len=10, max_df=2).collect()
     assert len(out) == 3
     assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in out)
+
+
+def test_stratified_exact_n_quota_and_salt_independence(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import stratified_exact_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = stratified_exact_n(docs, n_per_stratum=5).toPandas()
+    per = a.groupby("source").size()
+    # every stratum has >=5 docs in the testdata, so quotas are exact
+    assert (per == 5).all() and len(per) == docs.select("source").distinct().count()
+    # deterministic: same draw twice
+    b = stratified_exact_n(docs, n_per_stratum=5).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # a different salt gives an independent (different) draw
+    c = stratified_exact_n(docs, n_per_stratum=5, salt="v2").toPandas()
+    assert sorted(a["doc_id"]) != sorted(c["doc_id"])

@@ -829,3 +829,32 @@ def test_yaml_metrics_compile_to_one_grouped_pass(built_project):
     # one grouped aggregate: a single hash-partition exchange, no join
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_clone_from_shares_relations_without_rebuild(built_project, spark, sf_dir):
+    """dbt clone: a new target picks up prod's built relations zero-copy and
+    can layer a subset rebuild on top of them."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.core import Materialization, Model, Project
+
+    prod, _ = built_project
+    dev = Project("trends-dev", target="clone_dev", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_clone_"))
+    cloned = dev.clone_from(prod)
+    assert set(cloned) == set(prod.relations)
+    # cloned mart readable with identical contents, no build() in dev
+    assert dev.ref("weekly_trends_summary").count() == prod.ref("weekly_trends_summary").count()
+    # a new downstream model builds against the cloned upstream via ref()
+    dev.add_model(
+        Model(
+            "weekly_rowcount",
+            lambda s, ref: ref("weekly_trends_summary").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            deps=("weekly_trends_summary",),
+            materialization=Materialization.VIEW,
+        )
+    )
+    dev.build(spark, run_tests=False, subset={"weekly_rowcount"})
+    assert dev.ref("weekly_rowcount").first()["n"] == prod.ref("weekly_trends_summary").count()
+    dev.drop_warehouse()
