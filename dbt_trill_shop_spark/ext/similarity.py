@@ -886,3 +886,224 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
 ) r WHERE rn = 1"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) + exact-L2 baseline + ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+def _vec_micro_long(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Long-form (id, dim, xm) micro-unit int64 encoding of the vector column
+    — the shared deterministic substrate (same convention as
+    :func:`kmeans_refine`): ONE float round per value, integer arithmetic
+    everywhere after, so Spark and the DuckDB oracle agree bit-for-bit."""
+    return embeddings.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
+    ).select(
+        id_col,
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1_000_000, 0).cast("bigint").alias("xm"),
+    )
+
+
+_VM_SQL = """
+    SELECT vec_id, i - 1 AS dim, CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+"""
+
+
+def sq8_encode(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension 8-bit scalar quantization (the faiss ``SQ8`` flat-index
+    codec): train per-dim (min, max) over the corpus, store each value as
+    ``(x - min) * 255 div (max - min)`` in 0..255 — a 4x memory cut vs
+    float32, the difference between an embedding corpus fitting executor
+    memory or not at 100 TB.
+
+    Distributed shape: the trained quantizer is ONE tiny agg (``dim`` rows
+    after map-side combine) broadcast back over the corpus; encoding is a
+    narrow projection — no corpus shuffle at all.  All arithmetic after the
+    shared micro-unit rounding is int64 (truncating ``div`` == DuckDB
+    ``//`` on non-negative operands), so codes are oracle-exact.
+
+    Long-form output (id, dim, code); constant dimensions encode as 0.
+    """
+    vm = _vec_micro_long(embeddings, id_col, vec_col)
+    stats = vm.groupBy("dim").agg(F.min("xm").alias("mn"), F.max("xm").alias("mx"))
+    code = (
+        F.when(F.col("mx") > F.col("mn"), F.expr("((xm - mn) * 255) div (mx - mn)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return vm.join(F.broadcast(stats), "dim").select(
+        F.col(id_col), F.col("dim"), code.alias("code")
+    )
+
+
+SQ8_ENCODE_SQL = f"""
+WITH vm AS ({_VM_SQL}),
+stats AS (SELECT dim, MIN(xm) AS mn, MAX(xm) AS mx FROM vm GROUP BY dim)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(CASE WHEN mx > mn THEN ((xm - mn) * 255) // (mx - mn) ELSE 0 END AS BIGINT) AS code
+FROM vm JOIN stats USING (dim)
+"""
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate L2 top-k over SQ8 codes (symmetric distance: both sides
+    quantized, ``sum((code_q - code_c)^2)`` as int64).  The candidate side
+    carries one byte-sized int per dimension instead of the float payload;
+    the query-side codes are broadcast (Q x dim rows), so the corpus scan
+    never shuffles — the single shuffle is the (query, candidate) partial
+    sum, map-side combined.
+    """
+    codes = sq8_encode(embeddings, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
+    qc = codes.join(
+        F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), "dim", F.col("code").alias("qcode"))
+    cc = codes.select(F.col(id_col).alias("neighbor_id"), "dim", F.col("code").alias("ccode"))
+    d = (F.col("qcode") - F.col("ccode")) * (F.col("qcode") - F.col("ccode"))
+    scored = (
+        cc.join(F.broadcast(qc), "dim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(d).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQ8_TOPK_SQL_TEMPLATE = (
+    """
+WITH codes AS ("""
+    + SQ8_ENCODE_SQL
+    + """),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM((q.code - c.code) * (q.code - c.code)) AS d2
+    FROM codes c JOIN codes q USING (dim)
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+    FROM scored
+) r WHERE rn <= {k}
+"""
+)
+
+
+def l2_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k in micro-unit int64 arithmetic — the ground-truth
+    baseline the ANN variants (PQ/IVF-PQ/SQ8) are audited against.  Unlike
+    :func:`cosine_topk_bruteforce` (float cosine, rank-only oracle), every
+    distance here is an exact integer, so ties and ranks are deterministic
+    across engines.  Query side broadcast; corpus scanned once, unshuffled.
+    """
+    vm = _vec_micro_long(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    qv = vm.join(F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), "dim", F.col("xm").alias("qm")
+    )
+    cv = vm.select(F.col(id_col).alias("neighbor_id"), "dim", F.col("xm").alias("cm"))
+    d = (F.col("qm") - F.col("cm")) * (F.col("qm") - F.col("cm"))
+    scored = (
+        cv.join(F.broadcast(qv), "dim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(d).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+L2_TOPK_SQL_TEMPLATE = (
+    """
+WITH vm AS ("""
+    + _VM_SQL
+    + """),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM((q.xm - c.xm) * (q.xm - c.xm)) AS d2
+    FROM vm c JOIN vm q USING (dim)
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+    FROM scored
+) r WHERE rn <= {k}
+"""
+)
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k audit of an ANN result against the exact ranking: per query,
+    how many of the true top-k the approximate method recovered.  Both
+    inputs are (query_id, neighbor_id, rank) relations; output is
+    (query_id, hits, recall_ppm) in exact integer arithmetic.
+
+    The quality gate every production ANN deployment runs after (re)building
+    an index — here it composes any two harness ranking queries.  Shuffles
+    only k-row-per-query id pairs; no vector data moves.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        e.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000000 div {k}").cast("bigint").alias("recall_ppm"),
+        )
+    )
+
+
+ANN_RECALL_SQL_TEMPLATE = """
+WITH approx AS ({approx_sql}),
+exact AS ({exact_sql}),
+hits AS (
+    SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT query_id, CAST(hits AS BIGINT) AS hits,
+       CAST(hits * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM hits
+"""

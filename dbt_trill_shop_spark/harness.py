@@ -93,12 +93,20 @@ from .ext.similarity import (
     ivf_assign,
     ivf_topk,
     ivfpq_topk,
+    ANN_RECALL_SQL_TEMPLATE,
+    L2_TOPK_SQL_TEMPLATE,
+    SQ8_ENCODE_SQL,
+    SQ8_TOPK_SQL_TEMPLATE,
+    ann_recall,
     kmeans_refine,
     kmeans_refine_sql,
+    l2_topk_exact,
     pq_encode,
     pq_topk,
     semantic_dedup_pairs,
     semantic_search,
+    sq8_encode,
+    sq8_topk,
 )
 from .ext.pipeline import (
     FILTER_FUNNEL_SQL_TEMPLATE,
@@ -714,6 +722,62 @@ QUERIES: dict[str, QuerySpec] = {
             m=4,
             k_codes=_IVF_CELLS,
             num_queries=_KNN_NUM_QUERIES,
+            k=_KNN_K,
+        ),
+    ),
+    # SQ8 scalar quantization: 8-bit per-dim codes (4x memory vs float32)
+    "x_sq8_encode": QuerySpec(
+        lambda spark, sf_dir: sq8_encode(load_table(spark, sf_dir, "embeddings")),
+        SQ8_ENCODE_SQL,
+    ),
+    # symmetric SQ8 L2 top-k: byte codes on both sides, integer distances
+    "x_sq8_topk": QuerySpec(
+        lambda spark, sf_dir: sq8_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+        ),
+        SQ8_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
+    ),
+    # exact L2 ground truth in micro-unit int64 (value-hash-checkable ranks)
+    "x_l2_topk": QuerySpec(
+        lambda spark, sf_dir: l2_topk_exact(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+        ),
+        L2_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
+    ),
+    # recall@k audit: SQ8 ANN vs the exact L2 ranking, per query, exact ints
+    "x_ann_recall": QuerySpec(
+        lambda spark, sf_dir: ann_recall(
+            sq8_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                load_table(spark, sf_dir, "embeddings").filter(
+                    F.col("vec_id") < _KNN_NUM_QUERIES
+                ),
+                k=_KNN_K,
+            ),
+            l2_topk_exact(
+                load_table(spark, sf_dir, "embeddings"),
+                load_table(spark, sf_dir, "embeddings").filter(
+                    F.col("vec_id") < _KNN_NUM_QUERIES
+                ),
+                k=_KNN_K,
+            ),
+            k=_KNN_K,
+        ),
+        ANN_RECALL_SQL_TEMPLATE.format(
+            approx_sql=SQ8_TOPK_SQL_TEMPLATE.format(
+                num_queries=_KNN_NUM_QUERIES, k=_KNN_K
+            ),
+            exact_sql=L2_TOPK_SQL_TEMPLATE.format(
+                num_queries=_KNN_NUM_QUERIES, k=_KNN_K
+            ),
             k=_KNN_K,
         ),
     ),

@@ -508,3 +508,33 @@ def test_stratified_exact_n_quota_and_salt_independence(spark, sf_dir):
     # a different salt gives an independent (different) draw
     c = stratified_exact_n(docs, n_per_stratum=5, salt="v2").toPandas()
     assert sorted(a["doc_id"]) != sorted(c["doc_id"])
+
+
+def test_sq8_codes_bounded_and_full_coverage(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.similarity import sq8_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq8_encode(emb)
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") > 255)).count()
+    assert bad == 0
+    n_vecs = emb.count()
+    dims = emb.selectExpr("size(embedding) d").first()["d"]
+    assert codes.count() == n_vecs * dims
+    # the trained range is actually used: both extremes appear somewhere
+    lohi = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert lohi["lo"] == 0 and lohi["hi"] == 255
+
+
+def test_sq8_recall_vs_exact_l2(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.similarity import ann_recall, l2_topk_exact, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    rec = ann_recall(sq8_topk(emb, q, k=5), l2_topk_exact(emb, q, k=5), k=5)
+    rows = rec.collect()
+    assert len(rows) == 10
+    mean_recall = sum(r["recall_ppm"] for r in rows) / len(rows) / 1_000_000
+    # 8-bit per-dim quantization preserves L2 neighborhoods almost exactly
+    assert mean_recall >= 0.8, mean_recall

@@ -173,3 +173,14 @@ def test_boilerplate_strip_joins_on_hash(spark, sf_dir):
     # flag join + document-frequency agg key on xxhash64, not the block string
     assert "xxhash64" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_topk_broadcasts_query_codes(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(sq8_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    # quantizer stats + query-side codes ride broadcasts; candidates never
+    # cross-join (the only joins are dim-keyed broadcasts + the semi join)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
