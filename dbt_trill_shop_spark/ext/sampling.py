@@ -417,3 +417,73 @@ SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
 FROM ranked
 WHERE rk <= {n}
 """
+
+
+def temperature_mixture(
+    docs: DataFrame, budget: int, strata_col: str = "source"
+) -> DataFrame:
+    """Temperature-flattened sampling mixture (the multilingual-training
+    alpha-sampling rule, alpha = 0.5): sampling weight per stratum is
+    ``sqrt(count)`` instead of ``count``, boosting low-resource strata
+    relative to head domains, then a document ``budget`` is apportioned by
+    the normalized weights and clamped to availability.
+
+    alpha = 0.5 specifically because ``sqrt`` is IEEE correctly-rounded in
+    both engines (general ``pow`` is not), so one ``ROUND(sqrt(c)*1000)``
+    per stratum is the single float step — everything after is int64 ppm
+    arithmetic with truncating division, oracle-exact.  Other temperatures
+    would chain sqrt (alpha = 0.25) or swap in pow at the cost of the
+    value-hash guarantee.
+
+    One map-side-combined count shuffle (rows = #strata); the normalization
+    total rides back as a broadcast.  Returns
+    (stratum, n_rows, w_milli, p_ppm, planned_rows).
+    """
+    counts = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    w = counts.select(
+        "stratum",
+        "n_rows",
+        F.round(F.sqrt(F.col("n_rows").cast("double")) * 1000, 0)
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    tot = w.agg(F.sum("w_milli").alias("tw"))
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "w_milli",
+        F.expr("(w_milli * 1000000) div tw").cast("bigint").alias("p_ppm"),
+    )
+    return p.select(
+        "stratum",
+        "n_rows",
+        "w_milli",
+        "p_ppm",
+        F.least(F.col("n_rows"), F.expr(f"(p_ppm * {int(budget)}) div 1000000"))
+        .cast("bigint")
+        .alias("planned_rows"),
+    )
+
+
+TEMPERATURE_MIXTURE_SQL_TEMPLATE = """
+WITH counts AS (
+    SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT stratum, n_rows,
+           CAST(ROUND(SQRT(CAST(n_rows AS DOUBLE)) * 1000, 0) AS BIGINT) AS w_milli
+    FROM counts
+),
+tot AS (SELECT SUM(w_milli) AS tw FROM w),
+p AS (
+    SELECT stratum, n_rows, w_milli,
+           CAST((w_milli * 1000000) // tw AS BIGINT) AS p_ppm
+    FROM w CROSS JOIN tot
+)
+SELECT stratum, n_rows, w_milli, p_ppm,
+       CAST(LEAST(n_rows, (p_ppm * {budget}) // 1000000) AS BIGINT) AS planned_rows
+FROM p
+"""

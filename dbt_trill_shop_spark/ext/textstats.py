@@ -829,3 +829,122 @@ SELECT doc_id,
         + {_QC_W_LEN} * len_cap - {_QC_W_WL} * wl_dev) >= {_QC_KEEP_MILLI} AS keep
 FROM feats
 """
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam_tenths: int = 9,
+) -> DataFrame:
+    """Interpolated bigram LM pseudo-perplexity (the CCNet/Wenzek et al. 2020
+    quality cut one order up from :func:`unigram_logprob`): score each
+    document by the mean negative log-probability of its token bigrams under
+    the corpus's own interpolated model
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1} .)
+                         + (1 - lam) * c(. w_i) / N
+
+    with all counts taken over the corpus bigram relation (context marginal
+    ``c(prev .)``, continuation marginal ``c(. cur)``, total ``N``), so the
+    model is self-consistent and every probability is the exact rational
+
+        p = (lam10 * cb * N + (10 - lam10) * cu * cp) / (10 * cp * N)
+
+    in int64 (``lam = lam_tenths / 10``).  Only ``ln`` of those exact
+    integers crosses into float; per-bigram ``ln`` is scaled to micro-nats,
+    rounded once, and per-doc totals are INTEGER sums — the same
+    cross-engine determinism recipe as the unigram operator.
+
+    Distributed shape: bigrams come from a narrow array transform (no
+    positional self-join); the per-doc bigram counts are shuffled ONCE and
+    reused (checkpoint) for the model marginals — context/continuation
+    marginals and N are algebraic rollups of the bigram counts, never a
+    re-explode.  At 100 TB the (prev, cur) string keys would ride as
+    xxhash64 pairs; strings are kept here for oracle transparency.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> struct(split({text_col}, ' ')[i-1] AS prev, "
+            f"split({text_col}, ' ')[i] AS cur))"
+        ),
+    ).otherwise(F.expr("array()"))
+    big = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    tf2 = (
+        big.groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cb = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("cb"))
+    cp = cb.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    cu = cb.groupBy("cur").agg(F.sum("cb").alias("cu"))
+    tot = cb.agg(F.sum("cb").alias("n"))
+    num = (
+        F.lit(lam_tenths) * F.col("cb") * F.col("n")
+        + F.lit(10 - lam_tenths) * F.col("cu") * F.col("cp")
+    ).cast("bigint")
+    den = (F.lit(10) * F.col("cp") * F.col("n")).cast("bigint")
+    scored = (
+        cb.join(cp, "prev")
+        .join(cu, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                (F.log(den.cast("double")) - F.log(num.cast("double"))) * 1_000_000, 0
+            )
+            .cast("bigint")
+            .alias("neglogp_micro"),
+        )
+    )
+    per_doc = tf2.join(scored, ["prev", "cur"]).groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("neglogp_micro")).alias("s_micro"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(
+            (F.col("s_micro").cast("double") / 1_000_000.0) / F.col("n_bigrams"), 6
+        ).alias("avg_neg_logp2"),
+    )
+
+
+BIGRAM_LOGPROB_SQL_TEMPLATE = """
+WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+big AS (
+    SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+    FROM t, UNNEST(range(1, LEN(toks))) AS r(i)
+),
+tf2 AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM big GROUP BY doc_id, prev, cur),
+cb AS (SELECT prev, cur, SUM(tf) AS cb FROM tf2 GROUP BY prev, cur),
+cp AS (SELECT prev, SUM(cb) AS cp FROM cb GROUP BY prev),
+cu AS (SELECT cur, SUM(cb) AS cu FROM cb GROUP BY cur),
+tot AS (SELECT SUM(cb) AS n FROM cb),
+scored AS (
+    SELECT cb.prev, cb.cur,
+           CAST(ROUND((LN(CAST(CAST(10 * cp.cp * tot.n AS BIGINT) AS DOUBLE))
+                       - LN(CAST(CAST({lam10} * cb.cb * tot.n
+                                      + {inv10} * cu.cu * cp.cp AS BIGINT) AS DOUBLE)))
+                      * 1000000, 0) AS BIGINT) AS neglogp_micro
+    FROM cb JOIN cp ON cb.prev = cp.prev
+            JOIN cu ON cb.cur = cu.cur
+            CROSS JOIN tot
+),
+per_doc AS (
+    SELECT tf2.doc_id,
+           CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+           SUM(tf2.tf * scored.neglogp_micro) AS s_micro
+    FROM tf2 JOIN scored ON tf2.prev = scored.prev AND tf2.cur = scored.cur
+    GROUP BY tf2.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND((CAST(s_micro AS DOUBLE) / 1000000.0) / n_bigrams, 6) AS avg_neg_logp2
+FROM per_doc
+"""

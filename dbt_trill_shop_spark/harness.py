@@ -69,6 +69,7 @@ from .ext.sampling import (
     PACK_DOCUMENTS_SQL_TEMPLATE,
     SOURCE_CAPS_SQL_TEMPLATE,
     STRATIFIED_EXACT_N_SQL_TEMPLATE,
+    TEMPERATURE_MIXTURE_SQL_TEMPLATE,
     TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
@@ -76,6 +77,7 @@ from .ext.sampling import (
     pack_documents,
     source_caps,
     stratified_exact_n,
+    temperature_mixture,
     token_budget_select,
 )
 from .ext.similarity import (
@@ -115,6 +117,7 @@ from .ext.pipeline import (
     training_data_pipeline,
 )
 from .ext.textstats import (
+    BIGRAM_LOGPROB_SQL_TEMPLATE,
     STOPWORDS,
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
@@ -130,6 +133,7 @@ from .ext.textstats import (
     TOKEN_HISTOGRAM_SQL_TEMPLATE,
     CORPUS_NGRAM_COUNTS_SQL_TEMPLATE,
     VOCAB_COVERAGE_SQL_TEMPLATE,
+    bigram_logprob,
     corpus_ngram_counts,
     language_id,
     language_profile,
@@ -615,10 +619,22 @@ QUERIES: dict[str, QuerySpec] = {
             )
         ),
     ),
+    # alpha=0.5 temperature-flattened mixture over a 100k-doc budget
+    "x_temperature_mix": QuerySpec(
+        lambda spark, sf_dir: temperature_mixture(
+            load_table(spark, sf_dir, "documents"), budget=100_000
+        ),
+        TEMPERATURE_MIXTURE_SQL_TEMPLATE.format(budget=100_000),
+    ),
     "x_repetition_signals": QuerySpec(
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
     "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
+    # interpolated bigram LM pseudo-perplexity (one order up from unigram)
+    "x_bigram_logprob": QuerySpec(
+        _docs_q(bigram_logprob),
+        BIGRAM_LOGPROB_SQL_TEMPLATE.format(lam10=9, inv10=1),
+    ),
     "x_corpus_ngrams": QuerySpec(
         lambda spark, sf_dir: corpus_ngram_counts(
             load_table(spark, sf_dir, "documents"), n=2, k=20
@@ -1002,7 +1018,22 @@ _ROUND2_NEW = [
     "x_dup_span_coverage",
     "q_session_windows",
 ]
-_front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW
+# Later round-2 queries: positions 51+ (locally parity-checked; first in line
+# if the driver's verification window grows past 50).
+_ROUND2_LATE = [
+    "x_source_caps",
+    "x_token_budget_select",
+    "x_stratified_exact_n",
+    "d_metrics_events",
+    "x_boilerplate_strip",
+    "x_sq8_encode",
+    "x_sq8_topk",
+    "x_l2_topk",
+    "x_ann_recall",
+    "x_bigram_logprob",
+    "x_temperature_mix",
+]
+_front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 QUERIES = {
     name: QUERIES[name]

@@ -538,3 +538,36 @@ def test_sq8_recall_vs_exact_l2(spark, sf_dir):
     mean_recall = sum(r["recall_ppm"] for r in rows) / len(rows) / 1_000_000
     # 8-bit per-dim quantization preserves L2 neighborhoods almost exactly
     assert mean_recall >= 0.8, mean_recall
+
+
+def test_bigram_logprob_orders_common_vs_rare(spark):
+    from dbt_trill_shop_spark.ext.textstats import bigram_logprob
+
+    rows = [(i, "a b a b a b") for i in range(5)]  # corpus-dominant bigrams
+    rows.append((90, "z q w x"))  # one-off bigrams
+    rows.append((91, "solo"))  # single token: no bigrams, must drop out
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 91 not in out
+    assert out[0]["n_bigrams"] == 5 and out[90]["n_bigrams"] == 3
+    # documents made of corpus-frequent bigrams are far more probable
+    assert out[0]["avg_neg_logp2"] < out[90]["avg_neg_logp2"]
+
+
+def test_temperature_mixture_flattens_and_respects_budget(spark):
+    from dbt_trill_shop_spark.ext.sampling import temperature_mixture
+
+    rows = [(i, "t", "x", "head") for i in range(900)] + [
+        (1000 + i, "t", "x", "tail") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["stratum"]: r for r in temperature_mixture(docs, budget=500).collect()}
+    # raw proportions are 90/10; sqrt-flattening moves the split toward 75/25
+    head, tail = out["head"], out["tail"]
+    assert head["p_ppm"] + tail["p_ppm"] <= 1_000_000
+    assert tail["p_ppm"] > 100_000  # boosted above its 10% raw share
+    assert head["p_ppm"] < 900_000  # head damped below its 90% raw share
+    # planned rows never exceed availability or (approximately) the budget
+    assert head["planned_rows"] <= head["n_rows"]
+    assert tail["planned_rows"] <= tail["n_rows"]
+    assert head["planned_rows"] + tail["planned_rows"] <= 500
