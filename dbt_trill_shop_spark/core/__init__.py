@@ -1,4 +1,11 @@
-from .model import ContractError, Materialization, Model, enforce_contract
+from .model import (
+    AccessError,
+    ContractError,
+    Materialization,
+    Model,
+    check_access,
+    enforce_contract,
+)
 from .dag import Project, select_nodes, topo_sort
 from .docs import load_doc_blocks, load_properties, parse_doc_blocks, resolve_doc_refs
 from .jinja_lite import compile_model_sql, extract_deps, sql_model
@@ -26,6 +33,8 @@ from .testing import (
 )
 
 __all__ = [
+    "AccessError",
+    "check_access",
     "ContractError",
     "enforce_contract",
     "Materialization",

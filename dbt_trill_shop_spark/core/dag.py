@@ -27,7 +27,13 @@ from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .model import Materialization, Model, enforce_contract, resolve_schema
+from .model import (
+    Materialization,
+    Model,
+    check_access,
+    enforce_contract,
+    resolve_schema,
+)
 from .testing import TestResult, run_model_tests
 
 
@@ -299,6 +305,7 @@ class Project:
         on_test_failure: str = "continue",
         defer_relations: dict[str, DataFrame] | None = None,
         full_refresh: bool = False,
+        on_model_error: str = "raise",
     ) -> dict[str, list[TestResult]]:
         """Materialize every model in topo order; return test results per
         model.  ``subset`` (e.g. from :meth:`select`) restricts the run.
@@ -319,10 +326,20 @@ class Project:
         ignore their existing table and rebuild from scratch
         (``is_incremental()`` compiles to False), the recovery path after a
         backfill or logic change.
+
+        ``on_model_error`` routes build-time exceptions: ``"raise"``
+        propagates (default); ``"continue"`` records the node as ``error``,
+        skips its descendants, and keeps building siblings — dbt's actual
+        run behavior, and what makes :meth:`retry` meaningful.
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
+        if on_model_error not in ("continue", "raise"):
+            raise ValueError(f"bad on_model_error {on_model_error!r}")
+        check_access(self.models)  # group/access violations fail pre-flight
         self._full_refresh = full_refresh
+        self._last_subset = set(subset) if subset is not None else None
+        self._on_model_error = on_model_error
         try:
             for stmt in self.on_run_start:
                 spark.sql(stmt)
@@ -378,10 +395,23 @@ class Project:
                     spark.read.parquet(path).createOrReplaceTempView(name)
             for hook in model.pre_hook:
                 spark.sql(self._compile_hook(hook, name))
-            df = model.build(spark, self.ref, self._build_ctx(spark, name))
-            if model.contract:
-                enforce_contract(name, df, model.contract)
-            self.relations[name] = self._materialize(spark, model, df)
+            try:
+                df = model.build(spark, self.ref, self._build_ctx(spark, name))
+                if model.contract:
+                    enforce_contract(name, df, model.contract)
+                self.relations[name] = self._materialize(spark, model, df)
+            except Exception as e:
+                if getattr(self, "_on_model_error", "raise") == "raise":
+                    raise
+                # dbt run behavior: record the error, skip descendants,
+                # keep building unrelated siblings (retry picks these up)
+                skipped.add(name)
+                self.last_run_results[name] = {
+                    "status": "error",
+                    "message": f"{type(e).__name__}: {e}",
+                    "execution_time": round(time.perf_counter() - t0, 3),
+                }
+                continue
             for hook in model.post_hook:
                 spark.sql(self._compile_hook(hook, name))
             self.last_run_results[name] = {
@@ -400,7 +430,39 @@ class Project:
                     )
                 if failed and on_test_failure == "skip_downstream":
                     skipped.add(name)
+                    # the model itself built, but its gate failed — dbt
+                    # records "fail" and retry re-runs it (plus descendants)
+                    self.last_run_results[name]["status"] = "fail"
         return results
+
+    def retry(self, spark: SparkSession, **build_kwargs) -> dict[str, list[TestResult]]:
+        """dbt ``retry``: re-run exactly the nodes that did not succeed in the
+        previous build — errored models, failed-test models, and everything
+        skipped downstream of them.  Succeeded relations are left in place
+        (their DataFrames still resolve via ``ref``), so the retry costs only
+        the failed subgraph — on a 100 TB DAG, the difference between
+        re-running one bad model and re-running the night.
+        """
+        prev = self.last_run_results
+        if not prev:
+            raise RuntimeError("no previous build to retry")
+        base = self._last_subset if self._last_subset is not None else set(self.models)
+        todo = {n for n in base if prev.get(n, {}).get("status") != "success"}
+        if not todo:
+            return {}
+        return self.build(spark, subset=todo, **build_kwargs)
+
+    def show(self, spark: SparkSession, sql_text: str, limit: int = 5) -> DataFrame:
+        """dbt ``show --inline``: compile a dbt-Jinja SQL snippet against this
+        project (``ref``/``source``/``var``/macros all resolve) and return a
+        ``limit``-row preview — the ad-hoc "what would this select?" loop.
+        Dependencies must already be built (or be sources)."""
+        from .jinja_lite import compile_model_sql, extract_deps
+
+        for dep in extract_deps(sql_text):
+            self.ref(dep).createOrReplaceTempView(dep)
+        compiled = compile_model_sql(sql_text, macros=self.macros, vars=self.vars)
+        return spark.sql(compiled).limit(limit)
 
     def _build_ctx(self, spark: SparkSession, name: str) -> dict:
         """The dbt-style build context for one model: ``vars``, the
@@ -580,6 +642,8 @@ class Project:
                     "checksum": self.models[name].checksum,
                     "tags": list(self.models[name].tags),
                     "tests": [str(t) for t in self.models[name].tests],
+                    "group": self.models[name].group,
+                    "access": self.models[name].access,
                 }
                 for name in order
             },

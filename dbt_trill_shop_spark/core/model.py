@@ -94,6 +94,12 @@ class Model:
     # resolves to the model's relation); the warehouse-side audit/grant slot
     pre_hook: tuple[str, ...] = ()
     post_hook: tuple[str, ...] = ()
+    # dbt model governance (dbt 1.5 groups/access): a model in a group with
+    # access "private" may only be ref'd by models in the SAME group;
+    # "protected" (default) is project-wide; "public" is the stable API
+    # surface.  Enforced before every build (core/dag.py check_access).
+    group: str | None = None
+    access: str = "protected"  # "private" | "protected" | "public"
 
     def build(
         self, spark: "SparkSession", resolve: Resolver, ctx: dict | None = None
@@ -120,6 +126,31 @@ def content_checksum(content: str) -> str:
 
 class ContractError(Exception):
     """A built model's schema violates its declared contract."""
+
+
+class AccessError(Exception):
+    """A model ref violates dbt group/access rules (private cross-group ref)."""
+
+
+def check_access(models: dict[str, "Model"]) -> None:
+    """dbt 1.5 group/access enforcement: a ``private`` model may only be
+    referenced from models in its own group.  Raises :class:`AccessError`
+    naming every violating edge; ``protected``/``public`` models are
+    unrestricted within a single project (cross-project imports, where
+    ``protected`` bites, don't exist here)."""
+    problems: list[str] = []
+    for name, model in models.items():
+        for dep in model.deps:
+            parent = models.get(dep)
+            if parent is None:
+                continue  # a source, not a model
+            if parent.access == "private" and parent.group != model.group:
+                problems.append(
+                    f"{name!r} (group {model.group!r}) refs private {dep!r} "
+                    f"(group {parent.group!r})"
+                )
+    if problems:
+        raise AccessError("access violations: " + "; ".join(problems))
 
 
 def enforce_contract(name: str, df: "DataFrame", contract: dict[str, str]) -> None:

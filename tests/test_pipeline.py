@@ -858,3 +858,98 @@ def test_clone_from_shares_relations_without_rebuild(built_project, spark, sf_di
     dev.build(spark, run_tests=False, subset={"weekly_rowcount"})
     assert dev.ref("weekly_rowcount").first()["n"] == prod.ref("weekly_trends_summary").count()
     dev.drop_warehouse()
+
+
+def test_show_inline_preview(spark):
+    """dbt show --inline: a Jinja snippet compiles against the project and
+    returns a bounded preview."""
+    from dbt_trill_shop_spark.core.dag import Project
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    p = Project("showp")
+    p.add_source("src", spark.range(100).withColumnRenamed("id", "v"))
+    p.add_model(sql_model("m", "SELECT v * 2 AS v2 FROM {{ source('x','src') }}"))
+    p.build(spark, run_tests=False)
+    out = p.show(spark, "SELECT v2 FROM {{ ref('m') }} WHERE v2 >= 10", limit=3)
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["v2"] >= 10 for r in rows)
+
+
+def test_retry_reruns_only_failed_subgraph(spark):
+    """dbt retry: an errored model and its skipped descendants re-run;
+    succeeded siblings don't rebuild."""
+    from dbt_trill_shop_spark.core import Materialization, Model
+    from dbt_trill_shop_spark.core.dag import Project
+
+    p = Project("retryp")
+    p.add_source("src", spark.range(10).withColumnRenamed("id", "v"))
+    built = []
+
+    def ok_builder(name):
+        def b(s, ref):
+            built.append(name)
+            return ref("src")
+
+        return b
+
+    boom = {"on": True}
+
+    def flaky(s, ref):
+        built.append("flaky")
+        if boom["on"]:
+            raise RuntimeError("transient")
+        return ref("src")
+
+    p.add_model(Model("good", ok_builder("good"), deps=("src",)))
+    p.add_model(Model("flaky", flaky, deps=("src",)))
+    p.add_model(Model("child", ok_builder("child"), deps=("flaky",)))
+    p.build(spark, run_tests=False, on_model_error="continue")
+    assert p.last_run_results["good"]["status"] == "success"
+    assert p.last_run_results["flaky"]["status"] == "error"
+    assert p.last_run_results["child"]["status"] == "skipped"
+    built.clear()
+    boom["on"] = False
+    p.retry(spark, run_tests=False)
+    assert built == ["flaky", "child"]  # the succeeded sibling did not rebuild
+    assert p.last_run_results["flaky"]["status"] == "success"
+    assert p.last_run_results["child"]["status"] == "success"
+
+
+def test_private_model_cross_group_ref_fails(spark):
+    """dbt groups/access: a private model may only be ref'd inside its own
+    group; the violation fails pre-flight, before any materialization."""
+    import pytest as _pytest
+
+    from dbt_trill_shop_spark.core import AccessError, Materialization, Model
+    from dbt_trill_shop_spark.core.dag import Project
+
+    def passthrough(s, ref):
+        return ref("src")
+
+    p = Project("accp")
+    p.add_source("src", spark.range(5).withColumnRenamed("id", "v"))
+    p.add_model(
+        Model("internal", passthrough, deps=("src",), group="finance", access="private")
+    )
+    p.add_model(
+        Model("outsider", lambda s, ref: ref("internal"), deps=("internal",), group="web")
+    )
+    with _pytest.raises(AccessError, match="outsider.*internal"):
+        p.build(spark, run_tests=False)
+    # same-group refs are fine
+    p2 = Project("accp2")
+    p2.add_source("src", spark.range(5).withColumnRenamed("id", "v"))
+    p2.add_model(
+        Model("internal", passthrough, deps=("src",), group="finance", access="private")
+    )
+    p2.add_model(
+        Model(
+            "report",
+            lambda s, ref: ref("internal"),
+            deps=("internal",),
+            group="finance",
+        )
+    )
+    p2.build(spark, run_tests=False)
+    assert p2.ref("report").count() == 5
+    assert p2.manifest()["nodes"]["internal"]["access"] == "private"
