@@ -1107,3 +1107,166 @@ SELECT query_id, CAST(hits AS BIGINT) AS hits,
        CAST(hits * 1000000 // {k} AS BIGINT) AS recall_ppm
 FROM hits
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results per query balancing relevance against
+    redundancy with what's already picked —
+
+        pick_t = argmin_c [ lam * d2(q, c) - (1 - lam) * min_{s in S} d2(c, s) ]
+
+    (the distance form of the classic similarity MMR; the first pick is pure
+    relevance).  The diversified-retrieval/sample-selection step after ANN:
+    without it, near-duplicate neighbors crowd out coverage.
+
+    Distributed shape: ONE corpus pass scores relevance (query side
+    broadcast), a per-query candidate ``pool`` is cut by window top-N, and
+    the candidate-candidate distance table (pool^2 rows per query) is
+    computed once and checkpointed — the k-step greedy loop then touches
+    only those tiny tables (k chained joins, no further corpus access).
+    All distances are micro-unit int64 (:func:`l2_topk_exact`'s substrate),
+    ``lam`` rides as tenths, so every pick and tie-break is exact and the
+    whole greedy trace is oracle-checkable.
+
+    Returns (query_id, neighbor_id, pick_rank), pick_rank 1..k in selection
+    order.
+    """
+    lam10, inv10 = lam_tenths, 10 - lam_tenths
+    vm = _vec_micro_long(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    qv = vm.join(F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), "dim", F.col("xm").alias("qm")
+    )
+    cv = vm.select(F.col(id_col).alias("cand_id"), "dim", F.col("xm").alias("cm"))
+    d2q = (
+        cv.join(F.broadcast(qv), "dim")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum((F.col("qm") - F.col("cm")) * (F.col("qm") - F.col("cm"))).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    cand = (
+        d2q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "cand_id", "d2")
+        .localCheckpoint(eager=True)
+    )
+    cvm = cand.select("query_id", "cand_id").join(
+        vm.select(F.col(id_col).alias("cand_id"), "dim", "xm"), "cand_id"
+    )
+    a = cvm.select("query_id", F.col("cand_id").alias("a"), "dim", F.col("xm").alias("am"))
+    b = cvm.select("query_id", F.col("cand_id").alias("b"), "dim", F.col("xm").alias("bm"))
+    cc = (
+        a.join(b, ["query_id", "dim"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("query_id", "a", "b")
+        .agg(F.sum((F.col("am") - F.col("bm")) * (F.col("am") - F.col("bm"))).alias("d2"))
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.lit(1).cast("bigint").alias("pick_rank"))
+    )
+    for t in range(2, k + 1):
+        min_d2 = (
+            cc.join(
+                sel.select("query_id", F.col("cand_id").alias("b")), ["query_id", "b"]
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.min("d2").alias("min_d2"))
+        )
+        remaining = cand.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+        key = F.lit(lam10) * F.col("d2") - F.lit(inv10) * F.col("min_d2")
+        ws = Window.partitionBy("query_id").orderBy(key.asc(), F.asc("cand_id"))
+        pick = (
+            remaining.join(min_d2, ["query_id", "cand_id"])
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", F.lit(t).cast("bigint").alias("pick_rank"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", F.col("cand_id").alias("neighbor_id"), "pick_rank")
+
+
+def mmr_topk_sql(
+    k: int = 5, pool: int = 12, lam_tenths: int = 7, num_queries: int = 10
+) -> str:
+    """DuckDB oracle for :func:`mmr_topk`: the same greedy trace as chained
+    CTEs — one ``sel{t}`` per pick, accumulated via ``acc{t}`` unions —
+    with identical int64 micro-unit arithmetic and tie-breaks."""
+    lam10, inv10 = lam_tenths, 10 - lam_tenths
+    parts = [
+        f"""WITH vm AS ({_VM_SQL}),
+d2q AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           SUM((q.xm - c.xm) * (q.xm - c.xm)) AS d2
+    FROM vm c JOIN vm q USING (dim)
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+cand AS (
+    SELECT query_id, cand_id, CAST(d2 AS BIGINT) AS d2 FROM (
+        SELECT query_id, cand_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cand_id ASC) AS rn
+        FROM d2q
+    ) r WHERE rn <= {pool}
+),
+cvm AS (
+    SELECT cand.query_id, cand.cand_id, vm.dim, vm.xm
+    FROM cand JOIN vm ON vm.vec_id = cand.cand_id
+),
+cc AS (
+    SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+           CAST(SUM((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+    FROM cvm a JOIN cvm b ON a.query_id = b.query_id AND a.dim = b.dim
+    WHERE a.cand_id != b.cand_id
+    GROUP BY a.query_id, a.cand_id, b.cand_id
+),
+sel1 AS (
+    SELECT query_id, cand_id, CAST(1 AS BIGINT) AS pick_rank FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cand_id ASC) AS rn
+        FROM cand
+    ) r WHERE rn = 1
+),
+acc1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+sel{t} AS (
+    SELECT query_id, cand_id, CAST({t} AS BIGINT) AS pick_rank FROM (
+        SELECT r.query_id, r.cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY {lam10} * r.d2 - {inv10} * m.min_d2 ASC, r.cand_id ASC) AS rn
+        FROM cand r
+        JOIN (SELECT cc.query_id, cc.a AS cand_id, MIN(cc.d2) AS min_d2
+              FROM cc JOIN acc{t - 1} s ON cc.query_id = s.query_id AND cc.b = s.cand_id
+              GROUP BY cc.query_id, cc.a) m
+          ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM acc{t - 1} s2
+                          WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id)
+    ) z WHERE rn = 1
+),
+acc{t} AS (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, cand_id AS neighbor_id, pick_rank FROM acc{k}"""
+    )
+    return "".join(parts)

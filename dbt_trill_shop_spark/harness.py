@@ -103,6 +103,8 @@ from .ext.similarity import (
     kmeans_refine,
     kmeans_refine_sql,
     l2_topk_exact,
+    mmr_topk,
+    mmr_topk_sql,
     pq_encode,
     pq_topk,
     semantic_dedup_pairs,
@@ -797,6 +799,19 @@ QUERIES: dict[str, QuerySpec] = {
             k=_KNN_K,
         ),
     ),
+    # MMR diversified top-k: greedy relevance-vs-redundancy picks, exact ints
+    "x_mmr_topk": QuerySpec(
+        lambda spark, sf_dir: mmr_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _KNN_NUM_QUERIES
+            ),
+            k=_KNN_K,
+            pool=12,
+            lam_tenths=7,
+        ),
+        mmr_topk_sql(k=_KNN_K, pool=12, lam_tenths=7, num_queries=_KNN_NUM_QUERIES),
+    ),
     "x_semdedup": QuerySpec(
         lambda spark, sf_dir: semantic_dedup_pairs(
             load_table(spark, sf_dir, "embeddings"),
@@ -1032,6 +1047,7 @@ _ROUND2_LATE = [
     "x_ann_recall",
     "x_bigram_logprob",
     "x_temperature_mix",
+    "x_mmr_topk",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

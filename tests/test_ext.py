@@ -571,3 +571,26 @@ def test_temperature_mixture_flattens_and_respects_budget(spark):
     assert head["planned_rows"] <= head["n_rows"]
     assert tail["planned_rows"] <= tail["n_rows"]
     assert head["planned_rows"] + tail["planned_rows"] <= 500
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    from dbt_trill_shop_spark.ext.similarity import l2_topk_exact, mmr_topk
+
+    vecs = {
+        0: [0.0, 0.0],  # the query
+        1: [1.0, 0.0],  # tight cluster of near-duplicates closest to it
+        2: [1.01, 0.0],
+        3: [1.02, 0.0],
+        4: [0.0, 1.5],  # farther but diverse
+        5: [-1.6, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    pure = {r["neighbor_id"] for r in l2_topk_exact(emb, q, k=3).collect()}
+    assert pure == {1, 2, 3}  # relevance alone returns the clone cluster
+    picks = mmr_topk(emb, q, k=3, pool=5, lam_tenths=7).collect()
+    by_rank = {r["pick_rank"]: r["neighbor_id"] for r in picks}
+    assert by_rank[1] == 1  # first pick is pure relevance
+    assert set(by_rank.values()) == {1, 4, 5}  # redundancy penalized away
