@@ -321,25 +321,30 @@ def minhash_banded_candidates(
     (b, r) S-curve; with b=4, r=4 the 50%-collision point is ~J=0.7.
     Join key is 12 bytes; candidate pairs then need exact verification."""
     r = num_hashes // bands
+    # long form (id, band_idx, band_key): ONE self-join keyed on
+    # (band_idx, key) replaces bands separate joins, and the signature
+    # pipeline (explode + num_hashes aggs) runs once instead of once per
+    # join side per band — the banded relation is tiny (bands rows of 16
+    # bytes per doc), so materializing it is cheap insurance
     banded = sigs.select(
         F.col(id_col),
-        *[
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
-            for b in range(bands)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bidx", "bk"),
+    ).localCheckpoint(eager=True)
+    left = banded.select(F.col(id_col).alias("id_a"), "bidx", "bk")
+    right = banded.select(F.col(id_col).alias("id_b"), "bidx", "bk")
+    return (
+        left.join(right, ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("bk"))
-        cand = (
-            left.join(right, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        pairs = cand if pairs is None else pairs.union(cand)
-    assert pairs is not None
-    return pairs.distinct()
 
 
 def neardup_minhash_native(
