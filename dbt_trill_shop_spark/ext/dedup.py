@@ -1071,3 +1071,240 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-checkable MinHash (md5 minwise order) + incremental near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_keys_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Long-form banded MinHash keys (doc_id, bidx, bk) with an md5 minwise
+    order: ``h_i(s) = md5(i || ':' || s)`` and the per-doc minimum taken
+    LEXICOGRAPHICALLY over the 32-char hex strings — a valid uniform
+    minwise ordering that both Spark and DuckDB implement identically, so
+    (unlike the xxhash64 production path) every candidate pair is
+    value-hash oracle-checkable.  Band key = md5 of the band's joined sigs.
+
+    Same plan shape as :func:`minhash_signatures` +
+    :func:`minhash_banded_candidates`: one shingle explode, ``num_hashes``
+    min-aggs in one pass, narrow band projection.  md5-over-strings costs
+    ~2-3x xxhash64-over-ints per row — keep the xxhash64 twin for the hot
+    path and this one for verified correctness (and as the portable scheme
+    when candidates must be reproducible outside Spark).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    r = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bidx", "bk"),
+    )
+
+
+def _minhash_md5_band_sql(
+    num_hashes: int, bands: int, shingle_len: int, source: str = "documents"
+) -> str:
+    """Shared DuckDB CTE chain ``toks -> shingles -> sigs -> banded`` for the
+    md5 MinHash family (mirrors :func:`minhash_band_keys_md5`)."""
+    r = num_hashes // bands
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS bidx, md5({expr}) AS bk FROM sigs".format(
+            b=b,
+            expr=" || ',' || ".join(f"mh{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return rf"""toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS tokens FROM {source}
+),
+shingles AS (
+    SELECT DISTINCT doc_id, s
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, GREATEST(LEN(tokens) - {shingle_len}, 0) + 1),
+                   i -> array_to_string(tokens[i + 1 : i + {shingle_len}], ' ')
+               )) AS s
+        FROM toks
+    ) t
+    WHERE s <> ''
+),
+sigs AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM shingles GROUP BY doc_id
+),
+banded AS (
+    {band_rows}
+)"""
+
+
+def neardup_minhash_checked(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The full banded-candidates -> exact-Jaccard-verify near-dup pipeline
+    of :func:`neardup_minhash_native`, on the md5 minwise order — every
+    stage reproducible in ANSI SQL, so the whole pipeline (not just the
+    verify) sits behind the value-hash correctness gate."""
+    cands = (
+        minhash_band_keys_md5(docs, text_col, id_col, num_hashes, bands, shingle_len)
+        .localCheckpoint(eager=True)
+    )
+    left = cands.select(F.col(id_col).alias("id_a"), "bidx", "bk")
+    right = cands.select(F.col(id_col).alias("id_b"), "bidx", "bk")
+    pairs = (
+        left.join(right, ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_sub = docs.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(
+        docs_sub, text_col, id_col, shingle_len, threshold=jaccard_threshold
+    )
+    return exact.join(pairs, ["id_a", "id_b"], "inner")
+
+
+def neardup_minhash_checked_sql(
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len)
+    return rf"""
+WITH {base},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bidx = b.bidx AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.id_a
+    JOIN shingles b ON b.doc_id = c.id_b AND b.s = a.s
+    GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 9) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {jaccard_threshold}
+"""
+
+
+def incremental_neardup(
+    batch_bands: DataFrame, seen_bands: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Continuous-ingestion near-dup: a new document is dropped when ANY of
+    its MinHash band keys collides with the persisted band store (the
+    standard crawl-dedup shape — no text from prior batches is retained,
+    only (bidx, bk) pairs).  Band collisions are the S-curve candidate
+    test; without stored text an exact verify is impossible, so collisions
+    count as duplicates — false positives bounded by the (b, r) curve,
+    which is the production trade every crawl pipeline makes.
+
+    Returns the SURVIVING band rows (doc_id, bidx, bk) — ready to append to
+    the store.  Shuffles only 16-byte key pairs; within-batch near-dup is
+    the batch pipeline's job (:func:`neardup_minhash_checked`).
+    """
+    if seen_bands is None:
+        return batch_bands
+    hits = (
+        batch_bands.join(
+            seen_bands.select("bidx", "bk").distinct(), ["bidx", "bk"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return batch_bands.join(hits, id_col, "left_anti")
+
+
+def incremental_neardup_store(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Stateful wrapper: read the band store (if present), drop batch docs
+    colliding with it, append the survivors' bands, return the survivors.
+    Mirrors :func:`incremental_dedup_store`; the store grows by
+    ``bands`` 16-byte rows per kept document."""
+    import os
+
+    seen = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    bb = minhash_band_keys_md5(
+        batch, text_col, id_col, num_hashes, bands, shingle_len
+    )
+    kept = incremental_neardup(bb, seen, id_col=id_col)
+    kept = kept.localCheckpoint(eager=True)  # pin rows pre-append
+    kept.select(id_col, "bidx", "bk").write.mode("append").parquet(store_path)
+    spark.catalog.refreshByPath(store_path)
+    return kept
+
+
+def incremental_neardup_sql(
+    split: int, num_hashes: int = 8, bands: int = 4, shingle_len: int = 3
+) -> str:
+    """DuckDB oracle: docs below ``split`` are the persisted corpus, the
+    rest are the incoming batch; output = surviving batch doc ids."""
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len)
+    return rf"""
+WITH {base},
+prior AS (SELECT DISTINCT bidx, bk FROM banded WHERE doc_id < {split}),
+newb AS (SELECT * FROM banded WHERE doc_id >= {split}),
+hits AS (
+    SELECT DISTINCT n.doc_id
+    FROM newb n JOIN prior p ON p.bidx = n.bidx AND p.bk = n.bk
+)
+SELECT d.doc_id
+FROM (SELECT DISTINCT doc_id FROM newb) d
+ANTI JOIN hits h ON h.doc_id = d.doc_id
+"""

@@ -44,6 +44,11 @@ from .ext.dedup import (
     dup_span_coverage,
     exact_duplicates,
     incremental_dedup,
+    incremental_neardup,
+    incremental_neardup_sql,
+    minhash_band_keys_md5,
+    neardup_minhash_checked,
+    neardup_minhash_checked_sql,
     neardup_minhash_native,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -846,6 +851,33 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # continuous-ingestion exact dedup: batch (doc_id >= split) dropped
     # against fingerprints the earlier corpus (doc_id < split) contributed
+    # the full MinHash pipeline on the md5 minwise order — every stage
+    # (signatures, banding, candidates, exact verify) value-hash checked
+    "x_neardup_minhash_checked": QuerySpec(
+        lambda spark, sf_dir: neardup_minhash_checked(
+            load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+        ),
+        neardup_minhash_checked_sql(jaccard_threshold=0.5),
+    ),
+    # continuous-ingestion near-dup vs a persisted band store (band
+    # collision = duplicate; S-curve-bounded false positives by design)
+    "x_incremental_neardup": QuerySpec(
+        lambda spark, sf_dir: incremental_neardup(
+            minhash_band_keys_md5(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") >= _INC_DEDUP_SPLIT
+                )
+            ),
+            minhash_band_keys_md5(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") < _INC_DEDUP_SPLIT
+                )
+            ),
+        )
+        .select("doc_id")
+        .distinct(),
+        incremental_neardup_sql(split=_INC_DEDUP_SPLIT),
+    ),
     "x_incremental_dedup": QuerySpec(
         lambda spark, sf_dir: incremental_dedup(
             load_table(spark, sf_dir, "documents").filter(
@@ -1048,6 +1080,8 @@ _ROUND2_LATE = [
     "x_bigram_logprob",
     "x_temperature_mix",
     "x_mmr_topk",
+    "x_neardup_minhash_checked",
+    "x_incremental_neardup",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -594,3 +594,25 @@ def test_mmr_diversifies_vs_pure_relevance(spark):
     by_rank = {r["pick_rank"]: r["neighbor_id"] for r in picks}
     assert by_rank[1] == 1  # first pick is pure relevance
     assert set(by_rank.values()) == {1, 4, 5}  # redundancy penalized away
+
+
+def test_incremental_neardup_store_roundtrip(spark, sf_dir, tmp_path):
+    """Band-store ingestion: a replayed batch is dropped entirely on the
+    second pass, and the store accumulates only survivors' band keys."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.dedup import incremental_neardup_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "band_store")
+    b1 = docs.filter("doc_id < 100")
+
+    kept1 = incremental_neardup_store(spark, b1, store)
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").distinct().collect()}
+    assert ids1  # a fresh store keeps at least the non-near-dup docs
+
+    # exact replay: every doc's bands collide with the store -> all dropped
+    kept2 = incremental_neardup_store(spark, b1, store)
+    assert kept2.count() == 0
+    # store contents = exactly the first pass's surviving band rows
+    n_bands = spark.read.parquet(store).count()
+    assert n_bands == len(ids1) * 4  # 4 bands per kept doc
