@@ -145,6 +145,8 @@ class Project:
         self.on_run_end: list[str] = []
         # dbt run-operation registry: name -> macro callable returning SQL
         self.macros: dict = {}
+        # dbt 1.6 model versions: base name -> {version -> node_name}
+        self.versions: dict[str, dict[int, str]] = {}
 
     # -- registration -----------------------------------------------------
     def add_source(
@@ -171,8 +173,8 @@ class Project:
         return self.vars.get(name, default)
 
     def add_model(self, model: Model) -> None:
-        if model.name in self.models:
-            raise ValueError(f"duplicate model {model.name!r}")
+        if model.node_name in self.models:
+            raise ValueError(f"duplicate model {model.node_name!r}")
         if not model.checksum and callable(model.builder):
             # Python builders fingerprint their source PLUS closure-captured
             # values (state:modified): factory-made builders share source
@@ -196,7 +198,9 @@ class Project:
                 model.checksum = content_checksum(src)
             except (OSError, TypeError):
                 pass
-        self.models[model.name] = model
+        self.models[model.node_name] = model
+        if model.version is not None:
+            self.versions.setdefault(model.name, {})[model.version] = model.node_name
 
     def add_exposure(
         self,
@@ -230,8 +234,14 @@ class Project:
         return spark.sql(self.macros[name](**kwargs))
 
     # -- resolution --------------------------------------------------------
-    def ref(self, name: str) -> DataFrame:
-        """dbt ``ref()``/``source()`` equivalent: look up a built relation."""
+    def ref(self, name: str, version: int | None = None) -> DataFrame:
+        """dbt ``ref()``/``source()`` equivalent: look up a built relation.
+        For versioned models a bare name resolves to the LATEST version and
+        ``version=`` pins an exact one (dbt 1.6 ``ref('m', v=1)``)."""
+        if version is not None:
+            name = f"{name}.v{version}"
+        elif name not in self.relations and name in self.versions:
+            name = self.versions[name][max(self.versions[name])]
         try:
             return self.relations[name]
         except KeyError:
@@ -379,6 +389,14 @@ class Project:
                     self.relations[name] = defer_relations[name]
                 continue
             model = self.models[name]
+            if model.deprecation_date is not None:
+                import warnings
+
+                warnings.warn(
+                    f"model {name!r} is deprecated (removal {model.deprecation_date})",
+                    DeprecationWarning,
+                    stacklevel=2,
+                )
             if skipped & set(model.deps):
                 skipped.add(name)  # transitively skip descendants of failures
                 self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
@@ -392,7 +410,9 @@ class Project:
                 path = self.table_path(model)
                 recover_swap(path)
                 if os.path.exists(path):
-                    spark.read.parquet(path).createOrReplaceTempView(name)
+                    spark.read.parquet(path).createOrReplaceTempView(
+                        model.safe_node_name
+                    )
             for hook in model.pre_hook:
                 spark.sql(self._compile_hook(hook, name))
             try:
@@ -481,7 +501,9 @@ class Project:
         }
 
     def table_path(self, model: Model) -> str:
-        return os.path.join(self.warehouse_dir, self.schema_for(model), model.name)
+        return os.path.join(
+            self.warehouse_dir, self.schema_for(model), model.safe_node_name
+        )
 
     def is_incremental_run(self, name: str) -> bool:
         """dbt ``is_incremental()``: True when the model is incremental and its
@@ -506,7 +528,7 @@ class Project:
     def _materialize(self, spark: SparkSession, model: Model, df: DataFrame) -> DataFrame:
         if model.materialization is Materialization.EPHEMERAL:
             return df
-        view_name = model.name
+        view_name = model.safe_node_name
         if model.materialization is Materialization.VIEW:
             df.createOrReplaceTempView(view_name)
             return df
@@ -644,6 +666,13 @@ class Project:
                     "tests": [str(t) for t in self.models[name].tests],
                     "group": self.models[name].group,
                     "access": self.models[name].access,
+                    "version": self.models[name].version,
+                    "latest_version": (
+                        max(self.versions[self.models[name].name])
+                        if self.models[name].name in self.versions
+                        else None
+                    ),
+                    "deprecation_date": self.models[name].deprecation_date,
                 }
                 for name in order
             },

@@ -100,6 +100,25 @@ class Model:
     # surface.  Enforced before every build (core/dag.py check_access).
     group: str | None = None
     access: str = "protected"  # "private" | "protected" | "public"
+    # dbt model versions (dbt 1.6): a versioned model registers under
+    # "<name>.v<version>"; bare-name refs resolve to the project's latest
+    # version, pinned refs (ref("m", v=1)) to the exact one.  None = the
+    # model is unversioned.  ``deprecation_date`` (ISO string) marks an old
+    # version scheduled for removal — surfaced in the manifest, warned at
+    # build.
+    version: int | None = None
+    deprecation_date: str | None = None
+
+    @property
+    def node_name(self) -> str:
+        """DAG registry key: ``name.v<version>`` for versioned models."""
+        return f"{self.name}.v{self.version}" if self.version is not None else self.name
+
+    @property
+    def safe_node_name(self) -> str:
+        """``node_name`` with dots flattened — legal as a temp-view name and
+        a filesystem path segment (keeps v1/v2 relations distinct)."""
+        return self.node_name.replace(".", "__")
 
     def build(
         self, spark: "SparkSession", resolve: Resolver, ctx: dict | None = None

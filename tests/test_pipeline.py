@@ -953,3 +953,47 @@ def test_private_model_cross_group_ref_fails(spark):
     p2.build(spark, run_tests=False)
     assert p2.ref("report").count() == 5
     assert p2.manifest()["nodes"]["internal"]["access"] == "private"
+
+
+def test_model_versions_latest_and_pinned(spark):
+    """dbt 1.6 model versions: bare ref resolves latest, pinned ref the
+    exact version; both materialize distinctly and the manifest records
+    version/latest/deprecation."""
+    import warnings as _warnings
+
+    from dbt_trill_shop_spark.core import Materialization, Model
+    from dbt_trill_shop_spark.core.dag import Project
+
+    p = Project("verp")
+    p.add_source("src", spark.range(10).withColumnRenamed("id", "v"))
+    p.add_model(
+        Model(
+            "dim",
+            lambda s, ref: ref("src").selectExpr("v AS old_col"),
+            deps=("src",),
+            version=1,
+            deprecation_date="2026-12-31",
+        )
+    )
+    p.add_model(
+        Model(
+            "dim",
+            lambda s, ref: ref("src").selectExpr("v AS new_col", "v * 2 AS extra"),
+            deps=("src",),
+            version=2,
+        )
+    )
+    p.add_model(
+        Model("use_old", lambda s, ref: ref("dim.v1"), deps=("dim.v1",))
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        p.build(spark, run_tests=False)
+    assert any("deprecated" in str(x.message) for x in w)
+    assert p.ref("dim").columns == ["new_col", "extra"]  # bare -> latest (v2)
+    assert p.ref("dim", version=1).columns == ["old_col"]  # pinned
+    assert p.ref("use_old").columns == ["old_col"]  # downstream pin held
+    m = p.manifest()["nodes"]
+    assert m["dim.v1"]["version"] == 1 and m["dim.v1"]["latest_version"] == 2
+    assert m["dim.v1"]["deprecation_date"] == "2026-12-31"
+    assert m["dim.v2"]["latest_version"] == 2
