@@ -117,6 +117,7 @@ from .ext.similarity import (
     sq8_encode,
     sq8_topk,
 )
+from .operators.skew import KEY_SKEW_PROFILE_SQL_TEMPLATE, key_skew_profile
 from .ext.pipeline import (
     FILTER_FUNNEL_SQL_TEMPLATE,
     TRAINING_PIPELINE_SQL_TEMPLATE,
@@ -626,6 +627,15 @@ QUERIES: dict[str, QuerySpec] = {
             )
         ),
     ),
+    # pre-shuffle skew audit: heaviest join/group keys vs uniform baseline
+    "q_key_skew": QuerySpec(
+        lambda spark, sf_dir: key_skew_profile(
+            load_table(spark, sf_dir, "documents"), "source", top_n=10
+        ),
+        KEY_SKEW_PROFILE_SQL_TEMPLATE.format(
+            key="source", table="documents", top_n=10
+        ),
+    ),
     # alpha=0.5 temperature-flattened mixture over a 100k-doc budget
     "x_temperature_mix": QuerySpec(
         lambda spark, sf_dir: temperature_mixture(
@@ -1082,6 +1092,7 @@ _ROUND2_LATE = [
     "x_mmr_topk",
     "x_neardup_minhash_checked",
     "x_incremental_neardup",
+    "q_key_skew",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

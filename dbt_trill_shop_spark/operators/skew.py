@@ -13,7 +13,7 @@ float sums differ only in summation order, same as any Spark re-partition).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERGE = {
@@ -82,3 +82,57 @@ def salted_join(
         "_salt", F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts)).cast("int")
     )
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/aggregation key: the
+    ``top_n`` heaviest key values with their absolute row count, corpus
+    share (ppm), and hotness relative to a uniform key distribution
+    (``pct_of_mean`` = 100 means perfectly balanced).  The report you run
+    BEFORE keying a 100 TB shuffle — a key at 40x mean is the task that
+    straggles an entire stage, and the signal to reach for
+    :func:`salted_agg` / :func:`salted_join` or AQE skew splitting.
+
+    One map-side-combined count per key plus a two-row broadcast of the
+    global (total, n_keys); all ratios are integer ppm/pct (truncating
+    div), so the report is value-hash oracle-checkable.  NULL keys profile
+    as the string "<null>" — nulls are the most common real-world hot key.
+    """
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+    counts = df.select(k.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total").cast("bigint").alias("share_ppm"),
+            F.expr("n_rows * 100 * n_keys div total").cast("bigint").alias("pct_of_mean"),
+        )
+    )
+
+
+KEY_SKEW_PROFILE_SQL_TEMPLATE = """
+WITH counts AS (
+    SELECT COALESCE(CAST({key} AS VARCHAR), '<null>') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM {table} GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS BIGINT) AS rank,
+           key, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n_rows * 100 * n_keys // total AS BIGINT) AS pct_of_mean
+    FROM counts CROSS JOIN tot
+)
+SELECT rank, key, n_rows, share_ppm, pct_of_mean FROM ranked WHERE rank <= {top_n}
+"""
