@@ -1087,11 +1087,12 @@ def minhash_band_keys_md5(
     shingle_len: int = 3,
 ) -> DataFrame:
     """Long-form banded MinHash keys (doc_id, bidx, bk) with an md5 minwise
-    order: ``h_i(s) = md5(i || ':' || s)`` and the per-doc minimum taken
-    LEXICOGRAPHICALLY over the 32-char hex strings — a valid uniform
-    minwise ordering that both Spark and DuckDB implement identically, so
-    (unlike the xxhash64 production path) every candidate pair is
-    value-hash oracle-checkable.  Band key = md5 of the band's joined sigs.
+    order: ``h_i(s)`` = the i-th 8-hex-char slice of ``md5(i//4 || ':' ||
+    s)`` and the per-doc minimum taken LEXICOGRAPHICALLY over those hex
+    strings — a valid uniform minwise ordering that both Spark and DuckDB
+    implement identically, so (unlike the xxhash64 production path) every
+    candidate pair is value-hash oracle-checkable.  Band key = md5 of the
+    band's joined sigs.
 
     Same plan shape as :func:`minhash_signatures` +
     :func:`minhash_banded_candidates`: one shingle explode, ``num_hashes``
@@ -1104,9 +1105,17 @@ def minhash_band_keys_md5(
         F.col(id_col),
         F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
     )
+    # one md5 digest yields FOUR independent 32-bit minwise orders (8-hex-char
+    # slices of the 128-bit digest), so num_hashes hash functions cost
+    # ceil(num_hashes / 4) md5 calls per shingle instead of num_hashes —
+    # md5-over-strings is the hot op in this pipeline
+    n_digests = (num_hashes + 3) // 4
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}:"), F.col("s"))) for d in range(n_digests)
+    ]
     sigs = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -1133,7 +1142,8 @@ def _minhash_md5_band_sql(
     md5 MinHash family (mirrors :func:`minhash_band_keys_md5`)."""
     r = num_hashes // bands
     sig_cols = ",\n           ".join(
-        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+        f"MIN(SUBSTR(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(num_hashes)
     )
     band_rows = "\n    UNION ALL ".join(
         "SELECT doc_id, {b} AS bidx, md5({expr}) AS bk FROM sigs".format(
@@ -1253,6 +1263,10 @@ def incremental_neardup(
     """
     if seen_bands is None:
         return batch_bands
+    # the batch band relation feeds BOTH the collision probe and the
+    # surviving anti join — materialize once or the shingle+md5 pipeline
+    # (the expensive stage) runs twice
+    batch_bands = batch_bands.localCheckpoint(eager=True)
     hits = (
         batch_bands.join(
             seen_bands.select("bidx", "bk").distinct(), ["bidx", "bk"], "left_semi"

@@ -1158,10 +1158,13 @@ def mmr_topk(
         .agg(F.sum((F.col("qm") - F.col("cm")) * (F.col("qm") - F.col("cm"))).alias("d2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    # Q x pool rows: collapse to ONE partition before checkpointing so the
+    # k-step greedy loop below schedules 1 task per stage, not 32 empty ones
     cand = (
         d2q.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= pool)
         .select("query_id", "cand_id", "d2")
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     cvm = cand.select("query_id", "cand_id").join(
@@ -1174,6 +1177,7 @@ def mmr_topk(
         .filter(F.col("a") != F.col("b"))
         .groupBy("query_id", "a", "b")
         .agg(F.sum((F.col("am") - F.col("bm")) * (F.col("am") - F.col("bm"))).alias("d2"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     sel = (
@@ -1181,19 +1185,26 @@ def mmr_topk(
         .filter(F.col("rn") == 1)
         .select("query_id", "cand_id", F.lit(1).cast("bigint").alias("pick_rank"))
     )
+    # every per-iteration relation is KB-scale: broadcast the selected set
+    # into each join so the greedy loop never shuffles
     for t in range(2, k + 1):
         min_d2 = (
             cc.join(
-                sel.select("query_id", F.col("cand_id").alias("b")), ["query_id", "b"]
+                F.broadcast(sel.select("query_id", F.col("cand_id").alias("b"))),
+                ["query_id", "b"],
             )
             .groupBy("query_id", F.col("a").alias("cand_id"))
             .agg(F.min("d2").alias("min_d2"))
         )
-        remaining = cand.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+        remaining = cand.join(
+            F.broadcast(sel.select("query_id", "cand_id")),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
         key = F.lit(lam10) * F.col("d2") - F.lit(inv10) * F.col("min_d2")
         ws = Window.partitionBy("query_id").orderBy(key.asc(), F.asc("cand_id"))
         pick = (
-            remaining.join(min_d2, ["query_id", "cand_id"])
+            remaining.join(F.broadcast(min_d2), ["query_id", "cand_id"])
             .withColumn("rn", F.row_number().over(ws))
             .filter(F.col("rn") == 1)
             .select("query_id", "cand_id", F.lit(t).cast("bigint").alias("pick_rank"))
