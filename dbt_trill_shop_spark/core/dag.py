@@ -472,6 +472,15 @@ class Project:
             return {}
         return self.build(spark, subset=todo, **build_kwargs)
 
+    def compile_sql(self, sql_text: str) -> str:
+        """dbt ``compile`` (and the ``analyses/`` folder semantics): render a
+        dbt-Jinja SQL text to the plain SQL that WOULD run — refs/sources to
+        bare relation names, macros expanded, vars resolved — without
+        executing anything."""
+        from .jinja_lite import compile_model_sql
+
+        return compile_model_sql(sql_text, macros=self.macros, vars=self.vars)
+
     def show(self, spark: SparkSession, sql_text: str, limit: int = 5) -> DataFrame:
         """dbt ``show --inline``: compile a dbt-Jinja SQL snippet against this
         project (``ref``/``source``/``var``/macros all resolve) and return a

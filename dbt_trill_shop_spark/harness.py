@@ -162,10 +162,12 @@ from .streaming.events import (
     STREAM_ATTRIBUTION_SQL,
     STREAM_DEDUP_SQL,
     STREAM_DISTINCT_USERS_SQL,
+    STREAM_TOP_TYPES_SQL_TEMPLATE,
     STREAM_WEEKLY_SQL,
     stream_dedup_events,
     stream_distinct_users,
     stream_purchase_attribution,
+    stream_top_event_types,
     stream_weekly_rollup,
 )
 from .models.trends import build_trends_relations
@@ -1003,6 +1005,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # watermark-bounded streaming dedup (state evicted past the watermark)
     "s_stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
+    # windowed heavy hitters: streamed rollup + rank-after-drain
+    "s_stream_top_types": QuerySpec(
+        lambda spark, sf_dir: stream_top_event_types(spark, sf_dir, k=3),
+        STREAM_TOP_TYPES_SQL_TEMPLATE.format(k=3),
+    ),
     # --- round-2 additions past the 50-entry window (verified next round) ---
     # RefinedWeb-style per-domain quota: slim (id, stratum, order) ranking
     "x_source_caps": QuerySpec(
@@ -1093,6 +1100,7 @@ _ROUND2_LATE = [
     "x_neardup_minhash_checked",
     "x_incremental_neardup",
     "q_key_skew",
+    "s_stream_top_types",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

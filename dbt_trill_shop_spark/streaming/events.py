@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import os
@@ -347,3 +347,42 @@ def stream_merge_into_table(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_top_event_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming windowed top-k heavy hitters: the watermarked weekly rollup
+    runs AS A STREAM (same state-bounded plan as ``stream_weekly_rollup``),
+    and the per-window rank is applied to the drained result — rank can't
+    ride inside a streaming aggregation (no windowed row_number over an
+    updating sink), so rank-after-drain is the production pattern
+    (dashboards rank the continuously-updated rollup table, not the
+    stream).  With trigger(availableNow) the composition is exactly
+    batch-equivalent, hence oracle-checkable."""
+    drained = run_stream_to_memory(
+        weekly_event_counts_stream(stream_events(spark, sf_dir)),
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
+    w = Window.partitionBy("week").orderBy(
+        F.desc("event_count"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("week", "event_type", "event_count", "rnk")
+    )
+
+
+STREAM_TOP_TYPES_SQL_TEMPLATE = """
+WITH c AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+           COUNT(*) AS event_count
+    FROM events GROUP BY 1, 2
+)
+SELECT week, event_type, event_count, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT week, event_type, event_count,
+           ROW_NUMBER() OVER (
+               PARTITION BY week ORDER BY event_count DESC, event_type ASC) AS rnk
+    FROM c
+) r WHERE rnk <= {k}
+"""

@@ -997,3 +997,17 @@ def test_model_versions_latest_and_pinned(spark):
     assert m["dim.v1"]["version"] == 1 and m["dim.v1"]["latest_version"] == 2
     assert m["dim.v1"]["deprecation_date"] == "2026-12-31"
     assert m["dim.v2"]["latest_version"] == 2
+
+
+def test_compile_sql_renders_without_executing(spark):
+    """dbt compile / analyses: Jinja renders to plain SQL, nothing runs."""
+    from dbt_trill_shop_spark.core.dag import Project
+
+    p = Project("compp")
+    p.vars["cutoff"] = 7
+    p.macros["double_it"] = lambda col: f"({col} * 2)"
+    out = p.compile_sql(
+        "SELECT {{ double_it('v') }} AS v2 FROM {{ ref('m') }} "
+        "WHERE v > {{ var('cutoff') }}"
+    )
+    assert out.split() == "SELECT (v * 2) AS v2 FROM m WHERE v > 7".split()
