@@ -184,3 +184,30 @@ def test_sq8_topk_broadcasts_query_codes(spark, sf_dir):
     # cross-join (the only joins are dim-keyed broadcasts + the semi join)
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_greedy_loop_broadcasts_selected_set(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=6))
+    # the k-step greedy loop joins KB-scale relations: broadcasts, never a
+    # sort-merge shuffle or cartesian product inside the loop
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_incremental_neardup_shuffles_hashes_only(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.dedup import incremental_neardup, minhash_band_keys_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = incremental_neardup(
+        minhash_band_keys_md5(docs.filter("doc_id >= 250")),
+        minhash_band_keys_md5(docs.filter("doc_id < 250")),
+    )
+    plan = _plan(out)
+    # the store probe and anti join carry (doc_id, bidx, bk) band rows only
+    # — document text must never appear past the signature aggregation
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    last_stage = plan.split("LocalTableScan")[0]
+    assert "text" not in last_stage.split("HashAggregate")[0]
