@@ -316,6 +316,7 @@ class Project:
         defer_relations: dict[str, DataFrame] | None = None,
         full_refresh: bool = False,
         on_model_error: str = "raise",
+        threads: int = 1,
     ) -> dict[str, list[TestResult]]:
         """Materialize every model in topo order; return test results per
         model.  ``subset`` (e.g. from :meth:`select`) restricts the run.
@@ -341,6 +342,11 @@ class Project:
         propagates (default); ``"continue"`` records the node as ``error``,
         skips its descendants, and keeps building siblings — dbt's actual
         run behavior, and what makes :meth:`retry` meaningful.
+
+        ``threads`` is dbt's ``threads:`` — independent DAG branches build
+        concurrently (each thread submits its own Spark jobs; the cluster
+        scheduler interleaves their stages, overlapping scan/shuffle time).
+        1 (default) preserves strict topological serial order.
         """
         if on_test_failure not in ("continue", "skip_downstream", "raise"):
             raise ValueError(f"bad on_test_failure {on_test_failure!r}")
@@ -354,7 +360,7 @@ class Project:
             for stmt in self.on_run_start:
                 spark.sql(stmt)
             return self._build_inner(
-                spark, run_tests, subset, on_test_failure, defer_relations
+                spark, run_tests, subset, on_test_failure, defer_relations, threads
             )
         finally:
             # on-run-end runs even on failed builds (dbt semantics: the
@@ -364,6 +370,84 @@ class Project:
             for stmt in self.on_run_end:
                 spark.sql(stmt)
 
+    def _build_node(
+        self,
+        spark: SparkSession,
+        name: str,
+        run_tests: bool,
+        on_test_failure: str,
+        store_dir: str,
+        results: dict[str, list[TestResult]],
+    ) -> str:
+        """Build + materialize + test ONE model; returns its final status
+        (``success`` / ``error`` / ``fail``).  Shared by the serial and
+        threaded schedulers; the only shared mutations are per-name dict
+        slots (``relations``, ``last_run_results``, ``results``), so
+        concurrent invocations for DIFFERENT names don't race."""
+        import time
+
+        model = self.models[name]
+        if model.deprecation_date is not None:
+            import warnings
+
+            warnings.warn(
+                f"model {name!r} is deprecated (removal {model.deprecation_date})",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        t0 = time.perf_counter()
+        if model.pre_hook:
+            # {{ this }} in a pre-hook addresses the EXISTING relation;
+            # in a fresh session the view isn't registered yet, so bind
+            # it to the on-disk table first (dbt resolves {{ this }} to
+            # the physical relation for the same reason)
+            path = self.table_path(model)
+            recover_swap(path)
+            if os.path.exists(path):
+                spark.read.parquet(path).createOrReplaceTempView(
+                    model.safe_node_name
+                )
+        for hook in model.pre_hook:
+            spark.sql(self._compile_hook(hook, name))
+        try:
+            df = model.build(spark, self.ref, self._build_ctx(spark, name))
+            if model.contract:
+                enforce_contract(name, df, model.contract)
+            self.relations[name] = self._materialize(spark, model, df)
+        except Exception as e:
+            if getattr(self, "_on_model_error", "raise") == "raise":
+                raise
+            # dbt run behavior: record the error, skip descendants,
+            # keep building unrelated siblings (retry picks these up)
+            self.last_run_results[name] = {
+                "status": "error",
+                "message": f"{type(e).__name__}: {e}",
+                "execution_time": round(time.perf_counter() - t0, 3),
+            }
+            return "error"
+        for hook in model.post_hook:
+            spark.sql(self._compile_hook(hook, name))
+        self.last_run_results[name] = {
+            "status": "success",
+            "execution_time": round(time.perf_counter() - t0, 3),
+        }
+        if run_tests and model.tests:
+            results[name] = run_model_tests(
+                self.relations[name], model.tests, name, store_dir=store_dir
+            )
+            failed = [r for r in results[name] if r.status == "error"]
+            if failed and on_test_failure == "raise":
+                raise RuntimeError(
+                    f"data test failed on {name}: "
+                    + "; ".join(r.test for r in failed)
+                )
+            if failed and on_test_failure == "skip_downstream":
+                # the model itself built, but its gate failed — dbt
+                # records "fail" and retry re-runs it (plus descendants)
+                self.last_run_results[name]["status"] = "fail"
+                return "fail"
+        return "success"
+
     def _build_inner(
         self,
         spark: SparkSession,
@@ -371,14 +455,14 @@ class Project:
         subset: set[str] | None,
         on_test_failure: str,
         defer_relations: dict[str, DataFrame] | None,
+        threads: int = 1,
     ) -> dict[str, list[TestResult]]:
-        import time
-
         results: dict[str, list[TestResult]] = {}
         order = topo_sort(self.models, self.sources)
         store_dir = os.path.join(self.warehouse_dir, "test_failures")
         skipped: set[str] = set()
         self.last_run_results = {}
+        todo: list[str] = []
         for name in order:
             if subset is not None and name not in subset:
                 if (
@@ -388,71 +472,61 @@ class Project:
                 ):
                     self.relations[name] = defer_relations[name]
                 continue
-            model = self.models[name]
-            if model.deprecation_date is not None:
-                import warnings
+            todo.append(name)
 
-                warnings.warn(
-                    f"model {name!r} is deprecated (removal {model.deprecation_date})",
-                    DeprecationWarning,
-                    stacklevel=2,
-                )
-            if skipped & set(model.deps):
-                skipped.add(name)  # transitively skip descendants of failures
-                self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
-                continue
-            t0 = time.perf_counter()
-            if model.pre_hook:
-                # {{ this }} in a pre-hook addresses the EXISTING relation;
-                # in a fresh session the view isn't registered yet, so bind
-                # it to the on-disk table first (dbt resolves {{ this }} to
-                # the physical relation for the same reason)
-                path = self.table_path(model)
-                recover_swap(path)
-                if os.path.exists(path):
-                    spark.read.parquet(path).createOrReplaceTempView(
-                        model.safe_node_name
-                    )
-            for hook in model.pre_hook:
-                spark.sql(self._compile_hook(hook, name))
-            try:
-                df = model.build(spark, self.ref, self._build_ctx(spark, name))
-                if model.contract:
-                    enforce_contract(name, df, model.contract)
-                self.relations[name] = self._materialize(spark, model, df)
-            except Exception as e:
-                if getattr(self, "_on_model_error", "raise") == "raise":
-                    raise
-                # dbt run behavior: record the error, skip descendants,
-                # keep building unrelated siblings (retry picks these up)
-                skipped.add(name)
-                self.last_run_results[name] = {
-                    "status": "error",
-                    "message": f"{type(e).__name__}: {e}",
-                    "execution_time": round(time.perf_counter() - t0, 3),
-                }
-                continue
-            for hook in model.post_hook:
-                spark.sql(self._compile_hook(hook, name))
-            self.last_run_results[name] = {
-                "status": "success",
-                "execution_time": round(time.perf_counter() - t0, 3),
-            }
-            if run_tests and model.tests:
-                results[name] = run_model_tests(
-                    self.relations[name], model.tests, name, store_dir=store_dir
-                )
-                failed = [r for r in results[name] if r.status == "error"]
-                if failed and on_test_failure == "raise":
-                    raise RuntimeError(
-                        f"data test failed on {name}: "
-                        + "; ".join(r.test for r in failed)
-                    )
-                if failed and on_test_failure == "skip_downstream":
+        def skip(name: str) -> None:
+            skipped.add(name)
+            self.last_run_results[name] = {"status": "skipped", "execution_time": 0.0}
+
+        if threads <= 1:
+            for name in todo:
+                if skipped & set(self.models[name].deps):
+                    skip(name)  # transitively skip descendants of failures
+                    continue
+                if self._build_node(
+                    spark, name, run_tests, on_test_failure, store_dir, results
+                ) in ("error", "fail"):
                     skipped.add(name)
-                    # the model itself built, but its gate failed — dbt
-                    # records "fail" and retry re-runs it (plus descendants)
-                    self.last_run_results[name]["status"] = "fail"
+            return results
+
+        # dbt `threads:` — wave scheduling: every node whose deps are all
+        # satisfied builds concurrently (each thread drives its own Spark
+        # jobs; the cluster scheduler interleaves stages, so independent
+        # DAG branches overlap their I/O and shuffles).  Wave barriers keep
+        # the failure-routing semantics identical to the serial path.
+        from concurrent.futures import ThreadPoolExecutor
+
+        remaining = list(todo)
+        while remaining:
+            # anything downstream of a skipped/failed node is dead — mark it
+            # now so the next pass sees its descendants as dead too
+            dead = [n for n in remaining if skipped & set(self.models[n].deps)]
+            for n in dead:
+                skip(n)
+            remaining = [n for n in remaining if n not in skipped]
+            if not remaining:
+                break
+            rem = set(remaining)
+            wave = [n for n in remaining if not (set(self.models[n].deps) & rem)]
+            if not wave:  # unreachable: topo_sort rejects cycles up front
+                raise RuntimeError(f"deadlocked build wave: {sorted(remaining)}")
+            remaining = [n for n in remaining if n not in set(wave)]
+            with ThreadPoolExecutor(max_workers=min(threads, len(wave))) as ex:
+                futs = {
+                    n: ex.submit(
+                        self._build_node,
+                        spark,
+                        n,
+                        run_tests,
+                        on_test_failure,
+                        store_dir,
+                        results,
+                    )
+                    for n in wave
+                }
+                for n, fut in futs.items():
+                    if fut.result() in ("error", "fail"):
+                        skipped.add(n)
         return results
 
     def retry(self, spark: SparkSession, **build_kwargs) -> dict[str, list[TestResult]]:

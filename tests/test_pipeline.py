@@ -1011,3 +1011,61 @@ def test_compile_sql_renders_without_executing(spark):
         "WHERE v > {{ var('cutoff') }}"
     )
     assert out.split() == "SELECT (v * 2) AS v2 FROM m WHERE v > 7".split()
+
+
+def test_threaded_build_matches_serial_and_overlaps(spark):
+    """dbt threads: independent branches build concurrently with identical
+    results and failure routing to the serial scheduler."""
+    import threading
+    import time as _time
+
+    from dbt_trill_shop_spark.core import Model
+    from dbt_trill_shop_spark.core.dag import Project
+
+    concurrency = {"now": 0, "peak": 0}
+    lock = threading.Lock()
+
+    def slow(tag):
+        def b(s, ref):
+            with lock:
+                concurrency["now"] += 1
+                concurrency["peak"] = max(concurrency["peak"], concurrency["now"])
+            _time.sleep(0.5)
+            with lock:
+                concurrency["now"] -= 1
+            return ref("src").selectExpr(f"v AS {tag}")
+
+        return b
+
+    p = Project("thr")
+    p.add_source("src", spark.range(20).withColumnRenamed("id", "v"))
+    for tag in ("a", "b", "c"):
+        p.add_model(Model(tag, slow(tag), deps=("src",)))
+    p.add_model(
+        Model(
+            "joined",
+            lambda s, ref: ref("a").join(ref("b"), ref("a").a == ref("b").b),
+            deps=("a", "b"),
+        )
+    )
+    p.build(spark, run_tests=False, threads=3)
+    assert concurrency["peak"] >= 2  # the three leaves really overlapped
+    assert p.ref("joined").count() == 20
+    assert all(
+        r["status"] == "success" for r in p.last_run_results.values()
+    )
+
+    # failure routing: an error in one branch skips only its descendants
+    p2 = Project("thr2")
+    p2.add_source("src", spark.range(5).withColumnRenamed("id", "v"))
+
+    def boom(s, ref):
+        raise RuntimeError("nope")
+
+    p2.add_model(Model("ok", lambda s, ref: ref("src"), deps=("src",)))
+    p2.add_model(Model("bad", boom, deps=("src",)))
+    p2.add_model(Model("child", lambda s, ref: ref("bad"), deps=("bad",)))
+    p2.build(spark, run_tests=False, threads=4, on_model_error="continue")
+    assert p2.last_run_results["ok"]["status"] == "success"
+    assert p2.last_run_results["bad"]["status"] == "error"
+    assert p2.last_run_results["child"]["status"] == "skipped"
