@@ -317,15 +317,18 @@ def ivf_topk(
     pick each query's ``n_probe`` nearest cells, and run the exact cosine
     kernel only inside those cells.  The join is (query x probed-cell) ->
     candidates co-partitioned by cell — the corpus is never fully scanned per
-    query, which is the scale path vs brute force.  Approximate (recall
-    depends on n_probe/n_cells), so harness-checked rows-only.
+    query, which is the scale path vs brute force.  Approximate in RECALL
+    (n_probe/n_cells), but fully deterministic: probe selection rounds d2
+    to 6 dp (ties break by cell) like :func:`ivf_assign`, and the final
+    ranking carries the same float-cosine rank-only caveat as the brute
+    oracle — so the whole pipeline is oracle-checkable.
     """
     assign = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cents = embeddings.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    d2 = _sq_l2(F.col("qv"), F.col("centroid"))
+    d2 = F.round(_sq_l2(F.col("qv"), F.col("centroid")), 6)
     qcells = q.crossJoin(F.broadcast(cents)).select("query_id", "qv", "cell", d2.alias("d2"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probed = qcells.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe)
@@ -342,6 +345,41 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+IVF_TOPK_SQL_TEMPLATE = """
+WITH assign AS ({ivf_assign}),
+cents AS (
+    SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+    WHERE vec_id < {n_cells}
+),
+qcells AS (
+    SELECT q.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_distance(q.embedding, c.centroid) ** 2, 6) ASC,
+                        c.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {num_queries}
+),
+probed AS (SELECT query_id, cell FROM qcells WHERE rn <= {n_probe}),
+scored AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding, e.embedding) AS cosine
+    FROM probed p
+    JOIN assign a ON a.cell = p.cell
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN embeddings q ON q.vec_id = p.query_id
+    WHERE e.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+) r WHERE rank <= {k}
+"""
 
 
 def semantic_dedup_pairs(

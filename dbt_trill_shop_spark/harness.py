@@ -101,6 +101,7 @@ from .ext.similarity import (
     ivf_topk,
     ivfpq_topk,
     ANN_RECALL_SQL_TEMPLATE,
+    IVF_TOPK_SQL_TEMPLATE,
     L2_TOPK_SQL_TEMPLATE,
     SQ8_ENCODE_SQL,
     SQ8_TOPK_SQL_TEMPLATE,
@@ -983,7 +984,18 @@ QUERIES: dict[str, QuerySpec] = {
         None,
     ),
     "x_knn_lsh": QuerySpec(_x_knn_lsh, None),  # LSH ANN: rows-only
-    "x_ivf_topk": QuerySpec(_x_ivf_topk, None),  # IVF ANN (n_probe<cells): rows-only
+    # IVF ANN: approximate in recall, deterministic in result — probe
+    # selection rounds d2 like ivf_assign, so the oracle replays it exactly
+    "x_ivf_topk": QuerySpec(
+        _x_ivf_topk,
+        IVF_TOPK_SQL_TEMPLATE.format(
+            ivf_assign=IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS),
+            n_cells=_IVF_CELLS,
+            num_queries=_KNN_NUM_QUERIES,
+            n_probe=4,
+            k=_KNN_K,
+        ),
+    ),
     "x_simhash_neardup": QuerySpec(_x_simhash_neardup, None),  # xxhash64: rows-only
     # --- multimodal plumbing (fake decoder -> fully oracle-checkable) ------
     "m_media_features": QuerySpec(_m_media_features, MEDIA_FEATURES_SQL),
