@@ -30,7 +30,7 @@ end-to-end, exactly like dbt views in a warehouse.
 from __future__ import annotations
 
 import re
-from collections.abc import Callable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -228,3 +228,78 @@ def load_sql_models(
                     sql_model(name, fh.read(), materialization=materialization, macros=macros)
                 )
     return out
+
+
+# ---------------------------------------------------------------------------
+# {% macro %} file loading (dbt macros/ directory)
+# ---------------------------------------------------------------------------
+
+_MACRO_DEF_RE = re.compile(
+    r"\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}",
+    re.S,
+)
+_DISPATCH_RE = re.compile(
+    r"\{\{\s*return\(\s*adapter\.dispatch\(\s*'(\w+)'\s*\)\s*\(.*?\)\s*\)\s*\}\}",
+    re.S,
+)
+_PARAM_SUB_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def parse_macro_defs(text: str) -> dict[str, tuple[list[str], str]]:
+    """``{% macro name(a, b) %}body{% endmacro %}`` blocks -> name ->
+    (param names, body text).  Comments stripped first."""
+    text = _COMMENT_RE.sub("", text)
+    out: dict[str, tuple[list[str], str]] = {}
+    for name, params, body in _MACRO_DEF_RE.findall(text):
+        plist = [p.split("=")[0].strip() for p in params.split(",") if p.strip()]
+        out[name] = (plist, body)
+    return out
+
+
+def load_macro_files(
+    paths: "Iterable[str]", adapter: str = "spark"
+) -> dict[str, Callable[..., str]]:
+    """dbt ``macros/`` directory loading: every ``{% macro %}`` in the given
+    ``.sql`` files becomes a callable usable by ``compile_model_sql``.
+
+    Supported macro shapes (the reference's own surface,
+    ``macros/cents_to_dollars.sql:1-21``):
+
+    - plain substitution bodies — ``{{ param }}`` occurrences replaced by
+      the call's arguments;
+    - the adapter-dispatch idiom — a body of
+      ``{{ return(adapter.dispatch('x')(...)) }}`` resolves to
+      ``<adapter>__x`` if defined, else ``default__x`` (dbt's own fallback
+      chain, truncated to one adapter).
+
+    Control-flow macros (``{% set %}``/``{% if %}`` over node metadata, like
+    the reference's ``generate_schema_name``) are not expressible here —
+    that one is implemented natively (``core/model.py resolve_schema``,
+    citing ``macros/generate_schema_name.sql:5-21``).
+    """
+    defs: dict[str, tuple[list[str], str]] = {}
+    for p in paths:
+        with open(p) as f:
+            defs.update(parse_macro_defs(f.read()))
+
+    def make(name: str) -> Callable[..., str]:
+        def call(*args, **kwargs) -> str:
+            params, body = defs[name]
+            m = _DISPATCH_RE.search(body)
+            if m:
+                base = m.group(1)
+                target = (
+                    f"{adapter}__{base}"
+                    if f"{adapter}__{base}" in defs
+                    else f"default__{base}"
+                )
+                params, body = defs[target]
+            env = dict(zip(params, [str(a) for a in args]))
+            env.update({k: str(v) for k, v in kwargs.items()})
+            return _PARAM_SUB_RE.sub(
+                lambda mm: env.get(mm.group(1), mm.group(0)), body
+            ).strip()
+
+        return call
+
+    return {n: make(n) for n in defs if "__" not in n}

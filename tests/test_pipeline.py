@@ -1069,3 +1069,36 @@ def test_threaded_build_matches_serial_and_overlaps(spark):
     assert p2.last_run_results["ok"]["status"] == "success"
     assert p2.last_run_results["bad"]["status"] == "error"
     assert p2.last_run_results["child"]["status"] == "skipped"
+
+
+def test_macro_files_load_and_dispatch(spark):
+    """dbt macros/ directory: {% macro %} definitions load from .sql files,
+    the adapter-dispatch idiom resolves to the spark__ variant, and the
+    compiled SQL agrees with the DataFrame-API macro twin."""
+    import os
+
+    import dbt_trill_shop_spark.models as M
+    from dbt_trill_shop_spark.core.jinja_lite import (
+        compile_model_sql,
+        load_macro_files,
+    )
+    from dbt_trill_shop_spark.functions import cents_to_dollars
+
+    path = os.path.join(os.path.dirname(M.__file__), "macros", "project_macros.sql")
+    macros = load_macro_files([path], adapter="spark")
+    assert set(macros) == {"cents_to_dollars"}
+    compiled = compile_model_sql(
+        "SELECT {{ cents_to_dollars('amount_cents') }} AS d FROM src", macros=macros
+    )
+    assert "ROUND((amount_cents) / 100, 2)" in compiled
+    # value parity with the DataFrame-API twin
+    df = spark.range(5).selectExpr("id * 12345 AS amount_cents")
+    df.createOrReplaceTempView("src")
+    via_sql = [r["d"] for r in spark.sql(compiled).collect()]
+    via_df = [
+        r["d"] for r in df.select(cents_to_dollars("amount_cents").alias("d")).collect()
+    ]
+    assert via_sql == via_df
+    # unknown adapter falls back to the default__ variant
+    fallback = load_macro_files([path], adapter="nosuch")
+    assert "DECIMAL(16, 2)" in fallback["cents_to_dollars"]("x")
