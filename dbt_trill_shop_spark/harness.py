@@ -551,6 +551,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q_pricing_summary": QuerySpec(R.pricing_summary, R.PRICING_SUMMARY_SQL),
     "q_regional_revenue": QuerySpec(R.regional_revenue, R.REGIONAL_REVENUE_SQL),
     "q_top_customers": QuerySpec(R.top_customers, R.TOP_CUSTOMERS_SQL),
+    # TPC-H Q3 shape: pushdown-filtered fact-fact join, integer-cents top-k
+    "q_shipping_priority": QuerySpec(
+        R.shipping_priority,
+        R.SHIPPING_PRIORITY_SQL_TEMPLATE.format(cutoff="1998-06-15", k=10),
+    ),
+    # TPC-H Q10 shape: returned-item rollup before the dimension broadcasts
+    "q_returned_revenue": QuerySpec(
+        R.returned_item_revenue,
+        R.RETURNED_ITEM_REVENUE_SQL_TEMPLATE.format(k=20),
+    ),
     "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
     "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
     "q_customers_without_orders": QuerySpec(
@@ -1113,6 +1123,8 @@ _ROUND2_LATE = [
     "x_incremental_neardup",
     "q_key_skew",
     "s_stream_top_types",
+    "q_shipping_priority",
+    "q_returned_revenue",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -636,3 +636,103 @@ def revenue_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, cutoff: str = "1998-06-15", k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-shaped "unshipped orders" query: revenue of orders placed
+    before ``cutoff`` whose items ship after it, top-``k`` by revenue.
+    (The testdata's orders table carries ``o_orderpriority`` rather than
+    Q3's ``o_shippriority`` — the grouping adapts, the shape doesn't.)
+
+    Plan shape: both fact filters (order date below, ship date above) push
+    into the parquet scans BEFORE the one fact-fact shuffle join; revenue
+    aggregates in integer basis-point cents (the engine's cross-engine
+    determinism idiom); top-k cuts after one groupBy keyed by the
+    high-cardinality order key.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    revenue_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((revenue_c.cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL_TEMPLATE = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {k}
+"""
+
+
+def returned_item_revenue(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    (``l_returnflag = 'R'``) per customer, with the nation dimension
+    attached, top-``k`` customers by lost revenue.
+
+    The return-flag filter pushes to the lineitem scan; the per-customer
+    rollup happens on the orders side BEFORE the customer/nation broadcast
+    joins, so the dimension join input is one row per customer.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            (revenue_c.cast("double") / 10000.0).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("returned_items"),
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "lost_revenue", "returned_items")
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL_TEMPLATE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0
+           AS lost_revenue,
+       COUNT(*) AS returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT {k}
+"""

@@ -211,3 +211,20 @@ def test_incremental_neardup_shuffles_hashes_only(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     last_stage = plan.split("LocalTableScan")[0]
     assert "text" not in last_stage.split("HashAggregate")[0]
+
+
+def test_shipping_priority_pushes_both_date_filters(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import shipping_priority
+
+    plan = _plan(shipping_priority(spark, sf_dir))
+    # both date filters reach their parquet scans before the fact-fact join
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_returned_revenue_rolls_up_before_broadcast_dims(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import returned_item_revenue
+
+    plan = _plan(returned_item_revenue(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation ride broadcast
