@@ -201,3 +201,76 @@ SELECT stage, surviving,
            AS dropped_at_stage
 FROM long
 """
+
+
+def corpus_report(docs, strata_col: str = "source"):
+    """Per-source corpus curation dashboard — the one-glance report a data
+    team reads before deciding caps/mixtures: document and token volume,
+    mean quality score (milli-units), and the exact-duplicate rate (ppm)
+    per stratum.  Composes :func:`~dbt_trill_shop_spark.ext.textstats.
+    quality_score` with an md5 exact-dup count; ONE pass over the text for
+    the per-doc signals, then one map-side-combined rollup keyed by the
+    low-cardinality stratum — doc-level rows never leave the first shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from .textstats import quality_score
+
+    q = quality_score(docs).select("doc_id", F.col("quality_score").alias("score"))
+    per_doc = docs.select(
+        "doc_id",
+        F.col(strata_col).alias("stratum"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    ).join(q, "doc_id")
+    dups = (
+        per_doc.groupBy("stratum", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("stratum")
+        .agg(
+            F.sum("n").alias("n_docs_fp"),
+            F.sum(F.col("n") - 1).alias("n_dups"),
+        )
+    )
+    base = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("sum(score) * 1000 div count(*)").cast("bigint").alias("mean_quality_milli"),
+    )
+    return (
+        base.join(dups.select("stratum", "n_dups"), "stratum")
+        .select(
+            "stratum",
+            "n_docs",
+            "total_tokens",
+            "mean_quality_milli",
+            F.expr("n_dups * 1000000 div n_docs").cast("bigint").alias("dup_ppm"),
+        )
+        .orderBy("stratum")
+    )
+
+
+CORPUS_REPORT_SQL = """
+WITH q AS ({quality_sql}),
+per_doc AS (
+    SELECT d.doc_id, d.source AS stratum,
+           CAST(LEN(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tokens,
+           md5(d.text) AS fp, q.quality_score AS score
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+dups AS (
+    SELECT stratum, CAST(SUM(n - 1) AS BIGINT) AS n_dups
+    FROM (SELECT stratum, fp, COUNT(*) AS n FROM per_doc GROUP BY stratum, fp) g
+    GROUP BY stratum
+),
+base AS (
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(score) * 1000 // COUNT(*) AS BIGINT) AS mean_quality_milli
+    FROM per_doc GROUP BY stratum
+)
+SELECT base.stratum, n_docs, total_tokens, mean_quality_milli,
+       CAST(n_dups * 1000000 // n_docs AS BIGINT) AS dup_ppm
+FROM base JOIN dups ON base.stratum = dups.stratum
+ORDER BY base.stratum
+"""

@@ -120,8 +120,10 @@ from .ext.similarity import (
 )
 from .operators.skew import KEY_SKEW_PROFILE_SQL_TEMPLATE, key_skew_profile
 from .ext.pipeline import (
+    CORPUS_REPORT_SQL,
     FILTER_FUNNEL_SQL_TEMPLATE,
     TRAINING_PIPELINE_SQL_TEMPLATE,
+    corpus_report,
     filter_funnel,
     training_data_pipeline,
 )
@@ -560,6 +562,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q_returned_revenue": QuerySpec(
         R.returned_item_revenue,
         R.RETURNED_ITEM_REVENUE_SQL_TEMPLATE.format(k=20),
+    ),
+    # TPC-H Q18 shape: HAVING-qualified set joined back to order headers
+    "q_large_volume_orders": QuerySpec(
+        lambda spark, sf_dir: R.large_volume_orders(spark, sf_dir, min_qty=300),
+        R.LARGE_VOLUME_ORDERS_SQL_TEMPLATE.format(min_qty=300),
+    ),
+    # per-source curation dashboard (volume, quality, exact-dup rate)
+    "x_corpus_report": QuerySpec(
+        lambda spark, sf_dir: corpus_report(load_table(spark, sf_dir, "documents")),
+        CORPUS_REPORT_SQL.format(quality_sql=QUALITY_SCORE_SQL),
     ),
     "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
     "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
@@ -1125,6 +1137,8 @@ _ROUND2_LATE = [
     "s_stream_top_types",
     "q_shipping_priority",
     "q_returned_revenue",
+    "q_large_volume_orders",
+    "x_corpus_report",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -736,3 +736,55 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT {k}
 """
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: int = 300
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose TOTAL
+    line-item quantity exceeds ``min_qty``, with customer attached and the
+    order's own total re-reported — the HAVING-then-join-back-to-header
+    shape (the qualifying set is found by aggregation, then enriched).
+
+    The quantity rollup shuffles once on the high-cardinality order key;
+    the qualifying order keys (tiny after HAVING) then semi-drive the
+    header join, and customer rides broadcast.  Quantities are integral in
+    the data, summed as int64 — exact across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            cents("o_totalprice").alias("o_totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL_TEMPLATE = """
+WITH qualifying AS (
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty}
+)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_cents,
+       total_qty
+FROM qualifying
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
