@@ -159,3 +159,67 @@ def test_trunc_div_matches_engine_semantics(s, n):
         f"SELECT CAST({s} AS BIGINT) // CAST({n} AS BIGINT)"
     ).fetchall()[0][0]
     assert trunc_div(s, n) == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sq8_quantizer_properties(spark, vals):
+    """SQ8 codes must (a) stay in 0..255, (b) map the per-dim min to 0 and
+    max to 255, (c) be monotone in the input value — on arbitrary
+    single-dimension corpora."""
+    from dbt_trill_shop_spark.ext.similarity import sq8_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sq8_encode(emb).collect()
+    codes = {r["vec_id"]: r["code"] for r in rows}
+    assert all(0 <= c <= 255 for c in codes.values())
+    # micro-unit rounding first: ties in micro space share a code
+    micro = {i: round(v * 1_000_000) for i, v in enumerate(vals)}
+    lo, hi = min(micro.values()), max(micro.values())
+    for i, m in micro.items():
+        if m == lo:
+            assert codes[i] == 0
+        if m == hi:
+            assert codes[i] == (255 if hi > lo else 0)
+    # monotone: larger micro value -> code at least as large
+    by_val = sorted(micro, key=lambda i: micro[i])
+    for a, b in zip(by_val, by_val[1:]):
+        assert codes[a] <= codes[b]
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    budget=st.integers(min_value=0, max_value=50_000),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_temperature_mixture_invariants(spark, counts, budget):
+    """For any stratum counts and budget: ppm shares sum to <= 1e6, planned
+    rows never exceed availability or (sum) the budget, and flattening
+    never inverts the ordering (bigger stratum keeps >= planned rows)."""
+    from dbt_trill_shop_spark.ext.sampling import temperature_mixture
+
+    rows = [
+        (i * 100_000 + j, "t", "x", f"s{i}")
+        for i, c in enumerate(counts)
+        for j in range(c)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["stratum"]: r for r in temperature_mixture(docs, budget=budget).collect()}
+    assert sum(r["p_ppm"] for r in out.values()) <= 1_000_000
+    assert sum(r["planned_rows"] for r in out.values()) <= budget
+    for r in out.values():
+        assert 0 <= r["planned_rows"] <= r["n_rows"]
+    ordered = sorted(out.values(), key=lambda r: r["n_rows"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["planned_rows"] <= b["planned_rows"] or a["n_rows"] == b["n_rows"]
