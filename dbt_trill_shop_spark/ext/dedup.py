@@ -1322,3 +1322,146 @@ SELECT d.doc_id
 FROM (SELECT DISTINCT doc_id FROM newb) d
 ANTI JOIN hits h ON h.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-checkable SimHash (md5 token hashes, 60-bit fingerprints)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # 15 md5 hex chars -> fits int64 in both engines
+
+
+def simhash_fingerprints_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Charikar SimHash over md5 token hashes: each token votes its 60 hash
+    bits (tf-weighted — occurrences all count); fingerprint bit b is 1 when
+    the b-votes win (``2 * sum_b > n``, ties to 0).  md5's 15-hex-char
+    prefix parses to the same int64 in Spark (``conv(_, 16, 10)``) and
+    DuckDB (``CAST('0x' || _ AS BIGINT)``), and everything after is integer
+    aggregation — fingerprints are value-hash oracle-exact, unlike the
+    xxhash64 production twin (:func:`simhash_near_duplicates`).
+
+    Plan: one token explode, then ONE aggregation carrying 61 map-side-
+    combinable sums (60 bit counts + n) — no per-bit explode, so shuffle
+    rows = docs, not docs x bits.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    per = toks.select(id_col, h.alias("h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ] + [F.count(F.lit(1)).alias("n")]
+    sig = per.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return sig.select(F.col(id_col), fp.alias("fp"))
+
+
+def simhash_checked(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded SimHash near-dup with exact Hamming verification, fully
+    oracle-checked: 60-bit fingerprints split into ``bands`` 15-bit band
+    keys; a pair is a candidate iff some band matches, and survives iff
+    ``bit_count(fp_a XOR fp_b) <= max_hamming``.  Guaranteed recall for
+    pairs with < ``bands`` differing bits (pigeonhole); the band join keys
+    are 2-byte ints, so candidate generation shuffles almost nothing.
+    Output: (id_a, id_b, hamming).
+    """
+    width = _SIMHASH_BITS // bands
+    fps = simhash_fingerprints_md5(docs, text_col, id_col).localCheckpoint(eager=True)
+    banded = fps.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), k * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("bidx", "bk"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "bidx", "bk")
+    right = banded.select(F.col(id_col).alias("id_b"), "bidx", "bk")
+    cand = (
+        left.join(right, ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("fp_a ^ fp_b")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_checked_sql(bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB oracle for :func:`simhash_checked` (generated: 60 bit-count
+    aggregates, the band UNION, and the Hamming verify)."""
+    width = _SIMHASH_BITS // bands
+    bit_sums = ",\n           ".join(
+        f"SUM((h >> {b}) & 1) AS s{b}" for b in range(_SIMHASH_BITS)
+    )
+    fp_terms = "\n         + ".join(
+        f"CASE WHEN s{b} * 2 > n THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {k} AS bidx, (fp >> {k * width}) & {(1 << width) - 1} AS bk FROM fps"
+        for k in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents
+),
+per AS (
+    SELECT doc_id, CAST('0x' || SUBSTR(md5(t), 1, 15) AS BIGINT) AS h FROM toks
+),
+sig AS (
+    SELECT doc_id,
+           {bit_sums},
+           COUNT(*) AS n
+    FROM per GROUP BY doc_id
+),
+fps AS (
+    SELECT doc_id,
+           CAST({fp_terms} AS BIGINT) AS fp
+    FROM sig
+),
+banded AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bidx = b.bidx AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.id_a
+JOIN fps fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+"""

@@ -50,6 +50,8 @@ from .ext.dedup import (
     neardup_minhash_checked,
     neardup_minhash_checked_sql,
     neardup_minhash_native,
+    simhash_checked,
+    simhash_checked_sql,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_filtered,
@@ -894,6 +896,14 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         neardup_minhash_checked_sql(jaccard_threshold=0.5),
     ),
+    # banded SimHash + exact Hamming verify on md5 token hashes — the
+    # oracle-checked twin of the xxhash64 x_simhash_neardup
+    "x_simhash_checked": QuerySpec(
+        lambda spark, sf_dir: simhash_checked(
+            load_table(spark, sf_dir, "documents"), max_hamming=3
+        ),
+        simhash_checked_sql(max_hamming=3),
+    ),
     # continuous-ingestion near-dup vs a persisted band store (band
     # collision = duplicate; S-curve-bounded false positives by design)
     "x_incremental_neardup": QuerySpec(
@@ -1139,6 +1149,7 @@ _ROUND2_LATE = [
     "q_returned_revenue",
     "q_large_volume_orders",
     "x_corpus_report",
+    "x_simhash_checked",
 ]
 _front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -616,3 +616,15 @@ def test_incremental_neardup_store_roundtrip(spark, sf_dir, tmp_path):
     # store contents = exactly the first pass's surviving band rows
     n_bands = spark.read.parquet(store).count()
     assert n_bands == len(ids1) * 4  # 4 bands per kept doc
+
+
+def test_simhash_checked_finds_planted_neardup(spark):
+    from dbt_trill_shop_spark.ext.dedup import simhash_checked
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok7 ", "tok7x ", 1)  # one token differs
+    rows = [(1, base), (2, near), (3, " ".join(f"other{i}" for i in range(200)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_checked(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3  # planted near-dup caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated text clean
