@@ -570,6 +570,37 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: R.large_volume_orders(spark, sf_dir, min_qty=300),
         R.LARGE_VOLUME_ORDERS_SQL_TEMPLATE.format(min_qty=300),
     ),
+    # TPC-H Q4 shape: EXISTS -> left-semi with a lateness join condition
+    "q_order_priority_counts": QuerySpec(
+        R.order_priority_counts,
+        R.ORDER_PRIORITY_COUNTS_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1996-04-01", late_days=60
+        ),
+    ),
+    # TPC-H Q13 shape: outer-join count distribution incl. the zero bucket
+    "q_custdist": QuerySpec(
+        R.customer_order_distribution, R.CUSTOMER_ORDER_DISTRIBUTION_SQL
+    ),
+    # TPC-H Q14 shape: conditional/total sum pair in one pass, ppm ratio
+    "q_promo_revenue": QuerySpec(
+        R.promo_revenue_share,
+        R.PROMO_REVENUE_SHARE_SQL_TEMPLATE.format(
+            month_from="1997-09-01", month_to="1997-10-01"
+        ),
+    ),
+    # TPC-H Q16 shape: NOT IN -> anti join, distinct pairs before count
+    "q_brand_suppliers": QuerySpec(
+        R.brand_type_size_suppliers,
+        R.BRAND_TYPE_SIZE_SUPPLIERS_SQL_TEMPLATE.format(excluded_brand="Brand#15"),
+    ),
+    # TPC-H Q19 shape: disjunctive conjunction blocks + pushed hull bounds
+    "q_disjunctive_revenue": QuerySpec(
+        R.disjunctive_brand_revenue, R.DISJUNCTIVE_BRAND_REVENUE_SQL
+    ),
+    # TPC-H Q22 shape: scalar-subquery avg (int64 cross-multiplied) + NOT EXISTS
+    "q_idle_rich_customers": QuerySpec(
+        R.idle_positive_customers, R.IDLE_POSITIVE_CUSTOMERS_SQL
+    ),
     # per-source curation dashboard (volume, quality, exact-dup rate)
     "x_corpus_report": QuerySpec(
         lambda spark, sf_dir: corpus_report(load_table(spark, sf_dir, "documents")),

@@ -788,3 +788,309 @@ JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 """
+
+
+def order_priority_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders placed in a quarter for
+    which at least one line item shipped more than ``late_days`` after the
+    order date (the testdata has no commit/receipt dates, so "late" adapts
+    to ship-vs-order lag; the EXISTS-then-count shape is Q4's).
+
+    Plan shape: the quarter filter pushes into the orders scan; the EXISTS
+    compiles to a LEFT SEMI join on the order key with the lateness
+    predicate as join condition (Catalyst keeps the lineitem side filtered
+    to the semi probe — no duplicate-order inflation, no distinct needed);
+    the final per-priority count is a 5-group hash aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(late_days), orders.o_orderdate)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL_TEMPLATE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly N qualifying orders, including the zero-order bucket (the LEFT
+    OUTER join is the point — inner would drop idle customers).  Orders
+    with unspecified priority are excluded inside the JOIN CONDITION, not a
+    WHERE (a WHERE would turn the outer join back into inner).
+
+    Plan shape: two shuffles, both on shrinking keys — count per customer
+    (high cardinality), then histogram over the tiny count domain.  The
+    priority predicate reaches the orders parquet scan (pushed below the
+    outer join because it references only the null-producing side).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("4-")
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4-%'
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def promo_revenue_share(
+    spark: SparkSession, sf_dir: str, month_from: str = "1997-09-01", month_to: str = "1997-10-01"
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the fraction of one month's
+    revenue that came from PROMO-type parts, in parts-per-million.
+
+    Plan shape: the ship-month filter pushes into the fact scan (one month
+    of lineitem read, not all); part rides broadcast; ONE aggregate computes
+    both the conditional and total sums (no second pass).  Both sums are
+    exact int64 basis-point cents; the ppm ratio divides them as doubles —
+    int64→double conversion and one IEEE division are bit-identical across
+    engines (numerators stay far below 2^53).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(month_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(month_to).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))).alias(
+            "promo_rev_c"
+        ),
+        F.sum(rev_c).alias("total_rev_c"),
+    ).select(
+        (F.col("promo_rev_c").cast("double") / 10000.0).alias("promo_revenue"),
+        (F.col("total_rev_c").cast("double") / 10000.0).alias("total_revenue"),
+        (
+            F.col("promo_rev_c").cast("double")
+            * 1000000.0
+            / F.col("total_rev_c").cast("double")
+        ).alias("promo_ppm"),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL_TEMPLATE = """
+WITH sums AS (
+    SELECT
+        SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 ELSE 0 END) AS promo_rev_c,
+        SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS total_rev_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{month_from} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{month_to} 00:00:00'
+)
+SELECT CAST(promo_rev_c AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(total_rev_c AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(promo_rev_c AS DOUBLE) * 1000000.0 / CAST(total_rev_c AS DOUBLE)
+           AS promo_ppm
+FROM sums
+"""
+
+
+def brand_type_size_suppliers(
+    spark: SparkSession, sf_dir: str, excluded_brand: str = "Brand#15"
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count-per-part-class: for each
+    (brand, type, size) class — excluding one brand and PROMO parts — how
+    many DISTINCT suppliers have ever shipped such a part, never counting
+    suppliers flagged by complaints (negative account balance stands in for
+    Q16's comment-text scan; the NOT IN → anti-join shape is the point).
+
+    Plan shape: the supplier blocklist is a tiny aggregate broadcast as an
+    anti join; part predicates push to its scan and part rides broadcast
+    into the fact; (partkey, suppkey) pairs dedup BEFORE the per-class
+    distinct count so the wide shuffle carries unique pairs only.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != excluded_brand) & (F.col("p_type") != "PROMO")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    complainers = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(complainers, li.l_suppkey == complainers.s_suppkey, "left_anti")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+BRAND_TYPE_SIZE_SUPPLIERS_SQL_TEMPLATE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{excluded_brand}'
+  AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    brand/quantity/size conjunction blocks over the part-lineitem join —
+    the classic "can the optimizer factor a disjunction" probe.
+
+    Plan shape: the common bounds implied by the disjunction
+    (l_quantity <= 30, p_size <= 15) are ALSO stated as standalone
+    conjuncts so they push into both parquet scans — Catalyst does not
+    factor OR-blocks across a join on its own; restating the hull is the
+    documented idiom and cuts the fact scan before the broadcast join.
+    The exact OR filter then runs post-join on the survivors.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    rev_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return j.filter(block).agg(
+        (rev_c.cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("matched_items"),
+    )
+
+
+DISJUNCTIVE_BRAND_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS revenue,
+       COUNT(*) AS matched_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def idle_positive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global-market opportunity: customers with an
+    above-average positive balance who have NEVER ordered, rolled up per
+    nation (the testdata has no phone country codes; nation is the
+    equivalent grouping and exercises the same NOT EXISTS + scalar-
+    subquery shape).
+
+    Cross-engine exactness: "above the average positive balance" compares
+    ``bal_cents * n_positive > sum_positive_cents`` — the same int64
+    cross-multiplication used by ``above_customer_avg``, so no float
+    average enters the predicate.  The scalar aggregate is two int64s
+    broadcast as a 1-row crossJoin; never-ordered is a LEFT ANTI join on
+    the customer key; the nation rollup is a 25-group aggregate with the
+    per-nation balance total reported in exact cents.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    stats = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents("c_acctbal")).alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    idle = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).crossJoin(F.broadcast(stats))
+    rich_idle = idle.filter(
+        (F.col("c_acctbal") > 0.0)
+        & (cents("c_acctbal") * F.col("n_pos") > F.col("sum_pos_c"))
+    )
+    return (
+        rich_idle.join(F.broadcast(nation), rich_idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+IDLE_POSITIVE_CUSTOMERS_SQL = """
+WITH stats AS (
+    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_pos_c,
+           COUNT(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer, stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 0.0
+  AND CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * n_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -228,3 +228,41 @@ def test_returned_revenue_rolls_up_before_broadcast_dims(spark, sf_dir):
     plan = _plan(returned_item_revenue(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
     assert plan.count("BroadcastHashJoin") >= 2  # customer + nation ride broadcast
+
+
+def test_custdist_priority_filter_pushes_below_outer_join(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import customer_order_distribution
+
+    plan = _plan(customer_order_distribution(spark, sf_dir))
+    # the priority predicate references only the null-producing side, so it
+    # must reach the orders parquet scan, not run post-join
+    assert "PushedFilters: [IsNotNull(o_orderpriority)" in plan
+    # two shuffles total: per-customer count, then the tiny histogram
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_disjunctive_revenue_pushes_hull_bounds(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import disjunctive_brand_revenue
+
+    plan = _plan(disjunctive_brand_revenue(spark, sf_dir))
+    # the manually-restated disjunction hull reaches both scans
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    assert "LessThanOrEqual(p_size,15" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_order_priority_counts_is_semi_join(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import order_priority_counts
+
+    plan = _plan(order_priority_counts(spark, sf_dir))
+    assert "LeftSemi" in plan  # EXISTS stays a semi join; no distinct inflation
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_idle_rich_customers_anti_join_and_broadcast_stats(spark, sf_dir):
+    from dbt_trill_shop_spark.operators.relational import idle_positive_customers
+
+    plan = _plan(idle_positive_customers(spark, sf_dir))
+    assert "LeftAnti" in plan  # NOT EXISTS compiled to anti join
+    # the 1-row scalar stats and the 25-row nation dim both ride broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
