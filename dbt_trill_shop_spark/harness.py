@@ -87,6 +87,12 @@ from .ext.sampling import (
     temperature_mixture,
     token_budget_select,
 )
+from .ext.bpe import (
+    bpe_merges,
+    bpe_merges_sql,
+    bpe_segment,
+    bpe_segment_sql,
+)
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
@@ -322,6 +328,11 @@ FROM all_rising_terms
 
 _KNN_NUM_QUERIES = 10
 _KNN_K = 5
+
+# Fixed merge table for the BPE *application* query (the learned table is
+# data-dependent; a pinned one keeps the Spark/oracle sides independently
+# derivable). Ranks 1-5 of common-English BPE inductions.
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r")]
 
 
 def _x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +937,21 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
         ),
         neardup_minhash_checked_sql(jaccard_threshold=0.5),
+    ),
+    # BPE tokenizer induction: vocab-bounded merge loop, 1-row argmax per
+    # iteration; chained-CTE oracle replays the identical algorithm
+    "x_bpe_merges": QuerySpec(
+        lambda spark, sf_dir: bpe_merges(
+            load_table(spark, sf_dir, "documents"), n_merges=8, max_vocab=2000
+        ),
+        bpe_merges_sql(n_merges=8, max_vocab=2000),
+    ),
+    # BPE application with a fixed merge table: shuffle-free narrow pass
+    "x_bpe_segment": QuerySpec(
+        lambda spark, sf_dir: bpe_segment(
+            load_table(spark, sf_dir, "documents"), _BPE_FIXED_MERGES
+        ),
+        bpe_segment_sql(_BPE_FIXED_MERGES),
     ),
     # banded SimHash + exact Hamming verify on md5 token hashes — the
     # oracle-checked twin of the xxhash64 x_simhash_neardup

@@ -628,3 +628,36 @@ def test_simhash_checked_finds_planted_neardup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_checked(docs).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3  # planted near-dup caught
     assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated text clean
+
+
+def test_bpe_merges_planted_corpus(spark):
+    """A corpus where merge order is known by construction: 'aa' dominates,
+    then ('aa','b') once 'aa' exists as a symbol."""
+    from dbt_trill_shop_spark.ext.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "aab aab aab cd") for i in range(5)], ["doc_id", "text"]
+    )
+    rows = bpe_merges(docs, n_merges=3, max_vocab=100).collect()
+    assert [(r.lhs, r.rhs) for r in rows] == [("a", "a"), ("aa", "b"), ("c", "d")]
+    # 'aab' occurs 3x per doc x 5 docs via the word-freq table = freq 15
+    assert rows[0].pair_count == 15
+
+
+def test_bpe_run_merging_is_leftmost_nonoverlapping(spark):
+    """'aaaa' must merge to two 'aa' symbols (not three overlapping pairs) —
+    the property the sentinel-wrapped replace encoding exists to guarantee."""
+    from dbt_trill_shop_spark.ext.bpe import bpe_segment
+
+    docs = spark.createDataFrame([(1, "aaaa"), (2, "aaa"), (3, "ab")], ["doc_id", "text"])
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe_segment(docs, [("a", "a")]).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # [aa,aa], [aa,a], [a,b]
+
+
+def test_bpe_merge_loop_stops_when_pairs_run_dry(spark):
+    from dbt_trill_shop_spark.ext.bpe import bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    rows = bpe_merges(docs, n_merges=10, max_vocab=10).collect()
+    # 'ab' -> one merge possible, then the single symbol has no pairs left
+    assert len(rows) == 1 and (rows[0].lhs, rows[0].rhs) == ("a", "b")
