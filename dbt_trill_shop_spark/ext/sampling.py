@@ -487,3 +487,105 @@ SELECT stratum, n_rows, w_milli, p_ppm,
        CAST(LEAST(n_rows, (p_ppm * {budget}) // 1000000) AS BIGINT) AS planned_rows
 FROM p
 """
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    val_ppm: int = 50_000,
+    test_ppm: int = 50_000,
+    salt: str = "",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(split, stratum) audit.
+
+    The split is a pure function of ``md5(key || salt)`` — stable across
+    engines, runs, partitionings, and REGROWING corpora (a document keeps
+    its split when new data arrives; no reshuffling of held-out sets, the
+    property seeded randomSplit cannot give).  The first 24 hash bits map
+    to [0, 16^6) and route: ``< val`` -> val, ``< val+test`` -> test, else
+    train.  Executor-local assignment (no shuffle); the audit rollup is one
+    tiny aggregate.  Returns (split, stratum, n_docs, n_chars).
+    """
+    h6 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scale = 16**6
+    val_thr = val_ppm * scale // 1_000_000
+    test_thr = (val_ppm + test_ppm) * scale // 1_000_000
+    split = (
+        F.when(h6 < val_thr, F.lit("val"))
+        .when(h6 < test_thr, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.select(
+            split.alias("split"),
+            F.col(strata_col).alias("stratum"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("split", "stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "stratum")
+    )
+
+
+HASH_SPLIT_SQL_TEMPLATE = """
+WITH assigned AS (
+    SELECT source AS stratum, n_chars,
+           CASE WHEN h6 < {val_thr} THEN 'val'
+                WHEN h6 < {test_thr} THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 6) AS BIGINT) AS h6
+        FROM documents
+    )
+)
+SELECT split, stratum, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, stratum
+ORDER BY split, stratum
+"""
+
+
+def training_order(
+    df: DataFrame, key_col: str, epoch: int = 0, id_out: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training-data permutation for one epoch: rank
+    every document by ``md5(key || epoch)`` (ties by key).  Epoch-salted, so
+    each epoch is an independent reshuffle reproducible on any cluster.
+
+    This is a GLOBAL SORT by design — Spark range-partitions on sampled
+    hash boundaries, so at 100 TB it is the standard
+    sample/partition/sort-within shuffle (one pass, no driver
+    materialization), which is exactly how training order is produced for
+    real corpora.  Output carries (rank, key) only — the 16-byte-per-row
+    shuffle; writers join text back by key or, better, write
+    ``sortWithinPartitions`` output per range file.
+    """
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#e{epoch}")).cast("binary")
+    )
+    w = Window.orderBy(h, F.col(key_col))
+    return df.select(F.col(key_col).alias(id_out), h.alias("h")).select(
+        F.row_number().over(w).cast("bigint").alias("rank"), id_out
+    )
+
+
+TRAINING_ORDER_SQL_TEMPLATE = """
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#e{epoch}'), doc_id
+       ) AS BIGINT) AS rank,
+       doc_id
+FROM documents
+"""

@@ -72,6 +72,10 @@ from .ext.multimodal import (
 from .ext.sampling import (
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
     HASH_SAMPLE_SQL_TEMPLATE,
+    HASH_SPLIT_SQL_TEMPLATE,
+    TRAINING_ORDER_SQL_TEMPLATE,
+    hash_split,
+    training_order,
     MIXTURE_PLAN_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
     SOURCE_CAPS_SQL_TEMPLATE,
@@ -937,6 +941,28 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
         ),
         neardup_minhash_checked_sql(jaccard_threshold=0.5),
+    ),
+    # deterministic train/val/test assignment: pure hash function of the
+    # key (split-stable under corpus growth), shuffle-free, audit rollup
+    "x_hash_split": QuerySpec(
+        lambda spark, sf_dir: hash_split(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            val_ppm=50_000,
+            test_ppm=50_000,
+        ),
+        HASH_SPLIT_SQL_TEMPLATE.format(
+            val_thr=50_000 * 16**6 // 1_000_000,
+            test_thr=100_000 * 16**6 // 1_000_000,
+            salt="",
+        ),
+    ),
+    # epoch-salted global training-order permutation (range-partitioned sort)
+    "x_training_order": QuerySpec(
+        lambda spark, sf_dir: training_order(
+            load_table(spark, sf_dir, "documents"), "doc_id", epoch=3
+        ),
+        TRAINING_ORDER_SQL_TEMPLATE.format(epoch=3),
     ),
     # BPE tokenizer induction: vocab-bounded merge loop, 1-row argmax per
     # iteration; chained-CTE oracle replays the identical algorithm

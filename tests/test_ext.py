@@ -661,3 +661,37 @@ def test_bpe_merge_loop_stops_when_pairs_run_dry(spark):
     rows = bpe_merges(docs, n_merges=10, max_vocab=10).collect()
     # 'ab' -> one merge possible, then the single symbol has no pairs left
     assert len(rows) == 1 and (rows[0].lhs, rows[0].rhs) == ("a", "b")
+
+
+def test_hash_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A document's split must not change when the corpus grows — the
+    property that makes held-out sets safe under continuous ingestion."""
+    from dbt_trill_shop_spark.ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def assignments(d):
+        from dbt_trill_shop_spark.ext.sampling import hash_split as _  # noqa: F401
+        # recompute the split expression per doc by reusing the audit path
+        # at stratum granularity replaced with the doc id itself
+        return {
+            (r.split, r.stratum): r.n_docs
+            for r in hash_split(d, "doc_id", strata_col="doc_id").collect()
+        }
+
+    full, part = assignments(docs), assignments(half)
+    # every (split, doc) present in the half-corpus keeps its split in full
+    assert set(part) <= set(full)
+
+
+def test_training_order_epochs_differ_and_are_permutations(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.sampling import training_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = [r.doc_id for r in training_order(docs, "doc_id", epoch=0).collect()]
+    e1 = [r.doc_id for r in training_order(docs, "doc_id", epoch=1).collect()]
+    assert sorted(e0) == sorted(e1)  # both are permutations of the corpus
+    assert e0 != e1  # epochs reshuffle
+    e0_again = [r.doc_id for r in training_order(docs, "doc_id", epoch=0).collect()]
+    assert e0 == e0_again  # reproducible
