@@ -177,11 +177,13 @@ from .streaming.events import (
     STREAM_ATTRIBUTION_SQL,
     STREAM_DEDUP_SQL,
     STREAM_DISTINCT_USERS_SQL,
+    STREAM_SEGMENT_ROLLUP_SQL,
     STREAM_TOP_TYPES_SQL_TEMPLATE,
     STREAM_WEEKLY_SQL,
     stream_dedup_events,
     stream_distinct_users,
     stream_purchase_attribution,
+    stream_segment_rollup,
     stream_top_event_types,
     stream_weekly_rollup,
 )
@@ -1132,6 +1134,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # watermark-bounded streaming dedup (state evicted past the watermark)
     "s_stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
+    # stream-static dimension enrichment: stateless join, dim broadcast
+    "s_stream_segment_rollup": QuerySpec(
+        stream_segment_rollup, STREAM_SEGMENT_ROLLUP_SQL
+    ),
     # windowed heavy hitters: streamed rollup + rank-after-drain
     "s_stream_top_types": QuerySpec(
         lambda spark, sf_dir: stream_top_event_types(spark, sf_dir, k=3),

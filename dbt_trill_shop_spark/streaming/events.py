@@ -386,3 +386,56 @@ FROM (
     FROM c
 ) r WHERE rnk <= {k}
 """
+
+
+def enriched_segment_rollup_stream(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC join: enrich the event stream with a static customer
+    dimension (user_id -> c_custkey) and roll up per market segment.
+
+    Stream-static equi-joins are STATELESS in Structured Streaming — each
+    micro-batch joins against the (re-scanned) static side, no state store,
+    no watermark needed for the join itself; with the dim broadcast the
+    stream side never shuffles for the join.  Unmatched events keep NULL
+    segment (left join) so stream rows are never dropped by enrichment —
+    the property the batch oracle checks.
+    """
+    enriched = events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "left_outer",
+    )
+    return (
+        enriched.groupBy(F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+    )
+
+
+def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    out = run_stream_to_memory(
+        enriched_segment_rollup_stream(
+            stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        ),
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
+    return out.orderBy("segment")
+
+
+STREAM_SEGMENT_ROLLUP_SQL = """
+SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events LEFT OUTER JOIN customer ON user_id = c_custkey
+GROUP BY COALESCE(c_mktsegment, 'UNMATCHED')
+ORDER BY segment
+"""

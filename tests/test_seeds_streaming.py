@@ -254,3 +254,44 @@ def test_events_ts_absolute_parity_with_duckdb(spark, sf_dir):
     ).fetchone()
     assert (smin, smax) == (dmin, dmax), (smin, smax, dmin, dmax)
     assert 2000 <= smin.year <= 2100
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment drains to exactly the batch join result, and
+    the join itself is stateless (no state-store rows needed beyond the agg)."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.streaming.events import (
+        enriched_segment_rollup_stream,
+        stream_segment_rollup,
+    )
+
+    got = {
+        r.segment: (r.n_events, r.total_value)
+        for r in stream_segment_rollup(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import functions as F2
+
+    batch = (
+        ev.join(
+            F2.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            ev.user_id == F2.col("c_custkey"),
+            "left_outer",
+        )
+        .groupBy(F2.coalesce("c_mktsegment", F2.lit("UNMATCHED")).alias("segment"))
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            (
+                F2.sum(F2.round(F2.col("value") * 100, 0).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("tv"),
+        )
+    )
+    want = {r.segment: (r.n, r.tv) for r in batch.collect()}
+    assert got == want
+    # the plan of the streaming side's logical join must be a broadcast join
+    plan = enriched_segment_rollup_stream(
+        ev, cust
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
