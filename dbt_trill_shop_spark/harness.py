@@ -618,6 +618,19 @@ QUERIES: dict[str, QuerySpec] = {
     "q_idle_rich_customers": QuerySpec(
         R.idle_positive_customers, R.IDLE_POSITIVE_CUSTOMERS_SQL
     ),
+    # TPC-H Q15 shape: view -> scalar max -> join-back, ties kept
+    "q_top_supplier": QuerySpec(
+        R.top_supplier_by_revenue,
+        R.TOP_SUPPLIER_SQL_TEMPLATE.format(q_from="1997-01-01", q_to="1997-04-01"),
+    ),
+    # TPC-H Q17 shape: correlated per-part avg as one rollup + int64 compare
+    "q_small_qty_revenue": QuerySpec(
+        R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL
+    ),
+    # Spark 4 VARIANT semi-structured path (parse once, binary extraction)
+    "q_variant_props": QuerySpec(
+        A.variant_props_histogram, A.VARIANT_PROPS_HISTOGRAM_SQL
+    ),
     # per-source curation dashboard (volume, quality, exact-dup rate)
     "x_corpus_report": QuerySpec(
         lambda spark, sf_dir: corpus_report(load_table(spark, sf_dir, "documents")),

@@ -594,3 +594,36 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, sid
 """
+
+
+def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the events ``props`` JSON: parse once to
+    the binary VARIANT encoding (``parse_json``), extract with typed
+    ``variant_get`` paths, and histogram ``k`` by decade bucket.
+
+    VARIANT is the Spark-4-native answer to repeated semi-structured
+    access — parse cost paid once per row, every later path extraction is
+    a binary offset lookup rather than a Jackson re-parse (the
+    ``get_json_object`` twin ``json_props_stats`` re-parses per path).  At
+    100 TB with many extracted paths this is the difference between one
+    decode and P decodes per row.  Oracle: identical buckets via DuckDB
+    json_extract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select((F.floor(k / 10) * 10).alias("k_decade"))
+        .groupBy("k_decade")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k_decade")
+    )
+
+
+VARIANT_PROPS_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS BIGINT) / 10) * 10 AS BIGINT)
+           AS k_decade,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY k_decade
+"""

@@ -1094,3 +1094,97 @@ WHERE c_acctbal > 0.0
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def top_supplier_by_revenue(
+    spark: SparkSession, sf_dir: str, q_from: str = "1997-01-01", q_to: str = "1997-04-01"
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue for one quarter,
+    keeping every supplier whose revenue EQUALS the maximum (the
+    view-then-max-then-join-back shape; ties kept, unlike top-1 LIMIT).
+
+    Plan shape: the quarter filter pushes into the fact scan; revenue rolls
+    up per supplier (one shuffle); the scalar max is a 1-row aggregate that
+    re-joins via broadcast — revenue stays int64 cents through the
+    comparison so "equals the max" is exact, and the supplier dim broadcasts
+    onto the tiny winner set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(q_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(q_to).cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_c")
+    )
+    mx = per_supp.agg(F.max("rev_c").alias("max_rev_c"))
+    winners = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("rev_c") == F.col("max_rev_c")
+    )
+    return (
+        winners.join(F.broadcast(supplier), winners.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL_TEMPLATE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS rev_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{q_from} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{q_to} 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT MAX(rev_c) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: total revenue from line items
+    whose quantity is below 20% of that part's average quantity — the
+    correlated-aggregate-per-group probe.
+
+    Cross-engine exactness: quantities are integral doubles, so the
+    predicate ``qty < 0.2 * avg(qty)`` is evaluated as
+    ``5 * qty * n_part < sum_qty`` — pure int64, no float average.  Plan
+    shape: ONE shuffle on l_partkey computes the per-part (sum, count)
+    rollup, which re-joins the fact (AQE picks broadcast when the part
+    count is small); revenue divides by 7 years only at the very end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    j = li.join(per_part, "l_partkey")
+    small = j.filter(qty * 5 * F.col("n_li") < F.col("sum_qty"))
+    return small.agg(
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+            "avg_yearly_small_qty_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_small_items"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH per_part AS (
+    SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           COUNT(*) AS n_li
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 7.0 AS avg_yearly_small_qty_revenue,
+       COUNT(*) AS n_small_items
+FROM lineitem JOIN per_part USING (l_partkey)
+WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+"""
