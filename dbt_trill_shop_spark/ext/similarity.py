@@ -1319,3 +1319,66 @@ acc{t} AS (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})"""
 SELECT query_id, cand_id AS neighbor_id, pick_rank FROM acc{k}"""
     )
     return "".join(parts)
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_per_cell: int = 8,
+    n_cells: int = 16,
+    salt: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced subset selection: cluster the corpus (IVF coarse
+    cells) and draw EXACTLY ``n_per_cell`` items per cell by deterministic
+    content-hash order — the cluster-then-uniform sampling used to build
+    semantically spread subsets (the selection counterpart of SemDeDup's
+    cluster-then-prune).
+
+    A plain uniform sample over-represents dense regions; quota-per-cell
+    flattens the semantic density.  Composition: :func:`ivf_assign`
+    (broadcast-centroid argmin, one narrow pass) -> md5-ranked window per
+    cell, ranking a slim (id, cell, hash) projection — one shuffle keyed on
+    the cell, payloads never ride.  Deterministic end-to-end: assignment
+    rounds d2 to 6 dp and the draw is a pure hash function, so the DuckDB
+    oracle reproduces the exact subset.
+    """
+    cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary"))
+    w = Window.partitionBy("cell").orderBy("h", id_col)
+    return (
+        cells.select(F.col(id_col), "cell", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= n_per_cell)
+        .select(id_col, "cell", "rk")
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_SQL_TEMPLATE = """
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+    WHERE vec_id < {n_cells}
+),
+scored AS (
+    SELECT v.vec_id, c.cell,
+           ROUND(list_distance(v.embedding, c.centroid) ** 2, 6) AS d2
+    FROM embeddings v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+           ) AS rk
+    FROM assigned
+)
+SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {n_per_cell}
+"""

@@ -948,3 +948,103 @@ SELECT doc_id, n_bigrams,
        ROUND((CAST(s_micro AS DOUBLE) / 1000000.0) / n_bigrams, 6) AS avg_neg_logp2
 FROM per_doc
 """
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023): score
+    every document by the log-likelihood ratio of its tokens under a
+    TARGET-domain unigram LM (here: the ``target_lang`` slice) vs the RAW
+    corpus LM — positive means "looks like the target domain"; select by
+    thresholding/top-k downstream.
+
+    Both LMs are Laplace-smoothed over the SHARED corpus vocabulary V:
+
+        w(d) = sum_t tf_t * [ ln(c_tgt(t)+1) - ln(c_raw(t)+1) ]
+             + n_d * [ ln(N_raw + V) - ln(N_tgt + V) ]
+
+    Determinism: every ln is a ln-of-integer rounded to int64 micro-nats
+    BEFORE summation (float sum order never enters); the scalar normalizer
+    rides a broadcast 1-row cross join.  Plan: the tf relation is computed
+    once (checkpointed) and feeds target counts, raw counts, and the
+    per-doc rollup — three map-side-combinable aggregates, no corpus
+    re-explode.  At 100 TB: shuffles are keyed on term / doc only, text
+    never rides; the LMs are vocabulary-sized.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        (F.col("lang") == target_lang).alias("is_tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "is_tgt", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    freq = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("tf")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    micro = lambda c: F.round(F.log(c.cast("double")) * 1_000_000, 0).cast("bigint")  # noqa: E731
+    term_w = freq.select(
+        "term",
+        (micro(F.col("c_tgt") + 1) - micro(F.col("c_raw") + 1)).alias("w_micro"),
+    )
+    norm = freq.agg(
+        (
+            micro(F.sum("c_raw") + F.count(F.lit(1)))
+            - micro(F.sum("c_tgt") + F.count(F.lit(1)))
+        ).alias("norm_micro")
+    )
+    per_doc = (
+        tf.join(term_w, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("sum_w_micro"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(norm)).select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("sum_w_micro") + F.col("n_tokens") * F.col("norm_micro")).alias(
+            "importance_micro"
+        ),
+    )
+
+
+IMPORTANCE_WEIGHTS_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, lang = '{target_lang}' AS is_tgt,
+           unnest(STR_SPLIT(text, ' ')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, is_tgt, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+freq AS (
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS c_raw,
+           CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+    FROM tf GROUP BY term
+),
+term_w AS (
+    SELECT term,
+           CAST(ROUND(LN(c_tgt + 1) * 1000000, 0) AS BIGINT)
+           - CAST(ROUND(LN(c_raw + 1) * 1000000, 0) AS BIGINT) AS w_micro
+    FROM freq
+),
+norm AS (
+    SELECT CAST(ROUND(LN(SUM(c_raw) + COUNT(*)) * 1000000, 0) AS BIGINT)
+           - CAST(ROUND(LN(SUM(c_tgt) + COUNT(*)) * 1000000, 0) AS BIGINT)
+               AS norm_micro
+    FROM freq
+),
+per_doc AS (
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * term_w.w_micro) AS BIGINT) AS sum_w_micro
+    FROM tf JOIN term_w USING (term)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_w_micro + n_tokens * norm_micro AS BIGINT) AS importance_micro
+FROM per_doc, norm
+"""

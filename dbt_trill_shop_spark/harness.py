@@ -113,6 +113,8 @@ from .ext.similarity import (
     ivf_topk,
     ivfpq_topk,
     ANN_RECALL_SQL_TEMPLATE,
+    CLUSTER_BALANCED_SAMPLE_SQL_TEMPLATE,
+    cluster_balanced_sample,
     IVF_TOPK_SQL_TEMPLATE,
     L2_TOPK_SQL_TEMPLATE,
     SQ8_ENCODE_SQL,
@@ -147,6 +149,7 @@ from .ext.textstats import (
     PII_SCRUB_EVENTS_SQL,
     QUALITY_CLASSIFIER_SQL,
     QUALITY_SCORE_SQL,
+    IMPORTANCE_WEIGHTS_SQL_TEMPLATE,
     UNIGRAM_LOGPROB_SQL,
     REPETITION_SIGNALS_SQL,
     ROLLING_FINGERPRINT_SQL,
@@ -158,6 +161,7 @@ from .ext.textstats import (
     VOCAB_COVERAGE_SQL_TEMPLATE,
     bigram_logprob,
     corpus_ngram_counts,
+    importance_weights,
     language_id,
     language_profile,
     quality_classifier,
@@ -735,6 +739,21 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(repetition_signals), REPETITION_SIGNALS_SQL
     ),
     "x_unigram_logprob": QuerySpec(_docs_q(unigram_logprob), UNIGRAM_LOGPROB_SQL),
+    # diversity-balanced subset: IVF cells -> exact-n hash draw per cell
+    "x_cluster_sample": QuerySpec(
+        lambda spark, sf_dir: cluster_balanced_sample(
+            load_table(spark, sf_dir, "embeddings"), n_per_cell=8, n_cells=16
+        ),
+        CLUSTER_BALANCED_SAMPLE_SQL_TEMPLATE.format(
+            n_cells=16, n_per_cell=8, salt=""
+        ),
+    ),
+    # DSIR importance reweighting: target-vs-raw unigram LM log-ratio,
+    # int64 micro-nat sums (Xie et al. 2023 data-selection shape)
+    "x_importance_weights": QuerySpec(
+        _docs_q(importance_weights),
+        IMPORTANCE_WEIGHTS_SQL_TEMPLATE.format(target_lang="en"),
+    ),
     # interpolated bigram LM pseudo-perplexity (one order up from unigram)
     "x_bigram_logprob": QuerySpec(
         _docs_q(bigram_logprob),

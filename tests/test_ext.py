@@ -695,3 +695,21 @@ def test_training_order_epochs_differ_and_are_permutations(spark, sf_dir):
     assert e0 != e1  # epochs reshuffle
     e0_again = [r.doc_id for r in training_order(docs, "doc_id", epoch=0).collect()]
     assert e0 == e0_again  # reproducible
+
+
+def test_importance_weights_separate_target_domain(spark, sf_dir):
+    """DSIR sanity: target-language documents must have a higher mean
+    per-token importance than the rest of the corpus."""
+    from dbt_trill_shop_spark.ext.textstats import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = importance_weights(docs, target_lang="en")
+    j = (
+        got.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(
+            F.avg(F.col("importance_micro") / F.col("n_tokens")).alias("mean_per_tok")
+        )
+    )
+    means = {r.is_en: r.mean_per_tok for r in j.collect()}
+    assert means[True] > 0 > means[False]

@@ -223,3 +223,56 @@ def test_temperature_mixture_invariants(spark, counts, budget):
     ordered = sorted(out.values(), key=lambda r: r["n_rows"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["planned_rows"] <= b["planned_rows"] or a["n_rows"] == b["n_rows"]
+
+
+def _bpe_reference(corpus: list[str], n_merges: int):
+    """Pure-Python BPE (Sennrich 2016 pseudocode): word-freq table, best-pair
+    argmax with (count desc, pair asc) ties, greedy leftmost merge."""
+    import collections
+    import re
+
+    freq = collections.Counter(
+        w for t in corpus for w in re.split("[^a-z]+", t.lower()) if w
+    )
+    words = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@given(
+    corpus=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_matches_pure_python_reference(spark, corpus, n_merges):
+    from dbt_trill_shop_spark.ext.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(docs, n_merges=n_merges, max_vocab=1000).collect()
+    ]
+    assert got == _bpe_reference(corpus, n_merges)
