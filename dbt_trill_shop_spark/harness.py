@@ -631,6 +631,33 @@ QUERIES: dict[str, QuerySpec] = {
     "q_small_qty_revenue": QuerySpec(
         R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL
     ),
+    # TPC-H Q6 shape: single pushdown-filtered scan, scaled-int discount band
+    "q_forecast_revenue": QuerySpec(
+        R.forecast_revenue_change,
+        R.FORECAST_REVENUE_SQL_TEMPLATE.format(
+            year_from="1997-01-01", year_to="1998-01-01",
+            disc_lo_c=5, disc_hi_c=7, max_qty=24,
+        ),
+    ),
+    # TPC-H Q7 shape: bilateral nation trade, dims pre-filtered then broadcast
+    "q_nation_trade": QuerySpec(
+        R.nation_trade_volume,
+        R.NATION_TRADE_VOLUME_SQL_TEMPLATE.format(
+            nation_a="NATION_1", nation_b="NATION_2"
+        ),
+    ),
+    # TPC-H Q8 shape: market-share ppm from ONE SUM(CASE) aggregate pass
+    "q_market_share": QuerySpec(
+        R.market_share,
+        R.MARKET_SHARE_SQL_TEMPLATE.format(
+            target_nation="NATION_3", market_region="ASIA", part_type="STANDARD"
+        ),
+    ),
+    # TPC-H Q9 shape (adapted: retailprice*qty cost proxy, no partsupp table)
+    "q_nation_profit": QuerySpec(
+        R.nation_profit,
+        R.NATION_PROFIT_SQL_TEMPLATE.format(name_like="%widget%"),
+    ),
     # Spark 4 VARIANT semi-structured path (parse once, binary extraction)
     "q_variant_props": QuerySpec(
         A.variant_props_histogram, A.VARIANT_PROPS_HISTOGRAM_SQL
@@ -1277,6 +1304,10 @@ _ROUND2_LATE = [
     "q_shipping_priority",
     "q_returned_revenue",
     "q_large_volume_orders",
+    "q_forecast_revenue",
+    "q_nation_trade",
+    "q_market_share",
+    "q_nation_profit",
     "x_corpus_report",
     "x_simhash_checked",
 ]

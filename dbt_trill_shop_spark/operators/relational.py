@@ -1188,3 +1188,291 @@ SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
 FROM lineitem JOIN per_part USING (l_partkey)
 WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
 """
+
+
+def forecast_revenue_change(
+    spark: SparkSession,
+    sf_dir: str,
+    year_from: str = "1997-01-01",
+    year_to: str = "1998-01-01",
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: how much revenue disappears
+    if small-quantity discounts in a window are dropped.
+
+    The whole query is ONE pushdown-filtered scan + one global aggregate: no
+    join, no groupBy shuffle beyond the final single-partition combine.  The
+    ship-year range and quantity predicates push into the parquet scan
+    (``PushedFilters``), so at 100 TB only one year's row groups are read
+    and the map-side partial aggregate ships 16 bytes per task.  The
+    discount band compares *scaled-int cents* (5..7) rather than raw doubles
+    (0.05..0.07 are not exactly representable), keeping the predicate
+    engine-exact; revenue = sum(price_c * disc_c) in int64, divided back to
+    dollars once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(year_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_to).cast("timestamp"))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .filter((disc_c >= disc_lo_c) & (disc_c <= disc_hi_c))
+        .agg(
+            (F.sum(cents("l_extendedprice") * disc_c).cast("double") / 10000.0).alias(
+                "forecast_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL_TEMPLATE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+           AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year_from} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{year_to} 00:00:00'
+  AND l_quantity < {max_qty}
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN {disc_lo_c} AND {disc_hi_c}
+"""
+
+
+def nation_trade_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral shipping volume: revenue shipped between two
+    nations (supplier side vs customer side), per direction per ship-year.
+
+    Plan shape: the ONLY shuffle is lineitem⋈orders (fact-fact sort-merge
+    under AQE); supplier, customer, and nation are broadcast, and the
+    two-nation filter is applied on the broadcast sides *before* the join so
+    fact rows for other nations drop at the join, not in a later filter.
+    Group-by lands on (supp_nation, cust_nation, year) — 2×|years| groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = {nation_a, nation_b}
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.filter(F.col("n_name").isin(*pair)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.filter(F.col("n_name").isin(*pair)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    rev_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            (rev_c.cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+NATION_TRADE_VOLUME_SQL_TEMPLATE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+           / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{nation_a}', '{nation_b}')
+  AND cn.n_name IN ('{nation_a}', '{nation_b}')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    target_nation: str = "NATION_3",
+    market_region: str = "ASIA",
+    part_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: the fraction (ppm) of one region's
+    revenue in one part type supplied by one nation, per order year.
+
+    Plan shape: the part-type filter prunes the broadcast part dim, which
+    prunes the fact at the first join; customer→nation→region collapses to a
+    broadcast pre-joined customer list for the market region; the target-
+    nation flag is a broadcast supplier-side column folded into SUM(CASE) —
+    so numerator and denominator come from ONE aggregate pass, no second
+    scan.  All sums are exact int64 basis-point cents; the final ppm ratio
+    is one int64→double division (bit-identical cross-engine).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == part_type)
+    mkt_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            region.filter(F.col("r_name") == market_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(mkt_cust), orders.o_custkey == mkt_cust.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, rev_c).otherwise(F.lit(0))
+            ).alias("target_rev_c"),
+            F.sum(rev_c).alias("total_rev_c"),
+        )
+        .select(
+            "order_year",
+            (F.col("target_rev_c").cast("double") / 10000.0).alias("target_revenue"),
+            (F.col("total_rev_c").cast("double") / 10000.0).alias("total_revenue"),
+            F.round(
+                F.col("target_rev_c").cast("double")
+                * 1000000.0
+                / F.col("total_rev_c").cast("double"),
+                3,
+            ).alias("share_ppm"),
+        )
+        .orderBy("order_year")
+    )
+
+
+MARKET_SHARE_SQL_TEMPLATE = """
+WITH sums AS (
+    SELECT YEAR(o_orderdate) AS order_year,
+           SUM(CASE WHEN sn.n_name = '{target_nation}'
+                    THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    ELSE 0 END) AS target_rev_c,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS total_rev_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = '{part_type}' AND r_name = '{market_region}'
+    GROUP BY YEAR(o_orderdate)
+)
+SELECT CAST(order_year AS BIGINT) AS order_year,
+       CAST(target_rev_c AS DOUBLE) / 10000.0 AS target_revenue,
+       CAST(total_rev_c AS DOUBLE) / 10000.0 AS total_revenue,
+       ROUND(CAST(target_rev_c AS DOUBLE) * 1000000.0
+             / CAST(total_rev_c AS DOUBLE), 3) AS share_ppm
+FROM sums
+ORDER BY order_year
+"""
+
+
+def nation_profit(
+    spark: SparkSession, sf_dir: str, name_like: str = "%widget%"
+) -> DataFrame:
+    """TPC-H Q9-shaped product profit by supplier nation and year, adapted to
+    the driver's schema: no ``partsupp``/``ps_supplycost`` table exists, so
+    cost is proxied by ``p_retailprice * l_quantity`` (documented deviation;
+    the join/aggregate shape — the point of Q9 — is unchanged).
+
+    Plan shape: part is filtered by the name pattern *before* broadcast, so
+    the fact prunes at the first join; supplier⋈nation pre-joins on the
+    broadcast side; the only shuffle is lineitem⋈orders.  profit_c =
+    rev_c − retail_c·qty_c stays in one int64 basis-point-cents unit
+    (both terms are price×100 × count×100).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(name_like))
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    profit_c = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (F.sum(profit_c).cast("double") / 10000.0).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", F.col("order_year").desc())
+    )
+
+
+NATION_PROFIT_SQL_TEMPLATE = """
+SELECT n_name AS supp_nation,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                - CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{name_like}'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY supp_nation, order_year DESC
+"""
