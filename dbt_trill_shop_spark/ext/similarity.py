@@ -1222,6 +1222,8 @@ def mmr_topk(
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", "cand_id", F.lit(1).cast("bigint").alias("pick_rank"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     # every per-iteration relation is KB-scale: broadcast the selected set
     # into each join so the greedy loop never shuffles
@@ -1247,7 +1249,10 @@ def mmr_topk(
             .filter(F.col("rn") == 1)
             .select("query_id", "cand_id", F.lit(t).cast("bigint").alias("pick_rank"))
         )
-        sel = sel.unionByName(pick)
+        # checkpoint the KB-scale selection each step: without it the lazy
+        # `sel` plan deepens every iteration and the final action replays
+        # pick_2..pick_{t-1}'s joins once per later step (quadratic stages)
+        sel = sel.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
     return sel.select("query_id", F.col("cand_id").alias("neighbor_id"), "pick_rank")
 
 

@@ -863,16 +863,22 @@ def bigram_logprob(
     re-explode.  At 100 TB the (prev, cur) string keys would ride as
     xxhash64 pairs; strings are kept here for oracle transparency.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array in its own projection BEFORE the lambda:
+    # split() inside a higher-order-function body is re-evaluated per element
+    # (Catalyst CSE cannot hoist out of a LambdaFunction), turning tokenize
+    # into O(len^2) per document.  With `_toks` as a bound column the lambda
+    # only does O(1) array indexing.
+    tokenized = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
     pairs = F.when(
-        F.size(toks) >= 2,
+        F.size("_toks") >= 2,
         F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-            f"i -> struct(split({text_col}, ' ')[i-1] AS prev, "
-            f"split({text_col}, ' ')[i] AS cur))"
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> struct(_toks[i-1] AS prev, _toks[i] AS cur))"
         ),
     ).otherwise(F.expr("array()"))
-    big = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+    big = tokenized.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
         id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
     tf2 = (
