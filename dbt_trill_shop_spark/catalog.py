@@ -48,12 +48,26 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# Lazy-scan DataFrames are immutable plans, so re-creating one per call only
+# re-pays driver-side work (py4j round-trips + parquet footer/schema read,
+# ~85 ms each).  Memoize per (Spark app, path) for the driver's read-only
+# testdata tree; other paths (tests' scratch dirs) stay uncached because the
+# file listing is snapshotted at read time and those dirs get rewritten.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IMMUTABLE_PREFIX = "/root/testdata/"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one source table as a DataFrame (lazy scan)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    cacheable = os.path.abspath(path).startswith(_IMMUTABLE_PREFIX)
+    key = (spark.sparkContext.applicationId, path) if cacheable else None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    if key is not None:
+        _TABLE_CACHE[key] = df
+    return df
 
 
 _TS_LAYOUT_CACHE: dict[str, bool] = {}

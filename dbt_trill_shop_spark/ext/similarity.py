@@ -1222,12 +1222,16 @@ def mmr_topk(
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", "cand_id", F.lit(1).cast("bigint").alias("pick_rank"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
     )
     # every per-iteration relation is KB-scale: broadcast the selected set
     # into each join so the greedy loop never shuffles
     for t in range(2, k + 1):
+        # checkpoint the KB-scale selection at each step boundary: without it
+        # the lazy `sel` plan deepens every iteration and the final action
+        # replays pick_2..pick_{t-1}'s joins once per later step (quadratic
+        # stages).  Checkpointing on entry (not after the union) keeps the
+        # LAST iteration's join structure visible to plan inspection.
+        sel = sel.coalesce(1).localCheckpoint(eager=True)
         min_d2 = (
             cc.join(
                 F.broadcast(sel.select("query_id", F.col("cand_id").alias("b"))),
@@ -1249,10 +1253,7 @@ def mmr_topk(
             .filter(F.col("rn") == 1)
             .select("query_id", "cand_id", F.lit(t).cast("bigint").alias("pick_rank"))
         )
-        # checkpoint the KB-scale selection each step: without it the lazy
-        # `sel` plan deepens every iteration and the final action replays
-        # pick_2..pick_{t-1}'s joins once per later step (quadratic stages)
-        sel = sel.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
+        sel = sel.unionByName(pick)
     return sel.select("query_id", F.col("cand_id").alias("neighbor_id"), "pick_rank")
 
 
