@@ -182,12 +182,14 @@ from .streaming.events import (
     STREAM_DEDUP_SQL,
     STREAM_DISTINCT_USERS_SQL,
     STREAM_SEGMENT_ROLLUP_SQL,
+    STREAM_SESSIONIZE_SQL,
     STREAM_TOP_TYPES_SQL_TEMPLATE,
     STREAM_WEEKLY_SQL,
     stream_dedup_events,
     stream_distinct_users,
     stream_purchase_attribution,
     stream_segment_rollup,
+    stream_sessionize,
     stream_top_event_types,
     stream_weekly_rollup,
 )
@@ -1193,6 +1195,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # watermark-bounded streaming dedup (state evicted past the watermark)
     "s_stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
+    # custom stateful operator: applyInPandasWithState gap sessionizer; the
+    # drained update-mode output == batch sessions minus each user's open one
+    "s_stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
     # stream-static dimension enrichment: stateless join, dim broadcast
     "s_stream_segment_rollup": QuerySpec(
         stream_segment_rollup, STREAM_SEGMENT_ROLLUP_SQL
@@ -1301,6 +1306,7 @@ _ROUND2_LATE = [
     "x_incremental_neardup",
     "q_key_skew",
     "s_stream_top_types",
+    "s_stream_sessionize",
     "q_shipping_priority",
     "q_returned_revenue",
     "q_large_volume_orders",

@@ -439,3 +439,50 @@ FROM events LEFT OUTER JOIN customer ON user_id = c_custkey
 GROUP BY COALESCE(c_mktsegment, 'UNMATCHED')
 ORDER BY segment
 """
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry for the custom stateful operator: drain the
+    ``applyInPandasWithState`` sessionizer (update mode) to a batch result.
+
+    Emission semantics make this fully oracle-checkable: a session row is
+    emitted exactly when a later event beyond the gap closes it, so the
+    drained output is the batch gap-sessionization MINUS each user's final
+    (still-open) session — a pure SQL predicate on the batch twin
+    (``operators/analytics.py sessionize_events``, reference scope: the dbt
+    reference has no streaming surface; driver north-star SURVEY.md §2.9).
+    """
+    return run_stream_to_memory(
+        sessionize_stream(stream_events(spark, sf_dir)),
+        output_mode="update",
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
+
+
+STREAM_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > {SESSION_GAP_MINUTES} * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, sid,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+    FROM sessioned GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, n_events, duration_us
+FROM agg
+WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+"""
