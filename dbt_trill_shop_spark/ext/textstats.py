@@ -1054,3 +1054,119 @@ SELECT doc_id, n_tokens,
        CAST(sum_w_micro + n_tokens * norm_micro AS BIGINT) AS importance_micro
 FROM per_doc, norm
 """
+
+
+def hashed_embedding(
+    docs: DataFrame, dim: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashed (hashing-trick) document vectors, long form
+    (doc_id, dim_idx, weight) — Weinberger et al. 2009: every token hashes
+    to a bucket ``md5[0:8] % dim`` and votes ``±1`` by an independent hash
+    bit (``md5[8:16] % 2``), so the signed collision noise is zero-mean.
+    The model-free featurizer that bridges the text corpus into the vector
+    family (kNN / IVF / dedup) with NO trained embedding model.
+
+    Exactness: both hashes are md5 hex slices (identical in DuckDB), and the
+    weights are integer sums — every row is value-hash oracle-checkable.
+    Scale: one token explode into ONE map-side-combinable groupBy keyed
+    (doc, bucket); output rows ≤ docs × dim, shuffle never carries text.
+    Reference scope: driver north star (SURVEY.md §2.9), not the dbt
+    reference.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    hb = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    hs = F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("bigint")
+    sgn = F.when(hs % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), (hb % dim).alias("dim_idx"), sgn.alias("sgn"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+    )
+
+
+_HASHED_EMB_CTE = """
+toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+e AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim} AS dim_idx,
+           CAST(SUM(CASE WHEN CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM toks
+    GROUP BY doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim}
+)"""
+
+HASHED_EMBEDDING_SQL_TEMPLATE = (
+    "WITH " + _HASHED_EMB_CTE + "\nSELECT doc_id, dim_idx, weight FROM e"
+)
+
+
+def hashed_doc_knn(
+    docs: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse dot-product top-k over :func:`hashed_embedding` vectors —
+    text-to-text similarity search with no model and EXACT int64 scores
+    (so ranks are value-hash checkable, unlike float-cosine rank oracles).
+
+    Plan shape = sparse retrieval's inverted-index join: the query-side
+    vectors (num_queries × dim rows) broadcast, the corpus side joins on
+    ``dim_idx`` — the corpus never shuffles; the (query, cand) partial dots
+    combine map-side.  Candidates are docs sharing ≥1 nonzero bucket with
+    the query (exactly the inverted-index candidate set).
+    """
+    emb = hashed_embedding(docs, dim=dim, text_col=text_col, id_col=id_col)
+    q = (
+        emb.filter(F.col(id_col) < num_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "dim_idx",
+            F.col("weight").alias("qw"),
+        )
+    )
+    dots = (
+        emb.join(F.broadcast(q), "dim_idx")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum(F.col("qw") * F.col("weight")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+HASHED_DOC_KNN_SQL_TEMPLATE = (
+    "WITH "
+    + _HASHED_EMB_CTE
+    + """,
+q AS (SELECT doc_id AS query_id, dim_idx, weight AS qw FROM e WHERE doc_id < {num_queries}),
+dots AS (
+    SELECT q.query_id, e.doc_id AS neighbor_id,
+           CAST(SUM(q.qw * e.weight) AS BIGINT) AS dot
+    FROM e JOIN q USING (dim_idx)
+    WHERE e.doc_id <> q.query_id
+    GROUP BY q.query_id, e.doc_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, dot,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM dots
+)
+SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
+"""
+)

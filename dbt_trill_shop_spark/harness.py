@@ -143,6 +143,8 @@ from .ext.pipeline import (
 )
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
+    HASHED_DOC_KNN_SQL_TEMPLATE,
+    HASHED_EMBEDDING_SQL_TEMPLATE,
     STOPWORDS,
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
@@ -161,6 +163,8 @@ from .ext.textstats import (
     VOCAB_COVERAGE_SQL_TEMPLATE,
     bigram_logprob,
     corpus_ngram_counts,
+    hashed_doc_knn,
+    hashed_embedding,
     importance_weights,
     language_id,
     language_profile,
@@ -1198,6 +1202,20 @@ QUERIES: dict[str, QuerySpec] = {
     # custom stateful operator: applyInPandasWithState gap sessionizer; the
     # drained update-mode output == batch sessions minus each user's open one
     "s_stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
+    # hashing-trick document vectors (signed feature hashing, model-free)
+    "x_hashed_embedding": QuerySpec(
+        lambda spark, sf_dir: hashed_embedding(
+            load_table(spark, sf_dir, "documents"), dim=32
+        ),
+        HASHED_EMBEDDING_SQL_TEMPLATE.format(dim=32),
+    ),
+    # sparse inverted-index dot-product kNN over the hashed vectors
+    "x_hashed_knn": QuerySpec(
+        lambda spark, sf_dir: hashed_doc_knn(
+            load_table(spark, sf_dir, "documents"), k=5, num_queries=10, dim=32
+        ),
+        HASHED_DOC_KNN_SQL_TEMPLATE.format(k=5, num_queries=10, dim=32),
+    ),
     # stream-static dimension enrichment: stateless join, dim broadcast
     "s_stream_segment_rollup": QuerySpec(
         stream_segment_rollup, STREAM_SEGMENT_ROLLUP_SQL
@@ -1307,6 +1325,8 @@ _ROUND2_LATE = [
     "q_key_skew",
     "s_stream_top_types",
     "s_stream_sessionize",
+    "x_hashed_embedding",
+    "x_hashed_knn",
     "q_shipping_priority",
     "q_returned_revenue",
     "q_large_volume_orders",
