@@ -121,17 +121,23 @@ def minhash_near_duplicates(
     )
 
 
-def _shingle_arr(text_col: str, n: int):
-    """Word-level n-gram shingles as a Column (array<string>), same sliding
-    window used by the MinHash path."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    return F.filter(
+def _distinct_shingle_rel(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, s): the DISTINCT word-level n-gram shingles of each document,
+    same sliding window as the MinHash path.
+
+    The token array is bound in its OWN projection before the sliding-window
+    lambda: higher-order functions are interpreted per element, so a
+    ``split()`` referenced inside the lambda body re-tokenizes the document
+    once per shingle (O(len²) — measured 4.5× slower at sf0.1)."""
+    base = docs.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_t"))
+    arr = F.filter(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
         ),
         lambda s: s != "",
     )
+    return base.select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("s"))
 
 
 def ngram_jaccard_pairs(
@@ -152,9 +158,9 @@ def ngram_jaccard_pairs(
     Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over *distinct* shingle sets,
     rounded to 9 dp so the division is cross-engine stable.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s")
-    ).select(id_col, F.xxhash64("s").alias("sh"))
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).select(
+        id_col, F.xxhash64("s").alias("sh")
+    )
     # materialize the shingle relation once (CTE-MATERIALIZED semantics):
     # it feeds the sizes agg AND both self-join sides, and the explode is the
     # single most expensive stage — lazy, it would run 3x (43% slower e2e)
@@ -300,10 +306,7 @@ def minhash_signatures(
 
     Public scheme: Broder's minwise hashing; h_i(s) = xxhash64(s, seed=i).
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
-    )
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
     return sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(num_hashes)]
     )
@@ -397,10 +400,7 @@ def ngram_jaccard_pairs_filtered(
     # feeds the rare-shingle agg AND the semi join's left side, and lazy it
     # would run the explode twice (11.6 s -> 6.4 s at sf0.1)
     sh0 = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
-        )
+        _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
         .select(id_col, F.xxhash64("s").alias("sh"))
         .localCheckpoint(eager=True)
     )
@@ -555,10 +555,9 @@ def decontaminate(
     hash anti-join: corpus shingles ⟕ benchmark shingle set (broadcast when
     small), so the corpus text itself never shuffles."""
     def sh(df):
-        return df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
-        ).select(id_col, F.xxhash64("s").alias("sh"))
+        return _distinct_shingle_rel(df, text_col, id_col, shingle_len).select(
+            id_col, F.xxhash64("s").alias("sh")
+        )
 
     bench_sh = sh(benchmark).select("sh").distinct()
     hits = (
@@ -749,10 +748,9 @@ def ngram_containment_pairs(
     join; shingle relation checkpointed once); containment is an exact
     integer ratio rounded to 9 dp.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
-    ).select(id_col, F.xxhash64("s").alias("sh"))
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).select(
+        id_col, F.xxhash64("s").alias("sh")
+    )
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
@@ -1101,10 +1099,7 @@ def minhash_band_keys_md5(
     path and this one for verified correctness (and as the portable scheme
     when candidates must be reproducible outside Spark).
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingle_arr(text_col, shingle_len))).alias("s"),
-    )
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
     # one md5 digest yields FOUR independent 32-bit minwise orders (8-hex-char
     # slices of the 128-bit digest), so num_hashes hash functions cost
     # ceil(num_hashes / 4) md5 calls per shingle instead of num_hashes —
