@@ -128,9 +128,15 @@ def cosine_topk_lsh(
     from pyspark.ml.functions import array_to_vector
 
     def normed(df, out_id):
-        v = _as_double(F.col(vec_col))
-        unit = F.transform(v, lambda x: x / _norm(v))
-        return df.select(F.col(id_col).alias(out_id), array_to_vector(unit).alias("features"))
+        # bind the norm in its own projection: referenced inside the
+        # transform lambda it would be re-aggregated once PER ELEMENT
+        # (higher-order-function bodies are interpreted per element)
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias("_v"),
+        ).withColumn("_n", _norm(F.col("_v")))
+        unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+        return base.select(out_id, array_to_vector(unit).alias("features"))
 
     cand = normed(embeddings, "neighbor_id")
     qs = normed(queries, "query_id")
