@@ -241,3 +241,63 @@ SELECT media_id, width, height,
        CAST(FLOOR(height / {patch}) * FLOOR(width / {patch}) AS BIGINT) AS n_patches
 FROM feats
 """
+
+
+AUDIO_SAMPLE_RATE = 16000  # Hz; fake metadata derives n_samples from bytes
+AUDIO_BYTES_TO_SAMPLES = 16
+
+
+def audio_window_plan(
+    media: DataFrame, window: int = 400, hop: int = 160
+) -> DataFrame:
+    """ASR-style audio framing plan: sliding sample windows (default 25 ms
+    window / 10 ms hop at 16 kHz) per audio blob — the batch-shape step
+    before any acoustic featurizer (the decode itself is the env-stubbed
+    Pandas-UDF path, see module docstring).
+
+    Metadata-only arithmetic: ``n_samples`` derives from the payload byte
+    length (fake decoder convention, like width/height for images), the
+    window lattice is an int64 ``sequence`` explode — no UDF, no shuffle;
+    start/end sample indices and exact µs timestamps are all integer ops.
+    Only FULL windows are emitted (blobs shorter than one window yield no
+    rows), matching fixed-frame featurizer semantics.
+    """
+    n_samples = (F.octet_length("payload") * AUDIO_BYTES_TO_SAMPLES).cast("bigint")
+    base = media.select(
+        "media_id", n_samples.alias("n_samples")
+    ).filter(F.col("n_samples") >= window)
+    n_win = F.expr(f"(n_samples - {window}) div {hop} + 1")
+    out = base.select(
+        "media_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_win - 1)).alias("win_idx"),
+    )
+    start = F.col("win_idx") * hop
+    return out.select(
+        "media_id",
+        "n_samples",
+        "win_idx",
+        start.alias("start_sample"),
+        (start + window - 1).alias("end_sample"),
+        F.expr(f"(win_idx * {hop}) * 1000000 div {AUDIO_SAMPLE_RATE}").alias("start_us"),
+    )
+
+
+AUDIO_WINDOW_SQL_TEMPLATE = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) * 16 AS BIGINT) AS n_samples
+    FROM documents
+)
+SELECT media_id, n_samples,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(win_idx * {hop} AS BIGINT) AS start_sample,
+       CAST(win_idx * {hop} + {window} - 1 AS BIGINT) AS end_sample,
+       CAST((win_idx * {hop}) * 1000000 // 16000 AS BIGINT) AS start_us
+FROM (
+    SELECT media_id, n_samples,
+           unnest(generate_series(0, (n_samples - {window}) // {hop})) AS win_idx
+    FROM media
+    WHERE n_samples >= {window}
+)
+"""

@@ -1170,3 +1170,92 @@ ranked AS (
 SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
 """
 )
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for the corpus's top-``k`` tokens, next to their true counts.
+
+    The sketch is the mergeable fixed-size (depth × width) counter grid that
+    replaces an unbounded exact token→count map at 100 TB: every partition
+    builds its grid map-side and grids ADD — the shuffle carries depth×width
+    int64 cells per partition regardless of vocabulary size.  Estimate =
+    min over rows of the hashed cell; guaranteed ≥ true count (one-sided).
+
+    Here the grid is built from the exact per-token counts (the corpus pass
+    both paths share); row hashes are md5 slices, so every cell — and every
+    estimate — is integer-exact and value-hash oracle-checkable.  Output
+    rows: (token, true_count, est_count, overestimate), top-k by true count.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+
+    def bucket(r: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("w"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % width
+        )
+
+    rows = F.array(
+        *[F.struct(F.lit(r).alias("r"), bucket(r).alias("b")) for r in range(depth)]
+    )
+    hashed = counts.select("w", "cnt", F.explode(rows).alias("rb")).select(
+        "w", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    cells = hashed.groupBy("r", "b").agg(F.sum("cnt").alias("cell"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(k)
+        .select("w", "cnt", F.explode(rows).alias("rb"))
+        .select("w", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    )
+    return (
+        top.join(cells, ["r", "b"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt").cast("bigint").alias("true_count"),
+            F.col("est").cast("bigint").alias("est_count"),
+            (F.col("est") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("token"))
+    )
+
+
+COUNTMIN_HEAVY_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT w FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+hashed AS (
+    SELECT w, cnt, r,
+           CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8) AS BIGINT)
+               % {width} AS b
+    FROM counts CROSS JOIN (SELECT unnest(generate_series(0, {depth} - 1)) AS r)
+),
+cells AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS cell FROM hashed GROUP BY r, b),
+top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w ASC LIMIT {k})
+SELECT t.w AS token,
+       CAST(t.cnt AS BIGINT) AS true_count,
+       CAST(MIN(c.cell) AS BIGINT) AS est_count,
+       CAST(MIN(c.cell) - t.cnt AS BIGINT) AS overestimate
+FROM top t
+JOIN hashed h ON h.w = t.w
+JOIN cells c ON c.r = h.r AND c.b = h.b
+GROUP BY t.w, t.cnt
+ORDER BY true_count DESC, token ASC
+"""

@@ -59,10 +59,12 @@ from .ext.dedup import (
     source_overlap,
 )
 from .ext.multimodal import (
+    AUDIO_WINDOW_SQL_TEMPLATE,
     FRAME_SAMPLE_SQL_TEMPLATE,
     MEDIA_FEATURES_SQL,
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
+    audio_window_plan,
     docs_as_media,
     extract_features,
     frame_sample_plan,
@@ -143,6 +145,7 @@ from .ext.pipeline import (
 )
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
+    COUNTMIN_HEAVY_SQL_TEMPLATE,
     HASHED_DOC_KNN_SQL_TEMPLATE,
     HASHED_EMBEDDING_SQL_TEMPLATE,
     STOPWORDS,
@@ -163,6 +166,7 @@ from .ext.textstats import (
     VOCAB_COVERAGE_SQL_TEMPLATE,
     bigram_logprob,
     corpus_ngram_counts,
+    countmin_heavy_hitters,
     hashed_doc_knn,
     hashed_embedding,
     importance_weights,
@@ -1191,6 +1195,13 @@ QUERIES: dict[str, QuerySpec] = {
         _m_frame_sample, FRAME_SAMPLE_SQL_TEMPLATE.format(every_n=10)
     ),
     "m_resize_plan": QuerySpec(_m_resize_plan, RESIZE_PLAN_SQL),
+    # ASR-style sliding sample-window framing plan over audio blobs
+    "m_audio_windows": QuerySpec(
+        lambda spark, sf_dir: audio_window_plan(
+            docs_as_media(load_table(spark, sf_dir, "documents")), window=400, hop=160
+        ),
+        AUDIO_WINDOW_SQL_TEMPLATE.format(window=400, hop=160),
+    ),
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
     "s_stream_distinct_users": QuerySpec(stream_distinct_users, STREAM_DISTINCT_USERS_SQL),
@@ -1208,6 +1219,13 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "documents"), dim=32
         ),
         HASHED_EMBEDDING_SQL_TEMPLATE.format(dim=32),
+    ),
+    # Count-Min sketch frequency estimates vs true counts (mergeable grid)
+    "x_countmin_heavy": QuerySpec(
+        lambda spark, sf_dir: countmin_heavy_hitters(
+            load_table(spark, sf_dir, "documents"), depth=4, width=256, k=20
+        ),
+        COUNTMIN_HEAVY_SQL_TEMPLATE.format(depth=4, width=256, k=20),
     ),
     # sparse inverted-index dot-product kNN over the hashed vectors
     "x_hashed_knn": QuerySpec(
@@ -1327,6 +1345,8 @@ _ROUND2_LATE = [
     "s_stream_sessionize",
     "x_hashed_embedding",
     "x_hashed_knn",
+    "x_countmin_heavy",
+    "m_audio_windows",
     "q_shipping_priority",
     "q_returned_revenue",
     "q_large_volume_orders",
