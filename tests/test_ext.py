@@ -713,3 +713,59 @@ def test_importance_weights_separate_target_domain(spark, sf_dir):
     )
     means = {r.is_en: r.mean_per_tok for r in j.collect()}
     assert means[True] > 0 > means[False]
+
+
+def test_countmin_estimates_upper_bound_truth(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.textstats import countmin_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = countmin_heavy_hitters(docs, depth=4, width=64, k=10).collect()
+    assert rows, "expected heavy hitters"
+    # Count-Min is one-sided: estimate >= truth, always
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_count == r.true_count + r.overestimate for r in rows)
+    # a wider grid can only tighten (or keep) every estimate
+    wide = {
+        r.token: r.est_count
+        for r in countmin_heavy_hitters(docs, depth=4, width=4096, k=10).collect()
+    }
+    for r in rows:
+        assert wide[r.token] <= r.est_count
+
+
+def test_hashed_knn_excludes_self_and_ranks_contiguously(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.textstats import hashed_doc_knn
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = hashed_doc_knn(docs, k=5, num_queries=5, dim=32).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # rank order must follow (dot desc, neighbor asc)
+        rs = sorted(rs, key=lambda x: x.rank)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.dot, -a.neighbor_id) >= (b.dot, -b.neighbor_id)
+
+
+def test_audio_windows_cover_only_full_windows(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.multimodal import audio_window_plan, docs_as_media
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    window, hop = 400, 160
+    rows = audio_window_plan(media, window=window, hop=hop).collect()
+    assert rows
+    last_by_media: dict = {}
+    for r in rows:
+        assert r.end_sample == r.start_sample + window - 1
+        assert r.start_sample == r.win_idx * hop
+        assert r.end_sample < r.n_samples  # never a partial window
+        prev = last_by_media.get(r.media_id, -1)
+        last_by_media[r.media_id] = max(prev, r.win_idx)
+    # maximal: one more hop would overrun the blob
+    for r in rows:
+        if r.win_idx == last_by_media[r.media_id]:
+            assert (r.win_idx + 1) * hop + window - 1 >= r.n_samples

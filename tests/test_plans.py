@@ -266,3 +266,23 @@ def test_idle_rich_customers_anti_join_and_broadcast_stats(spark, sf_dir):
     assert "LeftAnti" in plan  # NOT EXISTS compiled to anti join
     # the 1-row scalar stats and the 25-row nation dim both ride broadcast
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_hashed_knn_broadcasts_queries_corpus_never_shuffles_text(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.textstats import hashed_doc_knn
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(hashed_doc_knn(docs, k=5, num_queries=5, dim=32))
+    # inverted-index join: query vectors broadcast; no sort-merge join of the
+    # corpus side on dim_idx
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_window_plan_is_narrow(spark, sf_dir):
+    from dbt_trill_shop_spark.ext.multimodal import audio_window_plan, docs_as_media
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    plan = _plan(audio_window_plan(media))
+    # metadata-only framing: scan -> project/explode, zero shuffles
+    assert "Exchange" not in plan
