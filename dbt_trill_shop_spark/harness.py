@@ -668,6 +668,30 @@ QUERIES: dict[str, QuerySpec] = {
         R.nation_profit,
         R.NATION_PROFIT_SQL_TEMPLATE.format(name_like="%widget%"),
     ),
+    # TPC-H Q2 shape (adapted: observed shipped cents replace ps_supplycost)
+    "q_min_cost_supplier": QuerySpec(
+        R.min_cost_supplier,
+        R.MIN_COST_SUPPLIER_SQL_TEMPLATE.format(size_max=15, region="EUROPE"),
+    ),
+    # TPC-H Q11 shape (global-share HAVING via broadcast scalar total)
+    "q_important_parts": QuerySpec(
+        R.important_parts,
+        R.IMPORTANT_PARTS_SQL_TEMPLATE.format(threshold_ppm=800),
+    ),
+    # TPC-H Q12 shape (delay buckets replace ship modes; SUM(CASE) one-pass)
+    "q_late_shipments": QuerySpec(
+        R.late_shipment_priority,
+        R.LATE_SHIPMENT_PRIORITY_SQL_TEMPLATE.format(late_days=90),
+    ),
+    # TPC-H Q20 shape (dominant shipper semi-join chain, windowed total)
+    "q_dominant_suppliers": QuerySpec(
+        R.dominant_part_suppliers, R.DOMINANT_PART_SUPPLIERS_SQL
+    ),
+    # TPC-H Q21 shape (unique-last-shipper exists/not-exists as windows)
+    "q_blocking_suppliers": QuerySpec(
+        R.blocking_suppliers,
+        R.BLOCKING_SUPPLIERS_SQL_TEMPLATE.format(top_n=20),
+    ),
     # Spark 4 VARIANT semi-structured path (parse once, binary extraction)
     "q_variant_props": QuerySpec(
         A.variant_props_histogram, A.VARIANT_PROPS_HISTOGRAM_SQL
@@ -1356,6 +1380,11 @@ _ROUND2_LATE = [
     "q_nation_profit",
     "x_corpus_report",
     "x_simhash_checked",
+    "q_min_cost_supplier",
+    "q_important_parts",
+    "q_late_shipments",
+    "q_dominant_suppliers",
+    "q_blocking_suppliers",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

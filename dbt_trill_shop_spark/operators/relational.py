@@ -1476,3 +1476,307 @@ WHERE p_name LIKE '{name_like}'
 GROUP BY n_name, YEAR(o_orderdate)
 ORDER BY supp_nation, order_year DESC
 """
+
+
+def min_cost_supplier(
+    spark: SparkSession, sf_dir: str, size_max: int = 15, region: str = "EUROPE"
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each small part, the
+    supplier in a region offering it cheapest, adapted to the driver's
+    schema: no ``partsupp``/``ps_supplycost`` exists, so "cost" is the
+    supplier's total shipped cents for the part (observed from lineitem).
+
+    Q2's point is the correlated MIN subquery (cost = (SELECT MIN ...
+    WHERE ps_partkey = p_partkey)).  Here it decorrelates into a per-part
+    argmin window — ``MIN(STRUCT(cost, suppkey))`` is map-side combinable,
+    so the per-(part, supp) aggregate and the argmin ride the SAME shuffle
+    keyed on partkey (no second exchange, no sort).  part is filtered by
+    size before broadcast; supplier⋈nation⋈region pre-joins on the
+    broadcast side so the region prune happens before the fact join.
+    Ties break to the lowest suppkey via the struct ordering.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= size_max)
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("supp_nation"))
+    )
+    per_ps = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "supp_nation")
+        .agg(F.sum(cents("l_extendedprice")).alias("cost_c"))
+    )
+    best = (
+        per_ps.groupBy("p_partkey", "p_brand")
+        .agg(F.min(F.struct("cost_c", "s_suppkey", "s_name", "s_acctbal", "supp_nation")).alias("m"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            F.col("m.s_suppkey").alias("suppkey"),
+            F.col("m.s_name").alias("supp_name"),
+            F.col("m.supp_nation").alias("supp_nation"),
+            (F.col("m.cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+    )
+    return best.orderBy(F.col("min_cost").desc(), "partkey").limit(100)
+
+
+MIN_COST_SUPPLIER_SQL_TEMPLATE = """
+WITH per_ps AS (
+    SELECT p_partkey, p_brand, s_suppkey, s_name, n_name AS supp_nation,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= {size_max} AND r_name = '{region}'
+    GROUP BY ALL
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_partkey ORDER BY cost_c, s_suppkey) AS rn
+    FROM per_ps
+)
+SELECT p_partkey AS partkey, p_brand, s_suppkey AS suppkey,
+       s_name AS supp_name, supp_nation,
+       CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM ranked WHERE rn = 1
+ORDER BY min_cost DESC, partkey
+LIMIT 100
+"""
+
+
+def important_parts(
+    spark: SparkSession, sf_dir: str, threshold_ppm: int = 800
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose shipped value exceeds a
+    fixed fraction of the GLOBAL shipped value (no partsupp table; value is
+    observed lineitem revenue cents per part).
+
+    Q11's point is the global-total scalar subquery in HAVING.  The global
+    total re-aggregates from the per-part totals (tiny input), lands in a
+    1-row relation, and is broadcast-cross-joined back — the fact scans
+    once, and the threshold compare is exact int64
+    (``part_value_c * 1_000_000 > total_c * threshold_ppm``), so no float
+    boundary can flip between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000000 > F.col("total_c") * threshold_ppm)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_c").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+IMPORTANT_PARTS_SQL_TEMPLATE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS value_c
+    FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT SUM(value_c) AS total_c FROM per_part)
+SELECT l_partkey AS partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+FROM per_part, total
+WHERE value_c * 1000000 > total_c * {threshold_ppm}
+ORDER BY part_value DESC, partkey
+"""
+
+
+def late_shipment_priority(
+    spark: SparkSession, sf_dir: str, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay audit: line counts by delay bucket and
+    order-priority class.  The driver's lineitem has no ship mode /
+    commit/receipt dates, so Q12's GROUP BY l_shipmode becomes a derived
+    delay bucket (ship minus order date), and the CASE-priority split
+    (urgent+high vs rest) is kept verbatim.
+
+    One orders⋈lineitem shuffle join (both huge at 100 TB — AQE handles
+    skew), then a low-cardinality groupBy that AQE coalesces.  Day math is
+    ``datediff`` on midnight timestamps — integer-exact in both engines.
+    ``SUM(CASE)`` both classes in ONE pass (Q12's signature) rather than two
+    filtered scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, F.lit("0-29d"))
+        .when(delay < late_days, F.lit("30-89d"))
+        .otherwise(F.lit("late"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL_TEMPLATE = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN '0-29d'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < {late_days} THEN '30-89d'
+            ELSE 'late' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20-shaped excess-availability suppliers: suppliers who shipped
+    MORE THAN HALF of some part's total shipped quantity (no partsupp
+    availability column; dominance over observed shipments replaces
+    ``ps_availqty > 0.5 * sum(l_quantity)``).
+
+    Q20's nested IN-subquery chain becomes: per-(part, supp) quantity sums
+    and per-part totals ride the SAME partkey-keyed shuffle (the per-part
+    total is a window re-aggregate over the grouped rows — no second
+    exchange), the dominance test is exact int64
+    (``2*supp_qty_c > part_qty_c``), and the distinct dominant suppkeys
+    LEFT-SEMI-join supplier — existence only, no row multiplication.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents("l_quantity")).alias("supp_qty_c")
+    )
+    part_total = F.sum("supp_qty_c").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        per_ps.withColumn("part_qty_c", part_total)
+        .filter(F.col("supp_qty_c") * 2 > F.col("part_qty_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS supp_qty_c
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM (SELECT *, SUM(supp_qty_c) OVER (PARTITION BY l_partkey) AS part_qty_c
+          FROM per_ps)
+    WHERE supp_qty_c * 2 > part_qty_c
+)
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
+
+
+def blocking_suppliers(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier audit: in finished multi-supplier
+    orders, the supplier who UNIQUELY shipped last (everyone else waited on
+    them), counted per supplier.  (No commit/receipt dates in the driver's
+    lineitem; "kept the order waiting" = sole owner of the order's max
+    shipdate, preserving Q21's exists/not-exists pair: at least one other
+    supplier on the order EXISTS, no other supplier also-late NOT EXISTS.)
+
+    Q21 is the classic quadruple-self-join; here both existence tests
+    collapse into window re-aggregates over ONE orderkey-keyed shuffle of
+    the per-(order, supp) pre-aggregate: distinct-supplier count, order max
+    shipdate, and how many suppliers hit that max all ride the same
+    partition.  The final per-supplier count is a second tiny shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_os = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    n_supp = F.count(F.lit(1)).over(w)
+    order_last = F.max("supp_last").over(w)
+    annotated = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        n_supp.alias("n_supp"),
+        order_last.alias("order_last"),
+    ).withColumn(
+        "n_at_last",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)).over(w),
+    )
+    blockers = annotated.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("supp_last") == F.col("order_last"))
+        & (F.col("n_at_last") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blockers.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(top_n)
+    )
+
+
+BLOCKING_SUPPLIERS_SQL_TEMPLATE = """
+WITH per_os AS (
+    SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY l_orderkey, l_suppkey
+),
+marked AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last
+    FROM per_os
+),
+annotated AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_last
+    FROM marked
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM annotated JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND supp_last = order_last AND n_at_last = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {top_n}
+"""
