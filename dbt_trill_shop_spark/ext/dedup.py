@@ -1460,3 +1460,52 @@ JOIN fps fa ON fa.doc_id = c.id_a
 JOIN fps fb ON fb.doc_id = c.id_b
 WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
 """
+
+
+def substring_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    needle_from: int = 20,
+    needle_len: int = 30,
+) -> DataFrame:
+    """EXACT-substring benchmark contamination: flag corpus documents that
+    contain a verbatim excerpt of any benchmark document (the strict
+    complement of the shingle-overlap test in :func:`decontaminate` — exact
+    match catches short verbatim quotes that n-gram-set overlap under-counts,
+    e.g. PaLM/Llama eval hygiene used both).
+
+    One fixed excerpt per benchmark doc (chars ``needle_from..+needle_len``)
+    forms the needle set; corpus ⨯ broadcast(needles) with a JVM ``instr``
+    probe (no LIKE — benchmark text may contain SQL wildcards), aggregated to
+    per-doc hit counts.  Corpus text scans once and never shuffles; cost is
+    O(|corpus| x |needles|) character scanning, which is the right trade
+    while the needle set is benchmark-sized (thousands).  For much larger
+    needle sets the production swap-in is one Aho-Corasick automaton per
+    executor via ``mapInPandas`` — same output contract.
+    """
+    needles = benchmark.select(
+        F.substring(F.col(text_col), needle_from, needle_len).alias("needle")
+    ).filter(F.length("needle") >= needle_len).distinct()
+    return (
+        corpus.crossJoin(F.broadcast(needles))
+        .filter(F.instr(F.col(text_col), F.col("needle")) > 0)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(id_col)
+    )
+
+
+SUBSTRING_CONTAMINATION_SQL_TEMPLATE = """
+WITH needles AS (
+    SELECT DISTINCT substr(text, {needle_from}, {needle_len}) AS needle
+    FROM documents WHERE doc_id < {split_id}
+      AND LENGTH(substr(text, {needle_from}, {needle_len})) >= {needle_len}
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM documents CROSS JOIN needles
+WHERE doc_id >= {split_id} AND POSITION(needle IN text) > 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -301,3 +301,125 @@ FROM (
     WHERE n_samples >= {window}
 )
 """
+
+
+def perceptual_hash_neardup(
+    media: DataFrame,
+    hamming_max: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """dHash perceptual near-duplicate detection over media payloads: sample
+    65 evenly-strided points from each payload, hash bit i = (sample_i >
+    sample_{i+1}) — the gradient-sign fingerprint real image dedup uses on
+    a downscaled 8x8 luminance grid (here the sample stream is the payload
+    itself, so the whole path stays engine-checkable without a codec; a real
+    decoder swaps in upstream of the sampling, the banding/verify machinery
+    is unchanged).
+
+    The 64-bit hash is held as FOUR 16-bit band ints: candidate pairs come
+    from equality self-joins on any (band_idx, band_value) — Hamming<=
+    threshold pairs must collide on >=1 band when threshold < 4·16/4 —
+    then exact Hamming over all four bands (XOR + bit_count) verifies.
+    Banded-join + verify is the same scale shape as MinHash/SimHash: no
+    all-pairs, shuffle keyed on short band values.  Payloads shorter than
+    66 samples are skipped (no stable gradient exists).
+    """
+    base = media.select(
+        F.col(id_col).alias("mid"),
+        F.col(payload_col).cast("string").alias("t"),
+    ).withColumn("n", F.length("t"))
+    strided = base.filter(F.col("n") >= 66).withColumn(
+        "stride", F.greatest(F.lit(1), F.floor(F.col("n") / 66)).cast("int")
+    )
+    sampled = strided.select(
+        "mid",
+        F.expr(
+            "transform(sequence(0, 64), "
+            "i -> ascii(substring(t, cast(1 + i * stride as int), 1)))"
+        ).alias("s"),
+    )
+    banded = sampled.select(
+        "mid",
+        F.expr(
+            "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), "
+            "cast(0 as bigint), (acc, i) -> acc + CASE WHEN "
+            "element_at(s, cast(16 * j + i + 1 as int)) > "
+            "element_at(s, cast(16 * j + i + 2 as int)) "
+            "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END))"
+        ).alias("bands"),
+    ).localCheckpoint(eager=True)
+    exploded = banded.select("mid", F.posexplode("bands").alias("band_idx", "bv"))
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.mid") < F.col("b.mid")),
+        )
+        .select(F.col("a.mid").alias("id_a"), F.col("b.mid").alias("id_b"))
+        .distinct()
+    )
+    ba = banded.select(F.col("mid").alias("id_a"), F.col("bands").alias("bands_a"))
+    bb = banded.select(F.col("mid").alias("id_b"), F.col("bands").alias("bands_b"))
+    hamming = F.expr(
+        "aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, h) -> acc + h)"
+    )
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("id_a", "id_b")
+    )
+
+
+PHASH_NEARDUP_SQL_TEMPLATE = """
+WITH base AS (
+    SELECT doc_id AS mid, text AS t, LENGTH(text) AS n FROM documents
+    WHERE LENGTH(text) >= 66
+),
+strided AS (
+    SELECT mid, t, GREATEST(1, CAST(n // 66 AS INT)) AS stride FROM base
+),
+sampled AS (
+    SELECT mid,
+           list_transform(range(0, 65),
+                          i -> ascii(substr(t, CAST(1 + i * stride AS INT), 1))) AS s
+    FROM strided
+),
+banded AS (
+    SELECT mid,
+           list_transform(range(0, 4), j ->
+               CAST(list_sum(list_transform(range(0, 16), i ->
+                   CASE WHEN s[CAST(16 * j + i + 1 AS INT)]
+                             > s[CAST(16 * j + i + 2 AS INT)]
+                        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bands
+    FROM sampled
+),
+exploded AS (
+    SELECT mid, i AS band_idx, bands[CAST(i + 1 AS INT)] AS bv
+    FROM banded, UNNEST(range(0, 4)) AS u(i)
+),
+cand AS (
+    SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+    FROM exploded a JOIN exploded b
+      ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.mid < b.mid
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(range(1, 5),
+                j -> bit_count(xor(ba.bands[CAST(j AS INT)],
+                                   bb.bands[CAST(j AS INT)])))) AS BIGINT)
+           AS hamming
+FROM cand
+JOIN banded ba ON ba.mid = id_a
+JOIN banded bb ON bb.mid = id_b
+WHERE CAST(list_sum(list_transform(range(1, 5),
+              j -> bit_count(xor(ba.bands[CAST(j AS INT)],
+                                 bb.bands[CAST(j AS INT)])))) AS BIGINT)
+          <= {hamming_max}
+ORDER BY id_a, id_b
+"""

@@ -589,3 +589,78 @@ SELECT CAST(ROW_NUMBER() OVER (
        doc_id
 FROM documents
 """
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/Rabin style, token granularity): a
+    chunk boundary opens wherever the token's own hash starts with a zero
+    nibble (P=1/16 -> ~16-token expected chunks), so an insertion early in a
+    document shifts only the chunk it lands in — every later boundary
+    re-anchors on content, unlike fixed-stride chunking where one edit
+    re-chunks the whole tail.  The dedup-friendly chunking for storage and
+    embedding caches.
+
+    Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens), chunk_id dense
+    from 1.  Plan: pure per-row array expressions — boundary positions via
+    ``filter`` over the position sequence, chunk extents by zipping each
+    boundary with its successor, one ``posexplode``.  No shuffle, no window:
+    a running chunk counter would need per-doc state, but pairing each
+    boundary with the NEXT boundary gives the same extents statelessly.
+    Token array and boundary list are bound in their own projections
+    (higher-order-function bodies are interpreted per element — an inline
+    ``split`` would re-tokenize per position).
+    """
+    base = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    bounded = base.select(
+        id_col,
+        "t",
+        F.expr(
+            "filter(sequence(1, size(t)), "
+            "p -> p = 1 OR substring(md5(cast(element_at(t, p) as binary)), 1, 1) = '0')"
+        ).alias("bs"),
+    )
+    spans = bounded.select(
+        id_col,
+        "t",
+        F.expr(
+            "arrays_zip(bs, concat(slice(bs, 2, size(bs) - 1), "
+            "array(size(t) + 1)))"
+        ).alias("spans"),
+    )
+    exploded = spans.select(
+        id_col, "t", F.posexplode("spans").alias("i", "span")
+    )
+    start = F.col("span.bs").cast("int")
+    n_toks = (F.col("span.1") - F.col("span.bs")).cast("int")
+    return exploded.select(
+        F.col(id_col),
+        (F.col("i") + 1).cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("t", start, n_toks), " ").alias("chunk_text"),
+        n_toks.cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+CDC_CHUNKS_SQL = """
+WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+b AS (
+    SELECT doc_id, toks,
+           list_filter(range(1, LEN(toks) + 1),
+                       p -> p = 1 OR substr(md5(toks[p]), 1, 1) = '0') AS bs
+    FROM t
+),
+z AS (
+    SELECT doc_id, toks, bs,
+           list_concat(bs[2:], [CAST(LEN(toks) + 1 AS BIGINT)]) AS ns,
+           unnest(range(1, LEN(bs) + 1)) AS i
+    FROM b
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[bs[i] : ns[i] - 1], ' ') AS chunk_text,
+       CAST(ns[i] - bs[i] AS BIGINT) AS n_chunk_tokens
+FROM z
+"""

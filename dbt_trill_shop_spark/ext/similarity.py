@@ -1394,3 +1394,115 @@ ranked AS (
 SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {n_per_cell}
 """
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation search (Kusupati et al. 2022): rank
+    candidates CHEAPLY on the first ``prefix_dims`` dimensions (MRL
+    embeddings front-load information, so the prefix is itself a usable
+    embedding), keep a per-query ``shortlist``, then re-rank only the
+    shortlist at full dimensionality.  Scan cost drops by ~dim/prefix_dims
+    while full-precision quality survives via the rerank — the two-phase
+    funnel every production vector store runs.
+
+    Both phases score as int64 micro-unit dot products (components rounded
+    to 1e-6 BEFORE multiplying), so ranks are bit-exact cross-engine.  The
+    query side broadcasts in both phases; the corpus scans once for the
+    coarse pass and only the shortlist rows rejoin for the rerank, keyed by
+    candidate id (at 100 TB: prefix columns can be stored separately —
+    column pruning means the coarse pass reads prefix_dims/dim of the
+    bytes).
+    """
+    enc = "transform(v, x -> cast(round(x * 1000000, 0) as bigint))"
+
+    def micro(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).cast("array<double>").alias("v")
+        ).select(out_id, F.expr(enc).alias(out_vec))
+
+    q = micro(queries, "query_id", "qv").withColumn(
+        "qp", F.slice("qv", 1, prefix_dims)
+    )
+    c = micro(embeddings, "cand_id", "cv").withColumn(
+        "cp", F.slice("cv", 1, prefix_dims)
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "qv",
+            int_dot(F.col("qp"), F.col("cp")).alias("coarse_dot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_dot"), F.asc("cand_id")
+    )
+    short = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= shortlist
+    )
+    rer = short.select(
+        "query_id", "cand_id", int_dot(F.col("qv"), F.col("cv")).alias("full_dot")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("full_dot"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            "rank",
+            (F.col("full_dot").cast("double") / 1e12).alias("dot"),
+        )
+    )
+
+
+MATRYOSHKA_TOPK_SQL_TEMPLATE = """
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
+    FROM embeddings
+),
+coarse AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.mv AS qv, c.mv AS cv,
+           CAST(list_sum(list_transform(range(1, {prefix_dims} + 1),
+                                        i -> q.mv[i] * c.mv[i])) AS BIGINT)
+               AS coarse_dot
+    FROM m q CROSS JOIN m c
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+),
+short AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY coarse_dot DESC, cand_id ASC) AS crank
+    FROM coarse
+),
+rer AS (
+    SELECT query_id, cand_id,
+           CAST(list_sum(list_transform(range(1, LEN(qv) + 1),
+                                        i -> qv[i] * cv[i])) AS BIGINT) AS full_dot
+    FROM short WHERE crank <= {shortlist}
+)
+SELECT query_id, cand_id AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY full_dot DESC, cand_id ASC) AS BIGINT)
+           AS rank,
+       CAST(full_dot AS DOUBLE) / 1e12 AS dot
+FROM rer
+QUALIFY rank <= {k}
+"""

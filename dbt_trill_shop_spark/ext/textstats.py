@@ -516,22 +516,12 @@ def _pii_sql_steps(source_sql: str, id_col: str, text_col: str) -> str:
 PII_SCRUB_EVENTS_SQL = _pii_sql_steps("events", "event_id", "props")
 
 
-def unigram_logprob(
+def _unigram_doc_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """CCNet-style pseudo-perplexity filter: score each document by the mean
-    negative log-probability of its tokens under the corpus's own unigram
-    model (high = unusual token mix; the classic LM-based quality cut,
-    Wenzek et al. 2020).
-
-    avg_neg_logp = ln(N_total) - mean(ln(count(token)))
-
-    Determinism: per-token ``ln(count)`` is scaled to micro-nats and SUMMED
-    AS INT64 (float summation order varies across engines; integer sums
-    don't) — the only float ops are one ln + one division at the end, both
-    rounded to 6 dp.  Two shuffles, both map-side combinable: term counts
-    keyed by term, then per-doc sums keyed by doc.
-    """
+    """Shared per-doc unigram-LM evidence for :func:`unigram_logprob` and
+    :func:`ppl_buckets`: (id, n_tokens, sum_ln_micro, n_total) with
+    ``sum_ln_micro`` the int64 micro-nat sum of per-token ln(count)."""
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
@@ -550,8 +540,27 @@ def unigram_logprob(
             F.sum(F.col("tf") * scaled_ln).alias("sum_ln_micro"),
         )
     )
+    return per_doc.crossJoin(F.broadcast(total))
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style pseudo-perplexity filter: score each document by the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    model (high = unusual token mix; the classic LM-based quality cut,
+    Wenzek et al. 2020).
+
+    avg_neg_logp = ln(N_total) - mean(ln(count(token)))
+
+    Determinism: per-token ``ln(count)`` is scaled to micro-nats and SUMMED
+    AS INT64 (float summation order varies across engines; integer sums
+    don't) — the only float ops are one ln + one division at the end, both
+    rounded to 6 dp.  Two shuffles, both map-side combinable: term counts
+    keyed by term, then per-doc sums keyed by doc.
+    """
     return (
-        per_doc.crossJoin(F.broadcast(total))
+        _unigram_doc_scores(docs, text_col, id_col)
         .select(
             F.col(id_col),
             F.col("n_tokens"),
@@ -1258,4 +1267,100 @@ JOIN hashed h ON h.w = t.w
 JOIN cells c ON c.r = h.r AND c.b = h.b
 GROUP BY t.w, t.cnt
 ORDER BY true_count DESC, token ASC
+"""
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its unigram pseudo-perplexity, cut the corpus into
+    ``n_buckets`` equal-count deciles, and label head/middle/tail segments —
+    the standard stratification before keeping only the "middle" band
+    (head = boilerplate-ish low-ppl, tail = noise).
+
+    Determinism across engines: the rank key is
+    ``sum_ln_micro / n_tokens`` — ONE IEEE division of identical int64
+    operands (bit-equal in any engine), ties broken by doc id, so NTILE
+    buckets are identical everywhere.  The doc-score input reuses
+    :func:`_unigram_doc_scores` (micro-nat int sums).  The NTILE is a single
+    total-order window — fine at corpus scale because it runs over the
+    per-DOC score relation (orders of magnitude smaller than the token
+    stream); for 100 TB of *docs* swap NTILE for approx-quantile cutpoints
+    broadcast as a CASE.
+    """
+    scores = _unigram_doc_scores(docs, text_col, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("sum_ln_micro").cast("double") / F.col("n_tokens")).alias("score"),
+        F.round(
+            F.log(F.col("n_total").cast("double"))
+            - (F.col("sum_ln_micro").cast("double") / 1_000_000.0)
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_neg_logp"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    third = max(n_buckets // 3, 1)
+    bucketed = scores.withColumn("bucket", F.ntile(n_buckets).over(w).cast("bigint"))
+    segment = (
+        F.when(F.col("bucket") <= third, F.lit("head"))
+        .when(F.col("bucket") > n_buckets - third, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("avg_neg_logp").alias("min_avg_neg_logp"),
+            F.max("avg_neg_logp").alias("max_avg_neg_logp"),
+        )
+        .withColumn("segment", segment)
+        .orderBy("bucket")
+    )
+
+
+PPL_BUCKETS_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(STR_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT SUM(cnt) AS n_total FROM freq),
+per_doc AS (
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * CAST(ROUND(LN(freq.cnt) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS sum_ln_micro
+    FROM tf JOIN freq USING (term)
+    GROUP BY tf.doc_id
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           CAST(sum_ln_micro AS DOUBLE) / n_tokens AS score,
+           ROUND(LN(CAST(n_total AS DOUBLE))
+                 - (CAST(sum_ln_micro AS DOUBLE) / 1000000.0) / n_tokens,
+                 6) AS avg_neg_logp
+    FROM per_doc CROSS JOIN total
+),
+bucketed AS (
+    SELECT *, CAST(NTILE({n_buckets}) OVER (ORDER BY score DESC, doc_id ASC)
+                   AS BIGINT) AS bucket
+    FROM scored
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(avg_neg_logp) AS min_avg_neg_logp,
+       MAX(avg_neg_logp) AS max_avg_neg_logp,
+       CASE WHEN bucket <= {third} THEN 'head'
+            WHEN bucket > {n_buckets} - {third} THEN 'tail'
+            ELSE 'middle' END AS segment
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
 """

@@ -37,7 +37,9 @@ from .ext.dedup import (
     DUP_SPAN_COVERAGE_SQL_TEMPLATE,
     INCREMENTAL_DEDUP_SQL_TEMPLATE,
     BOILERPLATE_STRIP_SQL_TEMPLATE,
+    SUBSTRING_CONTAMINATION_SQL_TEMPLATE,
     boilerplate_strip,
+    substring_contamination,
     connected_components,
     decontaminate,
     dedup_canonical,
@@ -64,15 +66,19 @@ from .ext.multimodal import (
     MEDIA_FEATURES_SQL,
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
+    PHASH_NEARDUP_SQL_TEMPLATE,
     audio_window_plan,
     docs_as_media,
+    perceptual_hash_neardup,
     extract_features,
     frame_sample_plan,
     patch_grid_plan,
     resize_plan,
 )
 from .ext.sampling import (
+    CDC_CHUNKS_SQL,
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
+    cdc_chunks,
     HASH_SAMPLE_SQL_TEMPLATE,
     HASH_SPLIT_SQL_TEMPLATE,
     TRAINING_ORDER_SQL_TEMPLATE,
@@ -101,6 +107,8 @@ from .ext.bpe import (
 )
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
+    MATRYOSHKA_TOPK_SQL_TEMPLATE,
+    matryoshka_topk,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVFPQ_TOPK_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
@@ -145,6 +153,8 @@ from .ext.pipeline import (
 )
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
+    PPL_BUCKETS_SQL_TEMPLATE,
+    ppl_buckets,
     COUNTMIN_HEAVY_SQL_TEMPLATE,
     HASHED_DOC_KNN_SQL_TEMPLATE,
     HASHED_EMBEDDING_SQL_TEMPLATE,
@@ -536,6 +546,35 @@ def _m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs_as_media(load_table(spark, sf_dir, "documents")))
 
 
+def _m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perceptual_hash_neardup(
+        docs_as_media(load_table(spark, sf_dir, "documents")), hamming_max=8
+    )
+
+
+def _x_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def _x_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppl_buckets(load_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+def _x_substring_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_contamination(
+        docs.filter(F.col("doc_id") >= _DECON_SPLIT_ID),
+        docs.filter(F.col("doc_id") < _DECON_SPLIT_ID),
+    )
+
+
+def _x_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") < 5), prefix_dims=16, shortlist=50, k=10
+    )
+
+
 def _m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(docs_as_media(load_table(spark, sf_dir, "documents")), every_n=10)
 
@@ -691,6 +730,34 @@ QUERIES: dict[str, QuerySpec] = {
     "q_blocking_suppliers": QuerySpec(
         R.blocking_suppliers,
         R.BLOCKING_SUPPLIERS_SQL_TEMPLATE.format(top_n=20),
+    ),
+    # first-order Markov transitions over per-user event sequences
+    "q_event_transitions": QuerySpec(
+        A.event_transitions, A.EVENT_TRANSITIONS_SQL
+    ),
+    # content-defined chunking (FastCDC-style token-hash boundaries)
+    "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
+    # CCNet perplexity deciles with head/middle/tail segments
+    "x_ppl_buckets": QuerySpec(
+        _x_ppl_buckets, PPL_BUCKETS_SQL_TEMPLATE.format(n_buckets=10, third=3)
+    ),
+    # exact-substring benchmark contamination (complement of shingle overlap)
+    "x_substring_contam": QuerySpec(
+        _x_substring_contam,
+        SUBSTRING_CONTAMINATION_SQL_TEMPLATE.format(
+            split_id=_DECON_SPLIT_ID, needle_from=20, needle_len=30
+        ),
+    ),
+    # matryoshka prefix-dims coarse rank + full-dims rerank funnel
+    "x_matryoshka_topk": QuerySpec(
+        _x_matryoshka_topk,
+        MATRYOSHKA_TOPK_SQL_TEMPLATE.format(
+            prefix_dims=16, num_queries=5, shortlist=50, k=10
+        ),
+    ),
+    # dHash perceptual near-dup over media payloads (banded 64-bit hash)
+    "m_phash_neardup": QuerySpec(
+        _m_phash_neardup, PHASH_NEARDUP_SQL_TEMPLATE.format(hamming_max=8)
     ),
     # Spark 4 VARIANT semi-structured path (parse once, binary extraction)
     "q_variant_props": QuerySpec(
@@ -1385,6 +1452,12 @@ _ROUND2_LATE = [
     "q_late_shipments",
     "q_dominant_suppliers",
     "q_blocking_suppliers",
+    "q_event_transitions",
+    "x_cdc_chunks",
+    "x_ppl_buckets",
+    "x_substring_contam",
+    "x_matryoshka_topk",
+    "m_phash_neardup",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

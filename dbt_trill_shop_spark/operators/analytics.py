@@ -627,3 +627,57 @@ FROM events
 GROUP BY 1
 ORDER BY k_decade
 """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current type), the standard behavioral-sequence
+    summary (and the feature a next-event model trains on).
+
+    One shuffle keyed by user_id for the LAG window (high-cardinality key —
+    each user's timeline sorts independently); the pair-count groupBy is
+    low-cardinality (|types|²) so the partial aggregate collapses map-side.
+    Probabilities are emitted as exact parts-per-million via int64 floor
+    division (count·1e6 div row_total) — no float division to drift
+    cross-engine; ties in ts are ordered by event_id so LAG is total-order
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return (
+        pairs.withColumn("ppm", F.expr("n * 1000000 DIV sum(n) over (partition by from_type)"))
+        .withColumn("row_n", row_total)
+        .select("from_type", "to_type", "n", "row_n", "ppm")
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS to_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS ppm
+FROM pairs
+ORDER BY from_type, to_type
+"""
