@@ -286,3 +286,50 @@ def test_audio_window_plan_is_narrow(spark, sf_dir):
     plan = _plan(audio_window_plan(media))
     # metadata-only framing: scan -> project/explode, zero shuffles
     assert "Exchange" not in plan
+
+
+def test_cdc_chunks_is_shuffle_free(spark, sf_dir):
+    """Content-defined chunking is pure array expressions — no Exchange."""
+    from dbt_trill_shop_spark.ext.sampling import cdc_chunks
+
+    plan = _plan(cdc_chunks(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_matryoshka_broadcasts_queries(spark, sf_dir):
+    """Both phases keep the corpus un-shuffled: queries broadcast, no
+    CartesianProduct (the cross join is a broadcast nested loop)."""
+    from dbt_trill_shop_spark.ext.similarity import matryoshka_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(matryoshka_topk(emb, emb.filter(F.col("vec_id") < 5)))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_joins_on_bands_not_all_pairs(spark, sf_dir):
+    """Candidate generation is a banded equi-join: no cartesian/nested-loop
+    pair explosion anywhere in the plan."""
+    from dbt_trill_shop_spark.ext.multimodal import (
+        docs_as_media,
+        perceptual_hash_neardup,
+    )
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    plan = _plan(perceptual_hash_neardup(media))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_contam_broadcasts_needles(spark, sf_dir):
+    """The needle set broadcasts; the corpus text is probed in place and
+    never shuffled before the per-doc aggregate."""
+    from dbt_trill_shop_spark.ext.dedup import substring_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(
+        substring_contamination(
+            docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+        )
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

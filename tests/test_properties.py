@@ -276,3 +276,81 @@ def test_bpe_matches_pure_python_reference(spark, corpus, n_merges):
         for r in bpe_merges(docs, n_merges=n_merges, max_vocab=1000).collect()
     ]
     assert got == _bpe_reference(corpus, n_merges)
+
+
+def test_cdc_chunks_reassemble_to_original(spark, sf_dir):
+    """Lossless partition property: joining every doc's chunks back in
+    chunk order must reproduce the original token stream exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    rebuilt = (
+        cdc_chunks(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ppl_buckets_partition_the_corpus(spark, sf_dir):
+    """Deciles are equal-count (±1) and cover every document exactly once."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.textstats import ppl_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = ppl_buckets(docs, n_buckets=10).collect()
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert {r.segment for r in rows} == {"head", "middle", "tail"}
+
+
+def test_phash_hamming_within_threshold_and_symmetric_free(spark, sf_dir):
+    """Every reported pair is id_a < id_b with hamming <= the threshold, and
+    identical payloads always collide at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.multimodal import (
+        docs_as_media,
+        perceptual_hash_neardup,
+    )
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    rows = perceptual_hash_neardup(media, hamming_max=8).collect()
+    assert all(r.id_a < r.id_b and 0 <= r.hamming <= 8 for r in rows)
+    # exact duplicates (same text) must appear with hamming 0
+    docs = load_table(spark, sf_dir, "documents")
+    dup_pair = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.length("a.text") >= 66)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .limit(1)
+        .collect()
+    )
+    if dup_pair:
+        found = [
+            r
+            for r in rows
+            if r.id_a == dup_pair[0].id_a and r.id_b == dup_pair[0].id_b
+        ]
+        assert found and found[0].hamming == 0
