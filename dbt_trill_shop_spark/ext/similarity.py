@@ -1506,3 +1506,184 @@ SELECT query_id, cand_id AS neighbor_id,
 FROM rer
 QUALIFY rank <= {k}
 """
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the FAISS-default composition
+    (Jegou et al. 2011 §IV, `IndexIVFPQ`): PQ codes compress the residual
+    ``v - centroid(cell(v))`` instead of the raw vector.  Residuals are
+    near-zero-centered so the same code budget buys ~one extra bit of
+    precision per block; the price is a per-(query, probed-cell) lookup
+    table, since the query must be re-centered against every cell it probes.
+
+    Plan shape: the codebook (residuals of the first ``n_codes`` vectors)
+    broadcasts everywhere; corpus residuals ride the cell assignment join
+    (broadcast centroids, corpus never shuffles for it); the LUT is
+    |queries| x n_probe x n_blocks x n_codes rows — broadcast; candidates in
+    non-probed cells drop out naturally because the LUT join is keyed on
+    (cell, block, code).  ADC sums int64 micro-units with 6 dp pre-rounding,
+    so the whole approximate index is value-hash exact cross-engine.
+    """
+    assign = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    resid = (
+        base.join(assign, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with("v", "centroid", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    block_slices = _block_slices(n_blocks)
+    cb = (
+        resid.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), F.col("rv").alias("v"))
+        .select("code", F.explode(block_slices).alias("s"))
+        .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
+    )
+    rblocks = (
+        resid.select(id_col, "cell", F.col("rv").alias("v"))
+        .select(id_col, "cell", F.explode(block_slices).alias("s"))
+        .select(id_col, "cell", F.col("s.block").alias("block"), F.col("s.bv").alias("bv"))
+    )
+    enc_d2 = _sq_l2(F.col("bv"), F.col("cv"))
+    enc_scored = rblocks.join(F.broadcast(cb), "block").select(
+        id_col, "cell", "block", "code", F.round(enc_d2, 6).alias("d2")
+    )
+    we = Window.partitionBy(id_col, "block").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        enc_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("cand_id"), "cell", "block", "code")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cell_d2 = _sq_l2(F.col("qv"), F.col("centroid"))
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", "centroid", F.round(cell_d2, 6).alias("d2")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "centroid", lambda x, y: x - y).alias("v"),
+        )
+    )
+    qrblocks = (
+        probed.select("query_id", "cell", F.explode(block_slices).alias("s"))
+        .select("query_id", "cell", F.col("s.block").alias("block"), F.col("s.bv").alias("qbv"))
+    )
+    lut_d2 = _sq_l2(F.col("qbv"), F.col("cv"))
+    lut = qrblocks.join(F.broadcast(cb), "block").select(
+        "query_id", "cell", "block", "code",
+        F.round(lut_d2 * 1_000_000, 0).cast("bigint").alias("d2_micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "block", "code"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank")
+    )
+
+
+IVFPQ_RESIDUAL_SQL_TEMPLATE = """
+WITH assign AS ({ivf_assign}),
+cents AS (
+    SELECT vec_id AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+    FROM embeddings WHERE vec_id < {n_cells}
+),
+resid AS (
+    SELECT e.vec_id, a.cell,
+           list_transform(range(1, LEN(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS rv
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN cents c ON c.cell = a.cell
+),
+cb AS (
+    SELECT vec_id AS code, b,
+           rv[b * (LEN(rv) // {m}) + 1 : (b + 1) * (LEN(rv) // {m})] AS cv
+    FROM resid CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+    WHERE vec_id < {k_codes}
+),
+rblocks AS (
+    SELECT vec_id, cell, b,
+           rv[b * (LEN(rv) // {m}) + 1 : (b + 1) * (LEN(rv) // {m})] AS bv
+    FROM resid CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+),
+codes AS (
+    SELECT vec_id AS cand_id, cell, b AS block, code FROM (
+        SELECT r.vec_id, r.cell, r.b, c.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id, r.b
+                   ORDER BY ROUND(list_distance(r.bv, c.cv) ** 2, 6) ASC,
+                            c.code ASC) AS rn
+        FROM rblocks r JOIN cb c ON r.b = c.b
+    ) t WHERE rn = 1
+),
+probe AS (
+    SELECT query_id, cell, qrv FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               list_transform(range(1, LEN(q.embedding) + 1),
+                              i -> CAST(q.embedding[i] AS DOUBLE) - c.centroid[i]) AS qrv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_distance(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       c.centroid) ** 2, 6) ASC, c.cell ASC) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {num_queries}
+    ) t WHERE rn <= {n_probe}
+),
+qrblocks AS (
+    SELECT query_id, cell, b,
+           qrv[b * (LEN(qrv) // {m}) + 1 : (b + 1) * (LEN(qrv) // {m})] AS qbv
+    FROM probe CROSS JOIN UNNEST(range(0, {m})) AS t(b)
+),
+lut AS (
+    SELECT q.query_id, q.cell, q.b, c.code,
+           CAST(ROUND(list_distance(q.qbv, c.cv) ** 2 * 1000000, 0) AS BIGINT)
+               AS d2_micro
+    FROM qrblocks q JOIN cb c ON q.b = c.b
+),
+scored AS (
+    SELECT l.query_id, co.cand_id, SUM(l.d2_micro) AS adc_micro
+    FROM codes co
+    JOIN lut l ON l.cell = co.cell AND l.b = co.block AND l.code = co.code
+    WHERE l.query_id != co.cand_id
+    GROUP BY l.query_id, co.cand_id
+)
+SELECT query_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_micro ASC, cand_id ASC) AS rn
+    FROM scored
+) t WHERE rn <= {k}
+"""

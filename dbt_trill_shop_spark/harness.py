@@ -108,6 +108,8 @@ from .ext.bpe import (
 from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     MATRYOSHKA_TOPK_SQL_TEMPLATE,
+    IVFPQ_RESIDUAL_SQL_TEMPLATE,
+    ivfpq_residual_topk,
     matryoshka_topk,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVFPQ_TOPK_SQL_TEMPLATE,
@@ -201,12 +203,14 @@ from .streaming.events import (
     STREAM_DISTINCT_USERS_SQL,
     STREAM_SEGMENT_ROLLUP_SQL,
     STREAM_SESSIONIZE_SQL,
+    STREAM_COUNTMIN_SQL_TEMPLATE,
     STREAM_TOP_TYPES_SQL_TEMPLATE,
     STREAM_WEEKLY_SQL,
     stream_dedup_events,
     stream_distinct_users,
     stream_purchase_attribution,
     stream_segment_rollup,
+    stream_countmin_heavy,
     stream_sessionize,
     stream_top_event_types,
     stream_weekly_rollup,
@@ -568,6 +572,14 @@ def _x_substring_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_cells=_IVF_CELLS, n_probe=4, n_blocks=4, n_codes=_IVF_CELLS,
+    )
+
+
 def _x_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return matryoshka_topk(
@@ -753,6 +765,15 @@ QUERIES: dict[str, QuerySpec] = {
         _x_matryoshka_topk,
         MATRYOSHKA_TOPK_SQL_TEMPLATE.format(
             prefix_dims=16, num_queries=5, shortlist=50, k=10
+        ),
+    ),
+    # FAISS-default residual IVF-PQ (per-(query, cell) LUT re-centering)
+    "x_ivfpq_residual": QuerySpec(
+        _x_ivfpq_residual,
+        IVFPQ_RESIDUAL_SQL_TEMPLATE.format(
+            ivf_assign=IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS),
+            n_cells=_IVF_CELLS, m=4, k_codes=_IVF_CELLS,
+            num_queries=5, n_probe=4, k=5,
         ),
     ),
     # dHash perceptual near-dup over media payloads (banded 64-bit hash)
@@ -1304,6 +1325,13 @@ QUERIES: dict[str, QuerySpec] = {
     # custom stateful operator: applyInPandasWithState gap sessionizer; the
     # drained update-mode output == batch sessions minus each user's open one
     "s_stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
+    # Count-Min grid as a streaming aggregation (fixed-size sketch state)
+    "s_stream_countmin": QuerySpec(
+        lambda spark, sf_dir: stream_countmin_heavy(
+            spark, sf_dir, depth=4, width=64, k=10
+        ),
+        STREAM_COUNTMIN_SQL_TEMPLATE.format(depth=4, width=64, k=10),
+    ),
     # hashing-trick document vectors (signed feature hashing, model-free)
     "x_hashed_embedding": QuerySpec(
         lambda spark, sf_dir: hashed_embedding(
@@ -1457,7 +1485,9 @@ _ROUND2_LATE = [
     "x_ppl_buckets",
     "x_substring_contam",
     "x_matryoshka_topk",
+    "x_ivfpq_residual",
     "m_phash_neardup",
+    "s_stream_countmin",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

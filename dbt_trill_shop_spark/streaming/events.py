@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 import os
 
-from ..catalog import _EVENTS_RAW_SCHEMA, events_ts_is_native
+from ..catalog import _EVENTS_RAW_SCHEMA, events_ts_is_native, load_table
 
 SESSION_GAP_MINUTES = 30
 
@@ -485,4 +485,95 @@ agg AS (
 SELECT user_id, session_start_us, n_events, duration_us
 FROM agg
 WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+"""
+
+
+def stream_countmin_heavy(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Count-Min sketch maintained AS A STREAM over event types: the
+    (depth x width) counter grid is a streaming aggregation keyed on hashed
+    cells, so streaming state is a fixed depth·width cells no matter how
+    many distinct keys ever arrive — the sketch property that makes
+    heavy-hitter tracking viable on an unbounded stream (an exact
+    streaming count per key grows state forever; watermarks can't evict
+    keys that may recur).  Cells are mergeable sums, so micro-batches fold
+    in associatively — the same reason the batch twin's partitions merge
+    map-side (``countmin_heavy_hitters``).
+
+    Estimates audit against exact batch counts post-drain: min over the
+    key's depth cells >= true count (one-sided CM guarantee).  Row hashes
+    are the batch twin's md5 slices, so with trigger(availableNow) the
+    drained grid is batch-identical and the whole query value-hash
+    oracle-checkable.
+    """
+    ev = stream_events(spark, sf_dir).select(F.col("event_type").alias("w"))
+
+    def bucket(r: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("w"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % width
+        )
+
+    rows = F.array(
+        *[F.struct(F.lit(r).alias("r"), bucket(r).alias("b")) for r in range(depth)]
+    )
+    cells_stream = (
+        ev.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    cells = run_stream_to_memory(
+        cells_stream, "complete", shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS
+    )
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = truth.select("w", "cnt", F.explode(rows).alias("rb")).select(
+        "w", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    est = (
+        hashed.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("w").alias("event_type"),
+            F.col("cnt").cast("bigint").alias("true_count"),
+            F.col("est").cast("bigint").alias("est_count"),
+            (F.col("est") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("event_type"))
+        .limit(k)
+    )
+
+
+STREAM_COUNTMIN_SQL_TEMPLATE = """
+WITH counts AS (SELECT event_type AS w, COUNT(*) AS cnt FROM events GROUP BY 1),
+hashed AS (
+    SELECT w, cnt, r,
+           CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8) AS BIGINT)
+               % {width} AS b
+    FROM counts CROSS JOIN (SELECT unnest(generate_series(0, {depth} - 1)) AS r)
+),
+cells AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS cell FROM hashed GROUP BY r, b)
+SELECT h.w AS event_type,
+       CAST(h.cnt AS BIGINT) AS true_count,
+       CAST(MIN(c.cell) AS BIGINT) AS est_count,
+       CAST(MIN(c.cell) - h.cnt AS BIGINT) AS overestimate
+FROM hashed h
+JOIN cells c ON c.r = h.r AND c.b = h.b
+GROUP BY h.w, h.cnt
+ORDER BY true_count DESC, event_type ASC
+LIMIT {k}
 """
