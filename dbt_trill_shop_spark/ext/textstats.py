@@ -1364,3 +1364,88 @@ FROM bucketed
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    algorithm): hash every k-token shingle, slide a window of ``w``
+    consecutive hashes, and keep the window's minimum (rightmost on ties).
+    Guarantees at least one shared fingerprint for any match of length
+    >= w + k - 1 tokens while storing only ~2/(w+1) of the hashes — the
+    local-document-fingerprint scheme plagiarism/overlap detection uses
+    where MinHash's whole-document signature is too coarse.
+
+    Entirely per-row array expressions (no shuffle until the final
+    distinct): shingle hashes bind once per doc, each window position picks
+    (rightmost argmin, min) packed into ONE int64
+    (``pos << 32 | hash32``) so window dedup is a plain
+    ``array_distinct`` — no struct plumbing cross-engine.  Hashes are md5
+    slices (32-bit) for engine parity; at scale swap in xxhash64 Spark-side.
+    """
+    base = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    hs = base.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(1, size(t) - {k} + 1), "
+            f"p -> cast(conv(substring(md5(cast("
+            f"array_join(slice(t, p, {k}), ' ') as binary)), 1, 8), 16, 10) "
+            f"as bigint)) ELSE array() END"
+        ).alias("hs"),
+    )
+    packed = hs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"array_distinct(CASE WHEN size(hs) >= {w} THEN "
+                f"transform(sequence(1, size(hs) - {w} + 1), q -> "
+                f"(q + {w} - array_position(reverse(slice(hs, q, {w})), "
+                f"array_min(slice(hs, q, {w})))) * 4294967296 "
+                f"+ array_min(slice(hs, q, {w}))) ELSE array() END)"
+            )
+        ).alias("enc"),
+    )
+    return packed.select(
+        id_col,
+        (F.col("enc") / 4294967296).cast("bigint").alias("pos"),
+        (F.col("enc") % 4294967296).alias("fingerprint"),
+    ).orderBy(id_col, "pos")
+
+
+WINNOWING_SQL_TEMPLATE = """
+WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+h AS (
+    SELECT doc_id,
+           CASE WHEN LEN(toks) >= {k} THEN
+               list_transform(range(1, LEN(toks) - {k} + 2),
+                   p -> CAST('0x' || substring(
+                            md5(array_to_string(toks[p : p + {k} - 1], ' ')),
+                            1, 8) AS BIGINT))
+           ELSE [] END AS hs
+    FROM t
+),
+packed AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN LEN(hs) >= {w} THEN
+                   list_transform(range(1, LEN(hs) - {w} + 2), q ->
+                       (q + {w} - list_position(
+                            list_reverse(hs[q : q + {w} - 1]),
+                            list_min(hs[q : q + {w} - 1])))
+                       * 4294967296
+                       + list_min(hs[q : q + {w} - 1]))
+               ELSE [] END)) AS enc
+    FROM h
+)
+SELECT doc_id,
+       CAST(enc // 4294967296 AS BIGINT) AS pos,
+       CAST(enc % 4294967296 AS BIGINT) AS fingerprint
+FROM packed
+ORDER BY doc_id, pos
+"""

@@ -156,7 +156,9 @@ from .ext.pipeline import (
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
     PPL_BUCKETS_SQL_TEMPLATE,
+    WINNOWING_SQL_TEMPLATE,
     ppl_buckets,
+    winnowing_fingerprints,
     COUNTMIN_HEAVY_SQL_TEMPLATE,
     HASHED_DOC_KNN_SQL_TEMPLATE,
     HASHED_EMBEDDING_SQL_TEMPLATE,
@@ -747,8 +749,27 @@ QUERIES: dict[str, QuerySpec] = {
     "q_event_transitions": QuerySpec(
         A.event_transitions, A.EVENT_TRANSITIONS_SQL
     ),
+    # weekly retention-cohort triangle with ppm-exact retention rates
+    "q_retention_cohorts": QuerySpec(
+        lambda spark, sf_dir: A.retention_cohorts(spark, sf_dir, max_weeks=5),
+        A.RETENTION_COHORTS_SQL_TEMPLATE.format(max_weeks=5),
+    ),
+    # strict-ordering conversion funnel in one conditional-aggregation pass
+    "q_funnel": QuerySpec(A.conversion_funnel, A.CONVERSION_FUNNEL_SQL),
+    # mergeable fixed-bin histogram quantiles (bounded-state percentiles)
+    "q_histogram_quantiles": QuerySpec(
+        lambda spark, sf_dir: A.histogram_quantiles(spark, sf_dir, bin_dollars=500),
+        A.HISTOGRAM_QUANTILES_SQL_TEMPLATE.format(bin_dollars=500),
+    ),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
+    # winnowing fingerprint selection (MOSS local document fingerprints)
+    "x_winnowing": QuerySpec(
+        lambda spark, sf_dir: winnowing_fingerprints(
+            load_table(spark, sf_dir, "documents"), k=3, w=4
+        ),
+        WINNOWING_SQL_TEMPLATE.format(k=3, w=4),
+    ),
     # CCNet perplexity deciles with head/middle/tail segments
     "x_ppl_buckets": QuerySpec(
         _x_ppl_buckets, PPL_BUCKETS_SQL_TEMPLATE.format(n_buckets=10, third=3)
@@ -1488,6 +1509,10 @@ _ROUND2_LATE = [
     "x_ivfpq_residual",
     "m_phash_neardup",
     "s_stream_countmin",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_histogram_quantiles",
+    "x_winnowing",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

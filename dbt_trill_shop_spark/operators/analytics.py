@@ -681,3 +681,228 @@ SELECT from_type, to_type, n,
 FROM pairs
 ORDER BY from_type, to_type
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str, max_weeks: int = 5) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by their first-activity
+    week (the cohort), counted again in each subsequent week they return —
+    the standard activation/retention triangle.
+
+    Two aggregations: per-user first week (min over a user-keyed shuffle),
+    then (cohort_week, offset) counts of distinct active users.  The
+    user-week activity relation pre-deduplicates BEFORE joining the cohort
+    map (shrinks the join input to |users x weeks|); the cohort map joins
+    back keyed on user_id.  Retention is ppm-exact integer division against
+    the cohort's week-0 size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offsets = (
+        activity.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = offsets.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        offsets.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.expr("n_users * 1000000 DIV cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_SQL_TEMPLATE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id),
+offsets AS (
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    WHERE date_diff('day', cohort_week, week) // 7 <= {max_weeks}
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT cohort_week, n_users AS cohort_size FROM offsets WHERE week_offset = 0
+)
+SELECT cohort_week, week_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST(n_users * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+FROM offsets JOIN base USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user counts
+    at a stage only if the stage event happened AT OR AFTER their first
+    event of the previous stage — the strict-ordering funnel every product
+    analytics suite ships.
+
+    One pass: per-user MIN(ts) per stage via conditional aggregation (no
+    per-stage scans, no self-joins), then the ordering constraint is pure
+    column logic on the three firsts, and the final rollup is a tiny
+    two-key aggregate.  Shuffles once on user_id.  Timestamp comparisons
+    use microsecond-exact epoch values; ties (same-timestamp cross-stage
+    events) count as converted, matching the SQL twin's >= semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    staged = firsts.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("s1"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+        ).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_buy") >= F.col("t_click"))
+        ).alias("s3"),
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("bigint")).alias("n_view"),
+        F.sum(F.col("s2").cast("bigint")).alias("n_click_after_view"),
+        F.sum(F.col("s3").cast("bigint")).alias("n_purchase_after_click"),
+    )
+    return counts.select(
+        "n_users",
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.expr("n_click_after_view * 1000000 DIV n_view").alias("view_to_click_ppm"),
+        F.expr(
+            "n_purchase_after_click * 1000000 DIV greatest(n_click_after_view, 1)"
+        ).alias("click_to_purchase_ppm"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+    FROM events GROUP BY user_id
+),
+staged AS (
+    SELECT user_id,
+           t_view IS NOT NULL AS s1,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view) AS s2,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+            AND t_buy IS NOT NULL AND t_buy >= t_click) AS s3
+    FROM firsts
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) * 1000000
+            // SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS view_to_click_ppm,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 1) AS BIGINT)
+           AS click_to_purchase_ppm
+FROM staged
+"""
+
+
+def histogram_quantiles(
+    spark: SparkSession, sf_dir: str, bin_dollars: int = 500
+) -> DataFrame:
+    """Mergeable histogram quantiles over order totals: fixed-width bins
+    aggregate map-side (the 100 TB percentile lever — an exact percentile
+    needs a global sort, a fixed-bin histogram needs one tiny shuffle of
+    |bins| partial counts, and bins from different partitions/days/stores
+    ADD).  The p-quantile estimate is the upper edge of the first bin whose
+    cumulative count reaches ceil(p% of total) — deterministic integer
+    logic end-to-end, so unlike t-digest/KLL the estimate is value-hash
+    exact cross-engine while behaving the same way operationally (bounded
+    state, rank error <= bin mass).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_c = bin_dollars * 100
+    bins = (
+        orders.select(
+            (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / bin_c)
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.withColumn("cum", F.sum("n").over(wc))
+    total = bins.agg(F.sum("n").alias("total"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])).alias("pct")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct", "total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        F.col("pct").cast("bigint").alias("pct"),
+        "bin",
+        ((F.col("bin") + 1) * bin_dollars).cast("bigint").alias("est_upper_dollars"),
+        F.col("total").cast("bigint").alias("n_orders"),
+    ).orderBy("pct")
+
+
+HISTOGRAM_QUANTILES_SQL_TEMPLATE = """
+WITH bins AS (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // ({bin_dollars} * 100)
+               AS bin,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT bin, n,
+           SUM(n) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM bins
+),
+total AS (SELECT SUM(n) AS total FROM bins),
+pcts AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(MIN(bin) AS BIGINT) AS bin,
+       CAST((MIN(bin) + 1) * {bin_dollars} AS BIGINT) AS est_upper_dollars,
+       CAST(total AS BIGINT) AS n_orders
+FROM cum CROSS JOIN total CROSS JOIN pcts
+WHERE cum * 100 >= pct * total
+GROUP BY pct, total
+ORDER BY pct
+"""
