@@ -761,6 +761,13 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: A.histogram_quantiles(spark, sf_dir, bin_dollars=500),
         A.HISTOGRAM_QUANTILES_SQL_TEMPLATE.format(bin_dollars=500),
     ),
+    # linear-counting distinct estimates, estimate column value-hash checked
+    "q_linear_counting": QuerySpec(
+        lambda spark, sf_dir: A.linear_counting_users(spark, sf_dir, m=4096),
+        A.LINEAR_COUNTING_SQL_TEMPLATE.format(m=4096),
+    ),
+    # 2-sigma volume anomalies via integer cross-multiplied z-test
+    "q_weekly_anomalies": QuerySpec(A.weekly_anomalies, A.WEEKLY_ANOMALIES_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
     # winnowing fingerprint selection (MOSS local document fingerprints)
@@ -1512,6 +1519,8 @@ _ROUND2_LATE = [
     "q_retention_cohorts",
     "q_funnel",
     "q_histogram_quantiles",
+    "q_linear_counting",
+    "q_weekly_anomalies",
     "x_winnowing",
 ]
 _front = (

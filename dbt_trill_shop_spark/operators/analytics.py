@@ -906,3 +906,116 @@ WHERE cum * 100 >= pct * total
 GROUP BY pct, total
 ORDER BY pct
 """
+
+
+def linear_counting_users(
+    spark: SparkSession, sf_dir: str, m: int = 4096
+) -> DataFrame:
+    """Weekly distinct-user ESTIMATES via linear counting (Whang et al.
+    1990): hash each user into an m-slot bitmap and estimate
+    ``-m * ln(empty_fraction)`` — the small-cardinality regime of every
+    HLL implementation, and the mergeable bounded-state answer to
+    count-distinct at 100 TB (bitmaps OR; m int64 cells of state per
+    group vs an unbounded distinct-set).
+
+    Unlike ``approx_count_distinct`` (whose HLL++ is engine-internal and
+    only rows-only checkable), the md5 slot hash makes the occupied-slot
+    count — and therefore the estimate — integer-deterministic, so this
+    approximate query is value-hash checked against DuckDB, estimate
+    column included (one ln + one round of identical operands).  True
+    counts ride along to surface the estimation error per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % m
+    )
+    weekly = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("user_id"),
+        slot.alias("slot"),
+    )
+    per_week = weekly.groupBy("week").agg(
+        F.countDistinct("slot").alias("occupied"),
+        F.countDistinct("user_id").alias("true_users"),
+    )
+    est = F.round(-m * F.log((m - F.col("occupied")) / F.lit(float(m))), 2)
+    return per_week.select(
+        "week",
+        F.col("occupied").cast("bigint").alias("occupied"),
+        est.alias("est_users"),
+        F.col("true_users").cast("bigint").alias("true_users"),
+    ).orderBy("week")
+
+
+LINEAR_COUNTING_SQL_TEMPLATE = """
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {m} AS slot
+    FROM events
+),
+per_week AS (
+    SELECT week,
+           COUNT(DISTINCT slot) AS occupied,
+           COUNT(DISTINCT user_id) AS true_users
+    FROM weekly GROUP BY week
+)
+SELECT week,
+       CAST(occupied AS BIGINT) AS occupied,
+       ROUND(-{m} * LN((({m} - occupied)) / CAST({m} AS DOUBLE)), 2) AS est_users,
+       CAST(true_users AS BIGINT) AS true_users
+FROM per_week
+ORDER BY week
+"""
+
+
+def weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: flag (week, event_type) cells whose count
+    deviates from the type's mean by more than 2 standard deviations.  The
+    z-test is pure integer cross-multiplication —
+    ``(n·k - sum)² > 4·k·(k·sumsq - sum²)`` over int64 weekly counts (k =
+    number of weeks) — so no float sqrt/division can flip a boundary
+    cross-engine.  Plan: the weekly cell counts shuffle once; per-type
+    moments re-aggregate from the tiny cell relation and broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("s")
+    var_k3 = F.col("k") * (F.col("k") * F.col("sq") - F.col("s") * F.col("s"))
+    return (
+        cells.join(F.broadcast(stats), "event_type")
+        .select(
+            "week",
+            "event_type",
+            "n",
+            (dev * dev > 4 * var_k3).alias("is_anomaly"),
+        )
+        .orderBy("week", "event_type")
+    )
+
+
+WEEKLY_ANOMALIES_SQL = """
+WITH cells AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, COUNT(*) AS k, SUM(n) AS s, SUM(n * n) AS sq
+    FROM cells GROUP BY event_type
+)
+SELECT week, event_type, CAST(n AS BIGINT) AS n,
+       (n * k - s) * (n * k - s) > 4 * (k * (k * sq - s * s)) AS is_anomaly
+FROM cells JOIN stats USING (event_type)
+ORDER BY week, event_type
+"""

@@ -354,3 +354,36 @@ def test_phash_hamming_within_threshold_and_symmetric_free(spark, sf_dir):
             if r.id_a == dup_pair[0].id_a and r.id_b == dup_pair[0].id_b
         ]
         assert found and found[0].hamming == 0
+
+
+def test_residual_ivfpq_and_matryoshka_recall(spark, sf_dir):
+    """Quality floor for the two new ANN variants: matryoshka's full-width
+    rerank must recover (almost) the exact cosine top-5, and residual
+    IVF-PQ must beat a trivial recall floor at the same probe budget."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.similarity import (
+        ann_recall,
+        cosine_topk_bruteforce,
+        ivfpq_residual_topk,
+        matryoshka_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+
+    mat = matryoshka_topk(emb, queries, prefix_dims=16, shortlist=50, k=5)
+    mat_recall = ann_recall(mat, exact, k=5).agg(
+        F.avg("recall_ppm").alias("r")
+    ).collect()[0].r
+    # dot-product rerank over a 50-candidate shortlist recovers most of the
+    # cosine top-5 (metric mismatch dot-vs-cosine costs a little)
+    assert mat_recall >= 400_000, mat_recall
+
+    res = ivfpq_residual_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    res_recall = ann_recall(res, exact, k=5).agg(
+        F.avg("recall_ppm").alias("r")
+    ).collect()[0].r
+    assert res_recall >= 200_000, res_recall
