@@ -768,6 +768,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # 2-sigma volume anomalies via integer cross-multiplied z-test
     "q_weekly_anomalies": QuerySpec(A.weekly_anomalies, A.WEEKLY_ANOMALIES_SQL),
+    # per-key sequential fold (EWMA recurrence as an array reduction)
+    "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
     # winnowing fingerprint selection (MOSS local document fingerprints)
@@ -1521,6 +1523,7 @@ _ROUND2_LATE = [
     "q_histogram_quantiles",
     "q_linear_counting",
     "q_weekly_anomalies",
+    "q_user_ewma",
     "x_winnowing",
 ]
 _front = (

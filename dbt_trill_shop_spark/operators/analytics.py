@@ -1019,3 +1019,50 @@ SELECT week, event_type, CAST(n AS BIGINT) AS n,
 FROM cells JOIN stats USING (event_type)
 ORDER BY week, event_type
 """
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 1/2) — the classic online smoothing statistic that is NOT a
+    windowed aggregate (each step depends on the previous result), shown
+    here as a per-key SEQUENTIAL FOLD: sort the user's timeline into an
+    array once, left-fold ``s = (x + s) div 2`` over it.
+
+    One shuffle keyed on user_id; the fold itself is a narrow per-row array
+    reduction — the pattern for any per-key recurrence (EWMA, compound
+    interest, decaying counters) that would otherwise need a slow
+    row-iterating UDF.  Values fold in integer cents with floor halving, so
+    the recurrence is bit-exact cross-engine at every step; per-user arrays
+    are bounded by per-key activity (at 100 TB: window the timeline first
+    if single keys can exceed task memory).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), cents("value").alias("v_c")
+        ).alias("s"),
+    ).groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list("s")), lambda s: s.v_c).alias("vs")
+    )
+    ewma_c = F.expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), vs[0], (acc, x) -> (acc + x) div 2)"
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        ewma_c.cast("bigint").alias("ewma_cents"),
+    ).orderBy("user_id")
+
+
+USER_VALUE_EWMA_SQL = """
+SELECT user_id,
+       CAST(LEN(vs) AS BIGINT) AS n_events,
+       CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma_cents
+FROM (
+    SELECT user_id,
+           list(CAST(ROUND(value * 100, 0) AS BIGINT) ORDER BY ts, event_id) AS vs
+    FROM events GROUP BY user_id
+)
+ORDER BY user_id
+"""
