@@ -1687,3 +1687,62 @@ FROM (
     FROM scored
 ) t WHERE rn <= {k}
 """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine any number of
+    (query_id, hit_id, rank) relations into one ranking by summing
+    ``1/(c + rank)`` per hit — the standard hybrid-retrieval merge (BM25 +
+    dense vectors) because it needs no score calibration between systems,
+    only ranks.
+
+    Contributions are integer ppm (``1000000 div (c + rank)``), so the
+    fused scores and ranks are engine-exact.  Union + one (query, hit)
+    aggregation + a top-k window: rank lists are k rows per query per
+    system, so the whole fusion is post-retrieval-tiny no matter the corpus
+    size behind each system.
+    """
+    contrib = F.expr(f"1000000 div ({c} + rank)")
+    parts = [
+        r.select("query_id", F.col(r.columns[1]).alias("hit_id"), contrib.alias("c"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "hit_id").agg(F.sum("c").alias("rrf_ppm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("hit_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "hit_id", "rank", "rrf_ppm")
+    )
+
+
+# Oracle composition: {bm25} and {cosine} are full rank-producing queries
+# (columns (query_id, hit_id|neighbor_id, rank, ...)); fusion is pure
+# integer arithmetic over their ranks.
+HYBRID_RRF_SQL_TEMPLATE = """
+WITH bm AS ({bm25}),
+vs AS ({cosine}),
+u AS (
+    SELECT query_id, hit_id, 1000000 // ({c} + rank) AS contrib FROM bm
+    UNION ALL
+    SELECT query_id, neighbor_id AS hit_id, 1000000 // ({c} + rank) FROM vs
+),
+fused AS (
+    SELECT query_id, hit_id, CAST(SUM(contrib) AS BIGINT) AS rrf_ppm
+    FROM u GROUP BY query_id, hit_id
+)
+SELECT query_id, hit_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_ppm DESC, hit_id ASC) AS BIGINT)
+           AS rank,
+       rrf_ppm
+FROM fused
+QUALIFY rank <= {k}
+"""

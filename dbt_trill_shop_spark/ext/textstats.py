@@ -1449,3 +1449,113 @@ SELECT doc_id,
 FROM packed
 ORDER BY doc_id, pos
 """
+
+
+def bm25_search(
+    docs: DataFrame,
+    n_queries: int = 3,
+    q_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009, Lucene idf form):
+    score documents against term queries with the ranking function every
+    search engine defaults to.  Queries are the first ``q_terms`` distinct
+    tokens of the first ``n_queries`` documents (deterministic, self-
+    contained).
+
+    Plan = the inverted-index shape: one explode+tf aggregation (df derives
+    from tf, the corpus is never re-exploded), query terms broadcast onto
+    the term-keyed tf relation — so per query only postings of its terms
+    are touched, the corpus text never shuffles — then a per-(query, doc)
+    sum and a top-k window.  Cross-engine exactness: every per-(term, doc)
+    partial score is computed by the IDENTICAL expression tree in both
+    engines (same literals, same operation order) and rounded to int64
+    micro-units BEFORE summing, so ranks and scores hash-match exactly.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        docs.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.split(F.col(text_col), " "), 1, q_terms)).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    part = F.round(idf * tf_norm * 1_000_000, 0).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_rel), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", F.col(id_col).alias("hit_id"), part.alias("s_micro"))
+        .groupBy("query_id", "hit_id")
+        .agg(F.sum("s_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("hit_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "hit_id", "rank", "score_micro")
+    )
+
+
+BM25_SEARCH_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(STR_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(STR_SPLIT(text, ' ')[1 : {q_terms}]) AS term
+    FROM documents WHERE doc_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, tf.doc_id AS hit_id,
+           CAST(SUM(CAST(ROUND(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM tf
+    JOIN qterms q USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, hit_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, hit_id ASC) AS BIGINT)
+           AS rank,
+       score_micro
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -109,8 +109,10 @@ from .ext.similarity import (
     COSINE_TOPK_SQL_TEMPLATE,
     MATRYOSHKA_TOPK_SQL_TEMPLATE,
     IVFPQ_RESIDUAL_SQL_TEMPLATE,
+    HYBRID_RRF_SQL_TEMPLATE,
     ivfpq_residual_topk,
     matryoshka_topk,
+    rrf_fuse,
     EMBEDDING_NEARDUP_SQL_TEMPLATE,
     IVFPQ_TOPK_SQL_TEMPLATE,
     IVF_ASSIGN_SQL_TEMPLATE,
@@ -157,6 +159,8 @@ from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
     PPL_BUCKETS_SQL_TEMPLATE,
     WINNOWING_SQL_TEMPLATE,
+    BM25_SEARCH_SQL_TEMPLATE,
+    bm25_search,
     ppl_buckets,
     winnowing_fingerprints,
     COUNTMIN_HEAVY_SQL_TEMPLATE,
@@ -582,6 +586,14 @@ def _x_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_search(docs, n_queries=3, q_terms=5, k=10)
+    vs = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    return rrf_fuse([bm, vs], k=10)
+
+
 def _x_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return matryoshka_topk(
@@ -772,6 +784,24 @@ QUERIES: dict[str, QuerySpec] = {
     "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
+    # BM25 lexical retrieval over the corpus inverted index
+    "x_bm25_search": QuerySpec(
+        lambda spark, sf_dir: bm25_search(
+            load_table(spark, sf_dir, "documents"), n_queries=3, q_terms=5, k=10
+        ),
+        BM25_SEARCH_SQL_TEMPLATE.format(n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75),
+    ),
+    # hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+    "x_hybrid_rrf": QuerySpec(
+        _x_hybrid_rrf,
+        HYBRID_RRF_SQL_TEMPLATE.format(
+            bm25=BM25_SEARCH_SQL_TEMPLATE.format(
+                n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75
+            ),
+            cosine=COSINE_TOPK_SQL_TEMPLATE.format(num_queries=3, k=10),
+            c=60, k=10,
+        ),
+    ),
     # winnowing fingerprint selection (MOSS local document fingerprints)
     "x_winnowing": QuerySpec(
         lambda spark, sf_dir: winnowing_fingerprints(
@@ -1525,6 +1555,8 @@ _ROUND2_LATE = [
     "q_weekly_anomalies",
     "q_user_ewma",
     "x_winnowing",
+    "x_bm25_search",
+    "x_hybrid_rrf",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
