@@ -782,6 +782,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_weekly_anomalies": QuerySpec(A.weekly_anomalies, A.WEEKLY_ANOMALIES_SQL),
     # per-key sequential fold (EWMA recurrence as an array reduction)
     "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
+    # blocked entity resolution with integer field-agreement scoring
+    "q_record_linkage": QuerySpec(R.record_linkage, R.RECORD_LINKAGE_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
     # BM25 lexical retrieval over the corpus inverted index
@@ -1557,6 +1559,7 @@ _ROUND2_LATE = [
     "x_winnowing",
     "x_bm25_search",
     "x_hybrid_rrf",
+    "q_record_linkage",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

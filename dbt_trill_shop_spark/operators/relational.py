@@ -1780,3 +1780,94 @@ GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_suppkey
 LIMIT {top_n}
 """
+
+
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution (Fellegi-Sunter shape): match customer
+    records against a dirty re-keyed copy of themselves — the B side drops
+    every 13th record, appends noise to every 7th name, and nudges every
+    3rd balance, simulating a second source with no shared key.
+
+    The scale story is BLOCKING: candidate pairs come only from equality
+    on (nationkey, mktsegment) — a bounded equi-join, never all-pairs —
+    then pair scoring is integer field agreement (Levenshtein <= 2 on
+    name, balance within 100 cents) and each A record keeps its best match
+    via a map-side-combinable struct-argmax.  All comparators are
+    integer-exact cross-engine (both engines implement standard edit
+    distance).  At 100 TB the block key is the shuffle key; skewed blocks
+    (big cities) split with AQE or a second blocking pass.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        cents("c_acctbal").alias("a_bal_c"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            (F.col("c_custkey") + 100000).alias("b_key"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.concat(F.col("c_name"), F.lit("~x"))
+            )
+            .otherwise(F.col("c_name"))
+            .alias("b_name"),
+            F.when(F.col("c_custkey") % 3 == 0, cents("c_acctbal") + 50)
+            .otherwise(cents("c_acctbal"))
+            .alias("b_bal_c"),
+            "c_nationkey",
+            "c_mktsegment",
+        )
+    )
+    pairs = a.join(b, ["c_nationkey", "c_mktsegment"])
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    name_pts = F.when(lev <= 2, 20 - lev * 5).otherwise(0)
+    bal_pts = F.when(
+        F.abs(F.col("a_bal_c") - F.col("b_bal_c")) <= 100, F.lit(10)
+    ).otherwise(0)
+    scored = pairs.select(
+        "a_key", "b_key", (name_pts + bal_pts).cast("bigint").alias("score")
+    ).filter(F.col("score") >= 15)
+    best = (
+        scored.groupBy("a_key")
+        .agg(F.max(F.struct("score", (-F.col("b_key")).alias("nbk"), "b_key")).alias("m"))
+        .select("a_key", F.col("m.b_key").alias("b_key"), F.col("m.score").alias("score"))
+    )
+    return best.orderBy("a_key")
+
+
+RECORD_LINKAGE_SQL = """
+WITH a AS (
+    SELECT c_custkey AS a_key, c_name AS a_name,
+           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS a_bal_c,
+           c_nationkey, c_mktsegment
+    FROM customer
+),
+b AS (
+    SELECT c_custkey + 100000 AS b_key,
+           CASE WHEN c_custkey % 7 = 0 THEN c_name || '~x' ELSE c_name END AS b_name,
+           CASE WHEN c_custkey % 3 = 0
+                THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 50
+                ELSE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END AS b_bal_c,
+           c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey % 13 != 0
+),
+scored AS (
+    SELECT a_key, b_key,
+           CAST(CASE WHEN levenshtein(a_name, b_name) <= 2
+                     THEN 20 - levenshtein(a_name, b_name) * 5 ELSE 0 END
+                + CASE WHEN ABS(a_bal_c - b_bal_c) <= 100 THEN 10 ELSE 0 END
+                AS BIGINT) AS score
+    FROM a JOIN b USING (c_nationkey, c_mktsegment)
+),
+ranked AS (
+    SELECT a_key, b_key, score,
+           ROW_NUMBER() OVER (PARTITION BY a_key
+                              ORDER BY score DESC, b_key ASC) AS rn
+    FROM scored WHERE score >= 15
+)
+SELECT a_key, b_key, score FROM ranked WHERE rn = 1
+ORDER BY a_key
+"""
