@@ -552,6 +552,25 @@ def _x_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(spark, path, queries, k=_KNN_K, n_probe=4)
 
 
+def _x_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted BM25 inverted index (bucket-partitioned postings
+    + doclens + meta), then answer the standard query batch from it —
+    bit-identical to the one-plan ``bm25_search`` composition."""
+    import tempfile
+
+    from .ext.text_index import build_text_index, search_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bm25_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    build_text_index(docs, path, n_buckets=16)
+    rows = docs.filter(F.col("doc_id") < 3).select("doc_id", "text").collect()
+    qterms = sorted({(r.doc_id, t) for r in rows for t in r.text.split(" ")[:5]})
+    return search_text_index(spark, path, qterms, k=10)
+
+
 def _m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs_as_media(load_table(spark, sf_dir, "documents")))
 
@@ -791,6 +810,13 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: bm25_search(
             load_table(spark, sf_dir, "documents"), n_queries=3, q_terms=5, k=10
         ),
+        BM25_SEARCH_SQL_TEMPLATE.format(n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75),
+    ),
+    # same BM25 semantics over a PERSISTED inverted index (bucket-
+    # partitioned postings; search prunes to query-term buckets) — shares
+    # the one-plan composition's oracle verbatim
+    "x_bm25_index_search": QuerySpec(
+        _x_bm25_index_search,
         BM25_SEARCH_SQL_TEMPLATE.format(n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75),
     ),
     # hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
@@ -1559,6 +1585,7 @@ _ROUND2_LATE = [
     "x_winnowing",
     "x_bm25_search",
     "x_hybrid_rrf",
+    "x_bm25_index_search",
     "q_record_linkage",
 ]
 _front = (

@@ -333,3 +333,30 @@ def test_substring_contam_broadcasts_needles(spark, sf_dir):
         )
     )
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_text_index_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted BM25 index's postings scan must prune to the query
+    terms' bucket directories (PartitionFilters, not a full scan), and the
+    result must be bit-identical to the one-plan bm25_search composition."""
+    from dbt_trill_shop_spark.ext.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+    from dbt_trill_shop_spark.ext.textstats import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25_index")
+    build_text_index(docs, path, n_buckets=16)
+    rows = docs.filter(F.col("doc_id") < 3).select("doc_id", "text").collect()
+    qterms = sorted({(r.doc_id, t) for r in rows for t in r.text.split(" ")[:5]})
+    res = search_text_index(spark, path, qterms, k=10)
+    plan = _plan(res)
+    assert "PartitionFilters: [term_bucket" in plan.replace("#", " #").replace(
+        " #", "#"
+    ) or "term_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    got = sorted(map(tuple, (tuple(r) for r in res.collect())))
+    want = sorted(
+        map(tuple, (tuple(r) for r in bm25_search(docs, 3, 5, 10).collect()))
+    )
+    assert got == want
