@@ -1746,3 +1746,144 @@ SELECT query_id, hit_id,
 FROM fused
 QUALIFY rank <= {k}
 """
+
+
+def bitext_margin_mining(
+    embeddings: DataFrame,
+    knn: int = 4,
+    top_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/
+    CCMatrix recipe): find translation-pair candidates between two embedding
+    groups by RATIO MARGIN — a pair qualifies not on raw cosine but on
+    cosine relative to each side's average nearest-neighbor cosine, which
+    cancels the hubness that makes absolute-threshold mining precision-poor.
+
+        margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2)
+
+    Groups are ``label % 2`` (the two "languages").  Everything is exact:
+    cosines are computed from int64 micro dot products with one identical
+    double sqrt/division per pair, re-rounded to micro; per-side top-k sums
+    stay int64; the margin is ``cos·2k·1e6 div (sx + sy)`` — pure integer.
+    Exhaustive X⨯Y scoring here (one broadcast of the smaller side); at
+    100 TB the pair generation swaps to the IVF/LSH candidate paths and the
+    margin math is unchanged.
+    """
+    enc = "transform(v, x -> cast(round(x * 1000000, 0) as bigint))"
+    base = embeddings.select(
+        F.col(id_col),
+        (F.col(group_col) % 2).alias("grp"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(id_col, "grp", F.expr(enc).alias("mv"))
+    x = base.filter(F.col("grp") == 0).select(
+        F.col(id_col).alias("x_id"), F.col("mv").alias("xv")
+    )
+    y = base.filter(F.col("grp") == 1).select(
+        F.col(id_col).alias("y_id"), F.col("mv").alias("yv")
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    xn = x.withColumn("xd2", int_dot(F.col("xv"), F.col("xv")))
+    yn = y.withColumn("yd2", int_dot(F.col("yv"), F.col("yv")))
+    cos = int_dot(F.col("xv"), F.col("yv")).cast("double") / (
+        F.sqrt(F.col("xd2").cast("double")) * F.sqrt(F.col("yd2").cast("double"))
+    )
+    pairs = (
+        xn.crossJoin(F.broadcast(yn))
+        .select(
+            "x_id",
+            "y_id",
+            F.round(cos * 1_000_000, 0).cast("bigint").alias("cos_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos_micro"), F.asc("y_id"))
+    sx = (
+        pairs.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= knn)
+        .groupBy("x_id")
+        .agg(F.sum("cos_micro").alias("sx"))
+    )
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos_micro"), F.asc("x_id"))
+    sy = (
+        pairs.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= knn)
+        .groupBy("y_id")
+        .agg(F.sum("cos_micro").alias("sy"))
+    )
+    margined = (
+        pairs.join(sx, "x_id")
+        .join(sy, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_micro",
+            F.expr(f"cos_micro * 2 * {knn} * 1000000 div (sx + sy)").alias(
+                "margin_ppm"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("margin_ppm"), F.asc("x_id"), F.asc("y_id"))
+    return (
+        margined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "x_id", "y_id", "cos_micro", "margin_ppm")
+    )
+
+
+BITEXT_MINING_SQL_TEMPLATE = """
+WITH m AS (
+    SELECT vec_id, label % 2 AS grp,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
+    FROM embeddings
+),
+x AS (SELECT vec_id AS x_id, mv AS xv,
+             CAST(list_sum(list_transform(range(1, LEN(mv) + 1),
+                                          i -> mv[i] * mv[i])) AS BIGINT) AS xd2
+      FROM m WHERE grp = 0),
+y AS (SELECT vec_id AS y_id, mv AS yv,
+             CAST(list_sum(list_transform(range(1, LEN(mv) + 1),
+                                          i -> mv[i] * mv[i])) AS BIGINT) AS yd2
+      FROM m WHERE grp = 1),
+pairs AS (
+    SELECT x_id, y_id,
+           CAST(ROUND(
+               CAST(CAST(list_sum(list_transform(range(1, LEN(xv) + 1),
+                                                 i -> xv[i] * yv[i])) AS BIGINT)
+                    AS DOUBLE)
+               / (SQRT(CAST(xd2 AS DOUBLE)) * SQRT(CAST(yd2 AS DOUBLE)))
+               * 1000000, 0) AS BIGINT) AS cos_micro
+    FROM x CROSS JOIN y
+),
+sx AS (
+    SELECT x_id, CAST(SUM(cos_micro) AS BIGINT) AS sx FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                                     ORDER BY cos_micro DESC, y_id ASC) AS rn
+        FROM pairs) t
+    WHERE rn <= {knn} GROUP BY x_id
+),
+sy AS (
+    SELECT y_id, CAST(SUM(cos_micro) AS BIGINT) AS sy FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+                                     ORDER BY cos_micro DESC, x_id ASC) AS rn
+        FROM pairs) t
+    WHERE rn <= {knn} GROUP BY y_id
+),
+margined AS (
+    SELECT x_id, y_id, cos_micro,
+           CAST(cos_micro * 2 * {knn} * 1000000 // (sx + sy) AS BIGINT) AS margin_ppm
+    FROM pairs JOIN sx USING (x_id) JOIN sy USING (y_id)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY margin_ppm DESC, x_id ASC, y_id ASC)
+            AS BIGINT) AS rank,
+       x_id, y_id, cos_micro, margin_ppm
+FROM margined
+QUALIFY rank <= {top_n}
+"""

@@ -110,6 +110,8 @@ from .ext.similarity import (
     MATRYOSHKA_TOPK_SQL_TEMPLATE,
     IVFPQ_RESIDUAL_SQL_TEMPLATE,
     HYBRID_RRF_SQL_TEMPLATE,
+    BITEXT_MINING_SQL_TEMPLATE,
+    bitext_margin_mining,
     ivfpq_residual_topk,
     matryoshka_topk,
     rrf_fuse,
@@ -829,6 +831,13 @@ QUERIES: dict[str, QuerySpec] = {
             cosine=COSINE_TOPK_SQL_TEMPLATE.format(num_queries=3, k=10),
             c=60, k=10,
         ),
+    ),
+    # margin-based bitext mining (LASER/CCMatrix ratio margin, all-integer)
+    "x_bitext_mining": QuerySpec(
+        lambda spark, sf_dir: bitext_margin_mining(
+            load_table(spark, sf_dir, "embeddings"), knn=4, top_n=50
+        ),
+        BITEXT_MINING_SQL_TEMPLATE.format(knn=4, top_n=50),
     ),
     # winnowing fingerprint selection (MOSS local document fingerprints)
     "x_winnowing": QuerySpec(
@@ -1587,6 +1596,7 @@ _ROUND2_LATE = [
     "x_hybrid_rrf",
     "x_bm25_index_search",
     "q_record_linkage",
+    "x_bitext_mining",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
