@@ -1559,3 +1559,78 @@ SELECT query_id, hit_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def search_snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    window_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippet extraction: for each (query_id, hit, term-set)
+    result row, locate the first occurrence of any of the query's terms in
+    the hit document and cut a +-``window_chars`` character window around
+    it — what a result page renders under each link.
+
+    ``hits`` is (query_id, hit_id, rank, terms array<string>).  The
+    position scan is a per-row fold over the (tiny, broadcast-size) term
+    array with JVM ``instr`` — min positive position wins, earliest term
+    index breaks ties.  The docs join is keyed on the high-cardinality doc
+    id and only the k-per-query hit rows ever fetch text — snippets never
+    touch non-result documents.
+    """
+    joined = hits.join(
+        docs.select(F.col(id_col).alias("hit_id"), F.col(text_col).alias("t")),
+        "hit_id",
+    )
+    # fold: smallest positive instr() position (packed with term index as
+    # tie-break); 0 => no term present
+    pos = F.expr(
+        "aggregate(terms, cast(0 as bigint), (acc, tm) -> "
+        "CASE WHEN instr(t, tm) > 0 AND (acc = 0 OR instr(t, tm) < acc) "
+        "THEN cast(instr(t, tm) as bigint) ELSE acc END)"
+    )
+    with_pos = joined.withColumn("pos", pos)
+    snippet = F.when(F.col("pos") > 0, F.expr(f"substring(t, cast(greatest(1, pos - {window_chars}) as int), {2 * window_chars})")).otherwise(
+        F.expr(f"substring(t, 1, {2 * window_chars})")
+    )
+    return with_pos.select(
+        "query_id",
+        "hit_id",
+        "rank",
+        F.col("pos").alias("match_pos"),
+        snippet.alias("snippet"),
+    ).orderBy("query_id", "rank")
+
+
+SEARCH_SNIPPETS_SQL_TEMPLATE = """
+WITH hits AS ({bm25}),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(STR_SPLIT(text, ' ')[1 : {q_terms}]) AS term
+    FROM documents WHERE doc_id < {n_queries}
+),
+qsets AS (SELECT query_id, list(term ORDER BY term) AS terms FROM qterms GROUP BY query_id),
+joined AS (
+    SELECT h.query_id, h.hit_id, h.rank, q.terms, d.text AS t
+    FROM hits h
+    JOIN qsets q USING (query_id)
+    JOIN documents d ON d.doc_id = h.hit_id
+),
+with_pos AS (
+    SELECT query_id, hit_id, rank,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(terms, tm -> CAST(POSITION(tm IN t) AS BIGINT))),
+               (acc, p) -> CASE WHEN p > 0 AND (acc = 0 OR p < acc)
+                                THEN p ELSE acc END) AS pos,
+           t
+    FROM joined
+)
+SELECT query_id, hit_id, rank, pos AS match_pos,
+       CASE WHEN pos > 0
+            THEN substring(t, CAST(GREATEST(1, pos - {w}) AS INT), {w2})
+            ELSE substring(t, 1, {w2}) END AS snippet
+FROM with_pos
+ORDER BY query_id, rank
+"""

@@ -162,8 +162,10 @@ from .ext.textstats import (
     PPL_BUCKETS_SQL_TEMPLATE,
     WINNOWING_SQL_TEMPLATE,
     BM25_SEARCH_SQL_TEMPLATE,
+    SEARCH_SNIPPETS_SQL_TEMPLATE,
     bm25_search,
     ppl_buckets,
+    search_snippets,
     winnowing_fingerprints,
     COUNTMIN_HEAVY_SQL_TEMPLATE,
     HASHED_DOC_KNN_SQL_TEMPLATE,
@@ -607,6 +609,18 @@ def _x_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_search(docs, n_queries=3, q_terms=5, k=10).drop("score_micro")
+    qsets = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_sort(
+            F.array_distinct(F.slice(F.split("text", " "), 1, 5))
+        ).alias("terms"),
+    )
+    return search_snippets(docs, bm.join(F.broadcast(qsets), "query_id"))
+
+
 def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -820,6 +834,16 @@ QUERIES: dict[str, QuerySpec] = {
     "x_bm25_index_search": QuerySpec(
         _x_bm25_index_search,
         BM25_SEARCH_SQL_TEMPLATE.format(n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75),
+    ),
+    # result-page snippet extraction around the first matched query term
+    "x_search_snippets": QuerySpec(
+        _x_search_snippets,
+        SEARCH_SNIPPETS_SQL_TEMPLATE.format(
+            bm25=BM25_SEARCH_SQL_TEMPLATE.format(
+                n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75
+            ),
+            n_queries=3, q_terms=5, w=30, w2=60,
+        ),
     ),
     # hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
     "x_hybrid_rrf": QuerySpec(
@@ -1597,6 +1621,7 @@ _ROUND2_LATE = [
     "x_bm25_index_search",
     "q_record_linkage",
     "x_bitext_mining",
+    "x_search_snippets",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
