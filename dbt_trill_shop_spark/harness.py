@@ -222,6 +222,7 @@ from .streaming.events import (
     stream_segment_rollup,
     stream_countmin_heavy,
     stream_sessionize,
+    stream_user_ewma,
     stream_top_event_types,
     stream_weekly_rollup,
 )
@@ -1446,6 +1447,9 @@ QUERIES: dict[str, QuerySpec] = {
     # custom stateful operator: applyInPandasWithState gap sessionizer; the
     # drained update-mode output == batch sessions minus each user's open one
     "s_stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
+    # stateful streaming EWMA: constant-size keyed state, last emission ==
+    # the batch timeline fold, so it shares q_user_ewma's oracle verbatim
+    "s_stream_ewma": QuerySpec(stream_user_ewma, A.USER_VALUE_EWMA_SQL),
     # Count-Min grid as a streaming aggregation (fixed-size sketch state)
     "s_stream_countmin": QuerySpec(
         lambda spark, sf_dir: stream_countmin_heavy(
@@ -1622,6 +1626,7 @@ _ROUND2_LATE = [
     "q_record_linkage",
     "x_bitext_mining",
     "x_search_snippets",
+    "s_stream_ewma",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

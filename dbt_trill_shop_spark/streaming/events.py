@@ -577,3 +577,73 @@ GROUP BY h.w, h.cnt
 ORDER BY true_count DESC, event_type ASC
 LIMIT {k}
 """
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user EWMA (alpha = 1/2, integer cents
+    with floor halving — the exact recurrence of the batch
+    ``user_value_ewma`` fold) maintained incrementally with
+    ``applyInPandasWithState``.
+
+    State per user: (ewma_cents, n_events) — two int64s, so keyed state is
+    constant-size per user no matter how long the stream runs.  Each
+    micro-batch folds its (ts, event_id)-sorted rows into the carried state
+    and emits the user's updated running value; the LAST emission per user
+    (max n_events — the count is strictly monotone) equals the batch fold
+    over the whole history, which is what makes the drained stream
+    value-hash checkable against the batch twin's oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, ewma_cents long"
+    state_schema = "ewma long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.copy()
+            pdf["ts_us"] = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            # HALF_UP like Spark/DuckDB ROUND (pandas .round is half-even);
+            # values are non-negative so floor(+0.5) is exact
+            pdf["v_c"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                v = int(row["v_c"])
+                if ewma is None:
+                    ewma = v
+                else:
+                    # floor division matching the batch fold's `div 2`
+                    ewma = (ewma + v) // 2
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            [(user_id, n, ewma)], columns=["user_id", "n_events", "ewma_cents"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry: drain the stateful EWMA stream and keep each user's
+    final emission (n_events is strictly monotone across a user's updates,
+    so argmax-by-count IS the last state) — equal to the batch timeline
+    fold, hence sharing its oracle verbatim."""
+    drained = run_stream_to_memory(
+        ewma_stream(stream_events(spark, sf_dir)),
+        output_mode="update",
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma_cents")
+        .orderBy("user_id")
+    )
