@@ -818,6 +818,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_weekly_anomalies": QuerySpec(A.weekly_anomalies, A.WEEKLY_ANOMALIES_SQL),
     # per-key sequential fold (EWMA recurrence as an array reduction)
     "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
+    # Z-order (Morton) clustering keys for two-dimensional data skipping
+    "q_zorder_keys": QuerySpec(
+        lambda spark, sf_dir: A.zorder_keys(spark, sf_dir, sample_mod=500),
+        A.ZORDER_KEYS_SQL_TEMPLATE.format(
+            morton=A._morton_sql("l_partkey", "l_suppkey"), sample_mod=500
+        ),
+    ),
     # blocked entity resolution with integer field-agreement scoring
     "q_record_linkage": QuerySpec(R.record_linkage, R.RECORD_LINKAGE_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
@@ -1627,6 +1634,7 @@ _ROUND2_LATE = [
     "x_bitext_mining",
     "x_search_snippets",
     "s_stream_ewma",
+    "q_zorder_keys",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

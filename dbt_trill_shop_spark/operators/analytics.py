@@ -1066,3 +1066,69 @@ FROM (
 )
 ORDER BY user_id
 """
+
+
+def _morton_expr(a: Column, b: Column, bits: int = 16) -> Column:
+    """Bit-interleave the low ``bits`` of two int columns into one Z-order
+    key (a's bit i -> position 2i, b's -> 2i+1).  Built from literal-shift
+    terms (no higher-order functions), so it compiles to one flat codegen
+    expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            (F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("bigint"))
+            * F.lit(1 << (2 * i))
+        )
+        terms.append(
+            (F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("bigint"))
+            * F.lit(1 << (2 * i + 1))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_keys(spark: SparkSession, sf_dir: str, sample_mod: int = 500) -> DataFrame:
+    """Z-order (Morton) clustering keys over (partkey, suppkey): the
+    space-filling-curve sort key that makes parquet row-group min/max
+    statistics prune on BOTH dimensions at once — sort by zkey and rows
+    close in (part, supp) space land in the same row groups, so a filter on
+    either column (or both) skips most of the file.  The single-column-sort
+    alternative prunes only its own column; Z-ordering is the standard
+    lakehouse answer (Delta/Iceberg OPTIMIZE ZORDER BY).
+
+    The key is pure literal bit arithmetic (32 flat terms, whole-stage
+    codegen, no shuffle); the query samples every ``sample_mod``-th order so
+    the oracle-checked output stays small while covering the key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % sample_mod == 0
+    )
+    z = _morton_expr(F.col("l_partkey").cast("int"), F.col("l_suppkey").cast("int"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_partkey",
+        "l_suppkey",
+        z.alias("zkey"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ZORDER_KEYS_SQL_TEMPLATE = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey,
+       {morton} AS zkey
+FROM lineitem
+WHERE l_orderkey % {sample_mod} = 0
+ORDER BY l_orderkey, l_linenumber
+"""

@@ -387,3 +387,32 @@ def test_residual_ivfpq_and_matryoshka_recall(spark, sf_dir):
         F.avg("recall_ppm").alias("r")
     ).collect()[0].r
     assert res_recall >= 200_000, res_recall
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    """Sorting by the Morton key must give (much) better two-dimensional
+    neighbor locality than sorting by either single column — the property
+    that makes row-group min/max stats prune on both filter columns."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import _morton_expr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    )
+    z = li.withColumn("z", _morton_expr(F.col("p").cast("int"), F.col("s").cast("int")))
+
+    def locality(order_col):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(order_col)
+        d = z.select(
+            (F.abs(F.col("p") - F.lag("p").over(w))
+             + F.abs(F.col("s") - F.lag("s").over(w))).alias("d")
+        )
+        return d.agg(F.avg("d")).collect()[0][0]
+
+    z_loc = locality("z")
+    p_loc = locality("p")
+    assert z_loc < p_loc / 2, (z_loc, p_loc)
