@@ -818,6 +818,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_weekly_anomalies": QuerySpec(A.weekly_anomalies, A.WEEKLY_ANOMALIES_SQL),
     # per-key sequential fold (EWMA recurrence as an array reduction)
     "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
+    # one-scan column profiling report (nulls/distincts/min/max per column)
+    "q_profile_orders": QuerySpec(A.profile_orders, A.PROFILE_ORDERS_SQL),
     # Z-order (Morton) clustering keys for two-dimensional data skipping
     "q_zorder_keys": QuerySpec(
         lambda spark, sf_dir: A.zorder_keys(spark, sf_dir, sample_mod=500),
@@ -1635,6 +1637,7 @@ _ROUND2_LATE = [
     "x_search_snippets",
     "s_stream_ewma",
     "q_zorder_keys",
+    "q_profile_orders",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -1132,3 +1132,85 @@ FROM lineitem
 WHERE l_orderkey % {sample_mod} = 0
 ORDER BY l_orderkey, l_linenumber
 """
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (the `dbt docs` / data-quality audit shape):
+    per column of ``orders`` — null count, distinct count, min/max as
+    strings — computed in ONE scan.
+
+    The profile pivots the per-column aggregates out of a single pass
+    (every aggregate rides the same map-side partial), then unpivots to the
+    long (column, metric...) report.  At 100 TB this is the pattern for
+    profiling N columns without N scans; distinct counts are the one
+    expensive term per column — swap in approx_count_distinct (or the
+    linear-counting bitmap) when ±2% suffices.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.column_name", "r.n_null", "r.n_distinct", "r.min_str", "r.max_str")
+        .orderBy("column_name")
+    )
+
+
+PROFILE_ORDERS_SQL = """
+WITH wide AS (
+    SELECT
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+      MIN(CAST(o_orderkey AS VARCHAR)) AS k_mi, MAX(CAST(o_orderkey AS VARCHAR)) AS k_ma,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c_d,
+      MIN(CAST(o_custkey AS VARCHAR)) AS c_mi, MAX(CAST(o_custkey AS VARCHAR)) AS c_ma,
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+      MIN(CAST(o_orderstatus AS VARCHAR)) AS s_mi, MAX(CAST(o_orderstatus AS VARCHAR)) AS s_ma,
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+      CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS t_d,
+      MIN(CAST(o_totalprice AS VARCHAR)) AS t_mi, MAX(CAST(o_totalprice AS VARCHAR)) AS t_ma,
+      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_n,
+      CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_d,
+      MIN(CAST(o_orderdate AS VARCHAR)) AS d_mi, MAX(CAST(o_orderdate AS VARCHAR)) AS d_ma,
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS p_d,
+      MIN(CAST(o_orderpriority AS VARCHAR)) AS p_mi, MAX(CAST(o_orderpriority AS VARCHAR)) AS p_ma
+    FROM orders
+)
+SELECT 'o_orderkey' AS column_name, k_n AS n_null, k_d AS n_distinct, k_mi AS min_str, k_ma AS max_str FROM wide
+UNION ALL SELECT 'o_custkey', c_n, c_d, c_mi, c_ma FROM wide
+UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_mi, s_ma FROM wide
+UNION ALL SELECT 'o_totalprice', t_n, t_d, t_mi, t_ma FROM wide
+UNION ALL SELECT 'o_orderdate', d_n, d_d, d_mi, d_ma FROM wide
+UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_mi, p_ma FROM wide
+ORDER BY column_name
+"""
