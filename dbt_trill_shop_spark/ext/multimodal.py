@@ -423,3 +423,75 @@ WHERE CAST(list_sum(list_transform(range(1, 5),
           <= {hamming_max}
 ORDER BY id_a, id_b
 """
+
+
+def patch_intensity_stats(
+    media: DataFrame,
+    patch_bytes: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-patch intensity statistics over the payload byte stream: tile
+    each payload into ``patch_bytes`` tiles and compute each tile's sample
+    count, integer intensity sum, and mean (milli-units, integer division)
+    — the aggregation a ViT-style preprocessor runs per patch after decode
+    (here the payload stream stands in for pixels, keeping the whole path
+    engine-checkable; a real decoder feeds the same tiling).
+
+    Narrow plan: one posexplode over the per-row tile sequence, intensity
+    summed inside the tile via an array fold over bound columns.  Tile
+    count is ceil(n/patch_bytes) per row — bounded fan-out, no shuffle.
+    """
+    base = media.select(
+        F.col(id_col).alias("mid"), F.col(payload_col).cast("string").alias("t")
+    ).withColumn("n", F.length("t"))
+    tiles = base.select(
+        "mid",
+        "t",
+        "n",
+        F.posexplode(
+            F.expr(f"sequence(1, greatest(n, 1), {patch_bytes})")
+        ).alias("patch_id", "start"),
+    )
+    tile_len = F.least(F.lit(patch_bytes), F.col("n") - F.col("start") + 1)
+    s = F.expr(
+        "aggregate(sequence(start, start + tlen - 1), cast(0 as bigint), "
+        "(acc, p) -> acc + ascii(substring(t, cast(p as int), 1)))"
+    )
+    return (
+        tiles.withColumn("tlen", tile_len)
+        .select(
+            F.col("mid").alias(id_col),
+            F.col("patch_id").cast("bigint").alias("patch_id"),
+            F.col("tlen").cast("bigint").alias("n_bytes"),
+            s.alias("sum_intensity"),
+        )
+        .withColumn("mean_milli", F.expr("sum_intensity * 1000 div n_bytes"))
+        .orderBy(id_col, "patch_id")
+    )
+
+
+PATCH_INTENSITY_SQL_TEMPLATE = """
+WITH base AS (
+    SELECT doc_id AS media_id, text AS t, LENGTH(text) AS n FROM documents
+),
+tiles AS (
+    SELECT media_id, t, n,
+           i - 1 AS patch_id,
+           CAST(1 + (i - 1) * {patch_bytes} AS BIGINT) AS start
+    FROM base, UNNEST(range(1, GREATEST(CAST((n + {patch_bytes} - 1) // {patch_bytes} AS BIGINT), 1) + 1)) AS u(i)
+),
+stats AS (
+    SELECT media_id, patch_id,
+           LEAST({patch_bytes}, n - start + 1) AS n_bytes,
+           CAST(list_sum(list_transform(
+               range(start, start + LEAST({patch_bytes}, n - start + 1)),
+               p -> ascii(substr(t, CAST(p AS INT), 1)))) AS BIGINT) AS sum_intensity
+    FROM tiles
+)
+SELECT media_id, CAST(patch_id AS BIGINT) AS patch_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes, sum_intensity,
+       CAST(sum_intensity * 1000 // n_bytes AS BIGINT) AS mean_milli
+FROM stats
+ORDER BY media_id, patch_id
+"""

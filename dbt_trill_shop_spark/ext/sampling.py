@@ -664,3 +664,50 @@ SELECT doc_id,
        CAST(ns[i] - bs[i] AS BIGINT) AS n_chunk_tokens
 FROM z
 """
+
+
+def pack_positions(
+    docs: DataFrame,
+    capacity: int = 256,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Packed-sequence POSITION layout: extend :func:`pack_documents`'s bin
+    assignment with each document's start offset inside its bin — the
+    numbers a training loader needs to build attention-mask boundaries and
+    position ids for packed batches.
+
+    One additional window keyed on (source, bin) over the already-slim
+    pack relation: start = running token sum within the bin minus own
+    length.  All integer arithmetic.
+    """
+    packed = pack_documents(
+        docs, capacity=capacity, token_col=token_col, id_col=id_col, part_col=part_col
+    )
+    w = (
+        Window.partitionBy(part_col, "bin_id")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return packed.select(
+        id_col,
+        part_col,
+        "bin_id",
+        "packed_tokens",
+        (F.sum("packed_tokens").over(w) - F.col("packed_tokens"))
+        .cast("bigint")
+        .alias("start_pos"),
+    ).orderBy(part_col, "bin_id", id_col)
+
+
+PACK_POSITIONS_SQL_TEMPLATE = """
+WITH packed AS ({pack})
+SELECT doc_id, source, bin_id, packed_tokens,
+       CAST(SUM(packed_tokens) OVER (
+                PARTITION BY source, bin_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - packed_tokens AS BIGINT) AS start_pos
+FROM packed
+ORDER BY source, bin_id, doc_id
+"""

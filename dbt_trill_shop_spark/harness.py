@@ -67,8 +67,10 @@ from .ext.multimodal import (
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
     PHASH_NEARDUP_SQL_TEMPLATE,
+    PATCH_INTENSITY_SQL_TEMPLATE,
     audio_window_plan,
     docs_as_media,
+    patch_intensity_stats,
     perceptual_hash_neardup,
     extract_features,
     frame_sample_plan,
@@ -78,7 +80,9 @@ from .ext.multimodal import (
 from .ext.sampling import (
     CDC_CHUNKS_SQL,
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
+    PACK_POSITIONS_SQL_TEMPLATE,
     cdc_chunks,
+    pack_positions,
     HASH_SAMPLE_SQL_TEMPLATE,
     HASH_SPLIT_SQL_TEMPLATE,
     TRAINING_ORDER_SQL_TEMPLATE,
@@ -907,6 +911,27 @@ QUERIES: dict[str, QuerySpec] = {
             num_queries=5, n_probe=4, k=5,
         ),
     ),
+    # per-patch intensity stats over payload tiles (ViT-preproc shape)
+    "m_patch_stats": QuerySpec(
+        lambda spark, sf_dir: patch_intensity_stats(
+            docs_as_media(load_table(spark, sf_dir, "documents")), patch_bytes=64
+        ),
+        PATCH_INTENSITY_SQL_TEMPLATE.format(patch_bytes=64),
+    ),
+    # packed-batch position layout (attention-mask boundaries per bin)
+    "x_pack_positions": QuerySpec(
+        lambda spark, sf_dir: pack_positions(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            ),
+            capacity=512,
+        ),
+        PACK_POSITIONS_SQL_TEMPLATE.format(
+            pack=PACK_DOCUMENTS_SQL_TEMPLATE.format(capacity=512)
+        ),
+    ),
     # dHash perceptual near-dup over media payloads (banded 64-bit hash)
     "m_phash_neardup": QuerySpec(
         _m_phash_neardup, PHASH_NEARDUP_SQL_TEMPLATE.format(hamming_max=8)
@@ -1638,6 +1663,8 @@ _ROUND2_LATE = [
     "s_stream_ewma",
     "q_zorder_keys",
     "q_profile_orders",
+    "m_patch_stats",
+    "x_pack_positions",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
