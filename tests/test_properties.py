@@ -416,3 +416,52 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     z_loc = locality("z")
     p_loc = locality("p")
     assert z_loc < p_loc / 2, (z_loc, p_loc)
+
+
+def test_linear_counting_bitmaps_merge(spark, sf_dir):
+    """Mergeability: the union of the weekly slot bitmaps must give exactly
+    the whole-period occupancy — the property that lets distinct-count
+    state combine across partitions/days without reprocessing."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+
+    m = 4096
+    ev = load_table(spark, sf_dir, "events")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % m
+    )
+    weekly_slots = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        slot.alias("slot"),
+    ).distinct()
+    merged_occupancy = weekly_slots.select("slot").distinct().count()
+    direct_occupancy = ev.select(slot.alias("slot")).distinct().count()
+    assert merged_occupancy == direct_occupancy
+
+
+def test_histogram_quantile_error_bounded_by_bin(spark, sf_dir):
+    """The histogram estimate must bracket the exact percentile within its
+    bin: exact p-quantile in (est_upper - bin_width, est_upper]."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import histogram_quantiles
+
+    bin_dollars = 500
+    rows = histogram_quantiles(spark, sf_dir, bin_dollars=bin_dollars).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    prices = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    for r in rows:
+        # discrete p-quantile: value at rank ceil(p% of n) — the rank the
+        # histogram's cumulative-count rule targets (interpolating
+        # percentile can exceed the bin by construction)
+        exact = prices[-(-r.pct * n // 100) - 1]
+        assert r.est_upper_dollars - bin_dollars < exact <= r.est_upper_dollars, (
+            r.pct,
+            exact,
+            r.est_upper_dollars,
+        )
