@@ -824,6 +824,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_user_ewma": QuerySpec(A.user_value_ewma, A.USER_VALUE_EWMA_SQL),
     # one-scan column profiling report (nulls/distincts/min/max per column)
     "q_profile_orders": QuerySpec(A.profile_orders, A.PROFILE_ORDERS_SQL),
+    # Bloom-filter join pruning with an exact false-positive audit
+    "q_bloom_prefilter": QuerySpec(
+        lambda spark, sf_dir: A.bloom_join_prefilter(
+            spark, sf_dir, min_acctbal=9000, m_bits=1984, k_hashes=3
+        ),
+        A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
+    ),
     # Z-order (Morton) clustering keys for two-dimensional data skipping
     "q_zorder_keys": QuerySpec(
         lambda spark, sf_dir: A.zorder_keys(spark, sf_dir, sample_mod=500),
@@ -1665,6 +1672,7 @@ _ROUND2_LATE = [
     "q_profile_orders",
     "m_patch_stats",
     "x_pack_positions",
+    "q_bloom_prefilter",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

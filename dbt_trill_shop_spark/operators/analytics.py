@@ -1214,3 +1214,132 @@ UNION ALL SELECT 'o_orderdate', d_n, d_d, d_mi, d_ma FROM wide
 UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_mi, p_ma FROM wide
 ORDER BY column_name
 """
+
+
+def bloom_join_prefilter(
+    spark: SparkSession,
+    sf_dir: str,
+    min_acctbal: int = 9000,
+    m_bits: int = 1984,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter join pruning with an exact honesty audit: build a Bloom
+    filter over the small side's join keys (rich customers), pre-filter the
+    fact side (orders) through it, and report candidate / true-member /
+    false-positive counts.
+
+    This is the sketch behind runtime row-level filtering (Spark's AQE
+    injects one automatically for selective joins): the filter is
+    ``m_bits/62`` int64 words built by a BIT_OR aggregate — mergeable
+    map-side like every sketch here — and the fact side probes it with
+    ``k_hashes`` md5-derived bit tests BEFORE paying the real join's
+    shuffle.  62 usable bits per word keeps every shift off the int64 sign
+    bit so the words are engine-portable.  md5 hashing makes the exact
+    candidate set — and therefore the false-positive count — value-hash
+    checkable, which a production murmur-based bloom is not.
+    """
+    n_words = m_bits // 62
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_acctbal") >= min_acctbal).select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def positions(col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % (n_words * 62)
+                )
+                for i in range(k_hashes)
+            ]
+        )
+
+    words = (
+        keys.select(F.explode(positions(F.col("key"))).alias("pos"))
+        .select(
+            (F.col("pos") / 62).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 62 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probes = orders.select(
+        "o_orderkey", "o_custkey", F.posexplode(positions(F.col("o_custkey"))).alias("i", "pos")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("pos") / 62).cast("bigint").alias("word_idx"),
+        (F.col("pos") % 62).cast("int").alias("bit_idx"),
+    )
+    hit = probes.join(F.broadcast(words), "word_idx", "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "cast((shiftright(coalesce(word, cast(0 as bigint)), bit_idx) & 1) = 1 "
+            "as int)"
+        ).alias("bit_set"),
+    )
+    candidates = (
+        hit.groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("bit_set").alias("n_set"))
+        .filter(F.col("n_set") == k_hashes)
+    )
+    truth = candidates.join(
+        keys, candidates.o_custkey == keys.key, "left"
+    ).select("o_orderkey", F.col("key").isNotNull().cast("bigint").alias("is_member"))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_member").alias("n_true_members"),
+        (F.count(F.lit(1)) - F.sum("is_member")).alias("n_false_positives"),
+    )
+
+
+BLOOM_PREFILTER_SQL_TEMPLATE = """
+WITH keys AS (
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal >= {min_acctbal}
+),
+key_pos AS (
+    SELECT key,
+           CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                                      || CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+               % ({n_words} * 62) AS pos
+    FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {k} - 1)) AS i)
+),
+words AS (
+    SELECT pos // 62 AS word_idx,
+           BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS word
+    FROM key_pos GROUP BY pos // 62
+),
+probes AS (
+    SELECT o_orderkey, o_custkey,
+           CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                                      || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % ({n_words} * 62) AS pos
+    FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {k} - 1)) AS i)
+),
+hits AS (
+    SELECT p.o_orderkey, p.o_custkey,
+           CASE WHEN (COALESCE(w.word, 0) >> CAST(p.pos % 62 AS INT)) & 1 = 1
+                THEN 1 ELSE 0 END AS bit_set
+    FROM probes p LEFT JOIN words w ON w.word_idx = p.pos // 62
+),
+candidates AS (
+    SELECT o_orderkey, o_custkey FROM hits
+    GROUP BY o_orderkey, o_custkey
+    HAVING SUM(bit_set) = {k}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_members,
+       CAST(COUNT(*) - SUM(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM candidates c LEFT JOIN keys k ON c.o_custkey = k.key
+"""
