@@ -711,3 +711,68 @@ SELECT doc_id, source, bin_id, packed_tokens,
 FROM packed
 ORDER BY source, bin_id, doc_id
 """
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int = 50,
+    weight_expr: str = "size(split(text, ' '))",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    each item draws priority ``ln(u) / w`` from a content-hash uniform
+    ``u`` and the top-``n`` priorities win — inclusion probability
+    proportional to weight, one pass, fully parallel, and reproducible
+    (the draw is a pure function of the key, like :func:`hash_sample`).
+    The standard size-proportional corpus draw (longer documents more
+    likely, no source ever certain).
+
+    Exactness: ``u`` is an md5-derived integer mapped through ONE division,
+    and the priority is one ln + one division of identical operands — same
+    IEEE result in any engine, so the selected set and ranking hash-match.
+    The top-n is a single global window over (priority, id) pairs — slim at
+    any corpus size; at extreme scale pre-filter with a per-partition
+    top-n before the global one.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    w_col = F.expr(weight_expr).cast("bigint")
+    scored = docs.select(
+        F.col(id_col),
+        w_col.alias("weight"),
+        (F.log(u) / w_col).alias("priority"),
+    )
+    win = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= n)
+        .select("rank", id_col, "weight")
+    )
+
+
+WEIGHTED_SAMPLE_SQL_TEMPLATE = """
+WITH scored AS (
+    SELECT doc_id,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS weight,
+           LN((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'),
+                                      1, 8) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS priority
+    FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+       doc_id, weight
+FROM scored
+QUALIFY rank <= {n}
+"""

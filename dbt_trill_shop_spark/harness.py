@@ -81,8 +81,10 @@ from .ext.sampling import (
     CDC_CHUNKS_SQL,
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
     PACK_POSITIONS_SQL_TEMPLATE,
+    WEIGHTED_SAMPLE_SQL_TEMPLATE,
     cdc_chunks,
     pack_positions,
+    weighted_sample,
     HASH_SAMPLE_SQL_TEMPLATE,
     HASH_SPLIT_SQL_TEMPLATE,
     TRAINING_ORDER_SQL_TEMPLATE,
@@ -842,6 +844,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_record_linkage": QuerySpec(R.record_linkage, R.RECORD_LINKAGE_SQL),
     # content-defined chunking (FastCDC-style token-hash boundaries)
     "x_cdc_chunks": QuerySpec(_x_cdc_chunks, CDC_CHUNKS_SQL),
+    # Efraimidis-Spirakis weighted sampling without replacement
+    "x_weighted_sample": QuerySpec(
+        lambda spark, sf_dir: weighted_sample(
+            load_table(spark, sf_dir, "documents"), n=50
+        ),
+        WEIGHTED_SAMPLE_SQL_TEMPLATE.format(n=50, salt=""),
+    ),
     # BM25 lexical retrieval over the corpus inverted index
     "x_bm25_search": QuerySpec(
         lambda spark, sf_dir: bm25_search(
@@ -1673,6 +1682,7 @@ _ROUND2_LATE = [
     "m_patch_stats",
     "x_pack_positions",
     "q_bloom_prefilter",
+    "x_weighted_sample",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
