@@ -360,3 +360,39 @@ def test_text_index_search_prunes_partitions(spark, sf_dir, tmp_path):
         map(tuple, (tuple(r) for r in bm25_search(docs, 3, 5, 10).collect()))
     )
     assert got == want
+
+
+def test_bloom_prefilter_broadcasts_filter_words(spark, sf_dir):
+    """The Bloom word array must broadcast to the fact side (it IS the
+    point of the pre-filter: no fact shuffle before the membership test)."""
+    from dbt_trill_shop_spark.operators.analytics import bloom_join_prefilter
+
+    plan = _plan(bloom_join_prefilter(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_shuffles_never_carry_text(spark, sf_dir):
+    """BM25's postings shuffles ship (term, id, counts) — the corpus text
+    column must never appear in an exchange."""
+    import re
+
+    from dbt_trill_shop_spark.ext.textstats import bm25_search
+
+    plan = _plan(bm25_search(load_table(spark, sf_dir, "documents")))
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in exch, exch
+
+
+def test_retention_cohorts_dedups_before_join(spark, sf_dir):
+    """The activity relation must aggregate to (user, week) BEFORE joining
+    the cohort map — no join of raw event rows."""
+    from dbt_trill_shop_spark.operators.analytics import retention_cohorts
+
+    plan = _plan(retention_cohorts(spark, sf_dir))
+    # dedup (HashAggregate over user_id, week) appears below the join:
+    # crude but effective — the event-grain columns (event_id, value)
+    # never reach any join operator
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    join_section = plan[plan.find("Join"):]
+    assert "event_id" not in join_section
