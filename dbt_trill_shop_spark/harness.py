@@ -815,6 +815,18 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: A.histogram_quantiles(spark, sf_dir, bin_dollars=500),
         A.HISTOGRAM_QUANTILES_SQL_TEMPLATE.format(bin_dollars=500),
     ),
+    # true HyperLogLog (max-merged registers, exact int harmonic sum,
+    # small-range correction) — estimate column value-hash checked
+    "q_hll_users": QuerySpec(
+        lambda spark, sf_dir: A.hll_weekly_users(spark, sf_dir, p_bits=8),
+        A.HLL_WEEKLY_USERS_SQL_TEMPLATE.format(
+            m=256, width=24, alpha_m2_2p32=202175761456818.4
+        ),
+    ),
+    # weekly audience-overlap matrix with exact Jaccard ppm
+    "q_audience_overlap": QuerySpec(
+        A.audience_overlap, A.AUDIENCE_OVERLAP_SQL
+    ),
     # linear-counting distinct estimates, estimate column value-hash checked
     "q_linear_counting": QuerySpec(
         lambda spark, sf_dir: A.linear_counting_users(spark, sf_dir, m=4096),
@@ -1683,6 +1695,8 @@ _ROUND2_LATE = [
     "x_pack_positions",
     "q_bloom_prefilter",
     "x_weighted_sample",
+    "q_hll_users",
+    "q_audience_overlap",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -1343,3 +1343,183 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
             AS BIGINT) AS n_false_positives
 FROM candidates c LEFT JOIN keys k ON c.o_custkey = k.key
 """
+
+
+def hll_weekly_users(
+    spark: SparkSession, sf_dir: str, p_bits: int = 8
+) -> DataFrame:
+    """TRUE HyperLogLog distinct-user estimates (Flajolet 2007), exact
+    cross-engine: md5-derived 32-bit hashes split into a ``p_bits`` register
+    index + leading-zero rank; registers merge by MAX (the property that
+    makes HLL state combinable across partitions, weeks, machines); the
+    harmonic-mean estimate is computed over an EXACT integer sum —
+    ``sum(2^(32 - M[j]))`` in int64 with common denominator 2^32 — so the
+    only float ops are one division and one multiply of identical operands.
+    (Spark's own approx_count_distinct is HLL++ with engine-internal
+    hashing — rows-only checkable; this one is value-hash checkable,
+    estimate included.)  Linear-counting twin: ``linear_counting_users``.
+    """
+    m = 1 << p_bits
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    reg = (h32 % m).alias("reg")
+    rest = (h32 / m).cast("bigint")  # remaining 32 - p bits
+    # rank = leading zeros of `rest` within (32 - p) bits, + 1
+    width = 32 - p_bits
+    rank = (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.floor(F.log2(rest)))
+        .cast("bigint")
+    )
+    regs = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            reg,
+            rank.alias("rank"),
+        )
+        .groupBy("week", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    # exact integer harmonic sum: empty registers contribute 2^32 each
+    s = regs.groupBy("week").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(32 - mr as int))")).alias(
+            "s_occ"
+        ),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z_sum = F.col("s_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(1 << 32)
+    raw = F.lit(alpha * m * m * float(1 << 32)) / z_sum.cast("double")
+    zeros = F.lit(m) - F.col("n_occ")
+    # standard small-range correction (Flajolet §4): below 2.5m with empty
+    # registers, the raw harmonic estimate biases high — fall back to
+    # linear counting over register occupancy
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw),
+        2,
+    )
+    truth = (
+        ev.select(F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("true_users"))
+    )
+    return (
+        s.join(truth, "week")
+        .select(
+            "week",
+            F.col("n_occ").cast("bigint").alias("occupied_regs"),
+            est.alias("est_users"),
+            F.col("true_users").cast("bigint").alias("true_users"),
+        )
+        .orderBy("week")
+    )
+
+
+HLL_WEEKLY_USERS_SQL_TEMPLATE = """
+WITH hashed AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h32
+    FROM events
+),
+ranked AS (
+    SELECT week, h32 % {m} AS reg,
+           CASE WHEN h32 // {m} = 0 THEN {width} + 1
+                ELSE {width} - CAST(FLOOR(LOG2(h32 // {m})) AS BIGINT) END AS rank
+    FROM hashed
+),
+regs AS (SELECT week, reg, MAX(rank) AS mr FROM ranked GROUP BY week, reg),
+s AS (
+    SELECT week,
+           CAST(SUM(CAST(1 AS BIGINT) << CAST(32 - mr AS INT)) AS BIGINT) AS s_occ,
+           COUNT(*) AS n_occ
+    FROM regs GROUP BY week
+),
+truth AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(DISTINCT user_id) AS true_users
+    FROM events GROUP BY 1
+)
+SELECT s.week AS week,
+       CAST(n_occ AS BIGINT) AS occupied_regs,
+       ROUND(CASE WHEN {alpha_m2_2p32}
+                       / CAST(s_occ + ({m} - n_occ) * (CAST(1 AS BIGINT) << 32)
+                              AS DOUBLE) <= 2.5 * {m}
+                   AND {m} - n_occ > 0
+                  THEN CAST({m} AS DOUBLE)
+                       * LN(CAST({m} AS DOUBLE) / CAST({m} - n_occ AS DOUBLE))
+                  ELSE {alpha_m2_2p32}
+                       / CAST(s_occ + ({m} - n_occ) * (CAST(1 AS BIGINT) << 32)
+                              AS DOUBLE) END, 2) AS est_users,
+       CAST(true_users AS BIGINT) AS true_users
+FROM s JOIN truth ON s.week = truth.week
+ORDER BY s.week
+"""
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly audience-overlap matrix: for every pair of weeks, the exact
+    user intersection and Jaccard similarity (ppm) — the retention/churn
+    companion every analytics team computes.
+
+    Self-join ON user_id of the deduplicated (user, week) relation — pair
+    fan-out is |weeks|² per user (bounded by the calendar), never |events|²
+    — then per-pair counts join each week's size and Jaccard is integer ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    sizes = uw.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    a = uw.select("user_id", F.col("week").alias("week_a"))
+    b = uw.select("user_id", F.col("week").alias("week_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("week_a") < F.col("week_b"))
+        .groupBy("week_a", "week_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("week").alias("week_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("week").alias("week_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "week_a")
+        .join(F.broadcast(sb), "week_b")
+        .select(
+            "week_a",
+            "week_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("week_a", "week_b")
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+sizes AS (SELECT week, COUNT(*) AS n FROM uw GROUP BY week),
+inter AS (
+    SELECT a.week AS week_a, b.week AS week_b, COUNT(*) AS n_inter
+    FROM uw a JOIN uw b ON a.user_id = b.user_id AND a.week < b.week
+    GROUP BY a.week, b.week
+)
+SELECT week_a, week_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_inter * 1000000 // (sa.n + sb.n - n_inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.week = week_a
+JOIN sizes sb ON sb.week = week_b
+ORDER BY week_a, week_b
+"""
