@@ -227,6 +227,7 @@ from .streaming.events import (
     stream_purchase_attribution,
     stream_segment_rollup,
     stream_countmin_heavy,
+    stream_hll_users,
     stream_sessionize,
     stream_user_ewma,
     stream_top_event_types,
@@ -1512,6 +1513,13 @@ QUERIES: dict[str, QuerySpec] = {
     # stateful streaming EWMA: constant-size keyed state, last emission ==
     # the batch timeline fold, so it shares q_user_ewma's oracle verbatim
     "s_stream_ewma": QuerySpec(stream_user_ewma, A.USER_VALUE_EWMA_SQL),
+    # HLL registers as a streaming MAX aggregation (bounded distinct state)
+    "s_stream_hll": QuerySpec(
+        lambda spark, sf_dir: stream_hll_users(spark, sf_dir, p_bits=8),
+        A.HLL_WEEKLY_USERS_SQL_TEMPLATE.format(
+            m=256, width=24, alpha_m2_2p32=202175761456818.4
+        ),
+    ),
     # Count-Min grid as a streaming aggregation (fixed-size sketch state)
     "s_stream_countmin": QuerySpec(
         lambda spark, sf_dir: stream_countmin_heavy(
@@ -1697,6 +1705,7 @@ _ROUND2_LATE = [
     "x_weighted_sample",
     "q_hll_users",
     "q_audience_overlap",
+    "s_stream_hll",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

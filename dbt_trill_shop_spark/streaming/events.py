@@ -647,3 +647,75 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "ewma_cents")
         .orderBy("user_id")
     )
+
+
+def stream_hll_users(spark: SparkSession, sf_dir: str, p_bits: int = 8) -> DataFrame:
+    """HyperLogLog registers maintained AS A STREAM: the register grid is a
+    streaming MAX aggregation keyed on (week, register) — bounded state
+    (weeks x 2^p cells) for distinct-user tracking on an unbounded stream,
+    where exact streaming count-distinct state grows with |users|.  MAX is
+    idempotent and commutative, so micro-batches fold in associatively and
+    the availableNow drain equals the batch register grid — the estimate
+    formula then runs post-drain and the whole query shares the batch
+    twin's oracle (``operators/analytics.py hll_weekly_users``).
+    """
+    m = 1 << p_bits
+    width = 32 - p_bits
+    ev = stream_events(spark, sf_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rest = (h32 / m).cast("bigint")
+    rank = (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.floor(F.log2(rest)))
+        .cast("bigint")
+    )
+    regs_stream = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            (h32 % m).alias("reg"),
+            rank.alias("rank"),
+        )
+        .groupBy("week", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    regs = run_stream_to_memory(
+        regs_stream, "complete", shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS
+    )
+    s = regs.groupBy("week").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(32 - mr as int))")).alias(
+            "s_occ"
+        ),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m * float(1 << 32)) / (
+        F.col("s_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(1 << 32)
+    ).cast("double")
+    zeros = F.lit(m) - F.col("n_occ")
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw),
+        2,
+    )
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("true_users"))
+    )
+    return (
+        s.join(truth, "week")
+        .select(
+            "week",
+            F.col("n_occ").cast("bigint").alias("occupied_regs"),
+            est.alias("est_users"),
+            F.col("true_users").cast("bigint").alias("true_users"),
+        )
+        .orderBy("week")
+    )

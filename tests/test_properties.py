@@ -465,3 +465,39 @@ def test_histogram_quantile_error_bounded_by_bin(spark, sf_dir):
             exact,
             r.est_upper_dollars,
         )
+
+
+def test_hll_registers_merge_across_weeks(spark, sf_dir):
+    """HLL mergeability: MAX-merging the weekly register grids must give
+    exactly the registers of a whole-period build — the property that lets
+    distinct-count state combine across partitions/streams/time."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+
+    m, width = 256, 24
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rest = (h32 / m).cast("bigint")
+    rank = (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.floor(F.log2(rest)))
+        .cast("bigint")
+    )
+    base = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        (h32 % m).alias("reg"),
+        rank.alias("rank"),
+    )
+    weekly = base.groupBy("week", "reg").agg(F.max("rank").alias("mr"))
+    merged = sorted(
+        (r.reg, r.mr)
+        for r in weekly.groupBy("reg").agg(F.max("mr").alias("mr")).collect()
+    )
+    direct = sorted(
+        (r.reg, r.mr)
+        for r in base.groupBy("reg").agg(F.max("rank").alias("mr")).collect()
+    )
+    assert merged == direct
