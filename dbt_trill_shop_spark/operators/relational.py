@@ -1822,8 +1822,12 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = a.join(b, ["c_nationkey", "c_mktsegment"])
-    lev = F.levenshtein(F.col("a_name"), F.col("b_name"))
-    name_pts = F.when(lev <= 2, 20 - lev * 5).otherwise(0)
+    # bounded edit distance (threshold arg): early-exits once the distance
+    # exceeds 2 (returns -1), O(len*threshold) per pair instead of O(len^2)
+    # — the only score contribution needs lev <= 2, so semantics are
+    # unchanged and the oracle keeps the unbounded form
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"), 3)
+    name_pts = F.when((lev >= 0) & (lev <= 2), 20 - lev * 5).otherwise(0)
     bal_pts = F.when(
         F.abs(F.col("a_bal_c") - F.col("b_bal_c")) <= 100, F.lit(10)
     ).otherwise(0)
