@@ -769,3 +769,115 @@ def test_audio_windows_cover_only_full_windows(spark, sf_dir):
     for r in rows:
         if r.win_idx == last_by_media[r.media_id]:
             assert (r.win_idx + 1) * hop + window - 1 >= r.n_samples
+
+
+# ---- edge cases for the round-2 session operators ----------------------
+
+
+def test_cdc_chunks_single_and_empty_token_docs(spark):
+    from dbt_trill_shop_spark.ext.sampling import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in cdc_chunks(df).collect()
+    )
+    # every doc yields at least one chunk starting at position 1 and the
+    # chunks of each doc cover all its tokens
+    by_doc = {}
+    for d, _, text, n in rows:
+        by_doc.setdefault(d, []).append((text, n))
+    assert set(by_doc) == {1, 2}
+    assert " ".join(t for t, _ in by_doc[1]) == "solo"
+    assert " ".join(t for t, _ in by_doc[2]) == "two words"
+
+
+def test_winnowing_short_docs_yield_no_fingerprints(spark):
+    from dbt_trill_shop_spark.ext.textstats import winnowing_fingerprints
+
+    # fewer than k tokens -> no shingles; fewer than k+w-1 -> no window
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e"), (3, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    rows = winnowing_fingerprints(df, k=3, w=4).collect()
+    ids = {r.doc_id for r in rows}
+    assert 1 not in ids  # only 2 tokens, no 3-gram
+    assert 2 not in ids  # 3 hashes < w=4, no window
+    assert 3 in ids  # 5 hashes >= 4: at least one fingerprint
+
+
+def test_phash_skips_short_payloads(spark):
+    from dbt_trill_shop_spark.ext.multimodal import perceptual_hash_neardup
+
+    short = "x" * 65
+    df = spark.createDataFrame(
+        [(1, short.encode()), (2, short.encode())], ["media_id", "payload"]
+    )
+    assert perceptual_hash_neardup(df).collect() == []
+
+
+def test_weighted_sample_n_exceeding_corpus_returns_all(spark):
+    from dbt_trill_shop_spark.ext.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(5)], ["doc_id", "text"]
+    )
+    rows = weighted_sample(df, n=100).collect()
+    assert len(rows) == 5
+    assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_matryoshka_prefix_longer_than_vector_degrades_to_full(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        matryoshka_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), float(3 - i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in matryoshka_topk(emb, q, prefix_dims=16, shortlist=10, k=3).collect()
+    }
+    # slice beyond length = whole vector, so coarse == full: exact dot ranking
+    assert len(got) == 3 and all(x[0] == 0 for x in got)
+
+
+def test_bm25_query_with_more_terms_than_doc(spark):
+    from dbt_trill_shop_spark.ext.textstats import bm25_search
+
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (5, "tiny doc about a tiny engine"),
+         (6, "unrelated words entirely")],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, n_queries=1, q_terms=10, k=5).collect()
+    hits = {r.hit_id for r in rows if r.query_id == 0}
+    assert 5 in hits  # shares "tiny"/"doc"
+    assert 6 not in hits  # shares nothing
+
+
+def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every true member must pass the filter (FPs allowed,
+    FNs never) — n_true_members equals the exact join count."""
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import bloom_join_prefilter
+
+    row = bloom_join_prefilter(spark, sf_dir, min_acctbal=9000).collect()[0]
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    ).count()
+    assert row.n_true_members == exact
+    assert row.n_false_positives >= 0
