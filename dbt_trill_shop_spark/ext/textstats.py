@@ -1634,3 +1634,136 @@ SELECT query_id, hit_id, rank, pos AS match_pos,
 FROM with_pos
 ORDER BY query_id, rank
 """
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Classifier evaluation report: confusion matrix of the language-ID
+    heuristic's predictions against the table's labeled ``lang`` column,
+    with per-cell counts and row-relative ppm — the quality-dashboard
+    artifact any production classifier ships with.  Composes
+    :func:`language_id` (per-row codegen scoring) with one low-cardinality
+    |langs|² aggregation; the corpus scans once.
+    """
+    preds = language_id(docs)
+    joined = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        preds.select("doc_id", "lang_pred"), "doc_id"
+    )
+    cells = joined.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_n = F.sum("n").over(Window.partitionBy("lang_true"))
+    return (
+        cells.withColumn("row_ppm", F.expr("n * 1000000 DIV sum(n) over (partition by lang_true)"))
+        .withColumn("row_total", row_n.cast("bigint"))
+        .select("lang_true", "lang_pred", "n", "row_total", "row_ppm")
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL_TEMPLATE = """
+WITH preds AS ({language_id}),
+joined AS (
+    SELECT d.lang AS lang_true, p.lang_pred
+    FROM documents d JOIN preds p USING (doc_id)
+),
+cells AS (
+    SELECT lang_true, lang_pred, COUNT(*) AS n
+    FROM joined GROUP BY lang_true, lang_pred
+)
+SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY lang_true) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang_true) AS BIGINT)
+           AS row_ppm
+FROM cells
+ORDER BY lang_true, lang_pred
+"""
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_pair: int = 5,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``PMI(a,b) = ln( N · c(ab) / (c(a)·c(b)) )`` over adjacent token pairs
+    — the classic collocation/phrase-mining statistic (Church & Hanks
+    1990; word2vec's phrase pass uses the same ratio).
+
+    One explode pass produces both unigram and bigram counts (the bigram
+    relation derives from the SAME tokenized rows); the PMI numerator and
+    denominator stay int64 and the single ln of an identical rational is
+    engine-exact, rounded to 6 dp.  ``min_pair`` drops noise pairs (and
+    bounds the ranked relation).
+    """
+    toks = docs.select(F.split(F.col(text_col), " ").alias("t"))
+    bound = toks.select(
+        "t", F.expr("arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))").alias("bg")
+    )
+    pairs = bound.select(F.explode("bg").alias("p")).select(
+        F.col("p.0").alias("a"), F.col("p.1").alias("b")
+    )
+    pair_counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        pair_counts.filter(F.col("c_ab") >= min_pair)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("n_tokens") * F.col("c_ab")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "a", "b", "c_ab", "pmi")
+    )
+
+
+PMI_COLLOCATIONS_SQL_TEMPLATE = """
+WITH t AS (SELECT STR_SPLIT(text, ' ') AS toks FROM documents),
+pairs AS (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM t, UNNEST(range(1, LEN(toks))) AS u(i)
+),
+pair_counts AS (
+    SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b HAVING COUNT(*) >= {min_pair}
+),
+uni AS (
+    SELECT unnest(STR_SPLIT(text, ' ')) AS w FROM documents
+),
+uni_counts AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni_counts),
+scored AS (
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(LN(CAST(n_tokens * c_ab AS DOUBLE)
+                    / CAST(ua.c * ub.c AS DOUBLE)), 6) AS pmi
+    FROM pair_counts
+    JOIN uni_counts ua ON ua.w = a
+    JOIN uni_counts ub ON ub.w = b
+    CROSS JOIN total
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT)
+           AS rank,
+       a, b, c_ab, pmi
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -169,7 +169,11 @@ from .ext.textstats import (
     WINNOWING_SQL_TEMPLATE,
     BM25_SEARCH_SQL_TEMPLATE,
     SEARCH_SNIPPETS_SQL_TEMPLATE,
+    LANGID_CONFUSION_SQL_TEMPLATE,
+    PMI_COLLOCATIONS_SQL_TEMPLATE,
     bm25_search,
+    langid_confusion,
+    pmi_collocations,
     ppl_buckets,
     search_snippets,
     winnowing_fingerprints,
@@ -1281,6 +1285,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "x_language_id": QuerySpec(_docs_q(language_id), LANGUAGE_ID_SQL),
     "x_language_profile": QuerySpec(_x_language_profile, LANGUAGE_PROFILE_SQL),
+    # classifier-eval confusion matrix of langid predictions vs labels
+    "x_langid_confusion": QuerySpec(
+        lambda spark, sf_dir: langid_confusion(
+            load_table(spark, sf_dir, "documents")
+        ),
+        LANGID_CONFUSION_SQL_TEMPLATE.format(language_id=LANGUAGE_ID_SQL),
+    ),
+    # top-k PMI collocations (phrase-mining statistic)
+    "x_pmi_collocations": QuerySpec(
+        lambda spark, sf_dir: pmi_collocations(
+            load_table(spark, sf_dir, "documents"), min_pair=5, k=30
+        ),
+        PMI_COLLOCATIONS_SQL_TEMPLATE.format(min_pair=5, k=30),
+    ),
     "x_fingerprint": QuerySpec(_docs_q(rolling_fingerprint), ROLLING_FINGERPRINT_SQL),
     "x_knn_cosine_topk": QuerySpec(
         _x_knn, COSINE_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K)
@@ -1706,6 +1724,8 @@ _ROUND2_LATE = [
     "q_hll_users",
     "q_audience_overlap",
     "s_stream_hll",
+    "x_langid_confusion",
+    "x_pmi_collocations",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
