@@ -1102,3 +1102,83 @@ def test_macro_files_load_and_dispatch(spark):
     # unknown adapter falls back to the default__ variant
     fallback = load_macro_files([path], adapter="nosuch")
     assert "DECIMAL(16, 2)" in fallback["cents_to_dollars"]("x")
+
+
+def test_unit_tests_mock_refs_and_compare(spark, sf_dir):
+    """dbt 1.8 unit tests: mock inputs drive the model's logic (Python AND
+    SQL-file paths), expect compares a column subset order-insensitively,
+    unmocked refs raise, and wrong expectations fail with a diff."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_trill_shop_spark.core import (
+        Materialization,
+        Model,
+        Project,
+        UnitTest,
+        run_unit_tests,
+    )
+
+    p = Project("ut", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_ut_"))
+    p.add_model(
+        Model(
+            "totals",
+            lambda s, ref: ref("raw_sales")
+            .groupBy("region")
+            .agg(F.sum("amount").alias("total")),
+            deps=("raw_sales",),
+        )
+    )
+    p.add_model(
+        Model(
+            "big_totals",
+            "SELECT region, total FROM {{ ref('totals') }} WHERE total > 10",
+            deps=("totals",),
+            materialization=Materialization.VIEW,
+        )
+    )
+    given = {
+        "raw_sales": [
+            {"region": "eu", "amount": 7},
+            {"region": "eu", "amount": 5},
+            {"region": "us", "amount": 3},
+        ]
+    }
+    results = run_unit_tests(
+        p,
+        spark,
+        [
+            UnitTest(
+                "sums_per_region",
+                "totals",
+                given,
+                expect=[
+                    {"region": "eu", "total": 12},
+                    {"region": "us", "total": 3},
+                ],
+            ),
+            UnitTest(
+                "filters_small_totals",
+                "big_totals",
+                {"totals": [{"region": "eu", "total": 12}, {"region": "us", "total": 3}]},
+                expect=[{"region": "eu"}],
+            ),
+            UnitTest(
+                "wrong_expectation_fails",
+                "totals",
+                given,
+                expect=[{"region": "eu", "total": 999}],
+            ),
+        ],
+    )
+    by_name = {r.name: r for r in results}
+    assert by_name["sums_per_region"].passed
+    assert by_name["filters_small_totals"].passed
+    assert not by_name["wrong_expectation_fails"].passed
+    assert "mismatch" in by_name["wrong_expectation_fails"].message
+
+    import pytest
+
+    with pytest.raises(AssertionError, match="not mocked"):
+        UnitTest("no_mock", "totals", {}, expect=[]).run(p, spark)
