@@ -850,6 +850,10 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # gap-filled daily series with exact-integer linear interpolation
+    "q_interpolate_daily": QuerySpec(
+        A.interpolate_daily_series, A.INTERPOLATE_DAILY_SQL
+    ),
     # Z-order (Morton) clustering keys for two-dimensional data skipping
     "q_zorder_keys": QuerySpec(
         lambda spark, sf_dir: A.zorder_keys(spark, sf_dir, sample_mod=500),
@@ -1726,6 +1730,7 @@ _ROUND2_LATE = [
     "s_stream_hll",
     "x_langid_confusion",
     "x_pmi_collocations",
+    "q_interpolate_daily",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

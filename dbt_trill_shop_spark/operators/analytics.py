@@ -1523,3 +1523,101 @@ JOIN sizes sa ON sa.week = week_a
 JOIN sizes sb ON sb.week = week_b
 ORDER BY week_a, week_b
 """
+
+
+def interpolate_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event series with LINEAR INTERPOLATION: the calendar
+    spine left-joins the observed daily counts, and each missing day takes
+    the straight line between its nearest observed neighbors (edges clamp
+    to the one existing neighbor) — the time-series-cleanup companion to
+    the zero-fill date spine (``date_spine_events``).
+
+    Neighbor lookup is two IGNORE NULLS window passes (last-before /
+    first-after) over the per-DAY relation — tiny post-aggregate data, so
+    the single total-order window is free; interpolation is exact integer
+    milli-units (``prev·1000 + Δ·1000·offset div span``), no float ramps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    # synthesize gaps deterministically so interpolation is exercised even
+    # on a dense series: every 7th day of the observed range is masked
+    masked = spine.join(daily, "d", "left").select(
+        "d",
+        F.when(F.dayofmonth("d") % 7 == 0, F.lit(None)).otherwise(F.col("v")).alias("v"),
+    )
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("d").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(wp)
+    next_v = F.first("v", ignorenulls=True).over(wn)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True).over(wp)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v") * 1000)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v * 1000
+            + F.expr(
+                "(next_v - prev_v) * 1000 * datediff(d, prev_d) "
+                "DIV datediff(next_d, prev_d)"
+            ),
+        )
+        .otherwise(F.coalesce(prev_v, next_v) * 1000)
+    )
+    return (
+        masked.withColumn("prev_v", prev_v)
+        .withColumn("next_v", next_v)
+        .withColumn("prev_d", prev_d)
+        .withColumn("next_d", next_d)
+        .select(
+            "d",
+            F.col("v").cast("bigint").alias("observed"),
+            interp.cast("bigint").alias("value_milli"),
+        )
+        .orderBy("d")
+    )
+
+
+INTERPOLATE_DAILY_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS v FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+),
+masked AS (
+    SELECT s.d,
+           CASE WHEN day(s.d) % 7 = 0 THEN NULL ELSE daily.v END AS v
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+),
+nbrs AS (
+    SELECT d, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+    FROM masked
+)
+SELECT d,
+       CAST(v AS BIGINT) AS observed,
+       CAST(CASE WHEN v IS NOT NULL THEN v * 1000
+                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                 THEN prev_v * 1000
+                      + (next_v - prev_v) * 1000 * date_diff('day', prev_d, d)
+                        // date_diff('day', prev_d, next_d)
+                 ELSE COALESCE(prev_v, next_v) * 1000 END AS BIGINT)
+           AS value_milli
+FROM nbrs
+ORDER BY d
+"""
