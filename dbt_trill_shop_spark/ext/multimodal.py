@@ -442,12 +442,15 @@ def patch_intensity_stats(
     summed inside the tile via an array fold over bound columns.  Tile
     count is ceil(n/patch_bytes) per row — bounded fan-out, no shuffle.
     """
+    # chars bound ONCE as an array: substring(t, p, 1) inside the fold
+    # would re-seek the string from the front per sample (O(len²) per doc)
     base = media.select(
-        F.col(id_col).alias("mid"), F.col(payload_col).cast("string").alias("t")
-    ).withColumn("n", F.length("t"))
+        F.col(id_col).alias("mid"),
+        F.split(F.col(payload_col).cast("string"), "").alias("cs"),
+    ).withColumn("n", F.size("cs"))
     tiles = base.select(
         "mid",
-        "t",
+        "cs",
         "n",
         F.posexplode(
             F.expr(f"sequence(1, greatest(n, 1), {patch_bytes})")
@@ -456,7 +459,7 @@ def patch_intensity_stats(
     tile_len = F.least(F.lit(patch_bytes), F.col("n") - F.col("start") + 1)
     s = F.expr(
         "aggregate(sequence(start, start + tlen - 1), cast(0 as bigint), "
-        "(acc, p) -> acc + ascii(substring(t, cast(p as int), 1)))"
+        "(acc, p) -> acc + ascii(element_at(cs, cast(p as int))))"
     )
     return (
         tiles.withColumn("tlen", tile_len)
