@@ -325,10 +325,12 @@ def perceptual_hash_neardup(
     all-pairs, shuffle keyed on short band values.  Payloads shorter than
     66 samples are skipped (no stable gradient exists).
     """
+    # chars bound once as an array: strided substring() samples would each
+    # re-seek the string from the front (same lesson as patch stats)
     base = media.select(
         F.col(id_col).alias("mid"),
-        F.col(payload_col).cast("string").alias("t"),
-    ).withColumn("n", F.length("t"))
+        F.split(F.col(payload_col).cast("string"), "").alias("cs"),
+    ).withColumn("n", F.size("cs"))
     strided = base.filter(F.col("n") >= 66).withColumn(
         "stride", F.greatest(F.lit(1), F.floor(F.col("n") / 66)).cast("int")
     )
@@ -336,7 +338,7 @@ def perceptual_hash_neardup(
         "mid",
         F.expr(
             "transform(sequence(0, 64), "
-            "i -> ascii(substring(t, cast(1 + i * stride as int), 1)))"
+            "i -> ascii(element_at(cs, cast(1 + i * stride as int))))"
         ).alias("s"),
     )
     banded = sampled.select(
