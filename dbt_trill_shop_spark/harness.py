@@ -641,6 +641,67 @@ def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vs], k=10)
 
 
+_RAG_PIPELINE_SQL = '''
+WITH fused AS ({rrf}),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(STR_SPLIT(text, ' ')[1 : 5]) AS term
+    FROM documents WHERE doc_id < 3
+),
+qsets AS (SELECT query_id, list(term ORDER BY term) AS terms FROM qterms GROUP BY query_id),
+joined AS (
+    SELECT f.query_id, f.hit_id, f.rank, q.terms, d.text AS t
+    FROM fused f
+    JOIN qsets q USING (query_id)
+    JOIN documents d ON d.doc_id = f.hit_id
+    WHERE f.rank <= 5
+),
+with_pos AS (
+    SELECT query_id, hit_id, rank,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(terms, tm -> CAST(POSITION(tm IN t) AS BIGINT))),
+               (acc, p) -> CASE WHEN p > 0 AND (acc = 0 OR p < acc)
+                                THEN p ELSE acc END) AS pos,
+           t
+    FROM joined
+)
+SELECT query_id, hit_id, rank, pos AS match_pos,
+       CASE WHEN pos > 0
+            THEN substring(t, CAST(GREATEST(1, pos - 30) AS INT), 60)
+            ELSE substring(t, 1, 60) END AS snippet
+FROM with_pos
+ORDER BY query_id, rank
+'''.format(
+    rrf=HYBRID_RRF_SQL_TEMPLATE.format(
+        bm25=BM25_SEARCH_SQL_TEMPLATE.format(
+            n_queries=3, q_terms=5, k=10, k1=1.2, b=0.75
+        ),
+        cosine=COSINE_TOPK_SQL_TEMPLATE.format(num_queries=3, k=10),
+        c=60, k=5,
+    )
+)
+
+
+def _x_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval story as ONE lazy plan: BM25 + dense cosine fused
+    by reciprocal rank, then result-page snippets for the fused top-k —
+    Catalyst sees the whole DAG (the postings/tf relations build once and
+    feed both the ranking and nothing else; only fused winners fetch
+    text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_search(docs, n_queries=3, q_terms=5, k=10)
+    vs = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    fused = rrf_fuse([bm, vs], k=5).drop("rrf_ppm")
+    qsets = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_sort(
+            F.array_distinct(F.slice(F.split("text", " "), 1, 5))
+        ).alias("terms"),
+    )
+    return search_snippets(docs, fused.join(F.broadcast(qsets), "query_id"))
+
+
 def _x_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return matryoshka_topk(
@@ -913,6 +974,11 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), knn=4, top_n=50
         ),
         BITEXT_MINING_SQL_TEMPLATE.format(knn=4, top_n=50),
+    ),
+    # end-to-end retrieval pipeline: hybrid fusion -> snippets, one plan
+    "x_rag_pipeline": QuerySpec(
+        _x_rag_pipeline,
+        _RAG_PIPELINE_SQL,
     ),
     # winnowing fingerprint selection (MOSS local document fingerprints)
     "x_winnowing": QuerySpec(
@@ -1731,6 +1797,7 @@ _ROUND2_LATE = [
     "x_langid_confusion",
     "x_pmi_collocations",
     "q_interpolate_daily",
+    "x_rag_pipeline",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
