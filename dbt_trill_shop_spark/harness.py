@@ -911,6 +911,12 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # per-week Pearson r from mergeable int64 sufficient statistics
+    "q_weekly_correlation": QuerySpec(
+        A.weekly_value_correlation, A.WEEKLY_VALUE_CORRELATION_SQL
+    ),
+    # chi-square independence (type x weekday), per-cell micro rounding
+    "q_chisquare": QuerySpec(A.chisquare_type_weekday, A.CHISQUARE_SQL),
     # gap-filled daily series with exact-integer linear interpolation
     "q_interpolate_daily": QuerySpec(
         A.interpolate_daily_series, A.INTERPOLATE_DAILY_SQL
@@ -1798,6 +1804,8 @@ _ROUND2_LATE = [
     "x_pmi_collocations",
     "q_interpolate_daily",
     "x_rag_pipeline",
+    "q_weekly_correlation",
+    "q_chisquare",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -1621,3 +1621,136 @@ SELECT d,
 FROM nbrs
 ORDER BY d
 """
+
+
+def weekly_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week Pearson correlation between daily event volume and daily
+    total value — the standard "are these series related" statistic,
+    engine-exact: all five sufficient statistics (Σx Σy Σxy Σx² Σy²) are
+    int64 sums over (count, cents), and r's numerator/denominator combine
+    them in ONE fixed expression (one sqrt + one division of identical
+    operands), rounded to 6 dp.  The sufficient statistics are mergeable —
+    the same five numbers combine across partitions/streams, which is why
+    this formulation (and not a two-pass mean-centered one) is the
+    distributed idiom.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(cents("value")).alias("y"),
+    )
+    stats = daily.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+            6,
+        ),
+    )
+    return stats.select(
+        "week", F.col("n").cast("bigint").alias("n_days"), r.alias("pearson_r")
+    ).orderBy("week")
+
+
+WEEKLY_VALUE_CORRELATION_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(ts AS DATE) AS d,
+           COUNT(*) AS x,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT week, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily GROUP BY week
+)
+SELECT week, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS pearson_r
+FROM stats
+ORDER BY week
+"""
+
+
+def chisquare_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and weekday: is the
+    activity mix the same every day of the week?  The classic categorical
+    association screen.
+
+    Cross-engine determinism: the per-cell term
+    ``(o·T − r·c)² / (r·c·T)`` is computed from int64 counts, scaled to
+    micro-units and ROUNDED PER CELL before the final integer sum — float
+    summation order (which differs between engines' aggregation trees)
+    never touches the statistic.  Contingency cells, margins and the total
+    are three map-side-combinable aggregations of the same tiny relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    total = cells.agg(F.sum("o").alias("t"))
+    term_micro = F.round(
+        (
+            (F.col("o") * F.col("t") - F.col("r") * F.col("c"))
+            * (F.col("o") * F.col("t") - F.col("r") * F.col("c"))
+        ).cast("double")
+        / (F.col("r") * F.col("c")).cast("double")
+        / F.col("t").cast("double")
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    joined = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum(term_micro).cast("double") / 1_000_000.0).alias("chi2"),
+    ).select(
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.round("chi2", 4).alias("chi2"),
+    )
+
+
+CHISQUARE_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_m AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+total AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND(
+           CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE)
+           / CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000, 0) AS BIGINT))
+           AS DOUBLE) / 1000000.0, 4) AS chi2
+FROM cells
+JOIN rows_m USING (event_type)
+JOIN cols_m USING (dow)
+CROSS JOIN total
+"""
