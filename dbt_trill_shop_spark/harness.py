@@ -911,6 +911,11 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # Poisson bootstrap CI for the mean (the distributed bootstrap)
+    "q_bootstrap_ci": QuerySpec(
+        lambda spark, sf_dir: A.bootstrap_mean_ci(spark, sf_dir, n_replicas=32),
+        A.BOOTSTRAP_MEAN_CI_SQL_TEMPLATE.format(n_replicas=32),
+    ),
     # per-week Pearson r from mergeable int64 sufficient statistics
     "q_weekly_correlation": QuerySpec(
         A.weekly_value_correlation, A.WEEKLY_VALUE_CORRELATION_SQL
@@ -1806,6 +1811,7 @@ _ROUND2_LATE = [
     "x_rag_pipeline",
     "q_weekly_correlation",
     "q_chisquare",
+    "q_bootstrap_ci",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -1754,3 +1754,119 @@ JOIN rows_m USING (event_type)
 JOIN cols_m USING (dow)
 CROSS JOIN total
 """
+
+
+def bootstrap_mean_ci(
+    spark: SparkSession, sf_dir: str, n_replicas: int = 32
+) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value — the
+    distributed bootstrap: instead of materializing resamples (impossible at
+    scale — each replica is a full copy), every row draws an independent
+    Poisson(1) weight per replica and each replica's mean is the
+    weight-weighted mean.  One pass over the fact table, |replicas| partial
+    aggregates, no global resample — the standard large-scale CI recipe.
+
+    Determinism: the Poisson draw is inverse-CDF over an md5-derived integer
+    uniform against INTEGER thresholds (floor(cdf·1e6): 367879/735759/
+    919699/981012, weight capped at 4 — P(>4) ≈ 0.4%), so the weights — and
+    therefore every replicate mean (one division of identical int64 sums) —
+    are engine-exact.  The CI picks order statistics of the replicate means
+    (ranks 2 and ``B``-1 ≈ a 94% interval at B=32).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("v_c")
+    )
+    reps = spark.range(n_replicas).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .otherwise(4)
+    )
+    means = (
+        orders.crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), (w * F.col("v_c")).alias("wv"))
+        .groupBy("b")
+        .agg(F.sum("w").alias("sw"), F.sum("wv").alias("swv"))
+        .select(
+            "b",
+            (F.col("swv").cast("double") / F.col("sw") / 100.0).alias("rep_mean"),
+        )
+    )
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.asc("rep_mean"), F.asc("b")))
+    )
+    point = orders.agg(
+        (F.sum("v_c").cast("double") / F.count(F.lit(1)) / 100.0).alias("mean_value")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("rep_mean").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == n_replicas - 1).select(
+        F.col("rep_mean").alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.round("mean_value", 4).alias("mean_value"),
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+BOOTSTRAP_MEAN_CI_SQL_TEMPLATE = """
+WITH orders_c AS (
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v_c
+    FROM orders
+),
+reps AS (SELECT unnest(range(0, {n_replicas})) AS b),
+weighted AS (
+    SELECT b,
+           CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS w,
+           v_c
+    FROM (
+        SELECT b, v_c,
+               CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                          || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 1000000 AS u
+        FROM orders_c CROSS JOIN reps
+    ) t
+),
+means AS (
+    SELECT b, CAST(SUM(w * v_c) AS DOUBLE) / CAST(SUM(w) AS BIGINT) / 100.0
+               AS rep_mean
+    FROM weighted GROUP BY b
+),
+ranked AS (
+    SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean ASC, b ASC) AS rk
+    FROM means
+),
+point AS (
+    SELECT CAST(SUM(v_c) AS DOUBLE) / COUNT(*) / 100.0 AS mean_value
+    FROM orders_c
+)
+SELECT ROUND(mean_value, 4) AS mean_value,
+       ROUND((SELECT rep_mean FROM ranked WHERE rk = 2), 4) AS ci_lo,
+       ROUND((SELECT rep_mean FROM ranked WHERE rk = {n_replicas} - 1), 4) AS ci_hi
+FROM point
+"""
