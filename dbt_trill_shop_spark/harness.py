@@ -914,7 +914,7 @@ QUERIES: dict[str, QuerySpec] = {
     # Poisson bootstrap CI for the mean (the distributed bootstrap)
     "q_bootstrap_ci": QuerySpec(
         lambda spark, sf_dir: A.bootstrap_mean_ci(spark, sf_dir, n_replicas=32),
-        A.BOOTSTRAP_MEAN_CI_SQL_TEMPLATE.format(n_replicas=32),
+        A.bootstrap_mean_ci_sql(n_replicas=32),
     ),
     # per-week Pearson r from mergeable int64 sufficient statistics
     "q_weekly_correlation": QuerySpec(

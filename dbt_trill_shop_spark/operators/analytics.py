@@ -1763,110 +1763,153 @@ def bootstrap_mean_ci(
     distributed bootstrap: instead of materializing resamples (impossible at
     scale — each replica is a full copy), every row draws an independent
     Poisson(1) weight per replica and each replica's mean is the
-    weight-weighted mean.  One pass over the fact table, |replicas| partial
-    aggregates, no global resample — the standard large-scale CI recipe.
+    weight-weighted mean.  The standard large-scale CI recipe.
 
-    Determinism: the Poisson draw is inverse-CDF over an md5-derived integer
-    uniform against INTEGER thresholds (floor(cdf·1e6): 367879/735759/
-    919699/981012, weight capped at 4 — P(>4) ≈ 0.4%), so the weights — and
-    therefore every replicate mean (one division of identical int64 sums) —
-    are engine-exact.  The CI picks order statistics of the replicate means
-    (ranks 2 and ``B``-1 ≈ a 94% interval at B=32).
+    Plan shape: NO row expansion at all — the |replicas| (Σw, Σw·v) pairs
+    are 2·B aggregate expressions over ONE scan (all map-side combinable);
+    a replica-per-row reshape of the single wide result row feeds the
+    order-statistic CI.  (A broadcast cross join with a replica table costs
+    B× the fact rows through a nested-loop join — measured 4 s vs 0.6 s at
+    sf0.1 for B=32.)
+
+    Determinism: replica b reads 32-bit lane b%4 of md5(key:b//4) — one
+    digest yields four uniform lanes — and the Poisson draw is inverse-CDF
+    against INTEGER thresholds (floor(cdf·1e6): 367879/735759/919699/
+    981012, weight capped at 4, P(>4) ≈ 0.4%), so every replicate mean (one
+    division of identical int64 sums) is engine-exact.  CI = ranks 2 and
+    B-1 of the replicate means (~94% at B=32).
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("v_c")
     )
-    reps = spark.range(n_replicas).select(F.col("id").alias("b"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
+
+    def u_expr(b: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"), F.lit(f":{b // 4}")
+                        )
+                    ),
+                    (b % 4) * 8 + 1,
+                    8,
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1_000_000
-    )
-    w = (
-        F.when(u < 367879, 0)
-        .when(u < 735759, 1)
-        .when(u < 919699, 2)
-        .when(u < 981012, 3)
-        .otherwise(4)
-    )
-    means = (
-        orders.crossJoin(F.broadcast(reps))
-        .select("b", w.alias("w"), (w * F.col("v_c")).alias("wv"))
-        .groupBy("b")
-        .agg(F.sum("w").alias("sw"), F.sum("wv").alias("swv"))
-        .select(
-            "b",
-            (F.col("swv").cast("double") / F.col("sw") / 100.0).alias("rep_mean"),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
         )
+
+    # uniforms hoisted into their own projection: inside the aggregate a
+    # 5-branch CASE would re-evaluate its md5 lane per branch if the wide
+    # expression list falls out of whole-stage codegen (no subexpression
+    # sharing in interpreted mode)
+    lanes = orders.select(
+        "v_c", *[u_expr(b).alias(f"u_{b}") for b in range(n_replicas)]
     )
-    ranked = means.withColumn(
+
+    def w_of(b: int):
+        # branchless inverse CDF: w = #(thresholds <= u) — boolean sums
+        # codegen tighter than a 5-branch CASE chain (measured 3.5 -> 2.6 s)
+        u = F.col(f"u_{b}")
+        return (
+            (u >= 367879).cast("long")
+            + (u >= 735759).cast("long")
+            + (u >= 919699).cast("long")
+            + (u >= 981012).cast("long")
+        )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v_c").alias("sv"),
+    ]
+    for b in range(n_replicas):
+        w = w_of(b)
+        aggs.append(F.sum(w).alias(f"sw_{b}"))
+        aggs.append(F.sum(w * F.col("v_c")).alias(f"swv_{b}"))
+    wide = lanes.agg(*aggs)
+    reps = wide.select(
+        "n_rows",
+        "sv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.col(f"swv_{b}").cast("double")
+                            / F.col(f"sw_{b}")
+                            / 100.0
+                        ).alias("rep_mean"),
+                    )
+                    for b in range(n_replicas)
+                ]
+            )
+        ).alias("r"),
+    ).select("n_rows", "sv", F.col("r.b").alias("b"), F.col("r.rep_mean").alias("rep_mean"))
+    ranked = reps.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.asc("rep_mean"), F.asc("b")))
     )
-    point = orders.agg(
-        (F.sum("v_c").cast("double") / F.count(F.lit(1)) / 100.0).alias("mean_value")
-    )
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("rep_mean").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == n_replicas - 1).select(
-        F.col("rep_mean").alias("ci_hi")
-    )
     return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        ranked.groupBy("n_rows", "sv")
+        .agg(
+            F.min(F.when(F.col("rk") == 2, F.col("rep_mean"))).alias("ci_lo"),
+            F.min(F.when(F.col("rk") == n_replicas - 1, F.col("rep_mean"))).alias(
+                "ci_hi"
+            ),
+        )
         .select(
-            F.round("mean_value", 4).alias("mean_value"),
+            F.round(
+                F.col("sv").cast("double") / F.col("n_rows") / 100.0, 4
+            ).alias("mean_value"),
             F.round("ci_lo", 4).alias("ci_lo"),
             F.round("ci_hi", 4).alias("ci_hi"),
         )
     )
 
 
-BOOTSTRAP_MEAN_CI_SQL_TEMPLATE = """
+def bootstrap_mean_ci_sql(n_replicas: int = 32) -> str:
+    """DuckDB oracle: the same 2·B aggregate expressions generated
+    textually (mirrors the Spark plan's no-expansion shape)."""
+    u = (
+        "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':{g}'), "
+        "{off}, 8) AS BIGINT) % 1000000"
+    )
+    w = (
+        "(CAST({u} >= 367879 AS BIGINT) + CAST({u} >= 735759 AS BIGINT) "
+        "+ CAST({u} >= 919699 AS BIGINT) + CAST({u} >= 981012 AS BIGINT))"
+    )
+    terms = []
+    for b in range(n_replicas):
+        ub = u.format(g=b // 4, off=(b % 4) * 8 + 1)
+        wb = w.format(u=ub)
+        terms.append(f"CAST(SUM({wb}) AS BIGINT) AS sw_{b}")
+        terms.append(f"CAST(SUM(({wb}) * v_c) AS BIGINT) AS swv_{b}")
+    means_rows = "\n    UNION ALL ".join(
+        f"SELECT {b} AS b, CAST(swv_{b} AS DOUBLE) / sw_{b} / 100.0 AS rep_mean "
+        "FROM wide"
+        for b in range(n_replicas)
+    )
+    return f"""
 WITH orders_c AS (
     SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v_c
     FROM orders
 ),
-reps AS (SELECT unnest(range(0, {n_replicas})) AS b),
-weighted AS (
-    SELECT b,
-           CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
-                WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS w,
-           v_c
-    FROM (
-        SELECT b, v_c,
-               CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                                          || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
-                   % 1000000 AS u
-        FROM orders_c CROSS JOIN reps
-    ) t
+wide AS (
+    SELECT COUNT(*) AS n_rows, CAST(SUM(v_c) AS BIGINT) AS sv,
+           {", ".join(terms)}
+    FROM orders_c
 ),
 means AS (
-    SELECT b, CAST(SUM(w * v_c) AS DOUBLE) / CAST(SUM(w) AS BIGINT) / 100.0
-               AS rep_mean
-    FROM weighted GROUP BY b
+    {means_rows}
 ),
 ranked AS (
     SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean ASC, b ASC) AS rk
     FROM means
-),
-point AS (
-    SELECT CAST(SUM(v_c) AS DOUBLE) / COUNT(*) / 100.0 AS mean_value
-    FROM orders_c
 )
-SELECT ROUND(mean_value, 4) AS mean_value,
+SELECT ROUND(CAST(sv AS DOUBLE) / n_rows / 100.0, 4) AS mean_value,
        ROUND((SELECT rep_mean FROM ranked WHERE rk = 2), 4) AS ci_lo,
        ROUND((SELECT rep_mean FROM ranked WHERE rk = {n_replicas} - 1), 4) AS ci_hi
-FROM point
+FROM wide
 """
