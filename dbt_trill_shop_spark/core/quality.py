@@ -151,10 +151,19 @@ def run_unit_test(
     model,
     ut: UnitTest,
     real_relations: dict[str, DataFrame] | None = None,
+    macros: dict | None = None,
+    vars: dict | None = None,
 ) -> UnitTestResult:
     """Build ``model`` with every dependency resolved to the test's fixture
     rows and compare against the expected rows (on the expected columns,
-    order-insensitive)."""
+    order-insensitive).
+
+    Raw Jinja SQL-text models are supported too: the text compiles with the
+    project's ``macros``/``vars`` (``is_incremental()`` False, as dbt
+    compiles unit tests), each mocked dep registers under its bare name as
+    a temp view for the compiled SQL to read — and is DROPPED afterward so
+    a previously built DAG's views of the same names aren't left clobbered.
+    """
     real_relations = real_relations or {}
     fixtures = {
         name: _fixture_df(spark, rows, real_relations.get(name))
@@ -168,7 +177,25 @@ def run_unit_test(
             )
         return fixtures[name]
 
-    df = model.build(spark, resolve, ctx={"vars": {}, "is_incremental": False})
+    if isinstance(model.builder, str):
+        from .jinja_lite import compile_model_sql, extract_deps
+
+        deps = list(extract_deps(model.builder))
+        for dep in deps:
+            resolve(dep).createOrReplaceTempView(dep)
+        try:
+            compiled = compile_model_sql(
+                model.builder, macros=macros, is_incremental=False, vars=vars
+            )
+            # materialize the comparison before the views drop
+            df = spark.createDataFrame(
+                spark.sql(compiled).collect(), spark.sql(compiled).schema
+            )
+        finally:
+            for dep in deps:
+                spark.catalog.dropTempView(dep)
+    else:
+        df = model.build(spark, resolve, ctx={"vars": vars or {}, "is_incremental": False})
     if not ut.expect:
         ok = df.isEmpty()
         return UnitTestResult(ut.name, ut.model, ok, "" if ok else "expected 0 rows")

@@ -305,7 +305,7 @@ FROM (
 
 def perceptual_hash_neardup(
     media: DataFrame,
-    hamming_max: int = 8,
+    hamming_max: int = 3,
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
@@ -318,9 +318,12 @@ def perceptual_hash_neardup(
     is unchanged).
 
     The 64-bit hash is held as FOUR 16-bit band ints: candidate pairs come
-    from equality self-joins on any (band_idx, band_value) — Hamming<=
-    threshold pairs must collide on >=1 band when threshold < 4·16/4 —
-    then exact Hamming over all four bands (XOR + bit_count) verifies.
+    from equality self-joins on any (band_idx, band_value).  Pigeonhole
+    guarantees a clean shared band only while hamming < 4 (the band
+    count) — the default threshold stays under that bound, so candidate
+    generation is COMPLETE for the advertised radius; a larger radius
+    needs more/narrower bands (recall<1 otherwise).  Exact Hamming over
+    all four bands (XOR + bit_count) verifies candidates.
     Banded-join + verify is the same scale shape as MinHash/SimHash: no
     all-pairs, shuffle keyed on short band values.  Payloads shorter than
     66 samples are skipped (no stable gradient exists).
@@ -446,10 +449,14 @@ def patch_intensity_stats(
     """
     # chars bound ONCE as an array: substring(t, p, 1) inside the fold
     # would re-seek the string from the front per sample (O(len²) per doc)
-    base = media.select(
-        F.col(id_col).alias("mid"),
-        F.split(F.col(payload_col).cast("string"), "").alias("cs"),
-    ).withColumn("n", F.size("cs"))
+    base = (
+        media.filter(F.length(F.col(payload_col).cast("string")) > 0)
+        .select(
+            F.col(id_col).alias("mid"),
+            F.split(F.col(payload_col).cast("string"), "").alias("cs"),
+        )
+        .withColumn("n", F.size("cs"))
+    )
     tiles = base.select(
         "mid",
         "cs",
@@ -479,6 +486,7 @@ def patch_intensity_stats(
 PATCH_INTENSITY_SQL_TEMPLATE = """
 WITH base AS (
     SELECT doc_id AS media_id, text AS t, LENGTH(text) AS n FROM documents
+    WHERE LENGTH(text) > 0
 ),
 tiles AS (
     SELECT media_id, t, n,

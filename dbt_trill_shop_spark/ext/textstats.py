@@ -1413,7 +1413,9 @@ def winnowing_fingerprints(
     )
     return packed.select(
         id_col,
-        (F.col("enc") / 4294967296).cast("bigint").alias("pos"),
+        # integer unpack (float division of the packed int64 would round
+        # past 2^53 for very large documents)
+        F.expr("enc div 4294967296").alias("pos"),
         (F.col("enc") % 4294967296).alias("fingerprint"),
     ).orderBy(id_col, "pos")
 

@@ -593,7 +593,7 @@ def _m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash_neardup(
-        docs_as_media(load_table(spark, sf_dir, "documents")), hamming_max=8
+        docs_as_media(load_table(spark, sf_dir, "documents")), hamming_max=3
     )
 
 
@@ -1048,7 +1048,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # dHash perceptual near-dup over media payloads (banded 64-bit hash)
     "m_phash_neardup": QuerySpec(
-        _m_phash_neardup, PHASH_NEARDUP_SQL_TEMPLATE.format(hamming_max=8)
+        _m_phash_neardup, PHASH_NEARDUP_SQL_TEMPLATE.format(hamming_max=3)
     ),
     # Spark 4 VARIANT semi-structured path (parse once, binary extraction)
     "q_variant_props": QuerySpec(

@@ -972,17 +972,21 @@ ORDER BY week
 
 
 def weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly detection: flag (week, event_type) cells whose count
+    """Volume-anomaly detection: flag (day, event_type) cells whose count
     deviates from the type's mean by more than 2 standard deviations.  The
     z-test is pure integer cross-multiplication —
-    ``(n·k - sum)² > 4·k·(k·sumsq - sum²)`` over int64 weekly counts (k =
-    number of weeks) — so no float sqrt/division can flip a boundary
-    cross-engine.  Plan: the weekly cell counts shuffle once; per-type
+    ``(n·k - s)² > 4·(k·sq - s²)`` over int64 daily counts (k = number of
+    days; both sides scaled by k² from (n-μ)² > 4σ²) — so no float
+    sqrt/division can flip a boundary cross-engine.  Daily granularity is
+    deliberate: any single point of a k-sample is bounded at z <=
+    (k-1)/sqrt(k), so with only a handful of weekly cells a 2-sigma flag is
+    mathematically IMPOSSIBLE — the screen needs enough cells per group to
+    be non-vacuous.  Plan: the daily cell counts shuffle once; per-type
     moments re-aggregate from the tiny cell relation and broadcast back.
     """
     ev = load_table(spark, sf_dir, "events")
     cells = ev.groupBy(
-        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("week"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     stats = cells.groupBy("event_type").agg(
@@ -991,14 +995,15 @@ def weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("sq"),
     )
     dev = F.col("n") * F.col("k") - F.col("s")
-    var_k3 = F.col("k") * (F.col("k") * F.col("sq") - F.col("s") * F.col("s"))
+    # (n - s/k)^2 > 4 * (sq/k - (s/k)^2)  — multiply through by k^2:
+    var_k2 = F.col("k") * F.col("sq") - F.col("s") * F.col("s")
     return (
         cells.join(F.broadcast(stats), "event_type")
         .select(
             "week",
             "event_type",
             "n",
-            (dev * dev > 4 * var_k3).alias("is_anomaly"),
+            (dev * dev > 4 * var_k2).alias("is_anomaly"),
         )
         .orderBy("week", "event_type")
     )
@@ -1006,7 +1011,7 @@ def weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WEEKLY_ANOMALIES_SQL = """
 WITH cells AS (
-    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+    SELECT CAST(ts AS DATE) AS week, event_type,
            COUNT(*) AS n
     FROM events GROUP BY 1, 2
 ),
@@ -1015,7 +1020,7 @@ stats AS (
     FROM cells GROUP BY event_type
 )
 SELECT week, event_type, CAST(n AS BIGINT) AS n,
-       (n * k - s) * (n * k - s) > 4 * (k * (k * sq - s * s)) AS is_anomaly
+       (n * k - s) * (n * k - s) > 4 * (k * sq - s * s) AS is_anomaly
 FROM cells JOIN stats USING (event_type)
 ORDER BY week, event_type
 """

@@ -1105,38 +1105,29 @@ def test_macro_files_load_and_dispatch(spark):
 
 
 def test_unit_tests_mock_refs_and_compare(spark, sf_dir):
-    """dbt 1.8 unit tests: mock inputs drive the model's logic (Python AND
-    SQL-file paths), expect compares a column subset order-insensitively,
-    unmocked refs raise, and wrong expectations fail with a diff."""
-    import tempfile
-
+    """dbt 1.8 unit tests over BOTH builder kinds: Python models run through
+    the mock resolver; raw Jinja SQL models compile with project macros and
+    read bare-name fixture views that are dropped again afterward (a built
+    DAG's views must not stay clobbered)."""
     from pyspark.sql import functions as F
 
     from dbt_trill_shop_spark.core import (
-        Materialization,
         Model,
-        Project,
         UnitTest,
-        run_unit_tests,
+        run_unit_test,
     )
 
-    p = Project("ut", warehouse_dir=tempfile.mkdtemp(prefix="trillshop_ut_"))
-    p.add_model(
-        Model(
-            "totals",
-            lambda s, ref: ref("raw_sales")
-            .groupBy("region")
-            .agg(F.sum("amount").alias("total")),
-            deps=("raw_sales",),
-        )
+    py_model = Model(
+        "totals",
+        lambda s, ref: ref("raw_sales")
+        .groupBy("region")
+        .agg(F.sum("amount").alias("total")),
+        deps=("raw_sales",),
     )
-    p.add_model(
-        Model(
-            "big_totals",
-            "SELECT region, total FROM {{ ref('totals') }} WHERE total > 10",
-            deps=("totals",),
-            materialization=Materialization.VIEW,
-        )
+    sql_model = Model(
+        "big_totals",
+        "SELECT region, total FROM {{ ref('totals') }} WHERE total > 10",
+        deps=("totals",),
     )
     given = {
         "raw_sales": [
@@ -1145,40 +1136,40 @@ def test_unit_tests_mock_refs_and_compare(spark, sf_dir):
             {"region": "us", "amount": 3},
         ]
     }
-    results = run_unit_tests(
-        p,
+    r1 = run_unit_test(
         spark,
-        [
-            UnitTest(
-                "sums_per_region",
-                "totals",
-                given,
-                expect=[
-                    {"region": "eu", "total": 12},
-                    {"region": "us", "total": 3},
-                ],
-            ),
-            UnitTest(
-                "filters_small_totals",
-                "big_totals",
-                {"totals": [{"region": "eu", "total": 12}, {"region": "us", "total": 3}]},
-                expect=[{"region": "eu"}],
-            ),
-            UnitTest(
-                "wrong_expectation_fails",
-                "totals",
-                given,
-                expect=[{"region": "eu", "total": 999}],
-            ),
-        ],
+        py_model,
+        UnitTest(
+            "sums_per_region",
+            "totals",
+            given,
+            expect=[{"region": "eu", "total": 12}, {"region": "us", "total": 3}],
+        ),
     )
-    by_name = {r.name: r for r in results}
-    assert by_name["sums_per_region"].passed
-    assert by_name["filters_small_totals"].passed
-    assert not by_name["wrong_expectation_fails"].passed
-    assert "mismatch" in by_name["wrong_expectation_fails"].message
+    assert r1.passed, r1.diff
 
-    import pytest
+    # leave a sentinel view named like the SQL model's dep: the unit test
+    # must shadow it during the run and restore nothing afterwards (dropped)
+    spark.createDataFrame([("sentinel",)], ["marker"]).createOrReplaceTempView(
+        "totals"
+    )
+    r2 = run_unit_test(
+        spark,
+        sql_model,
+        UnitTest(
+            "filters_small_totals",
+            "big_totals",
+            {"totals": [{"region": "eu", "total": 12}, {"region": "us", "total": 3}]},
+            expect=[{"region": "eu"}],
+        ),
+    )
+    assert r2.passed, r2.diff
+    # the fixture view is gone (not left clobbering the session namespace)
+    assert not any(t.name == "totals" for t in spark.catalog.listTables())
 
-    with pytest.raises(AssertionError, match="not mocked"):
-        UnitTest("no_mock", "totals", {}, expect=[]).run(p, spark)
+    r3 = run_unit_test(
+        spark,
+        py_model,
+        UnitTest("wrong", "totals", given, expect=[{"region": "eu", "total": 999}]),
+    )
+    assert not r3.passed and r3.diff

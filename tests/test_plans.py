@@ -352,9 +352,9 @@ def test_text_index_search_prunes_partitions(spark, sf_dir, tmp_path):
     qterms = sorted({(r.doc_id, t) for r in rows for t in r.text.split(" ")[:5]})
     res = search_text_index(spark, path, qterms, k=10)
     plan = _plan(res)
-    assert "PartitionFilters: [term_bucket" in plan.replace("#", " #").replace(
-        " #", "#"
-    ) or "term_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "PartitionFilters" in plan
+    pruned = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "term_bucket" in pruned
     got = sorted(map(tuple, (tuple(r) for r in res.collect())))
     want = sorted(
         map(tuple, (tuple(r) for r in bm25_search(docs, 3, 5, 10).collect()))

@@ -334,8 +334,8 @@ def test_phash_hamming_within_threshold_and_symmetric_free(spark, sf_dir):
     )
 
     media = docs_as_media(load_table(spark, sf_dir, "documents"))
-    rows = perceptual_hash_neardup(media, hamming_max=8).collect()
-    assert all(r.id_a < r.id_b and 0 <= r.hamming <= 8 for r in rows)
+    rows = perceptual_hash_neardup(media, hamming_max=3).collect()
+    assert all(r.id_a < r.id_b and 0 <= r.hamming <= 3 for r in rows)
     # exact duplicates (same text) must appear with hamming 0
     docs = load_table(spark, sf_dir, "documents")
     dup_pair = (
