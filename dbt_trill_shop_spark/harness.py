@@ -911,6 +911,12 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # order-independent XOR table fingerprints for cross-env reconciliation
+    "q_table_fingerprints": QuerySpec(
+        A.table_fingerprints, A.TABLE_FINGERPRINTS_SQL
+    ),
+    # Wilson lower-bound proportion ranking (small-sample-safe rates)
+    "q_wilson_ranking": QuerySpec(A.wilson_ranked_types, A.WILSON_RANKED_SQL),
     # Poisson bootstrap CI for the mean (the distributed bootstrap)
     "q_bootstrap_ci": QuerySpec(
         lambda spark, sf_dir: A.bootstrap_mean_ci(spark, sf_dir, n_replicas=32),
@@ -1812,6 +1818,8 @@ _ROUND2_LATE = [
     "q_weekly_correlation",
     "q_chisquare",
     "q_bootstrap_ci",
+    "q_table_fingerprints",
+    "q_wilson_ranking",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

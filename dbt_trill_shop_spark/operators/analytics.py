@@ -1918,3 +1918,139 @@ SELECT ROUND(CAST(sv AS DOUBLE) / n_rows / 100.0, 4) AS mean_value,
        ROUND((SELECT rep_mean FROM ranked WHERE rk = {n_replicas} - 1), 4) AS ci_hi
 FROM wide
 """
+
+
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprints for cross-environment table
+    reconciliation: every row hashes to an int64 and the table fingerprint
+    is the BIT_XOR (commutative, associative, never overflows — ANSI sums
+    trap on int64 overflow), so two copies of a table can be compared with
+    one number per side regardless of row order, partitioning, or engine —
+    the cheap first gate before a row-level `compare_relations` dig.  (XOR
+    cancels duplicate rows pairwise; n_rows rides along to close that
+    classic hole.)
+
+    One scan per table, map-side-combinable; hashes are md5 slices of a
+    canonical `col1|col2|...` string (cast rules pinned) so DuckDB
+    reproduces them bit-for-bit.
+    """
+    def fp(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+    r = fp(load_table(spark, sf_dir, "region"), ["r_regionkey", "r_name"], "region")
+    n = fp(
+        load_table(spark, sf_dir, "nation"),
+        ["n_nationkey", "n_name", "n_regionkey"],
+        "nation",
+    )
+    c = fp(
+        load_table(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        "customer",
+    )
+    return r.unionByName(n).unionByName(c).orderBy("table_name")
+
+
+TABLE_FINGERPRINTS_SQL = """
+SELECT * FROM (
+    SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+           CAST(BIT_XOR(CAST('0x' || substring(md5(concat_ws('|',
+                CAST(r_regionkey AS VARCHAR), r_name)), 1, 15) AS BIGINT))
+               AS BIGINT) AS fingerprint
+    FROM region
+    UNION ALL
+    SELECT 'nation', COUNT(*),
+           CAST(BIT_XOR(CAST('0x' || substring(md5(concat_ws('|',
+                CAST(n_nationkey AS VARCHAR), n_name,
+                CAST(n_regionkey AS VARCHAR))), 1, 15) AS BIGINT)) AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           CAST(BIT_XOR(CAST('0x' || substring(md5(concat_ws('|',
+                CAST(c_custkey AS VARCHAR), c_name,
+                CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15) AS BIGINT))
+               AS BIGINT)
+    FROM customer
+) t ORDER BY table_name
+"""
+
+
+def wilson_ranked_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank event types by purchase-conversion rate the RIGHT way: the
+    Wilson score lower bound (the "how not to sort by average rating"
+    formula) penalizes small samples, so a 3/3 fluke does not outrank a
+    steady 900/1000.
+
+    p̂ = purchases/sessions-with-type approximated as purchases/events of
+    the type; the bound is one fixed expression of the two int64 counts
+    (z = 1.96 literal) — same operands, same operation order, engine-exact
+    at 6 dp.  Tiny aggregation; the pattern matters for ranking anything
+    by a proportion at scale (CTR, defect rates, acceptance rates).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("purchased", F.lit(1))
+    )
+    stats = (
+        per_user_type.join(purchases, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("purchased", F.lit(0))).alias("pos"),
+        )
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("pos").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    lower = (
+        p
+        + F.lit(z2) / (2.0 * nn)
+        - F.lit(1.96)
+        * F.sqrt((p * (1.0 - p) + F.lit(z2) / (4.0 * nn)) / nn)
+    ) / (1.0 + F.lit(z2) / nn)
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(lower, 6).alias("wilson_lower"),
+    ).orderBy(F.desc("wilson_lower"), "event_type")
+
+
+WILSON_RANKED_SQL = """
+WITH per_user_type AS (
+    SELECT user_id, event_type, COUNT(*) AS n_ev
+    FROM events GROUP BY user_id, event_type
+),
+purchasers AS (
+    SELECT DISTINCT user_id, 1 AS purchased FROM events
+    WHERE event_type = 'purchase'
+),
+stats AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(COALESCE(purchased, 0)) AS BIGINT) AS pos
+    FROM per_user_type LEFT JOIN purchasers USING (user_id)
+    GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, pos,
+       ROUND((CAST(pos AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+              - 1.96 * SQRT((CAST(pos AS DOUBLE) / n
+                             * (1.0 - CAST(pos AS DOUBLE) / n)
+                             + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lower
+FROM stats
+ORDER BY wilson_lower DESC, event_type
+"""
