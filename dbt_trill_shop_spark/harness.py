@@ -911,6 +911,15 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # top 3-step session paths (sequence mining, session-bounded leads)
+    "q_session_paths": QuerySpec(
+        lambda spark, sf_dir: A.session_paths(spark, sf_dir, k=15),
+        A.SESSION_PATHS_SQL_TEMPLATE.format(k=15),
+    ),
+    # first-view -> first-purchase latency percentiles
+    "q_conversion_lag": QuerySpec(
+        A.conversion_lag_percentiles, A.CONVERSION_LAG_SQL
+    ),
     # order-independent XOR table fingerprints for cross-env reconciliation
     "q_table_fingerprints": QuerySpec(
         A.table_fingerprints, A.TABLE_FINGERPRINTS_SQL
@@ -1820,6 +1829,8 @@ _ROUND2_LATE = [
     "q_bootstrap_ci",
     "q_table_fingerprints",
     "q_wilson_ranking",
+    "q_session_paths",
+    "q_conversion_lag",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -2054,3 +2054,149 @@ SELECT event_type, CAST(n AS BIGINT) AS n, pos,
 FROM stats
 ORDER BY wilson_lower DESC, event_type
 """
+
+
+def session_paths(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    """Top-k 3-step behavior paths WITHIN sessions: the sequence-mining
+    report behind "what do users do next" dashboards.  Builds on the
+    gap-sessionization windows (session boundaries cut paths — a path never
+    spans the 30-min gap), takes two LEADs per event inside
+    (user, session), and counts the |types|³-bounded path space.
+
+    Everything rides the ONE user-keyed shuffle the sessionizer already
+    needs: the session numbering, both leads, and the per-path count's
+    map-side partials.  Path share is exact ppm against all 3-paths.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+            ).otherwise(0)
+        )
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    w = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    paths = (
+        sessioned.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    ranked = paths.withColumn(
+        "share_ppm", F.expr("n * 1000000 DIV sum(n) over ()")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "s1", "s2", "s3"))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "rank", "s1", "s2", "s3", "n", "share_ppm"
+    )
+
+
+SESSION_PATHS_SQL_TEMPLATE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > {SESSION_GAP_MINUTES} * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+paths AS (
+    SELECT s1, s2, s3, COUNT(*) AS n FROM (
+        SELECT event_type AS s1,
+               LEAD(event_type, 1) OVER w2 AS s2,
+               LEAD(event_type, 2) OVER w2 AS s3
+        FROM sessioned
+        WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    ) t WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2, s3) AS BIGINT) AS rank,
+       s1, s2, s3, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
+FROM paths
+QUALIFY rank <= {{k}}
+"""
+
+
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, microseconds from first view
+    to first purchase (strictly after it), summarized as exact interpolated
+    percentiles — the latency-funnel health metric.
+
+    One conditional-aggregation pass per user (same shape as the funnel),
+    then percentiles over the |users|-sized lag relation.  Lags are integer
+    microseconds; `percentile` interpolates between two int operands with
+    the identical expression in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    buy_after = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lags = buy_after.select(
+        F.expr("timestampdiff(MICROSECOND, t_view, t_buy)").alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.round(F.expr(f"percentile(lag_us, {p})"), 1).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.9)
+        ],
+    ).select(
+        F.col("n_users").cast("bigint").alias("n_users"), "p25", "p50", "p90"
+    )
+
+
+CONVERSION_LAG_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+buys AS (
+    SELECT e.user_id, f.t_view, MIN(e.ts) AS t_buy
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= f.t_view
+    GROUP BY e.user_id, f.t_view
+),
+lags AS (
+    SELECT date_diff('microsecond', t_view, t_buy) AS lag_us FROM buys
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(quantile_cont(lag_us, 0.25), 1) AS p25,
+       ROUND(quantile_cont(lag_us, 0.5), 1) AS p50,
+       ROUND(quantile_cont(lag_us, 0.9), 1) AS p90
+FROM lags
+"""
