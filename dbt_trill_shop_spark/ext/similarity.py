@@ -1941,3 +1941,74 @@ FROM margined
 WHERE margin_ppm >= 1000000
 QUALIFY rank <= {top_n}
 """
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding statistics (mean / min / max / variance in
+    micro-units) — the pre-indexing normalization audit: dead dims, scale
+    imbalances and mean offsets all surface here before they poison cosine
+    or PQ codebooks.
+
+    One posexplode + one (dim)-keyed aggregation of int64 micro components;
+    variance from the (Σv, Σv²) sufficient statistics — the same mergeable
+    pattern as the Pearson operator.  Output stays integer/exact except the
+    final divisions of identical int64 operands.
+    """
+    comps = embeddings.select(
+        F.posexplode(
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(round(x * 1000000, 0) as bigint))"
+            )
+        ).alias("dim", "v")
+    )
+    stats = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    return stats.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("sv").cast("double") / F.col("n") / 1e6, 6).alias("mean"),
+        (F.col("mn").cast("double") / 1e6).alias("min"),
+        (F.col("mx").cast("double") / 1e6).alias("max"),
+        F.round(
+            (
+                F.col("svv").cast("double") / F.col("n")
+                - (F.col("sv").cast("double") / F.col("n"))
+                * (F.col("sv").cast("double") / F.col("n"))
+            )
+            / 1e12,
+            6,
+        ).alias("variance"),
+    ).orderBy("dim")
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH comps AS (
+    SELECT i - 1 AS dim,
+           CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+    FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS u(i)
+),
+stats AS (
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS svv,
+           MIN(v) AS mn, MAX(v) AS mx
+    FROM comps GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       ROUND(CAST(sv AS DOUBLE) / n / 1e6, 6) AS mean,
+       CAST(mn AS DOUBLE) / 1e6 AS min,
+       CAST(mx AS DOUBLE) / 1e6 AS max,
+       ROUND((CAST(svv AS DOUBLE) / n
+              - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) / 1e12,
+             6) AS variance
+FROM stats
+ORDER BY dim
+"""

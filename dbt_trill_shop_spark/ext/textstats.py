@@ -1769,3 +1769,77 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT)
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def source_divergence(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source distribution drift: KL(source token distribution ||
+    corpus token distribution) in micro-nats — the domain-shift screen a
+    training-mix dashboard tracks (which sources look least like the
+    blend), the corpus-level sibling of per-document DSIR importance
+    weights.
+
+    One explode+count pass; per-source and corpus term counts ride the same
+    term-keyed shuffle.  Laplace-smoothed (+1 on the source side over the
+    corpus vocab), each term's ``p·ln(p/q)`` is computed micro-scaled and
+    rounded to int64 BEFORE the per-source sum, so summation order cannot
+    drift the statistic cross-engine.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    st = toks.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.localCheckpoint(eager=True)
+    corpus = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    vocab_n = corpus.agg(F.count(F.lit(1)).alias("v"))
+    src_n = st.groupBy("src").agg(F.sum("c").alias("sn"))
+    total = corpus.agg(F.sum("cc").alias("tn"))
+    # dense (src x term) grid so unseen terms contribute their smoothed mass
+    grid = src_n.crossJoin(corpus).join(
+        st, ["src", "term"], "left"
+    ).crossJoin(F.broadcast(vocab_n)).crossJoin(F.broadcast(total))
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("sn") + F.col("v")
+    ).cast("double")
+    q = F.col("cc").cast("double") / F.col("tn").cast("double")
+    term_micro = F.round(p * F.log(p / q) * 1_000_000, 0).cast("bigint")
+    return (
+        grid.select("src", F.col("sn"), term_micro.alias("t"))
+        .groupBy("src", "sn")
+        .agg((F.sum("t").cast("double") / 1_000_000.0).alias("kl"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("sn").cast("bigint").alias("n_tokens"),
+            F.round("kl", 4).alias("kl_nats"),
+        )
+        .orderBy(F.desc("kl_nats"), "source")
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH toks AS (
+    SELECT source AS src, unnest(STR_SPLIT(text, ' ')) AS term FROM documents
+),
+st AS (SELECT src, term, COUNT(*) AS c FROM toks GROUP BY src, term),
+corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY term),
+vocab AS (SELECT COUNT(*) AS v FROM corpus),
+srcn AS (SELECT src, CAST(SUM(c) AS BIGINT) AS sn FROM st GROUP BY src),
+total AS (SELECT CAST(SUM(cc) AS BIGINT) AS tn FROM corpus),
+grid AS (
+    SELECT s.src, s.sn, co.term, co.cc, st.c, vocab.v, total.tn
+    FROM srcn s CROSS JOIN corpus co
+    LEFT JOIN st ON st.src = s.src AND st.term = co.term
+    CROSS JOIN vocab CROSS JOIN total
+)
+SELECT src AS source, sn AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(sn + v AS DOUBLE))
+           * LN((CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(sn + v AS DOUBLE))
+                / (CAST(cc AS DOUBLE) / CAST(tn AS DOUBLE)))
+           * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS kl_nats
+FROM grid
+GROUP BY src, sn
+ORDER BY kl_nats DESC, source
+"""

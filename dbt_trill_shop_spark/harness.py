@@ -117,7 +117,9 @@ from .ext.similarity import (
     IVFPQ_RESIDUAL_SQL_TEMPLATE,
     HYBRID_RRF_SQL_TEMPLATE,
     BITEXT_MINING_SQL_TEMPLATE,
+    EMBEDDING_DIM_STATS_SQL,
     bitext_margin_mining,
+    embedding_dim_stats,
     ivfpq_residual_topk,
     matryoshka_topk,
     rrf_fuse,
@@ -171,9 +173,11 @@ from .ext.textstats import (
     SEARCH_SNIPPETS_SQL_TEMPLATE,
     LANGID_CONFUSION_SQL_TEMPLATE,
     PMI_COLLOCATIONS_SQL_TEMPLATE,
+    SOURCE_DIVERGENCE_SQL,
     bm25_search,
     langid_confusion,
     pmi_collocations,
+    source_divergence,
     ppl_buckets,
     search_snippets,
     winnowing_fingerprints,
@@ -1388,6 +1392,20 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         LANGID_CONFUSION_SQL_TEMPLATE.format(language_id=LANGUAGE_ID_SQL),
     ),
+    # per-source KL divergence from the corpus blend (mix-drift screen)
+    "x_source_divergence": QuerySpec(
+        lambda spark, sf_dir: source_divergence(
+            load_table(spark, sf_dir, "documents")
+        ),
+        SOURCE_DIVERGENCE_SQL,
+    ),
+    # per-dimension embedding stats (pre-indexing normalization audit)
+    "x_embedding_dim_stats": QuerySpec(
+        lambda spark, sf_dir: embedding_dim_stats(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        EMBEDDING_DIM_STATS_SQL,
+    ),
     # top-k PMI collocations (phrase-mining statistic)
     "x_pmi_collocations": QuerySpec(
         lambda spark, sf_dir: pmi_collocations(
@@ -1831,6 +1849,8 @@ _ROUND2_LATE = [
     "q_wilson_ranking",
     "q_session_paths",
     "q_conversion_lag",
+    "x_source_divergence",
+    "x_embedding_dim_stats",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE
