@@ -915,6 +915,10 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # two-sample KS statistic (urgent vs low-priority price distributions)
+    "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
+    # Benford first-digit audit of order totals (bookkeeping screen)
+    "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
     # top 3-step session paths (sequence mining, session-bounded leads)
     "q_session_paths": QuerySpec(
         lambda spark, sf_dir: A.session_paths(spark, sf_dir, k=15),
@@ -1851,6 +1855,8 @@ _ROUND2_LATE = [
     "q_conversion_lag",
     "x_source_divergence",
     "x_embedding_dim_stats",
+    "q_ks_test",
+    "q_benford",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

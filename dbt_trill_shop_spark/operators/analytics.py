@@ -2200,3 +2200,146 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(quantile_cont(lag_us, 0.9), 1) AS p90
 FROM lags
 """
+
+
+def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between order-price
+    distributions of urgent vs low-priority orders — the classic
+    distribution-equality screen (A/B shift detection, segment drift).
+
+    Exact and order-proof: prices are int cents; pool both samples, one
+    global sort (the KS statistic is inherently a sorted scan — at 100 TB
+    use the binned/histogram approximation), running per-group counts via
+    two windowed sums, and D = max |F1 - F2| compared as integer
+    cross-multiplied fractions (|c1·n2 - c2·n1|, divided once at the end).
+    Ties are handled CDF-correctly by evaluating D only at the last row of
+    each distinct value (both CDFs fully absorb a tied value).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+        cents("o_totalprice").alias("v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = base.select(
+        "v",
+        F.sum("g1").over(w).alias("c1"),
+        F.sum(1 - F.col("g1")).over(w).alias("c2"),
+        F.row_number().over(Window.orderBy("v", F.monotonically_increasing_id())).alias("rn"),
+    )
+    # keep only the last row per distinct value (CDF evaluated after ties)
+    last_per_v = cum.groupBy("v").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
+    )
+    totals = base.agg(
+        F.sum("g1").alias("n1"), F.sum(1 - F.col("g1")).alias("n2")
+    )
+    d = last_per_v.crossJoin(F.broadcast(totals)).select(
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("num"),
+        "n1",
+        "n2",
+    )
+    return d.agg(
+        F.first("n1").alias("na"),
+        F.first("n2").alias("nb"),
+        F.max("num").alias("max_num"),
+    ).select(
+        F.col("na").cast("bigint").alias("n_urgent"),
+        F.col("nb").cast("bigint").alias("n_low"),
+        F.round(
+            F.col("max_num").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+KS_TEST_SQL = """
+WITH base AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+cum AS (
+    SELECT v,
+           SUM(g1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+           SUM(1 - g1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+    FROM base
+),
+last_per_v AS (
+    SELECT v, CAST(MAX(c1) AS BIGINT) AS c1, CAST(MAX(c2) AS BIGINT) AS c2
+    FROM cum GROUP BY v
+),
+totals AS (
+    SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+           CAST(SUM(1 - g1) AS BIGINT) AS n2
+    FROM base
+)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+FROM last_per_v CROSS JOIN totals
+GROUP BY n1, n2
+"""
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    anomalous-bookkeeping screen: natural multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); heavy deviation flags synthetic or constrained
+    data (this synthetic corpus SHOULD deviate — the audit quantifies how).
+
+    One scan, digit from the string form (no float log tricks), observed
+    ppm by exact integer division, expected ppm from the closed form with
+    one log10 per digit literal, deviation in ppm.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        orders.select(digit.alias("d"))
+        .filter(F.col("d") >= 1)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.round(
+        F.expr("log10(1.0 + 1.0 / cast(d as double))") * 1_000_000, 0
+    ).cast("bigint")
+    return (
+        counts.withColumn("observed_ppm", F.expr("n * 1000000 DIV sum(n) over ()"))
+        .withColumn("expected_ppm", expected)
+        .select(
+            "d",
+            "n",
+            "observed_ppm",
+            "expected_ppm",
+            (F.col("observed_ppm") - F.col("expected_ppm")).alias("deviation_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+BENFORD_AUDIT_SQL = """
+WITH counts AS (
+    SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                          1, 1) AS BIGINT) AS d,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    HAVING CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                          1, 1) AS BIGINT) >= 1
+)
+SELECT d, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS observed_ppm,
+       CAST(ROUND(LOG10(1.0 + 1.0 / CAST(d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS expected_ppm,
+       CAST(n * 1000000 // SUM(n) OVER ()
+            - CAST(ROUND(LOG10(1.0 + 1.0 / CAST(d AS DOUBLE)) * 1000000, 0)
+                   AS BIGINT) AS BIGINT) AS deviation_ppm
+FROM counts
+ORDER BY d
+"""
