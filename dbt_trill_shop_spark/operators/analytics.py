@@ -2227,7 +2227,6 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum("g1").over(w).alias("c1"),
         F.sum(1 - F.col("g1")).over(w).alias("c2"),
-        F.row_number().over(Window.orderBy("v", F.monotonically_increasing_id())).alias("rn"),
     )
     # keep only the last row per distinct value (CDF evaluated after ties)
     last_per_v = cum.groupBy("v").agg(
