@@ -235,6 +235,7 @@ from .streaming.events import (
     stream_purchase_attribution,
     stream_segment_rollup,
     stream_countmin_heavy,
+    stream_drift_monitor,
     stream_hll_users,
     stream_sessionize,
     stream_user_ewma,
@@ -915,6 +916,8 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # Theil-Sen robust daily trend (median of pairwise slopes)
+    "q_theilsen_trend": QuerySpec(A.theilsen_daily_trend, A.THEILSEN_SQL),
     # two-sample KS statistic (urgent vs low-priority price distributions)
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
@@ -1656,6 +1659,8 @@ QUERIES: dict[str, QuerySpec] = {
             m=256, width=24, alpha_m2_2p32=202175761456818.4
         ),
     ),
+    # per-day KL drift of the streaming type mix vs the reference blend
+    "s_stream_drift": QuerySpec(stream_drift_monitor, A.STREAM_DRIFT_SQL),
     # Count-Min grid as a streaming aggregation (fixed-size sketch state)
     "s_stream_countmin": QuerySpec(
         lambda spark, sf_dir: stream_countmin_heavy(
@@ -1857,6 +1862,8 @@ _ROUND2_LATE = [
     "x_embedding_dim_stats",
     "q_ks_test",
     "q_benford",
+    "q_theilsen_trend",
+    "s_stream_drift",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

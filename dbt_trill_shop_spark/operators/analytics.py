@@ -2342,3 +2342,97 @@ SELECT d, CAST(n AS BIGINT) AS n,
 FROM counts
 ORDER BY d
 """
+
+
+STREAM_DRIFT_SQL = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ref AS (SELECT event_type, COUNT(*) AS rn FROM events GROUP BY 1),
+ref_total AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt FROM ref),
+day_total AS (SELECT d, CAST(SUM(n) AS BIGINT) AS dn FROM cells GROUP BY d)
+SELECT d, dn AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(n AS DOUBLE) / CAST(dn AS DOUBLE))
+           * LN((CAST(n AS DOUBLE) / CAST(dn AS DOUBLE))
+                / (CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE)))
+           * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS kl_nats
+FROM cells
+JOIN ref USING (event_type)
+JOIN day_total USING (d)
+CROSS JOIN ref_total
+GROUP BY d, dn
+ORDER BY d
+"""
+
+
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the MEDIAN of all
+    pairwise slopes — up to ~29% contaminated days cannot move it, unlike
+    the least-squares slope a single outage day drags around.  The robust
+    sibling of the Pearson operator.
+
+    Daily counts are tiny post-aggregate data, so the O(days²) pairwise
+    slope relation is small at any corpus scale (the statistic is over
+    DAYS, not events); slopes are one identical division of int64
+    differences, the median picks the lower-middle order statistic (exact,
+    no float interpolation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias("x1"),
+        F.col("n").alias("y1"),
+    )
+    b = daily.select(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias("x2"),
+        F.col("n").alias("y2"),
+    )
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.withColumn("rk", F.row_number().over(w))
+    total = slopes.count  # noqa: B023 — resolved below via agg instead
+    stats = slopes.agg(F.count(F.lit(1)).alias("m"))
+    med = (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter(F.col("rk") == (F.col("m") + 1).cast("bigint") / 2)
+        .filter(F.col("rk") == F.floor((F.col("m") + 1) / 2))
+        .select(F.round("slope", 6).alias("theil_sen_slope"), "m")
+    )
+    return med.select(
+        F.col("m").cast("bigint").alias("n_pairs"), "theil_sen_slope"
+    )
+
+
+THEILSEN_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+pts AS (
+    SELECT date_diff('day', DATE '2024-01-01', d) AS x, CAST(n AS BIGINT) AS y
+    FROM daily
+),
+slopes AS (
+    SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (
+    SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk,
+           COUNT(*) OVER () AS m
+    FROM slopes
+)
+SELECT CAST(m AS BIGINT) AS n_pairs, ROUND(slope, 6) AS theil_sen_slope
+FROM ranked WHERE rk = CAST(FLOOR((m + 1) / 2) AS BIGINT)
+"""

@@ -719,3 +719,57 @@ def stream_hll_users(spark: SparkSession, sf_dir: str, p_bits: int = 8) -> DataF
         )
         .orderBy("week")
     )
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per event-time day, the KL
+    divergence of that day's event-type mix against the whole-history mix —
+    the live data-quality alarm that catches a upstream change (new client
+    version, broken instrumentation) as skewed type proportions.
+
+    The per-(day, type) counts run as a watermarked streaming aggregation
+    (state = days-in-watermark x |types|, bounded); the drained counts then
+    score against the batch reference distribution with per-term micro-nat
+    rounding before the integer sum (order-proof, like every KL here).
+    With trigger(availableNow) the drained counts equal the batch
+    groupBy, so the whole monitor is value-hash oracle-checkable.
+    """
+    ev = stream_events(spark, sf_dir)
+    daily_stream = (
+        ev.withWatermark("ts", "14 days")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("date").alias("d"), "event_type", "n")
+    )
+    cells = run_stream_to_memory(
+        daily_stream, "complete", shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS
+    ).localCheckpoint(eager=True)  # cut the memory-sink lineage: the
+    # day_total self-reference otherwise trips conflicting-attribute
+    # resolution against the shared sink scan
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    ref_total = ref.agg(F.sum("rn").alias("rt"))
+    day_total = cells.groupBy("d").agg(F.sum("n").alias("dn"))
+    joined = (
+        cells.join(F.broadcast(ref), "event_type")
+        .join(day_total, "d")
+        .crossJoin(F.broadcast(ref_total))
+    )
+    p = F.col("n").cast("double") / F.col("dn").cast("double")
+    q = F.col("rn").cast("double") / F.col("rt").cast("double")
+    term_micro = F.round(p * F.log(p / q) * 1_000_000, 0).cast("bigint")
+    return (
+        joined.select("d", F.col("dn"), term_micro.alias("t"))
+        .groupBy("d", "dn")
+        .agg(F.round(F.sum("t").cast("double") / 1_000_000.0, 4).alias("kl_nats"))
+        .select(
+            "d", F.col("dn").cast("bigint").alias("n_events"), "kl_nats"
+        )
+        .orderBy("d")
+    )
