@@ -916,6 +916,10 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # day-of-week multiplicative seasonality profile (exact ppm indices)
+    "q_seasonality": QuerySpec(A.seasonality_index, A.SEASONALITY_SQL),
+    # weekend-vs-weekday purchase-share z-test (experiment readout)
+    "q_ab_ztest": QuerySpec(A.ab_proportion_ztest, A.AB_ZTEST_SQL),
     # Theil-Sen robust daily trend (median of pairwise slopes)
     "q_theilsen_trend": QuerySpec(A.theilsen_daily_trend, A.THEILSEN_SQL),
     # two-sample KS statistic (urgent vs low-priority price distributions)
@@ -1864,6 +1868,8 @@ _ROUND2_LATE = [
     "q_benford",
     "q_theilsen_trend",
     "s_stream_drift",
+    "q_seasonality",
+    "q_ab_ztest",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

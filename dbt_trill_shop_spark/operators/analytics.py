@@ -2436,3 +2436,129 @@ ranked AS (
 SELECT CAST(m AS BIGINT) AS n_pairs, ROUND(slope, 6) AS theil_sen_slope
 FROM ranked WHERE rk = CAST(FLOOR((m + 1) / 2) AS BIGINT)
 """
+
+
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices: each weekday's average daily volume
+    relative to the overall daily average (ppm) — the multiplicative
+    seasonal profile a forecast divides out before trend fitting.
+
+    Two tiny aggregations over the daily relation; the index is exact
+    integer cross-multiplication (``dow_sum · n_days_total · 1e6 div
+    (total · n_days_dow)``), so no float ratio drifts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # portable weekday id: days since a known Sunday mod 7 (0=Sun..6=Sat) —
+    # Spark's dayofweek is 1-7 Sun-first, DuckDB's 0-6; anchoring on a date
+    # removes the disagreement
+    dow_id = F.pmod(F.datediff(F.col("d"), F.lit("2024-01-07").cast("date")), 7)
+    dows = daily.groupBy(dow_id.cast("bigint").alias("dow")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+    )
+    tot = dows.agg(
+        F.sum("k").alias("kt"),
+        F.sum("s").alias("st"),
+    )
+    return (
+        dows.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("k").cast("bigint").alias("n_days"),
+            F.col("s").cast("bigint").alias("n_events"),
+            F.expr("s * kt * 1000000 DIV (st * k)").alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+SEASONALITY_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+dows AS (
+    SELECT CAST(((date_diff('day', DATE '2024-01-07', d)) % 7 + 7) % 7 AS BIGINT)
+               AS dow,
+           COUNT(*) AS k,
+           CAST(SUM(n) AS BIGINT) AS s
+    FROM daily GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(k) AS BIGINT) AS kt, CAST(SUM(s) AS BIGINT) AS st FROM dows)
+SELECT dow, CAST(k AS BIGINT) AS n_days, s AS n_events,
+       CAST(s * kt * 1000000 // (st * k) AS BIGINT) AS index_ppm
+FROM dows CROSS JOIN tot
+ORDER BY dow
+"""
+
+
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: weekend vs weekday purchase share of events —
+    the A/B-test significance readout.  z is computed by ONE fixed
+    expression of the four int64 counts (pooled-variance form), rounded to
+    4 dp; the significance flag compares against the 1.96 literal.  All
+    operands identical cross-engine, so even the test statistic
+    hash-matches — the pattern for serving experiment dashboards off the
+    warehouse.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow_id = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
+    )
+    grp = dow_id.isin(0, 6).cast("int").alias("is_weekend")
+    conv = (F.col("event_type") == "purchase").cast("bigint")
+    counts = ev.select(grp, conv.alias("c")).groupBy("is_weekend").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("x")
+    )
+    wide = counts.agg(
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("x"))).alias("x1"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("n"))).alias("n2"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("x"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("x1").cast("bigint").alias("x_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.col("x2").cast("bigint").alias("x_weekday"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+AB_ZTEST_SQL = """
+WITH counts AS (
+    SELECT CASE WHEN ((date_diff('day', DATE '2024-01-07', CAST(ts AS DATE)))
+                       % 7 + 7) % 7 IN (0, 6)
+                THEN 1 ELSE 0 END AS is_weekend,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+    FROM events GROUP BY 1
+),
+wide AS (
+    SELECT CAST(SUM(CASE WHEN is_weekend = 1 THEN n END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN is_weekend = 1 THEN x END) AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN is_weekend = 0 THEN n END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN is_weekend = 0 THEN x END) AS BIGINT) AS x2
+    FROM counts
+)
+SELECT n1 AS n_weekend, x1 AS x_weekend, n2 AS n_weekday, x2 AS x_weekday,
+       ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 4) AS z,
+       ABS((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+           / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 / n1 + 1.0 / n2))) > 1.96 AS significant
+FROM wide
+"""
