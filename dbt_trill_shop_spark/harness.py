@@ -916,6 +916,14 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         A.BLOOM_PREFILTER_SQL_TEMPLATE.format(min_acctbal=9000, n_words=32, k=3),
     ),
+    # market-basket association rules (support/confidence/lift ppm)
+    "q_association_rules": QuerySpec(
+        A.association_rules, A.ASSOCIATION_RULES_SQL
+    ),
+    # decimal(38) escape-hatch rollup (arbitrary-precision revenue sums)
+    "q_decimal_revenue": QuerySpec(
+        A.decimal_revenue_rollup, A.DECIMAL_REVENUE_SQL
+    ),
     # day-of-week multiplicative seasonality profile (exact ppm indices)
     "q_seasonality": QuerySpec(A.seasonality_index, A.SEASONALITY_SQL),
     # weekend-vs-weekday purchase-share z-test (experiment readout)
@@ -1870,6 +1878,8 @@ _ROUND2_LATE = [
     "s_stream_drift",
     "q_seasonality",
     "q_ab_ztest",
+    "q_association_rules",
+    "q_decimal_revenue",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

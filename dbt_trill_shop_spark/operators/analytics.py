@@ -2562,3 +2562,105 @@ SELECT n1 AS n_weekend, x1 AS x_weekend, n2 AS n_weekday, x2 AS x_weekday,
                   * (1.0 / n1 + 1.0 / n2))) > 1.96 AS significant
 FROM wide
 """
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type baskets:
+    support / confidence / lift for every ordered type pair — "users who
+    did A also did B", the classic co-occurrence mining readout.
+
+    Baskets are per-user DISTINCT types (bounded by |types|), so the
+    within-user pair fan-out is |types|² per user — never |events|².  All
+    three metrics are exact ppm integer arithmetic (lift's ratio of ratios
+    cross-multiplies to one integer division), joins on the tiny per-type
+    support relation broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users_rel = baskets.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    type_support = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("ante"))
+    b = baskets.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = type_support.select(F.col("event_type").alias("ante"), F.col("s").alias("s_a"))
+    sc = type_support.select(F.col("event_type").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n_users_rel))
+        .select(
+            "ante",
+            "cons",
+            F.col("both").cast("bigint").alias("n_both"),
+            F.expr("both * 1000000 DIV nu").alias("support_ppm"),
+            F.expr("both * 1000000 DIV s_a").alias("confidence_ppm"),
+            F.expr("both * nu * 1000000 DIV (s_a * s_c)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "ante", "cons")
+    )
+
+
+ASSOCIATION_RULES_SQL = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM baskets),
+support AS (SELECT event_type, COUNT(*) AS s FROM baskets GROUP BY event_type),
+pairs AS (
+    SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS nb
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.event_type != b.event_type
+    GROUP BY 1, 2
+)
+SELECT ante, cons, CAST(nb AS BIGINT) AS n_both,
+       CAST(nb * 1000000 // nu AS BIGINT) AS support_ppm,
+       CAST(nb * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
+       CAST(nb * nu * 1000000 // (sa.s * sc.s) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN support sa ON sa.event_type = ante
+JOIN support sc ON sc.event_type = cons
+CROSS JOIN nu
+ORDER BY lift_ppm DESC, ante, cons
+"""
+
+
+def decimal_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented decimal(38) escape hatch exercised end-to-end: yearly
+    revenue summed as DECIMAL(38, 4) — the arbitrary-precision path for
+    when int64 scaled-cents would overflow (past ~9·10^16 cents).  Decimal
+    addition is exact and engine-portable at any magnitude; the cost is
+    ~2-4x the int64 fast path, which is why cents stay the default.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)") - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    return (
+        li.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+DECIMAL_REVENUE_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+                     * (CAST(1 AS DECIMAL(38,4))
+                        - CAST(l_discount AS DECIMAL(38,4))))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS revenue_dec,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY YEAR(l_shipdate)
+ORDER BY ship_year
+"""
