@@ -396,3 +396,24 @@ def test_retention_cohorts_dedups_before_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     join_section = plan[plan.find("Join"):]
     assert "event_id" not in join_section
+
+
+def test_association_rules_pairs_from_distinct_baskets(spark, sf_dir):
+    """Pair generation must operate on the deduplicated (user, type) basket
+    relation — raw event rows (event_id grain) never reach the self-join."""
+    from dbt_trill_shop_spark.operators.analytics import association_rules
+
+    plan = _plan(association_rules(spark, sf_dir))
+    join_section = plan[plan.find("Join"):]
+    assert "event_id" not in join_section
+
+
+def test_ks_test_single_global_sort(spark, sf_dir):
+    """The KS statistic needs exactly one total-order sort of the pooled
+    sample — both cumulative counts must ride the same window pass."""
+    from dbt_trill_shop_spark.operators.analytics import ks_test_priority_prices
+
+    plan = _plan(ks_test_priority_prices(spark, sf_dir))
+    # one Window operator computing both c1 and c2 (no second sort pass)
+    assert plan.count("Window [") <= 1 or plan.count("WindowExec") <= 1
+    assert plan.count("Sort [v") <= 2  # window sort + last_per_v aggregate
