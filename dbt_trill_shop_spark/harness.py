@@ -934,6 +934,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Mann-Whitney U rank-sum test (urgent vs low-priority totals)
+    "q_mannwhitney": QuerySpec(A.mannwhitney_order_values, A.MANNWHITNEY_SQL),
+    # per-type OLS daily-volume trend (slope/intercept/R² from int sums)
+    "q_ols_trend": QuerySpec(A.ols_daily_trend, A.OLS_TREND_SQL),
+    # lag-1..7 autocorrelation of the daily series
+    "q_autocorrelation": QuerySpec(A.autocorrelation_daily, A.AUTOCORR_SQL),
+    # CUSUM change-point per event type (division-free integer argmax)
+    "q_cusum": QuerySpec(A.cusum_changepoints, A.CUSUM_SQL),
     # top 3-step session paths (sequence mining, session-bounded leads)
     "q_session_paths": QuerySpec(
         lambda spark, sf_dir: A.session_paths(spark, sf_dir, k=15),
@@ -1880,6 +1888,10 @@ _ROUND2_LATE = [
     "q_ab_ztest",
     "q_association_rules",
     "q_decimal_revenue",
+    "q_mannwhitney",
+    "q_ols_trend",
+    "q_autocorrelation",
+    "q_cusum",
 ]
 _front = (
     _REFERENCE_MODELS + _FIXED_R01_FAILURES + _ROUND1_UNSEEN + _ROUND2_NEW + _ROUND2_LATE

@@ -2664,3 +2664,342 @@ FROM lineitem
 GROUP BY YEAR(l_shipdate)
 ORDER BY ship_year
 """
+
+
+def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do urgent and low-priority
+    orders draw their totals from the same distribution?  The
+    non-parametric companion to ``q_ab_ztest`` and the location-shift twin
+    of ``q_ks_test``'s shape test.
+
+    Exactness: U counts pairs, so instead of mid-ranks the statistic is
+    built pairwise —  U = #{x > y} + #{ties}/2 — from the per-distinct-value
+    relation: for each value v, ``t1(v)`` urgent rows beat every low row
+    strictly below v (windowed cumsum) and half-win the ``t2(v)`` ties.
+    Doubling removes the halves, so ``u_x2 = Σ t1·(2·c2_below + t2)`` is an
+    exact int64.  The tie-corrected normal z is ONE fixed float expression
+    of five int64s (identical operand order cross-engine).
+
+    Scale: the window sorts the per-distinct-cents aggregate (bounded by
+    |distinct prices|, not rows) — same single-sort posture as the KS scan;
+    bin values first when even the distinct relation is too wide.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("g1"),
+        cents("o_totalprice").alias("v"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum("g1").alias("t1"), F.sum(1 - F.col("g1")).alias("t2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "t1",
+        "t2",
+        F.coalesce(F.sum("t2").over(w), F.lit(0)).alias("c2b"),
+    )
+    stats = cum.agg(
+        F.sum("t1").alias("n1"),
+        F.sum("t2").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("c2b") + F.col("t2"))).alias("u2"),
+        F.sum(
+            (F.col("t1") + F.col("t2")) * (F.col("t1") + F.col("t2"))
+            * (F.col("t1") + F.col("t2"))
+            - (F.col("t1") + F.col("t2"))
+        ).alias("tsum"),
+    )
+    z_expr = (
+        "(CAST(u2 - n1 * n2 AS DOUBLE)) / "
+        "(2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) * "
+        "((CAST(n1 + n2 AS DOUBLE) + 1.0) - "
+        "CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * "
+        "(CAST(n1 + n2 AS DOUBLE) - 1.0))) / 12.0))"
+    )
+    return stats.select(
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n2").cast("bigint").alias("n_low"),
+        F.col("u2").cast("bigint").alias("u_x2"),
+        F.expr(f"ROUND({z_expr}, 4)").alias("z"),
+        F.expr(f"ABS({z_expr}) > 1.96").alias("significant"),
+    )
+
+
+MANNWHITNEY_SQL = """
+WITH base AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+per_v AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS t1, CAST(SUM(1 - g1) AS BIGINT) AS t2
+    FROM base GROUP BY v
+),
+cum AS (
+    SELECT t1, t2,
+           CAST(COALESCE(SUM(t2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS c2b
+    FROM per_v
+),
+stats AS (
+    SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+           CAST(SUM(t2) AS BIGINT) AS n2,
+           CAST(SUM(t1 * (2 * c2b + t2)) AS BIGINT) AS u2,
+           CAST(SUM((t1 + t2) * (t1 + t2) * (t1 + t2) - (t1 + t2)) AS BIGINT)
+               AS tsum
+    FROM cum
+)
+SELECT n1 AS n_urgent, n2 AS n_low, u2 AS u_x2,
+       ROUND((CAST(u2 - n1 * n2 AS DOUBLE)) /
+             (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) *
+              ((CAST(n1 + n2 AS DOUBLE) + 1.0) -
+               CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
+               (CAST(n1 + n2 AS DOUBLE) - 1.0))) / 12.0)), 4) AS z,
+       ABS((CAST(u2 - n1 * n2 AS DOUBLE)) /
+           (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) *
+            ((CAST(n1 + n2 AS DOUBLE) + 1.0) -
+             CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
+             (CAST(n1 + n2 AS DOUBLE) - 1.0))) / 12.0))) > 1.96 AS significant
+FROM stats
+"""
+
+
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend of daily volume:
+    slope/intercept/R² of daily counts against the day index — the
+    parametric fit next to ``q_theilsen_trend``'s robust one.
+
+    All sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64
+    map-side-combinable sums over the tiny daily relation; the closed-form
+    normal-equation solutions divide ONCE per output in double (operands
+    < 2⁵³ so the casts are exact, single IEEE division is deterministic
+    cross-engine).  One shuffle keyed by event_type at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)"
+        ).alias("slope"),
+        F.expr(
+            "ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)"
+        ).alias("intercept"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) / "
+            "(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+OLS_TREND_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+),
+xy AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y
+    FROM daily
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)
+           AS intercept,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) /
+             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY event_type
+"""
+
+
+def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality/persistence diagnostic read before fitting any forecast
+    (pairs with ``q_seasonality``'s fixed weekly profile).
+
+    The series collapses to one row per day FIRST, so the lag join is a
+    self-join of a calendar-bounded relation (broadcast both sides at any
+    corpus scale); Pearson r per lag comes from exact int64 sufficient
+    sums with one sqrt+division at the end (int64→double casts exact,
+    deterministic single IEEE ops).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    lead = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(lead),
+            F.col("d2") == F.expr("date_add(d, CAST(lag AS INT))"),
+        )
+        .select("lag", F.col("y").alias("x"), F.col("y2").alias("y"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+        ).alias("r"),
+    ).orderBy("lag")
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(UNNEST([1, 2, 3, 4, 5, 6, 7]) AS BIGINT) AS lag),
+paired AS (
+    SELECT l.lag, a.y AS x, b.y AS y
+    FROM daily a CROSS JOIN lags l
+    JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)
+),
+s AS (
+    SELECT lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM paired GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+           AS r
+FROM s
+ORDER BY lag
+"""
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation of daily volume from its mean peaks — the
+    level-shift locator that complements ``q_weekly_anomalies``'s
+    point-outlier screen.
+
+    The mean never materializes: the deviation of prefix i is
+    ``|n·S_i − i·S_n|`` (cross-multiplied to int64, division-free), so
+    the argmax is fully integer and the tie-break (earliest day) is
+    total.  One window keyed by event_type over the daily relation; the
+    per-type totals broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").alias("st"), F.count(F.lit(1)).alias("n")
+    )
+    dev = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "st",
+        F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("st")).alias("dev"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("dev"), F.asc("d"))
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            F.col("dev").cast("bigint").alias("dev_num"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr(
+                "ROUND(CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * st), 6)"
+            ).alias("dev_rel"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, d,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+               AS i,
+           CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+    FROM daily
+),
+tot AS (
+    SELECT event_type, CAST(SUM(y) AS BIGINT) AS st,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT c.event_type, c.d, t.n, t.st,
+           ABS(t.n * c.s - c.i * t.st) AS dev
+    FROM cum c JOIN tot t ON c.event_type = t.event_type
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY dev DESC, d ASC) AS rn
+    FROM dev
+)
+SELECT event_type, d AS change_day, CAST(dev AS BIGINT) AS dev_num,
+       n AS n_days,
+       ROUND(CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * st), 6) AS dev_rel
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
