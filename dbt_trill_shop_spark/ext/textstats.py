@@ -1843,3 +1843,138 @@ FROM grid
 GROUP BY src, sn
 ORDER BY kl_nats DESC, source
 """
+
+
+def quality_auc(docs: DataFrame) -> DataFrame:
+    """ROC-AUC of the frozen quality classifier's logit as a ranker for
+    "document is English" — the eval metric every production quality
+    filter ships with (does the score actually separate the populations
+    it was tuned on?).  Composes :func:`quality_classifier` (per-row
+    codegen scoring, int milli-logits) with the rank-free pairwise AUC:
+
+        AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+
+    built from the per-distinct-score relation exactly like the
+    Mann-Whitney operator — ``auc_x2 = Σ_s pos(s)·(2·neg_below(s) +
+    neg(s))`` is exact int64 (doubling absorbs the tie halves), and the
+    single final division is the only float op.  The window sorts the
+    per-distinct-logit aggregate (bounded by |distinct scores|, tiny),
+    never the corpus.
+    """
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    lab = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("bigint").alias("pos")),
+        "doc_id",
+    )
+    per_s = lab.groupBy("logit_milli").agg(
+        F.sum("pos").alias("tp"), F.sum(1 - F.col("pos")).alias("tn")
+    )
+    w = (
+        Window.orderBy("logit_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_s.select(
+        "tp",
+        "tn",
+        F.coalesce(F.sum("tn").over(w), F.lit(0)).alias("cnb"),
+    )
+    stats = cum.agg(
+        F.sum("tp").alias("np"),
+        F.sum("tn").alias("nn"),
+        F.sum(F.col("tp") * (2 * F.col("cnb") + F.col("tn"))).alias("a2"),
+    )
+    return stats.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.col("a2").cast("bigint").alias("auc_x2"),
+        F.expr(
+            "ROUND(CAST(a2 AS DOUBLE) / (2.0 * (CAST(np AS DOUBLE) * nn)), 6)"
+        ).alias("auc"),
+    )
+
+
+QUALITY_AUC_SQL = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL}),
+lab AS (
+    SELECT s.logit_milli,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM scored s JOIN documents d USING (doc_id)
+),
+per_s AS (
+    SELECT logit_milli, CAST(SUM(pos) AS BIGINT) AS tp,
+           CAST(SUM(1 - pos) AS BIGINT) AS tn
+    FROM lab GROUP BY logit_milli
+),
+cum AS (
+    SELECT tp, tn,
+           CAST(COALESCE(SUM(tn) OVER (ORDER BY logit_milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cnb
+    FROM per_s
+),
+stats AS (
+    SELECT CAST(SUM(tp) AS BIGINT) AS np, CAST(SUM(tn) AS BIGINT) AS nn,
+           CAST(SUM(tp * (2 * cnb + tn)) AS BIGINT) AS a2
+    FROM cum
+)
+SELECT np AS n_pos, nn AS n_neg, a2 AS auc_x2,
+       ROUND(CAST(a2 AS DOUBLE) / (2.0 * (CAST(np AS DOUBLE) * nn)), 6) AS auc
+FROM stats
+"""
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility report: subword tokens per
+    whitespace word and bytes per subword token under the BPE-ish regex
+    pre-tokenizer — the standard multilingual-tokenizer equity audit
+    (languages with milli-fertility ≫ 1000 pay more compute per word).
+
+    One corpus scan (per-row array sizes, codegen'd) into one
+    |langs|-row aggregate; ratios are exact integer milli divisions.
+    """
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    ws = F.split(F.col("text"), r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(bpe).cast("bigint").alias("nb"),
+        F.size(ws).cast("bigint").alias("nw"),
+        F.length("text").cast("bigint").alias("nc"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("bpe_tokens"),
+        F.sum("nw").alias("ws_tokens"),
+        F.sum("nc").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.expr("bpe_tokens * 1000 DIV ws_tokens").alias("fertility_milli"),
+        F.expr("chars * 1000 DIV bpe_tokens").alias("chars_per_token_milli"),
+    ).orderBy("lang")
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS nb,
+           CAST(LEN(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nw,
+           CAST(LENGTH(text) AS BIGINT) AS nc
+    FROM documents
+),
+agg AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+           CAST(SUM(nc) AS BIGINT) AS chars
+    FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, bpe_tokens, ws_tokens,
+       bpe_tokens * 1000 // ws_tokens AS fertility_milli,
+       chars * 1000 // bpe_tokens AS chars_per_token_milli
+FROM agg
+ORDER BY lang
+"""

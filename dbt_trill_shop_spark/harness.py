@@ -188,8 +188,10 @@ from .ext.textstats import (
     LANGUAGE_ID_SQL,
     LANGUAGE_PROFILE_SQL,
     PII_SCRUB_EVENTS_SQL,
+    QUALITY_AUC_SQL,
     QUALITY_CLASSIFIER_SQL,
     QUALITY_SCORE_SQL,
+    TOKENIZER_FERTILITY_SQL,
     IMPORTANCE_WEIGHTS_SQL_TEMPLATE,
     UNIGRAM_LOGPROB_SQL,
     REPETITION_SIGNALS_SQL,
@@ -208,8 +210,10 @@ from .ext.textstats import (
     importance_weights,
     language_id,
     language_profile,
+    quality_auc,
     quality_classifier,
     quality_score,
+    tokenizer_fertility,
     repetition_signals,
     scrub_pii,
     unigram_logprob,
@@ -1168,6 +1172,12 @@ QUERIES: dict[str, QuerySpec] = {
     "x_quality_classifier": QuerySpec(
         _docs_q(quality_classifier), QUALITY_CLASSIFIER_SQL
     ),
+    # ROC-AUC of the classifier logit vs the English pseudo-label
+    "x_quality_auc": QuerySpec(_docs_q(quality_auc), QUALITY_AUC_SQL),
+    # per-language subword fertility / bytes-per-token equity audit
+    "x_tokenizer_fertility": QuerySpec(
+        _docs_q(tokenizer_fertility), TOKENIZER_FERTILITY_SQL
+    ),
     # one-pass per-stage keep/drop audit of the cleaning funnel
     "x_filter_funnel": QuerySpec(
         _docs_q(filter_funnel),
@@ -1890,6 +1900,8 @@ _ROUND2_LATE = [
     "q_decimal_revenue",
     "q_mannwhitney",
     "q_ols_trend",
+    "x_quality_auc",
+    "x_tokenizer_fertility",
     "q_autocorrelation",
     "q_cusum",
 ]

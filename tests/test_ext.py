@@ -881,3 +881,45 @@ def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
     ).count()
     assert row.n_true_members == exact
     assert row.n_false_positives >= 0
+
+
+def test_quality_auc_matches_pairwise_bruteforce(spark):
+    """AUC from the distinct-score window must equal the O(n²) pairwise
+    definition AUC = (#{pos>neg} + ties/2) / (pos·neg) computed in Python."""
+    rows = [
+        (1, "the cat and the dog is here on the mat with them", "en"),
+        (2, "the quick brown fox and the lazy dog is not that slow", "en"),
+        (3, "xxxx 9999 @@@@ ####", "zh"),
+        (4, "el perro que ladra no muerde nada aqui", "es"),
+        (5, "a b c d e f g h i j", "en"),
+        (6, "der hund und die katze", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textstats.quality_auc(docs).collect()[0]
+    scored = {
+        r["doc_id"]: r["logit_milli"]
+        for r in textstats.quality_classifier(docs).collect()
+    }
+    pos = [scored[i] for i, _, lang in rows if lang == "en"]
+    neg = [scored[i] for i, _, lang in rows if lang != "en"]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert out["auc_x2"] == 2 * wins + ties
+    assert abs(out["auc"] - (wins + ties / 2) / (len(pos) * len(neg))) < 1e-6
+
+
+def test_tokenizer_fertility_counts_planted_docs(spark):
+    """Fertility = subword/word ratio: punctuation splits into extra BPE
+    tokens, so a punctuated language shows milli-fertility > 1000."""
+    rows = [
+        (1, "plain words only here", "en"),
+        (2, "hy-phen-ated words, with punc!", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in textstats.tokenizer_fertility(docs).collect()}
+    assert out["en"]["ws_tokens"] == 4 and out["en"]["bpe_tokens"] == 4
+    assert out["en"]["fertility_milli"] == 1000
+    # "hy-phen-ated" -> 5 bpe tokens, "words," -> 2, "with" -> 1, "punc!" -> 2
+    assert out["fr"]["bpe_tokens"] == 10 and out["fr"]["ws_tokens"] == 4
+    assert out["fr"]["fertility_milli"] == 2500
