@@ -2012,3 +2012,222 @@ SELECT CAST(dim AS BIGINT) AS dim,
 FROM stats
 ORDER BY dim
 """
+
+
+def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
+                   n_blk: int = 4) -> DataFrame:
+    """All-pairs exact L2 distances (micro-unit int64) as a block-tile Arrow
+    gemm: ids hash into ``n_blk`` row blocks, each (bx, by) tile is one
+    ``applyInPandas`` group computing its distance tile from ONE int64
+    matmul (d² = |x|² + |y|² − 2x·y — every term exact).  Same tile shape
+    as the bitext miner; the interpreted per-pair fold would be ~50× slower
+    and the long-form dim join multiplies rows by the dimension count.
+    Output: (query_id, neighbor_id, d2), self-pairs excluded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    enc = (
+        "transform(" + vec_col + ", v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+    )
+    base = embeddings.select(F.col(id_col).alias("_id"), F.expr(enc).alias("mv"))
+    tiles = (
+        spark.range(n_blk)
+        .select(F.col("id").alias("bx"))
+        .crossJoin(spark.range(n_blk).select(F.col("id").alias("by")))
+    )
+    lhs = (
+        base.withColumn("blk", F.pmod(F.xxhash64("_id"), F.lit(n_blk)))
+        .join(F.broadcast(tiles), F.col("blk") == F.col("bx"))
+        .select("bx", "by", "_id", "mv", F.lit(0).alias("side"))
+    )
+    rhs = (
+        base.withColumn("blk", F.pmod(F.xxhash64("_id"), F.lit(n_blk)))
+        .join(F.broadcast(tiles), F.col("blk") == F.col("by"))
+        .select("bx", "by", "_id", "mv", F.lit(1).alias("side"))
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("d2", LongType(), False),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        px, py = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if px.empty or py.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int64"),
+                    "neighbor_id": pd.array([], dtype="int64"),
+                    "d2": pd.array([], dtype="int64"),
+                }
+            )
+        xi = px["_id"].to_numpy(dtype=np.int64)
+        yi = py["_id"].to_numpy(dtype=np.int64)
+        xm = np.stack(px["mv"].to_numpy()).astype(np.int64)
+        ym = np.stack(py["mv"].to_numpy()).astype(np.int64)
+        d2 = (
+            (xm * xm).sum(axis=1)[:, None]
+            + (ym * ym).sum(axis=1)[None, :]
+            - 2 * (xm @ ym.T)
+        )
+        gi, gj = np.meshgrid(np.arange(len(xi)), np.arange(len(yi)), indexing="ij")
+        out = pd.DataFrame(
+            {
+                "query_id": xi[gi.ravel()],
+                "neighbor_id": yi[gj.ravel()],
+                "d2": d2.ravel(),
+            }
+        )
+        return out[out["query_id"] != out["neighbor_id"]]
+
+    return (
+        lhs.unionByName(rhs)
+        .groupBy("bx", "by")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def knn_graph_edges(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed exact-kNN graph (query_id, neighbor_id): each node's k
+    nearest by int64 micro L2, ties broken by neighbor id.  Built from the
+    block-tile gemm; at corpus scale swap the exact pair relation for an
+    ANN ranking (IVF-PQ/SQ8) — the downstream graph algebra is unchanged."""
+    pairs = _l2_pairs_gemm(embeddings, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def knn_graph_mutual_degree(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN degree distribution — the connectivity health-check run
+    before any kNN-graph algorithm (clustering, label propagation,
+    diffusion): how many of each node's k edges are reciprocated.  Sparse
+    mutual graphs (mass at low degrees) signal hubness or disconnected
+    manifolds.  The mutual join keys on the (k·N)-row edge relation, never
+    on pairs; the histogram is |k|+1 rows."""
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    mutual = edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    deg = (
+        embeddings.select(F.col(id_col).alias("query_id"))
+        .join(
+            mutual.groupBy("query_id").agg(F.count(F.lit(1)).alias("md")),
+            "query_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("md"), F.lit(0)).cast("bigint").alias("mutual_degree"))
+    )
+    return (
+        deg.groupBy("mutual_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("mutual_degree")
+    )
+
+
+def knn_label_homophily(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Per-label kNN homophily: the fraction of each label's outgoing kNN
+    edges that land on a same-label neighbor — the embedding-quality metric
+    (a good representation keeps classes locally pure; homophily ≈ 1/|labels|
+    means the space carries no class signal).  Exact ppm integers."""
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col)
+    lab = embeddings.select(F.col(id_col), F.col(label_col).cast("bigint").alias("lab"))
+    ql = lab.select(F.col(id_col).alias("query_id"), F.col("lab").alias("q_lab"))
+    nl = lab.select(F.col(id_col).alias("neighbor_id"), F.col("lab").alias("n_lab"))
+    scored = edges.join(F.broadcast(ql), "query_id").join(
+        F.broadcast(nl), "neighbor_id"
+    )
+    return (
+        scored.groupBy(F.col("q_lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("q_lab") == F.col("n_lab")).cast("bigint")).alias("n_same"),
+        )
+        .select(
+            "label",
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_same").cast("bigint").alias("n_same"),
+            F.expr("n_same * 1000000 DIV n_edges").alias("homophily_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_KNN_GRAPH_EDGES_CTE = """
+vm AS (
+    SELECT vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+    FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM((q.xm - c.xm) * (q.xm - c.xm)) AS BIGINT) AS d2
+    FROM vm q JOIN vm c USING (dim)
+    WHERE q.vec_id != c.vec_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM scored
+    ) r WHERE rn <= {k}
+)"""
+
+KNN_MUTUAL_DEGREE_SQL_TEMPLATE = (
+    "WITH " + _KNN_GRAPH_EDGES_CTE + """,
+mutual AS (
+    SELECT e1.query_id, e1.neighbor_id
+    FROM edges e1 JOIN edges e2
+      ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+),
+deg AS (
+    SELECT v.vec_id,
+           CAST(COALESCE(m.c, 0) AS BIGINT) AS mutual_degree
+    FROM (SELECT DISTINCT vec_id FROM embeddings) v
+    LEFT JOIN (SELECT query_id, COUNT(*) AS c FROM mutual GROUP BY 1) m
+      ON v.vec_id = m.query_id
+)
+SELECT mutual_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+)
+
+KNN_HOMOPHILY_SQL_TEMPLATE = (
+    "WITH " + _KNN_GRAPH_EDGES_CTE + """
+SELECT CAST(ql.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same,
+       CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS homophily_ppm
+FROM edges e
+JOIN embeddings ql ON e.query_id = ql.vec_id
+JOIN embeddings nl ON e.neighbor_id = nl.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+)

@@ -146,6 +146,10 @@ from .ext.similarity import (
     ann_recall,
     kmeans_refine,
     kmeans_refine_sql,
+    KNN_HOMOPHILY_SQL_TEMPLATE,
+    KNN_MUTUAL_DEGREE_SQL_TEMPLATE,
+    knn_graph_mutual_degree,
+    knn_label_homophily,
     l2_topk_exact,
     mmr_topk,
     mmr_topk_sql,
@@ -233,6 +237,7 @@ from .streaming.events import (
     STREAM_SESSIONIZE_SQL,
     STREAM_COUNTMIN_SQL_TEMPLATE,
     STREAM_TOP_TYPES_SQL_TEMPLATE,
+    STREAM_SLIDING_SQL,
     STREAM_WEEKLY_SQL,
     stream_dedup_events,
     stream_distinct_users,
@@ -244,6 +249,7 @@ from .streaming.events import (
     stream_sessionize,
     stream_user_ewma,
     stream_top_event_types,
+    stream_sliding_rollup,
     stream_weekly_rollup,
 )
 from .models.trends import build_trends_relations
@@ -1357,6 +1363,20 @@ QUERIES: dict[str, QuerySpec] = {
         SQ8_TOPK_SQL_TEMPLATE.format(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
     # exact L2 ground truth in micro-unit int64 (value-hash-checkable ranks)
+    # mutual-kNN degree distribution (graph health-check, exact int L2)
+    "x_knn_graph": QuerySpec(
+        lambda spark, sf_dir: knn_graph_mutual_degree(
+            load_table(spark, sf_dir, "embeddings"), k=_KNN_K
+        ),
+        KNN_MUTUAL_DEGREE_SQL_TEMPLATE.format(k=_KNN_K),
+    ),
+    # per-label kNN homophily (embedding class-purity metric, exact ppm)
+    "x_knn_homophily": QuerySpec(
+        lambda spark, sf_dir: knn_label_homophily(
+            load_table(spark, sf_dir, "embeddings"), k=_KNN_K
+        ),
+        KNN_HOMOPHILY_SQL_TEMPLATE.format(k=_KNN_K),
+    ),
     "x_l2_topk": QuerySpec(
         lambda spark, sf_dir: l2_topk_exact(
             load_table(spark, sf_dir, "embeddings"),
@@ -1670,6 +1690,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # --- structured streaming (availableNow-drained, batch-equivalent) -----
     "s_stream_weekly_rollup": QuerySpec(stream_weekly_rollup, STREAM_WEEKLY_SQL),
+    # sliding 7d/1d windows: every event in 7 overlapping windows
+    "s_stream_sliding_rollup": QuerySpec(
+        stream_sliding_rollup, STREAM_SLIDING_SQL
+    ),
     "s_stream_distinct_users": QuerySpec(stream_distinct_users, STREAM_DISTINCT_USERS_SQL),
     "s_stream_purchase_attribution": QuerySpec(
         stream_purchase_attribution, STREAM_ATTRIBUTION_SQL
@@ -1902,6 +1926,9 @@ _ROUND2_LATE = [
     "q_ols_trend",
     "x_quality_auc",
     "x_tokenizer_fertility",
+    "s_stream_sliding_rollup",
+    "x_knn_graph",
+    "x_knn_homophily",
     "q_autocorrelation",
     "q_cusum",
 ]

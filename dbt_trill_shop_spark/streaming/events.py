@@ -773,3 +773,50 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def sliding_daily_counts_stream(events: DataFrame, watermark: str = "14 days") -> DataFrame:
+    """Watermarked SLIDING-window rollup: 7-day windows advancing 1 day, so
+    every event lands in 7 overlapping windows — the trailing-week trend
+    surface a monitoring dashboard reads (vs the tumbling weekly rollup's
+    disjoint buckets).  Slide = 1 day puts window starts on every day
+    boundary; state is O(open windows × types), bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+# batch twin: an event at date d belongs to the 7 sliding windows starting
+# d-6 .. d (slide = 1 day, epoch-aligned day boundaries)
+STREAM_SLIDING_SQL = """
+WITH offs AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS k)
+SELECT CAST(ts AS DATE) - k AS window_start, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events CROSS JOIN offs
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry: sliding-window rollup drained to a batch result
+    (availableNow ⇒ equals the batch window-membership expansion)."""
+    return run_stream_to_memory(
+        sliding_daily_counts_stream(stream_events(spark, sf_dir)),
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )

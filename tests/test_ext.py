@@ -923,3 +923,26 @@ def test_tokenizer_fertility_counts_planted_docs(spark):
     # "hy-phen-ated" -> 5 bpe tokens, "words," -> 2, "with" -> 1, "punc!" -> 2
     assert out["fr"]["bpe_tokens"] == 10 and out["fr"]["ws_tokens"] == 4
     assert out["fr"]["fertility_milli"] == 2500
+
+
+def test_knn_graph_planted_clusters(spark):
+    """Two well-separated clusters: every node's kNN edges stay inside its
+    cluster, so label homophily is 1.0 and the k=2 graph is fully mutual."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(6):
+        center = 0.0 if i < 3 else 10.0
+        lab = 0 if i < 3 else 1
+        rows.append((i, [center + rng.uniform(-0.1, 0.1) for _ in range(4)], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    hom = {r["label"]: r for r in similarity.knn_label_homophily(emb, k=2).collect()}
+    assert hom[0]["homophily_ppm"] == 1_000_000
+    assert hom[1]["homophily_ppm"] == 1_000_000
+    deg = {r["mutual_degree"]: r["n_nodes"]
+           for r in similarity.knn_graph_mutual_degree(emb, k=2).collect()}
+    # 3-cliques at k=2: every edge reciprocated -> all 6 nodes at degree 2
+    assert deg == {2: 6}
