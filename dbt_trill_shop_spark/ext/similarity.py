@@ -2231,3 +2231,172 @@ JOIN embeddings nl ON e.neighbor_id = nl.vec_id
 GROUP BY 1 ORDER BY 1
 """
 )
+
+
+def knn_pagerank(
+    embeddings: DataFrame, k: int = 5, n_iters: int = 5,
+    damping_pct: int = 85, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PageRank over the directed exact-kNN graph — graph centrality as a
+    data-curation signal (high-rank nodes are the corpus's prototypical
+    points; low-rank ones are outliers feeding nobody's neighborhood).
+
+    Determinism: every node's out-degree is exactly k, so one floor
+    division per edge contribution (``r div k``) plus the damped update
+    ``(100−d)·10⁶/100 + d·Σ div 100`` keeps ranks exact int64 micro-units
+    through every iteration — the oracle replays the identical algebra as
+    chained CTEs (same recipe as ``kmeans_refine``).
+
+    Distributed shape: the edge relation (k·N rows, 16 B/row) is
+    checkpointed ONCE; each iteration is one shuffle keyed by dst plus a
+    broadcast-size rank relation, re-checkpointed per step so the lazy
+    plan never replays earlier iterations.  O(iters) jobs at any scale.
+    """
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    nodes = embeddings.select(F.col(id_col).alias("vec_id")).localCheckpoint(
+        eager=True
+    )
+    base = (100 - damping_pct) * 1_000_000 // 100
+    ranks = nodes.select("vec_id", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("vec_id").alias("query_id"), "r"), "query_id"
+            )
+            .groupBy(F.col("neighbor_id").alias("vec_id"))
+            .agg(F.sum(F.expr(f"r DIV {k}")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * COALESCE(m, 0)) DIV 100 "
+                    "AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "vec_id", F.col("r").alias("rank_micro")
+    ).orderBy(F.desc("rank_micro"), "vec_id")
+
+
+def knn_pagerank_sql(k: int = 5, n_iters: int = 5, damping_pct: int = 85) -> str:
+    """DuckDB oracle for :func:`knn_pagerank`: identical integer updates,
+    one CTE pair (contribution, rank) per iteration."""
+    base = (100 - damping_pct) * 1_000_000 // 100
+    parts = [
+        "WITH "
+        + _KNN_GRAPH_EDGES_CTE.format(k=k)
+        + """,
+nodes AS (SELECT DISTINCT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+c{t} AS (
+    SELECT e.neighbor_id AS vec_id, CAST(SUM(r.r // {k}) AS BIGINT) AS m
+    FROM edges e JOIN r{t - 1} r ON e.query_id = r.vec_id
+    GROUP BY 1
+),
+r{t} AS (
+    SELECT n.vec_id,
+           CAST({base} + ({damping_pct} * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{t} c USING (vec_id)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, r AS rank_micro FROM r{n_iters}
+ORDER BY rank_micro DESC, vec_id"""
+    )
+    return "".join(parts)
+
+
+def knn_clustering_coefficients(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients on the
+    UNDIRECTED mutual-kNN graph — the manifold-structure readout (high
+    coefficients = locally dense cluster interiors, zeros = bridges and
+    outliers).  Wedges enumerate only within mutual neighborhoods
+    (degree ≤ k, so ≤ N·k² wedge rows); triangle closure is one semi join
+    back onto the edge set; the coefficient is exact ppm.  Nodes of
+    mutual degree < 2 have no defined coefficient and are excluded."""
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    mutual = edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    und = mutual.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+    ).localCheckpoint(eager=True)
+    adj = und.select("a", "b").union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("v"), F.col("b").alias("u"))
+    wedges = (
+        adj.select("v", F.col("u").alias("x"))
+        .join(adj.select("v", F.col("u").alias("y")), "v")
+        .filter(F.col("x") < F.col("y"))
+    )
+    closed = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr("COALESCE(t, 0) * 2 * 1000000 DIV (d * (d - 1))").alias(
+                "clustering_ppm"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+KNN_CLUSTERING_SQL_TEMPLATE = (
+    "WITH " + _KNN_GRAPH_EDGES_CTE + """,
+mutual AS (
+    SELECT e1.query_id, e1.neighbor_id
+    FROM edges e1 JOIN edges e2
+      ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+),
+und AS (
+    SELECT query_id AS a, neighbor_id AS b FROM mutual WHERE query_id < neighbor_id
+),
+adj AS (
+    SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und
+),
+wedges AS (
+    SELECT l.v, l.u AS x, r.u AS y
+    FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+),
+closed AS (
+    SELECT w.v FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = w.x AND e.b = w.y)
+),
+tri AS (SELECT v, COUNT(*) AS t FROM closed GROUP BY v),
+deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v)
+SELECT deg.v AS vec_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       CAST(COALESCE(tri.t, 0) * 2 * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+           AS clustering_ppm
+FROM deg LEFT JOIN tri ON deg.v = tri.v
+WHERE deg.d >= 2
+ORDER BY vec_id
+"""
+)

@@ -146,10 +146,14 @@ from .ext.similarity import (
     ann_recall,
     kmeans_refine,
     kmeans_refine_sql,
+    KNN_CLUSTERING_SQL_TEMPLATE,
     KNN_HOMOPHILY_SQL_TEMPLATE,
     KNN_MUTUAL_DEGREE_SQL_TEMPLATE,
+    knn_clustering_coefficients,
     knn_graph_mutual_degree,
     knn_label_homophily,
+    knn_pagerank,
+    knn_pagerank_sql,
     l2_topk_exact,
     mmr_topk,
     mmr_topk_sql,
@@ -1377,6 +1381,20 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         KNN_HOMOPHILY_SQL_TEMPLATE.format(k=_KNN_K),
     ),
+    # PageRank centrality on the kNN graph (exact int64 micro-ranks)
+    "x_knn_pagerank": QuerySpec(
+        lambda spark, sf_dir: knn_pagerank(
+            load_table(spark, sf_dir, "embeddings"), k=_KNN_K, n_iters=5
+        ),
+        knn_pagerank_sql(k=_KNN_K, n_iters=5),
+    ),
+    # triangles + local clustering coefficients on the mutual-kNN graph
+    "x_knn_clustering": QuerySpec(
+        lambda spark, sf_dir: knn_clustering_coefficients(
+            load_table(spark, sf_dir, "embeddings"), k=_KNN_K
+        ),
+        KNN_CLUSTERING_SQL_TEMPLATE.format(k=_KNN_K),
+    ),
     "x_l2_topk": QuerySpec(
         lambda spark, sf_dir: l2_topk_exact(
             load_table(spark, sf_dir, "embeddings"),
@@ -1929,6 +1947,8 @@ _ROUND2_LATE = [
     "s_stream_sliding_rollup",
     "x_knn_graph",
     "x_knn_homophily",
+    "x_knn_pagerank",
+    "x_knn_clustering",
     "q_autocorrelation",
     "q_cusum",
 ]

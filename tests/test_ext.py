@@ -946,3 +946,35 @@ def test_knn_graph_planted_clusters(spark):
            for r in similarity.knn_graph_mutual_degree(emb, k=2).collect()}
     # 3-cliques at k=2: every edge reciprocated -> all 6 nodes at degree 2
     assert deg == {2: 6}
+
+
+def test_knn_pagerank_mass_and_hub(spark):
+    """A hub everyone points to must out-rank peripheral nodes; ranks stay
+    within the damped-mass envelope [base, base + d·10⁶]."""
+    import random
+
+    rng = random.Random(3)
+    # node 0 at the centroid of a shell: it is in everyone's k=1 top list
+    rows = [(0, [0.0] * 4, 0)]
+    for i in range(1, 7):
+        v = [rng.uniform(-1, 1) for _ in range(4)]
+        s = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / s * 5.0 for x in v], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_pagerank(emb, k=1, n_iters=5).collect()
+    assert out[0]["vec_id"] == 0
+    for r in out:
+        assert 150_000 <= r["rank_micro"] <= 150_000 + 850_000 * 7
+
+
+def test_knn_clustering_triangle_clique(spark):
+    """A tight 3-clique closes its single wedge per node: coefficient 1.0."""
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.1, 0.0], 0), (3, [0.0, 0.1], 0),
+        (4, [50.0, 50.0], 1), (5, [50.2, 50.0], 1), (6, [50.0, 50.2], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_clustering_coefficients(emb, k=2).collect()
+    assert len(out) == 6
+    assert all(r["clustering_ppm"] == 1_000_000 for r in out)
+    assert all(r["triangles"] == 1 and r["degree"] == 2 for r in out)
