@@ -2400,3 +2400,137 @@ WHERE deg.d >= 2
 ORDER BY vec_id
 """
 )
+
+
+def _ndcg_weights_micro(k: int) -> list[int]:
+    """Micro-unit DCG rank discounts ``round(10⁶ / log2(i+1))`` computed
+    ONCE in Python and embedded as literals in BOTH engines — log2 is the
+    only irrational in nDCG, so freezing it makes the whole metric exact
+    integer arithmetic."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_eval(
+    embeddings: DataFrame, num_queries: int = 10, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Per-query retrieval quality of the exact L2 ranking under
+    label-match relevance: nDCG@k and reciprocal rank — the IR eval pair
+    every retrieval stack reports.  Relevance is binary (neighbor shares
+    the query's label), DCG uses frozen micro-unit discounts
+    (:func:`_ndcg_weights_micro`), the ideal DCG truncates at
+    ``min(k, R)`` for R same-label candidates in the corpus, and
+    RR = ⌊10⁶ / first-relevant-rank⌋ — every output is exact int64, so
+    even this "float" metric is value-hash checkable.
+
+    Scale: ranks come from any (query, neighbor, rank) relation — swap the
+    exact ranking for an ANN one (the audit then measures the INDEX, like
+    ``x_ann_recall``); labels broadcast; per-query aggregates are k rows.
+    """
+    w = _ndcg_weights_micro(k)
+    prefix = [sum(w[: i + 1]) for i in range(k)]
+    queries = embeddings.filter(F.col(id_col) < num_queries)
+    ranks = l2_topk_exact(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = embeddings.select(F.col(id_col), F.col(label_col).cast("bigint").alias("lab"))
+    ql = lab.select(F.col(id_col).alias("query_id"), F.col("lab").alias("q_lab"))
+    nl = lab.select(F.col(id_col).alias("neighbor_id"), F.col("lab").alias("n_lab"))
+    scored = (
+        ranks.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            "q_lab",
+            (F.col("q_lab") == F.col("n_lab")).cast("bigint").alias("rel"),
+        )
+    )
+    warr = "array(" + ", ".join(str(x) for x in w) + ")"
+    per_q = scored.groupBy("query_id", "q_lab").agg(
+        F.sum(F.expr(f"rel * element_at({warr}, CAST(rank AS INT))")).alias(
+            "dcg_micro"
+        ),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+    )
+    # R = same-label candidates available (label size - the query itself)
+    lsize = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("ls"))
+    parr = "array(" + ", ".join(str(x) for x in prefix) + ")"
+    return (
+        per_q.join(
+            F.broadcast(lsize), per_q["q_lab"] == lsize["lab"]
+        )
+        .select(
+            "query_id",
+            F.col("dcg_micro").cast("bigint").alias("dcg_micro"),
+            F.expr(
+                f"CAST(element_at({parr}, CAST(GREATEST(1, LEAST({k}, ls - 1)) AS INT)) "
+                "AS BIGINT)"
+            ).alias("idcg_micro"),
+            F.expr(
+                f"dcg_micro * 1000000 DIV element_at({parr}, "
+                f"CAST(GREATEST(1, LEAST({k}, ls - 1)) AS INT))"
+            ).alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000000 DIV first_rel"), F.lit(0)
+            ).cast("bigint").alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def retrieval_eval_sql(num_queries: int = 10, k: int = 5) -> str:
+    """DuckDB oracle for :func:`retrieval_eval`: same ranking CTE as the
+    L2 ground truth, same frozen micro-discount literals."""
+    w = _ndcg_weights_micro(k)
+    prefix = [sum(w[: i + 1]) for i in range(k)]
+    wcase = "CASE rank " + " ".join(
+        f"WHEN {i + 1} THEN {x}" for i, x in enumerate(w)
+    ) + " END"
+    pcase = "CASE GREATEST(1, LEAST(" + str(k) + ", ls - 1)) " + " ".join(
+        f"WHEN {i + 1} THEN {x}" for i, x in enumerate(prefix)
+    ) + " END"
+    return f"""
+WITH vm AS (
+    SELECT vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM((q.xm - c.xm) * (q.xm - c.xm)) AS d2
+    FROM vm c JOIN vm q USING (dim)
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, rn AS rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM scored
+    ) r WHERE rn <= {k}
+),
+rel AS (
+    SELECT r.query_id, r.rank, ql.label AS q_lab,
+           CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+    FROM ranked r
+    JOIN embeddings ql ON r.query_id = ql.vec_id
+    JOIN embeddings nl ON r.neighbor_id = nl.vec_id
+),
+per_q AS (
+    SELECT query_id, q_lab,
+           CAST(SUM(rel * ({wcase})) AS BIGINT) AS dcg_micro,
+           MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+    FROM rel GROUP BY 1, 2
+),
+lsize AS (SELECT label, COUNT(*) AS ls FROM embeddings GROUP BY label)
+SELECT query_id, dcg_micro,
+       CAST({pcase} AS BIGINT) AS idcg_micro,
+       CAST(dcg_micro * 1000000 // ({pcase}) AS BIGINT) AS ndcg_ppm,
+       CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS rr_micro
+FROM per_q JOIN lsize ON per_q.q_lab = lsize.label
+ORDER BY query_id
+"""

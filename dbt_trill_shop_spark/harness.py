@@ -154,6 +154,8 @@ from .ext.similarity import (
     knn_label_homophily,
     knn_pagerank,
     knn_pagerank_sql,
+    retrieval_eval,
+    retrieval_eval_sql,
     l2_topk_exact,
     mmr_topk,
     mmr_topk_sql,
@@ -1395,6 +1397,15 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         KNN_CLUSTERING_SQL_TEMPLATE.format(k=_KNN_K),
     ),
+    # nDCG@k + MRR under label relevance (frozen micro log2 discounts)
+    "x_retrieval_ndcg": QuerySpec(
+        lambda spark, sf_dir: retrieval_eval(
+            load_table(spark, sf_dir, "embeddings"),
+            num_queries=_KNN_NUM_QUERIES,
+            k=_KNN_K,
+        ),
+        retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
+    ),
     "x_l2_topk": QuerySpec(
         lambda spark, sf_dir: l2_topk_exact(
             load_table(spark, sf_dir, "embeddings"),
@@ -1949,6 +1960,7 @@ _ROUND2_LATE = [
     "x_knn_homophily",
     "x_knn_pagerank",
     "x_knn_clustering",
+    "x_retrieval_ndcg",
     "q_autocorrelation",
     "q_cusum",
 ]

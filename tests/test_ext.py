@@ -978,3 +978,16 @@ def test_knn_clustering_triangle_clique(spark):
     assert len(out) == 6
     assert all(r["clustering_ppm"] == 1_000_000 for r in out)
     assert all(r["triangles"] == 1 and r["degree"] == 2 for r in out)
+
+
+def test_retrieval_eval_perfect_and_absent(spark):
+    """A query whose cluster fills its top-k scores nDCG = 1 and RR = 10⁶;
+    a query whose label appears nowhere else scores 0 on both."""
+    rows = [(0, [0.0, 0.0], 7), (1, [0.1, 0.0], 7), (2, [0.0, 0.1], 7),
+            (3, [0.2, 0.1], 7), (4, [99.0, 99.0], 8), (5, [99.1, 99.0], 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["query_id"]: r
+           for r in similarity.retrieval_eval(emb, num_queries=5, k=3).collect()}
+    assert out[0]["ndcg_ppm"] == 1_000_000 and out[0]["rr_micro"] == 1_000_000
+    # query 4: label 8 is a singleton -> no relevant neighbor anywhere
+    assert out[4]["dcg_micro"] == 0 and out[4]["rr_micro"] == 0
