@@ -1978,3 +1978,84 @@ SELECT lang, n_docs, bpe_tokens, ws_tokens,
 FROM agg
 ORDER BY lang
 """
+
+
+def zipf_slope(docs: DataFrame, top_r: int = 100) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of log-frequency against
+    log-rank over the top ``top_r`` token types — natural language sits
+    near −1, and strong deviation flags synthetic, templated, or
+    boilerplate-heavy corpora (a quick distribution-health audit next to
+    the quality filters).
+
+    Each point's ln() is rounded to int64 micro-nats BEFORE the sufficient
+    sums (the cross-engine float-determinism recipe shared with the
+    unigram/bigram LMs), so the regression inputs are exact integers and
+    the slope/R² divisions are single IEEE ops.  Frequencies aggregate in
+    one token-keyed shuffle; the rank window sorts only the top-r rows.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r") <= top_r)
+        .select(
+            F.expr("CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias(
+                "x"
+            ),
+            F.expr("CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT)").alias(
+                "y"
+            ),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)"
+        ).alias("slope"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) / "
+            "(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+        ).alias("r2"),
+    )
+
+
+ZIPF_SLOPE_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, COUNT(*) AS f FROM toks WHERE tok != '' GROUP BY tok
+),
+pts AS (
+    SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+           CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+    FROM (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r FROM freq
+    ) ranked
+    WHERE r <= {top_r}
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pts
+)
+SELECT n AS n_points,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) /
+             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""

@@ -220,8 +220,10 @@ from .ext.textstats import (
     importance_weights,
     language_id,
     language_profile,
+    ZIPF_SLOPE_SQL_TEMPLATE,
     quality_auc,
     quality_classifier,
+    zipf_slope,
     quality_score,
     tokenizer_fertility,
     repetition_signals,
@@ -950,6 +952,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Gini inequality of per-user value (single-sort rank identity)
+    "q_gini": QuerySpec(A.gini_user_value, A.GINI_SQL),
+    # weekly churn ppm (dedup-first activity, next-week anti probe)
+    "q_churn": QuerySpec(A.weekly_churn, A.WEEKLY_CHURN_SQL),
+    # cohort LTV accumulation curves (cents-exact cumulative window)
+    "q_ltv_cohorts": QuerySpec(A.ltv_cohort_curves, A.LTV_COHORT_SQL),
+    # Holt double-exponential smoothing + 7d forecast (packed-int fold)
+    "q_holt_forecast": QuerySpec(A.holt_forecast, A.HOLT_FORECAST_SQL),
     # Mann-Whitney U rank-sum test (urgent vs low-priority totals)
     "q_mannwhitney": QuerySpec(A.mannwhitney_order_values, A.MANNWHITNEY_SQL),
     # per-type OLS daily-volume trend (slope/intercept/R² from int sums)
@@ -1189,6 +1199,11 @@ QUERIES: dict[str, QuerySpec] = {
     # per-language subword fertility / bytes-per-token equity audit
     "x_tokenizer_fertility": QuerySpec(
         _docs_q(tokenizer_fertility), TOKENIZER_FERTILITY_SQL
+    ),
+    # Zipf rank-frequency OLS fit (micro-nat int points, corpus health)
+    "x_zipf_slope": QuerySpec(
+        _docs_q(lambda d: zipf_slope(d, top_r=100)),
+        ZIPF_SLOPE_SQL_TEMPLATE.format(top_r=100),
     ),
     # one-pass per-stage keep/drop audit of the cleaning funnel
     "x_filter_funnel": QuerySpec(
@@ -1961,6 +1976,11 @@ _ROUND2_LATE = [
     "x_knn_pagerank",
     "x_knn_clustering",
     "x_retrieval_ndcg",
+    "q_gini",
+    "q_churn",
+    "q_ltv_cohorts",
+    "q_holt_forecast",
+    "x_zipf_slope",
     "q_autocorrelation",
     "q_cusum",
 ]

@@ -3003,3 +3003,272 @@ SELECT event_type, d AS change_day, CAST(dev AS BIGINT) AS dev_num,
 FROM ranked WHERE rn = 1
 ORDER BY event_type
 """
+
+
+def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event value — the inequality readout
+    (how concentrated is engagement/revenue across users).  Computed from
+    the sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with exact
+    integer cents and a total order (value, user_id): the numerator is
+    pure int64; the single final division is the only float op.
+
+    The rank window sorts the per-user aggregate (|users| rows, 16 B each)
+    — one shuffle + one bounded sort at any event volume; the same
+    single-sort posture as the KS/Mann-Whitney statistics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.expr(
+            "ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE) / "
+            "(CAST(n AS DOUBLE) * sx), 6)"
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH per_user AS (
+    SELECT user_id, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+    FROM per_user
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(i * x) AS BIGINT) AS six
+    FROM ranked
+)
+SELECT n AS n_users, sx AS total_cents,
+       ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+             (CAST(n AS DOUBLE) * sx), 6) AS gini
+FROM s
+"""
+
+
+def weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: the share of each week's active users absent the next
+    week — the retention dashboard's inverse.  Activity dedups to
+    (user, week) FIRST (one shuffle of 16-byte pairs), the next-week
+    probe is a left anti-style join of that relation with itself shifted
+    by 7 days, and the last week (no successor) is excluded.  Exact ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    nxt = act.select(
+        "user_id", F.date_sub(F.col("week"), 7).alias("week"),
+        F.lit(1).alias("ret"),
+    )
+    last_week = act.agg(F.max("week").alias("mw"))
+    joined = (
+        act.join(nxt, ["user_id", "week"], "left")
+        .join(F.broadcast(last_week), F.col("week") < F.col("mw"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("ret").isNull(), 1).otherwise(0)).alias("n_churned"),
+        )
+    )
+    return joined.select(
+        "week",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.expr("n_churned * 1000000 DIV n_active").alias("churn_ppm"),
+    ).orderBy("week")
+
+
+WEEKLY_CHURN_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+lastw AS (SELECT MAX(week) AS mw FROM act),
+joined AS (
+    SELECT a.week,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churned
+    FROM act a
+    CROSS JOIN lastw
+    LEFT JOIN act n
+      ON n.user_id = a.user_id AND n.week = a.week + 7
+    WHERE a.week < lastw.mw
+    GROUP BY a.week
+)
+SELECT week, CAST(n_active AS BIGINT) AS n_active, n_churned,
+       n_churned * 1000000 // n_active AS churn_ppm
+FROM joined
+ORDER BY week
+"""
+
+
+def ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation: per signup-week cohort, cumulative value
+    per cohort member by week-age — the curve a growth team reads
+    ("when does a cohort pay back").  Cohort = each user's first active
+    week (one aggregate), ages from exact date arithmetic, cumulative
+    sums via a window over the tiny (cohort × age) grid.  Value rides as
+    int cents end-to-end; the per-member normalization is exact milli.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        cents("value").alias("v"),
+    )
+    cohorts = base.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sized = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    aged = (
+        base.join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.datediff(F.col("week"), F.col("cohort"))) / 7)
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum("v").alias("wv"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("wv").over(w))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            F.col("cohort_n").cast("bigint").alias("cohort_n"),
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+            F.expr("cum_cents * 10 DIV cohort_n").alias("ltv_milli_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )
+
+
+LTV_COHORT_SQL = """
+WITH base AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+    FROM events
+),
+cohorts AS (SELECT user_id, MIN(week) AS cohort FROM base GROUP BY user_id),
+sized AS (SELECT cohort, COUNT(*) AS cohort_n FROM cohorts GROUP BY cohort),
+aged AS (
+    SELECT c.cohort,
+           CAST(date_diff('day', c.cohort, b.week) // 7 AS BIGINT) AS age_weeks,
+           CAST(SUM(b.v) AS BIGINT) AS wv
+    FROM base b JOIN cohorts c ON b.user_id = c.user_id
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort, age_weeks,
+           CAST(SUM(wv) OVER (PARTITION BY cohort ORDER BY age_weeks
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM aged
+)
+SELECT cum.cohort, cum.age_weeks, CAST(s.cohort_n AS BIGINT) AS cohort_n,
+       cum.cum_cents,
+       cum.cum_cents * 10 // s.cohort_n AS ltv_milli_per_user
+FROM cum JOIN sized s ON cum.cohort = s.cohort
+ORDER BY cum.cohort, cum.age_weeks
+"""
+
+
+# Holt fold state packing: (level+OFF, trend+OFF) in one int64, K = 2^30.
+# All intermediate halvings operate on non-negative ints, so Spark's
+# truncating `div` and DuckDB's flooring `//` agree at every step.
+_HOLT_K = 1 << 30
+_HOLT_OFF = 1 << 29
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α = β = ½) of each event type's
+    daily volume, with a 7-day-ahead linear forecast — the level+trend
+    upgrade of the EWMA fold (a per-key recurrence NO window expresses).
+
+    Same sort-into-array + left-fold shape as ``q_user_ewma``, but with
+    TWO state components packed into one int64 (level+OFF)·K + (trend+OFF)
+    because DuckDB's ``list_reduce`` folds scalar state only.  The offset
+    keeps every halving non-negative, where truncating and flooring
+    integer division coincide — so the whole recurrence is bit-exact
+    cross-engine.  Per-type arrays are calendar-bounded (|days| elements).
+    """
+    K, OFF = _HOLT_K, _HOLT_OFF
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("y")))),
+            lambda s: s.y,
+        ).alias("ys")
+    )
+    # fold: u' = (x + u + w) div 2 ; w' = (u' - u + w + OFF) div 2
+    fold = F.expr(
+        f"aggregate(slice(ys, 2, size(ys) - 1), "
+        f"(ys[0] + {OFF}) * CAST({K} AS BIGINT) + {OFF}, "
+        f"(acc, x) -> ((x + acc DIV {K} + acc % {K}) DIV 2) * CAST({K} AS BIGINT) "
+        f"+ (((x + acc DIV {K} + acc % {K}) DIV 2) - acc DIV {K} + acc % {K} + {OFF}) DIV 2)"
+    )
+    return (
+        arrs.withColumn("packed", fold)
+        .select(
+            "event_type",
+            F.size("ys").cast("bigint").alias("n_days"),
+            F.expr(f"packed DIV {K} - {OFF}").cast("bigint").alias("level"),
+            F.expr(f"packed % {K} - {OFF}").cast("bigint").alias("trend"),
+            F.expr(
+                f"(packed DIV {K} - {OFF}) + 7 * (packed % {K} - {OFF})"
+            ).cast("bigint").alias("forecast_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HOLT_FORECAST_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+arrs AS (
+    SELECT event_type, list(y ORDER BY d) AS ys
+    FROM daily GROUP BY event_type
+),
+folded AS (
+    SELECT event_type, ys,
+           list_reduce(
+               list_prepend((ys[1] + {_HOLT_OFF}) * CAST({_HOLT_K} AS BIGINT)
+                                + {_HOLT_OFF},
+                            list_slice(ys, 2, LEN(ys))),
+               (acc, x) -> ((x + acc // {_HOLT_K} + acc % {_HOLT_K}) // 2)
+                               * CAST({_HOLT_K} AS BIGINT)
+                           + (((x + acc // {_HOLT_K} + acc % {_HOLT_K}) // 2)
+                              - acc // {_HOLT_K} + acc % {_HOLT_K} + {_HOLT_OFF}) // 2
+           ) AS packed
+    FROM arrs
+)
+SELECT event_type, CAST(LEN(ys) AS BIGINT) AS n_days,
+       CAST(packed // {_HOLT_K} - {_HOLT_OFF} AS BIGINT) AS level,
+       CAST(packed % {_HOLT_K} - {_HOLT_OFF} AS BIGINT) AS trend,
+       CAST((packed // {_HOLT_K} - {_HOLT_OFF})
+            + 7 * (packed % {_HOLT_K} - {_HOLT_OFF}) AS BIGINT) AS forecast_7d
+FROM folded
+ORDER BY event_type
+"""

@@ -501,3 +501,36 @@ def test_hll_registers_merge_across_weeks(spark, sf_dir):
         for r in base.groupBy("reg").agg(F.max("rank").alias("mr")).collect()
     )
     assert merged == direct
+
+
+def test_holt_packed_fold_matches_pure_python(spark, sf_dir):
+    """The packed-int64 Holt fold must equal the plain (level, trend)
+    recurrence l' = floor((x+l+t)/2), t' = floor((l'-l+t)/2) replayed in
+    Python over the same sorted daily series."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import holt_forecast
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["y"]))
+    expected = {}
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        l, t = ys[0], 0
+        for x in ys[1:]:
+            l2 = (x + l + t) // 2
+            t = (l2 - l + t) // 2
+            l = l2
+        expected[et] = (l, t, l + 7 * t)
+    got = {
+        r["event_type"]: (r["level"], r["trend"], r["forecast_7d"])
+        for r in holt_forecast(spark, sf_dir).collect()
+    }
+    assert got == expected
