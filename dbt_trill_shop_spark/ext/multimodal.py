@@ -508,3 +508,93 @@ SELECT media_id, CAST(patch_id AS BIGINT) AS patch_id,
 FROM stats
 ORDER BY media_id, patch_id
 """
+
+
+def scene_change_plan(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    threshold_milli: int = 4000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Scene-change detection plan over a media payload stream: tile the
+    payload into fixed ``frame_bytes`` frames, compute each frame's mean
+    intensity (integer milli), and emit a cut wherever consecutive frame
+    means jump by ≥ ``threshold_milli`` — the shot-boundary pass a video
+    ingestion pipeline runs before frame sampling (cut frames are the
+    keyframes worth decoding).  The payload stream stands in for decoded
+    luma exactly as in :func:`patch_intensity_stats`; a real decoder feeds
+    the same differencing.
+
+    Fully narrow: the char array binds once per row, frame means build as
+    ONE array expression, and consecutive differencing is an index zip —
+    no shuffle, no window, fan-out = cuts only.  At 100 TB this runs at
+    scan speed next to the decode stub.
+    """
+    fb = frame_bytes
+    base = (
+        media.filter(F.length(F.col(payload_col).cast("string")) > 0)
+        .select(
+            F.col(id_col).alias("mid"),
+            F.split(F.col(payload_col).cast("string"), "").alias("cs"),
+        )
+        .withColumn("n", F.size("cs"))
+    )
+    means = F.expr(
+        f"transform(sequence(1, greatest(n, 1), {fb}), "
+        f"s -> aggregate(sequence(s, s + least({fb}, n - s + 1) - 1), "
+        "cast(0 as bigint), "
+        "(acc, p) -> acc + ascii(element_at(cs, cast(p as int)))) "
+        f"* 1000 DIV least({fb}, n - s + 1))"
+    )
+    cuts = F.expr(
+        "filter(transform(sequence(2, size(ms)), "
+        "i -> struct(CAST(i AS BIGINT) AS frame_id, "
+        "element_at(ms, cast(i as int)) - element_at(ms, cast(i - 1 as int)) "
+        "AS delta_milli)), "
+        f"s -> abs(s.delta_milli) >= {threshold_milli})"
+    )
+    return (
+        base.withColumn("ms", means)
+        .filter(F.size("ms") >= 2)
+        .withColumn("cut", F.explode(cuts))
+        .select(
+            F.col("mid").alias(id_col),
+            F.col("cut.frame_id").alias("frame_id"),
+            F.col("cut.delta_milli").cast("bigint").alias("delta_milli"),
+        )
+        .orderBy(id_col, "frame_id")
+    )
+
+
+SCENE_CHANGE_SQL_TEMPLATE = """
+WITH base AS (
+    SELECT doc_id AS media_id, text AS t, LENGTH(text) AS n FROM documents
+    WHERE LENGTH(text) > 0
+),
+means AS (
+    SELECT media_id,
+           list_transform(
+               range(1, GREATEST(CAST((n + {frame_bytes} - 1) // {frame_bytes}
+                                      AS BIGINT), 1) + 1),
+               i -> CAST(list_sum(list_transform(
+                        range(1 + (i - 1) * {frame_bytes},
+                              1 + (i - 1) * {frame_bytes}
+                              + LEAST({frame_bytes},
+                                      n - (1 + (i - 1) * {frame_bytes}) + 1)),
+                        p -> ascii(substr(t, CAST(p AS INT), 1)))) * 1000
+                    // LEAST({frame_bytes},
+                             n - (1 + (i - 1) * {frame_bytes}) + 1)
+                    AS BIGINT)) AS ms
+    FROM base
+),
+cuts AS (
+    SELECT media_id, u.i AS frame_id, ms[u.i] - ms[u.i - 1] AS delta
+    FROM means, UNNEST(range(2, LEN(ms) + 1)) AS u(i)
+    WHERE LEN(ms) >= 2 AND ABS(ms[u.i] - ms[u.i - 1]) >= {threshold_milli}
+)
+SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id,
+       CAST(delta AS BIGINT) AS delta_milli
+FROM cuts
+ORDER BY media_id, frame_id
+"""

@@ -66,12 +66,14 @@ from .ext.multimodal import (
     MEDIA_FEATURES_SQL,
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
+    SCENE_CHANGE_SQL_TEMPLATE,
     PHASH_NEARDUP_SQL_TEMPLATE,
     PATCH_INTENSITY_SQL_TEMPLATE,
     audio_window_plan,
     docs_as_media,
     patch_intensity_stats,
     perceptual_hash_neardup,
+    scene_change_plan,
     extract_features,
     frame_sample_plan,
     patch_grid_plan,
@@ -1104,6 +1106,15 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         PATCH_INTENSITY_SQL_TEMPLATE.format(patch_bytes=64),
     ),
+    # shot-boundary cuts from consecutive frame-mean jumps (narrow plan)
+    "m_scene_changes": QuerySpec(
+        lambda spark, sf_dir: scene_change_plan(
+            docs_as_media(load_table(spark, sf_dir, "documents")),
+            frame_bytes=32,
+            threshold_milli=4000,
+        ),
+        SCENE_CHANGE_SQL_TEMPLATE.format(frame_bytes=32, threshold_milli=4000),
+    ),
     # packed-batch position layout (attention-mask boundaries per bin)
     "x_pack_positions": QuerySpec(
         lambda spark, sf_dir: pack_positions(
@@ -1981,6 +1992,7 @@ _ROUND2_LATE = [
     "q_ltv_cohorts",
     "q_holt_forecast",
     "x_zipf_slope",
+    "m_scene_changes",
     "q_autocorrelation",
     "q_cusum",
 ]

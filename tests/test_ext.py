@@ -991,3 +991,17 @@ def test_retrieval_eval_perfect_and_absent(spark):
     assert out[0]["ndcg_ppm"] == 1_000_000 and out[0]["rr_micro"] == 1_000_000
     # query 4: label 8 is a singleton -> no relevant neighbor anywhere
     assert out[4]["dcg_micro"] == 0 and out[4]["rr_micro"] == 0
+
+
+def test_scene_change_planted_boundary(spark):
+    """A payload of two homogeneous halves cuts exactly at the boundary
+    frame; a uniform payload yields no cuts."""
+    rows = [(1, "a" * 64 + "z" * 64), (2, "b" * 128)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.docs_as_media(docs)
+    out = multimodal.scene_change_plan(
+        media, frame_bytes=32, threshold_milli=1000
+    ).collect()
+    assert [(r["media_id"], r["frame_id"]) for r in out] == [(1, 3)]
+    # delta = ('z' - 'a') * 1000 = 25000 milli
+    assert out[0]["delta_milli"] == 25_000
