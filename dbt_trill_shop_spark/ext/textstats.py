@@ -2059,3 +2059,132 @@ SELECT n AS n_points,
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
 FROM s
 """
+
+
+def source_entropy(docs: DataFrame) -> DataFrame:
+    """Per-source Shannon token entropy (nats, 6 dp) — the
+    lexical-diversity audit next to the Zipf fit: templated or boilerplate
+    sources score far below open text of the same volume.  Uses
+    H = ln N − (Σ c·ln c)/N so only per-TYPE ln values cross into float,
+    each rounded to micro-nats before the int64 dot with its count — the
+    LM-family determinism recipe.  One token-keyed shuffle, |sources|
+    output rows."""
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(
+            F.col("c")
+            * F.expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+        ).alias("clnc_micro"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("types").cast("bigint").alias("n_types"),
+        F.expr(
+            "ROUND(LN(CAST(n AS DOUBLE)) "
+            "- CAST(clnc_micro AS DOUBLE) / 1000000.0 / n, 6)"
+        ).alias("entropy_nats"),
+    ).orderBy("source")
+
+
+SOURCE_ENTROPY_SQL = """
+WITH toks AS (
+    SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents
+),
+freq AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE tok != '' GROUP BY 1, 2
+),
+agg AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS types,
+           CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS clnc_micro
+    FROM freq GROUP BY source
+)
+SELECT source, n AS n_tokens, types AS n_types,
+       ROUND(LN(CAST(n AS DOUBLE))
+             - CAST(clnc_micro AS DOUBLE) / 1000000.0 / n, 6) AS entropy_nats
+FROM agg
+ORDER BY source
+"""
+
+
+def classifier_calibration(docs: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Reliability diagram for the frozen quality classifier: logits bucket
+    into equal-width milli-logit bins, and each bin reports its empirical
+    English rate vs the bin's mean logit — the calibration companion to
+    :func:`quality_auc` (a well-calibrated score's positive rate rises
+    monotonically with the bin).  Bin edges come from one tiny min/max
+    aggregate broadcast back; all rates are exact ppm."""
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    lab = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("bigint").alias("pos")),
+        "doc_id",
+    )
+    bounds = lab.agg(
+        F.min("logit_milli").alias("lo"), F.max("logit_milli").alias("hi")
+    )
+    binned = lab.crossJoin(F.broadcast(bounds)).select(
+        "pos",
+        "lo",
+        # shifted to non-negative so truncating (Spark DIV) and flooring
+        # (DuckDB //) integer division agree on the bin AND the mean
+        F.col("logit_milli").alias("logit_milli"),
+        F.expr(
+            f"LEAST({n_bins} - 1, (logit_milli - lo) * {n_bins} "
+            "DIV GREATEST(hi - lo + 1, 1))"
+        ).cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+            F.sum(F.col("logit_milli") - F.col("lo")).alias("sshift"),
+            F.min("lo").alias("lo"),
+        )
+        .select(
+            "bin",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.expr("lo + sshift DIV n_docs").cast("bigint").alias(
+                "mean_logit_milli"
+            ),
+            F.expr("n_pos * 1000000 DIV n_docs").alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+CLASSIFIER_CALIBRATION_SQL_TEMPLATE = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL}),
+lab AS (
+    SELECT s.logit_milli,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM scored s JOIN documents d USING (doc_id)
+),
+bounds AS (
+    SELECT MIN(logit_milli) AS lo, MAX(logit_milli) AS hi FROM lab
+),
+binned AS (
+    SELECT pos, logit_milli, lo,
+           LEAST({{n_bins}} - 1, (logit_milli - lo) * {{n_bins}}
+                 // GREATEST(hi - lo + 1, 1)) AS bin
+    FROM lab CROSS JOIN bounds
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(MIN(lo) + SUM(logit_milli - lo) // COUNT(*) AS BIGINT)
+           AS mean_logit_milli,
+       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

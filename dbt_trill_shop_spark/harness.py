@@ -222,8 +222,12 @@ from .ext.textstats import (
     importance_weights,
     language_id,
     language_profile,
+    CLASSIFIER_CALIBRATION_SQL_TEMPLATE,
+    SOURCE_ENTROPY_SQL,
     ZIPF_SLOPE_SQL_TEMPLATE,
+    classifier_calibration,
     quality_auc,
+    source_entropy,
     quality_classifier,
     zipf_slope,
     quality_score,
@@ -954,6 +958,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Kaplan-Meier view->purchase conversion survival (censoring-correct)
+    "q_kaplan_meier": QuerySpec(A.kaplan_meier_conversion, A.KAPLAN_MEIER_SQL),
     # Gini inequality of per-user value (single-sort rank identity)
     "q_gini": QuerySpec(A.gini_user_value, A.GINI_SQL),
     # weekly churn ppm (dedup-first activity, next-week anti probe)
@@ -1210,6 +1216,13 @@ QUERIES: dict[str, QuerySpec] = {
     # per-language subword fertility / bytes-per-token equity audit
     "x_tokenizer_fertility": QuerySpec(
         _docs_q(tokenizer_fertility), TOKENIZER_FERTILITY_SQL
+    ),
+    # per-source Shannon token entropy (lexical-diversity audit)
+    "x_source_entropy": QuerySpec(_docs_q(source_entropy), SOURCE_ENTROPY_SQL),
+    # reliability diagram of the quality classifier (ppm positive rates)
+    "x_calibration": QuerySpec(
+        _docs_q(lambda d: classifier_calibration(d, n_bins=8)),
+        CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(n_bins=8),
     ),
     # Zipf rank-frequency OLS fit (micro-nat int points, corpus health)
     "x_zipf_slope": QuerySpec(
@@ -1993,6 +2006,9 @@ _ROUND2_LATE = [
     "q_holt_forecast",
     "x_zipf_slope",
     "m_scene_changes",
+    "q_kaplan_meier",
+    "x_source_entropy",
+    "x_calibration",
     "q_autocorrelation",
     "q_cusum",
 ]

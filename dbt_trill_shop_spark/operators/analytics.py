@@ -3272,3 +3272,140 @@ SELECT event_type, CAST(LEN(ys) AS BIGINT) AS n_days,
 FROM folded
 ORDER BY event_type
 """
+
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of view→purchase conversion time: the
+    censoring-correct estimate of "how long until a viewer converts"
+    (users who never purchase are right-censored at the study end, not
+    dropped — the mistake the naive conversion-lag histogram makes).
+
+    Per user: first view, first purchase (one conditional aggregate).
+    Risk sets come from one window cumsum over the tiny distinct-day
+    relation; each step's hazard term ln((n−d)/n) is ONE division + ln on
+    identical int64 operands, rounded to micro-nats BEFORE the cumulative
+    sum (the LM-family determinism recipe), so the log-survival column is
+    exact int64 and the unlogged curve is one exp, 6 dp.  Curve rows are
+    emitted at death times only (KM steps); a risk set fully extinguished
+    by deaths floors the log at −30 (S ≈ 0).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    study_end = F.lit("2024-01-30").cast("date")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts").cast("date"))
+            ).alias("first_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+            ).alias("first_purchase"),
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    subj = per_user.select(
+        F.when(
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view")),
+            F.datediff(F.col("first_purchase"), F.col("first_view")),
+        )
+        .otherwise(F.datediff(study_end, F.col("first_view")))
+        .cast("bigint")
+        .alias("t"),
+        (
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .cast("bigint")
+        .alias("death"),
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum("death").alias("d"),
+        F.sum(1 - F.col("death")).alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n"),
+    )
+    term = F.expr(
+        "CASE WHEN n > d THEN CAST(ROUND(LN(CAST(n - d AS DOUBLE) / n) * 1000000, 0)"
+        " AS BIGINT) ELSE -30000000 END"
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = risk.withColumn("lg", term).withColumn(
+        "cum_log_micro", F.sum("lg").over(w_cum)
+    )
+    return (
+        stepped.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_deaths"),
+            F.col("c").cast("bigint").alias("n_censored"),
+            F.col("cum_log_micro").cast("bigint").alias("cum_log_micro"),
+            F.expr(
+                "ROUND(EXP(CAST(cum_log_micro AS DOUBLE) / 1000000.0), 6)"
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+               AS first_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+               AS first_purchase
+    FROM events WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+),
+subj AS (
+    SELECT CAST(CASE WHEN first_purchase IS NOT NULL
+                      AND first_purchase >= first_view
+                THEN date_diff('day', first_view, first_purchase)
+                ELSE date_diff('day', first_view, DATE '2024-01-30')
+           END AS BIGINT) AS t,
+           CAST(CASE WHEN first_purchase IS NOT NULL
+                      AND first_purchase >= first_view
+                THEN 1 ELSE 0 END AS BIGINT) AS death
+    FROM per_user WHERE first_view IS NOT NULL
+),
+per_t AS (
+    SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+           CAST(SUM(1 - death) AS BIGINT) AS c
+    FROM subj GROUP BY t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
+risk AS (
+    SELECT t, d, c,
+           n_total - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n
+    FROM per_t CROSS JOIN tot
+),
+stepped AS (
+    SELECT t, d, c, n,
+           CAST(SUM(CASE WHEN n > d
+                         THEN CAST(ROUND(LN(CAST(n - d AS DOUBLE) / n) * 1000000,
+                                         0) AS BIGINT)
+                         ELSE -30000000 END)
+                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_log_micro
+    FROM risk
+)
+SELECT t AS t_days, n AS n_risk, d AS n_deaths, c AS n_censored,
+       cum_log_micro,
+       ROUND(EXP(CAST(cum_log_micro AS DOUBLE) / 1000000.0), 6) AS survival
+FROM stepped WHERE d > 0
+ORDER BY t_days
+"""

@@ -1005,3 +1005,28 @@ def test_scene_change_planted_boundary(spark):
     assert [(r["media_id"], r["frame_id"]) for r in out] == [(1, 3)]
     # delta = ('z' - 'a') * 1000 = 25000 milli
     assert out[0]["delta_milli"] == 25_000
+
+
+def test_calibration_bins_partition_and_bound(spark):
+    """Calibration bins must partition the corpus (counts sum to |docs|)
+    and keep every rate within [0, 10⁶]; bin means must be monotone."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = textstats.classifier_calibration(docs, n_bins=8).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    means = [r["mean_logit_milli"] for r in out]
+    assert means == sorted(means)
+    assert all(0 <= r["pos_rate_ppm"] <= 1_000_000 for r in out)
+
+
+def test_source_entropy_uniform_vs_repeated(spark):
+    """All-distinct tokens maximize entropy (ln n); a single repeated token
+    scores exactly zero."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "u"), (2, "x x x x", "r")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in textstats.source_entropy(docs).collect()}
+    assert out["r"]["entropy_nats"] == 0.0
+    assert abs(out["u"]["entropy_nats"] - math.log(4)) < 1e-5
