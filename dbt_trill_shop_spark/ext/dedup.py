@@ -1509,3 +1509,79 @@ WHERE doc_id >= {split_id} AND POSITION(needle IN text) > 0
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def dedup_quality_canonical(
+    pairs: DataFrame, docs: DataFrame, scored: DataFrame
+) -> DataFrame:
+    """Quality-aware canonical selection: connected components over the
+    near-dup pair graph, then keep the HIGHEST-QUALITY member of each
+    cluster (classifier logit argmax, doc_id tiebreak) — the curation
+    policy real pipelines use instead of "longest doc wins"
+    (:func:`dedup_canonical`): near-dup groups often mix a clean original
+    with boilerplate-wrapped copies, and the classifier is the signal
+    that tells them apart.
+
+    Composes :func:`connected_components` (hash-keyed label propagation)
+    with the frozen classifier's per-row scores; the argmax is one window
+    over the |touched docs| component relation, singleton docs pass
+    through as their own canonicals.  Exact integer logits make the
+    selection — and therefore the kept set — deterministic cross-engine.
+    """
+    comp = connected_components(pairs, docs.select("doc_id"))
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    j = labeled.join(scored.select("doc_id", "logit_milli"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("logit_milli"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("logit_milli").cast("bigint").alias("kept_logit_milli"),
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE = """
+WITH RECURSIVE jp AS ({jaccard_pairs}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM jp
+    UNION
+    SELECT id_b AS s, id_a AS d FROM jp
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+scored AS ({quality_sql}),
+ranked AS (
+    SELECT c.component, c.doc_id, s.logit_milli,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY s.logit_milli DESC, c.doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY c.component) AS nm
+    FROM comp c JOIN scored s USING (doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component, doc_id AS kept_doc_id,
+       CAST(nm AS BIGINT) AS n_members,
+       CAST(logit_milli AS BIGINT) AS kept_logit_milli
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""

@@ -38,7 +38,9 @@ from .ext.dedup import (
     INCREMENTAL_DEDUP_SQL_TEMPLATE,
     BOILERPLATE_STRIP_SQL_TEMPLATE,
     SUBSTRING_CONTAMINATION_SQL_TEMPLATE,
+    DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE,
     boilerplate_strip,
+    dedup_quality_canonical,
     substring_contamination,
     connected_components,
     decontaminate,
@@ -524,6 +526,14 @@ def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs.select("doc_id"))
 
 
+def _x_dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_len=_NGRAM_JACCARD_N, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup_quality_canonical(pairs, docs, quality_classifier(docs))
+
+
 def _x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < _DECON_SPLIT_ID)
@@ -958,6 +968,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # RFM quartile segmentation (deterministic NTILEs, exact means)
+    "q_rfm_segments": QuerySpec(A.rfm_segments, A.RFM_SEGMENTS_SQL),
+    # stationary distribution of the event-type Markov chain (power iter)
+    "q_markov_stationary": QuerySpec(
+        lambda spark, sf_dir: A.markov_stationary(spark, sf_dir, n_iters=6),
+        A.markov_stationary_sql(n_iters=6),
+    ),
     # Kaplan-Meier view->purchase conversion survival (censoring-correct)
     "q_kaplan_meier": QuerySpec(A.kaplan_meier_conversion, A.KAPLAN_MEIER_SQL),
     # Gini inequality of per-user value (single-sort rank identity)
@@ -1698,6 +1715,16 @@ QUERIES: dict[str, QuerySpec] = {
             )
         ),
     ),
+    # near-dup clusters keep their highest-quality member (CC + classifier)
+    "x_dedup_quality_canonical": QuerySpec(
+        _x_dedup_quality_canonical,
+        DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE.format(
+            jaccard_pairs=NGRAM_JACCARD_SQL_TEMPLATE.format(
+                n=_NGRAM_JACCARD_N, threshold=0.5
+            ),
+            quality_sql=QUALITY_CLASSIFIER_SQL,
+        ),
+    ),
     "x_decontaminate": QuerySpec(
         _x_decontaminate,
         DECONTAMINATE_SQL_TEMPLATE.format(split_id=_DECON_SPLIT_ID, n=_NGRAM_JACCARD_N),
@@ -2007,6 +2034,9 @@ _ROUND2_LATE = [
     "x_zipf_slope",
     "m_scene_changes",
     "q_kaplan_meier",
+    "q_rfm_segments",
+    "q_markov_stationary",
+    "x_dedup_quality_canonical",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

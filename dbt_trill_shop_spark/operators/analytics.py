@@ -3409,3 +3409,154 @@ SELECT t AS t_days, n AS n_risk, d AS n_deaths, c AS n_censored,
 FROM stepped WHERE d > 0
 ORDER BY t_days
 """
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored into recency/frequency/monetary
+    quartiles (NTILE over total orders — ties broken by user_id so the
+    quartile assignment is deterministic cross-engine), segments reported
+    as the classic 3-digit code with member counts and exact mean value.
+
+    One user-keyed aggregate, then three sorts of the |users|-row relation
+    (the per-dimension NTILEs) — the segmentation layer costs nothing next
+    to the scan at any event volume.  Quartile 4 is best on every axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-01-30").cast("date"), F.max(F.col("ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f = F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
+    scored = per_user.select(
+        "user_id",
+        "monetary_cents",
+        (r * 100 + f * 10 + m).cast("bigint").alias("rfm_segment"),
+    )
+    return (
+        scored.groupBy("rfm_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_cents").alias("sm"),
+        )
+        .select(
+            "rfm_segment",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.expr("sm DIV n_users").alias("mean_monetary_cents"),
+        )
+        .orderBy("rfm_segment")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-30')
+                AS BIGINT) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM events GROUP BY user_id
+),
+scored AS (
+    SELECT user_id, monetary_cents,
+           NTILE(4) OVER (ORDER BY recency_days DESC, user_id ASC) * 100
+           + NTILE(4) OVER (ORDER BY frequency ASC, user_id ASC) * 10
+           + NTILE(4) OVER (ORDER BY monetary_cents ASC, user_id ASC)
+               AS rfm_segment
+    FROM per_user
+)
+SELECT CAST(rfm_segment AS BIGINT) AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_cents) // COUNT(*) AS BIGINT) AS mean_monetary_cents
+FROM scored
+GROUP BY rfm_segment
+ORDER BY rfm_segment
+"""
+
+
+def markov_stationary(
+    spark: SparkSession, sf_dir: str, n_iters: int = 6, n_types: int = 5
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov chain
+    (power iteration on the exact-ppm transition matrix) — "where does user
+    behavior settle": the long-run share of each event type implied by the
+    observed transition structure, vs the raw frequency mix.
+
+    All arithmetic is integer: the matrix is :func:`event_transitions`'
+    ppm rows, π starts uniform in ppm, and each step is
+    π'(to) = (Σ π(from)·ppm(from→to)) div 10⁶ — sum-then-divide, so one
+    floor per (iteration, type).  The |types|²-row matrix checkpoints
+    once; each iteration joins it with the |types|-row π (broadcast).
+    The oracle replays identical steps as chained CTEs.
+    """
+    trans = event_transitions(spark, sf_dir).select(
+        "from_type", "to_type", "ppm"
+    ).localCheckpoint(eager=True)
+    types = trans.select(F.col("from_type").alias("event_type")).distinct()
+    pi = types.select(
+        "event_type", F.lit(1_000_000 // n_types).cast("bigint").alias("p")
+    )
+    for _ in range(n_iters):
+        pi = (
+            trans.join(
+                F.broadcast(pi.withColumnRenamed("event_type", "from_type")),
+                "from_type",
+            )
+            .groupBy(F.col("to_type").alias("event_type"))
+            .agg(F.expr("CAST(SUM(p * ppm) DIV 1000000 AS BIGINT)").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        "event_type", F.col("p").alias("stationary_ppm")
+    ).orderBy("event_type")
+
+
+def markov_stationary_sql(n_iters: int = 6, n_types: int = 5) -> str:
+    """DuckDB oracle for :func:`markov_stationary`: the transition CTE plus
+    one power-iteration CTE per step, identical integer ops."""
+    parts = [
+        f"""WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS to_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+trans AS (
+    SELECT from_type, to_type,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS ppm
+    FROM pairs
+),
+p0 AS (
+    SELECT DISTINCT from_type AS event_type,
+           CAST({1_000_000 // n_types} AS BIGINT) AS p
+    FROM trans
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+p{t} AS (
+    SELECT tr.to_type AS event_type,
+           CAST(SUM(pp.p * tr.ppm) // 1000000 AS BIGINT) AS p
+    FROM trans tr JOIN p{t - 1} pp ON tr.from_type = pp.event_type
+    GROUP BY tr.to_type
+)"""
+        )
+    parts.append(
+        f"""
+SELECT event_type, p AS stationary_ppm FROM p{n_iters} ORDER BY event_type"""
+    )
+    return "".join(parts)
