@@ -1173,3 +1173,35 @@ def test_unit_tests_mock_refs_and_compare(spark, sf_dir):
         UnitTest("wrong", "totals", given, expect=[{"region": "eu", "total": 999}]),
     )
     assert not r3.passed and r3.diff
+
+
+def test_cli_ls_build_and_docs(spark, sf_dir, tmp_path, capsys):
+    """The dbt-style CLI must list selections, build with tests, and write
+    the target/ artifacts — exercised in-process against sf0.001."""
+    import json
+    import os
+
+    from dbt_trill_shop_spark.__main__ import main
+
+    rc = main(["ls", "--select", "+top_terms_comparison"])
+    out = capsys.readouterr().out.split()
+    assert rc == 0 and "top_terms_comparison" in out and len(out) == 3
+
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "build", "--sf-dir", sf_dir, "--warehouse-dir", wh,
+        "--select", "+top_terms_comparison",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "success  top_terms_comparison" in out
+
+    tgt = str(tmp_path / "target")
+    rc = main([
+        "docs", "--sf-dir", sf_dir, "--warehouse-dir", str(tmp_path / "wh2"),
+        "--target-path", tgt,
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    manifest = json.load(open(os.path.join(tgt, "manifest.json")))
+    assert "weekly_trends_summary" in str(manifest)
+    assert os.path.exists(os.path.join(tgt, "catalog.json"))
