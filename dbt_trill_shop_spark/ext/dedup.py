@@ -1585,3 +1585,79 @@ SELECT CAST(component AS BIGINT) AS component, doc_id AS kept_doc_id,
 FROM ranked WHERE rn = 1
 ORDER BY component
 """
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus — the memorization
+    / leakage audit inverted from :func:`decontaminate`: instead of
+    dropping overlapping docs, score HOW MUCH of each document is unseen
+    (Carlini-style eval sets want novelty ≈ 10⁶; boilerplate and copies
+    sit near 0).
+
+    Same shingle-hash plumbing: the reference's distinct shingle set
+    broadcasts (8-byte hashes), each corpus doc counts its distinct
+    shingles and the seen subset in one left-join aggregate — text never
+    shuffles, cost is one scan over each side at any corpus scale.
+    """
+    def sh(df):
+        return _distinct_shingle_rel(df, text_col, id_col, shingle_len).select(
+            id_col, F.xxhash64("s").alias("sh")
+        )
+
+    ref_sh = sh(reference).select("sh").distinct()
+    scored = (
+        sh(corpus)
+        .join(F.broadcast(ref_sh.withColumn("seen", F.lit(1))), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.expr("(n_shingles - n_seen) * 1000000 DIV n_shingles").alias(
+            "novelty_ppm"
+        ),
+    ).orderBy(id_col)
+
+
+NGRAM_NOVELTY_SQL_TEMPLATE = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id >= {split_id}),
+ref AS (SELECT * FROM documents WHERE doc_id < {split_id}),
+c_sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, GREATEST(LEN(regexp_split_to_array(text, '\s+')) - {n}, 0) + 1),
+                   i -> array_to_string(regexp_split_to_array(text, '\s+')[i + 1 : i + {n}], ' ')
+               )) AS s
+        FROM corpus
+    ) t WHERE s <> ''
+),
+r_sh AS (
+    SELECT DISTINCT s FROM (
+        SELECT unnest(list_transform(
+                   range(0, GREATEST(LEN(regexp_split_to_array(text, '\s+')) - {n}, 0) + 1),
+                   i -> array_to_string(regexp_split_to_array(text, '\s+')[i + 1 : i + {n}], ' ')
+               )) AS s
+        FROM ref
+    ) t WHERE s <> ''
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST((COUNT(*) - SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END))
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM c_sh c LEFT JOIN r_sh r ON c.s = r.s
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""

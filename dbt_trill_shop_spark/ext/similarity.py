@@ -2534,3 +2534,109 @@ SELECT query_id, dcg_micro,
 FROM per_q JOIN lsize ON per_q.q_lab = lsize.label
 ORDER BY query_id
 """
+
+
+def binary_quantize(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-bit binary quantization: each dimension's bit = (value > that
+    dimension's trained mean), packed 32 dims per int64 word — the extreme
+    end of the quantization family (SQ8 → PQ → binary): 32× less memory
+    than float32 and Hamming scoring is XOR+popcount.  32-bit packing (not
+    64) keeps every shift off the int64 sign bit, where Spark and DuckDB
+    overflow behavior diverges.
+
+    The trained quantizer (per-dim mean, floor micro) is one dim-row
+    aggregate broadcast back; packing is a (vec, word) groupBy over the
+    long-form relation.  Output: (vec_id, word_idx, w).
+    """
+    vm = _vec_micro_long(embeddings, id_col, vec_col)
+    means = vm.groupBy("dim").agg(
+        F.expr("CAST(SUM(xm) DIV COUNT(*) AS BIGINT)").alias("mu")
+    )
+    bits = vm.join(F.broadcast(means), "dim").select(
+        id_col,
+        (F.col("dim") / 32).cast("bigint").alias("word_idx"),
+        F.expr("CAST(CASE WHEN xm > mu THEN 1 ELSE 0 END AS BIGINT) "
+               "* CAST(pow(2, dim % 32) AS BIGINT)").alias("term"),
+    )
+    return (
+        bits.groupBy(id_col, "word_idx")
+        .agg(F.sum("term").cast("bigint").alias("w"))
+    )
+
+
+def binary_hamming_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hamming top-k over the binary codes: candidates score with
+    XOR+bit_count per word (map-side combinable int sums), queries
+    broadcast — the corpus scans its codes once, never the floats.  The
+    standard first-pass retriever in front of an exact rerank; here it IS
+    the output so the ranking itself is hash-checked.
+    """
+    codes = binary_quantize(embeddings, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    qc = codes.join(
+        F.broadcast(
+            embeddings.filter(F.col(id_col) < num_queries).select(id_col)
+        ),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("query_id"), "word_idx", F.col("w").alias("qw"))
+    cc = codes.select(
+        F.col(id_col).alias("neighbor_id"), "word_idx", F.col("w").alias("cw")
+    )
+    scored = (
+        cc.join(F.broadcast(qc), "word_idx")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.expr("CAST(SUM(bit_count(qw ^ cw)) AS BIGINT)").alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+BINARY_HAMMING_SQL_TEMPLATE = (
+    """
+WITH vm AS ("""
+    + _VM_SQL
+    + """),
+means AS (
+    SELECT dim, CAST(SUM(xm) // COUNT(*) AS BIGINT) AS mu
+    FROM vm GROUP BY dim
+),
+codes AS (
+    SELECT vec_id, CAST(dim // 32 AS BIGINT) AS word_idx,
+           CAST(SUM(CASE WHEN xm > mu THEN 1 ELSE 0 END
+                    * CAST(pow(2, dim % 32) AS BIGINT)) AS BIGINT) AS w
+    FROM vm JOIN means USING (dim)
+    GROUP BY vec_id, dim // 32
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(bit_count(xor(q.w, c.w))) AS BIGINT) AS hamming
+    FROM codes c JOIN codes q USING (word_idx)
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rn
+    FROM scored
+) r WHERE rn <= {k}
+ORDER BY query_id, rank
+"""
+)

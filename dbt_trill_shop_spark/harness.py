@@ -39,7 +39,9 @@ from .ext.dedup import (
     BOILERPLATE_STRIP_SQL_TEMPLATE,
     SUBSTRING_CONTAMINATION_SQL_TEMPLATE,
     DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE,
+    NGRAM_NOVELTY_SQL_TEMPLATE,
     boilerplate_strip,
+    ngram_novelty,
     dedup_quality_canonical,
     substring_contamination,
     connected_components,
@@ -158,6 +160,8 @@ from .ext.similarity import (
     knn_label_homophily,
     knn_pagerank,
     knn_pagerank_sql,
+    BINARY_HAMMING_SQL_TEMPLATE,
+    binary_hamming_topk,
     retrieval_eval,
     retrieval_eval_sql,
     l2_topk_exact,
@@ -524,6 +528,15 @@ def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_len=_NGRAM_JACCARD_N, threshold=0.5
     ).select("id_a", "id_b")
     return connected_components(pairs, docs.select("doc_id"))
+
+
+def _x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") >= _DECON_SPLIT_ID),
+        docs.filter(F.col("doc_id") < _DECON_SPLIT_ID),
+        shingle_len=_NGRAM_JACCARD_N,
+    )
 
 
 def _x_dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,6 +1475,17 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
+    # 1-bit binary quantization + Hamming top-k (XOR+popcount retrieval)
+    "x_binary_hamming": QuerySpec(
+        lambda spark, sf_dir: binary_hamming_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            num_queries=_KNN_NUM_QUERIES,
+            k=_KNN_K,
+        ),
+        BINARY_HAMMING_SQL_TEMPLATE.format(
+            num_queries=_KNN_NUM_QUERIES, k=_KNN_K
+        ),
+    ),
     "x_l2_topk": QuerySpec(
         lambda spark, sf_dir: l2_topk_exact(
             load_table(spark, sf_dir, "embeddings"),
@@ -1723,6 +1747,13 @@ QUERIES: dict[str, QuerySpec] = {
                 n=_NGRAM_JACCARD_N, threshold=0.5
             ),
             quality_sql=QUALITY_CLASSIFIER_SQL,
+        ),
+    ),
+    # per-doc n-gram novelty vs the reference half (memorization audit)
+    "x_ngram_novelty": QuerySpec(
+        _x_ngram_novelty,
+        NGRAM_NOVELTY_SQL_TEMPLATE.format(
+            split_id=_DECON_SPLIT_ID, n=_NGRAM_JACCARD_N
         ),
     ),
     "x_decontaminate": QuerySpec(
@@ -2037,6 +2068,8 @@ _ROUND2_LATE = [
     "q_rfm_segments",
     "q_markov_stationary",
     "x_dedup_quality_canonical",
+    "x_ngram_novelty",
+    "x_binary_hamming",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -1030,3 +1030,32 @@ def test_source_entropy_uniform_vs_repeated(spark):
     out = {r["source"]: r for r in textstats.source_entropy(docs).collect()}
     assert out["r"]["entropy_nats"] == 0.0
     assert abs(out["u"]["entropy_nats"] - math.log(4)) < 1e-5
+
+
+def test_ngram_novelty_copy_vs_fresh(spark):
+    """A verbatim copy of a reference doc scores 0 novelty; disjoint text
+    scores 10⁶."""
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.ngram_novelty(corpus, ref, shingle_len=3).collect()}
+    assert out[10]["novelty_ppm"] == 0
+    assert out[11]["novelty_ppm"] == 1_000_000
+
+
+def test_binary_hamming_exact_duplicate_is_nearest(spark):
+    """A bit-identical duplicate vector has Hamming distance 0 and rank 1."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1, 40)]
+    rows.append((0, list(rows[4][1])))  # query 0 duplicates vec 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.binary_hamming_topk(emb, num_queries=1, k=3).collect()
+    assert out[0]["query_id"] == 0 and out[0]["neighbor_id"] == 5
+    assert out[0]["hamming"] == 0 and out[0]["rank"] == 1
