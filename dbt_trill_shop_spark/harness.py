@@ -249,6 +249,10 @@ from .ext.textstats import (
     vocab_coverage,
 )
 from .fixtures.oracle import with_prelude
+from .sources.pydatasource import (
+    SYNTHETIC_SOURCE_SQL_TEMPLATE,
+    synthetic_source_rollup,
+)
 from .streaming.events import (
     STREAM_ATTRIBUTION_SQL,
     STREAM_DEDUP_SQL,
@@ -981,6 +985,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Spark 4 Python DataSource API: custom connector, formula oracle
+    "q_python_datasource": QuerySpec(
+        lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
+        SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
+    ),
     # RFM quartile segmentation (deterministic NTILEs, exact means)
     "q_rfm_segments": QuerySpec(A.rfm_segments, A.RFM_SEGMENTS_SQL),
     # stationary distribution of the event-type Markov chain (power iter)
@@ -2070,6 +2079,7 @@ _ROUND2_LATE = [
     "x_dedup_quality_canonical",
     "x_ngram_novelty",
     "x_binary_hamming",
+    "q_python_datasource",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -1,0 +1,135 @@
+"""Spark 4 Python DataSource API (SPARK-44076): a custom batch source
+implemented in pure Python and registered with
+``spark.dataSource.register`` — the extension point that replaces ad-hoc
+``parallelize``/driver-side generation for sources Spark has no built-in
+connector for (internal APIs, proprietary formats, synthetic load).
+
+The example source is a DETERMINISTIC synthetic event generator: every
+row is a pure function of its index via md5, so (a) partition count and
+scheduling cannot change the data, (b) a DuckDB oracle can regenerate the
+identical relation from a ``range()`` formula, making even the custom
+connector value-hash checkable, and (c) at cluster scale the generator is
+embarrassingly parallel — ``partitions()`` splits the index range and each
+executor materializes only its slice (the same contract a real paginated
+API reader would implement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SYNTH_SCHEMA = (
+    "event_id bigint, day bigint, user_id bigint, type_id bigint, value_cents bigint"
+)
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("rows", 1000))
+        self.parts = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        step = (self.n + self.parts - 1) // self.parts
+        return [
+            InputPartition((i * step, min((i + 1) * step, self.n)))
+            for i in range(self.parts)
+            if i * step < self.n
+        ]
+
+    def read(self, part: InputPartition):
+        lo, hi = part.value
+        for i in range(lo, hi):
+            h = hashlib.md5(f"evt-{i}".encode()).hexdigest()
+            yield (
+                i,
+                int(h[:6], 16) % 30,
+                int(h[6:12], 16) % 500,
+                int(h[12:14], 16) % 5,
+                int(h[14:18], 16),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` — options: rows, partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Idempotent registration (a session registers a name once)."""
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:  # already registered in this session
+        pass
+
+
+def synthetic_events(spark: SparkSession, rows: int, partitions: int = 8) -> DataFrame:
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", rows)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+def synthetic_source_rollup(
+    spark: SparkSession, rows: int = 20000, partitions: int = 8
+) -> DataFrame:
+    """Harness entry: aggregate the custom-source relation per type —
+    proves the connector's rows survive a real shuffle + aggregate and
+    match the formula-regenerated oracle exactly."""
+    import pyspark.sql.functions as F
+
+    df = synthetic_events(spark, rows, partitions)
+    return (
+        df.groupBy("type_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value_cents").alias("total_cents"),
+            F.max("day").alias("max_day"),
+        )
+        .select(
+            "type_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            F.col("max_day").cast("bigint").alias("max_day"),
+        )
+        .orderBy("type_id")
+    )
+
+
+SYNTHETIC_SOURCE_SQL_TEMPLATE = """
+WITH gen AS (
+    SELECT i AS event_id,
+           CAST('0x' || substring(md5('evt-' || i), 1, 6) AS BIGINT) % 30 AS day,
+           CAST('0x' || substring(md5('evt-' || i), 7, 6) AS BIGINT) % 500
+               AS user_id,
+           CAST('0x' || substring(md5('evt-' || i), 13, 2) AS BIGINT) % 5
+               AS type_id,
+           CAST('0x' || substring(md5('evt-' || i), 15, 4) AS BIGINT)
+               AS value_cents
+    FROM range(0, {rows}) t(i)
+)
+SELECT CAST(type_id AS BIGINT) AS type_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       CAST(MAX(day) AS BIGINT) AS max_day
+FROM gen
+GROUP BY type_id
+ORDER BY type_id
+"""

@@ -295,3 +295,15 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         ev, cust
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom Python DataSource must produce identical rows regardless
+    of partition count (each row is a pure function of its index)."""
+    from dbt_trill_shop_spark.sources.pydatasource import synthetic_events
+
+    a = synthetic_events(spark, rows=500, partitions=2).orderBy("event_id").collect()
+    b = synthetic_events(spark, rows=500, partitions=7).orderBy("event_id").collect()
+    assert a == b
+    assert len(a) == 500
+    assert all(0 <= r["type_id"] < 5 and 0 <= r["day"] < 30 for r in a[:50])
