@@ -71,3 +71,28 @@ def bucketize(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     assert expr is not None
     return expr.otherwise(default)
+
+
+def register_sql_macros(spark) -> None:
+    """Register the project macros as Spark 4 SQL UDFs
+    (``CREATE TEMPORARY FUNCTION … RETURN expr``, SPARK-42849) — so pure
+    spark.sql() users call ``cents_to_dollars(col)`` exactly like a dbt
+    macro, with the expression inlined by Catalyst (no Python boundary;
+    the UDF body participates in codegen and pushdown like any column
+    expression).  The SQL-text twin of this module's Column builders."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents_to_dollars(c BIGINT) "
+        "RETURNS DOUBLE RETURN ROUND(c / 100, 2)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rank_tier(r BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN r <= 5 THEN 'Top 5' "
+        "WHEN r <= 10 THEN 'Top 10' WHEN r <= 25 THEN 'Top 25' "
+        "ELSE 'Other' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION surrogate_key(a STRING, b STRING) "
+        "RETURNS STRING RETURN md5(concat_ws('-', "
+        "coalesce(a, '_dbt_utils_surrogate_key_null_'), "
+        "coalesce(b, '_dbt_utils_surrogate_key_null_')))"
+    )

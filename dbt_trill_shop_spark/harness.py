@@ -534,6 +534,38 @@ def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs.select("doc_id"))
 
 
+SQL_UDF_MACROS_ORACLE = """
+SELECT p_partkey,
+       ROUND(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) / 100, 2)
+           AS price_dollars,
+       CASE WHEN p_partkey % 30 <= 5 THEN 'Top 5'
+            WHEN p_partkey % 30 <= 10 THEN 'Top 10'
+            WHEN p_partkey % 30 <= 25 THEN 'Top 25'
+            ELSE 'Other' END AS tier,
+       md5(concat_ws('-', CAST(p_partkey AS VARCHAR), p_name)) AS sk
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def _q_sql_udf_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.macros import register_sql_macros
+
+    register_sql_macros(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_udf_part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               cents_to_dollars(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                   AS price_dollars,
+               rank_tier(p_partkey % 30) AS tier,
+               surrogate_key(CAST(p_partkey AS STRING), p_name) AS sk
+        FROM _udf_part
+        ORDER BY p_partkey
+        """
+    )
+
+
 def _x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_novelty(
@@ -1193,6 +1225,8 @@ QUERIES: dict[str, QuerySpec] = {
         R.customers_without_orders, R.CUSTOMERS_WITHOUT_ORDERS_SQL
     ),
     "q_part_dollars": QuerySpec(R.part_dollars, R.PART_DOLLARS_SQL),
+    # the same macro surface as a Spark 4 SQL UDF (CREATE FUNCTION ... RETURN)
+    "q_sql_udf_macros": QuerySpec(_q_sql_udf_macros, SQL_UDF_MACROS_ORACLE),
     "q_events_weekly": QuerySpec(R.events_weekly, R.EVENTS_WEEKLY_SQL),
     "q_weekly_activity_full_outer": QuerySpec(
         R.weekly_activity_full_outer, R.WEEKLY_ACTIVITY_FULL_OUTER_SQL
@@ -2080,6 +2114,7 @@ _ROUND2_LATE = [
     "x_ngram_novelty",
     "x_binary_hamming",
     "q_python_datasource",
+    "q_sql_udf_macros",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
