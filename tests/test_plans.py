@@ -417,3 +417,55 @@ def test_ks_test_single_global_sort(spark, sf_dir):
     # one Window operator computing both c1 and c2 (no second sort pass)
     assert plan.count("Window [") <= 1 or plan.count("WindowExec") <= 1
     assert plan.count("Sort [v") <= 2  # window sort + last_per_v aggregate
+
+
+def test_statistics_wave_single_shuffle_shapes(spark, sf_dir):
+    """MW-U sorts only the per-distinct-value aggregate (one window sort);
+    OLS reduces to one exchange keyed by the group column."""
+    from dbt_trill_shop_spark.operators.analytics import (
+        mannwhitney_order_values,
+        ols_daily_trend,
+    )
+
+    mw = _plan(mannwhitney_order_values(spark, sf_dir))
+    assert mw.count("Window [") <= 1 or mw.count("WindowExec") <= 1
+    ols = _plan(ols_daily_trend(spark, sf_dir))
+    # two grouped aggregations (daily, sufficient stats) + final sort only
+    assert ols.count("Exchange hashpartitioning") <= 2
+
+
+def test_binary_hamming_corpus_side_not_shuffled(spark, sf_dir):
+    """The code scan joins the broadcast query codes without exchanging the
+    corpus side before the join; only (query, candidate) partials shuffle."""
+    from dbt_trill_shop_spark.ext.similarity import binary_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(binary_hamming_topk(emb, num_queries=5, k=3))
+    assert "BroadcastHashJoin" in plan
+    # no vector column ever reaches an exchange: codes are (id, word, w)
+    for ex_chunk in plan.split("Exchange")[1:]:
+        assert "embedding" not in ex_chunk.split("\n")[0]
+
+
+def test_scene_change_single_window_after_narrow_frames(spark, sf_dir):
+    """Frame means build in a narrow exploded projection; the differencing
+    is exactly one lag window keyed by media id (the O(frames²)
+    projection-collapse regression guard)."""
+    from dbt_trill_shop_spark.ext.multimodal import docs_as_media, scene_change_plan
+
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    plan = _plan(scene_change_plan(media, frame_bytes=32, threshold_milli=4000))
+    assert plan.count("Window [") <= 2  # lag window + final sort stage
+    # the means expression must not appear duplicated into multiple
+    # projections (the collapse bug computed it once per element access)
+    assert plan.count("aggregate(sequence(start") <= 1
+
+
+def test_pagerank_edges_checkpointed_once(spark, sf_dir):
+    """Each PageRank iteration must consume the checkpointed edge relation,
+    not replay the kNN gemm: the final plan contains no applyInPandas."""
+    from dbt_trill_shop_spark.ext.similarity import knn_pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(knn_pagerank(emb, k=3, n_iters=2))
+    assert "FlatMapGroupsInPandas" not in plan  # gemm ran before checkpoint
