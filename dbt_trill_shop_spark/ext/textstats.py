@@ -2188,3 +2188,125 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def text_tiling(
+    docs: DataFrame,
+    block_tokens: int = 20,
+    dim: int = 64,
+    threshold_centi: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997): consecutive
+    ``block_tokens``-token windows are compared by hashed-bag cosine, and a
+    topic boundary fires where similarity drops below the threshold — the
+    document-structure pass a chunking pipeline runs so chunk edges land on
+    topic shifts instead of mid-thought.
+
+    Exactness: block vectors are integer token counts over md5 buckets
+    (the :func:`hashed_embedding` convention, unsigned so every term is
+    non-negative), the boundary test is the division/sqrt-free integer
+    comparison ``10⁴·dot² < thr²·‖l‖²·‖r‖²``, and the reported cosine is
+    one sqrt+divide of exact int64s (6 dp).  Shuffles carry only
+    (doc, block, bucket, count) rows; adjacent-block pairs join on the
+    per-block norm relation so blocks sharing no bucket still emit a row.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("pos", "w"),
+    )
+    hb = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    vecs = (
+        toks.select(
+            F.col(id_col),
+            (F.col("pos") / block_tokens).cast("bigint").alias("b"),
+            (hb % dim).alias("bucket"),
+        )
+        .groupBy(id_col, "b", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    norms = vecs.groupBy(id_col, "b").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    dots = (
+        vecs.alias("l")
+        .join(
+            vecs.alias("r"),
+            (F.col(f"l.{id_col}") == F.col(f"r.{id_col}"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("r.b") == F.col("l.b") + 1),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias(id_col), F.col("r.b").alias("b"))
+        .agg(F.sum(F.col("l.c") * F.col("r.c")).alias("dot"))
+    )
+    ln = norms.select(
+        F.col(id_col), (F.col("b") + 1).alias("b"), F.col("n2").alias("nl")
+    )
+    rn = norms.select(F.col(id_col), "b", F.col("n2").alias("nr"))
+    thr2 = threshold_centi * threshold_centi
+    return (
+        ln.join(rn, [id_col, "b"])
+        .join(dots, [id_col, "b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("b").cast("bigint").alias("block_id"),
+            F.coalesce(F.col("dot"), F.lit(0)).cast("bigint").alias("dot"),
+            F.col("nl").cast("bigint").alias("norm2_left"),
+            F.col("nr").cast("bigint").alias("norm2_right"),
+            F.expr(
+                "CAST(ROUND(COALESCE(dot, 0) / "
+                "SQRT(CAST(nl AS DOUBLE) * nr) * 1000000, 0) AS BIGINT)"
+            ).alias("cos_micro"),
+            F.expr(
+                f"10000 * COALESCE(dot, 0) * COALESCE(dot, 0) "
+                f"< {thr2} * nl * nr"
+            ).alias("is_boundary"),
+        )
+        .orderBy(id_col, "block_id")
+    )
+
+
+TEXT_TILING_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, w FROM (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+    )
+),
+vecs AS (
+    SELECT doc_id, pos // {block_tokens} AS b,
+           CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2, 3
+),
+norms AS (
+    SELECT doc_id, b, CAST(SUM(c * c) AS BIGINT) AS n2 FROM vecs GROUP BY 1, 2
+),
+dots AS (
+    SELECT l.doc_id, r.b, CAST(SUM(l.c * r.c) AS BIGINT) AS dot
+    FROM vecs l JOIN vecs r
+      ON l.doc_id = r.doc_id AND l.bucket = r.bucket AND r.b = l.b + 1
+    GROUP BY 1, 2
+)
+SELECT ln.doc_id, CAST(ln.b AS BIGINT) AS block_id,
+       CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+       ln.n2 AS norm2_left, rn.n2 AS norm2_right,
+       CAST(ROUND(COALESCE(d.dot, 0) /
+                  SQRT(CAST(ln.n2 AS DOUBLE) * rn.n2) * 1000000, 0) AS BIGINT)
+           AS cos_micro,
+       10000 * COALESCE(d.dot, 0) * COALESCE(d.dot, 0)
+           < {thr2} * ln.n2 * rn.n2 AS is_boundary
+FROM (SELECT doc_id, b + 1 AS b, n2 FROM norms) ln
+JOIN norms rn ON ln.doc_id = rn.doc_id AND ln.b = rn.b
+LEFT JOIN dots d ON ln.doc_id = d.doc_id AND ln.b = d.b
+ORDER BY ln.doc_id, block_id
+"""

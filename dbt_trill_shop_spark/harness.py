@@ -230,6 +230,8 @@ from .ext.textstats import (
     language_profile,
     CLASSIFIER_CALIBRATION_SQL_TEMPLATE,
     SOURCE_ENTROPY_SQL,
+    TEXT_TILING_SQL_TEMPLATE,
+    text_tiling,
     ZIPF_SLOPE_SQL_TEMPLATE,
     classifier_calibration,
     quality_auc,
@@ -1297,6 +1299,12 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: classifier_calibration(d, n_bins=8)),
         CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(n_bins=8),
     ),
+    # TextTiling topic segmentation (hashed-bag block cosine boundaries)
+    "x_text_tiling": QuerySpec(
+        _docs_q(lambda d: text_tiling(d, block_tokens=20, dim=64,
+                                      threshold_centi=30)),
+        TEXT_TILING_SQL_TEMPLATE.format(block_tokens=20, dim=64, thr2=900),
+    ),
     # Zipf rank-frequency OLS fit (micro-nat int points, corpus health)
     "x_zipf_slope": QuerySpec(
         _docs_q(lambda d: zipf_slope(d, top_r=100)),
@@ -2115,6 +2123,7 @@ _ROUND2_LATE = [
     "x_binary_hamming",
     "q_python_datasource",
     "q_sql_udf_macros",
+    "x_text_tiling",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

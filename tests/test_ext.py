@@ -1059,3 +1059,19 @@ def test_binary_hamming_exact_duplicate_is_nearest(spark):
     out = similarity.binary_hamming_topk(emb, num_queries=1, k=3).collect()
     assert out[0]["query_id"] == 0 and out[0]["neighbor_id"] == 5
     assert out[0]["hamming"] == 0 and out[0]["rank"] == 1
+
+
+def test_text_tiling_detects_topic_shift(spark):
+    """Two 40-token halves with disjoint vocabulary: the boundary block
+    (cosine 0 between halves) must flag; within-half comparisons must not."""
+    half_a = " ".join(["apple banana cherry date"] * 10)
+    half_b = " ".join(["quark lepton boson gluon"] * 10)
+    docs = spark.createDataFrame(
+        [(1, half_a + " " + half_b)], "doc_id long, text string"
+    )
+    out = textstats.text_tiling(docs, block_tokens=20, dim=64).collect()
+    flags = {r["block_id"]: r["is_boundary"] for r in out}
+    assert flags[2] is True          # blocks 1|2 straddle the topic shift
+    assert flags[1] is False and flags[3] is False
+    cos = {r["block_id"]: r["cos_micro"] for r in out}
+    assert cos[2] == 0 and cos[1] == 1_000_000
