@@ -2310,3 +2310,71 @@ JOIN norms rn ON ln.doc_id = rn.doc_id AND ln.b = rn.b
 LEFT JOIN dots d ON ln.doc_id = d.doc_id AND ln.b = d.b
 ORDER BY ln.doc_id, block_id
 """
+
+
+def adaptive_quality_cut(docs: DataFrame, keep_quantile: float = 0.25) -> DataFrame:
+    """Per-language adaptive quality thresholds (the CCNet policy): instead
+    of one global cutoff — which silently deletes whole low-resource
+    languages whose score distribution sits lower — each language keeps its
+    own top (1−q) by classifier logit.  Reports the per-language threshold
+    and the kept/dropped split.
+
+    The threshold is the exact interpolated q-quantile of int milli-logits;
+    quartile interpolation lands on .25 steps, so thresholds are held ×4
+    (``thr4``) and the keep test ``4·logit > thr4`` is pure int64 — the
+    whole adaptive policy is value-hash checkable.  One |langs|-row
+    quantile aggregate broadcast back over the scored scan.
+    """
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    thr = lab.groupBy("lang").agg(
+        F.expr(
+            f"CAST(ROUND(percentile(logit_milli, {keep_quantile}) * 4, 0) "
+            "AS BIGINT)"
+        ).alias("thr4")
+    )
+    flagged = lab.join(F.broadcast(thr), "lang").select(
+        "lang",
+        "thr4",
+        (4 * F.col("logit_milli") > F.col("thr4")).cast("bigint").alias("keep"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.min("thr4").alias("threshold_x4"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            F.col("threshold_x4").cast("bigint").alias("threshold_x4"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("n_kept * 1000000 DIV n_docs").alias("kept_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ADAPTIVE_QUALITY_SQL_TEMPLATE = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL}),
+lab AS (
+    SELECT s.doc_id, s.logit_milli, d.lang
+    FROM scored s JOIN documents d USING (doc_id)
+),
+thr AS (
+    SELECT lang,
+           CAST(ROUND(quantile_cont(logit_milli, {{keep_quantile}}) * 4, 0)
+                AS BIGINT) AS thr4
+    FROM lab GROUP BY lang
+)
+SELECT l.lang, MIN(t.thr4) AS threshold_x4,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN 4 * l.logit_milli > t.thr4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN 4 * l.logit_milli > t.thr4 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+FROM lab l JOIN thr t USING (lang)
+GROUP BY l.lang
+ORDER BY l.lang
+"""

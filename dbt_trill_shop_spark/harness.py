@@ -230,7 +230,9 @@ from .ext.textstats import (
     language_profile,
     CLASSIFIER_CALIBRATION_SQL_TEMPLATE,
     SOURCE_ENTROPY_SQL,
+    ADAPTIVE_QUALITY_SQL_TEMPLATE,
     TEXT_TILING_SQL_TEMPLATE,
+    adaptive_quality_cut,
     text_tiling,
     ZIPF_SLOPE_SQL_TEMPLATE,
     classifier_calibration,
@@ -1019,6 +1021,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Spearman rank correlation (tie-correct doubled ranks, all int64)
+    "q_spearman": QuerySpec(A.spearman_volume_value, A.SPEARMAN_SQL),
     # Spark 4 Python DataSource API: custom connector, formula oracle
     "q_python_datasource": QuerySpec(
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
@@ -1298,6 +1302,11 @@ QUERIES: dict[str, QuerySpec] = {
     "x_calibration": QuerySpec(
         _docs_q(lambda d: classifier_calibration(d, n_bins=8)),
         CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(n_bins=8),
+    ),
+    # per-language adaptive quality thresholds (CCNet policy, int ×4)
+    "x_adaptive_quality": QuerySpec(
+        _docs_q(lambda d: adaptive_quality_cut(d, keep_quantile=0.25)),
+        ADAPTIVE_QUALITY_SQL_TEMPLATE.format(keep_quantile=0.25),
     ),
     # TextTiling topic segmentation (hashed-bag block cosine boundaries)
     "x_text_tiling": QuerySpec(
@@ -2124,6 +2133,8 @@ _ROUND2_LATE = [
     "q_python_datasource",
     "q_sql_udf_macros",
     "x_text_tiling",
+    "q_spearman",
+    "x_adaptive_quality",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -3560,3 +3560,87 @@ p{t} AS (
 SELECT event_type, p AS stationary_ppm FROM p{n_iters} ORDER BY event_type"""
     )
     return "".join(parts)
+
+
+def spearman_volume_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    spend — the monotone-association screen that, unlike Pearson
+    (``q_weekly_correlation``), ignores outliers and nonlinearity.
+
+    Tie-correct and fully integer: per-distinct-value average ranks are
+    held DOUBLED (``2·cum_before + t + 1``) so .5 mid-ranks stay int64,
+    and ρ is Pearson over those integer rank pairs — exact sufficient
+    sums, one final sqrt+division.  Everything after the daily rollup
+    operates on a calendar-bounded relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(cents("value")).alias("y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        per_v = daily.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            col,
+            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
+                out
+            ),
+        )
+
+    ranked = daily.join(doubled_ranks("x", "rx"), "x").join(
+        doubled_ranks("y", "ry"), "y"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+        ).alias("rho"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+rxv AS (
+    SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS rx
+    FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY x)
+),
+ryv AS (
+    SELECT y, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS ry
+    FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY y)
+),
+ranked AS (
+    SELECT rx, ry FROM daily JOIN rxv USING (x) JOIN ryv USING (y)
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+           CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+           CAST(SUM(ry * ry) AS BIGINT) AS syy
+    FROM ranked
+)
+SELECT n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+           AS rho
+FROM s
+"""
