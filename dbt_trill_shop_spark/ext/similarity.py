@@ -2640,3 +2640,91 @@ FROM (
 ORDER BY query_id, rank
 """
 )
+
+
+def knn_bfs_hops(
+    embeddings: DataFrame, source_id: int = 0, k: int = 5, max_hops: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed BFS over the mutual-kNN graph: hop distance from a
+    source node, reported as the hop histogram (nodes first reached at
+    each depth, unreachable counted at hop −1) — the connectivity probe
+    behind "how many hops does similarity propagate" and the frontier
+    pattern every distributed graph traversal uses.
+
+    Each hop is ONE join of the current frontier against the checkpointed
+    edge relation plus an anti join against visited (both keyed on 8-byte
+    ids); the loop stops early when the frontier empties.  O(diameter)
+    jobs; at 100 TB frontier/visited are id-only relations.  The oracle
+    replays BFS as a recursive CTE with per-path depth then MIN per node —
+    same fixpoint, set-based.
+    """
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    mutual = (
+        edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = embeddings.sparkSession
+    visited = spark.createDataFrame(
+        [(source_id, 0)], f"{id_col} long, hop long"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select(id_col)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            mutual.join(
+                frontier.withColumnRenamed(id_col, "src"), "src", "left_semi"
+            )
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(
+            nxt.select(id_col, F.lit(hop).cast("bigint").alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    labeled = (
+        embeddings.select(id_col)
+        .join(visited, id_col, "left")
+        .select(F.coalesce(F.col("hop"), F.lit(-1)).cast("bigint").alias("hop"))
+    )
+    return (
+        labeled.groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("hop")
+    )
+
+
+def knn_bfs_sql(source_id: int = 0, k: int = 5, max_hops: int = 6) -> str:
+    """DuckDB oracle for :func:`knn_bfs_hops` (recursive-CTE BFS)."""
+    return (
+        "WITH RECURSIVE "
+        + _KNN_GRAPH_EDGES_CTE.format(k=k).lstrip()
+        + f""",
+mutual AS (
+    SELECT e1.query_id AS src, e1.neighbor_id AS dst
+    FROM edges e1 JOIN edges e2
+      ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+),
+walk(node, hop) AS (
+    SELECT CAST({source_id} AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT m.dst, walk.hop + 1
+    FROM mutual m JOIN walk ON m.src = walk.node
+    WHERE walk.hop < {max_hops}
+),
+dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+SELECT CAST(COALESCE(d.hop, -1) AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM embeddings e LEFT JOIN dist d ON e.vec_id = d.node
+GROUP BY 1 ORDER BY 1
+"""
+    )

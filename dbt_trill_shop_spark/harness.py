@@ -162,6 +162,8 @@ from .ext.similarity import (
     knn_pagerank_sql,
     BINARY_HAMMING_SQL_TEMPLATE,
     binary_hamming_topk,
+    knn_bfs_hops,
+    knn_bfs_sql,
     retrieval_eval,
     retrieval_eval_sql,
     l2_topk_exact,
@@ -1535,6 +1537,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
+    # BFS hop-distance histogram over the mutual-kNN graph (frontier loop)
+    "x_knn_bfs": QuerySpec(
+        lambda spark, sf_dir: knn_bfs_hops(
+            load_table(spark, sf_dir, "embeddings"), source_id=0, k=_KNN_K
+        ),
+        knn_bfs_sql(source_id=0, k=_KNN_K),
+    ),
     # 1-bit binary quantization + Hamming top-k (XOR+popcount retrieval)
     "x_binary_hamming": QuerySpec(
         lambda spark, sf_dir: binary_hamming_topk(
@@ -2135,6 +2144,7 @@ _ROUND2_LATE = [
     "x_text_tiling",
     "q_spearman",
     "x_adaptive_quality",
+    "x_knn_bfs",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

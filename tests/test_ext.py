@@ -1075,3 +1075,12 @@ def test_text_tiling_detects_topic_shift(spark):
     assert flags[1] is False and flags[3] is False
     cos = {r["block_id"]: r["cos_micro"] for r in out}
     assert cos[2] == 0 and cos[1] == 1_000_000
+
+
+def test_knn_bfs_chain_hops(spark):
+    """A 1-D chain of points under k=2 forms a path graph: hop distance
+    from the end grows linearly and nothing is unreachable."""
+    rows = [(i, [float(i) * 10, 0.0], 0) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["hop"]: r["n_nodes"] for r in similarity.knn_bfs_hops(emb, source_id=0, k=2).collect()}
+    assert out.get(0) == 1 and out.get(1, 0) >= 1 and -1 not in out
