@@ -19,7 +19,13 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SYNTH_SCHEMA = (
     "event_id bigint, day bigint, user_id bigint, type_id bigint, value_cents bigint"
@@ -133,3 +139,73 @@ FROM gen
 GROUP BY type_id
 ORDER BY type_id
 """
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class _JsonlSinkWriter(DataSourceWriter):
+    """Task-side half of the two-phase commit: each task writes its rows to
+    a hidden ``.tmp-*`` file and reports the path; only the driver-side
+    ``commit`` renames temps into visibility, so readers never observe a
+    torn write and a failed job leaves only invisible temps (cleaned by
+    ``abort``) — the same protocol every Spark file sink implements."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommitMessage(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            if m is None or getattr(m, "rows", 0) == 0:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(getattr(m, "tmp_path", "")):
+                os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir)`` — a custom
+    Python DataSource WRITER (the other half of the Spark 4 API): tasks
+    write temp files, the driver commits by rename.  The shape a real
+    external-system sink (API uploader, message queue) implements."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlSinkWriter(self.options)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass

@@ -307,3 +307,28 @@ def test_python_datasource_partition_invariance(spark):
     assert a == b
     assert len(a) == 500
     assert all(0 <= r["type_id"] < 5 and 0 <= r["day"] < 30 for r in a[:50])
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python DataSource writer must land only committed
+    part-*.jsonl files (no temps) and round-trip through spark.read.json."""
+    import os
+
+    from dbt_trill_shop_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "sink")
+    (
+        spark.range(200)
+        .selectExpr("id", "id * 3 AS v")
+        .repartition(4)
+        .write.format("jsonl_sink")
+        .option("path", d)
+        .mode("append")
+        .save()
+    )
+    files = sorted(os.listdir(d))
+    assert files and all(f.startswith("part-") for f in files)
+    back = spark.read.json(d)
+    assert back.count() == 200
+    assert back.selectExpr("sum(v)").first()[0] == sum(3 * i for i in range(200))
