@@ -256,7 +256,9 @@ from .ext.textstats import (
 )
 from .fixtures.oracle import with_prelude
 from .sources.pydatasource import (
+    STREAM_SYNTHETIC_SQL_TEMPLATE,
     SYNTHETIC_SOURCE_SQL_TEMPLATE,
+    stream_synthetic_rollup,
     synthetic_source_rollup,
 )
 from .streaming.events import (
@@ -1023,6 +1025,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ks_test": QuerySpec(A.ks_test_priority_prices, A.KS_TEST_SQL),
     # Benford first-digit audit of order totals (bookkeeping screen)
     "q_benford": QuerySpec(A.benford_audit, A.BENFORD_AUDIT_SQL),
+    # Python DataSource STREAM reader drained through a windowless rollup
+    "s_stream_pysource": QuerySpec(
+        lambda spark, sf_dir: stream_synthetic_rollup(spark, rows=5000),
+        STREAM_SYNTHETIC_SQL_TEMPLATE.format(rows=5000),
+    ),
     # Spearman rank correlation (tie-correct doubled ranks, all int64)
     "q_spearman": QuerySpec(A.spearman_volume_value, A.SPEARMAN_SQL),
     # Spark 4 Python DataSource API: custom connector, formula oracle
@@ -2145,6 +2152,7 @@ _ROUND2_LATE = [
     "q_spearman",
     "x_adaptive_quality",
     "x_knn_bfs",
+    "s_stream_pysource",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -209,3 +210,117 @@ def register_jsonl_sink(spark: SparkSession) -> None:
         spark.dataSource.register(JsonlSinkDataSource)
     except Exception:
         pass
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch generator: offsets are ``{"pos": n}``,
+    each batch advances by ``batch`` rows until ``rows``; every row is the
+    same md5 formula as the batch source, so replays (``readBetweenOffsets``
+    after a restart) are bit-identical — exactly the contract a real
+    paginated/stream API reader must satisfy for exactly-once."""
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", 250))
+
+    @staticmethod
+    def _row(i: int):
+        h = hashlib.md5(f"evt-{i}".encode()).hexdigest()
+        return (
+            i,
+            int(h[:6], 16) % 30,
+            int(h[6:12], 16) % 500,
+            int(h[12:14], 16) % 5,
+            int(h[14:18], 16),
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.total)
+        return iter([self._row(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([self._row(i) for i in range(start["pos"], end["pos"])])
+
+
+class SyntheticEventStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_event_stream")`` — the
+    STREAMING half of the Python DataSource API (SimpleDataSourceStreamReader
+    with driver-side offset management)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_event_stream"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticStreamReader(self.options)
+
+
+def stream_synthetic_rollup(
+    spark: SparkSession, rows: int = 5000, batch: int = 1000
+) -> DataFrame:
+    """Harness entry: drain the custom Python stream source and roll it up
+    per type — ``processAllAvailable`` stops once ``read`` stops advancing
+    the offset, and the drained aggregate equals the batch formula exactly
+    (micro-batch boundaries cannot change a sum of pure-function rows)."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    try:
+        spark.dataSource.register(SyntheticEventStreamDataSource)
+    except Exception:
+        pass
+    name = f"pystream_{uuid.uuid4().hex[:10]}"
+    src = (
+        spark.readStream.format("synthetic_event_stream")
+        .option("rows", rows)
+        .option("batch", batch)
+        .load()
+    )
+    agg = src.groupBy("type_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("type_id").cast("bigint").alias("type_id"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("type_id")
+    )
+
+
+STREAM_SYNTHETIC_SQL_TEMPLATE = """
+WITH gen AS (
+    SELECT CAST('0x' || substring(md5('evt-' || i), 13, 2) AS BIGINT) % 5
+               AS type_id,
+           CAST('0x' || substring(md5('evt-' || i), 15, 4) AS BIGINT)
+               AS value_cents
+    FROM range(0, {rows}) t(i)
+)
+SELECT CAST(type_id AS BIGINT) AS type_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents
+FROM gen
+GROUP BY type_id
+ORDER BY type_id
+"""
