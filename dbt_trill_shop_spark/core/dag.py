@@ -431,6 +431,15 @@ class Project:
             "status": "success",
             "execution_time": round(time.perf_counter() - t0, 3),
         }
+        pending = getattr(self, "_pending_observation", None)
+        if pending is not None and pending[0] == name:
+            self._pending_observation = None
+            try:  # accumulator value from the write job — no extra pass
+                self.last_run_results[name]["rows_affected"] = pending[1].get[
+                    "rows"
+                ]
+            except Exception:
+                pass
         if run_tests and model.tests:
             results[name] = run_model_tests(
                 self.relations[name], model.tests, name, store_dir=store_dir
@@ -611,6 +620,18 @@ class Project:
     def _materialize(self, spark: SparkSession, model: Model, df: DataFrame) -> DataFrame:
         if model.materialization is Materialization.EPHEMERAL:
             return df
+        # dbt's adapter_response row counts, Spark-natively: an Observation
+        # rides the materialization job (accumulator-backed — NO extra pass
+        # over the data) and lands in run_results as rows_affected.  Views
+        # are lazy (no job to observe), so only table-family sinks report.
+        obs = None
+        if model.materialization is not Materialization.VIEW:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"obs_{model.safe_node_name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            self._pending_observation = (model.name, obs)
         view_name = model.safe_node_name
         if model.materialization is Materialization.VIEW:
             df.createOrReplaceTempView(view_name)

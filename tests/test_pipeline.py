@@ -1205,3 +1205,19 @@ def test_cli_ls_build_and_docs(spark, sf_dir, tmp_path, capsys):
     manifest = json.load(open(os.path.join(tgt, "manifest.json")))
     assert "weekly_trends_summary" in str(manifest)
     assert os.path.exists(os.path.join(tgt, "catalog.json"))
+
+
+def test_observation_rows_affected_in_run_results(spark, sf_dir, tmp_path):
+    """Table materializations must report rows_affected from the write
+    job's Observation (no extra pass) in run_results."""
+    from dbt_trill_shop_spark.fixtures.trends_fixtures import register_trends_sources
+    from dbt_trill_shop_spark.models.trends import trends_project
+
+    p = trends_project(warehouse_dir=str(tmp_path / "wh"))
+    p.add_sources(register_trends_sources(spark, sf_dir))
+    p.build(spark, run_tests=False, subset=p.select("+top_terms_comparison"))
+    rr = p.last_run_results["top_terms_comparison"]
+    assert rr["status"] == "success"
+    assert rr["rows_affected"] == p.ref("top_terms_comparison").count()
+    # views are lazy — no job to observe, so no row metric
+    assert "rows_affected" not in p.last_run_results["stg_top_terms"]
