@@ -261,3 +261,43 @@ def test_compact_table_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
     # file); z-order cuts it substantially
     assert mean_span(linear, "user_id") > 0.8 * full_span
     assert mean_span(zordered, "user_id") < 0.6 * mean_span(linear, "user_id")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE settings must actually split a skewed sort-merge
+    join at runtime (the 100 TB hot-key lever SCALE.md claims): with one
+    key holding 90% of the rows, the final adaptive plan marks the join
+    skew=true and reads the skewed side through a split AQEShuffleRead."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
+            F.lit("x" * 60).alias("pad"),
+        )
+        right = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+        )
+        j = left.join(right, "k").groupBy().count()
+        # AQE finalizes on this DataFrame's own query execution
+        # 9/10 of ids hit k=7 (matches once); the rest keep k=id, of which
+        # ids 9,19,…,4999 fall inside the right side's 0..4999 key range
+        n = j.collect()[0][0]
+        assert n == 180_000 + 500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
