@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _READABLE = {"parquet", "orc", "csv", "json", "text"}
@@ -61,3 +62,47 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession, spec: SourceSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-row quarantine for csv/json ingest edges: PERMISSIVE mode
+    routes unparseable rows into a ``_corrupt_record`` column instead of
+    failing the job (FAILFAST) or silently dropping them (DROPMALFORMED)
+    — at crawl scale bad rows are a certainty and deleting them unaudited
+    is how ingestion bugs hide.
+
+    Returns ``(clean, quarantine)``: clean rows with the corrupt column
+    projected away, and the raw text of every malformed record for the
+    dead-letter sink.  One scan feeds both (Catalyst shares the cached
+    parse through the two filters).  The declared schema is REQUIRED —
+    schema inference plus quarantine would mask drift as corruption.
+    """
+    if spec.fmt not in ("csv", "json"):
+        raise ValueError("quarantine reads are for csv/json ingest edges")
+    if spec.schema is None:
+        raise ValueError("quarantine reads require an explicit schema")
+    schema = T.StructType(
+        list(spec.schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+        **spec.options,
+    }
+    raw = (
+        spark.read.format(spec.fmt)
+        .options(**opts)
+        .schema(schema)
+        .load(spec.path)
+        # Spark requires caching/materialization before referencing the
+        # corrupt column in a filter (the parser is lazy per column)
+        .cache()
+    )
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return clean, quarantine

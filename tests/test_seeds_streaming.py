@@ -332,3 +332,28 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.json(d)
     assert back.count() == 200
     assert back.selectExpr("sum(v)").first()[0] == sum(3 * i for i in range(200))
+
+
+def test_json_quarantine_routes_malformed_rows(spark, tmp_path):
+    """PERMISSIVE ingest must split cleanly parsed rows from malformed
+    ones without losing either (clean + quarantined == input lines)."""
+    import pyspark.sql.types as T
+
+    from dbt_trill_shop_spark.sources.formats import SourceSpec, read_with_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NaN-ish", "v": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    clean, quarantine = read_with_quarantine(
+        spark, SourceSpec(path=str(p), fmt="json", schema=schema)
+    )
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    bad = [r["raw_record"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
