@@ -1030,6 +1030,11 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: stream_synthetic_rollup(spark, rows=5000),
         STREAM_SYNTHETIC_SQL_TEMPLATE.format(rows=5000),
     ),
+    # ClickHouse-style windowFunnel (chained steps, bounded time window)
+    "q_window_funnel": QuerySpec(
+        lambda spark, sf_dir: A.window_funnel(spark, sf_dir, window_hours=24),
+        A.WINDOW_FUNNEL_SQL_TEMPLATE.format(w_us=24 * 3600 * 1000000),
+    ),
     # Spearman rank correlation (tie-correct doubled ranks, all int64)
     "q_spearman": QuerySpec(A.spearman_volume_value, A.SPEARMAN_SQL),
     # Spark 4 Python DataSource API: custom connector, formula oracle
@@ -2153,6 +2158,7 @@ _ROUND2_LATE = [
     "x_adaptive_quality",
     "x_knn_bfs",
     "s_stream_pysource",
+    "q_window_funnel",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -3644,3 +3644,95 @@ SELECT n AS n_days,
            AS rho
 FROM s
 """
+
+
+def window_funnel(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24
+) -> DataFrame:
+    """ClickHouse-``windowFunnel`` semantics: the deepest view→click→
+    purchase chain each user completes with every step inside
+    ``window_hours`` of the PREVIOUS step (contrast ``q_funnel``, which
+    only orders each stage's first occurrence).  Output: users by maximum
+    depth reached.
+
+    Shape: stage relations join per user with a bounded time-range
+    predicate (event-time distance caps the pair fan-out — the same bound
+    that makes the stream-stream interval join's state evictable);
+    existence at each depth collapses to left-semi joins, so no
+    chain-pair relation survives the aggregate.  µs-integer timestamps
+    keep the window predicate exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_us = window_hours * 3600 * 1_000_000
+    us = F.expr("timestampdiff(MICROSECOND, timestamp '2024-01-01', ts)")
+
+    def stage(t: str, out: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", us.alias(out)
+        )
+
+    v = stage("view", "t1")
+    c = stage("click", "t2")
+    p = stage("purchase", "t3")
+    # depth>=2: a (view, click) chain within the window
+    vc = v.join(c, "user_id").filter(
+        (F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + w_us)
+    )
+    d2_users = vc.select("user_id").distinct()
+    # depth>=3: extend a chain with a purchase within window of the click
+    d3_users = (
+        vc.join(p, "user_id")
+        .filter((F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t2") + w_us))
+        .select("user_id")
+        .distinct()
+    )
+    d1_users = v.select("user_id").distinct()
+    depth = (
+        d1_users.join(d2_users.withColumn("d2", F.lit(1)), "user_id", "left")
+        .join(d3_users.withColumn("d3", F.lit(1)), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("d2"), F.lit(0))
+                + F.coalesce(F.col("d3"), F.lit(0))
+            ).cast("bigint").alias("depth")
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+WINDOW_FUNNEL_SQL_TEMPLATE = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS t
+    FROM events
+),
+v AS (SELECT user_id, t AS t1 FROM ev WHERE event_type = 'view'),
+c AS (SELECT user_id, t AS t2 FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id, t AS t3 FROM ev WHERE event_type = 'purchase'),
+vc AS (
+    SELECT DISTINCT v.user_id, t1, t2
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE t2 > t1 AND t2 <= t1 + {w_us}
+),
+d2 AS (SELECT DISTINCT user_id FROM vc),
+d3 AS (
+    SELECT DISTINCT vc.user_id
+    FROM vc JOIN p ON vc.user_id = p.user_id
+    WHERE t3 > t2 AND t3 <= t2 + {w_us}
+),
+d1 AS (SELECT DISTINCT user_id FROM v),
+depth AS (
+    SELECT 1 + (CASE WHEN d2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN d3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS depth
+    FROM d1
+    LEFT JOIN d2 ON d1.user_id = d2.user_id
+    LEFT JOIN d3 ON d1.user_id = d3.user_id
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY depth ORDER BY depth
+"""
