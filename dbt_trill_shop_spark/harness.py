@@ -1030,6 +1030,10 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: stream_synthetic_rollup(spark, rows=5000),
         STREAM_SYNTHETIC_SQL_TEMPLATE.format(rows=5000),
     ),
+    # ClickHouse-style sequenceMatch (regex over compressed timelines)
+    "q_sequence_match": QuerySpec(
+        A.sequence_match_counts, A.SEQUENCE_MATCH_SQL
+    ),
     # ClickHouse-style windowFunnel (chained steps, bounded time window)
     "q_window_funnel": QuerySpec(
         lambda spark, sf_dir: A.window_funnel(spark, sf_dir, window_hours=24),
@@ -2159,6 +2163,7 @@ _ROUND2_LATE = [
     "x_knn_bfs",
     "s_stream_pysource",
     "q_window_funnel",
+    "q_sequence_match",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -3736,3 +3736,103 @@ depth AS (
 SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM depth GROUP BY depth ORDER BY depth
 """
+
+
+def sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-``sequenceMatch`` semantics: per-user event-type
+    timelines compressed to a character string (one char per event, total
+    order by ts/event_id), then matched against behavioral regexes — the
+    pattern layer on top of ``q_session_paths``' fixed 3-grams: arbitrary
+    gaps (``v.*c.*p``), anchors, and repetitions for free via the regex
+    engine, one pass per pattern over |users| short strings.
+
+    One user-keyed sort builds each timeline string (collect_list of
+    (ts, event_id, char) structs — array_sort gives the total order);
+    matching is per-row regexp, JVM-side.  Timeline length is bounded by
+    per-user activity; window the timeline first for pathological keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    strings = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring(F.col("event_type"), 1, 1).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s.ch)
+            ).alias("seq")
+        )
+    )
+    patterns = [
+        ("view_then_purchase", "v.*p"),
+        ("view_click_purchase", "v.*c.*p"),
+        ("error_then_retry", "e.+e"),
+        ("signup_first", "^s"),
+    ]
+    agg = strings.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(F.col("seq").rlike(pat).cast("bigint")).alias(name)
+            for name, pat in patterns
+        ],
+    )
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("pattern"),
+                    F.col(name).cast("bigint").alias("n_matched"),
+                )
+                for name, _ in patterns
+            ]
+        )
+    )
+    return (
+        agg.select("n_users", kv.alias("kv"))
+        .select(
+            F.col("kv.pattern").alias("pattern"),
+            F.col("kv.n_matched").alias("n_matched"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .withColumn("match_ppm", F.expr("n_matched * 1000000 DIV n_users"))
+        .orderBy("pattern")
+    )
+
+
+SEQUENCE_MATCH_SQL = """
+WITH strings AS (
+    SELECT user_id,
+           string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+    FROM events GROUP BY user_id
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS view_then_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS view_click_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e.+e') THEN 1 ELSE 0 END)
+                AS BIGINT) AS error_then_retry,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup_first
+    FROM strings
+)
+SELECT pattern, n_matched, n_users, n_matched * 1000000 // n_users AS match_ppm
+FROM (
+    SELECT 'view_then_purchase' AS pattern, view_then_purchase AS n_matched,
+           n_users FROM agg
+    UNION ALL
+    SELECT 'view_click_purchase', view_click_purchase, n_users FROM agg
+    UNION ALL
+    SELECT 'error_then_retry', error_then_retry, n_users FROM agg
+    UNION ALL
+    SELECT 'signup_first', signup_first, n_users FROM agg
+)
+ORDER BY pattern
+"""
