@@ -1661,3 +1661,143 @@ FROM c_sh c LEFT JOIN r_sh r ON c.s = r.s
 GROUP BY c.doc_id
 ORDER BY c.doc_id
 """
+
+
+def minhash_estimate_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline: per banded candidate
+    pair, the SIGNATURE estimate of Jaccard (fraction of agreeing minwise
+    components) next to the exact shingle Jaccard and the absolute error —
+    the calibration readout that justifies a chosen (num_hashes, bands)
+    against the S-curve (run it per corpus before trusting the
+    collision-only incremental path, which never exact-verifies).
+
+    All integer ppm: estimate = matches·10⁶ div num_hashes, exact =
+    n_inter·10⁶ div union.  Same md5 minwise order as the checked
+    pipeline, so every column is value-hash oracle-checkable.
+    """
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
+    n_digests = (num_hashes + 3) // 4
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}:"), F.col("s"))) for d in range(n_digests)
+    ]
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    ).localCheckpoint(eager=True)
+    r = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bidx", "bk"),
+    )
+    pairs = (
+        banded.select(F.col(id_col).alias("id_a"), "bidx", "bk")
+        .join(banded.select(F.col(id_col).alias("id_b"), "bidx", "bk"), ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint") for i in range(num_hashes)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", matches.alias("n_match")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "s")
+        .join(pairs, "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("s")),
+            ["id_b", "s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"n_match * 1000000 DIV {num_hashes}").alias("est_ppm"),
+            F.expr(
+                "COALESCE(n_inter, 0) * 1000000 DIV (na + nb - COALESCE(n_inter, 0))"
+            ).alias("exact_ppm"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.abs(F.col("est_ppm") - F.col("exact_ppm")).cast("bigint"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def minhash_estimate_audit_sql(
+    num_hashes: int = 8, bands: int = 4, shingle_len: int = 3
+) -> str:
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len)
+    match_expr = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return rf"""
+WITH {base},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bidx = b.bidx AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b, CAST({match_expr} AS BIGINT) AS n_match
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.id_a
+    JOIN sigs b ON b.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.id_a
+    JOIN shingles b ON b.doc_id = c.id_b AND b.s = a.s
+    GROUP BY c.id_a, c.id_b
+)
+SELECT e.id_a, e.id_b,
+       CAST(e.n_match * 1000000 // {num_hashes} AS BIGINT) AS est_ppm,
+       CAST(COALESCE(i.n_inter, 0) * 1000000
+            // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+           AS exact_ppm,
+       CAST(ABS(e.n_match * 1000000 // {num_hashes}
+                - COALESCE(i.n_inter, 0) * 1000000
+                  // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))) AS BIGINT)
+           AS err_ppm
+FROM est e
+LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = e.id_a
+JOIN sizes sb ON sb.doc_id = e.id_b
+ORDER BY e.id_a, e.id_b
+"""

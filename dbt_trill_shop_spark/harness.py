@@ -41,6 +41,8 @@ from .ext.dedup import (
     DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE,
     NGRAM_NOVELTY_SQL_TEMPLATE,
     boilerplate_strip,
+    minhash_estimate_audit,
+    minhash_estimate_audit_sql,
     ngram_novelty,
     dedup_quality_canonical,
     substring_contamination,
@@ -1834,6 +1836,13 @@ QUERIES: dict[str, QuerySpec] = {
             quality_sql=QUALITY_CLASSIFIER_SQL,
         ),
     ),
+    # MinHash sketch-accuracy audit (estimate vs exact Jaccard per pair)
+    "x_minhash_audit": QuerySpec(
+        lambda spark, sf_dir: minhash_estimate_audit(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        minhash_estimate_audit_sql(shingle_len=_NGRAM_JACCARD_N),
+    ),
     # per-doc n-gram novelty vs the reference half (memorization audit)
     "x_ngram_novelty": QuerySpec(
         _x_ngram_novelty,
@@ -2164,6 +2173,7 @@ _ROUND2_LATE = [
     "s_stream_pysource",
     "q_window_funnel",
     "q_sequence_match",
+    "x_minhash_audit",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
