@@ -2728,3 +2728,140 @@ FROM embeddings e LEFT JOIN dist d ON e.vec_id = d.node
 GROUP BY 1 ORDER BY 1
 """
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame, n_iters: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION —
+    distributed linear algebra with every number an int64: values center
+    in milli-units, the scatter matrix is exact integer sums, and each
+    iteration renormalizes by integer division of the max component (no
+    sqrt, no float drift), so even the eigenvector estimate is value-hash
+    checkable cross-engine (the kmeans/PageRank determinism recipe applied
+    to an eigenproblem).  Sign is fixed by making the largest-|·| component
+    positive (smallest dim on ties).
+
+    Shapes: ONE corpus pass builds the (i, j) scatter relation (dim² rows
+    — 4096 for 64 dims — via a vec-keyed self-join of the centered long
+    form); each iteration is a broadcast join of the 64-row vector against
+    the scatter relation.  At 100 TB the scatter aggregation is the only
+    corpus-sized job; iterations cost nothing.  PCA whitening/compression
+    at serving time is then a narrow projection against the frozen
+    component.
+    """
+    vm = embeddings.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
+    ).select(
+        id_col,
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1000, 0).cast("bigint").alias("xm"),
+    )
+    # +10000 offset keeps the dividend non-negative (|xm| < 10000 milli),
+    # where Spark's truncating DIV and DuckDB's flooring // agree
+    mu = vm.groupBy("dim").agg(
+        F.expr(
+            "CAST((SUM(xm) + 10000 * COUNT(*)) DIV COUNT(*) - 10000 AS BIGINT)"
+        ).alias("mu")
+    )
+    cent = vm.join(F.broadcast(mu), "dim").select(
+        id_col, "dim", (F.col("xm") - F.col("mu")).alias("c")
+    )
+    cov = (
+        cent.select(F.col(id_col), F.col("dim").alias("i"), F.col("c").alias("ci"))
+        .join(
+            cent.select(
+                F.col(id_col), F.col("dim").alias("j"), F.col("c").alias("cj")
+            ),
+            id_col,
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ci") * F.col("cj")).alias("cij"))
+        .localCheckpoint(eager=True)
+    )
+    v = cov.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(1_000_000).cast("bigint").alias("v")
+    )
+    for _ in range(n_iters):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j"
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("cij") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                # sign·(|w| div g): truncation toward zero in BOTH engines
+                F.expr(
+                    "CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END "
+                    "* (ABS(w) DIV GREATEST(1, m DIV 1000000)) AS BIGINT)"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # sign fix: the largest-|v| component (smallest dim on ties) is positive
+    sgn = v.orderBy(F.desc(F.abs(F.col("v"))), F.asc("dim")).limit(1).select(
+        F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .select("dim", (F.col("v") * F.col("sgn")).cast("bigint").alias("component"))
+        .orderBy("dim")
+    )
+
+
+def pca_top_component_sql(n_iters: int = 6) -> str:
+    """DuckDB oracle for :func:`pca_top_component`: identical integer
+    scatter + power iterations as chained CTEs."""
+    parts = [
+        """WITH vm AS (
+    SELECT vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) AS xm
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+mu AS (SELECT dim, CAST((SUM(xm) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS BIGINT)
+           AS mu FROM vm GROUP BY dim),
+cent AS (
+    SELECT vm.vec_id, vm.dim, CAST(vm.xm - mu.mu AS BIGINT) AS c
+    FROM vm JOIN mu USING (dim)
+),
+cov AS (
+    SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cij
+    FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+),
+v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v FROM cov)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+w{t} AS (
+    SELECT cov.i AS dim, CAST(SUM(cov.cij * p.v) AS BIGINT) AS w
+    FROM cov JOIN v{t - 1} p ON cov.j = p.dim
+    GROUP BY cov.i
+),
+m{t} AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w{t}),
+v{t} AS (
+    SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                     * (ABS(w) // GREATEST(1, m // 1000000)) AS BIGINT) AS v
+    FROM w{t} CROSS JOIN m{t}
+)"""
+        )
+    parts.append(
+        f""",
+sgn AS (
+    SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+    FROM v{n_iters} ORDER BY ABS(v) DESC, dim ASC LIMIT 1
+)
+SELECT dim, CAST(v * sgn AS BIGINT) AS component
+FROM v{n_iters} CROSS JOIN sgn
+ORDER BY dim"""
+    )
+    return "".join(parts)

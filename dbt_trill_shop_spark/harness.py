@@ -166,6 +166,8 @@ from .ext.similarity import (
     binary_hamming_topk,
     knn_bfs_hops,
     knn_bfs_sql,
+    pca_top_component,
+    pca_top_component_sql,
     retrieval_eval,
     retrieval_eval_sql,
     l2_topk_exact,
@@ -1555,6 +1557,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
+    # top principal component by integer power iteration (exact eigenvector)
+    "x_pca_power": QuerySpec(
+        lambda spark, sf_dir: pca_top_component(
+            load_table(spark, sf_dir, "embeddings"), n_iters=6
+        ),
+        pca_top_component_sql(n_iters=6),
+    ),
     # BFS hop-distance histogram over the mutual-kNN graph (frontier loop)
     "x_knn_bfs": QuerySpec(
         lambda spark, sf_dir: knn_bfs_hops(
@@ -2174,6 +2183,7 @@ _ROUND2_LATE = [
     "q_window_funnel",
     "q_sequence_match",
     "x_minhash_audit",
+    "x_pca_power",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -1084,3 +1084,21 @@ def test_knn_bfs_chain_hops(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     out = {r["hop"]: r["n_nodes"] for r in similarity.knn_bfs_hops(emb, source_id=0, k=2).collect()}
     assert out.get(0) == 1 and out.get(1, 0) >= 1 and -1 not in out
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Data stretched along a planted axis: the power-iteration component
+    must align with it (dominant coordinate on the stretched dim)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        base[3] += rng.uniform(-1.0, 1.0)  # variance concentrated on dim 3
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp = {r["dim"]: r["component"]
+            for r in similarity.pca_top_component(emb, n_iters=6).collect()}
+    assert abs(comp[3]) == max(abs(v) for v in comp.values())
+    assert comp[3] > 0  # sign fixed positive on the dominant component
