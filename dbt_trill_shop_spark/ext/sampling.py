@@ -776,3 +776,48 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS BIGINT)
 FROM scored
 QUALIFY rank <= {n}
 """
+
+
+def curriculum_order(docs: DataFrame, n_buckets: int = 4) -> DataFrame:
+    """Curriculum training order: documents ranked easy→hard by quality
+    bucket (frozen classifier logit quartiles — NTILE with doc_id
+    tie-break, deterministic), shuffled WITHIN each bucket by content hash
+    (so each difficulty stage is internally order-free but the stage
+    sequence is fixed) — the standard curriculum-learning data layout.
+
+    Output ships (rank, doc_id, bucket) only; the ranking window sorts a
+    slim 3-column projection exactly like ``training_order``, and payloads
+    re-attach by join at write time.  NTILE quartile 1 = highest logits
+    (easiest) so rank 1 starts the curriculum.
+    """
+    from ..ext.textstats import quality_classifier
+
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    wq = Window.orderBy(F.desc("logit_milli"), F.asc("doc_id"))
+    bucketed = scored.select(
+        "doc_id", F.ntile(n_buckets).over(wq).cast("bigint").alias("bucket")
+    )
+    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
+    wr = Window.orderBy(F.asc("bucket"), F.asc(h), F.asc("doc_id"))
+    return bucketed.select(
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        "doc_id",
+        "bucket",
+    ).orderBy("rank")
+
+
+CURRICULUM_ORDER_SQL_TEMPLATE = """
+WITH scored AS ({quality_sql}),
+bucketed AS (
+    SELECT doc_id,
+           CAST(NTILE({n_buckets}) OVER (ORDER BY logit_milli DESC, doc_id ASC)
+                AS BIGINT) AS bucket
+    FROM scored
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket ASC,
+                               md5('curriculum:' || CAST(doc_id AS VARCHAR)) ASC,
+                               doc_id ASC) AS BIGINT) AS rank,
+       doc_id, bucket
+FROM bucketed
+ORDER BY rank
+"""

@@ -88,6 +88,8 @@ from .ext.multimodal import (
 from .ext.sampling import (
     CDC_CHUNKS_SQL,
     CHUNK_DOCUMENTS_SQL_TEMPLATE,
+    CURRICULUM_ORDER_SQL_TEMPLATE,
+    curriculum_order,
     PACK_POSITIONS_SQL_TEMPLATE,
     WEIGHTED_SAMPLE_SQL_TEMPLATE,
     cdc_chunks,
@@ -1845,6 +1847,13 @@ QUERIES: dict[str, QuerySpec] = {
             quality_sql=QUALITY_CLASSIFIER_SQL,
         ),
     ),
+    # curriculum training order (quality quartiles, in-bucket hash shuffle)
+    "x_curriculum_order": QuerySpec(
+        _docs_q(lambda d: curriculum_order(d, n_buckets=4)),
+        CURRICULUM_ORDER_SQL_TEMPLATE.format(
+            quality_sql=QUALITY_CLASSIFIER_SQL, n_buckets=4
+        ),
+    ),
     # MinHash sketch-accuracy audit (estimate vs exact Jaccard per pair)
     "x_minhash_audit": QuerySpec(
         lambda spark, sf_dir: minhash_estimate_audit(
@@ -2184,6 +2193,7 @@ _ROUND2_LATE = [
     "q_sequence_match",
     "x_minhash_audit",
     "x_pca_power",
+    "x_curriculum_order",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
