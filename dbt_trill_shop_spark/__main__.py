@@ -111,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
         from .models.trends import trends_project
 
         p = trends_project(target=args.target, warehouse_dir=args.warehouse_dir)
-        names = _subset(p, args) or set(p.models)
+        names = _subset(p, args)
+        names = set(p.models) if names is None else names
         for n in sorted(names):
             print(n)
         return 0
@@ -163,8 +164,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "show":
+        from .core.jinja_lite import extract_deps
+
         p = _project(args, spark)
-        p.build(spark, run_tests=False)
+        needed = set()
+        for r in extract_deps(args.inline):
+            if r in p.models:
+                needed |= p.select(f"+{r}")
+        p.build(spark, run_tests=False, subset=needed)
         p.show(spark, args.inline, limit=args.limit).show(truncate=False)
         return 0
 
@@ -172,7 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         p = _project(args, spark)
         results = None
         if not args.no_compile:
-            results = p.build(spark, run_tests=True)
+            results = p.build(spark, run_tests=True, subset=_subset(p, args))
         p.write_artifacts(
             args.target_path,
             test_results=results,
@@ -187,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "run-operation":
         p = _project(args, spark)
-        p.build(spark, run_tests=False)
+        p.build(spark, run_tests=False, subset=_subset(p, args))
         df = p.run_operation(spark, args.macro, **json.loads(args.args))
         if df is not None:
             df.show(truncate=False)

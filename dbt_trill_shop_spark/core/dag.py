@@ -431,13 +431,10 @@ class Project:
             "status": "success",
             "execution_time": round(time.perf_counter() - t0, 3),
         }
-        pending = getattr(self, "_pending_observation", None)
-        if pending is not None and pending[0] == name:
-            self._pending_observation = None
+        obs = getattr(self, "_pending_observations", {}).pop(name, None)
+        if obs is not None:
             try:  # accumulator value from the write job — no extra pass
-                self.last_run_results[name]["rows_affected"] = pending[1].get[
-                    "rows"
-                ]
+                self.last_run_results[name]["rows_affected"] = obs.get["rows"]
             except Exception:
                 pass
         if run_tests and model.tests:
@@ -631,7 +628,11 @@ class Project:
 
             obs = Observation(f"obs_{model.safe_node_name}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            self._pending_observation = (model.name, obs)
+            # per-name slot — _build_node's concurrency contract: threads
+            # only ever touch their own model's key
+            if not hasattr(self, "_pending_observations"):
+                self._pending_observations = {}
+            self._pending_observations[model.name] = obs
         view_name = model.safe_node_name
         if model.materialization is Materialization.VIEW:
             df.createOrReplaceTempView(view_name)

@@ -2109,6 +2109,23 @@ def knn_graph_edges(
     )
 
 
+def knn_mutual_edges(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed edges of :func:`knn_graph_edges` restricted to RECIPROCATED
+    pairs — the single definition of graph mutuality every kNN-graph
+    operator (degree, clustering, BFS) consumes.  Checkpointed: the gemm
+    ranking runs once per call site, not per downstream join."""
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    return edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+
+
 def knn_graph_mutual_degree(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2119,13 +2136,7 @@ def knn_graph_mutual_degree(
     mutual graphs (mass at low degrees) signal hubness or disconnected
     manifolds.  The mutual join keys on the (k·N)-row edge relation, never
     on pairs; the histogram is |k|+1 rows."""
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    rev = edges.select(
-        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
-    )
-    mutual = edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col)
     deg = (
         embeddings.select(F.col(id_col).alias("query_id"))
         .join(
@@ -2328,13 +2339,7 @@ def knn_clustering_coefficients(
     (degree ≤ k, so ≤ N·k² wedge rows); triangle closure is one semi join
     back onto the edge set; the coefficient is exact ppm.  Nodes of
     mutual degree < 2 have no defined coefficient and are excluded."""
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    rev = edges.select(
-        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
-    )
-    mutual = edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col)
     und = mutual.filter(F.col("query_id") < F.col("neighbor_id")).select(
         F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
     ).localCheckpoint(eager=True)
@@ -2659,14 +2664,8 @@ def knn_bfs_hops(
     replays BFS as a recursive CTE with per-path depth then MIN per node —
     same fixpoint, set-based.
     """
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    rev = edges.select(
-        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
-    )
     mutual = (
-        edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        knn_mutual_edges(embeddings, k, id_col, vec_col)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)
     )

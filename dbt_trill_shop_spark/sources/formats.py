@@ -20,6 +20,7 @@ Format notes at scale:
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,18 +67,21 @@ def write_sink(
 
 def read_with_quarantine(
     spark: SparkSession, spec: SourceSpec
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Malformed-row quarantine for csv/json ingest edges: PERMISSIVE mode
     routes unparseable rows into a ``_corrupt_record`` column instead of
     failing the job (FAILFAST) or silently dropping them (DROPMALFORMED)
     — at crawl scale bad rows are a certainty and deleting them unaudited
     is how ingestion bugs hide.
 
-    Returns ``(clean, quarantine)``: clean rows with the corrupt column
-    projected away, and the raw text of every malformed record for the
-    dead-letter sink.  One scan feeds both (Catalyst shares the cached
-    parse through the two filters).  The declared schema is REQUIRED —
-    schema inference plus quarantine would mask drift as corruption.
+    Returns ``(clean, quarantine, release)``: clean rows with the corrupt
+    column projected away, the raw text of every malformed record for the
+    dead-letter sink, and a ``release()`` callable that unpersists the
+    shared parse cache once both sides are consumed (the cache is what
+    lets one scan feed both filters — Spark refuses a bare filter on the
+    corrupt column; without release it would pin executor storage for the
+    session lifetime).  The declared schema is REQUIRED — schema inference
+    plus quarantine would mask drift as corruption.
     """
     if spec.fmt not in ("csv", "json"):
         raise ValueError("quarantine reads are for csv/json ingest edges")
@@ -105,4 +109,4 @@ def read_with_quarantine(
     quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_record")
     )
-    return clean, quarantine
+    return clean, quarantine, lambda: raw.unpersist()

@@ -33,6 +33,20 @@ SYNTH_SCHEMA = (
 )
 
 
+def _synth_row(i: int) -> tuple:
+    """THE row formula — shared by the batch reader, the stream reader's
+    replay, and mirrored by both DuckDB oracles; one definition so the
+    replay/regeneration guarantees can't drift."""
+    h = hashlib.md5(f"evt-{i}".encode()).hexdigest()
+    return (
+        i,
+        int(h[:6], 16) % 30,
+        int(h[6:12], 16) % 500,
+        int(h[12:14], 16) % 5,
+        int(h[14:18], 16),
+    )
+
+
 class _SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("rows", 1000))
@@ -49,14 +63,7 @@ class _SyntheticEventsReader(DataSourceReader):
     def read(self, part: InputPartition):
         lo, hi = part.value
         for i in range(lo, hi):
-            h = hashlib.md5(f"evt-{i}".encode()).hexdigest()
-            yield (
-                i,
-                int(h[:6], 16) % 30,
-                int(h[6:12], 16) % 500,
-                int(h[12:14], 16) % 5,
-                int(h[14:18], 16),
-            )
+            yield _synth_row(i)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -225,14 +232,7 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
 
     @staticmethod
     def _row(i: int):
-        h = hashlib.md5(f"evt-{i}".encode()).hexdigest()
-        return (
-            i,
-            int(h[:6], 16) % 30,
-            int(h[6:12], 16) % 500,
-            int(h[12:14], 16) % 5,
-            int(h[14:18], 16),
-        )
+        return _synth_row(i)
 
     def initialOffset(self) -> dict:
         return {"pos": 0}

@@ -1007,10 +1007,10 @@ def test_scene_change_planted_boundary(spark):
     assert out[0]["delta_milli"] == 25_000
 
 
-def test_calibration_bins_partition_and_bound(spark):
+def test_calibration_bins_partition_and_bound(spark, sf_dir):
     """Calibration bins must partition the corpus (counts sum to |docs|)
     and keep every rate within [0, 10⁶]; bin means must be monotone."""
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, sf_dir, "documents")
     out = textstats.classifier_calibration(docs, n_bins=8).collect()
     assert sum(r["n_docs"] for r in out) == docs.count()
     means = [r["mean_logit_milli"] for r in out]

@@ -351,9 +351,10 @@ def test_json_quarantine_routes_malformed_rows(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
     )
-    clean, quarantine = read_with_quarantine(
+    clean, quarantine, release = read_with_quarantine(
         spark, SourceSpec(path=str(p), fmt="json", schema=schema)
     )
     assert sorted(r["id"] for r in clean.collect()) == [1, 2]
     bad = [r["raw_record"] for r in quarantine.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
+    release()  # the shared parse cache must be releasable after consumption
