@@ -534,3 +534,85 @@ def test_holt_packed_fold_matches_pure_python(spark, sf_dir):
         for r in holt_forecast(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_mannwhitney_doubled_u_matches_bruteforce(spark, sf_dir):
+    """u_x2 from the distinct-value window must equal the O(n²) pairwise
+    definition 2·#{x>y} + #{ties} computed in Python on the same rows."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import mannwhitney_order_values
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .selectExpr(
+            "o_orderpriority = '1-URGENT' AS g1",
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    xs = sorted(r["v"] for r in rows if r["g1"])
+    ys = sorted(r["v"] for r in rows if not r["g1"])
+    import bisect
+
+    u2 = 0
+    for x in xs:
+        lt = bisect.bisect_left(ys, x)
+        eq = bisect.bisect_right(ys, x) - lt
+        u2 += 2 * lt + eq
+    out = mannwhitney_order_values(spark, sf_dir).collect()[0]
+    assert out["u_x2"] == u2
+    assert out["n_urgent"] == len(xs) and out["n_low"] == len(ys)
+
+
+def test_kaplan_meier_matches_python_replay(spark, sf_dir):
+    """The KM risk sets and log-survival must equal a direct Python replay
+    of the product-limit recurrence over the same (t, death) subjects."""
+    import math
+
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.operators.analytics import kaplan_meier_conversion
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts").cast("date"))).alias("fv"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))).alias("fp"),
+        )
+        .filter(F.col("fv").isNotNull())
+        .collect()
+    )
+    end = datetime.date(2024, 1, 30)
+    subj = []
+    for r in per_user:
+        if r["fp"] is not None and r["fp"] >= r["fv"]:
+            subj.append(((r["fp"] - r["fv"]).days, 1))
+        else:
+            subj.append(((end - r["fv"]).days, 0))
+    times = sorted({t for t, _ in subj})
+    n_at_risk = len(subj)
+    cum = 0
+    expect = {}
+    for t in times:
+        d = sum(1 for tt, dd in subj if tt == t and dd)
+        c = sum(1 for tt, dd in subj if tt == t and not dd)
+        if d > 0:
+            term = (
+                round(math.log((n_at_risk - d) / n_at_risk) * 1_000_000)
+                if n_at_risk > d
+                else -30_000_000
+            )
+        else:
+            term = 0
+        cum += term
+        if d > 0:
+            expect[t] = (n_at_risk, d, c, cum)
+        n_at_risk -= d + c
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_deaths"], r["n_censored"], r["cum_log_micro"])
+        for r in kaplan_meier_conversion(spark, sf_dir).collect()
+    }
+    assert got == expect
