@@ -2378,3 +2378,58 @@ FROM lab l JOIN thr t USING (lang)
 GROUP BY l.lang
 ORDER BY l.lang
 """
+
+
+_BLOCKLIST = {
+    "profanity": ["damn", "hell", "crap"],
+    "spam": ["viagra", "casino", "lottery", "jackpot"],
+    "boilerplate": ["click here", "subscribe now", "cookie policy"],
+}
+
+
+def blocklist_filter(docs: DataFrame) -> DataFrame:
+    """C4-style blocklist screen: per document, non-overlapping occurrence
+    counts for each lexicon category (word-ish boundary match on the
+    lowercased text) and the keep flag (zero hits anywhere) — the cheap
+    lexical gate that runs before any model-based quality scoring.
+
+    Pure JVM regexp_count per category over one scan (the PII-scrub
+    pattern); lexicons are frozen literals so the filter is deterministic
+    and oracle-checkable.  Swap `_BLOCKLIST` for the production lists —
+    the plan shape (codegen'd narrow stage) is what matters at 100 TB.
+    """
+    low = F.lower(F.col("text"))
+    counts = {
+        cat: sum(
+            F.regexp_count(low, F.lit(rf"\b{w}\b")) for w in words
+        ).cast("bigint")
+        for cat, words in _BLOCKLIST.items()
+    }
+    total = sum(counts.values())
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{cat}") for cat, c in counts.items()],
+        total.alias("n_total_hits"),
+        (total == 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _blocklist_sql_counts(cat: str) -> str:
+    words = _BLOCKLIST[cat]
+    return " + ".join(
+        rf"LEN(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+    )
+
+
+BLOCKLIST_FILTER_SQL = rf"""
+SELECT doc_id,
+       CAST({_blocklist_sql_counts("profanity")} AS BIGINT) AS n_profanity,
+       CAST({_blocklist_sql_counts("spam")} AS BIGINT) AS n_spam,
+       CAST({_blocklist_sql_counts("boilerplate")} AS BIGINT) AS n_boilerplate,
+       CAST({_blocklist_sql_counts("profanity")} + {_blocklist_sql_counts("spam")}
+            + {_blocklist_sql_counts("boilerplate")} AS BIGINT) AS n_total_hits,
+       ({_blocklist_sql_counts("profanity")} + {_blocklist_sql_counts("spam")}
+        + {_blocklist_sql_counts("boilerplate")}) = 0 AS keep
+FROM documents
+ORDER BY doc_id
+"""

@@ -239,7 +239,9 @@ from .ext.textstats import (
     CLASSIFIER_CALIBRATION_SQL_TEMPLATE,
     SOURCE_ENTROPY_SQL,
     ADAPTIVE_QUALITY_SQL_TEMPLATE,
+    BLOCKLIST_FILTER_SQL,
     TEXT_TILING_SQL_TEMPLATE,
+    blocklist_filter,
     adaptive_quality_cut,
     text_tiling,
     ZIPF_SLOPE_SQL_TEMPLATE,
@@ -1327,6 +1329,8 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: classifier_calibration(d, n_bins=8)),
         CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(n_bins=8),
     ),
+    # lexicon blocklist screen (C4-style, per-category hit counts)
+    "x_blocklist_filter": QuerySpec(_docs_q(blocklist_filter), BLOCKLIST_FILTER_SQL),
     # per-language adaptive quality thresholds (CCNet policy, int ×4)
     "x_adaptive_quality": QuerySpec(
         _docs_q(lambda d: adaptive_quality_cut(d, keep_quantile=0.25)),
@@ -2194,6 +2198,7 @@ _ROUND2_LATE = [
     "x_minhash_audit",
     "x_pca_power",
     "x_curriculum_order",
+    "x_blocklist_filter",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
