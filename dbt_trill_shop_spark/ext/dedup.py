@@ -1801,3 +1801,42 @@ JOIN sizes sa ON sa.doc_id = e.id_a
 JOIN sizes sb ON sb.doc_id = e.id_b
 ORDER BY e.id_a, e.id_b
 """
+
+
+def dup_cluster_size_histogram(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Near-dup cluster-size distribution: connected components over the
+    pair graph, then clusters bucketed by member count — the dedup
+    dashboard headline ("how much of the corpus sits in 2-clusters vs
+    100-clusters") that sizes the canonical-selection savings and flags
+    boilerplate explosions (one giant component = a template, not dups).
+    Singletons (docs in no pair) report at size 1."""
+    comp = connected_components(pairs, ids)
+    labeled = ids.join(comp, "doc_id", "left").select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_SIZES_SQL_TEMPLATE = """
+WITH RECURSIVE jp AS ({jaccard_pairs}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM jp
+    UNION
+    SELECT id_b AS s, id_a AS d FROM jp
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz ORDER BY cluster_size
+"""

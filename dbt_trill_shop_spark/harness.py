@@ -41,6 +41,8 @@ from .ext.dedup import (
     DEDUP_QUALITY_CANONICAL_SQL_TEMPLATE,
     NGRAM_NOVELTY_SQL_TEMPLATE,
     boilerplate_strip,
+    DUP_CLUSTER_SIZES_SQL_TEMPLATE,
+    dup_cluster_size_histogram,
     minhash_estimate_audit,
     minhash_estimate_audit_sql,
     ngram_novelty,
@@ -591,6 +593,14 @@ def _x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_len=_NGRAM_JACCARD_N, threshold=0.5
+    ).select("id_a", "id_b")
+    return dup_cluster_size_histogram(pairs, docs.select("doc_id"))
+
+
 def _x_dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
@@ -1054,6 +1064,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # WAU/MAU stickiness ratio per week (exact, dedup-first)
+    "q_stickiness": QuerySpec(A.weekly_stickiness, A.WEEKLY_STICKINESS_SQL),
     # RFM quartile segmentation (deterministic NTILEs, exact means)
     "q_rfm_segments": QuerySpec(A.rfm_segments, A.RFM_SEGMENTS_SQL),
     # stationary distribution of the event-type Markov chain (power iter)
@@ -1841,6 +1853,15 @@ QUERIES: dict[str, QuerySpec] = {
             )
         ),
     ),
+    # dup cluster-size histogram (CC labels -> size distribution)
+    "x_dup_cluster_sizes": QuerySpec(
+        _x_dup_cluster_sizes,
+        DUP_CLUSTER_SIZES_SQL_TEMPLATE.format(
+            jaccard_pairs=NGRAM_JACCARD_SQL_TEMPLATE.format(
+                n=_NGRAM_JACCARD_N, threshold=0.5
+            )
+        ),
+    ),
     # near-dup clusters keep their highest-quality member (CC + classifier)
     "x_dedup_quality_canonical": QuerySpec(
         _x_dedup_quality_canonical,
@@ -2199,6 +2220,8 @@ _ROUND2_LATE = [
     "x_pca_power",
     "x_curriculum_order",
     "x_blocklist_filter",
+    "q_stickiness",
+    "x_dup_cluster_sizes",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -3836,3 +3836,64 @@ FROM (
 )
 ORDER BY pattern
 """
+
+
+def weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU/MAU stickiness per week — the product-engagement ratio (how much
+    of the monthly audience shows up in a given week).  Both actives come
+    from ONE deduplicated (user, week) relation: WAU per week directly,
+    MAU by joining each week to its calendar month's distinct users —
+    exact ppm, no approximate distinct needed at the weekly grain."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+    ).distinct()
+    wau = uw.select("user_id", "week").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    mau = uw.select("user_id", "month").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    wk = uw.select("week", "month").distinct()
+    return (
+        wau.join(wk, "week")
+        .join(F.broadcast(mau), "month")
+        .groupBy("week")
+        .agg(
+            F.max("wau").alias("wau"),
+            F.max("mau").alias("mau"),
+        )
+        .select(
+            "week",
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.expr("wau * 1000000 DIV mau").alias("stickiness_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+WEEKLY_STICKINESS_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(date_trunc('month', ts) AS DATE) AS month
+    FROM events
+),
+wau AS (
+    SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM uw GROUP BY week
+),
+mau AS (
+    SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM uw GROUP BY month
+),
+wk AS (SELECT DISTINCT week, month FROM uw)
+SELECT w.week, MAX(w.wau) AS wau, MAX(m.mau) AS mau,
+       CAST(MAX(w.wau) * 1000000 // MAX(m.mau) AS BIGINT) AS stickiness_ppm
+FROM wau w JOIN wk USING (week) JOIN mau m USING (month)
+GROUP BY w.week
+ORDER BY w.week
+"""
