@@ -274,3 +274,97 @@ SELECT base.stratum, n_docs, total_tokens, mean_quality_milli,
 FROM base JOIN dups ON base.stratum = dups.stratum
 ORDER BY base.stratum
 """
+
+
+def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
+    """Second-generation curation pipeline, composed as ONE lazy plan from
+    this round's operators: lexicon blocklist → per-language adaptive
+    quality cut (CCNet policy) → exact-dup groups keep their
+    HIGHEST-QUALITY member → curriculum ordering of the survivors.
+    Output: (rank, doc_id, lang, bucket).
+
+    Like :func:`training_pipeline`, Catalyst sees the whole chain — the
+    cheap row-local gates (blocklist, threshold) prune the input of the
+    dedup window and the ranking sort, and the only exchanges carry
+    (doc_id, hash, logit) slim rows.  Every stage is integer-deterministic,
+    so the full four-stage composition is value-hash checkable end-to-end.
+    """
+    from ..ext.textstats import blocklist_filter, quality_classifier
+
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    keep_ids = blocklist_filter(docs).filter(F.col("keep")).select("doc_id")
+    base = (
+        docs.select("doc_id", "lang", F.md5(F.col("text")).alias("fp"))
+        .join(keep_ids, "doc_id", "left_semi")
+        .join(scored, "doc_id")
+    )
+    thr = base.groupBy("lang").agg(
+        F.expr(
+            "CAST(ROUND(percentile(logit_milli, 0.25) * 4, 0) AS BIGINT)"
+        ).alias("thr4")
+    )
+    q_kept = base.join(F.broadcast(thr), "lang").filter(
+        4 * F.col("logit_milli") > F.col("thr4")
+    )
+    wd = Window.partitionBy("fp").orderBy(
+        F.desc("logit_milli"), F.asc("doc_id")
+    )
+    canon = q_kept.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    )
+    wq = Window.orderBy(F.desc("logit_milli"), F.asc("doc_id"))
+    bucketed = canon.select(
+        "doc_id", "lang", F.ntile(4).over(wq).cast("bigint").alias("bucket")
+    )
+    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
+    wr = Window.orderBy(F.asc("bucket"), F.asc(h), F.asc("doc_id"))
+    return bucketed.select(
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        "doc_id",
+        "lang",
+        "bucket",
+    ).orderBy("rank")
+
+
+def curation_pipeline_v2_sql(quality_sql: str, blocklist_sql: str) -> str:
+    """DuckDB oracle: the identical four-stage chain over the composed
+    classifier and blocklist SQL."""
+    return f"""
+WITH scored AS ({quality_sql}),
+blk AS ({blocklist_sql}),
+base AS (
+    SELECT d.doc_id, d.lang, md5(d.text) AS fp, s.logit_milli
+    FROM documents d
+    JOIN scored s ON d.doc_id = s.doc_id
+    JOIN blk b ON d.doc_id = b.doc_id AND b.keep
+),
+thr AS (
+    SELECT lang,
+           CAST(ROUND(quantile_cont(logit_milli, 0.25) * 4, 0) AS BIGINT)
+               AS thr4
+    FROM base GROUP BY lang
+),
+q_kept AS (
+    SELECT base.* FROM base JOIN thr USING (lang)
+    WHERE 4 * logit_milli > thr4
+),
+canon AS (
+    SELECT doc_id, lang, logit_milli FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                     ORDER BY logit_milli DESC, doc_id ASC) AS rn
+        FROM q_kept
+    ) WHERE rn = 1
+),
+bucketed AS (
+    SELECT doc_id, lang,
+           CAST(NTILE(4) OVER (ORDER BY logit_milli DESC, doc_id ASC) AS BIGINT)
+               AS bucket
+    FROM canon
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket ASC,
+                               md5('curriculum:' || CAST(doc_id AS VARCHAR)) ASC,
+                               doc_id ASC) AS BIGINT) AS rank,
+       doc_id, lang, bucket
+FROM bucketed
+ORDER BY rank
+"""

@@ -186,6 +186,8 @@ from .ext.similarity import (
 )
 from .operators.skew import KEY_SKEW_PROFILE_SQL_TEMPLATE, key_skew_profile
 from .ext.pipeline import (
+    curation_pipeline_v2,
+    curation_pipeline_v2_sql,
     CORPUS_REPORT_SQL,
     FILTER_FUNNEL_SQL_TEMPLATE,
     TRAINING_PIPELINE_SQL_TEMPLATE,
@@ -1341,6 +1343,12 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: classifier_calibration(d, n_bins=8)),
         CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(n_bins=8),
     ),
+    # four-stage curation pipeline v2 as ONE lazy plan (blocklist ->
+    # adaptive quality -> quality-canonical dedup -> curriculum order)
+    "x_curation_pipeline_v2": QuerySpec(
+        _docs_q(curation_pipeline_v2),
+        curation_pipeline_v2_sql(QUALITY_CLASSIFIER_SQL, BLOCKLIST_FILTER_SQL),
+    ),
     # lexicon blocklist screen (C4-style, per-category hit counts)
     "x_blocklist_filter": QuerySpec(_docs_q(blocklist_filter), BLOCKLIST_FILTER_SQL),
     # per-language adaptive quality thresholds (CCNet policy, int ×4)
@@ -2222,6 +2230,7 @@ _ROUND2_LATE = [
     "x_blocklist_filter",
     "q_stickiness",
     "x_dup_cluster_sizes",
+    "x_curation_pipeline_v2",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
