@@ -610,3 +610,67 @@ SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id,
 FROM cuts
 ORDER BY media_id, frame_id
 """
+
+
+def shot_stats(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    threshold_milli: int = 4000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-media shot statistics from the scene-change cuts: shot count
+    (cuts + 1) and mean shot length in frames (integer milli) — the
+    editing-rhythm summary a video-curation pass keys on (one long shot =
+    static slide; hundreds of micro-shots = strobing/corrupt).  Composes
+    :func:`scene_change_plan` with each payload's frame count; media with
+    no cuts report one full-length shot."""
+    fb = frame_bytes
+    frames = media.filter(
+        F.length(F.col(payload_col).cast("string")) > 0
+    ).select(
+        F.col(id_col).alias("mid"),
+        F.ceil(F.length(F.col(payload_col).cast("string")) / fb)
+        .cast("bigint")
+        .alias("n_frames"),
+    )
+    cuts = scene_change_plan(
+        media, frame_bytes, threshold_milli, id_col, payload_col
+    ).groupBy(F.col(id_col).alias("mid")).agg(
+        F.count(F.lit(1)).alias("n_cuts")
+    )
+    return (
+        frames.join(cuts, "mid", "left")
+        .select(
+            F.col("mid").alias(id_col),
+            "n_frames",
+            F.coalesce(F.col("n_cuts"), F.lit(0)).cast("bigint").alias("n_cuts"),
+        )
+        .withColumn("n_shots", (F.col("n_cuts") + 1).cast("bigint"))
+        .withColumn(
+            "mean_shot_frames_milli",
+            F.expr("n_frames * 1000 DIV n_shots"),
+        )
+        .orderBy(id_col)
+    )
+
+
+SHOT_STATS_SQL_TEMPLATE = """
+WITH cuts AS ({scene_sql}),
+per_media AS (
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_cuts FROM cuts
+    GROUP BY media_id
+),
+frames AS (
+    SELECT doc_id AS media_id,
+           CAST(CEIL(LENGTH(text) / {frame_bytes}.0) AS BIGINT) AS n_frames
+    FROM documents WHERE LENGTH(text) > 0
+)
+SELECT f.media_id, f.n_frames,
+       CAST(COALESCE(p.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(p.n_cuts, 0) + 1 AS BIGINT) AS n_shots,
+       CAST(f.n_frames * 1000 // (COALESCE(p.n_cuts, 0) + 1) AS BIGINT)
+           AS mean_shot_frames_milli
+FROM frames f LEFT JOIN per_media p ON f.media_id = p.media_id
+ORDER BY f.media_id
+"""

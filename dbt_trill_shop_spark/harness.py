@@ -75,6 +75,7 @@ from .ext.multimodal import (
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
     SCENE_CHANGE_SQL_TEMPLATE,
+    SHOT_STATS_SQL_TEMPLATE,
     PHASH_NEARDUP_SQL_TEMPLATE,
     PATCH_INTENSITY_SQL_TEMPLATE,
     audio_window_plan,
@@ -82,6 +83,7 @@ from .ext.multimodal import (
     patch_intensity_stats,
     perceptual_hash_neardup,
     scene_change_plan,
+    shot_stats,
     extract_features,
     frame_sample_plan,
     patch_grid_plan,
@@ -1066,6 +1068,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # weekly new vs returning decomposition (growth accounting)
+    "q_new_vs_returning": QuerySpec(A.new_vs_returning, A.NEW_VS_RETURNING_SQL),
     # WAU/MAU stickiness ratio per week (exact, dedup-first)
     "q_stickiness": QuerySpec(A.weekly_stickiness, A.WEEKLY_STICKINESS_SQL),
     # RFM quartile segmentation (deterministic NTILEs, exact means)
@@ -1237,6 +1241,20 @@ QUERIES: dict[str, QuerySpec] = {
             threshold_milli=4000,
         ),
         SCENE_CHANGE_SQL_TEMPLATE.format(frame_bytes=32, threshold_milli=4000),
+    ),
+    # per-media shot count/length stats from the scene cuts
+    "m_shot_stats": QuerySpec(
+        lambda spark, sf_dir: shot_stats(
+            docs_as_media(load_table(spark, sf_dir, "documents")),
+            frame_bytes=32,
+            threshold_milli=4000,
+        ),
+        SHOT_STATS_SQL_TEMPLATE.format(
+            scene_sql=SCENE_CHANGE_SQL_TEMPLATE.format(
+                frame_bytes=32, threshold_milli=4000
+            ),
+            frame_bytes=32,
+        ),
     ),
     # packed-batch position layout (attention-mask boundaries per bin)
     "x_pack_positions": QuerySpec(
@@ -2231,6 +2249,8 @@ _ROUND2_LATE = [
     "q_stickiness",
     "x_dup_cluster_sizes",
     "x_curation_pipeline_v2",
+    "q_new_vs_returning",
+    "m_shot_stats",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

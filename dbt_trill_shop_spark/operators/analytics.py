@@ -3897,3 +3897,55 @@ FROM wau w JOIN wk USING (week) JOIN mau m USING (month)
 GROUP BY w.week
 ORDER BY w.week
 """
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly audience decomposition into NEW (first-ever-active that week)
+    vs RETURNING users — the growth-accounting counterpart of
+    ``q_churn``.  One dedup to (user, week), one per-user min-week
+    aggregate joined back; exact ppm new-share."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                (F.col("week") == F.col("first_week")).cast("bigint")
+            ).alias("n_new"),
+        )
+        .select(
+            "week",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.col("n_new")).cast("bigint").alias(
+                "n_returning"
+            ),
+            F.expr("n_new * 1000000 DIV n_active").alias("new_share_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+first AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id)
+SELECT uw.week,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(COUNT(*) - SUM(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning,
+       CAST(SUM(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS new_share_ppm
+FROM uw JOIN first f USING (user_id)
+GROUP BY uw.week
+ORDER BY uw.week
+"""
