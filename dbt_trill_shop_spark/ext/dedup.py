@@ -1840,3 +1840,64 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY sz ORDER BY cluster_size
 """
+
+
+def band_bucket_balance(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Band-bucket occupancy audit for the MinHash LSH family: per band,
+    bucket count, largest-bucket share (ppm) and the candidate-pair mass
+    Σ c·(c−1)/2 — the number the banded self-join's shuffle cost actually
+    scales with.  This is the pre-flight that decides whether a
+    stop-bucket cap is needed (one boilerplate-heavy bucket can carry
+    quadratic pair mass while every histogram looks healthy).
+
+    One aggregation over the band-key relation; output is |bands| rows.
+    """
+    keys = minhash_band_keys_md5(
+        docs, text_col, id_col, num_hashes, bands, shingle_len
+    )
+    occ = keys.groupBy("bidx", "bk").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        occ.groupBy(F.col("bidx").cast("bigint").alias("bidx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("c").alias("n_docs"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias("pair_mass"),
+        )
+        .select(
+            "bidx",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("max_bucket").cast("bigint").alias("max_bucket"),
+            F.expr("max_bucket * 1000000 DIV n_docs").alias("max_share_ppm"),
+            F.col("pair_mass").cast("bigint").alias("pair_mass"),
+        )
+        .orderBy("bidx")
+    )
+
+
+def band_bucket_balance_sql(
+    num_hashes: int = 8, bands: int = 4, shingle_len: int = 3
+) -> str:
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len)
+    return f"""
+WITH {base},
+occ AS (
+    SELECT bidx, bk, CAST(COUNT(*) AS BIGINT) AS c
+    FROM banded GROUP BY bidx, bk
+)
+SELECT CAST(bidx AS BIGINT) AS bidx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS max_share_ppm,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pair_mass
+FROM occ GROUP BY bidx ORDER BY bidx
+"""

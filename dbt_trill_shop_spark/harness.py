@@ -43,6 +43,8 @@ from .ext.dedup import (
     boilerplate_strip,
     DUP_CLUSTER_SIZES_SQL_TEMPLATE,
     dup_cluster_size_histogram,
+    band_bucket_balance,
+    band_bucket_balance_sql,
     minhash_estimate_audit,
     minhash_estimate_audit_sql,
     ngram_novelty,
@@ -1905,6 +1907,13 @@ QUERIES: dict[str, QuerySpec] = {
             quality_sql=QUALITY_CLASSIFIER_SQL, n_buckets=4
         ),
     ),
+    # LSH band-bucket occupancy / pair-mass audit (stop-bucket pre-flight)
+    "x_band_balance": QuerySpec(
+        lambda spark, sf_dir: band_bucket_balance(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        band_bucket_balance_sql(shingle_len=_NGRAM_JACCARD_N),
+    ),
     # MinHash sketch-accuracy audit (estimate vs exact Jaccard per pair)
     "x_minhash_audit": QuerySpec(
         lambda spark, sf_dir: minhash_estimate_audit(
@@ -2251,6 +2260,7 @@ _ROUND2_LATE = [
     "x_curation_pipeline_v2",
     "q_new_vs_returning",
     "m_shot_stats",
+    "x_band_balance",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
