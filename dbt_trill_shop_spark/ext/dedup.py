@@ -1901,3 +1901,116 @@ SELECT CAST(bidx AS BIGINT) AS bidx,
        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pair_mass
 FROM occ GROUP BY bidx ORDER BY bidx
 """
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic submodular
+    curation objective): pick k documents that together cover the most
+    distinct corpus shingles — each step takes the document with the
+    largest MARGINAL gain over what's already covered (ties → smallest
+    id).  The lazy-greedy/facility-location shape used for "small
+    representative subset" selection; 1−1/e of optimal by submodularity.
+
+    Distributed loop bounded like kmeans/BPE: the shingle relation
+    computes ONCE (checkpointed); each step is one anti-join + count
+    aggregate with a 1-ROW collect (the argmax), and the covered set
+    grows by one doc's shingles (re-checkpointed so lineage stays flat).
+    Shingles ride as raw strings here for oracle transparency — hash them
+    at corpus scale.  Output: (step, doc_id, gain, covered_total).
+    """
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).localCheckpoint(
+        eager=True
+    )
+    spark = docs.sparkSession
+    covered = None
+    picks: list[tuple[int, int, int, int]] = []
+    total = 0
+    for step in range(1, k + 1):
+        remaining = sh if covered is None else sh.join(covered, "s", "left_anti")
+        if picks:
+            picked_ids = spark.createDataFrame(
+                [(p[1],) for p in picks], f"{id_col} long"
+            )
+            remaining = remaining.join(picked_ids, id_col, "left_anti")
+        top = (
+            remaining.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("g"))
+            .orderBy(F.desc("g"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0][0], top[0][1]
+        total += gain
+        picks.append((step, doc, gain, total))
+        new_cov = sh.filter(F.col(id_col) == doc).select("s")
+        covered = (
+            new_cov if covered is None else covered.union(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "step long, doc_id long, gain long, covered_total long"
+    )
+
+
+def coverage_select_sql(k: int = 5, shingle_len: int = 3) -> str:
+    """DuckDB oracle: the identical greedy argmax chained one CTE pair per
+    step (marginal-gain pick, covered-set growth)."""
+    parts = [
+        rf"""WITH sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, GREATEST(LEN(regexp_split_to_array(text, '\s+')) - {shingle_len}, 0) + 1),
+                   i -> array_to_string(regexp_split_to_array(text, '\s+')[i + 1 : i + {shingle_len}], ' ')
+               )) AS s
+        FROM documents
+    ) t WHERE s <> ''
+)"""
+    ]
+    prev_cov = None
+    picked: list[str] = []
+    for t in range(1, k + 1):
+        rem_filters = []
+        if prev_cov:
+            rem_filters.append(
+                f"NOT EXISTS (SELECT 1 FROM {prev_cov} c WHERE c.s = sh.s)"
+            )
+        if picked:
+            in_list = " UNION ALL ".join(
+                f"SELECT doc_id FROM p{i}" for i in range(1, t)
+            )
+            rem_filters.append(f"doc_id NOT IN (SELECT doc_id FROM ({in_list}))")
+        where = ("WHERE " + " AND ".join(rem_filters)) if rem_filters else ""
+        parts.append(
+            f""",
+p{t} AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+    FROM sh {where}
+    GROUP BY doc_id ORDER BY g DESC, doc_id ASC LIMIT 1
+),
+cov{t} AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id IN (SELECT doc_id FROM p{t})
+    {"UNION SELECT s FROM " + prev_cov if prev_cov else ""}
+)"""
+        )
+        prev_cov = f"cov{t}"
+        picked.append(f"p{t}")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, g AS gain FROM p{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+       CAST(SUM(gain) OVER (ORDER BY step ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS covered_total
+FROM ({sel})
+ORDER BY step"""
+    )
+    return "".join(parts)

@@ -45,6 +45,8 @@ from .ext.dedup import (
     dup_cluster_size_histogram,
     band_bucket_balance,
     band_bucket_balance_sql,
+    coverage_select,
+    coverage_select_sql,
     minhash_estimate_audit,
     minhash_estimate_audit_sql,
     ngram_novelty,
@@ -1907,6 +1909,14 @@ QUERIES: dict[str, QuerySpec] = {
             quality_sql=QUALITY_CLASSIFIER_SQL, n_buckets=4
         ),
     ),
+    # greedy submodular max-coverage selection (representative subset)
+    "x_coverage_select": QuerySpec(
+        lambda spark, sf_dir: coverage_select(
+            load_table(spark, sf_dir, "documents"), k=5,
+            shingle_len=_NGRAM_JACCARD_N,
+        ),
+        coverage_select_sql(k=5, shingle_len=_NGRAM_JACCARD_N),
+    ),
     # LSH band-bucket occupancy / pair-mass audit (stop-bucket pre-flight)
     "x_band_balance": QuerySpec(
         lambda spark, sf_dir: band_bucket_balance(
@@ -2261,6 +2271,7 @@ _ROUND2_LATE = [
     "q_new_vs_returning",
     "m_shot_stats",
     "x_band_balance",
+    "x_coverage_select",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

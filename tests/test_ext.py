@@ -1102,3 +1102,21 @@ def test_pca_power_recovers_planted_direction(spark):
             for r in similarity.pca_top_component(emb, n_iters=6).collect()}
     assert abs(comp[3]) == max(abs(v) for v in comp.values())
     assert comp[3] > 0  # sign fixed positive on the dominant component
+
+
+def test_coverage_select_greedy_property(spark):
+    """Greedy max-coverage on a planted corpus: the doc with the most
+    distinct shingles goes first; a pure subset of an earlier pick adds
+    zero gain and ranks last (or is skipped when gain ties at 0)."""
+    rows = [
+        (1, "a b c d e f g h"),            # 6 shingles, superset
+        (2, "a b c d"),                    # subset of 1 -> zero marginal
+        (3, "x y z w v u"),                # disjoint 4 shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.coverage_select(docs, k=3, shingle_len=3).collect()
+    assert [r["doc_id"] for r in out[:2]] == [1, 3]
+    assert out[0]["gain"] == 6 and out[1]["gain"] == 4
+    if len(out) > 2:
+        assert out[2]["doc_id"] == 2 and out[2]["gain"] == 0
+    assert out[-1]["covered_total"] == sum(r["gain"] for r in out)
