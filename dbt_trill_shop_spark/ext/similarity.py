@@ -2864,3 +2864,46 @@ FROM v{n_iters} CROSS JOIN sgn
 ORDER BY dim"""
     )
     return "".join(parts)
+
+
+def knn_hubness(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hubness audit of the directed kNN graph: the in-degree distribution
+    (how many nodes list each node among their top-k).  Out-degree is
+    constant k, but in high dimensions in-degree concentrates on hub
+    points — the pathology that silently biases kNN classification,
+    retrieval, and graph clustering (Radovanović et al. 2010).  Mass at
+    in-degree 0 (anti-hubs, never retrieved) is the complementary smell.
+    One groupBy over the k·N edge relation; output ≤ max-in-degree rows."""
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col)
+    indeg = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"))
+        .join(
+            edges.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("d")),
+            "neighbor_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("in_degree"))
+    )
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("in_degree")
+    )
+
+
+KNN_HUBNESS_SQL_TEMPLATE = (
+    "WITH " + _KNN_GRAPH_EDGES_CTE + """,
+indeg AS (
+    SELECT e.vec_id,
+           CAST(COALESCE(d.c, 0) AS BIGINT) AS in_degree
+    FROM (SELECT DISTINCT vec_id FROM embeddings) e
+    LEFT JOIN (SELECT neighbor_id, COUNT(*) AS c FROM edges GROUP BY 1) d
+      ON e.vec_id = d.neighbor_id
+)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM indeg GROUP BY in_degree ORDER BY in_degree
+"""
+)

@@ -166,6 +166,8 @@ from .ext.similarity import (
     kmeans_refine_sql,
     KNN_CLUSTERING_SQL_TEMPLATE,
     KNN_HOMOPHILY_SQL_TEMPLATE,
+    KNN_HUBNESS_SQL_TEMPLATE,
+    knn_hubness,
     KNN_MUTUAL_DEGREE_SQL_TEMPLATE,
     knn_clustering_coefficients,
     knn_graph_mutual_degree,
@@ -1582,6 +1584,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         KNN_HOMOPHILY_SQL_TEMPLATE.format(k=_KNN_K),
     ),
+    # in-degree hubness audit of the kNN graph (anti-hub/hub masses)
+    "x_knn_hubness": QuerySpec(
+        lambda spark, sf_dir: knn_hubness(
+            load_table(spark, sf_dir, "embeddings"), k=_KNN_K
+        ),
+        KNN_HUBNESS_SQL_TEMPLATE.format(k=_KNN_K),
+    ),
     # PageRank centrality on the kNN graph (exact int64 micro-ranks)
     "x_knn_pagerank": QuerySpec(
         lambda spark, sf_dir: knn_pagerank(
@@ -2272,6 +2281,7 @@ _ROUND2_LATE = [
     "m_shot_stats",
     "x_band_balance",
     "x_coverage_select",
+    "x_knn_hubness",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
