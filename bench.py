@@ -106,7 +106,8 @@ def main() -> None:
     # broadcast pools still filling); the reference pipeline's operating
     # point is the warm repeated-build a dbt deployment actually runs, and
     # min-of-2 removes the ±40% environment noise observed between whole
-    # bench invocations.  Per-query cold timings stay in `queries` verbatim.
+    # bench invocations.  The 7 models' entries in `queries` carry the same
+    # min-of-2 values the headline sums.
     for name in headline:
         if name not in timings:
             continue
