@@ -674,3 +674,57 @@ SELECT f.media_id, f.n_frames,
 FROM frames f LEFT JOIN per_media p ON f.media_id = p.media_id
 ORDER BY f.media_id
 """
+
+
+def flatness_stats(
+    media: DataFrame,
+    patch_bytes: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-media flatness/blur proxy: the variance of patch mean
+    intensities — flat or blurred media have near-identical patches
+    (variance → 0), textured content spreads them.  The cheap visual
+    quality gate an image-curation pass runs before any model scoring.
+
+    Composes :func:`patch_intensity_stats`; variance comes from exact
+    int64 sufficient sums over each media's patch means (n·Σx²−(Σx)²,
+    cross-multiplied — division-free until the final milli² output).
+    """
+    stats = patch_intensity_stats(media, patch_bytes, id_col, payload_col)
+    agg = stats.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mean_milli").alias("s"),
+        F.sum(F.col("mean_milli") * F.col("mean_milli")).alias("sq"),
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("n").cast("bigint").alias("n_patches"),
+            F.expr("s DIV n").cast("bigint").alias("mean_intensity_milli"),
+            F.expr("(n * sq - s * s) DIV (n * n)").cast("bigint").alias(
+                "variance_milli2"
+            ),
+            F.expr("(n * sq - s * s) DIV (n * n) < 1000").alias("is_flat"),
+        )
+        .orderBy(id_col)
+    )
+
+
+FLATNESS_SQL_TEMPLATE = """
+WITH patches AS ({patch_sql}),
+agg AS (
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(mean_milli) AS BIGINT) AS s,
+           CAST(SUM(mean_milli * mean_milli) AS BIGINT) AS sq
+    FROM patches GROUP BY media_id
+)
+SELECT media_id, n AS n_patches,
+       CAST(s // n AS BIGINT) AS mean_intensity_milli,
+       CAST((n * sq - s * s) // (n * n) AS BIGINT) AS variance_milli2,
+       (n * sq - s * s) // (n * n) < 1000 AS is_flat
+FROM agg
+WHERE n >= 2
+ORDER BY media_id
+"""

@@ -2433,3 +2433,62 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def stopword_discovery(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-driven stopword discovery: the ``top_k`` token types with the
+    highest document frequency — how the stop-shingle/stop-bucket lists
+    the dedup family depends on are actually BUILT (hand lists don't
+    transfer across domains or languages).  Reports df, df_ppm and mean
+    within-doc tf (milli) per candidate.
+
+    One explode → (token, doc) distinct → two rollups; the ranking window
+    sorts only the type relation.  Exact integers end-to-end.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    n_docs_rel = docs.agg(F.count(F.lit(1)).alias("nd"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    per_type = tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+    w_rank = Window.orderBy(F.desc("df"), F.asc("w"))
+    return (
+        per_type.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= top_k)
+        .crossJoin(F.broadcast(n_docs_rel))
+        .select(
+            F.col("rn").cast("bigint").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("df * 1000000 DIV nd").alias("df_ppm"),
+            F.expr("ttf * 1000 DIV df").alias("mean_tf_milli"),
+        )
+        .orderBy("rank")
+    )
+
+
+STOPWORD_DISCOVERY_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+per_type AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS ttf
+    FROM tf GROUP BY w
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, w ASC) AS rn FROM per_type
+)
+SELECT CAST(rn AS BIGINT) AS rank, w AS token, df,
+       CAST(df * 1000000 // nd AS BIGINT) AS df_ppm,
+       CAST(ttf * 1000 // df AS BIGINT) AS mean_tf_milli
+FROM ranked CROSS JOIN nd
+WHERE rn <= {top_k}
+ORDER BY rank
+"""

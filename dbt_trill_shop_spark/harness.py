@@ -78,6 +78,7 @@ from .ext.multimodal import (
     MEDIA_FEATURES_SQL,
     PATCH_GRID_SQL_TEMPLATE,
     RESIZE_PLAN_SQL,
+    FLATNESS_SQL_TEMPLATE,
     SCENE_CHANGE_SQL_TEMPLATE,
     SHOT_STATS_SQL_TEMPLATE,
     PHASH_NEARDUP_SQL_TEMPLATE,
@@ -86,6 +87,7 @@ from .ext.multimodal import (
     docs_as_media,
     patch_intensity_stats,
     perceptual_hash_neardup,
+    flatness_stats,
     scene_change_plan,
     shot_stats,
     extract_features,
@@ -252,7 +254,9 @@ from .ext.textstats import (
     SOURCE_ENTROPY_SQL,
     ADAPTIVE_QUALITY_SQL_TEMPLATE,
     BLOCKLIST_FILTER_SQL,
+    STOPWORD_DISCOVERY_SQL_TEMPLATE,
     TEXT_TILING_SQL_TEMPLATE,
+    stopword_discovery,
     blocklist_filter,
     adaptive_quality_cut,
     text_tiling,
@@ -1248,6 +1252,15 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         SCENE_CHANGE_SQL_TEMPLATE.format(frame_bytes=32, threshold_milli=4000),
     ),
+    # patch-variance flatness/blur proxy (visual quality gate)
+    "m_flatness": QuerySpec(
+        lambda spark, sf_dir: flatness_stats(
+            docs_as_media(load_table(spark, sf_dir, "documents")), patch_bytes=64
+        ),
+        FLATNESS_SQL_TEMPLATE.format(
+            patch_sql=PATCH_INTENSITY_SQL_TEMPLATE.format(patch_bytes=64)
+        ),
+    ),
     # per-media shot count/length stats from the scene cuts
     "m_shot_stats": QuerySpec(
         lambda spark, sf_dir: shot_stats(
@@ -1372,6 +1385,11 @@ QUERIES: dict[str, QuerySpec] = {
     "x_curation_pipeline_v2": QuerySpec(
         _docs_q(curation_pipeline_v2),
         curation_pipeline_v2_sql(QUALITY_CLASSIFIER_SQL, BLOCKLIST_FILTER_SQL),
+    ),
+    # corpus-driven stopword discovery (top-df types -> stop lists)
+    "x_stopword_discovery": QuerySpec(
+        _docs_q(lambda d: stopword_discovery(d, top_k=20)),
+        STOPWORD_DISCOVERY_SQL_TEMPLATE.format(top_k=20),
     ),
     # lexicon blocklist screen (C4-style, per-category hit counts)
     "x_blocklist_filter": QuerySpec(_docs_q(blocklist_filter), BLOCKLIST_FILTER_SQL),
@@ -2282,6 +2300,8 @@ _ROUND2_LATE = [
     "x_band_balance",
     "x_coverage_select",
     "x_knn_hubness",
+    "x_stopword_discovery",
+    "m_flatness",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
