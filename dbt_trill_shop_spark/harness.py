@@ -1078,6 +1078,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # weekly cart-abandonment rate (clicking sessions with no purchase)
+    "q_cart_abandonment": QuerySpec(A.cart_abandonment, A.CART_ABANDONMENT_SQL),
     # weekly new vs returning decomposition (growth accounting)
     "q_new_vs_returning": QuerySpec(A.new_vs_returning, A.NEW_VS_RETURNING_SQL),
     # WAU/MAU stickiness ratio per week (exact, dedup-first)
@@ -2302,6 +2304,7 @@ _ROUND2_LATE = [
     "x_knn_hubness",
     "x_stopword_discovery",
     "m_flatness",
+    "q_cart_abandonment",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -3949,3 +3949,88 @@ FROM uw JOIN first f USING (user_id)
 GROUP BY uw.week
 ORDER BY uw.week
 """
+
+
+def cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cart-abandonment rate: sessions (30-min gaps) that CLICK but
+    never PURCHASE, as a share of clicking sessions — the conversion-leak
+    dashboard number.  Reuses the sessionizer's two-window shape (lag →
+    running sum, user-keyed), carries event_type through, and reduces each
+    session to two flags before the weekly rollup; abandonment is exact
+    ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("week"),
+        F.max((F.col("event_type") == "click").cast("bigint")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("bigint")).alias("purchased"),
+    )
+    return (
+        per_session.filter(F.col("clicked") == 1)
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_click_sessions"),
+            F.sum(1 - F.col("purchased")).alias("n_abandoned"),
+        )
+        .select(
+            "week",
+            F.col("n_click_sessions").cast("bigint").alias("n_click_sessions"),
+            F.col("n_abandoned").cast("bigint").alias("n_abandoned"),
+            F.expr("n_abandoned * 1000000 DIV n_click_sessions").alias(
+                "abandonment_ppm"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+CART_ABANDONMENT_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > {SESSION_GAP_MINUTES} * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_id,
+           CAST(date_trunc('week', MIN(ts)) AS DATE) AS week,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+    FROM sessioned GROUP BY user_id, session_id
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_click_sessions,
+       CAST(SUM(1 - purchased) AS BIGINT) AS n_abandoned,
+       CAST(SUM(1 - purchased) * 1000000 // COUNT(*) AS BIGINT)
+           AS abandonment_ppm
+FROM per_session WHERE clicked = 1
+GROUP BY week
+ORDER BY week
+"""
