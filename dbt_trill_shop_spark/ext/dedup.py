@@ -2014,3 +2014,103 @@ FROM ({sel})
 ORDER BY step"""
     )
     return "".join(parts)
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """IDF-weighted Jaccard over shingles: similarity where RARE shared
+    shingles count more than boilerplate ones —
+    J_w = Σ_{common} idf(s) / (W_a + W_b − Σ_{common} idf(s)), the
+    weighted refinement that keeps template-heavy domains from flooding
+    the near-dup candidate set (the exact-family twin of stop-shingle
+    filtering: instead of DROPPING hot shingles, down-weight them).
+
+    idf(s) = ln(N/df) rounded to int64 micro-nats (the LM-family
+    determinism recipe), per-doc total weights are one rollup, and pairs
+    come from the common-shingle join — never all-pairs.  Every column
+    is exact integer, so even the weighted similarity is hash-checkable.
+    """
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).localCheckpoint(
+        eager=True
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    idf = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "s",
+            F.expr(
+                "CAST(ROUND(LN(CAST(nd AS DOUBLE) / df) * 1000000, 0) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    weighted = sh.join(idf, "s").localCheckpoint(eager=True)
+    totals = weighted.groupBy(id_col).agg(F.sum("w").alias("tw"))
+    common = (
+        weighted.select(F.col(id_col).alias("id_a"), "s", F.col("w").alias("wa"))
+        .join(
+            weighted.select(F.col(id_col).alias("id_b"), "s"),
+            "s",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("wa").alias("cw"))
+    )
+    return (
+        common.join(
+            totals.select(F.col(id_col).alias("id_a"), F.col("tw").alias("ta")),
+            "id_a",
+        )
+        .join(
+            totals.select(F.col(id_col).alias("id_b"), F.col("tw").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cw").cast("bigint").alias("common_weight_micro"),
+            F.expr("cw * 1000000 DIV (ta + tb - cw)").alias("wjaccard_ppm"),
+        )
+        .filter(F.col("wjaccard_ppm") >= threshold_ppm)
+        .orderBy("id_a", "id_b")
+    )
+
+
+WEIGHTED_JACCARD_SQL_TEMPLATE = r"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, GREATEST(LEN(regexp_split_to_array(text, '\s+')) - {n}, 0) + 1),
+                   i -> array_to_string(regexp_split_to_array(text, '\s+')[i + 1 : i + {n}], ' ')
+               )) AS s
+        FROM documents
+    ) t WHERE s <> ''
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+idf AS (
+    SELECT s, CAST(ROUND(LN(CAST(nd AS DOUBLE) / COUNT(*)) * 1000000, 0) AS BIGINT)
+               AS w
+    FROM sh CROSS JOIN nd GROUP BY s, nd
+),
+weighted AS (SELECT sh.doc_id, sh.s, idf.w FROM sh JOIN idf USING (s)),
+totals AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM weighted GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w) AS BIGINT) AS cw
+    FROM weighted a JOIN weighted b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, c.cw AS common_weight_micro,
+       CAST(c.cw * 1000000 // (ta.tw + tb.tw - c.cw) AS BIGINT) AS wjaccard_ppm
+FROM common c
+JOIN totals ta ON ta.doc_id = c.id_a
+JOIN totals tb ON tb.doc_id = c.id_b
+WHERE c.cw * 1000000 // (ta.tw + tb.tw - c.cw) >= {threshold_ppm}
+ORDER BY c.id_a, c.id_b
+"""

@@ -43,8 +43,10 @@ from .ext.dedup import (
     boilerplate_strip,
     DUP_CLUSTER_SIZES_SQL_TEMPLATE,
     dup_cluster_size_histogram,
+    WEIGHTED_JACCARD_SQL_TEMPLATE,
     band_bucket_balance,
     band_bucket_balance_sql,
+    weighted_jaccard_pairs,
     coverage_select,
     coverage_select_sql,
     minhash_estimate_audit,
@@ -1946,6 +1948,15 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         coverage_select_sql(k=5, shingle_len=_NGRAM_JACCARD_N),
     ),
+    # IDF-weighted Jaccard (rare shared shingles count more)
+    "x_weighted_jaccard": QuerySpec(
+        lambda spark, sf_dir: weighted_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        WEIGHTED_JACCARD_SQL_TEMPLATE.format(
+            n=_NGRAM_JACCARD_N, threshold_ppm=300000
+        ),
+    ),
     # LSH band-bucket occupancy / pair-mass audit (stop-bucket pre-flight)
     "x_band_balance": QuerySpec(
         lambda spark, sf_dir: band_bucket_balance(
@@ -2305,6 +2316,7 @@ _ROUND2_LATE = [
     "x_stopword_discovery",
     "m_flatness",
     "q_cart_abandonment",
+    "x_weighted_jaccard",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
