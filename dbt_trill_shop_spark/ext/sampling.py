@@ -821,3 +821,52 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket ASC,
 FROM bucketed
 ORDER BY rank
 """
+
+
+def pack_efficiency(
+    docs: DataFrame, capacity: int, token_col: str = "n_tokens",
+    id_col: str = "doc_id", part_col: str | None = "source",
+) -> DataFrame:
+    """Packing-efficiency audit of :func:`pack_documents`: bins bucketed by
+    utilization decile (fill/capacity) with bin/doc/token mass per bucket —
+    the number that decides whether the one-pass start-offset binning is
+    good enough or a sort-by-length pre-pass is worth its shuffle (low
+    fill = padding waste = wasted FLOPs at training time)."""
+    packed = pack_documents(docs, capacity, token_col, id_col, part_col)
+    keys = ["bin_id"] + ([part_col] if part_col else [])
+    per_bin = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("packed_tokens").alias("fill"),
+    )
+    util = F.expr(f"LEAST(9, fill * 10 DIV {capacity})")
+    return (
+        per_bin.groupBy(util.cast("bigint").alias("util_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("fill").alias("tokens"),
+        )
+        .select(
+            "util_decile",
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy("util_decile")
+    )
+
+
+PACK_EFFICIENCY_SQL_TEMPLATE = """
+WITH packed AS ({pack_sql}),
+per_bin AS (
+    SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(packed_tokens) AS BIGINT) AS fill
+    FROM packed GROUP BY source, bin_id
+)
+SELECT CAST(LEAST(9, fill * 10 // {capacity}) AS BIGINT) AS util_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(fill) AS BIGINT) AS tokens
+FROM per_bin
+GROUP BY 1 ORDER BY util_decile
+"""

@@ -114,6 +114,8 @@ from .ext.sampling import (
     training_order,
     MIXTURE_PLAN_SQL_TEMPLATE,
     PACK_DOCUMENTS_SQL_TEMPLATE,
+    PACK_EFFICIENCY_SQL_TEMPLATE,
+    pack_efficiency,
     SOURCE_CAPS_SQL_TEMPLATE,
     STRATIFIED_EXACT_N_SQL_TEMPLATE,
     TEMPERATURE_MIXTURE_SQL_TEMPLATE,
@@ -1080,6 +1082,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # Lorenz value-concentration curve in deciles (Gini's curve itself)
+    "q_lorenz_curve": QuerySpec(A.lorenz_curve, A.LORENZ_CURVE_SQL),
     # weekly cart-abandonment rate (clicking sessions with no purchase)
     "q_cart_abandonment": QuerySpec(A.cart_abandonment, A.CART_ABANDONMENT_SQL),
     # weekly new vs returning decomposition (growth accounting)
@@ -1891,6 +1895,21 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold=_NGRAM_JACCARD_THRESHOLD, max_doc_freq=50
         ),
     ),
+    # packing-efficiency audit (bin utilization deciles, padding waste)
+    "x_pack_efficiency": QuerySpec(
+        lambda spark, sf_dir: pack_efficiency(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            ),
+            capacity=512,
+        ),
+        PACK_EFFICIENCY_SQL_TEMPLATE.format(
+            pack_sql=PACK_DOCUMENTS_SQL_TEMPLATE.format(capacity=512),
+            capacity=512,
+        ),
+    ),
     "x_pack_documents": QuerySpec(
         lambda spark, sf_dir: pack_documents(
             load_table(spark, sf_dir, "documents").select(
@@ -2317,6 +2336,8 @@ _ROUND2_LATE = [
     "m_flatness",
     "q_cart_abandonment",
     "x_weighted_jaccard",
+    "q_lorenz_curve",
+    "x_pack_efficiency",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

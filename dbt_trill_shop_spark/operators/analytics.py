@@ -4034,3 +4034,58 @@ FROM per_session WHERE clicked = 1
 GROUP BY week
 ORDER BY week
 """
+
+
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-user event value in deciles: each decile's share
+    of users vs its cumulative share of total value — the curve whose area
+    gap ``q_gini`` summarizes (and the 80/20 readout product teams quote).
+    One user aggregate, one NTILE sort (value, user_id total order), exact
+    ppm shares."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    deciled = per_user.select(
+        "x", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    tot = deciled.agg(F.sum("x").alias("tx"))
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("dx")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .withColumn("cum_x", F.sum("dx").over(wc))
+        .select(
+            "decile",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("dx").cast("bigint").alias("value_cents"),
+            F.expr("dx * 1000000 DIV tx").alias("share_ppm"),
+            F.expr("cum_x * 1000000 DIV tx").alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+LORENZ_CURVE_SQL = """
+WITH per_user AS (
+    SELECT user_id, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+    FROM events GROUP BY user_id
+),
+deciled AS (
+    SELECT x, CAST(NTILE(10) OVER (ORDER BY x, user_id) AS BIGINT) AS decile
+    FROM per_user
+),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tx FROM deciled),
+per_dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS dx
+    FROM deciled GROUP BY decile
+)
+SELECT decile, n AS n_users, dx AS value_cents,
+       CAST(dx * 1000000 // tx AS BIGINT) AS share_ppm,
+       CAST(CAST(SUM(dx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) * 1000000 // tx AS BIGINT) AS cum_share_ppm
+FROM per_dec CROSS JOIN tot
+ORDER BY decile
+"""
