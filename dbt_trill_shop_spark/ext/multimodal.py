@@ -728,3 +728,63 @@ FROM agg
 WHERE n >= 2
 ORDER BY media_id
 """
+
+
+def vad_segments(
+    media: DataFrame,
+    patch_bytes: int = 64,
+    threshold_milli: int = 100_000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-threshold activity segmentation (the VAD shape): frames whose
+    mean intensity clears the threshold merge into contiguous ACTIVE
+    segments via gaps-and-islands (``frame − row_number`` grouping) — the
+    speech/silence splitter an ASR ingestion pass runs before windowing,
+    here over the payload stand-in energy like the other media ops.
+
+    One narrow frame pass (patch stats) + one user-keyed island window;
+    output is (media, segment) spans with start/end frame and length.
+    """
+    stats = patch_intensity_stats(media, patch_bytes, id_col, payload_col)
+    active = stats.filter(F.col("mean_milli") >= threshold_milli)
+    w = Window.partitionBy(id_col).orderBy("patch_id")
+    islands = active.withColumn(
+        "grp", F.col("patch_id") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("patch_id").alias("start_frame"),
+            F.max("patch_id").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select(
+            id_col,
+            F.col("start_frame").cast("bigint").alias("start_frame"),
+            F.col("end_frame").cast("bigint").alias("end_frame"),
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+        )
+        .orderBy(id_col, "start_frame")
+    )
+
+
+VAD_SEGMENTS_SQL_TEMPLATE = """
+WITH stats AS ({patch_sql}),
+active AS (
+    SELECT media_id, patch_id FROM stats WHERE mean_milli >= {threshold_milli}
+),
+islands AS (
+    SELECT media_id, patch_id,
+           patch_id - ROW_NUMBER() OVER (PARTITION BY media_id
+                                         ORDER BY patch_id) AS grp
+    FROM active
+)
+SELECT media_id,
+       CAST(MIN(patch_id) AS BIGINT) AS start_frame,
+       CAST(MAX(patch_id) AS BIGINT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM islands
+GROUP BY media_id, grp
+ORDER BY media_id, start_frame
+"""

@@ -82,6 +82,7 @@ from .ext.multimodal import (
     RESIZE_PLAN_SQL,
     FLATNESS_SQL_TEMPLATE,
     SCENE_CHANGE_SQL_TEMPLATE,
+    VAD_SEGMENTS_SQL_TEMPLATE,
     SHOT_STATS_SQL_TEMPLATE,
     PHASH_NEARDUP_SQL_TEMPLATE,
     PATCH_INTENSITY_SQL_TEMPLATE,
@@ -91,6 +92,7 @@ from .ext.multimodal import (
     perceptual_hash_neardup,
     flatness_stats,
     scene_change_plan,
+    vad_segments,
     shot_stats,
     extract_features,
     frame_sample_plan,
@@ -1260,6 +1262,18 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         SCENE_CHANGE_SQL_TEMPLATE.format(frame_bytes=32, threshold_milli=4000),
     ),
+    # energy-threshold activity segments (VAD gaps-and-islands merge)
+    "m_vad_segments": QuerySpec(
+        lambda spark, sf_dir: vad_segments(
+            docs_as_media(load_table(spark, sf_dir, "documents")),
+            patch_bytes=64,
+            threshold_milli=100000,
+        ),
+        VAD_SEGMENTS_SQL_TEMPLATE.format(
+            patch_sql=PATCH_INTENSITY_SQL_TEMPLATE.format(patch_bytes=64),
+            threshold_milli=100000,
+        ),
+    ),
     # patch-variance flatness/blur proxy (visual quality gate)
     "m_flatness": QuerySpec(
         lambda spark, sf_dir: flatness_stats(
@@ -2338,6 +2352,7 @@ _ROUND2_LATE = [
     "x_weighted_jaccard",
     "q_lorenz_curve",
     "x_pack_efficiency",
+    "m_vad_segments",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
