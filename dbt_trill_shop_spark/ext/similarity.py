@@ -2907,3 +2907,118 @@ SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM indeg GROUP BY in_degree ORDER BY in_degree
 """
 )
+
+
+def class_separation(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding class-separation matrix: off-diagonal cells hold the L2
+    distance between label centroids, the diagonal holds each label's mean
+    point-to-centroid distance (intra-class spread) — the Fisher-style
+    separability readout (centroid gaps ≫ spreads = linearly separable
+    classes; the matrix version of what ``x_knn_homophily`` measures
+    locally).
+
+    Centroids are per-(label, dim) integer-milli means (offset division so
+    both engines floor identically); all distances are exact int64
+    micro²-unit sums with ONE sqrt each at the end (6 dp).  Shapes: one
+    corpus pass for centroids, one for spreads, |labels|² broadcast join
+    for the gaps.
+    """
+    vm = embeddings.select(
+        F.col(label_col).cast("bigint").alias("lab"),
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    ).select(
+        "lab",
+        id_col,
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1000, 0).cast("bigint").alias("xm"),
+    )
+    cent = vm.groupBy("lab", "dim").agg(
+        F.expr(
+            "CAST((SUM(xm) + 10000 * COUNT(*)) DIV COUNT(*) - 10000 AS BIGINT)"
+        ).alias("c")
+    ).localCheckpoint(eager=True)
+    # off-diagonal: centroid-to-centroid L2 (micro = milli² sums)
+    gaps = (
+        cent.select(F.col("lab").alias("label_a"), "dim", F.col("c").alias("ca"))
+        .join(
+            cent.select(F.col("lab").alias("label_b"), "dim", F.col("c").alias("cb")),
+            "dim",
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("d2"))
+    )
+    # diagonal: mean point-to-own-centroid distance (per-point sqrt summed
+    # as micro ints, then integer mean)
+    pd2 = (
+        vm.join(cent, ["lab", "dim"])
+        .groupBy("lab", id_col)
+        .agg(F.sum((F.col("xm") - F.col("c")) * (F.col("xm") - F.col("c"))).alias("d2"))
+        .select(
+            "lab",
+            F.expr("CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 0) AS BIGINT)").alias(
+                "d_milli"
+            ),
+        )
+    )
+    diag = pd2.groupBy("lab").agg(
+        F.expr("CAST(SUM(d_milli) DIV COUNT(*) AS BIGINT)").alias("v")
+    ).select(
+        F.col("lab").alias("label_a"), F.col("lab").alias("label_b"), "v"
+    )
+    off = gaps.select(
+        "label_a",
+        "label_b",
+        F.expr("CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 0) AS BIGINT)").alias("v"),
+    )
+    return (
+        off.union(diag)
+        .select("label_a", "label_b", F.col("v").alias("dist_milli"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+CLASS_SEPARATION_SQL = """
+WITH vm AS (
+    SELECT CAST(label AS BIGINT) AS lab, vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) AS xm
+    FROM (SELECT label, vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+cent AS (
+    SELECT lab, dim,
+           CAST((SUM(xm) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS BIGINT) AS c
+    FROM vm GROUP BY lab, dim
+),
+gaps AS (
+    SELECT a.lab AS label_a, b.lab AS label_b,
+           CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.lab != b.lab
+    GROUP BY a.lab, b.lab
+),
+pd2 AS (
+    SELECT vm.lab, vm.vec_id,
+           CAST(ROUND(SQRT(CAST(SUM((vm.xm - c.c) * (vm.xm - c.c)) AS DOUBLE)), 0)
+                AS BIGINT) AS d_milli
+    FROM vm JOIN cent c ON vm.lab = c.lab AND vm.dim = c.dim
+    GROUP BY vm.lab, vm.vec_id
+),
+diag AS (
+    SELECT lab AS label_a, lab AS label_b,
+           CAST(SUM(d_milli) // COUNT(*) AS BIGINT) AS v
+    FROM pd2 GROUP BY lab
+),
+offd AS (
+    SELECT label_a, label_b,
+           CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 0) AS BIGINT) AS v
+    FROM gaps
+)
+SELECT label_a, label_b, v AS dist_milli
+FROM (SELECT * FROM offd UNION ALL SELECT * FROM diag)
+ORDER BY label_a, label_b
+"""

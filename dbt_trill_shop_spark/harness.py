@@ -188,6 +188,8 @@ from .ext.similarity import (
     knn_bfs_sql,
     pca_top_component,
     pca_top_component_sql,
+    CLASS_SEPARATION_SQL,
+    class_separation,
     retrieval_eval,
     retrieval_eval_sql,
     l2_topk_exact,
@@ -1654,6 +1656,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
+    # class-separation matrix (centroid gaps vs intra-class spread)
+    "x_class_separation": QuerySpec(
+        lambda spark, sf_dir: class_separation(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        CLASS_SEPARATION_SQL,
+    ),
     # top principal component by integer power iteration (exact eigenvector)
     "x_pca_power": QuerySpec(
         lambda spark, sf_dir: pca_top_component(
@@ -2353,6 +2362,7 @@ _ROUND2_LATE = [
     "q_lorenz_curve",
     "x_pack_efficiency",
     "m_vad_segments",
+    "x_class_separation",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
