@@ -1086,6 +1086,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # hour x weekday activity punchcard (portable weekday ids)
+    "q_punchcard": QuerySpec(A.activity_punchcard, A.PUNCHCARD_SQL),
     # Lorenz value-concentration curve in deciles (Gini's curve itself)
     "q_lorenz_curve": QuerySpec(A.lorenz_curve, A.LORENZ_CURVE_SQL),
     # weekly cart-abandonment rate (clicking sessions with no purchase)
@@ -2363,6 +2365,7 @@ _ROUND2_LATE = [
     "x_pack_efficiency",
     "m_vad_segments",
     "x_class_separation",
+    "q_punchcard",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -4089,3 +4089,44 @@ SELECT decile, n AS n_users, dx AS value_cents,
 FROM per_dec CROSS JOIN tot
 ORDER BY decile
 """
+
+
+def activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × weekday activity punchcard — the classic engagement heatmap.
+    Portable weekday ids (anchor-date modular arithmetic, the
+    ``q_seasonality`` trick — Spark and DuckDB number dayofweek
+    differently); one low-cardinality rollup, exact ppm of total."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
+    ).cast("bigint")
+    cells = ev.groupBy(
+        dow.alias("dow"), F.hour("ts").cast("bigint").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr("n * 1000000 DIV t").alias("share_ppm"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+PUNCHCARD_SQL = """
+WITH cells AS (
+    SELECT CAST(((date_diff('day', DATE '2024-01-07', CAST(ts AS DATE))) % 7
+                 + 7) % 7 AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells)
+SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+       CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+"""

@@ -1120,3 +1120,36 @@ def test_coverage_select_greedy_property(spark):
     if len(out) > 2:
         assert out[2]["doc_id"] == 2 and out[2]["gain"] == 0
     assert out[-1]["covered_total"] == sum(r["gain"] for r in out)
+
+
+def test_vad_segments_planted_islands(spark):
+    """High-energy runs separated by silence must merge into exactly the
+    planted segments."""
+    # patches of 4 bytes: 'zzzz'≈122k milli energy, '    '≈32k
+    text = "zzzz" + "    " + "zzzz" + "zzzz" + "    "
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = multimodal.docs_as_media(docs)
+    out = multimodal.vad_segments(media, patch_bytes=4, threshold_milli=100_000).collect()
+    assert [(r["start_frame"], r["end_frame"], r["n_frames"]) for r in out] == [
+        (0, 0, 1),
+        (2, 3, 2),
+    ]
+
+
+def test_weighted_jaccard_downweights_common_shingles(spark):
+    """Two docs sharing only a boilerplate shingle (present in every doc)
+    score far lower than two sharing a rare one of equal count."""
+    rows = [
+        (1, "common phrase here rare gem one"),
+        (2, "common phrase here rare gem one"),
+        (3, "common phrase here totally different text"),
+        (4, "common phrase here another unrelated thing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["wjaccard_ppm"]
+           for r in dedup.weighted_jaccard_pairs(docs, shingle_len=3,
+                                                 threshold_ppm=0).collect()}
+    # identical docs: weighted jaccard = 1
+    assert out[(1, 2)] == 1_000_000
+    # docs sharing only the ubiquitous prefix shingle: near zero
+    assert out.get((3, 4), 0) < 200_000
