@@ -1086,6 +1086,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # A/B minimum-detectable-effect power analysis (80% power literals)
+    "q_ab_power": QuerySpec(A.ab_power_analysis, A.AB_POWER_SQL),
     # hour x weekday activity punchcard (portable weekday ids)
     "q_punchcard": QuerySpec(A.activity_punchcard, A.PUNCHCARD_SQL),
     # Lorenz value-concentration curve in deciles (Gini's curve itself)
@@ -2366,6 +2368,7 @@ _ROUND2_LATE = [
     "m_vad_segments",
     "x_class_separation",
     "q_punchcard",
+    "q_ab_power",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

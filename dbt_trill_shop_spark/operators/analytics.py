@@ -4130,3 +4130,65 @@ SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
 FROM cells CROSS JOIN tot
 ORDER BY dow, hour
 """
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the weekend/weekday purchase-rate
+    experiment at 80% power / 95% confidence — the pre-registration
+    companion to ``q_ab_ztest`` (is the experiment even big enough to see
+    the effect you care about?).  MDE = (z_α/2 + z_β)·√(p(1−p)(1/n₁+1/n₂))
+    with the z literals frozen; counts and the pooled rate are exact
+    integers, the MDE is one fixed float expression rounded to ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    dow_id = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
+    )
+    grp = dow_id.isin(0, 6).cast("bigint").alias("is_weekend")
+    conv = (F.col("event_type") == "purchase").cast("bigint")
+    wide = (
+        ev.select(grp, conv.alias("c"))
+        .groupBy("is_weekend")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("is_weekend") == 1, F.col("n"))).alias("n1"),
+            F.sum(F.when(F.col("is_weekend") == 0, F.col("n"))).alias("n2"),
+            F.sum("x").alias("xt"),
+            F.sum("n").alias("nt"),
+        )
+    )
+    mde = (
+        "ROUND((1.96 + 0.8416) * SQRT((CAST(xt AS DOUBLE) / nt) "
+        "* (1.0 - CAST(xt AS DOUBLE) / nt) "
+        "* (1.0 / n1 + 1.0 / n2)) * 1000000, 0)"
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.expr("xt * 1000000 DIV nt").alias("pooled_rate_ppm"),
+        F.expr(f"CAST({mde} AS BIGINT)").alias("mde_ppm"),
+    )
+
+
+AB_POWER_SQL = """
+WITH counts AS (
+    SELECT CASE WHEN ((date_diff('day', DATE '2024-01-07', CAST(ts AS DATE)))
+                       % 7 + 7) % 7 IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+wide AS (
+    SELECT CAST(SUM(CASE WHEN is_weekend = 1 THEN n END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN is_weekend = 0 THEN n END) AS BIGINT) AS n2,
+           CAST(SUM(x) AS BIGINT) AS xt,
+           CAST(SUM(n) AS BIGINT) AS nt
+    FROM counts
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       CAST(xt * 1000000 // nt AS BIGINT) AS pooled_rate_ppm,
+       CAST(ROUND((1.96 + 0.8416) * SQRT((CAST(xt AS DOUBLE) / nt)
+            * (1.0 - CAST(xt AS DOUBLE) / nt)
+            * (1.0 / n1 + 1.0 / n2)) * 1000000, 0) AS BIGINT) AS mde_ppm
+FROM wide
+"""
