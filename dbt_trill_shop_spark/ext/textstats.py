@@ -2492,3 +2492,81 @@ FROM ranked CROSS JOIN nd
 WHERE rn <= {top_k}
 ORDER BY rank
 """
+
+
+def bm25_source_precision(
+    docs: DataFrame, n_queries: int = 3, q_terms: int = 5, k: int = 10
+) -> DataFrame:
+    """Precision@k of BM25 under source-match pseudo-relevance: a hit is
+    relevant when it comes from the SAME source as the query document —
+    the zero-annotation IR eval (same trick as ``x_retrieval_ndcg``'s
+    label relevance, applied to the lexical stack).  Per query: hits,
+    relevant hits, precision ppm, and the corpus base rate of the query's
+    source for lift context.  Composes the one-plan BM25; the eval itself
+    touches only k rows per query plus one tiny source rollup."""
+    hits = bm25_search(docs, n_queries=n_queries, q_terms=q_terms, k=k)
+    src = docs.select("doc_id", "source")
+    q_src = src.select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")
+    )
+    h_src = src.select(
+        F.col("doc_id").alias("hit_id"), F.col("source").alias("h_source")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    src_sizes = src.groupBy("source").agg(F.count(F.lit(1)).alias("ss"))
+    scored = (
+        hits.join(F.broadcast(q_src), "query_id")
+        .join(F.broadcast(h_src), "hit_id")
+        .groupBy("query_id", "q_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(
+                (F.col("q_source") == F.col("h_source")).cast("bigint")
+            ).alias("n_relevant"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(src_sizes.withColumnRenamed("source", "q_source")),
+            "q_source",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+            F.expr("n_relevant * 1000000 DIV n_hits").alias("precision_ppm"),
+            F.expr("ss * 1000000 DIV nd").alias("base_rate_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def bm25_source_precision_sql(
+    n_queries: int = 3, q_terms: int = 5, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    base = BM25_SEARCH_SQL_TEMPLATE.format(
+        n_queries=n_queries, q_terms=q_terms, k=k, k1=k1, b=b
+    )
+    return f"""
+WITH hits AS ({base}),
+srcs AS (SELECT doc_id, source FROM documents),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+ssz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ss FROM srcs GROUP BY source),
+scored AS (
+    SELECT h.query_id, q.source AS q_source,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN q.source = d.source THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant
+    FROM hits h
+    JOIN srcs q ON h.query_id = q.doc_id
+    JOIN srcs d ON h.hit_id = d.doc_id
+    GROUP BY h.query_id, q.source
+)
+SELECT s.query_id, s.n_hits, s.n_relevant,
+       CAST(s.n_relevant * 1000000 // s.n_hits AS BIGINT) AS precision_ppm,
+       CAST(z.ss * 1000000 // nd.nd AS BIGINT) AS base_rate_ppm
+FROM scored s JOIN ssz z ON s.q_source = z.source CROSS JOIN nd
+ORDER BY s.query_id
+"""

@@ -264,6 +264,8 @@ from .ext.textstats import (
     BLOCKLIST_FILTER_SQL,
     STOPWORD_DISCOVERY_SQL_TEMPLATE,
     TEXT_TILING_SQL_TEMPLATE,
+    bm25_source_precision,
+    bm25_source_precision_sql,
     stopword_discovery,
     blocklist_filter,
     adaptive_quality_cut,
@@ -1414,6 +1416,11 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(curation_pipeline_v2),
         curation_pipeline_v2_sql(QUALITY_CLASSIFIER_SQL, BLOCKLIST_FILTER_SQL),
     ),
+    # BM25 precision@k under source-match pseudo-relevance (IR eval)
+    "x_bm25_precision": QuerySpec(
+        _docs_q(lambda d: bm25_source_precision(d, n_queries=3, q_terms=5, k=10)),
+        bm25_source_precision_sql(n_queries=3, q_terms=5, k=10),
+    ),
     # corpus-driven stopword discovery (top-df types -> stop lists)
     "x_stopword_discovery": QuerySpec(
         _docs_q(lambda d: stopword_discovery(d, top_k=20)),
@@ -2369,6 +2376,7 @@ _ROUND2_LATE = [
     "x_class_separation",
     "q_punchcard",
     "q_ab_power",
+    "x_bm25_precision",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
