@@ -1088,6 +1088,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # Tukey IQR outlier days (x8 integer fences, no float boundary)
+    "q_iqr_outliers": QuerySpec(A.iqr_outlier_days, A.IQR_OUTLIERS_SQL),
     # A/B minimum-detectable-effect power analysis (80% power literals)
     "q_ab_power": QuerySpec(A.ab_power_analysis, A.AB_POWER_SQL),
     # hour x weekday activity punchcard (portable weekday ids)
@@ -2377,6 +2379,7 @@ _ROUND2_LATE = [
     "q_punchcard",
     "q_ab_power",
     "x_bm25_precision",
+    "q_iqr_outliers",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

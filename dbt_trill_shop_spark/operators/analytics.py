@@ -4192,3 +4192,64 @@ SELECT n1 AS n_weekend, n2 AS n_weekday,
             * (1.0 / n1 + 1.0 / n2)) * 1000000, 0) AS BIGINT) AS mde_ppm
 FROM wide
 """
+
+
+def iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fences on daily event volume: days outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the boxplot outlier rule, the
+    quantile-based companion to ``q_weekly_anomalies``' z-screen (robust
+    to the heavy tails that inflate a standard deviation).
+
+    Quartiles are exact interpolated percentiles of int counts; fences
+    are held ×4 so the 1.5·IQR arithmetic stays integer
+    (4·Q1 and 4·Q3 are integers for any n) and the day test
+    ``4·x < lo4 | 4·x > hi4`` never crosses a float boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    q = daily.agg(
+        F.expr("CAST(ROUND(percentile(y, 0.25) * 4, 0) AS BIGINT)").alias("q1_4"),
+        F.expr("CAST(ROUND(percentile(y, 0.75) * 4, 0) AS BIGINT)").alias("q3_4"),
+    )
+    # fences ×8: lo8 = 8·Q1 − 6·IQR = 2·q1_4·4... keep ×8 integers:
+    # lo8 = 8·Q1 − 6·(Q3−Q1) = 2·(4Q1) + 6·(4Q1) − 6·(4Q3) ... simpler:
+    # lo8 = 2*q1_4 - 3*(q3_4 - q1_4) and hi8 = 2*q3_4 + 3*(q3_4 - q1_4),
+    # where ×8 = 2×(×4); day test compares 8·y against the ×8 fences.
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .select(
+            "d",
+            "y",
+            F.expr("2 * q1_4 - 3 * (q3_4 - q1_4)").alias("lo8"),
+            F.expr("2 * q3_4 + 3 * (q3_4 - q1_4)").alias("hi8"),
+        )
+        .filter((8 * F.col("y") < F.col("lo8")) | (8 * F.col("y") > F.col("hi8")))
+        .select(
+            "d",
+            "y",
+            F.col("lo8").cast("bigint").alias("fence_lo_x8"),
+            F.col("hi8").cast("bigint").alias("fence_hi_x8"),
+        )
+        .orderBy("d")
+    )
+
+
+IQR_OUTLIERS_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+q AS (
+    SELECT CAST(ROUND(quantile_cont(y, 0.25) * 4, 0) AS BIGINT) AS q1_4,
+           CAST(ROUND(quantile_cont(y, 0.75) * 4, 0) AS BIGINT) AS q3_4
+    FROM daily
+)
+SELECT d, y,
+       CAST(2 * q1_4 - 3 * (q3_4 - q1_4) AS BIGINT) AS fence_lo_x8,
+       CAST(2 * q3_4 + 3 * (q3_4 - q1_4) AS BIGINT) AS fence_hi_x8
+FROM daily CROSS JOIN q
+WHERE 8 * y < 2 * q1_4 - 3 * (q3_4 - q1_4)
+   OR 8 * y > 2 * q3_4 + 3 * (q3_4 - q1_4)
+ORDER BY d
+"""
