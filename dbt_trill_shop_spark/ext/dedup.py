@@ -2114,3 +2114,32 @@ JOIN totals tb ON tb.doc_id = c.id_b
 WHERE c.cw * 1000000 // (ta.tw + tb.tw - c.cw) >= {threshold_ppm}
 ORDER BY c.id_a, c.id_b
 """
+
+
+def simhash_distance_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-distance distribution over SimHash band candidates — the
+    radius-calibration readout for ``simhash_checked``'s ``max_hamming``
+    knob (where does the candidate mass sit relative to the pigeonhole
+    guarantee boundary at ``bands − 1``?).  The sketch-calibration twin of
+    ``x_minhash_audit`` for the fingerprint family."""
+    pairs = simhash_checked(
+        docs, text_col, id_col, bands=bands, max_hamming=_SIMHASH_BITS
+    )
+    return (
+        pairs.groupBy(F.col("hamming").cast("bigint").alias("hamming"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def simhash_distance_histogram_sql(bands: int = 4) -> str:
+    base = simhash_checked_sql(bands=bands, max_hamming=_SIMHASH_BITS)
+    return f"""
+WITH pairs AS ({base})
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming ORDER BY hamming
+"""

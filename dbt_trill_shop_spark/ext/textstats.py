@@ -2570,3 +2570,46 @@ SELECT s.query_id, s.n_hits, s.n_relevant,
 FROM scored s JOIN ssz z ON s.q_source = z.source CROSS JOIN nd
 ORDER BY s.query_id
 """
+
+
+def prefix_templates(docs: DataFrame, prefix_tokens: int = 5, min_docs: int = 2) -> DataFrame:
+    """Template discovery by shared document PREFIXES: documents opening
+    with the same first ``prefix_tokens`` tokens are almost always
+    boilerplate instantiations (mirrored headers, scraped nav chrome) —
+    the cheap scan that seeds :func:`boilerplate_strip`'s block lists and
+    explains suspicious dup-cluster histograms.  One narrow prefix
+    projection, one groupBy; reports each template's doc count and corpus
+    share ppm."""
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col("text"), r"\s+"), 1, prefix_tokens)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        docs.select(prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "prefix",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("n_docs * 1000000 DIV nd").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+    )
+
+
+PREFIX_TEMPLATES_SQL_TEMPLATE = r"""
+WITH pre AS (
+    SELECT array_to_string(regexp_split_to_array(text, '\s+')[1 : {prefix_tokens}], ' ')
+               AS prefix
+    FROM documents
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 1000000 // MAX(nd.nd) AS BIGINT) AS share_ppm
+FROM pre CROSS JOIN nd
+GROUP BY prefix
+HAVING COUNT(*) >= {min_docs}
+ORDER BY n_docs DESC, prefix ASC
+"""

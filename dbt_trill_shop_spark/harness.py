@@ -68,6 +68,8 @@ from .ext.dedup import (
     neardup_minhash_native,
     simhash_checked,
     simhash_checked_sql,
+    simhash_distance_histogram,
+    simhash_distance_histogram_sql,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_filtered,
@@ -264,8 +266,10 @@ from .ext.textstats import (
     BLOCKLIST_FILTER_SQL,
     STOPWORD_DISCOVERY_SQL_TEMPLATE,
     TEXT_TILING_SQL_TEMPLATE,
+    PREFIX_TEMPLATES_SQL_TEMPLATE,
     bm25_source_precision,
     bm25_source_precision_sql,
+    prefix_templates,
     stopword_discovery,
     blocklist_filter,
     adaptive_quality_cut,
@@ -1423,6 +1427,11 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: bm25_source_precision(d, n_queries=3, q_terms=5, k=10)),
         bm25_source_precision_sql(n_queries=3, q_terms=5, k=10),
     ),
+    # shared-prefix template discovery (boilerplate seeds)
+    "x_prefix_templates": QuerySpec(
+        _docs_q(lambda d: prefix_templates(d, prefix_tokens=5, min_docs=2)),
+        PREFIX_TEMPLATES_SQL_TEMPLATE.format(prefix_tokens=5, min_docs=2),
+    ),
     # corpus-driven stopword discovery (top-df types -> stop lists)
     "x_stopword_discovery": QuerySpec(
         _docs_q(lambda d: stopword_discovery(d, top_k=20)),
@@ -2012,6 +2021,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # SimHash Hamming calibration histogram (radius-selection evidence)
+    "x_simhash_calibration": QuerySpec(
+        lambda spark, sf_dir: simhash_distance_histogram(
+            load_table(spark, sf_dir, "documents")
+        ),
+        simhash_distance_histogram_sql(),
+    ),
     # LSH band-bucket occupancy / pair-mass audit (stop-bucket pre-flight)
     "x_band_balance": QuerySpec(
         lambda spark, sf_dir: band_bucket_balance(
@@ -2380,6 +2396,8 @@ _ROUND2_LATE = [
     "q_ab_power",
     "x_bm25_precision",
     "q_iqr_outliers",
+    "x_simhash_calibration",
+    "x_prefix_templates",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
