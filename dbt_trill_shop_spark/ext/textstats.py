@@ -2613,3 +2613,56 @@ GROUP BY prefix
 HAVING COUNT(*) >= {min_docs}
 ORDER BY n_docs DESC, prefix ASC
 """
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character entropy (nats, 6 dp) — the gibberish/binary
+    detector (random bytes ≈ ln 256, English prose ≈ 2.9-3.2 nats;
+    base64/hex blobs and keyboard mashing land in between with telltale
+    flatness).  Same H = ln n − (Σ c·ln c)/n micro-nat recipe as the
+    source-level audit, per document: one char explode into a
+    (doc, char)-keyed aggregate, then a per-doc rollup."""
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("alphabet"),
+        F.sum(
+            F.col("c")
+            * F.expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+        ).alias("clnc_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.col("alphabet").cast("bigint").alias("alphabet_size"),
+        F.expr(
+            "ROUND(LN(CAST(n AS DOUBLE)) "
+            "- CAST(clnc_micro AS DOUBLE) / 1000000.0 / n, 6)"
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, UNNEST(STR_SPLIT(text, '')) AS ch FROM documents
+),
+freq AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM chars WHERE ch != '' GROUP BY doc_id, ch
+),
+agg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS alphabet,
+           CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS clnc_micro
+    FROM freq GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars, alphabet AS alphabet_size,
+       ROUND(LN(CAST(n AS DOUBLE))
+             - CAST(clnc_micro AS DOUBLE) / 1000000.0 / n, 6) AS entropy_nats
+FROM agg
+ORDER BY doc_id
+"""

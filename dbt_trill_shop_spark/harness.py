@@ -266,8 +266,10 @@ from .ext.textstats import (
     BLOCKLIST_FILTER_SQL,
     STOPWORD_DISCOVERY_SQL_TEMPLATE,
     TEXT_TILING_SQL_TEMPLATE,
+    CHAR_ENTROPY_SQL,
     PREFIX_TEMPLATES_SQL_TEMPLATE,
     bm25_source_precision,
+    char_entropy,
     bm25_source_precision_sql,
     prefix_templates,
     stopword_discovery,
@@ -1092,6 +1094,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # 3d/7d moving-average crossover signals (division-free state)
+    "q_ma_crossover": QuerySpec(A.ma_crossover_signals, A.MA_CROSSOVER_SQL),
     # Tukey IQR outlier days (x8 integer fences, no float boundary)
     "q_iqr_outliers": QuerySpec(A.iqr_outlier_days, A.IQR_OUTLIERS_SQL),
     # A/B minimum-detectable-effect power analysis (80% power literals)
@@ -1427,6 +1431,8 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: bm25_source_precision(d, n_queries=3, q_terms=5, k=10)),
         bm25_source_precision_sql(n_queries=3, q_terms=5, k=10),
     ),
+    # per-doc character entropy (gibberish/binary detector)
+    "x_char_entropy": QuerySpec(_docs_q(char_entropy), CHAR_ENTROPY_SQL),
     # shared-prefix template discovery (boilerplate seeds)
     "x_prefix_templates": QuerySpec(
         _docs_q(lambda d: prefix_templates(d, prefix_tokens=5, min_docs=2)),
@@ -2398,6 +2404,8 @@ _ROUND2_LATE = [
     "q_iqr_outliers",
     "x_simhash_calibration",
     "x_prefix_templates",
+    "q_ma_crossover",
+    "x_char_entropy",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

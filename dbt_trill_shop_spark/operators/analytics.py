@@ -4253,3 +4253,78 @@ WHERE 8 * y < 2 * q1_4 - 3 * (q3_4 - q1_4)
    OR 8 * y > 2 * q3_4 + 3 * (q3_4 - q1_4)
 ORDER BY d
 """
+
+
+def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-day vs 7-day moving-average crossover signals on daily volume —
+    the classic trend-turn detector.  Division-free: with full windows,
+    "MA3 > MA7" ⇔ ``7·S3 > 3·S7`` on integer rolling sums, so the state
+    and its lag are exact and a signal fires exactly on sign flips.
+    Warm-up days (fewer than 7 prior days) are excluded by row count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    wo = Window.orderBy("d")
+    cur = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w3).alias("s3"),
+        F.sum("y").over(w7).alias("s7"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    state = F.when(7 * F.col("s3") > 3 * F.col("s7"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    sig = cur.select(
+        "d",
+        "y",
+        "s3",
+        "s7",
+        state.alias("st"),
+        F.lag(state).over(Window.orderBy("d")).alias("prev"),
+    )
+    return (
+        sig.filter(F.col("prev").isNotNull() & (F.col("st") != F.col("prev")))
+        .select(
+            "d",
+            "y",
+            F.col("s3").cast("bigint").alias("sum3"),
+            F.col("s7").cast("bigint").alias("sum7"),
+            F.when(F.col("st") == 1, F.lit("golden"))
+            .otherwise(F.lit("death"))
+            .alias("signal"),
+        )
+        .orderBy("d")
+    )
+
+
+MA_CROSSOVER_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+cur AS (
+    SELECT d, y,
+           CAST(SUM(y) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s3,
+           CAST(SUM(y) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s7,
+           ROW_NUMBER() OVER (ORDER BY d) AS rn
+    FROM daily
+),
+sig AS (
+    SELECT d, y, s3, s7,
+           CASE WHEN 7 * s3 > 3 * s7 THEN 1 ELSE -1 END AS st,
+           LAG(CASE WHEN 7 * s3 > 3 * s7 THEN 1 ELSE -1 END)
+               OVER (ORDER BY d) AS prev
+    FROM cur WHERE rn >= 7
+)
+SELECT d, y, s3 AS sum3, s7 AS sum7,
+       CASE WHEN st = 1 THEN 'golden' ELSE 'death' END AS signal
+FROM sig
+WHERE prev IS NOT NULL AND st != prev
+ORDER BY d
+"""
