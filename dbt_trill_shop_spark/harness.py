@@ -1094,6 +1094,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # Wald-Wolfowitz runs test on daily up/down moves
+    "q_runs_test": QuerySpec(A.runs_test_daily, A.RUNS_TEST_SQL),
     # 3d/7d moving-average crossover signals (division-free state)
     "q_ma_crossover": QuerySpec(A.ma_crossover_signals, A.MA_CROSSOVER_SQL),
     # Tukey IQR outlier days (x8 integer fences, no float boundary)
@@ -2406,6 +2408,7 @@ _ROUND2_LATE = [
     "x_prefix_templates",
     "q_ma_crossover",
     "x_char_entropy",
+    "q_runs_test",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

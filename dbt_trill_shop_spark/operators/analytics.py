@@ -4328,3 +4328,84 @@ FROM sig
 WHERE prev IS NOT NULL AND st != prev
 ORDER BY d
 """
+
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the signs of day-over-day volume changes
+    — "is the series random or trending/mean-reverting" (too few runs =
+    momentum, too many = oscillation).  Zero-change days drop out; the run
+    count comes from one lag pass; E[R] and Var[R] are the closed forms
+    over the two int sign counts, and z is ONE fixed float expression —
+    the determinism contract of the whole statistics family."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wo = Window.orderBy("d")
+    signs = (
+        daily.select("d", (F.col("y") - F.lag("y").over(wo)).alias("dy"))
+        .filter(F.col("dy").isNotNull() & (F.col("dy") != 0))
+        .select("d", F.when(F.col("dy") > 0, 1).otherwise(-1).alias("s"))
+    )
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(Window.orderBy("d")).isNull()
+            | (F.lag("s").over(Window.orderBy("d")) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    stats = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    z = (
+        "(CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / "
+        "SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+        "((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    )
+    return stats.select(
+        F.col("n1").cast("bigint").alias("n_up"),
+        F.col("n2").cast("bigint").alias("n_down"),
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.expr(f"ROUND({z}, 4)").alias("z"),
+        F.expr(f"ABS({z}) > 1.96").alias("significant"),
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+signs AS (
+    SELECT d, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+    FROM (SELECT d, y - LAG(y) OVER (ORDER BY d) AS dy FROM daily)
+    WHERE dy IS NOT NULL AND dy != 0
+),
+runs AS (
+    SELECT s,
+           CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                  OR LAG(s) OVER (ORDER BY d) != s THEN 1 ELSE 0 END AS new_run
+    FROM signs
+),
+stats AS (
+    SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(new_run) AS BIGINT) AS r
+    FROM runs
+)
+SELECT n1 AS n_up, n2 AS n_down, r AS n_runs,
+       ROUND((CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+             SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+                  ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+           AS z,
+       ABS((CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+           SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+                ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1.0)))) > 1.96
+           AS significant
+FROM stats
+"""
