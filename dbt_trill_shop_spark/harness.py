@@ -1345,6 +1345,8 @@ QUERIES: dict[str, QuerySpec] = {
         CORPUS_REPORT_SQL.format(quality_sql=QUALITY_SCORE_SQL),
     ),
     "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
+    # ABC/Pareto part classification (integer cross-multiplied bands)
+    "q_abc_analysis": QuerySpec(R.abc_analysis, R.ABC_ANALYSIS_SQL),
     "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
     "q_customers_without_orders": QuerySpec(
         R.customers_without_orders, R.CUSTOMERS_WITHOUT_ORDERS_SQL
@@ -2409,6 +2411,7 @@ _ROUND2_LATE = [
     "q_ma_crossover",
     "x_char_entropy",
     "q_runs_test",
+    "q_abc_analysis",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

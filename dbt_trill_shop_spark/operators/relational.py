@@ -1875,3 +1875,76 @@ ranked AS (
 SELECT a_key, b_key, score FROM ranked WHERE rn = 1
 ORDER BY a_key
 """
+
+
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    covering the first 80% of cumulative revenue, B the next 15%, C the
+    tail — the inventory-prioritization classic.  One part-keyed rollup
+    of exact cents, one window cumsum in revenue-desc total order
+    (tie-break partkey), class boundaries by integer cross-multiplication
+    (``5·cum ≤ 4·total`` etc. — no percentage float ever materializes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # revenue in centi-cents (price_c · (100 − disc_c)) — the engine's
+    # canonical no-division exact form (regional_revenue and friends)
+    rev = F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+        "bigint"
+    )
+    per_part = li.groupBy("l_partkey").agg(rev.alias("r"))
+    w = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("r").alias("t"))
+    classed = (
+        per_part.withColumn("cum", F.sum("r").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.when(5 * F.col("cum") <= 4 * F.col("t"), "A")
+            .when(20 * F.col("cum") <= 19 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("r").alias("rc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("rc").cast("bigint").alias("revenue_centicents"),
+            F.expr("rc * 1000000 DIV t").alias("revenue_share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_ANALYSIS_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS r
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM per_part),
+classed AS (
+    SELECT r,
+           CASE WHEN 5 * cum <= 4 * t THEN 'A'
+                WHEN 20 * cum <= 19 * t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM (
+        SELECT r,
+               CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM per_part
+    ) c CROSS JOIN tot
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(r) AS BIGINT) AS revenue_centicents,
+       CAST(SUM(r) * 1000000 // MAX(t) AS BIGINT) AS revenue_share_ppm
+FROM classed CROSS JOIN tot
+GROUP BY abc_class
+ORDER BY abc_class
+"""
