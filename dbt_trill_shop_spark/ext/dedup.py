@@ -2143,3 +2143,69 @@ SELECT CAST(hamming AS BIGINT) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY hamming ORDER BY hamming
 """
+
+
+def jaccard_threshold_curve(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Near-dup threshold operating curve: for each candidate threshold in
+    {0.3 … 0.9}, how many exact-Jaccard pairs survive — the dial a dedup
+    rollout turns (each step trades recall of partial overlaps against
+    boilerplate false-positives), computed from ONE pass over the exact
+    pair relation instead of seven re-runs.  Pair jaccard is the int64
+    cross-multiplied ppm the exact family already emits."""
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, shingle_len, threshold=0.0
+    ).select(
+        F.expr("CAST(ROUND(jaccard * 1000000, 0) AS BIGINT)").alias("j_ppm")
+    )
+    thr = [300_000, 400_000, 500_000, 600_000, 700_000, 800_000, 900_000]
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        *[
+            F.sum((F.col("j_ppm") >= t).cast("bigint")).alias(f"t{t}")
+            for t in thr
+        ],
+    )
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("bigint").alias("threshold_ppm"),
+                    F.col(f"t{t}").cast("bigint").alias("n_pairs"),
+                )
+                for t in thr
+            ]
+        )
+    )
+    return (
+        agg.select(F.col("n_all").cast("bigint").alias("n_candidates"), kv.alias("kv"))
+        .select(
+            F.col("kv.threshold_ppm").alias("threshold_ppm"),
+            F.col("kv.n_pairs").alias("n_pairs"),
+            "n_candidates",
+        )
+        .orderBy("threshold_ppm")
+    )
+
+
+def jaccard_threshold_curve_sql(shingle_len: int = 3) -> str:
+    base = NGRAM_JACCARD_SQL_TEMPLATE.format(n=shingle_len, threshold=0.0)
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS threshold_ppm FROM (SELECT 1)" for t in
+        (300000, 400000, 500000, 600000, 700000, 800000, 900000)
+    )
+    return f"""
+WITH pairs AS ({base}),
+ppm AS (SELECT CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) AS j_ppm FROM pairs),
+thr AS ({rows}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ppm)
+SELECT t.threshold_ppm,
+       CAST(SUM(CASE WHEN p.j_ppm >= t.threshold_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs,
+       MAX(tot.n_candidates) AS n_candidates
+FROM thr t CROSS JOIN ppm p CROSS JOIN tot
+GROUP BY t.threshold_ppm
+ORDER BY t.threshold_ppm
+"""

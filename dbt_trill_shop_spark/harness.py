@@ -43,6 +43,8 @@ from .ext.dedup import (
     boilerplate_strip,
     DUP_CLUSTER_SIZES_SQL_TEMPLATE,
     dup_cluster_size_histogram,
+    jaccard_threshold_curve,
+    jaccard_threshold_curve_sql,
     WEIGHTED_JACCARD_SQL_TEMPLATE,
     band_bucket_balance,
     band_bucket_balance_sql,
@@ -1094,6 +1096,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # RANGE-frame rolling 3-day sums (value-interval window semantics)
+    "q_range_frame": QuerySpec(A.range_frame_rolling, A.RANGE_FRAME_SQL),
     # Wald-Wolfowitz runs test on daily up/down moves
     "q_runs_test": QuerySpec(A.runs_test_daily, A.RUNS_TEST_SQL),
     # 3d/7d moving-average crossover signals (division-free state)
@@ -2031,6 +2035,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # Jaccard threshold operating curve (dedup dial, one pair pass)
+    "x_jaccard_curve": QuerySpec(
+        lambda spark, sf_dir: jaccard_threshold_curve(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        jaccard_threshold_curve_sql(shingle_len=_NGRAM_JACCARD_N),
+    ),
     # SimHash Hamming calibration histogram (radius-selection evidence)
     "x_simhash_calibration": QuerySpec(
         lambda spark, sf_dir: simhash_distance_histogram(
@@ -2412,6 +2423,8 @@ _ROUND2_LATE = [
     "x_char_entropy",
     "q_runs_test",
     "q_abc_analysis",
+    "x_jaccard_curve",
+    "q_range_frame",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -4409,3 +4409,48 @@ SELECT n1 AS n_up, n2 AS n_down, r AS n_runs,
            AS significant
 FROM stats
 """
+
+
+def range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling 3-day sums per event type — the window-frame
+    semantics ROWS can't express: a RANGE frame covers a VALUE interval
+    (calendar days), so missing days shrink the window instead of
+    silently reaching further back (the bug in naive ROWS BETWEEN 2
+    PRECEDING over sparse series).  Ordering key = integer day offset, so
+    both engines agree on the frame edges exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    keyed = daily.withColumn(
+        "day_idx",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-2, 0)
+    )
+    return keyed.select(
+        "event_type",
+        "d",
+        "y",
+        F.sum("y").over(w).cast("bigint").alias("rolling_3d"),
+    ).orderBy("event_type", "d")
+
+
+RANGE_FRAME_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+keyed AS (
+    SELECT *, CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS day_idx
+    FROM daily
+)
+SELECT event_type, d, y,
+       CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day_idx
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_3d
+FROM keyed
+ORDER BY event_type, d
+"""
