@@ -3022,3 +3022,58 @@ SELECT label_a, label_b, v AS dist_milli
 FROM (SELECT * FROM offd UNION ALL SELECT * FROM diag)
 ORDER BY label_a, label_b
 """
+
+
+def sq8_reconstruction_error(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Reconstruction-error report for the SQ8 quantizer: decode each code
+    back to micro-units (x̂ = mn + code·(mx−mn) div 255) and report the
+    per-dimension mean and max absolute error — the fidelity audit that
+    decides whether 8-bit codes are safe for a given embedding family
+    (heavy-tailed dims blow the per-dim linear grid).  Exact integers:
+    decode and |x−x̂| never leave int64; one corpus pass."""
+    vm = _vec_micro_long(embeddings, id_col, vec_col)
+    stats = vm.groupBy("dim").agg(F.min("xm").alias("mn"), F.max("xm").alias("mx"))
+    joined = vm.join(F.broadcast(stats), "dim")
+    code = (
+        F.when(F.col("mx") > F.col("mn"), F.expr("((xm - mn) * 255) div (mx - mn)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    recon = F.expr("mn + code * (mx - mn) DIV 255")
+    err = joined.withColumn("code", code).select(
+        "dim", F.abs(F.col("xm") - recon).alias("e")
+    )
+    return (
+        err.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("e").alias("se"),
+            F.max("e").alias("mx_e"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.expr("se DIV n").cast("bigint").alias("mean_abs_err_micro"),
+            F.col("mx_e").cast("bigint").alias("max_abs_err_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+SQ8_RECON_ERROR_SQL = f"""
+WITH vm AS ({_VM_SQL}),
+stats AS (SELECT dim, MIN(xm) AS mn, MAX(xm) AS mx FROM vm GROUP BY dim),
+err AS (
+    SELECT vm.dim,
+           ABS(vm.xm - (stats.mn
+               + (CASE WHEN stats.mx > stats.mn
+                       THEN ((vm.xm - stats.mn) * 255) // (stats.mx - stats.mn)
+                       ELSE 0 END) * (stats.mx - stats.mn) // 255)) AS e
+    FROM vm JOIN stats USING (dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(e) // COUNT(*) AS BIGINT) AS mean_abs_err_micro,
+       CAST(MAX(e) AS BIGINT) AS max_abs_err_micro
+FROM err GROUP BY dim ORDER BY dim
+"""

@@ -193,7 +193,9 @@ from .ext.similarity import (
     pca_top_component,
     pca_top_component_sql,
     CLASS_SEPARATION_SQL,
+    SQ8_RECON_ERROR_SQL,
     class_separation,
+    sq8_reconstruction_error,
     retrieval_eval,
     retrieval_eval_sql,
     l2_topk_exact,
@@ -1692,6 +1694,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         retrieval_eval_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K),
     ),
+    # SQ8 reconstruction-error fidelity audit (per-dim int64 exact)
+    "x_sq8_recon_error": QuerySpec(
+        lambda spark, sf_dir: sq8_reconstruction_error(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        SQ8_RECON_ERROR_SQL,
+    ),
     # class-separation matrix (centroid gaps vs intra-class spread)
     "x_class_separation": QuerySpec(
         lambda spark, sf_dir: class_separation(
@@ -2425,6 +2434,7 @@ _ROUND2_LATE = [
     "q_abc_analysis",
     "x_jaccard_curve",
     "q_range_frame",
+    "x_sq8_recon_error",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
