@@ -1914,7 +1914,12 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class",
             F.col("n_parts").cast("bigint").alias("n_parts"),
             F.col("rc").cast("bigint").alias("revenue_centicents"),
-            F.expr("rc * 1000000 DIV t").alias("revenue_share_ppm"),
+            # divide-first: rc·10⁶ overflows int64 on centi-cent sums at
+            # sf0.1+; rc DIV (t DIV 10⁶) is the same ppm ±1 and identical
+            # in both engines
+            F.expr("rc DIV GREATEST(1, t DIV 1000000)").alias(
+                "revenue_share_ppm"
+            ),
         )
         .orderBy("abc_class")
     )
@@ -1943,7 +1948,8 @@ classed AS (
 )
 SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(r) AS BIGINT) AS revenue_centicents,
-       CAST(SUM(r) * 1000000 // MAX(t) AS BIGINT) AS revenue_share_ppm
+       CAST(SUM(r) // GREATEST(1, MAX(t) // 1000000) AS BIGINT)
+           AS revenue_share_ppm
 FROM classed CROSS JOIN tot
 GROUP BY abc_class
 ORDER BY abc_class
