@@ -2209,3 +2209,106 @@ FROM thr t CROSS JOIN ppm p CROSS JOIN tot
 GROUP BY t.threshold_ppm
 ORDER BY t.threshold_ppm
 """
+
+
+def minhash_scurve_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """S-curve recall audit: per Jaccard decile, the MEASURED fraction of
+    true pairs that banding surfaced as candidates next to the THEORETICAL
+    ``1 − (1 − j^r)^b`` curve — the empirical check that the (bands, rows)
+    choice actually delivers its textbook recall on THIS corpus (clustered
+    shingle overlap can beat or trail the independence assumption).
+
+    Theory values are computed ONCE in Python at decile midpoints and
+    embedded as ppm literals (the nDCG-discount trick — no cross-engine
+    pow); measured recall is exact integer counting over the exact-pair
+    relation left-joined with the banded candidate set.
+    """
+    r = num_hashes // bands
+    theory = {
+        d: round((1 - (1 - ((d + 0.5) / 10) ** r) ** bands) * 1_000_000)
+        for d in range(10)
+    }
+    exact = ngram_jaccard_pairs(
+        docs, text_col, id_col, shingle_len, threshold=0.0
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(LEAST(9, CAST(FLOOR(jaccard * 10) AS BIGINT)) AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    keys = minhash_band_keys_md5(
+        docs, text_col, id_col, num_hashes, bands, shingle_len
+    ).localCheckpoint(eager=True)
+    cands = (
+        keys.select(F.col(id_col).alias("id_a"), "bidx", "bk")
+        .join(keys.select(F.col(id_col).alias("id_b"), "bidx", "bk"), ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("cand", F.lit(1))
+    )
+    theory_case = "CASE bucket " + " ".join(
+        f"WHEN {d} THEN {v}" for d, v in theory.items()
+    ) + " END"
+    return (
+        exact.join(cands, ["id_a", "id_b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("cand"), F.lit(0))).alias("n_candidates"),
+        )
+        .select(
+            "bucket",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.expr("n_candidates * 1000000 DIV n_pairs").alias("recall_ppm"),
+            F.expr(f"CAST({theory_case} AS BIGINT)").alias("theory_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def minhash_scurve_audit_sql(
+    num_hashes: int = 8, bands: int = 4, shingle_len: int = 3
+) -> str:
+    r = num_hashes // bands
+    theory = {
+        d: round((1 - (1 - ((d + 0.5) / 10) ** r) ** bands) * 1_000_000)
+        for d in range(10)
+    }
+    theory_case = "CASE bucket " + " ".join(
+        f"WHEN {d} THEN {v}" for d, v in theory.items()
+    ) + " END"
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len)
+    jac = NGRAM_JACCARD_SQL_TEMPLATE.format(n=shingle_len, threshold=0.0)
+    return f"""
+WITH {base},
+exact AS (
+    SELECT id_a, id_b,
+           CAST(LEAST(9, CAST(FLOOR(jaccard * 10) AS BIGINT)) AS BIGINT) AS bucket
+    FROM ({jac})
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bidx = b.bidx AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+)
+SELECT e.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm,
+       CAST({theory_case} AS BIGINT) AS theory_ppm
+FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+GROUP BY e.bucket
+ORDER BY e.bucket
+"""

@@ -45,6 +45,8 @@ from .ext.dedup import (
     dup_cluster_size_histogram,
     jaccard_threshold_curve,
     jaccard_threshold_curve_sql,
+    minhash_scurve_audit,
+    minhash_scurve_audit_sql,
     WEIGHTED_JACCARD_SQL_TEMPLATE,
     band_bucket_balance,
     band_bucket_balance_sql,
@@ -2044,6 +2046,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # MinHash S-curve recall audit (measured vs theoretical per decile)
+    "x_minhash_scurve": QuerySpec(
+        lambda spark, sf_dir: minhash_scurve_audit(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        minhash_scurve_audit_sql(shingle_len=_NGRAM_JACCARD_N),
+    ),
     # Jaccard threshold operating curve (dedup dial, one pair pass)
     "x_jaccard_curve": QuerySpec(
         lambda spark, sf_dir: jaccard_threshold_curve(
@@ -2435,6 +2444,7 @@ _ROUND2_LATE = [
     "x_jaccard_curve",
     "q_range_frame",
     "x_sq8_recon_error",
+    "x_minhash_scurve",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
