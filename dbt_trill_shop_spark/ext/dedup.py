@@ -2312,3 +2312,32 @@ FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
 GROUP BY e.bucket
 ORDER BY e.bucket
 """
+
+
+def soft_dedup_weights(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication: instead of dropping duplicates, weight every
+    document by 1/|its exact-dup group| so each distinct content unit
+    contributes unit mass to training — the downweight-don't-delete
+    policy (keeps provenance diversity, removes repetition bias).  One
+    md5-fingerprint aggregate broadcast back; weights are exact ppm."""
+    fp = docs.select(F.col(id_col), F.md5(F.col("text")).alias("fp"))
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("gs"))
+    return (
+        fp.join(sizes, "fp")
+        .select(
+            id_col,
+            F.col("gs").cast("bigint").alias("group_size"),
+            F.expr("1000000 DIV gs").alias("weight_ppm"),
+        )
+        .orderBy(id_col)
+    )
+
+
+SOFT_DEDUP_SQL = """
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+sizes AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS gs FROM fp GROUP BY fp)
+SELECT doc_id, gs AS group_size,
+       CAST(1000000 // gs AS BIGINT) AS weight_ppm
+FROM fp JOIN sizes USING (fp)
+ORDER BY doc_id
+"""

@@ -47,6 +47,8 @@ from .ext.dedup import (
     jaccard_threshold_curve_sql,
     minhash_scurve_audit,
     minhash_scurve_audit_sql,
+    soft_dedup_weights,
+    SOFT_DEDUP_SQL,
     WEIGHTED_JACCARD_SQL_TEMPLATE,
     band_bucket_balance,
     band_bucket_balance_sql,
@@ -1100,6 +1102,10 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # cumulative distinct-user adoption curve (firsts + cumsum, no rescans)
+    "q_adoption_curve": QuerySpec(
+        A.cumulative_adoption, A.CUMULATIVE_ADOPTION_SQL
+    ),
     # RANGE-frame rolling 3-day sums (value-interval window semantics)
     "q_range_frame": QuerySpec(A.range_frame_rolling, A.RANGE_FRAME_SQL),
     # Wald-Wolfowitz runs test on daily up/down moves
@@ -2046,6 +2052,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # soft dedup: weight docs 1/|dup group| instead of dropping
+    "x_soft_dedup": QuerySpec(
+        lambda spark, sf_dir: soft_dedup_weights(
+            load_table(spark, sf_dir, "documents")
+        ),
+        SOFT_DEDUP_SQL,
+    ),
     # MinHash S-curve recall audit (measured vs theoretical per decile)
     "x_minhash_scurve": QuerySpec(
         lambda spark, sf_dir: minhash_scurve_audit(
@@ -2445,6 +2458,8 @@ _ROUND2_LATE = [
     "q_range_frame",
     "x_sq8_recon_error",
     "x_minhash_scurve",
+    "q_adoption_curve",
+    "x_soft_dedup",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

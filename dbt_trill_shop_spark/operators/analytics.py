@@ -4454,3 +4454,37 @@ SELECT event_type, d, y,
 FROM keyed
 ORDER BY event_type, d
 """
+
+
+def cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user adoption curve by day: each user counts on
+    their FIRST active day (one per-user min), the curve is a window
+    cumsum over the tiny daily-firsts relation — exact cumulative
+    count-distinct without any per-day distinct rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return firsts.select(
+        "d",
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("d")
+
+
+CUMULATIVE_ADOPTION_SQL = """
+WITH firsts AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id)
+    GROUP BY d
+)
+SELECT d, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM firsts
+ORDER BY d
+"""
