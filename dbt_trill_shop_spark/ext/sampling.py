@@ -870,3 +870,88 @@ SELECT CAST(LEAST(9, fill * 10 // {capacity}) AS BIGINT) AS util_decile,
 FROM per_bin
 GROUP BY 1 ORDER BY util_decile
 """
+
+
+def upsample_realize(
+    docs: DataFrame,
+    copies_ppm: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Realize an UPSAMPLING plan: each stratum's docs replicate
+    ``copies_ppm/10⁶`` times in expectation — integer copies for everyone
+    plus one extra copy gated on a content hash for the fractional part
+    (epoch-stable: the same doc always gets the same extra-copy decision).
+    The other half of mixture planning: downsampling keeps a subset,
+    UPsampling replicates underrepresented domains (data-mixing recipes
+    express both as per-domain multipliers).
+
+    Output (doc_id, copy_id) — a narrow sequence explode, no shuffle; at
+    write time copies materialize as repeated rows (or a weight column if
+    the trainer supports it — :func:`soft_dedup_weights`' inverse).
+    """
+    whole = {k: v // 1_000_000 for k, v in copies_ppm.items()}
+    frac = {k: v % 1_000_000 for k, v in copies_ppm.items()}
+    whole_case = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(w))
+            for k, w in whole.items()
+        ],
+        F.lit(0),
+    )
+    frac_case = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(fv))
+            for k, fv in frac.items()
+        ],
+        F.lit(0),
+    )
+    h6 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("upsample:"), F.col(id_col).cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # extra-copy gate fully in the integer hash domain:
+    # h6 < frac·16⁶/10⁶  (both engines floor the threshold identically)
+    n_copies = whole_case.cast("bigint") + (
+        h6 * F.lit(1_000_000) < frac_case.cast("bigint") * F.lit(16**6)
+    ).cast("bigint")
+    base = docs.select(
+        id_col,
+        F.col(strata_col),
+        n_copies.cast("int").alias("nc"),
+    ).filter(F.col("nc") > 0)
+    return base.select(
+        id_col,
+        F.explode(F.expr("sequence(1, nc)")).alias("copy_id"),
+    ).select(
+        id_col, F.col("copy_id").cast("bigint").alias("copy_id")
+    ).orderBy(id_col, "copy_id")
+
+
+def upsample_realize_sql(copies_ppm: dict[str, int]) -> str:
+    """DuckDB oracle for :func:`upsample_realize` (same integer hash gate)."""
+    whole_case = "CASE source " + " ".join(
+        f"WHEN '{k}' THEN {v // 1_000_000}" for k, v in copies_ppm.items()
+    ) + " ELSE 0 END"
+    frac_case = "CASE source " + " ".join(
+        f"WHEN '{k}' THEN {v % 1_000_000}" for k, v in copies_ppm.items()
+    ) + " ELSE 0 END"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           ({whole_case})
+           + CASE WHEN CAST('0x' || substring(
+                     md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                     AS BIGINT) * 1000000
+                  < CAST(({frac_case}) AS BIGINT) * 16777216
+                  THEN 1 ELSE 0 END AS nc
+    FROM documents
+)
+SELECT doc_id, CAST(u.i AS BIGINT) AS copy_id
+FROM base, UNNEST(range(1, nc + 1)) AS u(i)
+WHERE nc > 0
+ORDER BY doc_id, copy_id
+"""

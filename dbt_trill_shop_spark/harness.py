@@ -132,6 +132,8 @@ from .ext.sampling import (
     TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
+    upsample_realize,
+    upsample_realize_sql,
     mixture_plan,
     pack_documents,
     source_caps,
@@ -580,6 +582,8 @@ _BOILERPLATE_MAX_DF = 2
 # relative target weights over the 20 synthetic sources (non-uniform so the
 # feasibility min actually binds on the highest-weight strata)
 _MIXTURE_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+# upsampling multipliers in ppm (1.0x .. 3.5x across the 20 sources)
+_UPSAMPLE_PPM = {f"src{i}": 1_000_000 + (i % 6) * 500_000 for i in range(20)}
 
 
 def _x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2052,6 +2056,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # realize an upsampling plan (integer copies + hash-gated fraction)
+    "x_upsample_realize": QuerySpec(
+        lambda spark, sf_dir: upsample_realize(
+            load_table(spark, sf_dir, "documents"), _UPSAMPLE_PPM
+        ),
+        upsample_realize_sql(_UPSAMPLE_PPM),
+    ),
     # soft dedup: weight docs 1/|dup group| instead of dropping
     "x_soft_dedup": QuerySpec(
         lambda spark, sf_dir: soft_dedup_weights(
@@ -2460,6 +2471,7 @@ _ROUND2_LATE = [
     "x_minhash_scurve",
     "q_adoption_curve",
     "x_soft_dedup",
+    "x_upsample_realize",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
