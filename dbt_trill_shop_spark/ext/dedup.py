@@ -2341,3 +2341,76 @@ SELECT doc_id, gs AS group_size,
 FROM fp JOIN sizes USING (fp)
 ORDER BY doc_id
 """
+
+
+def shingle_df_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Document-frequency histogram of shingles in power-of-two buckets —
+    the direct evidence behind every stop-shingle threshold: the df=1
+    mass is what carries near-dup signal, the high-df tail is what makes
+    exact shingle joins quadratic (its pair mass grows as Σ df²).  Each
+    bucket reports its shingle count and its pair mass share.
+
+    Bucket = floor(log2(df)) via integer halving (no float log);
+    one shingle-keyed aggregate, ≤ ~32 output rows at any corpus size.
+    """
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # floor(log2(df)) for df in [1, 2^20) by unrolled integer comparison
+    bucket = F.expr(
+        "CAST(CASE WHEN df >= 1024 THEN 10 "
+        "WHEN df >= 512 THEN 9 WHEN df >= 256 THEN 8 WHEN df >= 128 THEN 7 "
+        "WHEN df >= 64 THEN 6 WHEN df >= 32 THEN 5 WHEN df >= 16 THEN 4 "
+        "WHEN df >= 8 THEN 3 WHEN df >= 4 THEN 2 WHEN df >= 2 THEN 1 "
+        "ELSE 0 END AS BIGINT)"
+    )
+    agg = dfs.select(bucket.alias("log2_df_bucket"), "df").groupBy(
+        "log2_df_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.expr("df * (df - 1) DIV 2")).alias("pm"),
+    )
+    tot = agg.agg(F.sum("pm").alias("tpm"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "log2_df_bucket",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("pm").cast("bigint").alias("pair_mass"),
+            F.expr("pm * 1000000 DIV GREATEST(1, tpm)").alias("pair_mass_ppm"),
+        )
+        .orderBy("log2_df_bucket")
+    )
+
+
+SHINGLE_DF_HISTOGRAM_SQL_TEMPLATE = r"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, GREATEST(LEN(regexp_split_to_array(text, '\s+')) - {n}, 0) + 1),
+                   i -> array_to_string(regexp_split_to_array(text, '\s+')[i + 1 : i + {n}], ' ')
+               )) AS s
+        FROM documents
+    ) t WHERE s <> ''
+),
+dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+agg AS (
+    SELECT CAST(CASE WHEN df >= 1024 THEN 10
+                WHEN df >= 512 THEN 9 WHEN df >= 256 THEN 8
+                WHEN df >= 128 THEN 7 WHEN df >= 64 THEN 6
+                WHEN df >= 32 THEN 5 WHEN df >= 16 THEN 4
+                WHEN df >= 8 THEN 3 WHEN df >= 4 THEN 2
+                WHEN df >= 2 THEN 1 ELSE 0 END AS BIGINT) AS log2_df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pm
+    FROM dfs GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(pm) AS BIGINT) AS tpm FROM agg)
+SELECT log2_df_bucket, n_shingles, pm AS pair_mass,
+       CAST(pm * 1000000 // GREATEST(1, tpm) AS BIGINT) AS pair_mass_ppm
+FROM agg CROSS JOIN tot
+ORDER BY log2_df_bucket
+"""

@@ -49,6 +49,8 @@ from .ext.dedup import (
     minhash_scurve_audit_sql,
     soft_dedup_weights,
     SOFT_DEDUP_SQL,
+    shingle_df_histogram,
+    SHINGLE_DF_HISTOGRAM_SQL_TEMPLATE,
     WEIGHTED_JACCARD_SQL_TEMPLATE,
     band_bucket_balance,
     band_bucket_balance_sql,
@@ -2063,6 +2065,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         upsample_realize_sql(_UPSAMPLE_PPM),
     ),
+    # shingle df histogram (power-of-two buckets, stop-shingle evidence)
+    "x_shingle_df_histogram": QuerySpec(
+        lambda spark, sf_dir: shingle_df_histogram(
+            load_table(spark, sf_dir, "documents"), shingle_len=_NGRAM_JACCARD_N
+        ),
+        SHINGLE_DF_HISTOGRAM_SQL_TEMPLATE.format(n=_NGRAM_JACCARD_N),
+    ),
     # soft dedup: weight docs 1/|dup group| instead of dropping
     "x_soft_dedup": QuerySpec(
         lambda spark, sf_dir: soft_dedup_weights(
@@ -2472,6 +2481,7 @@ _ROUND2_LATE = [
     "q_adoption_curve",
     "x_soft_dedup",
     "x_upsample_realize",
+    "x_shingle_df_histogram",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
