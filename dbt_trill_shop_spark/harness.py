@@ -1108,6 +1108,10 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # seasonally adjusted daily series (dow index divided out)
+    "q_seasonal_adjust": QuerySpec(
+        A.seasonally_adjusted_daily, A.SEASONAL_ADJUST_SQL
+    ),
     # cumulative distinct-user adoption curve (firsts + cumsum, no rescans)
     "q_adoption_curve": QuerySpec(
         A.cumulative_adoption, A.CUMULATIVE_ADOPTION_SQL
@@ -2482,6 +2486,7 @@ _ROUND2_LATE = [
     "x_soft_dedup",
     "x_upsample_realize",
     "x_shingle_df_histogram",
+    "q_seasonal_adjust",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

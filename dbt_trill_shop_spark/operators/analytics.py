@@ -4488,3 +4488,67 @@ SELECT d, n_new,
 FROM firsts
 ORDER BY d
 """
+
+
+def seasonally_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally adjusted daily volume: divide each day by its day-of-week
+    index (``q_seasonality``'s multiplicative profile) so weekday rhythm
+    stops masking real level shifts — the series the CUSUM/anomaly screens
+    SHOULD run on in production.  adj = y·10⁶ div index_ppm, exact
+    integers; the index relation is 7 rows, broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    dow = F.pmod(
+        F.datediff(F.col("d"), F.lit("2024-01-07").cast("date")), 7
+    ).cast("bigint")
+    dowed = daily.withColumn("dow", dow)
+    idx = (
+        dowed.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("y").alias("s"))
+        .crossJoin(
+            F.broadcast(
+                dowed.agg(
+                    F.count(F.lit(1)).alias("kt"), F.sum("y").alias("st")
+                )
+            )
+        )
+        .select("dow", F.expr("s * kt * 1000000 DIV (st * k)").alias("index_ppm"))
+    )
+    return (
+        dowed.join(F.broadcast(idx), "dow")
+        .select(
+            "d",
+            "y",
+            F.col("index_ppm").cast("bigint").alias("index_ppm"),
+            F.expr("y * 1000000 DIV index_ppm").alias("adjusted"),
+        )
+        .orderBy("d")
+    )
+
+
+SEASONAL_ADJUST_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+dowed AS (
+    SELECT d, y,
+           CAST(((date_diff('day', DATE '2024-01-07', d)) % 7 + 7) % 7 AS BIGINT)
+               AS dow
+    FROM daily
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS kt, CAST(SUM(y) AS BIGINT) AS st
+        FROM dowed),
+idx AS (
+    SELECT dow,
+           CAST(SUM(y) * MAX(tot.kt) * 1000000
+                // (MAX(tot.st) * COUNT(*)) AS BIGINT) AS index_ppm
+    FROM dowed CROSS JOIN tot GROUP BY dow
+)
+SELECT d, y, index_ppm,
+       CAST(y * 1000000 // index_ppm AS BIGINT) AS adjusted
+FROM dowed JOIN idx USING (dow)
+ORDER BY d
+"""
