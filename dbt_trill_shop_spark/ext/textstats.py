@@ -2666,3 +2666,80 @@ SELECT doc_id, n AS n_chars, alphabet AS alphabet_size,
 FROM agg
 ORDER BY doc_id
 """
+
+
+def hard_negative_mining(
+    docs: DataFrame, n_queries: int = 3, q_terms: int = 5, k: int = 10,
+    n_neg: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query, the top
+    lexically-similar hits (BM25) that do NOT share the query's source
+    pseudo-label — the pairs a dual-encoder learns most from (BM25-hard
+    negatives are the standard recipe: random negatives are too easy,
+    same-source positives too correlated).  Composes the one-plan BM25;
+    negatives keep their lexical rank so the miner's difficulty ordering
+    is preserved.  Output: (query_id, negative_id, bm25_rank, neg_rank).
+    """
+    hits = bm25_search(docs, n_queries=n_queries, q_terms=q_terms, k=k)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        hits.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("source").alias("q_source"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("hit_id"),
+                    F.col("source").alias("h_source"),
+                )
+            ),
+            "hit_id",
+        )
+        .filter(F.col("q_source") != F.col("h_source"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        labeled.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            "query_id",
+            F.col("hit_id").alias("negative_id"),
+            F.col("rank").cast("bigint").alias("bm25_rank"),
+            "neg_rank",
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+def hard_negative_mining_sql(
+    n_queries: int = 3, q_terms: int = 5, k: int = 10, n_neg: int = 3,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    base = BM25_SEARCH_SQL_TEMPLATE.format(
+        n_queries=n_queries, q_terms=q_terms, k=k, k1=k1, b=b
+    )
+    return f"""
+WITH hits AS ({base}),
+labeled AS (
+    SELECT h.query_id, h.hit_id, h.rank
+    FROM hits h
+    JOIN documents q ON h.query_id = q.doc_id
+    JOIN documents d ON h.hit_id = d.doc_id
+    WHERE q.source != d.source
+),
+ranked AS (
+    SELECT query_id, hit_id, rank,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+    FROM labeled
+)
+SELECT query_id, hit_id AS negative_id, CAST(rank AS BIGINT) AS bm25_rank,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM ranked WHERE neg_rank <= {n_neg}
+ORDER BY query_id, neg_rank
+"""

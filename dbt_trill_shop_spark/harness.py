@@ -282,6 +282,8 @@ from .ext.textstats import (
     PREFIX_TEMPLATES_SQL_TEMPLATE,
     bm25_source_precision,
     char_entropy,
+    hard_negative_mining,
+    hard_negative_mining_sql,
     bm25_source_precision_sql,
     prefix_templates,
     stopword_discovery,
@@ -1454,6 +1456,12 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(curation_pipeline_v2),
         curation_pipeline_v2_sql(QUALITY_CLASSIFIER_SQL, BLOCKLIST_FILTER_SQL),
     ),
+    # BM25-hard negative mining (lexically close, cross-source pairs)
+    "x_hard_negatives": QuerySpec(
+        _docs_q(lambda d: hard_negative_mining(d, n_queries=3, q_terms=5,
+                                               k=10, n_neg=3)),
+        hard_negative_mining_sql(n_queries=3, q_terms=5, k=10, n_neg=3),
+    ),
     # BM25 precision@k under source-match pseudo-relevance (IR eval)
     "x_bm25_precision": QuerySpec(
         _docs_q(lambda d: bm25_source_precision(d, n_queries=3, q_terms=5, k=10)),
@@ -2487,6 +2495,7 @@ _ROUND2_LATE = [
     "x_upsample_realize",
     "x_shingle_df_histogram",
     "q_seasonal_adjust",
+    "x_hard_negatives",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
