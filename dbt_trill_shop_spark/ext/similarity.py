@@ -3077,3 +3077,155 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(MAX(e) AS BIGINT) AS max_abs_err_micro
 FROM err GROUP BY dim ORDER BY dim
 """
+
+
+def cluster_purity(
+    embeddings: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """IVF cluster purity against labels: per cell, the majority label's
+    share (ppm) — the unsupervised-vs-supervised agreement readout that
+    grades a coarse quantizer as a CLUSTERING (pure cells mean the index's
+    partitions align with semantics, so n_probe can stay small for
+    same-class queries).  One assignment pass + a |cells × labels| rollup.
+    """
+    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    lab = embeddings.select(F.col(id_col), F.col(label_col).cast("bigint").alias("lab"))
+    cells = assigned.join(lab, id_col).groupBy("cell", "lab").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("lab"))
+    tot = cells.groupBy("cell").agg(F.sum("n").alias("ct"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("ct").cast("bigint").alias("n_members"),
+            F.col("lab").alias("majority_label"),
+            F.col("n").cast("bigint").alias("n_majority"),
+            F.expr("n * 1000000 DIV ct").alias("purity_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+CLUSTER_PURITY_SQL_TEMPLATE = """
+WITH assigned AS ({ivf_sql}),
+cells AS (
+    SELECT a.cell, CAST(e.label AS BIGINT) AS lab, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned a JOIN embeddings e USING (vec_id)
+    GROUP BY a.cell, e.label
+),
+tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS ct FROM cells GROUP BY cell),
+ranked AS (
+    SELECT cell, lab, n,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, lab ASC) AS rn
+    FROM cells
+)
+SELECT CAST(r.cell AS BIGINT) AS cell, t.ct AS n_members,
+       r.lab AS majority_label, r.n AS n_majority,
+       CAST(r.n * 1000000 // t.ct AS BIGINT) AS purity_ppm
+FROM ranked r JOIN tot t ON r.cell = t.cell
+WHERE r.rn = 1
+ORDER BY cell
+"""
+
+
+def intrinsic_dimension(
+    embeddings: DataFrame, num_queries: int = 200,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017):
+    d̂ = (n−1) / Σ ln(r₂/r₁) over each point's two nearest neighbors —
+    "how many dimensions does the data actually occupy" (embeddings
+    advertising 64 dims often live on a ≤10-dim manifold; the gap prices
+    how hard ANN compression can push).  Distance ratios come from the
+    exact int64 micro-L2 top-2; each ln(d2₂/d2₁)/2 is one engine-exact
+    float op rounded to micro-nats before the integer sum (the LM
+    recipe).  Coincident points (r₁ = 0) are excluded, as the estimator
+    requires.
+    """
+    top2 = l2_topk_exact(
+        embeddings,
+        embeddings.filter(F.col(id_col) < num_queries),
+        k=2,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # need distances, not just ranks: recompute d2 for the top-2 pairs via
+    # the same micro relation (k·N rows — cheap join, no extra gemm)
+    vm = _vec_micro_long(embeddings, id_col, vec_col)
+    qd = vm.select(F.col(id_col).alias("query_id"), "dim", F.col("xm").alias("q"))
+    nd = vm.select(F.col(id_col).alias("neighbor_id"), "dim", F.col("xm").alias("c"))
+    pairs = (
+        top2.join(qd, "query_id")
+        .join(nd, ["neighbor_id", "dim"])
+        .groupBy("query_id", "rank")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d2"))
+    )
+    wide = pairs.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rank") == 1, F.col("d2"))).alias("d1"),
+        F.sum(F.when(F.col("rank") == 2, F.col("d2"))).alias("d2b"),
+    ).filter(F.col("d1") > 0)
+    mu = wide.select(
+        F.expr(
+            "CAST(ROUND(LN(CAST(d2b AS DOUBLE) / d1) / 2.0 * 1000000, 0) "
+            "AS BIGINT)"
+        ).alias("lnr")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("lnr").alias("s"),
+    ).select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("s").cast("bigint").alias("sum_lnr_micro"),
+        F.expr(
+            "ROUND(CAST(n_points - 1 AS DOUBLE) "
+            "/ (CAST(s AS DOUBLE) / 1000000.0), 4)"
+        ).alias("intrinsic_dim"),
+    )
+
+
+def intrinsic_dimension_sql(num_queries: int = 200) -> str:
+    return f"""
+WITH vm AS (
+    SELECT vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM((q.xm - c.xm) * (q.xm - c.xm)) AS BIGINT) AS d2
+    FROM vm q JOIN vm c USING (dim)
+    WHERE q.vec_id < {num_queries} AND q.vec_id != c.vec_id
+    GROUP BY 1, 2
+),
+top2 AS (
+    SELECT query_id, d2, rn FROM (
+        SELECT query_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 2
+),
+wide AS (
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS d2b
+    FROM top2 GROUP BY query_id
+),
+mu AS (
+    SELECT CAST(ROUND(LN(CAST(d2b AS DOUBLE) / d1) / 2.0 * 1000000, 0) AS BIGINT)
+               AS lnr
+    FROM wide WHERE d1 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(lnr) AS BIGINT) AS sum_lnr_micro,
+       ROUND(CAST(COUNT(*) - 1 AS DOUBLE)
+             / (CAST(SUM(lnr) AS DOUBLE) / 1000000.0), 4) AS intrinsic_dim
+FROM mu
+"""

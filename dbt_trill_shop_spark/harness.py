@@ -201,7 +201,11 @@ from .ext.similarity import (
     pca_top_component,
     pca_top_component_sql,
     CLASS_SEPARATION_SQL,
+    CLUSTER_PURITY_SQL_TEMPLATE,
     SQ8_RECON_ERROR_SQL,
+    cluster_purity,
+    intrinsic_dimension,
+    intrinsic_dimension_sql,
     class_separation,
     sq8_reconstruction_error,
     retrieval_eval,
@@ -1727,6 +1731,22 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         SQ8_RECON_ERROR_SQL,
     ),
+    # IVF cluster purity vs labels (index-as-clustering grade)
+    "x_cluster_purity": QuerySpec(
+        lambda spark, sf_dir: cluster_purity(
+            load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS
+        ),
+        CLUSTER_PURITY_SQL_TEMPLATE.format(
+            ivf_sql=IVF_ASSIGN_SQL_TEMPLATE.format(n_cells=_IVF_CELLS)
+        ),
+    ),
+    # Two-NN intrinsic-dimension estimate (Facco 2017, micro-nat sums)
+    "x_intrinsic_dim": QuerySpec(
+        lambda spark, sf_dir: intrinsic_dimension(
+            load_table(spark, sf_dir, "embeddings"), num_queries=200
+        ),
+        intrinsic_dimension_sql(num_queries=200),
+    ),
     # class-separation matrix (centroid gaps vs intra-class spread)
     "x_class_separation": QuerySpec(
         lambda spark, sf_dir: class_separation(
@@ -2496,6 +2516,8 @@ _ROUND2_LATE = [
     "x_shingle_df_histogram",
     "q_seasonal_adjust",
     "x_hard_negatives",
+    "x_cluster_purity",
+    "x_intrinsic_dim",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
