@@ -1743,9 +1743,9 @@ QUERIES: dict[str, QuerySpec] = {
     # Two-NN intrinsic-dimension estimate (Facco 2017, micro-nat sums)
     "x_intrinsic_dim": QuerySpec(
         lambda spark, sf_dir: intrinsic_dimension(
-            load_table(spark, sf_dir, "embeddings"), num_queries=200
+            load_table(spark, sf_dir, "embeddings"), num_queries=100
         ),
-        intrinsic_dimension_sql(num_queries=200),
+        intrinsic_dimension_sql(num_queries=100),
     ),
     # class-separation matrix (centroid gaps vs intra-class spread)
     "x_class_separation": QuerySpec(
