@@ -1375,6 +1375,10 @@ QUERIES: dict[str, QuerySpec] = {
         CORPUS_REPORT_SQL.format(quality_sql=QUALITY_SCORE_SQL),
     ),
     "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
+    # order-to-first-ship latency percentiles per priority (SLA readout)
+    "q_fulfillment_latency": QuerySpec(
+        R.fulfillment_latency, R.FULFILLMENT_LATENCY_SQL
+    ),
     # ABC/Pareto part classification (integer cross-multiplied bands)
     "q_abc_analysis": QuerySpec(R.abc_analysis, R.ABC_ANALYSIS_SQL),
     "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
@@ -2518,6 +2522,7 @@ _ROUND2_LATE = [
     "x_hard_negatives",
     "x_cluster_purity",
     "x_intrinsic_dim",
+    "q_fulfillment_latency",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -1954,3 +1954,68 @@ FROM classed CROSS JOIN tot
 GROUP BY abc_class
 ORDER BY abc_class
 """
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency percentiles per order priority — the
+    operations SLA readout (do urgent orders actually ship faster?).
+    One fact-side pre-aggregate (min shipdate per order) before the
+    broadcast-priority join; latencies are exact day integers, the
+    percentiles exact interpolated values held ×4 (quartile grid) so the
+    output is integer like the ABC/IQR family."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    lat = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("first_ship"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(ROUND(percentile(days, 0.5) * 4, 0) AS BIGINT)").alias(
+                "p50_days_x4"
+            ),
+            F.expr("CAST(ROUND(percentile(days, 0.9) * 4, 0) AS BIGINT)").alias(
+                "p90_days_x4"
+            ),
+            F.max("days").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "p50_days_x4",
+            "p90_days_x4",
+            F.col("max_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_LATENCY_SQL = """
+WITH first_ship AS (
+    SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+    FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE), f.first_ship)
+                AS BIGINT) AS days
+    FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(quantile_cont(days, 0.5) * 4, 0) AS BIGINT) AS p50_days_x4,
+       CAST(ROUND(quantile_cont(days, 0.9) * 4, 0) AS BIGINT) AS p90_days_x4,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
