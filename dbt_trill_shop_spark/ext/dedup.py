@@ -2035,28 +2035,33 @@ def weighted_jaccard_pairs(
     come from the common-shingle join — never all-pairs.  Every column
     is exact integer, so even the weighted similarity is hash-checkable.
     """
-    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).localCheckpoint(
-        eager=True
+    # shuffle keys are 8-byte xxhash64 of the shingle (the exact-family
+    # convention — text never rides an exchange); the oracle joins on the
+    # strings themselves, so agreement is modulo 64-bit collisions
+    sh = (
+        _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     idf = (
-        sh.groupBy("s")
+        sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "s",
+            "sh",
             F.expr(
                 "CAST(ROUND(LN(CAST(nd AS DOUBLE) / df) * 1000000, 0) AS BIGINT)"
             ).alias("w"),
         )
     )
-    weighted = sh.join(idf, "s").localCheckpoint(eager=True)
+    weighted = sh.join(idf, "sh").localCheckpoint(eager=True)
     totals = weighted.groupBy(id_col).agg(F.sum("w").alias("tw"))
     common = (
-        weighted.select(F.col(id_col).alias("id_a"), "s", F.col("w").alias("wa"))
+        weighted.select(F.col(id_col).alias("id_a"), "sh", F.col("w").alias("wa"))
         .join(
-            weighted.select(F.col(id_col).alias("id_b"), "s"),
-            "s",
+            weighted.select(F.col(id_col).alias("id_b"), "sh"),
+            "sh",
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
