@@ -2743,3 +2743,60 @@ SELECT query_id, hit_id AS negative_id, CAST(rank AS BIGINT) AS bm25_rank,
 FROM ranked WHERE neg_rank <= {n_neg}
 ORDER BY query_id, neg_rank
 """
+
+
+def vocab_growth_curve(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct token types as the
+    corpus accumulates in doc_id order, reported at doc-decile
+    checkpoints — sublinear growth is healthy natural text; a
+    near-linear curve flags synthetic or ID-riddled content (every doc
+    minting new "types").  Each type attributes to the FIRST doc that
+    contains it (one min-aggregate keyed by token), then types roll up
+    by the first-doc's decile and cumulate over 10 rows."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucket = F.expr(
+        f"LEAST({n_buckets} - 1, (first_doc - lo) * {n_buckets} "
+        "DIV GREATEST(hi - lo + 1, 1))"
+    )
+    per_bucket = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        F.col("new_types").cast("bigint").alias("new_types"),
+        F.sum("new_types").over(w).cast("bigint").alias("cumulative_types"),
+    ).orderBy("bucket")
+
+
+VOCAB_GROWTH_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+per_bucket AS (
+    SELECT LEAST({n_buckets} - 1, (first_doc - lo) * {n_buckets}
+                 // GREATEST(hi - lo + 1, 1)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM firsts CROSS JOIN bounds
+    GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_types
+FROM per_bucket
+ORDER BY bucket
+"""

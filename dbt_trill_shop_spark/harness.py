@@ -288,6 +288,8 @@ from .ext.textstats import (
     char_entropy,
     hard_negative_mining,
     hard_negative_mining_sql,
+    VOCAB_GROWTH_SQL_TEMPLATE,
+    vocab_growth_curve,
     bm25_source_precision_sql,
     prefix_templates,
     stopword_discovery,
@@ -1114,6 +1116,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # weekly type-mix shares with WoW deltas (composition shift)
+    "q_weekly_mix_share": QuerySpec(A.weekly_mix_share, A.WEEKLY_MIX_SHARE_SQL),
     # seasonally adjusted daily series (dow index divided out)
     "q_seasonal_adjust": QuerySpec(
         A.seasonally_adjusted_daily, A.SEASONAL_ADJUST_SQL
@@ -1481,6 +1485,11 @@ QUERIES: dict[str, QuerySpec] = {
     "x_prefix_templates": QuerySpec(
         _docs_q(lambda d: prefix_templates(d, prefix_tokens=5, min_docs=2)),
         PREFIX_TEMPLATES_SQL_TEMPLATE.format(prefix_tokens=5, min_docs=2),
+    ),
+    # Heaps-law vocabulary growth curve (first-occurrence attribution)
+    "x_vocab_growth": QuerySpec(
+        _docs_q(lambda d: vocab_growth_curve(d, n_buckets=10)),
+        VOCAB_GROWTH_SQL_TEMPLATE.format(n_buckets=10),
     ),
     # corpus-driven stopword discovery (top-df types -> stop lists)
     "x_stopword_discovery": QuerySpec(
@@ -2523,6 +2532,8 @@ _ROUND2_LATE = [
     "x_cluster_purity",
     "x_intrinsic_dim",
     "q_fulfillment_latency",
+    "q_weekly_mix_share",
+    "x_vocab_growth",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

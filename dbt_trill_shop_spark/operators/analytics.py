@@ -4552,3 +4552,47 @@ SELECT d, y, index_ppm,
 FROM dowed JOIN idx USING (dow)
 ORDER BY d
 """
+
+
+def weekly_mix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type mix shares with week-over-week share deltas — the
+    composition-shift dashboard (is the mix moving, not just the volume).
+    Shares are exact ppm of the week's total; the delta is one lag window
+    over the |weeks × types| grid."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("week").agg(F.sum("n").alias("t"))
+    shared = cells.join(tot, "week").select(
+        "week",
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("n * 1000000 DIV t").alias("share_ppm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return shared.withColumn(
+        "share_delta_ppm",
+        (F.col("share_ppm") - F.lag("share_ppm").over(w)).cast("bigint"),
+    ).orderBy("week", "event_type")
+
+
+WEEKLY_MIX_SHARE_SQL = """
+WITH cells AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY week),
+shared AS (
+    SELECT c.week, c.event_type, c.n AS n_events,
+           CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM cells c JOIN tot t USING (week)
+)
+SELECT week, event_type, n_events, share_ppm,
+       CAST(share_ppm - LAG(share_ppm) OVER (PARTITION BY event_type
+            ORDER BY week) AS BIGINT) AS share_delta_ppm
+FROM shared
+ORDER BY week, event_type
+"""
