@@ -2800,3 +2800,103 @@ SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
 FROM per_bucket
 ORDER BY bucket
 """
+
+
+def ttr_by_source(docs: DataFrame) -> DataFrame:
+    """Type-token ratio per source (lexical diversity): distinct types per
+    1000 tokens — the normalized TTR that, unlike raw TTR, is comparable
+    across sources of different sizes only approximately; both the raw
+    ratio and volumes ship so the reader can judge.  One token-keyed
+    aggregate per source."""
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr("n_types * 1000 DIV n_tokens").alias("ttr_milli"),
+    ).orderBy("source")
+
+
+TTR_BY_SOURCE_SQL = """
+WITH toks AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT w) * 1000 // COUNT(*) AS BIGINT) AS ttr_milli
+FROM toks
+GROUP BY source
+ORDER BY source
+"""
+
+
+def length_quality_bias(docs: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """Length-bias audit of the quality classifier: mean logit per
+    token-length quintile — a score that just proxies length is a trap
+    (the Gopher papers' warning), and this is the two-minute check.
+    Quintiles by NTILE over (length, doc_id) total order; means via the
+    shifted-nonneg integer trick."""
+    scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
+    )
+    j = lens.join(scored, "doc_id")
+    w = Window.orderBy("nt", "doc_id")
+    bucketed = j.select(
+        "logit_milli",
+        "nt",
+        F.ntile(n_buckets).over(w).cast("bigint").alias("length_quintile"),
+    )
+    lo_rel = bucketed.agg(F.min("logit_milli").alias("lo"))
+    return (
+        bucketed.crossJoin(F.broadcast(lo_rel))
+        .groupBy("length_quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("st"),
+            F.sum(F.col("logit_milli") - F.col("lo")).alias("ss"),
+            F.min("lo").alias("lo"),
+        )
+        .select(
+            "length_quintile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("st DIV n_docs").cast("bigint").alias("mean_tokens"),
+            F.expr("lo + ss DIV n_docs").cast("bigint").alias("mean_logit_milli"),
+        )
+        .orderBy("length_quintile")
+    )
+
+
+LENGTH_QUALITY_BIAS_SQL_TEMPLATE = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_SQL}),
+j AS (
+    SELECT d.doc_id, CAST(LEN(STR_SPLIT(d.text, ' ')) AS BIGINT) AS nt,
+           s.logit_milli
+    FROM documents d JOIN scored s USING (doc_id)
+),
+bucketed AS (
+    SELECT logit_milli, nt,
+           CAST(NTILE({{n_buckets}}) OVER (ORDER BY nt, doc_id) AS BIGINT)
+               AS length_quintile
+    FROM j
+),
+lo_rel AS (SELECT MIN(logit_milli) AS lo FROM bucketed)
+SELECT length_quintile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) // COUNT(*) AS BIGINT) AS mean_tokens,
+       CAST(MIN(lo) + SUM(logit_milli - lo) // COUNT(*) AS BIGINT)
+           AS mean_logit_milli
+FROM bucketed CROSS JOIN lo_rel
+GROUP BY length_quintile
+ORDER BY length_quintile
+"""

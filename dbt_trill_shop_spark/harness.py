@@ -288,7 +288,11 @@ from .ext.textstats import (
     char_entropy,
     hard_negative_mining,
     hard_negative_mining_sql,
+    LENGTH_QUALITY_BIAS_SQL_TEMPLATE,
+    TTR_BY_SOURCE_SQL,
     VOCAB_GROWTH_SQL_TEMPLATE,
+    length_quality_bias,
+    ttr_by_source,
     vocab_growth_curve,
     bm25_source_precision_sql,
     prefix_templates,
@@ -1486,6 +1490,13 @@ QUERIES: dict[str, QuerySpec] = {
         _docs_q(lambda d: prefix_templates(d, prefix_tokens=5, min_docs=2)),
         PREFIX_TEMPLATES_SQL_TEMPLATE.format(prefix_tokens=5, min_docs=2),
     ),
+    # type-token ratio per source (lexical diversity)
+    "x_ttr_by_source": QuerySpec(_docs_q(ttr_by_source), TTR_BY_SOURCE_SQL),
+    # classifier length-bias audit (mean logit per length quintile)
+    "x_length_bias": QuerySpec(
+        _docs_q(lambda d: length_quality_bias(d, n_buckets=5)),
+        LENGTH_QUALITY_BIAS_SQL_TEMPLATE.format(n_buckets=5),
+    ),
     # Heaps-law vocabulary growth curve (first-occurrence attribution)
     "x_vocab_growth": QuerySpec(
         _docs_q(lambda d: vocab_growth_curve(d, n_buckets=10)),
@@ -2534,6 +2545,8 @@ _ROUND2_LATE = [
     "q_fulfillment_latency",
     "q_weekly_mix_share",
     "x_vocab_growth",
+    "x_ttr_by_source",
+    "x_length_bias",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
