@@ -1120,6 +1120,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # inter-event gap histogram (power-of-two minutes; session-gap evidence)
+    "q_interarrival": QuerySpec(A.interarrival_histogram, A.INTERARRIVAL_SQL),
     # weekly type-mix shares with WoW deltas (composition shift)
     "q_weekly_mix_share": QuerySpec(A.weekly_mix_share, A.WEEKLY_MIX_SHARE_SQL),
     # seasonally adjusted daily series (dow index divided out)
@@ -2547,6 +2549,7 @@ _ROUND2_LATE = [
     "x_vocab_growth",
     "x_ttr_by_source",
     "x_length_bias",
+    "q_interarrival",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

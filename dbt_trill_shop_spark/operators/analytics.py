@@ -4596,3 +4596,74 @@ SELECT week, event_type, n_events, share_ppm,
 FROM shared
 ORDER BY week, event_type
 """
+
+
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User inter-event time distribution in power-of-two minute buckets —
+    the engagement-rhythm readout that also justifies the sessionizer's
+    30-minute gap (the histogram valley is where the gap belongs).
+    One lag window per user (µs-integer gaps), then an unrolled integer
+    log2 bucketing — ≤ ~16 output rows at any volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us DIV 60000000").cast("bigint").alias("gap_min"))
+    )
+    bucket = F.expr(
+        "CAST(CASE WHEN gap_min >= 1024 THEN 11 WHEN gap_min >= 512 THEN 10 "
+        "WHEN gap_min >= 256 THEN 9 WHEN gap_min >= 128 THEN 8 "
+        "WHEN gap_min >= 64 THEN 7 WHEN gap_min >= 32 THEN 6 "
+        "WHEN gap_min >= 16 THEN 5 WHEN gap_min >= 8 THEN 4 "
+        "WHEN gap_min >= 4 THEN 3 WHEN gap_min >= 2 THEN 2 "
+        "WHEN gap_min >= 1 THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    cells = gaps.select(bucket.alias("log2_min_bucket")).groupBy(
+        "log2_min_bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "log2_min_bucket",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.expr("n * 1000000 DIV t").alias("share_ppm"),
+        )
+        .orderBy("log2_min_bucket")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT CAST(date_diff('microsecond', LAG(ts) OVER w, ts) // 60000000
+               AS BIGINT) AS gap_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY LAG(ts) OVER w IS NOT NULL
+),
+cells AS (
+    SELECT CAST(CASE WHEN gap_min >= 1024 THEN 11 WHEN gap_min >= 512 THEN 10
+                WHEN gap_min >= 256 THEN 9 WHEN gap_min >= 128 THEN 8
+                WHEN gap_min >= 64 THEN 7 WHEN gap_min >= 32 THEN 6
+                WHEN gap_min >= 16 THEN 5 WHEN gap_min >= 8 THEN 4
+                WHEN gap_min >= 4 THEN 3 WHEN gap_min >= 2 THEN 2
+                WHEN gap_min >= 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS log2_min_bucket,
+           COUNT(*) AS n
+    FROM gaps GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells)
+SELECT log2_min_bucket, CAST(n AS BIGINT) AS n_gaps,
+       CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY log2_min_bucket
+"""
