@@ -3229,3 +3229,81 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
              / (CAST(SUM(lnr) AS DOUBLE) / 1000000.0), 4) AS intrinsic_dim
 FROM mu
 """
+
+
+def embedding_outliers(
+    embeddings: DataFrame, k: int = 20, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Top-k embedding outliers: points farthest from their OWN label's
+    centroid (milli-unit integer distances, the class_separation
+    machinery) — mislabeled rows, corrupted vectors, and genuinely novel
+    points all surface here first; the embedding-space twin of the
+    value-anomaly screens.  One centroid pass + one distance pass + a
+    k-row global window behind the (small) candidate relation."""
+    vm = embeddings.select(
+        F.col(label_col).cast("bigint").alias("lab"),
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    ).select(
+        "lab",
+        id_col,
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1000, 0).cast("bigint").alias("xm"),
+    )
+    cent = vm.groupBy("lab", "dim").agg(
+        F.expr(
+            "CAST((SUM(xm) + 10000 * COUNT(*)) DIV COUNT(*) - 10000 AS BIGINT)"
+        ).alias("c")
+    )
+    d = (
+        vm.join(F.broadcast(cent), ["lab", "dim"])
+        .groupBy("lab", id_col)
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("c")) * (F.col("xm") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.orderBy(F.desc("d2"), F.asc(id_col))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col(id_col),
+            F.col("lab").alias("label"),
+            F.expr("CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 0) AS BIGINT)").alias(
+                "dist_milli"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL_TEMPLATE = """
+WITH vm AS (
+    SELECT CAST(label AS BIGINT) AS lab, vec_id, i - 1 AS dim,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) AS xm
+    FROM (SELECT label, vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+),
+cent AS (
+    SELECT lab, dim,
+           CAST((SUM(xm) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS BIGINT) AS c
+    FROM vm GROUP BY lab, dim
+),
+d AS (
+    SELECT vm.lab, vm.vec_id,
+           CAST(SUM((vm.xm - c.c) * (vm.xm - c.c)) AS BIGINT) AS d2
+    FROM vm JOIN cent c ON vm.lab = c.lab AND vm.dim = c.dim
+    GROUP BY vm.lab, vm.vec_id
+)
+SELECT CAST(rn AS BIGINT) AS rank, vec_id, lab AS label,
+       CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 0) AS BIGINT) AS dist_milli
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id ASC) AS rn FROM d
+) r WHERE rn <= {k}
+ORDER BY rank
+"""

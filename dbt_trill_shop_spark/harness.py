@@ -204,6 +204,8 @@ from .ext.similarity import (
     CLUSTER_PURITY_SQL_TEMPLATE,
     SQ8_RECON_ERROR_SQL,
     cluster_purity,
+    embedding_outliers,
+    EMBEDDING_OUTLIERS_SQL_TEMPLATE,
     intrinsic_dimension,
     intrinsic_dimension_sql,
     class_separation,
@@ -1757,6 +1759,13 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         SQ8_RECON_ERROR_SQL,
     ),
+    # top-k embedding outliers vs own-label centroids (mislabel screen)
+    "x_embedding_outliers": QuerySpec(
+        lambda spark, sf_dir: embedding_outliers(
+            load_table(spark, sf_dir, "embeddings"), k=20
+        ),
+        EMBEDDING_OUTLIERS_SQL_TEMPLATE.format(k=20),
+    ),
     # IVF cluster purity vs labels (index-as-clustering grade)
     "x_cluster_purity": QuerySpec(
         lambda spark, sf_dir: cluster_purity(
@@ -2550,6 +2559,7 @@ _ROUND2_LATE = [
     "x_ttr_by_source",
     "x_length_bias",
     "q_interarrival",
+    "x_embedding_outliers",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
