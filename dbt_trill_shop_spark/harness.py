@@ -350,7 +350,7 @@ from .streaming.events import (
     stream_sliding_rollup,
     stream_weekly_rollup,
 )
-from .models.trends import build_trends_relations
+from .models.trends import TERM_MOMENTUM_BODY, build_trends_relations, term_momentum
 from .operators import analytics as A
 from .operators import relational as R
 from .operators import temporal as T
@@ -928,6 +928,10 @@ QUERIES: dict[str, QuerySpec] = {
         _trends("trending_terms_analysis"), with_prelude(_TRENDING_BODY, _TRENDING_CTES)
     ),
     # --- relational harness operators -------------------------------------
+    # term momentum over the staging layer (WoW risers, reference domain)
+    "q_term_momentum": QuerySpec(
+        term_momentum, with_prelude(TERM_MOMENTUM_BODY)
+    ),
     "q_pricing_summary": QuerySpec(R.pricing_summary, R.PRICING_SUMMARY_SQL),
     "q_regional_revenue": QuerySpec(R.regional_revenue, R.REGIONAL_REVENUE_SQL),
     "q_top_customers": QuerySpec(R.top_customers, R.TOP_CUSTOMERS_SQL),
@@ -2560,6 +2564,7 @@ _ROUND2_LATE = [
     "x_length_bias",
     "q_interarrival",
     "x_embedding_outliers",
+    "q_term_momentum",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -364,3 +364,67 @@ def trends_project(target: str = "dev", warehouse_dir: str | None = None) -> Pro
         m.contract = meta.get("contract")
         p.add_model(m)
     return p
+
+
+def term_momentum(spark, sf_dir: str):
+    """Term momentum over the trends staging layer: each term's mean score
+    per week with the week-over-week delta and a rank of this week's
+    biggest risers — the "what's surging" readout the reference's marts
+    stop short of (they bucket levels; this tracks MOTION).  Built on the
+    same compiled staging relations, exact integer score sums with
+    mean-milli output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stg = build_trends_relations(spark, sf_dir)["stg_top_terms"]
+    weekly = stg.groupBy("term", "week").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score").alias("s")
+    )
+    w = Window.partitionBy("term").orderBy("week")
+    scored = weekly.select(
+        "term",
+        "week",
+        F.expr("s * 1000 DIV n").alias("mean_score_milli"),
+    ).withColumn(
+        "delta_milli",
+        F.col("mean_score_milli") - F.lag("mean_score_milli").over(w),
+    )
+    wr = Window.partitionBy("week").orderBy(
+        F.desc("delta_milli"), F.asc("term")
+    )
+    return (
+        scored.filter(F.col("delta_milli").isNotNull())
+        .withColumn("riser_rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("riser_rank") <= 5)
+        .select(
+            "week",
+            "riser_rank",
+            "term",
+            F.col("mean_score_milli").cast("bigint").alias("mean_score_milli"),
+            F.col("delta_milli").cast("bigint").alias("delta_milli"),
+        )
+        .orderBy("week", "riser_rank")
+    )
+
+
+TERM_MOMENTUM_BODY = """
+SELECT week, riser_rank, term, mean_score_milli, delta_milli
+FROM (
+    SELECT week, term, mean_score_milli, delta_milli,
+           CAST(ROW_NUMBER() OVER (PARTITION BY week
+                ORDER BY delta_milli DESC, term ASC) AS BIGINT) AS riser_rank
+    FROM (
+        SELECT term, week,
+               CAST(SUM(score) * 1000 // COUNT(*) AS BIGINT) AS mean_score_milli,
+               CAST(SUM(score) * 1000 // COUNT(*)
+                    - LAG(CAST(SUM(score) * 1000 // COUNT(*) AS BIGINT))
+                      OVER (PARTITION BY term ORDER BY week) AS BIGINT)
+                   AS delta_milli
+        FROM stg_top_terms
+        GROUP BY term, week
+    ) d
+    WHERE delta_milli IS NOT NULL
+) r
+WHERE riser_rank <= 5
+ORDER BY week, riser_rank
+"""
