@@ -1126,6 +1126,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # weekend daily-rate lift per type (rates, not raw counts)
+    "q_weekend_lift": QuerySpec(A.weekend_lift_by_type, A.WEEKEND_LIFT_SQL),
     # inter-event gap histogram (power-of-two minutes; session-gap evidence)
     "q_interarrival": QuerySpec(A.interarrival_histogram, A.INTERARRIVAL_SQL),
     # weekly type-mix shares with WoW deltas (composition shift)
@@ -2565,6 +2567,7 @@ _ROUND2_LATE = [
     "q_interarrival",
     "x_embedding_outliers",
     "q_term_momentum",
+    "q_weekend_lift",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -4667,3 +4667,76 @@ SELECT log2_min_bucket, CAST(n AS BIGINT) AS n_gaps,
 FROM cells CROSS JOIN tot
 ORDER BY log2_min_bucket
 """
+
+
+def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type: weekend vs weekday DAILY-RATE ratio in
+    ppm (rates, not raw counts — there are 5 weekdays per 2 weekend days;
+    the raw-count version of this metric is the classic dashboard bug).
+    Exact integer cross-multiplication: rate ratio = (we·wd_days)·10⁶ div
+    (wd·we_days)."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
+    )
+    flagged = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        dow.isin(0, 6).cast("bigint").alias("is_we"),
+    )
+    days = flagged.select("d", "is_we").distinct().groupBy("is_we").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    counts = flagged.groupBy("event_type", "is_we").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wide = counts.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_we") == 1, F.col("n"))).alias("we"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("n"))).alias("wd"),
+    )
+    dwide = days.agg(
+        F.sum(F.when(F.col("is_we") == 1, F.col("nd"))).alias("we_days"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("nd"))).alias("wd_days"),
+    )
+    return (
+        wide.crossJoin(F.broadcast(dwide))
+        .select(
+            "event_type",
+            F.col("we").cast("bigint").alias("weekend_events"),
+            F.col("wd").cast("bigint").alias("weekday_events"),
+            F.expr("we * wd_days * 1000000 DIV (wd * we_days)").alias(
+                "rate_lift_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+WEEKEND_LIFT_SQL = """
+WITH flagged AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CASE WHEN ((date_diff('day', DATE '2024-01-07', CAST(ts AS DATE)))
+                      % 7 + 7) % 7 IN (0, 6) THEN 1 ELSE 0 END AS is_we
+    FROM events
+),
+days AS (
+    SELECT is_we, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM (SELECT DISTINCT d, is_we FROM flagged) GROUP BY is_we
+),
+wide AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN is_we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS we,
+           CAST(SUM(CASE WHEN is_we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wd
+    FROM flagged GROUP BY event_type
+),
+dwide AS (
+    SELECT CAST(SUM(CASE WHEN is_we = 1 THEN nd END) AS BIGINT) AS we_days,
+           CAST(SUM(CASE WHEN is_we = 0 THEN nd END) AS BIGINT) AS wd_days
+    FROM days
+)
+SELECT event_type, we AS weekend_events, wd AS weekday_events,
+       CAST(we * wd_days * 1000000 // (wd * we_days) AS BIGINT)
+           AS rate_lift_ppm
+FROM wide CROSS JOIN dwide
+ORDER BY event_type
+"""
