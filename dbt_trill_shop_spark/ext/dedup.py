@@ -2169,7 +2169,9 @@ def jaccard_threshold_curve(
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_all"),
         *[
-            F.sum((F.col("j_ppm") >= t).cast("bigint")).alias(f"t{t}")
+            F.coalesce(
+                F.sum((F.col("j_ppm") >= t).cast("bigint")), F.lit(0)
+            ).alias(f"t{t}")
             for t in thr
         ],
     )
@@ -2196,23 +2198,32 @@ def jaccard_threshold_curve(
 
 
 def jaccard_threshold_curve_sql(shingle_len: int = 3) -> str:
+    # ONE conditional-aggregation pass over the pair relation (the Spark
+    # shape), then a 7-row unpivot — the earlier thr×pairs cross join
+    # materialized the biggest dedup-family intermediate 7×, and returned
+    # ZERO rows on a pair-free corpus where Spark returns 7 zero rows.
+    thr = (300000, 400000, 500000, 600000, 700000, 800000, 900000)
     base = NGRAM_JACCARD_SQL_TEMPLATE.format(n=shingle_len, threshold=0.0)
-    rows = " UNION ALL ".join(
-        f"SELECT {t} AS threshold_ppm FROM (SELECT 1)" for t in
-        (300000, 400000, 500000, 600000, 700000, 800000, 900000)
+    sums = ",\n           ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN j_ppm >= {t} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS t{t}"
+        for t in thr
+    )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT {t} AS threshold_ppm, t{t} AS n_pairs, n_all FROM agg"
+        for t in thr
     )
     return f"""
 WITH pairs AS ({base}),
 ppm AS (SELECT CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) AS j_ppm FROM pairs),
-thr AS ({rows}),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ppm)
-SELECT t.threshold_ppm,
-       CAST(SUM(CASE WHEN p.j_ppm >= t.threshold_ppm THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_pairs,
-       MAX(tot.n_candidates) AS n_candidates
-FROM thr t CROSS JOIN ppm p CROSS JOIN tot
-GROUP BY t.threshold_ppm
-ORDER BY t.threshold_ppm
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+           {sums}
+    FROM ppm
+)
+SELECT threshold_ppm, n_pairs, n_all AS n_candidates
+FROM ({unpivot})
+ORDER BY threshold_ppm
 """
 
 

@@ -2422,15 +2422,16 @@ def _blocklist_sql_counts(cat: str) -> str:
 
 
 BLOCKLIST_FILTER_SQL = rf"""
-SELECT doc_id,
-       CAST({_blocklist_sql_counts("profanity")} AS BIGINT) AS n_profanity,
-       CAST({_blocklist_sql_counts("spam")} AS BIGINT) AS n_spam,
-       CAST({_blocklist_sql_counts("boilerplate")} AS BIGINT) AS n_boilerplate,
-       CAST({_blocklist_sql_counts("profanity")} + {_blocklist_sql_counts("spam")}
-            + {_blocklist_sql_counts("boilerplate")} AS BIGINT) AS n_total_hits,
-       ({_blocklist_sql_counts("profanity")} + {_blocklist_sql_counts("spam")}
-        + {_blocklist_sql_counts("boilerplate")}) = 0 AS keep
-FROM documents
+SELECT doc_id, n_profanity, n_spam, n_boilerplate,
+       CAST(n_profanity + n_spam + n_boilerplate AS BIGINT) AS n_total_hits,
+       (n_profanity + n_spam + n_boilerplate) = 0 AS keep
+FROM (
+    SELECT doc_id,
+           CAST({_blocklist_sql_counts("profanity")} AS BIGINT) AS n_profanity,
+           CAST({_blocklist_sql_counts("spam")} AS BIGINT) AS n_spam,
+           CAST({_blocklist_sql_counts("boilerplate")} AS BIGINT) AS n_boilerplate
+    FROM documents
+) t
 ORDER BY doc_id
 """
 

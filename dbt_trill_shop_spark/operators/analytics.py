@@ -4691,8 +4691,8 @@ def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     wide = counts.groupBy("event_type").agg(
-        F.sum(F.when(F.col("is_we") == 1, F.col("n"))).alias("we"),
-        F.sum(F.when(F.col("is_we") == 0, F.col("n"))).alias("wd"),
+        F.sum(F.when(F.col("is_we") == 1, F.col("n")).otherwise(0)).alias("we"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("n")).otherwise(0)).alias("wd"),
     )
     dwide = days.agg(
         F.sum(F.when(F.col("is_we") == 1, F.col("nd"))).alias("we_days"),
@@ -4704,9 +4704,9 @@ def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("we").cast("bigint").alias("weekend_events"),
             F.col("wd").cast("bigint").alias("weekday_events"),
-            F.expr("we * wd_days * 1000000 DIV (wd * we_days)").alias(
-                "rate_lift_ppm"
-            ),
+            F.expr(
+                "we * wd_days * 1000000 DIV GREATEST(1, wd * we_days)"
+            ).alias("rate_lift_ppm"),
         )
         .orderBy("event_type")
     )
@@ -4735,7 +4735,7 @@ dwide AS (
     FROM days
 )
 SELECT event_type, we AS weekend_events, wd AS weekday_events,
-       CAST(we * wd_days * 1000000 // (wd * we_days) AS BIGINT)
+       CAST(we * wd_days * 1000000 // GREATEST(1, wd * we_days) AS BIGINT)
            AS rate_lift_ppm
 FROM wide CROSS JOIN dwide
 ORDER BY event_type

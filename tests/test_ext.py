@@ -1153,3 +1153,15 @@ def test_weighted_jaccard_downweights_common_shingles(spark):
     assert out[(1, 2)] == 1_000_000
     # docs sharing only the ubiquitous prefix shingle: near zero
     assert out.get((3, 4), 0) < 200_000
+
+
+def test_jaccard_curve_empty_pair_corpus(spark):
+    """A corpus with no shared shingles must still emit all 7 thresholds
+    with zero counts (the latent Spark-vs-oracle row-count divergence)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = dedup.jaccard_threshold_curve(docs, shingle_len=3).collect()
+    assert len(out) == 7
+    assert all(r["n_pairs"] == 0 and r["n_candidates"] == 0 for r in out)
