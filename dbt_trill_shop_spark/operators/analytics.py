@@ -26,6 +26,22 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 SESSION_GAP_MINUTES = 30
 
 
+# Portable weekday id (0=Sun..6=Sat): days since a known Sunday, mod 7 —
+# Spark's dayofweek is 1-7 Sun-first and DuckDB's 0-6 Mon-first, so every
+# weekday-keyed operator anchors on a date instead (shared by seasonality,
+# punchcard, A/B tests, weekend lift).
+_DOW_ANCHOR = "2024-01-07"
+DOW_ID_SQL = (
+    "((date_diff('day', DATE '2024-01-07', CAST({col} AS DATE))) % 7 + 7) % 7"
+)
+
+
+def _dow_id(col):
+    return F.pmod(
+        F.datediff(col.cast("date"), F.lit(_DOW_ANCHOR).cast("date")), 7
+    )
+
+
 def date_spine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt_utils.date_spine: dense calendar via sequence+explode, left-joined
     to daily event counts with zero-fill.  The spine is generated, not
@@ -4097,9 +4113,7 @@ def activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_seasonality`` trick — Spark and DuckDB number dayofweek
     differently); one low-cardinality rollup, exact ppm of total."""
     ev = load_table(spark, sf_dir, "events")
-    dow = F.pmod(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
-    ).cast("bigint")
+    dow = _dow_id(F.col("ts")).cast("bigint")
     cells = ev.groupBy(
         dow.alias("dow"), F.hour("ts").cast("bigint").alias("hour")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -4140,10 +4154,7 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the z literals frozen; counts and the pooled rate are exact
     integers, the MDE is one fixed float expression rounded to ppm."""
     ev = load_table(spark, sf_dir, "events")
-    dow_id = F.pmod(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
-    )
-    grp = dow_id.isin(0, 6).cast("bigint").alias("is_weekend")
+    grp = _dow_id(F.col("ts")).isin(0, 6).cast("bigint").alias("is_weekend")
     conv = (F.col("event_type") == "purchase").cast("bigint")
     wide = (
         ev.select(grp, conv.alias("c"))
@@ -4500,10 +4511,7 @@ def seasonally_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("y")
     )
-    dow = F.pmod(
-        F.datediff(F.col("d"), F.lit("2024-01-07").cast("date")), 7
-    ).cast("bigint")
-    dowed = daily.withColumn("dow", dow)
+    dowed = daily.withColumn("dow", _dow_id(F.col("d")).cast("bigint"))
     idx = (
         dowed.groupBy("dow")
         .agg(F.count(F.lit(1)).alias("k"), F.sum("y").alias("s"))
@@ -4676,13 +4684,10 @@ def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer cross-multiplication: rate ratio = (we·wd_days)·10⁶ div
     (wd·we_days)."""
     ev = load_table(spark, sf_dir, "events")
-    dow = F.pmod(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-07").cast("date")), 7
-    )
     flagged = ev.select(
         "event_type",
         F.col("ts").cast("date").alias("d"),
-        dow.isin(0, 6).cast("bigint").alias("is_we"),
+        _dow_id(F.col("ts")).isin(0, 6).cast("bigint").alias("is_we"),
     )
     days = flagged.select("d", "is_we").distinct().groupBy("is_we").agg(
         F.count(F.lit(1)).alias("nd")
