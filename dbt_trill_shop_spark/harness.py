@@ -1126,6 +1126,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: synthetic_source_rollup(spark, rows=20000),
         SYNTHETIC_SOURCE_SQL_TEMPLATE.format(rows=20000),
     ),
+    # weekly view->click->purchase throughput rates (exact ppm)
+    "q_weekly_ctr": QuerySpec(A.weekly_ctr, A.WEEKLY_CTR_SQL),
     # weekend daily-rate lift per type (rates, not raw counts)
     "q_weekend_lift": QuerySpec(A.weekend_lift_by_type, A.WEEKEND_LIFT_SQL),
     # inter-event gap histogram (power-of-two minutes; session-gap evidence)
@@ -1393,6 +1395,8 @@ QUERIES: dict[str, QuerySpec] = {
         CORPUS_REPORT_SQL.format(quality_sql=QUALITY_SCORE_SQL),
     ),
     "q_customer_order_ranks": QuerySpec(R.customer_order_ranks, R.CUSTOMER_ORDER_RANKS_SQL),
+    # average order value per market segment (broadcast dim rollup)
+    "q_aov_by_segment": QuerySpec(R.aov_by_segment, R.AOV_BY_SEGMENT_SQL),
     # order-to-first-ship latency percentiles per priority (SLA readout)
     "q_fulfillment_latency": QuerySpec(
         R.fulfillment_latency, R.FULFILLMENT_LATENCY_SQL
@@ -2568,6 +2572,8 @@ _ROUND2_LATE = [
     "x_embedding_outliers",
     "q_term_momentum",
     "q_weekend_lift",
+    "q_weekly_ctr",
+    "q_aov_by_segment",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -4745,3 +4745,50 @@ SELECT event_type, we AS weekend_events, wd AS weekday_events,
 FROM wide CROSS JOIN dwide
 ORDER BY event_type
 """
+
+
+def weekly_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly view→click and click→purchase conversion rates — the basic
+    funnel-stage ratios as exact ppm (one low-cardinality rollup; the
+    denominators are stage counts, not users, so this reads as THROUGHPUT
+    next to q_funnel's user-level reach)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("bigint")).alias("views"),
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "purchases"
+        ),
+    )
+    return cells.select(
+        "week",
+        F.col("views").cast("bigint").alias("views"),
+        F.col("clicks").cast("bigint").alias("clicks"),
+        F.col("purchases").cast("bigint").alias("purchases"),
+        F.expr("clicks * 1000000 DIV GREATEST(1, views)").alias("ctr_ppm"),
+        F.expr("purchases * 1000000 DIV GREATEST(1, clicks)").alias(
+            "purchase_rate_ppm"
+        ),
+    ).orderBy("week")
+
+
+WEEKLY_CTR_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS views,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(1, SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+            AS BIGINT) AS ctr_ppm,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(1, SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END))
+            AS BIGINT) AS purchase_rate_ppm
+FROM events
+GROUP BY 1
+ORDER BY week
+"""

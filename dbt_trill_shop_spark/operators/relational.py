@@ -2019,3 +2019,43 @@ FROM lat
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def aov_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value per customer market segment — the segmentation
+    staple: fact pre-aggregated per customer is unnecessary here (order
+    grain already), so it's one broadcast dim join + a segment rollup with
+    exact cents means."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("sc"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("sc").cast("bigint").alias("total_cents"),
+            F.expr("sc DIV n_orders").cast("bigint").alias("aov_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AOV_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS aov_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
