@@ -955,3 +955,68 @@ FROM base, UNNEST(range(1, nc + 1)) AS u(i)
 WHERE nc > 0
 ORDER BY doc_id, copy_id
 """
+
+
+def sample_bias_audit(
+    docs: DataFrame, fraction: float = 0.25, strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sampler-neutrality audit: the stratum mix of a hash sample vs the
+    full corpus, with the ppm delta — a content-hash sampler must NOT
+    skew composition (a skew here means the hash and the stratum are
+    correlated, i.e. someone sampled on a non-uniform key).  Two tiny
+    rollups over one scan + the sample's rescan."""
+    full = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_full"))
+    samp = hash_sample(docs, id_col, fraction).groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_samp")
+    )
+    tf = full.agg(F.sum("n_full").alias("tf"))
+    ts = samp.agg(F.sum("n_samp").alias("ts"))
+    return (
+        full.join(samp, strata_col, "left")
+        .crossJoin(F.broadcast(tf))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            strata_col,
+            F.col("n_full").cast("bigint").alias("n_full"),
+            F.coalesce(F.col("n_samp"), F.lit(0)).cast("bigint").alias("n_samp"),
+            F.expr("n_full * 1000000 DIV tf").alias("full_ppm"),
+            F.expr(
+                "COALESCE(n_samp, 0) * 1000000 DIV GREATEST(1, ts)"
+            ).alias("sample_ppm"),
+            F.expr(
+                "ABS(COALESCE(n_samp, 0) * 1000000 DIV GREATEST(1, ts) "
+                "- n_full * 1000000 DIV tf)"
+            ).cast("bigint").alias("skew_ppm"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+SAMPLE_BIAS_SQL_TEMPLATE = """
+WITH samp_docs AS (
+    SELECT * FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ''), 1, 4) < '{thr}'
+),
+full_mix AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_full FROM documents
+    GROUP BY source
+),
+samp_mix AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_samp FROM samp_docs
+    GROUP BY source
+),
+tf AS (SELECT CAST(SUM(n_full) AS BIGINT) AS tf FROM full_mix),
+ts AS (SELECT CAST(SUM(n_samp) AS BIGINT) AS ts FROM samp_mix)
+SELECT f.source, f.n_full,
+       CAST(COALESCE(s.n_samp, 0) AS BIGINT) AS n_samp,
+       CAST(f.n_full * 1000000 // tf.tf AS BIGINT) AS full_ppm,
+       CAST(COALESCE(s.n_samp, 0) * 1000000 // GREATEST(1, ts.ts) AS BIGINT)
+           AS sample_ppm,
+       CAST(ABS(COALESCE(s.n_samp, 0) * 1000000 // GREATEST(1, ts.ts)
+                - f.n_full * 1000000 // tf.tf) AS BIGINT) AS skew_ppm
+FROM full_mix f
+LEFT JOIN samp_mix s USING (source)
+CROSS JOIN tf CROSS JOIN ts
+ORDER BY f.source
+"""

@@ -132,8 +132,10 @@ from .ext.sampling import (
     STRATIFIED_EXACT_N_SQL_TEMPLATE,
     TEMPERATURE_MIXTURE_SQL_TEMPLATE,
     TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
+    SAMPLE_BIAS_SQL_TEMPLATE,
     chunk_documents,
     hash_sample,
+    sample_bias_audit,
     upsample_realize,
     upsample_realize_sql,
     mixture_plan,
@@ -2135,6 +2137,11 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # sampler-neutrality audit (hash-sample mix vs corpus mix, ppm skew)
+    "x_sample_bias": QuerySpec(
+        _docs_q(lambda d: sample_bias_audit(d, fraction=0.25)),
+        SAMPLE_BIAS_SQL_TEMPLATE.format(thr="4000"),
+    ),
     # realize an upsampling plan (integer copies + hash-gated fraction)
     "x_upsample_realize": QuerySpec(
         lambda spark, sf_dir: upsample_realize(
@@ -2574,6 +2581,7 @@ _ROUND2_LATE = [
     "q_weekend_lift",
     "q_weekly_ctr",
     "q_aov_by_segment",
+    "x_sample_bias",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",
