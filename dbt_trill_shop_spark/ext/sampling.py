@@ -1020,3 +1020,55 @@ LEFT JOIN samp_mix s USING (source)
 CROSS JOIN tf CROSS JOIN ts
 ORDER BY f.source
 """
+
+
+def chunk_inflation_report(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlap-inflation accounting for sliding-window chunking: total
+    chunk tokens vs original tokens (the storage/compute multiplier every
+    overlapping chunker silently buys — window/stride of 64/48 costs
+    ~1.33× and this query shows the EXACT factor on this corpus, where
+    short docs chunk without overlap and dilute it).  One narrow chunk
+    pass, one corpus-level row."""
+    from .sampling import chunk_documents  # self-import safe at call time
+
+    chunks = chunk_documents(docs, window=window, stride=stride)
+    c = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("chunk_tokens"),
+    )
+    # token grain matches the chunker's single-space split exactly
+    d = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("doc_tokens"))
+    return (
+        c.crossJoin(d)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("doc_tokens").cast("bigint").alias("doc_tokens"),
+            F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+            F.expr("chunk_tokens * 1000000 DIV doc_tokens").alias(
+                "inflation_ppm"
+            ),
+        )
+    )
+
+
+CHUNK_INFLATION_SQL_TEMPLATE = """
+WITH chunks AS ({chunk_sql}),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS chunk_tokens
+    FROM chunks
+),
+d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS doc_tokens
+    FROM documents
+)
+SELECT n_docs, n_chunks, doc_tokens, chunk_tokens,
+       CAST(chunk_tokens * 1000000 // doc_tokens AS BIGINT) AS inflation_ppm
+FROM c CROSS JOIN d
+"""

@@ -132,8 +132,10 @@ from .ext.sampling import (
     STRATIFIED_EXACT_N_SQL_TEMPLATE,
     TEMPERATURE_MIXTURE_SQL_TEMPLATE,
     TOKEN_BUDGET_SELECT_SQL_TEMPLATE,
+    CHUNK_INFLATION_SQL_TEMPLATE,
     SAMPLE_BIAS_SQL_TEMPLATE,
     chunk_documents,
+    chunk_inflation_report,
     hash_sample,
     sample_bias_audit,
     upsample_realize,
@@ -1403,6 +1405,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_fulfillment_latency": QuerySpec(
         R.fulfillment_latency, R.FULFILLMENT_LATENCY_SQL
     ),
+    # returned-line share per ship month (count AND value ppm)
+    "q_return_rate": QuerySpec(R.return_rate_by_month, R.RETURN_RATE_SQL),
     # ABC/Pareto part classification (integer cross-multiplied bands)
     "q_abc_analysis": QuerySpec(R.abc_analysis, R.ABC_ANALYSIS_SQL),
     "q_priority_large_qty": QuerySpec(R.priority_large_qty, R.PRIORITY_LARGE_QTY_SQL),
@@ -2137,6 +2141,13 @@ QUERIES: dict[str, QuerySpec] = {
             n=_NGRAM_JACCARD_N, threshold_ppm=300000
         ),
     ),
+    # overlap-inflation accounting for sliding-window chunking
+    "x_chunk_inflation": QuerySpec(
+        _docs_q(lambda d: chunk_inflation_report(d, window=64, stride=48)),
+        CHUNK_INFLATION_SQL_TEMPLATE.format(
+            chunk_sql=CHUNK_DOCUMENTS_SQL_TEMPLATE.format(window=64, stride=48)
+        ),
+    ),
     # sampler-neutrality audit (hash-sample mix vs corpus mix, ppm skew)
     "x_sample_bias": QuerySpec(
         _docs_q(lambda d: sample_bias_audit(d, fraction=0.25)),
@@ -2582,6 +2593,8 @@ _ROUND2_LATE = [
     "q_weekly_ctr",
     "q_aov_by_segment",
     "x_sample_bias",
+    "x_chunk_inflation",
+    "q_return_rate",
     "x_source_entropy",
     "x_calibration",
     "q_autocorrelation",

@@ -2059,3 +2059,46 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+def return_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-line share per ship month (returnflag = 'R') in exact ppm
+    of lines AND of revenue cents — the returns dashboard, where the
+    count-share vs value-share gap flags whether big orders return more."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice")
+    cells = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("n_returned"),
+        F.sum(rev).alias("rc"),
+        F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0)).alias(
+            "rc_ret"
+        ),
+    )
+    return cells.select(
+        "month",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_returned").cast("bigint").alias("n_returned"),
+        F.expr("n_returned * 1000000 DIV n_lines").alias("return_ppm"),
+        F.expr("rc_ret * 1000000 DIV rc").alias("value_return_ppm"),
+    ).orderBy("month")
+
+
+RETURN_RATE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS return_ppm,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     ELSE 0 END) * 1000000
+            // SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_return_ppm
+FROM lineitem
+GROUP BY 1
+ORDER BY month
+"""
