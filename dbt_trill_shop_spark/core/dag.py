@@ -435,8 +435,12 @@ class Project:
         if obs is not None:
             try:  # accumulator value from the write job — no extra pass
                 self.last_run_results[name]["rows_affected"] = obs.get["rows"]
-            except Exception:
-                pass
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "rows_affected observation for %s unavailable: %s", name, e
+                )
         if run_tests and model.tests:
             results[name] = run_model_tests(
                 self.relations[name], model.tests, name, store_dir=store_dir
@@ -622,7 +626,12 @@ class Project:
         # over the data) and lands in run_results as rows_affected.  Views
         # are lazy (no job to observe), so only table-family sinks report.
         obs = None
-        if model.materialization is not Materialization.VIEW:
+        # TABLE only: its materialization is a single write job, so the
+        # observed metrics are the whole relation.  INCREMENTAL/merge paths
+        # can execute df more than once (existence probe + merge + write) and
+        # Observation.get returns the FIRST job's metrics — a partial count —
+        # so they deliberately report no rows_affected rather than a wrong one.
+        if model.materialization is Materialization.TABLE:
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 

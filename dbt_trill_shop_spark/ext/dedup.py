@@ -2080,7 +2080,14 @@ def weighted_jaccard_pairs(
             "id_a",
             "id_b",
             F.col("cw").cast("bigint").alias("common_weight_micro"),
-            F.expr("cw * 1000000 DIV (ta + tb - cw)").alias("wjaccard_ppm"),
+            # GREATEST(1, ...) guards the all-shingles-ubiquitous edge case
+            # (every shared shingle in every doc -> idf=0 -> ta+tb-cw = 0):
+            # Spark DIV would yield NULL and silently drop the pair while
+            # DuckDB // errors — make the zero-weight case deterministic in
+            # both engines instead of engine-dependent.
+            F.expr("cw * 1000000 DIV GREATEST(1, ta + tb - cw)").alias(
+                "wjaccard_ppm"
+            ),
         )
         .filter(F.col("wjaccard_ppm") >= threshold_ppm)
         .orderBy("id_a", "id_b")
@@ -2112,11 +2119,12 @@ common AS (
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b, c.cw AS common_weight_micro,
-       CAST(c.cw * 1000000 // (ta.tw + tb.tw - c.cw) AS BIGINT) AS wjaccard_ppm
+       CAST(c.cw * 1000000 // GREATEST(1, ta.tw + tb.tw - c.cw) AS BIGINT)
+           AS wjaccard_ppm
 FROM common c
 JOIN totals ta ON ta.doc_id = c.id_a
 JOIN totals tb ON tb.doc_id = c.id_b
-WHERE c.cw * 1000000 // (ta.tw + tb.tw - c.cw) >= {threshold_ppm}
+WHERE c.cw * 1000000 // GREATEST(1, ta.tw + tb.tw - c.cw) >= {threshold_ppm}
 ORDER BY c.id_a, c.id_b
 """
 

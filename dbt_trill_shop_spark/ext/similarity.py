@@ -2767,6 +2767,14 @@ def pca_top_component(
     cent = vm.join(F.broadcast(mu), "dim").select(
         id_col, "dim", (F.col("xm") - F.col("mu")).alias("c")
     )
+    # Overflow budget (int64): the iteration product SUM(cij * v) must stay
+    # under 2^63 at ANY corpus size, so (a) the scatter is divided by N up
+    # front (covariance, eigenvector unchanged) — |cij| <= |xm|² = 1e8
+    # regardless of N — and (b) v is held at 1e3 scale, bounding the summed
+    # product by dims·1e8·1e3 ~ 6.4e12 for 64 dims.  The divide-first recipe
+    # mirrors the abc_analysis fix; sign·(|x| DIV n) keeps Spark's truncating
+    # DIV and DuckDB's flooring // in agreement on the negative entries.
+    n_rel = embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     cov = (
         cent.select(F.col(id_col), F.col("dim").alias("i"), F.col("c").alias("ci"))
         .join(
@@ -2776,11 +2784,20 @@ def pca_top_component(
             id_col,
         )
         .groupBy("i", "j")
-        .agg(F.sum(F.col("ci") * F.col("cj")).alias("cij"))
+        .agg(F.sum(F.col("ci") * F.col("cj")).alias("sij"))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(CASE WHEN sij < 0 THEN -1 ELSE 1 END "
+                "* (ABS(sij) DIV nn) AS BIGINT)"
+            ).alias("cij"),
+        )
         .localCheckpoint(eager=True)
     )
     v = cov.select(F.col("i").alias("dim")).distinct().select(
-        "dim", F.lit(1_000_000).cast("bigint").alias("v")
+        "dim", F.lit(1_000).cast("bigint").alias("v")
     )
     for _ in range(n_iters):
         w = (
@@ -2798,7 +2815,7 @@ def pca_top_component(
                 # sign·(|w| div g): truncation toward zero in BOTH engines
                 F.expr(
                     "CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END "
-                    "* (ABS(w) DIV GREATEST(1, m DIV 1000000)) AS BIGINT)"
+                    "* (ABS(w) DIV GREATEST(1, m DIV 1000)) AS BIGINT)"
                 ).alias("v"),
             )
             .localCheckpoint(eager=True)
@@ -2831,12 +2848,17 @@ cent AS (
     SELECT vm.vec_id, vm.dim, CAST(vm.xm - mu.mu AS BIGINT) AS c
     FROM vm JOIN mu USING (dim)
 ),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
 cov AS (
-    SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cij
-    FROM cent a JOIN cent b ON a.vec_id = b.vec_id
-    GROUP BY a.dim, b.dim
+    SELECT i, j, CAST((CASE WHEN sij < 0 THEN -1 ELSE 1 END)
+                      * (ABS(sij) // nn.n) AS BIGINT) AS cij
+    FROM (
+        SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS sij
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim
+    ) s CROSS JOIN nn
 ),
-v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v FROM cov)"""
+v0 AS (SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM cov)"""
     ]
     for t in range(1, n_iters + 1):
         parts.append(
@@ -2849,7 +2871,7 @@ w{t} AS (
 m{t} AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w{t}),
 v{t} AS (
     SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
-                     * (ABS(w) // GREATEST(1, m // 1000000)) AS BIGINT) AS v
+                     * (ABS(w) // GREATEST(1, m // 1000)) AS BIGINT) AS v
     FROM w{t} CROSS JOIN m{t}
 )"""
         )
