@@ -2092,15 +2092,101 @@ def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def knn_graph_edges(
-    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+def exact_pair_distances(
+    embeddings: DataFrame, candidates: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Directed exact-kNN graph (query_id, neighbor_id): each node's k
-    nearest by int64 micro L2, ties broken by neighbor id.  Built from the
-    block-tile gemm; at corpus scale swap the exact pair relation for an
-    ANN ranking (IVF-PQ/SQ8) — the downstream graph algebra is unchanged."""
-    pairs = _l2_pairs_gemm(embeddings, id_col, vec_col)
+    """Exact int64-micro L2 distances for an EXPLICIT candidate pair
+    relation (query_id, neighbor_id) — the verify kernel of the
+    candidates-backed kNN-graph path.  Two joins bind each side's scaled
+    vector, then d² folds JVM-side via zip_with/aggregate (no Python, no
+    gemm): per-pair O(dim) over only the candidate volume, which is what
+    makes the ANN swap a real scale lever rather than documentation."""
+    enc = (
+        "transform(" + vec_col
+        + ", v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+    )
+    base = embeddings.select(F.col(id_col).alias("_pid"), F.expr(enc).alias("_mv"))
+    return (
+        candidates.select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+        .join(
+            base.select(F.col("_pid").alias("query_id"), F.col("_mv").alias("_ma")),
+            "query_id",
+        )
+        .join(
+            base.select(
+                F.col("_pid").alias("neighbor_id"), F.col("_mv").alias("_mb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("_ma", "_mb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+
+
+def ivf_graph_candidates(
+    embeddings: DataFrame, n_cells: int = 16, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF candidate pairs for kNN-graph construction: each vector probes
+    its ``n_probe`` nearest coarse cells, candidates = pairs sharing ANY
+    probed cell (both directions, self excluded).  At corpus scale the
+    cell-keyed self-join bounds pair volume at n_probe²·Σ|cell|² instead of
+    N², and the cell key is what the shuffle rides — n_cells/n_probe is the
+    standard IVF recall/cost dial (multi-probe recovers the cross-boundary
+    neighbors single-assignment misses, which matters most on uniform data
+    with no cluster structure)."""
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "cell", F.round(_sq_l2(F.col("v"), F.col("centroid")), 6).alias("d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select(id_col, "cell")
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(F.col(id_col).alias("query_id"), "cell")
+    b = assign.select(F.col(id_col).alias("neighbor_id"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
+def knn_graph_edges(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directed kNN graph (query_id, neighbor_id): each node's k nearest by
+    int64 micro L2, ties broken by neighbor id.
+
+    ``candidates=None`` (eval default) ranks ALL pairs via the block-tile
+    gemm — exact, O(N²) tiles, fine for bounded corpora.  At corpus scale
+    pass an ANN candidate relation (query_id, neighbor_id) — e.g.
+    :func:`ivf_graph_candidates` or an SQ8/IVF-PQ ranking — and only those
+    pairs are exactly scored (:func:`exact_pair_distances`); the downstream
+    graph algebra is unchanged and the all-pairs gemm never runs
+    (plan-guarded in tests/test_plans.py)."""
+    if candidates is None:
+        pairs = _l2_pairs_gemm(embeddings, id_col, vec_col)
+    else:
+        pairs = exact_pair_distances(embeddings, candidates, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -2111,15 +2197,15 @@ def knn_graph_edges(
 
 def knn_mutual_edges(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Directed edges of :func:`knn_graph_edges` restricted to RECIPROCATED
     pairs — the single definition of graph mutuality every kNN-graph
     operator (degree, clustering, BFS) consumes.  Checkpointed: the gemm
     ranking runs once per call site, not per downstream join."""
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    edges = knn_graph_edges(
+        embeddings, k, id_col, vec_col, candidates
+    ).localCheckpoint(eager=True)
     rev = edges.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
     )
@@ -2128,7 +2214,7 @@ def knn_mutual_edges(
 
 def knn_graph_mutual_degree(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual-kNN degree distribution — the connectivity health-check run
     before any kNN-graph algorithm (clustering, label propagation,
@@ -2136,7 +2222,7 @@ def knn_graph_mutual_degree(
     mutual graphs (mass at low degrees) signal hubness or disconnected
     manifolds.  The mutual join keys on the (k·N)-row edge relation, never
     on pairs; the histogram is |k|+1 rows."""
-    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col)
+    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col, candidates)
     deg = (
         embeddings.select(F.col(id_col).alias("query_id"))
         .join(
@@ -2156,12 +2242,13 @@ def knn_graph_mutual_degree(
 def knn_label_homophily(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding", label_col: str = "label",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Per-label kNN homophily: the fraction of each label's outgoing kNN
     edges that land on a same-label neighbor — the embedding-quality metric
     (a good representation keeps classes locally pure; homophily ≈ 1/|labels|
     means the space carries no class signal).  Exact ppm integers."""
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col)
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col, candidates)
     lab = embeddings.select(F.col(id_col), F.col(label_col).cast("bigint").alias("lab"))
     ql = lab.select(F.col(id_col).alias("query_id"), F.col("lab").alias("q_lab"))
     nl = lab.select(F.col(id_col).alias("neighbor_id"), F.col("lab").alias("n_lab"))
@@ -2247,6 +2334,7 @@ GROUP BY 1 ORDER BY 1
 def knn_pagerank(
     embeddings: DataFrame, k: int = 5, n_iters: int = 5,
     damping_pct: int = 85, id_col: str = "vec_id", vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the directed exact-kNN graph — graph centrality as a
     data-curation signal (high-rank nodes are the corpus's prototypical
@@ -2263,9 +2351,9 @@ def knn_pagerank(
     broadcast-size rank relation, re-checkpointed per step so the lazy
     plan never replays earlier iterations.  O(iters) jobs at any scale.
     """
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    edges = knn_graph_edges(
+        embeddings, k, id_col, vec_col, candidates
+    ).localCheckpoint(eager=True)
     nodes = embeddings.select(F.col(id_col).alias("vec_id")).localCheckpoint(
         eager=True
     )
@@ -2330,7 +2418,7 @@ ORDER BY rank_micro DESC, vec_id"""
 
 def knn_clustering_coefficients(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficients on the
     UNDIRECTED mutual-kNN graph — the manifold-structure readout (high
@@ -2339,7 +2427,7 @@ def knn_clustering_coefficients(
     (degree ≤ k, so ≤ N·k² wedge rows); triangle closure is one semi join
     back onto the edge set; the coefficient is exact ppm.  Nodes of
     mutual degree < 2 have no defined coefficient and are excluded."""
-    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col)
+    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col, candidates)
     und = mutual.filter(F.col("query_id") < F.col("neighbor_id")).select(
         F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
     ).localCheckpoint(eager=True)
@@ -2650,6 +2738,7 @@ ORDER BY query_id, rank
 def knn_bfs_hops(
     embeddings: DataFrame, source_id: int = 0, k: int = 5, max_hops: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed BFS over the mutual-kNN graph: hop distance from a
     source node, reported as the hop histogram (nodes first reached at
@@ -2665,7 +2754,7 @@ def knn_bfs_hops(
     same fixpoint, set-based.
     """
     mutual = (
-        knn_mutual_edges(embeddings, k, id_col, vec_col)
+        knn_mutual_edges(embeddings, k, id_col, vec_col, candidates)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -2890,7 +2979,7 @@ ORDER BY dim"""
 
 def knn_hubness(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hubness audit of the directed kNN graph: the in-degree distribution
     (how many nodes list each node among their top-k).  Out-degree is
@@ -2899,7 +2988,7 @@ def knn_hubness(
     retrieval, and graph clustering (Radovanović et al. 2010).  Mass at
     in-degree 0 (anti-hubs, never retrieved) is the complementary smell.
     One groupBy over the k·N edge relation; output ≤ max-in-degree rows."""
-    edges = knn_graph_edges(embeddings, k, id_col, vec_col)
+    edges = knn_graph_edges(embeddings, k, id_col, vec_col, candidates)
     indeg = (
         embeddings.select(F.col(id_col).alias("neighbor_id"))
         .join(

@@ -469,3 +469,21 @@ def test_pagerank_edges_checkpointed_once(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _plan(knn_pagerank(emb, k=3, n_iters=2))
     assert "FlatMapGroupsInPandas" not in plan  # gemm ran before checkpoint
+
+
+def test_knn_graph_ann_candidates_skip_gemm(spark, sf_dir):
+    """The candidates-backed kNN-graph path must never run the all-pairs
+    block gemm: with an IVF candidate relation the whole lineage (edges ->
+    pagerank) is JVM-side joins + zip_with folds — no applyInPandas node
+    anywhere, including the pre-checkpoint edge plan."""
+    from dbt_trill_shop_spark.ext.similarity import (
+        ivf_graph_candidates,
+        knn_graph_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = ivf_graph_candidates(emb, n_cells=8, n_probe=2)
+    edges = knn_graph_edges(emb, k=3, candidates=cands)
+    plan = _plan(edges)
+    assert "FlatMapGroupsInPandas" not in plan  # no gemm tile kernel
+    assert "zip_with" in plan or "ZipWith" in plan  # exact verify is JVM-side
