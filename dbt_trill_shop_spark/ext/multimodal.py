@@ -59,10 +59,51 @@ def _fake_image_decode(payload: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
+def _pil_image_decode(payload: bytes) -> tuple[int, int]:
+    """Real decoder: PIL header read (lazy — no pixel decode for size)."""
+    import io
+
+    from PIL import Image  # type: ignore[import-not-found]
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height
+
+
+def _imageio_image_decode(payload: bytes) -> tuple[int, int]:
+    """Real decoder fallback: imageio full decode (shape = h, w[, c])."""
+    import imageio.v3 as iio  # type: ignore[import-not-found]
+
+    arr = iio.imread(payload)
+    return int(arr.shape[1]), int(arr.shape[0])
+
+
 def _real_image_decode(payload: bytes) -> tuple[int, int]:
+    """Import-guarded real decoder (VERDICT r2 #6): PIL if present, else
+    imageio, else the documented stub error.  The guard runs per-executor at
+    first call and memoizes, so a worker with PIL decodes real images while
+    this container (no media libs) keeps the explicit NotImplementedError —
+    the deterministic fake twin remains the oracle path either way."""
+    impl = globals().get("_REAL_DECODE_IMPL")
+    if impl is None:
+        try:
+            import PIL  # noqa: F401  type: ignore[import-not-found]
+
+            impl = _pil_image_decode
+        except ImportError:
+            try:
+                import imageio  # noqa: F401  type: ignore[import-not-found]
+
+                impl = _imageio_image_decode
+            except ImportError:
+                impl = _no_decoder
+        globals()["_REAL_DECODE_IMPL"] = impl
+    return impl(payload)
+
+
+def _no_decoder(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this container; "
-        "swap DECODERS['image'] for a real implementation in production"
+        "image decoding requires PIL or imageio, neither available in this "
+        "container; install either and DECODERS picks it up automatically"
     )
 
 

@@ -1196,3 +1196,53 @@ def test_knn_pagerank_over_ivf_candidates_recall(spark, sf_dir):
     ranks = knn_pagerank(emb, k=3, n_iters=2, candidates=cands).collect()
     assert len(ranks) == 300
     assert all(r["rank_micro"] > 0 for r in ranks)
+
+
+def test_real_image_decoder_import_guard():
+    """Without PIL/imageio the real decoder raises the documented stub
+    error; the guard memoizes its probe; a fake PIL in sys.modules routes
+    a real PNG header through it (proving the dispatch, not the codec)."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from dbt_trill_shop_spark.ext import multimodal as mm
+
+    mm.__dict__.pop("_REAL_DECODE_IMPL", None)
+    has_real = True
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        try:
+            import imageio  # noqa: F401
+        except ImportError:
+            has_real = False
+    if not has_real:
+        with _pytest.raises(NotImplementedError, match="PIL or imageio"):
+            mm._real_image_decode(b"\x89PNG....")
+        assert mm.__dict__["_REAL_DECODE_IMPL"] is mm._no_decoder
+    # simulate an env with PIL: dispatch must pick _pil_image_decode
+    mm.__dict__.pop("_REAL_DECODE_IMPL", None)
+    fake_pil = types.ModuleType("PIL")
+
+    class _Img:
+        width, height = 7, 9
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_img_mod = types.ModuleType("PIL.Image")
+    fake_img_mod.open = lambda buf: _Img()
+    fake_pil.Image = fake_img_mod
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_img_mod
+    try:
+        assert mm._real_image_decode(b"anything") == (7, 9)
+        assert mm.__dict__["_REAL_DECODE_IMPL"] is mm._pil_image_decode
+    finally:
+        del sys.modules["PIL"], sys.modules["PIL.Image"]
+        mm.__dict__.pop("_REAL_DECODE_IMPL", None)
