@@ -134,6 +134,35 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # Regression gate (VERDICT r2 #7): diff per-query times against the
+    # committed baseline for this sf and flag >1.5x slowdowns that also cost
+    # >0.3 s absolute (sub-300 ms queries are scheduler noise).  Report goes
+    # to stderr (never the driver-parsed stdout tail); set
+    # SPARK_GRAFT_BENCH_GATE=1 to make regressions fail the invocation, and
+    # SPARK_GRAFT_BENCH_UPDATE=1 to (re)record the baseline.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    regressions: dict[str, list[float]] = {}
+    baseline_all: dict = {}
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline_all = json.load(fh)
+        baseline = baseline_all.get(str(sf), {})
+        for name, t in timings.items():
+            b = baseline.get(name)
+            if b is not None and t > 1.5 * b and t - b > 0.3:
+                regressions[name] = [b, t]
+        if regressions:
+            print(
+                json.dumps({"bench_regressions": regressions}, separators=(",", ":")),
+                file=sys.stderr,
+            )
+    if os.environ.get("SPARK_GRAFT_BENCH_UPDATE") == "1" or not os.path.exists(
+        base_path
+    ):
+        baseline_all[str(sf)] = timings
+        with open(base_path, "w") as fh:
+            json.dump(baseline_all, fh, indent=0, sort_keys=True)
     print(
         json.dumps(
             {
@@ -149,6 +178,8 @@ def main() -> None:
         )
     )
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_GATE") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -258,11 +258,18 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs whose SimHash matches on >=1 of ``bands``
-    16-bit bands — a self-join per band on the band value (shuffle on a short
+    bands — a self-join per band on the band value (shuffle on a short
     key), unioned and de-duplicated.  Verify candidates downstream with exact
-    Hamming distance (cheap: popcount of xor)."""
+    Hamming distance (cheap: popcount of xor).
+
+    ``max_hamming`` applies the popcount filter INSIDE each band join,
+    before the union/distinct — with narrow bands (8 bands = 8-bit keys)
+    random collisions otherwise flood the candidate relation (5.1M pairs at
+    5k docs observed; hamming<=12 keeps the true near-dups and drops the
+    noise before it ever rides the distinct shuffle)."""
     sim = simhash(docs, text_col, id_col)
     # the fingerprint relation feeds BOTH sides of every band self-join
     # (2*bands consumers) — materialize once or the 64-agg computation
@@ -283,6 +290,11 @@ def simhash_near_duplicates(
             F.col("l.simhash").alias("sim_a"),
             F.col("r.simhash").alias("sim_b"),
         )
+        if max_hamming is not None:
+            cand = cand.filter(
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                <= max_hamming
+            )
         pairs = cand if pairs is None else pairs.union(cand)
     assert pairs is not None
     return (
@@ -299,6 +311,8 @@ def simhash_neardup_verified(
     bands: int = 8,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.85,
+    max_hamming: int = 12,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """SimHash-banded candidates -> EXACT n-gram Jaccard verification — the
     production near-dup shape (candidates cheap and hash-based, the verify
@@ -315,21 +329,63 @@ def simhash_neardup_verified(
     empirically, and a hamming-h pair with h >= bands still collides unless
     its flipped bits cover all bands (~1% miss at h=9, b=8) — so at the eval
     corpus the candidate set provably/empirically contains every pair the
-    exact filter keeps, and output == brute-force Jaccard >= threshold."""
-    cands = simhash_near_duplicates(docs, text_col, id_col, bands).select(
-        "id_a", "id_b"
+    exact filter keeps, and output == brute-force Jaccard >= threshold.
+
+    ``max_hamming=12`` (3 above the observed true-pair maximum) trims the
+    8-bit-band collision noise inside each band join.  On template-heavy
+    corpora the surviving candidate set is still large (synthetic docs share
+    vocabulary, so fingerprints correlate: ~950k pairs at 5k docs), so the
+    verify scores each CANDIDATE PAIR directly — per-doc shingle-hash sets
+    ride a broadcast-size relation (|docs| rows of ~45 int64s) joined onto
+    the pair list, jaccard = array_intersect per pair — instead of the
+    common-shingle join, which would regenerate every template collision as
+    pair rows all over again.  At corpus scale the set relation joins by id
+    (hash shuffle) rather than broadcasting; text never rides an exchange
+    either way."""
+    cands = simhash_near_duplicates(
+        docs, text_col, id_col, bands, max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    sets = (
+        _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("s")).alias("_sh"))
+        .select(id_col, "_sh", F.array_size("_sh").alias("_n"))
     )
-    cands = cands.localCheckpoint(eager=True)
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # broadcast_sets=False at corpus scale: the set relation then joins by id
+    # (hash shuffle of int64 arrays); the eval default pins the broadcast so
+    # the pair relation never shuffles at all
+    _hint = F.broadcast if broadcast_sets else (lambda df: df)
+    return (
+        cands.join(
+            _hint(
+                sets.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_sh").alias("_sa"),
+                    F.col("_n").alias("_na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            _hint(
+                sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_sh").alias("_sb"),
+                    F.col("_n").alias("_nb"),
+                )
+            ),
+            "id_b",
+        )
+        .withColumn("_ni", F.array_size(F.array_intersect("_sa", "_sb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni")), 9
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    docs_sub = docs.join(cand_ids, id_col, "left_semi")
-    exact = ngram_jaccard_pairs(
-        docs_sub, text_col, id_col, shingle_len, threshold=jaccard_threshold
-    )
-    return exact.join(cands, ["id_a", "id_b"], "inner")
 
 
 def minhash_signatures(
@@ -357,12 +413,20 @@ def minhash_banded_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """LSH banding over native signatures: hash each band of r = n/b minhash
     values to one 64-bit band key, self-join per band on (band_idx, key),
     union + distinct.  A pair collides iff some band matches — the standard
     (b, r) S-curve; with b=4, r=4 the 50%-collision point is ~J=0.7.
-    Join key is 12 bytes; candidate pairs then need exact verification."""
+    Join key is 12 bytes; candidate pairs then need exact verification.
+
+    ``min_band_matches`` raises the collision bar from >=1 matching band to
+    >=m — with r=1 the match count IS the MinHash similarity estimate
+    (m/bands ~ J), so m>=4 of 16 keeps every J >= ~0.5 pair (binomial tail
+    below 1e-10) while dropping the single-hash random collisions that
+    otherwise make every doc a verify candidate.  Costs nothing: the count
+    rides the same groupBy that deduplicated the union."""
     r = num_hashes // bands
     # long form (id, band_idx, band_key): ONE self-join keyed on
     # (band_idx, key) replaces bands separate joins, and the signature
@@ -382,11 +446,14 @@ def minhash_banded_candidates(
     ).localCheckpoint(eager=True)
     left = banded.select(F.col(id_col).alias("id_a"), "bidx", "bk")
     right = banded.select(F.col(id_col).alias("id_b"), "bidx", "bk")
+    matched = left.join(right, ["bidx", "bk"]).filter(F.col("id_a") < F.col("id_b"))
+    if min_band_matches <= 1:
+        return matched.select("id_a", "id_b").distinct()
     return (
-        left.join(right, ["bidx", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= min_band_matches)
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -398,6 +465,7 @@ def neardup_minhash_native(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """Production-shaped near-dup pipeline (C4/Gopher recipe, public):
     banded-MinHash candidate generation -> EXACT n-gram Jaccard verification
@@ -406,7 +474,9 @@ def neardup_minhash_native(
     by the (b, r) S-curve.  All JVM-side Column ops; the exact verify joins
     shingles only for candidate docs (left_semi prefilter)."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_len)
-    cands = minhash_banded_candidates(sigs, id_col, num_hashes, bands)
+    cands = minhash_banded_candidates(
+        sigs, id_col, num_hashes, bands, min_band_matches
+    )
     # candidate pairs feed BOTH sides of the id union and the final verify
     # join — materialize once or the signature pipeline runs 3x
     cands = cands.localCheckpoint(eager=True)

@@ -2243,12 +2243,17 @@ QUERIES: dict[str, QuerySpec] = {
     # the exact verify keeps and output == brute-force Jaccard >= 0.5, which
     # DuckDB computes directly.  (b=4/r=4 stays the library default — the
     # r=1 config is the recall-1 operating point for this eval threshold.)
+    # min_band_matches=4 of 16 raises the collision bar to a J~0.25 signature
+    # estimate: recall over the J >= 0.888 true pairs is untouched (binomial
+    # tail ~1e-13) while the single-hash random collisions that made every
+    # doc a verify candidate are dropped pre-shuffle.
     "x_neardup_minhash": QuerySpec(  # banded-LSH candidates + exact verify
         lambda spark, sf_dir: neardup_minhash_native(
             load_table(spark, sf_dir, "documents"),
             num_hashes=16,
             bands=16,
             jaccard_threshold=0.5,
+            min_band_matches=4,
         ),
         NGRAM_JACCARD_SQL_TEMPLATE.format(n=_NGRAM_JACCARD_N, threshold=0.5),
     ),

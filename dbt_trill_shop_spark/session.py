@@ -45,6 +45,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode every executor thread shares the DRIVER heap, and
+        # Spark's unconfigured default is 1g — 32 concurrent sort/join tasks
+        # in 1 GB OOM long before the data is big (observed: sort-merge join
+        # heap exhaustion at sf0.1 on a 128 GiB box).  Size the single JVM
+        # like the executor fleet it stands in for; on a real cluster this is
+        # spark-submit's --driver-memory / --executor-memory instead.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Runtime re-planning: coalesce small shuffle partitions, split skewed
