@@ -1208,8 +1208,19 @@ def minhash_band_keys_md5(
     ~2-3x xxhash64-over-ints per row — keep the xxhash64 twin for the hot
     path and this one for verified correctness (and as the portable scheme
     when candidates must be reproducible outside Spark).
+
+    The docs relation is repartitioned by id first: the eval corpus is ONE
+    parquet row group, so without it the whole shingle-explode + md5 load
+    lands on a single task; the count is explicit (defaultParallelism)
+    because AQE would coalesce a by-column repartition of a few MB back to
+    one partition.  The shuffled relation is (id, text) — acceptable for
+    this VERIFICATION twin, the xxhash64 production path keeps text off
+    every exchange.
     """
-    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len)
+    _par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = _distinct_shingle_rel(
+        docs.repartition(_par, F.col(id_col)), text_col, id_col, shingle_len
+    )
     # one md5 digest yields FOUR independent 32-bit minwise orders (8-hex-char
     # slices of the 128-bit digest), so num_hashes hash functions cost
     # ceil(num_hashes / 4) md5 calls per shingle instead of num_hashes —
@@ -1449,9 +1460,13 @@ def simhash_fingerprints_md5(
 
     Plan: one token explode, then ONE aggregation carrying 61 map-side-
     combinable sums (60 bit counts + n) — no per-bit explode, so shuffle
-    rows = docs, not docs x bits.
+    rows = docs, not docs x bits.  Docs repartitioned by id first (explicit
+    count or AQE re-coalesces the tiny exchange): the eval corpus is one
+    parquet row group, so the explode + md5 load otherwise runs single-task
+    (acceptable text shuffle for this verification twin).
     """
-    toks = docs.select(
+    _par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(_par, F.col(id_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
     )
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")

@@ -1800,8 +1800,16 @@ def bootstrap_mean_ci(
     division of identical int64 sums) is engine-exact.  CI = ranks 2 and
     B-1 of the replicate means (~94% at B=32).
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", cents("o_totalprice").alias("v_c")
+    # repartition the narrow (key, cents) projection: the eval table is one
+    # parquet row group, so the 8-digests-per-row md5 load otherwise runs on
+    # a single task.  Explicit count — AQE would re-coalesce a few-MB
+    # by-column repartition to one partition.  No text, 16 B/row.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", cents("o_totalprice").alias("v_c"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+        )
     )
 
     def u_expr(b: int):

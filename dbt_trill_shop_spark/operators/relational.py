@@ -1821,6 +1821,13 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
     )
+    # the block key is the shuffle key (docstring above) — make that literal:
+    # without this repartition the small B side broadcasts and ALL pair
+    # scoring (1.6M bounded-levenshteins at sf0.1) collapses onto the single
+    # scan task of a one-row-group eval file (4.8 s -> ~0.8 s)
+    a = a.repartition(
+        spark.sparkContext.defaultParallelism, "c_nationkey", "c_mktsegment"
+    )
     pairs = a.join(b, ["c_nationkey", "c_mktsegment"])
     # bounded edit distance (threshold arg): early-exits once the distance
     # exceeds 2 (returns -1), O(len*threshold) per pair instead of O(len^2)
