@@ -97,6 +97,13 @@ def bpe_merges(
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["pair_count"])
         merges.append((rank, lhs, rhs, cnt))
+        # checkpoint the merge result each iteration: the replace literals
+        # change per merge, so left lazy they splice into the pair-count
+        # plan and force a fresh whole-stage-codegen compile of the big
+        # zip_with/slice expression EVERY iteration (~1 s x n_merges cold).
+        # Materialized, the pair-count plan is byte-identical across
+        # iterations (scan of a checkpointed relation) and compiles once;
+        # the vocab relation is max_vocab rows, so the checkpoint is free.
         words = words.withColumn(
             "s",
             F.replace(
@@ -104,7 +111,7 @@ def bpe_merges(
                 F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
                 F.lit(SEP + lhs + rhs + SEP),
             ),
-        )
+        ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
     )
