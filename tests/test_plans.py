@@ -487,3 +487,33 @@ def test_knn_graph_ann_candidates_skip_gemm(spark, sf_dir):
     plan = _plan(edges)
     assert "FlatMapGroupsInPandas" not in plan  # no gemm tile kernel
     assert "zip_with" in plan or "ZipWith" in plan  # exact verify is JVM-side
+
+
+def test_record_linkage_scoring_is_parallel(spark, sf_dir):
+    """Pair scoring must run on the block-key repartition (explicit count),
+    not collapse into the single-task scan stage behind the broadcast."""
+    from dbt_trill_shop_spark.operators.relational import record_linkage
+
+    plan = _plan(record_linkage(spark, sf_dir))
+    assert "hashpartitioning(c_nationkey" in plan
+
+
+def test_bootstrap_md5_load_is_parallel(spark, sf_dir):
+    """The 8-digests-per-row bootstrap projection must sit above an explicit
+    repartition of the narrow (key, cents) relation."""
+    from dbt_trill_shop_spark.operators.analytics import bootstrap_mean_ci
+
+    plan = _plan(bootstrap_mean_ci(spark, sf_dir, n_replicas=32))
+    assert "hashpartitioning(o_orderkey" in plan
+
+
+def test_simhash_verified_scores_pairs_not_common_shingles(spark, sf_dir):
+    """The verify stage must score candidate pairs via set intersection
+    (broadcast per-doc shingle sets), never re-generate pair rows through a
+    common-shingle join (template collisions make that quadratic-ish)."""
+    from dbt_trill_shop_spark.ext.dedup import simhash_neardup_verified
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_neardup_verified(docs))
+    assert "array_intersect" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both set bindings broadcast
