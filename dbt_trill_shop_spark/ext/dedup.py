@@ -376,6 +376,20 @@ def simhash_neardup_verified(
             ),
             "id_b",
         )
+        # exact length prefilter: J = |∩|/|∪| <= min(na,nb)/max(na,nb), so a
+        # pair can only reach the threshold when its set sizes are within the
+        # ratio — an integer comparison that skips the O(na+nb) intersect for
+        # the bulk of the template-collision candidates.  Integer math at the
+        # final filter's 1e-9 granularity, floored: a float `min >= t*max`
+        # would drop a boundary pair whenever t's double rounds UP (t=0.9,
+        # min/max = 9/10 passes the rounded-J filter but 9 < 0.9000…0002*10);
+        # flooring the scaled threshold keeps the bound conservative — the
+        # exact J filter below still decides, so no false negatives ever
+        .filter(
+            F.least("_na", "_nb").cast("bigint") * F.lit(1_000_000_000)
+            >= F.lit(int(jaccard_threshold * 1e9))
+            * F.greatest("_na", "_nb").cast("bigint")
+        )
         .withColumn("_ni", F.array_size(F.array_intersect("_sa", "_sb")))
         .select(
             "id_a",

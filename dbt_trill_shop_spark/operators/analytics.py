@@ -1167,7 +1167,6 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive term per column — swap in approx_count_distinct (or the
     linear-counting bitmap) when ±2% suffices.
     """
-    orders = load_table(spark, sf_dir, "orders")
     cols = [
         "o_orderkey",
         "o_custkey",
@@ -1176,6 +1175,13 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ]
+    # 6 exact distinct aggs in one pass rewrite to an EXPAND (7 rows out per
+    # row in) feeding the partial agg; the eval table is one parquet row
+    # group, so without a repartition that whole expansion runs on a single
+    # task.  Round-robin with an explicit count (global agg — no key needed;
+    # AQE would coalesce a few-MB exchange back to one partition).
+    _par = spark.sparkContext.defaultParallelism
+    orders = load_table(spark, sf_dir, "orders").select(*cols).repartition(_par)
     aggs = []
     for c in cols:
         aggs += [
