@@ -857,6 +857,7 @@ class Project:
         directory: str,
         test_results: dict[str, list[TestResult]] | None = None,
         with_catalog: bool = False,
+        with_docs_site: bool = False,
     ) -> None:
         """dbt's ``target/`` artifacts: ``manifest.json`` (the node graph +
         docs metadata) and ``run_results.json`` (per-node status and timing
@@ -864,7 +865,10 @@ class Project:
         downstream tooling (lineage UIs, CI gates, freshness monitors)
         consumes.  ``with_catalog`` additionally writes ``catalog.json``
         (per-relation column types + one-pass profile stats, the ``dbt docs
-        generate`` artifact)."""
+        generate`` artifact).  ``with_docs_site`` renders the artifacts into
+        a browsable ``index.html`` next to them — the ``dbt docs serve``
+        surface (reference README.md workflow), driver-side string
+        formatting only."""
         import json
 
         os.makedirs(directory, exist_ok=True)
@@ -888,6 +892,10 @@ class Project:
                 )
         with open(os.path.join(directory, "run_results.json"), "w") as fh:
             json.dump({"results": entries}, fh, indent=2, default=str)
+        if with_docs_site:
+            from .docs_site import write_docs_site
+
+            write_docs_site(directory)
 
     def clone_from(self, other: "Project", select: Iterable[str] | None = None) -> list[str]:
         """``dbt clone``: bring another target's BUILT relations into this

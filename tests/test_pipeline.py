@@ -111,6 +111,27 @@ def test_catalog_artifact(built_project, tmp_path):
     assert [c for c, _ in sorted(wts["columns"].items(), key=lambda kv: kv[1]["index"])] == df.columns
 
 
+def test_docs_site(built_project, tmp_path):
+    """dbt docs generate -> serve: the target/ JSON artifacts render into one
+    self-contained index.html — every model and source gets a section with
+    columns/types/tests, lineage links both directions, and last-run status."""
+    p, results = built_project
+    p.write_artifacts(str(tmp_path), results, with_catalog=True, with_docs_site=True)
+    html_text = (tmp_path / "index.html").read_text()
+    # self-contained: no external scripts/stylesheets to fetch
+    assert "<script" not in html_text and "http" not in html_text.split("</style>")[1]
+    for name in p.manifest()["nodes"]:
+        assert f'id="node-{name}"' in html_text, name
+    # sources render too, and lineage links point at downstream models
+    assert 'id="node-top_terms"' in html_text
+    assert 'href="#node-stg_top_terms"' in html_text
+    # catalog types + run statuses made it into the page
+    assert "<td>date</td>" in html_text
+    assert 'class="status-success"' in html_text
+    # declarative tests render as per-column badges
+    assert 'class="test"' in html_text
+
+
 def test_sql_text_models_match_dataframe_models(spark, sf_dir):
     """Author the reference's stg_top_terms + a mart slice as dbt-style SQL
     text (ref/source/macro Jinja) and build through the Project DAG; results
