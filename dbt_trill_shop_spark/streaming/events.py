@@ -153,6 +153,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES)
     state_schema = "start_us long, last_us long, n long"
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
@@ -160,23 +161,61 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES)
             start_us, last_us, n = state.get
         else:
             start_us, last_us, n = None, None, 0
-        closed: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            # normalize to ns first — Arrow may deliver us- or ns-precision
-            ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if start_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((user_id, start_us, n, last_us - start_us))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
-        state.update((start_us, last_us, n))
-        yield pd.DataFrame(
-            closed, columns=["user_id", "session_start_us", "n_events", "duration_us"]
+        # vectorized sessionization: one global sort + diff>gap boundary scan
+        # replaces the per-event Python loop (the drain emits ~1 session per
+        # event on sparse corpora, so the loop built ~|events| tuples).
+        # Sorting across ALL chunks is also strictly more robust than the
+        # old per-chunk pass — Arrow chunk order within a group is not a
+        # contract.
+        arrs = [
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        ts = np.sort(np.concatenate(arrs)) if arrs else np.empty(0, dtype="int64")
+        empty = pd.DataFrame(
+            {
+                "user_id": np.empty(0, dtype="int64"),
+                "session_start_us": np.empty(0, dtype="int64"),
+                "n_events": np.empty(0, dtype="int64"),
+                "duration_us": np.empty(0, dtype="int64"),
+            }
         )
+        if not ts.size:
+            state.update((start_us, last_us, n))
+            yield empty
+            return
+        bounds = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds - 1, [ts.size - 1]))
+        s_ts, e_ts, counts = ts[starts], ts[ends], ends - starts + 1
+        head: list[tuple[int, int, int, int]] = []
+        if start_us is not None:
+            if int(ts[0]) - last_us <= gap_us:
+                # carried-over open session absorbs the first batch session
+                counts = counts.copy()
+                counts[0] += n
+                s_ts = s_ts.copy()
+                s_ts[0] = start_us
+            else:
+                head.append((user_id, start_us, n, last_us - start_us))
+        # every session but the last is closed by a later out-of-gap event;
+        # the last stays open in state
+        state.update((int(s_ts[-1]), int(e_ts[-1]), int(counts[-1])))
+        closed = pd.DataFrame(
+            {
+                "user_id": np.full(s_ts.size - 1, user_id, dtype="int64"),
+                "session_start_us": s_ts[:-1],
+                "n_events": counts[:-1],
+                "duration_us": e_ts[:-1] - s_ts[:-1],
+            }
+        )
+        if head:
+            closed = pd.concat(
+                [pd.DataFrame(head, columns=list(closed.columns)), closed],
+                ignore_index=True,
+            )
+        yield closed
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -92,6 +92,55 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
         assert counts == b_closed[uid], f"user {uid}"
 
 
+def test_stateful_sessionizer_carries_state_across_microbatches(spark, tmp_path):
+    """Two-micro-batch drain (maxFilesPerTrigger=1, two files): a session
+    whose events straddle the batch boundary must merge with the open state
+    carried from batch 1, and an out-of-gap event in batch 2 must close the
+    carried session with batch-1's counts — the two state-merge arms the
+    single-file drain never exercises."""
+    import datetime as dt
+    import time as _time
+
+    from dbt_trill_shop_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # user 1: batch-1 session continues in batch 2 (10 min < 30-min gap), then
+    # a +2 h event closes it -> ONE closed session of 3 events.
+    # user 2: batch-2 event arrives out-of-gap -> batch-1's 2-event open
+    # session closes with its original counts; the new session stays open.
+    batch1 = [(1, t0, 1, "view", 1.0, ""), (1, t0 + 5 * m, 1, "view", 1.0, ""),
+              (2, t0, 2, "view", 1.0, ""), (3, t0 + 3 * m, 2, "view", 1.0, "")]
+    batch2 = [(4, t0 + 15 * m, 1, "view", 1.0, ""), (5, t0 + 135 * m, 1, "view", 1.0, ""),
+              (6, t0 + 300 * m, 2, "view", 1.0, "")]
+    src = tmp_path / "stream_src"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                sessionize_stream(ev), output_mode="update", shuffle_partitions=4
+            ).select("user_id", "n_events", "duration_us").collect(),
+        )
+    )
+    # user 1: merged 3-event session lasting 15 min; user 2: batch-1 session
+    # closed unmerged (2 events, 3 min)
+    assert got == [(1, 3, 15 * 60 * 1_000_000), (2, 2, 3 * 60 * 1_000_000)]
+
+
 def test_format_roundtrip_csv_json_orc(spark, sf_dir, tmp_path):
     from dbt_trill_shop_spark.sources.formats import SourceSpec, read_source, write_sink
 
