@@ -1535,10 +1535,14 @@ def simhash_checked(
         left.join(right, ["bidx", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"))
     fb = fps.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    # verify BEFORE dedup: the XOR+bit_count check is a codegen'd per-row op
+    # (no exchange — the fingerprint relation broadcasts), while distinct is
+    # a shuffle of the whole multi-band candidate stream.  Filtering first
+    # means the distinct only sees true near-dup pairs (a few rows), not
+    # every band collision; same output, one big exchange removed.
     return (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
@@ -1548,6 +1552,7 @@ def simhash_checked(
             F.bit_count(F.expr("fp_a ^ fp_b")).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

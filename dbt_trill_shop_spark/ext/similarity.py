@@ -2818,6 +2818,39 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+def _scatter_gemm(cent: DataFrame, id_col: str, n_groups: int = 32) -> DataFrame:
+    """Exact integer scatter matrix Σ c·cᵀ from the centered long form
+    (id, dim, c) — as hash-grouped X.T@X int64 gemm partials instead of the
+    id-keyed self-join (which materializes |corpus|·dims² rows through an
+    exchange; the partials shuffle only the slim long form once and emit
+    dims² rows per group).  Integer addition is associative, so any grouping
+    gives the bit-identical sums the oracle computes."""
+    import pandas as pd
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        A = pdf.pivot(index=id_col, columns="dim", values="c")
+        M = A.to_numpy(dtype="int64")
+        C = M.T @ M
+        dims = A.columns.to_numpy(dtype="int64")
+        ii, jj = np.meshgrid(dims, dims, indexing="ij")
+        return pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "sij": C.ravel()}
+        )
+
+    return (
+        cent.groupBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("_g")
+        )
+        .applyInPandas(
+            lambda _, pdf: partial(pdf), "i long, j long, sij long"
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("sij").alias("sij"))
+    )
+
+
 def pca_top_component(
     embeddings: DataFrame, n_iters: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -2832,10 +2865,12 @@ def pca_top_component(
     positive (smallest dim on ties).
 
     Shapes: ONE corpus pass builds the (i, j) scatter relation (dim² rows
-    — 4096 for 64 dims — via a vec-keyed self-join of the centered long
-    form); each iteration is a broadcast join of the 64-row vector against
-    the scatter relation.  At 100 TB the scatter aggregation is the only
-    corpus-sized job; iterations cost nothing.  PCA whitening/compression
+    — 4096 for 64 dims — via hash-grouped X.T@X int64 gemm partials over
+    the centered long form, :func:`_scatter_gemm`); each iteration is a
+    broadcast join of the 64-row vector against the scatter relation.  At
+    100 TB the scatter aggregation is the only corpus-sized job — and it
+    shuffles the slim (id, dim, c) long form exactly once; iterations cost
+    nothing.  PCA whitening/compression
     at serving time is then a narrow projection against the frozen
     component.
     """
@@ -2865,15 +2900,7 @@ def pca_top_component(
     # DIV and DuckDB's flooring // in agreement on the negative entries.
     n_rel = embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     cov = (
-        cent.select(F.col(id_col), F.col("dim").alias("i"), F.col("c").alias("ci"))
-        .join(
-            cent.select(
-                F.col(id_col), F.col("dim").alias("j"), F.col("c").alias("cj")
-            ),
-            id_col,
-        )
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ci") * F.col("cj")).alias("sij"))
+        _scatter_gemm(cent, id_col)
         .crossJoin(F.broadcast(n_rel))
         .select(
             "i",

@@ -644,21 +644,17 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         (user_id,) = key
         ewma, n = state.get if state.exists else (None, 0)
         for pdf in pdfs:
-            pdf = pdf.copy()
-            pdf["ts_us"] = (
-                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-            )
+            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
             # HALF_UP like Spark/DuckDB ROUND (pandas .round is half-even);
             # values are non-negative so floor(+0.5) is exact
-            pdf["v_c"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
-            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
-                v = int(row["v_c"])
-                if ewma is None:
-                    ewma = v
-                else:
-                    # floor division matching the batch fold's `div 2`
-                    ewma = (ewma + v) // 2
-                n += 1
+            v_c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+            # the fold itself is inherently sequential (floor halving), but a
+            # plain loop over a python list is ~100x an iterrows pass
+            for v in v_c[order].tolist():
+                # floor division matching the batch fold's `div 2`
+                ewma = v if ewma is None else (ewma + v) // 2
+            n += order.size
         state.update((ewma, n))
         yield pd.DataFrame(
             [(user_id, n, ewma)], columns=["user_id", "n_events", "ewma_cents"]
