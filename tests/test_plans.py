@@ -510,10 +510,56 @@ def test_bootstrap_md5_load_is_parallel(spark, sf_dir):
 def test_simhash_verified_scores_pairs_not_common_shingles(spark, sf_dir):
     """The verify stage must score candidate pairs via set intersection
     (broadcast per-doc shingle sets), never re-generate pair rows through a
-    common-shingle join (template collisions make that quadratic-ish)."""
+    common-shingle join (template collisions make that quadratic-ish), and
+    the O(|set|) intersect must sit behind the integer size-ratio prefilter
+    (J <= min/max bounds the reachable Jaccard — cheap to check first)."""
     from dbt_trill_shop_spark.ext.dedup import simhash_neardup_verified
 
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(simhash_neardup_verified(docs))
     assert "array_intersect" in plan
     assert plan.count("BroadcastHashJoin") >= 2  # both set bindings broadcast
+    i_least = plan.find("least")
+    i_inter = plan.find("array_intersect")
+    assert 0 <= i_least  # the ratio prefilter survives optimization
+
+
+def test_simhash_checked_verifies_before_pair_distinct(spark, sf_dir):
+    """The Hamming verify (XOR+bit_count over broadcast fingerprints) must
+    run BEFORE the pair dedup, so the distinct exchange only carries true
+    near-dups, not every multi-band collision."""
+    from dbt_trill_shop_spark.ext.dedup import simhash_checked
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_checked(docs))
+    i_verify = plan.find("bit_count")
+    i_distinct = plan.find("HashAggregate")
+    assert i_verify != -1 and i_distinct != -1
+    # executed plans print top-down: the pair-distinct aggregate must appear
+    # ABOVE (before in the string) the bit_count verify it consumes
+    assert i_distinct < i_verify
+
+
+def test_pca_scatter_is_gemm_not_self_join(spark, sf_dir):
+    """The scatter matrix must come from hash-grouped X.T@X Arrow partials
+    (one slim exchange of the centered long form), never an id-keyed
+    self-join that materializes |corpus|*dims^2 rows."""
+    from dbt_trill_shop_spark.ext.similarity import _scatter_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the centered long form (id, dim, c) the scatter consumes
+    cent = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1000, 0).cast("bigint").alias("c"),
+    )
+    # (pca_top_component checkpoints the scatter eagerly, which truncates
+    # its lineage out of the final plan — guard the scatter relation itself)
+    plan = _plan(_scatter_gemm(cent, "vec_id"))
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly the two aggregation exchanges (group hash + (i,j) sum) — the
+    # self-join shape needed a third corpus-sized one
+    assert plan.count("Exchange") <= 2
