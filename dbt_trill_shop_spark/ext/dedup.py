@@ -128,7 +128,37 @@ def _distinct_shingle_rel(docs: DataFrame, text_col: str, id_col: str, n: int) -
     The token array is bound in its OWN projection before the sliding-window
     lambda: higher-order functions are interpreted per element, so a
     ``split()`` referenced inside the lambda body re-tokenizes the document
-    once per shingle (O(len²) — measured 4.5× slower at sf0.1)."""
+    once per shingle (O(len²) — measured 4.5× slower at sf0.1).
+
+    Parallelism floor (double-gated): the shingle explode is the most
+    compute-bound stage of the whole near-dup family, and chained on a
+    ONE-row-group scan it runs on a single task no matter how many cores
+    the session has (the SCALE.md one-row-group lesson; 42.5 s → 33.4 s
+    across the 11-query family at sf0.1).  Round-robin the (id, text) rows
+    out first when BOTH hold: the scan provides fewer splits than half the
+    cluster's parallelism, AND the input is big enough for the scatter to
+    pay for its task overhead (≥256 KB on disk — below that, 32 mostly-
+    empty tasks cost more than the single-task explode, measured +33 s
+    across the sf0.001 bench).  At corpus scale a real dataset has
+    thousands of row groups, the first gate never fires, and text keeps
+    riding zero exchanges; at eval scale the one-time scatter of a few MB
+    is the honest stand-in for the splits the tiny file can't provide."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, par // 2):
+        import os as _os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            nbytes = sum(
+                _os.path.getsize(unquote(urlparse(f).path))
+                for f in docs.inputFiles()
+                if f.startswith("file:")
+            )
+        except Exception:
+            nbytes = 0
+        if nbytes >= (256 << 10):
+            docs = docs.repartition(par)
     base = docs.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_t"))
     arr = F.filter(
         F.transform(
