@@ -141,6 +141,45 @@ def test_stateful_sessionizer_carries_state_across_microbatches(spark, tmp_path)
     assert got == [(1, 3, 15 * 60 * 1_000_000), (2, 2, 3 * 60 * 1_000_000)]
 
 
+def test_stateful_ewma_carries_state_across_microbatches(spark, tmp_path):
+    """The EWMA fold must continue from carried state: a two-file drain where
+    one user's events straddle the batch boundary must equal the single fold
+    over the whole (ts, event_id)-sorted history."""
+    import datetime as dt
+    import time as _time
+
+    from dbt_trill_shop_spark.streaming.events import (
+        ewma_stream,
+        run_stream_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batch1 = [(1, t0, 1, "view", 10.00, ""), (2, t0 + m, 1, "view", 4.00, "")]
+    batch2 = [(3, t0 + 2 * m, 1, "view", 6.00, "")]
+    src = tmp_path / "ewma_src"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    drained = run_stream_to_memory(
+        ewma_stream(ev), output_mode="update", shuffle_partitions=4
+    )
+    final = {
+        r["n_events"]: r["ewma_cents"] for r in drained.collect() if r["user_id"] == 1
+    }
+    # batch 1 emits the 2-event fold, batch 2 continues FROM it:
+    # (1000 + 400) // 2 = 700, then (700 + 600) // 2 = 650
+    assert final[2] == 700 and final[3] == 650
+
+
 def test_format_roundtrip_csv_json_orc(spark, sf_dir, tmp_path):
     from dbt_trill_shop_spark.sources.formats import SourceSpec, read_source, write_sink
 
