@@ -184,8 +184,9 @@ def main(argv: list[str] | None = None) -> int:
             args.target_path,
             test_results=results,
             with_catalog=not args.no_compile,
+            with_docs_site=True,
         )
-        names = ["manifest.json", "run_results.json"] + (
+        names = ["manifest.json", "run_results.json", "index.html"] + (
             [] if args.no_compile else ["catalog.json"]
         )
         for n in names:

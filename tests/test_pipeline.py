@@ -1226,6 +1226,9 @@ def test_cli_ls_build_and_docs(spark, sf_dir, tmp_path, capsys):
     manifest = json.load(open(os.path.join(tgt, "manifest.json")))
     assert "weekly_trends_summary" in str(manifest)
     assert os.path.exists(os.path.join(tgt, "catalog.json"))
+    # the CLI also renders the browsable site next to the JSON artifacts
+    site = open(os.path.join(tgt, "index.html")).read()
+    assert 'id="node-weekly_trends_summary"' in site
 
 
 def test_observation_rows_affected_in_run_results(spark, sf_dir, tmp_path):
