@@ -164,6 +164,196 @@ def cosine_topk_lsh(
     )
 
 
+def _srp_planes(nbits: int, dims: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 sign-random-projection planes from md5 parity.
+
+    Computed ONCE here (driver-side, tiny: nbits × dims ints) and embedded
+    as literals in BOTH the Spark plan and the SQL oracle, so the two
+    engines replay the identical hyperplanes without either having to
+    re-derive md5 at query time."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{t}:{d}".encode()).hexdigest()[0] < "8"
+            else -1
+            for d in range(dims)
+        ]
+        for t in range(nbits)
+    ]
+
+
+def srp_band_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 16,
+    bands: int = 4,
+    dims: int = 64,
+    seed: str = "srp",
+) -> DataFrame:
+    """(id, bidx, bk) band rows for sign-random-projection LSH.
+
+    The embedding is quantized to int64 (``FLOOR(x * 1e6)``) BEFORE the
+    projection, so every projection is an exact integer sum — its sign is
+    order-independent and bit-identical across engines, killing the
+    float-summation-order hazard that makes naive SRP unreproducible.
+    One narrow pass: signature bits in a single projection, band keys via
+    ``posexplode`` (no per-band rescan of the input).
+
+    At 100 TB: this is a shuffle-free map — only (id, bidx, bk) rows
+    (24 bytes) ever reach the candidate self-join's exchange; the vectors
+    themselves never ride a shuffle until the final rerank join, which is
+    candidate-bounded.
+    """
+    if nbits % bands:
+        raise ValueError("nbits must be divisible by bands")
+    r = nbits // bands
+    planes = _srp_planes(nbits, dims, seed)
+    # ONE nested higher-order expression for all nbits projections instead
+    # of nbits separate fold columns: HOF bodies are interpreted either way,
+    # but a single expression tree keeps plan compile/codegen cost flat in
+    # nbits (the 16-column variant paid ~6 s of cold-start analysis)
+    planes_sql = "array({})".format(
+        ", ".join("array({})".format(", ".join(map(str, row))) for row in planes)
+    )
+    vq = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(1_000_000.0))
+    )
+    base = df.select(F.col(id_col).alias("_id"), vq.alias("_vq"))
+    bits = F.expr(
+        f"transform({planes_sql}, p -> IF("
+        "aggregate(zip_with(_vq, p, (x, s) -> x * CAST(s AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) >= 0, 1, 0))"
+    )
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {r - 1}), CAST(0 AS BIGINT), "
+        f"(a, j) -> a + CAST(_bits[b * {r} + j] AS BIGINT) * shiftleft(CAST(1 AS BIGINT), j)))"
+    )
+    return (
+        base.select("_id", bits.alias("_bits"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.posexplode(band_keys).alias("bidx", "bk"),
+        )
+    )
+
+
+def cosine_topk_srp(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 16,
+    bands: int = 4,
+    dims: int = 64,
+    seed: str = "srp",
+) -> DataFrame:
+    """ANN cosine top-k via DETERMINISTIC sign-random-projection LSH:
+    band-bucket candidate join, then exact cosine rerank among candidates.
+
+    Unlike :func:`cosine_topk_lsh` (Spark ML's seeded Gaussian projections,
+    irreproducible outside the JVM), the hyperplanes here are md5-derived
+    literals and the projections exact integer sums — the WHOLE pipeline
+    (signatures, banding, candidates, rerank) replays in ANSI SQL, so the
+    approximate result itself sits behind the value-hash correctness gate
+    (:func:`cosine_topk_srp_sql`).  Same output contract as the brute-force
+    baseline: (query_id, neighbor_id, rank), rank fully tie-broken.
+    """
+    cand_bands = srp_band_keys(embeddings, id_col, vec_col, nbits, bands, dims, seed)
+    q_bands = srp_band_keys(queries, id_col, vec_col, nbits, bands, dims, seed)
+    pairs = (
+        q_bands.select(F.col(id_col).alias("query_id"), "bidx", "bk")
+        .join(
+            cand_bands.select(F.col(id_col).alias("neighbor_id"), "bidx", "bk"),
+            ["bidx", "bk"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_topk_srp_sql(
+    num_queries: int,
+    k: int = 5,
+    nbits: int = 16,
+    bands: int = 4,
+    dims: int = 64,
+    seed: str = "srp",
+) -> str:
+    """DuckDB replay of :func:`cosine_topk_srp` — identical plane literals,
+    identical int64 quantization, rank-only output (the float cosine stays
+    internal to the ORDER BY, same ulp posture as COSINE_TOPK_SQL_TEMPLATE)."""
+    r = nbits // bands
+    planes = _srp_planes(nbits, dims, seed)
+    plane_rows = ",\n        ".join(
+        f"({t}, {planes[t]})" for t in range(nbits)
+    )
+    return f"""
+WITH vq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+planes(t, sv) AS (VALUES
+        {plane_rows}),
+proj AS (
+    SELECT vq.vec_id, p.t,
+           CASE WHEN list_sum(list_transform(range(1, {dims + 1}),
+                    d -> vq.v[d] * p.sv[d])) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM vq CROSS JOIN planes p
+),
+bandkeys AS (
+    SELECT vec_id, t // {r} AS bidx,
+           CAST(SUM(bit * (1 << (t % {r}))) AS BIGINT) AS bk
+    FROM proj GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bandkeys q JOIN bandkeys c ON q.bidx = c.bidx AND q.bk = c.bk
+    WHERE q.vec_id < {num_queries} AND c.vec_id != q.vec_id
+),
+ranked AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        cand.neighbor_id ASC) AS BIGINT) AS rank
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

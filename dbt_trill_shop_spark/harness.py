@@ -10,8 +10,11 @@ the driver's check).  Keys are grouped:
   ops the reference's warehouse would provide, SURVEY.md §2.3/2.5);
 - ``x_*``                 — LLM-data-pipeline extensions (SURVEY.md §2.9).
 
-Queries without an oracle entry (value ``None``) are non-SQL-expressible
-(LSH-based approximations) and get the driver's rows-only check.
+Queries without an oracle entry (value ``None``) are non-SQL-expressible —
+by round 3 only the two sketch-based approximations (approx_percentile /
+approx_count_distinct, whose estimators are engine-specific by design) —
+and get the driver's rows-only check.  Every LSH/ANN path now carries a
+value-hash oracle (deterministic md5-seeded hashing replayed in SQL).
 """
 
 from __future__ import annotations
@@ -175,6 +178,8 @@ from .ext.similarity import (
     SEMDEDUP_SQL_TEMPLATE,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    cosine_topk_srp,
+    cosine_topk_srp_sql,
     embedding_neardup_pairs,
     ivf_assign,
     ivf_topk,
@@ -699,9 +704,13 @@ def _x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through deterministic sign-random-projection LSH — the
+    md5-seeded twin of the Spark ML path (:func:`cosine_topk_lsh`, kept as
+    the library routine), chosen here so the approximate result itself is
+    value-hash oracle-checked rather than rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_NUM_QUERIES)
-    return cosine_topk_lsh(emb, queries, k=_KNN_K)
+    return cosine_topk_srp(emb, queries, k=_KNN_K)
 
 
 def _x_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,7 +2266,11 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         NGRAM_JACCARD_SQL_TEMPLATE.format(n=_NGRAM_JACCARD_N, threshold=0.5),
     ),
-    "x_knn_lsh": QuerySpec(_x_knn_lsh, None),  # LSH ANN: rows-only
+    # deterministic SRP-LSH ANN: the full approximate pipeline (integer
+    # sign projections -> band buckets -> exact rerank) replays in SQL
+    "x_knn_lsh": QuerySpec(
+        _x_knn_lsh, cosine_topk_srp_sql(num_queries=_KNN_NUM_QUERIES, k=_KNN_K)
+    ),
     # IVF ANN: approximate in recall, deterministic in result — probe
     # selection rounds d2 like ivf_assign, so the oracle replays it exactly
     "x_ivf_topk": QuerySpec(

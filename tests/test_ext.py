@@ -62,6 +62,41 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_srp_topk_deterministic_candidates_and_recall(spark, sf_dir):
+    """The deterministic SRP twin: output == exact-top-k-over-candidates by
+    construction (the oracle checks that), so here we pin the ANN
+    properties — real candidate reduction, a recall floor, and no
+    cartesian fallback in the physical plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    bands = similarity.srp_band_keys(emb)
+    pairs = (
+        bands.selectExpr("vec_id AS query_id", "bidx", "bk")
+        .filter(F.col("query_id") < 10)
+        .join(bands.selectExpr("vec_id AS neighbor_id", "bidx", "bk"), ["bidx", "bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    avg_cands = pairs.count() / 10
+    assert avg_cands < 0.5 * n, f"no candidate reduction: {avg_cands}/{n}"
+    approx = similarity.cosine_topk_srp(emb, q, k=5)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_pd = approx.toPandas()
+    approx_set = set(map(tuple, approx_pd[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"SRP recall too low: {recall}"
+    # rerun is bit-identical (no hidden randomness anywhere in the pipeline)
+    again = similarity.cosine_topk_srp(emb, q, k=5).toPandas()
+    assert approx_pd.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def test_ivf_assign_covers_all(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     assign = similarity.ivf_assign(emb, n_cells=8)
