@@ -2177,7 +2177,11 @@ def embedding_dim_stats(
             / 1e12,
             6,
         ).alias("variance"),
-    ).orderBy("dim")
+        # coalesce(1)+sortWithinPartitions, not orderBy: the output is D rows
+        # (embedding dimensionality, bounded ≤ a few thousand at any corpus
+        # scale), and a global orderBy costs a range-partitioning sampling job
+        # that dominated this query's wall time (0.65 s → 0.33 s at sf0.1).
+    ).coalesce(1).sortWithinPartitions("dim")
 
 
 EMBEDDING_DIM_STATS_SQL = """

@@ -2678,38 +2678,68 @@ _DRIVER_VERIFIED_R01_R02 = frozenset({
     "x_unigram_logprob", "x_vocab_coverage",
 })
 
-# Round-3 driver window: positions 8-50.  Never-driver-verified queries,
-# highest-value first (flagship near-dup + its checked twins lead, then the
-# quality/sampling, BM25/BPE, vector-index, kNN-graph, TPC-H, streaming and
-# multimodal families), per VERDICT.md round-2 instruction #1.
-_ROUND3_WINDOW = [
-    "x_neardup_minhash_checked", "x_incremental_neardup",
-    "x_neardup_minhash", "x_simhash_neardup",
-    "x_quality_classifier", "x_filter_funnel", "x_mixture_plan",
-    "x_bm25_search", "x_bpe_merges", "x_hashed_knn",
-    "q_shipping_priority", "s_stream_sessionize", "m_phash_neardup",
-    "x_simhash_checked", "x_minhash_audit", "x_bm25_index_search",
-    "x_hybrid_rrf", "x_bpe_segment", "x_substring_contam", "x_winnowing",
-    "x_boilerplate_strip", "x_weighted_jaccard", "x_source_caps",
-    "x_token_budget_select", "x_stratified_exact_n", "x_temperature_mix",
-    "x_curriculum_order", "x_sq8_topk", "x_l2_topk", "x_ann_recall",
-    "x_matryoshka_topk", "x_ivfpq_residual", "x_mmr_topk",
-    "x_knn_pagerank", "x_knn_graph",
-    "q_returned_revenue", "q_large_volume_orders", "q_nation_trade",
-    "q_market_share", "q_nation_profit", "q_min_cost_supplier",
-    "s_stream_top_types", "m_audio_windows",
+# Queries with a green driver verdict in CORRECTNESS_r03 (all 50 green).
+_DRIVER_VERIFIED_R03 = frozenset({
+    "m_audio_windows", "m_phash_neardup", "q_large_volume_orders",
+    "q_market_share", "q_min_cost_supplier", "q_nation_profit",
+    "q_nation_trade", "q_returned_revenue", "q_shipping_priority",
+    "s_stream_sessionize", "s_stream_top_types",
+    "stg_international_top_rising_terms", "stg_international_top_terms",
+    "stg_top_rising_terms", "stg_top_terms", "top_terms_comparison",
+    "trending_terms_analysis", "weekly_trends_summary", "x_ann_recall",
+    "x_bm25_index_search", "x_bm25_search", "x_boilerplate_strip",
+    "x_bpe_merges", "x_bpe_segment", "x_curriculum_order",
+    "x_filter_funnel", "x_hashed_knn", "x_hybrid_rrf",
+    "x_incremental_neardup", "x_ivfpq_residual", "x_knn_graph",
+    "x_knn_pagerank", "x_l2_topk", "x_matryoshka_topk", "x_minhash_audit",
+    "x_mixture_plan", "x_mmr_topk", "x_neardup_minhash",
+    "x_neardup_minhash_checked", "x_quality_classifier",
+    "x_simhash_checked", "x_simhash_neardup", "x_source_caps",
+    "x_sq8_topk", "x_stratified_exact_n", "x_substring_contam",
+    "x_temperature_mix", "x_token_budget_select", "x_weighted_jaccard",
+    "x_winnowing",
+})
+
+# Round-4 driver window: positions 8-50.  Never-driver-verified queries per
+# VERDICT.md round-3 instruction #1: x_knn_lsh re-enters (its r02 verdict was
+# rows-only on a since-replaced implementation; the new SRP path has a
+# value-hash oracle but no driver verdict), then the streaming tail, the
+# curation/pipeline family, the high-value statistics queries, the four
+# perf-fix targets from this round (source_divergence, embedding_dim_stats,
+# theilsen, ks_test — so the fixes themselves get driver verification), the
+# remaining TPC-H-shaped relational queries, and the sampling family.
+_ROUND4_WINDOW = [
+    "x_knn_lsh",
+    "s_stream_ewma", "s_stream_hll", "s_stream_countmin", "s_stream_drift",
+    "s_stream_sliding_rollup", "s_stream_pysource", "s_stream_segment_rollup",
+    "x_curation_pipeline_v2", "x_rag_pipeline", "x_coverage_select",
+    "x_soft_dedup", "x_upsample_realize",
+    "q_hll_users", "q_bloom_prefilter", "q_retention_cohorts", "q_funnel",
+    "q_window_funnel", "q_markov_stationary", "q_holt_forecast",
+    "x_source_divergence", "x_embedding_dim_stats", "q_theilsen_trend",
+    "q_ks_test",
+    "q_order_priority_counts", "q_custdist", "q_promo_revenue",
+    "q_top_supplier", "q_important_parts", "q_late_shipments",
+    "q_dominant_suppliers", "q_blocking_suppliers", "q_idle_rich_customers",
+    "q_small_qty_revenue", "q_disjunctive_revenue", "q_brand_suppliers",
+    "q_decimal_revenue",
+    "x_hash_split", "x_cluster_sample", "x_importance_weights",
+    "x_training_order", "q_record_linkage", "x_cdc_chunks",
 ]
-_front = _REFERENCE_MODELS + _ROUND3_WINDOW
+_front = _REFERENCE_MODELS + _ROUND4_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: remaining never-verified queries in priority order (the
-# _ROUND2_LATE ranking first — they fill any extra driver slots), then the 90
-# already-verified at the back (regression-guarded by pytest).
+# _ROUND2_LATE ranking first — they fill any extra driver slots), then the
+# 128 already-verified at the back (regression-guarded by pytest).
+_DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03) - set(
+    _ROUND4_WINDOW
+)
 _rest = [n for n in _ROUND2_LATE if n not in set(_front)] + [
     n for n in QUERIES if n not in set(_front) and n not in set(_ROUND2_LATE)
 ]
-_tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED_R01_R02]
-_tail_verified = [n for n in _rest if n in _DRIVER_VERIFIED_R01_R02]
+_tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
+_tail_verified = [n for n in _rest if n in _DRIVER_VERIFIED]
 QUERIES = {
     name: QUERIES[name] for name in _front + _tail_unverified + _tail_verified
 }

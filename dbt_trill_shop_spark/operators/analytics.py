@@ -2237,13 +2237,15 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of urgent vs low-priority orders — the classic
     distribution-equality screen (A/B shift detection, segment drift).
 
-    Exact and order-proof: prices are int cents; pool both samples, one
-    global sort (the KS statistic is inherently a sorted scan — at 100 TB
-    use the binned/histogram approximation), running per-group counts via
-    two windowed sums, and D = max |F1 - F2| compared as integer
-    cross-multiplied fractions (|c1·n2 - c2·n1|, divided once at the end).
-    Ties are handled CDF-correctly by evaluating D only at the last row of
-    each distinct value (both CDFs fully absorb a tied value).
+    Exact and order-proof: prices are int cents; pool both samples, collapse
+    to per-distinct-value counts, then a bucketed two-phase cumulative sum
+    (per-price-band offsets from a tiny windowed relation + within-band
+    cumsum) — no partition-less global window anywhere, so the sorted scan
+    the KS statistic needs never funnels through one task.  D = max |F1-F2|
+    compared as integer cross-multiplied fractions (|c1·n2 - c2·n1|,
+    divided once at the end).  Ties are handled CDF-correctly because the
+    per-value collapse happens before the cumsum (both CDFs fully absorb a
+    tied value).
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(
@@ -2252,20 +2254,48 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
         cents("o_totalprice").alias("v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = base.select(
+    # Two-phase CDF cumsum (no partition-less global window).  Phase 0:
+    # collapse to per-distinct-value counts — ties absorb into one row, which
+    # is also exactly the "CDF evaluated after ties" semantics.  Phase 1:
+    # bucket values by a coarse fixed-width key ($10k price bands — O(10-100)
+    # buckets at any scale), per-bucket sums, window cumsum over that tiny
+    # relation for each bucket's starting offsets.  Phase 2: within-bucket
+    # cumsum partitioned by the bucket key, plus the broadcast offset.
+    per_v = base.groupBy("v").agg(
+        F.sum("g1").alias("d1"), F.sum(1 - F.col("g1")).alias("d2")
+    )
+    bucketed = per_v.withColumn("vb", (F.col("v") / 1_000_000).cast("bigint"))
+    per_b = bucketed.groupBy("vb").agg(
+        F.sum("d1").alias("b1"), F.sum("d2").alias("b2")
+    )
+    # One window pass over the tiny per-bucket relation yields the bucket
+    # offsets AND the grand totals n1/n2 (full-range frame) — no separate
+    # totals aggregate, so the orders scan happens exactly twice (per-bucket
+    # branch + the per-value join), same as the pre-fix plan.
+    wc = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = per_b.select(
+        "vb",
+        (F.sum("b1").over(wc) - F.col("b1")).alias("o1"),
+        (F.sum("b2").over(wc) - F.col("b2")).alias("o2"),
+        F.sum("b1").over(wall).alias("n1"),
+        F.sum("b2").over(wall).alias("n2"),
+    )
+    wv = (
+        Window.partitionBy("vb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_per_v = bucketed.join(F.broadcast(offsets), "vb").select(
         "v",
-        F.sum("g1").over(w).alias("c1"),
-        F.sum(1 - F.col("g1")).over(w).alias("c2"),
+        (F.col("o1") + F.sum("d1").over(wv)).alias("c1"),
+        (F.col("o2") + F.sum("d2").over(wv)).alias("c2"),
+        "n1",
+        "n2",
     )
-    # keep only the last row per distinct value (CDF evaluated after ties)
-    last_per_v = cum.groupBy("v").agg(
-        F.max("c1").alias("c1"), F.max("c2").alias("c2")
-    )
-    totals = base.agg(
-        F.sum("g1").alias("n1"), F.sum(1 - F.col("g1")).alias("n2")
-    )
-    d = last_per_v.crossJoin(F.broadcast(totals)).select(
+    d = last_per_v.select(
         F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("num"),
         "n1",
         "n2",
@@ -2425,20 +2455,57 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("x1") < F.col("x2"))
         .select(
-            (
-                (F.col("y2") - F.col("y1")).cast("double")
-                / (F.col("x2") - F.col("x1")).cast("double")
+            # try_divide, not `/`: codegen can evaluate the downstream
+            # aggregate's grouping expression inside the join's consume path
+            # BEFORE the x1<x2 condition prunes the row, and ANSI mode turns
+            # the x1==x2 diagonal into a hard DIVIDE_BY_ZERO.  The filter
+            # still removes those rows; try_divide just keeps the transient
+            # evaluation exception-free.
+            F.try_divide(
+                (F.col("y2") - F.col("y1")).cast("double"),
+                (F.col("x2") - F.col("x1")).cast("double"),
             ).alias("slope")
         )
     )
-    w = Window.orderBy("slope")
-    ranked = slopes.withColumn("rk", F.row_number().over(w))
-    total = slopes.count  # noqa: B023 — resolved below via agg instead
-    stats = slopes.agg(F.count(F.lit(1)).alias("m"))
+    # Two-phase median rank (no partition-less global window — that funnels
+    # all O(days²) slopes through ONE task).  Phase 1: bucket slopes by a
+    # fixed quantizer, aggregate per-bucket counts (tiny relation), window
+    # cumsum over THAT to find each bucket's starting offset and the single
+    # bucket containing the median rank.  Phase 2: rank within only that
+    # boundary bucket, partitioned by its (constant) bucket key.  Same shape
+    # as token_budget_select's offsets-plus-boundary-group cumsum.
+    bucketed = slopes.withColumn(
+        "bk", F.floor(F.col("slope") * 4096).cast("bigint")
+    )
+    per_b = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+    # One window pass over the tiny per-bucket relation yields BOTH the
+    # running offsets and the grand total m (full-range frame) — no separate
+    # stats aggregate, so the O(days²) upstream is evaluated exactly twice
+    # (per_b branch + the boundary join), same as the pre-fix plan.
+    wc = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    boundary = (
+        per_b.select(
+            "bk",
+            (F.sum("c").over(wc) - F.col("c")).alias("cum_before"),
+            F.sum("c").over(wc).alias("cum_through"),
+            F.sum("c").over(wall).alias("m"),
+        )
+        .withColumn(
+            "target_rk", F.floor((F.col("m") + 1) / 2).cast("bigint")
+        )
+        .filter(
+            (F.col("cum_before") < F.col("target_rk"))
+            & (F.col("target_rk") <= F.col("cum_through"))
+        )
+    )
+    wb = Window.partitionBy("bk").orderBy("slope")
     med = (
-        ranked.crossJoin(F.broadcast(stats))
-        .filter(F.col("rk") == (F.col("m") + 1).cast("bigint") / 2)
-        .filter(F.col("rk") == F.floor((F.col("m") + 1) / 2))
+        bucketed.join(F.broadcast(boundary), "bk")
+        .withColumn("rk", F.col("cum_before") + F.row_number().over(wb))
+        .filter(F.col("rk") == F.col("target_rk"))
         .select(F.round("slope", 6).alias("theil_sen_slope"), "m")
     )
     return med.select(

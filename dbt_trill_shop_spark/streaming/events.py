@@ -618,6 +618,35 @@ LIMIT {k}
 """
 
 
+def _ewma_fold_chunks(chunks, ewma, n):
+    """Fold one micro-batch's Arrow chunks into the carried (ewma, n) state.
+
+    Concatenates ALL chunks before sorting: chunk order within a group is not
+    a contract (same caveat as the sessionize kernel), so a group spanning
+    multiple chunks in one micro-batch must be lexsorted (ts, event_id)
+    GLOBALLY or the order-sensitive floor-halving fold diverges from the
+    batch twin's oracle.  Module-level so the multi-chunk path is unit-
+    testable without driving a stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not chunks:
+        return ewma, n
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    # HALF_UP like Spark/DuckDB ROUND (pandas .round is half-even);
+    # values are non-negative so floor(+0.5) is exact
+    v_c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+    # the fold itself is inherently sequential (floor halving), but a
+    # plain loop over a python list is ~100x an iterrows pass
+    for v in v_c[order].tolist():
+        # floor division matching the batch fold's `div 2`
+        ewma = v if ewma is None else (ewma + v) // 2
+    return ewma, n + order.size
+
+
 def ewma_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user EWMA (alpha = 1/2, integer cents
     with floor halving — the exact recurrence of the batch
@@ -638,23 +667,11 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     state_schema = "ewma long, n long"
 
     def fn(key, pdfs, state: GroupState):
-        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-            # HALF_UP like Spark/DuckDB ROUND (pandas .round is half-even);
-            # values are non-negative so floor(+0.5) is exact
-            v_c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
-            order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
-            # the fold itself is inherently sequential (floor halving), but a
-            # plain loop over a python list is ~100x an iterrows pass
-            for v in v_c[order].tolist():
-                # floor division matching the batch fold's `div 2`
-                ewma = v if ewma is None else (ewma + v) // 2
-            n += order.size
+        ewma, n = _ewma_fold_chunks(list(pdfs), ewma, n)
         state.update((ewma, n))
         yield pd.DataFrame(
             [(user_id, n, ewma)], columns=["user_id", "n_events", "ewma_cents"]

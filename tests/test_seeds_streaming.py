@@ -180,6 +180,39 @@ def test_stateful_ewma_carries_state_across_microbatches(spark, tmp_path):
     assert final[2] == 700 and final[3] == 650
 
 
+def test_ewma_fold_sorts_across_chunks():
+    """A group spanning multiple Arrow chunks in one micro-batch must fold in
+    global (ts, event_id) order, not per-chunk order: with chunks delivered
+    out of time order, the per-chunk fold would compute
+    ((600+1000)//2+400)//2 = 600 instead of the sorted 650."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dbt_trill_shop_spark.streaming.events import _ewma_fold_chunks
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def chunk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "value"]
+        ).astype({"ts": "datetime64[ns]"})
+
+    # chunk A holds the LATEST event; chunk B the two earliest
+    a = chunk([(3, t0 + 2 * m, 6.00)])
+    b = chunk([(1, t0, 10.00), (2, t0 + m, 4.00)])
+    ewma, n = _ewma_fold_chunks([a, b], None, 0)
+    # sorted history: (1000, then 400, then 600) -> 700 -> 650
+    assert (ewma, n) == (650, 3)
+    # carried-state path: fold the same history in two calls
+    e1, n1 = _ewma_fold_chunks([b], None, 0)
+    e2, n2 = _ewma_fold_chunks([a], e1, n1)
+    assert (e2, n2) == (650, 3)
+    # empty micro-batch leaves state untouched
+    assert _ewma_fold_chunks([], 123, 7) == (123, 7)
+
+
 def test_format_roundtrip_csv_json_orc(spark, sf_dir, tmp_path):
     from dbt_trill_shop_spark.sources.formats import SourceSpec, read_source, write_sink
 
