@@ -41,6 +41,18 @@ def check_regressions(
     return out
 
 
+def gate_should_fail(regressions: dict, env: dict) -> bool:
+    """Exit-2 decision, pure for unit tests: regressions fail the run unless
+    the gate is disabled OR the invocation is an explicit baseline refresh
+    (SPARK_GRAFT_BENCH_UPDATE=1 — the user has accepted the new timings, so
+    failing the refresh run itself would be self-defeating)."""
+    return bool(
+        regressions
+        and env.get("SPARK_GRAFT_BENCH_GATE", "1") != "0"
+        and env.get("SPARK_GRAFT_BENCH_UPDATE") != "1"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -209,7 +221,7 @@ def main() -> None:
         )
     )
     spark.stop()
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+    if gate_should_fail(regressions, dict(os.environ)):
         sys.exit(2)
 
 

@@ -11,7 +11,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import check_regressions  # noqa: E402
+from bench import check_regressions, gate_should_fail  # noqa: E402
 
 
 def test_flags_only_material_slowdowns():
@@ -36,6 +36,17 @@ def test_allowlist_suppresses_named_queries_only():
 def test_empty_inputs():
     assert check_regressions({}, {}) == {}
     assert check_regressions({"a": 1.0}, {}) == {}
+
+
+def test_gate_exit_decision():
+    regs = {"a": [1.0, 2.0]}
+    assert gate_should_fail(regs, {})
+    assert not gate_should_fail({}, {})
+    # disabled gate never fails
+    assert not gate_should_fail(regs, {"SPARK_GRAFT_BENCH_GATE": "0"})
+    # an intentional baseline refresh must not fail its own invocation
+    assert not gate_should_fail(regs, {"SPARK_GRAFT_BENCH_UPDATE": "1"})
+    assert gate_should_fail(regs, {"SPARK_GRAFT_BENCH_UPDATE": "0"})
 
 
 def test_committed_allowlist_is_valid():
