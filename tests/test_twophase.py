@@ -1,0 +1,96 @@
+"""The two-phase bucketed-offsets helpers must be BIT-IDENTICAL to the
+partition-less global windows they replace — including NTILE's uneven-tile
+split, ties resolved by the explicit tie-break column, negative keys (trunc
+vs floor DIV), and N < n_buckets edge cases."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.operators.twophase import (
+    bucketed_cumsum,
+    bucketed_ntile,
+    bucketed_rank,
+    md5_bucket,
+)
+
+
+def _base(spark, n=997):
+    # keys: clustered, negative, and tied values; id is the tie-break
+    return spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 37 % 211) - 100).cast("bigint").alias("k"),
+        (F.col("id") % 7).cast("bigint").alias("v"),
+    )
+
+
+def test_rank_matches_global_window(spark):
+    df = _base(spark)
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("k", "id")).cast("bigint")
+    )
+    two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
+def test_rank_desc_order_via_negated_bucket(spark):
+    df = _base(spark)
+    naive = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("k"), F.asc("id"))).cast("bigint"),
+    )
+    two = bucketed_rank(df, F.expr("-k DIV 16"), [F.desc("k"), F.asc("id")])
+    assert naive.exceptAll(two).count() == 0
+
+
+def test_rank_md5_bucket(spark):
+    df = _base(spark, 500).withColumn("h", F.md5(F.col("id").cast("string")))
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("h", "id")).cast("bigint")
+    )
+    two = bucketed_rank(df, md5_bucket(F.col("h"), 2), [F.col("h"), F.col("id")])
+    assert naive.exceptAll(two).count() == 0
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(997, 4), (1000, 10), (7, 10), (3, 3)])
+def test_ntile_matches_global_window(spark, n_rows, n_tiles):
+    df = _base(spark, n_rows)
+    naive = df.withColumn(
+        "t", F.ntile(n_tiles).over(Window.orderBy("k", "id")).cast("bigint")
+    )
+    two = bucketed_ntile(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], n_tiles, "t")
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
+def test_ntile_single_bucket_degenerate(spark):
+    # everything in one bucket: still correct (just not scale-distributed)
+    df = _base(spark, 100)
+    naive = df.withColumn(
+        "t", F.ntile(4).over(Window.orderBy("k", "id")).cast("bigint")
+    )
+    two = bucketed_ntile(df, F.lit(0), [F.col("k"), F.col("id")], 4, "t")
+    assert naive.exceptAll(two).count() == 0
+
+
+def test_cumsum_matches_global_window(spark):
+    df = _base(spark)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("c", F.sum("v").over(w))
+    two = bucketed_cumsum(
+        df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], F.col("v"), "c"
+    )
+    assert naive.exceptAll(two).count() == 0
+
+
+def test_rank_plan_has_no_partitionless_window(spark):
+    df = _base(spark)
+    two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    # a partition-less window over the row relation would print its order
+    # key first: windowspecdefinition(k#...).  Two-phase windows lead with
+    # the bucket key (per-row, partitioned) or run over the tiny offsets
+    # relation (windowspecdefinition(__tp_bk#...) — allowed).
+    assert "windowspecdefinition(k#" not in plan
+    assert "windowspecdefinition(__tp_bk#" in plan
