@@ -565,21 +565,25 @@ def training_order(
     every document by ``md5(key || epoch)`` (ties by key).  Epoch-salted, so
     each epoch is an independent reshuffle reproducible on any cluster.
 
-    This is a GLOBAL SORT by design — Spark range-partitions on sampled
-    hash boundaries, so at 100 TB it is the standard
-    sample/partition/sort-within shuffle (one pass, no driver
-    materialization), which is exactly how training order is produced for
-    real corpora.  Output carries (rank, key) only — the 16-byte-per-row
-    shuffle; writers join text back by key or, better, write
-    ``sortWithinPartitions`` output per range file.
+    The rank is two-phase (``bucketed_rank``), NOT a global window — a
+    ``row_number() OVER (ORDER BY h)`` would plan as
+    ``Window + Exchange SinglePartition`` and funnel the whole corpus
+    through one task.  The md5 hex prefix is the bucket key (4096 uniform
+    buckets by construction), so each task ranks ~1/4096 of the corpus and
+    the only single-partition work is the 4096-row offsets relation.
+    Output carries (rank, key) only — the 16-byte-per-row shuffle; writers
+    join text back by key or write per-bucket ``sortWithinPartitions``
+    files.
     """
+    from ..operators.twophase import bucketed_rank, md5_bucket
+
     h = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#e{epoch}")).cast("binary")
     )
-    w = Window.orderBy(h, F.col(key_col))
-    return df.select(F.col(key_col).alias(id_out), h.alias("h")).select(
-        F.row_number().over(w).cast("bigint").alias("rank"), id_out
-    )
+    slim = df.select(F.col(key_col).alias(id_out), h.alias("h"))
+    return bucketed_rank(
+        slim, md5_bucket(F.col("h"), 3), [F.col("h"), F.col(id_out)]
+    ).select("rank", id_out)
 
 
 TRAINING_ORDER_SQL_TEMPLATE = """
@@ -785,25 +789,38 @@ def curriculum_order(docs: DataFrame, n_buckets: int = 4) -> DataFrame:
     (so each difficulty stage is internally order-free but the stage
     sequence is fixed) — the standard curriculum-learning data layout.
 
-    Output ships (rank, doc_id, bucket) only; the ranking window sorts a
-    slim 3-column projection exactly like ``training_order``, and payloads
-    re-attach by join at write time.  NTILE quartile 1 = highest logits
-    (easiest) so rank 1 starts the curriculum.
+    Output ships (rank, doc_id, bucket) only; payloads re-attach by join at
+    write time.  NTILE quartile 1 = highest logits (easiest) so rank 1
+    starts the curriculum.
+
+    Both total orders are two-phase (no partition-less window over the doc
+    relation): the NTILE rides a quantized-logit bucket (milli-logits, 64-
+    wide bands — bounded domain by the classifier's construction), and the
+    final rank rides (bucket, md5-prefix) — 256 uniform sub-buckets per
+    curriculum stage.
     """
     from ..ext.textstats import quality_classifier
+    from ..operators.twophase import bucketed_ntile, bucketed_rank
 
     scored = quality_classifier(docs).select("doc_id", "logit_milli")
-    wq = Window.orderBy(F.desc("logit_milli"), F.asc("doc_id"))
-    bucketed = scored.select(
-        "doc_id", F.ntile(n_buckets).over(wq).cast("bigint").alias("bucket")
-    )
-    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
-    wr = Window.orderBy(F.asc("bucket"), F.asc(h), F.asc("doc_id"))
-    return bucketed.select(
-        F.row_number().over(wr).cast("bigint").alias("rank"),
-        "doc_id",
+    bucketed = bucketed_ntile(
+        scored,
+        F.expr("-logit_milli DIV 64"),
+        [F.desc("logit_milli"), F.asc("doc_id")],
+        n_buckets,
         "bucket",
-    ).orderBy("rank")
+    ).select("doc_id", "bucket")
+    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
+    with_h = bucketed.withColumn("h", h)
+    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order
+    bk = F.concat(
+        F.lpad(F.col("bucket").cast("string"), 2, "0"), F.substring("h", 1, 2)
+    )
+    return (
+        bucketed_rank(with_h, bk, [F.asc("bucket"), F.asc("h"), F.asc("doc_id")])
+        .select("rank", "doc_id", "bucket")
+        .orderBy("rank")
+    )
 
 
 CURRICULUM_ORDER_SQL_TEMPLATE = """

@@ -1289,8 +1289,9 @@ def ppl_buckets(
     :func:`_unigram_doc_scores` (micro-nat int sums).  The NTILE is a single
     total-order window — fine at corpus scale because it runs over the
     per-DOC score relation (orders of magnitude smaller than the token
-    stream); for 100 TB of *docs* swap NTILE for approx-quantile cutpoints
-    broadcast as a CASE.
+    stream) — and it is two-phase (``bucketed_ntile`` over 10k-micro-nat
+    score bands), so even the doc relation never funnels through a
+    single-task window at 100 TB of docs.
     """
     scores = _unigram_doc_scores(docs, text_col, id_col).select(
         F.col(id_col),
@@ -1303,9 +1304,16 @@ def ppl_buckets(
             6,
         ).alias("avg_neg_logp"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    from ..operators.twophase import bucketed_ntile
+
     third = max(n_buckets // 3, 1)
-    bucketed = scores.withColumn("bucket", F.ntile(n_buckets).over(w).cast("bigint"))
+    bucketed = bucketed_ntile(
+        scores,
+        F.expr("CAST(-score AS BIGINT) DIV 10000"),
+        [F.desc("score"), F.asc(id_col)],
+        n_buckets,
+        "bucket",
+    )
     segment = (
         F.when(F.col("bucket") <= third, F.lit("head"))
         .when(F.col("bucket") > n_buckets - third, F.lit("tail"))
@@ -2845,19 +2853,23 @@ def length_quality_bias(docs: DataFrame, n_buckets: int = 5) -> DataFrame:
     """Length-bias audit of the quality classifier: mean logit per
     token-length quintile — a score that just proxies length is a trap
     (the Gopher papers' warning), and this is the two-minute check.
-    Quintiles by NTILE over (length, doc_id) total order; means via the
-    shifted-nonneg integer trick."""
+    Quintiles by NTILE over (length, doc_id) total order — two-phase over
+    16-token length bands, so the doc relation never crosses a single-task
+    window; means via the shifted-nonneg integer trick."""
+    from ..operators.twophase import bucketed_ntile
+
     scored = quality_classifier(docs).select("doc_id", "logit_milli")
     lens = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
     )
     j = lens.join(scored, "doc_id")
-    w = Window.orderBy("nt", "doc_id")
-    bucketed = j.select(
-        "logit_milli",
-        "nt",
-        F.ntile(n_buckets).over(w).cast("bigint").alias("length_quintile"),
-    )
+    bucketed = bucketed_ntile(
+        j,
+        F.expr("nt DIV 16"),
+        [F.asc("nt"), F.asc("doc_id")],
+        n_buckets,
+        "length_quintile",
+    ).select("logit_milli", "nt", "length_quintile")
     lo_rel = bucketed.agg(F.min("logit_milli").alias("lo"))
     return (
         bucketed.crossJoin(F.broadcast(lo_rel))

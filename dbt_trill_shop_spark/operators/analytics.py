@@ -3109,16 +3109,21 @@ def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents and a total order (value, user_id): the numerator is
     pure int64; the single final division is the only float op.
 
-    The rank window sorts the per-user aggregate (|users| rows, 16 B each)
-    — one shuffle + one bounded sort at any event volume; the same
-    single-sort posture as the KS/Mann-Whitney statistics.
+    The rank is two-phase (``bucketed_rank`` over $1000 value bands), so
+    the per-user relation never crosses a partition-less window — each
+    task ranks one band, offsets ride a broadcast of the tiny per-band
+    relation; the same posture as the KS/Theil-Sen statistics.
     """
+    from .twophase import bucketed_rank
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select(
-        "x", F.row_number().over(w).cast("bigint").alias("i")
-    )
+    ranked = bucketed_rank(
+        per_user,
+        F.expr("x DIV 100000"),
+        [F.asc("x"), F.asc("user_id")],
+        out="i",
+    ).select("x", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -3514,10 +3519,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile assignment is deterministic cross-engine), segments reported
     as the classic 3-digit code with member counts and exact mean value.
 
-    One user-keyed aggregate, then three sorts of the |users|-row relation
-    (the per-dimension NTILEs) — the segmentation layer costs nothing next
-    to the scan at any event volume.  Quartile 4 is best on every axis.
+    One user-keyed aggregate, then three two-phase NTILEs of the
+    |users|-row relation (``bucketed_ntile`` — no partition-less window:
+    recency/frequency bucket on their own bounded-domain int keys, monetary
+    on $1000 bands), so the segmentation layer never funnels the user
+    relation through one task at any event volume.  Quartile 4 is best on
+    every axis.
     """
+    from .twophase import bucketed_ntile
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.datediff(
@@ -3528,13 +3538,29 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents("value")).alias("monetary_cents"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
-    f = F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
-    m = F.ntile(4).over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
-    scored = per_user.select(
+    tiled = bucketed_ntile(
+        per_user,
+        F.expr("-recency_days"),
+        [F.desc("recency_days"), F.asc("user_id")],
+        4,
+        "r",
+    )
+    tiled = bucketed_ntile(
+        tiled, F.col("frequency"), [F.asc("frequency"), F.asc("user_id")], 4, "f"
+    )
+    tiled = bucketed_ntile(
+        tiled,
+        F.expr("monetary_cents DIV 100000"),
+        [F.asc("monetary_cents"), F.asc("user_id")],
+        4,
+        "m",
+    )
+    scored = tiled.select(
         "user_id",
         "monetary_cents",
-        (r * 100 + f * 10 + m).cast("bigint").alias("rfm_segment"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("bigint")
+        .alias("rfm_segment"),
     )
     return (
         scored.groupBy("rfm_segment")
@@ -4137,14 +4163,20 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of per-user event value in deciles: each decile's share
     of users vs its cumulative share of total value — the curve whose area
     gap ``q_gini`` summarizes (and the 80/20 readout product teams quote).
-    One user aggregate, one NTILE sort (value, user_id total order), exact
-    ppm shares."""
+    One user aggregate, one two-phase NTILE (``bucketed_ntile`` over $1000
+    value bands — the (value, user_id) total order without a single-task
+    window), exact ppm shares."""
+    from .twophase import bucketed_ntile
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    deciled = per_user.select(
-        "x", F.ntile(10).over(w).cast("bigint").alias("decile")
-    )
+    deciled = bucketed_ntile(
+        per_user,
+        F.expr("x DIV 100000"),
+        [F.asc("x"), F.asc("user_id")],
+        10,
+        "decile",
+    ).select("x", "decile")
     tot = deciled.agg(F.sum("x").alias("tx"))
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("dx")
