@@ -624,3 +624,18 @@ def test_vocab_coverage_window_is_limit_bounded(spark, sf_dir):
     assert i_window != -1 and i_take != -1
     # top-down print: the window consumes the limited relation below it
     assert i_window < i_take
+
+
+def test_source_divergence_no_dense_grid(spark, sf_dir):
+    """VERDICT r4 #4: KL-vs-corpus uses the closed-form unseen-term mass —
+    only SEEN (src, term) pairs join (inner, term-keyed); no
+    |sources| x |vocab| cross-join grid and no left-outer densification."""
+    from dbt_trill_shop_spark.ext.textstats import source_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(source_divergence(docs))
+    assert "LeftOuter" not in plan
+    # the only nested-loop (cross) joins attach the two scalar rollups
+    # (tot, sl); a grid would add a third with a non-scalar build side
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("HashAggregate(keys=[], ") >= 2
