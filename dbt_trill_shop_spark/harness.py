@@ -2726,15 +2726,40 @@ _ROUND4_WINDOW = [
     "x_hash_split", "x_cluster_sample", "x_importance_weights",
     "x_training_order", "q_record_linkage", "x_cdc_chunks",
 ]
-_front = _REFERENCE_MODELS + _ROUND4_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r04 (all 50 green).
+_DRIVER_VERIFIED_R04 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND4_WINDOW)
+
+# Round-5 driver window: positions 8-50.  Never-driver-verified queries per
+# VERDICT.md round-4 instruction #3: the six queries rewritten two-phase
+# this round lead (stopword_discovery's regression fix, the NTILE family,
+# gini/lorenz — so the rewrites get driver verdicts immediately), then the
+# statistics/analytics family named in the brief, the textstats audit tail,
+# and the stateful singletons (Python DataSource, SQL-UDF macros).
+_ROUND5_WINDOW = [
+    "x_stopword_discovery", "x_ppl_buckets", "x_length_bias",
+    "q_rfm_segments", "q_gini", "q_lorenz_curve",
+    "q_churn", "q_ltv_cohorts", "q_kaplan_meier", "q_mannwhitney",
+    "q_ols_trend", "q_autocorrelation", "q_cusum", "q_spearman",
+    "q_wilson_ranking", "q_chisquare", "q_bootstrap_ci", "q_benford",
+    "q_ab_ztest", "q_ab_power", "q_runs_test", "q_seasonality",
+    "q_seasonal_adjust", "q_iqr_outliers", "q_histogram_quantiles",
+    "q_weekly_correlation", "q_weekly_anomalies",
+    "x_zipf_slope", "x_char_entropy", "x_ttr_by_source",
+    "x_source_entropy", "x_vocab_growth", "x_pmi_collocations",
+    "x_langid_confusion", "x_corpus_report", "x_prefix_templates",
+    "q_python_datasource", "q_sql_udf_macros",
+    "q_user_ewma", "q_forecast_revenue", "q_event_transitions",
+    "q_interpolate_daily", "x_weighted_sample",
+]
+_front = _REFERENCE_MODELS + _ROUND5_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: remaining never-verified queries in priority order (the
 # _ROUND2_LATE ranking first — they fill any extra driver slots), then the
-# 128 already-verified at the back (regression-guarded by pytest).
-_DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03) - set(
-    _ROUND4_WINDOW
-)
+# already-verified at the back (regression-guarded by pytest).
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
+) - set(_ROUND5_WINDOW)
 _rest = [n for n in _ROUND2_LATE if n not in set(_front)] + [
     n for n in QUERIES if n not in set(_front) and n not in set(_ROUND2_LATE)
 ]
