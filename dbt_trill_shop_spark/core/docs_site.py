@@ -53,7 +53,8 @@ th { color: #6b7280; font-weight: 600; }
               font-size: 11px; margin-right: 4px; }
 .tag { background: #eef1f6; color: #374151; }
 .test { background: #e7f3ec; color: #14632f; }
-.status-pass { color: #14632f; } .status-fail, .status-error { color: #b3261e; }
+.status-pass, .status-success { color: #14632f; }
+.status-fail, .status-error { color: #b3261e; }
 .status-warn { color: #8a6100; }
 code { background: #f0f2f5; border-radius: 3px; padding: 0 4px;
        font-size: 12px; }
@@ -99,6 +100,28 @@ def _columns_table(
     return "<table>" + "".join(rows) + "</table>"
 
 
+def _split_args(inner: str) -> list[str]:
+    """Split a repr's arg list on TOP-LEVEL commas only — a bare
+    ``.split(',')`` fragments list/tuple/dict-valued args like
+    ``values=['a', 'b']`` into broken pieces."""
+    parts, depth, quote, start = [], 0, "", 0
+    for i, ch in enumerate(inner):
+        if quote:
+            if ch == quote and inner[i - 1] != "\\":
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return parts
+
+
 def _tests_by_column(node: dict) -> dict[str, list[str]]:
     """Manifest test strings are dataclass reprs — ``NotNull(column='week')``,
     ``AcceptedValues(column='refresh_date', values=[...])`` — bucket them by
@@ -110,7 +133,7 @@ def _tests_by_column(node: dict) -> dict[str, list[str]]:
         name, inner = (s.split("(", 1) + [""])[:2]
         inner = inner.rsplit(")", 1)[0]
         col, extras = "", []
-        for part in inner.split(","):
+        for part in _split_args(inner):
             part = part.strip()
             if part.startswith(("column=", "columns=")) and not col:
                 col = part.split("=", 1)[1].strip("'\"[] ")
@@ -167,11 +190,17 @@ def render_docs_site(
             run_bits = (
                 f' · <b>last run</b> <span class="status-{_esc(status)}">{_esc(status)}</span>'
                 + (f" in {run['execution_time']:.2f}s" if isinstance(run.get("execution_time"), (int, float)) else "")
-                + (f" · {run['rows_affected']} rows" if run.get("rows_affected") is not None else "")
+                + (
+                    f" · {_esc(run['rows_affected'])} rows"
+                    if run.get("rows_affected") is not None
+                    else ""
+                )
             )
         tags = "".join(f'<span class="tag">{_esc(t)}</span>' for t in node.get("tags") or [])
         stats = (cat_nodes.get(name) or {}).get("stats") or {}
-        rowcount = f" · <b>rows</b> {stats['row_count']}" if "row_count" in stats else ""
+        rowcount = (
+            f" · <b>rows</b> {_esc(stats['row_count'])}" if "row_count" in stats else ""
+        )
         version = node.get("version")
         vbits = f" · <b>v</b>{_esc(version)}" if version is not None else ""
         body.append(

@@ -77,12 +77,49 @@ def _imageio_image_decode(payload: bytes) -> tuple[int, int]:
     return int(arr.shape[1]), int(arr.shape[0])
 
 
+def _stdlib_header_decode(payload: bytes) -> tuple[int, int]:
+    """Third decoder tier (VERDICT r4 #5): pure-stdlib dimension parse of
+    REAL PNG and JPEG containers — the formats' headers carry (w, h)
+    directly, so no pixel codec is needed for the feature-extraction
+    columns this pipeline reads.  PNG: the IHDR chunk is mandated first,
+    width/height big-endian at bytes 16..24.  JPEG: walk the marker stream
+    to the first SOFn frame header (height at +5, width at +7).  Anything
+    else raises the documented NotImplementedError."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+            else:
+                i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        raise NotImplementedError("JPEG payload has no SOF frame header")
+    raise NotImplementedError(
+        "payload is neither PNG nor JPEG; full-codec decoding requires PIL "
+        "or imageio (not in this container) — DECODERS picks either up "
+        "automatically when installed"
+    )
+
+
 def _real_image_decode(payload: bytes) -> tuple[int, int]:
     """Import-guarded real decoder (VERDICT r2 #6): PIL if present, else
-    imageio, else the documented stub error.  The guard runs per-executor at
-    first call and memoizes, so a worker with PIL decodes real images while
-    this container (no media libs) keeps the explicit NotImplementedError —
-    the deterministic fake twin remains the oracle path either way."""
+    imageio, else the vendored stdlib PNG/JPEG header parser.  The guard
+    runs per-executor at first call and memoizes, so a worker with PIL
+    decodes any format while this container (no media libs) still decodes
+    real PNG/JPEG containers via their headers — the deterministic fake
+    twin remains the oracle path either way."""
     impl = globals().get("_REAL_DECODE_IMPL")
     if impl is None:
         try:
@@ -95,16 +132,9 @@ def _real_image_decode(payload: bytes) -> tuple[int, int]:
 
                 impl = _imageio_image_decode
             except ImportError:
-                impl = _no_decoder
+                impl = _stdlib_header_decode
         globals()["_REAL_DECODE_IMPL"] = impl
     return impl(payload)
-
-
-def _no_decoder(payload: bytes) -> tuple[int, int]:
-    raise NotImplementedError(
-        "image decoding requires PIL or imageio, neither available in this "
-        "container; install either and DECODERS picks it up automatically"
-    )
 
 
 DECODERS: dict[str, Callable[[bytes], tuple[int, int]]] = {

@@ -1245,3 +1245,53 @@ def test_observation_rows_affected_in_run_results(spark, sf_dir, tmp_path):
     assert rr["rows_affected"] == p.ref("top_terms_comparison").count()
     # views are lazy — no job to observe, so no row metric
     assert "rows_affected" not in p.last_run_results["stg_top_terms"]
+
+
+def test_docs_site_list_valued_test_args_not_fragmented():
+    """ADVICE r4: AcceptedValues(column='x', values=['a', 'b']) must render
+    as ONE badge with the intact values list — a bare comma split fragments
+    it into broken pieces ("values=['a'", "'b']")."""
+    from dbt_trill_shop_spark.core.docs_site import _split_args, _tests_by_column
+
+    assert _split_args("column='x', values=['a', 'b'], quoted=\"p, q\"") == [
+        "column='x'",
+        " values=['a', 'b']",
+        ' quoted="p, q"',
+    ]
+    node = {"tests": ["AcceptedValues(column='x', values=['a', 'b'])"]}
+    by_col = _tests_by_column(node)
+    assert by_col == {"x": ["AcceptedValues(values=['a', 'b'])"]}
+
+
+def test_docs_site_escapes_run_numbers_and_styles_success():
+    """ADVICE r4: status-success carries a CSS rule, and rows_affected /
+    row_count interpolations are HTML-escaped like every other field."""
+    from dbt_trill_shop_spark.core.docs_site import render_docs_site
+
+    manifest = {
+        "nodes": {
+            "m1": {
+                "materialization": "table",
+                "schema": "s",
+                "deps": [],
+                "columns": {},
+                "tests": [],
+            }
+        },
+        "sources": {},
+    }
+    run_results = {
+        "results": [
+            {
+                "unique_id": "model.p.m1",
+                "status": "success",
+                "execution_time": 1.0,
+                "rows_affected": "<script>1</script>",
+            }
+        ]
+    }
+    catalog = {"nodes": {"m1": {"stats": {"row_count": "<img>"}, "columns": {}}}}
+    page = render_docs_site(manifest, catalog, run_results)
+    assert ".status-success" in page.split("</style>")[0]
+    assert "<script>1</script>" not in page and "&lt;script&gt;1&lt;/script&gt;" in page
+    assert "<img>" not in page and "&lt;img&gt;" in page
