@@ -2261,6 +2261,9 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets at any scale), per-bucket sums, window cumsum over that tiny
     # relation for each bucket's starting offsets.  Phase 2: within-bucket
     # cumsum partitioned by the bucket key, plus the broadcast offset.
+    # Caveat (ADVICE r4): if every price lands in one $10k band the
+    # boundary bucket holds all distinct values and phase 2 runs in one
+    # task — correct, just not distributed on that degenerate case.
     per_v = base.groupBy("v").agg(
         F.sum("g1").alias("d1"), F.sum(1 - F.col("g1")).alias("d2")
     )
@@ -2474,6 +2477,9 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket containing the median rank.  Phase 2: rank within only that
     # boundary bucket, partitioned by its (constant) bucket key.  Same shape
     # as token_budget_select's offsets-plus-boundary-group cumsum.
+    # Caveat (ADVICE r4): a near-flat trend (all slopes within 1/4096)
+    # lands every row in the boundary bucket and degrades to the pre-fix
+    # single-task rank — correct, just not distributed on that worst case.
     bucketed = slopes.withColumn(
         "bk", F.floor(F.col("slope") * 4096).cast("bigint")
     )

@@ -627,6 +627,12 @@ def _ewma_fold_chunks(chunks, ewma, n):
     GLOBALLY or the order-sensitive floor-halving fold diverges from the
     batch twin's oracle.  Module-level so the multi-chunk path is unit-
     testable without driving a stream.
+
+    Memory note (ADVICE r4): the concat materializes one GROUP's share of
+    one micro-batch in pandas — bounded by the watermark-trimmed batch, not
+    the stream.  If a hot key's micro-batches outgrow executor memory, the
+    upgrade path is a merge of per-chunk pre-sorted arrays (heapq.merge)
+    instead of concat-then-lexsort; not needed at current volumes.
     """
     import numpy as np
     import pandas as pd
