@@ -23,20 +23,52 @@ from dbt_trill_shop_spark.harness import QUERIES  # noqa: E402
 from dbt_trill_shop_spark.session import get_spark  # noqa: E402
 
 
+def sweep_slowdown(timings: dict[str, float], baseline: dict[str, float]) -> float:
+    """Median per-query slowdown ratio of this sweep vs the baseline,
+    floored at 1.0.  A code regression slows a handful of queries; a
+    contended box (another sweep, a CI job) slows EVERYTHING roughly
+    uniformly — r04's driver bench flagged ~60 queries at 5-13x that
+    collapsed to 1.3-3x in isolation.  Normalizing each query's threshold
+    by this sweep-wide factor keeps the gate binding for genuine outliers
+    while not crying wolf on a uniformly slow run.  The floor means a
+    faster-than-baseline box never excuses a real regression.  Only
+    ratios on queries >=0.2 s in the baseline enter the median (tiny
+    queries are scheduler noise)."""
+    ratios = sorted(
+        t / baseline[n]
+        for n, t in timings.items()
+        if baseline.get(n, 0.0) >= 0.2
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2.0
+    )
+    return max(1.0, med)
+
+
 def check_regressions(
     timings: dict[str, float],
     baseline: dict[str, float],
     allowlist: dict[str, str] | None = None,
 ) -> dict[str, list[float]]:
-    """Per-query regression check: flag entries >1.5x their baseline AND
-    >0.3 s absolute delta (sub-300 ms swings are scheduler noise), minus
-    allowlisted names.  Pure function so the gate logic is unit-testable
-    without a Spark session."""
+    """Per-query regression check: flag entries >1.5x their
+    contention-adjusted baseline (baseline x the sweep-median slowdown,
+    see sweep_slowdown) AND >0.3 s absolute delta over it (sub-300 ms
+    swings are scheduler noise), minus allowlisted names.  Pure function
+    so the gate logic is unit-testable without a Spark session."""
     allowlist = allowlist or {}
+    env = sweep_slowdown(timings, baseline)
     out: dict[str, list[float]] = {}
     for name, t in timings.items():
         b = baseline.get(name)
-        if b is not None and t > 1.5 * b and t - b > 0.3 and name not in allowlist:
+        if b is None or name in allowlist:
+            continue
+        adj = b * env
+        if t > 1.5 * adj and t - adj > 0.3:
             out[name] = [b, t]
     return out
 
@@ -186,9 +218,20 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline_all = json.load(fh)
-        regressions = check_regressions(
-            timings, baseline_all.get(str(sf), {}), allowlist
-        )
+        base_sf = baseline_all.get(str(sf), {})
+        regressions = check_regressions(timings, base_sf, allowlist)
+        env_factor = sweep_slowdown(timings, base_sf)
+        if env_factor > 1.2:
+            # A uniformly slow sweep (contended box OR a >50%-of-queries
+            # regression — the normalizer cannot tell them apart) is
+            # absorbed by the gate but must stay visible in the record.
+            print(
+                json.dumps(
+                    {"bench_sweep_slowdown": round(env_factor, 3)},
+                    separators=(",", ":"),
+                ),
+                file=sys.stderr,
+            )
         if regressions:
             print(
                 json.dumps({"bench_regressions": regressions}, separators=(",", ":")),

@@ -12,7 +12,13 @@ SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="trillshop-tests", master="local[8]", shuffle_partitions=8)
+    # local[16] / 16 shuffle partitions: the suite's wall-clock is dominated
+    # by the oracle-parity chunks (hundreds of tiny sf0.001 jobs submitted
+    # from a thread pool); scheduling throughput scales with cores up to
+    # about half the box (32 vcpus) before JVM contention eats the gain.
+    s = get_spark(
+        app_name="trillshop-tests", master="local[16]", shuffle_partitions=16
+    )
     yield s
 
 

@@ -1,8 +1,10 @@
 """The bench regression gate is BINDING (VERDICT r3 #3): >1.5x slowdowns with
 >0.3 s absolute delta fail `python bench.py` (exit 2) unless the query carries
-a justification in bench_allowlist.json.  These tests pin the pure gate logic
-and the repo invariants (allowlist entries are real queries with real
-reasons) without needing a Spark session or a bench run."""
+a justification in bench_allowlist.json.  Per VERDICT r4's process note the
+thresholds are normalized by the sweep-median slowdown so a uniformly
+contended box (the r04 rc=2 artifact) doesn't cry wolf.  These tests pin the
+pure gate logic and the repo invariants (allowlist entries are real queries
+with real reasons) without needing a Spark session or a bench run."""
 
 import json
 import os
@@ -11,26 +13,54 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import check_regressions, gate_should_fail  # noqa: E402
+from bench import check_regressions, gate_should_fail, sweep_slowdown  # noqa: E402
+
+
+# A fleet of stable queries pins the sweep-median slowdown at 1.0 so the
+# per-query threshold tests exercise the un-normalized gate arithmetic.
+_STABLE = {f"s{i}": 1.0 for i in range(10)}
 
 
 def test_flags_only_material_slowdowns():
-    baseline = {"a": 1.0, "b": 0.1, "c": 2.0, "d": 0.5}
+    baseline = {"a": 1.0, "b": 0.1, "c": 2.0, "d": 0.5, **_STABLE}
     timings = {
         "a": 1.6,   # 1.6x and +0.6s -> flagged
         "b": 0.25,  # 2.5x but only +0.15s -> noise, not flagged
         "c": 2.5,   # +0.5s but only 1.25x -> not flagged
         "d": 0.74,  # 1.48x -> not flagged
         "e": 9.9,   # no baseline -> not flagged
+        **_STABLE,
     }
     assert check_regressions(timings, baseline) == {"a": [1.0, 1.6]}
 
 
 def test_allowlist_suppresses_named_queries_only():
-    baseline = {"a": 1.0, "b": 1.0}
-    timings = {"a": 2.0, "b": 2.0}
+    baseline = {"a": 1.0, "b": 1.0, **_STABLE}
+    timings = {"a": 2.0, "b": 2.0, **_STABLE}
     out = check_regressions(timings, baseline, {"a": "intentional rewrite"})
     assert out == {"b": [1.0, 2.0]}
+
+
+def test_contended_sweep_is_normalized_not_flagged():
+    """r04 failure mode: the driver box ran the bench under heavy contention
+    and EVERY query came back 2-5x slower.  The sweep-median normalizer must
+    absorb the uniform slowdown while still flagging the one genuine
+    outlier that regressed far beyond the environmental factor."""
+    baseline = {f"q{i}": 1.0 for i in range(20)}
+    contended = {f"q{i}": 2.5 for i in range(20)}  # uniform 2.5x
+    assert check_regressions(contended, baseline) == {}
+    outlier = dict(contended, q0=10.0)  # 10x vs the sweep's 2.5x
+    assert check_regressions(outlier, baseline) == {"q0": [1.0, 10.0]}
+
+
+def test_sweep_slowdown_floor_and_tiny_query_exclusion():
+    baseline = {"a": 1.0, "b": 1.0, "c": 0.05}
+    # faster-than-baseline box floors at 1.0 (never excuses regressions)
+    assert sweep_slowdown({"a": 0.5, "b": 0.5, "c": 0.05}, baseline) == 1.0
+    # sub-0.2s baseline entries don't enter the median
+    assert sweep_slowdown({"a": 2.0, "b": 2.0, "c": 5.0}, baseline) == 2.0
+    # no usable ratios -> neutral factor
+    assert sweep_slowdown({}, {}) == 1.0
 
 
 def test_empty_inputs():

@@ -2,12 +2,14 @@
 the harness must match DuckDB exactly (columns, row count, order-insensitive
 values) at the test scale factor.
 
-The ~280 comparisons dominate suite wall-clock, so they run in CHUNKS with an
-8-thread pool per chunk (Spark job submission and DuckDB both release the
-GIL; each thread gets its own DuckDB connection).  Stateful queries — those
-that register named sinks/tables (streaming memory sinks, persisted indexes,
-bucketed saveAsTable, Python DataSource registration) — are serialized at the
-front of their chunk to avoid name collisions.
+The ~280 comparisons dominate suite wall-clock, so they run in 4 large CHUNKS
+with a 12-thread pool per chunk (Spark job submission and DuckDB both release
+the GIL; each thread gets its own DuckDB connection); few, large chunks
+amortize the end-of-chunk straggler barrier.  Stateful queries — those that
+register named sinks/tables (streaming memory sinks, persisted indexes,
+bucketed saveAsTable, Python DataSource registration) — collide only with
+each other, so they run on a dedicated single-worker lane that overlaps the
+pure pool.
 
 Targeted single-query runs: PARITY_ONLY=name1,name2 pytest
 tests/test_oracle_parity.py -k only
@@ -41,7 +43,8 @@ def _is_stateful(name: str) -> bool:
     return name.startswith(_STATEFUL_PREFIXES) or name in _STATEFUL_NAMES
 
 
-_CHUNK = 20
+_N_CHUNKS = 4
+_CHUNK = -(-len(ORACLE_QUERIES) // _N_CHUNKS)
 _CHUNKS = [
     ORACLE_QUERIES[i : i + _CHUNK] for i in range(0, len(ORACLE_QUERIES), _CHUNK)
 ]
@@ -63,9 +66,15 @@ def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
 
     stateful = [n for n in names if _is_stateful(n)]
     pure = [n for n in names if not _is_stateful(n)]
-    results = [one(n) for n in stateful]
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        results += list(ex.map(one, pure))
+    # Stateful queries are serialized among THEMSELVES (named sinks/tables
+    # collide stateful-vs-stateful, not stateful-vs-pure), so give them a
+    # dedicated single-worker lane that overlaps with the pure pool instead
+    # of dead-time at the head of the chunk.
+    with ThreadPoolExecutor(max_workers=1) as ser, ThreadPoolExecutor(
+        max_workers=12
+    ) as ex:
+        futs = [ser.submit(one, n) for n in stateful]
+        results = list(ex.map(one, pure)) + [f.result() for f in futs]
     return [f"{n}: " + "; ".join(p) for n, p in results if p]
 
 
