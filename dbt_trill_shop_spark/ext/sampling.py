@@ -803,12 +803,16 @@ def curriculum_order(docs: DataFrame, n_buckets: int = 4) -> DataFrame:
     from ..operators.twophase import bucketed_ntile, bucketed_rank
 
     scored = quality_classifier(docs).select("doc_id", "logit_milli")
+    # materialize both passes: the classifier pipeline (ntile input) and the
+    # ntile output (rank input — rescanning it would re-run the first
+    # window) are each checkpointed once as slim per-doc relations.
     bucketed = bucketed_ntile(
         scored,
         F.expr("-logit_milli DIV 64"),
         [F.desc("logit_milli"), F.asc("doc_id")],
         n_buckets,
         "bucket",
+        materialize=True,
     ).select("doc_id", "bucket")
     h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
     with_h = bucketed.withColumn("h", h)
@@ -817,7 +821,12 @@ def curriculum_order(docs: DataFrame, n_buckets: int = 4) -> DataFrame:
         F.lpad(F.col("bucket").cast("string"), 2, "0"), F.substring("h", 1, 2)
     )
     return (
-        bucketed_rank(with_h, bk, [F.asc("bucket"), F.asc("h"), F.asc("doc_id")])
+        bucketed_rank(
+            with_h,
+            bk,
+            [F.asc("bucket"), F.asc("h"), F.asc("doc_id")],
+            materialize=True,
+        )
         .select("rank", "doc_id", "bucket")
         .orderBy("rank")
     )

@@ -1313,6 +1313,9 @@ def ppl_buckets(
         [F.desc("score"), F.asc(id_col)],
         n_buckets,
         "bucket",
+        # scores = the full unigram tokenize+tf+freq pipeline: checkpoint
+        # it once instead of recomputing it for each two-phase pass
+        materialize=True,
     )
     segment = (
         F.when(F.col("bucket") <= third, F.lit("head"))
@@ -2898,13 +2901,21 @@ def length_quality_bias(docs: DataFrame, n_buckets: int = 5) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
     )
     j = lens.join(scored, "doc_id")
-    bucketed = bucketed_ntile(
-        j,
-        F.expr("nt DIV 16"),
-        [F.asc("nt"), F.asc("doc_id")],
-        n_buckets,
-        "length_quintile",
-    ).select("logit_milli", "nt", "length_quintile")
+    # materialize: j embeds the classifier pipeline (two phases would run it
+    # twice); the checkpoint below covers the ntile output's two consumers
+    # (lo_rel scan + the final rollup) so the window itself runs once too.
+    bucketed = (
+        bucketed_ntile(
+            j,
+            F.expr("nt DIV 16"),
+            [F.asc("nt"), F.asc("doc_id")],
+            n_buckets,
+            "length_quintile",
+            materialize=True,
+        )
+        .select("logit_milli", "nt", "length_quintile")
+        .localCheckpoint(eager=True)
+    )
     lo_rel = bucketed.agg(F.min("logit_milli").alias("lo"))
     return (
         bucketed.crossJoin(F.broadcast(lo_rel))

@@ -3129,6 +3129,9 @@ def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("x DIV 100000"),
         [F.asc("x"), F.asc("user_id")],
         out="i",
+        # per_user is an events-wide aggregate: checkpoint it once rather
+        # than paying the events scan for each two-phase pass
+        materialize=True,
     ).select("x", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -3544,15 +3547,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents("value")).alias("monetary_cents"),
     )
+    # materialize each stage: the chain embeds windows inside windows, so
+    # without the checkpoints ntile3's two phases re-run ntile2 which
+    # re-runs ntile1 which re-runs the events aggregate — up to 8 scans of
+    # events for a 3-axis segmentation.  Three slim |users|-row checkpoints
+    # cap it at one events scan.
     tiled = bucketed_ntile(
         per_user,
         F.expr("-recency_days"),
         [F.desc("recency_days"), F.asc("user_id")],
         4,
         "r",
+        materialize=True,
     )
     tiled = bucketed_ntile(
-        tiled, F.col("frequency"), [F.asc("frequency"), F.asc("user_id")], 4, "f"
+        tiled,
+        F.col("frequency"),
+        [F.asc("frequency"), F.asc("user_id")],
+        4,
+        "f",
+        materialize=True,
     )
     tiled = bucketed_ntile(
         tiled,
@@ -3560,6 +3574,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("monetary_cents"), F.asc("user_id")],
         4,
         "m",
+        materialize=True,
     )
     scored = tiled.select(
         "user_id",
@@ -4176,13 +4191,21 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
-    deciled = bucketed_ntile(
-        per_user,
-        F.expr("x DIV 100000"),
-        [F.asc("x"), F.asc("user_id")],
-        10,
-        "decile",
-    ).select("x", "decile")
+    # materialize: per_user is an events-wide aggregate scanned by both
+    # ntile phases; the output checkpoint covers deciled's two consumers
+    # (the total and the per-decile rollup) so the window runs once.
+    deciled = (
+        bucketed_ntile(
+            per_user,
+            F.expr("x DIV 100000"),
+            [F.asc("x"), F.asc("user_id")],
+            10,
+            "decile",
+            materialize=True,
+        )
+        .select("x", "decile")
+        .localCheckpoint(eager=True)
+    )
     tot = deciled.agg(F.sum("x").alias("tx"))
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("dx")

@@ -55,12 +55,27 @@ def md5_bucket(h: Column, chars: int = 3) -> Column:
 
 
 def _with_offsets(
-    df: DataFrame, bucket: Column, agg: Column, want_total: bool
+    df: DataFrame,
+    bucket: Column,
+    agg: Column,
+    want_total: bool,
+    materialize: bool = False,
 ) -> DataFrame:
     """Attach per-bucket starting offsets (exclusive prefix aggregate over
     buckets in ascending ``bucket`` order) and optionally the grand total,
-    via one tiny window over the per-bucket relation + a broadcast join."""
+    via one tiny window over the per-bucket relation + a broadcast join.
+
+    ``materialize`` localCheckpoints the bucketed input first: the two
+    phases each scan ``df``, so when it is a DERIVED relation (a classifier
+    score, a per-user aggregate, a chained two-phase output) recomputing it
+    twice dominates the query.  The checkpoint is the house trade
+    (textstats/dedup tf checkpoints): one slim per-row relation held on
+    executor storage, released by the caller's session like every other
+    checkpoint block.  Leave False for raw column-pruned scans, which are
+    cheaper to re-read than to cache."""
     b = df.withColumn(_BK, bucket)
+    if materialize:
+        b = b.localCheckpoint(eager=True)
     per_b = b.groupBy(_BK).agg(agg.alias(_CNT))
     wc = Window.orderBy(_BK).rowsBetween(Window.unboundedPreceding, 0)
     cols = [
@@ -77,7 +92,11 @@ def _with_offsets(
 
 
 def bucketed_rank(
-    df: DataFrame, bucket: Column, order: list[Column], out: str = "rank"
+    df: DataFrame,
+    bucket: Column,
+    order: list[Column],
+    out: str = "rank",
+    materialize: bool = False,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY *order)`` without the single-task
     window.  ``bucket`` must be monotone non-decreasing w.r.t. the total
@@ -85,14 +104,21 @@ def bucketed_rank(
     Adds column ``out`` (bigint); drops nothing else."""
     wv = Window.partitionBy(_BK).orderBy(*order)
     return (
-        _with_offsets(df, bucket, F.count(F.lit(1)), want_total=False)
+        _with_offsets(
+            df, bucket, F.count(F.lit(1)), want_total=False, materialize=materialize
+        )
         .withColumn(out, (F.col(_OFF) + F.row_number().over(wv)).cast("bigint"))
         .drop(_BK, _OFF)
     )
 
 
 def bucketed_ntile(
-    df: DataFrame, bucket: Column, order: list[Column], n: int, out: str
+    df: DataFrame,
+    bucket: Column,
+    order: list[Column],
+    n: int,
+    out: str,
+    materialize: bool = False,
 ) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY *order)`` via the two-phase global rank
     plus the closed-form tile function: with N rows, the first ``N mod n``
@@ -100,7 +126,9 @@ def bucketed_ntile(
     ``tile(rank)`` is pure arithmetic once N rides along on the broadcast
     offsets relation (full-range frame, no extra scan)."""
     wv = Window.partitionBy(_BK).orderBy(*order)
-    ranked = _with_offsets(df, bucket, F.count(F.lit(1)), want_total=True).withColumn(
+    ranked = _with_offsets(
+        df, bucket, F.count(F.lit(1)), want_total=True, materialize=materialize
+    ).withColumn(
         "__tp_rn", (F.col(_OFF) + F.row_number().over(wv)).cast("bigint")
     )
     # With N = q*n + r: tiles 1..r hold q+1 rows, tiles r+1..n hold q rows.
@@ -121,6 +149,7 @@ def bucketed_cumsum(
     order: list[Column],
     val: Column,
     out: str,
+    materialize: bool = False,
 ) -> DataFrame:
     """``SUM(val) OVER (ORDER BY *order ROWS UNBOUNDED PRECEDING)`` — the
     inclusive running total — as per-bucket sums + within-bucket cumsum."""
@@ -131,7 +160,9 @@ def bucketed_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        _with_offsets(v, bucket, F.sum("__tp_v"), want_total=False)
+        _with_offsets(
+            v, bucket, F.sum("__tp_v"), want_total=False, materialize=materialize
+        )
         .withColumn(out, F.col(_OFF) + F.sum("__tp_v").over(wv))
         .drop(_BK, _OFF, "__tp_v")
     )

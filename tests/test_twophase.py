@@ -84,6 +84,25 @@ def test_cumsum_matches_global_window(spark):
     assert naive.exceptAll(two).count() == 0
 
 
+def test_materialize_is_bit_identical_and_single_derivation(spark):
+    """materialize=True must change only WHERE the input is computed (one
+    localCheckpoint shared by both phases), never the result."""
+    df = _base(spark).withColumn("exp", F.col("k") * F.col("k"))
+    lazy = bucketed_ntile(
+        df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], 4, "t"
+    )
+    mat = bucketed_ntile(
+        df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], 4, "t",
+        materialize=True,
+    )
+    assert lazy.exceptAll(mat).count() == 0
+    assert mat.exceptAll(lazy).count() == 0
+    # the materialized plan reads the checkpoint scan, not two copies of
+    # the input projection
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+
+
 def test_rank_plan_has_no_partitionless_window(spark):
     df = _base(spark)
     two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
