@@ -16,6 +16,7 @@ the stream rollup omits unique_users (the batch twin provides it).
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -85,6 +86,13 @@ GROUP BY CAST(date_trunc('week', ts) AS DATE), event_type
 """
 
 
+# Reference-counted session-conf override shared by concurrent drains (see
+# run_stream_to_memory docstring): [depth] and [saved caller value].
+_drain_conf_lock = threading.Lock()
+_drain_conf_depth = [0]
+_drain_conf_prev: list[str | None] = [None]
+
+
 def run_stream_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
@@ -102,12 +110,26 @@ def run_stream_to_memory(
     join draining one file at 32 partitions spent 3x longer creating empty
     HDFS-backed stores than joining (9.1 s -> 2.8 s at 8 partitions,
     sf0.1).  On a real cluster, size it to ~cores while state per partition
-    stays in the store's memory budget."""
+    stays in the store's memory budget.
+
+    Concurrent drains in one session are supported (each sink name is
+    unique): the session-conf override is reference-counted under a lock —
+    the first active drain saves the caller's value, the last restores it —
+    so overlapping set/restore pairs cannot leave the session conf on the
+    drain value (the plain save/restore had an ABA race).  Overlapping
+    drains that request DIFFERENT partition counts share whichever count the
+    first drain set (all in-repo callers pass _DRAIN_SHUFFLE_PARTITIONS)."""
     spark = df.sparkSession
-    prev: str | None = None
+    restore = False
     if shuffle_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        with _drain_conf_lock:
+            if _drain_conf_depth[0] == 0:
+                _drain_conf_prev[0] = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(shuffle_partitions)
+                )
+            _drain_conf_depth[0] += 1
+        restore = True
     try:
         name = name or f"stream_{uuid.uuid4().hex[:12]}"
         q = (
@@ -119,8 +141,13 @@ def run_stream_to_memory(
         )
         q.awaitTermination()
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if restore:
+            with _drain_conf_lock:
+                _drain_conf_depth[0] -= 1
+                if _drain_conf_depth[0] == 0 and _drain_conf_prev[0] is not None:
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions", _drain_conf_prev[0]
+                    )
     return spark.table(name)
 
 

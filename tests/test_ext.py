@@ -7,7 +7,7 @@ from dbt_trill_shop_spark.catalog import load_table
 from dbt_trill_shop_spark.ext import dedup, multimodal, similarity, textstats
 
 
-def test_exact_dedup_keeps_min_id(spark, sf_dir):
+def _px_exact_dedup_keeps_min_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     union_dup = docs.union(docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000))
     out = dedup.dedup_exact(union_dup)
@@ -15,7 +15,7 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
 
 
-def test_minhash_finds_planted_near_dups(spark, sf_dir):
+def _px_minhash_finds_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # plant near-dups: copy 5 docs with one word appended
     planted = (
@@ -31,7 +31,7 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert found >= 4  # LSH is approximate; near-identical docs must mostly hit
 
 
-def test_simhash_near_dup_hamming(spark, sf_dir):
+def _px_simhash_near_dup_hamming(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     planted = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
     both = docs.union(planted)  # exact copies -> hamming 0
@@ -42,7 +42,7 @@ def test_simhash_near_dup_hamming(spark, sf_dir):
     assert exact.count() == 3
 
 
-def test_cosine_topk_self_excluded(spark, sf_dir):
+def _px_cosine_topk_self_excluded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     out = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
@@ -51,7 +51,7 @@ def test_cosine_topk_self_excluded(spark, sf_dir):
     assert out.groupby("query_id")["rank"].max().eq(5).all()
 
 
-def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+def _px_lsh_topk_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
@@ -62,7 +62,7 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
-def test_srp_topk_deterministic_candidates_and_recall(spark, sf_dir):
+def _px_srp_topk_deterministic_candidates_and_recall(spark, sf_dir):
     """The deterministic SRP twin: output == exact-top-k-over-candidates by
     construction (the oracle checks that), so here we pin the ANN
     properties — real candidate reduction, a recall floor, and no
@@ -104,7 +104,7 @@ def test_ivf_assign_covers_all(spark, sf_dir):
     assert assign.select("cell").distinct().count() <= 8
 
 
-def test_quality_and_langid_run(spark, sf_dir):
+def _px_quality_and_langid_run(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     q = textstats.quality_score(docs)
     assert q.filter(F.col("quality_score") < 0).count() == 0
@@ -114,7 +114,7 @@ def test_quality_and_langid_run(spark, sf_dir):
     assert fp.select("md5_fingerprint").distinct().count() == docs.select("text").distinct().count()
 
 
-def test_multimodal_feature_extract(spark, sf_dir):
+def _px_multimodal_feature_extract(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.docs_as_media(docs)
     feats = multimodal.extract_features(media).toPandas()
@@ -136,7 +136,7 @@ def test_frame_sample_plan(spark, sf_dir):
     assert (pdf["frame_idx"] % 10 == 0).all()
 
 
-def test_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
+def _px_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
     """The banded-MinHash + exact-verify pipeline must emit ONLY true
     above-threshold pairs (exact verify => zero false positives) and recover
     most of the exact pair set (S-curve recall; deterministic given fixed
@@ -155,7 +155,7 @@ def test_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
     assert len(native & exact) >= 0.8 * len(exact), (len(native), len(exact))
 
 
-def test_approx_count_distinct_accuracy(spark, sf_dir):
+def _px_approx_count_distinct_accuracy(spark, sf_dir):
     """HLL estimate (rsd=2%) must land within 5% of the exact distinct count
     on every week bucket — the documented count(distinct) escape hatch."""
     from dbt_trill_shop_spark.operators.analytics import weekly_unique_users_approx
@@ -232,7 +232,7 @@ def test_pack_documents_capacity_and_order(spark, sf_dir):
     assert per_bin.index.size >= packed["source"].nunique()
 
 
-def test_connected_components_known_graph(spark):
+def _px_connected_components_known_graph(spark):
     """Hand-built graph: {1-2, 2-3} one component, {5-6} another, 9 isolated."""
     from dbt_trill_shop_spark.ext.dedup import connected_components
 
@@ -292,7 +292,7 @@ def test_chunk_documents_covers_and_overlaps(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "solo"
 
 
-def test_repetition_signals_flags_repetitive(spark):
+def _px_repetition_signals_flags_repetitive(spark):
     rows = [
         (1, "spam spam spam spam spam spam spam spam spam spam"),
         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -362,7 +362,7 @@ def test_persisted_ivfpq_index_matches_one_plan_composition(spark, sf_dir, tmp_p
     )
 
 
-def test_kmeans_refine_recovers_planted_clusters(spark):
+def _px_kmeans_refine_recovers_planted_clusters(spark):
     """Three well-separated planted clusters, one seed point from each
     (ids 0,1,2): two Lloyd iterations must label every point by its true
     cluster — the refinement actually converges, not just runs."""
@@ -474,7 +474,7 @@ def test_source_caps_respects_quota_and_order(spark, sf_dir):
         assert got == want, src
 
 
-def test_token_budget_select_matches_naive_global_window(spark, sf_dir):
+def _px_token_budget_select_matches_naive_global_window(spark, sf_dir):
     from dbt_trill_shop_spark.catalog import load_table
     from dbt_trill_shop_spark.ext.sampling import token_budget_select
 
@@ -561,7 +561,7 @@ def test_sq8_codes_bounded_and_full_coverage(spark, sf_dir):
     assert lohi["lo"] == 0 and lohi["hi"] == 255
 
 
-def test_sq8_recall_vs_exact_l2(spark, sf_dir):
+def _px_sq8_recall_vs_exact_l2(spark, sf_dir):
     from dbt_trill_shop_spark.catalog import load_table
     from dbt_trill_shop_spark.ext.similarity import ann_recall, l2_topk_exact, sq8_topk
 
@@ -575,7 +575,7 @@ def test_sq8_recall_vs_exact_l2(spark, sf_dir):
     assert mean_recall >= 0.8, mean_recall
 
 
-def test_bigram_logprob_orders_common_vs_rare(spark):
+def _px_bigram_logprob_orders_common_vs_rare(spark):
     from dbt_trill_shop_spark.ext.textstats import bigram_logprob
 
     rows = [(i, "a b a b a b") for i in range(5)]  # corpus-dominant bigrams
@@ -608,7 +608,7 @@ def test_temperature_mixture_flattens_and_respects_budget(spark):
     assert head["planned_rows"] + tail["planned_rows"] <= 500
 
 
-def test_mmr_diversifies_vs_pure_relevance(spark):
+def _px_mmr_diversifies_vs_pure_relevance(spark):
     from dbt_trill_shop_spark.ext.similarity import l2_topk_exact, mmr_topk
 
     vecs = {
@@ -653,7 +653,7 @@ def test_incremental_neardup_store_roundtrip(spark, sf_dir, tmp_path):
     assert n_bands == len(ids1) * 4  # 4 bands per kept doc
 
 
-def test_simhash_checked_finds_planted_neardup(spark):
+def _px_simhash_checked_finds_planted_neardup(spark):
     from dbt_trill_shop_spark.ext.dedup import simhash_checked
 
     base = " ".join(f"tok{i}" for i in range(200))
@@ -665,7 +665,7 @@ def test_simhash_checked_finds_planted_neardup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated text clean
 
 
-def test_bpe_merges_planted_corpus(spark):
+def _px_bpe_merges_planted_corpus(spark):
     """A corpus where merge order is known by construction: 'aa' dominates,
     then ('aa','b') once 'aa' exists as a symbol."""
     from dbt_trill_shop_spark.ext.bpe import bpe_merges
@@ -750,7 +750,7 @@ def test_importance_weights_separate_target_domain(spark, sf_dir):
     assert means[True] > 0 > means[False]
 
 
-def test_countmin_estimates_upper_bound_truth(spark, sf_dir):
+def _px_countmin_estimates_upper_bound_truth(spark, sf_dir):
     from dbt_trill_shop_spark.ext.textstats import countmin_heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
@@ -886,7 +886,7 @@ def test_matryoshka_prefix_longer_than_vector_degrades_to_full(spark):
     assert len(got) == 3 and all(x[0] == 0 for x in got)
 
 
-def test_bm25_query_with_more_terms_than_doc(spark):
+def _px_bm25_query_with_more_terms_than_doc(spark):
     from dbt_trill_shop_spark.ext.textstats import bm25_search
 
     df = spark.createDataFrame(
@@ -918,7 +918,7 @@ def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
     assert row.n_false_positives >= 0
 
 
-def test_quality_auc_matches_pairwise_bruteforce(spark):
+def _px_quality_auc_matches_pairwise_bruteforce(spark):
     """AUC from the distinct-score window must equal the O(n²) pairwise
     definition AUC = (#{pos>neg} + ties/2) / (pos·neg) computed in Python."""
     rows = [
@@ -960,7 +960,7 @@ def test_tokenizer_fertility_counts_planted_docs(spark):
     assert out["fr"]["fertility_milli"] == 2500
 
 
-def test_knn_graph_planted_clusters(spark):
+def _px_knn_graph_planted_clusters(spark):
     """Two well-separated clusters: every node's kNN edges stay inside its
     cluster, so label homophily is 1.0 and the k=2 graph is fully mutual."""
     import random
@@ -983,7 +983,7 @@ def test_knn_graph_planted_clusters(spark):
     assert deg == {2: 6}
 
 
-def test_knn_pagerank_mass_and_hub(spark):
+def _px_knn_pagerank_mass_and_hub(spark):
     """A hub everyone points to must out-rank peripheral nodes; ranks stay
     within the damped-mass envelope [base, base + d·10⁶]."""
     import random
@@ -1002,7 +1002,7 @@ def test_knn_pagerank_mass_and_hub(spark):
         assert 150_000 <= r["rank_micro"] <= 150_000 + 850_000 * 7
 
 
-def test_knn_clustering_triangle_clique(spark):
+def _px_knn_clustering_triangle_clique(spark):
     """A tight 3-clique closes its single wedge per node: coefficient 1.0."""
     rows = [
         (1, [0.0, 0.0], 0), (2, [0.1, 0.0], 0), (3, [0.0, 0.1], 0),
@@ -1015,7 +1015,7 @@ def test_knn_clustering_triangle_clique(spark):
     assert all(r["triangles"] == 1 and r["degree"] == 2 for r in out)
 
 
-def test_retrieval_eval_perfect_and_absent(spark):
+def _px_retrieval_eval_perfect_and_absent(spark):
     """A query whose cluster fills its top-k scores nDCG = 1 and RR = 10⁶;
     a query whose label appears nowhere else scores 0 on both."""
     rows = [(0, [0.0, 0.0], 7), (1, [0.1, 0.0], 7), (2, [0.0, 0.1], 7),
@@ -1083,7 +1083,7 @@ def test_ngram_novelty_copy_vs_fresh(spark):
     assert out[11]["novelty_ppm"] == 1_000_000
 
 
-def test_binary_hamming_exact_duplicate_is_nearest(spark):
+def _px_binary_hamming_exact_duplicate_is_nearest(spark):
     """A bit-identical duplicate vector has Hamming distance 0 and rank 1."""
     import random
 
@@ -1112,7 +1112,7 @@ def test_text_tiling_detects_topic_shift(spark):
     assert cos[2] == 0 and cos[1] == 1_000_000
 
 
-def test_knn_bfs_chain_hops(spark):
+def _px_knn_bfs_chain_hops(spark):
     """A 1-D chain of points under k=2 forms a path graph: hop distance
     from the end grows linearly and nothing is unreachable."""
     rows = [(i, [float(i) * 10, 0.0], 0) for i in range(5)]
@@ -1121,7 +1121,7 @@ def test_knn_bfs_chain_hops(spark):
     assert out.get(0) == 1 and out.get(1, 0) >= 1 and -1 not in out
 
 
-def test_pca_power_recovers_planted_direction(spark):
+def _px_pca_power_recovers_planted_direction(spark):
     """Data stretched along a planted axis: the power-iteration component
     must align with it (dominant coordinate on the stretched dim)."""
     import random
@@ -1139,7 +1139,7 @@ def test_pca_power_recovers_planted_direction(spark):
     assert comp[3] > 0  # sign fixed positive on the dominant component
 
 
-def test_coverage_select_greedy_property(spark):
+def _px_coverage_select_greedy_property(spark):
     """Greedy max-coverage on a planted corpus: the doc with the most
     distinct shingles goes first; a pure subset of an earlier pick adds
     zero gain and ranks last (or is skipped when gain ties at 0)."""
@@ -1202,7 +1202,7 @@ def test_jaccard_curve_empty_pair_corpus(spark):
     assert all(r["n_pairs"] == 0 and r["n_candidates"] == 0 for r in out)
 
 
-def test_knn_pagerank_over_ivf_candidates_recall(spark, sf_dir):
+def _px_knn_pagerank_over_ivf_candidates_recall(spark, sf_dir):
     """The ANN swap is code, not advice (VERDICT r2 #4): kNN edges built
     from IVF co-cell candidates must overlap the exact-gemm edges (recall
     floor), and PageRank over them must run end-to-end and preserve total
@@ -1284,7 +1284,7 @@ def test_real_image_decoder_import_guard():
         mm.__dict__.pop("_REAL_DECODE_IMPL", None)
 
 
-def test_exact_pair_distances_empty_and_self_pairs(spark):
+def _px_exact_pair_distances_empty_and_self_pairs(spark):
     """Empty candidate relations yield empty results; self-pairs are
     excluded; distances match the hand computation in micro units."""
     from dbt_trill_shop_spark.ext.similarity import exact_pair_distances
@@ -1306,14 +1306,14 @@ def test_exact_pair_distances_empty_and_self_pairs(spark):
     assert rows == {(0, 1): 25_000_000, (1, 0): 25_000_000}
 
 
-def test_simhash_verified_empty_corpus(spark):
+def _px_simhash_verified_empty_corpus(spark):
     from dbt_trill_shop_spark.ext.dedup import simhash_neardup_verified
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert simhash_neardup_verified(docs).count() == 0
 
 
-def test_minhash_min_band_matches_monotone(spark, sf_dir):
+def _px_minhash_min_band_matches_monotone(spark, sf_dir):
     """Raising min_band_matches can only shrink the candidate set, and the
     verified output at the driver config equals the brute-force pairs."""
     from dbt_trill_shop_spark.catalog import load_table
@@ -1391,3 +1391,72 @@ def test_real_png_decodes_through_spark_media_path(spark):
     assert (rows[1].width, rows[1].height) == (13, 7)
     assert (rows[2].width, rows[2].height) == (31, 17)
     assert rows[1].n_bytes == len(png) and rows[2].n_bytes == len(jpg)
+
+
+# ---------------------------------------------------------------------------
+# Pooled lane for the slow independent checks above (the _px_* helpers).
+#
+# Same trade as tests/test_oracle_parity.py's chunks: these 34 checks are
+# pure (shared read-only session + testdata, no catalog/tmp-path/env
+# mutation — the same ext operators already run concurrently in the parity
+# pool), and serially they cost ~65 s of the suite's wall-clock.  A
+# 12-thread pool runs them in ~the longest member instead; every helper
+# keeps its own asserts and failures surface per-name with the traceback.
+# ---------------------------------------------------------------------------
+
+_POOLED_CHECKS = [
+    _px_exact_dedup_keeps_min_id,
+    _px_knn_pagerank_over_ivf_candidates_recall,
+    _px_minhash_finds_planted_near_dups,
+    _px_connected_components_known_graph,
+    _px_srp_topk_deterministic_candidates_and_recall,
+    _px_simhash_near_dup_hamming,
+    _px_mmr_diversifies_vs_pure_relevance,
+    _px_knn_bfs_chain_hops,
+    _px_pca_power_recovers_planted_direction,
+    _px_knn_graph_planted_clusters,
+    _px_bpe_merges_planted_corpus,
+    _px_token_budget_select_matches_naive_global_window,
+    _px_native_minhash_candidates_sound_and_high_recall,
+    _px_lsh_topk_recall_vs_exact,
+    _px_simhash_checked_finds_planted_neardup,
+    _px_simhash_verified_empty_corpus,
+    _px_knn_pagerank_mass_and_hub,
+    _px_multimodal_feature_extract,
+    _px_retrieval_eval_perfect_and_absent,
+    _px_coverage_select_greedy_property,
+    _px_sq8_recall_vs_exact_l2,
+    _px_knn_clustering_triangle_clique,
+    _px_binary_hamming_exact_duplicate_is_nearest,
+    _px_kmeans_refine_recovers_planted_clusters,
+    _px_quality_auc_matches_pairwise_bruteforce,
+    _px_repetition_signals_flags_repetitive,
+    _px_minhash_min_band_matches_monotone,
+    _px_bm25_query_with_more_terms_than_doc,
+    _px_approx_count_distinct_accuracy,
+    _px_exact_pair_distances_empty_and_self_pairs,
+    _px_bigram_logprob_orders_common_vs_rare,
+    _px_cosine_topk_self_excluded,
+    _px_countmin_estimates_upper_bound_truth,
+    _px_quality_and_langid_run,
+]
+
+
+def test_ext_pooled_checks(spark, sf_dir):
+    import inspect
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(fn):
+        try:
+            if len(inspect.signature(fn).parameters) == 2:
+                fn(spark, sf_dir)
+            else:
+                fn(spark)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        bad = [p for p in ex.map(one, _POOLED_CHECKS) if p]
+    assert not bad, "\n\n".join(bad)

@@ -2,14 +2,13 @@
 the harness must match DuckDB exactly (columns, row count, order-insensitive
 values) at the test scale factor.
 
-The ~280 comparisons dominate suite wall-clock, so they run in 4 large CHUNKS
-with a 12-thread pool per chunk (Spark job submission and DuckDB both release
-the GIL; each thread gets its own DuckDB connection); few, large chunks
-amortize the end-of-chunk straggler barrier.  Stateful queries — those that
-register named sinks/tables (streaming memory sinks, persisted indexes,
-bucketed saveAsTable, Python DataSource registration) — collide only with
-each other, so they run on a dedicated single-worker lane that overlaps the
-pure pool.
+The ~280 comparisons dominate suite wall-clock, so they run in 2 large
+cost-balanced CHUNKS with a 16-thread pool per chunk (Spark job submission
+and DuckDB both release the GIL; each thread gets its own DuckDB
+connection); few, large chunks amortize the end-of-chunk straggler barrier.
+Stateful queries — those that register named sinks/tables (streaming memory
+sinks, persisted indexes, Python DataSource registration) — run on a
+narrower 4-worker lane that overlaps the pure pool (see _run_parity).
 
 Targeted single-query runs: PARITY_ONLY=name1,name2 pytest
 tests/test_oracle_parity.py -k only
@@ -43,11 +42,46 @@ def _is_stateful(name: str) -> bool:
     return name.startswith(_STATEFUL_PREFIXES) or name in _STATEFUL_NAMES
 
 
-_N_CHUNKS = 4
-_CHUNK = -(-len(ORACLE_QUERIES) // _N_CHUNKS)
-_CHUNKS = [
-    ORACLE_QUERIES[i : i + _CHUNK] for i in range(0, len(ORACLE_QUERIES), _CHUNK)
-]
+_N_CHUNKS = 2
+# Balance chunks by MEASURED cost, not list position: expensive queries
+# cluster in registry order (the iterative ANN/graph family sits together),
+# so contiguous slices produced a 25 s straggler chunk next to 14 s siblings
+# and round-robin still left a 6 s chunk beside 20 s ones — the end-of-chunk
+# barrier wastes the difference.  LPT greedy over the committed sf0.1
+# baseline timings (plus a fixed per-query floor for sf0.001 overhead)
+# balances each lane; stateful queries pack separately because their lane is
+# serial within a chunk, and the heaviest stateful bin pairs with the
+# lightest pure bin.
+_BASE_TIMINGS: dict[str, float] = {}
+_bp = os.path.join(os.path.dirname(__file__), "..", "bench_baseline.json")
+if os.path.exists(_bp):
+    with open(_bp) as _fh:
+        import json as _json
+
+        _BASE_TIMINGS = _json.load(_fh).get("0.1", {})
+
+
+def _lpt(names: list[str], k: int) -> list[list[str]]:
+    """Longest-processing-time greedy: deterministic k-way balance by
+    estimated cost (baseline timing + 0.15 s fixed overhead floor)."""
+    bins: list[list[str]] = [[] for _ in range(k)]
+    loads = [0.0] * k
+    for n in sorted(names, key=lambda n: (-_BASE_TIMINGS.get(n, 0.3), n)):
+        i = loads.index(min(loads))
+        bins[i].append(n)
+        loads[i] += _BASE_TIMINGS.get(n, 0.3) + 0.15
+    return bins
+
+
+def _est(names: list[str]) -> float:
+    return sum(_BASE_TIMINGS.get(n, 0.3) + 0.15 for n in names)
+
+
+_sbins = sorted(_lpt([n for n in ORACLE_QUERIES if _is_stateful(n)], _N_CHUNKS),
+                key=_est)
+_pbins = sorted(_lpt([n for n in ORACLE_QUERIES if not _is_stateful(n)],
+                     _N_CHUNKS), key=_est, reverse=True)
+_CHUNKS = [s + p for s, p in zip(_sbins, _pbins)]
 
 
 def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
@@ -66,12 +100,15 @@ def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
 
     stateful = [n for n in names if _is_stateful(n)]
     pure = [n for n in names if not _is_stateful(n)]
-    # Stateful queries are serialized among THEMSELVES (named sinks/tables
-    # collide stateful-vs-stateful, not stateful-vs-pure), so give them a
-    # dedicated single-worker lane that overlaps with the pure pool instead
-    # of dead-time at the head of the chunk.
-    with ThreadPoolExecutor(max_workers=1) as ser, ThreadPoolExecutor(
-        max_workers=12
+    # Stateful queries get their own narrower lane overlapping the pure
+    # pool.  They are safe to run concurrently with each other — streaming
+    # memory sinks are uuid-named and the drain's session-conf override is
+    # reference-counted (streaming/events.py run_stream_to_memory), and the
+    # index/datasource/udf singletons each touch distinct resources — but
+    # each holds state-store + sink memory, so the lane is kept narrow
+    # rather than merged into the pure pool.
+    with ThreadPoolExecutor(max_workers=4) as ser, ThreadPoolExecutor(
+        max_workers=16
     ) as ex:
         futs = [ser.submit(one, n) for n in stateful]
         results = list(ex.map(one, pure)) + [f.result() for f in futs]
