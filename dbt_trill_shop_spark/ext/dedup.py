@@ -52,9 +52,16 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Return docs with exact-duplicate texts removed (canonical = min id).
 
     Implemented as groupBy-min + semi join rather than dropDuplicates so the
-    kept row is deterministic (dropDuplicates keeps an arbitrary row)."""
+    kept row is deterministic (dropDuplicates keeps an arbitrary row).  The
+    group key is md5(text), not the raw text — the canonical-pick shuffle
+    then moves a 16-byte key per row instead of the full document (the same
+    fingerprint trade as :func:`dedup_canonical`; a 128-bit collision merging
+    two distinct texts is negligible at any realistic corpus size)."""
     keep = (
-        docs.groupBy(text_col)
+        docs.select(
+            F.md5(F.col(text_col).cast("binary")).alias("__fp"), F.col(id_col)
+        )
+        .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

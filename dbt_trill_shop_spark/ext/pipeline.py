@@ -288,8 +288,15 @@ def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
     dedup window and the ranking sort, and the only exchanges carry
     (doc_id, hash, logit) slim rows.  Every stage is integer-deterministic,
     so the full four-stage composition is value-hash checkable end-to-end.
+
+    Both total orders are two-phase (same posture as
+    :func:`~dbt_trill_shop_spark.ext.sampling.curriculum_order`): the
+    NTILE rides 64-wide milli-logit bands and the final rank rides
+    (stage, md5-prefix) sub-buckets — no partition-less window ever sees
+    the survivor relation.
     """
     from ..ext.textstats import blocklist_filter, quality_classifier
+    from ..operators.twophase import bucketed_ntile, bucketed_rank
 
     scored = quality_classifier(docs).select("doc_id", "logit_milli")
     keep_ids = blocklist_filter(docs).filter(F.col("keep")).select("doc_id")
@@ -312,18 +319,32 @@ def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
     canon = q_kept.withColumn("rn", F.row_number().over(wd)).filter(
         F.col("rn") == 1
     )
-    wq = Window.orderBy(F.desc("logit_milli"), F.asc("doc_id"))
-    bucketed = canon.select(
-        "doc_id", "lang", F.ntile(4).over(wq).cast("bigint").alias("bucket")
-    )
-    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
-    wr = Window.orderBy(F.asc("bucket"), F.asc(h), F.asc("doc_id"))
-    return bucketed.select(
-        F.row_number().over(wr).cast("bigint").alias("rank"),
-        "doc_id",
-        "lang",
+    bucketed = bucketed_ntile(
+        canon.select("doc_id", "lang", "logit_milli"),
+        F.expr("-logit_milli DIV 64"),
+        [F.desc("logit_milli"), F.asc("doc_id")],
+        4,
         "bucket",
-    ).orderBy("rank")
+        # canon is the full gate+dedup pipeline: checkpoint the slim
+        # survivor relation once rather than re-running it per pass
+        materialize=True,
+    ).select("doc_id", "lang", "bucket")
+    h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
+    with_h = bucketed.withColumn("h", h)
+    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order
+    bk = F.concat(
+        F.lpad(F.col("bucket").cast("string"), 2, "0"), F.substring("h", 1, 2)
+    )
+    return (
+        bucketed_rank(
+            with_h,
+            bk,
+            [F.asc("bucket"), F.asc("h"), F.asc("doc_id")],
+            materialize=True,
+        )
+        .select("rank", "doc_id", "lang", "bucket")
+        .orderBy("rank")
+    )
 
 
 def curation_pipeline_v2_sql(quality_sql: str, blocklist_sql: str) -> str:

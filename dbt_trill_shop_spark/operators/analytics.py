@@ -2783,10 +2783,15 @@ def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64.  The tie-corrected normal z is ONE fixed float expression
     of five int64s (identical operand order cross-engine).
 
-    Scale: the window sorts the per-distinct-cents aggregate (bounded by
-    |distinct prices|, not rows) — same single-sort posture as the KS scan;
-    bin values first when even the distinct relation is too wide.
+    Scale: the below-cumsum is two-phase (``bucketed_cumsum`` over the
+    same $10k price bands as the KS scan) — the per-distinct-cents
+    relation is bounded by the price RANGE, not rows, but that range is
+    ~10⁷ distinct values, too wide for a partition-less window; the
+    exclusive below-count is the inclusive bucketed cumsum minus the
+    row's own ties.
     """
+    from .twophase import bucketed_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -2797,12 +2802,16 @@ def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = base.groupBy("v").agg(
         F.sum("g1").alias("t1"), F.sum(1 - F.col("g1")).alias("t2")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_v.select(
-        "t1",
-        "t2",
-        F.coalesce(F.sum("t2").over(w), F.lit(0)).alias("c2b"),
-    )
+    cum = bucketed_cumsum(
+        per_v,
+        F.expr("v DIV 1000000"),
+        [F.asc("v")],
+        F.col("t2"),
+        "c2i",
+        # per_v is an orders-wide aggregate: checkpoint once rather than
+        # paying the orders scan for each two-phase pass
+        materialize=True,
+    ).select("t1", "t2", (F.col("c2i") - F.col("t2")).alias("c2b"))
     stats = cum.agg(
         F.sum("t1").alias("n1"),
         F.sum("t2").alias("n2"),

@@ -1888,9 +1888,18 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) classification of parts by revenue: class A = parts
     covering the first 80% of cumulative revenue, B the next 15%, C the
     tail — the inventory-prioritization classic.  One part-keyed rollup
-    of exact cents, one window cumsum in revenue-desc total order
-    (tie-break partkey), class boundaries by integer cross-multiplication
-    (``5·cum ≤ 4·total`` etc. — no percentage float ever materializes)."""
+    of exact cents, one cumsum in revenue-desc total order (tie-break
+    partkey), class boundaries by integer cross-multiplication
+    (``5·cum ≤ 4·total`` etc. — no percentage float ever materializes).
+
+    The cumsum is two-phase (``bucketed_cumsum`` over $10k revenue bands,
+    descending) — the per-part relation is |parts|-scaled, so a
+    partition-less ``SUM() OVER (ORDER BY)`` window would funnel it
+    through one task; per-part revenue has an SF-independent natural
+    range (~30 lineitems/part in TPC-H), so fixed-width bands stay
+    balanced at any scale."""
+    from .twophase import bucketed_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     # revenue in centi-cents (price_c · (100 − disc_c)) — the engine's
     # canonical no-division exact form (regional_revenue and friends)
@@ -1898,13 +1907,20 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     per_part = li.groupBy("l_partkey").agg(rev.alias("r"))
-    w = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = per_part.agg(F.sum("r").alias("t"))
+    cumsummed = bucketed_cumsum(
+        per_part,
+        # negated band index: monotone non-decreasing w.r.t. DESC revenue
+        F.expr("-(r DIV 100000000)"),
+        [F.desc("r"), F.asc("l_partkey")],
+        F.col("r"),
+        "cum",
+        # per_part is a lineitem-wide aggregate: checkpoint once rather
+        # than paying the lineitem scan for each two-phase pass
+        materialize=True,
+    )
     classed = (
-        per_part.withColumn("cum", F.sum("r").over(w))
-        .crossJoin(F.broadcast(tot))
+        cumsummed.crossJoin(F.broadcast(tot))
         .select(
             "r",
             F.when(5 * F.col("cum") <= 4 * F.col("t"), "A")

@@ -434,7 +434,9 @@ def test_theilsen_no_partitionless_slope_window(spark, sf_dir):
 
 
 def test_statistics_wave_single_shuffle_shapes(spark, sf_dir):
-    """MW-U sorts only the per-distinct-value aggregate (one window sort);
+    """MW-U's below-cumsum is two-phase (same $10k bands as KS): every
+    window over the per-distinct-value relation is partitioned by the
+    band key, only the tiny per-band offsets relation sorts globally;
     OLS reduces to one exchange keyed by the group column."""
     from dbt_trill_shop_spark.operators.analytics import (
         mannwhitney_order_values,
@@ -442,10 +444,52 @@ def test_statistics_wave_single_shuffle_shapes(spark, sf_dir):
     )
 
     mw = _plan(mannwhitney_order_values(spark, sf_dir))
-    assert mw.count("Window [") <= 1 or mw.count("WindowExec") <= 1
+    assert "windowspecdefinition(v#" not in mw
+    assert "windowspecdefinition(__tp_bk#" in mw
     ols = _plan(ols_daily_trend(spark, sf_dir))
     # two grouped aggregations (daily, sufficient stats) + final sort only
     assert ols.count("Exchange hashpartitioning") <= 2
+
+
+def test_abc_analysis_cumsum_is_two_phase(spark, sf_dir):
+    """ABC's revenue cumsum runs over the |parts|-scaled rollup, so it is
+    two-phase: the per-part window is partitioned by the revenue band and
+    the only global sort covers the tiny per-band offsets relation."""
+    from dbt_trill_shop_spark.operators.relational import abc_analysis
+
+    plan = _plan(abc_analysis(spark, sf_dir))
+    assert "windowspecdefinition(r#" not in plan
+    assert "windowspecdefinition(__tp_bk#" in plan
+
+
+def test_curation_v2_orders_are_two_phase(spark, sf_dir):
+    """curation_pipeline_v2's NTILE and final rank ride bucketed two-phase
+    windows (the curriculum_order posture): no partition-less window over
+    the survivor relation — logit/bucket windows all carry __tp_bk."""
+    from dbt_trill_shop_spark.ext.pipeline import curation_pipeline_v2
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(curation_pipeline_v2(docs))
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        # allowed: the fp-dedup window (corpus-keyed by fingerprint), the
+        # two-phase per-bucket windows, and the offsets relations
+        assert (
+            "windowspecdefinition(fp#" in line
+            or "windowspecdefinition(__tp_bk#" in line
+        ), line.strip()
+
+
+def test_dedup_exact_never_shuffles_text(spark, sf_dir):
+    """dedup_exact groups by md5(text): the canonical-pick shuffle carries
+    a 16-byte key, never the document payload."""
+    from dbt_trill_shop_spark.ext.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup_exact(docs))
+    for ex_chunk in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in ex_chunk.split("\n")[0]
 
 
 def test_binary_hamming_corpus_side_not_shuffled(spark, sf_dir):
