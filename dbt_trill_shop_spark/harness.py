@@ -2730,11 +2730,15 @@ _ROUND4_WINDOW = [
 _DRIVER_VERIFIED_R04 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND4_WINDOW)
 
 # Round-5 driver window: positions 8-50.  Never-driver-verified queries per
-# VERDICT.md round-4 instruction #3: the six queries rewritten two-phase
-# this round lead (stopword_discovery's regression fix, the NTILE family,
-# gini/lorenz — so the rewrites get driver verdicts immediately), then the
+# VERDICT.md round-4 instruction #3: the queries rewritten two-phase this
+# round lead (stopword_discovery's regression fix, the NTILE family,
+# gini/lorenz, mannwhitney's below-cumsum, abc_analysis' revenue cumsum —
+# so the rewrites get driver verdicts immediately), then the
 # statistics/analytics family named in the brief, the textstats audit tail,
 # and the stateful singletons (Python DataSource, SQL-UDF macros).
+# x_weighted_sample yielded its slot to the abc rewrite: the sampling
+# family already holds the most driver verdicts, so it is the
+# least-marginal-information never-verified entry.
 _ROUND5_WINDOW = [
     "x_stopword_discovery", "x_ppl_buckets", "x_length_bias",
     "q_rfm_segments", "q_gini", "q_lorenz_curve",
@@ -2749,7 +2753,7 @@ _ROUND5_WINDOW = [
     "x_langid_confusion", "x_corpus_report", "x_prefix_templates",
     "q_python_datasource", "q_sql_udf_macros",
     "q_user_ewma", "q_forecast_revenue", "q_event_transitions",
-    "q_interpolate_daily", "x_weighted_sample",
+    "q_interpolate_daily", "q_abc_analysis",
 ]
 _front = _REFERENCE_MODELS + _ROUND5_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
