@@ -84,6 +84,22 @@ def test_cumsum_matches_global_window(spark):
     assert naive.exceptAll(two).count() == 0
 
 
+def test_cumsum_desc_order_via_negated_bucket(spark):
+    """The abc_analysis shape: inclusive cumsum in DESC value order with a
+    negated-band bucket key (monotone non-decreasing w.r.t. the descending
+    total order, trunc-division semantics on negative keys)."""
+    df = _base(spark)
+    w = Window.orderBy(F.desc("k"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = df.withColumn("c", F.sum("v").over(w))
+    two = bucketed_cumsum(
+        df, F.expr("-(k DIV 16)"), [F.desc("k"), F.asc("id")], F.col("v"), "c"
+    )
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
 def test_materialize_is_bit_identical_and_single_derivation(spark):
     """materialize=True must change only WHERE the input is computed (one
     localCheckpoint shared by both phases), never the result."""
