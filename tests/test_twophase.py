@@ -119,6 +119,25 @@ def test_materialize_is_bit_identical_and_single_derivation(spark):
     assert "Scan ExistingRDD" in plan
 
 
+def test_helpers_empty_and_single_row(spark):
+    """Empty input -> empty typed output; one row -> rank/tile 1 (the
+    offsets join degrades gracefully, no NULL offsets leak through)."""
+    empty = spark.createDataFrame([], "k long, id long, v long")
+    assert bucketed_rank(empty, F.expr("k DIV 16"), [F.col("k"), F.col("id")]).count() == 0
+    assert (
+        bucketed_ntile(empty, F.expr("k DIV 16"), [F.col("k"), F.col("id")], 4, "t").count()
+        == 0
+    )
+    assert (
+        bucketed_cumsum(
+            empty, F.expr("k DIV 16"), [F.col("k"), F.col("id")], F.col("v"), "c"
+        ).count()
+        == 0
+    )
+    one = spark.createDataFrame([(5, 1, 10)], "k long, id long, v long")
+    assert bucketed_rank(one, F.expr("k DIV 16"), [F.col("k"), F.col("id")]).collect()[0]["rank"] == 1
+
+
 def test_rank_plan_has_no_partitionless_window(spark):
     df = _base(spark)
     two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
