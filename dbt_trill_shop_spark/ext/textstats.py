@@ -1903,10 +1903,14 @@ def quality_auc(docs: DataFrame) -> DataFrame:
     built from the per-distinct-score relation exactly like the
     Mann-Whitney operator — ``auc_x2 = Σ_s pos(s)·(2·neg_below(s) +
     neg(s))`` is exact int64 (doubling absorbs the tie halves), and the
-    single final division is the only float op.  The window sorts the
-    per-distinct-logit aggregate (bounded by |distinct scores|, tiny),
-    never the corpus.
+    single final division is the only float op.  The below-cumsum is
+    two-phase (``bucketed_cumsum`` over 64-wide milli-logit bands, the
+    curriculum quantizer): the per-distinct-logit relation is usually
+    small but its domain is the feature lattice, not a fixed constant,
+    so no partition-less window ever touches it.
     """
+    from ..operators.twophase import bucketed_cumsum
+
     scored = quality_classifier(docs).select("doc_id", "logit_milli")
     lab = scored.join(
         docs.select("doc_id", (F.col("lang") == "en").cast("bigint").alias("pos")),
@@ -1915,15 +1919,16 @@ def quality_auc(docs: DataFrame) -> DataFrame:
     per_s = lab.groupBy("logit_milli").agg(
         F.sum("pos").alias("tp"), F.sum(1 - F.col("pos")).alias("tn")
     )
-    w = (
-        Window.orderBy("logit_milli")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = per_s.select(
-        "tp",
-        "tn",
-        F.coalesce(F.sum("tn").over(w), F.lit(0)).alias("cnb"),
-    )
+    cum = bucketed_cumsum(
+        per_s,
+        F.expr("logit_milli DIV 64"),
+        [F.asc("logit_milli")],
+        F.col("tn"),
+        "cni",
+        # per_s is a full classifier+join pipeline: checkpoint the slim
+        # per-score relation once rather than re-deriving it per pass
+        materialize=True,
+    ).select("tp", "tn", (F.col("cni") - F.col("tn")).alias("cnb"))
     stats = cum.agg(
         F.sum("tp").alias("np"),
         F.sum("tn").alias("nn"),

@@ -481,6 +481,18 @@ def test_curation_v2_orders_are_two_phase(spark, sf_dir):
         ), line.strip()
 
 
+def test_quality_auc_cumsum_is_two_phase(spark, sf_dir):
+    """quality_auc's neg-below cumsum is two-phase (same posture as
+    mannwhitney): no partition-less window over the per-distinct-logit
+    relation — only __tp_bk-partitioned windows and the offsets pass."""
+    from dbt_trill_shop_spark.ext.textstats import quality_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(quality_auc(docs))
+    assert "windowspecdefinition(logit_milli#" not in plan
+    assert "windowspecdefinition(__tp_bk#" in plan
+
+
 def test_dedup_exact_never_shuffles_text(spark, sf_dir):
     """dedup_exact groups by md5(text): the canonical-pick shuffle carries
     a 16-byte key, never the document payload."""
