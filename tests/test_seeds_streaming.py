@@ -141,6 +141,93 @@ def test_stateful_sessionizer_carries_state_across_microbatches(spark, tmp_path)
     assert got == [(1, 3, 15 * 60 * 1_000_000), (2, 2, 3 * 60 * 1_000_000)]
 
 
+def test_stream_stream_attribution_joins_across_microbatches(spark, tmp_path):
+    """The stream-stream interval join must match a purchase arriving in a
+    LATER micro-batch to a click buffered in join state from an earlier one
+    (the single-file availableNow drain never exercises the buffered-state
+    arm), and still enforce the attribution window across the boundary."""
+    import datetime as dt
+    import time as _time
+
+    from dbt_trill_shop_spark.streaming.events import (
+        purchase_attribution_stream,
+        run_stream_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: user 1 clicks; user 2 clicks.  batch 2: user 1 purchases
+    # 30 min after the click (inside the 60-min window -> attributed via
+    # carried state); user 2 purchases 90 min after (outside -> dropped).
+    batch1 = [(1, t0, 1, "click", 0.0, ""), (2, t0, 2, "click", 0.0, "")]
+    batch2 = [(3, t0 + 30 * m, 1, "purchase", 9.99, ""),
+              (4, t0 + 90 * m, 2, "purchase", 9.99, "")]
+    src = tmp_path / "attr_src"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                purchase_attribution_stream(ev),
+                output_mode="append",
+                shuffle_partitions=4,
+            ).collect(),
+        )
+    )
+    assert got == [(1, 1, 3)]  # (user_id, click_id, purchase_id)
+
+
+def test_dedup_within_watermark_suppresses_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress a key recurring in a
+    LATER micro-batch while its state is live (wide watermark): two files,
+    key (1,'view') in both -> emitted once; a new key in batch 2 passes."""
+    import datetime as dt
+    import time as _time
+
+    from dbt_trill_shop_spark.streaming.events import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batch1 = [(1, t0, 1, "view", 1.0, "")]
+    batch2 = [(2, t0 + m, 1, "view", 1.0, ""), (3, t0 + m, 2, "click", 1.0, "")]
+    src = tmp_path / "dedup_src"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    deduped = (
+        ev.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                deduped, output_mode="append", shuffle_partitions=4
+            ).collect(),
+        )
+    )
+    assert got == [(1, "view"), (2, "click")]
+
+
 def test_stateful_ewma_carries_state_across_microbatches(spark, tmp_path):
     """The EWMA fold must continue from carried state: a two-file drain where
     one user's events straddle the batch boundary must equal the single fold
