@@ -92,7 +92,7 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
         assert counts == b_closed[uid], f"user {uid}"
 
 
-def test_stateful_sessionizer_carries_state_across_microbatches(spark, tmp_path):
+def _psx_sessionizer_carries_state_across_microbatches(spark, tmp_path):
     """Two-micro-batch drain (maxFilesPerTrigger=1, two files): a session
     whose events straddle the batch boundary must merge with the open state
     carried from batch 1, and an out-of-gap event in batch 2 must close the
@@ -141,7 +141,7 @@ def test_stateful_sessionizer_carries_state_across_microbatches(spark, tmp_path)
     assert got == [(1, 3, 15 * 60 * 1_000_000), (2, 2, 3 * 60 * 1_000_000)]
 
 
-def test_stream_stream_attribution_joins_across_microbatches(spark, tmp_path):
+def _psx_attribution_joins_across_microbatches(spark, tmp_path):
     """The stream-stream interval join must match a purchase arriving in a
     LATER micro-batch to a click buffered in join state from an earlier one
     (the single-file availableNow drain never exercises the buffered-state
@@ -187,7 +187,7 @@ def test_stream_stream_attribution_joins_across_microbatches(spark, tmp_path):
     assert got == [(1, 1, 3)]  # (user_id, click_id, purchase_id)
 
 
-def test_dedup_within_watermark_suppresses_across_microbatches(spark, tmp_path):
+def _psx_dedup_suppresses_across_microbatches(spark, tmp_path):
     """dropDuplicatesWithinWatermark must suppress a key recurring in a
     LATER micro-batch while its state is live (wide watermark): two files,
     key (1,'view') in both -> emitted once; a new key in batch 2 passes."""
@@ -228,7 +228,7 @@ def test_dedup_within_watermark_suppresses_across_microbatches(spark, tmp_path):
     assert got == [(1, "view"), (2, "click")]
 
 
-def test_stateful_ewma_carries_state_across_microbatches(spark, tmp_path):
+def _psx_ewma_carries_state_across_microbatches(spark, tmp_path):
     """The EWMA fold must continue from carried state: a two-file drain where
     one user's events straddle the batch boundary must equal the single fold
     over the whole (ts, event_id)-sorted history."""
@@ -265,6 +265,41 @@ def test_stateful_ewma_carries_state_across_microbatches(spark, tmp_path):
     # batch 1 emits the 2-event fold, batch 2 continues FROM it:
     # (1000 + 400) // 2 = 700, then (700 + 600) // 2 = 650
     assert final[2] == 700 and final[3] == 650
+
+
+# ---------------------------------------------------------------------------
+# Pooled lane for the multi-batch stateful drains (the _psx_* helpers above).
+# Concurrent stateful drains in one session are supported by design (uuid
+# sink names + the reference-counted shuffle-conf override in
+# streaming/events.py), and serially these four cost ~80 s; a 4-thread pool
+# runs them in ~the slowest member.  Failures surface per-name with the
+# traceback.  Each helper gets its own temp dir (the pooled runner replaces
+# pytest's tmp_path fixture).
+# ---------------------------------------------------------------------------
+
+def test_streaming_multibatch_pooled(spark):
+    import pathlib
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    helpers = [
+        _psx_sessionizer_carries_state_across_microbatches,
+        _psx_attribution_joins_across_microbatches,
+        _psx_dedup_suppresses_across_microbatches,
+        _psx_ewma_carries_state_across_microbatches,
+    ]
+
+    def one(fn):
+        d = pathlib.Path(tempfile.mkdtemp(prefix=fn.__name__))
+        try:
+            fn(spark, d)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        bad = [p for p in ex.map(one, helpers) if p]
+    assert not bad, "\n\n".join(bad)
 
 
 def test_ewma_fold_sorts_across_chunks():
