@@ -2,8 +2,8 @@
 the harness must match DuckDB exactly (columns, row count, order-insensitive
 values) at the test scale factor.
 
-The ~280 comparisons dominate suite wall-clock, so they run in 2 large
-cost-balanced CHUNKS with a 16-thread pool per chunk (Spark job submission
+The ~280 comparisons dominate suite wall-clock, so they run as ONE
+cost-ordered chunk with a 16-thread pool (Spark job submission
 and DuckDB both release the GIL; each thread gets its own DuckDB
 connection); few, large chunks amortize the end-of-chunk straggler barrier.
 Stateful queries — those that register named sinks/tables (streaming memory
@@ -42,12 +42,14 @@ def _is_stateful(name: str) -> bool:
     return name.startswith(_STATEFUL_PREFIXES) or name in _STATEFUL_NAMES
 
 
-_N_CHUNKS = 2
-# Balance chunks by MEASURED cost, not list position: expensive queries
-# cluster in registry order (the iterative ANN/graph family sits together),
-# so contiguous slices produced a 25 s straggler chunk next to 14 s siblings
-# and round-robin still left a 6 s chunk beside 20 s ones — the end-of-chunk
-# barrier wastes the difference.  LPT greedy over the committed sf0.1
+_N_CHUNKS = 1
+# One chunk: with per-chunk thread pools, chunks SERIALIZE as separate
+# pytest tests, so every extra chunk adds a straggler barrier (round 5
+# measured 2 chunks at 37 s + 29 s = 66 s vs 60 s as one; 4 chunks were
+# worse still).  LPT over one bin degenerates to longest-first ordering,
+# which is exactly the makespan-minimizing submission order for the pool.
+# The machinery keeps the k-way form in case memory pressure ever forces
+# chunking back.  LPT greedy over the committed sf0.1
 # baseline timings (plus a fixed per-query floor for sf0.001 overhead)
 # balances each lane; stateful queries pack separately because their lane is
 # serial within a chunk, and the heaviest stateful bin pairs with the
