@@ -71,7 +71,7 @@ SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "q_adoption_curve": "daily first-seen series (calendar-bounded)",
     "q_session_paths": "|event-types|^3 path space",
     "q_profile_orders": "keyless SortAggregate combiner (key=[] singular)",
-    "x_stopword_discovery": "WindowGroupLimit top-k (rank<=literal filter)",
+    "x_stopword_discovery": "TakeOrderedAndProject top-k below the rank window",
 }
 
 _BENIGN_PARENT = re.compile(

@@ -666,6 +666,29 @@ def test_two_phase_rewrites_no_partitionless_corpus_windows(spark, sf_dir):
             assert any(p in line for p in ok), (name, line.strip())
 
 
+def test_filtered_topk_windows_are_limit_bounded(spark, sf_dir):
+    """The blessed `rank <= literal` family: Spark pushes the filter as a
+    distributed top-k (TakeOrderedAndProject BELOW the rank window), so the
+    partition-less window sees only k rows, never the corpus relation.
+    Guards the limit staying upstream if any of these queries is
+    refactored — losing the pushdown silently reintroduces the single-task
+    corpus funnel."""
+    from dbt_trill_shop_spark.harness import QUERIES
+
+    for name in (
+        "x_stopword_discovery",
+        "x_weighted_sample",
+        "x_zipf_slope",
+        "x_pmi_collocations",
+    ):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        i_window = plan.find("Window [")
+        i_take = plan.find("TakeOrderedAndProject(limit=")
+        assert i_window != -1 and i_take != -1, name
+        # top-down print: the window consumes the limited relation below it
+        assert i_window < i_take, name
+
+
 def test_vocab_coverage_window_is_limit_bounded(spark, sf_dir):
     """x_vocab_coverage's rank window is fed by TakeOrderedAndProject
     (explicit .limit before the window), so the single-partition window
