@@ -616,3 +616,56 @@ def test_kaplan_meier_matches_python_replay(spark, sf_dir):
         for r in kaplan_meier_conversion(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global-window helpers: bit-identity with the naive single-task
+# window on ARBITRARY distributions — including the adversarial shapes the
+# fixed-data tests in test_twophase.py don't reach (all keys equal = one
+# degenerate bucket; all keys distinct; heavy tie plateaus; negative keys
+# under trunc-division bucketing).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=120
+    ),
+    n_tiles=st.integers(min_value=1, max_value=7),
+)
+def test_twophase_helpers_match_naive_windows(spark, keys, n_tiles):
+    from pyspark.sql import Window
+
+    from dbt_trill_shop_spark.operators.twophase import (
+        bucketed_cumsum,
+        bucketed_ntile,
+        bucketed_rank,
+    )
+
+    rows = [(int(k), i, (i * 7 + 3) % 11) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    order = [F.asc("k"), F.asc("id")]
+    bucket = F.expr("k DIV 16")
+
+    def rowset(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    w = Window.orderBy("k", "id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select(
+        "k", "id", "v",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.ntile(n_tiles).over(w).cast("bigint").alias("t"),
+        F.sum("v").over(wc).alias("c"),
+    )
+    two = bucketed_cumsum(
+        bucketed_ntile(
+            bucketed_rank(df, bucket, order), bucket, order, n_tiles, "t"
+        ),
+        bucket,
+        order,
+        F.col("v"),
+        "c",
+    ).select("k", "id", "v", "rank", "t", "c")
+    assert rowset(naive) == rowset(two)
