@@ -1,0 +1,155 @@
+"""Independent Python/pandas replays of the statistics family.
+
+Oracle parity proves Spark == DuckDB, but both sides share MY formula —
+a conceptual error (wrong rank convention, wrong CDF tie handling, a
+mis-transcribed Wilson bound) would pass parity on both engines.  These
+replays re-derive each statistic from its TEXTBOOK definition in
+numpy/pandas (a third, independently-written implementation; pandas'
+own spearman for the rank correlation) and compare against the Spark
+output at the suite SF.  Float comparisons allow 2e-6 (the queries round
+to 6 dp; the replay may differ by one ulp at the rounding boundary).
+
+One shared pandas load of events/orders; every check is a plain function
+so a failure names the statistic.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.harness import QUERIES
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    ev["cents"] = (ev["value"] * 100).round(0).astype("int64")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    return ev, orders
+
+
+def _one(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir).toPandas()
+
+
+def test_gini_matches_textbook_formula(spark, sf_dir, frames):
+    ev, _ = frames
+    x = np.sort(ev.groupby("user_id")["cents"].sum().to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1, dtype="int64")
+    gini = (2 * int((i * x).sum()) - (n + 1) * int(x.sum())) / (n * int(x.sum()))
+    got = _one(spark, sf_dir, "q_gini").iloc[0]
+    assert got["n_users"] == n and got["total_cents"] == int(x.sum())
+    assert abs(got["gini"] - round(gini, 6)) <= 2e-6
+
+
+def test_spearman_matches_midrank_pearson(spark, sf_dir, frames):
+    # textbook tie-correct Spearman: average (mid) ranks, then Pearson —
+    # pandas' rank(method="average") supplies the independent ranking
+    ev, _ = frames
+    daily = ev.groupby("day").agg(x=("cents", "size"), y=("cents", "sum"))
+    rx = daily["x"].rank(method="average").to_numpy()
+    ry = daily["y"].rank(method="average").to_numpy()
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    got = _one(spark, sf_dir, "q_spearman").iloc[0]
+    assert got["n_days"] == len(daily)
+    assert abs(got["rho"] - round(rho, 6)) <= 2e-6
+
+
+def test_ks_matches_textbook_cdf_scan(spark, sf_dir, frames):
+    _, orders = frames
+    cents = (orders["o_totalprice"] * 100).round(0).astype("int64")
+    s1 = np.sort(cents[orders["o_orderpriority"] == "1-URGENT"].to_numpy())
+    s2 = np.sort(cents[orders["o_orderpriority"] == "5-LOW"].to_numpy())
+    pooled = np.unique(np.concatenate([s1, s2]))
+    f1 = np.searchsorted(s1, pooled, side="right") / len(s1)
+    f2 = np.searchsorted(s2, pooled, side="right") / len(s2)
+    d = float(np.abs(f1 - f2).max())
+    got = _one(spark, sf_dir, "q_ks_test").iloc[0]
+    assert got["n_urgent"] == len(s1) and got["n_low"] == len(s2)
+    assert abs(got["ks_d"] - round(d, 6)) <= 2e-6
+
+
+def test_theilsen_matches_pairwise_median(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size()
+    x = np.array([(d - pd.Timestamp("2024-01-01").date()).days for d in daily.index])
+    y = daily.to_numpy()
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(len(x))
+        if x[i] < x[j]
+    ]
+    slopes.sort()
+    med = slopes[(len(slopes) - 1) // 2]  # lower-middle order statistic
+    got = _one(spark, sf_dir, "q_theilsen_trend").iloc[0]
+    assert got["n_pairs"] == len(slopes)
+    assert abs(got["theil_sen_slope"] - med) <= 2e-6
+
+
+def test_benford_matches_digit_histogram(spark, sf_dir, frames):
+    _, orders = frames
+    digits = orders["o_totalprice"].map(lambda v: int(f"{v:.2f}"[0]))
+    counts = digits[digits >= 1].value_counts()
+    total = int(counts.sum())
+    got = _one(spark, sf_dir, "q_benford").set_index("d")
+    assert sorted(got.index) == sorted(counts.index)
+    for d, n in counts.items():
+        row = got.loc[d]
+        assert row["n"] == n
+        assert row["observed_ppm"] == n * 1_000_000 // total
+        expected = round(math.log10(1 + 1 / d) * 1_000_000)
+        assert row["expected_ppm"] == expected
+        assert row["deviation_ppm"] == row["observed_ppm"] - expected
+
+
+def test_wilson_matches_textbook_bound(spark, sf_dir, frames):
+    ev, _ = frames
+    purchasers = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    per = ev.groupby(["user_id", "event_type"]).size().reset_index()
+    got = _one(spark, sf_dir, "q_wilson_ranking").set_index("event_type")
+    z = 1.96
+    for et, g in per.groupby("event_type"):
+        n = len(g)
+        pos = sum(1 for u in g["user_id"] if u in purchasers)
+        p = pos / n
+        lower = (
+            p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        ) / (1 + z * z / n)
+        row = got.loc[et]
+        assert row["n"] == n and row["pos"] == pos, et
+        assert abs(row["wilson_lower"] - round(lower, 6)) <= 2e-6, et
+
+
+def test_autocorrelation_matches_pearson_per_lag(spark, sf_dir, frames):
+    ev, _ = frames
+    y = ev.groupby("day").size().sort_index().to_numpy(dtype="float64")
+    got = _one(spark, sf_dir, "q_autocorrelation").set_index("lag")
+    for lag in got.index:
+        a, b = y[:-lag], y[lag:]
+        r = float(np.corrcoef(a, b)[0, 1])
+        row = got.loc[lag]
+        assert row["n_pairs"] == len(a), lag
+        assert abs(row["r"] - round(r, 6)) <= 2e-6, lag
+
+
+def test_chisquare_matches_contingency_formula(spark, sf_dir, frames):
+    ev, _ = frames
+    dow = pd.to_datetime(ev["ts"]).dt.dayofweek
+    # Spark dayofweek: 1=Sunday..7=Saturday; pandas: 0=Monday..6=Sunday —
+    # chi2 is label-invariant, only the cell partition matters, which is
+    # identical; n_cells too.
+    table = pd.crosstab(ev["event_type"], dow)
+    o = table.to_numpy(dtype="float64")
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    chi2 = float(((o - e) ** 2 / e)[o + e > 0].sum())
+    got = _one(spark, sf_dir, "q_chisquare").iloc[0]
+    assert got["n_cells"] == int((table > 0).to_numpy().sum())
+    # the query rounds each cell term to micro before summing: allow the
+    # accumulated per-cell rounding (n_cells * 0.5 micro) plus float slack
+    assert abs(got["chi2"] - chi2) <= got["n_cells"] * 1e-6 + 1e-4
