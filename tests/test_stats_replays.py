@@ -153,3 +153,167 @@ def test_chisquare_matches_contingency_formula(spark, sf_dir, frames):
     # the query rounds each cell term to micro before summing: allow the
     # accumulated per-cell rounding (n_cells * 0.5 micro) plus float slack
     assert abs(got["chi2"] - chi2) <= got["n_cells"] * 1e-6 + 1e-4
+
+
+def test_ols_matches_numpy_least_squares(spark, sf_dir, frames):
+    ev, _ = frames
+    base = pd.Timestamp("2024-01-01").date()
+    got = _one(spark, sf_dir, "q_ols_trend").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        x = np.array([(d - base).days for d in daily.index], dtype="float64")
+        y = daily.to_numpy(dtype="float64")
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+        row = got.loc[et]
+        assert row["n_days"] == len(x), et
+        assert abs(row["slope"] - round(float(slope), 6)) <= 2e-6, et
+        assert abs(row["intercept"] - round(float(intercept), 6)) <= 2e-6, et
+        assert abs(row["r2"] - round(r2, 6)) <= 2e-6, et
+
+
+def test_weekly_correlation_matches_numpy_pearson(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = (
+        ev.groupby("day")
+        .agg(x=("cents", "size"), y=("cents", "sum"))
+        .reset_index()
+    )
+    # date_trunc('week') is Monday-start
+    daily["week"] = pd.to_datetime(daily["day"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    got = _one(spark, sf_dir, "q_weekly_correlation").set_index("week")
+    for wk, g in daily.groupby("week"):
+        r = float(np.corrcoef(g["x"], g["y"])[0, 1])
+        row = got.loc[wk]
+        assert row["n_days"] == len(g), wk
+        assert abs(row["pearson_r"] - round(r, 6)) <= 2e-6, wk
+
+
+def test_runs_test_matches_wald_wolfowitz(spark, sf_dir, frames):
+    ev, _ = frames
+    y = ev.groupby("day").size().sort_index().to_numpy()
+    dy = np.diff(y)
+    s = np.sign(dy[dy != 0])
+    n1 = int((s == 1).sum())
+    n2 = int((s == -1).sum())
+    runs = 1 + int((s[1:] != s[:-1]).sum())
+    n = n1 + n2
+    e_r = 2 * n1 * n2 / n + 1
+    var_r = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    z = (runs - e_r) / math.sqrt(var_r)
+    got = _one(spark, sf_dir, "q_runs_test").iloc[0]
+    assert (got["n_up"], got["n_down"], got["n_runs"]) == (n1, n2, runs)
+    assert abs(got["z"] - round(z, 4)) <= 2e-4
+    assert bool(got["significant"]) == (abs(z) > 1.96)
+
+
+def test_iqr_outliers_match_tukey_fences(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size()
+    y = daily.to_numpy(dtype="float64")
+    q1_4 = round(float(np.percentile(y, 25)) * 4)
+    q3_4 = round(float(np.percentile(y, 75)) * 4)
+    lo8 = 2 * q1_4 - 3 * (q3_4 - q1_4)
+    hi8 = 2 * q3_4 + 3 * (q3_4 - q1_4)
+    want = sorted(
+        (d, int(v), lo8, hi8)
+        for d, v in daily.items()
+        if 8 * v < lo8 or 8 * v > hi8
+    )
+    got = sorted(map(tuple, _one(spark, sf_dir, "q_iqr_outliers").itertuples(index=False)))
+    assert got == want
+
+
+def test_cusum_matches_integer_argmax(spark, sf_dir, frames):
+    ev, _ = frames
+    got = _one(spark, sf_dir, "q_cusum").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        s = daily.cumsum().to_numpy(dtype="int64")
+        n, st = len(daily), int(daily.sum())
+        dev = np.abs(n * s - np.arange(1, n + 1, dtype="int64") * st)
+        best = int(dev.argmax())  # argmax returns FIRST max = earliest day
+        row = got.loc[et]
+        assert row["change_day"] == daily.index[best], et
+        assert row["dev_num"] == int(dev[best]) and row["n_days"] == n, et
+        assert abs(row["dev_rel"] - round(int(dev[best]) / (n * st), 6)) <= 2e-6, et
+
+
+def test_lorenz_matches_closed_form_ntile(spark, sf_dir, frames):
+    ev, _ = frames
+    per_user = (
+        ev.groupby("user_id")["cents"].sum().reset_index().sort_values(
+            ["cents", "user_id"]
+        )
+    )
+    x = per_user["cents"].to_numpy(dtype="int64")
+    n, total = len(x), int(x.sum())
+    q, r = divmod(n, 10)
+    sizes = [q + 1] * r + [q] * (10 - r)
+    got = _one(spark, sf_dir, "q_lorenz_curve").set_index("decile")
+    pos, cum_v = 0, 0
+    for tile, size in enumerate(sizes, start=1):
+        if size == 0:
+            continue
+        v = int(x[pos : pos + size].sum())
+        pos += size
+        cum_v += v
+        row = got.loc[tile]
+        assert row["n_users"] == size and row["value_cents"] == v, tile
+        assert row["share_ppm"] == v * 1_000_000 // total, tile
+        # cumulative share floors the CUMULATIVE value once (no drift
+        # accumulation from per-decile flooring)
+        assert row["cum_share_ppm"] == cum_v * 1_000_000 // total, tile
+
+
+def test_seasonality_matches_integer_index(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size().reset_index(name="n")
+    anchor = pd.Timestamp("2024-01-07").date()
+    daily["dow"] = daily["day"].map(lambda d: (d - anchor).days % 7)
+    kt, st = len(daily), int(daily["n"].sum())
+    got = _one(spark, sf_dir, "q_seasonality").set_index("dow")
+    for dow, g in daily.groupby("dow"):
+        k, s = len(g), int(g["n"].sum())
+        row = got.loc[dow]
+        assert row["n_days"] == k and row["n_events"] == s, dow
+        assert row["index_ppm"] == s * kt * 1_000_000 // (st * k), dow
+
+
+def test_churn_matches_set_difference(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    act = (
+        pd.DataFrame({"user_id": ev["user_id"], "week": wk})
+        .drop_duplicates()
+        .groupby("week")["user_id"]
+        .agg(set)
+        .sort_index()
+    )
+    weeks = list(act.index)
+    got = _one(spark, sf_dir, "q_churn").set_index("week")
+    assert list(got.index) == weeks[:-1]  # last week (no successor) excluded
+    by_week = dict(act)
+    for i, w in enumerate(weeks[:-1]):
+        nxt_date = w + pd.Timedelta(days=7).to_pytimedelta()
+        churned = len(by_week[w] - by_week.get(nxt_date, set()))
+        row = got.loc[w]
+        assert row["n_active"] == len(by_week[w]), w
+        assert row["n_churned"] == churned, w
+        assert row["churn_ppm"] == churned * 1_000_000 // len(by_week[w]), w
+
+
+def test_char_entropy_matches_counter_formula(spark, sf_dir):
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    got = _one(spark, sf_dir, "x_char_entropy").set_index("doc_id")
+    for _, rec in docs.iterrows():
+        c = Counter(rec["text"])
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        row = got.loc[rec["doc_id"]]
+        assert row["n_chars"] == n and row["alphabet_size"] == len(c)
+        # per-char micro-nat rounding inside the query: allow its
+        # accumulation over the alphabet plus float slack
+        assert abs(row["entropy_nats"] - h) <= len(c) * 1e-6 + 1e-4
