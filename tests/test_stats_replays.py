@@ -317,3 +317,166 @@ def test_char_entropy_matches_counter_formula(spark, sf_dir):
         # per-char micro-nat rounding inside the query: allow its
         # accumulation over the alphabet plus float slack
         assert abs(row["entropy_nats"] - h) <= len(c) * 1e-6 + 1e-4
+
+
+def test_ab_ztest_and_power_match_closed_forms(spark, sf_dir, frames):
+    ev, _ = frames
+    anchor = pd.Timestamp("2024-01-07").date()
+    dow = ev["day"].map(lambda d: (d - anchor).days % 7)
+    weekend = dow.isin([0, 6])
+    purchase = ev["event_type"] == "purchase"
+    n1, x1 = int(weekend.sum()), int((weekend & purchase).sum())
+    n2, x2 = int((~weekend).sum()), int((~weekend & purchase).sum())
+    p1, p2, pp = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    got = _one(spark, sf_dir, "q_ab_ztest").iloc[0]
+    assert (got["n_weekend"], got["x_weekend"]) == (n1, x1)
+    assert (got["n_weekday"], got["x_weekday"]) == (n2, x2)
+    assert abs(got["z"] - round(z, 4)) <= 2e-4
+    assert bool(got["significant"]) == (abs(z) > 1.96)
+
+    mde = (1.96 + 0.8416) * math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    power = _one(spark, sf_dir, "q_ab_power").iloc[0]
+    assert (power["n_weekend"], power["n_weekday"]) == (n1, n2)
+    assert power["pooled_rate_ppm"] == (x1 + x2) * 1_000_000 // (n1 + n2)
+    assert abs(power["mde_ppm"] - round(mde * 1_000_000)) <= 1
+
+
+def test_histogram_quantiles_match_cumcount_scan(spark, sf_dir, frames):
+    _, orders = frames
+    cents = (orders["o_totalprice"] * 100).round(0).astype("int64")
+    bins = (cents // 50_000).astype("int64")  # $500 bins
+    counts = bins.value_counts().sort_index()
+    cum = counts.cumsum()
+    total = int(counts.sum())
+    got = _one(spark, sf_dir, "q_histogram_quantiles").set_index("pct")
+    for pct in got.index:
+        want_bin = int(cum.index[(cum * 100 >= pct * total).argmax()])
+        row = got.loc[pct]
+        assert row["bin"] == want_bin, pct
+        assert row["est_upper_dollars"] == (want_bin + 1) * 500, pct
+        assert row["n_orders"] == total, pct
+
+
+def test_interpolation_matches_linear_formula(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size()
+    days = pd.date_range(min(daily.index), max(daily.index), freq="D").date
+    # the query masks every day-of-month divisible by 7 to force gaps
+    v = {d: (None if d.day % 7 == 0 else daily.get(d)) for d in days}
+    got = _one(spark, sf_dir, "q_interpolate_daily").set_index("d")
+    assert list(got.index) == list(days)
+    obs_days = [d for d in days if v[d] is not None]
+    for d in days:
+        row = got.loc[d]
+        if v[d] is not None:
+            assert row["observed"] == v[d] and row["value_milli"] == v[d] * 1000, d
+            continue
+        assert pd.isna(row["observed"]), d
+        prevs = [p for p in obs_days if p < d]
+        nexts = [p for p in obs_days if p > d]
+        if prevs and nexts:
+            p, nx = prevs[-1], nexts[0]
+            want = v[p] * 1000 + (v[nx] - v[p]) * 1000 * (d - p).days // (nx - p).days
+        else:
+            edge = prevs[-1] if prevs else nexts[0]
+            want = v[edge] * 1000
+        assert row["value_milli"] == want, d
+
+
+def test_event_transitions_match_pandas_lag(spark, sf_dir, frames):
+    ev, _ = frames
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    pairs = {}
+    for _, g in s.groupby("user_id"):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    row_n = {}
+    for (a, _), n in pairs.items():
+        row_n[a] = row_n.get(a, 0) + n
+    got = _one(spark, sf_dir, "q_event_transitions")
+    assert len(got) == len(pairs)
+    for rec in got.itertuples(index=False):
+        n = pairs[(rec.from_type, rec.to_type)]
+        assert rec.n == n and rec.row_n == row_n[rec.from_type]
+        assert rec.ppm == n * 1_000_000 // row_n[rec.from_type]
+
+
+def test_user_ewma_matches_python_fold(spark, sf_dir, frames):
+    ev, _ = frames
+    got = _one(spark, sf_dir, "q_user_ewma").set_index("user_id")
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vs = list(g["cents"])
+        acc = vs[0]
+        for x in vs[1:]:
+            acc = (acc + x) // 2  # positive -> trunc == floor
+        row = got.loc[uid]
+        assert row["n_events"] == len(vs) and row["ewma_cents"] == acc, uid
+
+
+def test_rfm_segments_match_closed_form_ntiles(spark, sf_dir, frames):
+    ev, _ = frames
+    ref_date = pd.Timestamp("2024-01-30").date()
+    per = ev.groupby("user_id").agg(
+        last=("day", "max"), frequency=("cents", "size"), monetary=("cents", "sum")
+    )
+    per["recency_days"] = per["last"].map(lambda d: (ref_date - d).days)
+
+    def ntile4(ordered_ids):
+        n = len(ordered_ids)
+        q, r = divmod(n, 4)
+        out, pos = {}, 0
+        for tile in range(1, 5):
+            size = q + 1 if tile <= r else q
+            for uid in ordered_ids[pos : pos + size]:
+                out[uid] = tile
+            pos += size
+        return out
+
+    r_tile = ntile4(
+        list(per.sort_values(["recency_days"], ascending=False)
+             .sort_values("user_id", kind="stable")
+             .sort_values("recency_days", ascending=False, kind="stable").index)
+    )
+    f_tile = ntile4(
+        list(per.sort_values("user_id", kind="stable")
+             .sort_values("frequency", kind="stable").index)
+    )
+    m_tile = ntile4(
+        list(per.sort_values("user_id", kind="stable")
+             .sort_values("monetary", kind="stable").index)
+    )
+    seg = {}
+    for uid in per.index:
+        code = r_tile[uid] * 100 + f_tile[uid] * 10 + m_tile[uid]
+        seg.setdefault(code, []).append(uid)
+    got = _one(spark, sf_dir, "q_rfm_segments").set_index("rfm_segment")
+    assert sorted(got.index) == sorted(seg)
+    for code, uids in seg.items():
+        row = got.loc[code]
+        assert row["n_users"] == len(uids), code
+        total = int(per.loc[uids, "monetary"].sum())
+        assert row["mean_monetary_cents"] == total // len(uids), code
+
+
+def test_ttr_and_source_entropy_match_token_counts(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    per_source: dict[str, Counter] = {}
+    for _, rec in docs.iterrows():
+        toks = [w for w in re.split(r"[^a-z]+", rec["text"].lower()) if w]
+        per_source.setdefault(rec["source"], Counter()).update(toks)
+    ttr = _one(spark, sf_dir, "x_ttr_by_source").set_index("source")
+    ent = _one(spark, sf_dir, "x_source_entropy").set_index("source")
+    for src, c in per_source.items():
+        n, types = sum(c.values()), len(c)
+        trow = ttr.loc[src]
+        assert trow["n_tokens"] == n and trow["n_types"] == types, src
+        assert trow["ttr_milli"] == types * 1000 // n, src
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        erow = ent.loc[src]
+        assert erow["n_tokens"] == n and erow["n_types"] == types, src
+        assert abs(erow["entropy_nats"] - h) <= types * 1e-6 + 1e-4, src
