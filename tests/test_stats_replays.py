@@ -480,3 +480,103 @@ def test_ttr_and_source_entropy_match_token_counts(spark, sf_dir):
         erow = ent.loc[src]
         assert erow["n_tokens"] == n and erow["n_types"] == types, src
         assert abs(erow["entropy_nats"] - h) <= types * 1e-6 + 1e-4, src
+
+
+def test_weekly_anomalies_match_integer_ztest(spark, sf_dir, frames):
+    ev, _ = frames
+    cells = ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    got = _one(spark, sf_dir, "q_weekly_anomalies").set_index(["week", "event_type"])
+    assert len(got) == len(cells)
+    for et, g in cells.groupby("event_type"):
+        k, s, sq = len(g), int(g["n"].sum()), int((g["n"] ** 2).sum())
+        for rec in g.itertuples(index=False):
+            # (n - s/k)^2 > 4*(sq/k - (s/k)^2), cross-multiplied by k^2
+            flag = (rec.n * k - s) ** 2 > 4 * (k * sq - s * s)
+            row = got.loc[(rec.day, et)]
+            assert row["n"] == rec.n and bool(row["is_anomaly"]) == flag, (et, rec.day)
+
+
+def test_seasonal_adjust_matches_index_division(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size().rename("y").reset_index()
+    anchor = pd.Timestamp("2024-01-07").date()
+    daily["dow"] = daily["day"].map(lambda d: (d - anchor).days % 7)
+    kt, st = len(daily), int(daily["y"].sum())
+    idx = {
+        dow: int(g["y"].sum()) * kt * 1_000_000 // (st * len(g))
+        for dow, g in daily.groupby("dow")
+    }
+    got = _one(spark, sf_dir, "q_seasonal_adjust").set_index("d")
+    assert len(got) == len(daily)
+    for rec in daily.itertuples(index=False):
+        row = got.loc[rec.day]
+        assert row["y"] == rec.y and row["index_ppm"] == idx[rec.dow], rec.day
+        assert row["adjusted"] == rec.y * 1_000_000 // idx[rec.dow], rec.day
+
+
+def test_ltv_cohorts_match_cumulative_grid(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    df = pd.DataFrame(
+        {"user_id": ev["user_id"], "week": wk, "cents": ev["cents"]}
+    )
+    cohort = df.groupby("user_id")["week"].min().rename("cohort")
+    df = df.join(cohort, on="user_id")
+    df["age_weeks"] = (
+        pd.to_datetime(df["week"]) - pd.to_datetime(df["cohort"])
+    ).dt.days // 7
+    cohort_n = cohort.value_counts()
+    grid = (
+        df.groupby(["cohort", "age_weeks"])["cents"].sum().rename("v").reset_index()
+    )
+    got = _one(spark, sf_dir, "q_ltv_cohorts").set_index(["cohort", "age_weeks"])
+    for co, g in grid.sort_values("age_weeks").groupby("cohort"):
+        n = int(cohort_n[co])
+        cum = 0
+        for rec in g.itertuples(index=False):
+            cum += int(rec.v)
+            row = got.loc[(co, rec.age_weeks)]
+            assert row["cohort_n"] == n, (co, rec.age_weeks)
+            assert row["cum_cents"] == cum, (co, rec.age_weeks)
+            assert row["ltv_milli_per_user"] == cum * 10 // n, (co, rec.age_weeks)
+
+
+def test_vocab_growth_matches_first_seen_buckets(spark, sf_dir):
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    first: dict[str, int] = {}
+    for _, rec in docs.sort_values("doc_id").iterrows():
+        for w in re.split(r"[^a-z]+", rec["text"].lower()):
+            if w and w not in first:
+                first[w] = int(rec["doc_id"])
+    lo, hi = int(docs["doc_id"].min()), int(docs["doc_id"].max())
+    span = max(hi - lo + 1, 1)
+    buckets: dict[int, int] = {}
+    for d in first.values():
+        b = min(9, (d - lo) * 10 // span)
+        buckets[b] = buckets.get(b, 0) + 1
+    got = _one(spark, sf_dir, "x_vocab_growth").set_index("bucket")
+    assert sorted(got.index) == sorted(buckets)
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        row = got.loc[b]
+        assert row["new_types"] == buckets[b] and row["cumulative_types"] == cum, b
+
+
+def test_prefix_templates_match_counted_prefixes(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    prefixes = Counter(
+        " ".join(re.split(r"\s+", t)[:5]) for t in docs["text"]
+    )
+    nd = len(docs)
+    want = {p: n for p, n in prefixes.items() if n >= 2}
+    got = _one(spark, sf_dir, "x_prefix_templates").set_index("prefix")
+    assert sorted(got.index) == sorted(want)
+    for p, n in want.items():
+        row = got.loc[p]
+        assert row["n_docs"] == n and row["share_ppm"] == n * 1_000_000 // nd, p
