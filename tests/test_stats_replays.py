@@ -580,3 +580,128 @@ def test_prefix_templates_match_counted_prefixes(spark, sf_dir):
     for p, n in want.items():
         row = got.loc[p]
         assert row["n_docs"] == n and row["share_ppm"] == n * 1_000_000 // nd, p
+
+
+def test_weekend_lift_matches_rate_ratio(spark, sf_dir, frames):
+    ev, _ = frames
+    anchor = pd.Timestamp("2024-01-07").date()
+    is_we = ev["day"].map(lambda d: (d - anchor).days % 7 in (0, 6))
+    days = ev.assign(we=is_we).drop_duplicates("day")
+    we_days = int(days["we"].sum())
+    wd_days = int((~days["we"]).sum())
+    got = _one(spark, sf_dir, "q_weekend_lift").set_index("event_type")
+    for et, g in ev.assign(we=is_we).groupby("event_type"):
+        we, wd = int(g["we"].sum()), int((~g["we"]).sum())
+        row = got.loc[et]
+        assert (row["weekend_events"], row["weekday_events"]) == (we, wd), et
+        assert row["rate_lift_ppm"] == we * wd_days * 1_000_000 // max(
+            1, wd * we_days
+        ), et
+
+
+def test_stickiness_matches_set_cardinalities(spark, sf_dir, frames):
+    ev, _ = frames
+    ts = pd.to_datetime(ev["ts"])
+    week = ts.dt.to_period("W-SUN").dt.start_time.dt.date
+    month = ts.dt.to_period("M").dt.start_time.dt.date
+    df = pd.DataFrame({"u": ev["user_id"], "week": week, "month": month})
+    got = _one(spark, sf_dir, "q_stickiness").set_index("week")
+    for wk, g in df.groupby("week"):
+        wau = g["u"].nunique()
+        months = g["month"].unique()
+        # each week joins its calendar month(s); MAX picks the larger MAU
+        mau = max(df.loc[df["month"] == m, "u"].nunique() for m in months)
+        row = got.loc[wk]
+        assert (row["wau"], row["mau"]) == (wau, mau), wk
+        assert row["stickiness_ppm"] == wau * 1_000_000 // mau, wk
+
+
+def test_ma_crossover_matches_rolling_sums(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = ev.groupby("day").size().sort_index()
+    y = daily.to_numpy(dtype="int64")
+    want = []
+    prev = None
+    for i in range(6, len(y)):
+        s3, s7 = int(y[i - 2 : i + 1].sum()), int(y[i - 6 : i + 1].sum())
+        st = 1 if 7 * s3 > 3 * s7 else -1
+        if prev is not None and st != prev:
+            want.append(
+                (daily.index[i], int(y[i]), s3, s7, "golden" if st == 1 else "death")
+            )
+        prev = st
+    got = sorted(map(tuple, _one(spark, sf_dir, "q_ma_crossover").itertuples(index=False)))
+    assert got == sorted(want)
+
+
+def test_interarrival_matches_log2_histogram(spark, sf_dir, frames):
+    ev, _ = frames
+    s = ev.sort_values(["ts", "event_id"])
+    buckets: dict[int, int] = {}
+    for _, g in s.groupby("user_id"):
+        t = pd.to_datetime(g["ts"]).astype("int64") // 1000  # microseconds
+        for gap_us in np.diff(t.to_numpy()):
+            gap_min = int(gap_us) // 60_000_000
+            # bucket b holds gaps in [2^(b-1), 2^b) minutes, b=0 is <1 min,
+            # b=11 collects everything >= 1024 min
+            b = 0 if gap_min < 1 else min(11, int(math.floor(math.log2(gap_min))) + 1)
+            buckets[b] = buckets.get(b, 0) + 1
+    total = sum(buckets.values())
+    got = _one(spark, sf_dir, "q_interarrival").set_index("log2_min_bucket")
+    assert sorted(got.index) == sorted(buckets)
+    for b, n in buckets.items():
+        row = got.loc[b]
+        assert row["n_gaps"] == n and row["share_ppm"] == n * 1_000_000 // total, b
+
+
+def test_punchcard_matches_crosstab(spark, sf_dir, frames):
+    ev, _ = frames
+    anchor = pd.Timestamp("2024-01-07").date()
+    dow = ev["day"].map(lambda d: (d - anchor).days % 7)
+    hour = pd.to_datetime(ev["ts"]).dt.hour
+    cells = pd.DataFrame({"dow": dow, "hour": hour}).value_counts()
+    total = int(cells.sum())
+    got = _one(spark, sf_dir, "q_punchcard").set_index(["dow", "hour"])
+    assert len(got) == len(cells)
+    for (d, h), n in cells.items():
+        row = got.loc[(d, h)]
+        assert row["n_events"] == n and row["share_ppm"] == n * 1_000_000 // total
+
+
+def test_adoption_and_new_returning_match_first_seen(spark, sf_dir, frames):
+    ev, _ = frames
+    first_day = ev.groupby("user_id")["day"].min()
+    per_day = first_day.value_counts().sort_index()
+    got = _one(spark, sf_dir, "q_adoption_curve").set_index("d")
+    cum = 0
+    assert len(got) == len(per_day)
+    for d, n in per_day.items():
+        cum += int(n)
+        row = got.loc[d]
+        assert row["n_new"] == n and row["cumulative_users"] == cum, d
+
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    act = pd.DataFrame({"u": ev["user_id"], "week": wk}).drop_duplicates()
+    first_week = act.groupby("u")["week"].min()
+    nvr = _one(spark, sf_dir, "q_new_vs_returning").set_index("week")
+    for w, g in act.groupby("week"):
+        n_active = len(g)
+        n_new = int((first_week[g["u"]] == w).sum())
+        row = nvr.loc[w]
+        assert (row["n_active"], row["n_new"]) == (n_active, n_new), w
+        assert row["n_returning"] == n_active - n_new, w
+        assert row["new_share_ppm"] == n_new * 1_000_000 // n_active, w
+
+
+def test_key_skew_matches_counted_ranking(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source").toPandas()
+    counts = docs["source"].value_counts()
+    total, n_keys = int(counts.sum()), len(counts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _one(spark, sf_dir, "q_key_skew").set_index("rank")
+    assert len(got) == len(ranked)
+    for r, (key, n) in enumerate(ranked, start=1):
+        row = got.loc[r]
+        assert row["key"] == key and row["n_rows"] == n, r
+        assert row["share_ppm"] == n * 1_000_000 // total, r
+        assert row["pct_of_mean"] == n * 100 * n_keys // total, r
