@@ -73,6 +73,16 @@ def check_regressions(
     return out
 
 
+def still_regressed(rerun_t: float, base: float, env_factor: float) -> bool:
+    """Confirmation-pass verdict for one flagged query, pure for unit tests:
+    the immediate warm re-run must STILL exceed the same contention-adjusted
+    thresholds for the flag to survive.  A position-in-sweep flake (cold page
+    cache, GC pause, a scheduler burst on that query's slot) does not
+    reproduce seconds later; a genuine code regression does."""
+    adj = base * env_factor
+    return rerun_t > 1.5 * adj and rerun_t - adj > 0.3
+
+
 def gate_should_fail(regressions: dict, env: dict) -> bool:
     """Exit-2 decision, pure for unit tests: regressions fail the run unless
     the gate is disabled OR the invocation is an explicit baseline refresh
@@ -221,6 +231,30 @@ def main() -> None:
         base_sf = baseline_all.get(str(sf), {})
         regressions = check_regressions(timings, base_sf, allowlist)
         env_factor = sweep_slowdown(timings, base_sf)
+        if regressions:
+            # Confirmation pass: re-time each flagged query once, warm, and
+            # keep only flags that reproduce (see still_regressed).  Sweep
+            # timings in the JSON record stay single-pass; cleared flakes are
+            # logged to stderr so the record shows both measurements.
+            confirmed: dict[str, list[float]] = {}
+            for name in regressions:
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                rt = round(time.perf_counter() - t0, 3)
+                release_checkpoints()
+                if still_regressed(rt, base_sf[name], env_factor):
+                    confirmed[name] = [base_sf[name], timings[name], rt]
+                else:
+                    print(
+                        json.dumps(
+                            {"bench_flake_cleared": {name: [base_sf[name], timings[name], rt]}},
+                            separators=(",", ":"),
+                        ),
+                        file=sys.stderr,
+                    )
+            regressions = confirmed
         if env_factor > 1.2:
             # A uniformly slow sweep (contended box OR a >50%-of-queries
             # regression — the normalizer cannot tell them apart) is

@@ -91,3 +91,16 @@ def test_committed_allowlist_is_valid():
         assert isinstance(reason, str) and len(reason) >= 20, (
             f"allowlist entry {name} needs a real justification"
         )
+
+
+def test_confirmation_pass_clears_flakes_keeps_regressions():
+    from bench import still_regressed
+
+    # a sweep flake that re-runs at baseline speed is cleared
+    assert not still_regressed(0.32, 0.311, 1.0)
+    # a genuine regression reproduces on the warm re-run
+    assert still_regressed(2.1, 0.45, 1.0)
+    # the contention normalizer scales the threshold for the re-run too:
+    # adj = 0.45*1.3 = 0.585 -> 0.87 is under 1.5*adj, 0.9 is over both bars
+    assert not still_regressed(0.87, 0.45, 1.3)
+    assert still_regressed(0.9, 0.45, 1.3)
