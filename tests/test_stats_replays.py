@@ -705,3 +705,202 @@ def test_key_skew_matches_counted_ranking(spark, sf_dir):
         assert row["key"] == key and row["n_rows"] == n, r
         assert row["share_ppm"] == n * 1_000_000 // total, r
         assert row["pct_of_mean"] == n * 100 * n_keys // total, r
+
+
+def test_weekly_ctr_matches_counts(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    df = pd.DataFrame({"week": wk, "t": ev["event_type"]})
+    got = _one(spark, sf_dir, "q_weekly_ctr").set_index("week")
+    for w, g in df.groupby("week"):
+        v = int((g["t"] == "view").sum())
+        c = int((g["t"] == "click").sum())
+        p = int((g["t"] == "purchase").sum())
+        row = got.loc[w]
+        assert (row["views"], row["clicks"], row["purchases"]) == (v, c, p), w
+        assert row["ctr_ppm"] == c * 1_000_000 // v, w
+        assert row["purchase_rate_ppm"] == p * 1_000_000 // c, w
+
+
+def test_return_rate_matches_monthly_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    ).toPandas()
+    li["month"] = pd.to_datetime(li["l_shipdate"]).dt.to_period("M").dt.start_time.dt.date
+    li["cents"] = (li["l_extendedprice"] * 100).round(0).astype("int64")
+    got = _one(spark, sf_dir, "q_return_rate").set_index("month")
+    for m, g in li.groupby("month"):
+        n, ret = len(g), int((g["l_returnflag"] == "R").sum())
+        rc = int(g["cents"].sum())
+        rc_ret = int(g.loc[g["l_returnflag"] == "R", "cents"].sum())
+        row = got.loc[m]
+        assert (row["n_lines"], row["n_returned"]) == (n, ret), m
+        assert row["return_ppm"] == ret * 1_000_000 // n, m
+        assert row["value_return_ppm"] == rc_ret * 1_000_000 // rc, m
+
+
+def test_aov_by_segment_matches_join_rollup(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100).round(0).astype("int64")
+    got = _one(spark, sf_dir, "q_aov_by_segment").set_index("c_mktsegment")
+    for seg, g in j.groupby("c_mktsegment"):
+        n, total = len(g), int(g["cents"].sum())
+        row = got.loc[seg]
+        assert (row["n_orders"], row["total_cents"]) == (n, total), seg
+        assert row["aov_cents"] == total // n, seg
+
+
+def test_fulfillment_latency_matches_percentiles(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).toPandas()
+    first = li.groupby("l_orderkey")["l_shipdate"].min().rename("ship")
+    j = orders.join(first, on="o_orderkey", how="inner")
+    j["days"] = (
+        pd.to_datetime(j["ship"]) - pd.to_datetime(j["o_orderdate"])
+    ).dt.days
+    got = _one(spark, sf_dir, "q_fulfillment_latency").set_index("o_orderpriority")
+    for pr, g in j.groupby("o_orderpriority"):
+        d = g["days"].to_numpy(dtype="float64")
+        row = got.loc[pr]
+        assert row["n_orders"] == len(d), pr
+        assert row["p50_days_x4"] == round(float(np.percentile(d, 50)) * 4), pr
+        assert row["p90_days_x4"] == round(float(np.percentile(d, 90)) * 4), pr
+        assert row["max_days"] == int(d.max()), pr
+
+
+def test_cart_abandonment_matches_gap_sessions(spark, sf_dir, frames):
+    ev, _ = frames
+    s = ev.sort_values(["ts", "event_id"])
+    sessions = []  # (first_ts, clicked, purchased)
+    for _, g in s.groupby("user_id"):
+        last = None
+        cur = None
+        for rec in g.itertuples(index=False):
+            if last is None or (rec.ts - last).total_seconds() > 30 * 60:
+                if cur:
+                    sessions.append(cur)
+                cur = [rec.ts, False, False]
+            if rec.event_type == "click":
+                cur[1] = True
+            if rec.event_type == "purchase":
+                cur[2] = True
+            last = rec.ts
+        if cur:
+            sessions.append(cur)
+    df = pd.DataFrame(sessions, columns=["t0", "clicked", "purchased"])
+    df["week"] = pd.to_datetime(df["t0"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    got = _one(spark, sf_dir, "q_cart_abandonment").set_index("week")
+    clicked = df[df["clicked"]]
+    for w, g in clicked.groupby("week"):
+        n, ab = len(g), int((~g["purchased"]).sum())
+        row = got.loc[w]
+        assert (row["n_click_sessions"], row["n_abandoned"]) == (n, ab), w
+        assert row["abandonment_ppm"] == ab * 1_000_000 // n, w
+
+
+def test_conversion_lag_matches_percentiles(spark, sf_dir, frames):
+    ev, _ = frames
+    lags = []
+    for uid, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        t_view = views.min()
+        buys = g.loc[(g["event_type"] == "purchase") & (g["ts"] >= t_view), "ts"]
+        if buys.empty:
+            continue
+        lags.append((buys.min() - t_view).total_seconds() * 1e6)
+    a = np.array(lags, dtype="float64")
+    got = _one(spark, sf_dir, "q_conversion_lag").iloc[0]
+    assert got["n_users"] == len(a)
+    for p, col in ((25, "p25"), (50, "p50"), (90, "p90")):
+        assert abs(got[col] - round(float(np.percentile(a, p)), 1)) <= 0.2, col
+
+
+def test_audience_overlap_matches_set_jaccard(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    by_week = (
+        pd.DataFrame({"u": ev["user_id"], "week": wk})
+        .drop_duplicates()
+        .groupby("week")["u"]
+        .agg(set)
+    )
+    weeks = list(by_week.index)
+    got = _one(spark, sf_dir, "q_audience_overlap").set_index(["week_a", "week_b"])
+    n_pairs = sum(1 for i in range(len(weeks)) for j in range(i + 1, len(weeks)))
+    assert len(got) == n_pairs
+    for i in range(len(weeks)):
+        for j in range(i + 1, len(weeks)):
+            a, b = by_week[weeks[i]], by_week[weeks[j]]
+            inter, union = len(a & b), len(a | b)
+            row = got.loc[(weeks[i], weeks[j])]
+            assert (row["n_inter"], row["n_a"], row["n_b"]) == (inter, len(a), len(b))
+            assert row["jaccard_ppm"] == inter * 1_000_000 // union
+
+
+def test_range_frame_matches_calendar_window(spark, sf_dir, frames):
+    ev, _ = frames
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    got = _one(spark, sf_dir, "q_range_frame").set_index(["event_type", "d"])
+    assert len(got) == len(daily)
+    for et, g in daily.groupby("event_type"):
+        by_day = dict(zip(g["day"], g["y"]))
+        for d, y in by_day.items():
+            want = sum(
+                v for dd, v in by_day.items() if 0 <= (d - dd).days <= 2
+            )
+            row = got.loc[(et, d)]
+            assert row["y"] == y and row["rolling_3d"] == want, (et, d)
+
+
+def test_weekly_mix_share_matches_delta(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    cells = (
+        pd.DataFrame({"week": wk, "t": ev["event_type"]})
+        .groupby(["week", "t"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    tot = cells.groupby("week")["n"].sum()
+    cells["share"] = [
+        int(n) * 1_000_000 // int(tot[w]) for w, n in zip(cells["week"], cells["n"])
+    ]
+    got = _one(spark, sf_dir, "q_weekly_mix_share").set_index(["week", "event_type"])
+    for t, g in cells.sort_values("week").groupby("t"):
+        prev = None
+        for rec in g.itertuples(index=False):
+            row = got.loc[(rec.week, t)]
+            assert row["n_events"] == rec.n and row["share_ppm"] == rec.share, (t, rec.week)
+            if prev is None:
+                assert pd.isna(row["share_delta_ppm"]), (t, rec.week)
+            else:
+                assert row["share_delta_ppm"] == rec.share - prev, (t, rec.week)
+            prev = rec.share
+
+
+def test_variant_props_matches_json_histogram(spark, sf_dir, frames):
+    import json as _json
+
+    ev, _ = frames
+    k = ev["props"].map(lambda p: _json.loads(p).get("k") if p else None)
+    dec = (pd.Series(k, dtype="float64") // 10 * 10).astype("int64")
+    counts = dec.value_counts()
+    got = _one(spark, sf_dir, "q_variant_props").set_index("k_decade")
+    assert sorted(got.index) == sorted(counts.index)
+    for d, n in counts.items():
+        assert got.loc[d]["n_events"] == n, d
