@@ -904,3 +904,84 @@ def test_variant_props_matches_json_histogram(spark, sf_dir, frames):
     assert sorted(got.index) == sorted(counts.index)
     for d, n in counts.items():
         assert got.loc[d]["n_events"] == n, d
+
+
+def test_association_rules_match_basket_counts(spark, sf_dir, frames):
+    ev, _ = frames
+    baskets = ev.groupby("user_id")["event_type"].agg(set)
+    n_users = len(baskets)
+    types = sorted(set().union(*baskets))
+    got = _one(spark, sf_dir, "q_association_rules").set_index(["ante", "cons"])
+    for a in types:
+        n_a = sum(1 for b in baskets if a in b)
+        for c in types:
+            if a == c:
+                continue
+            n_c = sum(1 for b in baskets if c in b)
+            n_both = sum(1 for b in baskets if a in b and c in b)
+            if (a, c) not in got.index:
+                assert n_both == 0, (a, c)
+                continue
+            row = got.loc[(a, c)]
+            assert row["n_both"] == n_both, (a, c)
+            assert row["support_ppm"] == n_both * 1_000_000 // n_users, (a, c)
+            assert row["confidence_ppm"] == n_both * 1_000_000 // n_a, (a, c)
+            assert row["lift_ppm"] == n_both * n_users * 1_000_000 // (n_a * n_c), (a, c)
+
+
+def test_sequence_match_matches_python_regex(spark, sf_dir, frames):
+    import re
+
+    ev, _ = frames
+    seqs = {
+        uid: "".join(
+            t[0] for t in g.sort_values(["ts", "event_id"])["event_type"]
+        )
+        for uid, g in ev.groupby("user_id")
+    }
+    pats = {
+        "view_then_purchase": "v.*p",
+        "view_click_purchase": "v.*c.*p",
+        "error_then_retry": "e.+e",
+        "signup_first": "^s",
+    }
+    got = _one(spark, sf_dir, "q_sequence_match").set_index("pattern")
+    n_users = len(seqs)
+    for name, pat in pats.items():
+        n = sum(1 for s in seqs.values() if re.search(pat, s))
+        row = got.loc[name]
+        assert (row["n_matched"], row["n_users"]) == (n, n_users), name
+        assert row["match_ppm"] == n * 1_000_000 // n_users, name
+
+
+def test_zorder_keys_match_python_morton(spark, sf_dir):
+    def morton(p, s):
+        z = 0
+        for i in range(16):
+            z |= ((p >> i) & 1) << (2 * i)
+            z |= ((s >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = _one(spark, sf_dir, "q_zorder_keys")
+    assert len(got) > 0
+    for rec in got.itertuples(index=False):
+        assert rec.zkey == morton(int(rec.l_partkey), int(rec.l_suppkey)), (
+            rec.l_partkey,
+            rec.l_suppkey,
+        )
+
+
+def test_metrics_events_match_weekly_grid(spark, sf_dir, frames):
+    ev, _ = frames
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
+    df = ev.assign(week=wk)
+    got = _one(spark, sf_dir, "d_metrics_events").set_index("metric_time")
+    assert len(got) == df["week"].nunique()
+    for w, g in df.groupby("week"):
+        total, n = int(g["cents"].sum()), len(g)
+        purchases = int((g["event_type"] == "purchase").sum())
+        buyers = g.loc[g["event_type"] == "purchase", "user_id"].nunique()
+        row = got.loc[w]
+        assert (row["total_value_cents"], row["n_events"]) == (total, n), w
+        assert (row["purchases"], row["buyers"]) == (purchases, buyers), w
+        assert row["cents_per_event"] == total // n, w
