@@ -17,26 +17,18 @@ import math
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from dbt_trill_shop_spark.catalog import load_table
 from dbt_trill_shop_spark.harness import QUERIES
 
 
-@pytest.fixture(scope="module")
-def frames(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").toPandas()
-    orders = load_table(spark, sf_dir, "orders").toPandas()
-    ev["cents"] = (ev["value"] * 100).round(0).astype("int64")
-    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
-    return ev, orders
 
 
 def _one(spark, sf_dir, name):
     return QUERIES[name].fn(spark, sf_dir).toPandas()
 
 
-def test_gini_matches_textbook_formula(spark, sf_dir, frames):
+def _pr_gini_matches_textbook_formula(spark, sf_dir, frames):
     ev, _ = frames
     x = np.sort(ev.groupby("user_id")["cents"].sum().to_numpy())
     n = len(x)
@@ -47,7 +39,7 @@ def test_gini_matches_textbook_formula(spark, sf_dir, frames):
     assert abs(got["gini"] - round(gini, 6)) <= 2e-6
 
 
-def test_spearman_matches_midrank_pearson(spark, sf_dir, frames):
+def _pr_spearman_matches_midrank_pearson(spark, sf_dir, frames):
     # textbook tie-correct Spearman: average (mid) ranks, then Pearson —
     # pandas' rank(method="average") supplies the independent ranking
     ev, _ = frames
@@ -60,7 +52,7 @@ def test_spearman_matches_midrank_pearson(spark, sf_dir, frames):
     assert abs(got["rho"] - round(rho, 6)) <= 2e-6
 
 
-def test_ks_matches_textbook_cdf_scan(spark, sf_dir, frames):
+def _pr_ks_matches_textbook_cdf_scan(spark, sf_dir, frames):
     _, orders = frames
     cents = (orders["o_totalprice"] * 100).round(0).astype("int64")
     s1 = np.sort(cents[orders["o_orderpriority"] == "1-URGENT"].to_numpy())
@@ -74,7 +66,7 @@ def test_ks_matches_textbook_cdf_scan(spark, sf_dir, frames):
     assert abs(got["ks_d"] - round(d, 6)) <= 2e-6
 
 
-def test_theilsen_matches_pairwise_median(spark, sf_dir, frames):
+def _pr_theilsen_matches_pairwise_median(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size()
     x = np.array([(d - pd.Timestamp("2024-01-01").date()).days for d in daily.index])
@@ -92,7 +84,7 @@ def test_theilsen_matches_pairwise_median(spark, sf_dir, frames):
     assert abs(got["theil_sen_slope"] - med) <= 2e-6
 
 
-def test_benford_matches_digit_histogram(spark, sf_dir, frames):
+def _pr_benford_matches_digit_histogram(spark, sf_dir, frames):
     _, orders = frames
     digits = orders["o_totalprice"].map(lambda v: int(f"{v:.2f}"[0]))
     counts = digits[digits >= 1].value_counts()
@@ -108,7 +100,7 @@ def test_benford_matches_digit_histogram(spark, sf_dir, frames):
         assert row["deviation_ppm"] == row["observed_ppm"] - expected
 
 
-def test_wilson_matches_textbook_bound(spark, sf_dir, frames):
+def _pr_wilson_matches_textbook_bound(spark, sf_dir, frames):
     ev, _ = frames
     purchasers = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
     per = ev.groupby(["user_id", "event_type"]).size().reset_index()
@@ -126,7 +118,7 @@ def test_wilson_matches_textbook_bound(spark, sf_dir, frames):
         assert abs(row["wilson_lower"] - round(lower, 6)) <= 2e-6, et
 
 
-def test_autocorrelation_matches_pearson_per_lag(spark, sf_dir, frames):
+def _pr_autocorrelation_matches_pearson_per_lag(spark, sf_dir, frames):
     ev, _ = frames
     y = ev.groupby("day").size().sort_index().to_numpy(dtype="float64")
     got = _one(spark, sf_dir, "q_autocorrelation").set_index("lag")
@@ -138,7 +130,7 @@ def test_autocorrelation_matches_pearson_per_lag(spark, sf_dir, frames):
         assert abs(row["r"] - round(r, 6)) <= 2e-6, lag
 
 
-def test_chisquare_matches_contingency_formula(spark, sf_dir, frames):
+def _pr_chisquare_matches_contingency_formula(spark, sf_dir, frames):
     ev, _ = frames
     dow = pd.to_datetime(ev["ts"]).dt.dayofweek
     # Spark dayofweek: 1=Sunday..7=Saturday; pandas: 0=Monday..6=Sunday —
@@ -155,7 +147,7 @@ def test_chisquare_matches_contingency_formula(spark, sf_dir, frames):
     assert abs(got["chi2"] - chi2) <= got["n_cells"] * 1e-6 + 1e-4
 
 
-def test_ols_matches_numpy_least_squares(spark, sf_dir, frames):
+def _pr_ols_matches_numpy_least_squares(spark, sf_dir, frames):
     ev, _ = frames
     base = pd.Timestamp("2024-01-01").date()
     got = _one(spark, sf_dir, "q_ols_trend").set_index("event_type")
@@ -172,7 +164,7 @@ def test_ols_matches_numpy_least_squares(spark, sf_dir, frames):
         assert abs(row["r2"] - round(r2, 6)) <= 2e-6, et
 
 
-def test_weekly_correlation_matches_numpy_pearson(spark, sf_dir, frames):
+def _pr_weekly_correlation_matches_numpy_pearson(spark, sf_dir, frames):
     ev, _ = frames
     daily = (
         ev.groupby("day")
@@ -189,7 +181,7 @@ def test_weekly_correlation_matches_numpy_pearson(spark, sf_dir, frames):
         assert abs(row["pearson_r"] - round(r, 6)) <= 2e-6, wk
 
 
-def test_runs_test_matches_wald_wolfowitz(spark, sf_dir, frames):
+def _pr_runs_test_matches_wald_wolfowitz(spark, sf_dir, frames):
     ev, _ = frames
     y = ev.groupby("day").size().sort_index().to_numpy()
     dy = np.diff(y)
@@ -207,7 +199,7 @@ def test_runs_test_matches_wald_wolfowitz(spark, sf_dir, frames):
     assert bool(got["significant"]) == (abs(z) > 1.96)
 
 
-def test_iqr_outliers_match_tukey_fences(spark, sf_dir, frames):
+def _pr_iqr_outliers_match_tukey_fences(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size()
     y = daily.to_numpy(dtype="float64")
@@ -224,7 +216,7 @@ def test_iqr_outliers_match_tukey_fences(spark, sf_dir, frames):
     assert got == want
 
 
-def test_cusum_matches_integer_argmax(spark, sf_dir, frames):
+def _pr_cusum_matches_integer_argmax(spark, sf_dir, frames):
     ev, _ = frames
     got = _one(spark, sf_dir, "q_cusum").set_index("event_type")
     for et, g in ev.groupby("event_type"):
@@ -239,7 +231,7 @@ def test_cusum_matches_integer_argmax(spark, sf_dir, frames):
         assert abs(row["dev_rel"] - round(int(dev[best]) / (n * st), 6)) <= 2e-6, et
 
 
-def test_lorenz_matches_closed_form_ntile(spark, sf_dir, frames):
+def _pr_lorenz_matches_closed_form_ntile(spark, sf_dir, frames):
     ev, _ = frames
     per_user = (
         ev.groupby("user_id")["cents"].sum().reset_index().sort_values(
@@ -266,7 +258,7 @@ def test_lorenz_matches_closed_form_ntile(spark, sf_dir, frames):
         assert row["cum_share_ppm"] == cum_v * 1_000_000 // total, tile
 
 
-def test_seasonality_matches_integer_index(spark, sf_dir, frames):
+def _pr_seasonality_matches_integer_index(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size().reset_index(name="n")
     anchor = pd.Timestamp("2024-01-07").date()
@@ -280,7 +272,7 @@ def test_seasonality_matches_integer_index(spark, sf_dir, frames):
         assert row["index_ppm"] == s * kt * 1_000_000 // (st * k), dow
 
 
-def test_churn_matches_set_difference(spark, sf_dir, frames):
+def _pr_churn_matches_set_difference(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     act = (
@@ -303,7 +295,7 @@ def test_churn_matches_set_difference(spark, sf_dir, frames):
         assert row["churn_ppm"] == churned * 1_000_000 // len(by_week[w]), w
 
 
-def test_char_entropy_matches_counter_formula(spark, sf_dir):
+def _pr_char_entropy_matches_counter_formula(spark, sf_dir):
     from collections import Counter
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
@@ -319,7 +311,7 @@ def test_char_entropy_matches_counter_formula(spark, sf_dir):
         assert abs(row["entropy_nats"] - h) <= len(c) * 1e-6 + 1e-4
 
 
-def test_ab_ztest_and_power_match_closed_forms(spark, sf_dir, frames):
+def _pr_ab_ztest_and_power_match_closed_forms(spark, sf_dir, frames):
     ev, _ = frames
     anchor = pd.Timestamp("2024-01-07").date()
     dow = ev["day"].map(lambda d: (d - anchor).days % 7)
@@ -342,7 +334,7 @@ def test_ab_ztest_and_power_match_closed_forms(spark, sf_dir, frames):
     assert abs(power["mde_ppm"] - round(mde * 1_000_000)) <= 1
 
 
-def test_histogram_quantiles_match_cumcount_scan(spark, sf_dir, frames):
+def _pr_histogram_quantiles_match_cumcount_scan(spark, sf_dir, frames):
     _, orders = frames
     cents = (orders["o_totalprice"] * 100).round(0).astype("int64")
     bins = (cents // 50_000).astype("int64")  # $500 bins
@@ -358,7 +350,7 @@ def test_histogram_quantiles_match_cumcount_scan(spark, sf_dir, frames):
         assert row["n_orders"] == total, pct
 
 
-def test_interpolation_matches_linear_formula(spark, sf_dir, frames):
+def _pr_interpolation_matches_linear_formula(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size()
     days = pd.date_range(min(daily.index), max(daily.index), freq="D").date
@@ -384,7 +376,7 @@ def test_interpolation_matches_linear_formula(spark, sf_dir, frames):
         assert row["value_milli"] == want, d
 
 
-def test_event_transitions_match_pandas_lag(spark, sf_dir, frames):
+def _pr_event_transitions_match_pandas_lag(spark, sf_dir, frames):
     ev, _ = frames
     s = ev.sort_values(["user_id", "ts", "event_id"])
     pairs = {}
@@ -403,7 +395,7 @@ def test_event_transitions_match_pandas_lag(spark, sf_dir, frames):
         assert rec.ppm == n * 1_000_000 // row_n[rec.from_type]
 
 
-def test_user_ewma_matches_python_fold(spark, sf_dir, frames):
+def _pr_user_ewma_matches_python_fold(spark, sf_dir, frames):
     ev, _ = frames
     got = _one(spark, sf_dir, "q_user_ewma").set_index("user_id")
     for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
@@ -415,7 +407,7 @@ def test_user_ewma_matches_python_fold(spark, sf_dir, frames):
         assert row["n_events"] == len(vs) and row["ewma_cents"] == acc, uid
 
 
-def test_rfm_segments_match_closed_form_ntiles(spark, sf_dir, frames):
+def _pr_rfm_segments_match_closed_form_ntiles(spark, sf_dir, frames):
     ev, _ = frames
     ref_date = pd.Timestamp("2024-01-30").date()
     per = ev.groupby("user_id").agg(
@@ -460,7 +452,7 @@ def test_rfm_segments_match_closed_form_ntiles(spark, sf_dir, frames):
         assert row["mean_monetary_cents"] == total // len(uids), code
 
 
-def test_ttr_and_source_entropy_match_token_counts(spark, sf_dir):
+def _pr_ttr_and_source_entropy_match_token_counts(spark, sf_dir):
     import re
     from collections import Counter
 
@@ -482,7 +474,7 @@ def test_ttr_and_source_entropy_match_token_counts(spark, sf_dir):
         assert abs(erow["entropy_nats"] - h) <= types * 1e-6 + 1e-4, src
 
 
-def test_weekly_anomalies_match_integer_ztest(spark, sf_dir, frames):
+def _pr_weekly_anomalies_match_integer_ztest(spark, sf_dir, frames):
     ev, _ = frames
     cells = ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
     got = _one(spark, sf_dir, "q_weekly_anomalies").set_index(["week", "event_type"])
@@ -496,7 +488,7 @@ def test_weekly_anomalies_match_integer_ztest(spark, sf_dir, frames):
             assert row["n"] == rec.n and bool(row["is_anomaly"]) == flag, (et, rec.day)
 
 
-def test_seasonal_adjust_matches_index_division(spark, sf_dir, frames):
+def _pr_seasonal_adjust_matches_index_division(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size().rename("y").reset_index()
     anchor = pd.Timestamp("2024-01-07").date()
@@ -514,7 +506,7 @@ def test_seasonal_adjust_matches_index_division(spark, sf_dir, frames):
         assert row["adjusted"] == rec.y * 1_000_000 // idx[rec.dow], rec.day
 
 
-def test_ltv_cohorts_match_cumulative_grid(spark, sf_dir, frames):
+def _pr_ltv_cohorts_match_cumulative_grid(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     df = pd.DataFrame(
@@ -541,7 +533,7 @@ def test_ltv_cohorts_match_cumulative_grid(spark, sf_dir, frames):
             assert row["ltv_milli_per_user"] == cum * 10 // n, (co, rec.age_weeks)
 
 
-def test_vocab_growth_matches_first_seen_buckets(spark, sf_dir):
+def _pr_vocab_growth_matches_first_seen_buckets(spark, sf_dir):
     import re
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
@@ -565,7 +557,7 @@ def test_vocab_growth_matches_first_seen_buckets(spark, sf_dir):
         assert row["new_types"] == buckets[b] and row["cumulative_types"] == cum, b
 
 
-def test_prefix_templates_match_counted_prefixes(spark, sf_dir):
+def _pr_prefix_templates_match_counted_prefixes(spark, sf_dir):
     import re
     from collections import Counter
 
@@ -582,7 +574,7 @@ def test_prefix_templates_match_counted_prefixes(spark, sf_dir):
         assert row["n_docs"] == n and row["share_ppm"] == n * 1_000_000 // nd, p
 
 
-def test_weekend_lift_matches_rate_ratio(spark, sf_dir, frames):
+def _pr_weekend_lift_matches_rate_ratio(spark, sf_dir, frames):
     ev, _ = frames
     anchor = pd.Timestamp("2024-01-07").date()
     is_we = ev["day"].map(lambda d: (d - anchor).days % 7 in (0, 6))
@@ -599,7 +591,7 @@ def test_weekend_lift_matches_rate_ratio(spark, sf_dir, frames):
         ), et
 
 
-def test_stickiness_matches_set_cardinalities(spark, sf_dir, frames):
+def _pr_stickiness_matches_set_cardinalities(spark, sf_dir, frames):
     ev, _ = frames
     ts = pd.to_datetime(ev["ts"])
     week = ts.dt.to_period("W-SUN").dt.start_time.dt.date
@@ -616,7 +608,7 @@ def test_stickiness_matches_set_cardinalities(spark, sf_dir, frames):
         assert row["stickiness_ppm"] == wau * 1_000_000 // mau, wk
 
 
-def test_ma_crossover_matches_rolling_sums(spark, sf_dir, frames):
+def _pr_ma_crossover_matches_rolling_sums(spark, sf_dir, frames):
     ev, _ = frames
     daily = ev.groupby("day").size().sort_index()
     y = daily.to_numpy(dtype="int64")
@@ -634,7 +626,7 @@ def test_ma_crossover_matches_rolling_sums(spark, sf_dir, frames):
     assert got == sorted(want)
 
 
-def test_interarrival_matches_log2_histogram(spark, sf_dir, frames):
+def _pr_interarrival_matches_log2_histogram(spark, sf_dir, frames):
     ev, _ = frames
     s = ev.sort_values(["ts", "event_id"])
     buckets: dict[int, int] = {}
@@ -654,7 +646,7 @@ def test_interarrival_matches_log2_histogram(spark, sf_dir, frames):
         assert row["n_gaps"] == n and row["share_ppm"] == n * 1_000_000 // total, b
 
 
-def test_punchcard_matches_crosstab(spark, sf_dir, frames):
+def _pr_punchcard_matches_crosstab(spark, sf_dir, frames):
     ev, _ = frames
     anchor = pd.Timestamp("2024-01-07").date()
     dow = ev["day"].map(lambda d: (d - anchor).days % 7)
@@ -668,7 +660,7 @@ def test_punchcard_matches_crosstab(spark, sf_dir, frames):
         assert row["n_events"] == n and row["share_ppm"] == n * 1_000_000 // total
 
 
-def test_adoption_and_new_returning_match_first_seen(spark, sf_dir, frames):
+def _pr_adoption_and_new_returning_match_first_seen(spark, sf_dir, frames):
     ev, _ = frames
     first_day = ev.groupby("user_id")["day"].min()
     per_day = first_day.value_counts().sort_index()
@@ -693,7 +685,7 @@ def test_adoption_and_new_returning_match_first_seen(spark, sf_dir, frames):
         assert row["new_share_ppm"] == n_new * 1_000_000 // n_active, w
 
 
-def test_key_skew_matches_counted_ranking(spark, sf_dir):
+def _pr_key_skew_matches_counted_ranking(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("source").toPandas()
     counts = docs["source"].value_counts()
     total, n_keys = int(counts.sum()), len(counts)
@@ -707,7 +699,7 @@ def test_key_skew_matches_counted_ranking(spark, sf_dir):
         assert row["pct_of_mean"] == n * 100 * n_keys // total, r
 
 
-def test_weekly_ctr_matches_counts(spark, sf_dir, frames):
+def _pr_weekly_ctr_matches_counts(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     df = pd.DataFrame({"week": wk, "t": ev["event_type"]})
@@ -722,7 +714,7 @@ def test_weekly_ctr_matches_counts(spark, sf_dir, frames):
         assert row["purchase_rate_ppm"] == p * 1_000_000 // c, w
 
 
-def test_return_rate_matches_monthly_rollup(spark, sf_dir):
+def _pr_return_rate_matches_monthly_rollup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_returnflag", "l_extendedprice"
     ).toPandas()
@@ -739,7 +731,7 @@ def test_return_rate_matches_monthly_rollup(spark, sf_dir):
         assert row["value_return_ppm"] == rc_ret * 1_000_000 // rc, m
 
 
-def test_aov_by_segment_matches_join_rollup(spark, sf_dir):
+def _pr_aov_by_segment_matches_join_rollup(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     ).toPandas()
@@ -756,7 +748,7 @@ def test_aov_by_segment_matches_join_rollup(spark, sf_dir):
         assert row["aov_cents"] == total // n, seg
 
 
-def test_fulfillment_latency_matches_percentiles(spark, sf_dir):
+def _pr_fulfillment_latency_matches_percentiles(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     ).toPandas()
@@ -778,7 +770,7 @@ def test_fulfillment_latency_matches_percentiles(spark, sf_dir):
         assert row["max_days"] == int(d.max()), pr
 
 
-def test_cart_abandonment_matches_gap_sessions(spark, sf_dir, frames):
+def _pr_cart_abandonment_matches_gap_sessions(spark, sf_dir, frames):
     ev, _ = frames
     s = ev.sort_values(["ts", "event_id"])
     sessions = []  # (first_ts, clicked, purchased)
@@ -808,7 +800,7 @@ def test_cart_abandonment_matches_gap_sessions(spark, sf_dir, frames):
         assert row["abandonment_ppm"] == ab * 1_000_000 // n, w
 
 
-def test_conversion_lag_matches_percentiles(spark, sf_dir, frames):
+def _pr_conversion_lag_matches_percentiles(spark, sf_dir, frames):
     ev, _ = frames
     lags = []
     for uid, g in ev.groupby("user_id"):
@@ -827,7 +819,7 @@ def test_conversion_lag_matches_percentiles(spark, sf_dir, frames):
         assert abs(got[col] - round(float(np.percentile(a, p)), 1)) <= 0.2, col
 
 
-def test_audience_overlap_matches_set_jaccard(spark, sf_dir, frames):
+def _pr_audience_overlap_matches_set_jaccard(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     by_week = (
@@ -849,7 +841,7 @@ def test_audience_overlap_matches_set_jaccard(spark, sf_dir, frames):
             assert row["jaccard_ppm"] == inter * 1_000_000 // union
 
 
-def test_range_frame_matches_calendar_window(spark, sf_dir, frames):
+def _pr_range_frame_matches_calendar_window(spark, sf_dir, frames):
     ev, _ = frames
     daily = (
         ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
@@ -866,7 +858,7 @@ def test_range_frame_matches_calendar_window(spark, sf_dir, frames):
             assert row["y"] == y and row["rolling_3d"] == want, (et, d)
 
 
-def test_weekly_mix_share_matches_delta(spark, sf_dir, frames):
+def _pr_weekly_mix_share_matches_delta(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     cells = (
@@ -893,7 +885,7 @@ def test_weekly_mix_share_matches_delta(spark, sf_dir, frames):
             prev = rec.share
 
 
-def test_variant_props_matches_json_histogram(spark, sf_dir, frames):
+def _pr_variant_props_matches_json_histogram(spark, sf_dir, frames):
     import json as _json
 
     ev, _ = frames
@@ -906,7 +898,7 @@ def test_variant_props_matches_json_histogram(spark, sf_dir, frames):
         assert got.loc[d]["n_events"] == n, d
 
 
-def test_association_rules_match_basket_counts(spark, sf_dir, frames):
+def _pr_association_rules_match_basket_counts(spark, sf_dir, frames):
     ev, _ = frames
     baskets = ev.groupby("user_id")["event_type"].agg(set)
     n_users = len(baskets)
@@ -929,7 +921,7 @@ def test_association_rules_match_basket_counts(spark, sf_dir, frames):
             assert row["lift_ppm"] == n_both * n_users * 1_000_000 // (n_a * n_c), (a, c)
 
 
-def test_sequence_match_matches_python_regex(spark, sf_dir, frames):
+def _pr_sequence_match_matches_python_regex(spark, sf_dir, frames):
     import re
 
     ev, _ = frames
@@ -954,7 +946,7 @@ def test_sequence_match_matches_python_regex(spark, sf_dir, frames):
         assert row["match_ppm"] == n * 1_000_000 // n_users, name
 
 
-def test_zorder_keys_match_python_morton(spark, sf_dir):
+def _pr_zorder_keys_match_python_morton(spark, sf_dir):
     def morton(p, s):
         z = 0
         for i in range(16):
@@ -971,7 +963,7 @@ def test_zorder_keys_match_python_morton(spark, sf_dir):
         )
 
 
-def test_metrics_events_match_weekly_grid(spark, sf_dir, frames):
+def _pr_metrics_events_match_weekly_grid(spark, sf_dir, frames):
     ev, _ = frames
     wk = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time.dt.date
     df = ev.assign(week=wk)
@@ -985,3 +977,91 @@ def test_metrics_events_match_weekly_grid(spark, sf_dir, frames):
         assert (row["total_value_cents"], row["n_events"]) == (total, n), w
         assert (row["purchases"], row["buyers"]) == (purchases, buyers), w
         assert row["cents_per_event"] == total // n, w
+
+
+# ---------------------------------------------------------------------------
+# Pooled lane (same trade as tests/test_ext.py): the replays are pure
+# (shared read-only session + testdata), serially ~46 s; a 12-thread pool
+# runs them in ~the longest member.  Failures surface per-name with the
+# traceback.  The shared pandas frames are computed once here (replacing
+# the module fixture for the pooled path).
+# ---------------------------------------------------------------------------
+
+_POOLED_REPLAYS = [
+    _pr_gini_matches_textbook_formula,
+    _pr_spearman_matches_midrank_pearson,
+    _pr_ks_matches_textbook_cdf_scan,
+    _pr_theilsen_matches_pairwise_median,
+    _pr_benford_matches_digit_histogram,
+    _pr_wilson_matches_textbook_bound,
+    _pr_autocorrelation_matches_pearson_per_lag,
+    _pr_chisquare_matches_contingency_formula,
+    _pr_ols_matches_numpy_least_squares,
+    _pr_weekly_correlation_matches_numpy_pearson,
+    _pr_runs_test_matches_wald_wolfowitz,
+    _pr_iqr_outliers_match_tukey_fences,
+    _pr_cusum_matches_integer_argmax,
+    _pr_lorenz_matches_closed_form_ntile,
+    _pr_seasonality_matches_integer_index,
+    _pr_churn_matches_set_difference,
+    _pr_char_entropy_matches_counter_formula,
+    _pr_ab_ztest_and_power_match_closed_forms,
+    _pr_histogram_quantiles_match_cumcount_scan,
+    _pr_interpolation_matches_linear_formula,
+    _pr_event_transitions_match_pandas_lag,
+    _pr_user_ewma_matches_python_fold,
+    _pr_rfm_segments_match_closed_form_ntiles,
+    _pr_ttr_and_source_entropy_match_token_counts,
+    _pr_weekly_anomalies_match_integer_ztest,
+    _pr_seasonal_adjust_matches_index_division,
+    _pr_ltv_cohorts_match_cumulative_grid,
+    _pr_vocab_growth_matches_first_seen_buckets,
+    _pr_prefix_templates_match_counted_prefixes,
+    _pr_weekend_lift_matches_rate_ratio,
+    _pr_stickiness_matches_set_cardinalities,
+    _pr_ma_crossover_matches_rolling_sums,
+    _pr_interarrival_matches_log2_histogram,
+    _pr_punchcard_matches_crosstab,
+    _pr_adoption_and_new_returning_match_first_seen,
+    _pr_key_skew_matches_counted_ranking,
+    _pr_weekly_ctr_matches_counts,
+    _pr_return_rate_matches_monthly_rollup,
+    _pr_aov_by_segment_matches_join_rollup,
+    _pr_fulfillment_latency_matches_percentiles,
+    _pr_cart_abandonment_matches_gap_sessions,
+    _pr_conversion_lag_matches_percentiles,
+    _pr_audience_overlap_matches_set_jaccard,
+    _pr_range_frame_matches_calendar_window,
+    _pr_weekly_mix_share_matches_delta,
+    _pr_variant_props_matches_json_histogram,
+    _pr_association_rules_match_basket_counts,
+    _pr_sequence_match_matches_python_regex,
+    _pr_zorder_keys_match_python_morton,
+    _pr_metrics_events_match_weekly_grid,
+]
+
+
+def test_stats_replays_pooled(spark, sf_dir):
+    import inspect
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    ev["cents"] = (ev["value"] * 100).round(0).astype("int64")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    fr = (ev, orders)
+
+    def one(fn):
+        try:
+            if "frames" in inspect.signature(fn).parameters:
+                fn(spark, sf_dir, fr)
+            else:
+                fn(spark, sf_dir)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        bad = [p for p in ex.map(one, _POOLED_REPLAYS) if p]
+    assert not bad, "\n\n".join(bad)
