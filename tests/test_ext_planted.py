@@ -1,0 +1,232 @@
+"""Planted-truth tests for the ext operators whose only evidence was the
+DuckDB oracle (a shared-formula bug passes parity on both engines).
+
+Every check plants data whose correct answer is known by construction —
+two separable clusters, a line vs a cube, one far outlier, documents
+containing exact blocklist words — and asserts the operator recovers it.
+Same posture as tests/test_stats_replays.py for the relational family.
+
+Pooled from the start (the checks are pure: a shared read-only session,
+no catalog/tmp-path mutation); failures surface per-name.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+
+
+def _px_cluster_purity_pure_planted_clusters(spark):
+    from dbt_trill_shop_spark.ext.similarity import cluster_purity
+
+    # seeds: vec_id < n_cells pick the initial centroids -> id 0 anchors
+    # cell A at the origin, id 1 anchors cell B far away
+    rows = [(0, [0.0, 0.0], 7), (1, [100.0, 100.0], 9)]
+    rows += [(2 + i, [float(i % 3), 0.5], 7) for i in range(8)]
+    rows += [(10 + i, [100.0 + i % 3, 100.5], 9) for i in range(8)]
+    out = cluster_purity(_vecs(spark, rows), n_cells=2).collect()
+    assert len(out) == 2
+    assert {r["majority_label"] for r in out} == {7, 9}
+    for r in out:
+        assert r["purity_ppm"] == 1_000_000, r
+        assert r["n_members"] == r["n_majority"] == 9, r
+
+
+def _px_class_separation_gap_exceeds_spread(spark):
+    from dbt_trill_shop_spark.ext.similarity import class_separation
+
+    # symmetric points -> centroids exactly (0,0) and (10,0); spread 1
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0),
+        (2, [11.0, 0.0], 1), (3, [9.0, 0.0], 1),
+    ]
+    out = {(r["label_a"], r["label_b"]): r["dist_milli"]
+           for r in class_separation(_vecs(spark, rows)).collect()}
+    assert out[(0, 1)] == 10_000  # centroid gap = 10.0 exactly
+    assert out[(0, 0)] == 1_000 and out[(1, 1)] == 1_000  # mean spread = 1.0
+
+
+def _px_intrinsic_dimension_line_vs_cube(spark):
+    import random
+
+    from dbt_trill_shop_spark.ext.similarity import intrinsic_dimension
+
+    rng = random.Random(7)
+    line = [(i, [rng.uniform(0, 100), 0.0, 0.0, 0.0], 0) for i in range(80)]
+    cube = [
+        (i, [rng.uniform(0, 10) for _ in range(4)], 0) for i in range(80)
+    ]
+    d_line = intrinsic_dimension(_vecs(spark, line), num_queries=80).collect()[0]
+    d_cube = intrinsic_dimension(_vecs(spark, cube), num_queries=80).collect()[0]
+    assert d_line["intrinsic_dim"] <= 2.0, d_line
+    assert d_cube["intrinsic_dim"] >= 2.5, d_cube
+    assert d_cube["intrinsic_dim"] > d_line["intrinsic_dim"]
+
+
+def _px_embedding_outliers_finds_planted_point(spark):
+    from dbt_trill_shop_spark.ext.similarity import embedding_outliers
+
+    rows = [(i, [float(i % 2), 0.0], 0) for i in range(20)]
+    rows.append((99, [50.0, 0.0], 0))  # same label, far from its centroid
+    out = embedding_outliers(_vecs(spark, rows), k=3).collect()
+    assert out[0]["rank"] == 1 and out[0]["vec_id"] == 99
+
+
+def _px_adaptive_quality_keeps_top_three_quarters(spark):
+    from dbt_trill_shop_spark.ext.textstats import adaptive_quality_cut
+
+    # 8 docs per lang with strictly increasing quality (longer, wordier
+    # text scores higher) -> distinct logits, no threshold ties: the
+    # q=0.25 cut keeps exactly 6 of 8 per language
+    def doc(i, lang):
+        words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+        return (i, " ".join(words * (2 + i % 8)), lang)
+
+    rows = [doc(i, "en") for i in range(8)] + [doc(100 + i, "de") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in adaptive_quality_cut(docs).collect()}
+    for lang in ("en", "de"):
+        r = out[lang]
+        assert r["n_docs"] == 8, r
+        # strictly-above-threshold keep of 8 distinct logits at q=0.25
+        assert r["n_kept"] == 6, r
+        assert r["kept_ppm"] == 750_000, r
+
+
+def _px_blocklist_filter_counts_planted_hits(spark):
+    from dbt_trill_shop_spark.ext.textstats import blocklist_filter
+
+    rows = [
+        (1, "this damn text is damn hell annoying"),      # profanity 3
+        (2, "win the lottery at our casino jackpot now"),  # spam 3
+        (3, "please Subscribe Now and read the cookie policy"),  # boiler 2
+        (4, "a perfectly clean document about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in blocklist_filter(docs).collect()}
+    assert out[1]["n_profanity"] == 3 and not out[1]["keep"]
+    assert out[2]["n_spam"] == 3 and not out[2]["keep"]
+    assert out[3]["n_boilerplate"] == 2 and not out[3]["keep"]
+    assert out[4]["n_total_hits"] == 0 and out[4]["keep"]
+
+
+def _px_dup_cluster_sizes_planted_histogram(spark):
+    from dbt_trill_shop_spark.ext.dedup import dup_cluster_size_histogram
+
+    # pair graph: {1-2, 2-3} one 3-cluster, {5-6} one 2-cluster, 9 single
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
+    out = {r["cluster_size"]: r["n_clusters"]
+           for r in dup_cluster_size_histogram(pairs, ids).collect()}
+    assert out == {3: 1, 2: 1, 1: 1}
+
+
+def _px_minhash_scurve_theory_column(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.dedup import minhash_scurve_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_scurve_audit(docs, num_hashes=8, bands=4).collect()
+    assert out  # at least one populated Jaccard decile
+    r, b = 8 // 4, 4
+    for row in out:
+        j = (row["bucket"] + 0.5) / 10.0
+        theory = round((1.0 - (1.0 - j**r) ** b) * 1_000_000)
+        assert abs(row["theory_ppm"] - theory) <= 1, row
+        assert 0 <= row["recall_ppm"] <= 1_000_000, row
+        assert row["n_candidates"] <= row["n_pairs"], row
+
+
+def _px_sample_bias_ppm_arithmetic(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import sample_bias_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_bias_audit(docs, fraction=0.25).collect()
+    tot_full = sum(r["n_full"] for r in out)
+    tot_samp = sum(r["n_samp"] for r in out)
+    assert tot_full == docs.count() and 0 < tot_samp < tot_full
+    for r in out:
+        assert r["full_ppm"] == r["n_full"] * 1_000_000 // tot_full, r
+        assert r["sample_ppm"] == r["n_samp"] * 1_000_000 // tot_samp, r
+        assert r["skew_ppm"] == abs(r["sample_ppm"] - r["full_ppm"]), r
+
+
+def _px_pack_efficiency_mass_conservation(spark, sf_dir):
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import pack_efficiency
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    capacity = 512
+    total_docs = docs.count()
+    total_tokens = docs.agg(F.sum(F.least("n_tokens", F.lit(capacity)))).collect()[0][0]
+    out = pack_efficiency(docs, capacity=capacity).collect()
+    assert sum(r["n_docs"] for r in out) == total_docs
+    assert sum(r["tokens"] for r in out) == total_tokens  # mass conserved
+    for r in out:
+        assert 0 <= r["util_decile"] <= 10, r
+
+
+def _px_chunk_inflation_invariants(spark, sf_dir):
+    from dbt_trill_shop_spark.harness import QUERIES
+
+    row = QUERIES["x_chunk_inflation"].fn(spark, sf_dir).collect()[0]
+    assert row["n_chunks"] >= row["n_docs"] > 0
+    assert row["chunk_tokens"] >= row["doc_tokens"] > 0
+    assert row["inflation_ppm"] == row["chunk_tokens"] * 1_000_000 // row["doc_tokens"]
+
+
+def _px_band_balance_share_arithmetic(spark, sf_dir):
+    from dbt_trill_shop_spark.harness import QUERIES
+
+    out = QUERIES["x_band_balance"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["max_bucket"] <= r["n_docs"], r
+        assert r["max_share_ppm"] == r["max_bucket"] * 1_000_000 // r["n_docs"], r
+        assert r["n_buckets"] <= r["n_docs"], r
+
+
+_PLANTED = [
+    _px_cluster_purity_pure_planted_clusters,
+    _px_intrinsic_dimension_line_vs_cube,
+    _px_minhash_scurve_theory_column,
+    _px_class_separation_gap_exceeds_spread,
+    _px_embedding_outliers_finds_planted_point,
+    _px_adaptive_quality_keeps_top_three_quarters,
+    _px_blocklist_filter_counts_planted_hits,
+    _px_dup_cluster_sizes_planted_histogram,
+    _px_sample_bias_ppm_arithmetic,
+    _px_pack_efficiency_mass_conservation,
+    _px_chunk_inflation_invariants,
+    _px_band_balance_share_arithmetic,
+]
+
+
+def test_ext_planted_pooled(spark, sf_dir):
+    import inspect
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(fn):
+        try:
+            if "sf_dir" in inspect.signature(fn).parameters:
+                fn(spark, sf_dir)
+            else:
+                fn(spark)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        bad = [p for p in ex.map(one, _PLANTED) if p]
+    assert not bad, "\n\n".join(bad)
