@@ -196,7 +196,133 @@ def _px_band_balance_share_arithmetic(spark, sf_dir):
         assert r["n_buckets"] <= r["n_docs"], r
 
 
+def _px_hashed_embedding_single_token_doc(spark):
+    from dbt_trill_shop_spark.ext.textstats import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark")], "doc_id long, text string"
+    )
+    out = hashed_embedding(docs, dim=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # one distinct token -> exactly one populated dim per doc, weight = tf
+    # with a fixed sign, same dim/sign for the same token in both docs
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert by_doc[1][0]["dim_idx"] == by_doc[2][0]["dim_idx"]
+    assert abs(by_doc[1][0]["weight"]) == 3 and abs(by_doc[2][0]["weight"]) == 1
+    assert (by_doc[1][0]["weight"] > 0) == (by_doc[2][0]["weight"] > 0)
+
+
+def _px_search_snippets_contain_planted_needle(spark):
+    from dbt_trill_shop_spark.ext.textstats import search_snippets
+
+    docs = spark.createDataFrame(
+        [(7, "aaa bbb ccc needle ddd eee fff ggg hhh")],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 7, 1, ["needle"])],
+        "query_id long, hit_id long, rank long, terms array<string>",
+    )
+    out = search_snippets(docs, hits).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert "needle" in r["snippet"]
+    # 1-indexed, JVM instr() semantics
+    assert r["match_pos"] == "aaa bbb ccc needle ddd eee fff ggg hhh".find("needle") + 1
+
+
+def _px_pack_positions_are_prefix_sums(spark, sf_dir):
+    from dbt_trill_shop_spark.harness import QUERIES
+
+    rows = QUERIES["x_pack_positions"].fn(spark, sf_dir).collect()
+    assert rows
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r["source"], r["bin_id"]), []).append(r)
+    for (_, _), members in by_bin.items():
+        members.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for m in members:
+            assert m["start_pos"] == pos, m
+            pos += m["packed_tokens"]
+
+
+def _px_hard_negatives_exclude_positives_and_follow_bm25(spark, sf_dir):
+    from dbt_trill_shop_spark.harness import QUERIES
+
+    rows = QUERIES["x_hard_negatives"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["neg_rank"] >= 1 and r["bm25_rank"] >= r["neg_rank"], r
+    # per query: neg_rank is dense 1..n and bm25_rank strictly increases
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, g in by_q.items():
+        g.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in g] == list(range(1, len(g) + 1)), q
+        ranks = [r["bm25_rank"] for r in g]
+        assert ranks == sorted(ranks), q
+
+
+def _px_simhash_calibration_identical_docs_at_zero(spark):
+    from dbt_trill_shop_spark.ext.dedup import simhash_distance_histogram
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id long, text string"
+    )
+    out = {r["hamming"]: r["n_pairs"] for r in simhash_distance_histogram(docs).collect()}
+    # three identical docs -> all C(3,2)=3 sampled pairs at hamming 0
+    assert out == {0: 3}
+
+
+def _px_shingle_df_histogram_planted_pair_mass(spark):
+    from dbt_trill_shop_spark.ext.dedup import shingle_df_histogram
+
+    shared = "alpha beta gamma"  # one 3-shingle present in all three docs
+    docs = spark.createDataFrame(
+        [(1, shared + " uniq1a uniq1b"), (2, shared + " uniq2a uniq2b"),
+         (3, shared + " uniq3a uniq3b")],
+        "doc_id long, text string",
+    )
+    out = {r["log2_df_bucket"]: r for r in shingle_df_histogram(docs).collect()}
+    # df=3 shingles land in bucket floor(log2(3))=1 with pair mass C(3,2)
+    assert 1 in out and out[1]["pair_mass"] >= 3
+    # df=1 shingles carry zero pair mass
+    if 0 in out:
+        assert out[0]["pair_mass"] == 0
+
+
+def _px_bitext_mining_identical_pair_ranks_first(spark):
+    from dbt_trill_shop_spark.ext.similarity import bitext_margin_mining
+
+    import random
+
+    rng = random.Random(3)
+    # noise lives in dims 0-1; the planted identical pair lives in dims 2-3,
+    # so it is orthogonal to every noise vector (cosine 0) while matching
+    # itself at cosine 1 -> maximal margin by construction
+    rows = [(i, [rng.uniform(-1, 1), rng.uniform(-1, 1), 0.0, 0.0], 0) for i in range(8)]
+    rows += [(100 + i, [rng.uniform(-1, 1), rng.uniform(-1, 1), 0.0, 0.0], 1) for i in range(8)]
+    rows.append((50, [0.0, 0.0, 1.0, 1.0], 0))
+    rows.append((150, [0.0, 0.0, 1.0, 1.0], 1))
+    out = bitext_margin_mining(_vecs(spark, rows), knn=3, top_n=5).collect()
+    top = out[0]
+    assert top["rank"] == 1
+    assert {top["x_id"], top["y_id"]} == {50, 150}, top
+
+
 _PLANTED = [
+    _px_hashed_embedding_single_token_doc,
+    _px_search_snippets_contain_planted_needle,
+    _px_pack_positions_are_prefix_sums,
+    _px_hard_negatives_exclude_positives_and_follow_bm25,
+    _px_simhash_calibration_identical_docs_at_zero,
+    _px_shingle_df_histogram_planted_pair_mass,
+    _px_bitext_mining_identical_pair_ranks_first,
     _px_cluster_purity_pure_planted_clusters,
     _px_intrinsic_dimension_line_vs_cube,
     _px_minhash_scurve_theory_column,
