@@ -2755,20 +2755,78 @@ _ROUND5_WINDOW = [
     "q_user_ewma", "q_forecast_revenue", "q_event_transitions",
     "q_interpolate_daily", "q_abc_analysis",
 ]
-_front = _REFERENCE_MODELS + _ROUND5_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r05 (all 50 green).
+_DRIVER_VERIFIED_R05 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND5_WINDOW)
+
+# Round-6 driver window: positions 8-50.  43 of the 71 never-driver-verified
+# queries, ordered per VERDICT.md round-5 instruction #1: x_quality_auc first
+# (it carries an allowlisted two-phase rewrite with no driver verdict), then
+# d_metrics_events and q_variant_props (Spark-4-specific codepaths), the
+# kNN-graph family (the heaviest plans in the registry), the multimodal m_*
+# tail, the calibration/recall-audit tail, the similarity/embedding tail,
+# the dedup-diagnostics tail, and the textstats tail.  q_linear_counting
+# rounds out the window as the hash-exact twin of the two permanent
+# rows-only accuracy sketches (see module docstring).
+_ROUND6_WINDOW = [
+    "x_quality_auc",
+    "d_metrics_events", "q_variant_props",
+    "x_knn_bfs", "x_knn_homophily", "x_knn_clustering", "x_knn_hubness",
+    "m_patch_stats", "m_scene_changes", "m_shot_stats", "m_flatness",
+    "m_vad_segments",
+    "x_calibration", "x_simhash_calibration", "x_minhash_scurve",
+    "x_bm25_precision", "x_retrieval_ndcg", "x_jaccard_curve",
+    "x_sq8_recon_error", "x_cluster_purity", "x_class_separation",
+    "x_sample_bias",
+    "x_sq8_encode", "x_binary_hamming", "x_hashed_embedding",
+    "x_pca_power", "x_intrinsic_dim", "x_embedding_outliers",
+    "x_hard_negatives", "x_bitext_mining",
+    "x_dedup_quality_canonical", "x_dup_cluster_sizes", "x_band_balance",
+    "x_shingle_df_histogram",
+    "x_bigram_logprob", "x_tokenizer_fertility", "x_ngram_novelty",
+    "x_text_tiling", "x_search_snippets", "x_countmin_heavy",
+    "x_adaptive_quality", "x_blocklist_filter",
+    "q_linear_counting",
+]
+
+# Round-7 pre-stage: the remaining 28 never-verified queries pinned at
+# positions 51-78 (VERDICT.md round-5 instruction #4), so round 7 completes
+# 100% driver coverage even if the window shrinks — any driver window wider
+# than 50 picks these up immediately, and the round-7 rotation is a pure
+# swap of _ROUND6_WINDOW for this list.
+_ROUND7_PRESTAGE = [
+    "q_profile_orders", "q_zorder_keys", "q_key_skew",
+    "q_table_fingerprints", "q_session_paths", "q_conversion_lag",
+    "q_association_rules", "q_sequence_match", "q_audience_overlap",
+    "q_stickiness", "q_new_vs_returning", "q_cart_abandonment",
+    "q_punchcard", "q_ma_crossover", "q_range_frame", "q_adoption_curve",
+    "q_fulfillment_latency", "q_weekly_mix_share", "q_interarrival",
+    "q_term_momentum", "q_weekend_lift", "q_weekly_ctr",
+    "q_aov_by_segment", "q_return_rate",
+    "x_pack_positions", "x_pack_efficiency", "x_chunk_inflation",
+    "x_weighted_sample",
+]
+
+_front = _REFERENCE_MODELS + _ROUND6_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
-# Past the window: remaining never-verified queries in priority order (the
-# _ROUND2_LATE ranking first — they fill any extra driver slots), then the
+# Past the window: the pre-staged round-7 queries (the only remaining
+# never-verified entries — they fill any extra driver slots), then the
 # already-verified at the back (regression-guarded by pytest).
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-) - set(_ROUND5_WINDOW)
-_rest = [n for n in _ROUND2_LATE if n not in set(_front)] + [
-    n for n in QUERIES if n not in set(_front) and n not in set(_ROUND2_LATE)
+    | _DRIVER_VERIFIED_R05
+) - set(_ROUND6_WINDOW)
+assert not set(_ROUND7_PRESTAGE) & set(_front)
+assert set(_ROUND7_PRESTAGE) <= set(QUERIES)
+_rest = _ROUND7_PRESTAGE + [
+    n for n in QUERIES
+    if n not in set(_front) and n not in set(_ROUND7_PRESTAGE)
 ]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
 _tail_verified = [n for n in _rest if n in _DRIVER_VERIFIED]
+# Window accounting: every never-verified query is either in this round's
+# window or pre-staged directly behind it.
+assert _tail_unverified == _ROUND7_PRESTAGE, _tail_unverified[:5]
 QUERIES = {
     name: QUERIES[name] for name in _front + _tail_unverified + _tail_verified
 }
