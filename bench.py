@@ -83,16 +83,27 @@ def still_regressed(rerun_t: float, base: float, env_factor: float) -> bool:
     return rerun_t > 1.5 * adj and rerun_t - adj > 0.3
 
 
-def gate_should_fail(regressions: dict, env: dict) -> bool:
+def gate_should_fail(
+    regressions: dict, env: dict, env_factor: float = 1.0
+) -> bool:
     """Exit-2 decision, pure for unit tests: regressions fail the run unless
     the gate is disabled OR the invocation is an explicit baseline refresh
     (SPARK_GRAFT_BENCH_UPDATE=1 — the user has accepted the new timings, so
-    failing the refresh run itself would be self-defeating)."""
-    return bool(
-        regressions
-        and env.get("SPARK_GRAFT_BENCH_GATE", "1") != "0"
-        and env.get("SPARK_GRAFT_BENCH_UPDATE") != "1"
-    )
+    failing the refresh run itself would be self-defeating).
+
+    A sweep-median slowdown past the hard ceiling (2.0x) ALSO fails
+    (ADVICE r5): the normalizer makes the gate blind to a regression that
+    touches >50% of timed queries — the median absorbs it — so a run that
+    uniform-slowed past the ceiling cannot silently pass as "contention".
+    Re-run on a quiet box, or acknowledge a known-contended environment
+    with SPARK_GRAFT_BENCH_ENV_ACK=1."""
+    if env.get("SPARK_GRAFT_BENCH_GATE", "1") == "0":
+        return False
+    if env.get("SPARK_GRAFT_BENCH_UPDATE") == "1":
+        return False
+    if regressions:
+        return True
+    return env_factor > 2.0 and env.get("SPARK_GRAFT_BENCH_ENV_ACK") != "1"
 
 
 def main() -> None:
@@ -225,6 +236,7 @@ def main() -> None:
             allowlist = json.load(fh)
     regressions: dict[str, list[float]] = {}
     baseline_all: dict = {}
+    env_factor = 1.0
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline_all = json.load(fh)
@@ -236,6 +248,40 @@ def main() -> None:
             # keep only flags that reproduce (see still_regressed).  Sweep
             # timings in the JSON record stay single-pass; cleared flakes are
             # logged to stderr so the record shows both measurements.
+            #
+            # The contention factor is RECOMPUTED for this pass (ADVICE r5:
+            # reusing the contended sweep's env_factor judges a quiet re-run
+            # against an inflated threshold): up to 5 unflagged sentinel
+            # queries — the largest clean baselines — are re-timed warm and
+            # their fresh sweep_slowdown becomes the confirmation factor.
+            sentinels = sorted(
+                (
+                    n
+                    for n, b in base_sf.items()
+                    if b >= 0.2
+                    and n in timings
+                    and n not in regressions
+                    and n not in allowlist
+                ),
+                key=lambda n: -base_sf[n],
+            )[:5]
+            sent_t: dict[str, float] = {}
+            for name in sentinels:
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                sent_t[name] = round(time.perf_counter() - t0, 3)
+                release_checkpoints()
+            confirm_env = sweep_slowdown(sent_t, base_sf) if sent_t else env_factor
+            if sent_t:
+                print(
+                    json.dumps(
+                        {"bench_confirm_env_factor": round(confirm_env, 3)},
+                        separators=(",", ":"),
+                    ),
+                    file=sys.stderr,
+                )
             confirmed: dict[str, list[float]] = {}
             for name in regressions:
                 t0 = time.perf_counter()
@@ -244,7 +290,7 @@ def main() -> None:
                 ).format("noop").save()
                 rt = round(time.perf_counter() - t0, 3)
                 release_checkpoints()
-                if still_regressed(rt, base_sf[name], env_factor):
+                if still_regressed(rt, base_sf[name], confirm_env):
                     confirmed[name] = [base_sf[name], timings[name], rt]
                 else:
                     print(
@@ -298,7 +344,7 @@ def main() -> None:
         )
     )
     spark.stop()
-    if gate_should_fail(regressions, dict(os.environ)):
+    if gate_should_fail(regressions, dict(os.environ), env_factor):
         sys.exit(2)
 
 

@@ -82,21 +82,42 @@ def _stdlib_header_decode(payload: bytes) -> tuple[int, int]:
     REAL PNG and JPEG containers — the formats' headers carry (w, h)
     directly, so no pixel codec is needed for the feature-extraction
     columns this pipeline reads.  PNG: the IHDR chunk is mandated first,
-    width/height big-endian at bytes 16..24.  JPEG: walk the marker stream
-    to the first SOFn frame header (height at +5, width at +7).  Anything
-    else raises the documented NotImplementedError."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+    width/height big-endian at bytes 16..24 — the payload is length- and
+    IHDR-validated before slicing so a truncated file raises instead of
+    returning dimensions parsed from short slices (ADVICE r5).  JPEG: walk
+    the marker stream to the first SOFn frame header (height at +5, width
+    at +7), skipping spec-legal 0xFF fill/padding bytes before each marker
+    and stopping at EOI (ADVICE r5: a fill byte is NOT a segment and must
+    not have a length field read from its following bytes).  Anything else
+    raises the documented NotImplementedError."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8 signature + 4 length + 4 type + 13 IHDR body = 29 bytes minimum
+        if (
+            len(payload) < 29
+            or int.from_bytes(payload[8:12], "big") != 13
+            or payload[12:16] != b"IHDR"
+        ):
+            raise NotImplementedError("truncated or malformed PNG header")
         return (
             int.from_bytes(payload[16:20], "big"),
             int.from_bytes(payload[20:24], "big"),
         )
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 break
+            # skip 0xFF fill/padding bytes preceding a marker (B.1.1.2)
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= len(payload):
+                break
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI: no frame header found
+                break
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    break  # truncated SOF segment
                 return (
                     int.from_bytes(payload[i + 7 : i + 9], "big"),
                     int.from_bytes(payload[i + 5 : i + 7], "big"),
@@ -104,6 +125,8 @@ def _stdlib_header_decode(payload: bytes) -> tuple[int, int]:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone marker, no length field
             else:
+                if i + 4 > len(payload):
+                    break  # truncated length field
                 i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         raise NotImplementedError("JPEG payload has no SOF frame header")
     raise NotImplementedError(

@@ -816,9 +816,13 @@ def curriculum_order(docs: DataFrame, n_buckets: int = 4) -> DataFrame:
     ).select("doc_id", "bucket")
     h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
     with_h = bucketed.withColumn("h", h)
-    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order
+    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order.
+    # Pad width sized from n_buckets — Spark's lpad TRUNCATES strings longer
+    # than the width, so a fixed 2 would fold tile '100' into '10' and
+    # silently corrupt the order for n_buckets >= 100 (ADVICE r5).
+    pad = len(str(n_buckets))
     bk = F.concat(
-        F.lpad(F.col("bucket").cast("string"), 2, "0"), F.substring("h", 1, 2)
+        F.lpad(F.col("bucket").cast("string"), pad, "0"), F.substring("h", 1, 2)
     )
     return (
         bucketed_rank(

@@ -1293,16 +1293,27 @@ def ppl_buckets(
     score bands), so even the doc relation never funnels through a
     single-task window at 100 TB of docs.
     """
-    scores = _unigram_doc_scores(docs, text_col, id_col).select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        (F.col("sum_ln_micro").cast("double") / F.col("n_tokens")).alias("score"),
-        F.round(
-            F.log(F.col("n_total").cast("double"))
-            - (F.col("sum_ln_micro").cast("double") / 1_000_000.0)
-            / F.col("n_tokens"),
-            6,
-        ).alias("avg_neg_logp"),
+    # n_tokens > 0 guard (ADVICE r5): a degenerate zero-token doc would make
+    # score = 0/0 = NaN (not NULL) — DESC-sorted first while
+    # CAST(NaN AS BIGINT) = 0 lands it in the wrong two-phase bucket, a
+    # silent rank corruption.  Exclude such docs deterministically (the
+    # oracle carries the same WHERE).
+    scores = (
+        _unigram_doc_scores(docs, text_col, id_col)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("sum_ln_micro").cast("double") / F.col("n_tokens")).alias(
+                "score"
+            ),
+            F.round(
+                F.log(F.col("n_total").cast("double"))
+                - (F.col("sum_ln_micro").cast("double") / 1_000_000.0)
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
     )
     from ..operators.twophase import bucketed_ntile
 
@@ -1357,6 +1368,7 @@ scored AS (
                  - (CAST(sum_ln_micro AS DOUBLE) / 1000000.0) / n_tokens,
                  6) AS avg_neg_logp
     FROM per_doc CROSS JOIN total
+    WHERE n_tokens > 0
 ),
 bucketed AS (
     SELECT *, CAST(NTILE({n_buckets}) OVER (ORDER BY score DESC, doc_id ASC)

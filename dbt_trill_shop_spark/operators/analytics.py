@@ -2256,18 +2256,24 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two-phase CDF cumsum (no partition-less global window).  Phase 0:
     # collapse to per-distinct-value counts — ties absorb into one row, which
-    # is also exactly the "CDF evaluated after ties" semantics.  Phase 1:
-    # bucket values by a coarse fixed-width key ($10k price bands — O(10-100)
-    # buckets at any scale), per-bucket sums, window cumsum over that tiny
-    # relation for each bucket's starting offsets.  Phase 2: within-bucket
-    # cumsum partitioned by the bucket key, plus the broadcast offset.
-    # Caveat (ADVICE r4): if every price lands in one $10k band the
-    # boundary bucket holds all distinct values and phase 2 runs in one
-    # task — correct, just not distributed on that degenerate case.
+    # is also exactly the "CDF evaluated after ties" semantics; the
+    # relation is localCheckpointed because three paths consume it (bucket
+    # boundaries, per-bucket sums, the per-value join) and each would
+    # otherwise re-scan orders.  Phase 1: bucket values by their position
+    # among 31 approx-quantile boundaries (ADVICE r4 fix, landed r6: the
+    # old fixed $10k bands degraded to one bucket when every price fell in
+    # a single band — counting boundaries <= v is monotone in v for ANY
+    # distribution and the GK sketch keeps buckets equal-count), per-bucket
+    # sums, window cumsum over that tiny relation for each bucket's
+    # starting offsets.  Phase 2: within-bucket cumsum partitioned by the
+    # bucket key, plus the broadcast offset.  Bucketing only affects WHERE
+    # rows are cumsum'd, never the exact D statistic.
+    from .twophase import quantile_bucket
+
     per_v = base.groupBy("v").agg(
         F.sum("g1").alias("d1"), F.sum(1 - F.col("g1")).alias("d2")
-    )
-    bucketed = per_v.withColumn("vb", (F.col("v") / 1_000_000).cast("bigint"))
+    ).localCheckpoint(eager=True)
+    bucketed = quantile_bucket(per_v, "v").withColumnRenamed("__tp_qb", "vb")
     per_b = bucketed.groupBy("vb").agg(
         F.sum("d1").alias("b1"), F.sum("d2").alias("b2")
     )
@@ -2443,8 +2449,14 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float interpolation).
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n")
+    # localCheckpoint the tiny per-day relation (calendar-bounded): the
+    # pairwise-slope plan consumes it on three paths (per-bucket counts,
+    # boundary-bucket rank, quantile boundaries) and each would otherwise
+    # re-scan + re-aggregate the full events table.
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     a = daily.select(
         F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias("x1"),
@@ -2472,16 +2484,26 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two-phase median rank (no partition-less global window — that funnels
     # all O(days²) slopes through ONE task).  Phase 1: bucket slopes by a
-    # fixed quantizer, aggregate per-bucket counts (tiny relation), window
-    # cumsum over THAT to find each bucket's starting offset and the single
-    # bucket containing the median rank.  Phase 2: rank within only that
-    # boundary bucket, partitioned by its (constant) bucket key.  Same shape
-    # as token_budget_select's offsets-plus-boundary-group cumsum.
-    # Caveat (ADVICE r4): a near-flat trend (all slopes within 1/4096)
-    # lands every row in the boundary bucket and degrades to the pre-fix
-    # single-task rank — correct, just not distributed on that worst case.
-    bucketed = slopes.withColumn(
-        "bk", F.floor(F.col("slope") * 4096).cast("bigint")
+    # distribution-adaptive quantizer, aggregate per-bucket counts (tiny
+    # relation), window cumsum over THAT to find each bucket's starting
+    # offset and the single bucket containing the median rank.  Phase 2:
+    # rank within only that boundary bucket, partitioned by its (constant)
+    # bucket key.  Same shape as token_budget_select's
+    # offsets-plus-boundary-group cumsum.
+    #
+    # The bucket key is the slope's position among 31 approx-quantile
+    # boundaries (ADVICE r4 fix, landed r6): a fixed-width quantizer
+    # (floor(slope*4096)) degraded to ONE bucket whenever the trend was
+    # near-flat (all slopes within 1/4096).  Counting boundaries <= slope
+    # is monotone in slope whatever the distribution, and the GK sketch
+    # spreads buckets equal-count, so even a degenerate distribution
+    # distributes across ~32 tasks.  The boundaries ride the plan as a
+    # broadcast scalar aggregate — no driver-side action, and the bucket
+    # choice only affects WHERE rows are ranked, never the exact median.
+    from .twophase import quantile_bucket
+
+    bucketed = quantile_bucket(slopes, "slope").withColumnRenamed(
+        "__tp_qb", "bk"
     )
     per_b = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
     # One window pass over the tiny per-bucket relation yields BOTH the
@@ -2784,13 +2806,14 @@ def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     of five int64s (identical operand order cross-engine).
 
     Scale: the below-cumsum is two-phase (``bucketed_cumsum`` over the
-    same $10k price bands as the KS scan) — the per-distinct-cents
-    relation is bounded by the price RANGE, not rows, but that range is
-    ~10⁷ distinct values, too wide for a partition-less window; the
-    exclusive below-count is the inclusive bucketed cumsum minus the
-    row's own ties.
+    same approx-quantile price buckets as the KS scan — equal-count
+    whatever the price distribution, see ``quantile_bucket``) — the
+    per-distinct-cents relation is bounded by the price RANGE, not rows,
+    but that range is ~10⁷ distinct values, too wide for a partition-less
+    window; the exclusive below-count is the inclusive bucketed cumsum
+    minus the row's own ties.
     """
-    from .twophase import bucketed_cumsum
+    from .twophase import bucketed_cumsum, quantile_bucket
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(
@@ -2799,18 +2822,18 @@ def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("g1"),
         cents("o_totalprice").alias("v"),
     )
+    # per_v is an orders-wide aggregate consumed by the quantile-boundary
+    # pass plus both two-phase passes: checkpoint once rather than paying
+    # the orders scan three times
     per_v = base.groupBy("v").agg(
         F.sum("g1").alias("t1"), F.sum(1 - F.col("g1")).alias("t2")
-    )
+    ).localCheckpoint(eager=True)
     cum = bucketed_cumsum(
-        per_v,
-        F.expr("v DIV 1000000"),
+        quantile_bucket(per_v, "v"),
+        F.col("__tp_qb"),
         [F.asc("v")],
         F.col("t2"),
         "c2i",
-        # per_v is an orders-wide aggregate: checkpoint once rather than
-        # paying the orders scan for each two-phase pass
-        materialize=True,
     ).select("t1", "t2", (F.col("c2i") - F.col("t2")).alias("c2b"))
     stats = cum.agg(
         F.sum("t1").alias("n1"),

@@ -19,9 +19,10 @@ Single-partition hits are then classified against an explicit allowlist of
 queries whose flagged window/sort input is bounded BY CONSTRUCTION
 (calendar days, NTILE deciles, Benford digits, |event-types|³ paths, the
 two-phase helpers' per-bucket offsets relations).  Anything new fails the
-gated test (``PLAN_AUDIT=1 pytest tests/test_plan_audit.py``), so a query
-added or refactored with a corpus-scaled single-task shape is caught the
-round it lands, not two verdicts later.
+DEFAULT suite (``tests/test_oracle_parity.py`` audits every query's plan
+inside the parity chunk — promoted out of the opt-in PLAN_AUDIT=1 sweep
+per VERDICT r5 #2), so a query added or refactored with a corpus-scaled
+single-task shape is caught the round it lands, not two verdicts later.
 """
 
 from __future__ import annotations
@@ -53,8 +54,8 @@ SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "q_mannwhitney": "two-phase offsets relation (__tp_bk)",
     "q_abc_analysis": "two-phase offsets relation (__tp_bk)",
     "x_quality_auc": "two-phase offsets relation (__tp_bk)",
-    "q_ks_test": "two-phase offsets relation (per-$10k-band)",
-    "q_theilsen_trend": "two-phase offsets relation (per-slope-band)",
+    "q_ks_test": "two-phase offsets relation (per-quantile-bucket)",
+    "q_theilsen_trend": "two-phase offsets relation (per-quantile-bucket)",
     "x_curriculum_order": "two-phase offsets relation (__tp_bk)",
     "x_curation_pipeline_v2": "two-phase offsets relation (__tp_bk)",
     "x_training_order": "two-phase offsets relation (__tp_bk)",

@@ -34,6 +34,15 @@ bucket degrades to the pre-fix single-task shape.  Quantizer widths below
 are chosen from the key's construction (md5 prefixes are uniform by
 definition; milli-logits / int counts have bounded natural ranges), not
 from sampled statistics, to keep plans deterministic.
+
+NULL handling (ADVICE r5): the helpers are bit-identical to the global
+window INCLUDING NULL keys and NULL values — NULL buckets survive the
+offsets join (null-safe equality) and sort first (Spark's NULLS FIRST
+ascending default), and cumsum reproduces SUM OVER's skip-NULLs-but-
+NULL-until-first-value behavior.  The one remaining precondition is NaN:
+a bucket quantizer like CAST(x AS BIGINT) maps NaN to 0 while the sort
+puts NaN last, breaking monotonicity — callers must exclude or
+monotonically quantize NaN keys (ppl_buckets guards n_tokens > 0).
 """
 
 from __future__ import annotations
@@ -41,9 +50,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_rank", "bucketed_ntile", "bucketed_cumsum", "md5_bucket"]
+__all__ = [
+    "bucketed_rank",
+    "bucketed_ntile",
+    "bucketed_cumsum",
+    "md5_bucket",
+    "quantile_bucket",
+]
 
 _BK, _OFF, _CNT, _N = "__tp_bk", "__tp_off", "__tp_cnt", "__tp_n"
+_NN, _BK2 = "__tp_nn_off", "__tp_bk2"
 
 
 def md5_bucket(h: Column, chars: int = 3) -> Column:
@@ -54,16 +70,68 @@ def md5_bucket(h: Column, chars: int = 3) -> Column:
     return F.substring(h, 1, chars)
 
 
+def quantile_bucket(
+    df: DataFrame, key: str, n: int = 32, accuracy: int = 10000
+) -> DataFrame:
+    """Attach a DISTRIBUTION-ADAPTIVE bucket column ``__tp_qb`` for the
+    two-phase helpers: the row's key counted against ``n - 1``
+    approx-quantile boundaries (ADVICE r4 fix, landed r6).  A fixed-width
+    quantizer degrades to ONE bucket on a degenerate distribution (all
+    slopes within 1/4096, all prices in one $10k band); counting
+    boundaries ``<= key`` is monotone in the key for ANY distribution and
+    the GK sketch keeps buckets equal-count, so the per-bucket phase
+    distributes across ~``n`` tasks regardless of skew.
+
+    The boundaries ride the plan as a broadcast scalar aggregate — no
+    driver-side action — and the bucket choice only affects WHERE rows are
+    ranked/cumsum'd, never the result.  ``df`` is consumed twice (boundary
+    aggregate + main path): callers with a derived input should checkpoint
+    it first.  NULL keys land in bucket 0 (the minimum — consistent with
+    NULLS FIRST ascending) and NaN keys in bucket ``n - 1`` (NaN compares
+    greater than every double in Spark, and sorts last ascending), so both
+    satisfy the helpers' monotone-bucket precondition for ASC orders.
+    """
+    bounds = df.agg(
+        F.percentile_approx(
+            key, [i / float(n) for i in range(1, n)], accuracy
+        ).alias("__tp_qs")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__tp_qb",
+            F.expr(
+                "aggregate(__tp_qs, 0, (acc, q) ->"
+                f" acc + CASE WHEN {key} >= q THEN 1 ELSE 0 END)"
+            ).cast("bigint"),
+        )
+        .drop("__tp_qs")
+    )
+
+
 def _with_offsets(
     df: DataFrame,
     bucket: Column,
     agg: Column,
     want_total: bool,
     materialize: bool = False,
+    nn_agg: Column | None = None,
 ) -> DataFrame:
     """Attach per-bucket starting offsets (exclusive prefix aggregate over
     buckets in ascending ``bucket`` order) and optionally the grand total,
     via one tiny window over the per-bucket relation + a broadcast join.
+
+    NULL bucket keys are first-class (ADVICE r5): the offsets re-attach
+    with a NULL-SAFE equality join so a NULL bucket is never dropped, and
+    ``Window.orderBy(_BK)`` sorts NULL first — matching the engine's
+    ``ORDER BY k ASC NULLS FIRST`` global-window default, provided the
+    bucket expression maps NULL keys to NULL (any SQL-typical quantizer —
+    substring, cast, arithmetic — does) or to the minimum bucket.  A
+    per-bucket aggregate that comes back NULL (an all-NULL-value bucket in
+    ``bucketed_cumsum``) is coalesced to 0 so it cannot NULL-poison later
+    buckets' offsets.  ``nn_agg`` optionally rides a second aggregate whose
+    exclusive prefix sum lands in ``__tp_nn_off`` (cumsum uses it to count
+    non-NULL values in prior buckets).
 
     ``materialize`` localCheckpoints the bucketed input first: the two
     phases each scan ``df``, so when it is a DERIVED relation (a classifier
@@ -76,19 +144,28 @@ def _with_offsets(
     b = df.withColumn(_BK, bucket)
     if materialize:
         b = b.localCheckpoint(eager=True)
-    per_b = b.groupBy(_BK).agg(agg.alias(_CNT))
+    aggs = [F.coalesce(agg, F.lit(0)).alias(_CNT)]
+    if nn_agg is not None:
+        aggs.append(F.coalesce(nn_agg, F.lit(0)).alias("__tp_nn"))
+    per_b = b.groupBy(_BK).agg(*aggs)
     wc = Window.orderBy(_BK).rowsBetween(Window.unboundedPreceding, 0)
     cols = [
-        F.col(_BK),
+        F.col(_BK).alias(_BK2),
         (F.sum(_CNT).over(wc) - F.col(_CNT)).alias(_OFF),
     ]
+    if nn_agg is not None:
+        cols.append(
+            (F.sum("__tp_nn").over(wc) - F.col("__tp_nn")).alias(_NN)
+        )
     if want_total:
         wall = Window.orderBy(_BK).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         cols.append(F.sum(_CNT).over(wall).alias(_N))
     offsets = per_b.select(*cols)
-    return b.join(F.broadcast(offsets), _BK)
+    return b.join(
+        F.broadcast(offsets), F.col(_BK).eqNullSafe(F.col(_BK2))
+    ).drop(_BK2)
 
 
 def bucketed_rank(
@@ -100,8 +177,13 @@ def bucketed_rank(
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY *order)`` without the single-task
     window.  ``bucket`` must be monotone non-decreasing w.r.t. the total
-    order defined by ``order`` (i.e. a coarsening of its leading key).
-    Adds column ``out`` (bigint); drops nothing else."""
+    order defined by ``order`` (i.e. a coarsening of its leading key),
+    mapping a NULL leading key to NULL (or the minimum bucket) so NULL
+    rows rank first like the engine's ASC NULLS FIRST default; NaN keys
+    must be excluded or quantized monotonically by the caller (NaN sorts
+    LAST ascending, but ``CAST(NaN AS BIGINT)`` is 0 — see ppl_buckets'
+    n_tokens>0 guard).  Adds column ``out`` (bigint); drops nothing
+    else."""
     wv = Window.partitionBy(_BK).orderBy(*order)
     return (
         _with_offsets(
@@ -152,17 +234,34 @@ def bucketed_cumsum(
     materialize: bool = False,
 ) -> DataFrame:
     """``SUM(val) OVER (ORDER BY *order ROWS UNBOUNDED PRECEDING)`` — the
-    inclusive running total — as per-bucket sums + within-bucket cumsum."""
+    inclusive running total — as per-bucket sums + within-bucket cumsum.
+
+    NULL values keep exact ``SUM OVER`` semantics (ADVICE r5): the global
+    window skips NULLs but returns NULL until the first non-NULL value, so
+    the two-phase form coalesces prior buckets' sums to 0 and counts their
+    non-NULL values — a row is NULL iff its bucket-local prefix is all-NULL
+    AND no prior bucket held a non-NULL value."""
     v = df.withColumn("__tp_v", val)
     wv = (
         Window.partitionBy(_BK)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    within = F.sum("__tp_v").over(wv)
     return (
         _with_offsets(
-            v, bucket, F.sum("__tp_v"), want_total=False, materialize=materialize
+            v,
+            bucket,
+            F.sum("__tp_v"),
+            want_total=False,
+            materialize=materialize,
+            nn_agg=F.count("__tp_v"),
         )
-        .withColumn(out, F.col(_OFF) + F.sum("__tp_v").over(wv))
-        .drop(_BK, _OFF, "__tp_v")
+        .withColumn(
+            out,
+            F.when(
+                within.isNull() & (F.col(_NN) == 0), F.lit(None)
+            ).otherwise(F.col(_OFF) + F.coalesce(within, F.lit(0))),
+        )
+        .drop(_BK, _OFF, _NN, "__tp_v")
     )

@@ -79,6 +79,30 @@ def test_gate_exit_decision():
     assert gate_should_fail(regs, {"SPARK_GRAFT_BENCH_UPDATE": "0"})
 
 
+def test_gate_env_factor_hard_ceiling():
+    """ADVICE r5: the sweep-median normalizer is blind to a regression
+    touching >50% of queries (the median absorbs it).  A sweep slowdown
+    past 2.0x therefore fails the gate even with zero per-query flags,
+    unless explicitly acknowledged as a known-contended environment."""
+    assert not gate_should_fail({}, {}, env_factor=1.9)
+    assert gate_should_fail({}, {}, env_factor=2.1)
+    # explicit ack: the user vouches the box is contended, not the code
+    assert not gate_should_fail(
+        {}, {"SPARK_GRAFT_BENCH_ENV_ACK": "1"}, env_factor=2.1
+    )
+    # disabled gate / baseline refresh still short-circuit
+    assert not gate_should_fail(
+        {}, {"SPARK_GRAFT_BENCH_GATE": "0"}, env_factor=5.0
+    )
+    assert not gate_should_fail(
+        {}, {"SPARK_GRAFT_BENCH_UPDATE": "1"}, env_factor=5.0
+    )
+    # the ack does NOT suppress confirmed per-query regressions
+    assert gate_should_fail(
+        {"a": [1.0, 2.0]}, {"SPARK_GRAFT_BENCH_ENV_ACK": "1"}, env_factor=2.1
+    )
+
+
 def test_committed_allowlist_is_valid():
     path = os.path.join(REPO, "bench_allowlist.json")
     with open(path) as fh:

@@ -1393,6 +1393,69 @@ def test_real_png_decodes_through_spark_media_path(spark):
     assert rows[1].n_bytes == len(png) and rows[2].n_bytes == len(jpg)
 
 
+def test_curriculum_order_wide_bucket_count(spark, sf_dir):
+    """ADVICE r5: Spark's lpad TRUNCATES a 3-digit tile to 2 chars at the
+    old fixed pad width, silently corrupting the lexicographic stage order
+    for n_buckets >= 100.  Pin n_buckets=120 against the DuckDB oracle."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.sampling import (
+        CURRICULUM_ORDER_SQL_TEMPLATE,
+        curriculum_order,
+    )
+    from dbt_trill_shop_spark.ext.textstats import QUALITY_CLASSIFIER_SQL
+
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = curriculum_order(docs, n_buckets=120)
+    sql = CURRICULUM_ORDER_SQL_TEMPLATE.format(
+        quality_sql=QUALITY_CLASSIFIER_SQL, n_buckets=120
+    )
+    probs = compare(got, oracle_frame(duck_connection(sf_dir), sql))
+    assert not probs, probs
+
+
+def test_stdlib_header_decode_malformed_containers():
+    """ADVICE r5 edge cases: JPEG 0xFF fill bytes before a marker are
+    skipped (not read as a segment with a garbage length), EOI terminates
+    the walk, and truncated PNGs raise instead of slicing short buffers
+    into wrong dimensions."""
+    import struct
+
+    from dbt_trill_shop_spark.ext import multimodal as mm
+
+    # fill bytes before APP0 and SOF0: still decodes
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, 17, 31, 1) + b"\x01\x11\x00"
+    padded = b"\xff\xd8" + b"\xff" * 3 + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    assert mm._stdlib_header_decode(padded) == (31, 17)
+
+    # EOI before any SOF: raises (previously read EOI as a segment and
+    # walked garbage lengths)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm._stdlib_header_decode(b"\xff\xd8" + app0 + b"\xff\xd9")
+    # trailing fill bytes then EOF: raises, no IndexError
+    with _pytest.raises(NotImplementedError):
+        mm._stdlib_header_decode(b"\xff\xd8" + b"\xff\xff\xff")
+    # truncated SOF segment (length field cut off): raises
+    with _pytest.raises(NotImplementedError):
+        mm._stdlib_header_decode(b"\xff\xd8" + sof0[:6])
+
+    # truncated PNG: signature + IHDR tag but a short body
+    png = _make_real_png(13, 7)
+    with _pytest.raises(NotImplementedError):
+        mm._stdlib_header_decode(png[:20])
+    # wrong IHDR length field
+    bad = bytearray(png)
+    bad[8:12] = struct.pack(">I", 12)
+    with _pytest.raises(NotImplementedError):
+        mm._stdlib_header_decode(bytes(bad))
+    # intact containers still parse
+    assert mm._stdlib_header_decode(png) == (13, 7)
+
+
 # ---------------------------------------------------------------------------
 # Pooled lane for the slow independent checks above (the _px_* helpers).
 #

@@ -2,6 +2,15 @@
 the harness must match DuckDB exactly (columns, row count, order-insensitive
 values) at the test scale factor.
 
+Every query's physical plan ALSO passes the mechanical scale audit here
+(VERDICT r5 #2 — promoted out of opt-in): the DataFrame is already built for
+the comparison, so the audit costs one plan-string render + regex per query,
+and a refactor that reintroduces a corpus-scaled single-task shape fails the
+DEFAULT suite the round it lands (the failure mode that bit
+curation_pipeline_v2 in r5: a pipeline inlining a stale shape of a
+since-fixed library op).  Rows-only queries get the same audit in
+test_rows_only_queries_run, so the full registry is covered.
+
 The ~280 comparisons dominate suite wall-clock, so they run as ONE
 cost-ordered chunk with a 16-thread pool (Spark job submission
 and DuckDB both release the GIL; each thread gets its own DuckDB
@@ -21,8 +30,21 @@ from concurrent.futures import ThreadPoolExecutor
 import pytest
 
 from dbt_trill_shop_spark.harness import QUERIES
+from dbt_trill_shop_spark.operators.plan_audit import (
+    SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION,
+    audit_plan,
+)
 
 from .oracle_utils import compare, duck_connection, oracle_frame
+
+
+def _audit(name: str, df) -> list[str]:
+    """Scale-audit one query's physical plan, minus its allowlisted
+    bounded-by-construction single-partition shapes."""
+    flags = audit_plan(df)
+    if name in SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION:
+        flags = [f for f in flags if not f.startswith("single-partition")]
+    return [f"plan: {f}" for f in flags]
 
 ORACLE_QUERIES = [name for name, spec in QUERIES.items() if spec.oracle is not None]
 
@@ -95,7 +117,8 @@ def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
             con = tl.con = duck_connection(sf_dir)
         spec = QUERIES[name]
         try:
-            probs = compare(spec.fn(spark, sf_dir), oracle_frame(con, spec.oracle))
+            df = spec.fn(spark, sf_dir)
+            probs = _audit(name, df) + compare(df, oracle_frame(con, spec.oracle))
         except Exception as e:  # surface per-query, don't kill the chunk
             probs = [f"exception: {type(e).__name__}: {e}"]
         return name, probs
@@ -143,4 +166,5 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
+            assert not _audit(name, df), (name, _audit(name, df))
             assert df.count() >= 0, name

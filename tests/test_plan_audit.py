@@ -1,48 +1,23 @@
-"""Full-registry mechanical scale audit (opt-in: PLAN_AUDIT=1).
+"""Registry-wide mechanical scale audit — DEFAULT-ON since round 6.
 
-Builds every registered query's physical plan at the test SF (driver-side
-only — nothing executes) and asserts no query carries an unclassified
-scale-defect shape: a non-combiner Exchange SinglePartition, a cartesian
-product, a row-at-a-time Python UDF, or a text/vector payload on a hash
-shuffle.  Queries whose single-partition input is bounded by construction
-are allowlisted WITH REASONS in
-``dbt_trill_shop_spark.operators.plan_audit``; a new query (or a refactor
-of an old one) that reintroduces a corpus-scaled single-task shape fails
-here the round it lands.
-
-Opt-in because building ~287 plans costs ~2-3 min — run it whenever the
-registry or an operator's plan shape changes:
-
-    PLAN_AUDIT=1 python -m pytest tests/test_plan_audit.py -q
+The audit itself (non-combiner Exchange SinglePartition, cartesian product,
+row-at-a-time Python UDF, text/vector payload on a hash shuffle) runs inside
+tests/test_oracle_parity.py for EVERY registered query: the parity chunk has
+already built each DataFrame, so the audit costs one plan-string render +
+regex per query and a corpus-scaled single-task shape fails the default
+suite the round it lands (VERDICT r5 #2 — previously this was an opt-in
+PLAN_AUDIT=1 sweep that only ran when someone remembered the env var, which
+is exactly how curation_pipeline_v2's stale inlined shape slipped through
+r4).  Queries whose single-partition input is bounded by construction are
+allowlisted WITH REASONS in ``dbt_trill_shop_spark.operators.plan_audit``;
+this module pins the allowlist's hygiene.
 """
 
 from __future__ import annotations
 
-import os
-
-import pytest
-
 from dbt_trill_shop_spark.operators.plan_audit import (
     SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION,
-    audit_plan,
 )
-
-
-@pytest.mark.skipif(
-    os.environ.get("PLAN_AUDIT") != "1",
-    reason="full-registry plan audit is opt-in (PLAN_AUDIT=1); ~2-3 min",
-)
-def test_all_registered_plans_are_scale_clean(spark, sf_dir):
-    from dbt_trill_shop_spark.harness import QUERIES
-
-    bad: dict[str, list[str]] = {}
-    for name, q in QUERIES.items():
-        flags = audit_plan(q.fn(spark, sf_dir))
-        if name in SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION:
-            flags = [f for f in flags if not f.startswith("single-partition")]
-        if flags:
-            bad[name] = flags
-    assert not bad, "\n".join(f"{k}: {v}" for k, v in sorted(bad.items()))
 
 
 def test_allowlist_names_are_registered():
@@ -52,3 +27,8 @@ def test_allowlist_names_are_registered():
 
     stale = set(SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION) - set(QUERIES)
     assert not stale, sorted(stale)
+
+
+def test_allowlist_reasons_are_real():
+    for name, reason in SP_EXCHANGE_BOUNDED_BY_CONSTRUCTION.items():
+        assert isinstance(reason, str) and len(reason) >= 10, name

@@ -12,6 +12,7 @@ from dbt_trill_shop_spark.operators.twophase import (
     bucketed_ntile,
     bucketed_rank,
     md5_bucket,
+    quantile_bucket,
 )
 
 
@@ -136,6 +137,114 @@ def test_helpers_empty_and_single_row(spark):
     )
     one = spark.createDataFrame([(5, 1, 10)], "k long, id long, v long")
     assert bucketed_rank(one, F.expr("k DIV 16"), [F.col("k"), F.col("id")]).collect()[0]["rank"] == 1
+
+
+def _null_base(spark, n=400):
+    """Keys with a NULL stripe (every 11th), values with a NULL stripe
+    (every 5th) and an all-NULL leading value run (ids 0..49)."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 != 0, (F.col("id") * 37 % 211) - 100)
+        .cast("bigint")
+        .alias("k"),
+        F.when((F.col("id") % 5 != 0) & (F.col("id") >= 50), F.col("id") % 7)
+        .cast("bigint")
+        .alias("v"),
+    )
+
+
+def test_rank_null_keys_match_global_window(spark):
+    """NULL order keys rank FIRST (engine ASC NULLS FIRST default); the
+    null-safe offsets join must keep them (ADVICE r5: the inner equi-join
+    silently dropped NULL buckets)."""
+    df = _null_base(spark)
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("k", "id")).cast("bigint")
+    )
+    two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
+def test_ntile_null_keys_match_global_window(spark):
+    df = _null_base(spark)
+    naive = df.withColumn(
+        "t", F.ntile(7).over(Window.orderBy("k", "id")).cast("bigint")
+    )
+    two = bucketed_ntile(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], 7, "t")
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
+def test_cumsum_null_keys_and_null_values_match_global_window(spark):
+    """SUM OVER skips NULL values but stays NULL until the first non-NULL —
+    the leading all-NULL run (ids < 50 at NULL/low keys) must come back
+    NULL, not 0, and an all-NULL bucket must not NULL-poison later
+    buckets' offsets."""
+    df = _null_base(spark)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("c", F.sum("v").over(w))
+    two = bucketed_cumsum(
+        df, F.expr("k DIV 16"), [F.col("k"), F.col("id")], F.col("v"), "c"
+    )
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+    # the NULL-until-first-value region is genuinely exercised
+    assert naive.where(F.col("c").isNull()).count() > 0
+
+
+def test_cumsum_all_null_values(spark):
+    """Degenerate: every value NULL -> every cumsum NULL (never 0)."""
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 13).cast("bigint").alias("k"),
+        F.lit(None).cast("bigint").alias("v"),
+    )
+    two = bucketed_cumsum(
+        df, F.expr("k DIV 4"), [F.col("k"), F.col("id")], F.col("v"), "c"
+    )
+    assert two.where(F.col("c").isNotNull()).count() == 0
+    assert two.count() == 100
+
+
+def test_quantile_bucket_distributes_degenerate_distribution(spark):
+    """ADVICE r4 degenerate case: every value inside ONE fixed-width band
+    (all within 1/4096, all in one $10k price band).  The approx-quantile
+    bucket must still spread the relation across many buckets, stay
+    monotone w.r.t. the key, and leave two-phase results bit-identical."""
+    # 997 distinct values all within [1e6, 1e6 + 997): one $10k band
+    df = spark.range(997).select(
+        F.col("id"), (F.lit(1_000_000) + F.col("id") * 7 % 997).alias("v")
+    )
+    qb = quantile_bucket(df, "v")
+    assert qb.select("__tp_qb").distinct().count() >= 16
+    # monotone: bucket of the larger value is never smaller
+    pairs = qb.alias("a").join(
+        qb.alias("b"), F.col("a.v") < F.col("b.v")
+    ).where(F.col("a.__tp_qb") > F.col("b.__tp_qb"))
+    assert pairs.count() == 0
+    # two-phase rank over the adaptive bucket == the global window
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    two = bucketed_rank(
+        qb, F.col("__tp_qb"), [F.col("v"), F.col("id")]
+    ).drop("__tp_qb")
+    assert naive.exceptAll(two).count() == 0
+    assert two.exceptAll(naive).count() == 0
+
+
+def test_quantile_bucket_null_and_nan_keys(spark):
+    """NULL keys land in the minimum bucket (NULLS FIRST-consistent), NaN
+    keys in the maximum (NaN sorts last ascending in Spark)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None), (5, float("nan"))],
+        "id long, v double",
+    )
+    rows = {r.id: r["__tp_qb"] for r in quantile_bucket(df, "v", n=4).collect()}
+    assert rows[4] == 0  # NULL -> minimum bucket
+    assert rows[5] == max(rows.values())  # NaN -> maximum bucket
+    assert rows[1] <= rows[2] <= rows[3]
 
 
 def test_rank_plan_has_no_partitionless_window(spark):
