@@ -1436,8 +1436,17 @@ QUERIES: dict[str, QuerySpec] = {
     "q_revenue_percentiles": QuerySpec(
         R.revenue_percentiles, R.REVENUE_PERCENTILES_SQL
     ),
+    # PERMANENTLY rows-only BY DESIGN (one of exactly two, with
+    # q_weekly_unique_users_approx): approx_percentile is a GK-sketch
+    # estimator whose outputs are engine-specific — DuckDB's approximate
+    # quantiles legitimately differ, so there is no cross-engine value
+    # oracle to write.  Accuracy is checked instead against the hash-exact
+    # twin q_revenue_percentiles (same percentiles, exact percentile_cont
+    # semantics, full value-hash verdict) in tests/test_scale_features.py::
+    # test_approx_percentiles_close_to_exact (<=2% relative error bound);
+    # the driver records the rows-only verdict (CORRECTNESS r01: no_oracle).
     "q_revenue_percentiles_approx": QuerySpec(
-        R.revenue_percentiles_approx, None  # sketch-based: rows-only
+        R.revenue_percentiles_approx, None
     ),
     "q_above_customer_avg": QuerySpec(
         R.above_customer_avg, R.ABOVE_CUSTOMER_AVG_SQL
@@ -1470,7 +1479,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q_rolling_7d_user_value": QuerySpec(
         A.rolling_7d_user_value, A.ROLLING_7D_USER_VALUE_SQL
     ),
-    "q_weekly_unique_users_approx": QuerySpec(A.weekly_unique_users_approx, None),  # HLL
+    # PERMANENTLY rows-only BY DESIGN (the second of exactly two): Spark's
+    # approx_count_distinct is a HyperLogLog++ estimator — its per-week
+    # cardinalities are engine-specific (DuckDB's approx_count_distinct
+    # uses a different HLL variant/seeding), so no cross-engine value
+    # oracle exists.  Accuracy is bounded within 5% of the exact distinct
+    # count per week (tests/test_ext.py _px_approx_count_distinct_accuracy)
+    # and the deterministic engine-built sketches q_hll_users /
+    # q_linear_counting carry full value-hash oracles for the same
+    # estimand; the driver records the rows-only verdict.
+    "q_weekly_unique_users_approx": QuerySpec(A.weekly_unique_users_approx, None),
     # --- temporal joins (as-of, range/band) --------------------------------
     "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),
     "q_range_join_bands": QuerySpec(T.range_join_value_bands, T.RANGE_JOIN_VALUE_BANDS_SQL),
