@@ -331,7 +331,11 @@ def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", "bucket")
     h = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
     with_h = bucketed.withColumn("h", h)
-    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order
+    # zero-padded stage + hash prefix: lexicographic == (bucket, h) order.
+    # Width 2 is safe ONLY because the tile count is fixed at 4 above —
+    # Spark's lpad truncates longer strings (see curriculum_order's
+    # parameterized fix, ADVICE r5); widen the pad with the tile count if
+    # this ever becomes a parameter.
     bk = F.concat(
         F.lpad(F.col("bucket").cast("string"), 2, "0"), F.substring("h", 1, 2)
     )
