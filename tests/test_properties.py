@@ -669,3 +669,62 @@ def test_twophase_helpers_match_naive_windows(spark, keys, n_tiles):
         "c",
     ).select("k", "id", "v", "rank", "t", "c")
     assert rowset(naive) == rowset(two)
+
+
+@settings(max_examples=2, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-500, max_value=500)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+)
+def test_twophase_nulls_and_quantile_bucket_match_naive(spark, rows):
+    """ADVICE r5 closure, property form: with NULL keys, NULL values, and
+    the distribution-adaptive quantile bucket, the chained two-phase
+    helpers stay bit-identical to the naive global window (ASC NULLS
+    FIRST, SUM OVER's NULL-until-first-value semantics) on arbitrary
+    distributions — including all-NULL columns and single-row inputs."""
+    from pyspark.sql import Window
+
+    from dbt_trill_shop_spark.operators.twophase import (
+        bucketed_cumsum,
+        bucketed_ntile,
+        bucketed_rank,
+        quantile_bucket,
+    )
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, id long, v long")
+    order = [F.asc("k"), F.asc("id")]
+
+    w = Window.orderBy("k", "id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select(
+        "k", "id", "v",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.ntile(5).over(w).cast("bigint").alias("t"),
+        F.sum("v").over(wc).alias("c"),
+    )
+    qb = quantile_bucket(df, "k", n=8)
+    bucket = F.col("__tp_qb")
+    two = bucketed_cumsum(
+        bucketed_ntile(
+            bucketed_rank(qb, bucket, order), bucket, order, 5, "t"
+        ),
+        bucket,
+        order,
+        F.col("v"),
+        "c",
+    ).select("k", "id", "v", "rank", "t", "c")
+
+    def rowset(frame):  # None-safe sort key
+        return sorted(
+            map(tuple, frame.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rowset(naive) == rowset(two)
