@@ -315,7 +315,216 @@ def _px_bitext_mining_identical_pair_ranks_first(spark):
     assert {top["x_id"], top["y_id"]} == {50, 150}, top
 
 
+def _media(spark, payloads):
+    return spark.createDataFrame(
+        [
+            (i, f"mem://m/{i}", "application/octet-stream", bytearray(p))
+            for i, p in enumerate(payloads)
+        ],
+        "media_id long, uri string, mime string, payload binary",
+    )
+
+
+def _px_knn_homophily_pure_and_anti_clusters(spark):
+    """Two tight pairs far apart: pair-aligned labels give homophily
+    exactly 10^6 per label; cross-pair labels give exactly 0 (every
+    nearest neighbor carries the other label)."""
+    from dbt_trill_shop_spark.ext.similarity import knn_label_homophily
+
+    pts = [[0.0, 0.0], [0.1, 0.0], [100.0, 100.0], [100.1, 100.0]]
+    pure = _vecs(spark, [(i, p, 1 if i < 2 else 2) for i, p in enumerate(pts)])
+    out = {r["label"]: r for r in knn_label_homophily(pure, k=1).collect()}
+    assert out[1]["homophily_ppm"] == 1_000_000
+    assert out[2]["homophily_ppm"] == 1_000_000
+    assert out[1]["n_edges"] == out[2]["n_edges"] == 2
+
+    anti = _vecs(spark, [(i, p, 1 + i % 2) for i, p in enumerate(pts)])
+    out = {r["label"]: r for r in knn_label_homophily(anti, k=1).collect()}
+    assert out[1]["homophily_ppm"] == 0 and out[2]["homophily_ppm"] == 0
+
+
+def _px_knn_hubness_planted_hub_histogram(spark):
+    """A center node with 3 spokes (radii 10/11/12, pairwise spoke
+    distance ~18-19): with k=1 every spoke lists the center, the center
+    lists the nearest spoke — in-degree histogram is exactly
+    {0: 2, 1: 1, 3: 1} and mass conserves to N*k."""
+    import math
+
+    from dbt_trill_shop_spark.ext.similarity import knn_hubness
+
+    rows = [(0, [0.0, 0.0], 0)]
+    for i, r in enumerate((10.0, 11.0, 12.0)):
+        a = 2 * math.pi * i / 3
+        rows.append((i + 1, [r * math.cos(a), r * math.sin(a)], 0))
+    hist = {r["in_degree"]: r["n_nodes"] for r in knn_hubness(_vecs(spark, rows), k=1).collect()}
+    assert hist == {0: 2, 1: 1, 3: 1}, hist
+    assert sum(d * n for d, n in hist.items()) == 4 * 1  # N*k edges
+
+
+def _px_patch_stats_ascii_tiles(spark):
+    """'AAAA'+'BBBB' at patch_bytes=4: two exact tiles with known ascii
+    sums (4*65, 4*66) and integer milli means."""
+    from dbt_trill_shop_spark.ext.multimodal import patch_intensity_stats
+
+    out = patch_intensity_stats(_media(spark, [b"AAAABBBB"]), patch_bytes=4).collect()
+    got = [(r["patch_id"], r["n_bytes"], r["sum_intensity"], r["mean_milli"]) for r in out]
+    assert got == [(0, 4, 260, 65000), (1, 4, 264, 66000)], got
+
+
+def _px_scene_change_single_planted_cut(spark):
+    """32 'A's then two 32-'z' frames: exactly one cut at frame 2 with
+    delta = (122-65)*1000; the flat z->z transition is silent."""
+    from dbt_trill_shop_spark.ext.multimodal import scene_change_plan
+
+    payload = b"A" * 32 + b"z" * 32 + b"z" * 32
+    out = scene_change_plan(
+        _media(spark, [payload]), frame_bytes=32, threshold_milli=4000
+    ).collect()
+    assert [(r["frame_id"], r["delta_milli"]) for r in out] == [(2, 57000)]
+
+
+def _px_shot_stats_planted_cut_counts(spark):
+    """Same payload: 3 frames, 1 cut -> 2 shots, mean shot length 1.5
+    frames (1500 milli); an all-flat payload reports one full shot."""
+    from dbt_trill_shop_spark.ext.multimodal import shot_stats
+
+    cut = b"A" * 32 + b"z" * 64
+    flat = b"Q" * 96
+    out = {r["media_id"]: r for r in shot_stats(
+        _media(spark, [cut, flat]), frame_bytes=32, threshold_milli=4000
+    ).collect()}
+    r0 = out[0]
+    assert (r0["n_frames"], r0["n_cuts"], r0["n_shots"]) == (3, 1, 2)
+    assert r0["mean_shot_frames_milli"] == 1500
+    r1 = out[1]
+    assert (r1["n_frames"], r1["n_cuts"], r1["n_shots"]) == (3, 0, 1)
+    assert r1["mean_shot_frames_milli"] == 3000
+
+
+def _px_flatness_constant_vs_split_payload(spark):
+    """Constant payload -> variance exactly 0 (flat); a half-'A' half-'z'
+    payload -> variance ((122000-65000)/2)^2 = 812_250_000 milli^2 by the
+    two-point variance closed form, mean (65000+122000)/2 = 93500."""
+    from dbt_trill_shop_spark.ext.multimodal import flatness_stats
+
+    out = {r["media_id"]: r for r in flatness_stats(
+        _media(spark, [b"A" * 128, b"A" * 64 + b"z" * 64]), patch_bytes=64
+    ).collect()}
+    assert out[0]["variance_milli2"] == 0 and bool(out[0]["is_flat"]) is True
+    r = out[1]
+    assert r["n_patches"] == 2
+    assert r["mean_intensity_milli"] == 93500
+    assert r["variance_milli2"] == 28500 ** 2 == 812_250_000
+    assert bool(r["is_flat"]) is False
+
+
+def _px_bm25_precision_disjoint_vocab_sources(spark):
+    """Two sources with DISJOINT vocabularies: every BM25 hit must come
+    from the query's own source -> precision exactly 10^6, base rate
+    exactly 500000 (3 of 6 docs per source)."""
+    from dbt_trill_shop_spark.ext.textstats import bm25_source_precision
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry date elder", "alpha"),
+            (1, "zebra yak xerus walrus vulture", "beta"),
+            (2, "apple banana cherry elder fig", "alpha"),
+            (3, "apple grape banana melon kiwi", "alpha"),
+            (4, "zebra yak xerus vulture newt", "beta"),
+            (5, "zebra lion yak tiger wolf", "beta"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["query_id"]: r for r in bm25_source_precision(
+        docs, n_queries=2, q_terms=5, k=10
+    ).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n_hits"] >= 2 and r["n_relevant"] == r["n_hits"]
+        assert r["precision_ppm"] == 1_000_000
+        assert r["base_rate_ppm"] == 500_000
+
+
+def _px_retrieval_ndcg_perfect_and_rank2(spark):
+    """All-same-label corpus: every hit relevant -> nDCG exactly 10^6 and
+    RR exactly 10^6.  A query whose first same-label neighbor sits at
+    rank 2 -> RR exactly 500000 (10^6 div 2) and nDCG < 10^6."""
+    from dbt_trill_shop_spark.ext.similarity import retrieval_eval
+
+    perfect = _vecs(
+        spark, [(i, [float(i), 0.0], 7) for i in range(6)]
+    )
+    r = retrieval_eval(perfect, num_queries=1, k=3).collect()[0]
+    assert r["ndcg_ppm"] == 1_000_000 and r["rr_micro"] == 1_000_000
+
+    mixed = _vecs(
+        spark,
+        [
+            (0, [0.0, 0.0], 7),
+            (1, [1.0, 0.0], 9),   # nearest: wrong label
+            (2, [2.0, 0.0], 7),   # rank 2: first relevant
+            (3, [3.0, 0.0], 9),
+            (4, [4.0, 0.0], 7),
+        ],
+    )
+    r = retrieval_eval(mixed, num_queries=1, k=3).collect()[0]
+    assert r["rr_micro"] == 500_000
+    assert 0 < r["ndcg_ppm"] < 1_000_000
+
+
+def _px_sq8_recon_error_exact_grid(spark):
+    """1-D corpora hitting the quantizer grid exactly: range 255 micro
+    reconstructs every point losslessly (errors 0); range 510 micro puts
+    the midpoint half a step off (code 127 -> recon 254, error 1)."""
+    from dbt_trill_shop_spark.ext.similarity import sq8_reconstruction_error
+
+    exact = _vecs(
+        spark, [(0, [0.0], 0), (1, [0.000255], 0)]
+    )
+    r = sq8_reconstruction_error(exact).collect()[0]
+    assert r["mean_abs_err_micro"] == 0 and r["max_abs_err_micro"] == 0
+
+    mid = _vecs(
+        spark, [(0, [0.0], 0), (1, [0.000255], 0), (2, [0.000510], 0)]
+    )
+    r = sq8_reconstruction_error(mid).collect()[0]
+    assert r["mean_abs_err_micro"] == 0  # (0+1+0) div 3
+    assert r["max_abs_err_micro"] == 1
+
+
+def _px_dedup_quality_canonical_keeps_best_logit(spark):
+    """Planted cluster {1,2,3} (pairs 1-2, 2-3) with logits 10/99/50 must
+    keep doc 2 under component label 1 (min reachable id); singletons keep
+    themselves with n_members 1."""
+    from dbt_trill_shop_spark.ext.dedup import dedup_quality_canonical
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 8)],
+        "doc_id long, logit_milli long",
+    )
+    out = {r["component"]: r for r in dedup_quality_canonical(
+        pairs, docs, scored
+    ).collect()}
+    assert set(out) == {1, 4, 5}
+    assert out[1]["kept_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["kept_logit_milli"] == 99
+    assert out[4]["kept_doc_id"] == 4 and out[4]["n_members"] == 1
+    assert out[5]["kept_doc_id"] == 5 and out[5]["n_members"] == 1
+
+
 _PLANTED = [
+    _px_knn_homophily_pure_and_anti_clusters,
+    _px_knn_hubness_planted_hub_histogram,
+    _px_patch_stats_ascii_tiles,
+    _px_scene_change_single_planted_cut,
+    _px_shot_stats_planted_cut_counts,
+    _px_flatness_constant_vs_split_payload,
+    _px_bm25_precision_disjoint_vocab_sources,
+    _px_retrieval_ndcg_perfect_and_rank2,
+    _px_sq8_recon_error_exact_grid,
+    _px_dedup_quality_canonical_keeps_best_logit,
     _px_hashed_embedding_single_token_doc,
     _px_search_snippets_contain_planted_needle,
     _px_pack_positions_are_prefix_sums,
