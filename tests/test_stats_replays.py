@@ -987,7 +987,126 @@ def _pr_metrics_events_match_weekly_grid(spark, sf_dir, frames):
 # the module fixture for the pooled path).
 # ---------------------------------------------------------------------------
 
+def _pr_profile_orders_matches_pandas_profile(spark, sf_dir, frames):
+    """Column profile: null/distinct counts for every column and the
+    lexicographic string min/max for the string-safe columns (int keys,
+    strings, ISO dates — float-to-string rendering differs by engine and
+    is deliberately not replayed)."""
+    _, orders = frames
+    got = _one(spark, sf_dir, "q_profile_orders").set_index("column_name")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    for c in cols:
+        s = orders[c]
+        assert got.loc[c, "n_null"] == int(s.isna().sum()), c
+        assert got.loc[c, "n_distinct"] == int(s.nunique()), c
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"):
+        strs = orders[c].dropna().astype(str)
+        assert got.loc[c, "min_str"] == strs.min(), c
+        assert got.loc[c, "max_str"] == strs.max(), c
+    # the parquet column is a midnight timestamp; Spark's string cast
+    # renders 'YYYY-MM-DD HH:MM:SS' (lexicographic == chronological)
+    d = pd.to_datetime(orders["o_orderdate"]).dt.strftime("%Y-%m-%d %H:%M:%S")
+    assert got.loc["o_orderdate", "min_str"] == d.min()
+    assert got.loc["o_orderdate", "max_str"] == d.max()
+
+
+def _pr_table_fingerprints_match_hashlib_xor(spark, sf_dir):
+    """Order-independent fingerprint: hashlib md5 over the canonical
+    'col1|col2|...' string, first 15 hex chars as int64, XOR-reduced —
+    an independent implementation of the whole hash path."""
+    import hashlib
+    from functools import reduce
+
+    specs = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    }
+    got = _one(spark, sf_dir, "q_table_fingerprints").set_index("table_name")
+    for tbl, cols in specs.items():
+        pdf = load_table(spark, sf_dir, tbl).toPandas()
+        hs = [
+            int(
+                hashlib.md5(
+                    "|".join(str(v) for v in row).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for row in pdf[cols].itertuples(index=False)
+        ]
+        assert got.loc[tbl, "n_rows"] == len(hs)
+        assert got.loc[tbl, "fingerprint"] == reduce(lambda a, b: a ^ b, hs), tbl
+
+
+def _pr_session_paths_match_python_triples(spark, sf_dir, frames):
+    """Top-k 3-step session paths: plain-Python sessionization (30-min
+    gap), consecutive triples per session, Counter ranking with the
+    (desc n, s1, s2, s3) tie-break, exact ppm shares."""
+    from collections import Counter
+
+    from dbt_trill_shop_spark.operators.analytics import SESSION_GAP_MINUTES
+
+    ev, _ = frames
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    counts: Counter = Counter()
+    df = ev.sort_values(["user_id", "ts", "event_id"])
+    for _, g in df.groupby("user_id"):
+        ts_us = pd.to_datetime(g["ts"]).astype("int64").to_numpy() // 1000
+        types = g["event_type"].tolist()
+        sess: list[list[str]] = []
+        for i, t in enumerate(types):
+            if i == 0 or ts_us[i] - ts_us[i - 1] > gap_us:
+                sess.append([])
+            sess[-1].append(t)
+        for s in sess:
+            for i in range(len(s) - 2):
+                counts[(s[i], s[i + 1], s[i + 2])] += 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = _one(spark, sf_dir, "q_session_paths")
+    assert len(got) == min(15, len(ranked))
+    for row, (path, n) in zip(got.itertuples(index=False), ranked):
+        assert (row.s1, row.s2, row.s3) == path, (row, path)
+        assert row.n == n
+        assert row.share_ppm == n * 1_000_000 // total
+
+
+def _pr_term_momentum_matches_pandas_lag_rank(spark, sf_dir):
+    """Week-over-week riser ranking replayed in pandas over the (already
+    triple-verified) staging relation: integer-milli means, per-term lag
+    delta, per-week top-5 by (desc delta, asc term)."""
+    from dbt_trill_shop_spark.models.trends import build_trends_relations
+
+    stg = build_trends_relations(spark, sf_dir)["stg_top_terms"].toPandas()
+    weekly = (
+        stg.groupby(["term", "week"], as_index=False)
+        .agg(n=("score", "size"), s=("score", "sum"))
+        .sort_values(["term", "week"])
+    )
+    weekly["mean_milli"] = (weekly["s"] * 1000) // weekly["n"]
+    weekly["delta"] = weekly.groupby("term")["mean_milli"].diff()
+    d = weekly.dropna(subset=["delta"]).copy()
+    d["delta"] = d["delta"].astype("int64")
+    d["rk"] = (
+        d.sort_values(["delta", "term"], ascending=[False, True])
+        .groupby("week")
+        .cumcount()
+        + 1
+    )
+    want = d[d["rk"] <= 5].sort_values(["week", "rk"])
+    got = _one(spark, sf_dir, "q_term_momentum")
+    assert len(got) == len(want)
+    for g, w in zip(got.itertuples(index=False), want.itertuples(index=False)):
+        assert (g.week, g.riser_rank, g.term) == (w.week, w.rk, w.term), (g, w)
+        assert g.mean_score_milli == w.mean_milli and g.delta_milli == w.delta
+
+
 _POOLED_REPLAYS = [
+    _pr_profile_orders_matches_pandas_profile,
+    _pr_table_fingerprints_match_hashlib_xor,
+    _pr_session_paths_match_python_triples,
+    _pr_term_momentum_matches_pandas_lag_rank,
     _pr_gini_matches_textbook_formula,
     _pr_spearman_matches_midrank_pearson,
     _pr_ks_matches_textbook_cdf_scan,
