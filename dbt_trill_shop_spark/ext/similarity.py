@@ -1716,13 +1716,17 @@ def ivfpq_residual_topk(
     precision per block; the price is a per-(query, probed-cell) lookup
     table, since the query must be re-centered against every cell it probes.
 
-    Plan shape: the codebook (residuals of the first ``n_codes`` vectors)
-    broadcasts everywhere; corpus residuals ride the cell assignment join
-    (broadcast centroids, corpus never shuffles for it); the LUT is
-    |queries| x n_probe x n_blocks x n_codes rows — broadcast; candidates in
-    non-probed cells drop out naturally because the LUT join is keyed on
-    (cell, block, code).  ADC sums int64 micro-units with 6 dp pre-rounding,
-    so the whole approximate index is value-hash exact cross-engine.
+    Plan shape: the codebook (residuals of vectors ``n_cells ..
+    n_cells + n_codes`` — the seed ids must SKIP the centroid seeds, whose
+    own-cell residuals are exactly the zero vector; a codebook of zeros
+    makes ADC candidate-independent and the ranking degenerate to id
+    order, the r6 bug this offset fixes) broadcasts everywhere; corpus
+    residuals ride the cell assignment join (broadcast centroids, corpus
+    never shuffles for it); the LUT is |queries| x n_probe x n_blocks x
+    n_codes rows — broadcast; candidates in non-probed cells drop out
+    naturally because the LUT join is keyed on (cell, block, code).  ADC
+    sums int64 micro-units with 6 dp pre-rounding, so the whole
+    approximate index is value-hash exact cross-engine.
     """
     assign = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cents = embeddings.filter(F.col(id_col) < n_cells).select(
@@ -1740,8 +1744,10 @@ def ivfpq_residual_topk(
     )
     block_slices = _block_slices(n_blocks)
     cb = (
-        resid.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).alias("code"), F.col("rv").alias("v"))
+        resid.filter(
+            (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
+        )
+        .select((F.col(id_col) - n_cells).alias("code"), F.col("rv").alias("v"))
         .select("code", F.explode(block_slices).alias("s"))
         .select("code", F.col("s.block").alias("block"), F.col("s.bv").alias("cv"))
     )
@@ -1817,10 +1823,10 @@ resid AS (
     JOIN cents c ON c.cell = a.cell
 ),
 cb AS (
-    SELECT vec_id AS code, b,
+    SELECT vec_id - {n_cells} AS code, b,
            rv[b * (LEN(rv) // {m}) + 1 : (b + 1) * (LEN(rv) // {m})] AS cv
     FROM resid CROSS JOIN UNNEST(range(0, {m})) AS t(b)
-    WHERE vec_id < {k_codes}
+    WHERE vec_id >= {n_cells} AND vec_id < {n_cells} + {k_codes}
 ),
 rblocks AS (
     SELECT vec_id, cell, b,

@@ -9,9 +9,13 @@ from dbt_trill_shop_spark.ext import dedup, multimodal, similarity, textstats
 
 def _px_exact_dedup_keeps_min_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # expected survivors computed independently (pandas nunique on the raw
+    # text, the same identity dedup_exact fingerprints) — the sf0.1 table
+    # contains 8 organic exact-dup rows, so == docs.count() is wrong there
+    n_distinct = int(docs.select("text").toPandas()["text"].nunique())
     union_dup = docs.union(docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000))
     out = dedup.dedup_exact(union_dup)
-    assert out.count() == docs.count()
+    assert out.count() == n_distinct
     assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
 
 
@@ -81,7 +85,10 @@ def _px_srp_topk_deterministic_candidates_and_recall(spark, sf_dir):
     )
     avg_cands = pairs.count() / 10
     assert avg_cands < 0.5 * n, f"no candidate reduction: {avg_cands}/{n}"
-    approx = similarity.cosine_topk_srp(emb, q, k=5)
+    # 8 bands of 4 bits: the recall floor needs a band budget that grows
+    # with corpus size — the default 4x4 config read 0.38 on the sf0.1
+    # table (2000 vectors) against a bar calibrated at 500
+    approx = similarity.cosine_topk_srp(emb, q, k=5, nbits=32, bands=8)
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     exact = similarity.cosine_topk_bruteforce(emb, q, k=5).toPandas()
@@ -91,7 +98,7 @@ def _px_srp_topk_deterministic_candidates_and_recall(spark, sf_dir):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"SRP recall too low: {recall}"
     # rerun is bit-identical (no hidden randomness anywhere in the pipeline)
-    again = similarity.cosine_topk_srp(emb, q, k=5).toPandas()
+    again = similarity.cosine_topk_srp(emb, q, k=5, nbits=32, bands=8).toPandas()
     assert approx_pd.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
