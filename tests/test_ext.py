@@ -1103,6 +1103,94 @@ def _px_binary_hamming_exact_duplicate_is_nearest(spark):
     assert out[0]["hamming"] == 0 and out[0]["rank"] == 1
 
 
+def _degenerate_id_order_topk(emb, num_queries: int, k: int):
+    """The signature of a silently-broken ANN ranking: neighbors picked by
+    id order, independent of the vectors (exactly what the r6 residual-PQ
+    zero-codebook bug produced).  Used as the adversarial baseline the real
+    operators must beat."""
+    from pyspark.sql import Window
+
+    qids = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id")
+    )
+    ids = emb.select(F.col("vec_id").alias("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy("neighbor_id")
+    return (
+        qids.crossJoin(ids)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _mean_recall(approx, exact, k=5):
+    rows = similarity.ann_recall(approx, exact, k=k).collect()
+    return sum(r["recall_ppm"] for r in rows) / len(rows) / 1_000_000
+
+
+def _px_ivf_pq_recall_floors(spark, sf_dir):
+    """Recall floors for ivf_topk and pq_topk vs their exact twins, at
+    budgets proportional to corpus size (SCALE.md: recall-at-fixed-budget is
+    not scale-invariant).  Floors sit 10-80x above the k/N chance level AND
+    above the explicit id-order degenerate baseline, so an
+    input-independent ranking — the bug class Spark-vs-DuckDB parity can
+    never see, since both engines would share the degenerate definition —
+    fails loudly.  Calibrated recalls (deterministic, no RNG anywhere):
+    ivf 0.925/0.925/1.0 and pq 0.225/0.125/0.225 at sf0.001/0.01/0.1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 8)
+    n_cells = max(8, n // 32)
+    n_probe = max(2, n_cells // 4)
+    n_codes = max(16, n // 8)
+
+    exact_cos = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    degen_cos = _mean_recall(_degenerate_id_order_topk(emb, 8, 5), exact_cos)
+    ivf = _mean_recall(
+        similarity.ivf_topk(emb, q, k=5, n_cells=n_cells, n_probe=n_probe), exact_cos
+    )
+    assert ivf >= 0.8, f"ivf_topk recall {ivf}"
+    assert ivf > degen_cos + 0.05, f"ivf_topk ~= id-order baseline ({ivf} vs {degen_cos})"
+
+    exact_l2 = similarity.l2_topk_exact(emb, q, k=5)
+    degen_l2 = _mean_recall(_degenerate_id_order_topk(emb, 8, 5), exact_l2)
+    pq = _mean_recall(similarity.pq_topk(emb, q, k=5, n_codes=n_codes), exact_l2)
+    assert pq >= 0.1, f"pq_topk recall {pq}"
+    assert pq > degen_l2 + 0.05, f"pq_topk ~= id-order baseline ({pq} vs {degen_l2})"
+
+
+def _px_ivfpq_binary_recall_floors(spark, sf_dir):
+    """Same guard for ivfpq_topk (vs exact L2) and binary_hamming_topk (vs
+    exact cosine — sign-quantization preserves cosine neighborhoods).
+    Calibrated recalls: ivfpq 0.275/0.25/0.25 and binary 0.2/0.225/0.15 at
+    sf0.001/0.01/0.1; chance level is 5/n (0.25-1%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 8)
+    n_cells = max(8, n // 32)
+    n_probe = max(2, n_cells // 4)
+    n_codes = max(16, n // 8)
+
+    exact_l2 = similarity.l2_topk_exact(emb, q, k=5)
+    degen_l2 = _mean_recall(_degenerate_id_order_topk(emb, 8, 5), exact_l2)
+    ivfpq = _mean_recall(
+        similarity.ivfpq_topk(
+            emb, q, k=5, n_cells=n_cells, n_probe=n_probe, n_codes=n_codes
+        ),
+        exact_l2,
+    )
+    assert ivfpq >= 0.15, f"ivfpq_topk recall {ivfpq}"
+    assert ivfpq > degen_l2 + 0.05, f"ivfpq_topk ~= id-order baseline ({ivfpq} vs {degen_l2})"
+
+    exact_cos = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    degen_cos = _mean_recall(_degenerate_id_order_topk(emb, 8, 5), exact_cos)
+    binham = _mean_recall(similarity.binary_hamming_topk(emb, num_queries=8, k=5), exact_cos)
+    assert binham >= 0.1, f"binary_hamming_topk recall {binham}"
+    assert binham > degen_cos + 0.05, (
+        f"binary_hamming_topk ~= id-order baseline ({binham} vs {degen_cos})"
+    )
+
+
 def test_text_tiling_detects_topic_shift(spark):
     """Two 40-token halves with disjoint vocabulary: the boundary block
     (cosine 0 between halves) must flag; within-half comparisons must not."""
@@ -1498,6 +1586,8 @@ _POOLED_CHECKS = [
     _px_sq8_recall_vs_exact_l2,
     _px_knn_clustering_triangle_clique,
     _px_binary_hamming_exact_duplicate_is_nearest,
+    _px_ivf_pq_recall_floors,
+    _px_ivfpq_binary_recall_floors,
     _px_kmeans_refine_recovers_planted_clusters,
     _px_quality_auc_matches_pairwise_bruteforce,
     _px_repetition_signals_flags_repetitive,
