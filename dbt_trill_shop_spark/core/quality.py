@@ -143,6 +143,15 @@ def _fixture_df(spark: SparkSession, rows: list[dict], like: DataFrame | None) -
             {f.name: r.get(f.name) for f in base.fields} for r in rows
         ]
         return spark.createDataFrame(filled, schema=base)
+    if not rows:
+        # No rows AND no reference relation: there is nothing to infer a
+        # schema from, so fail with the actionable contract instead of
+        # PySpark's CANNOT_INFER_EMPTY_SCHEMA.
+        raise ValueError(
+            "unit-test fixture has zero rows and no backing relation to "
+            "type it; give the input at least one row or reference an "
+            "existing model/source so its schema can type the empty fixture"
+        )
     return spark.createDataFrame(rows)  # inferred
 
 

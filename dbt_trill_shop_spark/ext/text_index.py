@@ -79,7 +79,18 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     ).collect()[0]
-    meta = {"n_docs": stats.n_docs, "avgdl": stats.avgdl, "n_buckets": n_buckets}
+    # Persist the table schemas too: search reads with an explicit schema,
+    # which (a) skips the footer-sampling inference job over what at corpus
+    # scale is thousands of posting files, and (b) keeps an EMPTY index
+    # (zero-row build corpus writes no parquet parts) searchable — reading
+    # a part-less directory without a schema is an AnalysisException.
+    meta = {
+        "n_docs": stats.n_docs,
+        "avgdl": stats.avgdl if stats.avgdl is not None else 0.0,
+        "n_buckets": n_buckets,
+        "postings_schema": postings.schema.json(),
+        "doclens_schema": dl.schema.json(),
+    }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -100,9 +111,13 @@ def search_text_index(
     the plan, guarded in tests).  Scoring is the exact
     :func:`textstats.bm25_search` expression tree over the pruned postings.
     """
+    from pyspark.sql.types import StructType
+
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_docs, avgdl, n_buckets = meta["n_docs"], meta["avgdl"], meta["n_buckets"]
+    postings_schema = StructType.fromJson(json.loads(meta["postings_schema"]))
+    doclens_schema = StructType.fromJson(json.loads(meta["doclens_schema"]))
 
     import hashlib
 
@@ -110,12 +125,19 @@ def search_text_index(
         return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
     buckets = sorted({bucket_of(t) for _, t in query_terms})
-    qdf = spark.createDataFrame(query_terms, ["query_id", "term"]).distinct()
+    # Explicit schema: an empty query batch (drained upstream filter, empty
+    # corpus at build time) must return an empty result, not crash schema
+    # inference — the one failure the empty-input sweep found (SCALE.md).
+    qdf = spark.createDataFrame(
+        query_terms, "query_id bigint, term string"
+    ).distinct()
 
-    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("term_bucket").isin(buckets)
+    postings = (
+        spark.read.schema(postings_schema)
+        .parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
     )
-    dl = spark.read.parquet(os.path.join(path, "doclens"))
+    dl = spark.read.schema(doclens_schema).parquet(os.path.join(path, "doclens"))
 
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (

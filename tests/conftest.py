@@ -25,3 +25,21 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    """Zero-row parquet twins of every table, schemas copied from the real
+    testdata.  Fully-filtered shards and empty partitions are routine at
+    100 TB; every registered query must return an empty (or
+    degenerate-but-defined) result on them instead of crashing — the sweep
+    that introduced this found one real bug (bm25 index search crashed
+    schema inference on an empty query batch)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sf_empty")
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(SF_DIR, f))
+            pq.write_table(schema.empty_table(), str(d / f))
+    return str(d)

@@ -657,6 +657,22 @@ def test_unit_test_null_mixed_column(spark):
     assert not res.passed and res.diff
 
 
+def test_unit_test_empty_fixture_contract(spark):
+    """A zero-row fixture with no backing relation has no schema to infer:
+    the fixture helper must raise the actionable contract error, not
+    PySpark's CANNOT_INFER_EMPTY_SCHEMA."""
+    import pytest as _pytest
+
+    from dbt_trill_shop_spark.core.quality import _fixture_df
+
+    with _pytest.raises(ValueError, match="at least one row"):
+        _fixture_df(spark, [], like=None)
+    # with a backing relation the empty fixture types cleanly
+    like = spark.createDataFrame([(1, "a")], "id long, name string")
+    out = _fixture_df(spark, [], like=like)
+    assert out.count() == 0 and out.schema == like.schema
+
+
 def test_properties_empty_test_list(tmp_path):
     """An empty `data_tests:` / `tests:` key (YAML None) parses as no tests
     instead of crashing — dbt accepts this shape while iterating."""
