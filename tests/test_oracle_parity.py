@@ -11,10 +11,11 @@ curation_pipeline_v2 in r5: a pipeline inlining a stale shape of a
 since-fixed library op).  Rows-only queries get the same audit in
 test_rows_only_queries_run, so the full registry is covered.
 
-Each query ALSO runs once against zero-row twins of every table (the
-empty_sf_dir fixture): fully-filtered shards are routine at 100 TB, and a
-query that crashes on them has a latent bug — the r6 sweep that introduced
-this leg found exactly one (bm25 index search's empty query batch).
+Empty-input robustness for the full registry lives in
+test_zscale_empty_sweep.py: a parallel subprocess runs every query against
+zero-row twins of the tables while this suite runs (plan construction is
+GIL-bound, so doing it in-process here cost ~26 s of wall; a sibling process
+costs ~none).
 
 The ~280 comparisons dominate suite wall-clock, so they run as ONE
 cost-ordered chunk with a 16-thread pool (Spark job submission
@@ -113,7 +114,7 @@ _pbins = sorted(_lpt([n for n in ORACLE_QUERIES if not _is_stateful(n)],
 _CHUNKS = [s + p for s, p in zip(_sbins, _pbins)]
 
 
-def _run_parity(spark, sf_dir, empty_sf_dir, names: list[str]) -> list[str]:
+def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
     tl = threading.local()
 
     def one(name: str) -> tuple[str, list[str]]:
@@ -126,14 +127,6 @@ def _run_parity(spark, sf_dir, empty_sf_dir, names: list[str]) -> list[str]:
             probs = _audit(name, df) + compare(df, oracle_frame(con, spec.oracle))
         except Exception as e:  # surface per-query, don't kill the chunk
             probs = [f"exception: {type(e).__name__}: {e}"]
-        try:
-            # Empty-input robustness: zero-row tables (fully-filtered
-            # shards, empty partitions) must yield a defined result, not an
-            # exception.  Same worker, so the stateful lane's no-two-
-            # concurrent-stateful invariant carries over.
-            spec.fn(spark, empty_sf_dir).count()
-        except Exception as e:
-            probs.append(f"empty-input exception: {type(e).__name__}: {e}")
         return name, probs
 
     stateful = [n for n in names if _is_stateful(n)]
@@ -146,7 +139,7 @@ def _run_parity(spark, sf_dir, empty_sf_dir, names: list[str]) -> list[str]:
     # each holds state-store + sink memory, so the lane is kept narrow
     # rather than merged into the pure pool.
     with ThreadPoolExecutor(max_workers=4) as ser, ThreadPoolExecutor(
-        max_workers=16
+        max_workers=24
     ) as ex:
         futs = [ser.submit(one, n) for n in stateful]
         results = list(ex.map(one, pure)) + [f.result() for f in futs]
@@ -157,8 +150,8 @@ def _run_parity(spark, sf_dir, empty_sf_dir, names: list[str]) -> list[str]:
     "chunk",
     [pytest.param(c, id=f"chunk{i:02d}_{c[0]}") for i, c in enumerate(_CHUNKS)],
 )
-def test_matches_oracle(spark, sf_dir, empty_sf_dir, chunk):
-    bad = _run_parity(spark, sf_dir, empty_sf_dir, chunk)
+def test_matches_oracle(spark, sf_dir, chunk):
+    bad = _run_parity(spark, sf_dir, chunk)
     assert not bad, "\n".join(bad)
 
 
@@ -175,10 +168,9 @@ if _ONLY:
         assert not probs, f"{name}: " + "; ".join(probs)
 
 
-def test_rows_only_queries_run(spark, sf_dir, empty_sf_dir):
+def test_rows_only_queries_run(spark, sf_dir):
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
             assert not _audit(name, df), (name, _audit(name, df))
             assert df.count() >= 0, name
-            assert spec.fn(spark, empty_sf_dir).count() >= 0, f"{name} on empty"
