@@ -1864,6 +1864,13 @@ def bootstrap_mean_ci(
         aggs.append(F.sum(w).alias(f"sw_{b}"))
         aggs.append(F.sum(w * F.col("v_c")).alias(f"swv_{b}"))
     wide = lanes.agg(*aggs)
+    # A replica whose every row drew Poisson weight 0 has NO sample — its
+    # mean is undefined (and the raw divide is an ANSI DIVIDE_BY_ZERO
+    # crash; certain at n=1, possible for any tiny post-filter stratum).
+    # Such replicas rank NULLS LAST and the CI positions come from the
+    # VALID-replica count m, so degenerate inputs yield NULL bounds
+    # instead of an exception; at any realistic n every replica is valid
+    # (m == n_replicas) and the result is bit-identical to the plain form.
     reps = wide.select(
         "n_rows",
         "sv",
@@ -1872,10 +1879,11 @@ def bootstrap_mean_ci(
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        (
+                        F.when(
+                            F.col(f"sw_{b}") > 0,
                             F.col(f"swv_{b}").cast("double")
                             / F.col(f"sw_{b}")
-                            / 100.0
+                            / 100.0,
                         ).alias("rep_mean"),
                     )
                     for b in range(n_replicas)
@@ -1883,14 +1891,18 @@ def bootstrap_mean_ci(
             )
         ).alias("r"),
     ).select("n_rows", "sv", F.col("r.b").alias("b"), F.col("r.rep_mean").alias("rep_mean"))
-    ranked = reps.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.asc("rep_mean"), F.asc("b")))
+    w_rank = Window.orderBy(F.asc_nulls_last("rep_mean"), F.asc("b"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = reps.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("rep_mean").over(w_all)
     )
     return (
         ranked.groupBy("n_rows", "sv")
         .agg(
             F.min(F.when(F.col("rk") == 2, F.col("rep_mean"))).alias("ci_lo"),
-            F.min(F.when(F.col("rk") == n_replicas - 1, F.col("rep_mean"))).alias(
+            F.min(F.when(F.col("rk") == F.col("m") - 1, F.col("rep_mean"))).alias(
                 "ci_hi"
             ),
         )
@@ -1922,7 +1934,8 @@ def bootstrap_mean_ci_sql(n_replicas: int = 32) -> str:
         terms.append(f"CAST(SUM({wb}) AS BIGINT) AS sw_{b}")
         terms.append(f"CAST(SUM(({wb}) * v_c) AS BIGINT) AS swv_{b}")
     means_rows = "\n    UNION ALL ".join(
-        f"SELECT {b} AS b, CAST(swv_{b} AS DOUBLE) / sw_{b} / 100.0 AS rep_mean "
+        f"SELECT {b} AS b, CASE WHEN sw_{b} > 0 THEN "
+        f"CAST(swv_{b} AS DOUBLE) / sw_{b} / 100.0 END AS rep_mean "
         "FROM wide"
         for b in range(n_replicas)
     )
@@ -1940,12 +1953,14 @@ means AS (
     {means_rows}
 ),
 ranked AS (
-    SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean ASC, b ASC) AS rk
+    SELECT rep_mean,
+           ROW_NUMBER() OVER (ORDER BY rep_mean ASC NULLS LAST, b ASC) AS rk,
+           COUNT(rep_mean) OVER () AS m
     FROM means
 )
 SELECT ROUND(CAST(sv AS DOUBLE) / n_rows / 100.0, 4) AS mean_value,
        ROUND((SELECT rep_mean FROM ranked WHERE rk = 2), 4) AS ci_lo,
-       ROUND((SELECT rep_mean FROM ranked WHERE rk = {n_replicas} - 1), 4) AS ci_hi
+       ROUND((SELECT rep_mean FROM ranked WHERE rk = m - 1), 4) AS ci_hi
 FROM wide
 """
 

@@ -1,9 +1,10 @@
-"""Default-on empty-input robustness gate over the FULL query registry.
+"""Default-on degenerate-input (zero-row + one-row) robustness gate over
+the FULL query registry.
 
 The sweep subprocess (see empty_sweep_subprocess.py) launches at COLLECTION
 time below — pytest imports test modules before running any test, so the
 sibling process overlaps the entire suite and the join here is nearly free
-(the sweep takes ~2 min sequential; the suite runs ~5).  The "zscale" name
+(the sweep takes ~4-5 min niced; the suite runs ~5-6).  The "zscale" name
 keeps this file LAST in pytest's alphabetical file order so the join happens
 after everything else has run.
 
@@ -49,11 +50,12 @@ def test_every_query_survives_empty_inputs():
     with open(_OUT) as fh:
         result = json.load(fh)
     os.unlink(_OUT)
-    assert result["n_queries"] >= 287, result["n_queries"]
+    assert result["n_queries"] >= 2 * 287, result["n_queries"]
     pretty = "\n\n".join(
         f"--- {n}\n{tb[-1200:]}" for n, tb in sorted(result["failures"].items())
     )
     assert not result["failures"], (
-        f"{len(result['failures'])} queries crash on zero-row inputs "
-        f"(routine at 100 TB as fully-filtered shards):\n{pretty}"
+        f"{len(result['failures'])} query runs crash on zero-row/one-row "
+        f"inputs (routine at 100 TB as fully-filtered shards and tiny "
+        f"post-filter strata):\n{pretty}"
     )
