@@ -28,6 +28,7 @@ import yaml
 from .quality import FreshnessPolicy, parse_unit_tests
 from .testing import (
     AcceptedRange,
+    Finite,
     AcceptedValues,
     ConfiguredTest,
     NotNull,
@@ -94,6 +95,7 @@ _TEST_BUILDERS = {
     "unique_combination_of_columns": lambda col, kw: UniqueCombination(
         tuple(kw["combination_of_columns"])
     ),
+    "finite": lambda col, kw: Finite(col),
 }
 
 

@@ -85,6 +85,30 @@ class AcceptedRange:
 
 
 @dataclass(frozen=True)
+class Finite:
+    """Floating-point hygiene gate: NaN and ±Infinity in a measure column.
+
+    The engine's money/measure arithmetic uses the int64 micro-unit cast
+    (``CAST(ROUND(x * 100) AS BIGINT)``), which under ANSI mode FAILS
+    LOUDLY on non-finite doubles mid-job — by design: silently coercing a
+    poisoned price corrupts aggregates.  This test is the up-front gate
+    that names the column and rows instead, so corrupt loads are caught at
+    `engine test` time rather than as a CAST_OVERFLOW stack three stages
+    deep (the r6 degenerate-input sweep measured that failure shape across
+    41 queries on a NaN-poisoned twin).
+    """
+
+    column: str
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.column)
+        return df.filter(c.isNotNull() & (F.isnan(c) | (F.abs(c) == float("inf"))))
+
+    def describe(self) -> str:
+        return f"finite({self.column})"
+
+
+@dataclass(frozen=True)
 class Unique:
     column: str
 

@@ -382,7 +382,12 @@ def embedding_neardup_pairs(
     n_blocks = 4
 
     spark = embeddings.sparkSession
-    vecs = embeddings.select(
+    # Zero-length vectors have no geometry and would make the kernel's
+    # np.stack ragged (a crash, found by the degenerate-input sweep) —
+    # filter them in-plan so the predicate pushes to the scan.  Wrong-DIM
+    # non-empty vectors remain a column-contract violation (see
+    # embedding_dim_stats for the audit query).
+    vecs = embeddings.filter(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
@@ -443,7 +448,8 @@ def embedding_neardup_pairs(
 EMBEDDING_NEARDUP_SQL_TEMPLATE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+WHERE LEN(a.embedding) > 0 AND LEN(b.embedding) > 0
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 """
 
 
@@ -1002,7 +1008,11 @@ def kmeans_refine(
     so refined centroids are exact integers too.
     """
     spark = embeddings.sparkSession
-    vm = embeddings.select(
+    # Zero-length vectors have no geometry: they can neither seed nor be
+    # assigned (and an all-empty corpus made the per-iteration long-form
+    # aggregate come back empty, crashing the driver-side centroid
+    # assembly — degenerate-input sweep).  Filter in-plan, pushed to scan.
+    vm = embeddings.filter(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col),
         F.transform(
             _as_double(F.col(vec_col)),

@@ -789,7 +789,12 @@ def quality_classifier(
     )
     feats = base.select(
         id_col,
-        F.expr("alpha_chars * 1000 div n_chars").alias("alpha_pm"),
+        # greatest(n_chars, 1): an EMPTY document is legal corpus input
+        # (n_tokens is >= 1 by split semantics, but n_chars is 0) and must
+        # score as garbage, not raise ANSI DIVIDE_BY_ZERO — the
+        # degenerate-input sweep hit this through every caller of the
+        # classifier (quality_auc, curriculum, curation v2, canonical pick)
+        F.expr("alpha_chars * 1000 div greatest(n_chars, 1)").alias("alpha_pm"),
         F.expr("stop_hits * 1000 div n_tokens").alias("stop_pm"),
         F.expr("least(n_tokens, 500)").alias("len_cap"),
         # mean word length in milli-chars: (chars - separators) / tokens
@@ -823,7 +828,7 @@ WITH base AS (
 ),
 feats AS (
     SELECT doc_id,
-           alpha_chars * 1000 // n_chars AS alpha_pm,
+           alpha_chars * 1000 // GREATEST(n_chars, 1) AS alpha_pm,
            stop_hits * 1000 // n_tokens AS stop_pm,
            LEAST(n_tokens, 500) AS len_cap,
            ABS((n_chars - (n_tokens - 1)) * 1000 // n_tokens - 5000) // 2 AS wl_dev

@@ -626,7 +626,10 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_extract.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: one malformed props payload in 100 TB of events must
+    # bucket as NULL, not kill the job (parse_json is FAILFAST; the
+    # degenerate-input sweep hit it with an empty-string payload)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.select((F.floor(k / 10) * 10).alias("k_decade"))
         .groupBy("k_decade")
@@ -636,8 +639,9 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VARIANT_PROPS_HISTOGRAM_SQL = """
-SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS BIGINT) / 10) * 10 AS BIGINT)
-           AS k_decade,
+SELECT CAST(FLOOR(CAST(json_extract(
+               CASE WHEN json_valid(props) THEN props END, '$.k'
+           ) AS BIGINT) / 10) * 10 AS BIGINT) AS k_decade,
        COUNT(*) AS n_events
 FROM events
 GROUP BY 1

@@ -1,14 +1,21 @@
-"""Degenerate-input sweep worker: run EVERY registered query against
-zero-row AND one-row parquet twins of the tables and report crashes.
+"""Degenerate-input sweep worker: run EVERY registered query against two
+twins of the tables and report crashes.
 
-Fully-filtered shards, empty partitions, and tiny post-filter strata are
-routine at 100 TB; a query that throws on them has a latent bug.  Each
-sweep class found exactly one real defect when introduced in r6:
-
-- empty: ``x_bm25_index_search`` crashed schema inference twice on an
-  empty corpus (createDataFrame without schema; part-less parquet dir).
-- one-row: ``q_bootstrap_ci`` hit ANSI DIVIDE_BY_ZERO — a Poisson replica
-  whose every row draws weight 0 has sum(w) = 0 (certain at n=1).
+- ``empty``: zero-row tables with the real schemas.  Fully-filtered shards
+  and empty partitions are routine at 100 TB.  Found on introduction (r6):
+  ``x_bm25_index_search`` crashed schema inference twice (createDataFrame
+  without schema; part-less parquet dir read).
+- ``nastyrow``: ONE row per table, with every string column set to "" and
+  every array column set to [] — the nastiest row that is still LEGAL data
+  (numbers stay finite; NaN/Inf measures are a data-contract violation
+  where ANSI failing loudly is by design — see core.testing.Finite).
+  Covers in one pass: n=1 statistics (``q_bootstrap_ci`` hit ANSI
+  DIVIDE_BY_ZERO — a Poisson replica whose every row draws weight 0 has
+  sum(w)=0, certain at n=1), empty documents (the quality classifier's
+  ``div n_chars`` hit through six callers), zero-length embeddings
+  (ragged np.stack in embedding_neardup; empty long-form aggregate in
+  kmeans_refine), and malformed JSON payloads (FAILFAST parse_json in
+  q_variant_props).
 
 Empty/degenerate OUTPUT is fine; exceptions are not.
 
@@ -29,21 +36,28 @@ import time
 import traceback
 
 
-def _twin_dir(schema_sf_dir: str, n_rows: int) -> str:
+def _twin_dir(schema_sf_dir: str, kind: str) -> str:
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = tempfile.mkdtemp(prefix=f"sf_{n_rows}row_")
+    d = tempfile.mkdtemp(prefix=f"sf_{kind}_")
     for f in os.listdir(schema_sf_dir):
-        if f.endswith(".parquet"):
-            src = os.path.join(schema_sf_dir, f)
-            if n_rows == 0:
-                pq.write_table(
-                    pq.read_schema(src).empty_table(), os.path.join(d, f)
-                )
-            else:
-                pq.write_table(
-                    pq.read_table(src).slice(0, n_rows), os.path.join(d, f)
-                )
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(schema_sf_dir, f)
+        if kind == "empty":
+            pq.write_table(pq.read_schema(src).empty_table(), os.path.join(d, f))
+            continue
+        t = pq.read_table(src).slice(0, 1)
+        cols = {}
+        for field in t.schema:
+            col = t.column(field.name).to_pylist()
+            if pa.types.is_string(field.type):
+                col[0] = ""
+            elif pa.types.is_list(field.type):
+                col[0] = []
+            cols[field.name] = pa.array(col, type=field.type)
+        pq.write_table(pa.table(cols, schema=t.schema), os.path.join(d, f))
     return d
 
 
@@ -62,8 +76,8 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     t0 = time.time()
     failures: dict[str, str] = {}
     n_run = 0
-    for label, n_rows in (("empty", 0), ("onerow", 1)):
-        twin = _twin_dir(schema_sf_dir, n_rows)
+    for label in ("empty", "nastyrow"):
+        twin = _twin_dir(schema_sf_dir, label)
         for name, spec in sorted(QUERIES.items()):
             n_run += 1
             try:

@@ -447,6 +447,26 @@ def test_build_test_failure_routing(spark, sf_dir):
     assert results["ranked"][0].status == "warn"
 
 
+def test_finite_test_flags_nan_and_inf(spark):
+    """The finite data test flags NaN/±Inf measure values (the up-front
+    gate for the int64 micro-unit casts, which under ANSI fail loudly
+    mid-job on poisoned doubles) and passes clean or NULL values; it parses
+    from schema YAML like any generic test."""
+    from dbt_trill_shop_spark.core.docs import _TEST_BUILDERS
+    from dbt_trill_shop_spark.core.testing import Finite
+
+    df = spark.createDataFrame(
+        [(1, 9.5), (2, float("nan")), (3, float("inf")),
+         (4, -float("inf")), (5, None)],
+        "id long, price double",
+    )
+    bad = Finite("price").violations(df).select("id").collect()
+    assert sorted(r["id"] for r in bad) == [2, 3, 4]
+    assert Finite("price").violations(df.filter("id = 1 OR id = 5")).count() == 0
+    built = _TEST_BUILDERS["finite"]("price", {})
+    assert built == Finite("price") and "finite(price)" == built.describe()
+
+
 def test_var_substitution_in_sql_models(spark, sf_dir):
     """{{ var('name', default) }}: project vars flow into SQL-file models;
     in-text defaults apply when the var is unset (dbt --vars)."""

@@ -1,5 +1,6 @@
-"""Default-on degenerate-input (zero-row + one-row) robustness gate over
-the FULL query registry.
+"""Default-on degenerate-input robustness gate over the FULL query
+registry: zero-row tables, and a single row of empty strings/arrays (the
+nastiest still-legal row — see empty_sweep_subprocess.py).
 
 The sweep subprocess (see empty_sweep_subprocess.py) launches at COLLECTION
 time below — pytest imports test modules before running any test, so the
@@ -55,7 +56,8 @@ def test_every_query_survives_empty_inputs():
         f"--- {n}\n{tb[-1200:]}" for n, tb in sorted(result["failures"].items())
     )
     assert not result["failures"], (
-        f"{len(result['failures'])} query runs crash on zero-row/one-row "
-        f"inputs (routine at 100 TB as fully-filtered shards and tiny "
-        f"post-filter strata):\n{pretty}"
+        f"{len(result['failures'])} query runs crash on degenerate inputs "
+        f"(zero-row tables / a single row of empty strings and arrays — "
+        f"routine at 100 TB as fully-filtered shards, tiny post-filter "
+        f"strata, and legal-but-empty payloads):\n{pretty}"
     )
