@@ -1648,14 +1648,19 @@ joined AS (
     JOIN documents d ON d.doc_id = h.hit_id
 ),
 with_pos AS (
+    -- unnest + MIN, not list_transform(tm -> POSITION(tm IN t)): a lambda
+    -- that captures the outer row's t misaligns t across vector chunks in
+    -- DuckDB 1.0 under join-heavy plans (found by the r6 unicode parity
+    -- sweep: positions computed against the WRONG document's text)
     SELECT query_id, hit_id, rank,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(terms, tm -> CAST(POSITION(tm IN t) AS BIGINT))),
-               (acc, p) -> CASE WHEN p > 0 AND (acc = 0 OR p < acc)
-                                THEN p ELSE acc END) AS pos,
+           COALESCE(MIN(CASE WHEN p > 0 THEN p END), 0) AS pos,
            t
-    FROM joined
+    FROM (
+        SELECT query_id, hit_id, rank, t,
+               CAST(POSITION(u.term IN t) AS BIGINT) AS p
+        FROM joined, UNNEST(terms) AS u(term)
+    )
+    GROUP BY query_id, hit_id, rank, t
 )
 SELECT query_id, hit_id, rank, pos AS match_pos,
        CASE WHEN pos > 0

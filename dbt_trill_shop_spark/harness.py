@@ -842,14 +842,18 @@ joined AS (
     WHERE f.rank <= 5
 ),
 with_pos AS (
+    -- unnest + MIN (not a t-capturing lambda): DuckDB 1.0 misaligns the
+    -- captured outer column across vector chunks in join-heavy plans —
+    -- see SEARCH_SNIPPETS_SQL_TEMPLATE (r6 unicode parity sweep)
     SELECT query_id, hit_id, rank,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(terms, tm -> CAST(POSITION(tm IN t) AS BIGINT))),
-               (acc, p) -> CASE WHEN p > 0 AND (acc = 0 OR p < acc)
-                                THEN p ELSE acc END) AS pos,
+           COALESCE(MIN(CASE WHEN p > 0 THEN p END), 0) AS pos,
            t
-    FROM joined
+    FROM (
+        SELECT query_id, hit_id, rank, t,
+               CAST(POSITION(u.term IN t) AS BIGINT) AS p
+        FROM joined, UNNEST(terms) AS u(term)
+    )
+    GROUP BY query_id, hit_id, rank, t
 )
 SELECT query_id, hit_id, rank, pos AS match_pos,
        CASE WHEN pos > 0
