@@ -1673,17 +1673,25 @@ def weekly_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("x"),
         F.sum(cents("value")).alias("y"),
     )
+    # decimal(38,0) for the product statistics: a day's cents total is a
+    # corpus-scaled value, so y·y (and the n·syy − sy·sy combination)
+    # passes int64 with NORMAL data well before 100 TB.  The multiply
+    # itself must be wide, not just the sum — hence the cast on the
+    # operands, mirrored as HUGEINT in the DuckDB twin.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     stats = daily.groupBy("week").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * d38(F.col("sy"))
+    varx = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * d38(F.col("sx"))
+    vary = d38(F.col("n")) * F.col("syy") - d38(F.col("sy")) * d38(F.col("sy"))
     r = F.when(
         (varx > 0) & (vary > 0),
         F.round(
@@ -1706,18 +1714,21 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 ),
 stats AS (
+    -- HUGEINT products (the Spark twin uses decimal(38,0)): a day's cents
+    -- total is corpus-scaled, so y*y passes int64 with normal data
     SELECT week, COUNT(*) AS n,
            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM daily GROUP BY week
 )
 SELECT week, CAST(n AS BIGINT) AS n_days,
-       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+            THEN ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                              * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
        END AS pearson_r
 FROM stats
 ORDER BY week
@@ -2383,8 +2394,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one log10 per digit literal, deviation in ppm.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # first SIGNIFICANT digit: abs() first — a negative amount's string
+    # form leads with '-', which is an ANSI cast error (and Benford is
+    # defined on magnitudes); zero amounts give digit 0 and drop at the
+    # d >= 1 filter
     digit = F.substring(
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        F.abs(F.col("o_totalprice")).cast("decimal(18,2)").cast("string"), 1, 1
     ).cast("bigint")
     counts = (
         orders.select(digit.alias("d"))
@@ -2412,12 +2427,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_AUDIT_SQL = """
 WITH counts AS (
-    SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+    SELECT CAST(substring(CAST(CAST(ABS(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
                           1, 1) AS BIGINT) AS d,
            COUNT(*) AS n
     FROM orders
     GROUP BY 1
-    HAVING CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+    HAVING CAST(substring(CAST(CAST(ABS(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
                           1, 1) AS BIGINT) >= 1
 )
 SELECT d, CAST(n AS BIGINT) AS n,
@@ -2942,13 +2957,18 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("y").cast("bigint").alias("y"),
     )
+    # decimal(38,0) products/sums: y is a corpus-scaled daily count, so
+    # y*y (and its sum) passes int64 with normal data before 100 TB;
+    # the DuckDB twin widens the same way via HUGEINT
+    xd38 = F.col("x").cast("decimal(38,0)")
+    yd38 = F.col("y").cast("decimal(38,0)")
     s = xy.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(yd38).alias("sy"),
+        F.sum(xd38 * yd38).alias("sxy"),
+        F.sum(xd38 * xd38).alias("sxx"),
+        F.sum(yd38 * yd38).alias("syy"),
     )
     return s.select(
         "event_type",
@@ -2978,13 +2998,15 @@ xy AS (
     FROM daily
 ),
 s AS (
+    -- HUGEINT y-products (Spark twin: decimal(38,0)): y is a corpus-scaled
+    -- daily count, so y*y sums pass int64 with normal data at 100 TB
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
            CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM xy GROUP BY event_type
 )
 SELECT event_type, n AS n_days,
@@ -2992,7 +3014,7 @@ SELECT event_type, n AS n_days,
        ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)
            AS intercept,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) /
-             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+             (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
 FROM s
 ORDER BY event_type
 """
@@ -3023,20 +3045,24 @@ def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", F.col("y").alias("x"), F.col("y2").alias("y"))
     )
+    # decimal(38,0) products/sums: x and y are corpus-scaled daily counts
+    # (see ols_daily_trend); the DuckDB twin widens the same way (HUGEINT)
+    pxd = F.col("x").cast("decimal(38,0)")
+    pyd = F.col("y").cast("decimal(38,0)")
     s = paired.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(pxd).alias("sx"),
+        F.sum(pyd).alias("sy"),
+        F.sum(pxd * pyd).alias("sxy"),
+        F.sum(pxd * pxd).alias("sxx"),
+        F.sum(pyd * pyd).alias("syy"),
     )
     return s.select(
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").cast("bigint").alias("n_pairs"),
         F.expr(
             "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
-            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
         ).alias("r"),
     ).orderBy("lag")
 
@@ -3055,16 +3081,16 @@ paired AS (
 s AS (
     SELECT lag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy
+           SUM(CAST(x AS HUGEINT)) AS sx,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM paired GROUP BY lag
 )
 SELECT lag, n AS n_pairs,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
-             SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+             SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
            AS r
 FROM s
 ORDER BY lag

@@ -51,18 +51,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_tax").alias("tax_c"),
     )
     n = F.count(F.lit(1))
+    # Accumulator widths are sized to the 100 TB worst case (4 groups, so
+    # each accumulates ~the whole corpus).  The centi-/basis-point-cents
+    # PRODUCT sums reach ~1e22 with normal prices — decimal(38,0) (int128,
+    # exact, what DuckDB's integer SUM already widens to); a long would
+    # trap under ANSI (and WRAP SILENTLY without it).  The plain cents
+    # sums top out ~3e18 (3x inside int64) and stay long — the fast
+    # codegen path — with ANSI as the loud tripwire beyond that.
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (
         df.groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.sum("qty_c").cast("double") / 100.0).alias("sum_qty"),
             (F.sum("price_c").cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 10000.0).alias(
-                "sum_disc_price"
-            ),
             (
-                F.sum(F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))).cast(
-                    "double"
-                )
+                F.sum(d38(F.col("price_c") * (100 - F.col("disc_c")))).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    d38(F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c")))
+                ).cast("double")
                 / 1000000.0
             ).alias("sum_charge"),
             (F.sum("qty_c").cast("double") / n / 100.0).alias("avg_qty"),
@@ -114,7 +123,12 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    revenue_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    # decimal(38,0) accumulator: 25 nation groups each hold ~1/25 of the
+    # corpus, so the centi-cents product sum passes int64 (~9.2e18) well
+    # before 100 TB with normal prices (see SCALE.md group-size rule)
+    revenue_c = F.sum(
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).cast("decimal(38,0)")
+    )
     return (
         joined.groupBy("r_name", "n_name")
         .agg(
@@ -554,15 +568,17 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     INT64 SUMS (Σx, Σx² over cents) with the closed-form sample-variance
     formula, so the doubles come from identical integers on every engine
     (a raw stddev_samp aggregate is float-summation-order dependent and
-    can't be hash-checked cross-engine).  At extreme scale Σx² needs a
-    wider type (or Welford per partition); cents²-sums stay < 2^63 here.
+    can't be hash-checked cross-engine).  The Σx/Σx² ACCUMULATORS are
+    decimal(38,0) — per-type groups scale with the corpus, and a long
+    cents² accumulator passes 9.2e18 with normal values well before
+    100 TB (the DuckDB twin gets the same width from HUGEINT sums).
     """
     ev = load_table(spark, sf_dir, "events")
     c = cents("value")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(c).alias("s1"),
-        F.sum(c * c).alias("s2"),
+        F.sum(c.cast("decimal(38,0)")).alias("s1"),
+        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n / 100.0
@@ -584,7 +600,7 @@ EVENT_VALUE_MOMENTS_SQL = """
 WITH g AS (
     SELECT event_type, COUNT(*) AS n,
            SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s1,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+           SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT)
                * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
     FROM events GROUP BY event_type
 )
@@ -1451,7 +1467,11 @@ def nation_profit(
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").cast("bigint").alias("order_year"))
         .agg(
-            (F.sum(profit_c).cast("double") / 10000.0).alias("profit"),
+            # decimal(38,0): nation x year groups scale with the corpus, so
+            # the basis-point-cents sum overflows int64 before 100 TB
+            (F.sum(profit_c.cast("decimal(38,0)")).cast("double") / 10000.0).alias(
+                "profit"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("supp_nation", F.col("order_year").desc())
@@ -1907,13 +1927,18 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     per_part = li.groupBy("l_partkey").agg(rev.alias("r"))
-    tot = per_part.agg(F.sum("r").alias("t"))
+    # corpus-scaled accumulators (grand total, cumulative revenue, per-class
+    # rollup) are decimal(38,0): the centi-cents sum passes int64 before
+    # 100 TB with normal prices.  Per-part r stays int64 (bounded group).
+    # The report's revenue_centicents column remains BIGINT by contract —
+    # its own width limit is documented in SCALE.md.
+    tot = per_part.agg(F.sum(F.col("r").cast("decimal(38,0)")).alias("t"))
     cumsummed = bucketed_cumsum(
         per_part,
         # negated band index: monotone non-decreasing w.r.t. DESC revenue
         F.expr("-(r DIV 100000000)"),
         [F.desc("r"), F.asc("l_partkey")],
-        F.col("r"),
+        F.col("r").cast("decimal(38,0)"),
         "cum",
         # per_part is a lineitem-wide aggregate: checkpoint once rather
         # than paying the lineitem scan for each two-phase pass
@@ -1931,7 +1956,10 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         classed.groupBy("abc_class")
-        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("r").alias("rc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("r").cast("decimal(38,0)")).alias("rc"),
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "abc_class",
@@ -2105,7 +2133,11 @@ def return_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("bigint").alias("n_lines"),
         F.col("n_returned").cast("bigint").alias("n_returned"),
         F.expr("n_returned * 1000000 DIV n_lines").alias("return_ppm"),
-        F.expr("rc_ret * 1000000 DIV rc").alias("value_return_ppm"),
+        # a month whose revenue nets to zero has no defined value share —
+        # NULL, not an ANSI DIVIDE_BY_ZERO (degenerate-input sweep)
+        F.expr(
+            "CASE WHEN rc <> 0 THEN rc_ret * 1000000 DIV rc END"
+        ).alias("value_return_ppm"),
     ).orderBy("month")
 
 
@@ -2116,11 +2148,12 @@ SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
            AS n_returned,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
             // COUNT(*) AS BIGINT) AS return_ppm,
-       CAST(SUM(CASE WHEN l_returnflag = 'R'
-                     THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                     ELSE 0 END) * 1000000
-            // SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
-           AS value_return_ppm
+       CAST(CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) <> 0
+                 THEN SUM(CASE WHEN l_returnflag = 'R'
+                               THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                               ELSE 0 END) * 1000000
+                      // SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+            END AS BIGINT) AS value_return_ppm
 FROM lineitem
 GROUP BY 1
 ORDER BY month
