@@ -1951,10 +1951,15 @@ def quality_auc(docs: DataFrame) -> DataFrame:
         # per-score relation once rather than re-deriving it per pass
         materialize=True,
     ).select("tp", "tn", (F.col("cni") - F.col("tn")).alias("cnb"))
+    # decimal(38,0): cnb is a corpus-scaled cumulative count, so the AUC
+    # pair-count a2 ~ n_pos·n_neg passes int64 near 3e9 docs (HUGEINT in
+    # the twin); the auc_x2 REPORT column stays BIGINT by contract
     stats = cum.agg(
         F.sum("tp").alias("np"),
         F.sum("tn").alias("nn"),
-        F.sum(F.col("tp") * (2 * F.col("cnb") + F.col("tn"))).alias("a2"),
+        F.sum(
+            F.col("tp").cast("decimal(38,0)") * (2 * F.col("cnb") + F.col("tn"))
+        ).alias("a2"),
     )
     return stats.select(
         F.col("np").cast("bigint").alias("n_pos"),
@@ -1987,10 +1992,10 @@ cum AS (
 ),
 stats AS (
     SELECT CAST(SUM(tp) AS BIGINT) AS np, CAST(SUM(tn) AS BIGINT) AS nn,
-           CAST(SUM(tp * (2 * cnb + tn)) AS BIGINT) AS a2
+           SUM(CAST(tp AS HUGEINT) * (2 * cnb + tn)) AS a2
     FROM cum
 )
-SELECT np AS n_pos, nn AS n_neg, a2 AS auc_x2,
+SELECT np AS n_pos, nn AS n_neg, CAST(a2 AS BIGINT) AS auc_x2,
        ROUND(CAST(a2 AS DOUBLE) / (2.0 * (CAST(np AS DOUBLE) * nn)), 6) AS auc
 FROM stats
 """

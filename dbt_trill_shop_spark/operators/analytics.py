@@ -1754,12 +1754,18 @@ def chisquare_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     total = cells.agg(F.sum("o").alias("t"))
+    # o·t and r·c are corpus-scaled count products (~1e24 at 100 TB), so
+    # the DIFFERENCE is exact decimal(38,0); its SQUARE would pass even
+    # int128 (~1e48), so the square happens in double AFTER the exact
+    # int128→double conversion (identical IEEE rounding on both engines,
+    # and the per-cell ROUND already pins the float path determinism)
+    diff_d = (
+        F.col("o").cast("decimal(38,0)") * F.col("t")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    ).cast("double")
     term_micro = F.round(
-        (
-            (F.col("o") * F.col("t") - F.col("r") * F.col("c"))
-            * (F.col("o") * F.col("t") - F.col("r") * F.col("c"))
-        ).cast("double")
-        / (F.col("r") * F.col("c")).cast("double")
+        diff_d * diff_d
+        / (F.col("r").cast("decimal(38,0)") * F.col("c")).cast("double")
         / F.col("t").cast("double")
         * 1_000_000,
         0,
@@ -1788,8 +1794,9 @@ cols_m AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
 total AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        ROUND(CAST(SUM(CAST(ROUND(
-           CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE)
-           / CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000, 0) AS BIGINT))
+           CAST(CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c AS DOUBLE)
+           * CAST(CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c AS DOUBLE)
+           / CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000, 0) AS BIGINT))
            AS DOUBLE) / 1000000.0, 4) AS chi2
 FROM cells
 JOIN rows_m USING (event_type)
@@ -2334,8 +2341,14 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
     )
+    # decimal(38,0) cross-products: c1/c2 are corpus-scaled cumulative
+    # counts, so c1*n2 ~ n**2 passes int64 near 3e9 rows per group
+    # (HUGEINT in the twin)
     d = last_per_v.select(
-        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("num"),
+        F.abs(
+            F.col("c1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("num"),
         "n1",
         "n2",
     )
@@ -2348,7 +2361,7 @@ def ks_test_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_low"),
         F.round(
             F.col("max_num").cast("double")
-            / (F.col("na") * F.col("nb")).cast("double"),
+            / (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast("double"),
             6,
         ).alias("ks_d"),
     )
@@ -2376,8 +2389,8 @@ totals AS (
     FROM base
 )
 SELECT n1 AS n_urgent, n2 AS n_low,
-       ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
-             / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+       ROUND(CAST(MAX(ABS(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS DOUBLE)
+             / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) AS ks_d
 FROM last_per_v CROSS JOIN totals
 GROUP BY n1, n2
 """
@@ -2628,7 +2641,9 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             F.col("k").cast("bigint").alias("n_days"),
             F.col("s").cast("bigint").alias("n_events"),
-            F.expr("s * kt * 1000000 DIV (st * k)").alias("index_ppm"),
+            F.expr(
+                "CAST(CAST(s AS DECIMAL(38,0)) * kt * 1000000 DIV (CAST(st AS DECIMAL(38,0)) * k) AS BIGINT)"
+            ).alias("index_ppm"),
         )
         .orderBy("dow")
     )
@@ -2647,7 +2662,7 @@ dows AS (
 ),
 tot AS (SELECT CAST(SUM(k) AS BIGINT) AS kt, CAST(SUM(s) AS BIGINT) AS st FROM dows)
 SELECT dow, CAST(k AS BIGINT) AS n_days, s AS n_events,
-       CAST(s * kt * 1000000 // (st * k) AS BIGINT) AS index_ppm
+       CAST(CAST(s AS HUGEINT) * kt * 1000000 // (CAST(st AS HUGEINT) * k) AS BIGINT) AS index_ppm
 FROM dows CROSS JOIN tot
 ORDER BY dow
 """
@@ -2762,7 +2777,12 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("both").cast("bigint").alias("n_both"),
             F.expr("both * 1000000 DIV nu").alias("support_ppm"),
             F.expr("both * 1000000 DIV s_a").alias("confidence_ppm"),
-            F.expr("both * nu * 1000000 DIV (s_a * s_c)").alias("lift_ppm"),
+            # both·nu·1e6 is a triple count product — decimal(38,0)
+            # (HUGEINT in the twin): user counts are corpus-scaled
+            F.expr(
+                "CAST(CAST(both AS DECIMAL(38,0)) * nu * 1000000 "
+                "DIV (CAST(s_a AS DECIMAL(38,0)) * s_c) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "ante", "cons")
     )
@@ -2781,7 +2801,8 @@ pairs AS (
 SELECT ante, cons, CAST(nb AS BIGINT) AS n_both,
        CAST(nb * 1000000 // nu AS BIGINT) AS support_ppm,
        CAST(nb * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
-       CAST(nb * nu * 1000000 // (sa.s * sc.s) AS BIGINT) AS lift_ppm
+       CAST(CAST(nb AS HUGEINT) * nu * 1000000
+            // (CAST(sa.s AS HUGEINT) * sc.s) AS BIGINT) AS lift_ppm
 FROM pairs
 JOIN support sa ON sa.event_type = ante
 JOIN support sc ON sc.event_type = cons
@@ -2869,18 +2890,22 @@ def mannwhitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t2"),
         "c2i",
     ).select("t1", "t2", (F.col("c2i") - F.col("t2")).alias("c2b"))
+    # decimal(38,0) U-statistic sums: c2b is a corpus-scaled cumulative
+    # count (so t1·c2b ~ n²), the tie cube (t1+t2)³ explodes on heavy
+    # ties, and U itself ~ n1·n2 passes int64 near 3e9 rows per group —
+    # all int128 here and HUGEINT in the twin.  The u_x2 REPORT column
+    # stays BIGINT by contract (width limit documented in SCALE.md).
+    tt = (F.col("t1") + F.col("t2")).cast("decimal(38,0)")
     stats = cum.agg(
         F.sum("t1").alias("n1"),
         F.sum("t2").alias("n2"),
-        F.sum(F.col("t1") * (2 * F.col("c2b") + F.col("t2"))).alias("u2"),
         F.sum(
-            (F.col("t1") + F.col("t2")) * (F.col("t1") + F.col("t2"))
-            * (F.col("t1") + F.col("t2"))
-            - (F.col("t1") + F.col("t2"))
-        ).alias("tsum"),
+            F.col("t1").cast("decimal(38,0)") * (2 * F.col("c2b") + F.col("t2"))
+        ).alias("u2"),
+        F.sum(tt * tt * tt - tt).alias("tsum"),
     )
     z_expr = (
-        "(CAST(u2 - n1 * n2 AS DOUBLE)) / "
+        "(CAST(u2 - CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)) / "
         "(2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) * "
         "((CAST(n1 + n2 AS DOUBLE) + 1.0) - "
         "CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * "
@@ -2913,20 +2938,22 @@ cum AS (
     FROM per_v
 ),
 stats AS (
+    -- HUGEINT U sums (Spark twin: decimal(38,0)): c2b is corpus-scaled,
+    -- the tie cube explodes on heavy ties, U ~ n1*n2
     SELECT CAST(SUM(t1) AS BIGINT) AS n1,
            CAST(SUM(t2) AS BIGINT) AS n2,
-           CAST(SUM(t1 * (2 * c2b + t2)) AS BIGINT) AS u2,
-           CAST(SUM((t1 + t2) * (t1 + t2) * (t1 + t2) - (t1 + t2)) AS BIGINT)
+           SUM(CAST(t1 AS HUGEINT) * (2 * c2b + t2)) AS u2,
+           SUM(CAST(t1 + t2 AS HUGEINT) * (t1 + t2) * (t1 + t2) - (t1 + t2))
                AS tsum
     FROM cum
 )
-SELECT n1 AS n_urgent, n2 AS n_low, u2 AS u_x2,
-       ROUND((CAST(u2 - n1 * n2 AS DOUBLE)) /
+SELECT n1 AS n_urgent, n2 AS n_low, CAST(u2 AS BIGINT) AS u_x2,
+       ROUND((CAST(u2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) /
              (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) *
               ((CAST(n1 + n2 AS DOUBLE) + 1.0) -
                CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
                (CAST(n1 + n2 AS DOUBLE) - 1.0))) / 12.0)), 4) AS z,
-       ABS((CAST(u2 - n1 * n2 AS DOUBLE)) /
+       ABS((CAST(u2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) /
            (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2) *
             ((CAST(n1 + n2 AS DOUBLE) + 1.0) -
              CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
@@ -3210,16 +3237,19 @@ def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # than paying the events scan for each two-phase pass
         materialize=True,
     ).select("x", "i")
+    # decimal(38,0) rank-weighted sum: i is a corpus-scaled rank, so
+    # Σ i·x (and (n+1)·Σx in the identity) passes int64 with normal data
+    # before 100 TB; DuckDB widens the same way via HUGEINT
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_users"),
         F.col("sx").cast("bigint").alias("total_cents"),
         F.expr(
-            "ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE) / "
+            "ROUND(CAST(2 * six - (CAST(n AS DECIMAL(38,0)) + 1) * sx AS DOUBLE) / "
             "(CAST(n AS DOUBLE) * sx), 6)"
         ).alias("gini"),
     )
@@ -3236,11 +3266,11 @@ ranked AS (
 ),
 s AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(i * x) AS BIGINT) AS six
+           SUM(CAST(i AS HUGEINT) * x) AS six
     FROM ranked
 )
 SELECT n AS n_users, sx AS total_cents,
-       ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+       ROUND(CAST(2 * six - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE) /
              (CAST(n AS DOUBLE) * sx), 6) AS gini
 FROM s
 """
@@ -4295,8 +4325,14 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("n").cast("bigint").alias("n_users"),
             F.col("dx").cast("bigint").alias("value_cents"),
-            F.expr("dx * 1000000 DIV tx").alias("share_ppm"),
-            F.expr("cum_x * 1000000 DIV tx").alias("cum_share_ppm"),
+            # cents sums x 1e6 pass int64 at corpus scale: multiply-first
+            # in decimal(38,0) keeps the exact same ppm values
+            F.expr(
+                "CAST(CAST(dx AS DECIMAL(38,0)) * 1000000 DIV tx AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(cum_x AS DECIMAL(38,0)) * 1000000 DIV tx AS BIGINT)"
+            ).alias("cum_share_ppm"),
         )
         .orderBy("decile")
     )
@@ -4318,9 +4354,9 @@ per_dec AS (
     FROM deciled GROUP BY decile
 )
 SELECT decile, n AS n_users, dx AS value_cents,
-       CAST(dx * 1000000 // tx AS BIGINT) AS share_ppm,
-       CAST(CAST(SUM(dx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-                 AS BIGINT) * 1000000 // tx AS BIGINT) AS cum_share_ppm
+       CAST(CAST(dx AS HUGEINT) * 1000000 // tx AS BIGINT) AS share_ppm,
+       CAST(SUM(CAST(dx AS HUGEINT)) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // tx AS BIGINT) AS cum_share_ppm
 FROM per_dec CROSS JOIN tot
 ORDER BY decile
 """
@@ -4741,7 +4777,12 @@ def seasonally_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        .select("dow", F.expr("s * kt * 1000000 DIV (st * k)").alias("index_ppm"))
+        .select(
+            "dow",
+            F.expr(
+                "CAST(CAST(s AS DECIMAL(38,0)) * kt * 1000000 DIV (CAST(st AS DECIMAL(38,0)) * k) AS BIGINT)"
+            ).alias("index_ppm"),
+        )
     )
     return (
         dowed.join(F.broadcast(idx), "dow")
@@ -4770,8 +4811,8 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS kt, CAST(SUM(y) AS BIGINT) AS st
         FROM dowed),
 idx AS (
     SELECT dow,
-           CAST(SUM(y) * MAX(tot.kt) * 1000000
-                // (MAX(tot.st) * COUNT(*)) AS BIGINT) AS index_ppm
+           CAST(SUM(CAST(y AS HUGEINT)) * MAX(tot.kt) * 1000000
+                // (CAST(MAX(tot.st) AS HUGEINT) * COUNT(*)) AS BIGINT) AS index_ppm
     FROM dowed CROSS JOIN tot GROUP BY dow
 )
 SELECT d, y, index_ppm,

@@ -2134,9 +2134,12 @@ def return_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_returned").cast("bigint").alias("n_returned"),
         F.expr("n_returned * 1000000 DIV n_lines").alias("return_ppm"),
         # a month whose revenue nets to zero has no defined value share —
-        # NULL, not an ANSI DIVIDE_BY_ZERO (degenerate-input sweep)
+        # NULL, not an ANSI DIVIDE_BY_ZERO (degenerate-input sweep); the
+        # multiply is decimal(38,0) because monthly cents sums x 1e6 pass
+        # int64 at corpus scale
         F.expr(
-            "CASE WHEN rc <> 0 THEN rc_ret * 1000000 DIV rc END"
+            "CASE WHEN rc <> 0 THEN "
+            "CAST(CAST(rc_ret AS DECIMAL(38,0)) * 1000000 DIV rc AS BIGINT) END"
         ).alias("value_return_ppm"),
     ).orderBy("month")
 
@@ -2149,9 +2152,9 @@ SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
             // COUNT(*) AS BIGINT) AS return_ppm,
        CAST(CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) <> 0
-                 THEN SUM(CASE WHEN l_returnflag = 'R'
+                 THEN SUM(CAST(CASE WHEN l_returnflag = 'R'
                                THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                               ELSE 0 END) * 1000000
+                               ELSE 0 END AS HUGEINT)) * 1000000
                       // SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
             END AS BIGINT) AS value_return_ppm
 FROM lineitem
