@@ -2474,7 +2474,12 @@ def minhash_scurve_audit(
             "bucket",
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
             F.col("n_candidates").cast("bigint").alias("n_candidates"),
-            F.expr("n_candidates * 1000000 DIV n_pairs").alias("recall_ppm"),
+            # multiply-first int128: bucket pair counts are corpus-scaled
+            # when the near-dup density is (adversarially) high
+            F.expr(
+                "CAST(CAST(n_candidates AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_pairs AS BIGINT)"
+            ).alias("recall_ppm"),
             F.expr(f"CAST({theory_case} AS BIGINT)").alias("theory_ppm"),
         )
         .orderBy("bucket")
@@ -2510,8 +2515,8 @@ SELECT e.bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_candidates,
-       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-            // COUNT(*) AS BIGINT) AS recall_ppm,
+       CAST(SUM(CAST(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS HUGEINT))
+            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm,
        CAST({theory_case} AS BIGINT) AS theory_ppm
 FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
 GROUP BY e.bucket
@@ -2575,7 +2580,10 @@ def shingle_df_histogram(
         "log2_df_bucket"
     ).agg(
         F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.expr("df * (df - 1) DIV 2")).alias("pm"),
+        # decimal(38,0): a stop-shingle's df is corpus-scaled, so the
+        # per-row pair count df*(df-1)/2 ~ n**2 passes int64 near 3e9 docs
+        # (HUGEINT in the twin); pair_mass stays a BIGINT report column
+        F.sum(F.expr("CAST(df AS DECIMAL(38,0)) * (df - 1) DIV 2")).alias("pm"),
     )
     tot = agg.agg(F.sum("pm").alias("tpm"))
     return (
@@ -2584,7 +2592,10 @@ def shingle_df_histogram(
             "log2_df_bucket",
             F.col("n_shingles").cast("bigint").alias("n_shingles"),
             F.col("pm").cast("bigint").alias("pair_mass"),
-            F.expr("pm * 1000000 DIV GREATEST(1, tpm)").alias("pair_mass_ppm"),
+            F.expr(
+                "CAST(CAST(pm AS DECIMAL(38,0)) * 1000000 "
+                "DIV GREATEST(1, tpm) AS BIGINT)"
+            ).alias("pair_mass_ppm"),
         )
         .orderBy("log2_df_bucket")
     )
@@ -2610,11 +2621,11 @@ agg AS (
                 WHEN df >= 8 THEN 3 WHEN df >= 4 THEN 2
                 WHEN df >= 2 THEN 1 ELSE 0 END AS BIGINT) AS log2_df_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pm
+           SUM(CAST(df AS HUGEINT) * (df - 1) // 2) AS pm
     FROM dfs GROUP BY 1
 ),
-tot AS (SELECT CAST(SUM(pm) AS BIGINT) AS tpm FROM agg)
-SELECT log2_df_bucket, n_shingles, pm AS pair_mass,
+tot AS (SELECT SUM(pm) AS tpm FROM agg)
+SELECT log2_df_bucket, n_shingles, CAST(pm AS BIGINT) AS pair_mass,
        CAST(pm * 1000000 // GREATEST(1, tpm) AS BIGINT) AS pair_mass_ppm
 FROM agg CROSS JOIN tot
 ORDER BY log2_df_bucket

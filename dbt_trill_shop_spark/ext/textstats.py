@@ -1756,10 +1756,13 @@ def pmi_collocations(
             "a",
             "b",
             "c_ab",
+            # decimal(38,0) products: corpus token total x pair count
+            # (~1e29 at 100 TB) passes int64 long before the double cast;
+            # HUGEINT in the twin
             F.round(
                 F.log(
-                    (F.col("n_tokens") * F.col("c_ab")).cast("double")
-                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                    (F.col("n_tokens").cast("decimal(38,0)") * F.col("c_ab")).cast("double")
+                    / (F.col("c_a").cast("decimal(38,0)") * F.col("c_b")).cast("double")
                 ),
                 6,
             ).alias("pmi"),
@@ -1789,8 +1792,8 @@ uni_counts AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
 total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni_counts),
 scored AS (
     SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-           ROUND(LN(CAST(n_tokens * c_ab AS DOUBLE)
-                    / CAST(ua.c * ub.c AS DOUBLE)), 6) AS pmi
+           ROUND(LN(CAST(CAST(n_tokens AS HUGEINT) * c_ab AS DOUBLE)
+                    / CAST(CAST(ua.c AS HUGEINT) * ub.c AS DOUBLE)), 6) AS pmi
     FROM pair_counts
     JOIN uni_counts ua ON ua.w = a
     JOIN uni_counts ub ON ub.w = b
