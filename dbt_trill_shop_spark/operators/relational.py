@@ -578,7 +578,9 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(c.cast("decimal(38,0)")).alias("s1"),
-        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
+        # the OPERAND widens, not just the sum: c*c in long overflows on a
+        # single ~$9e11 row (the largest exactly-representable money)
+        F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n / 100.0

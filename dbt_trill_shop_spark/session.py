@@ -55,6 +55,12 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
         )
         .config("spark.sql.session.timeZone", tz)
+        # ANSI mode is Spark 4's default, but the engine's int64 scaled-unit
+        # arithmetic DEPENDS on it as the loud tripwire for width-contract
+        # violations (README "Numeric dynamic range") — without it an
+        # overflowing long accumulator WRAPS SILENTLY.  Pin it so a cluster
+        # profile that flips the default cannot downgrade trap to wrap.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Runtime re-planning: coalesce small shuffle partitions, split skewed
         # ones, convert sort-merge joins to broadcast when runtime stats allow.
