@@ -1191,6 +1191,85 @@ def _px_ivfpq_binary_recall_floors(spark, sf_dir):
     )
 
 
+def _px_wide_accumulators_exact_past_int64(spark, sf_dir):
+    """The decimal(38,0)/HUGEINT accumulator paths (SCALE.md group-size
+    rule) stay EXACT at magnitudes where an int64 accumulator would have
+    overflowed: events with ~$9e11 values (the largest money exactly
+    representable through the double->cents round-trip) push the moments'
+    cents-squared sum to ~1e31 and Gini's rank-weighted sum past 9.2e18.
+    Ground truth is pure-Python big-int arithmetic — a third source,
+    independent of both engines."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_trill_shop_spark.harness import QUERIES
+    from tests.oracle_utils import compare, duck_connection, oracle_frame
+
+    import pathlib
+    import tempfile
+
+    d = pathlib.Path(tempfile.mkdtemp(prefix="bigvals_"))
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    n = src.num_rows
+    # distinct huge 2-dp money values, alternating sign pattern avoided
+    # (value contract), exactly representable: v_i = 9e11 + i dollars
+    vals = [9.0e11 + i for i in range(n)]
+    cols = {}
+    for field in src.schema:
+        col = src.column(field.name).to_pylist()
+        if field.name == "value":
+            col = vals
+        cols[field.name] = pa.array(col, type=field.type)
+    pq.write_table(pa.table(cols, schema=src.schema), str(d / "events.parquet"))
+    for f in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        pq.write_table(pq.read_table(f"{sf_dir}/{f}.parquet"), str(d / f"{f}.parquet"))
+
+    # --- moments: python big-int ground truth per event type
+    types = src.column("event_type").to_pylist()
+    by_type: dict[str, list[int]] = {}
+    for t, v in zip(types, vals):
+        by_type.setdefault(t, []).append(round(v * 100))
+    out = {r["event_type"]: r for r in
+           QUERIES["q_event_value_moments"].fn(spark, str(d)).collect()}
+    assert set(out) == set(by_type)
+    for t, cents in by_type.items():
+        s1, s2, m = sum(cents), sum(c * c for c in cents), len(cents)
+        assert s2 > 2**63, "test must exercise the >int64 regime"
+        mean = s1 / m / 100.0
+        var = (float(s2) - float(s1) * s1 / m) / (m - 1) / 10_000.0
+        assert out[t]["n_events"] == m
+        assert math.isclose(out[t]["mean_value"], round(mean, 6), rel_tol=1e-12)
+        assert math.isclose(out[t]["var_value"], round(var, 6), rel_tol=1e-9)
+
+    # --- gini: python ground truth over per-user totals
+    users = src.column("user_id").to_pylist()
+    per_user: dict[int, int] = {}
+    for u, v in zip(users, vals):
+        per_user[u] = per_user.get(u, 0) + round(v * 100)
+    ranked = sorted(per_user.items(), key=lambda kv: (kv[1], kv[0]))
+    nn, sx = len(ranked), sum(x for _, x in ranked)
+    six = sum((i + 1) * x for i, (_, x) in enumerate(ranked))
+    # at this fixture size six (~7.7e17) stays inside int64 — the >int64
+    # regime witness is the moments block above; this block pins the
+    # decimal path's VALUE exactness on the same twin
+    g = QUERIES["q_gini"].fn(spark, str(d)).collect()[0]
+    assert g["n_users"] == nn and g["total_cents"] == sx
+    assert math.isclose(
+        g["gini"], round((2 * six - (nn + 1) * sx) / (nn * sx), 6), rel_tol=1e-12
+    )
+
+    # --- cross-engine: both int128 paths agree bit-for-bit on this twin
+    con = duck_connection(str(d))
+    for name in ("q_event_value_moments", "q_gini", "q_weekly_correlation"):
+        spec = QUERIES[name]
+        probs = compare(spec.fn(spark, str(d)), oracle_frame(con, spec.oracle))
+        assert not probs, (name, probs)
+
+
 def test_text_tiling_detects_topic_shift(spark):
     """Two 40-token halves with disjoint vocabulary: the boundary block
     (cosine 0 between halves) must flag; within-half comparisons must not."""
@@ -1588,6 +1667,7 @@ _POOLED_CHECKS = [
     _px_binary_hamming_exact_duplicate_is_nearest,
     _px_ivf_pq_recall_floors,
     _px_ivfpq_binary_recall_floors,
+    _px_wide_accumulators_exact_past_int64,
     _px_kmeans_refine_recovers_planted_clusters,
     _px_quality_auc_matches_pairwise_bruteforce,
     _px_repetition_signals_flags_repetitive,
