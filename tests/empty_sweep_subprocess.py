@@ -73,6 +73,8 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import shutil
+
     t0 = time.time()
     failures: dict[str, str] = {}
     n_run = 0
@@ -87,6 +89,7 @@ def main(schema_sf_dir: str, out_path: str) -> None:
                 spec.fn(spark, twin).count()
             except Exception:
                 failures[f"{label}:{name}"] = traceback.format_exc()
+        shutil.rmtree(twin, ignore_errors=True)
     result = {
         "n_queries": n_run,
         "elapsed_sec": round(time.time() - t0, 1),
