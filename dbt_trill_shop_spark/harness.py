@@ -2810,11 +2810,13 @@ _ROUND6_WINDOW = [
     "q_linear_counting",
 ]
 
-# Round-7 pre-stage: the remaining 28 never-verified queries pinned at
-# positions 51-78 (VERDICT.md round-5 instruction #4), so round 7 completes
-# 100% driver coverage even if the window shrinks — any driver window wider
-# than 50 picks these up immediately, and the round-7 rotation is a pure
-# swap of _ROUND6_WINDOW for this list.
+# Queries with a green driver verdict in CORRECTNESS_r06 (all 50 green).
+_DRIVER_VERIFIED_R06 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND6_WINDOW)
+
+# Round-7 window, first block: the 28 never-verified queries pre-staged in
+# round 6 (VERDICT.md round-6 instruction #1).  Once CORRECTNESS_r07 records
+# these green, cumulative driver coverage is 287/287 (285 hash-green + the
+# 2 permanently rows-only accuracy sketches).
 _ROUND7_PRESTAGE = [
     "q_profile_orders", "q_zorder_keys", "q_key_skew",
     "q_table_fingerprints", "q_session_paths", "q_conversion_lag",
@@ -2828,30 +2830,44 @@ _ROUND7_PRESTAGE = [
     "x_weighted_sample",
 ]
 
-_front = _REFERENCE_MODELS + _ROUND6_WINDOW
+# Round-7 window, second block: the 15 spare slots (50 - 7 models - 28)
+# re-verify queries whose accumulators were widened in round 6's block-3
+# int128/decimal audit AFTER their last driver verdict (VERDICT.md round-6
+# instruction #2) — local parity is green at 3 SFs plus edge/unicode twins,
+# but the driver oracle is the hard signal.  Block 3 touched 18
+# stale-verified queries; ranked by widening-diff size (changed lines in
+# 883b1d8^..r6-final per function + its oracle SQL), the 15 largest get the
+# slots.  Dropped (smallest, single sum->decimal casts whose exact pattern
+# is exercised by q_pricing_summary / q_event_value_moments in-window):
+# q_regional_revenue (7 lines), q_nation_profit (6), q_seasonality (6).
+# q_bootstrap_ci takes a slot regardless of diff rank: its CI bounds change
+# AGAIN this round (ADVICE r6: NULL bounds for m < 4 valid replicas).
+# q_abc_analysis and q_seasonal_adjust were widened too but missing from
+# the VERDICT list — both verified r5, both pre-widening, both included.
+_ROUND7_STALE_REVERIFY = [
+    "q_weekly_correlation", "q_mannwhitney", "q_autocorrelation",
+    "q_pricing_summary", "q_chisquare", "q_ols_trend", "q_abc_analysis",
+    "q_event_value_moments", "q_lorenz_curve", "q_ks_test", "q_benford",
+    "q_seasonal_adjust", "x_pmi_collocations", "q_gini", "q_bootstrap_ci",
+]
+
+_ROUND7_WINDOW = _ROUND7_PRESTAGE + _ROUND7_STALE_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND7_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
-# Past the window: the pre-staged round-7 queries (the only remaining
-# never-verified entries — they fill any extra driver slots), then the
-# already-verified at the back (regression-guarded by pytest).
+# Past the window: every remaining query has a driver verdict from a prior
+# round (regression-guarded by pytest) — no never-verified entries remain.
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-    | _DRIVER_VERIFIED_R05
-) - set(_ROUND6_WINDOW)
-assert not set(_ROUND7_PRESTAGE) & set(_front)
-assert set(_ROUND7_PRESTAGE) <= set(QUERIES)
-_rest = _ROUND7_PRESTAGE + [
-    n for n in QUERIES
-    if n not in set(_front) and n not in set(_ROUND7_PRESTAGE)
-]
+    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06
+) - set(_ROUND7_WINDOW)
+_rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
-_tail_verified = [n for n in _rest if n in _DRIVER_VERIFIED]
-# Window accounting: every never-verified query is either in this round's
-# window or pre-staged directly behind it.
-assert _tail_unverified == _ROUND7_PRESTAGE, _tail_unverified[:5]
-QUERIES = {
-    name: QUERIES[name] for name in _front + _tail_unverified + _tail_verified
-}
+# Window accounting: with the round-7 window in place, every query outside
+# the window carries a prior-round driver verdict.
+assert _tail_unverified == [], _tail_unverified[:5]
+QUERIES = {name: QUERIES[name] for name in _front + _rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
