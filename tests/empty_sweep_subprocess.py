@@ -49,6 +49,12 @@ def _twin_dir(schema_sf_dir: str, kind: str) -> str:
             pq.write_table(pq.read_schema(src).empty_table(), os.path.join(d, f))
             continue
         t = pq.read_table(src).slice(0, 1)
+        # A zero-row source table degrades to an as-is copy (ADVICE r6:
+        # col[0] on an empty column would crash the whole sweep with an
+        # unrelated IndexError instead of per-query results).
+        if t.num_rows == 0:
+            pq.write_table(t, os.path.join(d, f))
+            continue
         cols = {}
         for field in t.schema:
             col = t.column(field.name).to_pylist()

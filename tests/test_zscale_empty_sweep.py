@@ -2,17 +2,24 @@
 registry: zero-row tables, and a single row of empty strings/arrays (the
 nastiest still-legal row — see empty_sweep_subprocess.py).
 
-The sweep subprocess (see empty_sweep_subprocess.py) launches at COLLECTION
-time below — pytest imports test modules before running any test, so the
-sibling process overlaps the entire suite and the join here is nearly free
-(the sweep takes ~4-5 min niced; the suite runs ~5-6).  The "zscale" name
-keeps this file LAST in pytest's alphabetical file order so the join happens
-after everything else has run.
+The sweep subprocess (see empty_sweep_subprocess.py) is launched by
+conftest's ``pytest_collection_finish`` hook — right after collection, but
+ONLY when this file's test survived selection and the run is not
+--collect-only (ADVICE r6: a module-level Popen spawned a ~2-min orphan
+Spark process on collect-only and -k-deselected runs).  Launching at
+collection-finish keeps the original overlap: the sibling process runs
+alongside the entire suite and the join here is nearly free (the sweep
+takes ~4-5 min niced; the suite runs ~5-6).  The "zscale" name keeps this
+file LAST in pytest's alphabetical file order so the join happens after
+everything else has run.
 
-Targeted runs of other test files never import this module, so the dev loop
+Targeted runs of other test files never select this test, so the dev loop
 (`pytest tests/test_plans.py`) does not pay for the sweep; running this file
-alone starts the sweep at its own collection and waits it out.
+alone starts the sweep at its own collection-finish and waits it out.
+An atexit hook terminates the subprocess and closes its log handle if the
+session ends without the test running (interrupt, earlier -x failure).
 """
+import atexit
 import json
 import os
 import subprocess
@@ -25,24 +32,55 @@ _OUT = os.path.join(
     tempfile.gettempdir(), f"empty_sweep_result_{os.getpid()}.json"
 )
 _LOG = _OUT.replace(".json", ".log")
-# nice +10: the sweep has the whole ~5 min suite to finish ~2 min of work,
-# so it runs on cycles the main session isn't using instead of competing
-# with the parity chunk's executor threads.
-_PROC = subprocess.Popen(
-    [
-        sys.executable,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "empty_sweep_subprocess.py"),
-        SF_DIR,
-        _OUT,
-    ],
-    stdout=open(_LOG, "w"),
-    stderr=subprocess.STDOUT,
-    preexec_fn=lambda: os.nice(10),
-)
+_PROC: subprocess.Popen | None = None
+_LOG_FH = None
+
+
+def launch() -> subprocess.Popen:
+    """Start the sweep sibling process (idempotent).  Called from
+    conftest.pytest_collection_finish when this module's test is selected,
+    or lazily by the test itself as a fallback."""
+    global _PROC, _LOG_FH
+    if _PROC is not None:
+        return _PROC
+    _LOG_FH = open(_LOG, "w")
+    # nice +10: the sweep has the whole ~5 min suite to finish ~2 min of
+    # work, so it runs on cycles the main session isn't using instead of
+    # competing with the parity chunk's executor threads.
+    _PROC = subprocess.Popen(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "empty_sweep_subprocess.py",
+            ),
+            SF_DIR,
+            _OUT,
+        ],
+        stdout=_LOG_FH,
+        stderr=subprocess.STDOUT,
+        preexec_fn=lambda: os.nice(10),
+    )
+    return _PROC
+
+
+def _cleanup() -> None:
+    if _PROC is not None and _PROC.poll() is None:
+        _PROC.terminate()
+        try:
+            _PROC.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            _PROC.kill()
+    if _LOG_FH is not None and not _LOG_FH.closed:
+        _LOG_FH.close()
+
+
+atexit.register(_cleanup)
 
 
 def test_every_query_survives_empty_inputs():
-    rc = _PROC.wait(timeout=900)
+    rc = launch().wait(timeout=900)
+    _LOG_FH.close()
     tail = ""
     if os.path.exists(_LOG):
         with open(_LOG) as fh:
