@@ -83,6 +83,17 @@ def still_regressed(rerun_t: float, base: float, env_factor: float) -> bool:
     return rerun_t > 1.5 * adj and rerun_t - adj > 0.3
 
 
+def gate_env_factor(env_factor: float, confirm_env: float | None) -> float:
+    """The contention factor the exit gate judges, pure for unit tests
+    (ADVICE r6): the quieter of the sweep's factor and the confirmation
+    pass's freshly-measured factor when the sentinel re-probe ran
+    (confirm_env is None otherwise).  A transient spike during the sweep
+    must not exit 2 when fresh evidence shows the box quiet again; a
+    still-contended confirm pass cannot lower the verdict below the
+    sweep's own factor."""
+    return env_factor if confirm_env is None else min(env_factor, confirm_env)
+
+
 def gate_should_fail(
     regressions: dict, env: dict, env_factor: float = 1.0
 ) -> bool:
@@ -96,7 +107,12 @@ def gate_should_fail(
     touches >50% of timed queries — the median absorbs it — so a run that
     uniform-slowed past the ceiling cannot silently pass as "contention".
     Re-run on a quiet box, or acknowledge a known-contended environment
-    with SPARK_GRAFT_BENCH_ENV_ACK=1."""
+    with SPARK_GRAFT_BENCH_ENV_ACK=1.
+
+    Callers pass the GATE factor: min(sweep env_factor, confirmation-pass
+    factor) when the sentinel re-probe ran (ADVICE r6 — a transient spike
+    during the sweep must not exit 2 when the fresh re-probe shows the box
+    quiet again; the raw sweep factor stays in the stderr record)."""
     if env.get("SPARK_GRAFT_BENCH_GATE", "1") == "0":
         return False
     if env.get("SPARK_GRAFT_BENCH_UPDATE") == "1":
@@ -237,13 +253,15 @@ def main() -> None:
     regressions: dict[str, list[float]] = {}
     baseline_all: dict = {}
     env_factor = 1.0
+    gate_env = 1.0
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline_all = json.load(fh)
         base_sf = baseline_all.get(str(sf), {})
         regressions = check_regressions(timings, base_sf, allowlist)
         env_factor = sweep_slowdown(timings, base_sf)
-        if regressions:
+        gate_env = env_factor
+        if regressions or env_factor > 2.0:
             # Confirmation pass: re-time each flagged query once, warm, and
             # keep only flags that reproduce (see still_regressed).  Sweep
             # timings in the JSON record stay single-pass; cleared flakes are
@@ -275,6 +293,7 @@ def main() -> None:
                 release_checkpoints()
             confirm_env = sweep_slowdown(sent_t, base_sf) if sent_t else env_factor
             if sent_t:
+                gate_env = gate_env_factor(env_factor, confirm_env)
                 print(
                     json.dumps(
                         {"bench_confirm_env_factor": round(confirm_env, 3)},
@@ -344,7 +363,7 @@ def main() -> None:
         )
     )
     spark.stop()
-    if gate_should_fail(regressions, dict(os.environ), env_factor):
+    if gate_should_fail(regressions, dict(os.environ), gate_env):
         sys.exit(2)
 
 

@@ -103,6 +103,24 @@ def test_gate_env_factor_hard_ceiling():
     )
 
 
+def test_gate_judges_quieter_of_sweep_and_confirm_factor():
+    """ADVICE r6: the 2.0x ceiling must judge min(sweep, confirm) when the
+    sentinel re-probe ran — a transient contention spike during the sweep
+    exits 2 otherwise, despite fresh evidence the box is quiet again."""
+    from bench import gate_env_factor
+
+    # spike during sweep, quiet confirm -> ceiling clears
+    assert not gate_should_fail(
+        {}, {}, env_factor=gate_env_factor(2.4, 1.1)
+    )
+    # genuinely contended both times -> ceiling still fails
+    assert gate_should_fail({}, {}, env_factor=gate_env_factor(2.4, 2.2))
+    # no sentinel re-probe ran -> the sweep factor stands
+    assert gate_env_factor(2.4, None) == 2.4
+    # a NOISIER confirm pass cannot raise the verdict past the sweep's own
+    assert gate_env_factor(1.3, 2.8) == 1.3
+
+
 def test_committed_allowlist_is_valid():
     path = os.path.join(REPO, "bench_allowlist.json")
     with open(path) as fh:
