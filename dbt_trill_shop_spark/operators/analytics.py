@@ -1893,6 +1893,10 @@ def bootstrap_mean_ci(
     # VALID-replica count m, so degenerate inputs yield NULL bounds
     # instead of an exception; at any realistic n every replica is valid
     # (m == n_replicas) and the result is bit-identical to the plain form.
+    # The rank picks are gated on m >= 4 (ADVICE r6): at m = 2 the fixed
+    # rank-2 lower bound and rank-(m-1) = rank-1 upper bound INVERT, and at
+    # m = 3 they collapse to the same replica — both bounds go NULL below
+    # m = 4 so a degenerate interval is reported as unknown, not malformed.
     reps = wide.select(
         "n_rows",
         "sv",
@@ -1923,10 +1927,17 @@ def bootstrap_mean_ci(
     return (
         ranked.groupBy("n_rows", "sv")
         .agg(
-            F.min(F.when(F.col("rk") == 2, F.col("rep_mean"))).alias("ci_lo"),
-            F.min(F.when(F.col("rk") == F.col("m") - 1, F.col("rep_mean"))).alias(
-                "ci_hi"
-            ),
+            F.min(
+                F.when(
+                    (F.col("m") >= 4) & (F.col("rk") == 2), F.col("rep_mean")
+                )
+            ).alias("ci_lo"),
+            F.min(
+                F.when(
+                    (F.col("m") >= 4) & (F.col("rk") == F.col("m") - 1),
+                    F.col("rep_mean"),
+                )
+            ).alias("ci_hi"),
         )
         .select(
             F.round(
@@ -1981,8 +1992,8 @@ ranked AS (
     FROM means
 )
 SELECT ROUND(CAST(sv AS DOUBLE) / n_rows / 100.0, 4) AS mean_value,
-       ROUND((SELECT rep_mean FROM ranked WHERE rk = 2), 4) AS ci_lo,
-       ROUND((SELECT rep_mean FROM ranked WHERE rk = m - 1), 4) AS ci_hi
+       ROUND((SELECT rep_mean FROM ranked WHERE rk = 2 AND m >= 4), 4) AS ci_lo,
+       ROUND((SELECT rep_mean FROM ranked WHERE rk = m - 1 AND m >= 4), 4) AS ci_hi
 FROM wide
 """
 

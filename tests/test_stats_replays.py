@@ -1102,7 +1102,33 @@ def _pr_term_momentum_matches_pandas_lag_rank(spark, sf_dir):
         assert g.mean_score_milli == w.mean_milli and g.delta_milli == w.delta
 
 
+def _pr_bootstrap_degenerate_m_nulls_ci(spark, sf_dir):
+    """ADVICE r6: with m < 4 valid replicas the fixed rank picks (2 and
+    m-1) invert (m=2) or collapse to one replica (m=3) — the bounds must
+    come back NULL, not malformed, in BOTH engines.  With the suite's
+    orders table every replica is valid, so n_replicas=2 and 3 force
+    m=2 and m=3 exactly."""
+    from dbt_trill_shop_spark.operators.analytics import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_sql,
+    )
+    from .oracle_utils import duck_connection, oracle_frame
+
+    for b in (2, 3):
+        row = bootstrap_mean_ci(spark, sf_dir, n_replicas=b).collect()[0]
+        assert row["mean_value"] is not None
+        assert row["ci_lo"] is None and row["ci_hi"] is None, (b, row)
+        orow = oracle_frame(
+            duck_connection(sf_dir), bootstrap_mean_ci_sql(n_replicas=b)
+        ).iloc[0]
+        assert pd.isna(orow["ci_lo"]) and pd.isna(orow["ci_hi"]), (b, orow)
+    # at m >= 4 the interval exists and is properly ordered
+    row4 = bootstrap_mean_ci(spark, sf_dir, n_replicas=4).collect()[0]
+    assert row4["ci_lo"] is not None and row4["ci_lo"] <= row4["ci_hi"]
+
+
 _POOLED_REPLAYS = [
+    _pr_bootstrap_degenerate_m_nulls_ci,
     _pr_profile_orders_matches_pandas_profile,
     _pr_table_fingerprints_match_hashlib_xor,
     _pr_session_paths_match_python_triples,
