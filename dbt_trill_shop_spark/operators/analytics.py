@@ -2555,9 +2555,11 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-flat (all slopes within 1/4096).  Counting boundaries <= slope
     # is monotone in slope whatever the distribution, and the GK sketch
     # spreads buckets equal-count, so even a degenerate distribution
-    # distributes across ~32 tasks.  The boundaries ride the plan as a
-    # broadcast scalar aggregate — no driver-side action, and the bucket
-    # choice only affects WHERE rows are ranked, never the exact median.
+    # distributes across ~32 tasks.  The boundaries are embedded as
+    # literals by quantile_bucket (ADVICE r6 — one bounded driver collect
+    # off the checkpointed daily relation pins every branch to identical
+    # buckets); the bucket choice only affects WHERE rows are ranked,
+    # never the exact median.
     from .twophase import quantile_bucket
 
     bucketed = quantile_bucket(slopes, "slope").withColumnRenamed(

@@ -82,30 +82,47 @@ def quantile_bucket(
     the GK sketch keeps buckets equal-count, so the per-bucket phase
     distributes across ~``n`` tasks regardless of skew.
 
-    The boundaries ride the plan as a broadcast scalar aggregate — no
-    driver-side action — and the bucket choice only affects WHERE rows are
-    ranked/cumsum'd, never the result.  ``df`` is consumed twice (boundary
-    aggregate + main path): callers with a derived input should checkpoint
-    it first.  NULL keys land in bucket 0 (the minimum — consistent with
-    NULLS FIRST ascending) and NaN keys in bucket ``n - 1`` (NaN compares
-    greater than every double in Spark, and sorts last ascending), so both
-    satisfy the helpers' monotone-bucket precondition for ASC orders.
+    The boundaries are computed ONCE, eagerly, and embedded as LITERALS
+    (ADVICE r6): the previous broadcast-scalar-aggregate subtree was
+    consumed by 2+ plan branches (the offsets relation and the main path),
+    and cross-branch bucket consistency relied entirely on Spark's
+    ReuseExchange dedup of the identical subtree — ApproximatePercentile
+    is merge-order-sensitive, so without reuse (exchange.reuse off, plan
+    canonicalization drift after a refactor) branches could quantize the
+    SAME row into different buckets and silently corrupt ranks/cumsums.
+    Literals make every branch identical by construction, drop the
+    crossJoin+broadcast from the plan, and cost one bounded driver action
+    (n - 1 scalars — the same class as the house's vocab-bounded 1-row
+    collects).  ``df`` is still consumed by each downstream phase: callers
+    with a derived input should checkpoint it first (the collect below
+    then also rides the checkpoint).  NULL keys land in bucket 0 (the
+    minimum — consistent with NULLS FIRST ascending) and NaN keys in
+    bucket ``n - 1`` (NaN compares greater than every double in Spark, and
+    sorts last ascending), so both satisfy the helpers' monotone-bucket
+    precondition for ASC orders.  ANY fixed boundary list preserves the
+    helpers' correctness contract (bucketing is monotone in the key for
+    arbitrary constants — it only affects WHERE rows are ranked, never the
+    result), so the literal snapshot cannot be wrong, only unevenly sized.
     """
-    bounds = df.agg(
+    row = df.agg(
         F.percentile_approx(
             key, [i / float(n) for i in range(1, n)], accuracy
         ).alias("__tp_qs")
-    )
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__tp_qb",
-            F.expr(
-                "aggregate(__tp_qs, 0, (acc, q) ->"
-                f" acc + CASE WHEN {key} >= q THEN 1 ELSE 0 END)"
-            ).cast("bigint"),
-        )
-        .drop("__tp_qs")
+    ).first()
+    qs = list(row[0]) if row is not None and row[0] is not None else []
+    if not qs:
+        # empty input: no rows to bucket — a constant satisfies the
+        # monotone-bucket contract vacuously.
+        return df.withColumn("__tp_qb", F.lit(0).cast("bigint"))
+    arr = F.array(*[F.lit(q) for q in qs])
+    return df.withColumn(
+        "__tp_qb",
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, q: acc
+            + F.when(F.col(key) >= q, 1).otherwise(0),
+        ).cast("bigint"),
     )
 
 

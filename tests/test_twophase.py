@@ -247,6 +247,43 @@ def test_quantile_bucket_null_and_nan_keys(spark):
     assert rows[1] <= rows[2] <= rows[3]
 
 
+def test_quantile_bucket_branch_consistency_without_exchange_reuse(spark):
+    """ADVICE r6: the bucket column is consumed by 2+ plan branches (the
+    offsets relation and the main path); the old broadcast-aggregate
+    boundary subtree relied on ReuseExchange to keep branch buckets
+    consistent — merge-order-sensitive ApproximatePercentile could
+    otherwise mis-align the offsets join silently.  Boundaries are literal
+    snapshots now, so two-phase results must stay bit-identical to the
+    global window even with every exchange-reuse mechanism OFF."""
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") * 37 % 211).cast("double").alias("v")
+    )
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    reuse_confs = ["spark.sql.exchange.reuse", "spark.sql.execution.reuseSubquery"]
+    old = {c: spark.conf.get(c, None) for c in reuse_confs}
+    try:
+        for c in reuse_confs:
+            spark.conf.set(c, "false")
+        qb = quantile_bucket(df, "v")
+        # the boundary aggregate must no longer appear in the row plan at
+        # all — a literal snapshot cannot diverge between branches
+        plan = qb._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" not in plan.lower()
+        two = bucketed_rank(
+            qb, F.col("__tp_qb"), [F.col("v"), F.col("id")]
+        ).drop("__tp_qb")
+        assert naive.exceptAll(two).count() == 0
+        assert two.exceptAll(naive).count() == 0
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+
 def test_rank_plan_has_no_partitionless_window(spark):
     df = _base(spark)
     two = bucketed_rank(df, F.expr("k DIV 16"), [F.col("k"), F.col("id")])
