@@ -11,17 +11,20 @@ SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def pytest_collection_finish(session):
-    """Launch the degenerate-input sweep sibling process as soon as
-    collection settles, so it overlaps the whole suite — but only when its
-    consuming test actually survived selection and the run executes tests
-    (ADVICE r6: the previous import-time Popen leaked an orphan Spark
-    process on --collect-only and -k-deselected runs)."""
+    """Launch the sibling sweep processes (oracle parity, degenerate-input
+    robustness) as soon as collection settles, so they overlap the whole
+    suite — but only when their consuming join tests actually survived
+    selection and the run executes tests (ADVICE r6: the previous
+    import-time Popen leaked an orphan Spark process on --collect-only and
+    -k-deselected runs)."""
     if session.config.option.collectonly:
         return
-    if any(
-        item.name == "test_every_query_survives_empty_inputs"
-        for item in session.items
-    ):
+    selected = {item.name for item in session.items}
+    if "test_all_queries_match_oracle" in selected:
+        from . import test_z_parity_join
+
+        test_z_parity_join.launch()
+    if "test_every_query_survives_empty_inputs" in selected:
         from . import test_zscale_empty_sweep
 
         test_zscale_empty_sweep.launch()

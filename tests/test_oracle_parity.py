@@ -18,15 +18,21 @@ GIL-bound, so doing it in-process here cost ~26 s of wall; a sibling process
 costs ~none).
 
 The ~280 comparisons dominate suite wall-clock, so they run as ONE
-cost-ordered chunk with a 16-thread pool (Spark job submission
-and DuckDB both release the GIL; each thread gets its own DuckDB
-connection); few, large chunks amortize the end-of-chunk straggler barrier.
-Stateful queries — those that register named sinks/tables (streaming memory
-sinks, persisted indexes, Python DataSource registration) — run on a
-narrower 4-worker lane that overlaps the pure pool (see _run_parity).
+cost-ordered chunk with a thread pool (Spark job submission and DuckDB
+both release the GIL; each thread gets its own DuckDB connection), and —
+since r7 — in a SIBLING PROCESS that overlaps the whole suite (the chunk
+was the largest serial block at ~67 s idle and is GIL-/oracle-bound, not
+box-bound; same reasoning as the degenerate-input sweep).  This module
+keeps the chunk construction and _run_parity executor; the subprocess
+(parity_sibling_subprocess.py) imports them verbatim and the join test
+lives in test_z_parity_join.py.  Stateful queries — those that register
+named sinks/tables (streaming memory sinks, persisted indexes, Python
+DataSource registration) — run on a narrower 4-worker lane that overlaps
+the pure pool (see _run_parity).
 
 Targeted single-query runs: PARITY_ONLY=name1,name2 pytest
 tests/test_oracle_parity.py -k only
+Full parity, in one targeted run: pytest tests/test_z_parity_join.py
 """
 
 import os
@@ -144,15 +150,6 @@ def _run_parity(spark, sf_dir, names: list[str]) -> list[str]:
         futs = [ser.submit(one, n) for n in stateful]
         results = list(ex.map(one, pure)) + [f.result() for f in futs]
     return [f"{n}: " + "; ".join(p) for n, p in results if p]
-
-
-@pytest.mark.parametrize(
-    "chunk",
-    [pytest.param(c, id=f"chunk{i:02d}_{c[0]}") for i, c in enumerate(_CHUNKS)],
-)
-def test_matches_oracle(spark, sf_dir, chunk):
-    bad = _run_parity(spark, sf_dir, chunk)
-    assert not bad, "\n".join(bad)
 
 
 _ONLY = [n for n in os.environ.get("PARITY_ONLY", "").split(",") if n]
