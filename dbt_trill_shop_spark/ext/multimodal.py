@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 
 MEDIA_SCHEMA = StructType(
     [
-        StructField("media_id", LongType(), False),
+        StructField("media_id", LongType(), True),
         StructField("uri", StringType(), True),
         StructField("mime", StringType(), True),
         StructField("payload", BinaryType(), True),
@@ -42,7 +42,11 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_SCHEMA = StructType(
     [
-        StructField("media_id", LongType(), False),
+        # nullable (r7): the adapter passes source ids through verbatim and
+        # a NULL id is schema-legal input — a False here makes codegen read
+        # the Arrow batch with an unchecked getLong and crash the task
+        # ("Value at index is null") instead of propagating the NULL.
+        StructField("media_id", LongType(), True),
         StructField("mime", StringType(), True),
         StructField("n_bytes", LongType(), True),
         StructField("width", LongType(), True),

@@ -2242,7 +2242,12 @@ def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
     enc = (
         "transform(" + vec_col + ", v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
     )
-    base = embeddings.select(F.col(id_col).alias("_id"), F.expr(enc).alias("mv"))
+    # NULL ids / NULL or zero-length vectors cannot participate in distance
+    # tiles (np.stack would crash on ragged input; dirty rows are routine
+    # at 100 TB) — same guard as the brute-force/kmeans paths (r6).
+    base = embeddings.filter(
+        F.col(id_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(F.col(id_col).alias("_id"), F.expr(enc).alias("mv"))
     tiles = (
         spark.range(n_blk)
         .select(F.col("id").alias("bx"))

@@ -16,15 +16,24 @@ twins of the tables and report crashes.
   (ragged np.stack in embedding_neardup; empty long-form aggregate in
   kmeans_refine), and malformed JSON payloads (FAILFAST parse_json in
   q_variant_props).
+- ``nullrow`` (r7): ONE row per table with EVERY column NULL — schema-legal
+  (the testdata parquet declares every field optional) and routine at
+  100 TB as dirty rows.  Found on introduction: the kNN gemm np.stack'd
+  NULL vectors (TypeError in 5 queries) and the multimodal FEATURE_SCHEMA
+  declared media_id non-nullable, so codegen read the Arrow batch with an
+  unchecked getLong and killed the task ("Value at index is null").
 
 Empty/degenerate OUTPUT is fine; exceptions are not.
 
-Runs as a SIBLING PROCESS of the main suite (launched at collection time by
-test_zscale_empty_sweep.py): per-query cost is dominated by GIL-bound py4j
-plan construction, which an in-process thread pool cannot parallelize — the
-r6 in-chunk attempt cost ~26 s of suite wall; a second process overlaps the
-whole suite.  Own Spark session, so the stateful queries' named
-sinks/indexes can't collide with the main session's.
+Runs as a SIBLING PROCESS of the main suite (launched at collection-finish
+by conftest via test_zscale_empty_sweep.py): per-query cost is dominated by
+GIL-bound py4j plan construction, which a thread pool INSIDE the main
+pytest process cannot parallelize against the suite's own GIL load — the
+r6 in-chunk attempt cost ~26 s of suite wall; a sibling process overlaps
+the whole suite, and its own small pool (this process has no competing GIL
+load) overlaps job execution with plan construction.  Own Spark session,
+so the stateful queries' named sinks/indexes can't collide with the main
+session's.
 
 Usage: python tests/empty_sweep_subprocess.py <schema_sf_dir> <out_json>
 """
@@ -47,6 +56,11 @@ def _twin_dir(schema_sf_dir: str, kind: str) -> str:
         src = os.path.join(schema_sf_dir, f)
         if kind == "empty":
             pq.write_table(pq.read_schema(src).empty_table(), os.path.join(d, f))
+            continue
+        if kind == "nullrow":
+            s = pq.read_schema(src)
+            cols = {fl.name: pa.array([None], type=fl.type) for fl in s}
+            pq.write_table(pa.table(cols, schema=s), os.path.join(d, f))
             continue
         t = pq.read_table(src).slice(0, 1)
         # A zero-row source table degrades to an as-is copy (ADVICE r6:
@@ -74,27 +88,48 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     from dbt_trill_shop_spark.harness import QUERIES
     from dbt_trill_shop_spark.session import get_spark
 
+    from tests.test_oracle_parity import _is_stateful
+
     spark = get_spark(
-        app_name="trillshop-degenerate-sweep", master="local[4]", shuffle_partitions=4
+        app_name="trillshop-degenerate-sweep", master="local[8]", shuffle_partitions=4
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
     failures: dict[str, str] = {}
     n_run = 0
-    for label in ("empty", "nastyrow"):
+    names = sorted(QUERIES)
+    stateful = [n for n in names if _is_stateful(n)]
+    pure = [n for n in names if not _is_stateful(n)]
+    for label in ("empty", "nastyrow", "nullrow"):
         twin = _twin_dir(schema_sf_dir, label)
-        for name, spec in sorted(QUERIES.items()):
-            n_run += 1
+
+        def one(name: str):
             try:
                 # fn() captures driver-side eager work (collect loops, index
                 # builds, createDataFrame) and analysis; count() the
                 # execution.
-                spec.fn(spark, twin).count()
+                QUERIES[name].fn(spark, twin).count()
             except Exception:
-                failures[f"{label}:{name}"] = traceback.format_exc()
+                return name, traceback.format_exc()
+            return None
+
+        # Threaded submission, parity-chunk style (py4j and Spark job
+        # execution release the GIL): a serial loop was ~2 min per twin;
+        # pooling pays for the third twin and then some.  Stateful queries
+        # (uuid sinks, pid-keyed indexes) keep their own narrow lane.
+        with ThreadPoolExecutor(max_workers=2) as ser, ThreadPoolExecutor(
+            max_workers=8
+        ) as ex:
+            futs = [ser.submit(one, n) for n in stateful]
+            results = list(ex.map(one, pure)) + [f.result() for f in futs]
+        n_run += len(names)
+        for r in results:
+            if r is not None:
+                failures[f"{label}:{r[0]}"] = r[1]
         shutil.rmtree(twin, ignore_errors=True)
     result = {
         "n_queries": n_run,

@@ -1,6 +1,7 @@
 """Default-on degenerate-input robustness gate over the FULL query
-registry: zero-row tables, and a single row of empty strings/arrays (the
-nastiest still-legal row — see empty_sweep_subprocess.py).
+registry: zero-row tables, a single row of empty strings/arrays (the
+nastiest still-legal row), and a single all-NULL row (r7 — see
+empty_sweep_subprocess.py).
 
 The sweep subprocess (see empty_sweep_subprocess.py) is launched by
 conftest's ``pytest_collection_finish`` hook — right after collection, but
@@ -8,8 +9,8 @@ ONLY when this file's test survived selection and the run is not
 --collect-only (ADVICE r6: a module-level Popen spawned a ~2-min orphan
 Spark process on collect-only and -k-deselected runs).  Launching at
 collection-finish keeps the original overlap: the sibling process runs
-alongside the entire suite and the join here is nearly free (the sweep
-takes ~4-5 min niced; the suite runs ~5-6).  The "zscale" name keeps this
+alongside the entire suite and the join here is nearly free (the pooled
+3-twin sweep takes ~1.5-2 min niced; the suite runs ~4-7).  The "zscale" name keeps this
 file LAST in pytest's alphabetical file order so the join happens after
 everything else has run.
 
@@ -89,7 +90,7 @@ def test_every_query_survives_empty_inputs():
     with open(_OUT) as fh:
         result = json.load(fh)
     os.unlink(_OUT)
-    assert result["n_queries"] >= 2 * 287, result["n_queries"]
+    assert result["n_queries"] >= 3 * 287, result["n_queries"]
     pretty = "\n\n".join(
         f"--- {n}\n{tb[-1200:]}" for n, tb in sorted(result["failures"].items())
     )
