@@ -1,0 +1,311 @@
+"""Transaction-logged parquet tables: minimal ACID semantics (atomic
+commits, snapshot-isolated reads, time travel, optimistic concurrency,
+additive schema evolution, compaction, vacuum) over plain parquet files —
+the capability wave staged by VERDICT r6 #6.
+
+Design follows the published Delta Lake architecture (Armbrust et al.,
+"Delta Lake: High-Performance ACID Table Storage over Cloud Object
+Stores", VLDB 2020): the table IS its ordered commit log; data files are
+immutable and write-once; a commit is the ATOMIC creation of the next
+log entry; readers reconstruct a snapshot by folding the log and never
+list the data directory.  Everything here is the Spark-first re-expression
+— plain ``spark.read.parquet`` on the snapshot's file list, so predicate
+pushdown / column pruning / partition-size coalescing all still apply.
+
+100 TB posture:
+- The LOG is the listing.  Readers fold a few KB of JSON instead of
+  LIST-ing an object-store prefix (the dominant metadata cost at scale);
+  a snapshot read plans from explicit file paths.
+- Commits are O(1): stage data files under uuid names (never reused, so
+  a failed writer leaves only unreferenced garbage), then publish via an
+  atomic create-if-absent of ``_txn/<version>.json``.  POSIX ``O_EXCL``
+  here; on an object store the equivalent is a conditional PUT.
+- Optimistic concurrency: two writers racing for version N — exactly one
+  wins the atomic create; the loser re-reads the log, re-validates, and
+  retries at N+1.  Append-vs-append never conflicts (file sets are
+  disjoint); overwrite conflicts are surfaced to the caller.
+- Snapshot isolation for free: a reader's file list is fixed at fold
+  time; late commits cannot tear its scan because data files are
+  immutable and vacuum honors a retention floor.
+- Additive schema evolution: each commit records its schema; reads
+  reconcile via ``unionByName(allowMissingColumns=True)`` so old files
+  surface NULL for later-added columns — no rewrite of history.
+
+Reference parity note: the reference project's incremental/snapshot
+materializations (dbt semantics) live in core/dag.py; this module is the
+engine-side storage layer a warehouse would provide underneath them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txn"
+_VERSION_DIGITS = 10
+
+
+class TxnConflict(Exception):
+    """A concurrent commit invalidated this writer's assumptions and the
+    operation is not automatically retryable (overwrite racing overwrite)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """An immutable view of the table at one committed version.
+    ``file_schemas`` carries each live file's COMMIT-TIME schema (files
+    are immutable, so the schema that wrote a file is the schema that
+    reads it) — snapshot reads therefore need zero parquet-footer
+    round-trips at plan time."""
+
+    version: int
+    files: tuple[str, ...]
+    file_schemas: tuple[str, ...]  # schema_json aligned with ``files``
+    schema_json: str
+    committed_at_ms: int
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _entry_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json") and len(f) == _VERSION_DIGITS + 5:
+            try:
+                out.append(int(f[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_entry(root: str, version: int) -> dict:
+    with open(_entry_path(root, version)) as fh:
+        return json.load(fh)
+
+
+def _fold(root: str, versions: list[int]) -> Snapshot:
+    """Fold commit entries into the live file set.  ``remove`` actions
+    drop files from the set (overwrite/compact); ``add`` actions extend
+    it.  The latest commit's schema is the snapshot schema."""
+    live: dict[str, str] = {}
+    schema_json = ""
+    ts = 0
+    for v in versions:
+        e = _read_entry(root, v)
+        for a in e["actions"]:
+            if "add" in a:
+                live[a["add"]] = e["schema"]
+            elif "remove" in a:
+                live.pop(a["remove"], None)
+        schema_json = e["schema"]
+        ts = e["ts_ms"]
+    return Snapshot(
+        version=versions[-1] if versions else -1,
+        files=tuple(os.path.join(root, f) for f in live),
+        file_schemas=tuple(live.values()),
+        schema_json=schema_json,
+        committed_at_ms=ts,
+    )
+
+
+def snapshot(root: str, version: int | None = None, as_of_ms: int | None = None) -> Snapshot:
+    """The table state at ``version``, at the last commit with
+    ``ts_ms <= as_of_ms``, or at the latest commit (both None).  Raises
+    FileNotFoundError for an empty/nonexistent table and ValueError for a
+    version/timestamp before the first commit."""
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no transaction log under {root}")
+    if version is not None:
+        if version not in versions:
+            raise ValueError(f"version {version} not in log (have {versions[0]}..{versions[-1]})")
+        versions = [v for v in versions if v <= version]
+    elif as_of_ms is not None:
+        kept = [v for v in versions if _read_entry(root, v)["ts_ms"] <= as_of_ms]
+        if not kept:
+            raise ValueError(f"no commit at or before ts {as_of_ms}")
+        versions = kept
+    return _fold(root, versions)
+
+
+def read_txn(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read: plan from the log's explicit file list (never a
+    directory listing).  Files group by their COMMIT-TIME schema (recorded
+    in the log — zero footer reads at plan time), each group scans with an
+    explicit schema, and groups reconcile via
+    ``unionByName(allowMissingColumns=True)``: old files yield NULL for
+    later-added columns, with no rewrite of history and no risk of one
+    inferred schema silently dropping another group's column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root, version=version, as_of_ms=as_of_ms)
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    if not snap.files:
+        return spark.createDataFrame([], want)
+    groups: dict[str, list[str]] = {}
+    for path, sj in zip(snap.files, snap.file_schemas):
+        groups.setdefault(sj, []).append(path)
+    df = None
+    for sj, paths in groups.items():
+        part = spark.read.schema(
+            StructType.fromJson(json.loads(sj))
+        ).parquet(*paths)
+        df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+    # align to the snapshot schema: add columns dropped-from-disk entirely
+    # (possible only when every live file predates them), order canonically
+    for f in want.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in want.fields])
+
+
+def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str]:
+    """Write ``df``'s partitions as immutable uuid-named parquet files
+    DIRECTLY under ``root`` (object-store posture: no rename of data
+    bytes; names never collide, so a crashed writer leaves only
+    unreferenced files for vacuum).  Returns (relative paths, schema)."""
+    staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(root, exist_ok=True)
+    rels = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, f), os.path.join(root, rel))
+        rels.append(rel)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return rels, df.schema.json()
+
+
+def _try_commit(root: str, version: int, entry: dict) -> bool:
+    """Atomic create-if-absent of the version file: exactly one writer
+    can win a version (POSIX O_EXCL; conditional PUT on object stores)."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    try:
+        fd = os.open(_entry_path(root, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(entry, fh)
+    return True
+
+
+def write_txn(
+    df: DataFrame, root: str, mode: str = "append", max_retries: int = 20
+) -> int:
+    """Commit ``df`` to the table atomically; returns the committed
+    version.  ``append`` adds files; ``overwrite`` removes every file
+    live at the writer's snapshot and adds the new ones.
+
+    Optimistic concurrency: the data files are staged ONCE; only the
+    cheap log-entry create retries.  An append losing the race simply
+    retries at the next version (append/append commutes).  An overwrite
+    that loses to ANY concurrent commit raises TxnConflict — its
+    remove-set was computed against a stale snapshot."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    rels, schema_json = _stage_files(df, root)
+    for _ in range(max_retries):
+        versions = _list_versions(root)
+        base = versions[-1] if versions else -1
+        actions: list[dict] = [{"add": r} for r in rels]
+        if mode == "overwrite":
+            if versions:
+                live = _fold(root, versions).files
+                actions = [
+                    {"remove": os.path.relpath(p, root)} for p in live
+                ] + actions
+        entry = {
+            "version": base + 1,
+            "mode": mode,
+            "actions": actions,
+            "schema": schema_json,
+            "ts_ms": int(time.time() * 1000),
+        }
+        if _try_commit(root, base + 1, entry):
+            return base + 1
+        if mode == "overwrite":
+            raise TxnConflict(
+                f"overwrite of {root} lost the race for version {base + 1}"
+            )
+    raise TxnConflict(f"append to {root} exhausted {max_retries} retries")
+
+
+def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
+    """Rewrite the current snapshot's files into ``target_files`` larger
+    ones (small-file compaction — the routine maintenance op at scale
+    where streaming appends produce many tiny files).  The commit removes
+    the old files and adds the new in ONE atomic entry, so concurrent
+    readers see either generation, never a mix.  Raises TxnConflict if a
+    writer slips in between the snapshot and the commit (the remove-set
+    would be stale)."""
+    snap = snapshot(root)
+    df = read_txn(spark, root).coalesce(target_files)
+    rels, schema_json = _stage_files(df, root)
+    actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
+        {"add": r} for r in rels
+    ]
+    entry = {
+        "version": snap.version + 1,
+        "mode": "compact",
+        "actions": actions,
+        "schema": schema_json,
+        "ts_ms": int(time.time() * 1000),
+    }
+    if not _try_commit(root, snap.version + 1, entry):
+        raise TxnConflict(f"compact of {root} lost the race for version {snap.version + 1}")
+    return snap.version + 1
+
+
+def vacuum_txn(root: str, retain_versions: int = 2) -> list[str]:
+    """Delete data files unreferenced by the last ``retain_versions``
+    snapshots (plus staging leftovers).  The retention floor is what
+    makes snapshot isolation safe: a reader holding any retained version
+    still finds every file of its snapshot on disk."""
+    versions = _list_versions(root)
+    if not versions:
+        return []
+    keep: set[str] = set()
+    retained = versions[-retain_versions:] if retain_versions > 0 else versions[-1:]
+    for v in retained:
+        keep.update(
+            os.path.relpath(p, root)
+            for p in _fold(root, [x for x in versions if x <= v]).files
+        )
+    removed = []
+    for f in os.listdir(root):
+        if f == _LOG_DIR:
+            continue
+        p = os.path.join(root, f)
+        if f.startswith("_staging_"):
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(f)
+        elif f.endswith(".parquet") and f not in keep:
+            os.unlink(p)
+            removed.append(f)
+    return removed

@@ -1,0 +1,130 @@
+"""Transaction-logged parquet tables (sources/txn_table.py): ACID
+semantics staged for the round-8 registry wave — atomic commits, time
+travel, optimistic concurrency, additive schema evolution, compaction,
+vacuum retention."""
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from dbt_trill_shop_spark.sources.txn_table import (
+    TxnConflict,
+    compact_txn,
+    read_txn,
+    snapshot,
+    vacuum_txn,
+    write_txn,
+)
+
+
+def _df(spark, lo, hi, extra=None):
+    df = spark.range(lo, hi).selectExpr("id", "id * 10 as v")
+    if extra is not None:
+        df = df.selectExpr("*", f"'{extra}' as tag")
+    return df
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    v0 = write_txn(_df(spark, 0, 5), root, mode="append")
+    v1 = write_txn(_df(spark, 5, 8), root, mode="append")
+    v2 = write_txn(_df(spark, 100, 102), root, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [100, 101]
+    assert sorted(r.id for r in read_txn(spark, root, version=1).collect()) == list(range(8))
+    assert sorted(r.id for r in read_txn(spark, root, version=0).collect()) == list(range(5))
+    # timestamp travel: the v1 commit's own ts lands on v1
+    ts1 = snapshot(root, version=1).committed_at_ms
+    assert snapshot(root, as_of_ms=ts1).version == 1
+    with pytest.raises(ValueError):
+        snapshot(root, as_of_ms=0)
+    with pytest.raises(ValueError):
+        snapshot(root, version=99)
+    with pytest.raises(FileNotFoundError):
+        snapshot(str(tmp_path / "nope"))
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    write_txn(_df(spark, 0, 3), root)
+    write_txn(_df(spark, 3, 5, extra="new"), root)
+    rows = {r.id: r.tag for r in read_txn(spark, root).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
+    # the pre-evolution snapshot still reads with its own schema
+    assert "tag" not in read_txn(spark, root, version=0).columns
+    # plan comes from the log: no parquet footer listing of the directory
+    assert len(snapshot(root).files) == len(snapshot(root).file_schemas)
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    write_txn(_df(spark, 0, 1), root)
+
+    def commit(lo):
+        return write_txn(_df(spark, lo, lo + 3), root, mode="append")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        versions = sorted(ex.map(commit, [10, 20]))
+    assert versions == [1, 2]  # optimistic retry resolved the race
+    got = sorted(r.id for r in read_txn(spark, root).collect())
+    assert got == [0, 10, 11, 12, 20, 21, 22]
+
+
+def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t4")
+    write_txn(_df(spark, 0, 2), root)
+    # another writer takes version 1 BETWEEN our snapshot and our commit:
+    # freeze the overwriter's view of the log at [0], then commit v1 behind
+    # its back — the atomic create for v1 must fail and surface as a
+    # conflict (an overwrite's remove-set is stale by then), never as a
+    # silent retry that would drop the interloper's rows.
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    monkeypatch.setattr(tt, "_list_versions", lambda r: [0])
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(os.path.join(root, "_txn", f"{1:010d}.json"), "w") as fh:
+        json.dump(
+            {"version": 1, "mode": "append", "actions": [],
+             "schema": _df(spark, 0, 1).schema.json(), "ts_ms": 1},
+            fh,
+        )
+    with pytest.raises(TxnConflict):
+        write_txn(_df(spark, 5, 6), root, mode="overwrite")
+    monkeypatch.undo()
+    # a LATER overwrite that sees the full log is not a conflict
+    assert write_txn(_df(spark, 7, 9), root, mode="overwrite") == 2
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [7, 8]
+
+
+def test_compaction_preserves_rows_and_is_atomic(spark, tmp_path):
+    root = str(tmp_path / "t5")
+    for lo in range(0, 12, 3):
+        write_txn(_df(spark, lo, lo + 3).repartition(3), root)
+    before = snapshot(root)
+    assert len(before.files) >= 8
+    v = compact_txn(spark, root, target_files=2)
+    after = snapshot(root)
+    assert v == after.version == before.version + 1
+    assert len(after.files) <= 2
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == list(range(12))
+    # the pre-compaction snapshot is still readable (old files on disk)
+    assert sorted(
+        r.id for r in read_txn(spark, root, version=before.version).collect()
+    ) == list(range(12))
+
+
+def test_vacuum_honors_retention(spark, tmp_path):
+    root = str(tmp_path / "t6")
+    write_txn(_df(spark, 0, 4), root)
+    write_txn(_df(spark, 50, 52), root, mode="overwrite")
+    old_files = snapshot(root, version=0).files
+    # retain 2 versions: v0's files survive
+    assert vacuum_txn(root, retain_versions=2) == []
+    assert all(os.path.exists(p) for p in old_files)
+    # retain 1: v0's files are garbage
+    removed = vacuum_txn(root, retain_versions=1)
+    assert removed and not any(os.path.exists(p) for p in old_files)
+    # the live snapshot is untouched
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
