@@ -254,6 +254,44 @@ def write_txn(
     raise TxnConflict(f"append to {root} exhausted {max_retries} retries")
 
 
+def merge_txn(
+    spark: SparkSession, source: DataFrame, root: str, on: list[str] | str
+) -> int:
+    """MERGE (upsert): rows of ``source`` replace target rows with equal
+    ``on`` keys; unmatched source rows insert.  Committed as ONE atomic
+    overwrite entry, so readers see pre- or post-merge, never a mix.
+
+    Spark-first shape: the survivor set is ``target LEFT ANTI JOIN source``
+    (key-only shuffle when the join broadcasts — source is typically the
+    small CDC batch, so Spark broadcasts it) unioned with ``source``.
+    This rewrites the whole table; the file-pruning refinement (rewrite
+    only files whose key range intersects the source — what Delta's MERGE
+    does with data skipping) rides on the same commit protocol and is
+    staged for the registry round, needing per-file min/max key stats in
+    the ``add`` actions."""
+    keys = [on] if isinstance(on, str) else list(on)
+    target = read_txn(spark, root)
+    survivors = target.join(source, on=keys, how="left_anti")
+    merged = survivors.unionByName(
+        source.select(*target.columns), allowMissingColumns=False
+    )
+    return write_txn(merged, root, mode="overwrite")
+
+
+def delete_txn(spark: SparkSession, root: str, predicate: str) -> int:
+    """DELETE WHERE: one atomic overwrite commit keeping only rows that
+    do NOT satisfy ``predicate`` (a SQL boolean expression over the
+    table's columns).  SQL DELETE semantics for three-valued logic: a row
+    whose predicate evaluates NULL is NOT deleted (coalesce to false),
+    matching every warehouse's DELETE."""
+    from pyspark.sql import functions as F
+
+    kept = read_txn(spark, root).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    return write_txn(kept, root, mode="overwrite")
+
+
 def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
     """Rewrite the current snapshot's files into ``target_files`` larger
     ones (small-file compaction — the routine maintenance op at scale

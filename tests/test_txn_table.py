@@ -12,6 +12,8 @@ import pytest
 from dbt_trill_shop_spark.sources.txn_table import (
     TxnConflict,
     compact_txn,
+    delete_txn,
+    merge_txn,
     read_txn,
     snapshot,
     vacuum_txn,
@@ -113,6 +115,27 @@ def test_compaction_preserves_rows_and_is_atomic(spark, tmp_path):
     assert sorted(
         r.id for r in read_txn(spark, root, version=before.version).collect()
     ) == list(range(12))
+
+
+def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
+    root = str(tmp_path / "t7")
+    write_txn(_df(spark, 0, 4), root)  # v=id*10
+    src = spark.createDataFrame([(2, 999), (100, 1000)], "id long, v long")
+    v = merge_txn(spark, src, root, on="id")
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    assert got == {0: 0, 1: 10, 2: 999, 3: 30, 100: 1000}
+    # pre-merge snapshot intact (time travel across a merge)
+    pre = {r.id: r.v for r in read_txn(spark, root, version=v - 1).collect()}
+    assert pre == {0: 0, 1: 10, 2: 20, 3: 30}
+    # DELETE with a predicate that is NULL for some rows: NULL != TRUE,
+    # those rows survive (SQL three-valued DELETE semantics)
+    evolved = spark.createDataFrame(
+        [(200, 7, None), (201, 7, 5)], "id long, v long, w long"
+    )
+    write_txn(evolved, root, mode="append")
+    delete_txn(spark, root, "w > 1")  # w NULL on all old rows + id=200
+    ids = sorted(r.id for r in read_txn(spark, root).collect())
+    assert ids == [0, 1, 2, 3, 100, 200]
 
 
 def test_vacuum_honors_retention(spark, tmp_path):
