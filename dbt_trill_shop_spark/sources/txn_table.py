@@ -66,6 +66,7 @@ class Snapshot:
     version: int
     files: tuple[str, ...]
     file_schemas: tuple[str, ...]  # schema_json aligned with ``files``
+    file_stats: tuple[dict, ...]  # per-file {col: [min, max]} aligned too
     schema_json: str
     committed_at_ms: int
 
@@ -97,18 +98,81 @@ def _read_entry(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+_CHECKPOINT_EVERY = 16
+
+
+def _ckpt_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"checkpoint-{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _latest_checkpoint(root: str, max_version: int) -> dict | None:
+    """The newest log checkpoint at or below ``max_version`` (Delta's
+    ``_last_checkpoint`` idea): folding starts from the checkpointed live
+    set instead of replaying the whole log, so snapshot construction stays
+    O(_CHECKPOINT_EVERY) however long the table's history grows."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    best = -1
+    for f in os.listdir(d):
+        if f.startswith("checkpoint-") and f.endswith(".json"):
+            try:
+                v = int(f[len("checkpoint-"):-5])
+            except ValueError:
+                continue
+            if v <= max_version and v > best:
+                best = v
+    if best < 0:
+        return None
+    with open(_ckpt_path(root, best)) as fh:
+        return json.load(fh)
+
+
+def _maybe_checkpoint(root: str, version: int) -> None:
+    """Write a log checkpoint every ``_CHECKPOINT_EVERY`` commits.
+    Atomic tmp+replace, best-effort and derivable — a crash here loses
+    nothing (the next writer re-derives it), so no create-if-absent race
+    dance is needed."""
+    if version <= 0 or version % _CHECKPOINT_EVERY != 0:
+        return
+    versions = [v for v in _list_versions(root) if v <= version]
+    snap = _fold(root, versions)
+    ckpt = {
+        "version": version,
+        "live": [
+            [os.path.relpath(p, root), s, st]
+            for p, s, st in zip(snap.files, snap.file_schemas, snap.file_stats)
+        ],
+        "schema": snap.schema_json,
+        "ts_ms": snap.committed_at_ms,
+    }
+    tmp = _ckpt_path(root, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ckpt, fh)
+    os.replace(tmp, _ckpt_path(root, version))
+
+
 def _fold(root: str, versions: list[int]) -> Snapshot:
     """Fold commit entries into the live file set.  ``remove`` actions
     drop files from the set (overwrite/compact); ``add`` actions extend
     it.  The latest commit's schema is the snapshot schema."""
-    live: dict[str, str] = {}
+    live: dict[str, tuple[str, dict]] = {}
     schema_json = ""
     ts = 0
+    start = 0
+    ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
+    if ckpt is not None:
+        live = {r: (s, st) for r, s, st in ckpt["live"]}
+        schema_json = ckpt["schema"]
+        ts = ckpt["ts_ms"]
+        start = ckpt["version"] + 1
     for v in versions:
+        if v < start:
+            continue
         e = _read_entry(root, v)
         for a in e["actions"]:
             if "add" in a:
-                live[a["add"]] = e["schema"]
+                live[a["add"]] = (e["schema"], a.get("stats", {}))
             elif "remove" in a:
                 live.pop(a["remove"], None)
         schema_json = e["schema"]
@@ -116,7 +180,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
-        file_schemas=tuple(live.values()),
+        file_schemas=tuple(s for s, _ in live.values()),
+        file_stats=tuple(st for _, st in live.values()),
         schema_json=schema_json,
         committed_at_ms=ts,
     )
@@ -142,11 +207,28 @@ def snapshot(root: str, version: int | None = None, as_of_ms: int | None = None)
     return _fold(root, versions)
 
 
+def _file_may_match(stats: dict, prune: dict) -> bool:
+    """Conservative data-skipping: a file is skippable ONLY when its
+    recorded [min, max] for a pruned column provably excludes the
+    requested [lo, hi] interval.  Missing stats (no footer min/max, a
+    column added after the file was written — its values are all NULL and
+    an interval predicate is never NULL-true) keep the file unless the
+    column is absent from the file's stats because of the latter."""
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue  # unknown range: cannot prove exclusion, keep
+        mn, mx = stats[col]
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
 def read_txn(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     as_of_ms: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: plan from the log's explicit file list (never a
     directory listing).  Files group by their COMMIT-TIME schema (recorded
@@ -154,16 +236,28 @@ def read_txn(
     explicit schema, and groups reconcile via
     ``unionByName(allowMissingColumns=True)``: old files yield NULL for
     later-added columns, with no rewrite of history and no risk of one
-    inferred schema silently dropping another group's column."""
+    inferred schema silently dropping another group's column.
+
+    ``prune`` is optional data-skipping: ``{col: (lo, hi)}`` intervals
+    (either bound None for open) drop files whose log-recorded footer
+    min/max provably cannot match — the scan then never opens them.
+    Pruning is a FILE-set optimization, not a row filter: callers still
+    apply their own ``.filter`` for row-level semantics (same contract as
+    partition pruning)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     snap = snapshot(root, version=version, as_of_ms=as_of_ms)
     want = StructType.fromJson(json.loads(snap.schema_json))
-    if not snap.files:
+    keep = [
+        (path, sj)
+        for path, sj, st in zip(snap.files, snap.file_schemas, snap.file_stats)
+        if prune is None or _file_may_match(st, prune)
+    ]
+    if not keep:
         return spark.createDataFrame([], want)
     groups: dict[str, list[str]] = {}
-    for path, sj in zip(snap.files, snap.file_schemas):
+    for path, sj in keep:
         groups.setdefault(sj, []).append(path)
     df = None
     for sj, paths in groups.items():
@@ -179,25 +273,60 @@ def read_txn(
     return df.select(*[f.name for f in want.fields])
 
 
-def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str]:
+def _file_stats(path: str) -> dict:
+    """Per-file min/max for JSON-representable primitive columns, read
+    from the parquet FOOTER the writer just produced (no data pass).
+    These ride the ``add`` action so snapshot reads can data-skip files
+    whose range cannot match a predicate — the Delta/Iceberg data-skipping
+    design, where the log carries the statistics an object-store scan
+    cannot afford to re-derive."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested: skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if not isinstance(mn, (int, float, str, bool)):
+                mn, mx = str(mn), str(mx)
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str, dict]:
     """Write ``df``'s partitions as immutable uuid-named parquet files
     DIRECTLY under ``root`` (object-store posture: no rename of data
     bytes; names never collide, so a crashed writer leaves only
-    unreferenced files for vacuum).  Returns (relative paths, schema)."""
+    unreferenced files for vacuum).  Returns (relative paths, schema,
+    per-file footer stats for data skipping)."""
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(root, exist_ok=True)
     rels = []
+    stats: dict[str, dict] = {}
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
             continue
         rel = f"part-{uuid.uuid4().hex}.parquet"
         os.replace(os.path.join(staging, f), os.path.join(root, rel))
         rels.append(rel)
+        stats[rel] = _file_stats(os.path.join(root, rel))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    return rels, df.schema.json()
+    return rels, df.schema.json(), stats
 
 
 def _try_commit(root: str, version: int, entry: dict) -> bool:
@@ -214,11 +343,17 @@ def _try_commit(root: str, version: int, entry: dict) -> bool:
 
 
 def write_txn(
-    df: DataFrame, root: str, mode: str = "append", max_retries: int = 20
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    max_retries: int = 20,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` to the table atomically; returns the committed
     version.  ``append`` adds files; ``overwrite`` removes every file
-    live at the writer's snapshot and adds the new ones.
+    live at the writer's snapshot and adds the new ones.  ``extra``
+    key/values ride the commit entry (the streaming sink records its
+    micro-batch id there for exactly-once replay detection).
 
     Optimistic concurrency: the data files are staged ONCE; only the
     cheap log-entry create retries.  An append losing the race simply
@@ -227,11 +362,11 @@ def write_txn(
     remove-set was computed against a stale snapshot."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
-    rels, schema_json = _stage_files(df, root)
+    rels, schema_json, stats = _stage_files(df, root)
     for _ in range(max_retries):
         versions = _list_versions(root)
         base = versions[-1] if versions else -1
-        actions: list[dict] = [{"add": r} for r in rels]
+        actions: list[dict] = [{"add": r, "stats": stats[r]} for r in rels]
         if mode == "overwrite":
             if versions:
                 live = _fold(root, versions).files
@@ -245,7 +380,10 @@ def write_txn(
             "schema": schema_json,
             "ts_ms": int(time.time() * 1000),
         }
+        if extra:
+            entry.update(extra)
         if _try_commit(root, base + 1, entry):
+            _maybe_checkpoint(root, base + 1)
             return base + 1
         if mode == "overwrite":
             raise TxnConflict(
@@ -302,9 +440,9 @@ def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
     would be stale)."""
     snap = snapshot(root)
     df = read_txn(spark, root).coalesce(target_files)
-    rels, schema_json = _stage_files(df, root)
+    rels, schema_json, stats = _stage_files(df, root)
     actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
-        {"add": r} for r in rels
+        {"add": r, "stats": stats[r]} for r in rels
     ]
     entry = {
         "version": snap.version + 1,
@@ -315,7 +453,43 @@ def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
     }
     if not _try_commit(root, snap.version + 1, entry):
         raise TxnConflict(f"compact of {root} lost the race for version {snap.version + 1}")
+    _maybe_checkpoint(root, snap.version + 1)
     return snap.version + 1
+
+
+def committed_batch_ids(root: str) -> set:
+    """Micro-batch ids recorded by prior streaming commits (exactly-once
+    bookkeeping).  Scans log entries, not data."""
+    out = set()
+    for v in _list_versions(root):
+        e = _read_entry(root, v)
+        if "batch_id" in e:
+            out.add(e["batch_id"])
+    return out
+
+
+def txn_stream_sink(root: str):
+    """A ``foreachBatch`` function giving EXACTLY-ONCE appends into a
+    transaction-logged table: Structured Streaming replays a micro-batch
+    after a failure with the SAME batch_id, and a batch whose id is
+    already in the log commits nothing.  The idempotency check and the
+    commit are not atomic w.r.t. OTHER streams — one stream per table is
+    the supported topology (same as the engine's foreachBatch parquet
+    upsert); concurrent BATCH appends remain safe (they carry no
+    batch_id and commute by OCC retry).
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(txn_stream_sink(root))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(root):
+            return
+        write_txn(batch_df, root, mode="append", extra={"batch_id": batch_id})
+
+    return sink
 
 
 def vacuum_txn(root: str, retain_versions: int = 2) -> list[str]:

@@ -138,6 +138,61 @@ def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
     assert ids == [0, 1, 2, 3, 100, 200]
 
 
+def test_data_skipping_prunes_files_not_rows(spark, tmp_path):
+    root = str(tmp_path / "t8")
+    for lo in (0, 100, 200):
+        write_txn(_df(spark, lo, lo + 10).coalesce(1), root)
+    all_files = read_txn(spark, root).inputFiles()
+    assert len(all_files) == 3
+    pruned = read_txn(spark, root, prune={"id": (100, 105)})
+    assert len(pruned.inputFiles()) == 1  # scan never opens the other files
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 110))
+    # prune is a file-set optimization: the caller's row filter still applies
+    assert pruned.filter("id <= 105").count() == 6
+    # a column with no recorded stats never skips
+    assert len(read_txn(spark, root, prune={"nope": (0, 1)}).inputFiles()) == 3
+    # open bounds
+    assert len(read_txn(spark, root, prune={"id": (None, 50)}).inputFiles()) == 1
+
+
+def test_log_checkpoint_accelerated_fold_is_equivalent(spark, tmp_path, monkeypatch):
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    # the cadence is config, not logic: 4 keeps the test at 7 commits
+    monkeypatch.setattr(tt, "_CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "t9")
+    one = spark.createDataFrame([(1, 1)], "id long, v long").coalesce(1)
+    for i in range(tt._CHECKPOINT_EVERY + 3):
+        write_txn(one.selectExpr(f"{i} as id", "v"), root)
+    ckpts = [
+        f for f in os.listdir(os.path.join(root, "_txn"))
+        if f.startswith("checkpoint-")
+    ]
+    assert len(ckpts) == 1  # written at version _CHECKPOINT_EVERY
+    n = tt._CHECKPOINT_EVERY + 3
+    assert read_txn(spark, root).count() == n
+    # time travel BELOW the checkpoint still folds from entries alone
+    assert read_txn(spark, root, version=2).count() == 3
+    # fold-from-checkpoint == fold-from-scratch
+    with_ckpt = snapshot(root)
+    os.unlink(os.path.join(root, "_txn", ckpts[0]))
+    from_scratch = snapshot(root)
+    assert sorted(with_ckpt.files) == sorted(from_scratch.files)
+    assert with_ckpt.version == from_scratch.version
+
+
+def test_stream_sink_is_exactly_once_on_replay(spark, tmp_path):
+    from dbt_trill_shop_spark.sources.txn_table import txn_stream_sink
+
+    root = str(tmp_path / "t10")
+    sink = txn_stream_sink(root)
+    sink(_df(spark, 0, 3), 0)
+    sink(_df(spark, 3, 5), 1)
+    sink(_df(spark, 3, 5), 1)  # post-failure replay of the same batch
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [0, 1, 2, 3, 4]
+    assert snapshot(root).version == 1  # two commits, not three
+
+
 def test_vacuum_honors_retention(spark, tmp_path):
     root = str(tmp_path / "t6")
     write_txn(_df(spark, 0, 4), root)
