@@ -1,0 +1,217 @@
+"""Registry-ready queries over the transaction-logged table layer
+(sources/txn_table.py) — STAGED for the round-8 window (the registry is
+frozen until CORRECTNESS_r07 completes 287/287; wiring these is a
+three-line harness change afterwards).
+
+Each query deterministically builds a small txn table under a pid-keyed
+tmp root from the driver's own parquet tables, exercises an ACID feature
+(time travel, MERGE, data skipping), and returns a result that plain
+ANSI SQL over the SOURCE tables can reproduce — so the DuckDB oracle
+never needs to understand the log format.  Money follows the width
+contract (README "Numeric dynamic range"): cents cast to decimal(38,0)
+BEFORE corpus-spanning sums, HUGEINT in the DuckDB twins, reported as
+rounded dollars.  Local parity coverage:
+tests/test_txn_table.py::test_txn_demo_queries_match_duckdb_oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.txn_table import delete_txn, merge_txn, read_txn, write_txn
+
+
+def _tmp_root(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"txn_{tag}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def _dollars(cents_col: str):
+    """Corpus-spanning cents sum -> rounded dollars (decimal(38,0)
+    accumulator per the width contract, double only at the boundary)."""
+    return F.round(
+        F.sum(F.col(cents_col).cast("decimal(38,0)")).cast("double") / 100.0, 2
+    )
+
+
+_SPLIT = "1995-01-01"
+
+
+def txn_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: v0 = orders before _SPLIT, v1 = append the rest,
+    v2 = DELETE small orders (cents < 100000, three-valued semantics via
+    delete_txn).  Result: one row per version with exact count + rounded
+    dollar sum — the audit a warehouse runs after an incident ("what did
+    the table say on Tuesday?").  Every commit is derived
+    deterministically from the source table, so the whole history is
+    SQL-expressible without reading the log."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("timetravel")
+    write_txn(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT)), root)
+    write_txn(orders.filter(F.col("o_orderdate") >= F.lit(_SPLIT)), root)
+    delete_txn(spark, root, "cents < 100000")
+    parts = [
+        read_txn(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .select(F.lit(v).cast("bigint").alias("version"), "n_orders", "total_dollars")
+        for v in (0, 1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]).orderBy("version")
+
+
+TXN_TIMETRAVEL_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+v0 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '{_SPLIT} 00:00:00'),
+v2 AS (SELECT * FROM o WHERE NOT COALESCE(cents < 100000, FALSE))
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM v0
+UNION ALL
+SELECT 1, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) FROM o
+UNION ALL
+SELECT 2, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) FROM v2
+ORDER BY version
+"""
+
+
+def txn_merge_latest_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: the customer table is the target; the "change batch" is
+    each customer's LATEST order (by date, then key — deterministic),
+    upserting a last-order-cents column.  Result: per-segment counts of
+    updated vs never-ordered customers plus the rounded updated-dollar
+    sum — the reconciliation query after applying a CDC batch."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("last_order_cents", F.lit(None).cast("bigint"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
+            ).alias("m")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("m.cents").alias("cents"))
+    )
+    root = _tmp_root("mergecdc")
+    write_txn(cust, root)
+    source = (
+        cust.drop("last_order_cents")
+        .join(latest, "c_custkey")
+        .select(
+            "c_custkey", "c_mktsegment", F.col("cents").alias("last_order_cents")
+        )
+    )
+    merge_txn(spark, source, root, on="c_custkey")
+    return (
+        read_txn(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("last_order_cents").alias("n_with_orders"),
+            _dollars("last_order_cents").alias("updated_dollars"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+TXN_MERGE_SQL = """
+WITH latest AS (
+    SELECT o_custkey AS c_custkey,
+           (MAX(ROW(o_orderdate, o_orderkey,
+                    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))))[3]
+               AS last_order_cents
+    FROM orders GROUP BY o_custkey
+),
+merged AS (
+    SELECT c.c_custkey, c.c_mktsegment, latest.last_order_cents
+    FROM customer c LEFT JOIN latest USING (c_custkey)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(last_order_cents) AS n_with_orders,
+       ROUND(CAST(SUM(CAST(last_order_cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS updated_dollars
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def txn_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping: orders land in the table clustered by order-month
+    (a realistic arrival-time ingestion layout), then a one-quarter scan
+    proves the log's min/max stats prune the file set before any file
+    opens.  Result: the quarter's per-month exact aggregate; the pruning
+    itself is plan-asserted in the pytest twin (inputFiles strictly
+    shrinks) — the SQL oracle checks values only."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("skipscan")
+    # repartitionByRange, not hash repartition: data skipping lives or
+    # dies on CLUSTERING — hash spreads every month across every file
+    # (each file's [min, max] then spans the calendar and nothing ever
+    # prunes), while range partitioning gives contiguous month ranges per
+    # file so the quarter predicate excludes most files outright.  The
+    # explicit partition count keeps AQE from coalescing the demo to one
+    # file at tiny SFs.
+    write_txn(orders.repartitionByRange(8, "month"), root)
+    q = read_txn(spark, root, prune={"month": ("1996-01", "1996-03")}).filter(
+        F.col("month").between("1996-01", "1996-03")
+    )
+    return (
+        q.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("dollars"),
+        )
+        .orderBy("month")
+    )
+
+
+TXN_SKIPPING_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS dollars
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ROUND8_TXN_QUERIES = {
+    "q_txn_timetravel": (txn_timetravel_orders, TXN_TIMETRAVEL_SQL),
+    "q_txn_merge_cdc": (txn_merge_latest_balance, TXN_MERGE_SQL),
+    "q_txn_skipping_scan": (txn_skipping_scan, TXN_SKIPPING_SQL),
+}

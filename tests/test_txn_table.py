@@ -193,6 +193,32 @@ def test_stream_sink_is_exactly_once_on_replay(spark, tmp_path):
     assert snapshot(root).version == 1  # two commits, not three
 
 
+def test_txn_demo_queries_match_duckdb_oracles(spark, sf_dir):
+    """The three round-8-staged registry queries (operators/txn_demo.py)
+    pass the driver-style oracle comparison already, and the skipping
+    query's scan provably opens a strict subset of the table's files."""
+    from dbt_trill_shop_spark.operators.txn_demo import (
+        ROUND8_TXN_QUERIES,
+        txn_skipping_scan,
+    )
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    con = duck_connection(sf_dir)
+    for name, (fn, sql) in ROUND8_TXN_QUERIES.items():
+        probs = compare(fn(spark, sf_dir), oracle_frame(con, sql))
+        assert not probs, f"{name}: " + "; ".join(probs)
+    pruned = txn_skipping_scan(spark, sf_dir)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    import os as _os
+
+    root = _os.path.join(
+        __import__("tempfile").gettempdir(), f"txn_skipscan_{_os.getpid()}"
+    )
+    n_live = len(tt.snapshot(root).files)
+    n_scanned = len(pruned.inputFiles())
+    assert 0 < n_scanned < n_live, (n_scanned, n_live)
+
+
 def test_vacuum_honors_retention(spark, tmp_path):
     root = str(tmp_path / "t6")
     write_txn(_df(spark, 0, 4), root)
