@@ -137,6 +137,18 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         return
     versions = [v for v in _list_versions(root) if v <= version]
     snap = _fold(root, versions)
+    # cumulative streaming batch ids fold into the checkpoint too, so the
+    # exactly-once sink's replay check stays O(_CHECKPOINT_EVERY) instead
+    # of rescanning an unbounded log every micro-batch
+    prior = _latest_checkpoint(root, version - 1)
+    ids = set(prior.get("batch_ids", [])) if prior else set()
+    start = prior["version"] + 1 if prior else 0
+    for v in versions:
+        if v < start:
+            continue
+        e = _read_entry(root, v)
+        if "batch_id" in e:
+            ids.add(e["batch_id"])
     ckpt = {
         "version": version,
         "live": [
@@ -145,6 +157,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         ],
         "schema": snap.schema_json,
         "ts_ms": snap.committed_at_ms,
+        "batch_ids": sorted(ids),
     }
     tmp = _ckpt_path(root, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -218,8 +231,13 @@ def _file_may_match(stats: dict, prune: dict) -> bool:
         if col not in stats:
             continue  # unknown range: cannot prove exclusion, keep
         mn, mx = stats[col]
-        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-            return False
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return False
+        except TypeError:
+            # caller's bound type is incomparable with the recorded stat
+            # (str vs numeric): exclusion unprovable, keep the file
+            continue
     return True
 
 
@@ -381,6 +399,9 @@ def write_txn(
             "ts_ms": int(time.time() * 1000),
         }
         if extra:
+            clash = set(extra) & set(entry)
+            if clash:
+                raise ValueError(f"extra keys shadow reserved entry fields: {sorted(clash)}")
             entry.update(extra)
         if _try_commit(root, base + 1, entry):
             _maybe_checkpoint(root, base + 1)
@@ -409,10 +430,14 @@ def merge_txn(
     the ``add`` actions."""
     keys = [on] if isinstance(on, str) else list(on)
     target = read_txn(spark, root)
+    extra_cols = [c for c in source.columns if c not in target.columns]
+    if extra_cols:
+        # dropping them silently would look like a successful merge that
+        # lost data; evolving the schema mid-merge is a separate decision
+        # the caller makes with an explicit append/overwrite
+        raise ValueError(f"merge source has columns absent from the target: {extra_cols}")
     survivors = target.join(source, on=keys, how="left_anti")
-    merged = survivors.unionByName(
-        source.select(*target.columns), allowMissingColumns=False
-    )
+    merged = survivors.unionByName(source.select(*target.columns))
     return write_txn(merged, root, mode="overwrite")
 
 
@@ -459,9 +484,18 @@ def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
 
 def committed_batch_ids(root: str) -> set:
     """Micro-batch ids recorded by prior streaming commits (exactly-once
-    bookkeeping).  Scans log entries, not data."""
-    out = set()
-    for v in _list_versions(root):
+    bookkeeping).  Reads the latest checkpoint's folded id set plus the
+    entries behind it — O(_CHECKPOINT_EVERY) per call however long the
+    stream has run; never touches data files."""
+    versions = _list_versions(root)
+    if not versions:
+        return set()
+    ckpt = _latest_checkpoint(root, versions[-1])
+    out = set(ckpt.get("batch_ids", [])) if ckpt else set()
+    start = ckpt["version"] + 1 if ckpt else 0
+    for v in versions:
+        if v < start:
+            continue
         e = _read_entry(root, v)
         if "batch_id" in e:
             out.add(e["batch_id"])
@@ -492,11 +526,22 @@ def txn_stream_sink(root: str):
     return sink
 
 
-def vacuum_txn(root: str, retain_versions: int = 2) -> list[str]:
+def vacuum_txn(
+    root: str, retain_versions: int = 2, min_age_sec: float = 3600.0
+) -> list[str]:
     """Delete data files unreferenced by the last ``retain_versions``
     snapshots (plus staging leftovers).  The retention floor is what
     makes snapshot isolation safe: a reader holding any retained version
-    still finds every file of its snapshot on disk."""
+    still finds every file of its snapshot on disk.
+
+    ``min_age_sec`` is the WRITER-safety floor (the reason Delta vacuums
+    by retention *period*): an in-flight writer's staged data files are
+    already under ``root`` before its commit publishes them, and an
+    unreferenced-file sweep with no age guard would delete them out from
+    under the commit — silent data loss, not a crash.  A file is only
+    garbage once it is BOTH unreferenced and older than any plausible
+    in-flight write.  Tests pass 0 explicitly; production keeps a floor
+    comfortably above the longest commit duration."""
     versions = _list_versions(root)
     if not versions:
         return []
@@ -507,11 +552,18 @@ def vacuum_txn(root: str, retain_versions: int = 2) -> list[str]:
             os.path.relpath(p, root)
             for p in _fold(root, [x for x in versions if x <= v]).files
         )
+    now = time.time()
     removed = []
     for f in os.listdir(root):
         if f == _LOG_DIR:
             continue
         p = os.path.join(root, f)
+        try:
+            age = now - os.path.getmtime(p)
+        except OSError:
+            continue
+        if age < min_age_sec:
+            continue
         if f.startswith("_staging_"):
             import shutil
 

@@ -163,7 +163,10 @@ def test_log_checkpoint_accelerated_fold_is_equivalent(spark, tmp_path, monkeypa
     root = str(tmp_path / "t9")
     one = spark.createDataFrame([(1, 1)], "id long, v long").coalesce(1)
     for i in range(tt._CHECKPOINT_EVERY + 3):
-        write_txn(one.selectExpr(f"{i} as id", "v"), root)
+        write_txn(one.selectExpr(f"{i} as id", "v"), root, extra={"batch_id": i})
+    # streaming batch ids fold through the checkpoint: ids from entries the
+    # checkpoint superseded are still visible to the replay check
+    assert tt.committed_batch_ids(root) == set(range(tt._CHECKPOINT_EVERY + 3))
     ckpts = [
         f for f in os.listdir(os.path.join(root, "_txn"))
         if f.startswith("checkpoint-")
@@ -225,10 +228,14 @@ def test_vacuum_honors_retention(spark, tmp_path):
     write_txn(_df(spark, 50, 52), root, mode="overwrite")
     old_files = snapshot(root, version=0).files
     # retain 2 versions: v0's files survive
-    assert vacuum_txn(root, retain_versions=2) == []
+    assert vacuum_txn(root, retain_versions=2, min_age_sec=0) == []
     assert all(os.path.exists(p) for p in old_files)
-    # retain 1: v0's files are garbage
-    removed = vacuum_txn(root, retain_versions=1)
+    # the writer-safety age floor: a young unreferenced file (an in-flight
+    # writer's staged data) is NEVER deleted regardless of retention
+    assert vacuum_txn(root, retain_versions=1, min_age_sec=3600) == []
+    assert all(os.path.exists(p) for p in old_files)
+    # retain 1, no age floor: v0's files are garbage
+    removed = vacuum_txn(root, retain_versions=1, min_age_sec=0)
     assert removed and not any(os.path.exists(p) for p in old_files)
     # the live snapshot is untouched
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
