@@ -1122,6 +1122,70 @@ HASHED_EMBEDDING_SQL_TEMPLATE = (
 )
 
 
+def embed_documents_bridge(
+    docs: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-GENERATION bridge (VERDICT r6 #6 candidate): the
+    Arrow-batched ``mapInPandas`` shape a production pipeline uses to call
+    a model server / local ONNX session per batch — the encoder receives a
+    pandas frame per Arrow batch, returns (id, array<float>) rows, and
+    the ~1000-row batches amortize transfer + inference setup exactly the
+    way the multimodal decode path does.
+
+    The encoder HERE is the deterministic hashing-trick featurizer, the
+    same arithmetic as :func:`hashed_embedding` followed by L2
+    normalization — a real deployment swaps ONLY the ``encode`` closure
+    for the model call; the Spark-side deliverables (schema with a
+    NULLABLE passthrough id — see the r7 FEATURE_SCHEMA lesson — batch
+    iteration, dense float32 output, zero-vector contract for token-less
+    docs) are what the equality test pins against the JVM-side long-form
+    twin.  Corpus posture: one narrow projection rides the Arrow channel
+    (id + text), output is docs x dim floats, no shuffle at all —
+    embedding generation is embarrassingly parallel and stays that way.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("vec", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def encode(texts) -> list[list[float]]:
+        vecs = []
+        for text in texts:
+            v = np.zeros(dim, dtype=np.float64)
+            for tok in _re.split("[^a-z]+", (text or "").lower()):
+                if not tok:
+                    continue
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                v[int(h[:8], 16) % dim] += 1 if int(h[8:16], 16) % 2 == 0 else -1
+            n = float(np.linalg.norm(v))
+            vecs.append((v / n if n > 0 else v).astype(np.float32).tolist())
+        return vecs
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col], "vec": encode(pdf[text_col])})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def hashed_doc_knn(
     docs: DataFrame,
     k: int = 5,

@@ -1,0 +1,52 @@
+"""The embedding-generation bridge (ext/textstats.embed_documents_bridge)
+must agree bit-for-bit (float32 tolerance) with the JVM-side long-form
+hashing-trick twin — proving the Arrow batch plumbing (schema, batch
+iteration, passthrough id, zero-vector contract) transports the exact
+same arithmetic a pure-SQL plan produces."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_trill_shop_spark.catalog import load_table
+from dbt_trill_shop_spark.ext.textstats import (
+    embed_documents_bridge,
+    hashed_embedding,
+)
+
+DIM = 16
+
+
+def test_bridge_matches_jvm_twin_and_contract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = {
+        r.doc_id: r.vec
+        for r in embed_documents_bridge(docs, dim=DIM).collect()
+    }
+    # JVM twin: dense-ify the long-form hashed embedding and L2-normalize
+    long = hashed_embedding(docs, dim=DIM)
+    dense = long.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("dim_idx") == i, F.col("weight")).otherwise(0)
+            ).alias(f"d{i}")
+            for i in range(DIM)
+        ]
+    )
+    want = {}
+    for r in dense.collect():
+        v = [float(r[f"d{i}"]) for i in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v))
+        want[r.doc_id] = [x / n for x in v] if n > 0 else v
+    # every input doc gets a row (token-less docs -> zero vector)
+    assert set(got) == {r.doc_id for r in docs.select("doc_id").collect()}
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert len(g) == DIM
+        assert max(abs(a - b) for a, b in zip(g, w)) < 1e-6, doc_id
+    # docs absent from the long form (no tokens) are exact zero vectors
+    for doc_id in set(got) - set(want):
+        assert all(x == 0.0 for x in got[doc_id]), doc_id
+    # unit norm where tokens exist
+    for doc_id in want:
+        assert abs(sum(x * x for x in got[doc_id]) - 1.0) < 1e-5
