@@ -1186,6 +1186,51 @@ def embed_documents_bridge(
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def embed_bridge_longform(
+    docs: DataFrame, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Registry-ready realization of :func:`embed_documents_bridge`
+    (STAGED for round 8): the dense unit vectors long-formed to
+    (doc_id, dim_idx, unit_weight ROUND 6) so the driver's value-hash
+    oracle applies — float arrays hash fragilely, but one
+    int-sum / sqrt / division / ROUND(,6) chain is bit-identical
+    cross-engine (the house one-division-then-round pattern).  Zero
+    components are dropped (long form), token-less docs contribute no
+    rows; the pytest twin covers the dense/zero-vector contract."""
+    from pyspark.sql import functions as F
+
+    dense = embed_documents_bridge(docs, dim=dim, text_col=text_col, id_col=id_col)
+    return (
+        dense.select(id_col, F.posexplode("vec").alias("dim_idx", "w"))
+        .filter(F.col("w") != 0.0)
+        .select(
+            id_col,
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            F.round(F.col("w").cast("double"), 6).alias("unit_weight"),
+        )
+    )
+
+
+EMBED_BRIDGE_SQL_TEMPLATE = (
+    "WITH "
+    + _HASHED_EMB_CTE
+    + """,
+norms AS (
+    SELECT doc_id, SQRT(CAST(SUM(weight * weight) AS DOUBLE)) AS nrm
+    FROM e GROUP BY doc_id
+)
+-- the FLOAT cast replicates the bridge's float32 vector element exactly
+-- (float64 divide -> IEEE float32 truncate -> float64 for ROUND); norms
+-- are exact (int sum of squares < 2^53 is exact in float64, any order)
+SELECT e.doc_id, e.dim_idx,
+       ROUND(CAST(CAST(CAST(e.weight AS DOUBLE) / norms.nrm AS FLOAT) AS DOUBLE),
+             6) AS unit_weight
+FROM e JOIN norms USING (doc_id)
+WHERE e.weight <> 0 AND norms.nrm > 0
+"""
+)
+
+
 def hashed_doc_knn(
     docs: DataFrame,
     k: int = 5,

@@ -50,3 +50,20 @@ def test_bridge_matches_jvm_twin_and_contract(spark, sf_dir):
     # unit norm where tokens exist
     for doc_id in want:
         assert abs(sum(x * x for x in got[doc_id]) - 1.0) < 1e-5
+
+
+def test_bridge_longform_matches_duckdb_oracle(spark, sf_dir):
+    """The round-8-staged registry realization: long-form unit weights
+    pass the driver-style value-hash comparison against the pure-SQL
+    DuckDB twin (float32 truncation replicated via CAST AS FLOAT)."""
+    from dbt_trill_shop_spark.ext.textstats import (
+        EMBED_BRIDGE_SQL_TEMPLATE,
+        embed_bridge_longform,
+    )
+
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    con = duck_connection(sf_dir)
+    df = embed_bridge_longform(load_table(spark, sf_dir, "documents"), dim=16)
+    probs = compare(df, oracle_frame(con, EMBED_BRIDGE_SQL_TEMPLATE.format(dim=16)))
+    assert not probs, "; ".join(probs)
