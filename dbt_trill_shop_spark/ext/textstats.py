@@ -87,7 +87,9 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[0].split()])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("bigint")
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("bigint")
-    alpha_ratio = alpha_chars.cast("double") / n_chars
+    # empty doc: NULL ratio (DuckDB divide-by-zero semantics), alpha
+    # signal falls to 0 via the WHEN/otherwise (noop-sweep find, r7)
+    alpha_ratio = alpha_chars.cast("double") / F.nullif(n_chars, F.lit(0))
 
     sig_len = (n_tokens >= 10) & (n_tokens <= 100000)
     sig_wl = (mean_wl >= 2.0) & (mean_wl <= 12.0)
@@ -2078,7 +2080,7 @@ def quality_auc(docs: DataFrame) -> DataFrame:
         F.col("nn").cast("bigint").alias("n_neg"),
         F.col("a2").cast("bigint").alias("auc_x2"),
         F.expr(
-            "ROUND(CAST(a2 AS DOUBLE) / (2.0 * (CAST(np AS DOUBLE) * nn)), 6)"
+            "ROUND(CAST(a2 AS DOUBLE) / nullif(2.0 * (CAST(np AS DOUBLE) * nn), 0.0), 6)"
         ).alias("auc"),
     )
 
@@ -2142,7 +2144,7 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
         F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
         F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
         F.expr("bpe_tokens * 1000 DIV ws_tokens").alias("fertility_milli"),
-        F.expr("chars * 1000 DIV bpe_tokens").alias("chars_per_token_milli"),
+        F.expr("chars * 1000 DIV nullif(bpe_tokens, 0)").alias("chars_per_token_milli"),
     ).orderBy("lang")
 
 

@@ -821,7 +821,12 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
-        F.expr("n_click_after_view * 1000000 DIV n_view").alias("view_to_click_ppm"),
+        # nullif: a zero-view corpus reports NULL, matching DuckDB's
+        # divide-by-zero semantics in the oracle (noop-sweep find, r7 —
+        # count() had pruned this column in the degenerate twins)
+        F.expr(
+            "n_click_after_view * 1000000 DIV nullif(n_view, 0)"
+        ).alias("view_to_click_ppm"),
         F.expr(
             "n_purchase_after_click * 1000000 DIV greatest(n_click_after_view, 1)"
         ).alias("click_to_purchase_ppm"),
@@ -3014,14 +3019,14 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(
-            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)"
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / nullif(n * sxx - sx * sx, 0), 6)"
         ).alias("slope"),
         F.expr(
-            "ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)"
+            "ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / nullif(n * sxx - sx * sx, 0), 6)"
         ).alias("intercept"),
         F.expr(
             "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) / "
-            "(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+            "nullif(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy), 0.0), 6)"
         ).alias("r2"),
     ).orderBy("event_type")
 
@@ -3102,7 +3107,7 @@ def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.expr(
             "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
-            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+            "nullif(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6)"
         ).alias("r"),
     ).orderBy("lag")
 
@@ -3868,7 +3873,7 @@ def spearman_volume_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(
             "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
-            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+            "nullif(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 0.0), 6)"
         ).alias("rho"),
     )
 

@@ -584,10 +584,14 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n / 100.0
-    var = (
+    # n=1 group: the sample variance is undefined — NULL, matching the
+    # DuckDB oracle's divide-by-zero-is-NULL on (n - 1) = 0 (noop-sweep
+    # find, r7: count() had pruned this column in the degenerate twins)
+    var = F.when(
+        F.col("n") >= 2,
         (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
         / (n - 1)
-        / 10_000.0
+        / 10_000.0,
     )
     return g.select(
         "event_type",

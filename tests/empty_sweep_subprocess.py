@@ -110,9 +110,13 @@ def main(schema_sf_dir: str, out_path: str) -> None:
         def one(name: str):
             try:
                 # fn() captures driver-side eager work (collect loops, index
-                # builds, createDataFrame) and analysis; count() the
-                # execution.
-                QUERIES[name].fn(spark, twin).count()
+                # builds, createDataFrame) and analysis; the noop WRITE
+                # materializes EVERY column — count() let Catalyst prune
+                # output columns, which hid 9 degenerate DIVIDE_BY_ZERO
+                # crashes in result expressions until the r7 noop audit.
+                QUERIES[name].fn(spark, twin).write.mode("overwrite").format(
+                    "noop"
+                ).save()
             except Exception:
                 return name, traceback.format_exc()
             return None
