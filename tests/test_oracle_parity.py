@@ -170,4 +170,7 @@ def test_rows_only_queries_run(spark, sf_dir):
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
             assert not _audit(name, df), (name, _audit(name, df))
-            assert df.count() >= 0, name
+            # noop write, not count(): count() lets Catalyst prune output
+            # columns, so a crash inside a result expression never
+            # evaluates (the r7 noop-sweep lesson)
+            df.write.mode("overwrite").format("noop").save()
