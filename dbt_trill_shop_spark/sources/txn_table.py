@@ -45,6 +45,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 _LOG_DIR = "_txn"
 _VERSION_DIGITS = 10
@@ -455,16 +456,35 @@ def delete_txn(spark: SparkSession, root: str, predicate: str) -> int:
     return write_txn(kept, root, mode="overwrite")
 
 
-def compact_txn(spark: SparkSession, root: str, target_files: int = 8) -> int:
+def compact_txn(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> int:
     """Rewrite the current snapshot's files into ``target_files`` larger
     ones (small-file compaction — the routine maintenance op at scale
     where streaming appends produce many tiny files).  The commit removes
     the old files and adds the new in ONE atomic entry, so concurrent
     readers see either generation, never a mix.  Raises TxnConflict if a
     writer slips in between the snapshot and the commit (the remove-set
-    would be stale)."""
+    would be stale).
+
+    ``cluster_by`` turns the rewrite into a CLUSTERING compaction
+    (Delta's OPTIMIZE ... ZORDER class of maintenance): rows range-
+    partition on the given columns so each output file covers a tight
+    key interval, which is exactly what makes the log's min/max stats
+    prune (see read_txn's ``prune`` and txn_demo's repartitionByRange
+    lesson — hash placement gives every file the full key range and
+    nothing ever skips).  For a genuine multi-column Z-order, pass a
+    single interleaved key column built with the engine's
+    ``_morton_expr`` (operators/analytics.py) instead."""
     snap = snapshot(root)
-    df = read_txn(spark, root).coalesce(target_files)
+    df = read_txn(spark, root)
+    if cluster_by:
+        df = df.repartitionByRange(target_files, *[F_col(c) for c in cluster_by])
+    else:
+        df = df.coalesce(target_files)
     rels, schema_json, stats = _stage_files(df, root)
     actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
         {"add": r, "stats": stats[r]} for r in rels

@@ -115,6 +115,12 @@ def test_compaction_preserves_rows_and_is_atomic(spark, tmp_path):
     assert sorted(
         r.id for r in read_txn(spark, root, version=before.version).collect()
     ) == list(range(12))
+    # clustering compaction: range layout makes the stats prune afterwards
+    compact_txn(spark, root, target_files=3, cluster_by=["id"])
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == list(range(12))
+    pruned = read_txn(spark, root, prune={"id": (0, 3)})
+    assert len(pruned.inputFiles()) < len(snapshot(root).files)
+    assert sorted(r.id for r in pruned.filter("id <= 3").collect()) == [0, 1, 2, 3]
 
 
 def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
