@@ -1,10 +1,17 @@
 """Transaction-logged parquet tables (sources/txn_table.py): ACID
 semantics staged for the round-8 registry wave — atomic commits, time
 travel, optimistic concurrency, additive schema evolution, compaction,
-vacuum retention."""
+vacuum retention, data skipping, log checkpoints, exactly-once sink.
+
+Scenarios run POOLED (the suite-wide pattern: py4j/Spark job submission
+release the GIL, and every scenario owns a disjoint table root), which
+cut this file from ~41 s serial to ~15 s.  The one monkeypatching test
+(conflict injection patches module internals other threads would see)
+stays a separate serial test."""
 
 import json
 import os
+import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 import pytest
@@ -20,6 +27,8 @@ from dbt_trill_shop_spark.sources.txn_table import (
     write_txn,
 )
 
+from .conftest import SF_DIR
+
 
 def _df(spark, lo, hi, extra=None):
     df = spark.range(lo, hi).selectExpr("id", "id * 10 as v")
@@ -28,8 +37,8 @@ def _df(spark, lo, hi, extra=None):
     return df
 
 
-def test_append_overwrite_and_time_travel(spark, tmp_path):
-    root = str(tmp_path / "t1")
+def _sc_append_overwrite_and_time_travel(spark, base):
+    root = os.path.join(base, "t")
     v0 = write_txn(_df(spark, 0, 5), root, mode="append")
     v1 = write_txn(_df(spark, 5, 8), root, mode="append")
     v2 = write_txn(_df(spark, 100, 102), root, mode="overwrite")
@@ -45,23 +54,23 @@ def test_append_overwrite_and_time_travel(spark, tmp_path):
     with pytest.raises(ValueError):
         snapshot(root, version=99)
     with pytest.raises(FileNotFoundError):
-        snapshot(str(tmp_path / "nope"))
+        snapshot(os.path.join(base, "nope"))
 
 
-def test_additive_schema_evolution(spark, tmp_path):
-    root = str(tmp_path / "t2")
+def _sc_additive_schema_evolution(spark, base):
+    root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 3), root)
     write_txn(_df(spark, 3, 5, extra="new"), root)
     rows = {r.id: r.tag for r in read_txn(spark, root).collect()}
     assert rows == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
     # the pre-evolution snapshot still reads with its own schema
     assert "tag" not in read_txn(spark, root, version=0).columns
-    # plan comes from the log: no parquet footer listing of the directory
+    # plan comes from the log: schemas/stats ride with every live file
     assert len(snapshot(root).files) == len(snapshot(root).file_schemas)
 
 
-def test_concurrent_appends_both_commit(spark, tmp_path):
-    root = str(tmp_path / "t3")
+def _sc_concurrent_appends_both_commit(spark, base):
+    root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 1), root)
 
     def commit(lo):
@@ -74,34 +83,8 @@ def test_concurrent_appends_both_commit(spark, tmp_path):
     assert got == [0, 10, 11, 12, 20, 21, 22]
 
 
-def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
-    root = str(tmp_path / "t4")
-    write_txn(_df(spark, 0, 2), root)
-    # another writer takes version 1 BETWEEN our snapshot and our commit:
-    # freeze the overwriter's view of the log at [0], then commit v1 behind
-    # its back — the atomic create for v1 must fail and surface as a
-    # conflict (an overwrite's remove-set is stale by then), never as a
-    # silent retry that would drop the interloper's rows.
-    import dbt_trill_shop_spark.sources.txn_table as tt
-
-    monkeypatch.setattr(tt, "_list_versions", lambda r: [0])
-    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
-    with open(os.path.join(root, "_txn", f"{1:010d}.json"), "w") as fh:
-        json.dump(
-            {"version": 1, "mode": "append", "actions": [],
-             "schema": _df(spark, 0, 1).schema.json(), "ts_ms": 1},
-            fh,
-        )
-    with pytest.raises(TxnConflict):
-        write_txn(_df(spark, 5, 6), root, mode="overwrite")
-    monkeypatch.undo()
-    # a LATER overwrite that sees the full log is not a conflict
-    assert write_txn(_df(spark, 7, 9), root, mode="overwrite") == 2
-    assert sorted(r.id for r in read_txn(spark, root).collect()) == [7, 8]
-
-
-def test_compaction_preserves_rows_and_is_atomic(spark, tmp_path):
-    root = str(tmp_path / "t5")
+def _sc_compaction_preserves_rows_and_is_atomic(spark, base):
+    root = os.path.join(base, "t")
     for lo in range(0, 12, 3):
         write_txn(_df(spark, lo, lo + 3).repartition(3), root)
     before = snapshot(root)
@@ -123,8 +106,8 @@ def test_compaction_preserves_rows_and_is_atomic(spark, tmp_path):
     assert sorted(r.id for r in pruned.filter("id <= 3").collect()) == [0, 1, 2, 3]
 
 
-def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
-    root = str(tmp_path / "t7")
+def _sc_merge_upserts_and_delete_3vl(spark, base):
+    root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 4), root)  # v=id*10
     src = spark.createDataFrame([(2, 999), (100, 1000)], "id long, v long")
     v = merge_txn(spark, src, root, on="id")
@@ -133,6 +116,10 @@ def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
     # pre-merge snapshot intact (time travel across a merge)
     pre = {r.id: r.v for r in read_txn(spark, root, version=v - 1).collect()}
     assert pre == {0: 0, 1: 10, 2: 20, 3: 30}
+    # a source column the target lacks is loud, not silently dropped
+    bad = spark.createDataFrame([(1, 1, 1)], "id long, v long, w long")
+    with pytest.raises(ValueError):
+        merge_txn(spark, bad, root, on="id")
     # DELETE with a predicate that is NULL for some rows: NULL != TRUE,
     # those rows survive (SQL three-valued DELETE semantics)
     evolved = spark.createDataFrame(
@@ -144,8 +131,8 @@ def test_merge_upserts_and_delete_keeps_null_predicate_rows(spark, tmp_path):
     assert ids == [0, 1, 2, 3, 100, 200]
 
 
-def test_data_skipping_prunes_files_not_rows(spark, tmp_path):
-    root = str(tmp_path / "t8")
+def _sc_data_skipping_prunes_files_not_rows(spark, base):
+    root = os.path.join(base, "t")
     for lo in (0, 100, 200):
         write_txn(_df(spark, lo, lo + 10).coalesce(1), root)
     all_files = read_txn(spark, root).inputFiles()
@@ -161,12 +148,11 @@ def test_data_skipping_prunes_files_not_rows(spark, tmp_path):
     assert len(read_txn(spark, root, prune={"id": (None, 50)}).inputFiles()) == 1
 
 
-def test_log_checkpoint_accelerated_fold_is_equivalent(spark, tmp_path, monkeypatch):
+def _sc_log_checkpoint_fold_equivalent(spark, base):
+    # the pooled runner pins tt._CHECKPOINT_EVERY = 4 for the whole pool
     import dbt_trill_shop_spark.sources.txn_table as tt
 
-    # the cadence is config, not logic: 4 keeps the test at 7 commits
-    monkeypatch.setattr(tt, "_CHECKPOINT_EVERY", 4)
-    root = str(tmp_path / "t9")
+    root = os.path.join(base, "t")
     one = spark.createDataFrame([(1, 1)], "id long, v long").coalesce(1)
     for i in range(tt._CHECKPOINT_EVERY + 3):
         write_txn(one.selectExpr(f"{i} as id", "v"), root, extra={"batch_id": i})
@@ -190,10 +176,10 @@ def test_log_checkpoint_accelerated_fold_is_equivalent(spark, tmp_path, monkeypa
     assert with_ckpt.version == from_scratch.version
 
 
-def test_stream_sink_is_exactly_once_on_replay(spark, tmp_path):
+def _sc_stream_sink_exactly_once(spark, base):
     from dbt_trill_shop_spark.sources.txn_table import txn_stream_sink
 
-    root = str(tmp_path / "t10")
+    root = os.path.join(base, "t")
     sink = txn_stream_sink(root)
     sink(_df(spark, 0, 3), 0)
     sink(_df(spark, 3, 5), 1)
@@ -202,34 +188,8 @@ def test_stream_sink_is_exactly_once_on_replay(spark, tmp_path):
     assert snapshot(root).version == 1  # two commits, not three
 
 
-def test_txn_demo_queries_match_duckdb_oracles(spark, sf_dir):
-    """The three round-8-staged registry queries (operators/txn_demo.py)
-    pass the driver-style oracle comparison already, and the skipping
-    query's scan provably opens a strict subset of the table's files."""
-    from dbt_trill_shop_spark.operators.txn_demo import (
-        ROUND8_TXN_QUERIES,
-        txn_skipping_scan,
-    )
-    from .oracle_utils import compare, duck_connection, oracle_frame
-
-    con = duck_connection(sf_dir)
-    for name, (fn, sql) in ROUND8_TXN_QUERIES.items():
-        probs = compare(fn(spark, sf_dir), oracle_frame(con, sql))
-        assert not probs, f"{name}: " + "; ".join(probs)
-    pruned = txn_skipping_scan(spark, sf_dir)
-    import dbt_trill_shop_spark.sources.txn_table as tt
-    import os as _os
-
-    root = _os.path.join(
-        __import__("tempfile").gettempdir(), f"txn_skipscan_{_os.getpid()}"
-    )
-    n_live = len(tt.snapshot(root).files)
-    n_scanned = len(pruned.inputFiles())
-    assert 0 < n_scanned < n_live, (n_scanned, n_live)
-
-
-def test_vacuum_honors_retention(spark, tmp_path):
-    root = str(tmp_path / "t6")
+def _sc_vacuum_honors_retention_and_age(spark, base):
+    root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 4), root)
     write_txn(_df(spark, 50, 52), root, mode="overwrite")
     old_files = snapshot(root, version=0).files
@@ -245,3 +205,97 @@ def test_vacuum_honors_retention(spark, tmp_path):
     assert removed and not any(os.path.exists(p) for p in old_files)
     # the live snapshot is untouched
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
+
+
+def _sc_demo_queries_match_duckdb_oracles(spark, base):
+    """The three round-8-staged registry queries (operators/txn_demo.py)
+    pass the driver-style oracle comparison, and the skipping query's
+    scan provably opens a strict subset of the table's files."""
+    from dbt_trill_shop_spark.operators.txn_demo import (
+        ROUND8_TXN_QUERIES,
+        txn_skipping_scan,
+    )
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    def one(item):
+        name, (fn, sql) = item
+        con = duck_connection(SF_DIR)
+        probs = compare(fn(spark, SF_DIR), oracle_frame(con, sql))
+        assert not probs, f"{name}: " + "; ".join(probs)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(one, ROUND8_TXN_QUERIES.items()))
+    pruned = txn_skipping_scan(spark, SF_DIR)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"txn_skipscan_{os.getpid()}")
+    n_live = len(tt.snapshot(root).files)
+    n_scanned = len(pruned.inputFiles())
+    assert 0 < n_scanned < n_live, (n_scanned, n_live)
+
+
+_SCENARIOS = [
+    _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_log_checkpoint_fold_equivalent,
+    _sc_compaction_preserves_rows_and_is_atomic,
+    _sc_append_overwrite_and_time_travel,
+    _sc_merge_upserts_and_delete_3vl,
+    _sc_data_skipping_prunes_files_not_rows,
+    _sc_concurrent_appends_both_commit,
+    _sc_additive_schema_evolution,
+    _sc_vacuum_honors_retention_and_age,
+    _sc_stream_sink_exactly_once,
+]
+
+
+def test_txn_scenarios_pooled(spark, tmp_path):
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    old = tt._CHECKPOINT_EVERY
+    # cadence is config, not logic: 4 keeps the checkpoint scenario at 7
+    # commits; the other scenarios tolerate any cadence (checkpoints are
+    # behavior-neutral — fold equivalence is asserted above)
+    tt._CHECKPOINT_EVERY = 4
+    try:
+
+        def one(fn):
+            d = tmp_path / fn.__name__
+            d.mkdir()
+            try:
+                fn(spark, str(d))
+            except Exception:
+                return f"{fn.__name__}:\n{traceback.format_exc()}"
+            return None
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            bad = [p for p in ex.map(one, _SCENARIOS) if p]
+    finally:
+        tt._CHECKPOINT_EVERY = old
+    assert not bad, "\n\n".join(bad)
+
+
+def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
+    """Serial (patches module internals the pooled threads would see):
+    another writer takes version 1 BETWEEN our snapshot and our commit —
+    the atomic create for v1 must fail and surface as a conflict (an
+    overwrite's remove-set is stale by then), never as a silent retry
+    that would drop the interloper's rows."""
+    root = str(tmp_path / "t4")
+    write_txn(_df(spark, 0, 2), root)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    monkeypatch.setattr(tt, "_list_versions", lambda r: [0])
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(os.path.join(root, "_txn", f"{1:010d}.json"), "w") as fh:
+        json.dump(
+            {"version": 1, "mode": "append", "actions": [],
+             "schema": _df(spark, 0, 1).schema.json(), "ts_ms": 1},
+            fh,
+        )
+    with pytest.raises(TxnConflict):
+        write_txn(_df(spark, 5, 6), root, mode="overwrite")
+    monkeypatch.undo()
+    # a LATER overwrite that sees the full log is not a conflict
+    assert write_txn(_df(spark, 7, 9), root, mode="overwrite") == 2
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [7, 8]
