@@ -80,6 +80,8 @@ def test_all_queries_match_oracle():
     with open(_OUT) as fh:
         result = json.load(fh)
     os.unlink(_OUT)
+    if os.path.exists(_LOG):
+        os.unlink(_LOG)  # keep /tmp tidy on success; failures return above
     assert result["n_queries"] == result["n_expected"], result
     assert not result["problems"], (
         f"{len(result['problems'])} queries diverge from the DuckDB oracle "

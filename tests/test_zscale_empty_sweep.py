@@ -90,6 +90,8 @@ def test_every_query_survives_empty_inputs():
     with open(_OUT) as fh:
         result = json.load(fh)
     os.unlink(_OUT)
+    if not result["failures"] and os.path.exists(_LOG):
+        os.unlink(_LOG)  # keep /tmp tidy on success
     assert result["n_queries"] >= 3 * 287, result["n_queries"]
     pretty = "\n\n".join(
         f"--- {n}\n{tb[-1200:]}" for n, tb in sorted(result["failures"].items())
