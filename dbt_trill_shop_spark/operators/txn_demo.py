@@ -10,8 +10,13 @@ ANSI SQL over the SOURCE tables can reproduce — so the DuckDB oracle
 never needs to understand the log format.  Money follows the width
 contract (README "Numeric dynamic range"): cents cast to decimal(38,0)
 BEFORE corpus-spanning sums, HUGEINT in the DuckDB twins, reported as
-rounded dollars.  Local parity coverage:
-tests/test_txn_table.py::test_txn_demo_queries_match_duckdb_oracles.
+rounded dollars.  Local parity coverage: the pooled scenario in
+tests/test_txn_table.py.
+
+r8 wiring data (measured end of r7): all three pass the plan scale-audit
+CLEAN; sf0.1 warm costs — timetravel 3.9 s (three orders-table commits +
+three snapshot reads are inherent to the story), merge_cdc 2.0 s,
+skipping_scan 1.1 s; embed_bridge_longform 2.6 s, also audit-CLEAN.
 """
 
 from __future__ import annotations
