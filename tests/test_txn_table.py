@@ -207,6 +207,34 @@ def _sc_vacuum_honors_retention_and_age(spark, base):
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
 
 
+def _sc_change_data_feed(spark, base):
+    from dbt_trill_shop_spark.sources.txn_table import read_txn_changes
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 3), root)                      # v0: +0,1,2
+    write_txn(_df(spark, 3, 5), root)                      # v1: +3,4
+    src = spark.createDataFrame([(1, 111)], "id long, v long")
+    merge_txn(spark, src, root, on="id")                   # v2: upsert id=1
+    compact_txn(spark, root, target_files=1)               # v3: no-op logically
+    ch = read_txn_changes(spark, root, from_version=0).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    assert by[(1, "insert")] == {3, 4}
+    # the merge overwrite: deletes the whole prior live set, re-inserts
+    assert by[(2, "delete")] == {0, 1, 2, 3, 4}
+    assert by[(2, "insert")] == {0, 1, 2, 3, 4}
+    assert {r.v for r in ch if r._commit_version == 2
+            and r._change_type == "insert" and r.id == 1} == {111}
+    # compaction is a physical rewrite, not a data change: no v3 rows
+    assert not [r for r in ch if r._commit_version == 3]
+    # bounded window
+    ch12 = read_txn_changes(spark, root, from_version=0, to_version=1)
+    assert {r.id for r in ch12.collect()} == {3, 4}
+    # empty window degrades to an empty typed frame
+    assert read_txn_changes(spark, root, from_version=99).count() == 0
+
+
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
     """The three round-8-staged registry queries (operators/txn_demo.py)
     pass the driver-style oracle comparison, and the skipping query's
@@ -241,6 +269,7 @@ _SCENARIOS = [
     _sc_compaction_preserves_rows_and_is_atomic,
     _sc_append_overwrite_and_time_travel,
     _sc_merge_upserts_and_delete_3vl,
+    _sc_change_data_feed,
     _sc_data_skipping_prunes_files_not_rows,
     _sc_concurrent_appends_both_commit,
     _sc_additive_schema_evolution,
