@@ -531,25 +531,32 @@ def read_txn_changes(
         to_version = versions[-1] if versions else -1
     want = [v for v in versions if from_version < v <= to_version]
     parts = []
+    prior_map: dict[str, str] | None = None
     for v in want:
         e = _read_entry(root, v)
         if e.get("mode") == "compact":
+            prior_map = None  # file set changed; recompute lazily
             continue
+        has_removes = any("remove" in a for a in e["actions"])
+        if has_removes and prior_map is None:
+            # a removed file's rows read with the schema of the commit
+            # that ADDED it; the log no longer carries that mapping after
+            # the remove, so fold up to v-1 to recover it — ONCE per
+            # commit (checkpoint-accelerated), not once per removed file
+            prior = _fold(root, [x for x in versions if x < v])
+            prior_map = {
+                os.path.relpath(p, root): s
+                for p, s in zip(prior.files, prior.file_schemas)
+            }
         for a in e["actions"]:
             rel = a.get("add") or a.get("remove")
             if rel is None:
                 continue
             change = "insert" if "add" in a else "delete"
-            # a removed file's rows read with the schema of the commit
-            # that ADDED it; the log no longer carries that mapping after
-            # the remove, so fold up to v-1 to recover it
             if change == "delete":
-                prior = _fold(root, [x for x in versions if x < v])
-                try:
-                    i = [os.path.relpath(p, root) for p in prior.files].index(rel)
-                except ValueError:
+                sj = prior_map.get(rel)
+                if sj is None:
                     continue  # removed file never visible in a snapshot
-                sj = prior.file_schemas[i]
             else:
                 sj = e["schema"]
             df = spark.read.schema(
@@ -560,6 +567,14 @@ def read_txn_changes(
                     "_commit_version", F.lit(v).cast("bigint")
                 )
             )
+        if prior_map is not None:
+            # roll the prior-live map forward past this commit so the next
+            # version's delete lookups see v's own adds/removes
+            for a in e["actions"]:
+                if "add" in a:
+                    prior_map[a["add"]] = e["schema"]
+                elif "remove" in a:
+                    prior_map.pop(a["remove"], None)
     if not parts:
         snap_schema = StructType.fromJson(
             json.loads(snapshot(root).schema_json)

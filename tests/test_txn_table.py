@@ -233,6 +233,21 @@ def _sc_change_data_feed(spark, base):
     assert {r.id for r in ch12.collect()} == {3, 4}
     # empty window degrades to an empty typed frame
     assert read_txn_changes(spark, root, from_version=99).count() == 0
+    # two consecutive remove-carrying commits with no compact between:
+    # the rolled-forward prior-live map must serve the second's deletes
+    delete_txn(spark, root, "id >= 4")                     # v4: drop 4
+    merge_txn(spark, spark.createDataFrame([(0, 7)], "id long, v long"),
+              root, on="id")                               # v5: upsert id=0
+    tail = read_txn_changes(spark, root, from_version=3)
+    by2 = {}
+    for r in tail.collect():
+        by2.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    assert by2[(4, "delete")] == {0, 1, 2, 3, 4}
+    assert by2[(4, "insert")] == {0, 1, 2, 3}
+    assert by2[(5, "delete")] == {0, 1, 2, 3}
+    assert by2[(5, "insert")] == {0, 1, 2, 3}
+    assert {r.v for r in tail.collect() if r._commit_version == 5
+            and r._change_type == "insert" and r.id == 0} == {7}
 
 
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
