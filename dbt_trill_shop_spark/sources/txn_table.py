@@ -214,10 +214,20 @@ def snapshot(root: str, version: int | None = None, as_of_ms: int | None = None)
             raise ValueError(f"version {version} not in log (have {versions[0]}..{versions[-1]})")
         versions = [v for v in versions if v <= version]
     elif as_of_ms is not None:
-        kept = [v for v in versions if _read_entry(root, v)["ts_ms"] <= as_of_ms]
-        if not kept:
+        # Resolve the timestamp to the LAST version whose ts_ms is at or
+        # before it, then fold the CONTIGUOUS prefix up to that version —
+        # timestamp travel is thereby equivalent to version travel.  The
+        # naive "keep every version with ts_ms <= as_of_ms" reconstructs a
+        # state that never existed when wall clocks regress between commits
+        # (a skipped middle version's effects vanish from the fold), and the
+        # checkpoint fast-path could reintroduce them inconsistently.
+        last = None
+        for v in versions:
+            if _read_entry(root, v)["ts_ms"] <= as_of_ms:
+                last = v
+        if last is None:
             raise ValueError(f"no commit at or before ts {as_of_ms}")
-        versions = kept
+        versions = [v for v in versions if v <= last]
     return _fold(root, versions)
 
 
@@ -263,7 +273,6 @@ def read_txn(
     Pruning is a FILE-set optimization, not a row filter: callers still
     apply their own ``.filter`` for row-level semantics (same contract as
     partition pruning)."""
-    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     snap = snapshot(root, version=version, as_of_ms=as_of_ms)
@@ -273,10 +282,22 @@ def read_txn(
         for path, sj, st in zip(snap.files, snap.file_schemas, snap.file_stats)
         if prune is None or _file_may_match(st, prune)
     ]
-    if not keep:
+    return _scan_files(spark, keep, want)
+
+
+def _scan_files(spark: SparkSession, files_with_schemas, want) -> DataFrame:
+    """Scan an explicit (path, commit-time-schema-json) file list, grouped
+    by schema, reconciled via ``unionByName(allowMissingColumns=True)`` and
+    aligned to the ``want`` schema (columns no live file carries surface as
+    typed NULL; canonical column order).  Shared by full snapshot reads and
+    the MERGE path's touched-files-only rewrite."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not files_with_schemas:
         return spark.createDataFrame([], want)
     groups: dict[str, list[str]] = {}
-    for path, sj in keep:
+    for path, sj in files_with_schemas:
         groups.setdefault(sj, []).append(path)
     df = None
     for sj, paths in groups.items():
@@ -284,8 +305,6 @@ def read_txn(
             StructType.fromJson(json.loads(sj))
         ).parquet(*paths)
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-    # align to the snapshot schema: add columns dropped-from-disk entirely
-    # (possible only when every live file predates them), order canonically
     for f in want.fields:
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -301,27 +320,55 @@ def _file_stats(path: str) -> dict:
     cannot afford to re-derive."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _stats_from_metadata(pq.ParquetFile(path).metadata)
+
+
+def _stats_from_metadata(md) -> dict:
+    """Fold row-group footer statistics into per-file [min, max], keeping a
+    column ONLY when EVERY row group contributes trustworthy min/max for it.
+    A partially-covered column (some row group has no stats) would
+    otherwise record an UNDERSTATED range, and ``_file_may_match`` would
+    prune a file whose stats-less row group holds matching rows — silently
+    wrong results.  Dropping the column is always safe: no stats, no skip.
+
+    Floating-point columns are dropped UNCONDITIONALLY: writers either
+    wrote NaN into the bounds (the parquet-mr hazard) or excluded NaN from
+    them (modern Arrow) — and under Spark's ordering NaN is GREATER than
+    every value, so a NaN row matches ``v >= lo`` for any lo while the
+    NaN-excluding footer max says the file can't.  Either way the range
+    cannot prove exclusion."""
     mins: dict = {}
     maxs: dict = {}
+    bad: set[str] = set()
+    covered: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested: skip
                 continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes) or isinstance(mx, bytes):
+                bad.add(name)
+                continue
+            if isinstance(mn, float) or isinstance(mx, float):  # NaN hazard
+                bad.add(name)
                 continue
             if not isinstance(mn, (int, float, str, bool)):
                 mn, mx = str(mn), str(mx)
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {c: [mins[c], maxs[c]] for c in mins}
+            covered[name] = covered.get(name, 0) + 1
+    return {
+        c: [mins[c], maxs[c]]
+        for c in mins
+        if c not in bad and covered[c] == md.num_row_groups
+    }
 
 
 def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str, dict]:
@@ -361,12 +408,53 @@ def _try_commit(root: str, version: int, entry: dict) -> bool:
     return True
 
 
+def _build_entry(
+    mode: str, version: int, actions: list[dict], schema_json: str,
+    extra: dict | None,
+) -> dict:
+    entry = {
+        "version": version,
+        "mode": mode,
+        "actions": actions,
+        "schema": schema_json,
+        "ts_ms": int(time.time() * 1000),
+    }
+    if extra:
+        clash = set(extra) & set(entry)
+        if clash:
+            raise ValueError(f"extra keys shadow reserved entry fields: {sorted(clash)}")
+        entry.update(extra)
+    return entry
+
+
+def _commit_pinned(
+    root: str, base_version: int, mode: str, actions: list[dict],
+    schema_json: str, what: str, extra: dict | None = None,
+) -> int:
+    """Commit exactly at ``base_version + 1`` or raise TxnConflict.  The
+    pinned-base protocol is what makes read-modify-write operations
+    (MERGE / DELETE / compaction / pinned overwrite) serializable: their
+    actions were derived from the snapshot at ``base_version``, so ANY
+    commit that beat them to ``base_version + 1`` — including an append
+    that landed between their read and their commit — invalidates the
+    derivation and must surface to the caller, never be silently folded
+    over (the lost-update hazard the OCC guarantee exists to prevent)."""
+    entry = _build_entry(mode, base_version + 1, actions, schema_json, extra)
+    if not _try_commit(root, base_version + 1, entry):
+        raise TxnConflict(
+            f"{what} of {root} lost the race for version {base_version + 1}"
+        )
+    _maybe_checkpoint(root, base_version + 1)
+    return base_version + 1
+
+
 def write_txn(
     df: DataFrame,
     root: str,
     mode: str = "append",
     max_retries: int = 20,
     extra: dict | None = None,
+    expected_base_version: int | None = None,
 ) -> int:
     """Commit ``df`` to the table atomically; returns the committed
     version.  ``append`` adds files; ``overwrite`` removes every file
@@ -378,32 +466,45 @@ def write_txn(
     cheap log-entry create retries.  An append losing the race simply
     retries at the next version (append/append commutes).  An overwrite
     that loses to ANY concurrent commit raises TxnConflict — its
-    remove-set was computed against a stale snapshot."""
+    remove-set was computed against a stale snapshot.
+
+    ``expected_base_version`` PINS an overwrite to the snapshot the
+    caller's rows were derived from (read-modify-write callers — MERGE,
+    DELETE — pass the version their read folded): the remove-set is
+    computed against THAT snapshot, the commit lands exactly at
+    ``expected_base_version + 1``, and a log that has advanced past it
+    raises TxnConflict.  Without the pin an overwrite recomputes its
+    remove-set from the CURRENT log at commit time, which is only safe
+    when the new contents do not depend on the old ("replace whatever is
+    there") — a concurrent append landing between a derive-read and an
+    unpinned commit would be silently removed."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
+    if expected_base_version is not None and mode != "overwrite":
+        raise ValueError("expected_base_version applies to overwrite commits only")
     rels, schema_json, stats = _stage_files(df, root)
+    adds = [{"add": r, "stats": stats[r]} for r in rels]
+    if expected_base_version is not None:
+        pin = expected_base_version
+        versions = _list_versions(root)
+        if pin != -1 and pin not in versions:
+            raise ValueError(f"expected_base_version {pin} is not a committed version")
+        live = _fold(root, [v for v in versions if v <= pin]).files if pin >= 0 else ()
+        actions = [{"remove": os.path.relpath(p, root)} for p in live] + adds
+        return _commit_pinned(
+            root, pin, mode, actions, schema_json, "pinned overwrite", extra
+        )
     for _ in range(max_retries):
         versions = _list_versions(root)
         base = versions[-1] if versions else -1
-        actions: list[dict] = [{"add": r, "stats": stats[r]} for r in rels]
+        actions = list(adds)
         if mode == "overwrite":
             if versions:
                 live = _fold(root, versions).files
                 actions = [
                     {"remove": os.path.relpath(p, root)} for p in live
                 ] + actions
-        entry = {
-            "version": base + 1,
-            "mode": mode,
-            "actions": actions,
-            "schema": schema_json,
-            "ts_ms": int(time.time() * 1000),
-        }
-        if extra:
-            clash = set(extra) & set(entry)
-            if clash:
-                raise ValueError(f"extra keys shadow reserved entry fields: {sorted(clash)}")
-            entry.update(extra)
+        entry = _build_entry(mode, base + 1, actions, schema_json, extra)
         if _try_commit(root, base + 1, entry):
             _maybe_checkpoint(root, base + 1)
             return base + 1
@@ -414,46 +515,121 @@ def write_txn(
     raise TxnConflict(f"append to {root} exhausted {max_retries} retries")
 
 
+def _merge_touched_indices(
+    spark: SparkSession, source: DataFrame, snap: Snapshot, key: str
+) -> list[int]:
+    """Dynamic file pruning for MERGE: the indices of snapshot files that
+    MAY hold a row whose ``key`` equals some source key.  A file whose
+    log-recorded [min, max] for ``key`` contains NO actual source key value
+    provably has no match and need not be rewritten.  The probe is one
+    small job: distinct source keys range-join a BROADCAST relation of the
+    file intervals (file count is metadata-sized) — the Delta-MERGE data-
+    skipping idea, exact per file rather than one coarse source-wide
+    interval.  Files with no recorded stats for ``key`` (pre-evolution
+    files, stats-less row groups) are conservatively touched.  NULL source
+    keys match nothing under equi-join semantics and are ignored."""
+    from pyspark.sql import functions as F
+
+    ranged = [
+        (i, st[key][0], st[key][1])
+        for i, st in enumerate(snap.file_stats)
+        if key in st
+    ]
+    touched = {i for i, st in enumerate(snap.file_stats) if key not in st}
+    if not ranged:
+        return sorted(touched)
+    lo0 = ranged[0][1]
+    if isinstance(lo0, bool) or not all(
+        isinstance(r[1], type(lo0)) and isinstance(r[2], type(lo0)) for r in ranged
+    ):
+        # heterogeneous / bool stats: pruning unprovable, rewrite everything
+        return sorted(touched | {r[0] for r in ranged})
+    probe_key = F.col(key)
+    if isinstance(lo0, str):
+        # recorded bounds may be stringified (date/timestamp footers):
+        # Spark's string cast of those types is the same ISO text, which
+        # compares lexicographically consistently with the parquet bounds
+        probe_key = probe_key.cast("string")
+    rdf = spark.createDataFrame(ranged, ["f_idx", "lo", "hi"])
+    hits = (
+        source.select(probe_key.alias("_mk"))
+        .where(F.col("_mk").isNotNull())
+        .distinct()
+        .join(
+            F.broadcast(rdf),
+            (F.col("_mk") >= F.col("lo")) & (F.col("_mk") <= F.col("hi")),
+        )
+        .select("f_idx")
+        .distinct()
+        .collect()
+    )
+    return sorted(touched | {r.f_idx for r in hits})
+
+
 def merge_txn(
     spark: SparkSession, source: DataFrame, root: str, on: list[str] | str
 ) -> int:
     """MERGE (upsert): rows of ``source`` replace target rows with equal
     ``on`` keys; unmatched source rows insert.  Committed as ONE atomic
-    overwrite entry, so readers see pre- or post-merge, never a mix.
+    entry pinned to the snapshot the survivors were derived from
+    (TxnConflict if any commit — even a commuting append — lands in
+    between), so readers see pre- or post-merge, never a mix, and no
+    concurrent writer's rows can be silently dropped.
 
-    Spark-first shape: the survivor set is ``target LEFT ANTI JOIN source``
-    (key-only shuffle when the join broadcasts — source is typically the
-    small CDC batch, so Spark broadcasts it) unioned with ``source``.
-    This rewrites the whole table; the file-pruning refinement (rewrite
-    only files whose key range intersects the source — what Delta's MERGE
-    does with data skipping) rides on the same commit protocol and is
-    staged for the registry round, needing per-file min/max key stats in
-    the ``add`` actions."""
+    FILE-PRUNED rewrite (the Delta MERGE shape): only files whose
+    log-recorded key range actually contains a source key are read,
+    anti-joined, and rewritten; every other live file survives the commit
+    UNTOUCHED (its ``add`` action stays live — no read, no write, no
+    shuffle).  At 100 TB a small CDC batch against a key-clustered table
+    rewrites a handful of files instead of the table.  Within the touched
+    set the survivor side is ``touched LEFT ANTI JOIN source`` — a
+    broadcast of the small source, key-only comparison."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     keys = [on] if isinstance(on, str) else list(on)
-    target = read_txn(spark, root)
-    extra_cols = [c for c in source.columns if c not in target.columns]
+    snap = snapshot(root)
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    target_cols = [f.name for f in want.fields]
+    extra_cols = [c for c in source.columns if c not in target_cols]
     if extra_cols:
         # dropping them silently would look like a successful merge that
         # lost data; evolving the schema mid-merge is a separate decision
         # the caller makes with an explicit append/overwrite
         raise ValueError(f"merge source has columns absent from the target: {extra_cols}")
-    survivors = target.join(source, on=keys, how="left_anti")
-    merged = survivors.unionByName(source.select(*target.columns))
-    return write_txn(merged, root, mode="overwrite")
+    # prune on the first key: sound alone (a file whose range excludes
+    # every source value of THIS key cannot hold a matching key tuple)
+    touched = _merge_touched_indices(spark, source, snap, keys[0])
+    survivors = _scan_files(
+        spark,
+        [(snap.files[i], snap.file_schemas[i]) for i in touched],
+        want,
+    ).join(source, on=keys, how="left_anti")
+    merged = survivors.unionByName(source.select(*target_cols))
+    rels, schema_json, stats = _stage_files(merged, root)
+    actions = [
+        {"remove": os.path.relpath(snap.files[i], root)} for i in touched
+    ] + [{"add": r, "stats": stats[r]} for r in rels]
+    return _commit_pinned(root, snap.version, "merge", actions, schema_json, "merge")
 
 
 def delete_txn(spark: SparkSession, root: str, predicate: str) -> int:
-    """DELETE WHERE: one atomic overwrite commit keeping only rows that
-    do NOT satisfy ``predicate`` (a SQL boolean expression over the
-    table's columns).  SQL DELETE semantics for three-valued logic: a row
+    """DELETE WHERE: one atomic commit keeping only rows that do NOT
+    satisfy ``predicate`` (a SQL boolean expression over the table's
+    columns), PINNED to the snapshot the kept rows were read from — a
+    concurrent commit in between raises TxnConflict instead of being
+    silently removed.  SQL DELETE semantics for three-valued logic: a row
     whose predicate evaluates NULL is NOT deleted (coalesce to false),
     matching every warehouse's DELETE."""
     from pyspark.sql import functions as F
 
-    kept = read_txn(spark, root).filter(
+    snap = snapshot(root)
+    kept = read_txn(spark, root, version=snap.version).filter(
         ~F.coalesce(F.expr(predicate), F.lit(False))
     )
-    return write_txn(kept, root, mode="overwrite")
+    return write_txn(
+        kept, root, mode="overwrite", expected_base_version=snap.version
+    )
 
 
 def compact_txn(
@@ -489,17 +665,9 @@ def compact_txn(
     actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
         {"add": r, "stats": stats[r]} for r in rels
     ]
-    entry = {
-        "version": snap.version + 1,
-        "mode": "compact",
-        "actions": actions,
-        "schema": schema_json,
-        "ts_ms": int(time.time() * 1000),
-    }
-    if not _try_commit(root, snap.version + 1, entry):
-        raise TxnConflict(f"compact of {root} lost the race for version {snap.version + 1}")
-    _maybe_checkpoint(root, snap.version + 1)
-    return snap.version + 1
+    return _commit_pinned(
+        root, snap.version, "compact", actions, schema_json, "compact"
+    )
 
 
 def read_txn_changes(

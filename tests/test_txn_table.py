@@ -216,16 +216,44 @@ def _sc_change_data_feed(spark, base):
     src = spark.createDataFrame([(1, 111)], "id long, v long")
     merge_txn(spark, src, root, on="id")                   # v2: upsert id=1
     compact_txn(spark, root, target_files=1)               # v3: no-op logically
+    def replay_equals_snapshot(from_v, to_v):
+        # THE CDF contract: applying the per-commit diffs (deletes then
+        # inserts, in version order) to the from_v snapshot reconstructs
+        # the to_v snapshot exactly, as a multiset
+        from collections import Counter
+
+        state = Counter(
+            (r.id, r.v)
+            for r in read_txn(spark, root, version=from_v).collect()
+        )
+        rows = read_txn_changes(spark, root, from_version=from_v,
+                                to_version=to_v).collect()
+        versions = sorted({r._commit_version for r in rows})
+        for v in versions:
+            for r in rows:
+                if r._commit_version == v and r._change_type == "delete":
+                    state[(r.id, r.v)] -= 1
+            for r in rows:
+                if r._commit_version == v and r._change_type == "insert":
+                    state[(r.id, r.v)] += 1
+        want = Counter(
+            (r.id, r.v)
+            for r in read_txn(spark, root, version=to_v).collect()
+        )
+        assert +state == want, (from_v, to_v)
+
     ch = read_txn_changes(spark, root, from_version=0).collect()
     by = {}
     for r in ch:
         by.setdefault((r._commit_version, r._change_type), set()).add(r.id)
     assert by[(1, "insert")] == {3, 4}
-    # the merge overwrite: deletes the whole prior live set, re-inserts
-    assert by[(2, "delete")] == {0, 1, 2, 3, 4}
-    assert by[(2, "insert")] == {0, 1, 2, 3, 4}
+    # the file-pruned merge diffs ONLY touched files: the upserted key is
+    # in the delete set, and nothing outside the prior live set ever is
+    assert 1 in by[(2, "delete")]
+    assert by[(2, "delete")] <= {0, 1, 2, 3, 4}
     assert {r.v for r in ch if r._commit_version == 2
             and r._change_type == "insert" and r.id == 1} == {111}
+    replay_equals_snapshot(0, 2)
     # compaction is a physical rewrite, not a data change: no v3 rows
     assert not [r for r in ch if r._commit_version == 3]
     # bounded window
@@ -238,16 +266,156 @@ def _sc_change_data_feed(spark, base):
     delete_txn(spark, root, "id >= 4")                     # v4: drop 4
     merge_txn(spark, spark.createDataFrame([(0, 7)], "id long, v long"),
               root, on="id")                               # v5: upsert id=0
-    tail = read_txn_changes(spark, root, from_version=3)
+    tail = read_txn_changes(spark, root, from_version=3).collect()
     by2 = {}
-    for r in tail.collect():
+    for r in tail:
         by2.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    # DELETE is a full pinned rewrite: the whole live set diffs
     assert by2[(4, "delete")] == {0, 1, 2, 3, 4}
     assert by2[(4, "insert")] == {0, 1, 2, 3}
-    assert by2[(5, "delete")] == {0, 1, 2, 3}
-    assert by2[(5, "insert")] == {0, 1, 2, 3}
-    assert {r.v for r in tail.collect() if r._commit_version == 5
+    assert 0 in by2[(5, "delete")]
+    assert {r.v for r in tail if r._commit_version == 5
             and r._change_type == "insert" and r.id == 0} == {7}
+    replay_equals_snapshot(3, 5)
+
+
+def _sc_merge_prunes_untouched_files(spark, base):
+    """File-pruned MERGE (VERDICT r7 #2): a narrow CDC batch against a
+    key-clustered table rewrites ONLY the files whose key range holds a
+    source key — every other file's path survives the merge commit
+    unchanged (no read, no rewrite), and values still come out exactly
+    right.  This is the property that keeps a 1 MB batch from rewriting
+    100 TB."""
+    root = os.path.join(base, "t")
+    df = _df(spark, 0, 400).repartitionByRange(8, "id")
+    write_txn(df, root)
+    before = snapshot(root)
+    assert len(before.files) >= 4
+    src = spark.createDataFrame([(10, -1), (12, -2), (1000, -3)], "id long, v long")
+    merge_txn(spark, src, root, on="id")
+    after = snapshot(root)
+    survived = set(before.files) & set(after.files)
+    rewritten = set(before.files) - set(after.files)
+    # the clustered layout puts ids 10 and 12 in one or two files; the
+    # rest of the table must ride through untouched
+    assert rewritten, "some file must be rewritten"
+    assert len(survived) >= len(before.files) - 2, (len(survived), len(before.files))
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    want = {i: i * 10 for i in range(400)}
+    want.update({10: -1, 12: -2, 1000: -3})
+    assert got == want
+    # a source whose keys miss every file range is a pure insert: zero
+    # files rewritten
+    pre = snapshot(root)
+    merge_txn(
+        spark,
+        spark.createDataFrame([(5000, 1)], "id long, v long"),
+        root,
+        on="id",
+    )
+    post = snapshot(root)
+    assert set(pre.files) <= set(post.files)
+
+
+def _sc_timestamp_travel_clock_regression(spark, base):
+    """ADVICE r7 (low): as_of_ms resolves to the LAST version at or before
+    the timestamp and folds the CONTIGUOUS prefix — under wall-clock
+    regression the reconstructed state is always one that actually
+    existed (timestamp travel ≡ version travel)."""
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 2).coalesce(1), root)   # v0
+    write_txn(_df(spark, 2, 4).coalesce(1), root)   # v1
+    write_txn(_df(spark, 4, 6).coalesce(1), root)   # v2
+    # doctor the log: v1's clock regressed below v0's
+    def set_ts(v, ts):
+        p = os.path.join(root, "_txn", f"{v:010d}.json")
+        with open(p) as fh:
+            e = json.load(fh)
+        e["ts_ms"] = ts
+        with open(p, "w") as fh:
+            json.dump(e, fh)
+
+    set_ts(0, 100)
+    set_ts(1, 50)
+    set_ts(2, 200)
+    # as-of 60: last version with ts<=60 is v1 -> fold v0..v1 (contiguous),
+    # NOT the never-existed state {v1 alone}
+    s = snapshot(root, as_of_ms=60)
+    assert s.version == 1
+    ids = sorted(
+        r.id for r in read_txn(spark, root, as_of_ms=60).collect()
+    )
+    assert ids == [0, 1, 2, 3]
+    # as-of 150: v2 (ts 200) is excluded, v0+v1 both included
+    assert snapshot(root, as_of_ms=150).version == 1
+    with pytest.raises(ValueError):
+        snapshot(root, as_of_ms=10)
+
+
+def _sc_stats_require_full_rowgroup_coverage(spark, base):
+    """ADVICE r7 (medium): a column's [min, max] is recorded only when
+    EVERY row group contributes trustworthy stats — a partially-covered
+    or NaN-poisoned column is dropped entirely (no stats, no skip), so
+    data skipping can never prune a file whose stats-less row group held
+    matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    # real footer: statistics disabled entirely -> no stats recorded
+    p1 = os.path.join(base, "nostats.parquet")
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]}),
+        p1,
+        write_statistics=False,
+    )
+    assert tt._file_stats(p1) == {}
+    # real footer: float/double columns never yield a usable range (under
+    # Spark's ordering NaN > everything, so even a NaN-excluding footer
+    # max cannot prove an open-upper-bound interval excludes the file)
+    p2 = os.path.join(base, "nan.parquet")
+    pq.write_table(
+        pa.table({"id": [1, 2], "v": [float("nan"), 1.0]}), p2
+    )
+    assert "v" not in tt._file_stats(p2)
+    assert tt._file_stats(p2).get("id") == [1, 2]
+
+    # synthetic metadata: two row groups, one with stats and one without —
+    # the column must be DROPPED, not recorded with the understated range
+    class St:
+        def __init__(self, mn, mx):
+            self.has_min_max = True
+            self.min, self.max = mn, mx
+
+    class Col:
+        def __init__(self, name, st):
+            self.path_in_schema = name
+            self.statistics = st
+
+    class RG:
+        def __init__(self, cols):
+            self._cols = cols
+            self.num_columns = len(cols)
+
+        def column(self, i):
+            return self._cols[i]
+
+    class MD:
+        def __init__(self, rgs):
+            self._rgs = rgs
+            self.num_row_groups = len(rgs)
+
+        def row_group(self, i):
+            return self._rgs[i]
+
+    md = MD([
+        RG([Col("k", St(0, 9)), Col("u", St(1, 2))]),
+        RG([Col("k", None), Col("u", St(5, 8))]),
+    ])
+    got = tt._stats_from_metadata(md)
+    assert "k" not in got          # partial coverage -> dropped
+    assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
@@ -280,7 +448,10 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
+    _sc_timestamp_travel_clock_regression,
+    _sc_stats_require_full_rowgroup_coverage,
     _sc_compaction_preserves_rows_and_is_atomic,
     _sc_append_overwrite_and_time_travel,
     _sc_merge_upserts_and_delete_3vl,
@@ -317,6 +488,50 @@ def test_txn_scenarios_pooled(spark, tmp_path):
     finally:
         tt._CHECKPOINT_EVERY = old
     assert not bad, "\n\n".join(bad)
+
+
+def test_merge_conflict_preserves_concurrent_append(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (high): an append landing BETWEEN a merge's snapshot read
+    and its commit must surface as TxnConflict — the merge's survivor set
+    was derived from a snapshot that no longer describes the table, and
+    folding over the interloper would silently drop its rows (the classic
+    OCC lost update).  The interloper's rows must remain live afterwards.
+    Serial: patches module internals the pooled threads would observe."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    root = str(tmp_path / "t5")
+    write_txn(_df(spark, 0, 4), root)
+    orig = tt._stage_files
+    state = {"fired": False}
+
+    def stage_then_interlope(df, root_):
+        out = orig(df, root_)
+        if not state["fired"]:
+            state["fired"] = True
+            # the interloper commits AFTER the merge read its snapshot and
+            # staged its files, BEFORE the merge's log-entry create
+            tt.write_txn(_df(spark, 900, 902), root, mode="append")
+        return out
+
+    monkeypatch.setattr(tt, "_stage_files", stage_then_interlope)
+    src = spark.createDataFrame([(1, -1)], "id long, v long")
+    with pytest.raises(TxnConflict):
+        merge_txn(spark, src, root, on="id")
+    monkeypatch.undo()
+    # nothing was lost OR applied: the interloper's rows are live, the
+    # merge is not
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 900: 9000, 901: 9010}
+    # same guarantee for DELETE (the other read-modify-write path)
+    state["fired"] = False
+    monkeypatch.setattr(tt, "_stage_files", stage_then_interlope)
+    with pytest.raises(TxnConflict):
+        delete_txn(spark, root, "id >= 900")
+    monkeypatch.undo()
+    assert read_txn(spark, root).count() == 8  # 6 + interloper's 2
+    # a clean retry (no interloper) succeeds at the advanced version
+    merge_txn(spark, src, root, on="id")
+    assert {r.v for r in read_txn(spark, root).collect() if r.id == 1} == {-1}
 
 
 def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
