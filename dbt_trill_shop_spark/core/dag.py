@@ -249,6 +249,29 @@ class Project:
                 f"relation {name!r} not built yet — check deps/topo order"
             ) from None
 
+    def ref_at(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Time travel over a ``txn_table``-materialized model: the relation
+        as of a past COMMIT version (each ``build()`` is one commit) or a
+        wall-clock timestamp — "what did this mart say before today's run?".
+        Both None reads the latest committed snapshot."""
+        model = self.models[name]
+        if model.materialization is not Materialization.TXN_TABLE:
+            raise ValueError(
+                f"{name!r} is materialized {model.materialization.value!r}; "
+                "time travel needs materialized='txn_table'"
+            )
+        from ..sources.txn_table import read_txn
+
+        return read_txn(
+            spark, self.table_path(model), version=version, as_of_ms=as_of_ms
+        )
+
     def schema_for(self, model: Model) -> str:
         return resolve_schema(model.schema, "model", self.target, self.default_schema)
 
@@ -631,7 +654,11 @@ class Project:
         # can execute df more than once (existence probe + merge + write) and
         # Observation.get returns the FIRST job's metrics — a partial count —
         # so they deliberately report no rows_affected rather than a wrong one.
-        if model.materialization is Materialization.TABLE:
+        if model.materialization in (
+            Materialization.TABLE, Materialization.TXN_TABLE
+        ):
+            # TXN_TABLE also qualifies: its materialization stages the
+            # DataFrame in exactly one write job before the atomic commit
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
@@ -646,6 +673,29 @@ class Project:
         if model.materialization is Materialization.VIEW:
             df.createOrReplaceTempView(view_name)
             return df
+        if model.materialization is Materialization.TXN_TABLE:
+            # table-through-the-log: every build is one atomic commit, so
+            # the mart gains time travel (ref_at), OCC against a concurrent
+            # orchestrator, and a change-data-feed — and readers holding the
+            # previous snapshot keep a consistent file list mid-rebuild (no
+            # swap window at all).  Partition columns become RANGE clustering
+            # so the log's per-file min/max stats can data-skip (hash layout
+            # would give every file the full key range).
+            from ..sources.txn_table import read_txn, write_txn
+
+            root = self.table_path(model)
+            parts = self.table_partition_cols.get(model.name)
+            if parts:
+                df = df.repartitionByRange(*parts)
+            mode = (
+                "overwrite" if os.path.isdir(os.path.join(root, "_txn"))
+                else "append"
+            )
+            write_txn(df, root, mode=mode)
+            spark.catalog.refreshByPath(root)
+            out = read_txn(spark, root)
+            out.createOrReplaceTempView(view_name)
+            return out
         # TABLE / INCREMENTAL: write parquet, read back (a real sink; the
         # read-back scan gets vectorized parquet + pushdown downstream).
         bucket = self.table_bucket_spec.get(model.name)

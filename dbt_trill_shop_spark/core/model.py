@@ -60,6 +60,14 @@ class Materialization(str, enum.Enum):
     # the new batch is computed and appended/merged — at 100 TB this is the
     # difference between reprocessing a day and reprocessing a decade.
     INCREMENTAL = "incremental"
+    # table materialization through the transaction log
+    # (sources/txn_table.py): every build is an ACID commit, so marts get
+    # time travel ("what did this mart say before today's run?"), atomic
+    # reader-safe swaps without the directory-rename dance, OCC against a
+    # concurrent orchestrator, and a change-data-feed downstream hooks can
+    # consume — the warehouse-grade storage dbt assumes under its
+    # table/incremental semantics.
+    TXN_TABLE = "txn_table"
 
 
 @dataclass

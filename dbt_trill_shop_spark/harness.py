@@ -245,6 +245,8 @@ from .ext.pipeline import (
 )
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
+    EMBED_BRIDGE_SQL_TEMPLATE,
+    embed_bridge_longform,
     PPL_BUCKETS_SQL_TEMPLATE,
     WINNOWING_SQL_TEMPLATE,
     BM25_SEARCH_SQL_TEMPLATE,
@@ -364,6 +366,7 @@ from .models.trends import TERM_MOMENTUM_BODY, build_trends_relations, term_mome
 from .operators import analytics as A
 from .operators import relational as R
 from .operators import temporal as T
+from .operators import txn_demo as TD
 
 
 @dataclass(frozen=True)
@@ -2432,6 +2435,29 @@ QUERIES: dict[str, QuerySpec] = {
             block_len=_BOILERPLATE_BLOCK, max_df=_BOILERPLATE_MAX_DF
         ),
     ),
+    # --- round-8 additions: txn-table ACID layer + embedding bridge --------
+    # time travel across append/append/DELETE commits (audit query)
+    "q_txn_timetravel": QuerySpec(
+        TD.txn_timetravel_orders, TD.TXN_TIMETRAVEL_SQL
+    ),
+    # file-pruned MERGE of a CDC batch + post-merge reconciliation
+    "q_txn_merge_cdc": QuerySpec(
+        TD.txn_merge_latest_balance, TD.TXN_MERGE_SQL
+    ),
+    # log-stats data skipping over a range-clustered ingestion layout
+    "q_txn_skipping_scan": QuerySpec(TD.txn_skipping_scan, TD.TXN_SKIPPING_SQL),
+    # change-data-feed -> incremental dedup consumer (store rolls forward)
+    "q_txn_cdf_dedup": QuerySpec(
+        TD.txn_cdf_incremental_dedup, TD.TXN_CDF_DEDUP_SQL
+    ),
+    # Arrow-batched embedding-generation bridge, long-formed for the
+    # value-hash oracle (float32-exact unit weights)
+    "x_embed_bridge": QuerySpec(
+        lambda spark, sf_dir: embed_bridge_longform(
+            load_table(spark, sf_dir, "documents"), dim=16
+        ),
+        EMBED_BRIDGE_SQL_TEMPLATE.format(dim=16),
+    ),
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -2853,18 +2879,69 @@ _ROUND7_STALE_REVERIFY = [
 
 _ROUND7_WINDOW = _ROUND7_PRESTAGE + _ROUND7_STALE_REVERIFY
 
-_front = _REFERENCE_MODELS + _ROUND7_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r07 (all 50 green).
+_DRIVER_VERIFIED_R07 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND7_WINDOW)
+
+# Round-8 window, block 1: the five NEW queries — the round-7-staged
+# txn-table ACID wave (time travel, file-pruned MERGE, data skipping,
+# change-data-feed -> incremental-dedup consumer) plus the embedding-
+# generation bridge (VERDICT r7 #1/#3).
+_ROUND8_NEW = [
+    "q_txn_timetravel", "q_txn_merge_cdc", "q_txn_skipping_scan",
+    "q_txn_cdf_dedup", "x_embed_bridge",
+]
+
+# Block 2: queries whose CODE changed during round 7 AFTER their last driver
+# verdict (VERDICT r7 #5 — local parity is green, but the driver oracle is
+# the hard signal).  Sources of change: the NULL-on-zero denominator guards
+# (quality_score alpha, funnel ppm, Spearman, AUC single-class, fertility
+# zero-token), the quantile_bucket literal-boundaries rewrite (theilsen;
+# ks/mannwhitney re-verified in r7 already), the kNN-gemm NULL-vector base
+# guard (every knn_graph_edges consumer), and the MEDIA/FEATURE_SCHEMA
+# nullable-id fix (every docs_as_media consumer).
+_ROUND8_FIX_REVERIFY = [
+    "x_quality_score", "x_quality_classifier", "q_funnel", "q_spearman",
+    "x_quality_auc", "x_tokenizer_fertility", "q_theilsen_trend",
+    "x_knn_graph", "x_knn_pagerank", "x_knn_bfs", "x_knn_homophily",
+    "x_knn_clustering", "x_knn_hubness",
+    "m_media_features", "m_patch_grid", "m_frame_sample", "m_resize_plan",
+    "m_phash_neardup", "m_audio_windows",
+]
+
+# Block 3: the three int128/decimal-widened queries round 7 dropped for
+# space (VERDICT r6 #2 listed them as the smallest single-cast widenings;
+# their exact pattern was exercised in-window, but their own rows were not).
+_ROUND8_WIDENED_REVERIFY = ["q_regional_revenue", "q_nation_profit", "q_seasonality"]
+
+# Block 4: the oldest driver verdicts (r1/r2 vintage, VERDICT r7 #5) —
+# structurally diverse picks across windows/ranks, as-of/range joins,
+# set ops, sessionization, grouping sets, and the money-width staples.
+_ROUND8_OLDEST_REVERIFY = [
+    "q_top_customers", "q_part_dollars", "q_revenue_percentiles",
+    "q_revenue_cube", "q_revenue_rollup", "q_rolling_7d_user_value",
+    "q_customer_order_ranks", "q_rank_reconstruction", "q_asof_purchases",
+    "q_range_join_bands", "q_customers_without_orders",
+    "q_sessionize_events", "q_session_windows", "q_weekly_wow_change",
+    "q_set_ops_cohorts", "q_weekly_activity_full_outer",
+]
+
+_ROUND8_WINDOW = (
+    _ROUND8_NEW + _ROUND8_FIX_REVERIFY + _ROUND8_WIDENED_REVERIFY
+    + _ROUND8_OLDEST_REVERIFY
+)
+
+_front = _REFERENCE_MODELS + _ROUND8_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
 # round (regression-guarded by pytest) — no never-verified entries remain.
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06
-) - set(_ROUND7_WINDOW)
+    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
+) - set(_ROUND8_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
-# Window accounting: with the round-7 window in place, every query outside
+# Window accounting: with the round-8 window in place, every query outside
 # the window carries a prior-round driver verdict.
 assert _tail_unverified == [], _tail_unverified[:5]
 QUERIES = {name: QUERIES[name] for name in _front + _rest}

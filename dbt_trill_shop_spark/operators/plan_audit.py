@@ -98,6 +98,17 @@ def audit_plan(df: DataFrame) -> list[str]:
             for j in range(i - 1, -1, -1):
                 if lines[j].strip() and _depth(lines[j]) < d:
                     parent = lines[j].strip()
+                    d = _depth(lines[j])
+                    # post-AQE plans interpose materialized-stage wrappers
+                    # (ShuffleQueryStage / AQEShuffleRead / ReusedExchange)
+                    # between the exchange and its true consumer — keep
+                    # walking up so the combiner check sees the consumer
+                    if re.search(
+                        r"(QueryStage|AQEShuffleRead|ReusedExchange|"
+                        r"ShuffleExchange|Exchange SinglePartition)",
+                        parent,
+                    ):
+                        continue
                     break
             if not _BENIGN_PARENT.search(parent):
                 flags.append(f"single-partition-exchange under: {parent[:100]}")

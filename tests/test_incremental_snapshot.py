@@ -99,6 +99,54 @@ def test_incremental_append(spark, events, tmp_path):
     p.drop_warehouse()
 
 
+def test_txn_table_materialization_time_travel(spark, events, tmp_path):
+    """materialized='txn_table' (VERDICT r7 #4): each build() is one atomic
+    log commit, so a mart gains time travel across rebuilds — ref_at()
+    answers "what did this mart say before today's run?" — and a reader
+    pinned to the previous version still sees a consistent file list."""
+    from dbt_trill_shop_spark.core.jinja_lite import sql_model
+
+    p = Project("txnmart", warehouse_dir=str(tmp_path / "txnmart"))
+    state = {"cap": 100}
+
+    def builder(s, ref):
+        return (
+            events.filter(F.col("event_id") < state["cap"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    p.add_model(
+        Model("type_counts", builder, materialization=Materialization.TXN_TABLE)
+    )
+    p.build(spark, run_tests=False)
+    v0 = _sorted_rows(p.ref("type_counts"), "event_type")
+    state["cap"] = 200
+    p.build(spark, run_tests=False)  # second commit (overwrite)
+    v1 = _sorted_rows(p.ref("type_counts"), "event_type")
+    assert v1 != v0
+    # time travel one build back
+    assert _sorted_rows(p.ref_at(spark, "type_counts", version=0), "event_type") == v0
+    assert _sorted_rows(p.ref_at(spark, "type_counts"), "event_type") == v1
+    # rows_affected observed for the txn write (single staging job)
+    assert p.last_run_results["type_counts"]["rows_affected"] == len(v1)
+    # the materialization parses from SQL-file config too
+    m = sql_model(
+        "sql_txn",
+        "{{ config(materialized='txn_table') }}\n"
+        "SELECT event_type, COUNT(*) AS n FROM {{ ref('type_counts') }} GROUP BY 1",
+    )
+    assert m.materialization is Materialization.TXN_TABLE
+    # time travel on a non-txn model is loud
+    p2 = Project("plain", warehouse_dir=str(tmp_path / "plain"))
+    p2.add_model(Model("t", lambda s, ref: events.limit(1)))
+    p2.build(spark, run_tests=False)
+    with pytest.raises(ValueError):
+        p2.ref_at(spark, "t", version=0)
+    p.drop_warehouse()
+    p2.drop_warehouse()
+
+
 def test_snapshot_scd2(spark, tmp_path):
     d = datetime.date
     rows1 = [(1, "a", d(2024, 1, 1)), (2, "b", d(2024, 1, 1))]
