@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..sources.txn_table import (
     delete_txn,
+    delete_txn_dv,
     merge_txn,
     read_txn,
     read_txn_changes,
@@ -312,6 +313,59 @@ UNION ALL
 SELECT doc_id, fingerprint, CAST(2 AS BIGINT) AS commit_version FROM s2
 ORDER BY commit_version, doc_id
 """
+
+def txn_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (STAGED for round 9):
+    orders land range-clustered; a selective DELETE tombstones rows in a
+    kilobyte sidecar with ZERO data files rewritten (the pytest twin
+    asserts the file set is byte-identical across the commit), then the
+    result reads both sides of the commit — the pre-delete snapshot via
+    time travel and the post-delete merge-on-read view.  Every row is
+    derived deterministically from the source table, so plain SQL
+    reproduces both states without understanding tombstones."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("dvdel")
+    write_txn(orders.repartitionByRange(8, "o_orderkey"), root)
+    delete_txn_dv(spark, root, "cents < 15000000")  # orders under $150k
+    parts = [
+        read_txn(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .select(F.lit(v).cast("bigint").alias("version"), "n_orders", "total_dollars")
+        for v in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+TXN_DV_DELETE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+kept AS (SELECT * FROM o WHERE NOT COALESCE(cents < 15000000, FALSE))
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM o
+UNION ALL
+SELECT 1, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+FROM kept
+ORDER BY version
+"""
+
+# Staged for the round-9 window (the round-8 window is frozen at 50):
+# parity-tested alongside the registered queries by the pooled scenario.
+# r9 wiring data: plan scale-audit CLEAN; sf0.1 oracle-green; warm 2.3 s
+# (cold 5.5 s) on local[32] at ambient ~1.0.
+ROUND9_STAGED = {
+    "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
+}
 
 ROUND8_TXN_QUERIES = {
     "q_txn_timetravel": (txn_timetravel_orders, TXN_TIMETRAVEL_SQL),

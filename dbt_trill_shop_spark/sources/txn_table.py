@@ -62,7 +62,9 @@ class Snapshot:
     ``file_schemas`` carries each live file's COMMIT-TIME schema (files
     are immutable, so the schema that wrote a file is the schema that
     reads it) — snapshot reads therefore need zero parquet-footer
-    round-trips at plan time."""
+    round-trips at plan time.  ``file_dvs`` carries each live file's
+    DELETION-VECTOR sidecars (merge-on-read deletes; empty tuple = none):
+    a read of that file anti-joins the recorded (file, pos) tombstones."""
 
     version: int
     files: tuple[str, ...]
@@ -70,6 +72,7 @@ class Snapshot:
     file_stats: tuple[dict, ...]  # per-file {col: [min, max]} aligned too
     schema_json: str
     committed_at_ms: int
+    file_dvs: tuple[tuple[str, ...], ...] = ()  # dv rels aligned with files
 
 
 def _log_dir(root: str) -> str:
@@ -153,8 +156,10 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     ckpt = {
         "version": version,
         "live": [
-            [os.path.relpath(p, root), s, st]
-            for p, s, st in zip(snap.files, snap.file_schemas, snap.file_stats)
+            [os.path.relpath(p, root), s, st, list(dvs)]
+            for p, s, st, dvs in zip(
+                snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
+            )
         ],
         "schema": snap.schema_json,
         "ts_ms": snap.committed_at_ms,
@@ -169,14 +174,19 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 def _fold(root: str, versions: list[int]) -> Snapshot:
     """Fold commit entries into the live file set.  ``remove`` actions
     drop files from the set (overwrite/compact); ``add`` actions extend
-    it.  The latest commit's schema is the snapshot schema."""
-    live: dict[str, tuple[str, dict]] = {}
+    it; ``dv`` actions attach a deletion-vector sidecar to the live files
+    it applies to (tombstones die with their file).  The latest commit's
+    schema is the snapshot schema."""
+    live: dict[str, tuple[str, dict, tuple[str, ...]]] = {}
     schema_json = ""
     ts = 0
     start = 0
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
-        live = {r: (s, st) for r, s, st in ckpt["live"]}
+        live = {
+            r[0]: (r[1], r[2], tuple(r[3]) if len(r) > 3 else ())
+            for r in ckpt["live"]
+        }
         schema_json = ckpt["schema"]
         ts = ckpt["ts_ms"]
         start = ckpt["version"] + 1
@@ -186,18 +196,24 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         e = _read_entry(root, v)
         for a in e["actions"]:
             if "add" in a:
-                live[a["add"]] = (e["schema"], a.get("stats", {}))
+                live[a["add"]] = (e["schema"], a.get("stats", {}), ())
             elif "remove" in a:
                 live.pop(a["remove"], None)
+            elif "dv" in a:
+                for f in a["applies"]:
+                    if f in live:
+                        s, st, dvs = live[f]
+                        live[f] = (s, st, dvs + (a["dv"],))
         schema_json = e["schema"]
         ts = e["ts_ms"]
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
-        file_schemas=tuple(s for s, _ in live.values()),
-        file_stats=tuple(st for _, st in live.values()),
+        file_schemas=tuple(s for s, _, _ in live.values()),
+        file_stats=tuple(st for _, st, _ in live.values()),
         schema_json=schema_json,
         committed_at_ms=ts,
+        file_dvs=tuple(dvs for _, _, dvs in live.values()),
     )
 
 
@@ -278,37 +294,86 @@ def read_txn(
     snap = snapshot(root, version=version, as_of_ms=as_of_ms)
     want = StructType.fromJson(json.loads(snap.schema_json))
     keep = [
-        (path, sj)
-        for path, sj, st in zip(snap.files, snap.file_schemas, snap.file_stats)
+        (path, sj, dvs)
+        for path, sj, st, dvs in zip(
+            snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
+        )
         if prune is None or _file_may_match(st, prune)
     ]
-    return _scan_files(spark, keep, want)
+    return _scan_files(spark, keep, want, root=root)
 
 
-def _scan_files(spark: SparkSession, files_with_schemas, want) -> DataFrame:
-    """Scan an explicit (path, commit-time-schema-json) file list, grouped
-    by schema, reconciled via ``unionByName(allowMissingColumns=True)`` and
-    aligned to the ``want`` schema (columns no live file carries surface as
-    typed NULL; canonical column order).  Shared by full snapshot reads and
-    the MERGE path's touched-files-only rewrite."""
+def _scan_files(
+    spark: SparkSession,
+    files_with_schemas,
+    want,
+    root: str | None = None,
+    keep_pos: bool = False,
+) -> DataFrame:
+    """Scan an explicit (path, commit-time-schema-json[, dv-rels]) file
+    list, grouped by schema, reconciled via
+    ``unionByName(allowMissingColumns=True)`` and aligned to the ``want``
+    schema (columns no live file carries surface as typed NULL; canonical
+    column order).  Shared by full snapshot reads and the MERGE path's
+    touched-files-only rewrite.
+
+    Files carrying DELETION VECTORS (merge-on-read deletes) are read with
+    their parquet position metadata and anti-joined against the recorded
+    (file, pos) tombstones — a BROADCAST anti-join, since DV sidecars are
+    small by contract (heavy delete ratios should compact, which
+    materializes the tombstones away).  ``keep_pos=True`` appends
+    ``__file``/``__pos`` columns (post-DV positions) for callers that
+    derive NEW tombstones."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     if not files_with_schemas:
-        return spark.createDataFrame([], want)
-    groups: dict[str, list[str]] = {}
-    for path, sj in files_with_schemas:
-        groups.setdefault(sj, []).append(path)
+        df = spark.createDataFrame([], want)
+        if keep_pos:
+            df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                "__pos", F.lit(None).cast("bigint")
+            )
+        return df
+    groups: dict[str, tuple[list, set]] = {}
+    for item in files_with_schemas:
+        path, sj = item[0], item[1]
+        dvs = tuple(item[2]) if len(item) > 2 else ()
+        g = groups.setdefault(sj, ([], set()))
+        g[0].append(path)
+        g[1].update(dvs)
     df = None
-    for sj, paths in groups.items():
+    for sj, (paths, dvs) in groups.items():
         part = spark.read.schema(
             StructType.fromJson(json.loads(sj))
         ).parquet(*paths)
+        if dvs or keep_pos:
+            part = part.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        if dvs:
+            assert root is not None
+            dv_df = spark.read.parquet(
+                *[os.path.join(root, d) for d in sorted(dvs)]
+            )
+            part = part.join(
+                F.broadcast(dv_df),
+                (F.col("__file") == dv_df["file"]) & (F.col("__pos") == dv_df["pos"]),
+                "left_anti",
+            )
+            if not keep_pos:
+                part = part.drop("__file", "__pos")
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
     for f in want.fields:
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df.select(*[f.name for f in want.fields])
+    cols = [f.name for f in want.fields]
+    if keep_pos:
+        cols += ["__file", "__pos"]
+    return df.select(*cols)
 
 
 def _file_stats(path: str) -> dict:
@@ -602,8 +667,9 @@ def merge_txn(
     touched = _merge_touched_indices(spark, source, snap, keys[0])
     survivors = _scan_files(
         spark,
-        [(snap.files[i], snap.file_schemas[i]) for i in touched],
+        [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],
         want,
+        root=root,
     ).join(source, on=keys, how="left_anti")
     merged = survivors.unionByName(source.select(*target_cols))
     rels, schema_json, stats = _stage_files(merged, root)
@@ -629,6 +695,69 @@ def delete_txn(spark: SparkSession, root: str, predicate: str) -> int:
     )
     return write_txn(
         kept, root, mode="overwrite", expected_base_version=snap.version
+    )
+
+
+def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
+    """MERGE-ON-READ DELETE via deletion vectors: rows satisfying
+    ``predicate`` are tombstoned by (file, position) in a small sidecar
+    parquet; NO data file is read back or rewritten by the commit — at
+    100 TB, deleting 0.1% of rows writes kilobytes instead of the table
+    (the Delta deletion-vector / Iceberg positional-delete design).
+    Readers apply the tombstones as a broadcast anti-join; compaction
+    materializes them away.  Three-valued logic matches ``delete_txn``
+    (NULL predicate keeps the row).  Pinned to the snapshot the positions
+    were derived from — a concurrent commit raises TxnConflict (positions
+    against a moved file set would corrupt).  Returns the committed
+    version; a predicate matching nothing commits nothing (returns the
+    current version).
+
+    The write side is deliberately single-file (tombstones are bounded by
+    contract — a delete that matches most of the table should be a
+    rewrite, not a DV); positions are computed over the DV-APPLIED view,
+    so successive DVs never double-record a row."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    scan = _scan_files(
+        spark,
+        list(zip(snap.files, snap.file_schemas, snap.file_dvs)),
+        want,
+        root=root,
+        keep_pos=True,
+    )
+    matches = (
+        scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        .coalesce(1)
+    )
+    staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
+    matches.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    part = next(
+        (f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")), None
+    )
+    if part is None or pq.ParquetFile(os.path.join(staging, part)).metadata.num_rows == 0:
+        shutil.rmtree(staging, ignore_errors=True)
+        return snap.version
+    rel = f"dv-{uuid.uuid4().hex}.parquet"
+    os.replace(os.path.join(staging, part), os.path.join(root, rel))
+    shutil.rmtree(staging, ignore_errors=True)
+    applies = sorted(
+        {
+            str(v)
+            for v in pq.read_table(
+                os.path.join(root, rel), columns=["file"]
+            ).column("file").to_pylist()
+        }
+    )
+    actions = [{"dv": rel, "applies": applies}]
+    return _commit_pinned(
+        root, snap.version, "delete", actions, snap.schema_json, "dv delete"
     )
 
 
@@ -699,50 +828,110 @@ def read_txn_changes(
         to_version = versions[-1] if versions else -1
     want = [v for v in versions if from_version < v <= to_version]
     parts = []
-    prior_map: dict[str, str] | None = None
+    prior_map: dict[str, tuple[str, tuple[str, ...]]] | None = None
     for v in want:
         e = _read_entry(root, v)
         if e.get("mode") == "compact":
             prior_map = None  # file set changed; recompute lazily
             continue
-        has_removes = any("remove" in a for a in e["actions"])
+        has_removes = any("remove" in a or "dv" in a for a in e["actions"])
         if has_removes and prior_map is None:
             # a removed file's rows read with the schema of the commit
-            # that ADDED it; the log no longer carries that mapping after
-            # the remove, so fold up to v-1 to recover it — ONCE per
-            # commit (checkpoint-accelerated), not once per removed file
+            # that ADDED it (and exclude rows already tombstoned by earlier
+            # deletion vectors — those were reported deleted at THEIR
+            # commit); the log no longer carries that mapping after the
+            # remove, so fold up to v-1 to recover it — ONCE per commit
+            # (checkpoint-accelerated), not once per removed file
             prior = _fold(root, [x for x in versions if x < v])
             prior_map = {
-                os.path.relpath(p, root): s
-                for p, s in zip(prior.files, prior.file_schemas)
+                os.path.relpath(p, root): (s, dvs)
+                for p, s, dvs in zip(
+                    prior.files, prior.file_schemas, prior.file_dvs
+                )
             }
+
+        def _file_df(rel, sj, dvs, keep_tombstoned=False):
+            df = spark.read.schema(
+                StructType.fromJson(json.loads(sj))
+            ).parquet(os.path.join(root, rel))
+            if dvs and not keep_tombstoned:
+                df = df.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__f"),
+                    F.col("_metadata.row_index").alias("__p"),
+                )
+                dv_df = spark.read.parquet(
+                    *[os.path.join(root, d) for d in sorted(dvs)]
+                )
+                df = df.join(
+                    F.broadcast(dv_df),
+                    (F.col("__f") == dv_df["file"]) & (F.col("__p") == dv_df["pos"]),
+                    "left_anti",
+                ).drop("__f", "__p")
+            return df
+
         for a in e["actions"]:
+            if "dv" in a:
+                # a deletion-vector commit's deletes are EXACTLY the rows
+                # at the new tombstone positions (positions are computed
+                # over the DV-applied view, so never double-reported)
+                dv_df = spark.read.parquet(os.path.join(root, a["dv"]))
+                for rel in a["applies"]:
+                    ent = prior_map.get(rel)
+                    if ent is None:
+                        continue
+                    df = spark.read.schema(
+                        StructType.fromJson(json.loads(ent[0]))
+                    ).parquet(os.path.join(root, rel)).select(
+                        "*",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("__f"),
+                        F.col("_metadata.row_index").alias("__p"),
+                    )
+                    df = df.join(
+                        F.broadcast(dv_df),
+                        (F.col("__f") == dv_df["file"])
+                        & (F.col("__p") == dv_df["pos"]),
+                        "left_semi",
+                    ).drop("__f", "__p")
+                    parts.append(
+                        df.withColumn("_change_type", F.lit("delete")).withColumn(
+                            "_commit_version", F.lit(v).cast("bigint")
+                        )
+                    )
+                continue
             rel = a.get("add") or a.get("remove")
             if rel is None:
                 continue
             change = "insert" if "add" in a else "delete"
             if change == "delete":
-                sj = prior_map.get(rel)
-                if sj is None:
+                ent = prior_map.get(rel)
+                if ent is None:
                     continue  # removed file never visible in a snapshot
+                sj, dvs = ent
             else:
-                sj = e["schema"]
-            df = spark.read.schema(
-                StructType.fromJson(json.loads(sj))
-            ).parquet(os.path.join(root, rel))
+                sj, dvs = e["schema"], ()
             parts.append(
-                df.withColumn("_change_type", F.lit(change)).withColumn(
-                    "_commit_version", F.lit(v).cast("bigint")
-                )
+                _file_df(rel, sj, dvs).withColumn(
+                    "_change_type", F.lit(change)
+                ).withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
         if prior_map is not None:
             # roll the prior-live map forward past this commit so the next
-            # version's delete lookups see v's own adds/removes
+            # version's delete lookups see v's own adds/removes/tombstones
             for a in e["actions"]:
                 if "add" in a:
-                    prior_map[a["add"]] = e["schema"]
+                    prior_map[a["add"]] = (e["schema"], ())
                 elif "remove" in a:
                     prior_map.pop(a["remove"], None)
+                elif "dv" in a:
+                    for f in a["applies"]:
+                        if f in prior_map:
+                            s, dvs = prior_map[f]
+                            prior_map[f] = (s, dvs + (a["dv"],))
     if not parts:
         snap_schema = StructType.fromJson(
             json.loads(snapshot(root).schema_json)
@@ -823,10 +1012,10 @@ def vacuum_txn(
     keep: set[str] = set()
     retained = versions[-retain_versions:] if retain_versions > 0 else versions[-1:]
     for v in retained:
-        keep.update(
-            os.path.relpath(p, root)
-            for p in _fold(root, [x for x in versions if x <= v]).files
-        )
+        snap_v = _fold(root, [x for x in versions if x <= v])
+        keep.update(os.path.relpath(p, root) for p in snap_v.files)
+        for dvs in snap_v.file_dvs:  # tombstone sidecars live as long as
+            keep.update(dvs)         # any retained snapshot references them
     now = time.time()
     removed = []
     for f in os.listdir(root):

@@ -279,6 +279,69 @@ def _sc_change_data_feed(spark, base):
     replay_equals_snapshot(3, 5)
 
 
+def _sc_deletion_vectors_merge_on_read(spark, base):
+    """Merge-on-read DELETE: tombstones ride a small sidecar; NO data file
+    is rewritten by the commit.  Readers apply them, time travel ignores
+    them, successive DVs never double-record, MERGE does not resurrect
+    tombstoned rows, compaction materializes them away, the CDF reports
+    exactly the newly-tombstoned rows, and vacuum keeps sidecars alive as
+    long as a retained snapshot references them."""
+    from collections import Counter
+
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv,
+        read_txn_changes,
+        snapshot as snap_of,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 400).repartitionByRange(4, "id"), root)   # v0
+    before = snap_of(root)
+    v1 = delete_txn_dv(spark, root, "id % 100 < 3 AND id < 200")      # v1
+    after = snap_of(root)
+    # the data file set is byte-identical; only a dv sidecar was added
+    assert set(after.files) == set(before.files)
+    assert sum(len(d) for d in after.file_dvs) >= 1
+    gone = {i for i in range(400) if i % 100 < 3 and i < 200}
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == sorted(
+        set(range(400)) - gone
+    )
+    # time travel to the pre-DV snapshot still sees every row
+    assert read_txn(spark, root, version=0).count() == 400
+    # a second DV computes positions over the DV-APPLIED view: no overlap
+    v2 = delete_txn_dv(spark, root, "id < 10")                        # v2
+    gone2 = gone | set(range(10))
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == sorted(
+        set(range(400)) - gone2
+    )
+    # a no-match predicate commits nothing
+    assert delete_txn_dv(spark, root, "id > 100000") == v2
+    # CDF: each DV commit's deletes are exactly the newly-tombstoned rows
+    ch = read_txn_changes(spark, root, from_version=0).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    assert by[(v1, "delete")] == gone
+    assert by[(v2, "delete")] == set(range(10)) - gone
+    assert (v1, "insert") not in by and (v2, "insert") not in by
+    # MERGE against a DV-carrying file: tombstoned rows stay dead
+    src = spark.createDataFrame([(150, -1)], "id long, v long")
+    merge_txn(spark, src, root, on="id")                              # v3
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    assert got[150] == -1 and 100 not in got and 0 not in got
+    assert len(got) == 400 - len(gone2)
+    # compaction materializes tombstones away: fresh files, no dvs, same rows
+    compact_txn(spark, root, target_files=2)                          # v4
+    final = snap_of(root)
+    assert all(len(d) == 0 for d in final.file_dvs)
+    assert {r.id for r in read_txn(spark, root).collect()} == set(got)
+    # vacuum with retention 1: the old data files AND dv sidecars are
+    # garbage now that no retained snapshot references them
+    removed = vacuum_txn(root, retain_versions=1, min_age_sec=0)
+    assert any(f.startswith("dv-") for f in removed), removed
+    assert {r.id for r in read_txn(spark, root).collect()} == set(got)
+
+
 def _sc_merge_prunes_untouched_files(spark, base):
     """File-pruned MERGE (VERDICT r7 #2): a narrow CDC batch against a
     key-clustered table rewrites ONLY the files whose key range holds a
@@ -424,6 +487,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     scan provably opens a strict subset of the table's files."""
     from dbt_trill_shop_spark.operators.txn_demo import (
         ROUND8_TXN_QUERIES,
+        ROUND9_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -434,8 +498,19 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         probs = compare(fn(spark, SF_DIR), oracle_frame(con, sql))
         assert not probs, f"{name}: " + "; ".join(probs)
 
+    every = {**ROUND8_TXN_QUERIES, **ROUND9_STAGED}
     with ThreadPoolExecutor(max_workers=3) as ex:
-        list(ex.map(one, ROUND8_TXN_QUERIES.items()))
+        list(ex.map(one, every.items()))
+    # the staged DV query's story depends on merge-on-read: the delete
+    # commit must leave the data file set byte-identical
+    import dbt_trill_shop_spark.sources.txn_table as _tt
+    import tempfile as _tf
+
+    dv_root = os.path.join(_tf.gettempdir(), f"txn_dvdel_{os.getpid()}")
+    s0 = _tt.snapshot(dv_root, version=0)
+    s1 = _tt.snapshot(dv_root)
+    assert set(s1.files) == set(s0.files)
+    assert sum(len(d) for d in s1.file_dvs) >= 1
     pruned = txn_skipping_scan(spark, SF_DIR)
     import dbt_trill_shop_spark.sources.txn_table as tt
     import tempfile
@@ -448,6 +523,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_deletion_vectors_merge_on_read,
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
