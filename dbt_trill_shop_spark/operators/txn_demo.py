@@ -359,12 +359,70 @@ FROM kept
 ORDER BY version
 """
 
+def stream_txn_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn table AS a streaming SOURCE (STAGED for round 9): three append
+    commits land in a txn table; a Structured Streaming query tails the
+    commit log (``sources/txn_stream.py`` — offsets are log versions, one
+    input partition per added file, Arrow-batch reads) and drains into a
+    per-priority rollup.  Micro-batch boundaries cannot change a sum, so
+    the drained aggregate equals plain SQL over the source table — and
+    together with ``txn_stream_sink`` this closes the loop: one pipeline
+    commits, downstream pipelines tail."""
+    from ..sources.txn_stream import stream_txn_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("streamtail")
+    for m in (0, 1, 2):  # three commits = three tailed micro-batch sources
+        write_txn(orders.filter(F.col("o_orderkey") % 3 == m), root)
+    src = stream_txn_table(spark, root)
+    agg = src.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dollars("cents").alias("total_dollars"),
+    )
+    import uuid
+
+    name = f"txn_tail_{uuid.uuid4().hex[:10]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("o_orderpriority")
+
+
+STREAM_TXN_TAIL_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # Staged for the round-9 window (the round-8 window is frozen at 50):
 # parity-tested alongside the registered queries by the pooled scenario.
-# r9 wiring data: plan scale-audit CLEAN; sf0.1 oracle-green; warm 2.3 s
-# (cold 5.5 s) on local[32] at ambient ~1.0.
+# r9 wiring data: q_txn_dv_delete plan scale-audit CLEAN, sf0.1
+# oracle-green, warm 2.3 s (cold 5.5 s) on local[32] at ambient ~1.0;
+# s_stream_txn_tail is a streaming drain (plan audited post-drain on the
+# memory-sink table; stream plans carry their own micro-batch exchanges).
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
+    "s_stream_txn_tail": (stream_txn_tail_rollup, STREAM_TXN_TAIL_SQL),
 }
 
 ROUND8_TXN_QUERIES = {

@@ -1,0 +1,186 @@
+"""Structured-Streaming SOURCE over a transaction-logged table
+(sources/txn_table.py): tail the commit log as micro-batches — the
+other half of the loop whose sink side is ``txn_stream_sink`` (an
+exactly-once ``foreachBatch`` writer).  Together they make txn tables a
+streaming medium: one pipeline commits, downstream pipelines tail.
+
+Design (the Delta streaming-source shape, re-expressed on the PySpark
+Python DataSource API):
+
+- **Offsets are log versions.**  ``initialOffset`` = the configured
+  ``startingVersion`` (default: everything), ``latestOffset`` = the last
+  committed version.  Offsets are exactly the unit the log already
+  serializes, so replay after a checkpoint restore is trivially
+  deterministic: ``partitions(start, end)`` re-derives the same file
+  list from the same immutable commit entries.
+- **One input partition per added file.**  The driver plans partitions
+  from the LOG ONLY (no directory listing, no footer reads — the same
+  zero-metadata-cost posture as snapshot reads); executors read their
+  one file each via pyarrow and ship Arrow record batches to the JVM,
+  so the hot path is columnar end-to-end.
+- **Append-only contract, loud by default.**  A commit carrying removes
+  or deletion vectors (overwrite / MERGE / DELETE) is NOT representable
+  as a pure insert stream; the reader raises unless
+  ``ignoreChanges=true`` (Delta's option of the same name), in which
+  case only the commit's adds flow — re-inserted survivor rows reappear
+  downstream, the documented ignoreChanges trade.  Compaction commits
+  are physical rewrites, not data: always skipped entirely.
+- **Schema = the table's schema at stream start**, additive evolution
+  reconciled per file: an old file's missing columns surface as typed
+  NULL Arrow columns (same rule as ``read_txn``).
+
+100 TB posture: a micro-batch's cost is proportional to the NEW commits'
+file bytes, never the table; offset planning folds a few KB of JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .txn_table import _list_versions, _read_entry, snapshot
+
+try:  # pyspark >= 4 Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+except ImportError:  # pragma: no cover - import-gated like pydatasource.py
+    DataSource = object
+    DataSourceStreamReader = object
+    InputPartition = object
+
+
+class _TxnFilePartition(InputPartition):
+    def __init__(self, path: str, file_schema_json: str, version: int) -> None:
+        self.path = path
+        self.file_schema_json = file_schema_json
+        self.version = version
+
+
+class _TxnStreamReader(DataSourceStreamReader):
+    """Partition-planned stream reader (NOT the Simple driver-side one):
+    executors read the planned files in parallel — the scale path."""
+
+    def __init__(self, options: dict, schema) -> None:
+        # Python DataSource options arrive lower-cased
+        self.root = options.get("root") or options.get("path")
+        if not self.root:
+            raise ValueError("txn_table_stream needs .option('root', <table dir>)")
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")
+        ).lower() == "true"
+        self.start_version = int(options.get("startingversion", -1))
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self.root)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        parts: list[_TxnFilePartition] = []
+        for v in _list_versions(self.root):
+            if not (start["version"] < v <= end["version"]):
+                continue
+            e = _read_entry(self.root, v)
+            if e.get("mode") == "compact":
+                continue  # physical rewrite, not data
+            has_changes = any("remove" in a or "dv" in a for a in e["actions"])
+            if has_changes and not self.ignore_changes:
+                raise ValueError(
+                    f"commit {v} of {self.root} removes or tombstones rows; "
+                    "a txn stream is append-only — pass "
+                    ".option('ignoreChanges', 'true') to tail adds anyway "
+                    "(re-inserted survivor rows will reappear downstream)"
+                )
+            for a in e["actions"]:
+                if "add" in a:
+                    parts.append(
+                        _TxnFilePartition(
+                            os.path.join(self.root, a["add"]), e["schema"], v
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _TxnFilePartition):
+        """Executor-side: one parquet file -> Arrow record batches aligned
+        to the STREAM schema (missing later-added columns become typed
+        NULL arrays; column order canonical)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType
+
+        file_fields = {
+            f.name for f in StructType.fromJson(json.loads(partition.file_schema_json)).fields
+        }
+        want_names = [f.name for f in self.schema.fields]
+        tbl = pq.read_table(
+            partition.path,
+            columns=[n for n in want_names if n in file_fields],
+        )
+        n = tbl.num_rows
+        cols = []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in file_fields:
+                c = tbl.column(f.name)
+                if c.type != at:
+                    c = c.cast(at)
+                cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+            else:
+                cols.append(pa.nulls(n, type=at))
+        out = pa.table(cols, names=want_names)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:  # offsets live in the query ckpt
+        pass
+
+
+class TxnTableStreamDataSource(DataSource):
+    """``spark.readStream.format("txn_table_stream").option("root", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_table_stream"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        root = self.options.get("root") or self.options.get("path")
+        return StructType.fromJson(json.loads(snapshot(root).schema_json))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TxnStreamReader(self.options, schema)
+
+
+def register_txn_stream_source(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(TxnTableStreamDataSource)
+    except Exception:  # already registered in this session
+        pass
+
+
+def stream_txn_table(
+    spark: SparkSession,
+    root: str,
+    starting_version: int = -1,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """``readStream`` over a txn table's commits after ``starting_version``
+    (-1 = from the beginning)."""
+    register_txn_stream_source(spark)
+    return (
+        spark.readStream.format("txn_table_stream")
+        .option("root", root)
+        .option("startingVersion", starting_version)
+        .option("ignoreChanges", str(ignore_changes).lower())
+        .load()
+    )

@@ -279,6 +279,66 @@ def _sc_change_data_feed(spark, base):
     replay_equals_snapshot(3, 5)
 
 
+def _sc_stream_source_tails_commits(spark, base):
+    """Txn table as a streaming SOURCE: offsets are log versions, each
+    micro-batch is the new commits' added files, startingVersion skips
+    history, schema evolution pads typed NULLs, compaction commits are
+    invisible, and a remove-carrying commit is LOUD (append-only
+    contract) unless ignoreChanges opts in."""
+    import uuid
+
+    from dbt_trill_shop_spark.sources.txn_stream import stream_txn_table
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 3), root)                     # v0
+    write_txn(_df(spark, 3, 5, extra="new"), root)        # v1: adds `tag`
+    compact_txn(spark, root, target_files=1)              # v2: not data
+
+    def drain(src):
+        name = f"tail_{uuid.uuid4().hex[:10]}"
+        q = (
+            src.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).collect()
+
+    rows = drain(stream_txn_table(spark, root))
+    assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4]
+    # stream schema is the CURRENT table schema; pre-evolution rows pad NULL
+    assert {r.id: r.tag for r in rows} == {0: None, 1: None, 2: None,
+                                           3: "new", 4: "new"}
+    # compaction added files but contributed no stream rows
+    assert len(rows) == 5
+    # startingVersion: tail only commits AFTER v0
+    rows1 = drain(stream_txn_table(spark, root, starting_version=0))
+    assert sorted(r.id for r in rows1) == [3, 4]
+    # a remove-carrying commit breaks the append-only contract loudly...
+    delete_txn(spark, root, "id = 0")                     # v3: overwrite
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        drain(stream_txn_table(spark, root, starting_version=2))
+    # ...unless ignoreChanges opts in: the rewrite's adds flow through
+    rows2 = drain(
+        stream_txn_table(spark, root, starting_version=2, ignore_changes=True)
+    )
+    assert sorted(r.id for r in rows2) == [1, 2, 3, 4]
+    # exactly-once bookkeeping: replanning the same offset window is
+    # deterministic (same files, same rows) — the checkpoint-replay story
+    rows2b = drain(
+        stream_txn_table(spark, root, starting_version=2, ignore_changes=True)
+    )
+    assert sorted((r.id, r.v) for r in rows2b) == sorted((r.id, r.v) for r in rows2)
+    # value sanity under evolution: old columns intact post-pad
+    assert {r.v for r in rows if r.id == 4} == {40}
+
+
 def _sc_deletion_vectors_merge_on_read(spark, base):
     """Merge-on-read DELETE: tombstones ride a small sidecar; NO data file
     is rewritten by the commit.  Readers apply them, time travel ignores
@@ -523,6 +583,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_stream_source_tails_commits,
     _sc_deletion_vectors_merge_on_read,
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
