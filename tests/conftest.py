@@ -28,6 +28,10 @@ def pytest_collection_finish(session):
         from . import test_zscale_empty_sweep
 
         test_zscale_empty_sweep.launch()
+    if "test_pooled_scenarios_from_sibling" in selected:
+        from . import test_z_scenarios_join
+
+        test_z_scenarios_join.launch()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,103 @@
+"""Pooled-scenario worker: the suite's three largest serial blocks — the
+txn-table ACID scenarios, the ext planted-signal pool, and the ext pooled
+checks — in ONE SIBLING PROCESS of the main suite.  Same measured
+reasoning as the oracle-parity sibling: each pool is dominated by py4j
+job submission + tiny local I/O that never saturates the box, so a
+sibling overlaps the rest of the suite for nearly free wall-clock
+(in-suite the three blocks cost ~26 + 21 + 14 s idle on the critical
+path).
+
+Own Spark session; every scenario/check is a self-contained
+``fn(spark[, sf_dir])`` with disjoint tmp paths, so nothing collides
+with the main session.  The monkeypatching serial tests (txn conflict
+injection) STAY in the main suite — they patch module internals and
+belong in one process.
+
+Launched by conftest.pytest_collection_finish when the join test
+(test_z_scenarios_join.py) survives selection; joined there with full
+per-scenario tracebacks.
+
+Usage: python tests/scenarios_sibling_subprocess.py <sf_dir> <out_json>
+"""
+import inspect
+import json
+import os
+import sys
+import tempfile
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+
+def main(sf_dir: str, out_path: str) -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    os.environ.setdefault("TEST_SF_DIR", sf_dir)
+
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.session import get_spark
+    from tests.test_ext import _POOLED_CHECKS
+    from tests.test_ext_planted import _PLANTED
+    from tests.test_txn_table import _SCENARIOS
+
+    spark = get_spark(
+        app_name="trillshop-scenarios-sibling",
+        master="local[8]",
+        shuffle_partitions=8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    base = tempfile.mkdtemp(prefix="txn_sibling_")
+    # cadence is config, not logic: 4 keeps the checkpoint scenario at 7
+    # commits (same pin as the old in-suite pooled runner)
+    tt._CHECKPOINT_EVERY = 4
+
+    def txn_one(fn):
+        d = os.path.join(base, fn.__name__)
+        os.makedirs(d, exist_ok=True)
+        try:
+            fn(spark, d)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    def check_one(fn):
+        try:
+            if len(inspect.signature(fn).parameters) == 2:
+                fn(spark, sf_dir)
+            else:
+                fn(spark)
+        except Exception:
+            return f"{fn.__name__}:\n{traceback.format_exc()}"
+        return None
+
+    problems: list[str] = []
+    timings: dict[str, float] = {}
+    for name, fns, runner, workers in (
+        ("txn", _SCENARIOS, txn_one, 8),
+        ("ext_checks", _POOLED_CHECKS, check_one, 12),
+        ("ext_planted", _PLANTED, check_one, 12),
+    ):
+        g0 = time.time()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            problems += [p for p in ex.map(runner, fns) if p]
+        timings[name] = round(time.time() - g0, 1)
+    result = {
+        "n_scenarios": len(_SCENARIOS) + len(_POOLED_CHECKS) + len(_PLANTED),
+        "elapsed_sec": round(time.time() - t0, 1),
+        "group_sec": timings,
+        "problems": problems,
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(result, fh)
+    os.replace(tmp, out_path)
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1682,21 +1682,6 @@ _POOLED_CHECKS = [
 ]
 
 
-def test_ext_pooled_checks(spark, sf_dir):
-    import inspect
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
-
-    def one(fn):
-        try:
-            if len(inspect.signature(fn).parameters) == 2:
-                fn(spark, sf_dir)
-            else:
-                fn(spark)
-        except Exception:
-            return f"{fn.__name__}:\n{traceback.format_exc()}"
-        return None
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        bad = [p for p in ex.map(one, _POOLED_CHECKS) if p]
-    assert not bad, "\n\n".join(bad)
+# _POOLED_CHECKS run in the pooled-scenarios SIBLING PROCESS since round 8
+# (scenarios_sibling_subprocess.py, joined by test_z_scenarios_join.py) —
+# the in-suite pool was the second-largest serial block (~21 s idle).

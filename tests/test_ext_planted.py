@@ -547,21 +547,6 @@ _PLANTED = [
 ]
 
 
-def test_ext_planted_pooled(spark, sf_dir):
-    import inspect
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
-
-    def one(fn):
-        try:
-            if "sf_dir" in inspect.signature(fn).parameters:
-                fn(spark, sf_dir)
-            else:
-                fn(spark)
-        except Exception:
-            return f"{fn.__name__}:\n{traceback.format_exc()}"
-        return None
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        bad = [p for p in ex.map(one, _PLANTED) if p]
-    assert not bad, "\n\n".join(bad)
+# _PLANTED runs in the pooled-scenarios SIBLING PROCESS since round 8
+# (scenarios_sibling_subprocess.py, joined by test_z_scenarios_join.py) —
+# the in-suite pool was a ~14 s idle serial block.

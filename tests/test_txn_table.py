@@ -3,15 +3,16 @@ semantics staged for the round-8 registry wave — atomic commits, time
 travel, optimistic concurrency, additive schema evolution, compaction,
 vacuum retention, data skipping, log checkpoints, exactly-once sink.
 
-Scenarios run POOLED (the suite-wide pattern: py4j/Spark job submission
-release the GIL, and every scenario owns a disjoint table root), which
-cut this file from ~41 s serial to ~15 s.  The one monkeypatching test
+Scenarios run POOLED in a SIBLING PROCESS overlapping the whole suite
+(txn_sibling_subprocess.py; join point tests/test_z_txn_join.py — the
+suite-wide pattern: py4j/Spark job submission releases the GIL, every
+scenario owns a disjoint table root, and the pool had become the main
+suite's largest serial block at ~26 s idle).  The monkeypatching tests
 (conflict injection patches module internals other threads would see)
-stays a separate serial test."""
+stay serial in the main process."""
 
 import json
 import os
-import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 import pytest
@@ -601,30 +602,11 @@ _SCENARIOS = [
 ]
 
 
-def test_txn_scenarios_pooled(spark, tmp_path):
-    import dbt_trill_shop_spark.sources.txn_table as tt
-
-    old = tt._CHECKPOINT_EVERY
-    # cadence is config, not logic: 4 keeps the checkpoint scenario at 7
-    # commits; the other scenarios tolerate any cadence (checkpoints are
-    # behavior-neutral — fold equivalence is asserted above)
-    tt._CHECKPOINT_EVERY = 4
-    try:
-
-        def one(fn):
-            d = tmp_path / fn.__name__
-            d.mkdir()
-            try:
-                fn(spark, str(d))
-            except Exception:
-                return f"{fn.__name__}:\n{traceback.format_exc()}"
-            return None
-
-        with ThreadPoolExecutor(max_workers=6) as ex:
-            bad = [p for p in ex.map(one, _SCENARIOS) if p]
-    finally:
-        tt._CHECKPOINT_EVERY = old
-    assert not bad, "\n\n".join(bad)
+# The pooled scenario runner lives in a SIBLING PROCESS since round 8
+# (txn_sibling_subprocess.py runs _SCENARIOS overlapping the whole suite;
+# tests/test_z_txn_join.py is the join point) — the pool was the suite's
+# largest serial block (~26 s idle).  Only the monkeypatching serial
+# tests below run in the main process.
 
 
 def test_merge_conflict_preserves_concurrent_append(spark, tmp_path, monkeypatch):
