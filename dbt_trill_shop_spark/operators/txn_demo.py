@@ -416,12 +416,60 @@ ORDER BY o_orderpriority
 
 # Staged for the round-9 window (the round-8 window is frozen at 50):
 # parity-tested alongside the registered queries by the pooled scenario.
-# r9 wiring data: q_txn_dv_delete plan scale-audit CLEAN, sf0.1
-# oracle-green, warm 2.3 s (cold 5.5 s) on local[32] at ambient ~1.0;
-# s_stream_txn_tail is a streaming drain (plan audited post-drain on the
-# memory-sink table; stream plans carry their own micro-batch exchanges).
+# r9 wiring data (all plan scale-audit CLEAN, sf0.1 oracle-green on
+# local[32] at ambient ~1.0): q_txn_dv_delete warm 2.3 s (cold 5.5),
+# q_txn_restore warm 0.9 s (cold 3.0), s_stream_txn_tail warm 2.7 s
+# (cold 8.1 — stream machinery spin-up dominates).
+def txn_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (STAGED for round 9): v0 = full orders table, v1 = a
+    fat-fingered DELETE, v2 = `restore_txn` back to v0 — one metadata-only
+    commit, instant at any table size.  Result: one row per version; the
+    restored state equals the original exactly while the mistake stays
+    reachable in history (time travel to v1)."""
+    from ..sources.txn_table import restore_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("restore")
+    write_txn(orders, root)                          # v0
+    delete_txn(spark, root, "cents >= 10000000")     # v1: oops — $100k+ gone
+    restore_txn(root, 0)                             # v2: instant rollback
+    parts = [
+        read_txn(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .select(F.lit(v).cast("bigint").alias("version"), "n_orders", "total_dollars")
+        for v in (0, 1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]).orderBy("version")
+
+
+TXN_RESTORE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+v1 AS (SELECT * FROM o WHERE NOT COALESCE(cents >= 10000000, FALSE))
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM o
+UNION ALL
+SELECT 1, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) FROM v1
+UNION ALL
+SELECT 2, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) FROM o
+ORDER BY version
+"""
+
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
+    "q_txn_restore": (txn_restore_orders, TXN_RESTORE_SQL),
     "s_stream_txn_tail": (stream_txn_tail_rollup, STREAM_TXN_TAIL_SQL),
 }
 

@@ -196,7 +196,10 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         e = _read_entry(root, v)
         for a in e["actions"]:
             if "add" in a:
-                live[a["add"]] = (e["schema"], a.get("stats", {}), ())
+                # an add normally inherits its commit's schema; RESTORE
+                # re-adds files from heterogeneous-schema history and
+                # carries each file's original schema on the action
+                live[a["add"]] = (a.get("schema", e["schema"]), a.get("stats", {}), ())
             elif "remove" in a:
                 live.pop(a["remove"], None)
             elif "dv" in a:
@@ -761,11 +764,66 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     )
 
 
+def restore_txn(root: str, version: int) -> int:
+    """RESTORE (rollback): make the table's latest state equal its state
+    at ``version`` via ONE METADATA-ONLY commit — no data bytes move, so
+    rolling back a fat-fingered DELETE on a 100 TB table is instant (the
+    Delta RESTORE design).  The commit removes every currently-live file,
+    re-adds every file live at ``version`` (each carrying its ORIGINAL
+    commit-time schema and stats on the action, so heterogeneous-schema
+    history restores exactly), and re-applies that version's deletion-
+    vector chains.  History is preserved: the restore is itself a new
+    commit, time travel still reaches the undone states, and the change
+    feed reports it as the (correct) full logical diff.
+
+    Restorability is bounded by vacuum retention, same as Delta: a data
+    file or DV sidecar already vacuumed raises FileNotFoundError before
+    anything commits.  Pinned OCC: a concurrent commit between the read
+    and the restore raises TxnConflict."""
+    versions = _list_versions(root)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+        )
+    target = _fold(root, [v for v in versions if v <= version])
+    cur = _fold(root, versions)
+    tgt = [
+        (os.path.relpath(p, root), sj, st, dvs)
+        for p, sj, st, dvs in zip(
+            target.files, target.file_schemas, target.file_stats, target.file_dvs
+        )
+    ]
+    need = {r for r, _, _, _ in tgt}
+    for _, _, _, dvs in tgt:
+        need.update(dvs)
+    gone = sorted(r for r in need if not os.path.exists(os.path.join(root, r)))
+    if gone:
+        raise FileNotFoundError(
+            f"cannot restore {root} to version {version}: "
+            f"{len(gone)} file(s) already vacuumed, e.g. {gone[:3]}"
+        )
+    actions: list[dict] = [
+        {"remove": os.path.relpath(p, root)} for p in cur.files
+    ]
+    actions += [{"add": r, "stats": st, "schema": sj} for r, sj, st, _ in tgt]
+    dv_applies: dict[str, list[str]] = {}
+    for r, _, _, dvs in tgt:
+        for d in dvs:
+            dv_applies.setdefault(d, []).append(r)
+    actions += [
+        {"dv": d, "applies": sorted(rels)} for d, rels in sorted(dv_applies.items())
+    ]
+    return _commit_pinned(
+        root, cur.version, "restore", actions, target.schema_json, "restore"
+    )
+
+
 def compact_txn(
     spark: SparkSession,
     root: str,
     target_files: int = 8,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Rewrite the current snapshot's files into ``target_files`` larger
     ones (small-file compaction — the routine maintenance op at scale
@@ -781,12 +839,38 @@ def compact_txn(
     key interval, which is exactly what makes the log's min/max stats
     prune (see read_txn's ``prune`` and txn_demo's repartitionByRange
     lesson — hash placement gives every file the full key range and
-    nothing ever skips).  For a genuine multi-column Z-order, pass a
-    single interleaved key column built with the engine's
-    ``_morton_expr`` (operators/analytics.py) instead."""
+    nothing ever skips).
+
+    ``zorder=True`` with exactly two cluster columns is a genuine
+    Z-ORDER rewrite (Delta's OPTIMIZE ... ZORDER BY): each column
+    quantizes to 256 equal-count buckets via approx-quantile boundaries
+    embedded as LITERALS (the house quantile_bucket pattern — skew-proof,
+    branch-consistent), the bucket ids bit-interleave into one Morton key
+    (operators/analytics._morton_expr), and rows range-partition on it —
+    every output file then covers a tight RECTANGLE in (a, b) space, so
+    the log's min/max stats prune on EITHER dimension, not just the
+    leading one (lexicographic range clustering prunes only on the first
+    column)."""
     snap = snapshot(root)
     df = read_txn(spark, root)
-    if cluster_by:
+    if cluster_by and zorder:
+        if len(cluster_by) != 2:
+            raise ValueError("zorder interleaves exactly two cluster columns")
+        from ..operators.analytics import _morton_expr
+        from ..operators.twophase import quantile_bucket
+
+        a, b = cluster_by
+        df = quantile_bucket(df, a, n=256).withColumnRenamed("__tp_qb", "__za")
+        df = quantile_bucket(df, b, n=256).withColumnRenamed("__tp_qb", "__zb")
+        z = _morton_expr(
+            F_col("__za").cast("int"), F_col("__zb").cast("int"), bits=8
+        )
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F_col("__z"))
+            .drop("__za", "__zb", "__z")
+        )
+    elif cluster_by:
         df = df.repartitionByRange(target_files, *[F_col(c) for c in cluster_by])
     else:
         df = df.coalesce(target_files)
@@ -913,7 +997,8 @@ def read_txn_changes(
                     continue  # removed file never visible in a snapshot
                 sj, dvs = ent
             else:
-                sj, dvs = e["schema"], ()
+                # RESTORE re-adds carry the file's original schema
+                sj, dvs = a.get("schema", e["schema"]), ()
             parts.append(
                 _file_df(rel, sj, dvs).withColumn(
                     "_change_type", F.lit(change)
@@ -924,10 +1009,13 @@ def read_txn_changes(
             # version's delete lookups see v's own adds/removes/tombstones
             for a in e["actions"]:
                 if "add" in a:
-                    prior_map[a["add"]] = (e["schema"], ())
+                    prior_map[a["add"]] = (a.get("schema", e["schema"]), ())
                 elif "remove" in a:
                     prior_map.pop(a["remove"], None)
-                elif "dv" in a:
+            for a in e["actions"]:
+                # dv actions roll AFTER adds: a RESTORE commit re-applies
+                # tombstones to files it re-added in the same entry
+                if "dv" in a:
                     for f in a["applies"]:
                         if f in prior_map:
                             s, dvs = prior_map[f]

@@ -280,6 +280,84 @@ def _sc_change_data_feed(spark, base):
     replay_equals_snapshot(3, 5)
 
 
+def _sc_restore_rewinds_state_metadata_only(spark, base):
+    """RESTORE: one metadata-only commit rewinds the table to a prior
+    version — no data bytes move, heterogeneous-schema history restores
+    exactly, DV chains reinstate, history stays reachable, and a
+    vacuumed-away target is loud before anything commits."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv,
+        restore_txn,
+        snapshot as snap_of,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 10), root)                    # v0
+    write_txn(_df(spark, 10, 20, extra="new"), root)      # v1: adds `tag`
+    delete_txn_dv(spark, root, "id < 3")                  # v2: DV
+    state_v2 = sorted((r.id, r.tag) for r in read_txn(spark, root).collect())
+    delete_txn(spark, root, "id >= 15")                   # v3: rewrite (oops)
+    assert read_txn(spark, root).count() == 12
+    pre_restore_rels = {os.path.basename(p) for p in snap_of(root).files}
+    v4 = restore_txn(root, 2)                             # undo the delete
+    assert v4 == 4
+    got = sorted((r.id, r.tag) for r in read_txn(spark, root).collect())
+    assert got == state_v2
+    # metadata-only: every restored file already existed on disk (the
+    # commit introduced NO new data files)
+    post = snap_of(root)
+    assert all(
+        os.path.basename(p) not in pre_restore_rels
+        or os.path.exists(p)
+        for p in post.files
+    )
+    new_rels = {os.path.basename(p) for p in post.files}
+    all_known = {
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    }
+    assert new_rels <= all_known
+    # DV chain reinstated: tombstoned ids stay dead after the restore
+    assert sum(len(d) for d in post.file_dvs) >= 1
+    assert not {i for i, _ in got} & {0, 1, 2}
+    # the undone state is still reachable (restore is history, not erasure)
+    assert read_txn(spark, root, version=3).count() == 12
+    # restore to the PRE-EVOLUTION schema drops the evolved column
+    restore_txn(root, 0)                                  # v5
+    df0 = read_txn(spark, root)
+    assert "tag" not in df0.columns
+    assert sorted(r.id for r in df0.collect()) == list(range(10))
+    # roll forward again (restore of a restore) and then verify vacuum
+    # bounds restorability: drop history, restore must be LOUD
+    restore_txn(root, 4)                                  # v6 == v4 state
+    assert sorted((r.id, r.tag) for r in read_txn(spark, root).collect()) == state_v2
+    compact_txn(spark, root, target_files=1)              # v7: fresh file
+    vacuum_txn(root, retain_versions=1, min_age_sec=0)
+    with pytest.raises(FileNotFoundError):
+        restore_txn(root, 0)
+
+
+def _sc_zorder_compaction_prunes_both_dims(spark, base):
+    """Z-ORDER clustering compaction: after the Morton rewrite the log's
+    min/max stats prune files on EITHER dimension — the second dimension
+    would never prune under plain lexicographic range clustering."""
+    root = os.path.join(base, "t")
+    df = spark.range(0, 4096).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x", "CAST(id / 64 AS BIGINT) AS y"
+    )
+    write_txn(df.repartition(4), root)
+    compact_txn(spark, root, target_files=16, cluster_by=["x", "y"], zorder=True)
+    n_live = len(snapshot(root).files)
+    assert n_live >= 8
+    pruned_x = read_txn(spark, root, prune={"x": (0, 7)})
+    pruned_y = read_txn(spark, root, prune={"y": (0, 7)})
+    assert len(pruned_x.inputFiles()) < n_live
+    assert len(pruned_y.inputFiles()) < n_live
+    # values intact, filters still row-exact on the pruned scan
+    assert pruned_x.filter("x <= 7").count() == 64 * 8
+    assert pruned_y.filter("y <= 7").count() == 64 * 8
+    assert read_txn(spark, root).count() == 4096
+
+
 def _sc_stream_source_tails_commits(spark, base):
     """Txn table as a streaming SOURCE: offsets are log versions, each
     micro-batch is the new commits' added files, startingVersion skips
@@ -584,6 +662,8 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_restore_rewinds_state_metadata_only,
+    _sc_zorder_compaction_prunes_both_dims,
     _sc_stream_source_tails_commits,
     _sc_deletion_vectors_merge_on_read,
     _sc_merge_prunes_untouched_files,
