@@ -56,6 +56,11 @@ class TxnConflict(Exception):
     operation is not automatically retryable (overwrite racing overwrite)."""
 
 
+class ConstraintViolation(Exception):
+    """A write's rows violate a table CHECK constraint — the commit was
+    never published (staging fails before the log entry is created)."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     """An immutable view of the table at one committed version.
@@ -73,6 +78,7 @@ class Snapshot:
     schema_json: str
     committed_at_ms: int
     file_dvs: tuple[tuple[str, ...], ...] = ()  # dv rels aligned with files
+    constraints: tuple[tuple[str, str], ...] = ()  # (name, CHECK expr) sorted
 
 
 def _log_dir(root: str) -> str:
@@ -164,6 +170,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "schema": snap.schema_json,
         "ts_ms": snap.committed_at_ms,
         "batch_ids": sorted(ids),
+        "constraints": dict(snap.constraints),
     }
     tmp = _ckpt_path(root, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -181,6 +188,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     schema_json = ""
     ts = 0
     start = 0
+    constraints: dict[str, str] = {}
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -190,6 +198,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         schema_json = ckpt["schema"]
         ts = ckpt["ts_ms"]
         start = ckpt["version"] + 1
+        constraints = dict(ckpt.get("constraints", {}))
     for v in versions:
         if v < start:
             continue
@@ -209,6 +218,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
                         live[f] = (s, st, dvs + (a["dv"],))
         schema_json = e["schema"]
         ts = e["ts_ms"]
+        if "constraints" in e:  # constraint-changing commits carry the map
+            constraints = dict(e["constraints"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -217,6 +228,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         schema_json=schema_json,
         committed_at_ms=ts,
         file_dvs=tuple(dvs for _, _, dvs in live.values()),
+        constraints=tuple(sorted(constraints.items())),
     )
 
 
@@ -271,12 +283,87 @@ def _file_may_match(stats: dict, prune: dict) -> bool:
     return True
 
 
+_CMP_RE = None  # compiled lazily in _prune_from_predicate
+
+
+def _prune_from_predicate(predicate: str) -> dict:
+    """CONSERVATIVELY derive data-skipping intervals ``{col: (lo, hi)}``
+    from a SQL boolean expression — the automatic form of ``read_txn``'s
+    manual ``prune`` dict, so a caller's WHERE clause prunes files with
+    no extra API.
+
+    Soundness rules (pruning must never drop a file that could match):
+    only a TOP-LEVEL CONJUNCTION is considered, and any OR / NOT /
+    parenthesis / IN / function call disables pruning entirely (their
+    interaction with conjuncts can widen the row set).  Within the
+    conjunction, only ``col <op> literal`` / ``literal <op> col`` /
+    ``col BETWEEN a AND b`` with numeric or single-quoted string literals
+    contribute bounds; every unrecognized conjunct (functions, ``!=``,
+    IS NULL, …) simply contributes nothing — a subset of conjuncts is
+    still a sound prune.  Strict ``<`` / ``>`` are widened to ``<=`` /
+    ``>=`` bounds (file-level min/max cannot express open intervals more
+    tightly — still sound, marginally less pruning)."""
+    import re
+
+    s = predicate.strip()
+    if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bCASE\b", s, re.IGNORECASE):
+        return {}
+    lit = r"('(?:[^']*)'|-?\d+(?:\.\d+)?)"
+    ident = r"([A-Za-z_][A-Za-z0-9_]*)"
+
+    def parse_lit(t: str):
+        if t.startswith("'"):
+            return t[1:-1]
+        return float(t) if "." in t else int(t)
+
+    out: dict[str, list] = {}
+
+    def narrow(col: str, lo=None, hi=None):
+        cur = out.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    # pre-pass: BETWEEN carries its own AND, so rewrite it into two
+    # comparisons BEFORE the conjunction split
+    s = re.sub(
+        ident + r"\s+BETWEEN\s+" + lit + r"\s+AND\s+" + lit,
+        r"\1 >= \2 AND \1 <= \3",
+        s,
+        flags=re.IGNORECASE,
+    )
+    for conj in re.split(r"\bAND\b", s, flags=re.IGNORECASE):
+        conj = conj.strip()
+        m = re.fullmatch(ident + r"\s*(>=|<=|=|==|>|<)\s*" + lit, conj)
+        if m:
+            col, op, l = m.group(1), m.group(2), parse_lit(m.group(3))
+            if op in (">=", ">"):
+                narrow(col, lo=l)
+            elif op in ("<=", "<"):
+                narrow(col, hi=l)
+            else:
+                narrow(col, lo=l, hi=l)
+            continue
+        m = re.fullmatch(lit + r"\s*(>=|<=|=|==|>|<)\s*" + ident, conj)
+        if m:
+            l, op, col = parse_lit(m.group(1)), m.group(2), m.group(3)
+            if op in (">=", ">"):
+                narrow(col, hi=l)  # lit >= col  ==>  col <= lit
+            elif op in ("<=", "<"):
+                narrow(col, lo=l)
+            else:
+                narrow(col, lo=l, hi=l)
+    return {c: (lo, hi) for c, (lo, hi) in out.items() if lo is not None or hi is not None}
+
+
 def read_txn(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     as_of_ms: int | None = None,
     prune: dict | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Snapshot read: plan from the log's explicit file list (never a
     directory listing).  Files group by their COMMIT-TIME schema (recorded
@@ -291,19 +378,33 @@ def read_txn(
     min/max provably cannot match — the scan then never opens them.
     Pruning is a FILE-set optimization, not a row filter: callers still
     apply their own ``.filter`` for row-level semantics (same contract as
-    partition pruning)."""
+    partition pruning).
+
+    ``where`` is the AUTOMATIC form: one SQL boolean expression that is
+    BOTH applied as a row filter AND conservatively compiled into prune
+    intervals (see ``_prune_from_predicate``) — the usual warehouse
+    experience where a WHERE clause skips files with no extra API."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     snap = snapshot(root, version=version, as_of_ms=as_of_ms)
     want = StructType.fromJson(json.loads(snap.schema_json))
+    bounds = dict(prune or {})
+    if where is not None:
+        for c, iv in _prune_from_predicate(where).items():
+            if c not in bounds:  # explicit prune wins on conflict
+                bounds[c] = iv
     keep = [
         (path, sj, dvs)
         for path, sj, st, dvs in zip(
             snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
         )
-        if prune is None or _file_may_match(st, prune)
+        if not bounds or _file_may_match(st, bounds)
     ]
-    return _scan_files(spark, keep, want, root=root)
+    out = _scan_files(spark, keep, want, root=root)
+    if where is not None:
+        out = out.filter(F.expr(where))
+    return out
 
 
 def _scan_files(
@@ -516,6 +617,101 @@ def _commit_pinned(
     return base_version + 1
 
 
+def _table_constraints(root: str) -> tuple[tuple[str, str], ...]:
+    try:
+        return snapshot(root).constraints
+    except FileNotFoundError:
+        return ()
+
+
+def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
+    """Embed CHECK-constraint validation INTO the write's single pass
+    (the Delta invariant-check design): the first output column wraps in
+    a ``when(violation, raise_error(...))`` chain, so a violating row
+    fails the staging job before any log entry exists — no second
+    validation scan of the batch, which matters when the batch is large.
+    SQL CHECK semantics: NULL passes, only FALSE violates."""
+    if not constraints or not df.columns:
+        return df
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    out_col = F.col(first)
+    for name, expr in sorted(constraints, reverse=True):
+        viol = ~F.coalesce(F.expr(expr), F.lit(True))
+        out_col = F.when(
+            viol,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {name!r} violated ({expr}); row="
+                    ),
+                    F.to_json(F.struct(*df.columns)),
+                )
+            ).cast(df.schema[first].dataType),
+        ).otherwise(out_col)
+    return df.withColumn(first, out_col)
+
+
+def _stage_checked(df: DataFrame, root: str, constraints):
+    """Stage with constraint checks embedded; surface a violating row as
+    ConstraintViolation instead of a raw executor stack."""
+    try:
+        return _stage_files(_with_constraint_checks(df, constraints), root)
+    except Exception as ex:  # noqa: BLE001 - re-raise below unless ours
+        s = str(ex)
+        i = s.find("CHECK constraint")
+        if i < 0:
+            raise
+        raise ConstraintViolation(s[i : i + 500].splitlines()[0]) from None
+
+
+def add_constraint_txn(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (CHECK): validates every EXISTING row
+    first (one scan — a constraint that doesn't hold on current data is
+    rejected, same as Delta), then publishes a METADATA-ONLY commit
+    carrying the updated constraint map; every subsequent write/merge
+    validates its rows in-pass.  Pinned OCC."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot(root)
+    cons = dict(snap.constraints)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    bad = (
+        read_txn(spark, root, version=snap.version)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ConstraintViolation(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it, e.g. {bad[0].asDict()}"
+        )
+    cons[name] = expr
+    return _commit_pinned(
+        root, snap.version, "set_constraint", [], snap.schema_json,
+        "add constraint", extra={"constraints": cons},
+    )
+
+
+def drop_constraint_txn(root: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    named CHECK constraint; unknown names are loud."""
+    snap = snapshot(root)
+    cons = dict(snap.constraints)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+    del cons[name]
+    return _commit_pinned(
+        root, snap.version, "set_constraint", [], snap.schema_json,
+        "drop constraint", extra={"constraints": cons},
+    )
+
+
 def write_txn(
     df: DataFrame,
     root: str,
@@ -550,7 +746,7 @@ def write_txn(
         raise ValueError(mode)
     if expected_base_version is not None and mode != "overwrite":
         raise ValueError("expected_base_version applies to overwrite commits only")
-    rels, schema_json, stats = _stage_files(df, root)
+    rels, schema_json, stats = _stage_checked(df, root, _table_constraints(root))
     adds = [{"add": r, "stats": stats[r]} for r in rels]
     if expected_base_version is not None:
         pin = expected_base_version
@@ -675,7 +871,7 @@ def merge_txn(
         root=root,
     ).join(source, on=keys, how="left_anti")
     merged = survivors.unionByName(source.select(*target_cols))
-    rels, schema_json, stats = _stage_files(merged, root)
+    rels, schema_json, stats = _stage_checked(merged, root, snap.constraints)
     actions = [
         {"remove": os.path.relpath(snap.files[i], root)} for i in touched
     ] + [{"add": r, "stats": stats[r]} for r in rels]
@@ -725,13 +921,18 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
 
     snap = snapshot(root)
     want = StructType.fromJson(json.loads(snap.schema_json))
-    scan = _scan_files(
-        spark,
-        list(zip(snap.files, snap.file_schemas, snap.file_dvs)),
-        want,
-        root=root,
-        keep_pos=True,
-    )
+    # tombstone computation is itself file-pruned: files whose log stats
+    # provably cannot match the predicate are never even scanned (they
+    # can contribute no tombstones)
+    bounds = _prune_from_predicate(predicate)
+    items = [
+        (p, sj, dvs)
+        for p, sj, st, dvs in zip(
+            snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
+        )
+        if not bounds or _file_may_match(st, bounds)
+    ]
+    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
     matches = (
         scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
         .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))

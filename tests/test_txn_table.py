@@ -280,6 +280,77 @@ def _sc_change_data_feed(spark, base):
     replay_equals_snapshot(3, 5)
 
 
+def _sc_check_constraints_enforced_in_pass(spark, base):
+    """CHECK constraints: added via a metadata-only commit (existing rows
+    validated first), enforced INSIDE every subsequent write/merge's
+    single staging pass (raise_error chain, no second scan), SQL
+    semantics (NULL passes, FALSE violates), survive checkpoints, and a
+    rejected write publishes NOTHING (the log is unchanged).  Predicate-
+    derived pruning (`where=`/`_prune_from_predicate`) rides along here."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        ConstraintViolation,
+        _prune_from_predicate,
+        add_constraint_txn,
+        drop_constraint_txn,
+        snapshot as snap_of,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 5), root)                      # v=id*10
+    # a constraint existing rows violate is rejected outright
+    with pytest.raises(ConstraintViolation):
+        add_constraint_txn(spark, root, "v_small", "v < 10")
+    add_constraint_txn(spark, root, "v_nonneg", "v >= 0")  # v1: ok
+    assert dict(snap_of(root).constraints) == {"v_nonneg": "v >= 0"}
+    # a violating append fails LOUDLY and publishes nothing
+    v_before = snap_of(root).version
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        write_txn(
+            spark.createDataFrame([(9, -1)], "id long, v long"), root
+        )
+    assert snap_of(root).version == v_before
+    assert read_txn(spark, root).count() == 5
+    # NULL passes (SQL CHECK three-valued semantics)
+    write_txn(
+        spark.createDataFrame([(9, None)], "id long, v long"), root
+    )
+    assert read_txn(spark, root).count() == 6
+    # merge enforces too
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        merge_txn(
+            spark,
+            spark.createDataFrame([(1, -5)], "id long, v long"),
+            root,
+            on="id",
+        )
+    # duplicate add and unknown drop are loud; drop re-opens the gate
+    with pytest.raises(ValueError):
+        add_constraint_txn(spark, root, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError):
+        drop_constraint_txn(root, "nope")
+    drop_constraint_txn(root, "v_nonneg")
+    write_txn(spark.createDataFrame([(10, -1)], "id long, v long"), root)
+    assert read_txn(spark, root).count() == 7
+
+    # predicate-derived data skipping: where= prunes files AND filters rows
+    root2 = os.path.join(base, "t2")
+    for lo in (0, 100, 200):
+        write_txn(_df(spark, lo, lo + 10).coalesce(1), root2)
+    q = read_txn(spark, root2, where="id >= 100 AND id <= 105")
+    assert len(q.inputFiles()) == 1
+    assert sorted(r.id for r in q.collect()) == list(range(100, 106))
+    # BETWEEN + strict ops widen soundly; OR/parens disable pruning
+    assert _prune_from_predicate("id BETWEEN 3 AND 7 AND v < 50") == {
+        "id": (3, 7), "v": (None, 50)
+    }
+    assert _prune_from_predicate("id = 5 OR v = 1") == {}
+    assert _prune_from_predicate("(id = 5)") == {}
+    assert _prune_from_predicate("id % 3 = 1 AND id >= 7") == {"id": (7, None)}
+    assert _prune_from_predicate("name = 'x' AND 10 >= id") == {
+        "name": ("x", "x"), "id": (None, 10)
+    }
+
+
 def _sc_restore_rewinds_state_metadata_only(spark, base):
     """RESTORE: one metadata-only commit rewinds the table to a prior
     version — no data bytes move, heterogeneous-schema history restores
@@ -662,6 +733,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_check_constraints_enforced_in_pass,
     _sc_restore_rewinds_state_metadata_only,
     _sc_zorder_compaction_prunes_both_dims,
     _sc_stream_source_tails_commits,
