@@ -329,15 +329,22 @@ def txn_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _tmp_root("dvdel")
     write_txn(orders.repartitionByRange(8, "o_orderkey"), root)
-    delete_txn_dv(spark, root, "cents < 15000000")  # orders under $150k
+    # a predicate matching NOTHING commits nothing and returns the current
+    # version (degenerate inputs: empty table, all-NULL cents) — read the
+    # RETURNED version for the "after" row rather than assuming v1 exists
+    v_after = delete_txn_dv(spark, root, "cents < 15000000")  # under $150k
     parts = [
         read_txn(spark, root, version=v)
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _dollars("cents").alias("total_dollars"),
         )
-        .select(F.lit(v).cast("bigint").alias("version"), "n_orders", "total_dollars")
-        for v in (0, 1)
+        .select(
+            F.lit(label).cast("bigint").alias("version"),
+            "n_orders",
+            "total_dollars",
+        )
+        for label, v in ((0, 0), (1, v_after))
     ]
     return parts[0].unionByName(parts[1]).orderBy("version")
 
