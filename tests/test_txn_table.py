@@ -280,6 +280,119 @@ def _sc_change_data_feed(spark, base):
     replay_equals_snapshot(3, 5)
 
 
+def _sc_model_based_random_ops(spark, base):
+    """Model-based randomized check of the WHOLE txn layer: a seeded
+    random sequence of append / overwrite / merge / delete / DV-delete /
+    compact / zorder-compact / restore ops runs against both the real
+    table and a pure-Python reference model (a multiset of (id, v) rows
+    per version).  After every commit the snapshot read must equal the
+    model; at the end, every historical version time-travels to its
+    model state and the change feed replays any version window into the
+    target snapshot.  This is the test class that catches op-INTERACTION
+    bugs (restore after DV after merge after compact) that per-feature
+    scenarios cannot."""
+    import random
+    from collections import Counter
+
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv,
+        read_txn_changes,
+        restore_txn,
+    )
+
+    rng = random.Random(80_86)
+    root = os.path.join(base, "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows or [], "id long, v long").coalesce(
+            max(1, min(3, len(rows)))
+        )
+
+    def fresh_rows(n):
+        return [
+            (rng.randrange(0, 60), rng.randrange(-5, 100)) for _ in range(n)
+        ]
+
+    # reference model: rows per committed version (multisets)
+    history: list[Counter] = []
+
+    def commit_model(rows):
+        history.append(Counter(rows))
+
+    rows0 = fresh_rows(8)
+    write_txn(df_of(rows0), root)
+    commit_model(rows0)
+
+    ops = ["append", "overwrite", "merge", "delete", "dv", "compact",
+           "zorder", "restore"]
+    for step in range(24):
+        op = ops[step % len(ops)] if step < 8 else rng.choice(ops)
+        cur = history[-1]
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 6))
+            write_txn(df_of(rows), root, mode="append")
+            commit_model(list(cur.elements()) + rows)
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randrange(1, 6))
+            write_txn(df_of(rows), root, mode="overwrite")
+            commit_model(rows)
+        elif op == "merge":
+            rows = fresh_rows(rng.randrange(1, 5))
+            # merge source must be key-unique (upsert semantics)
+            src = {i: v for i, v in rows}
+            merge_txn(
+                spark, df_of(sorted(src.items())), root, on="id"
+            )
+            kept = [(i, v) for i, v in cur.elements() if i not in src]
+            commit_model(kept + sorted(src.items()))
+        elif op in ("delete", "dv"):
+            cut = rng.randrange(0, 100)
+            pred = f"v >= {cut}"
+            kept = [(i, v) for i, v in cur.elements() if not (v >= cut)]
+            if op == "delete":
+                delete_txn(spark, root, pred)
+                commit_model(kept)
+            else:
+                v_before = snapshot(root).version
+                v_after = delete_txn_dv(spark, root, pred)
+                if v_after != v_before:  # no-match predicates commit nothing
+                    commit_model(kept)
+        elif op == "compact":
+            compact_txn(spark, root, target_files=2)
+            commit_model(list(cur.elements()))
+        elif op == "zorder":
+            compact_txn(
+                spark, root, target_files=4, cluster_by=["id", "v"], zorder=True
+            )
+            commit_model(list(cur.elements()))
+        elif op == "restore":
+            k = rng.randrange(0, len(history))
+            restore_txn(root, k)
+            commit_model(list(history[k].elements()))
+        got = Counter(
+            (r.id, r.v) for r in read_txn(spark, root).collect()
+        )
+        assert got == history[-1], f"step {step} op {op}: {got} != {history[-1]}"
+
+    # every historical version time-travels to its model state
+    for k in range(0, len(history), 5):
+        got = Counter(
+            (r.id, r.v) for r in read_txn(spark, root, version=k).collect()
+        )
+        assert got == history[k], f"version {k}"
+    # CDF replay: base@i + per-version (deletes, inserts) == state@j
+    for i, j in ((0, len(history) - 1), (3, 11), (7, len(history) - 2)):
+        state = Counter(history[i])
+        rows = read_txn_changes(
+            spark, root, from_version=i, to_version=j
+        ).collect()
+        for v in sorted({r._commit_version for r in rows}):
+            for r in rows:
+                if r._commit_version == v:
+                    state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+        assert +state == history[j], f"CDF replay {i}->{j}"
+
+
 def _sc_check_constraints_enforced_in_pass(spark, base):
     """CHECK constraints: added via a metadata-only commit (existing rows
     validated first), enforced INSIDE every subsequent write/merge's
@@ -733,6 +846,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_model_based_random_ops,
     _sc_check_constraints_enforced_in_pass,
     _sc_restore_rewinds_state_metadata_only,
     _sc_zorder_compaction_prunes_both_dims,
