@@ -566,15 +566,30 @@ def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str, dict]:
 
 def _try_commit(root: str, version: int, entry: dict) -> bool:
     """Atomic create-if-absent of the version file: exactly one writer
-    can win a version (POSIX O_EXCL; conditional PUT on object stores)."""
+    can win a version (conditional PUT on object stores).
+
+    CONTENT atomicity matters as much as name atomicity: creating the
+    entry with O_EXCL and then writing JSON into it would, on a crash
+    between the two, leave a TORN entry that poisons every future fold
+    of the log.  So the entry is fully written to a private tmp file
+    first and published with ``os.link`` — a hard link is atomic,
+    fails with FileExistsError if the version was taken (the OCC race),
+    and the name either does not exist or holds complete JSON.  (The
+    object-store equivalent, a conditional PUT, is content-atomic by
+    nature.)"""
     os.makedirs(_log_dir(root), exist_ok=True)
+    tmp = _entry_path(root, version) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(_entry_path(root, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, _entry_path(root, version))
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump(entry, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def _build_entry(
@@ -1307,6 +1322,18 @@ def vacuum_txn(
             keep.update(dvs)         # any retained snapshot references them
     now = time.time()
     removed = []
+    # a crashed writer's torn commit tmp (write-then-link protocol) is
+    # invisible to readers but worth sweeping once safely old
+    d = _log_dir(root)
+    for f in os.listdir(d) if os.path.isdir(d) else ():
+        if f.endswith(".tmp"):
+            p = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(p) >= min_age_sec:
+                    os.unlink(p)
+                    removed.append(os.path.join(_LOG_DIR, f))
+            except OSError:
+                continue
     for f in os.listdir(root):
         if f == _LOG_DIR:
             continue

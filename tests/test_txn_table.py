@@ -206,6 +206,17 @@ def _sc_vacuum_honors_retention_and_age(spark, base):
     assert removed and not any(os.path.exists(p) for p in old_files)
     # the live snapshot is untouched
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
+    # a crashed writer's TORN commit tmp (write-then-link protocol) is
+    # invisible to the log fold and swept by an aged vacuum
+    torn = os.path.join(root, "_txn", f"{99:010d}.json.deadbeef.tmp")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 99, "acti')  # truncated mid-JSON
+    assert snapshot(root).version == 1
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
+    assert vacuum_txn(root, retain_versions=1, min_age_sec=3600) == []
+    assert os.path.exists(torn)  # age floor protects an in-flight commit
+    swept = vacuum_txn(root, retain_versions=1, min_age_sec=0)
+    assert not os.path.exists(torn) and any("tmp" in f for f in swept)
 
 
 def _sc_change_data_feed(spark, base):
@@ -303,94 +314,135 @@ def _sc_model_based_random_ops(spark, base):
     rng = random.Random(80_86)
     root = os.path.join(base, "t")
 
-    def df_of(rows):
-        return spark.createDataFrame(rows or [], "id long, v long").coalesce(
-            max(1, min(3, len(rows)))
-        )
+    # model rows are ALWAYS (id, v, w) triples; ``arity`` (2 before the
+    # additive evolution that adds ``w``, 3 after, and whatever the
+    # restored version had after a restore) decides both the physical
+    # shape of new batches and the visible projection at compare time
+    def df_of(rows, arity):
+        if arity == 2:
+            rows2 = [(i, v) for i, v, _ in rows]
+            return spark.createDataFrame(rows2 or [], "id long, v long").coalesce(
+                max(1, min(3, len(rows2)))
+            )
+        return spark.createDataFrame(
+            rows or [], "id long, v long, w long"
+        ).coalesce(max(1, min(3, len(rows))))
 
-    def fresh_rows(n):
+    def fresh_rows(n, arity):
         return [
-            (rng.randrange(0, 60), rng.randrange(-5, 100)) for _ in range(n)
+            (
+                rng.randrange(0, 60),
+                rng.randrange(-5, 100),
+                rng.randrange(0, 9) if arity == 3 else None,
+            )
+            for _ in range(n)
         ]
 
-    # reference model: rows per committed version (multisets)
+    # reference model: rows (triples) + visible arity per committed version
     history: list[Counter] = []
+    arities: list[int] = []
 
-    def commit_model(rows):
+    def commit_model(rows, arity):
         history.append(Counter(rows))
+        arities.append(arity)
 
-    rows0 = fresh_rows(8)
-    write_txn(df_of(rows0), root)
-    commit_model(rows0)
+    def visible(counter, arity):
+        return Counter(t[:arity] for t in counter.elements())
+
+    def collect_visible(df):
+        has_w = "w" in df.columns
+        return Counter(
+            (r.id, r.v, r.w) if has_w else (r.id, r.v) for r in df.collect()
+        )
+
+    arity = 2
+    rows0 = fresh_rows(8, arity)
+    write_txn(df_of(rows0, arity), root)
+    commit_model(rows0, arity)
 
     ops = ["append", "overwrite", "merge", "delete", "dv", "compact",
            "zorder", "restore"]
-    for step in range(24):
-        op = ops[step % len(ops)] if step < 8 else rng.choice(ops)
+    for step in range(26):
         cur = history[-1]
-        if op == "append":
-            rows = fresh_rows(rng.randrange(1, 6))
-            write_txn(df_of(rows), root, mode="append")
-            commit_model(list(cur.elements()) + rows)
-        elif op == "overwrite":
-            rows = fresh_rows(rng.randrange(1, 6))
-            write_txn(df_of(rows), root, mode="overwrite")
-            commit_model(rows)
-        elif op == "merge":
-            rows = fresh_rows(rng.randrange(1, 5))
-            # merge source must be key-unique (upsert semantics)
-            src = {i: v for i, v in rows}
-            merge_txn(
-                spark, df_of(sorted(src.items())), root, on="id"
-            )
-            kept = [(i, v) for i, v in cur.elements() if i not in src]
-            commit_model(kept + sorted(src.items()))
-        elif op in ("delete", "dv"):
-            cut = rng.randrange(0, 100)
-            pred = f"v >= {cut}"
-            kept = [(i, v) for i, v in cur.elements() if not (v >= cut)]
-            if op == "delete":
-                delete_txn(spark, root, pred)
-                commit_model(kept)
-            else:
-                v_before = snapshot(root).version
-                v_after = delete_txn_dv(spark, root, pred)
-                if v_after != v_before:  # no-match predicates commit nothing
-                    commit_model(kept)
-        elif op == "compact":
-            compact_txn(spark, root, target_files=2)
-            commit_model(list(cur.elements()))
-        elif op == "zorder":
-            compact_txn(
-                spark, root, target_files=4, cluster_by=["id", "v"], zorder=True
-            )
-            commit_model(list(cur.elements()))
-        elif op == "restore":
-            k = rng.randrange(0, len(history))
-            restore_txn(root, k)
-            commit_model(list(history[k].elements()))
-        got = Counter(
-            (r.id, r.v) for r in read_txn(spark, root).collect()
-        )
-        assert got == history[-1], f"step {step} op {op}: {got} != {history[-1]}"
+        if step == 6:
+            # ADDITIVE EVOLUTION: one append introduces column ``w``;
+            # pre-evolution rows surface NULL for it from here on
+            arity = 3
+            rows = fresh_rows(rng.randrange(1, 5), arity)
+            write_txn(df_of(rows, arity), root, mode="append")
+            commit_model(list(cur.elements()) + rows, arity)
+            op = "evolve"
+        else:
+            op = ops[step % len(ops)] if step < 6 else rng.choice(ops)
+            if op == "append":
+                rows = fresh_rows(rng.randrange(1, 6), arity)
+                write_txn(df_of(rows, arity), root, mode="append")
+                commit_model(list(cur.elements()) + rows, arity)
+            elif op == "overwrite":
+                rows = fresh_rows(rng.randrange(1, 6), arity)
+                write_txn(df_of(rows, arity), root, mode="overwrite")
+                commit_model(rows, arity)
+            elif op == "merge":
+                rows = fresh_rows(rng.randrange(1, 5), arity)
+                src = {t[0]: t for t in rows}  # key-unique upsert source
+                merge_txn(
+                    spark,
+                    df_of([src[k] for k in sorted(src)], arity),
+                    root,
+                    on="id",
+                )
+                kept = [t for t in cur.elements() if t[0] not in src]
+                # a rewrite at arity 2 materializes w away for touched
+                # rows; survivors of UNtouched files keep physical w —
+                # but under this scenario's op constraints every live
+                # file's arity is <= the current arity, so kept rows'
+                # w is already None whenever arity == 2
+                commit_model(kept + [src[k] for k in sorted(src)], arity)
+            elif op in ("delete", "dv"):
+                cut = rng.randrange(0, 100)
+                pred = f"v >= {cut}"
+                kept = [t for t in cur.elements() if not (t[1] >= cut)]
+                if op == "delete":
+                    delete_txn(spark, root, pred)
+                    commit_model(kept, arity)
+                else:
+                    v_before = snapshot(root).version
+                    v_after = delete_txn_dv(spark, root, pred)
+                    if v_after != v_before:  # no-match commits nothing
+                        commit_model(kept, arity)
+            elif op == "compact":
+                compact_txn(spark, root, target_files=2)
+                commit_model(list(cur.elements()), arity)
+            elif op == "zorder":
+                compact_txn(
+                    spark, root, target_files=4,
+                    cluster_by=["id", "v"], zorder=True,
+                )
+                commit_model(list(cur.elements()), arity)
+            elif op == "restore":
+                k = rng.randrange(0, len(history))
+                restore_txn(root, k)
+                arity = arities[k]
+                commit_model(list(history[k].elements()), arity)
+        got = collect_visible(read_txn(spark, root))
+        assert got == visible(history[-1], arity), f"step {step} op {op}"
 
-    # every historical version time-travels to its model state
-    for k in range(0, len(history), 5):
-        got = Counter(
-            (r.id, r.v) for r in read_txn(spark, root, version=k).collect()
-        )
-        assert got == history[k], f"version {k}"
-    # CDF replay: base@i + per-version (deletes, inserts) == state@j
-    for i, j in ((0, len(history) - 1), (3, 11), (7, len(history) - 2)):
-        state = Counter(history[i])
+    # every historical version time-travels to its model state at ITS arity
+    for k in range(0, len(history), 4):
+        got = collect_visible(read_txn(spark, root, version=k))
+        assert got == visible(history[k], arities[k]), f"version {k}"
+    # CDF replay: base@i + per-version (deletes, inserts) == state@j,
+    # compared at full physical width (pre-evolution rows carry NULL w)
+    for i, j in ((0, len(history) - 1), (3, 12), (7, len(history) - 2)):
+        state = Counter(t if len(t) == 3 else (*t, None)
+                        for t in visible(history[i], 3).elements())
         rows = read_txn_changes(
             spark, root, from_version=i, to_version=j
         ).collect()
-        for v in sorted({r._commit_version for r in rows}):
-            for r in rows:
-                if r._commit_version == v:
-                    state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
-        assert +state == history[j], f"CDF replay {i}->{j}"
+        for r in rows:
+            t = (r.id, r.v, getattr(r, "w", None))
+            state[t] += 1 if r._change_type == "insert" else -1
+        assert +state == visible(history[j], 3), f"CDF replay {i}->{j}"
 
 
 def _sc_check_constraints_enforced_in_pass(spark, base):
