@@ -474,9 +474,63 @@ SELECT 2, COUNT(*),
 ORDER BY version
 """
 
+def txn_bloom_point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER data skipping (STAGED for round 9): orders land
+    hash-scattered across files — the realistic ingest layout where every
+    file's [min, max] for a high-cardinality key spans the whole domain
+    and interval stats can never prune — then ``set_bloom_txn`` indexes
+    ``o_orderkey`` and five point lookups (the five largest orders, keys
+    chosen deterministically from the source) each open only the file(s)
+    whose bloom admits the key.  The pruning itself is plan-asserted in
+    the pytest twin (inputFiles strictly shrinks per lookup); the SQL
+    oracle checks the returned rows.  m sized ~10 bits per distinct key
+    per file at sf0.1 (README bloom sizing note)."""
+    from ..sources.txn_table import set_bloom_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    keys = [
+        int(r.o_orderkey)
+        for r in orders.orderBy(F.desc("cents"), "o_orderkey").limit(5).collect()
+    ]
+    root = _tmp_root("bloomlkp")
+    write_txn(orders.repartition(8), root)
+    set_bloom_txn(spark, root, {"o_orderkey": 1 << 18})  # 32 KiB/file bitset
+    parts = [
+        read_txn(spark, root, where=f"o_orderkey = {k}").select(
+            "o_orderkey",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("dollars"),
+        )
+        for k in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("o_orderkey")
+
+
+TXN_BLOOM_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+keys AS (
+    SELECT o_orderkey FROM o ORDER BY cents DESC, o_orderkey LIMIT 5
+)
+SELECT o.o_orderkey,
+       ROUND(CAST(o.cents AS DOUBLE) / 100.0, 2) AS dollars
+FROM o JOIN keys USING (o_orderkey)
+ORDER BY o.o_orderkey
+"""
+
+
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
     "q_txn_restore": (txn_restore_orders, TXN_RESTORE_SQL),
+    "q_txn_bloom_lookup": (txn_bloom_point_lookups, TXN_BLOOM_SQL),
     "s_stream_txn_tail": (stream_txn_tail_rollup, STREAM_TXN_TAIL_SQL),
 }
 

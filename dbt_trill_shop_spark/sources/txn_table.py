@@ -79,6 +79,7 @@ class Snapshot:
     committed_at_ms: int
     file_dvs: tuple[tuple[str, ...], ...] = ()  # dv rels aligned with files
     constraints: tuple[tuple[str, str], ...] = ()  # (name, CHECK expr) sorted
+    bloom_spec: tuple[tuple[str, int, int], ...] = ()  # (col, m_bits, k) sorted
 
 
 def _log_dir(root: str) -> str:
@@ -171,6 +172,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "ts_ms": snap.committed_at_ms,
         "batch_ids": sorted(ids),
         "constraints": dict(snap.constraints),
+        "bloom": {c: [m, k] for c, m, k in snap.bloom_spec},
     }
     tmp = _ckpt_path(root, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -189,6 +191,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     ts = 0
     start = 0
     constraints: dict[str, str] = {}
+    bloom: dict[str, list] = {}
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -199,6 +202,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         ts = ckpt["ts_ms"]
         start = ckpt["version"] + 1
         constraints = dict(ckpt.get("constraints", {}))
+        bloom = dict(ckpt.get("bloom", {}))
     for v in versions:
         if v < start:
             continue
@@ -220,6 +224,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         ts = e["ts_ms"]
         if "constraints" in e:  # constraint-changing commits carry the map
             constraints = dict(e["constraints"])
+        if "bloom" in e:  # bloom-spec-changing commits carry the map
+            bloom = dict(e["bloom"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -229,6 +235,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         committed_at_ms=ts,
         file_dvs=tuple(dvs for _, _, dvs in live.values()),
         constraints=tuple(sorted(constraints.items())),
+        bloom_spec=tuple(sorted((c, int(v[0]), int(v[1])) for c, v in bloom.items())),
     )
 
 
@@ -394,13 +401,7 @@ def read_txn(
         for c, iv in _prune_from_predicate(where).items():
             if c not in bounds:  # explicit prune wins on conflict
                 bounds[c] = iv
-    keep = [
-        (path, sj, dvs)
-        for path, sj, st, dvs in zip(
-            snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
-        )
-        if not bounds or _file_may_match(st, bounds)
-    ]
+    keep = _keep_files(spark, snap, bounds)
     out = _scan_files(spark, keep, want, root=root)
     if where is not None:
         out = out.filter(F.expr(where))
@@ -540,12 +541,201 @@ def _stats_from_metadata(md) -> dict:
     }
 
 
-def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str, dict]:
+# Reserved key inside a file's stats dict holding its Bloom filters:
+# {col: {"m": bits, "k": hashes, "b64": base64(bitset)}}.  Riding INSIDE
+# stats means blooms thread through fold / checkpoints / RESTORE re-adds
+# with zero extra log plumbing.  (A real data column literally named
+# "__bloom" is therefore not stats-indexable — documented reservation.)
+_BLOOM_KEY = "__bloom"
+
+
+def _bloom_pack(bits, m: int) -> str:
+    import base64
+
+    buf = bytearray((m + 7) // 8)
+    for b in bits:
+        buf[b >> 3] |= 1 << (b & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _compute_blooms(
+    spark: SparkSession, root: str, items, spec
+) -> dict[str, dict]:
+    """Per-file Bloom filters for the spec'd columns over an explicit
+    (rel_path, schema_json) file list — ONE column-pruned Spark job (the
+    same extra-pass cost Delta's Bloom index build pays at write time).
+
+    The hash family is JVM-side ``xxhash64(col, lit(seed))`` for seeds
+    0..k-1, reduced ``pmod m`` — probe values hash through the identical
+    expression (``_bloom_probe_bits``), so build and probe can never
+    drift.  NULLs set no bits (equality with NULL is never true), and a
+    file whose values are ALL NULL for a column — including pre-evolution
+    files that predate the column — records an EMPTY bitset, which
+    correctly excludes the file for every probe.  Map-side partial
+    aggregation bounds the shuffle at ≤ m bit positions per (file, col):
+    metadata-sized, never data-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    out: dict[str, dict] = {}
+    by_schema: dict[str, list[str]] = {}
+    for rel, sj in items:
+        by_schema.setdefault(sj, []).append(rel)
+    for sj, rels in by_schema.items():
+        schema = StructType.fromJson(json.loads(sj))
+        names = {f.name for f in schema.fields}
+        use = [(c, m, k) for c, m, k in spec if c in names]
+        # columns absent from this schema generation: all-NULL by
+        # evolution semantics -> exclude-all empty bitset, no scan needed
+        empties = {
+            c: {"m": m, "k": k, "b64": _bloom_pack((), m)}
+            for c, m, k in spec
+            if c not in names
+        }
+        for rel in rels:
+            out[rel] = dict(empties)
+            out[rel].update(
+                {c: {"m": m, "k": k, "b64": _bloom_pack((), m)} for c, m, k in use}
+            )
+        if not use:
+            continue
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        entries = []
+        for c, m, k in use:
+            for s in range(k):
+                entries.append(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.pmod(
+                                F.xxhash64(F.col(c), F.lit(s)), F.lit(m)
+                            ).alias("bit"),
+                        ),
+                    )
+                )
+        rows = (
+            df.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__f"),
+                F.explode(F.array(*entries)).alias("e"),
+            )
+            .where(F.col("e").isNotNull())
+            .groupBy("__f", F.col("e.c").alias("c"))
+            .agg(F.collect_set(F.col("e.bit")).alias("bits"))
+            .collect()
+        )
+        mk = {c: (m, k) for c, m, k in use}
+        for r in rows:
+            m, k = mk[r["c"]]
+            out[r["__f"]][r["c"]] = {
+                "m": m, "k": k, "b64": _bloom_pack(r["bits"], m)
+            }
+    return out
+
+
+def _bloom_probe_bits(spark: SparkSession, schema, probes) -> dict:
+    """Hash each probe value through the SAME JVM expression the build
+    used; returns ``{(col, m, k): [bit, ...]}``.  One 1-row job for all
+    probes together.  A value that cannot cast to the column's type (or
+    any evaluation error under ANSI) contributes nothing — pruning then
+    simply keeps the files, which is always sound."""
+    from pyspark.sql import functions as F
+
+    exprs, keys = [], []
+    fields = {f.name: f.dataType for f in schema.fields}
+    for i, (c, v, m, k) in enumerate(sorted(probes, key=str)):
+        dt = fields.get(c)
+        if dt is None or v is None:
+            continue
+        lit = F.lit(v).cast(dt)
+        exprs.append(F.isnull(lit).alias(f"n_{i}"))
+        for s in range(k):
+            exprs.append(
+                F.pmod(F.xxhash64(lit, F.lit(s)), F.lit(m)).alias(f"b_{i}_{s}")
+            )
+        keys.append((i, c, m, k))
+    if not exprs:
+        return {}
+    try:
+        row = spark.range(1).select(*exprs).collect()[0]
+    except Exception:  # noqa: BLE001 - ANSI cast error: skip bloom pruning
+        return {}
+    out = {}
+    for i, c, m, k in keys:
+        if row[f"n_{i}"]:  # cast returned NULL: value unrepresentable
+            continue
+        out[(c, m, k)] = [row[f"b_{i}_{s}"] for s in range(k)]
+    return out
+
+
+def _bloom_may_match(stats: dict, probe_bits: dict) -> bool:
+    """False only when some probed column's recorded Bloom filter PROVES
+    the value absent (a required bit is unset).  Files without a bloom
+    for the column are kept — no filter, no skip."""
+    import base64
+
+    blooms = stats.get(_BLOOM_KEY) or {}
+    for (c, m, k), bits in probe_bits.items():
+        b = blooms.get(c)
+        if not b or b.get("m") != m or b.get("k") != k:
+            continue
+        data = base64.b64decode(b["b64"])
+        if not all(data[i >> 3] & (1 << (i & 7)) for i in bits):
+            return False
+    return True
+
+
+def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
+    """The snapshot's (path, schema, dvs) file list after data skipping:
+    interval min/max pruning plus Bloom-filter pruning for point-equality
+    bounds (lo == hi).  Intervals answer range predicates on CLUSTERED
+    columns; Blooms answer equality on HIGH-CARDINALITY, unclustered
+    columns where every file's [min, max] spans the whole domain and
+    interval pruning is useless — together they cover the two lookup
+    shapes a 100 TB scan actually meets."""
+    keep = [
+        (path, sj, dvs)
+        for path, sj, st, dvs in zip(
+            snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
+        )
+        if not bounds or _file_may_match(st, bounds)
+    ]
+    if snap.bloom_spec and bounds:
+        from pyspark.sql.types import StructType
+
+        mk = {c: (m, k) for c, m, k in snap.bloom_spec}
+        probes = {
+            (c, lo, *mk[c])
+            for c, (lo, hi) in bounds.items()
+            if c in mk and lo is not None and lo == hi
+        }
+        if probes:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            probe_bits = _bloom_probe_bits(spark, schema, probes)
+            if probe_bits:
+                stats_of = {p: st for p, st in zip(snap.files, snap.file_stats)}
+                keep = [
+                    item
+                    for item in keep
+                    if _bloom_may_match(stats_of[item[0]], probe_bits)
+                ]
+    return keep
+
+
+def _stage_files(
+    df: DataFrame, root: str, bloom_spec=()
+) -> tuple[list[str], str, dict]:
     """Write ``df``'s partitions as immutable uuid-named parquet files
     DIRECTLY under ``root`` (object-store posture: no rename of data
     bytes; names never collide, so a crashed writer leaves only
     unreferenced files for vacuum).  Returns (relative paths, schema,
-    per-file footer stats for data skipping)."""
+    per-file footer stats for data skipping).  When the table carries a
+    Bloom spec, each new file's blooms are computed here (one extra
+    column-pruned pass over the just-staged files) and ride its stats."""
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(root, exist_ok=True)
@@ -561,7 +751,15 @@ def _stage_files(df: DataFrame, root: str) -> tuple[list[str], str, dict]:
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    return rels, df.schema.json(), stats
+    schema_json = df.schema.json()
+    if bloom_spec and rels:
+        blooms = _compute_blooms(
+            df.sparkSession, root, [(r, schema_json) for r in rels], bloom_spec
+        )
+        for rel, bl in blooms.items():
+            if bl:
+                stats[rel][_BLOOM_KEY] = bl
+    return rels, schema_json, stats
 
 
 def _try_commit(root: str, version: int, entry: dict) -> bool:
@@ -639,6 +837,16 @@ def _table_constraints(root: str) -> tuple[tuple[str, str], ...]:
         return ()
 
 
+def _table_meta(root: str):
+    """(constraints, bloom_spec) of the current snapshot — one fold; an
+    uncreated table has neither."""
+    try:
+        s = snapshot(root)
+        return s.constraints, s.bloom_spec
+    except FileNotFoundError:
+        return (), ()
+
+
 def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
     """Embed CHECK-constraint validation INTO the write's single pass
     (the Delta invariant-check design): the first output column wraps in
@@ -668,11 +876,13 @@ def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
     return df.withColumn(first, out_col)
 
 
-def _stage_checked(df: DataFrame, root: str, constraints):
+def _stage_checked(df: DataFrame, root: str, constraints, bloom_spec=()):
     """Stage with constraint checks embedded; surface a violating row as
     ConstraintViolation instead of a raw executor stack."""
     try:
-        return _stage_files(_with_constraint_checks(df, constraints), root)
+        return _stage_files(
+            _with_constraint_checks(df, constraints), root, bloom_spec
+        )
     except Exception as ex:  # noqa: BLE001 - re-raise below unless ours
         s = str(ex)
         i = s.find("CHECK constraint")
@@ -727,6 +937,78 @@ def drop_constraint_txn(root: str, name: str) -> int:
     )
 
 
+def set_bloom_txn(
+    spark: SparkSession,
+    root: str,
+    spec: dict,
+    backfill: bool = True,
+) -> int:
+    """Declare per-file BLOOM FILTER indexes for equality data skipping
+    (Delta's ``CREATE BLOOMFILTER INDEX`` idea): min/max stats prune
+    range predicates on clustered columns, but on a high-cardinality
+    UNCLUSTERED key (order id, user id, uuid) every file's [min, max]
+    spans the whole domain and nothing ever skips — a point lookup still
+    opens all 100 TB.  A per-file Bloom bitset answers "could value v be
+    in this file?" in O(k) bit probes against KILOBYTES in the log,
+    skipping every file the key provably isn't in.
+
+    ``spec`` maps column -> m (bits) or -> (m, k).  Size m at roughly
+    10 bits per expected DISTINCT value per file for ~1% false positives
+    with the default k=5 (standard Bloom arithmetic); a false positive
+    only costs an extra file read, never correctness.  The spec is a
+    table property: every subsequent write / MERGE rewrite / compaction
+    computes blooms for its new files in-pass.  ``backfill=True`` also
+    builds blooms for the CURRENT live files (one column-pruned scan) and
+    publishes them as a METADATA-ONLY commit — same file paths re-added
+    with enriched stats, DV chains re-applied, zero data bytes moved.
+    Readers pick blooms up automatically: ``read_txn(where="key = v")``
+    probes them for every point-equality bound (see ``_keep_files``).
+    Pinned OCC; the change feed treats the backfill as a non-change."""
+    snap = snapshot(root)
+    from pyspark.sql.types import StructType
+
+    names = {f.name for f in StructType.fromJson(json.loads(snap.schema_json)).fields}
+    norm: dict[str, list[int]] = {}
+    for c, v in spec.items():
+        if c not in names:
+            raise ValueError(f"bloom column {c!r} not in table schema (have {sorted(names)})")
+        m, k = (int(v[0]), int(v[1])) if isinstance(v, (tuple, list)) else (int(v), 5)
+        if m < 8 or k < 1:
+            raise ValueError(f"bloom spec for {c!r} needs m >= 8 bits, k >= 1 (got m={m}, k={k})")
+        norm[c] = [m, k]
+    merged = {c: [m, k] for c, m, k in snap.bloom_spec}
+    merged.update(norm)
+    triples = tuple(sorted((c, v[0], v[1]) for c, v in norm.items()))
+    actions: list[dict] = []
+    if backfill and snap.files:
+        items = [
+            (os.path.relpath(p, root), sj)
+            for p, sj in zip(snap.files, snap.file_schemas)
+        ]
+        blooms = _compute_blooms(spark, root, items, triples)
+        dv_applies: dict[str, list[str]] = {}
+        for rel_sj, p, st, dvs in zip(
+            items, snap.files, snap.file_stats, snap.file_dvs
+        ):
+            rel, sj = rel_sj
+            new_st = dict(st)
+            bl = dict(new_st.get(_BLOOM_KEY, {}))
+            bl.update(blooms.get(rel, {}))
+            if bl:
+                new_st[_BLOOM_KEY] = bl
+            actions.append({"add": rel, "stats": new_st, "schema": sj})
+            for d in dvs:
+                dv_applies.setdefault(d, []).append(rel)
+        actions += [
+            {"dv": d, "applies": sorted(rels)}
+            for d, rels in sorted(dv_applies.items())
+        ]
+    return _commit_pinned(
+        root, snap.version, "set_bloom", actions, snap.schema_json,
+        "set bloom", extra={"bloom": merged},
+    )
+
+
 def write_txn(
     df: DataFrame,
     root: str,
@@ -761,7 +1043,8 @@ def write_txn(
         raise ValueError(mode)
     if expected_base_version is not None and mode != "overwrite":
         raise ValueError("expected_base_version applies to overwrite commits only")
-    rels, schema_json, stats = _stage_checked(df, root, _table_constraints(root))
+    cons, bloom_spec = _table_meta(root)
+    rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec)
     adds = [{"add": r, "stats": stats[r]} for r in rels]
     if expected_base_version is not None:
         pin = expected_base_version
@@ -886,7 +1169,9 @@ def merge_txn(
         root=root,
     ).join(source, on=keys, how="left_anti")
     merged = survivors.unionByName(source.select(*target_cols))
-    rels, schema_json, stats = _stage_checked(merged, root, snap.constraints)
+    rels, schema_json, stats = _stage_checked(
+        merged, root, snap.constraints, snap.bloom_spec
+    )
     actions = [
         {"remove": os.path.relpath(snap.files[i], root)} for i in touched
     ] + [{"add": r, "stats": stats[r]} for r in rels]
@@ -940,13 +1225,7 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     # provably cannot match the predicate are never even scanned (they
     # can contribute no tombstones)
     bounds = _prune_from_predicate(predicate)
-    items = [
-        (p, sj, dvs)
-        for p, sj, st, dvs in zip(
-            snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
-        )
-        if not bounds or _file_may_match(st, bounds)
-    ]
+    items = _keep_files(spark, snap, bounds)
     scan = _scan_files(spark, items, want, root=root, keep_pos=True)
     matches = (
         scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
@@ -1090,7 +1369,7 @@ def compact_txn(
         df = df.repartitionByRange(target_files, *[F_col(c) for c in cluster_by])
     else:
         df = df.coalesce(target_files)
-    rels, schema_json, stats = _stage_files(df, root)
+    rels, schema_json, stats = _stage_files(df, root, snap.bloom_spec)
     actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
         {"add": r, "stats": stats[r]} for r in rels
     ]
@@ -1131,8 +1410,10 @@ def read_txn_changes(
     prior_map: dict[str, tuple[str, tuple[str, ...]]] | None = None
     for v in want:
         e = _read_entry(root, v)
-        if e.get("mode") == "compact":
-            prior_map = None  # file set changed; recompute lazily
+        if e.get("mode") in ("compact", "set_bloom"):
+            # pass-through rewrites (compaction) and stats-only re-adds
+            # (bloom backfill) change no rows — not data changes
+            prior_map = None  # file set / stats changed; recompute lazily
             continue
         has_removes = any("remove" in a or "dv" in a for a in e["actions"])
         if has_removes and prior_map is None:

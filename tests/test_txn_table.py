@@ -856,6 +856,87 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_bloom_filter_equality_skipping(spark, base):
+    """Per-file Bloom filters (set_bloom_txn): equality point lookups on a
+    HIGH-CARDINALITY UNCLUSTERED key prune files where min/max stats are
+    useless, with zero false negatives; the spec is a table property every
+    later write honors in-pass; the backfill is metadata-only and CDF-
+    silent; DV chains survive the backfill re-add; a bloom column missing
+    from an old schema generation excludes those files outright; the spec
+    folds through log checkpoints."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import (
+        read_txn_changes, set_bloom_txn,
+    )
+
+    root = os.path.join(base, "t")
+    # 4 files, key hash-scattered: every file's [min, max] spans the domain
+    df = spark.range(0, 4000).selectExpr(
+        "id * 7919 % 100000 as k", "id as v"
+    ).repartition(4)
+    write_txn(df, root)                                   # v0
+    snap0 = snapshot(root)
+    # interval pruning provably can't help on this layout
+    assert len(tt._keep_files(spark, snap0, {"k": (7919, 7919)})) == 4
+    set_bloom_txn(spark, root, {"k": 16384})              # v1: backfill
+    snap1 = snapshot(root)
+    assert snap1.bloom_spec == (("k", 16384, 5),)
+    assert set(snap1.files) == set(snap0.files)           # metadata-only
+    # backfill is not a data change
+    assert read_txn_changes(spark, root, from_version=0).count() == 0
+    # point lookup now opens ~1 file (16384 bits vs ~1000 distinct/file:
+    # comfortably under saturation; false positives allowed, so <= 2)
+    got = read_txn(spark, root, where="k = 7919")
+    assert [(r.k, r.v) for r in got.collect()] == [(7919, 1)]
+    assert len(got.inputFiles()) <= 2
+    # absent key: zero rows and (almost surely) zero files
+    assert read_txn(spark, root, where="k = 99999999").count() == 0
+    # NO FALSE NEGATIVES: every present key in a sample finds its row
+    sample = [(i * 7919) % 100000 for i in range(0, 4000, 97)]
+    hits = read_txn(
+        spark, root, prune={"k": (sample[5], sample[5])}
+    ).filter(f"k = {sample[5]}")
+    assert hits.count() == 1
+    for key in sample[:8]:
+        assert read_txn(spark, root, where=f"k = {key}").count() >= 1
+    # writes after the spec compute blooms in-pass
+    write_txn(
+        spark.range(4000, 4500).selectExpr(
+            "id * 7919 % 100000 as k", "id as v"
+        ).coalesce(1),
+        root,
+    )                                                     # v2
+    snap2 = snapshot(root)
+    assert all("__bloom" in st for st in snap2.file_stats)
+    # DV chain survives a later backfill re-add (merged spec, re-applied dvs)
+    from dbt_trill_shop_spark.sources.txn_table import delete_txn_dv
+
+    delete_txn_dv(spark, root, "v = 1")                   # v3: tombstone k=7919
+    set_bloom_txn(spark, root, {"v": 8192})               # v4: second spec col
+    snap4 = snapshot(root)
+    assert {c for c, _, _ in snap4.bloom_spec} == {"k", "v"}
+    assert read_txn(spark, root, where="k = 7919").count() == 0  # still deleted
+    # schema evolution: files that PREDATE a bloom column are excluded for
+    # any equality probe on it (their values are all NULL by evolution)
+    write_txn(
+        spark.range(0, 10).selectExpr(
+            "id * 7919 % 100000 as k", "id as v", "id as extra"
+        ).coalesce(1),
+        root,
+    )                                                     # v5: adds `extra`
+    set_bloom_txn(spark, root, {"extra": 8192})           # v6: backfill all
+    got = read_txn(spark, root, where="extra = 3")
+    assert len(got.inputFiles()) == 1 and got.count() == 1
+    # the spec folds through checkpoints (pool pins _CHECKPOINT_EVERY = 4;
+    # the table is past version 4, so a checkpoint exists under _txn)
+    assert any(
+        f.startswith("checkpoint-")
+        for f in os.listdir(os.path.join(root, "_txn"))
+    )
+    spec_now = dict((c, (m, k)) for c, m, k in snapshot(root).bloom_spec)
+    assert spec_now == {"k": (16384, 5), "v": (8192, 5), "extra": (8192, 5)}
+
+
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
     """The three round-8-staged registry queries (operators/txn_demo.py)
     pass the driver-style oracle comparison, and the skipping query's
@@ -894,6 +975,16 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     n_live = len(tt.snapshot(root).files)
     n_scanned = len(pruned.inputFiles())
     assert 0 < n_scanned < n_live, (n_scanned, n_live)
+    # the bloom-lookup query's story depends on equality skipping: a point
+    # lookup on a guaranteed-present key (any file's recorded min) must
+    # open a strict subset of the live files
+    bl_root = os.path.join(_tf.gettempdir(), f"txn_bloomlkp_{os.getpid()}")
+    sb = _tt.snapshot(bl_root)
+    assert any(c == "o_orderkey" for c, _, _ in sb.bloom_spec)
+    k = sb.file_stats[0]["o_orderkey"][0]
+    got = _tt.read_txn(spark, bl_root, where=f"o_orderkey = {k}")
+    assert got.count() >= 1
+    assert 0 < len(got.inputFiles()) < len(sb.files)
 
 
 _SCENARIOS = [
@@ -907,6 +998,7 @@ _SCENARIOS = [
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
+    _sc_bloom_filter_equality_skipping,
     _sc_stats_require_full_rowgroup_coverage,
     _sc_compaction_preserves_rows_and_is_atomic,
     _sc_append_overwrite_and_time_travel,
@@ -941,8 +1033,8 @@ def test_merge_conflict_preserves_concurrent_append(spark, tmp_path, monkeypatch
     orig = tt._stage_files
     state = {"fired": False}
 
-    def stage_then_interlope(df, root_):
-        out = orig(df, root_)
+    def stage_then_interlope(df, root_, *args):
+        out = orig(df, root_, *args)
         if not state["fired"]:
             state["fired"] = True
             # the interloper commits AFTER the merge read its snapshot and
