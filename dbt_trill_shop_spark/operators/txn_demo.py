@@ -474,6 +474,65 @@ SELECT 2, COUNT(*),
 ORDER BY version
 """
 
+def txn_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors (STAGED for round 9):
+    orders land range-clustered; a selective repricing (a flat $10,000
+    credit to every $450k+ order — integer cents math, so exact) runs as
+    ``update_txn_dv``: tombstones + the updated rows only, untouched
+    files byte-identical (plan-asserted in the pytest twin).  The result
+    reads both sides — the pre-update snapshot via time travel and the
+    post-update merge-on-read view; plain SQL reproduces both without
+    understanding tombstones."""
+    from ..sources.txn_table import update_txn_dv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("dvupd")
+    write_txn(orders.repartitionByRange(8, "o_orderkey"), root)
+    v_after = update_txn_dv(
+        spark, root, "cents >= 45000000", {"cents": "cents - 1000000"}
+    )
+    parts = [
+        read_txn(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .select(
+            F.lit(label).cast("bigint").alias("version"),
+            "n_orders",
+            "total_dollars",
+        )
+        for label, v in ((0, 0), (1, v_after))
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+TXN_DV_UPDATE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+repriced AS (
+    SELECT o_orderkey,
+           CASE WHEN COALESCE(cents >= 45000000, FALSE)
+                THEN cents - 1000000 ELSE cents END AS cents
+    FROM o
+)
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM o
+UNION ALL
+SELECT 1, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+FROM repriced
+ORDER BY version
+"""
+
+
 def txn_bloom_point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER data skipping (STAGED for round 9): orders land
     hash-scattered across files — the realistic ingest layout where every
@@ -529,6 +588,7 @@ ORDER BY o.o_orderkey
 
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
+    "q_txn_dv_update": (txn_dv_update_orders, TXN_DV_UPDATE_SQL),
     "q_txn_restore": (txn_restore_orders, TXN_RESTORE_SQL),
     "q_txn_bloom_lookup": (txn_bloom_point_lookups, TXN_BLOOM_SQL),
     "s_stream_txn_tail": (stream_txn_tail_rollup, STREAM_TXN_TAIL_SQL),

@@ -1215,7 +1215,6 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     contract — a delete that matches most of the table should be a
     rewrite, not a DV); positions are computed over the DV-APPLIED view,
     so successive DVs never double-record a row."""
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1227,13 +1226,30 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     bounds = _prune_from_predicate(predicate)
     items = _keep_files(spark, snap, bounds)
     scan = _scan_files(spark, items, want, root=root, keep_pos=True)
-    matches = (
-        scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
-        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
-        .coalesce(1)
+    matches = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    dv = _write_dv_sidecar(matches, root)
+    if dv is None:
+        return snap.version
+    rel, applies = dv
+    actions = [{"dv": rel, "applies": applies}]
+    return _commit_pinned(
+        root, snap.version, "delete", actions, snap.schema_json, "dv delete"
     )
+
+
+def _write_dv_sidecar(matched: DataFrame, root: str):
+    """Write the (file, pos) tombstones of ``matched`` (a keep_pos scan
+    subset) as one small DV sidecar parquet; returns (rel_path,
+    applies_to_files) or None when nothing matched.  Single-file by
+    contract: tombstones are bounded — a predicate matching most of the
+    table should rewrite, not DV."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
-    matches.write.mode("overwrite").parquet(staging)
+    matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
     import shutil
 
     part = next(
@@ -1241,7 +1257,7 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     )
     if part is None or pq.ParquetFile(os.path.join(staging, part)).metadata.num_rows == 0:
         shutil.rmtree(staging, ignore_errors=True)
-        return snap.version
+        return None
     rel = f"dv-{uuid.uuid4().hex}.parquet"
     os.replace(os.path.join(staging, part), os.path.join(root, rel))
     shutil.rmtree(staging, ignore_errors=True)
@@ -1253,9 +1269,70 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
             ).column("file").to_pylist()
         }
     )
-    actions = [{"dv": rel, "applies": applies}]
+    return rel, applies
+
+
+def update_txn_dv(
+    spark: SparkSession, root: str, predicate: str, set_exprs: dict[str, str]
+) -> int:
+    """MERGE-ON-READ UPDATE via deletion vectors: rows satisfying
+    ``predicate`` are tombstoned in a kilobyte sidecar and their UPDATED
+    versions (each ``set_exprs`` column replaced by its SQL expression,
+    evaluated against the OLD row) are appended — ONE atomic commit, and
+    no untouched row is read back or rewritten.  This completes the DML
+    spectrum: rewrite DELETE / DV DELETE / file-pruned MERGE / DV UPDATE.
+    At 100 TB, repricing 0.1% of rows writes kilobytes of tombstones plus
+    only the changed rows (the Delta deletion-vector UPDATE shape).
+
+    Semantics: SQL three-valued logic (NULL predicate leaves the row);
+    ``set_exprs`` values cast to the target column's type (an UPDATE
+    never evolves the schema); CHECK constraints validate the updated
+    rows in-pass; blooms for the new file compute in-pass.  The change
+    feed reports the commit as delete(old rows) + insert(new rows) —
+    the pre/post-image pair.  The scan that finds matches is itself
+    file-pruned (intervals + blooms).  Pinned OCC: any interleaved
+    commit raises TxnConflict.  A predicate matching nothing commits
+    nothing and returns the current version."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    names = [f.name for f in want.fields]
+    unknown = sorted(set(set_exprs) - set(names))
+    if unknown:
+        raise ValueError(f"UPDATE sets columns absent from the table: {unknown}")
+    bounds = _prune_from_predicate(predicate)
+    items = _keep_files(spark, snap, bounds)
+    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
+    matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    # one pass feeds both sides: tombstones AND updated rows derive from
+    # the same materialized match set (localCheckpoint keeps the filter
+    # from re-running — and keeps the two sides consistent by construction)
+    matched = matched.localCheckpoint(eager=True)
+    dv = _write_dv_sidecar(matched, root)
+    if dv is None:
+        return snap.version
+    # updated rows are bounded by the same selectivity contract as the
+    # sidecar (a predicate matching most of the table should rewrite, not
+    # DV) — one output file, not one per scanned partition
+    updated = matched.select(
+        *[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in want.fields
+        ]
+    ).coalesce(1)
+    rels, schema_json, stats = _stage_checked(
+        updated, root, snap.constraints, snap.bloom_spec
+    )
+    rel, applies = dv
+    actions = [{"dv": rel, "applies": applies}] + [
+        {"add": r, "stats": stats[r]} for r in rels
+    ]
     return _commit_pinned(
-        root, snap.version, "delete", actions, snap.schema_json, "dv delete"
+        root, snap.version, "update", actions, schema_json, "dv update"
     )
 
 

@@ -856,6 +856,57 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_update_dv_merge_on_read(spark, base):
+    """Merge-on-read UPDATE (update_txn_dv): matched rows tombstone into a
+    sidecar and their updated versions append in ONE commit — untouched
+    data files survive byte-identical; set expressions evaluate against
+    the OLD row and cast to the column's type; CDF reports the pre-image
+    as deletes and the post-image as inserts of the same commit;
+    three-valued logic leaves NULL-predicate rows; a no-match UPDATE
+    commits nothing; compaction materializes the tombstones away."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        read_txn_changes, update_txn_dv,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 100).repartition(4), root)        # v0
+    s0 = snapshot(root)
+    v = update_txn_dv(spark, root, "id >= 95", {"v": "v + 1"})
+    assert v == 1
+    s1 = snapshot(root)
+    assert set(s0.files) <= set(s1.files)                      # no rewrite
+    assert sum(len(d) for d in s1.file_dvs) >= 1               # tombstones live
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    assert len(got) == 100
+    assert got[94] == 940 and got[95] == 951 and got[99] == 991
+    ch = read_txn_changes(spark, root, from_version=0)
+    rows = sorted((r._change_type, r.id, r.v) for r in
+                  ch.filter("_commit_version = 1").collect())
+    assert rows == sorted(
+        [("delete", i, i * 10) for i in range(95, 100)]
+        + [("insert", i, i * 10 + 1) for i in range(95, 100)]
+    )
+    # no-match: nothing commits
+    assert update_txn_dv(spark, root, "id = 12345", {"v": "0"}) == 1
+    assert snapshot(root).version == 1
+    # updating an already-updated row works (positions over DV-applied view)
+    update_txn_dv(spark, root, "id = 99", {"v": "v + 1"})
+    assert read_txn(spark, root).filter("id = 99").collect()[0].v == 992
+    # three-valued logic: NULL predicate leaves the row
+    write_txn(spark.createDataFrame([(200, None)], "id long, v long"), root)
+    vb = snapshot(root).version
+    assert update_txn_dv(spark, root, "v < 0", {"v": "0"}) == vb
+    # unknown SET column is loud
+    with pytest.raises(ValueError):
+        update_txn_dv(spark, root, "id = 1", {"nope": "1"})
+    # compaction folds tombstones away; values survive
+    compact_txn(spark, root, target_files=2)
+    s = snapshot(root)
+    assert sum(len(d) for d in s.file_dvs) == 0
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    assert len(got) == 101 and got[99] == 992 and got[200] is None
+
+
 def _sc_bloom_filter_equality_skipping(spark, base):
     """Per-file Bloom filters (set_bloom_txn): equality point lookups on a
     HIGH-CARDINALITY UNCLUSTERED key prune files where min/max stats are
@@ -967,6 +1018,13 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     s1 = _tt.snapshot(dv_root)
     assert set(s1.files) == set(s0.files)
     assert sum(len(d) for d in s1.file_dvs) >= 1
+    # the DV-update query's story: original files all survive the commit;
+    # only the updated-rows file is new
+    up_root = os.path.join(_tf.gettempdir(), f"txn_dvupd_{os.getpid()}")
+    u0 = _tt.snapshot(up_root, version=0)
+    u1 = _tt.snapshot(up_root)
+    assert set(u0.files) <= set(u1.files)
+    assert sum(len(d) for d in u1.file_dvs) >= 1
     pruned = txn_skipping_scan(spark, SF_DIR)
     import dbt_trill_shop_spark.sources.txn_table as tt
     import tempfile
@@ -998,6 +1056,7 @@ _SCENARIOS = [
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
+    _sc_update_dv_merge_on_read,
     _sc_bloom_filter_equality_skipping,
     _sc_stats_require_full_rowgroup_coverage,
     _sc_compaction_preserves_rows_and_is_atomic,
