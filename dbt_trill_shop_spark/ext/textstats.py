@@ -1297,6 +1297,168 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
 )
 
 
+def rerank_pairs_bridge(
+    pairs: DataFrame,
+    q_col: str = "q_text",
+    d_col: str = "d_text",
+    qid_col: str = "query_id",
+    did_col: str = "neighbor_id",
+    passthrough: tuple = ("dot",),
+) -> DataFrame:
+    """Cross-encoder RERANK bridge — the second stage of the two-stage
+    retrieval stack (cheap retriever -> top-N candidates -> a pair model
+    scores (query, document) TEXT PAIRS and reorders).  This is the
+    Arrow-batched ``mapInPandas`` shape a production pipeline uses to
+    call the cross-encoder per batch, exactly like the embedding bridge
+    (:func:`embed_documents_bridge`): a deployment swaps ONLY the
+    scoring closure for the model call; the Spark-side deliverables —
+    pair schema with NULLABLE passthrough ids (the r7 FEATURE_SCHEMA
+    lesson), batch iteration, integer score components — are what the
+    pytest twin pins against a JVM-side plan.
+
+    The scoring stub is deterministic distinct-token CONTAINMENT:
+    ``n_overlap`` = |tokens(q) ∩ tokens(d)| and ``n_q`` = |tokens(q)|,
+    both integers, so the downstream score (ONE division, ROUND 6 —
+    the house pattern) is value-hash oracle-checkable.  Corpus posture:
+    pairs are queries × N_candidates rows (bounded by the retriever,
+    never corpus-sized); each pair rides the Arrow channel once; output
+    is two ints per pair; no shuffle inside the bridge."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(qid_col, LongType(), True), StructField(did_col, LongType(), True)]
+        + [StructField(c, LongType(), True) for c in passthrough]
+        + [
+            StructField("n_overlap", LongType(), False),
+            StructField("n_q", LongType(), False),
+        ]
+    )
+
+    def toks(s) -> set:
+        return {t for t in _re.split("[^a-z]+", (s or "").lower()) if t}
+
+    def run(batches):
+        for pdf in batches:
+            n_ov, n_q = [], []
+            for q, d in zip(pdf[q_col], pdf[d_col]):
+                qt = toks(q)
+                n_ov.append(len(qt & toks(d)))
+                n_q.append(len(qt))
+            out = {qid_col: pdf[qid_col], did_col: pdf[did_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["n_overlap"] = n_ov
+            out["n_q"] = n_q
+            yield pd.DataFrame(out)
+
+    cols = [qid_col, did_col, *passthrough, q_col, d_col]
+    return pairs.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def rerank_bridge_topk(
+    docs: DataFrame,
+    k_retrieve: int = 10,
+    k_final: int = 5,
+    num_queries: int = 4,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Registry-ready two-stage retrieval with the rerank bridge (STAGED
+    for round 9): stage 1 = :func:`hashed_doc_knn` (exact int64 sparse
+    dots, the bi-encoder stand-in), stage 2 = :func:`rerank_pairs_bridge`
+    over the candidates' (query, doc) texts, final order by the rerank
+    score with (first-stage dot, id) tie-breaks.  Score = NULL when the
+    query has no tokens (house NULL-on-zero rule), else
+    ROUND(n_overlap / n_q, 6).
+
+    Plan shape: candidates (queries × k rows) BROADCAST into both text
+    joins, so the corpus text never rides an exchange; the rerank window
+    partitions by query_id over ≤ queries × k rows."""
+    from pyspark.sql import Window
+
+    cands = hashed_doc_knn(
+        docs, k=k_retrieve, num_queries=num_queries, dim=dim,
+        text_col=text_col, id_col=id_col,
+    )
+    q_texts = docs.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("q_text")
+    )
+    with_q = cands.join(F.broadcast(q_texts), "query_id")
+    pairs = docs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(text_col).alias("d_text")
+    ).join(F.broadcast(with_q), "neighbor_id")
+    scored = rerank_pairs_bridge(pairs)
+    score = F.when(
+        F.col("n_q") > 0,
+        F.round(F.col("n_overlap").cast("double") / F.col("n_q"), 6),
+    ).alias("rerank_score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "dot", score)
+        .withColumn("rerank_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rerank_rank") <= k_final)
+        .orderBy("query_id", "rerank_rank")
+    )
+
+
+RERANK_BRIDGE_SQL_TEMPLATE = (
+    "WITH "
+    + _HASHED_EMB_CTE
+    + """,
+q AS (SELECT doc_id AS query_id, dim_idx, weight AS qw FROM e WHERE doc_id < {num_queries}),
+dots AS (
+    SELECT q.query_id, e.doc_id AS neighbor_id,
+           CAST(SUM(q.qw * e.weight) AS BIGINT) AS dot
+    FROM e JOIN q USING (dim_idx)
+    WHERE e.doc_id <> q.query_id
+    GROUP BY q.query_id, e.doc_id
+),
+cands AS (
+    SELECT query_id, neighbor_id, dot FROM (
+        SELECT query_id, neighbor_id, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id ASC) AS rnk
+        FROM dots
+    ) WHERE rnk <= {k_retrieve}
+),
+dtok AS (SELECT DISTINCT doc_id, w FROM toks),
+nq AS (
+    SELECT doc_id AS query_id, COUNT(*) AS n_q
+    FROM dtok WHERE doc_id < {num_queries} GROUP BY doc_id
+),
+ov AS (
+    SELECT c.query_id, c.neighbor_id, COUNT(*) AS n_overlap
+    FROM cands c
+    JOIN dtok qt ON qt.doc_id = c.query_id
+    JOIN dtok dt ON dt.doc_id = c.neighbor_id AND dt.w = qt.w
+    GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, c.dot,
+           CASE WHEN COALESCE(nq.n_q, 0) > 0
+                THEN ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / nq.n_q, 6)
+           END AS rerank_score
+    FROM cands c
+    LEFT JOIN nq USING (query_id)
+    LEFT JOIN ov ON ov.query_id = c.query_id AND ov.neighbor_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, dot, rerank_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rerank_score DESC, dot DESC,
+                                        neighbor_id ASC) AS BIGINT) AS rerank_rank
+FROM scored
+QUALIFY rerank_rank <= {k_final}
+ORDER BY query_id, rerank_rank
+"""
+)
+
+
 def countmin_heavy_hitters(
     docs: DataFrame,
     depth: int = 4,

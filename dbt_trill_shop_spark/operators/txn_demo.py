@@ -426,7 +426,10 @@ ORDER BY o_orderpriority
 # r9 wiring data (all plan scale-audit CLEAN, sf0.1 oracle-green on
 # local[32] at ambient ~1.0): q_txn_dv_delete warm 2.3 s (cold 5.5),
 # q_txn_restore warm 0.9 s (cold 3.0), s_stream_txn_tail warm 2.7 s
-# (cold 8.1 — stream machinery spin-up dominates).
+# (cold 8.1 — stream machinery spin-up dominates), q_txn_dv_update
+# warm 1.6 s (cold 2.9), q_txn_bloom_lookup warm 2.1 s (cold 2.8);
+# x_rerank_bridge (ext/textstats.rerank_bridge_topk) warm 2.0 s
+# (cold 10.5, Arrow worker spin-up).
 def txn_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE (STAGED for round 9): v0 = full orders table, v1 = a
     fat-fingered DELETE, v2 = `restore_txn` back to v0 — one metadata-only

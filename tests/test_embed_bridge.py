@@ -67,3 +67,85 @@ def test_bridge_longform_matches_duckdb_oracle(spark, sf_dir):
     df = embed_bridge_longform(load_table(spark, sf_dir, "documents"), dim=16)
     probs = compare(df, oracle_frame(con, EMBED_BRIDGE_SQL_TEMPLATE.format(dim=16)))
     assert not probs, "; ".join(probs)
+
+
+def test_rerank_bridge_matches_jvm_twin_and_oracle(spark, sf_dir):
+    """The cross-encoder rerank bridge (STAGED for round 9): the
+    mapInPandas containment scorer agrees exactly with a JVM-side
+    explode/distinct/join plan over the same pairs; the full two-stage
+    pipeline passes the driver-style comparison against the pure-SQL
+    DuckDB twin; degenerate inputs (empty corpus, all-NULL row,
+    token-less query) follow the NULL-on-zero house rule."""
+    from dbt_trill_shop_spark.ext.textstats import (
+        RERANK_BRIDGE_SQL_TEMPLATE,
+        rerank_bridge_topk,
+        rerank_pairs_bridge,
+    )
+
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # JVM twin for the bridge arithmetic on a small pair set
+    q = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("q_text")
+    )
+    d = docs.filter("doc_id >= 3 AND doc_id < 23").select(
+        F.col("doc_id").alias("neighbor_id"), F.col("text").alias("d_text")
+    )
+    pairs = q.crossJoin(d).withColumn("dot", F.lit(0).cast("bigint"))
+    got = {
+        (r.query_id, r.neighbor_id): (r.n_overlap, r.n_q)
+        for r in rerank_pairs_bridge(pairs).collect()
+    }
+
+    def dtok(df, id_alias):
+        return (
+            df.select(
+                F.col(df.columns[0]).alias(id_alias),
+                F.explode(
+                    F.split(F.lower(F.col(df.columns[1])), "[^a-z]+")
+                ).alias("w"),
+            )
+            .filter("w <> ''")
+            .distinct()
+        )
+    qt, dt = dtok(q, "query_id"), dtok(d, "neighbor_id")
+    nq = {r.query_id: r.n for r in qt.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    ov = {
+        (r.query_id, r.neighbor_id): r.n
+        for r in qt.join(dt, "w").groupBy("query_id", "neighbor_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {(r.query_id, r.neighbor_id) for r in pairs.select("query_id", "neighbor_id").collect()}
+    for (qid, did), (n_overlap, n_q) in got.items():
+        assert n_q == nq.get(qid, 0), (qid, did)
+        assert n_overlap == ov.get((qid, did), 0), (qid, did)
+    # full pipeline vs DuckDB oracle (driver-style value-hash comparison)
+    full = rerank_bridge_topk(load_table(spark, sf_dir, "documents"))
+    sql = RERANK_BRIDGE_SQL_TEMPLATE.format(
+        dim=32, num_queries=4, k_retrieve=10, k_final=5
+    )
+    probs = compare(full, oracle_frame(duck_connection(sf_dir), sql))
+    assert not probs, "; ".join(probs)
+    # degenerate: empty corpus -> empty result, same schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert rerank_bridge_topk(empty).count() == 0
+    # degenerate: all-NULL row and a token-less query survive.  A
+    # token-less query has an empty embedding, so the retriever yields it
+    # no candidates at all — it must be ABSENT, not crashed
+    weird = spark.createDataFrame(
+        [(None, None), (0, "1234 !!"), (1, "alpha beta"), (5, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = rerank_bridge_topk(weird, num_queries=2).collect()
+    assert {r.query_id for r in rows} == {1}
+    assert all(r.rerank_score is not None for r in rows)
+    # the NULL-on-zero guard itself: a token-less query scored DIRECTLY
+    # through the bridge reports n_q = 0, and the score expression the
+    # pipeline applies must then be NULL, never a division
+    direct = spark.createDataFrame(
+        [(0, 3, 0, "1234 !!", "alpha beta")],
+        "query_id long, neighbor_id long, dot long, q_text string, d_text string",
+    )
+    b = rerank_pairs_bridge(direct).collect()[0]
+    assert (b.n_overlap, b.n_q) == (0, 0)
