@@ -89,8 +89,8 @@ class _TxnStreamReader(DataSourceStreamReader):
             if not (start["version"] < v <= end["version"]):
                 continue
             e = _read_entry(self.root, v)
-            if e.get("mode") == "compact":
-                continue  # physical rewrite, not data
+            if e.get("mode") in ("compact", "optimize", "set_bloom"):
+                continue  # physical rewrite / stats-only re-add, not data
             has_changes = any("remove" in a or "dv" in a for a in e["actions"])
             if has_changes and not self.ignore_changes:
                 raise ValueError(

@@ -748,6 +748,10 @@ def _stage_files(
         os.replace(os.path.join(staging, f), os.path.join(root, rel))
         rels.append(rel)
         stats[rel] = _file_stats(os.path.join(root, rel))
+        # file size rides the stats (reserved key, like __bloom) so
+        # maintenance ops (optimize_txn bin-packing) plan from the log
+        # instead of HEAD-ing every object at 100 TB
+        stats[rel]["__bytes"] = os.path.getsize(os.path.join(root, rel))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -1447,11 +1451,142 @@ def compact_txn(
     else:
         df = df.coalesce(target_files)
     rels, schema_json, stats = _stage_files(df, root, snap.bloom_spec)
-    actions = [{"remove": os.path.relpath(p, root)} for p in snap.files] + [
-        {"add": r, "stats": stats[r]} for r in rels
-    ]
-    return _commit_pinned(
-        root, snap.version, "compact", actions, schema_json, "compact"
+    return _commit_commuting_rewrite(
+        root,
+        snap,
+        removed=[os.path.relpath(p, root) for p in snap.files],
+        adds=[{"add": r, "stats": stats[r], "schema": schema_json} for r in rels],
+        what="compact",
+        schema_json=schema_json,
+    )
+
+
+def _merge_schemas(a_json: str, b_json: str) -> str:
+    """Reconcile two commit schemas by name: shared fields keep the first
+    schema's type and OR their nullability; fields present on only one
+    side become NULLABLE (some live files provably lack them).  Used by
+    maintenance rewrites so their entry schema can absorb an interleaved
+    evolved append without regressing either side's nullability."""
+    from pyspark.sql.types import StructField, StructType
+
+    a = StructType.fromJson(json.loads(a_json))
+    b = StructType.fromJson(json.loads(b_json))
+    fields: dict[str, StructField] = {}
+    order: list[str] = []
+    for f in list(a.fields) + list(b.fields):
+        if f.name in fields:
+            g = fields[f.name]
+            fields[f.name] = StructField(g.name, g.dataType, g.nullable or f.nullable)
+        else:
+            fields[f.name] = f
+            order.append(f.name)
+    a_names = {f.name for f in a.fields}
+    b_names = {f.name for f in b.fields}
+    for n in order:
+        if n not in a_names or n not in b_names:
+            g = fields[n]
+            fields[n] = StructField(g.name, g.dataType, True)
+    return StructType([fields[n] for n in order]).json()
+
+
+def _commit_commuting_rewrite(
+    root: str,
+    base_snap: Snapshot,
+    removed: list[str],
+    adds: list[dict],
+    what: str,
+    schema_json: str,
+    max_retries: int = 20,
+) -> int:
+    """Commit a MAINTENANCE rewrite (compaction / optimize) with Delta's
+    disjoint-file-set conflict rule: a rewrite only moves bytes between
+    files whose ROWS it read, so a concurrent commit invalidates it ONLY
+    if it touched those input files — removed one (overwrite / another
+    rewrite) or tombstoned rows in one (a DV landing after the rewrite
+    read them would be silently lost).  Blind appends, schema evolution,
+    and metadata commits COMMUTE: the rewrite retries at the new head,
+    keeping the interloper's files live.  Each ``add`` action carries the
+    rewrite's own schema; the entry carries ``schema_json`` merged (by
+    name, nullability OR'd, one-sided fields nullable) with the head's
+    schema on every retry — an interleaved evolved append is never
+    regressed, and a stale non-nullable field never tightens the table
+    schema (the streaming source declares the table schema to Arrow, so a
+    nullability regression is a task-killing NPE, not cosmetic)."""
+    dv_at_base = {
+        os.path.relpath(p, root): dvs
+        for p, dvs in zip(base_snap.files, base_snap.file_dvs)
+    }
+    cur_version, entry_schema = base_snap.version, schema_json
+    for _ in range(max_retries):
+        actions = [{"remove": r} for r in removed] + adds
+        entry = _build_entry(what, cur_version + 1, actions, entry_schema, None)
+        if _try_commit(root, cur_version + 1, entry):
+            _maybe_checkpoint(root, cur_version + 1)
+            return cur_version + 1
+        snap = snapshot(root)
+        live = {
+            os.path.relpath(p, root): dvs
+            for p, dvs in zip(snap.files, snap.file_dvs)
+        }
+        for r in removed:
+            if r not in live or live[r] != dv_at_base.get(r):
+                raise TxnConflict(
+                    f"{what} of {root} conflicts: input file {r} was "
+                    "removed or tombstoned by a concurrent commit"
+                )
+        cur_version = snap.version
+        entry_schema = _merge_schemas(schema_json, snap.schema_json)
+    raise TxnConflict(f"{what} of {root} exhausted {max_retries} retries")
+
+
+def optimize_txn(
+    spark: SparkSession,
+    root: str,
+    small_than: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Bin-packed small-file compaction (Delta's OPTIMIZE): rewrite ONLY
+    the live files smaller than ``small_than`` bytes into ~``target_bytes``
+    outputs, leaving every right-sized file UNTOUCHED — the routine
+    maintenance op where streaming appends have produced thousands of tiny
+    files.  ``compact_txn`` rewrites the whole table (correct for
+    re-clustering); at 100 TB the small-file sweep must not.  File sizes
+    come from the log (``__bytes`` rides every add action's stats), so
+    planning reads zero objects; pre-``__bytes`` history falls back to one
+    stat call per file.  Input files' deletion vectors materialize away
+    (the rewrite reads the DV-applied view); other files' DVs are
+    untouched.  Commits with the commuting-rewrite rule: concurrent blind
+    appends retry, not conflict.  Returns the current version when fewer
+    than two small files exist (nothing to pack)."""
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    small: list[int] = []
+    total = 0
+    for i, (p, st) in enumerate(zip(snap.files, snap.file_stats)):
+        b = st.get("__bytes")
+        if b is None:
+            try:
+                b = os.path.getsize(p)
+            except OSError:
+                continue
+        if b < small_than:
+            small.append(i)
+            total += b
+    if len(small) < 2:
+        return snap.version
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    items = [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in small]
+    n_out = max(1, (total + target_bytes - 1) // target_bytes)
+    df = _scan_files(spark, items, want, root=root).coalesce(int(n_out))
+    rels, schema_json, stats = _stage_files(df, root, snap.bloom_spec)
+    return _commit_commuting_rewrite(
+        root,
+        snap,
+        removed=[os.path.relpath(snap.files[i], root) for i in small],
+        adds=[{"add": r, "stats": stats[r], "schema": schema_json} for r in rels],
+        what="optimize",
+        schema_json=_merge_schemas(schema_json, snap.schema_json),
     )
 
 
@@ -1487,9 +1622,12 @@ def read_txn_changes(
     prior_map: dict[str, tuple[str, tuple[str, ...]]] | None = None
     for v in want:
         e = _read_entry(root, v)
-        if e.get("mode") in ("compact", "set_bloom"):
-            # pass-through rewrites (compaction) and stats-only re-adds
-            # (bloom backfill) change no rows — not data changes
+        if e.get("mode") in ("compact", "optimize", "set_bloom"):
+            # pass-through rewrites (compaction / small-file optimize) and
+            # stats-only re-adds (bloom backfill) change no rows — not
+            # data changes.  NOTE optimize folds its inputs' DELETION
+            # VECTORS away physically, but those deletes were reported at
+            # the DV commit itself, so skipping here never loses a change.
             prior_map = None  # file set / stats changed; recompute lazily
             continue
         has_removes = any("remove" in a or "dv" in a for a in e["actions"])

@@ -856,6 +856,46 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_optimize_binpacks_small_files(spark, base):
+    """optimize_txn (Delta OPTIMIZE): only live files under the size
+    threshold are rewritten — right-sized files survive byte-identical;
+    sizes plan from the log's __bytes stats (zero object stats); packed
+    inputs' deletion vectors materialize away while other files' DVs
+    survive; the commit is CDF-silent and invisible to the streaming
+    tail; fewer than two small files is a no-op."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv, optimize_txn, read_txn_changes,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 20000).coalesce(1), root)        # v0: one big file
+    for lo in range(20000, 20012, 3):                        # v1..v4: tiny files
+        write_txn(_df(spark, lo, lo + 3).coalesce(1), root)
+    s0 = snapshot(root)
+    assert len(s0.files) == 5
+    assert all("__bytes" in st for st in s0.file_stats)
+    big = max(zip(s0.file_stats, s0.files), key=lambda x: x[0]["__bytes"])[1]
+    # tombstone one row in a tiny file AND one in the big file
+    delete_txn_dv(spark, root, "id = 20000 OR id = 7")       # v5
+    thresh = sorted(st["__bytes"] for st in s0.file_stats)[-2] + 1
+    v = optimize_txn(spark, root, small_than=thresh)
+    s1 = snapshot(root)
+    assert v == s1.version == 6
+    assert big in s1.files                                    # untouched
+    # 4 tiny files packed into 1; big file + its DV survive
+    assert len(s1.files) == 2
+    dvs_by_file = dict(zip(s1.files, s1.file_dvs))
+    assert len(dvs_by_file[big]) == 1                         # big's DV kept
+    packed = next(p for p in s1.files if p != big)
+    assert dvs_by_file[packed] == ()                          # folded away
+    got = sorted(r.id for r in read_txn(spark, root).collect())
+    assert got == [i for i in range(20012) if i not in (7, 20000)]
+    # CDF: the optimize commit reports no changes
+    assert read_txn_changes(spark, root, from_version=5).count() == 0
+    # no-op when fewer than two small files remain
+    assert optimize_txn(spark, root, small_than=thresh) == 6
+
+
 def _sc_update_dv_merge_on_read(spark, base):
     """Merge-on-read UPDATE (update_txn_dv): matched rows tombstone into a
     sidecar and their updated versions append in ONE commit — untouched
@@ -1056,6 +1096,7 @@ _SCENARIOS = [
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
+    _sc_optimize_binpacks_small_files,
     _sc_update_dv_merge_on_read,
     _sc_bloom_filter_equality_skipping,
     _sc_stats_require_full_rowgroup_coverage,
@@ -1120,6 +1161,58 @@ def test_merge_conflict_preserves_concurrent_append(spark, tmp_path, monkeypatch
     # a clean retry (no interloper) succeeds at the advanced version
     merge_txn(spark, src, root, on="id")
     assert {r.v for r in read_txn(spark, root).collect() if r.id == 1} == {-1}
+
+
+def test_maintenance_rewrite_commutes_with_append(spark, tmp_path, monkeypatch):
+    """Delta's disjoint-file-set conflict rule for maintenance rewrites:
+    a blind append landing between a compaction's read and its commit
+    COMMUTES — the compaction retries at the new head and the appended
+    file stays live alongside the compacted output.  A concurrent DV
+    tombstoning rows IN a compaction input does NOT commute (the rewrite
+    would resurrect the deleted rows) and must raise.  Serial: patches
+    module internals the pooled threads would observe."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    root = str(tmp_path / "t6")
+    for lo in (0, 3, 6):
+        write_txn(_df(spark, lo, lo + 3).coalesce(1), root)
+    orig = tt._stage_files
+    state = {"interlope": None}
+
+    def stage_then_interlope(df, root_, *args):
+        out = orig(df, root_, *args)
+        fn, state["interlope"] = state["interlope"], None
+        if fn is not None:
+            fn()
+        return out
+
+    monkeypatch.setattr(tt, "_stage_files", stage_then_interlope)
+    # commuting case: append interleaves a full compaction
+    state["interlope"] = lambda: tt.write_txn(
+        _df(spark, 900, 902).coalesce(1), root, mode="append"
+    )
+    v = compact_txn(spark, root, target_files=1)
+    got = sorted(r.id for r in read_txn(spark, root).collect())
+    assert got == list(range(9)) + [900, 901]           # nothing lost
+    assert snapshot(root).version == v
+    # schema-evolving append commutes too, and the table schema is NOT
+    # regressed by the rewrite's entry
+    state["interlope"] = lambda: tt.write_txn(
+        spark.createDataFrame([(950, 1, "x")], "id long, v long, tag string"),
+        root, mode="append",
+    )
+    tt.optimize_txn(spark, root, small_than=1 << 30)
+    snap = snapshot(root)
+    assert "tag" in [f["name"] for f in json.loads(snap.schema_json)["fields"]]
+    got = {r.id: r.tag for r in read_txn(spark, root).collect()}
+    assert got[950] == "x" and got[0] is None
+    # NON-commuting case: a DV lands on a compaction input file
+    state["interlope"] = lambda: tt.delete_txn_dv(spark, root, "id = 900")
+    with pytest.raises(TxnConflict):
+        compact_txn(spark, root, target_files=1)
+    # the delete won, the compaction did not apply
+    got = sorted(r.id for r in read_txn(spark, root).collect())
+    assert 900 not in got and 901 in got
 
 
 def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
