@@ -1081,19 +1081,18 @@ def write_txn(
     raise TxnConflict(f"append to {root} exhausted {max_retries} retries")
 
 
-def _merge_touched_indices(
+def _interval_touched(
     spark: SparkSession, source: DataFrame, snap: Snapshot, key: str
-) -> list[int]:
-    """Dynamic file pruning for MERGE: the indices of snapshot files that
-    MAY hold a row whose ``key`` equals some source key.  A file whose
-    log-recorded [min, max] for ``key`` contains NO actual source key value
-    provably has no match and need not be rewritten.  The probe is one
-    small job: distinct source keys range-join a BROADCAST relation of the
-    file intervals (file count is metadata-sized) — the Delta-MERGE data-
-    skipping idea, exact per file rather than one coarse source-wide
-    interval.  Files with no recorded stats for ``key`` (pre-evolution
-    files, stats-less row groups) are conservatively touched.  NULL source
-    keys match nothing under equi-join semantics and are ignored."""
+) -> set[int]:
+    """The indices of snapshot files whose log-recorded [min, max] for
+    ``key`` contains at least one actual source key value.  The probe is
+    one small job: distinct source keys range-join a BROADCAST relation
+    of the file intervals (file count is metadata-sized) — the
+    Delta-MERGE data-skipping idea, exact per file rather than one coarse
+    source-wide interval.  Files with no recorded stats for ``key``
+    (pre-evolution files, stats-less row groups) are conservatively
+    touched.  NULL source keys match nothing under equi-join semantics
+    and are ignored."""
     from pyspark.sql import functions as F
 
     ranged = [
@@ -1103,13 +1102,13 @@ def _merge_touched_indices(
     ]
     touched = {i for i, st in enumerate(snap.file_stats) if key not in st}
     if not ranged:
-        return sorted(touched)
+        return touched
     lo0 = ranged[0][1]
     if isinstance(lo0, bool) or not all(
         isinstance(r[1], type(lo0)) and isinstance(r[2], type(lo0)) for r in ranged
     ):
         # heterogeneous / bool stats: pruning unprovable, rewrite everything
-        return sorted(touched | {r[0] for r in ranged})
+        return touched | {r[0] for r in ranged}
     probe_key = F.col(key)
     if isinstance(lo0, str):
         # recorded bounds may be stringified (date/timestamp footers):
@@ -1129,7 +1128,92 @@ def _merge_touched_indices(
         .distinct()
         .collect()
     )
-    return sorted(touched | {r.f_idx for r in hits})
+    return touched | {r.f_idx for r in hits}
+
+
+# A MERGE source with more distinct keys than this skips Bloom refinement
+# (the bit probe would collect limit x k ints to the driver; beyond it the
+# source plausibly touches most files anyway and intervals did the work).
+_BLOOM_MERGE_PROBE_LIMIT = 4096
+
+
+def _merge_touched_indices(
+    spark: SparkSession, source: DataFrame, snap: Snapshot, keys: list[str]
+) -> list[int]:
+    """Dynamic file pruning for MERGE: the indices of snapshot files that
+    MAY hold a row matching some source row on EVERY join key.
+
+    Two pruning axes compose, both sound (a kept file may still match;
+    a dropped file provably cannot):
+    - INTERVAL intersection over ALL keys: a matching tuple must fall in
+      the file's [min, max] on each key independently, so the touched set
+      is the intersection of each key's interval hits (round 8 widened
+      this from first-key-only).
+    - BLOOM refinement: for a key carrying per-file Bloom filters
+      (``set_bloom_txn``), a candidate file is kept only if at least one
+      distinct source key value's bits are all set — the equality-lookup
+      axis where intervals are useless (unclustered high-cardinality
+      keys).  Probes hash through the same JVM expression as the build;
+      sources with more than ``_BLOOM_MERGE_PROBE_LIMIT`` distinct keys
+      skip refinement."""
+    import base64
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    touched = set(range(len(snap.files)))
+    for key in keys:
+        if not touched:
+            return []
+        touched &= _interval_touched(spark, source, snap, key)
+    mk = {c: (m, k) for c, m, k in snap.bloom_spec}
+    fields = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+    }
+    for key in keys:
+        if key not in mk or key not in fields or not touched:
+            continue
+        cand = [
+            i
+            for i in touched
+            if (snap.file_stats[i].get(_BLOOM_KEY) or {}).get(key)
+        ]
+        if not cand:
+            continue
+        m, k = mk[key]
+        try:
+            rows = (
+                source.select(F.col(key).cast(fields[key]).alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .limit(_BLOOM_MERGE_PROBE_LIMIT + 1)
+                .select(
+                    *[
+                        F.pmod(F.xxhash64(F.col("v"), F.lit(s)), F.lit(m)).alias(
+                            f"b{s}"
+                        )
+                        for s in range(k)
+                    ]
+                )
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 - uncastable key: skip refinement
+            continue
+        if len(rows) > _BLOOM_MERGE_PROBE_LIMIT:
+            continue
+        bitlists = [[r[f"b{s}"] for s in range(k)] for r in rows]
+        for i in cand:
+            b = snap.file_stats[i][_BLOOM_KEY][key]
+            if b["m"] != m or b["k"] != k:
+                continue
+            data = base64.b64decode(b["b64"])
+            if not any(
+                all(data[x >> 3] & (1 << (x & 7)) for x in bits)
+                for bits in bitlists
+            ):
+                touched.discard(i)
+    return sorted(touched)
 
 
 def merge_txn(
@@ -1163,9 +1247,10 @@ def merge_txn(
         # lost data; evolving the schema mid-merge is a separate decision
         # the caller makes with an explicit append/overwrite
         raise ValueError(f"merge source has columns absent from the target: {extra_cols}")
-    # prune on the first key: sound alone (a file whose range excludes
-    # every source value of THIS key cannot hold a matching key tuple)
-    touched = _merge_touched_indices(spark, source, snap, keys[0])
+    # a CDC batch is small by contract and feeds several probe jobs plus
+    # the anti-join: materialize it once
+    source = source.localCheckpoint(eager=True)
+    touched = _merge_touched_indices(spark, source, snap, keys)
     survivors = _scan_files(
         spark,
         [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],

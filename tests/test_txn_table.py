@@ -753,6 +753,48 @@ def _sc_merge_prunes_untouched_files(spark, base):
     )
     post = snapshot(root)
     assert set(pre.files) <= set(post.files)
+    # MULTI-KEY pruning: intervals intersect across ALL join keys — a
+    # source matching file ranges on `id` but provably outside them on a
+    # SECOND clustered key rewrites nothing
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    root2 = os.path.join(base, "t2")
+    two = spark.range(0, 400).selectExpr("id", "id as k2", "id * 10 as v")
+    write_txn(two.repartitionByRange(8, "id"), root2)
+    pre2 = snapshot(root2)
+    # id=10 is in range for the first file, but k2=9999 is outside EVERY
+    # file's k2 range (files are id-clustered, so k2 ranges track id)
+    merge_txn(
+        spark,
+        spark.createDataFrame([(10, 9999, -1)], "id long, k2 long, v long"),
+        root2,
+        on=["id", "k2"],
+    )
+    post2 = snapshot(root2)
+    assert set(pre2.files) <= set(post2.files)  # pure insert, no rewrite
+    got2 = read_txn(spark, root2).filter("id = 10").collect()
+    assert sorted((r.k2, r.v) for r in got2) == [(10, 100), (9999, -1)]
+    # BLOOM refinement: on a hash-scattered (unclustered) key every file's
+    # interval spans the domain, but the bloom knows which file holds the
+    # source key — the merge rewrites a strict subset
+    root3 = os.path.join(base, "t3")
+    scat = spark.range(0, 4000).selectExpr(
+        "id * 7919 % 100000 as id", "id as v"
+    ).repartition(4)
+    write_txn(scat, root3)
+    tt.set_bloom_txn(spark, root3, {"id": 16384})
+    pre3 = snapshot(root3)
+    n_pre = len(pre3.files)
+    merge_txn(
+        spark,
+        spark.createDataFrame([(7919, -7)], "id long, v long"),
+        root3,
+        on="id",
+    )
+    post3 = snapshot(root3)
+    survived3 = set(pre3.files) & set(post3.files)
+    assert len(survived3) >= n_pre - 2, (len(survived3), n_pre)
+    assert {r.v for r in read_txn(spark, root3).filter("id = 7919").collect()} == {-7}
 
 
 def _sc_timestamp_travel_clock_regression(spark, base):
