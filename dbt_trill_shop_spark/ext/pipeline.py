@@ -393,3 +393,142 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket ASC,
 FROM bucketed
 ORDER BY rank
 """
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002) over quasi-identifier columns —
+    the privacy-governance check a training-data release runs before
+    structured records (or metadata joined to text) leave the pipeline:
+    every row must be indistinguishable from at least k-1 others on the
+    quasi-identifiers, else the class re-identifies its members.
+
+    Output: one row per equivalence-CLASS SIZE — (class_size, n_classes,
+    n_rows, below_k) ordered by size — the histogram an auditor reads to
+    pick suppression/generalization targets.  NULL quasi values form
+    their own class (SQL GROUP BY semantics, identical cross-engine).
+
+    Scale: two map-side-combinable aggregations; the first shuffles the
+    quasi-key (never payload), the second shuffles at most one row per
+    distinct class size.  No window, no collect."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < k).alias("below_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+def k_anonymity_sql(table: str, quasi_cols: list[str], k: int = 5) -> str:
+    """DuckDB oracle for :func:`k_anonymity_report`."""
+    qcols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+    SELECT {qcols}, COUNT(*) AS class_size FROM {table} GROUP BY {qcols}
+)
+SELECT class_size,
+       COUNT(*) AS n_classes,
+       class_size * COUNT(*) AS n_rows,
+       class_size < {k} AS below_k
+FROM classes
+GROUP BY class_size
+ORDER BY class_size
+"""
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007): k-anonymity's
+    complement — a large equivalence class still leaks when every member
+    shares the same SENSITIVE value (homogeneity attack).  Each class
+    must contain at least ``l`` distinct sensitive values.
+
+    Output: one row per distinct-sensitive-count — (n_sensitive,
+    n_classes, n_rows, below_l) ordered — with NULL sensitive values
+    excluded from the distinct count (an absent value discloses
+    nothing).  Same two-aggregation scale shape as the k-anonymity
+    report."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    return (
+        classes.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "n_sensitive",
+            "n_classes",
+            "n_rows",
+            (F.col("n_sensitive") < l).alias("below_l"),
+        )
+        .orderBy("n_sensitive")
+    )
+
+
+def l_diversity_sql(
+    table: str, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> str:
+    """DuckDB oracle for :func:`l_diversity_report`."""
+    qcols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+    SELECT {qcols}, COUNT(*) AS class_size,
+           COUNT(DISTINCT {sensitive_col}) AS n_sensitive
+    FROM {table} GROUP BY {qcols}
+)
+SELECT n_sensitive,
+       COUNT(*) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       n_sensitive < {l} AS below_l
+FROM classes
+GROUP BY n_sensitive
+ORDER BY n_sensitive
+"""
+
+
+def k_anonymity_customers(spark, sf_dir: str) -> DataFrame:
+    """Registry-ready realization (STAGED for round 9): k-anonymity audit
+    of the customer table on (c_mktsegment, c_nationkey), k=10."""
+    from ..catalog import load_table
+
+    return k_anonymity_report(
+        load_table(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], k=10
+    )
+
+
+K_ANONYMITY_CUSTOMERS_SQL = k_anonymity_sql(
+    "customer", ["c_mktsegment", "c_nationkey"], k=10
+)
+
+
+def l_diversity_customers(spark, sf_dir: str) -> DataFrame:
+    """Registry-ready realization (STAGED for round 9): l-diversity audit
+    over (c_nationkey, c_custkey % 20) classes with c_mktsegment as the
+    sensitive attribute, l=3."""
+    from ..catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.col("c_custkey") % 20).alias("kb"), "c_mktsegment"
+    )
+    return l_diversity_report(cust, ["c_nationkey", "kb"], "c_mktsegment", l=3)
+
+
+L_DIVERSITY_CUSTOMERS_SQL = l_diversity_sql(
+    "(SELECT c_nationkey, c_custkey % 20 AS kb, c_mktsegment FROM customer) t",
+    ["c_nationkey", "kb"],
+    "c_mktsegment",
+    l=3,
+)

@@ -1641,7 +1641,91 @@ def test_stdlib_header_decode_malformed_containers():
 # keeps its own asserts and failures surface per-name with the traceback.
 # ---------------------------------------------------------------------------
 
+def _px_rerank_bridge_pipeline_oracle(spark, sf_dir):
+    """The full two-stage rerank pipeline (STAGED for round 9) passes the
+    driver-style comparison against the pure-SQL DuckDB twin; corpus
+    degenerates (empty corpus; all-NULL row plus a token-less query that
+    must be ABSENT from results, not crashed) survive."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.textstats import (
+        RERANK_BRIDGE_SQL_TEMPLATE,
+        rerank_bridge_topk,
+    )
+
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    full = rerank_bridge_topk(load_table(spark, sf_dir, "documents"))
+    sql = RERANK_BRIDGE_SQL_TEMPLATE.format(
+        dim=32, num_queries=4, k_retrieve=10, k_final=5
+    )
+    probs = compare(full, oracle_frame(duck_connection(sf_dir), sql))
+    assert not probs, "; ".join(probs)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert rerank_bridge_topk(empty).count() == 0
+    weird = spark.createDataFrame(
+        [(None, None), (0, "1234 !!"), (1, "alpha beta"), (5, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = rerank_bridge_topk(weird, num_queries=2).collect()
+    assert {r.query_id for r in rows} == {1}
+    assert all(r.rerank_score is not None for r in rows)
+
+
+def _px_k_anonymity_and_l_diversity_match_duckdb(spark, sf_dir):
+    """Privacy-governance audits (STAGED for round 9): the k-anonymity
+    class-size histogram and the l-diversity distinct-sensitive histogram
+    pass the driver-style comparison against their DuckDB oracles;
+    degenerate inputs (empty relation, all-NULL quasi row) follow SQL
+    GROUP BY semantics rather than crashing."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.pipeline import (
+        k_anonymity_report,
+        k_anonymity_sql,
+        l_diversity_report,
+        l_diversity_sql,
+    )
+
+    from .oracle_utils import compare, duck_connection, oracle_frame
+
+    cust = load_table(spark, sf_dir, "customer")
+    con = duck_connection(sf_dir)
+    probs = compare(
+        k_anonymity_report(cust, ["c_mktsegment", "c_nationkey"], k=10),
+        oracle_frame(
+            con, k_anonymity_sql("customer", ["c_mktsegment", "c_nationkey"], k=10)
+        ),
+    )
+    assert not probs, "k_anonymity: " + "; ".join(probs)
+    derived = cust.select(
+        "c_nationkey", (F.col("c_custkey") % 20).alias("kb"), "c_mktsegment"
+    )
+    sub = "(SELECT c_nationkey, c_custkey % 20 AS kb, c_mktsegment FROM customer) t"
+    probs = compare(
+        l_diversity_report(derived, ["c_nationkey", "kb"], "c_mktsegment", l=3),
+        oracle_frame(
+            con, l_diversity_sql(sub, ["c_nationkey", "kb"], "c_mktsegment", l=3)
+        ),
+    )
+    assert not probs, "l_diversity: " + "; ".join(probs)
+    # degenerate: empty input -> empty histograms, same schema
+    empty = spark.createDataFrame([], "a string, b long, s string")
+    assert k_anonymity_report(empty, ["a", "b"]).count() == 0
+    assert l_diversity_report(empty, ["a"], "s").count() == 0
+    # an all-NULL quasi row forms its own class (SQL GROUP BY), and a
+    # NULL sensitive value counts zero distinct values
+    weird = spark.createDataFrame(
+        [(None, None, None), ("x", 1, "s1"), ("x", 1, "s2")],
+        "a string, b long, s string",
+    )
+    ka = {r.class_size: r.n_classes for r in k_anonymity_report(weird, ["a", "b"], k=2).collect()}
+    assert ka == {1: 1, 2: 1}
+    ld = {r.n_sensitive: r.n_classes for r in l_diversity_report(weird, ["a", "b"], "s").collect()}
+    assert ld == {0: 1, 2: 1}
+
+
 _POOLED_CHECKS = [
+    _px_rerank_bridge_pipeline_oracle,
+    _px_k_anonymity_and_l_diversity_match_duckdb,
     _px_exact_dedup_keeps_min_id,
     _px_knn_pagerank_over_ivf_candidates_recall,
     _px_minhash_finds_planted_near_dups,
