@@ -307,8 +307,11 @@ def _sc_model_based_random_ops(spark, base):
 
     from dbt_trill_shop_spark.sources.txn_table import (
         delete_txn_dv,
+        optimize_txn,
         read_txn_changes,
         restore_txn,
+        set_bloom_txn,
+        update_txn_dv,
     )
 
     rng = random.Random(80_86)
@@ -360,9 +363,12 @@ def _sc_model_based_random_ops(spark, base):
     write_txn(df_of(rows0, arity), root)
     commit_model(rows0, arity)
 
+    # the first six ops keep their fixed rotation slots; round-8 ops
+    # (DV update / bin-packed optimize / bloom property+backfill) extend
+    # the random tail so op-interaction coverage includes them
     ops = ["append", "overwrite", "merge", "delete", "dv", "compact",
-           "zorder", "restore"]
-    for step in range(26):
+           "zorder", "restore", "update", "optimize", "setbloom"]
+    for step in range(30):
         cur = history[-1]
         if step == 6:
             # ADDITIVE EVOLUTION: one append introduces column ``w``;
@@ -424,6 +430,28 @@ def _sc_model_based_random_ops(spark, base):
                 restore_txn(root, k)
                 arity = arities[k]
                 commit_model(list(history[k].elements()), arity)
+            elif op == "update":
+                cut = rng.randrange(0, 100)
+                v_before = snapshot(root).version
+                v_after = update_txn_dv(
+                    spark, root, f"v >= {cut}", {"v": "v - 200"}
+                )
+                if v_after != v_before:  # no-match commits nothing
+                    commit_model(
+                        [
+                            (t[0], t[1] - 200, t[2]) if t[1] >= cut else t
+                            for t in cur.elements()
+                        ],
+                        arity,
+                    )
+            elif op == "optimize":
+                v_before = snapshot(root).version
+                v_after = optimize_txn(spark, root, small_than=1 << 30)
+                if v_after != v_before:  # <2 small files: no-op
+                    commit_model(list(cur.elements()), arity)
+            elif op == "setbloom":
+                set_bloom_txn(spark, root, {"id": 4096})
+                commit_model(list(cur.elements()), arity)
         got = collect_visible(read_txn(spark, root))
         assert got == visible(history[-1], arity), f"step {step} op {op}"
 
