@@ -2930,6 +2930,16 @@ _ROUND8_WINDOW = (
     + _ROUND8_OLDEST_REVERIFY
 )
 
+# STAGED FOR THE ROUND-9 WINDOW (registry frozen at 292 until
+# CORRECTNESS_r08 lands; all eight are parity-tested in-suite with DuckDB
+# oracles, plan-audit clean, sf0.1 costs measured — wiring each is a
+# QuerySpec + window-list change):
+#   q_txn_dv_delete / q_txn_dv_update / q_txn_restore /
+#   q_txn_bloom_lookup / s_stream_txn_tail  -> operators/txn_demo.ROUND9_STAGED
+#   x_rerank_bridge   -> ext/textstats.rerank_bridge_topk + RERANK_BRIDGE_SQL_TEMPLATE
+#   x_k_anonymity     -> ext/pipeline.k_anonymity_customers + K_ANONYMITY_CUSTOMERS_SQL
+#   x_l_diversity     -> ext/pipeline.l_diversity_customers + L_DIVERSITY_CUSTOMERS_SQL
+
 _front = _REFERENCE_MODELS + _ROUND8_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)

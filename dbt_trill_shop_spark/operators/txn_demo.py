@@ -553,13 +553,24 @@ def txn_bloom_point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
+    # NULL keys/amounts cannot be looked up (degenerate-twin contract):
+    # exclude them from the key pick on BOTH engines
     keys = [
         int(r.o_orderkey)
-        for r in orders.orderBy(F.desc("cents"), "o_orderkey").limit(5).collect()
+        for r in orders.where(
+            F.col("o_orderkey").isNotNull() & F.col("cents").isNotNull()
+        )
+        .orderBy(F.desc("cents"), "o_orderkey")
+        .limit(5)
+        .collect()
     ]
     root = _tmp_root("bloomlkp")
     write_txn(orders.repartition(8), root)
     set_bloom_txn(spark, root, {"o_orderkey": 1 << 18})  # 32 KiB/file bitset
+    lookup = read_txn(spark, root).select(
+        "o_orderkey",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("dollars"),
+    )
     parts = [
         read_txn(spark, root, where=f"o_orderkey = {k}").select(
             "o_orderkey",
@@ -567,6 +578,8 @@ def txn_bloom_point_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in keys
     ]
+    if not parts:  # empty/all-NULL source: no keys to look up
+        return lookup.limit(0).orderBy("o_orderkey")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -580,7 +593,9 @@ WITH o AS (
     FROM orders
 ),
 keys AS (
-    SELECT o_orderkey FROM o ORDER BY cents DESC, o_orderkey LIMIT 5
+    SELECT o_orderkey FROM o
+    WHERE o_orderkey IS NOT NULL AND cents IS NOT NULL
+    ORDER BY cents DESC, o_orderkey LIMIT 5
 )
 SELECT o.o_orderkey,
        ROUND(CAST(o.cents AS DOUBLE) / 100.0, 2) AS dollars
