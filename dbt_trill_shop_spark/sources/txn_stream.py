@@ -74,23 +74,80 @@ class _TxnStreamReader(DataSourceStreamReader):
             options.get("ignorechanges", "false")
         ).lower() == "true"
         self.start_version = int(options.get("startingversion", -1))
+        mft = int(options.get("maxfilespertrigger", 0))
+        if mft < 0:
+            raise ValueError("maxFilesPerTrigger must be >= 1 (or unset)")
+        self.max_files = mft or None
         self.schema = schema
+        # Best-known consumed position for admission control (offsets
+        # themselves live in the query checkpoint; this mirror only
+        # bounds how far latestOffset advances).  Taught by
+        # initialOffset / partitions / commit.  The FIRST trigger of a
+        # (re)started query is UNCAPPED: the engine calls latestOffset
+        # BEFORE the reader learns any position (measured order:
+        # latestOffset -> initialOffset -> partitions; on restart
+        # initialOffset never fires), and the Python DataSource API has
+        # no SupportsAdmissionControl bridge.  Returning a capped offset
+        # computed from a guessed position could fall BEHIND a restarted
+        # checkpoint and regress the offset log (duplicate replay), so
+        # the head is the only monotone-safe answer.  Steady-state
+        # tailing — the common case — is fully paced from trigger 2; to
+        # pace a cold backlog, also set startingVersion near the head.
+        self._pos: dict | None = None
 
     def initialOffset(self) -> dict:
+        self._pos = {"version": self.start_version}
         return {"version": self.start_version}
+
+    def _data_adds(self, e: dict) -> list[dict]:
+        """A commit's streamable add actions (entry order — immutable, so
+        partial-commit offsets replay deterministically); maintenance /
+        stats-only commits contribute none."""
+        if e.get("mode") in ("compact", "optimize", "set_bloom"):
+            return []  # physical rewrite / stats-only re-add, not data
+        return [a for a in e["actions"] if "add" in a]
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self.root)
-        return {"version": versions[-1] if versions else -1}
+        head = versions[-1] if versions else -1
+        if self.max_files is None:
+            return {"version": head}
+        pos = self._pos
+        if pos is None:  # first trigger of a (re)start: see __init__ note
+            return {"version": head}
+        v0, k0 = pos["version"], pos.get("files")
+        budget = self.max_files
+        out = dict(pos)
+        for v in versions:
+            if v < v0 or (v == v0 and k0 is None):
+                continue  # fully consumed
+            adds = self._data_adds(_read_entry(self.root, v))
+            lo = k0 if (v == v0 and k0 is not None) else 0
+            avail = max(0, len(adds) - lo)
+            if avail <= budget:
+                budget -= avail
+                out = {"version": v}
+            else:
+                out = {"version": v, "files": lo + budget}
+                break
+        return out
 
     def partitions(self, start: dict, end: dict) -> list:
+        # ``{"version": v}`` = commits through v fully consumed;
+        # ``{"version": v, "files": k}`` = commits BEFORE v fully
+        # consumed plus the first k add actions of v (rate limiting cuts
+        # mid-commit; plain offsets from pre-rate-limit checkpoints parse
+        # unchanged).
+        s_v, s_k = start["version"], start.get("files")
+        e_v, e_k = end["version"], end.get("files")
+        self._pos = dict(end)  # teach admission control the real position
         parts: list[_TxnFilePartition] = []
         for v in _list_versions(self.root):
-            if not (start["version"] < v <= end["version"]):
+            if v < s_v or (v == s_v and s_k is None) or v > e_v:
                 continue
             e = _read_entry(self.root, v)
             if e.get("mode") in ("compact", "optimize", "set_bloom"):
-                continue  # physical rewrite / stats-only re-add, not data
+                continue
             has_changes = any("remove" in a or "dv" in a for a in e["actions"])
             if has_changes and not self.ignore_changes:
                 raise ValueError(
@@ -99,13 +156,15 @@ class _TxnStreamReader(DataSourceStreamReader):
                     ".option('ignoreChanges', 'true') to tail adds anyway "
                     "(re-inserted survivor rows will reappear downstream)"
                 )
-            for a in e["actions"]:
-                if "add" in a:
-                    parts.append(
-                        _TxnFilePartition(
-                            os.path.join(self.root, a["add"]), e["schema"], v
-                        )
+            adds = [a for a in e["actions"] if "add" in a]
+            lo = s_k if (v == s_v and s_k is not None) else 0
+            hi = e_k if (v == e_v and e_k is not None) else len(adds)
+            for a in adds[lo:hi]:
+                parts.append(
+                    _TxnFilePartition(
+                        os.path.join(self.root, a["add"]), e["schema"], v
                     )
+                )
         return parts
 
     def read(self, partition: _TxnFilePartition):
@@ -141,7 +200,7 @@ class _TxnStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:  # offsets live in the query ckpt
-        pass
+        self._pos = dict(end)  # keep the admission-control mirror fresh
 
 
 class TxnTableStreamDataSource(DataSource):
@@ -173,14 +232,27 @@ def stream_txn_table(
     root: str,
     starting_version: int = -1,
     ignore_changes: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """``readStream`` over a txn table's commits after ``starting_version``
-    (-1 = from the beginning)."""
+    (-1 = from the beginning).  ``max_files_per_trigger`` is admission
+    control (Delta's option of the same name): steady-state tailing
+    admits at most this many data files per micro-batch, so a burst of
+    producer commits drains as ceil(N / cap) batches instead of one
+    giant batch.  Offsets may then cut MID-commit
+    (``{"version": v, "files": k}``), which replays deterministically
+    because add actions are ordered in immutable log entries.  The FIRST
+    batch of a (re)started query is uncapped (see _TxnStreamReader — the
+    Python DataSource API calls latestOffset before the reader learns
+    its position); pace a cold backlog by also passing
+    ``starting_version``."""
     register_txn_stream_source(spark)
-    return (
+    reader = (
         spark.readStream.format("txn_table_stream")
         .option("root", root)
         .option("startingVersion", starting_version)
         .option("ignoreChanges", str(ignore_changes).lower())
-        .load()
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.load()

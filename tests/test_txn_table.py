@@ -682,6 +682,54 @@ def _sc_stream_source_tails_commits(spark, base):
     assert {r.v for r in rows if r.id == 4} == {40}
 
 
+def _sc_stream_rate_limited_admission(spark, base):
+    """maxFilesPerTrigger (Delta parity, steady-state contract): once the
+    stream is positioned, a burst of producer commits drains as
+    ceil(N / cap) micro-batches of at most cap files each — offsets cut
+    MID-commit deterministically, maintenance commits cost no budget,
+    and totals equal the uncapped drain.  The FIRST batch of a
+    (re)started query is uncapped by documented API constraint (the
+    engine asks for the latest offset before the reader learns its
+    position), which the first drain here also demonstrates."""
+    import uuid
+
+    from dbt_trill_shop_spark.sources.txn_stream import stream_txn_table
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 3).coalesce(1), root)         # v0: 1 file
+    name = f"rl_{uuid.uuid4().hex[:10]}"
+    src = stream_txn_table(spark, root, max_files_per_trigger=1)
+    q = (
+        src.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()                            # positions stream
+        n0 = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        # producer burst AFTER the stream is live: 2 commits x 2 files
+        # of EXACTLY 3 rows each (the range source's numPartitions split
+        # is deterministic — repartition(2) is NOT and gave 4/2 files),
+        # one maintenance commit (no budget), one more 1-file commit
+        for lo in (3, 9):
+            two = spark.range(lo, lo + 6, 1, 2).selectExpr(
+                "id", "id * 10 as v"
+            )
+            write_txn(two, root)
+        compact_txn(spark, root, target_files=1)
+        write_txn(_df(spark, 15, 18).coalesce(1), root)
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(r.id for r in rows) == list(range(18))
+    burst = progress[n0:]
+    # 5 burst data files, cap 1 -> 5 paced micro-batches of one 3-row
+    # file each; the mid-commit cut means commits of 2 files split
+    assert len(burst) == 5, [p["numInputRows"] for p in burst]
+    assert max(p["numInputRows"] for p in burst) <= 3
+
+
 def _sc_deletion_vectors_merge_on_read(spark, base):
     """Merge-on-read DELETE: tombstones ride a small sidecar; NO data file
     is rewritten by the commit.  Readers apply them, time travel ignores
@@ -1162,6 +1210,7 @@ _SCENARIOS = [
     _sc_restore_rewinds_state_metadata_only,
     _sc_zorder_compaction_prunes_both_dims,
     _sc_stream_source_tails_commits,
+    _sc_stream_rate_limited_admission,
     _sc_deletion_vectors_merge_on_read,
     _sc_merge_prunes_untouched_files,
     _sc_log_checkpoint_fold_equivalent,
