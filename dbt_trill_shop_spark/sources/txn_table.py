@@ -104,9 +104,32 @@ def _list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+# Reader feature protocol (Delta's protocol-action idea, feature-set
+# form): a commit whose CORRECT interpretation needs a capability beyond
+# plain add/remove folding stamps it in the entry's ``require`` list, and
+# every reader validates the stamp before trusting the entry — a future
+# feature degrades to a LOUD error instead of silently wrong rows (e.g. a
+# reader that ignored deletion-vector actions would resurrect deleted
+# data).  Advisory metadata (stats, blooms, byte sizes) is deliberately
+# unstamped: ignoring it costs performance, never correctness.
+_SUPPORTED_FEATURES = frozenset({"deletion_vectors"})
+
+
+def _check_features(required, what: str) -> None:
+    unknown = set(required or []) - _SUPPORTED_FEATURES
+    if unknown:
+        raise RuntimeError(
+            f"{what} requires reader features {sorted(unknown)} that this "
+            f"implementation does not support (supported: "
+            f"{sorted(_SUPPORTED_FEATURES)}); upgrade before reading this table"
+        )
+
+
 def _read_entry(root: str, version: int) -> dict:
     with open(_entry_path(root, version)) as fh:
-        return json.load(fh)
+        e = json.load(fh)
+    _check_features(e.get("require"), f"commit {version} of {root}")
+    return e
 
 
 _CHECKPOINT_EVERY = 16
@@ -136,7 +159,9 @@ def _latest_checkpoint(root: str, max_version: int) -> dict | None:
     if best < 0:
         return None
     with open(_ckpt_path(root, best)) as fh:
-        return json.load(fh)
+        ckpt = json.load(fh)
+    _check_features(ckpt.get("require"), f"checkpoint {best} of {root}")
+    return ckpt
 
 
 def _maybe_checkpoint(root: str, version: int) -> None:
@@ -174,6 +199,8 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "constraints": dict(snap.constraints),
         "bloom": {c: [m, k] for c, m, k in snap.bloom_spec},
     }
+    if any(snap.file_dvs):  # fast-path readers need DV support too
+        ckpt["require"] = ["deletion_vectors"]
     tmp = _ckpt_path(root, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(ckpt, fh)
@@ -805,6 +832,10 @@ def _build_entry(
         "schema": schema_json,
         "ts_ms": int(time.time() * 1000),
     }
+    # reader-critical features stamp automatically from the actions so no
+    # writer path can forget (see _SUPPORTED_FEATURES)
+    if any("dv" in a for a in actions):
+        entry["require"] = ["deletion_vectors"]
     if extra:
         clash = set(extra) & set(entry)
         if clash:

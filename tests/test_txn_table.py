@@ -974,6 +974,44 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_reader_feature_protocol(spark, base):
+    """Reader feature flags (Delta's protocol idea): commits whose correct
+    interpretation needs a capability stamp it in ``require``; a reader
+    that lacks the feature fails LOUDLY instead of silently mis-reading
+    (a DV-ignorant reader would resurrect deleted rows).  DV commits
+    stamp automatically; a hand-crafted future-feature entry (and a
+    future-feature checkpoint) poison every read path with RuntimeError."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import delete_txn_dv
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 10).coalesce(1), root)
+    delete_txn_dv(spark, root, "id = 3")
+    e = tt._read_entry(root, 1)
+    assert e.get("require") == ["deletion_vectors"]  # stamped automatically
+    assert read_txn(spark, root).count() == 9        # and still readable
+    # a commit from a FUTURE writer requiring an unknown feature
+    entry = tt._build_entry("append", 2, [], e["schema"], None)
+    entry["require"] = ["deletion_vectors", "time_crystals"]
+    assert tt._try_commit(root, 2, entry)
+    with pytest.raises(RuntimeError, match="time_crystals"):
+        snapshot(root)
+    with pytest.raises(RuntimeError, match="time_crystals"):
+        tt.read_txn_changes(spark, root, from_version=0).count()
+    # time travel BEFORE the foreign commit still works
+    assert read_txn(spark, root, version=1).count() == 9
+    # a future-feature checkpoint poisons the fast path too
+    os.unlink(tt._entry_path(root, 2))
+    ckpt = {
+        "version": 1, "live": [], "schema": e["schema"], "ts_ms": 1,
+        "batch_ids": [], "require": ["warp_drive"],
+    }
+    with open(tt._ckpt_path(root, 1), "w") as fh:
+        json.dump(ckpt, fh)
+    with pytest.raises(RuntimeError, match="warp_drive"):
+        snapshot(root)
+
+
 def _sc_optimize_binpacks_small_files(spark, base):
     """optimize_txn (Delta OPTIMIZE): only live files under the size
     threshold are rewritten — right-sized files survive byte-identical;
@@ -1216,6 +1254,7 @@ _SCENARIOS = [
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
     _sc_optimize_binpacks_small_files,
+    _sc_reader_feature_protocol,
     _sc_update_dv_merge_on_read,
     _sc_bloom_filter_equality_skipping,
     _sc_stats_require_full_rowgroup_coverage,
