@@ -178,6 +178,9 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     # of rescanning an unbounded log every micro-batch
     prior = _latest_checkpoint(root, version - 1)
     ids = set(prior.get("batch_ids", [])) if prior else set()
+    # application-transaction watermarks fold forward the same way as
+    # batch ids: the idempotence check stays O(_CHECKPOINT_EVERY)
+    prior_app = dict(prior.get("app_txns", {})) if prior else {}
     start = prior["version"] + 1 if prior else 0
     for v in versions:
         if v < start:
@@ -185,6 +188,9 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         e = _read_entry(root, v)
         if "batch_id" in e:
             ids.add(e["batch_id"])
+        if "app_txn" in e:
+            app, ver = e["app_txn"]
+            prior_app[app] = max(int(ver), int(prior_app.get(app, ver)))
     ckpt = {
         "version": version,
         "live": [
@@ -196,6 +202,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "schema": snap.schema_json,
         "ts_ms": snap.committed_at_ms,
         "batch_ids": sorted(ids),
+        "app_txns": prior_app,
         "constraints": dict(snap.constraints),
         "bloom": {c: [m, k] for c, m, k in snap.bloom_spec},
     }
@@ -1051,6 +1058,7 @@ def write_txn(
     max_retries: int = 20,
     extra: dict | None = None,
     expected_base_version: int | None = None,
+    app_txn: tuple | None = None,
 ) -> int:
     """Commit ``df`` to the table atomically; returns the committed
     version.  ``append`` adds files; ``overwrite`` removes every file
@@ -1073,11 +1081,28 @@ def write_txn(
     remove-set from the CURRENT log at commit time, which is only safe
     when the new contents do not depend on the old ("replace whatever is
     there") — a concurrent append landing between a derive-read and an
-    unpinned commit would be silently removed."""
+    unpinned commit would be silently removed.
+
+    ``app_txn=(app_id, version)`` makes an APPEND idempotent (Delta's
+    txnAppId/txnVersion): a re-run of the same logical step — an
+    orchestrator retrying a failed job, at-least-once schedulers — is a
+    no-op when the table has already committed that app's version or a
+    later one (returns the current head).  The watermark re-checks
+    inside the OCC retry loop, so two racing writers with the same
+    (app_id, version) apply exactly once: the loser's retry sees the
+    winner's watermark."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     if expected_base_version is not None and mode != "overwrite":
         raise ValueError("expected_base_version applies to overwrite commits only")
+    if app_txn is not None:
+        if mode != "append":
+            raise ValueError("app_txn idempotence applies to append commits only")
+        app_id, app_ver = str(app_txn[0]), int(app_txn[1])
+        seen = last_app_version(root, app_id)
+        if seen is not None and seen >= app_ver:
+            return _list_versions(root)[-1]  # already applied: no-op
+        extra = {**(extra or {}), "app_txn": [app_id, app_ver]}
     cons, bloom_spec = _table_meta(root)
     rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec)
     adds = [{"add": r, "stats": stats[r]} for r in rels]
@@ -1094,6 +1119,13 @@ def write_txn(
     for _ in range(max_retries):
         versions = _list_versions(root)
         base = versions[-1] if versions else -1
+        if app_txn is not None and versions:
+            # re-check INSIDE the loop: a racing writer with the same
+            # (app_id, version) that won an earlier version must turn
+            # this attempt into a no-op, never a duplicate apply
+            seen = last_app_version(root, str(app_txn[0]))
+            if seen is not None and seen >= int(app_txn[1]):
+                return base
         actions = list(adds)
         if mode == "overwrite":
             if versions:
@@ -1860,6 +1892,32 @@ def read_txn_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def last_app_version(root: str, app_id: str):
+    """The highest application-transaction version committed for
+    ``app_id`` (None if never) — Delta's ``txnAppId/txnVersion``
+    idempotence bookkeeping for BATCH writers: an orchestrator re-running
+    a failed step passes the same (app_id, version) to ``write_txn`` and
+    the duplicate apply is skipped.  Reads the latest checkpoint's folded
+    watermark map plus the entries behind it — O(_CHECKPOINT_EVERY) per
+    call, no data files touched."""
+    versions = _list_versions(root)
+    if not versions:
+        return None
+    ckpt = _latest_checkpoint(root, versions[-1])
+    best = None
+    if ckpt and app_id in ckpt.get("app_txns", {}):
+        best = int(ckpt["app_txns"][app_id])
+    start = ckpt["version"] + 1 if ckpt else 0
+    for v in versions:
+        if v < start:
+            continue
+        e = _read_entry(root, v)
+        if "app_txn" in e and e["app_txn"][0] == app_id:
+            ver = int(e["app_txn"][1])
+            best = ver if best is None else max(best, ver)
+    return best
 
 
 def committed_batch_ids(root: str) -> set:

@@ -974,6 +974,45 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_app_txn_idempotent_writes(spark, base):
+    """Application transactions (Delta txnAppId/txnVersion): an append
+    tagged (app_id, version) applies EXACTLY ONCE — re-running the same
+    logical step is a no-op returning the current head; watermarks are
+    per-app maxima and fold through log checkpoints."""
+    from dbt_trill_shop_spark.sources.txn_table import last_app_version
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 3).coalesce(1), root)                      # v0
+    v1 = write_txn(_df(spark, 3, 6).coalesce(1), root, app_txn=("loader", 1))
+    assert v1 == 1 and last_app_version(root, "loader") == 1
+    # duplicate apply: no-op, no new version, no new rows
+    assert write_txn(_df(spark, 3, 6).coalesce(1), root, app_txn=("loader", 1)) == 1
+    assert read_txn(spark, root).count() == 6
+    assert snapshot(root).version == 1
+    # a LATER version applies; an EARLIER re-run after it is also a no-op
+    write_txn(_df(spark, 6, 9).coalesce(1), root, app_txn=("loader", 2))
+    assert write_txn(_df(spark, 0, 99).coalesce(1), root, app_txn=("loader", 1)) == 2
+    assert read_txn(spark, root).count() == 9
+    # independent apps don't interfere
+    write_txn(_df(spark, 9, 12).coalesce(1), root, app_txn=("other", 1))
+    assert last_app_version(root, "loader") == 2
+    assert last_app_version(root, "other") == 1
+    assert last_app_version(root, "nobody") is None
+    # watermarks fold through checkpoints (pool pins _CHECKPOINT_EVERY=4)
+    for i in range(5):
+        write_txn(_df(spark, 100 + i, 101 + i).coalesce(1), root)
+    assert any(
+        f.startswith("checkpoint-")
+        for f in os.listdir(os.path.join(root, "_txn"))
+    )
+    assert last_app_version(root, "loader") == 2
+    assert write_txn(_df(spark, 0, 99).coalesce(1), root, app_txn=("loader", 2)) == snapshot(root).version
+    assert read_txn(spark, root).count() == 17
+    # app_txn is append-only by contract
+    with pytest.raises(ValueError):
+        write_txn(_df(spark, 0, 1), root, mode="overwrite", app_txn=("x", 1))
+
+
 def _sc_reader_feature_protocol(spark, base):
     """Reader feature flags (Delta's protocol idea): commits whose correct
     interpretation needs a capability stamp it in ``require``; a reader
@@ -1254,6 +1293,7 @@ _SCENARIOS = [
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
     _sc_optimize_binpacks_small_files,
+    _sc_app_txn_idempotent_writes,
     _sc_reader_feature_protocol,
     _sc_update_dv_merge_on_read,
     _sc_bloom_filter_equality_skipping,
@@ -1371,6 +1411,39 @@ def test_maintenance_rewrite_commutes_with_append(spark, tmp_path, monkeypatch):
     # the delete won, the compaction did not apply
     got = sorted(r.id for r in read_txn(spark, root).collect())
     assert 900 not in got and 901 in got
+
+
+def test_app_txn_race_applies_exactly_once(spark, tmp_path, monkeypatch):
+    """Two writers racing with the SAME (app_id, version): the loser's OCC
+    retry loop re-checks the watermark BEFORE its commit attempt, so the
+    apply lands exactly once — the second writer degrades to a no-op, not
+    a duplicate.  Serial: patches module internals."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    root = str(tmp_path / "t7")
+    write_txn(_df(spark, 0, 3).coalesce(1), root)
+    orig = tt._stage_files
+    state = {"fired": False}
+
+    def stage_then_interlope(df, root_, *args):
+        out = orig(df, root_, *args)
+        if not state["fired"]:
+            state["fired"] = True
+            # the rival writer commits the SAME app txn after we staged,
+            # before our log-entry create
+            tt.write_txn(
+                _df(spark, 100, 103).coalesce(1), root,
+                app_txn=("loader", 7),
+            )
+        return out
+
+    monkeypatch.setattr(tt, "_stage_files", stage_then_interlope)
+    v = write_txn(_df(spark, 100, 103).coalesce(1), root, app_txn=("loader", 7))
+    monkeypatch.undo()
+    # exactly once: the rival's rows are live, ours became a no-op
+    assert read_txn(spark, root).count() == 6
+    assert v == snapshot(root).version
+    assert tt.last_app_version(root, "loader") == 7
 
 
 def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
