@@ -2935,7 +2935,8 @@ _ROUND8_WINDOW = (
 # oracles, plan-audit clean, sf0.1 costs measured — wiring each is a
 # QuerySpec + window-list change):
 #   q_txn_dv_delete / q_txn_dv_update / q_txn_restore /
-#   q_txn_bloom_lookup / s_stream_txn_tail  -> operators/txn_demo.ROUND9_STAGED
+#   q_txn_bloom_lookup / q_txn_incremental_mv / s_stream_txn_tail
+#     -> operators/txn_demo.ROUND9_STAGED
 #   x_rerank_bridge   -> ext/textstats.rerank_bridge_topk + RERANK_BRIDGE_SQL_TEMPLATE
 #   x_k_anonymity     -> ext/pipeline.k_anonymity_customers + K_ANONYMITY_CUSTOMERS_SQL
 #   x_l_diversity     -> ext/pipeline.l_diversity_customers + L_DIVERSITY_CUSTOMERS_SQL

@@ -427,9 +427,10 @@ ORDER BY o_orderpriority
 # local[32] at ambient ~1.0): q_txn_dv_delete warm 2.3 s (cold 5.5),
 # q_txn_restore warm 0.9 s (cold 3.0), s_stream_txn_tail warm 2.7 s
 # (cold 8.1 — stream machinery spin-up dominates), q_txn_dv_update
-# warm 1.6 s (cold 2.9), q_txn_bloom_lookup warm 2.1 s (cold 2.8);
-# x_rerank_bridge (ext/textstats.rerank_bridge_topk) warm 2.0 s
-# (cold 10.5, Arrow worker spin-up).
+# warm 1.6 s (cold 2.9), q_txn_bloom_lookup warm 2.1 s (cold 2.8),
+# q_txn_incremental_mv warm 2.6 s (cold 9.3 — three syncs inherent to
+# the story); x_rerank_bridge (ext/textstats.rerank_bridge_topk) warm
+# 2.0 s (cold 10.5, Arrow worker spin-up).
 def txn_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE (STAGED for round 9): v0 = full orders table, v1 = a
     fat-fingered DELETE, v2 = `restore_txn` back to v0 — one metadata-only
@@ -604,11 +605,66 @@ ORDER BY o.o_orderkey
 """
 
 
+def txn_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate MV (STAGED for round 9): a
+    per-priority revenue mart over an orders txn table stays fresh by
+    folding each commit's CHANGE-DATA-FEED diff — bootstrap after the
+    first load, then one delta-sync per commit (an append, then a
+    selective deletion-vector delete).  The final MV must equal a full
+    GROUP BY of the final table state (the DuckDB oracle); the
+    incrementality itself (watermarks advance, sync cost ∝ changes) is
+    pytest-asserted."""
+    from ..sources.txn_mv import sync_agg_mv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("mvsrc")
+    mv = _tmp_root("mvagg")
+    write_txn(orders.filter(F.col("o_orderkey") % 3 < 2), root)     # v0
+    sync_agg_mv(spark, root, mv, ["o_orderpriority"], ["cents"])    # bootstrap
+    write_txn(orders.filter(F.col("o_orderkey") % 3 == 2), root)    # v1
+    sync_agg_mv(spark, root, mv, ["o_orderpriority"], ["cents"])    # delta
+    delete_txn_dv(spark, root, "cents < 10000000")                  # v2: < $100k
+    sync_agg_mv(spark, root, mv, ["o_orderpriority"], ["cents"])    # delta
+    return (
+        read_txn(spark, mv)
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.round(F.col("sum_cents").cast("double") / 100.0, 2).alias(
+                "total_dollars"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TXN_INCREMENTAL_MV_SQL = """
+WITH o AS (
+    SELECT o_orderpriority,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+kept AS (SELECT * FROM o WHERE NOT COALESCE(cents < 10000000, FALSE))
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS total_dollars
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),
     "q_txn_dv_update": (txn_dv_update_orders, TXN_DV_UPDATE_SQL),
     "q_txn_restore": (txn_restore_orders, TXN_RESTORE_SQL),
     "q_txn_bloom_lookup": (txn_bloom_point_lookups, TXN_BLOOM_SQL),
+    "q_txn_incremental_mv": (txn_incremental_mv, TXN_INCREMENTAL_MV_SQL),
     "s_stream_txn_tail": (stream_txn_tail_rollup, STREAM_TXN_TAIL_SQL),
 }
 

@@ -974,6 +974,70 @@ def _sc_stats_require_full_rowgroup_coverage(spark, base):
     assert got["u"] == [1, 8]      # full coverage -> merged range
 
 
+def _sc_incremental_agg_mv(spark, base):
+    """CDF-driven aggregate MV maintenance (txn_mv.sync_agg_mv): after
+    every source mutation class — append, DV delete, DV update, rewrite
+    delete dropping a whole group, maintenance compaction — one delta
+    sync makes the MV equal a from-scratch GROUP BY; watermarks advance
+    O(1); re-sync with no new commits is a no-op; NULL group keys group
+    like SQL; float sum columns are rejected loudly."""
+    from dbt_trill_shop_spark.sources.txn_mv import mv_source_version, sync_agg_mv
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv, update_txn_dv,
+    )
+
+    root = os.path.join(base, "src")
+    mv = os.path.join(base, "mv")
+
+    def recompute():
+        rows = (
+            read_txn(spark, root)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+            .collect()
+        )
+        return {r.g: (r.n, None if r.s is None else int(r.s)) for r in rows}
+
+    def mv_state():
+        return {
+            r.g: (r.n_rows, None if r.sum_x is None else int(r.sum_x))
+            for r in read_txn(spark, mv).collect()
+        }
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).selectExpr("id", "id % 5 as g", "id * 10 as x")
+    write_txn(df.repartition(4), root)                               # v0
+    assert sync_agg_mv(spark, root, mv, ["g"], ["x"]) == 0
+    assert mv_state() == recompute()
+    # NULL group key + NULL measure arrive with an append
+    write_txn(
+        spark.createDataFrame([(900, None, None), (901, None, 7)],
+                              "id long, g long, x long"),
+        root,
+    )
+    delete_txn_dv(spark, root, "g = 2 AND id < 50")
+    update_txn_dv(spark, root, "g = 3", {"x": "x + 1"})
+    delete_txn(spark, root, "g = 4")          # rewrite: group disappears
+    compact_txn(spark, root, target_files=2)  # maintenance: no changes
+    v = sync_agg_mv(spark, root, mv, ["g"], ["x"])
+    assert v == snapshot(root).version == mv_source_version(mv)
+    got, want = mv_state(), recompute()
+    assert got == want, (got, want)
+    assert 4 not in got                        # emptied group dropped out
+    assert None in got and got[None] == (2, 7)  # NULL key groups like SQL
+    # no new commits: no-op, watermark unchanged
+    assert sync_agg_mv(spark, root, mv, ["g"], ["x"]) == v
+    # float sums rejected (delta cancellation needs exact arithmetic)
+    root2 = os.path.join(base, "f")
+    write_txn(spark.range(3).selectExpr("id as g", "cast(id as double) as x"), root2)
+    with pytest.raises(ValueError, match="integer/decimal"):
+        sync_agg_mv(spark, root2, os.path.join(base, "fmv"), ["g"], ["x"])
+    # a foreign table is not silently adopted as an MV root
+    with pytest.raises(ValueError, match="mv_source_version"):
+        mv_source_version(root)
+
+
 def _sc_app_txn_idempotent_writes(spark, base):
     """Application transactions (Delta txnAppId/txnVersion): an append
     tagged (app_id, version) applies EXACTLY ONCE — re-running the same
@@ -1293,6 +1357,7 @@ _SCENARIOS = [
     _sc_log_checkpoint_fold_equivalent,
     _sc_timestamp_travel_clock_regression,
     _sc_optimize_binpacks_small_files,
+    _sc_incremental_agg_mv,
     _sc_app_txn_idempotent_writes,
     _sc_reader_feature_protocol,
     _sc_update_dv_merge_on_read,
