@@ -78,6 +78,10 @@ class _TxnStreamReader(DataSourceStreamReader):
         if mft < 0:
             raise ValueError("maxFilesPerTrigger must be >= 1 (or unset)")
         self.max_files = mft or None
+        mbt = int(options.get("maxbytespertrigger", 0))
+        if mbt < 0:
+            raise ValueError("maxBytesPerTrigger must be >= 1 (or unset)")
+        self.max_bytes = mbt or None
         self.schema = schema
         # Best-known consumed position for admission control (offsets
         # themselves live in the query checkpoint; this mirror only
@@ -110,26 +114,37 @@ class _TxnStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         versions = _list_versions(self.root)
         head = versions[-1] if versions else -1
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return {"version": head}
         pos = self._pos
         if pos is None:  # first trigger of a (re)start: see __init__ note
             return {"version": head}
         v0, k0 = pos["version"], pos.get("files")
-        budget = self.max_files
+        files_left = self.max_files if self.max_files is not None else 1 << 62
+        bytes_left = self.max_bytes if self.max_bytes is not None else 1 << 62
+        admitted = 0
         out = dict(pos)
         for v in versions:
             if v < v0 or (v == v0 and k0 is None):
                 continue  # fully consumed
             adds = self._data_adds(_read_entry(self.root, v))
-            lo = k0 if (v == v0 and k0 is not None) else 0
-            avail = max(0, len(adds) - lo)
-            if avail <= budget:
-                budget -= avail
-                out = {"version": v}
-            else:
-                out = {"version": v, "files": lo + budget}
-                break
+            k = k0 if (v == v0 and k0 is not None) else 0
+            while k < len(adds):
+                if (files_left <= 0 or bytes_left <= 0) and admitted > 0:
+                    # budget spent: cut here (mid-commit offsets replay
+                    # deterministically); at least one file always admits
+                    # per batch so an oversized file cannot stall the
+                    # stream (Delta's progress guarantee)
+                    return {"version": v, "files": k}
+                b = adds[k].get("stats", {}).get("__bytes")
+                admitted += 1
+                files_left -= 1
+                # a pre-__bytes file has unknown size: assume it filled
+                # the byte budget (conservative — under-counting would
+                # degrade maxBytesPerTrigger to uncapped)
+                bytes_left = bytes_left - b if b is not None else 0
+                k += 1
+            out = {"version": v}
         return out
 
     def partitions(self, start: dict, end: dict) -> list:
@@ -233,6 +248,7 @@ def stream_txn_table(
     starting_version: int = -1,
     ignore_changes: bool = False,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """``readStream`` over a txn table's commits after ``starting_version``
     (-1 = from the beginning).  ``max_files_per_trigger`` is admission
@@ -255,4 +271,9 @@ def stream_txn_table(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        # byte budget from the log's per-file __bytes stats (zero object
+        # stats at plan time); files predating __bytes admit one per
+        # batch (conservative); an oversized single file still admits
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     return reader.load()

@@ -1894,6 +1894,61 @@ def read_txn_changes(
     return out
 
 
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit, newest first — version, mode,
+    commit timestamp, file/byte deltas (bytes from the log's ``__bytes``
+    stats where recorded), required reader features, and the
+    idempotence/lineage tags (streaming batch id, app transaction, MV
+    source watermark).  Pure log arithmetic: no data file is opened, so
+    the audit costs the same on 100 TB as on 100 KB."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+    import datetime as _dt
+
+    rows = []
+    for v in _list_versions(root):
+        e = _read_entry(root, v)
+        adds = [a for a in e["actions"] if "add" in a]
+        rows.append(
+            (
+                v,
+                e.get("mode"),
+                _dt.datetime.fromtimestamp(
+                    e["ts_ms"] / 1000.0, tz=_dt.timezone.utc
+                ).replace(tzinfo=None),
+                len(adds),
+                sum(1 for a in e["actions"] if "remove" in a),
+                sum(1 for a in e["actions"] if "dv" in a),
+                sum(
+                    a.get("stats", {}).get("__bytes", 0) for a in adds
+                ),
+                ",".join(e.get("require", [])) or None,
+                str(e["batch_id"]) if "batch_id" in e else None,
+                f"{e['app_txn'][0]}@{e['app_txn'][1]}" if "app_txn" in e else None,
+                int(e["mv_source_version"]) if "mv_source_version" in e else None,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("mode", StringType(), True),
+            StructField("committed_at", TimestampType(), True),
+            StructField("n_added_files", LongType(), False),
+            StructField("n_removed_files", LongType(), False),
+            StructField("n_dv_files", LongType(), False),
+            StructField("bytes_added", LongType(), False),
+            StructField("require", StringType(), True),
+            StructField("batch_id", StringType(), True),
+            StructField("app_txn", StringType(), True),
+            StructField("mv_source_version", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: -r[0]), schema
+    )
+
+
 def last_app_version(root: str, app_id: str):
     """The highest application-transaction version committed for
     ``app_id`` (None if never) — Delta's ``txnAppId/txnVersion``

@@ -728,6 +728,32 @@ def _sc_stream_rate_limited_admission(spark, base):
     # file each; the mid-commit cut means commits of 2 files split
     assert len(burst) == 5, [p["numInputRows"] for p in burst]
     assert max(p["numInputRows"] for p in burst) <= 3
+    # BYTE budget variant: a 1-byte cap still admits one file per batch
+    # (progress guarantee — an oversized file cannot stall the stream),
+    # so the same burst shape drains one file at a time
+    root2 = os.path.join(base, "tb")
+    write_txn(_df(spark, 0, 3).coalesce(1), root2)
+    name2 = f"rlb_{uuid.uuid4().hex[:10]}"
+    src2 = stream_txn_table(spark, root2, max_bytes_per_trigger=1)
+    q2 = (
+        src2.writeStream.outputMode("append").format("memory")
+        .queryName(name2).start()
+    )
+    try:
+        q2.processAllAvailable()
+        m0 = len([p for p in q2.recentProgress if p["numInputRows"] > 0])
+        write_txn(
+            spark.range(3, 9, 1, 2).selectExpr("id", "id * 10 as v"), root2
+        )
+        write_txn(_df(spark, 9, 12).coalesce(1), root2)
+        q2.processAllAvailable()
+        prog2 = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q2.stop()
+    assert sorted(r.id for r in spark.table(name2).collect()) == list(range(12))
+    burst2 = prog2[m0:]
+    assert len(burst2) == 3, [p["numInputRows"] for p in burst2]
+    assert max(p["numInputRows"] for p in burst2) <= 3
 
 
 def _sc_deletion_vectors_merge_on_read(spark, base):
@@ -1036,6 +1062,30 @@ def _sc_incremental_agg_mv(spark, base):
     # a foreign table is not silently adopted as an MV root
     with pytest.raises(ValueError, match="mv_source_version"):
         mv_source_version(root)
+
+
+def _sc_table_history_audit(spark, base):
+    """DESCRIBE HISTORY (table_history): one metadata-only row per commit,
+    newest first, carrying file/byte deltas and the idempotence/lineage
+    tags every other feature stamps — the operator-facing audit trail."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv, table_history,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 6).coalesce(1), root)                   # v0
+    write_txn(_df(spark, 6, 9).coalesce(1), root, app_txn=("ld", 3))  # v1
+    delete_txn_dv(spark, root, "id = 1")                            # v2
+    compact_txn(spark, root, target_files=1)                        # v3
+    h = {r.version: r for r in table_history(spark, root).collect()}
+    assert sorted(h) == [0, 1, 2, 3]
+    assert [r.version for r in table_history(spark, root).collect()] == [3, 2, 1, 0]
+    assert h[0].mode == "append" and h[0].n_added_files == 1
+    assert h[0].bytes_added > 0                     # __bytes stats surface
+    assert h[1].app_txn == "ld@3"
+    assert h[2].n_dv_files == 1 and h[2].require == "deletion_vectors"
+    assert h[3].mode == "compact" and h[3].n_removed_files == 2
+    assert h[2].committed_at is not None
 
 
 def _sc_app_txn_idempotent_writes(spark, base):
@@ -1358,6 +1408,7 @@ _SCENARIOS = [
     _sc_timestamp_travel_clock_regression,
     _sc_optimize_binpacks_small_files,
     _sc_incremental_agg_mv,
+    _sc_table_history_audit,
     _sc_app_txn_idempotent_writes,
     _sc_reader_feature_protocol,
     _sc_update_dv_merge_on_read,
