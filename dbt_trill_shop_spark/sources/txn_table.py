@@ -310,7 +310,18 @@ def _file_may_match(stats: dict, prune: dict) -> bool:
     column added after the file was written — its values are all NULL and
     an interval predicate is never NULL-true) keep the file unless the
     column is absent from the file's stats because of the latter."""
-    for col, (lo, hi) in prune.items():
+    for col, bound in prune.items():
+        if len(bound) == 1:  # nullness mark from `col IS [NOT] NULL`
+            nc = (stats.get("__nulls") or {}).get(col)
+            if nc is None:
+                continue  # no recorded null counts: keep
+            n_null, n_rows = nc
+            if bound[0] == "__isnull" and n_null == 0 and n_rows > 0:
+                return False  # zero NULLs: IS NULL provably empty here
+            if bound[0] == "__notnull" and n_null == n_rows and n_rows > 0:
+                return False  # all NULLs: IS NOT NULL provably empty
+            continue
+        lo, hi = bound
         if col not in stats:
             continue  # unknown range: cannot prove exclusion, keep
         mn, mx = stats[col]
@@ -339,14 +350,34 @@ def _prune_from_predicate(predicate: str) -> dict:
     interaction with conjuncts can widen the row set).  Within the
     conjunction, only ``col <op> literal`` / ``literal <op> col`` /
     ``col BETWEEN a AND b`` with numeric or single-quoted string literals
-    contribute bounds; every unrecognized conjunct (functions, ``!=``,
-    IS NULL, …) simply contributes nothing — a subset of conjuncts is
-    still a sound prune.  Strict ``<`` / ``>`` are widened to ``<=`` /
-    ``>=`` bounds (file-level min/max cannot express open intervals more
-    tightly — still sound, marginally less pruning)."""
+    contribute bounds, plus ``col IS [NOT] NULL`` nullness marks (matched
+    against the log's per-column null counts — see ``_file_may_match``);
+    every unrecognized conjunct (functions, ``!=``, …) simply contributes
+    nothing — a subset of conjuncts is still a sound prune.  Strict
+    ``<`` / ``>`` are widened to ``<=`` / ``>=`` bounds (file-level
+    min/max cannot express open intervals more tightly — still sound,
+    marginally less pruning).
+
+    Returns ``{col: (lo, hi)}`` plus optional nullness entries
+    ``{col: ("__notnull",)} / {col: ("__isnull",)}`` under the reserved
+    ``(..., )`` 1-tuple shape."""
     import re
 
     s = predicate.strip()
+    # IS [NOT] NULL conjuncts are extracted FIRST: the generic \bNOT\b
+    # guard below would otherwise disable pruning for the whole predicate
+    # (a real loss — `key = 5 AND x IS NOT NULL` is a common shape)
+    nullness: dict[str, tuple] = {}
+    ident0 = r"([A-Za-z_][A-Za-z0-9_]*)"
+
+    def _take_null(m):
+        col, neg = m.group(1), m.group(2)
+        nullness[col] = ("__notnull",) if neg else ("__isnull",)
+        return " 1=1 "  # neutral conjunct placeholder
+
+    s = re.sub(
+        ident0 + r"\s+IS\s+(NOT\s+)?NULL", _take_null, s, flags=re.IGNORECASE
+    )
     if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bCASE\b", s, re.IGNORECASE):
         return {}
     lit = r"('(?:[^']*)'|-?\d+(?:\.\d+)?)"
@@ -395,7 +426,13 @@ def _prune_from_predicate(predicate: str) -> dict:
                 narrow(col, lo=l)
             else:
                 narrow(col, lo=l, hi=l)
-    return {c: (lo, hi) for c, (lo, hi) in out.items() if lo is not None or hi is not None}
+    res = {c: (lo, hi) for c, (lo, hi) in out.items() if lo is not None or hi is not None}
+    for c, mark in nullness.items():
+        # a range bound on the same column subsumes IS NOT NULL; IS NULL
+        # with a range is contradictory — keep the range (conservative)
+        if c not in res:
+            res[c] = mark
+    return res
 
 
 def read_txn(
@@ -545,6 +582,8 @@ def _stats_from_metadata(md) -> dict:
     maxs: dict = {}
     bad: set[str] = set()
     covered: dict[str, int] = {}
+    nulls: dict[str, int] = {}
+    nulls_cov: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -553,6 +592,15 @@ def _stats_from_metadata(md) -> dict:
             if "." in name:  # nested: skip
                 continue
             st = col.statistics
+            # null counts are independent of min/max trustworthiness
+            # (NaN never poisons them) — same EVERY-row-group coverage
+            # rule, though: a partially-covered count would understate.
+            # getattr: absent on older pyarrow statistics objects (and on
+            # the coverage test's fakes) — treated as not recorded
+            nc = getattr(st, "null_count", None) if st is not None else None
+            if nc is not None:
+                nulls[name] = nulls.get(name, 0) + int(nc)
+                nulls_cov[name] = nulls_cov.get(name, 0) + 1
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
@@ -568,11 +616,19 @@ def _stats_from_metadata(md) -> dict:
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
             covered[name] = covered.get(name, 0) + 1
-    return {
+    out = {
         c: [mins[c], maxs[c]]
         for c in mins
         if c not in bad and covered[c] == md.num_row_groups
     }
+    nd = {
+        c: [nulls[c], md.num_rows]
+        for c in nulls
+        if nulls_cov[c] == md.num_row_groups
+    }
+    if nd:
+        out["__nulls"] = nd  # reserved key, threads like __bloom/__bytes
+    return out
 
 
 # Reserved key inside a file's stats dict holding its Bloom filters:
@@ -743,9 +799,9 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
 
         mk = {c: (m, k) for c, m, k in snap.bloom_spec}
         probes = {
-            (c, lo, *mk[c])
-            for c, (lo, hi) in bounds.items()
-            if c in mk and lo is not None and lo == hi
+            (c, iv[0], *mk[c])
+            for c, iv in bounds.items()
+            if c in mk and len(iv) == 2 and iv[0] is not None and iv[0] == iv[1]
         }
         if probes:
             schema = StructType.fromJson(json.loads(snap.schema_json))

@@ -147,6 +147,33 @@ def _sc_data_skipping_prunes_files_not_rows(spark, base):
     assert len(read_txn(spark, root, prune={"nope": (0, 1)}).inputFiles()) == 3
     # open bounds
     assert len(read_txn(spark, root, prune={"id": (None, 50)}).inputFiles()) == 1
+    # NULL-count skipping: IS [NOT] NULL prunes against the log's
+    # per-column null counts, and composes with interval bounds —
+    # crucially WITHOUT the generic \bNOT\b guard nuking the whole
+    # predicate's pruning
+    root2 = os.path.join(base, "t2")
+    write_txn(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long").coalesce(1),
+        root2,
+    )
+    write_txn(
+        spark.createDataFrame([(3, None), (4, None)], "id long, v long").coalesce(1),
+        root2,
+    )
+    write_txn(
+        spark.createDataFrame([(5, 50), (6, None)], "id long, v long").coalesce(1),
+        root2,
+    )
+    nn = read_txn(spark, root2, where="v IS NOT NULL")
+    assert len(nn.inputFiles()) == 2 and sorted(r.id for r in nn.collect()) == [1, 2, 5]
+    isn = read_txn(spark, root2, where="v IS NULL")
+    assert len(isn.inputFiles()) == 2 and sorted(r.id for r in isn.collect()) == [3, 4, 6]
+    both = read_txn(spark, root2, where="id = 1 AND v IS NOT NULL")
+    assert len(both.inputFiles()) == 1 and [r.id for r in both.collect()] == [1]
+    # NOT in any other position still disables pruning entirely (sound)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    assert tt._prune_from_predicate("NOT (v IS NULL)") == {}
 
 
 def _sc_log_checkpoint_fold_equivalent(spark, base):
