@@ -1336,7 +1336,8 @@ def _merge_touched_indices(
 
 
 def merge_txn(
-    spark: SparkSession, source: DataFrame, root: str, on: list[str] | str
+    spark: SparkSession, source: DataFrame, root: str, on: list[str] | str,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE (upsert): rows of ``source`` replace target rows with equal
     ``on`` keys; unmatched source rows insert.  Committed as ONE atomic
@@ -1352,7 +1353,14 @@ def merge_txn(
     shuffle).  At 100 TB a small CDC batch against a key-clustered table
     rewrites a handful of files instead of the table.  Within the touched
     set the survivor side is ``touched LEFT ANTI JOIN source`` — a
-    broadcast of the small source, key-only comparison."""
+    broadcast of the small source, key-only comparison.
+
+    Source columns absent from the target are LOUD by default (dropping
+    them would look like a successful merge that lost data);
+    ``evolve_schema=True`` opts into Delta's automatic schema evolution
+    instead: the new columns extend the table schema, untouched files
+    surface NULL for them by the additive-evolution read rule — no
+    rewrite of anything the merge wasn't touching anyway."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1361,11 +1369,17 @@ def merge_txn(
     want = StructType.fromJson(json.loads(snap.schema_json))
     target_cols = [f.name for f in want.fields]
     extra_cols = [c for c in source.columns if c not in target_cols]
+    if extra_cols and not evolve_schema:
+        raise ValueError(
+            f"merge source has columns absent from the target: {extra_cols} "
+            "(pass evolve_schema=True to extend the table schema)"
+        )
     if extra_cols:
-        # dropping them silently would look like a successful merge that
-        # lost data; evolving the schema mid-merge is a separate decision
-        # the caller makes with an explicit append/overwrite
-        raise ValueError(f"merge source has columns absent from the target: {extra_cols}")
+        want = StructType(
+            list(want.fields)
+            + [source.schema[c] for c in source.columns if c in extra_cols]
+        )
+        target_cols = [f.name for f in want.fields]
     # a CDC batch is small by contract and feeds several probe jobs plus
     # the anti-join: materialize it once
     source = source.localCheckpoint(eager=True)

@@ -117,10 +117,19 @@ def _sc_merge_upserts_and_delete_3vl(spark, base):
     # pre-merge snapshot intact (time travel across a merge)
     pre = {r.id: r.v for r in read_txn(spark, root, version=v - 1).collect()}
     assert pre == {0: 0, 1: 10, 2: 20, 3: 30}
-    # a source column the target lacks is loud, not silently dropped
+    # a source column the target lacks is loud, not silently dropped...
     bad = spark.createDataFrame([(1, 1, 1)], "id long, v long, w long")
     with pytest.raises(ValueError):
         merge_txn(spark, bad, root, on="id")
+    # ...but evolve_schema=True extends the table instead (Delta's
+    # automatic schema evolution): untouched rows surface NULL
+    src2 = spark.createDataFrame(
+        [(1, 11, "x"), (300, 12, "y")], "id long, v long, tag string"
+    )
+    merge_txn(spark, src2, root, on="id", evolve_schema=True)
+    got2 = {r.id: (r.v, r.tag) for r in read_txn(spark, root).collect()}
+    assert got2[1] == (11, "x") and got2[300] == (12, "y")
+    assert got2[0] == (0, None)
     # DELETE with a predicate that is NULL for some rows: NULL != TRUE,
     # those rows survive (SQL three-valued DELETE semantics)
     evolved = spark.createDataFrame(
@@ -129,7 +138,7 @@ def _sc_merge_upserts_and_delete_3vl(spark, base):
     write_txn(evolved, root, mode="append")
     delete_txn(spark, root, "w > 1")  # w NULL on all old rows + id=200
     ids = sorted(r.id for r in read_txn(spark, root).collect())
-    assert ids == [0, 1, 2, 3, 100, 200]
+    assert ids == [0, 1, 2, 3, 100, 200, 300]
 
 
 def _sc_data_skipping_prunes_files_not_rows(spark, base):
