@@ -80,6 +80,7 @@ class Snapshot:
     file_dvs: tuple[tuple[str, ...], ...] = ()  # dv rels aligned with files
     constraints: tuple[tuple[str, str], ...] = ()  # (name, CHECK expr) sorted
     bloom_spec: tuple[tuple[str, int, int], ...] = ()  # (col, m_bits, k) sorted
+    dropped: tuple[str, ...] = ()  # DROPped column names still physically present
 
 
 def _log_dir(root: str) -> str:
@@ -205,6 +206,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "app_txns": prior_app,
         "constraints": dict(snap.constraints),
         "bloom": {c: [m, k] for c, m, k in snap.bloom_spec},
+        "dropped": list(snap.dropped),
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -226,6 +228,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     start = 0
     constraints: dict[str, str] = {}
     bloom: dict[str, list] = {}
+    dropped: list[str] = []
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -237,6 +240,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         start = ckpt["version"] + 1
         constraints = dict(ckpt.get("constraints", {}))
         bloom = dict(ckpt.get("bloom", {}))
+        dropped = list(ckpt.get("dropped", []))
     for v in versions:
         if v < start:
             continue
@@ -260,6 +264,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             constraints = dict(e["constraints"])
         if "bloom" in e:  # bloom-spec-changing commits carry the map
             bloom = dict(e["bloom"])
+        if "dropped" in e:  # drop/purge commits carry the full list
+            dropped = list(e["dropped"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -270,6 +276,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         file_dvs=tuple(dvs for _, _, dvs in live.values()),
         constraints=tuple(sorted(constraints.items())),
         bloom_spec=tuple(sorted((c, int(v[0]), int(v[1])) for c, v in bloom.items())),
+        dropped=tuple(sorted(dropped)),
     )
 
 
@@ -936,13 +943,13 @@ def _table_constraints(root: str) -> tuple[tuple[str, str], ...]:
 
 
 def _table_meta(root: str):
-    """(constraints, bloom_spec) of the current snapshot — one fold; an
-    uncreated table has neither."""
+    """(constraints, bloom_spec, dropped) of the current snapshot — one
+    fold; an uncreated table has none."""
     try:
         s = snapshot(root)
-        return s.constraints, s.bloom_spec
+        return s.constraints, s.bloom_spec, s.dropped
     except FileNotFoundError:
-        return (), ()
+        return (), (), ()
 
 
 def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
@@ -1032,6 +1039,48 @@ def drop_constraint_txn(root: str, name: str) -> int:
     return _commit_pinned(
         root, snap.version, "set_constraint", [], snap.schema_json,
         "drop constraint", extra={"constraints": cons},
+    )
+
+
+def drop_column_txn(root: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN as ONE metadata-only commit: the entry's
+    schema simply omits the column, and every read aligns file groups to
+    the snapshot schema, so the physical data stops surfacing instantly —
+    no rewrite of anything at any table size.  The name goes on the
+    table's ``dropped`` tombstone list: re-ADDING it is refused until a
+    full ``compact_txn`` has purged the physical values (reads map
+    columns BY NAME, so a same-named new column would resurrect the old
+    files' data — the hazard Delta's column-mapping IDs exist to prevent;
+    the tombstone is this design's honest equivalent).  Time travel to
+    pre-drop versions still shows the column.  Pinned OCC."""
+    snap = snapshot(root)
+    fields = json.loads(snap.schema_json)
+    names = [f["name"] for f in fields["fields"]]
+    import re
+
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's last column")
+    referenced = [
+        n for n, expr in snap.constraints
+        if re.search(rf"\b{re.escape(col)}\b", expr)
+    ]
+    if referenced:
+        raise ValueError(
+            f"column {col!r} is referenced by CHECK constraint(s) "
+            f"{referenced}; drop them first"
+        )
+    narrowed = dict(fields)
+    narrowed["fields"] = [f for f in fields["fields"] if f["name"] != col]
+    dropped = sorted(set(snap.dropped) | {col})
+    extra = {"dropped": dropped}
+    bloom = {c: [m, k] for c, m, k in snap.bloom_spec if c != col}
+    if len(bloom) != len(snap.bloom_spec):
+        extra["bloom"] = bloom  # retire the dropped column's bloom spec
+    return _commit_pinned(
+        root, snap.version, "drop_column", [], json.dumps(narrowed),
+        "drop column", extra=extra,
     )
 
 
@@ -1159,7 +1208,17 @@ def write_txn(
         if seen is not None and seen >= app_ver:
             return _list_versions(root)[-1]  # already applied: no-op
         extra = {**(extra or {}), "app_txn": [app_id, app_ver]}
-    cons, bloom_spec = _table_meta(root)
+    cons, bloom_spec, dropped = _table_meta(root)
+    zombie = sorted(set(df.columns) & set(dropped))
+    if zombie:
+        # re-adding a DROPped name would resurrect the old files' physical
+        # values for it (reads map by name, not physical id) — data
+        # corruption masquerading as a new column
+        raise ValueError(
+            f"columns {zombie} were DROPped and their data is still present "
+            "in old files; compact_txn first (purges them physically and "
+            "clears the tombstone), then re-add"
+        )
     rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec)
     adds = [{"add": r, "stats": stats[r]} for r in rels]
     if expected_base_version is not None:
@@ -1373,6 +1432,12 @@ def merge_txn(
         raise ValueError(
             f"merge source has columns absent from the target: {extra_cols} "
             "(pass evolve_schema=True to extend the table schema)"
+        )
+    zombie = sorted(set(extra_cols) & set(snap.dropped))
+    if zombie:
+        raise ValueError(
+            f"columns {zombie} were DROPped and their data is still present "
+            "in old files; compact_txn first, then evolve"
         )
     if extra_cols:
         want = StructType(
@@ -1676,6 +1741,9 @@ def compact_txn(
         adds=[{"add": r, "stats": stats[r], "schema": schema_json} for r in rels],
         what="compact",
         schema_json=schema_json,
+        # a FULL rewrite purges DROPped columns physically (the rewrite
+        # read the logical schema), so their re-add tombstones can clear
+        extra={"dropped": []} if snap.dropped else None,
     )
 
 
@@ -1715,6 +1783,7 @@ def _commit_commuting_rewrite(
     what: str,
     schema_json: str,
     max_retries: int = 20,
+    extra: dict | None = None,
 ) -> int:
     """Commit a MAINTENANCE rewrite (compaction / optimize) with Delta's
     disjoint-file-set conflict rule: a rewrite only moves bytes between
@@ -1737,7 +1806,7 @@ def _commit_commuting_rewrite(
     cur_version, entry_schema = base_snap.version, schema_json
     for _ in range(max_retries):
         actions = [{"remove": r} for r in removed] + adds
-        entry = _build_entry(what, cur_version + 1, actions, entry_schema, None)
+        entry = _build_entry(what, cur_version + 1, actions, entry_schema, extra)
         if _try_commit(root, cur_version + 1, entry):
             _maybe_checkpoint(root, cur_version + 1)
             return cur_version + 1

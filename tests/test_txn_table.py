@@ -1100,6 +1100,62 @@ def _sc_incremental_agg_mv(spark, base):
         mv_source_version(root)
 
 
+def _sc_drop_column_metadata_only(spark, base):
+    """DROP COLUMN as one metadata-only commit: the data stops surfacing
+    instantly with zero rewrite; time travel still shows it; the name is
+    TOMBSTONED against re-adding until a full compaction purges the
+    physical values (name-mapped reads would otherwise resurrect old
+    data as the 'new' column); constraints referencing the column block
+    the drop; a dropped column's bloom spec retires."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        add_constraint_txn, drop_column_txn, drop_constraint_txn,
+        merge_txn, set_bloom_txn,
+    )
+
+    root = os.path.join(base, "t")
+    df = spark.range(0, 10).selectExpr("id", "id * 10 as v", "'s' as secret")
+    write_txn(df.coalesce(2), root)                         # v0
+    set_bloom_txn(spark, root, {"secret": 4096})            # v1
+    add_constraint_txn(spark, root, "s_nn", "secret IS NOT NULL")  # v2
+    with pytest.raises(ValueError, match="s_nn"):
+        drop_column_txn(root, "secret")                     # constraint blocks
+    drop_constraint_txn(root, "s_nn")                       # v3
+    s_before = snapshot(root)
+    v = drop_column_txn(root, "secret")                     # v4: metadata only
+    s_after = snapshot(root)
+    assert set(s_after.files) == set(s_before.files)        # zero data moved
+    assert "secret" not in read_txn(spark, root).columns
+    assert read_txn(spark, root).count() == 10
+    # bloom spec on the dropped column retired
+    assert all(c != "secret" for c, _, _ in s_after.bloom_spec)
+    # time travel shows the column pre-drop
+    assert "secret" in read_txn(spark, root, version=v - 1).columns
+    # appends with the logical schema work; resurrecting the name is loud
+    write_txn(spark.range(10, 12).selectExpr("id", "id * 10 as v"), root)
+    with pytest.raises(ValueError, match="compact"):
+        write_txn(df.limit(1), root)
+    with pytest.raises(ValueError, match="compact"):
+        merge_txn(
+            spark, df.limit(1), root, on="id", evolve_schema=True
+        )
+    # full compaction purges the physical values and clears the tombstone
+    compact_txn(spark, root, target_files=1)
+    assert snapshot(root).dropped == ()
+    write_txn(
+        spark.range(0, 2).selectExpr("id + 100 as id", "id as v", "'new' as secret"),
+        root,
+    )
+    got = {r.id: r.secret for r in read_txn(spark, root).collect()}
+    assert got[100] == "new" and got[0] is None            # no resurrection
+    # guardrails: unknown column, last column
+    with pytest.raises(ValueError, match="no column"):
+        drop_column_txn(root, "nope")
+    one = os.path.join(base, "one")
+    write_txn(spark.range(3).selectExpr("id"), one)
+    with pytest.raises(ValueError, match="last column"):
+        drop_column_txn(one, "id")
+
+
 def _sc_table_history_audit(spark, base):
     """DESCRIBE HISTORY (table_history): one metadata-only row per commit,
     newest first, carrying file/byte deltas and the idempotence/lineage
@@ -1444,6 +1500,7 @@ _SCENARIOS = [
     _sc_timestamp_travel_clock_regression,
     _sc_optimize_binpacks_small_files,
     _sc_incremental_agg_mv,
+    _sc_drop_column_metadata_only,
     _sc_table_history_audit,
     _sc_app_txn_idempotent_writes,
     _sc_reader_feature_protocol,
