@@ -1672,8 +1672,18 @@ def restore_txn(root: str, version: int) -> int:
     actions += [
         {"dv": d, "applies": sorted(rels)} for d, rels in sorted(dv_applies.items())
     ]
+    # restore reinstates table METADATA too (constraints / bloom spec /
+    # drop tombstones at the target version) — restoring the rows while
+    # keeping later metadata would, e.g., show a restored column whose
+    # re-add the later drop-tombstone still refuses
+    extra = {
+        "constraints": dict(target.constraints),
+        "bloom": {c: [m, k] for c, m, k in target.bloom_spec},
+        "dropped": list(target.dropped),
+    }
     return _commit_pinned(
-        root, cur.version, "restore", actions, target.schema_json, "restore"
+        root, cur.version, "restore", actions, target.schema_json, "restore",
+        extra=extra,
     )
 
 

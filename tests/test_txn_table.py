@@ -1147,6 +1147,21 @@ def _sc_drop_column_metadata_only(spark, base):
     )
     got = {r.id: r.secret for r in read_txn(spark, root).collect()}
     assert got[100] == "new" and got[0] is None            # no resurrection
+    # RESTORE to a pre-drop version reinstates the metadata too: the
+    # column is back AND writable (no stale tombstone survives)
+    from dbt_trill_shop_spark.sources.txn_table import restore_txn
+
+    root3 = os.path.join(base, "r")
+    write_txn(
+        spark.range(0, 4).selectExpr("id", "'x' as c").coalesce(1), root3
+    )
+    drop_column_txn(root3, "c")
+    restore_txn(root3, 0)
+    assert snapshot(root3).dropped == ()
+    write_txn(
+        spark.range(4, 5).selectExpr("id", "'y' as c").coalesce(1), root3
+    )
+    assert read_txn(spark, root3).filter("id = 4").collect()[0].c == "y"
     # guardrails: unknown column, last column
     with pytest.raises(ValueError, match="no column"):
         drop_column_txn(root, "nope")
