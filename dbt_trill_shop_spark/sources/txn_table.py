@@ -935,13 +935,6 @@ def _commit_pinned(
     return base_version + 1
 
 
-def _table_constraints(root: str) -> tuple[tuple[str, str], ...]:
-    try:
-        return snapshot(root).constraints
-    except FileNotFoundError:
-        return ()
-
-
 def _table_meta(root: str):
     """(constraints, bloom_spec, dropped) of the current snapshot — one
     fold; an uncreated table has none."""
