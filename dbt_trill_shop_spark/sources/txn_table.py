@@ -2162,7 +2162,8 @@ def txn_stream_sink(root: str):
 
 
 def vacuum_txn(
-    root: str, retain_versions: int = 2, min_age_sec: float = 3600.0
+    root: str, retain_versions: int = 2, min_age_sec: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files unreferenced by the last ``retain_versions``
     snapshots (plus staging leftovers).  The retention floor is what
@@ -2176,7 +2177,12 @@ def vacuum_txn(
     under the commit — silent data loss, not a crash.  A file is only
     garbage once it is BOTH unreferenced and older than any plausible
     in-flight write.  Tests pass 0 explicitly; production keeps a floor
-    comfortably above the longest commit duration."""
+    comfortably above the longest commit duration.
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN) returns exactly what a
+    real run would remove — same walk, same guards, zero deletions —
+    so an operator can inspect the blast radius before shrinking
+    retention on a table other readers may be time-traveling."""
     versions = _list_versions(root)
     if not versions:
         return []
@@ -2197,7 +2203,8 @@ def vacuum_txn(
             p = os.path.join(d, f)
             try:
                 if now - os.path.getmtime(p) >= min_age_sec:
-                    os.unlink(p)
+                    if not dry_run:
+                        os.unlink(p)
                     removed.append(os.path.join(_LOG_DIR, f))
             except OSError:
                 continue
@@ -2212,11 +2219,13 @@ def vacuum_txn(
         if age < min_age_sec:
             continue
         if f.startswith("_staging_"):
-            import shutil
+            if not dry_run:
+                import shutil
 
-            shutil.rmtree(p, ignore_errors=True)
+                shutil.rmtree(p, ignore_errors=True)
             removed.append(f)
         elif f.endswith(".parquet") and f not in keep:
-            os.unlink(p)
+            if not dry_run:
+                os.unlink(p)
             removed.append(f)
     return removed

@@ -237,9 +237,15 @@ def _sc_vacuum_honors_retention_and_age(spark, base):
     # writer's staged data) is NEVER deleted regardless of retention
     assert vacuum_txn(root, retain_versions=1, min_age_sec=3600) == []
     assert all(os.path.exists(p) for p in old_files)
+    # DRY RUN reports exactly what a real run would remove — and removes
+    # nothing (the blast-radius preview before shrinking retention)
+    preview = vacuum_txn(root, retain_versions=1, min_age_sec=0, dry_run=True)
+    assert sorted(preview) == sorted(os.path.relpath(p, root) for p in old_files)
+    assert all(os.path.exists(p) for p in old_files)
     # retain 1, no age floor: v0's files are garbage
     removed = vacuum_txn(root, retain_versions=1, min_age_sec=0)
-    assert removed and not any(os.path.exists(p) for p in old_files)
+    assert sorted(removed) == sorted(preview)
+    assert not any(os.path.exists(p) for p in old_files)
     # the live snapshot is untouched
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [50, 51]
     # a crashed writer's TORN commit tmp (write-then-link protocol) is
