@@ -737,6 +737,19 @@ def _sc_stream_rate_limited_admission(spark, base):
 
     from dbt_trill_shop_spark.sources.txn_stream import stream_txn_table
 
+    import time as _time
+
+    def _data_progress(q, want_rows):
+        # processAllAvailable waits for the data, but the PROGRESS entry
+        # of the final batch can lag its commit under a loaded box —
+        # poll briefly until the reported row total catches up
+        for _ in range(100):
+            prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if sum(p["numInputRows"] for p in prog) >= want_rows:
+                return prog
+            _time.sleep(0.1)
+        return [p for p in q.recentProgress if p["numInputRows"] > 0]
+
     root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 3).coalesce(1), root)         # v0: 1 file
     name = f"rl_{uuid.uuid4().hex[:10]}"
@@ -747,7 +760,7 @@ def _sc_stream_rate_limited_admission(spark, base):
     )
     try:
         q.processAllAvailable()                            # positions stream
-        n0 = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        n0 = len(_data_progress(q, 3))
         # producer burst AFTER the stream is live: 2 commits x 2 files
         # of EXACTLY 3 rows each (the range source's numPartitions split
         # is deterministic — repartition(2) is NOT and gave 4/2 files),
@@ -760,7 +773,7 @@ def _sc_stream_rate_limited_admission(spark, base):
         compact_txn(spark, root, target_files=1)
         write_txn(_df(spark, 15, 18).coalesce(1), root)
         q.processAllAvailable()
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        progress = _data_progress(q, 18)
     finally:
         q.stop()
     rows = spark.table(name).collect()
@@ -783,13 +796,13 @@ def _sc_stream_rate_limited_admission(spark, base):
     )
     try:
         q2.processAllAvailable()
-        m0 = len([p for p in q2.recentProgress if p["numInputRows"] > 0])
+        m0 = len(_data_progress(q2, 3))
         write_txn(
             spark.range(3, 9, 1, 2).selectExpr("id", "id * 10 as v"), root2
         )
         write_txn(_df(spark, 9, 12).coalesce(1), root2)
         q2.processAllAvailable()
-        prog2 = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        prog2 = _data_progress(q2, 12)
     finally:
         q2.stop()
     assert sorted(r.id for r in spark.table(name2).collect()) == list(range(12))
