@@ -680,18 +680,30 @@ def _sc_stream_source_tails_commits(spark, base):
     compact_txn(spark, root, target_files=1)              # v2: not data
 
     def drain(src):
-        name = f"tail_{uuid.uuid4().hex[:10]}"
-        q = (
-            src.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name).collect()
+        # "Python worker failed to connect back" is a worker-SPAWN
+        # infrastructure flake under a fully saturated box (this scenario
+        # starts five short-lived streams, each spawning data-source
+        # workers); a bounded retry on exactly that error keeps the
+        # scenario's assertions honest without masking real failures
+        last = None
+        for _ in range(3):
+            name = f"tail_{uuid.uuid4().hex[:10]}"
+            q = (
+                src.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return spark.table(name).collect()
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise below
+                last = ex
+                if "failed to connect back" not in str(ex):
+                    raise
+            finally:
+                q.stop()
+        raise last
 
     rows = drain(stream_txn_table(spark, root))
     assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4]
