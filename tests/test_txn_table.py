@@ -1473,6 +1473,59 @@ def _sc_bloom_filter_equality_skipping(spark, base):
     )
     spec_now = dict((c, (m, k)) for c, m, k in snapshot(root).bloom_spec)
     assert spec_now == {"k": (16384, 5), "v": (8192, 5), "extra": (8192, 5)}
+    # SIDECAR STORAGE (VERDICT r8 #2): bitsets live in per-file sidecar
+    # files, NOT inline in the log — every entry and checkpoint stays
+    # metadata-sized (the inline form was ~32 KiB of base64 per file,
+    # gigabytes in the log at a 100k-file table)
+    logdir = os.path.join(root, "_txn")
+    for f in os.listdir(logdir):
+        if f.endswith(".json"):
+            body = open(os.path.join(logdir, f)).read()
+            assert '"b64"' not in body, f
+    snap_now = snapshot(root)
+    refs = {
+        tt._bloom_sidecar_ref(st)
+        for st in snap_now.file_stats
+        if tt._bloom_sidecar_ref(st)
+    }
+    assert refs and all(
+        os.path.exists(os.path.join(root, r)) for r in refs
+    )
+    # a checkpoint entry for a bloom'd file is bounded: reference + (m,k)
+    # per column, never the bitset
+    per_file = max(
+        len(json.dumps(st.get("__bloom", {}))) for st in snap_now.file_stats
+    )
+    assert per_file < 512, per_file
+    # vacuum keeps referenced sidecars, sweeps unreferenced ones
+    orphan = os.path.join(root, "bloom-deadbeef.json")
+    open(orphan, "w").write("{}")
+    swept = vacuum_txn(root, retain_versions=1, min_age_sec=0)
+    assert "bloom-deadbeef.json" in swept
+    assert all(os.path.exists(os.path.join(root, r)) for r in refs)
+    # post-vacuum bloom reads still work: the v3-tombstoned k=7919 row
+    # stays deleted; only v5's re-added row matches
+    assert read_txn(spark, root, where="k = 7919").count() == 1
+    # TYPE-FAMILY GATE (ADVICE r9): a probe whose literal type family
+    # differs from the column's must NOT bloom-prune — `scol = 5` on a
+    # string column coerces the COLUMN ('05' casts to 5 and matches),
+    # while a probe hashing the string '5' would have skipped its file
+    sroot = os.path.join(base, "s")
+    write_txn(
+        spark.createDataFrame([("05", 1)], "scol string, v long").coalesce(1),
+        sroot,
+    )
+    write_txn(
+        spark.createDataFrame([("7", 2)], "scol string, v long").coalesce(1),
+        sroot,
+    )
+    set_bloom_txn(spark, sroot, {"scol": 1024})
+    got = read_txn(spark, sroot, where="scol = 5")
+    assert len(got.inputFiles()) == len(snapshot(sroot).files)  # no skip
+    assert [r.v for r in got.collect()] == [1]  # column coerced: '05' = 5
+    # same-family probe still prunes
+    got = read_txn(spark, sroot, where="scol = '7'")
+    assert len(got.inputFiles()) == 1 and [r.v for r in got.collect()] == [2]
 
 
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
@@ -1666,6 +1719,20 @@ def test_maintenance_rewrite_commutes_with_append(spark, tmp_path, monkeypatch):
     # the delete won, the compaction did not apply
     got = sorted(r.id for r in read_txn(spark, root).collect())
     assert 900 not in got and 901 in got
+    # NON-commuting case (ADVICE r9 medium): a concurrent DROP COLUMN is a
+    # METADATA change — the compaction's output files physically carry the
+    # dropped column's values, so retrying at head would resurrect it (and
+    # compact's tombstone-clearing extra was computed at base).  Conflict.
+    state["interlope"] = lambda: tt.drop_column_txn(root, "tag")
+    with pytest.raises(TxnConflict):
+        compact_txn(spark, root, target_files=1)
+    snap = snapshot(root)
+    assert snap.dropped == ("tag",)  # the drop won, the rewrite did not
+    assert "tag" not in read_txn(spark, root).columns
+    # a clean compaction afterwards purges the dropped column and clears
+    # its tombstone as designed
+    compact_txn(spark, root, target_files=1)
+    assert snapshot(root).dropped == ()
 
 
 def test_app_txn_race_applies_exactly_once(spark, tmp_path, monkeypatch):
@@ -1699,6 +1766,42 @@ def test_app_txn_race_applies_exactly_once(spark, tmp_path, monkeypatch):
     assert read_txn(spark, root).count() == 6
     assert v == snapshot(root).version
     assert tt.last_app_version(root, "loader") == 7
+    # the loser's already-staged data files were dropped at the no-op
+    # instead of lingering as orphans until vacuum (ADVICE r9)
+    live = {os.path.relpath(p, root) for p in snapshot(root).files}
+    on_disk = {f for f in os.listdir(root) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_prune_predicate_masks_string_literals():
+    """ADVICE r9 (high): SQL keywords INSIDE a quoted string literal are
+    inert text, never structure — the IS NULL pre-pass used to rewrite
+    `note = 'status IS NULL'` into a bound on the WRONG column plus a
+    bogus nullness mark, making file pruning unsound.  No Spark needed."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    p = tt._prune_from_predicate
+    # the reproduced regression: the literal is a plain string bound on
+    # `note`; no nullness mark on `status`, no 1=1 placeholder bound
+    assert p("note = 'status IS NULL'") == {
+        "note": ("status IS NULL", "status IS NULL")
+    }
+    # keywords in strings no longer disable (or corrupt) sibling conjuncts
+    assert p("note = 'a AND b' AND id >= 7") == {
+        "note": ("a AND b", "a AND b"), "id": (7, None),
+    }
+    assert p("note = 'x OR y'") == {"note": ("x OR y", "x OR y")}
+    # string BETWEEN now derives bounds (masking made it parseable)
+    assert p("name BETWEEN 'a' AND 'c'") == {"name": ("a", "c")}
+    # SQL '' escape: tokenizes as two literals; the conjunct contributes
+    # nothing (sound), siblings still prune
+    assert p("note = 'it''s' AND id = 2") == {"id": (2, 2)}
+    # unterminated quote: conjunct contributes nothing, stays sound
+    assert p("note = 'abc AND id = 9") == {}
+    # real nullness extraction still works alongside masked strings
+    assert p("tag = 'v IS NULL' AND v IS NOT NULL") == {
+        "tag": ("v IS NULL", "v IS NULL"), "v": ("__notnull",),
+    }
 
 
 def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
