@@ -238,15 +238,21 @@ from .ext.pipeline import (
     curation_pipeline_v2_sql,
     CORPUS_REPORT_SQL,
     FILTER_FUNNEL_SQL_TEMPLATE,
+    K_ANONYMITY_CUSTOMERS_SQL,
+    L_DIVERSITY_CUSTOMERS_SQL,
     TRAINING_PIPELINE_SQL_TEMPLATE,
     corpus_report,
     filter_funnel,
+    k_anonymity_customers,
+    l_diversity_customers,
     training_data_pipeline,
 )
 from .ext.textstats import (
     BIGRAM_LOGPROB_SQL_TEMPLATE,
     EMBED_BRIDGE_SQL_TEMPLATE,
+    RERANK_BRIDGE_SQL_TEMPLATE,
     embed_bridge_longform,
+    rerank_bridge_topk,
     PPL_BUCKETS_SQL_TEMPLATE,
     WINNOWING_SQL_TEMPLATE,
     BM25_SEARCH_SQL_TEMPLATE,
@@ -2458,6 +2464,45 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         EMBED_BRIDGE_SQL_TEMPLATE.format(dim=16),
     ),
+    # --- round-9 additions: txn DML/ops wave + rerank bridge + privacy -----
+    # merge-on-read DELETE via deletion vectors (data files untouched)
+    "q_txn_dv_delete": QuerySpec(TD.txn_dv_delete_orders, TD.TXN_DV_DELETE_SQL),
+    # merge-on-read UPDATE (tombstones + changed-rows append only)
+    "q_txn_dv_update": QuerySpec(TD.txn_dv_update_orders, TD.TXN_DV_UPDATE_SQL),
+    # RESTORE rewinds rows AND metadata as one forward commit
+    "q_txn_restore": QuerySpec(TD.txn_restore_orders, TD.TXN_RESTORE_SQL),
+    # per-file Bloom index point lookups on an unclustered high-card key
+    "q_txn_bloom_lookup": QuerySpec(
+        TD.txn_bloom_point_lookups, TD.TXN_BLOOM_SQL
+    ),
+    # CDF-driven incremental aggregate MV (sync cost ~ changes, not table)
+    "q_txn_incremental_mv": QuerySpec(
+        TD.txn_incremental_mv, TD.TXN_INCREMENTAL_MV_SQL
+    ),
+    # streaming source tailing the commit log (offsets = versions)
+    "s_stream_txn_tail": QuerySpec(
+        TD.stream_txn_tail_rollup, TD.STREAM_TXN_TAIL_SQL
+    ),
+    # the dbt mart materialized as a txn table THROUGH the pipeline:
+    # two builds = two commits; the query time-travels one build back and
+    # must match the mart's own oracle (VERDICT r8 #5)
+    "q_txn_mart_timetravel": QuerySpec(
+        TD.txn_mart_timetravel, with_prelude(_WEEKLY_BODY, _WEEKLY_CTES)
+    ),
+    # cross-encoder rerank bridge: stage-2 pair scoring over stage-1
+    # retrieval candidates (mapInPandas batch shape, swap-in inference)
+    "x_rerank_bridge": QuerySpec(
+        lambda spark, sf_dir: rerank_bridge_topk(
+            load_table(spark, sf_dir, "documents")
+        ),
+        RERANK_BRIDGE_SQL_TEMPLATE.format(
+            dim=32, num_queries=4, k_retrieve=10, k_final=5
+        ),
+    ),
+    # privacy governance: the release-gate audits a training-data
+    # pipeline runs before shipping a quasi-identifier join table
+    "x_k_anonymity": QuerySpec(k_anonymity_customers, K_ANONYMITY_CUSTOMERS_SQL),
+    "x_l_diversity": QuerySpec(l_diversity_customers, L_DIVERSITY_CUSTOMERS_SQL),
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -2930,18 +2975,46 @@ _ROUND8_WINDOW = (
     + _ROUND8_OLDEST_REVERIFY
 )
 
-# STAGED FOR THE ROUND-9 WINDOW (registry frozen at 292 until
-# CORRECTNESS_r08 lands; all eight are parity-tested in-suite with DuckDB
-# oracles, plan-audit clean, sf0.1 costs measured — wiring each is a
-# QuerySpec + window-list change):
-#   q_txn_dv_delete / q_txn_dv_update / q_txn_restore /
-#   q_txn_bloom_lookup / q_txn_incremental_mv / s_stream_txn_tail
-#     -> operators/txn_demo.ROUND9_STAGED
-#   x_rerank_bridge   -> ext/textstats.rerank_bridge_topk + RERANK_BRIDGE_SQL_TEMPLATE
-#   x_k_anonymity     -> ext/pipeline.k_anonymity_customers + K_ANONYMITY_CUSTOMERS_SQL
-#   x_l_diversity     -> ext/pipeline.l_diversity_customers + L_DIVERSITY_CUSTOMERS_SQL
+# Queries with a green driver verdict in CORRECTNESS_r08 (all 50 green).
+_DRIVER_VERIFIED_R08 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND8_WINDOW)
 
-_front = _REFERENCE_MODELS + _ROUND8_WINDOW
+# Round-9 window, block 1: the TEN NEW queries — the round-8-staged txn
+# DML/ops wave (deletion-vector DELETE/UPDATE, RESTORE, Bloom-index point
+# lookups, CDF-driven incremental MV, streaming log tail), the
+# txn-materialized mart time travel (VERDICT r8 #5), the cross-encoder
+# rerank bridge, and the two privacy-governance audits (VERDICT r8 #1).
+_ROUND9_NEW = [
+    "q_txn_dv_delete", "q_txn_dv_update", "q_txn_restore",
+    "q_txn_bloom_lookup", "q_txn_incremental_mv", "s_stream_txn_tail",
+    "q_txn_mart_timetravel", "x_rerank_bridge", "x_k_anonymity",
+    "x_l_diversity",
+]
+
+# Block 2: the oldest driver vintages (VERDICT r8 #3) — every pick below
+# was last driver-verified in ROUND 2 (x_incremental_neardup: round 3,
+# pulled forward because BENCH_r08 showed a contention-suspect uptick on
+# it — a fresh verdict + baseline read settles it).  Structurally diverse
+# across relational staples, streaming twins, the dedup family, vector
+# search, and text analysis; the remaining r2/r3 vintages rotate in r10.
+_ROUND9_OLDEST_REVERIFY = [
+    "q_above_customer_avg", "q_compare_relations", "q_date_spine_events",
+    "q_event_type_stats", "q_events_weekly", "q_json_props_stats",
+    "q_order_quartiles", "q_pivot_events", "q_priority_large_qty",
+    "q_surrogate_keys", "q_unpivot_events", "q_weekday_except_all",
+    "q_window_distributions",
+    "s_stream_dedup_events", "s_stream_distinct_users",
+    "s_stream_purchase_attribution", "s_stream_weekly_rollup",
+    "x_dedup_exact", "x_dedup_canonical", "x_dedup_components",
+    "x_embedding_neardup", "x_incremental_dedup", "x_incremental_neardup",
+    "x_knn_cosine_topk", "x_semantic_search", "x_ivf_topk", "x_ivfpq_topk",
+    "x_pq_encode",
+    "x_text_stats", "x_token_counts", "x_language_id", "x_tfidf_top_terms",
+    "x_pii_scrub",
+]
+
+_ROUND9_WINDOW = _ROUND9_NEW + _ROUND9_OLDEST_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND9_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
@@ -2949,10 +3022,11 @@ assert len(_front) == len(set(_front)) == 50, len(_front)
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
-) - set(_ROUND8_WINDOW)
+    | _DRIVER_VERIFIED_R08
+) - set(_ROUND9_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
-# Window accounting: with the round-8 window in place, every query outside
+# Window accounting: with the round-9 window in place, every query outside
 # the window carries a prior-round driver verdict.
 assert _tail_unverified == [], _tail_unverified[:5]
 QUERIES = {name: QUERIES[name] for name in _front + _rest}

@@ -1,22 +1,18 @@
-"""Registry-ready queries over the transaction-logged table layer
-(sources/txn_table.py) — STAGED for the round-8 window (the registry is
-frozen until CORRECTNESS_r07 completes 287/287; wiring these is a
-three-line harness change afterwards).
+"""Registry queries over the transaction-logged table layer
+(sources/txn_table.py): the ROUND8_TXN_QUERIES wave registered in round
+8, the ROUND9_STAGED wave registered in round 9, plus the
+txn-materialized mart time travel (VERDICT r8 #5).
 
 Each query deterministically builds a small txn table under a pid-keyed
 tmp root from the driver's own parquet tables, exercises an ACID feature
-(time travel, MERGE, data skipping), and returns a result that plain
-ANSI SQL over the SOURCE tables can reproduce — so the DuckDB oracle
-never needs to understand the log format.  Money follows the width
-contract (README "Numeric dynamic range"): cents cast to decimal(38,0)
-BEFORE corpus-spanning sums, HUGEINT in the DuckDB twins, reported as
-rounded dollars.  Local parity coverage: the pooled scenario in
-tests/test_txn_table.py.
-
-r8 wiring data (measured end of r7): all three pass the plan scale-audit
-CLEAN; sf0.1 warm costs — timetravel 3.9 s (three orders-table commits +
-three snapshot reads are inherent to the story), merge_cdc 2.0 s,
-skipping_scan 1.1 s; embed_bridge_longform 2.6 s, also audit-CLEAN.
+(time travel, MERGE, data skipping, deletion vectors, RESTORE, Bloom
+indexes, CDF-driven MV, streaming log tail), and returns a result that
+plain ANSI SQL over the SOURCE tables can reproduce — so the DuckDB
+oracle never needs to understand the log format.  Money follows the
+width contract (README "Numeric dynamic range"): cents cast to
+decimal(38,0) BEFORE corpus-spanning sums, HUGEINT in the DuckDB twins,
+reported as rounded dollars.  Local parity coverage: the pooled scenario
+in tests/test_txn_table.py.
 """
 
 from __future__ import annotations
@@ -657,6 +653,45 @@ FROM kept
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def txn_mart_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``weekly_trends_summary`` mart materialized as a
+    TXN TABLE through the pipeline (``core/dag.py`` ``TXN_TABLE`` path —
+    the dbt semantics sitting on the ACID layer, VERDICT r8 #5): build #1
+    commits the true mart; build #2 commits a CORRUPTED rebuild (the
+    international half missing — a bad upstream refresh); the query
+    time-travels one build back (``ref_at(version=0)``) and returns the
+    mart exactly as it stood before the bad run — so it must match the
+    mart's own DuckDB oracle even though the table's HEAD differs.
+
+    Reference parity: models/marts/weekly_trends_summary.sql:1-110 for
+    the mart semantics; the materialization is the engine-side extension
+    (each dbt build = one atomic log commit, time travel across runs)."""
+    from ..core import Materialization, Model, Project
+    from ..models.trends import build_trends_relations
+
+    mart = build_trends_relations(spark, sf_dir)["weekly_trends_summary"]
+    root = _tmp_root("martv")
+    p = Project("txn_mart", warehouse_dir=root)
+    state = {"good": True}
+
+    def builder(s, ref):
+        if state["good"]:
+            return mart
+        return mart.filter(F.col("market_scope") == F.lit("US Market"))
+
+    p.add_model(
+        Model(
+            "weekly_trends_summary",
+            builder,
+            materialization=Materialization.TXN_TABLE,
+        )
+    )
+    p.build(spark, run_tests=False)   # v0: the true mart (one atomic commit)
+    state["good"] = False
+    p.build(spark, run_tests=False)   # v1: truncated rebuild at head
+    return p.ref_at(spark, "weekly_trends_summary", version=0)
 
 
 ROUND9_STAGED = {

@@ -101,29 +101,20 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     t0 = time.time()
     failures: dict[str, str] = {}
     n_run = 0
-    # STAGED queries (next round's registrations) sweep alongside the
-    # registered ones — the degenerate contract is a day-one requirement,
-    # not a registration-time retrofit (SCALE.md round-7 house rules)
-    from dbt_trill_shop_spark.catalog import load_table
-    from dbt_trill_shop_spark.ext.pipeline import (
-        k_anonymity_customers, l_diversity_customers,
-    )
-    from dbt_trill_shop_spark.ext.textstats import rerank_bridge_topk
-    from dbt_trill_shop_spark.operators.txn_demo import ROUND9_STAGED
-
-    staged = {name: fn for name, (fn, _sql) in ROUND9_STAGED.items()}
-    staged["x_rerank_bridge"] = lambda s, d: rerank_bridge_topk(
-        load_table(s, d, "documents")
-    )
-    staged["x_k_anonymity"] = k_anonymity_customers
-    staged["x_l_diversity"] = l_diversity_customers
+    # The round-8-staged wave registered in round 9 — every query now
+    # sweeps straight from the registry.  When a NEW wave stages, its
+    # callables join here pre-registration (the degenerate contract is a
+    # day-one requirement, not a registration-time retrofit — SCALE.md
+    # round-7 house rules).
+    staged: dict = {}
 
     def fn_of(name: str):
         return staged[name] if name in staged else QUERIES[name].fn
 
     names = sorted(QUERIES) + sorted(staged)
-    # staged txn/stream queries do driver-side eager work against
-    # pid-keyed tmp roots: the narrow stateful lane is theirs too
+    # registered q_txn_* queries ride the threaded pure lane (their tmp
+    # roots are query-name-distinct — the r8 sweep proved the shape);
+    # s_stream_* and any newly staged callables stay serial
     stateful = [n for n in names if _is_stateful(n) or n in staged]
     pure = [n for n in names if n not in set(stateful)]
     for label in ("empty", "nastyrow", "nullrow"):
