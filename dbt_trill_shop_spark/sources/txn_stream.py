@@ -156,8 +156,20 @@ class _TxnStreamReader(DataSourceStreamReader):
         s_v, s_k = start["version"], start.get("files")
         e_v, e_k = end["version"], end.get("files")
         self._pos = dict(end)  # teach admission control the real position
+        listed = _list_versions(self.root)
+        needed_lo = s_v if s_k is not None else s_v + 1
+        if listed and needed_lo < listed[0] and needed_lo <= e_v:
+            # entries below the log-retention horizon (cleanup_log_txn)
+            # are gone; iterating only what remains would SILENTLY skip
+            # the cleaned commits' rows — fail the lagging stream loudly
+            # instead (restart from a fresh snapshot + startingVersion)
+            raise ValueError(
+                f"stream offset {start} is below the log-retention "
+                f"horizon of {self.root} (earliest retained entry: "
+                f"{listed[0]}); the cleaned commits cannot be replayed"
+            )
         parts: list[_TxnFilePartition] = []
-        for v in _list_versions(self.root):
+        for v in listed:
             if v < s_v or (v == s_v and s_k is None) or v > e_v:
                 continue
             e = _read_entry(self.root, v)

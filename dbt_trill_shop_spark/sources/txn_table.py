@@ -81,6 +81,7 @@ class Snapshot:
     constraints: tuple[tuple[str, str], ...] = ()  # (name, CHECK expr) sorted
     bloom_spec: tuple[tuple[str, int, int], ...] = ()  # (col, m_bits, k) sorted
     dropped: tuple[str, ...] = ()  # DROPped column names still physically present
+    root: str = ""  # the table root this snapshot folded from (sidecar base)
 
 
 def _log_dir(root: str) -> str:
@@ -277,6 +278,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         constraints=tuple(sorted(constraints.items())),
         bloom_spec=tuple(sorted((c, int(v[0]), int(v[1])) for c, v in bloom.items())),
         dropped=tuple(sorted(dropped)),
+        root=root,
     )
 
 
@@ -969,9 +971,7 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
                 keep = [
                     item
                     for item in keep
-                    if _bloom_may_match(
-                        os.path.dirname(item[0]), stats_of[item[0]], probe_bits
-                    )
+                    if _bloom_may_match(snap.root, stats_of[item[0]], probe_bits)
                 ]
     return keep
 
@@ -1534,8 +1534,7 @@ def _merge_touched_indices(
             # keep the candidates (sound, ADVICE r9)
             continue
         cols_of = {
-            i: _bloom_cols(os.path.dirname(snap.files[i]), snap.file_stats[i])
-            for i in touched
+            i: _bloom_cols(snap.root, snap.file_stats[i]) for i in touched
         }
         cand = [i for i in touched if cols_of[i].get(key)]
         if not cand:
@@ -2128,6 +2127,18 @@ def read_txn_changes(
     from pyspark.sql.types import StructType
 
     versions = _list_versions(root)
+    if versions and from_version < versions[0] - 1 and (
+        to_version is None or to_version >= versions[0]
+    ):
+        # entries below the log-retention horizon (cleanup_log_txn) are
+        # gone; silently yielding "no changes" for them would desync every
+        # incremental consumer — the same reason Delta fails CDF reads
+        # past its log retention
+        raise ValueError(
+            f"change feed from version {from_version} crosses the "
+            f"log-retention horizon of {root} (earliest retained entry: "
+            f"{versions[0]}); re-seed the consumer from a full snapshot"
+        )
     if to_version is None:
         to_version = versions[-1] if versions else -1
     want = [v for v in versions if from_version < v <= to_version]
@@ -2181,6 +2192,15 @@ def read_txn_changes(
                 ).drop("__f", "__p")
             return df
 
+        # dv actions that apply to files ADDED in this same entry (RESTORE
+        # reinstating a DV chain, a shallow clone referencing tombstoned
+        # source files): the committed snapshot never contained those
+        # positions, so the add's insert rows must exclude them
+        entry_dvs: dict[str, tuple] = {}
+        for a2 in e["actions"]:
+            if "dv" in a2:
+                for f2 in a2["applies"]:
+                    entry_dvs[f2] = entry_dvs.get(f2, ()) + (a2["dv"],)
         for a in e["actions"]:
             if "dv" in a:
                 # a deletion-vector commit's deletes are EXACTLY the rows
@@ -2222,8 +2242,9 @@ def read_txn_changes(
                     continue  # removed file never visible in a snapshot
                 sj, dvs = ent
             else:
-                # RESTORE re-adds carry the file's original schema
-                sj, dvs = a.get("schema", e["schema"]), ()
+                # RESTORE re-adds carry the file's original schema;
+                # same-entry dv actions apply to the insert rows
+                sj, dvs = a.get("schema", e["schema"]), entry_dvs.get(rel, ())
             parts.append(
                 _file_df(rel, sj, dvs).withColumn(
                     "_change_type", F.lit(change)
@@ -2464,3 +2485,117 @@ def vacuum_txn(
                 os.unlink(p)
             removed.append(f)
     return removed
+
+
+def cleanup_log_txn(
+    root: str, retain_versions: int = 64, dry_run: bool = False
+) -> list[str]:
+    """Delete commit entries a checkpoint has SUPERSEDED (Delta's
+    ``logRetentionDuration`` cleanup, version-count form): a streaming
+    writer at one commit a minute writes half a million entries a year,
+    and ``_list_versions`` walks the whole directory — without cleanup
+    the log itself becomes the unbounded-LIST problem its design exists
+    to avoid.
+
+    Keeps every entry at or above ``C``, the LATEST checkpoint version at
+    most ``head - retain_versions``, and every checkpoint at or above
+    ``C``.  After cleanup every snapshot/time-travel at version >= C
+    still folds EXACTLY (checkpoint C + retained entries — checkpoints
+    also carry the cumulative batch-id / app-txn watermarks, so
+    exactly-once replay checks survive); versions below C raise the
+    standard "not in log" ValueError, CDF reads crossing the horizon
+    raise (``read_txn_changes``), and a lagging stream restart fails
+    loudly instead of silently skipping cleaned commits
+    (``txn_stream``).  No-op (returns []) until a checkpoint old enough
+    to anchor the horizon exists.  ``dry_run`` reports without deleting."""
+    versions = _list_versions(root)
+    if not versions:
+        return []
+    horizon = versions[-1] - retain_versions
+    d = _log_dir(root)
+    ckpts = sorted(
+        int(f[len("checkpoint-"):-5])
+        for f in os.listdir(d)
+        if f.startswith("checkpoint-") and f.endswith(".json")
+    )
+    eligible = [c for c in ckpts if c <= horizon]
+    if not eligible:
+        return []
+    anchor = max(eligible)
+    removed = []
+    for v in versions:
+        if v < anchor:
+            if not dry_run:
+                os.unlink(_entry_path(root, v))
+            removed.append(os.path.join(_LOG_DIR, f"{v:0{_VERSION_DIGITS}d}.json"))
+    for c in ckpts:
+        if c < anchor:
+            if not dry_run:
+                os.unlink(_ckpt_path(root, c))
+            removed.append(
+                os.path.join(_LOG_DIR, f"checkpoint-{c:0{_VERSION_DIGITS}d}.json")
+            )
+    return removed
+
+
+def clone_txn(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): create
+    a new transaction-logged table whose version-0 commit REFERENCES the
+    source snapshot's data files — and their deletion-vector / Bloom
+    sidecars — by relative traversal paths, copying ZERO data bytes.  At
+    100 TB this is how a dev/test fork, a what-if backfill, or a
+    migration rehearsal starts in milliseconds instead of a day of
+    copying.
+
+    The clone is a full table from commit 0 on: appends/MERGE/DELETE land
+    new files under the CLONE's root; an overwrite or full compaction
+    drops every source reference and makes the clone self-contained; the
+    source is never written.  Table metadata (constraints, bloom spec,
+    drop tombstones) carries over, and the entry records its lineage
+    under ``clone_of``.
+
+    Delta-parity caveat: VACUUMING THE SOURCE can delete files a shallow
+    clone still references (the clone's vacuum never touches them — it
+    sweeps only its own directory).  Clone from a version the source's
+    vacuum retention protects, or compact the clone to self-contain it."""
+    if _list_versions(dst_root):
+        raise ValueError(f"clone destination {dst_root} is already a table")
+    snap = snapshot(src_root, version=version, as_of_ms=as_of_ms)
+    os.makedirs(dst_root, exist_ok=True)
+
+    def _reref(rel_to_src: str) -> str:
+        return os.path.relpath(os.path.join(src_root, rel_to_src), dst_root)
+
+    actions: list[dict] = []
+    dv_applies: dict[str, list[str]] = {}
+    for p, sj, st, dvs in zip(
+        snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
+    ):
+        rel = os.path.relpath(p, dst_root)
+        st2 = dict(st)
+        bl = st.get(_BLOOM_KEY)
+        if bl and "sidecar" in bl:
+            st2[_BLOOM_KEY] = {**bl, "sidecar": _reref(bl["sidecar"])}
+        actions.append({"add": rel, "stats": st2, "schema": sj})
+        for d in dvs:
+            dv_applies.setdefault(_reref(d), []).append(rel)
+    actions += [
+        {"dv": d, "applies": sorted(rels)} for d, rels in sorted(dv_applies.items())
+    ]
+    extra: dict = {
+        "clone_of": {"root": os.path.abspath(src_root), "version": snap.version},
+    }
+    if snap.constraints:
+        extra["constraints"] = dict(snap.constraints)
+    if snap.bloom_spec:
+        extra["bloom"] = {c: [m, k] for c, m, k in snap.bloom_spec}
+    if snap.dropped:
+        extra["dropped"] = list(snap.dropped)
+    return _commit_pinned(
+        dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
+    )

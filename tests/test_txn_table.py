@@ -1584,6 +1584,122 @@ def _sc_scan_groups_coalesce_schema_generations(spark, base):
     assert plan2.count("Relation") == 2  # no unsound type merge
 
 
+def _sc_log_cleanup_bounds_history(spark, base):
+    """cleanup_log_txn (Delta's logRetention cleanup): entries a
+    checkpoint superseded are deleted, bounding the _txn listing as
+    commits accumulate; everything at or above the anchor checkpoint
+    still folds exactly, and every reader that would cross the horizon
+    fails LOUDLY (time travel, CDF, a lagging stream restart) instead of
+    silently reconstructing partial state."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import cleanup_log_txn
+
+    root = os.path.join(base, "t")
+    one = spark.createDataFrame([(0, 0)], "id long, v long").coalesce(1)
+    for i in range(11):  # v0..v10; pool pins _CHECKPOINT_EVERY = 4
+        write_txn(one.selectExpr(f"{i} as id", "v"), root, extra={"batch_id": i})
+    # no-op until a checkpoint old enough to anchor the horizon exists
+    assert cleanup_log_txn(root, retain_versions=99) == []
+    dry = cleanup_log_txn(root, retain_versions=4, dry_run=True)
+    removed = cleanup_log_txn(root, retain_versions=4)
+    assert removed == dry and len(removed) == 4  # entries 0..3 (anchor: ckpt 4)
+    logdir = os.path.join(root, "_txn")
+    assert tt._list_versions(root) == list(range(4, 11))
+    # snapshots at/above the anchor fold exactly
+    assert read_txn(spark, root).count() == 11
+    assert read_txn(spark, root, version=4).count() == 5
+    assert sorted(r.id for r in read_txn(spark, root, version=6).collect()) == list(range(7))
+    # below the horizon: loud, not wrong
+    with pytest.raises(ValueError):
+        read_txn(spark, root, version=2)
+    from dbt_trill_shop_spark.sources.txn_table import read_txn_changes
+
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_txn_changes(spark, root, from_version=1)
+    assert read_txn_changes(spark, root, from_version=4).count() == 6  # v5..v10
+    # exactly-once replay watermarks survive via the checkpoint fold
+    assert tt.committed_batch_ids(root) == set(range(11))
+    # a lagging stream restart below the horizon raises instead of
+    # silently skipping the cleaned commits
+    from dbt_trill_shop_spark.sources.txn_stream import _TxnStreamReader
+
+    rd = _TxnStreamReader.__new__(_TxnStreamReader)
+    rd.root, rd.ignore_changes, rd._pos = root, False, None
+    with pytest.raises(ValueError, match="retention horizon"):
+        rd.partitions({"version": 1}, {"version": 10})
+    # a restart AT the horizon streams the retained tail
+    parts = rd.partitions({"version": 3}, {"version": 5})
+    assert len(parts) == 2  # v4, v5
+    # idempotent: a second cleanup with the same retention is a no-op
+    assert cleanup_log_txn(root, retain_versions=4) == []
+    assert any(f.startswith("checkpoint-") for f in os.listdir(logdir))
+
+
+def _sc_shallow_clone_zero_copy(spark, base):
+    """clone_txn (Delta's SHALLOW CLONE): the clone's v0 references the
+    source snapshot's files and sidecars by relative traversal paths —
+    zero bytes copied — and is a full table from then on: writes land
+    clone-local, the source is never touched, metadata (constraints,
+    bloom spec) carries over, bloom sidecars resolve across roots, and a
+    full compaction self-contains the clone."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, compact_txn, delete_txn_dv, read_txn_changes,
+        set_bloom_txn, vacuum_txn,
+    )
+
+    src = os.path.join(base, "src")
+    df = spark.range(0, 400).selectExpr("id * 7919 % 10000 as k", "id as v")
+    write_txn(df.repartition(2), src)                       # v0: 2 files
+    delete_txn_dv(spark, src, "v = 3")                      # v1: DV sidecar
+    set_bloom_txn(spark, src, {"k": 4096})                  # v2: bloom sidecars
+    src_files = sorted(os.listdir(src))
+    dst = os.path.join(base, "dst")
+    assert clone_txn(src, dst) == 0
+    # zero copy: the clone directory holds ONLY its log
+    assert sorted(os.listdir(dst)) == ["_txn"]
+    got = {r.k: r.v for r in read_txn(spark, dst).collect()}
+    want = {r.k: r.v for r in read_txn(spark, src).collect()}
+    assert got == want and 3 not in got.values()            # DV applied
+    # bloom sidecars resolve across roots: a point lookup prunes
+    k0 = next(iter(want))
+    hit = read_txn(spark, dst, where=f"k = {k0}")
+    assert hit.count() >= 1
+    assert len(hit.inputFiles()) < len(snapshot(dst).files) + 1  # <= 1 of 2
+    # clone CDF: v0 reports the referenced rows as inserts
+    assert read_txn_changes(spark, dst, from_version=-1).count() == len(want)
+    # writes land clone-local; the source never changes
+    write_txn(
+        spark.createDataFrame([(99999, 999)], "k long, v long").coalesce(1), dst
+    )
+    merge_txn(
+        spark, spark.createDataFrame([(k0, -5)], "k long, v long"), dst, on="k"
+    )
+    assert sorted(os.listdir(src)) == src_files             # byte-identical
+    assert {r.v for r in read_txn(spark, dst).filter(f"k = {k0}").collect()} == {-5}
+    assert read_txn(spark, src).filter(f"k = {k0}").filter("v = -5").count() == 0
+    # lineage is recorded; the clone's vacuum never sweeps source files
+    e0 = tt._read_entry(dst, 0)
+    assert e0["clone_of"]["root"] == os.path.abspath(src)
+    vacuum_txn(dst, retain_versions=1, min_age_sec=0)
+    assert sorted(os.listdir(src)) == src_files
+    assert read_txn(spark, dst).count() == len(want) + 1 - 0  # still readable
+    # metadata carried over: the bloom spec is live on the clone
+    assert snapshot(dst).bloom_spec == snapshot(src).bloom_spec
+    # full compaction self-contains the clone: no more source references
+    compact_txn(spark, dst, target_files=1)
+    live = snapshot(dst).files
+    assert all(os.path.dirname(os.path.abspath(p)) == os.path.abspath(dst) for p in live)
+    assert read_txn(spark, dst).count() == len(want) + 1
+    # cloning over an existing table is loud
+    with pytest.raises(ValueError):
+        clone_txn(src, dst)
+    # time-travel clone: clone at the source's v0 sees pre-delete rows
+    dst2 = os.path.join(base, "dst2")
+    clone_txn(src, dst2, version=0)
+    assert read_txn(spark, dst2).filter("v = 3").count() == 1
+
+
 def _sc_demo_queries_match_duckdb_oracles(spark, base):
     """The three round-8-staged registry queries (operators/txn_demo.py)
     pass the driver-style oracle comparison, and the skipping query's
@@ -1662,6 +1778,8 @@ _SCENARIOS = [
     _sc_update_dv_merge_on_read,
     _sc_bloom_filter_equality_skipping,
     _sc_scan_groups_coalesce_schema_generations,
+    _sc_log_cleanup_bounds_history,
+    _sc_shallow_clone_zero_copy,
     _sc_stats_require_full_rowgroup_coverage,
     _sc_compaction_preserves_rows_and_is_atomic,
     _sc_append_overwrite_and_time_travel,
