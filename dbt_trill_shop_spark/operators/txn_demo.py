@@ -50,6 +50,7 @@ def _dollars(cents_col: str):
 
 
 _SPLIT = "1995-01-01"
+_CDF_SPLIT = "1998-01-01"
 
 
 def txn_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +694,139 @@ def txn_mart_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.build(spark, run_tests=False)   # v1: truncated rebuild at head
     return p.ref_at(spark, "weekly_trends_summary", version=0)
 
+
+def txn_clone_what_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (STAGED for round 10): the zero-copy what-if fork —
+    clone the orders table (``clone_txn``: the clone's v0 references the
+    source's files, no data bytes move), MERGE a re-pricing batch into
+    the CLONE only, and report (side, n_orders, total_dollars) for both.
+    The source aggregate equals plain SQL over orders (untouched); the
+    clone diverges by exactly the merged rows.  At 100 TB this is how a
+    backfill rehearsal starts in milliseconds instead of a day of
+    copying."""
+    from ..sources.txn_table import clone_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    src_root = _tmp_root("clonesrc")
+    write_txn(orders, src_root)
+    dst_root = _tmp_root("clonedst")
+    clone_txn(src_root, dst_root)
+    batch = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey", (F.col("cents") * 2).alias("cents")
+    )
+    merge_txn(spark, batch, dst_root, on="o_orderkey")
+
+    def agg(root: str, side: str) -> DataFrame:
+        return (
+            read_txn(spark, root)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _dollars("cents").alias("total_dollars"),
+            )
+            .select(F.lit(side).alias("side"), "n_orders", "total_dollars")
+        )
+
+    return agg(dst_root, "clone_repriced").unionByName(
+        agg(src_root, "source_untouched")
+    ).orderBy("side")
+
+
+TXN_CLONE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+repriced AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 1000 = 0 THEN cents * 2 ELSE cents END AS cents
+    FROM o
+)
+SELECT 'clone_repriced' AS side, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM repriced
+UNION ALL
+SELECT 'source_untouched', COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+FROM o
+ORDER BY side
+"""
+
+
+def stream_txn_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED (STAGED for round 10): v0 = orders
+    before _SPLIT, v1 = append the rest, v2 = DV-delete the small orders
+    (merge-on-read — data files untouched); ``stream_txn_changes`` tails
+    the log and drains into a per-(commit, change-type) rollup.  The
+    stream and the batch CDF consume the same ``_changes_plan`` walk, so
+    the drained aggregate is derivable by plain SQL over orders."""
+    from ..sources.txn_stream import stream_txn_changes
+    from ..sources.txn_table import delete_txn_dv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("cdfstream")
+    write_txn(orders.filter(F.col("o_orderdate") < F.lit(_CDF_SPLIT)), root)
+    write_txn(orders.filter(F.col("o_orderdate") >= F.lit(_CDF_SPLIT)), root)
+    delete_txn_dv(spark, root, "cents >= 10000000")
+    src = stream_txn_changes(spark, root)
+    agg = src.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dollars("cents").alias("total_dollars"),
+    )
+    import uuid
+
+    name = f"txn_cdf_{uuid.uuid4().hex[:10]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("_commit_version", "_change_type")
+
+
+STREAM_TXN_CDF_SQL = f"""
+WITH o AS (
+    SELECT o_orderdate,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM o WHERE o_orderdate < TIMESTAMP '{_CDF_SPLIT} 00:00:00'
+UNION ALL
+SELECT 2, 'delete', COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+FROM o WHERE cents >= 10000000
+UNION ALL
+SELECT 1, 'insert', COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+FROM o WHERE o_orderdate >= TIMESTAMP '{_CDF_SPLIT} 00:00:00'
+ORDER BY _commit_version, _change_type
+"""
+
+
+ROUND10_STAGED = {
+    "q_txn_clone": (txn_clone_what_if, TXN_CLONE_SQL),
+    "s_stream_txn_cdf": (stream_txn_cdf_rollup, STREAM_TXN_CDF_SQL),
+}
 
 ROUND9_STAGED = {
     "q_txn_dv_delete": (txn_dv_delete_orders, TXN_DV_DELETE_SQL),

@@ -40,7 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .txn_table import _list_versions, _read_entry, snapshot
+from .txn_table import _changes_plan, _list_versions, _read_entry, snapshot
 
 try:  # pyspark >= 4 Python DataSource API
     from pyspark.sql.datasource import (
@@ -230,6 +230,141 @@ class _TxnStreamReader(DataSourceStreamReader):
         self._pos = dict(end)  # keep the admission-control mirror fresh
 
 
+class _TxnCdfPartition(InputPartition):
+    def __init__(
+        self, root: str, rel: str, file_schema_json: str, version: int,
+        change: str, dvs: list[str], dv: str | None,
+    ) -> None:
+        self.root = root
+        self.rel = rel
+        self.file_schema_json = file_schema_json
+        self.version = version
+        self.change = change  # 'insert' | 'delete' | 'delete_at'
+        self.dvs = dvs        # tombstone sidecars to EXCLUDE
+        self.dv = dv          # delete_at: sidecar whose positions to SELECT
+
+
+class _TxnCdfStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED over the commit log (Delta's
+    ``readChangeFeed`` streaming form): each micro-batch carries the
+    row-level changes of the commits in ``(start, end]``, tagged
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` — the
+    standing form of ``read_txn_changes``, so an incremental consumer
+    (re-embed, re-dedup, MV sync) tails deletes as well as inserts
+    instead of being limited to the append-only source.
+
+    The batch plan comes from the SAME ``_changes_plan`` log walk the
+    batch reader uses, so the two can never drift.  Partition planning is
+    driver-side log arithmetic (checkpoint-accelerated folds, no data
+    I/O); executors read one file-grained change unit each via pyarrow.
+    Offsets are whole commit versions; replay is deterministic because
+    entries are immutable.  A restart below the log-retention horizon
+    fails loudly (same rule as the insert source)."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self.root = options.get("root") or options.get("path")
+        if not self.root:
+            raise ValueError("txn_cdf_stream needs .option('root', <table dir>)")
+        self.start_version = int(options.get("startingversion", -1))
+        self.schema = schema  # table schema + _change_type/_commit_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self.root)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        s_v, e_v = start["version"], end["version"]
+        versions = _list_versions(self.root)
+        if versions and s_v + 1 < versions[0] and s_v + 1 <= e_v:
+            raise ValueError(
+                f"CDF stream offset {start} is below the log-retention "
+                f"horizon of {self.root} (earliest retained entry: "
+                f"{versions[0]}); re-seed the consumer from a snapshot"
+            )
+        plan = _changes_plan(self.root, versions, s_v, e_v)
+        return [
+            _TxnCdfPartition(
+                self.root, item["rel"], item["schema"], item["v"],
+                item["change"], item.get("dvs", []), item.get("dv"),
+            )
+            for item in plan
+        ]
+
+    def read(self, partition: _TxnCdfPartition):
+        """Executor-side: one change unit -> Arrow batches.  DV exclusion
+        (insert/delete units) and position selection (delete_at units)
+        are numpy mask/take over the file's row indices — columnar end to
+        end, no Python row loops."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType
+
+        path = os.path.join(partition.root, partition.rel)
+        base = os.path.basename(path)
+        file_fields = {
+            f.name
+            for f in StructType.fromJson(
+                json.loads(partition.file_schema_json)
+            ).fields
+        }
+        data_names = [
+            f.name
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        tbl = pq.read_table(
+            path, columns=[n for n in data_names if n in file_fields]
+        )
+        n = tbl.num_rows
+
+        def _positions(sidecar: str) -> np.ndarray:
+            dv = pq.read_table(
+                os.path.join(partition.root, sidecar), columns=["file", "pos"]
+            )
+            mask = pa.compute.equal(dv.column("file"), pa.scalar(base))
+            return dv.filter(mask).column("pos").to_numpy(zero_copy_only=False)
+
+        if partition.change == "delete_at":
+            pos = np.sort(_positions(partition.dv))
+            tbl = tbl.take(pa.array(pos))
+        elif partition.dvs:
+            keep = np.ones(n, dtype=bool)
+            for d in partition.dvs:
+                p = _positions(d)
+                if len(p):
+                    keep[p] = False
+            tbl = tbl.filter(pa.array(keep))
+        m = tbl.num_rows
+        cols, names = [], []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == "_change_type":
+                change = "delete" if partition.change == "delete_at" else partition.change
+                c = pa.nulls(m, type=at).fill_null(change)
+            elif f.name == "_commit_version":
+                c = pa.nulls(m, type=at).fill_null(partition.version)
+            elif f.name in file_fields:
+                c = tbl.column(f.name)
+                if c.type != at:
+                    c = c.cast(at)
+                c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            else:
+                c = pa.nulls(m, type=at)
+            cols.append(c)
+            names.append(f.name)
+        out = pa.table(cols, names=names)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
 class TxnTableStreamDataSource(DataSource):
     """``spark.readStream.format("txn_table_stream").option("root", dir)``."""
 
@@ -247,9 +382,39 @@ class TxnTableStreamDataSource(DataSource):
         return _TxnStreamReader(self.options, schema)
 
 
+class TxnCdfStreamDataSource(DataSource):
+    """``spark.readStream.format("txn_cdf_stream").option("root", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_cdf_stream"
+
+    def schema(self):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        root = self.options.get("root") or self.options.get("path")
+        base = StructType.fromJson(json.loads(snapshot(root).schema_json))
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TxnCdfStreamReader(self.options, schema)
+
+
 def register_txn_stream_source(spark: SparkSession) -> None:
     try:
         spark.dataSource.register(TxnTableStreamDataSource)
+    except Exception:  # already registered in this session
+        pass
+    try:
+        spark.dataSource.register(TxnCdfStreamDataSource)
     except Exception:  # already registered in this session
         pass
 
@@ -289,3 +454,21 @@ def stream_txn_table(
         # batch (conservative); an oversized single file still admits
         reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     return reader.load()
+
+
+def stream_txn_changes(
+    spark: SparkSession, root: str, starting_version: int = -1
+) -> DataFrame:
+    """``readStream`` over a txn table's CHANGE DATA FEED: every commit
+    after ``starting_version`` arrives as row-level changes tagged
+    ``_change_type``/``_commit_version`` — inserts AND deletes, so a
+    downstream incremental consumer (re-embed, re-dedup, MV sync) keeps
+    exact state without ever re-reading the table.  Batch twin:
+    ``read_txn_changes`` (same log walk, shared plan)."""
+    register_txn_stream_source(spark)
+    return (
+        spark.readStream.format("txn_cdf_stream")
+        .option("root", root)
+        .option("startingVersion", starting_version)
+        .load()
+    )

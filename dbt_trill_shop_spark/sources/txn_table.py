@@ -2102,47 +2102,29 @@ def optimize_txn(
     )
 
 
-def read_txn_changes(
-    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
-) -> DataFrame:
-    """Change data feed: row-level changes committed in versions
-    ``(from_version, to_version]``, each row tagged ``_change_type``
-    ('insert' | 'delete') and ``_commit_version`` — the incremental-
-    processing hook (downstream re-embeds / re-dedups ONLY what changed
-    since its last sync, instead of re-reading 100 TB).
+def _changes_plan(
+    root: str, versions: list[int], from_version: int, to_version: int
+) -> list[dict]:
+    """The change-data-feed read PLAN for versions ``(from_version,
+    to_version]`` — pure log arithmetic, no data I/O.  Each item is one
+    file-grained change unit:
 
-    Derivation is pure log arithmetic, no stored diff: an ``add`` action's
-    file holds that commit's inserted rows; a ``remove`` action's file
-    holds rows deleted at that commit (the file is immutable, so its
-    content IS what was live).  A compaction commit removes and re-adds
-    identical row sets — callers that want logical changes only should
-    skip entries with mode 'compact', which this reader does by default
-    (pass-through rewrites are not data changes).
+    - ``{"change": "insert", "v", "rel", "schema", "dvs"}`` — the file's
+      rows (minus the listed tombstone sidecars) were inserted at v.
+      ``dvs`` is non-empty only when the SAME entry both added the file
+      and applied tombstones (RESTORE reinstating a chain, a shallow
+      clone referencing tombstoned source files).
+    - ``{"change": "delete", ...}`` — same shape; the file's surviving
+      rows (minus ``dvs``, the tombstones already applied BEFORE v, whose
+      deletes were reported at their own commits) were deleted at v.
+    - ``{"change": "delete_at", "v", "rel", "schema", "dv"}`` — exactly
+      the rows at the NEW tombstone positions in sidecar ``dv`` were
+      deleted at v.
 
-    Vacuum caveat (same as Delta's CDF-from-files): reading changes older
-    than the vacuum retention fails at scan time because the removed
-    files are gone — size ``retain_versions`` to cover the slowest
-    consumer's sync interval."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
-    versions = _list_versions(root)
-    if versions and from_version < versions[0] - 1 and (
-        to_version is None or to_version >= versions[0]
-    ):
-        # entries below the log-retention horizon (cleanup_log_txn) are
-        # gone; silently yielding "no changes" for them would desync every
-        # incremental consumer — the same reason Delta fails CDF reads
-        # past its log retention
-        raise ValueError(
-            f"change feed from version {from_version} crosses the "
-            f"log-retention horizon of {root} (earliest retained entry: "
-            f"{versions[0]}); re-seed the consumer from a full snapshot"
-        )
-    if to_version is None:
-        to_version = versions[-1] if versions else -1
+    Shared by the batch reader (``read_txn_changes``) and the streaming
+    CDF source (``txn_stream``), so the two can never drift."""
     want = [v for v in versions if from_version < v <= to_version]
-    parts = []
+    plan: list[dict] = []
     prior_map: dict[str, tuple[str, tuple[str, ...]]] | None = None
     for v in want:
         e = _read_entry(root, v)
@@ -2169,6 +2151,113 @@ def read_txn_changes(
                     prior.files, prior.file_schemas, prior.file_dvs
                 )
             }
+        # dv actions that apply to files ADDED in this same entry (RESTORE
+        # reinstating a DV chain, a shallow clone referencing tombstoned
+        # source files): the committed snapshot never contained those
+        # positions, so the add's insert rows must exclude them
+        entry_dvs: dict[str, tuple] = {}
+        for a2 in e["actions"]:
+            if "dv" in a2:
+                for f2 in a2["applies"]:
+                    entry_dvs[f2] = entry_dvs.get(f2, ()) + (a2["dv"],)
+        for a in e["actions"]:
+            if "dv" in a:
+                # a deletion-vector commit's deletes are EXACTLY the rows
+                # at the new tombstone positions (positions are computed
+                # over the DV-applied view, so never double-reported)
+                for rel in a["applies"]:
+                    ent = prior_map.get(rel) if prior_map else None
+                    if ent is None:
+                        continue  # applied to a file added this entry
+                    plan.append({
+                        "change": "delete_at", "v": v, "rel": rel,
+                        "schema": ent[0], "dv": a["dv"],
+                    })
+                continue
+            rel = a.get("add") or a.get("remove")
+            if rel is None:
+                continue
+            if "add" in a:
+                plan.append({
+                    "change": "insert", "v": v, "rel": rel,
+                    # RESTORE re-adds carry the file's original schema
+                    "schema": a.get("schema", e["schema"]),
+                    "dvs": list(entry_dvs.get(rel, ())),
+                })
+            else:
+                ent = prior_map.get(rel) if prior_map else None
+                if ent is None:
+                    continue  # removed file never visible in a snapshot
+                plan.append({
+                    "change": "delete", "v": v, "rel": rel,
+                    "schema": ent[0], "dvs": list(ent[1]),
+                })
+        if prior_map is not None:
+            # roll the prior-live map forward past this commit so the next
+            # version's delete lookups see v's own adds/removes/tombstones
+            for a in e["actions"]:
+                if "add" in a:
+                    prior_map[a["add"]] = (a.get("schema", e["schema"]), ())
+                elif "remove" in a:
+                    prior_map.pop(a["remove"], None)
+            for a in e["actions"]:
+                # dv actions roll AFTER adds: a RESTORE commit re-applies
+                # tombstones to files it re-added in the same entry
+                if "dv" in a:
+                    for f in a["applies"]:
+                        if f in prior_map:
+                            s, dvs = prior_map[f]
+                            prior_map[f] = (s, dvs + (a["dv"],))
+    return plan
+
+
+def _cdf_horizon_check(root: str, versions: list[int], from_version: int,
+                       to_version: int | None) -> None:
+    if versions and from_version < versions[0] - 1 and (
+        to_version is None or to_version >= versions[0]
+    ):
+        # entries below the log-retention horizon (cleanup_log_txn) are
+        # gone; silently yielding "no changes" for them would desync every
+        # incremental consumer — the same reason Delta fails CDF reads
+        # past its log retention
+        raise ValueError(
+            f"change feed from version {from_version} crosses the "
+            f"log-retention horizon of {root} (earliest retained entry: "
+            f"{versions[0]}); re-seed the consumer from a full snapshot"
+        )
+
+
+def read_txn_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed: row-level changes committed in versions
+    ``(from_version, to_version]``, each row tagged ``_change_type``
+    ('insert' | 'delete') and ``_commit_version`` — the incremental-
+    processing hook (downstream re-embeds / re-dedups ONLY what changed
+    since its last sync, instead of re-reading 100 TB).
+
+    Derivation is pure log arithmetic, no stored diff: an ``add`` action's
+    file holds that commit's inserted rows; a ``remove`` action's file
+    holds rows deleted at that commit (the file is immutable, so its
+    content IS what was live).  A compaction commit removes and re-adds
+    identical row sets — callers that want logical changes only should
+    skip entries with mode 'compact', which this reader does by default
+    (pass-through rewrites are not data changes).
+
+    Vacuum caveat (same as Delta's CDF-from-files): reading changes older
+    than the vacuum retention fails at scan time because the removed
+    files are gone — size ``retain_versions`` to cover the slowest
+    consumer's sync interval."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    versions = _list_versions(root)
+    _cdf_horizon_check(root, versions, from_version, to_version)
+    if to_version is None:
+        to_version = versions[-1] if versions else -1
+    plan = _changes_plan(root, versions, from_version, to_version)
+    parts = []
+    if plan:
 
         def _file_df(rel, sj, dvs, keep_tombstoned=False):
             df = spark.read.schema(
@@ -2192,80 +2281,36 @@ def read_txn_changes(
                 ).drop("__f", "__p")
             return df
 
-        # dv actions that apply to files ADDED in this same entry (RESTORE
-        # reinstating a DV chain, a shallow clone referencing tombstoned
-        # source files): the committed snapshot never contained those
-        # positions, so the add's insert rows must exclude them
-        entry_dvs: dict[str, tuple] = {}
-        for a2 in e["actions"]:
-            if "dv" in a2:
-                for f2 in a2["applies"]:
-                    entry_dvs[f2] = entry_dvs.get(f2, ()) + (a2["dv"],)
-        for a in e["actions"]:
-            if "dv" in a:
-                # a deletion-vector commit's deletes are EXACTLY the rows
-                # at the new tombstone positions (positions are computed
-                # over the DV-applied view, so never double-reported)
-                dv_df = spark.read.parquet(os.path.join(root, a["dv"]))
-                for rel in a["applies"]:
-                    ent = prior_map.get(rel)
-                    if ent is None:
-                        continue
-                    df = spark.read.schema(
-                        StructType.fromJson(json.loads(ent[0]))
-                    ).parquet(os.path.join(root, rel)).select(
-                        "*",
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        ).alias("__f"),
-                        F.col("_metadata.row_index").alias("__p"),
+        for item in plan:
+            v = item["v"]
+            if item["change"] == "delete_at":
+                dv_df = spark.read.parquet(os.path.join(root, item["dv"]))
+                df = spark.read.schema(
+                    StructType.fromJson(json.loads(item["schema"]))
+                ).parquet(os.path.join(root, item["rel"])).select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__f"),
+                    F.col("_metadata.row_index").alias("__p"),
+                )
+                df = df.join(
+                    F.broadcast(dv_df),
+                    (F.col("__f") == dv_df["file"])
+                    & (F.col("__p") == dv_df["pos"]),
+                    "left_semi",
+                ).drop("__f", "__p")
+                parts.append(
+                    df.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v).cast("bigint")
                     )
-                    df = df.join(
-                        F.broadcast(dv_df),
-                        (F.col("__f") == dv_df["file"])
-                        & (F.col("__p") == dv_df["pos"]),
-                        "left_semi",
-                    ).drop("__f", "__p")
-                    parts.append(
-                        df.withColumn("_change_type", F.lit("delete")).withColumn(
-                            "_commit_version", F.lit(v).cast("bigint")
-                        )
-                    )
+                )
                 continue
-            rel = a.get("add") or a.get("remove")
-            if rel is None:
-                continue
-            change = "insert" if "add" in a else "delete"
-            if change == "delete":
-                ent = prior_map.get(rel)
-                if ent is None:
-                    continue  # removed file never visible in a snapshot
-                sj, dvs = ent
-            else:
-                # RESTORE re-adds carry the file's original schema;
-                # same-entry dv actions apply to the insert rows
-                sj, dvs = a.get("schema", e["schema"]), entry_dvs.get(rel, ())
             parts.append(
-                _file_df(rel, sj, dvs).withColumn(
-                    "_change_type", F.lit(change)
+                _file_df(item["rel"], item["schema"], item["dvs"]).withColumn(
+                    "_change_type", F.lit(item["change"])
                 ).withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
-        if prior_map is not None:
-            # roll the prior-live map forward past this commit so the next
-            # version's delete lookups see v's own adds/removes/tombstones
-            for a in e["actions"]:
-                if "add" in a:
-                    prior_map[a["add"]] = (a.get("schema", e["schema"]), ())
-                elif "remove" in a:
-                    prior_map.pop(a["remove"], None)
-            for a in e["actions"]:
-                # dv actions roll AFTER adds: a RESTORE commit re-applies
-                # tombstones to files it re-added in the same entry
-                if "dv" in a:
-                    for f in a["applies"]:
-                        if f in prior_map:
-                            s, dvs = prior_map[f]
-                            prior_map[f] = (s, dvs + (a["dv"],))
     if not parts:
         snap_schema = StructType.fromJson(
             json.loads(snapshot(root).schema_json)

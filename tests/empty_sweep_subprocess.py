@@ -101,12 +101,12 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     t0 = time.time()
     failures: dict[str, str] = {}
     n_run = 0
-    # The round-8-staged wave registered in round 9 — every query now
-    # sweeps straight from the registry.  When a NEW wave stages, its
-    # callables join here pre-registration (the degenerate contract is a
-    # day-one requirement, not a registration-time retrofit — SCALE.md
-    # round-7 house rules).
-    staged: dict = {}
+    # STAGED queries (next round's registrations) sweep alongside the
+    # registered ones — the degenerate contract is a day-one requirement,
+    # not a registration-time retrofit (SCALE.md round-7 house rules)
+    from dbt_trill_shop_spark.operators.txn_demo import ROUND10_STAGED
+
+    staged = {name: fn for name, (fn, _sql) in ROUND10_STAGED.items()}
 
     def fn_of(name: str):
         return staged[name] if name in staged else QUERIES[name].fn

@@ -736,6 +736,91 @@ def _sc_stream_source_tails_commits(spark, base):
     assert {r.v for r in rows if r.id == 4} == {40}
 
 
+def _sc_stream_cdf_tails_changes(spark, base):
+    """Streaming CHANGE DATA FEED (the readChangeFeed twin of the
+    append-only source): a drain of the stream equals the batch
+    read_txn_changes row-for-row — inserts AND deletes, merge rewrites,
+    DV tombstones, evolution NULL-padding — because both sides consume
+    the SAME _changes_plan log walk.  startingVersion tails a suffix;
+    an offset below the log-retention horizon is loud."""
+    import uuid
+
+    from dbt_trill_shop_spark.sources.txn_stream import (
+        _TxnCdfStreamReader, stream_txn_changes,
+    )
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv, read_txn_changes,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 5), root)                      # v0: inserts
+    merge_txn(
+        spark,
+        spark.createDataFrame([(1, 111), (9, 90)], "id long, v long"),
+        root, on="id",
+    )                                                      # v1: rewrite
+    write_txn(_df(spark, 20, 22, extra="new"), root)       # v2: evolution
+    delete_txn_dv(spark, root, "id = 2")                   # v3: DV delete
+    compact_txn(spark, root, target_files=1)               # v4: not data
+
+    def drain(src):
+        last = None
+        for _ in range(3):  # worker-spawn flake retry (see tails_commits)
+            name = f"cdf_{uuid.uuid4().hex[:10]}"
+            q = (
+                src.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return spark.table(name).collect()
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise
+                last = ex
+                if "failed to connect back" not in str(ex):
+                    raise
+            finally:
+                q.stop()
+        raise last
+
+    def key(rows):
+        return sorted(
+            (r.id, r.v, getattr(r, "tag", None), r._change_type, r._commit_version)
+            for r in rows
+        )
+
+    got = drain(stream_txn_changes(spark, root))
+    want = read_txn_changes(spark, root, from_version=-1).collect()
+    assert key(got) == key(want) and len(got) > 0
+    # the stream carries real deletes: the DV'd row and the merge rewrite
+    by = {}
+    for r in got:
+        by.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    assert by[(3, "delete")] == {2}
+    assert 1 in by[(1, "delete")] and 1 in by[(1, "insert")]
+    assert (4, "insert") not in by  # compaction is not a data change
+    # evolution: pre-evolution change rows pad NULL for the late column
+    assert {r.tag for r in got if r._commit_version == 2} == {"new"}
+    # startingVersion tails a suffix, matching the batch window exactly
+    got2 = drain(stream_txn_changes(spark, root, starting_version=1))
+    want2 = read_txn_changes(spark, root, from_version=1).collect()
+    assert key(got2) == key(want2)
+    # replanning the same window is deterministic (checkpoint replay)
+    got2b = drain(stream_txn_changes(spark, root, starting_version=1))
+    assert key(got2b) == key(got2)
+    # below the log-retention horizon: loud, not silently partial
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    for _ in range(12):  # push past a checkpoint, then clean the log
+        write_txn(_df(spark, 100, 101), root)
+    assert tt.cleanup_log_txn(root, retain_versions=4)
+    rd = _TxnCdfStreamReader.__new__(_TxnCdfStreamReader)
+    rd.root = root
+    with pytest.raises(ValueError, match="retention horizon"):
+        rd.partitions({"version": 0}, {"version": 16})
+
+
 def _sc_stream_rate_limited_admission(spark, base):
     """maxFilesPerTrigger (Delta parity, steady-state contract): once the
     stream is positioned, a burst of producer commits drains as
@@ -1707,6 +1792,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     from dbt_trill_shop_spark.operators.txn_demo import (
         ROUND8_TXN_QUERIES,
         ROUND9_STAGED,
+        ROUND10_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1717,7 +1803,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         probs = compare(fn(spark, SF_DIR), oracle_frame(con, sql))
         assert not probs, f"{name}: " + "; ".join(probs)
 
-    every = {**ROUND8_TXN_QUERIES, **ROUND9_STAGED}
+    every = {**ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED}
     with ThreadPoolExecutor(max_workers=3) as ex:
         list(ex.map(one, every.items()))
     # the staged DV query's story depends on merge-on-read: the delete
@@ -1780,6 +1866,7 @@ _SCENARIOS = [
     _sc_scan_groups_coalesce_schema_generations,
     _sc_log_cleanup_bounds_history,
     _sc_shallow_clone_zero_copy,
+    _sc_stream_cdf_tails_changes,
     _sc_stats_require_full_rowgroup_coverage,
     _sc_compaction_preserves_rows_and_is_atomic,
     _sc_append_overwrite_and_time_travel,
