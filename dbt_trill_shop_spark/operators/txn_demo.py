@@ -823,9 +823,74 @@ ORDER BY _commit_version, _change_type
 """
 
 
+def txn_cdf_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh end-to-end (STAGED for round 10): the
+    documents corpus lives in a txn table; an upstream refresh MERGEs
+    edited texts (file-pruned rewrite); the embedding consumer reads the
+    CHANGE FEED, re-embeds ONLY the rewritten rows through the
+    Arrow-batched bridge, and splices them over its v0 state.  The
+    result must equal embedding the FINAL corpus from scratch — while
+    the consumer's work was proportional to the changed files, never the
+    corpus.  This is the maintenance loop a 100 TB training-data
+    pipeline actually runs: nobody re-embeds a petabyte because 0.1%% of
+    documents changed.
+
+    Long-formed (doc_id, dim_idx, unit_weight) like ``x_embed_bridge``
+    so the driver's value-hash oracle applies bit-exactly."""
+    from ..ext.textstats import embed_bridge_longform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _tmp_root("cdfreembed")
+    # key-clustered layout (range, not hash): the refresh below edits a
+    # CONTIGUOUS id range, so the merge's interval pruning rewrites a
+    # strict subset of files — the property the whole story rests on
+    write_txn(docs.repartitionByRange(8, "doc_id"), root)   # v0: corpus
+    batch = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" refreshed corpus update")).alias("text"),
+    )
+    merge_txn(spark, batch, root, on="doc_id")              # v1: refresh
+    changes = read_txn_changes(spark, root, from_version=0)
+    # the rewritten files' rows (upserts AND co-located survivors — both
+    # carry their final text, so re-embedding the superset is exact);
+    # unkeyed rows cannot be merge-matched and keep their v0 embedding
+    fresh_docs = changes.filter(
+        "_change_type = 'insert' AND doc_id IS NOT NULL"
+    ).select("doc_id", "text")
+    base_docs = read_txn(spark, root, version=0).join(
+        fresh_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    out = embed_bridge_longform(base_docs, dim=16).unionByName(
+        embed_bridge_longform(fresh_docs, dim=16)
+    )
+    return out.orderBy("doc_id", "dim_idx")
+
+
+def _cdf_reembed_sql() -> str:
+    from ..ext.textstats import _HASHED_EMB_CTE, EMBED_BRIDGE_SQL_TEMPLATE
+
+    tail = EMBED_BRIDGE_SQL_TEMPLATE.split(",\nnorms AS", 1)[1]
+    return (
+        "WITH moddocs AS (\n"
+        "    SELECT doc_id,\n"
+        "           CASE WHEN doc_id < 40\n"
+        "                THEN text || ' refreshed corpus update'\n"
+        "                ELSE text END AS text\n"
+        "    FROM documents\n"
+        "), "
+        + _HASHED_EMB_CTE.replace("FROM documents", "FROM moddocs").lstrip()
+        + ",\nnorms AS"
+        + tail
+    ).format(dim=16)
+
+
+TXN_CDF_REEMBED_SQL = _cdf_reembed_sql()
+
+
 ROUND10_STAGED = {
     "q_txn_clone": (txn_clone_what_if, TXN_CLONE_SQL),
     "s_stream_txn_cdf": (stream_txn_cdf_rollup, STREAM_TXN_CDF_SQL),
+    "x_cdf_reembed": (txn_cdf_reembed, TXN_CDF_REEMBED_SQL),
 }
 
 ROUND9_STAGED = {

@@ -1841,6 +1841,13 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     got = _tt.read_txn(spark, bl_root, where=f"o_orderkey = {k}")
     assert got.count() >= 1
     assert 0 < len(got.inputFiles()) < len(sb.files)
+    # the incremental re-embed story depends on the refresh MERGE being
+    # FILE-PRUNED: the edited id range must rewrite a strict subset of
+    # the corpus files (consumer work ~ changed files, never the corpus)
+    re_root = os.path.join(_tf.gettempdir(), f"txn_cdfreembed_{os.getpid()}")
+    e1 = _tt._read_entry(re_root, 1)
+    n_removed = sum(1 for a in e1["actions"] if "remove" in a)
+    assert 0 < n_removed < len(_tt.snapshot(re_root, version=0).files)
 
 
 _SCENARIOS = [
