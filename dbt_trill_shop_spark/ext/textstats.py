@@ -1233,6 +1233,153 @@ WHERE e.weight <> 0 AND norms.nrm > 0
 )
 
 
+def parent_doc_retrieval(
+    docs: DataFrame,
+    k_chunks: int = 20,
+    k_parents: int = 5,
+    num_queries: int = 3,
+    dim: int = 32,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PARENT-DOCUMENT retrieval (STAGED for round 10) — the RAG pattern
+    where small chunks do the matching but whole documents come back:
+    chunk the corpus (overlapping token windows), score chunks against
+    each query by exact int64 hashed-sparse dot product, take the top
+    ``k_chunks`` chunks per query, then roll them up to their parent
+    documents ranked by best-chunk score with hit-chunk counts.
+
+    Plan shape: chunking is one narrow codegen'd stage (no shuffle); the
+    query vectors BROADCAST into the inverted-index join on ``dim_idx``
+    so the chunk corpus never shuffles by text; the only exchanges carry
+    (query, chunk-key, int) triples.  Chunk keys are ``doc_id * 10000 +
+    chunk_id`` (chunks beyond 10k/doc are dropped — loud in the WHERE,
+    mirrored by the oracle) so parent recovery is integer division, not
+    a join back through the corpus.  Scores are exact int64, so ranks
+    are value-hash checkable."""
+    from .sampling import chunk_documents
+
+    corpus = docs.filter(F.col(id_col) >= num_queries)
+    chunks = (
+        chunk_documents(
+            corpus, window=window, stride=stride,
+            text_col=text_col, id_col=id_col,
+        )
+        .filter(F.col("chunk_id") < 10000)
+        .select(
+            (F.col(id_col) * 10000 + F.col("chunk_id")).alias("ckey"),
+            "chunk_text",
+        )
+    )
+    ce = hashed_embedding(chunks, dim=dim, text_col="chunk_text", id_col="ckey")
+    qe = hashed_embedding(
+        docs.filter(F.col(id_col) < num_queries),
+        dim=dim, text_col=text_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("query_id"), "dim_idx", F.col("weight").alias("qw")
+    )
+    dots = (
+        ce.join(F.broadcast(qe), "dim_idx")
+        .groupBy("query_id", "ckey")
+        .agg(F.sum(F.col("weight") * F.col("qw")).cast("bigint").alias("dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("ckey"))
+    topc = dots.withColumn("crnk", F.row_number().over(wc)).filter(
+        F.col("crnk") <= k_chunks
+    )
+    parents = topc.groupBy(
+        "query_id", F.expr("ckey DIV 10000").alias("parent_doc")
+    ).agg(
+        F.max("dot").alias("best_dot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_chunks"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("best_dot"), F.asc("parent_doc")
+    )
+    return (
+        parents.withColumn("parent_rank", F.row_number().over(wp).cast("bigint"))
+        .filter(F.col("parent_rank") <= k_parents)
+        .orderBy("query_id", "parent_rank")
+    )
+
+
+_CHUNK_EMB_CTE = """
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= {num_queries}),
+ctoks0 AS (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM corpus),
+cstarts AS (
+    SELECT doc_id, t, unnest(range(0, GREATEST(LEN(t), 1), {stride})) AS start
+    FROM ctoks0
+),
+chunkdocs AS (
+    SELECT doc_id * 10000 + (start // {stride}) AS ckey,
+           array_to_string(t[start + 1 : start + {window}], ' ') AS text
+    FROM cstarts WHERE (start // {stride}) < 10000
+),
+ctoks AS (
+    SELECT ckey, w FROM (
+        SELECT ckey, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM chunkdocs
+    ) WHERE w <> ''
+),
+ce AS (
+    SELECT ckey,
+           CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim} AS dim_idx,
+           CAST(SUM(CASE WHEN CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM ctoks
+    GROUP BY ckey, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim}
+),
+qdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < {num_queries}),
+qtoks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM qdocs
+    ) WHERE w <> ''
+),
+qe AS (
+    SELECT doc_id AS query_id,
+           CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim} AS dim_idx,
+           CAST(SUM(CASE WHEN CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS qw
+    FROM qtoks
+    GROUP BY doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim}
+)"""
+
+PARENT_RETRIEVAL_SQL_TEMPLATE = (
+    "WITH "
+    + _CHUNK_EMB_CTE
+    + """,
+dots AS (
+    SELECT qe.query_id, ce.ckey, CAST(SUM(ce.weight * qe.qw) AS BIGINT) AS dot
+    FROM ce JOIN qe USING (dim_idx)
+    GROUP BY qe.query_id, ce.ckey
+),
+topc AS (
+    SELECT query_id, ckey, dot FROM (
+        SELECT query_id, ckey, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, ckey ASC) AS crnk
+        FROM dots
+    ) WHERE crnk <= {k_chunks}
+),
+parents AS (
+    SELECT query_id, ckey // 10000 AS parent_doc,
+           MAX(dot) AS best_dot, CAST(COUNT(*) AS BIGINT) AS n_hit_chunks
+    FROM topc GROUP BY query_id, ckey // 10000
+)
+SELECT query_id, parent_doc, best_dot, n_hit_chunks,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY best_dot DESC, parent_doc ASC)
+            AS BIGINT) AS parent_rank
+FROM parents
+QUALIFY parent_rank <= {k_parents}
+ORDER BY query_id, parent_rank
+"""
+)
+
+
 def hashed_doc_knn(
     docs: DataFrame,
     k: int = 5,

@@ -49,6 +49,41 @@ def _dollars(cents_col: str):
     )
 
 
+def _drain_complete(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
+    """Drain a complete-mode streaming aggregate into a memory sink and
+    return the sink table.  Bounded retry on exactly "Python worker
+    failed to connect back" — a worker-SPAWN infrastructure flake on a
+    saturated box (each short-lived stream spawns data-source workers);
+    any other failure re-raises immediately.  Shuffle partitions pinned
+    low for the tiny stateful aggregate."""
+    import uuid
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    last = None
+    try:
+        for _ in range(3):
+            name = f"{tag}_{uuid.uuid4().hex[:10]}"
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return spark.table(name)
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise below
+                last = ex
+                if "failed to connect back" not in str(ex):
+                    raise
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    raise last
+
+
 _SPLIT = "1995-01-01"
 _CDF_SPLIT = "1998-01-01"
 
@@ -387,25 +422,7 @@ def stream_txn_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dollars("cents").alias("total_dollars"),
     )
-    import uuid
-
-    name = f"txn_tail_{uuid.uuid4().hex[:10]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).orderBy("o_orderpriority")
+    return _drain_complete(spark, agg, "txn_tail").orderBy("o_orderpriority")
 
 
 STREAM_TXN_TAIL_SQL = """
@@ -780,25 +797,9 @@ def stream_txn_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         _dollars("cents").alias("total_dollars"),
     )
-    import uuid
-
-    name = f"txn_cdf_{uuid.uuid4().hex[:10]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).orderBy("_commit_version", "_change_type")
+    return _drain_complete(spark, agg, "txn_cdf").orderBy(
+        "_commit_version", "_change_type"
+    )
 
 
 STREAM_TXN_CDF_SQL = f"""
@@ -887,10 +888,28 @@ def _cdf_reembed_sql() -> str:
 TXN_CDF_REEMBED_SQL = _cdf_reembed_sql()
 
 
+def _parent_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.textstats import parent_doc_retrieval
+
+    return parent_doc_retrieval(load_table(spark, sf_dir, "documents"))
+
+
+def _parent_retrieval_sql() -> str:
+    from ..ext.textstats import PARENT_RETRIEVAL_SQL_TEMPLATE
+
+    return PARENT_RETRIEVAL_SQL_TEMPLATE.format(
+        num_queries=3, dim=32, window=32, stride=24, k_chunks=20, k_parents=5
+    )
+
+
+# Staged for the round-10 window (the round-9 registry is frozen at 302):
+# parity-tested alongside the registered queries by the pooled scenario,
+# degenerate-swept by the empty-sweep sibling.
 ROUND10_STAGED = {
     "q_txn_clone": (txn_clone_what_if, TXN_CLONE_SQL),
     "s_stream_txn_cdf": (stream_txn_cdf_rollup, STREAM_TXN_CDF_SQL),
     "x_cdf_reembed": (txn_cdf_reembed, TXN_CDF_REEMBED_SQL),
+    "x_parent_retrieval": (_parent_retrieval, _parent_retrieval_sql()),
 }
 
 ROUND9_STAGED = {
