@@ -902,10 +902,98 @@ def _parent_retrieval_sql() -> str:
     )
 
 
+def txn_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``, the
+    dbt ``insert_overwrite`` backfill (STAGED for round 10): orders land
+    range-clustered by month, then the 1995 band is RECOMPUTED (a flat
+    12,345-cent audit adjustment per order — integer cents, exact) and
+    swapped in with ONE ``replace_where_txn`` commit.  Files outside the
+    band are neither read nor rewritten (the scenario plan-asserts the
+    untouched files survive by path; fully-covered files drop by
+    metadata-only remove; only boundary files get DV tombstones), and a
+    reader never observes the gap between the delete and the insert —
+    the property separate DELETE + append commits cannot give at 100 TB.
+    Result: pre/post totals plus the in-band total, all SQL-expressible
+    from the source table."""
+    from ..sources.txn_table import replace_where_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("replwhere")
+    # range-clustered: the band predicate then PRUNES most files outright
+    # (hash layout would span every month in every file — see
+    # txn_skipping_scan's note)
+    write_txn(orders.repartitionByRange(8, "month"), root)
+    band = "month >= '1995-01' AND month < '1996-01'"
+    batch = orders.filter(F.expr(band)).withColumn(
+        "cents", (F.col("cents") + F.lit(12345)).cast("bigint")
+    )
+    v1 = replace_where_txn(spark, root, band, batch)
+    in_band = F.col("month").between("1995-01", "1995-12")
+    parts = [
+        read_txn(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+            F.round(
+                F.sum(
+                    F.when(in_band, F.col("cents"))
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("band_dollars"),
+        )
+        .select(
+            F.lit(label).cast("bigint").alias("version"),
+            "n_orders",
+            "total_dollars",
+            "band_dollars",
+        )
+        for label, v in ((0, 0), (1, v1))
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+TXN_REPLACE_WHERE_SQL = """
+WITH o AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+a AS (
+    SELECT month,
+           CASE WHEN month >= '1995-01' AND month < '1996-01'
+                THEN cents + 12345 ELSE cents END AS cents
+    FROM o
+)
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS total_dollars,
+       ROUND(CAST(SUM(CASE WHEN month BETWEEN '1995-01' AND '1995-12'
+                           THEN CAST(cents AS HUGEINT) ELSE 0 END)
+                  AS DOUBLE) / 100.0, 2) AS band_dollars
+FROM o
+UNION ALL
+SELECT 1, COUNT(*),
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2),
+       ROUND(CAST(SUM(CASE WHEN month BETWEEN '1995-01' AND '1995-12'
+                           THEN CAST(cents AS HUGEINT) ELSE 0 END)
+                  AS DOUBLE) / 100.0, 2)
+FROM a
+ORDER BY version
+"""
+
+
 # Staged for the round-10 window (the round-9 registry is frozen at 302):
 # parity-tested alongside the registered queries by the pooled scenario,
 # degenerate-swept by the empty-sweep sibling.
 ROUND10_STAGED = {
+    "q_txn_replace_where": (txn_replace_where_backfill, TXN_REPLACE_WHERE_SQL),
     "q_txn_clone": (txn_clone_what_if, TXN_CLONE_SQL),
     "s_stream_txn_cdf": (stream_txn_cdf_rollup, STREAM_TXN_CDF_SQL),
     "x_cdf_reembed": (txn_cdf_reembed, TXN_CDF_REEMBED_SQL),

@@ -1803,6 +1803,122 @@ def update_txn_dv(
     )
 
 
+def replace_where_txn(
+    spark: SparkSession, root: str, predicate: str, df: DataFrame
+) -> int:
+    """Atomic predicate-scoped overwrite (Delta's ``replaceWhere``,
+    Armbrust et al. VLDB 2020 — the dbt ``insert_overwrite`` pattern the
+    reference's warehouse runs for backfills): ONE commit that deletes
+    every live row satisfying ``predicate`` and inserts ``df``.  Readers
+    see the old region or the new region, never the gap or the double —
+    the property a recompute-one-day-and-swap backfill at 100 TB needs
+    and which separate DELETE + append commits cannot give.
+
+    Cost is ∝ the replaced region, not the table: files whose
+    log-recorded stats prove no row can match are neither read nor
+    rewritten; files whose EVERY live row matches are dropped by a
+    metadata-only ``remove``; only boundary files (partially matching)
+    get deletion-vector tombstones for their matching rows.  A date-band
+    backfill on a date-clustered table therefore removes ~band files,
+    DVs at most the two boundary files, and never opens the rest.
+
+    Semantics:
+
+    - CONFINEMENT (Delta parity): every row of ``df`` must satisfy
+      ``predicate`` STRICTLY (NULL fails) — a row outside the replaced
+      region raises ValueError during staging, before any log entry
+      exists, because committing it would mutate data the operation
+      promised not to touch.  The check embeds in the staging pass (the
+      CHECK-constraint machinery), so the batch is scanned once.
+    - The DELETE side uses SQL three-valued logic (a NULL predicate
+      keeps the row), matching ``delete_txn`` / every warehouse DELETE.
+      The asymmetry is deliberate and is Delta's: NULL-predicate rows are
+      outside the replaced region, so they survive AND may not appear in
+      the incoming batch.
+    - Additive schema evolution is allowed (entry schema = merge of the
+      snapshot's and the batch's, like MERGE); re-adding a DROPped
+      column is rejected like ``write_txn`` (zombie data hazard).
+    - Pinned OCC at the derivation snapshot: any interleaved commit
+      raises TxnConflict — the remove/tombstone set was derived from
+      that snapshot's file list.
+    - The change feed needs no new plumbing: the commit's removes report
+      as full-file deletes, its DV as ``delete_at``, its adds as inserts
+      — exactly delete(replaced rows) + insert(new rows).
+
+    Returns the committed version.  A predicate matching nothing still
+    commits the inserts (an additive backfill); an empty ``df`` is a pure
+    predicate delete; both empty is a no-op returning the current
+    version.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    cons, bloom_spec, dropped = _table_meta(root)
+    zombie = sorted(set(df.columns) & set(dropped))
+    if zombie:
+        raise ValueError(
+            f"columns {zombie} were DROPped and their data is still present "
+            "in old files; compact_txn first, then re-add"
+        )
+    confine = ("__replace_where__", f"coalesce(({predicate}), false)")
+    try:
+        rels, new_schema_json, stats = _stage_checked(
+            df, root, list(cons) + [confine], bloom_spec
+        )
+    except ConstraintViolation as ex:
+        if "__replace_where__" in str(ex):
+            raise ValueError(
+                "replace_where_txn: written data does not conform to the "
+                f"replaceWhere predicate {predicate!r} — {ex}"
+            ) from None
+        raise
+    adds = [{"add": r, "stats": stats[r]} for r in rels]
+    # find the replaced region among live files — file-pruned like DELETE:
+    # stats-excluded files contribute no removes/tombstones and are never
+    # opened
+    want = StructType.fromJson(json.loads(snap.schema_json))
+    bounds = _prune_from_predicate(predicate)
+    items = _keep_files(spark, snap, bounds)
+    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    per_file = {
+        r["__file"]: (r["total"], r["matched"])
+        for r in scan.groupBy("__file")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(hit.cast("int")).alias("matched"),
+        )
+        .collect()
+    }
+    # __file is the basename; snap.files may reference other roots via
+    # traversal rel paths (shallow clones), so removes key by the fold's
+    # rel string, recovered from the snapshot's absolute paths
+    rel_of = {
+        os.path.basename(p): os.path.relpath(p, root) for p in snap.files
+    }
+    full = sorted(
+        rel_of[f] for f, (t, m) in per_file.items() if t > 0 and m == t
+    )
+    partial = {f for f, (t, m) in per_file.items() if 0 < m < t}
+    actions: list[dict] = [{"remove": r} for r in full]
+    if partial:
+        dv = _write_dv_sidecar(
+            scan.filter(hit & F.col("__file").isin(sorted(partial))), root
+        )
+        if dv is not None:
+            rel, applies = dv
+            actions.append({"dv": rel, "applies": applies})
+    actions += adds
+    if not actions:
+        return snap.version
+    schema_json = _merge_schemas(snap.schema_json, new_schema_json)
+    return _commit_pinned(
+        root, snap.version, "replace_where", actions, schema_json,
+        "replace_where",
+    )
+
+
 def restore_txn(root: str, version: int) -> int:
     """RESTORE (rollback): make the table's latest state equal its state
     at ``version`` via ONE METADATA-ONLY commit — no data bytes move, so

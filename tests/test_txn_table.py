@@ -1850,8 +1850,95 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     assert 0 < n_removed < len(_tt.snapshot(re_root, version=0).files)
 
 
+def _sc_replace_where_atomic_backfill(spark, base):
+    """replaceWhere (Delta parity): ONE commit = delete(predicate rows) +
+    insert(batch); cost ∝ the replaced region — untouched files keep
+    their exact paths (never rewritten), fully-matched files drop by
+    metadata-only remove, only the boundary file gets DV tombstones."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        _read_entry,
+        read_txn_changes,
+        replace_where_txn,
+    )
+
+    root = os.path.join(base, "t")
+    # v0: ids 0..29 range-clustered into 3 files (~[0,10) [10,20) [20,30))
+    write_txn(
+        spark.range(0, 30).selectExpr("id", "id * 10 as v")
+        .repartitionByRange(3, "id"),
+        root,
+    )
+    files0 = set(snapshot(root).files)
+    assert len(files0) == 3
+    # replace [10, 22): the middle file fully matches (metadata remove),
+    # the last file partially (ids 20,21 -> DV), the first is untouched
+    batch = spark.range(10, 22).selectExpr("id", "id * 100 as v")
+    v1 = replace_where_txn(spark, root, "id >= 10 AND id < 22", batch)
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    want = {i: i * 10 for i in range(30) if not 10 <= i < 22}
+    want.update({i: i * 100 for i in range(10, 22)})
+    assert got == want
+    snap1 = snapshot(root)
+    # the [0,10) file survives BY PATH — provably never rewritten
+    assert len(files0 & set(snap1.files)) >= 1
+    e = _read_entry(root, v1)
+    kinds = {k for a in e["actions"] for k in a if k in ("remove", "dv", "add")}
+    assert kinds == {"remove", "dv", "add"}
+    # stats-pruned: the untouched file contributes NO remove/dv action
+    removed = {a["remove"] for a in e["actions"] if "remove" in a}
+    surviving_rels = {os.path.basename(p) for p in files0 & set(snap1.files)}
+    assert not removed & surviving_rels
+    # CDF reports exactly delete(replaced rows) + insert(batch rows)
+    ch = read_txn_changes(spark, root, from_version=0, to_version=v1).collect()
+    dels = {r.id for r in ch if r._change_type.startswith("delete")}
+    ins = {r.id for r in ch if r._change_type == "insert"}
+    assert dels == set(range(10, 22)) and ins == set(range(10, 22))
+    assert {r.v for r in ch if r._change_type == "insert"} == {
+        i * 100 for i in range(10, 22)
+    }
+    # CONFINEMENT: a batch row outside the predicate raises BEFORE any
+    # commit — the table is unchanged
+    with pytest.raises(ValueError, match="replaceWhere"):
+        replace_where_txn(
+            spark, root, "id >= 10 AND id < 22",
+            spark.range(50, 52).selectExpr("id", "id as v"),
+        )
+    assert snapshot(root).version == v1
+    # pure-insert degenerate (predicate matches nothing) then pure-delete
+    # degenerate (empty batch)
+    v2 = replace_where_txn(
+        spark, root, "id >= 1000",
+        spark.range(1000, 1002).selectExpr("id", "id * 10 as v"),
+    )
+    assert {r.id for r in read_txn(spark, root).collect()} >= {1000, 1001}
+    v3 = replace_where_txn(
+        spark, root, "id >= 1000",
+        spark.range(0, 0).selectExpr("id", "id * 10 as v"),
+    )
+    assert v3 == v2 + 1
+    assert {r.id for r in read_txn(spark, root).collect()} == set(want)
+    # time travel: the pre-backfill snapshot is intact
+    assert {r.v for r in read_txn(spark, root, version=0).collect()} == {
+        i * 10 for i in range(30)
+    }
+    # 3VL delete side: NULL-predicate rows are OUTSIDE the region (kept)
+    root2 = os.path.join(base, "t3vl")
+    write_txn(
+        spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "id long, tag string"
+        ),
+        root2,
+    )
+    replace_where_txn(
+        spark, root2, "tag = 'x'",
+        spark.createDataFrame([(9, "x")], "id long, tag string"),
+    )
+    assert {r.id for r in read_txn(spark, root2).collect()} == {2, 3, 9}
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_replace_where_atomic_backfill,
     _sc_model_based_random_ops,
     _sc_check_constraints_enforced_in_pass,
     _sc_restore_rewinds_state_metadata_only,
