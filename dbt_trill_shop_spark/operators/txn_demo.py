@@ -989,11 +989,109 @@ ORDER BY version
 """
 
 
+def txn_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering compaction (STAGED for round 10): orders land
+    hash-scattered (realistic multi-writer ingest — every file spans the
+    whole key domain, nothing prunes), then ``compact_txn(...,
+    zorder=True)`` rewrites them clustered on the Morton interleave of
+    (month index, customer bucket) so the log's min/max stats prune a
+    2-D BOX predicate on EITHER dimension — the layout lexicographic
+    clustering cannot give (its second dimension never prunes; the
+    pytest scenario plan-asserts both dims shrink the file set).  Result:
+    the 1995 × low-bucket box per-month aggregate, SQL-expressible from
+    the source — Z-order changes LAYOUT, never values."""
+    from ..sources.txn_table import compact_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).cast("bigint").alias("mx"),
+        (F.col("o_custkey") % 256).cast("bigint").alias("cb"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("zorder")
+    write_txn(orders.repartition(8), root)
+    compact_txn(spark, root, target_files=16, cluster_by=["mx", "cb"], zorder=True)
+    q = read_txn(spark, root, where="mx >= 36 AND mx < 48 AND cb < 32")
+    return (
+        q.groupBy("mx")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("dollars"),
+        )
+        .orderBy("mx")
+    )
+
+
+TXN_ZORDER_SQL = """
+WITH o AS (
+    SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mx,
+           CAST(o_custkey % 256 AS BIGINT) AS cb,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT mx, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS dollars
+FROM o
+WHERE mx >= 36 AND mx < 48 AND cb < 32
+GROUP BY mx
+ORDER BY mx
+"""
+
+
+def txn_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM after DML + compaction (STAGED for round 10): a rewrite
+    DELETE and a small-file compaction leave two generations of
+    unreferenced files on disk; ``vacuum_txn`` sweeps them under the
+    retention floor while every file the retained snapshot references
+    stays readable — the result re-reads the table AFTER the sweep, so a
+    vacuum that deleted a live file would fail the oracle, not just a
+    file count.  ``swept_any`` is structurally deterministic (the
+    pre-delete and pre-compaction generations are always unreferenced at
+    retain_versions=1), so plain SQL can assert it."""
+    from ..sources.txn_table import vacuum_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("vacuum")
+    write_txn(orders.repartition(8), root)           # v0: 8-file ingest
+    delete_txn(spark, root, "cents < 5000000")       # v1: rewrite delete
+    from ..sources.txn_table import compact_txn
+
+    compact_txn(spark, root, target_files=2)         # v2: maintenance
+    swept = vacuum_txn(root, retain_versions=1, min_age_sec=0.0)
+    return read_txn(spark, root).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dollars("cents").alias("total_dollars"),
+        F.lit(bool(swept)).alias("swept_any"),
+    )
+
+
+TXN_VACUUM_SQL = """
+SELECT COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS total_dollars,
+       TRUE AS swept_any
+FROM orders
+WHERE NOT COALESCE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) < 5000000,
+                   FALSE)
+"""
+
+
 # Staged for the round-10 window (the round-9 registry is frozen at 302):
 # parity-tested alongside the registered queries by the pooled scenario,
 # degenerate-swept by the empty-sweep sibling.
 ROUND10_STAGED = {
     "q_txn_replace_where": (txn_replace_where_backfill, TXN_REPLACE_WHERE_SQL),
+    "q_txn_zorder_box": (txn_zorder_box_scan, TXN_ZORDER_SQL),
+    "q_txn_vacuum": (txn_vacuum_lifecycle, TXN_VACUUM_SQL),
     "q_txn_clone": (txn_clone_what_if, TXN_CLONE_SQL),
     "s_stream_txn_cdf": (stream_txn_cdf_rollup, STREAM_TXN_CDF_SQL),
     "x_cdf_reembed": (txn_cdf_reembed, TXN_CDF_REEMBED_SQL),
