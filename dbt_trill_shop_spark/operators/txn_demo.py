@@ -75,7 +75,15 @@ def _drain_complete(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
                 return spark.table(name)
             except Exception as ex:  # noqa: BLE001 - filtered re-raise below
                 last = ex
-                if "failed to connect back" not in str(ex):
+                # same infrastructure class: a worker OOM-killed under a
+                # saturated sitting surfaces as "exited unexpectedly"
+                if not any(
+                    p in str(ex)
+                    for p in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
                     raise
             finally:
                 q.stop()

@@ -699,7 +699,11 @@ def _sc_stream_source_tails_commits(spark, base):
                 return spark.table(name).collect()
             except Exception as ex:  # noqa: BLE001 - filtered re-raise below
                 last = ex
-                if "failed to connect back" not in str(ex):
+                if not any(
+                    m in str(ex)
+                    for m in ("failed to connect back",
+                              "worker exited unexpectedly")
+                ):
                     raise
             finally:
                 q.stop()
@@ -778,7 +782,11 @@ def _sc_stream_cdf_tails_changes(spark, base):
                 return spark.table(name).collect()
             except Exception as ex:  # noqa: BLE001 - filtered re-raise
                 last = ex
-                if "failed to connect back" not in str(ex):
+                if not any(
+                    m in str(ex)
+                    for m in ("failed to connect back",
+                              "worker exited unexpectedly")
+                ):
                     raise
             finally:
                 q.stop()
