@@ -2192,3 +2192,36 @@ def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
     # a LATER overwrite that sees the full log is not a conflict
     assert write_txn(_df(spark, 7, 9), root, mode="overwrite") == 2
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [7, 8]
+
+
+def test_replace_where_conflict_raises(spark, tmp_path, monkeypatch):
+    """Serial (patches module internals the pooled threads would see):
+    replaceWhere is pinned read-modify-write — its remove/tombstone set
+    derives from the snapshot it read, so an interloper taking the next
+    version BETWEEN that read and the commit must surface as
+    TxnConflict, never fold over (the interloper's rows could satisfy
+    the predicate and would survive a stale remove-set)."""
+    from dbt_trill_shop_spark.sources.txn_table import replace_where_txn
+
+    root = str(tmp_path / "t")
+    write_txn(_df(spark, 0, 4), root)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    monkeypatch.setattr(tt, "_list_versions", lambda r: [0])
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(os.path.join(root, "_txn", f"{1:010d}.json"), "w") as fh:
+        json.dump(
+            {"version": 1, "mode": "append", "actions": [],
+             "schema": _df(spark, 0, 1).schema.json(), "ts_ms": 1},
+            fh,
+        )
+    with pytest.raises(TxnConflict):
+        replace_where_txn(
+            spark, root, "id < 2", _df(spark, 0, 1)
+        )
+    monkeypatch.undo()
+    # with the full log visible, the same backfill commits at v2 and the
+    # interloper's (empty) commit survives in history
+    v = replace_where_txn(spark, root, "id < 2", _df(spark, 0, 1))
+    assert v == 2
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [0, 2, 3]
