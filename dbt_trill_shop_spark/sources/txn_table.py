@@ -1698,10 +1698,26 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     if dv is None:
         return snap.version
     rel, applies = dv
-    actions = [{"dv": rel, "applies": applies}]
+    actions = [{"dv": rel, "applies": _applies_rels(snap, applies)}]
     return _commit_pinned(
         root, snap.version, "delete", actions, snap.schema_json, "dv delete"
     )
+
+
+def _applies_rels(snap: Snapshot, basenames: list[str]) -> list[str]:
+    """Remap a DV sidecar's ``applies`` basenames onto the fold's live-set
+    keys (paths RELATIVE to the table root).  The two coordinate systems
+    agree only for files physically under the root; a SHALLOW CLONE's live
+    keys are traversal rel paths (``../src/part-x.parquet``) while the
+    scan's ``__file`` column is always the basename — attaching by
+    basename there silently never matches, and the tombstones are dropped
+    on the floor (ADVICE r10 high: replace_where/DV-DML on a clone left
+    both old and new row versions live).  The READ side keys by basename
+    (``_scan_files``'s anti-join), so only this fold-attach key remaps."""
+    rel_of = {
+        os.path.basename(p): os.path.relpath(p, snap.root) for p in snap.files
+    }
+    return sorted(rel_of[b] for b in basenames)
 
 
 def _write_dv_sidecar(matched: DataFrame, root: str):
@@ -1795,7 +1811,7 @@ def update_txn_dv(
         updated, root, snap.constraints, snap.bloom_spec
     )
     rel, applies = dv
-    actions = [{"dv": rel, "applies": applies}] + [
+    actions = [{"dv": rel, "applies": _applies_rels(snap, applies)}] + [
         {"add": r, "stats": stats[r]} for r in rels
     ]
     return _commit_pinned(
@@ -1861,6 +1877,29 @@ def replace_where_txn(
             f"columns {zombie} were DROPped and their data is still present "
             "in old files; compact_txn first, then re-add"
         )
+    # Only ADDITIVE schema evolution is allowed (Delta rejects type
+    # changes on replaceWhere): _merge_schemas keeps the SNAPSHOT's type
+    # for shared columns, so committing a batch whose column type changed
+    # would log the new files under the OLD type and later explicit-schema
+    # reads would misread them (ADVICE r10 low).  Checked BEFORE staging
+    # so nothing is written on rejection.
+    base_types = {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in json.loads(snap.schema_json)["fields"]
+    }
+    retyped = sorted(
+        f.name
+        for f in df.schema.fields
+        if f.name in base_types
+        and json.dumps(f.dataType.jsonValue(), sort_keys=True)
+        != base_types[f.name]
+    )
+    if retyped:
+        raise ValueError(
+            f"replace_where_txn: batch changes the type of existing "
+            f"columns {retyped}; only column ADDITIONS are allowed "
+            "(type changes require a full overwrite)"
+        )
     confine = ("__replace_where__", f"coalesce(({predicate}), false)")
     try:
         rels, new_schema_json, stats = _stage_checked(
@@ -1882,13 +1921,23 @@ def replace_where_txn(
     items = _keep_files(spark, snap, bounds)
     scan = _scan_files(spark, items, want, root=root, keep_pos=True)
     hit = F.coalesce(F.expr(predicate), F.lit(False))
-    per_file = {
-        r["__file"]: (r["total"], r["matched"])
+    # ONE materialized pass feeds both the per-file coverage counts and
+    # the DV sidecar write (ADVICE r10 low): a non-deterministic predicate
+    # must not yield inconsistent remove/tombstone sets, and the DV pass
+    # must not re-read every kept file — it reads the checkpoint.  The
+    # totals pass re-counts the kept files, but it is predicate-free
+    # (determinism is irrelevant) and zero-column (footer counts).
+    matched = scan.filter(hit).localCheckpoint(eager=True)
+    matched_per_file = {
+        r["__file"]: r["m"]
+        for r in matched.groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    totals = {
+        r["__file"]: r["t"]
         for r in scan.groupBy("__file")
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(hit.cast("int")).alias("matched"),
-        )
+        .agg(F.count(F.lit(1)).alias("t"))
         .collect()
     }
     # __file is the basename; snap.files may reference other roots via
@@ -1898,17 +1947,17 @@ def replace_where_txn(
         os.path.basename(p): os.path.relpath(p, root) for p in snap.files
     }
     full = sorted(
-        rel_of[f] for f, (t, m) in per_file.items() if t > 0 and m == t
+        rel_of[f] for f, m in matched_per_file.items() if m == totals[f]
     )
-    partial = {f for f, (t, m) in per_file.items() if 0 < m < t}
+    partial = {f for f, m in matched_per_file.items() if m < totals[f]}
     actions: list[dict] = [{"remove": r} for r in full]
     if partial:
         dv = _write_dv_sidecar(
-            scan.filter(hit & F.col("__file").isin(sorted(partial))), root
+            matched.filter(F.col("__file").isin(sorted(partial))), root
         )
         if dv is not None:
             rel, applies = dv
-            actions.append({"dv": rel, "applies": applies})
+            actions.append({"dv": rel, "applies": _applies_rels(snap, applies)})
     actions += adds
     if not actions:
         return snap.version

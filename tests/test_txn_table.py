@@ -1944,8 +1944,117 @@ def _sc_replace_where_atomic_backfill(spark, base):
     assert {r.id for r in read_txn(spark, root2).collect()} == {2, 3, 9}
 
 
+def _sc_clone_dv_dml_attaches(spark, base):
+    """ADVICE r10 (high): DV-writing DML on a SHALLOW CLONE must attach
+    its tombstones.  The fold keys live files by rel path — a traversal
+    path like ``../src/part-x.parquet`` on a clone — while the scan's
+    ``__file`` is the basename; before the fix the ``applies`` list kept
+    basenames, silently never matched, and replace_where on a clone left
+    BOTH the old and new row versions live (32 rows instead of 30-gone-
+    plus-2-new with empty file_dvs).  All three DV writers
+    (replace_where_txn, delete_txn_dv, update_txn_dv) now remap through
+    the snapshot's rel paths (_applies_rels)."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, delete_txn_dv, replace_where_txn, update_txn_dv,
+    )
+
+    src = os.path.join(base, "src")
+    write_txn(_df(spark, 0, 32).repartition(2), src)
+
+    # replace_where: boundary-file tombstones must attach on the clone
+    dst = os.path.join(base, "dst")
+    clone_txn(src, dst)
+    replace_where_txn(
+        spark, dst, "id in (20, 21)",
+        spark.createDataFrame([(20, 777), (21, 778)], "id long, v long"),
+    )
+    got = {r.id: r.v for r in read_txn(spark, dst).collect()}
+    assert len(got) == 32, f"old+new doubles survived: {len(got)} rows"
+    assert (got[20], got[21]) == (777, 778)
+    assert any(snapshot(dst).file_dvs), "DV action dropped on the floor"
+
+    # delete_txn_dv and update_txn_dv share the latent defect — same fix
+    dst2 = os.path.join(base, "dst2")
+    clone_txn(src, dst2)
+    delete_txn_dv(spark, dst2, "id = 5")
+    assert read_txn(spark, dst2).count() == 31
+    assert any(snapshot(dst2).file_dvs)
+    update_txn_dv(spark, dst2, "id = 7", {"v": "v + 1"})
+    got2 = {r.id: r.v for r in read_txn(spark, dst2).collect()}
+    assert len(got2) == 31 and got2[7] == 71
+
+    # ADVICE r10 (low): a batch that CHANGES an existing column's type is
+    # rejected BEFORE staging (Delta parity — _merge_schemas would log the
+    # new files under the old type and explicit-schema reads would
+    # misread them); nothing staged, nothing committed
+    with pytest.raises(ValueError, match="type"):
+        replace_where_txn(
+            spark, dst, "id in (3,)",
+            spark.createDataFrame([("3", 1)], "id string, v long"),
+        )
+    assert not [f for f in os.listdir(dst) if f.startswith("_staging_")]
+
+
+def _sc_vacuum_vs_time_travel_safety(spark, base):
+    """VERDICT r9 #5: the vacuum/time-travel interplay must be all-or-
+    nothing for a pinned reader.  A version INSIDE the retention window
+    keeps every file of its snapshot on disk (exact rows, always).  A
+    version OUTSIDE it whose files were swept must fail LOUDLY at read
+    time — never return the surviving subset as if it were the snapshot.
+    The partial-overlap case is the dangerous one: the pinned snapshot
+    shares some files with the head, vacuum sweeps only the others."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        delete_txn_dv, replace_where_txn, restore_txn,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 5).coalesce(1), root)               # v0: file A
+    write_txn(_df(spark, 100, 103).coalesce(1), root)           # v1: + file B
+    # v2 drops file B entirely (full-file remove), keeps A live
+    replace_where_txn(
+        spark, root, "id >= 100", spark.createDataFrame([], "id long, v long")
+    )
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == list(range(5))
+
+    # inside the retention window: v1's files survive the sweep, exact rows
+    swept = vacuum_txn(root, retain_versions=3, min_age_sec=0)
+    assert swept == []
+    assert sorted(
+        r.id for r in read_txn(spark, root, version=1).collect()
+    ) == list(range(5)) + [100, 101, 102]
+
+    # outside it: file B is garbage; the pinned read must raise, and must
+    # NOT return file A's rows alone as if they were snapshot v1
+    swept = vacuum_txn(root, retain_versions=1, min_age_sec=0)
+    assert len(swept) == 1
+    with pytest.raises(Exception) as ex:
+        read_txn(spark, root, version=1).collect()
+    assert "PATH_NOT_FOUND" in str(ex.value) or "does not exist" in str(
+        ex.value
+    ) or isinstance(ex.value, FileNotFoundError)
+    # the head (retained) snapshot is untouched
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == list(range(5))
+    # RESTORE to the vacuumed version refuses BEFORE committing anything
+    with pytest.raises(FileNotFoundError):
+        restore_txn(root, 1)
+    assert snapshot(root).version == 2
+
+    # DV sidecars have the same lifecycle: sweeping one that a pinned
+    # version still references makes that read loud, not silently whole
+    root2 = os.path.join(base, "t2")
+    write_txn(_df(spark, 0, 8).coalesce(1), root2)              # v0
+    delete_txn_dv(spark, root2, "id = 3")                       # v1: DV
+    write_txn(_df(spark, 0, 8).coalesce(1), root2, mode="overwrite")  # v2
+    assert vacuum_txn(root2, retain_versions=1, min_age_sec=0)  # sweeps v1's
+    with pytest.raises(Exception):
+        read_txn(spark, root2, version=1).collect()
+    assert read_txn(spark, root2).count() == 8
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_clone_dv_dml_attaches,
+    _sc_vacuum_vs_time_travel_safety,
     _sc_replace_where_atomic_backfill,
     _sc_model_based_random_ops,
     _sc_check_constraints_enforced_in_pass,
