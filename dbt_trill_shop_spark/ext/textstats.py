@@ -1444,6 +1444,331 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
 )
 
 
+def maxsim_rerank(
+    docs: DataFrame,
+    num_queries: int = 3,
+    k_retrieve: int = 8,
+    max_tokens: int = 16,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LATE-INTERACTION (MaxSim) reranking — the ColBERT scoring shape
+    (Khattab & Zaharia, SIGIR 2020) staged for round 11: stage 1 retrieves
+    ``k_retrieve`` candidates per query by whole-document hashed dot
+    product; stage 2 re-scores each (query, candidate) pair at TOKEN
+    granularity,
+
+        maxsim(q, d) = Σ_{t∈tok(q)} max(0, max_{u∈tok(d)} <v_t, v_u>)
+
+    where each token's vector is the hashing-trick embedding of its
+    CHARACTER 3-GRAMS (subword granularity, so morphological variants
+    score > 0 against each other).  The clamp-at-zero is the standard
+    ReLU'd MaxSim variant and also makes absent token pairs (no shared
+    gram bucket → no joined row) exactly representable.  All scores are
+    exact int64 sums of ±1 gram votes, so ranks are value-hash
+    oracle-checkable cross-engine.
+
+    Scale shape: the token-pair interaction — the expensive part of late
+    interaction — is bounded by candidates × max_tokens², NEVER corpus ×
+    corpus (stage 1 bounds it, like the cross-encoder bridge); per-doc
+    token selection is the ``max_tokens`` alphabetically-first distinct
+    tokens (deterministic, no RNG); the candidate list and the query-side
+    gram vectors BROADCAST, so the corpus-side gram relation shuffles only
+    (id, token, bucket, int) rows and only for candidate documents."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "").distinct()
+    wt = Window.partitionBy(id_col).orderBy("w")
+    sel = (
+        toks.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= max_tokens)
+        .drop("rn")
+    )
+    grams = sel.select(
+        F.col(id_col),
+        F.col("w"),
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 3 THEN array(w) "
+                "ELSE transform(sequence(1, length(w) - 2), "
+                "i -> substring(w, i, 3)) END"
+            )
+        ).alias("g"),
+    )
+    hb = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+    hs = F.conv(F.substring(F.md5(F.col("g")), 9, 8), 16, 10).cast("bigint")
+    gvec = (
+        grams.select(
+            F.col(id_col),
+            F.col("w"),
+            (hb % dim).alias("dim_idx"),
+            F.when(hs % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+        )
+        .groupBy(id_col, "w", "dim_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("wgt"))
+    )
+    # stage 1: whole-document hashed-embedding dot, top-k_retrieve
+    emb = hashed_embedding(docs, dim=dim, text_col=text_col, id_col=id_col)
+    qe = emb.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), "dim_idx", F.col("weight").alias("qw")
+    )
+    dots = (
+        emb.filter(F.col(id_col) >= num_queries)
+        .join(F.broadcast(qe), "dim_idx")
+        .groupBy("query_id", F.col(id_col).alias("cand_id"))
+        .agg(F.sum(F.col("qw") * F.col("weight")).cast("bigint").alias("stage1_dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("stage1_dot"), F.asc("cand_id")
+    )
+    cand = (
+        dots.withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= k_retrieve)
+        .drop("rnk")
+    )
+    # stage 2: token-level interaction for candidate pairs only
+    qg = gvec.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w").alias("qt"),
+        "dim_idx",
+        F.col("wgt").alias("qwgt"),
+    )
+    dg = gvec.filter(F.col(id_col) >= num_queries).join(
+        F.broadcast(cand.select(F.col("cand_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("w").alias("dt"),
+        "dim_idx",
+        F.col("wgt").alias("dwgt"),
+    )
+    pairdots = (
+        dg.join(F.broadcast(qg), "dim_idx")
+        .join(
+            F.broadcast(cand.select("query_id", "cand_id")),
+            ["query_id", "cand_id"],
+            "left_semi",
+        )
+        .groupBy("query_id", "cand_id", "qt", "dt")
+        .agg(F.sum(F.col("qwgt") * F.col("dwgt")).cast("bigint").alias("tdot"))
+    )
+    best = pairdots.groupBy("query_id", "cand_id", "qt").agg(
+        F.greatest(F.max("tdot"), F.lit(0).cast("bigint")).alias("contrib")
+    )
+    msim = best.groupBy("query_id", "cand_id").agg(
+        F.sum("contrib").cast("bigint").alias("maxsim")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("cand_id"))
+    return (
+        cand.join(msim, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "cand_id",
+            "stage1_dot",
+            F.coalesce(F.col("maxsim"), F.lit(0).cast("bigint")).alias("maxsim"),
+        )
+        .withColumn("rerank", F.row_number().over(wr).cast("bigint"))
+        .orderBy("query_id", "rerank")
+    )
+
+
+_MAXSIM_GRAMS_CTE = """
+alltoks AS (
+    SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+sel AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+        FROM alltoks
+    ) WHERE rn <= {max_tokens}
+),
+gexp AS (
+    SELECT doc_id, w, unnest(
+        CASE WHEN LEN(w) < 3 THEN [w]
+             ELSE [substring(w, CAST(i AS INT), 3) FOR i IN range(1, LEN(w) - 1)]
+        END) AS g
+    FROM sel
+),
+gvec AS (
+    SELECT doc_id, w,
+           CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % {dim} AS dim_idx,
+           CAST(SUM(CASE WHEN CAST('0x' || substring(md5(g), 9, 8) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS wgt
+    FROM gexp
+    GROUP BY doc_id, w, CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % {dim}
+)"""
+
+MAXSIM_RERANK_SQL_TEMPLATE = (
+    "WITH "
+    + _HASHED_EMB_CTE
+    + ","
+    + _MAXSIM_GRAMS_CTE
+    + """,
+qe AS (SELECT doc_id AS query_id, dim_idx, weight AS qw FROM e
+       WHERE doc_id < {num_queries}),
+s1 AS (
+    SELECT qe.query_id, e.doc_id AS cand_id,
+           CAST(SUM(qe.qw * e.weight) AS BIGINT) AS stage1_dot
+    FROM e JOIN qe USING (dim_idx)
+    WHERE e.doc_id >= {num_queries}
+    GROUP BY qe.query_id, e.doc_id
+),
+cand AS (
+    SELECT query_id, cand_id, stage1_dot FROM (
+        SELECT query_id, cand_id, stage1_dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY stage1_dot DESC, cand_id ASC) AS rnk
+        FROM s1
+    ) WHERE rnk <= {k_retrieve}
+),
+qg AS (SELECT doc_id AS query_id, w AS qt, dim_idx, wgt AS qwgt FROM gvec
+       WHERE doc_id < {num_queries}),
+dg AS (SELECT doc_id AS cand_id, w AS dt, dim_idx, wgt AS dwgt FROM gvec
+       WHERE doc_id >= {num_queries}),
+pairdots AS (
+    SELECT c.query_id, c.cand_id, qg.qt, dg.dt,
+           CAST(SUM(qg.qwgt * dg.dwgt) AS BIGINT) AS tdot
+    FROM cand c
+    JOIN qg ON qg.query_id = c.query_id
+    JOIN dg ON dg.cand_id = c.cand_id AND dg.dim_idx = qg.dim_idx
+    GROUP BY c.query_id, c.cand_id, qg.qt, dg.dt
+),
+best AS (
+    SELECT query_id, cand_id, qt, GREATEST(MAX(tdot), 0) AS contrib
+    FROM pairdots GROUP BY query_id, cand_id, qt
+),
+msim AS (
+    SELECT query_id, cand_id, CAST(SUM(contrib) AS BIGINT) AS maxsim
+    FROM best GROUP BY query_id, cand_id
+)
+SELECT c.query_id, c.cand_id, c.stage1_dot,
+       COALESCE(m.maxsim, 0) AS maxsim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY COALESCE(m.maxsim, 0) DESC,
+                                        c.cand_id ASC) AS BIGINT) AS rerank
+FROM cand c LEFT JOIN msim m USING (query_id, cand_id)
+ORDER BY query_id, rerank
+"""
+)
+
+
+def semihard_negative_mining(
+    docs: DataFrame,
+    num_anchors: int = 8,
+    k_negatives: int = 5,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SEMI-HARD NEGATIVE mining for contrastive/embedding training
+    (staged for round 11; complements :func:`hard_negative_mining`, the
+    BM25 cross-source miner — this one is the EMBEDDING-space triplet
+    recipe with an explicit positive and a margin band) — the
+    training-data op that turns a raw corpus into (anchor, positive,
+    negative) triplets: for each anchor, the positive is its nearest
+    neighbor by similarity, and the informative negatives are the
+    SEMI-HARD band (Schroff et al., FaceNet CVPR 2015):
+    similar enough to be confusable, but strictly less similar than the
+    positive —
+
+        pos_dot/2 <= neg_dot < pos_dot      (integer cross-multiplied)
+
+    Random negatives are trivially separable (gradient ≈ 0) and the very
+    hardest can be label noise; the semi-hard band is what trains a
+    retrieval model.  Similarity is the exact int64 hashed-embedding dot
+    (:func:`hashed_embedding`), so the mined triplets are value-hash
+    oracle-checkable.  Anchors whose positive dot is <= 0 mine nothing
+    (no meaningful neighborhood).
+
+    Scale shape: anchor vectors BROADCAST into one inverted-index join on
+    ``dim_idx`` (the corpus never shuffles text; candidates are docs
+    sharing >=1 bucket); the per-anchor top-1 positive and the per-anchor
+    negative ranking are windows over anchor-keyed candidate rows,
+    bounded by the candidate set, not the corpus."""
+    emb = hashed_embedding(docs, dim=dim, text_col=text_col, id_col=id_col)
+    a = emb.filter(F.col(id_col) < num_anchors).select(
+        F.col(id_col).alias("anchor_id"), "dim_idx", F.col("weight").alias("aw")
+    )
+    dots = (
+        emb.join(F.broadcast(a), "dim_idx")
+        .filter(F.col("anchor_id") != F.col(id_col))
+        .groupBy("anchor_id", F.col(id_col).alias("cand_id"))
+        .agg(F.sum(F.col("aw") * F.col("weight")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    ranked = dots.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter((F.col("rn") == 1) & (F.col("dot") > 0)).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("dot").alias("pos_dot"),
+    )
+    negs = (
+        ranked.filter(F.col("rn") > 1)
+        .join(F.broadcast(pos), "anchor_id")
+        .filter(
+            (F.col("dot") < F.col("pos_dot"))
+            & (F.col("dot") * 2 >= F.col("pos_dot"))
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(wn).cast("bigint"))
+        .filter(F.col("neg_rank") <= k_negatives)
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("cand_id").alias("negative_id"),
+            "pos_dot",
+            F.col("dot").alias("neg_dot"),
+            "neg_rank",
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+SEMIHARD_NEGATIVES_SQL_TEMPLATE = (
+    "WITH "
+    + _HASHED_EMB_CTE
+    + """,
+a AS (SELECT doc_id AS anchor_id, dim_idx, weight AS aw FROM e
+      WHERE doc_id < {num_anchors}),
+dots AS (
+    SELECT a.anchor_id, e.doc_id AS cand_id,
+           CAST(SUM(a.aw * e.weight) AS BIGINT) AS dot
+    FROM e JOIN a USING (dim_idx)
+    WHERE e.doc_id <> a.anchor_id
+    GROUP BY a.anchor_id, e.doc_id
+),
+ranked AS (
+    SELECT anchor_id, cand_id, dot,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY dot DESC, cand_id ASC) AS rn
+    FROM dots
+),
+pos AS (
+    SELECT anchor_id, cand_id AS positive_id, dot AS pos_dot
+    FROM ranked WHERE rn = 1 AND dot > 0
+)
+SELECT r.anchor_id, p.positive_id, r.cand_id AS negative_id,
+       p.pos_dot, r.dot AS neg_dot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY r.anchor_id
+                               ORDER BY r.dot DESC, r.cand_id ASC)
+            AS BIGINT) AS neg_rank
+FROM ranked r JOIN pos p USING (anchor_id)
+WHERE r.rn > 1 AND r.dot < p.pos_dot AND r.dot * 2 >= p.pos_dot
+QUALIFY neg_rank <= {k_negatives}
+ORDER BY r.anchor_id, neg_rank
+"""
+)
+
+
 def rerank_pairs_bridge(
     pairs: DataFrame,
     q_col: str = "q_text",

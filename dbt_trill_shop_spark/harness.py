@@ -1449,17 +1449,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q_revenue_percentiles": QuerySpec(
         R.revenue_percentiles, R.REVENUE_PERCENTILES_SQL
     ),
-    # PERMANENTLY rows-only BY DESIGN (one of exactly two, with
-    # q_weekly_unique_users_approx): approx_percentile is a GK-sketch
-    # estimator whose outputs are engine-specific — DuckDB's approximate
-    # quantiles legitimately differ, so there is no cross-engine value
-    # oracle to write.  Accuracy is checked instead against the hash-exact
-    # twin q_revenue_percentiles (same percentiles, exact percentile_cont
-    # semantics, full value-hash verdict) in tests/test_scale_features.py::
-    # test_approx_percentiles_close_to_exact (<=2% relative error bound);
-    # the driver records the rows-only verdict (CORRECTNESS r01: no_oracle).
+    # Reformulated r10 (VERDICT r9 #2): the scale-path percentile is now
+    # the DETERMINISTIC value-distribution method (per-(group, value)
+    # counts -> cumulative ranks -> percentile_cont interpolation), exact
+    # and therefore fully value-hash oracled — the previous
+    # approx_percentile t-digest could never carry a cross-engine oracle
+    # and sat as a permanent no_oracle ledger row.  The t-digest variant
+    # remains a pytest-only accuracy demo (R.revenue_percentiles_tdigest).
     "q_revenue_percentiles_approx": QuerySpec(
-        R.revenue_percentiles_approx, None
+        R.revenue_percentiles_approx, R.REVENUE_PERCENTILES_APPROX_SQL
     ),
     "q_above_customer_avg": QuerySpec(
         R.above_customer_avg, R.ABOVE_CUSTOMER_AVG_SQL
@@ -1492,16 +1490,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q_rolling_7d_user_value": QuerySpec(
         A.rolling_7d_user_value, A.ROLLING_7D_USER_VALUE_SQL
     ),
-    # PERMANENTLY rows-only BY DESIGN (the second of exactly two): Spark's
-    # approx_count_distinct is a HyperLogLog++ estimator — its per-week
-    # cardinalities are engine-specific (DuckDB's approx_count_distinct
-    # uses a different HLL variant/seeding), so no cross-engine value
-    # oracle exists.  Accuracy is bounded within 5% of the exact distinct
-    # count per week (tests/test_ext.py _px_approx_count_distinct_accuracy)
-    # and the deterministic engine-built sketches q_hll_users /
-    # q_linear_counting carry full value-hash oracles for the same
-    # estimand; the driver records the rows-only verdict.
-    "q_weekly_unique_users_approx": QuerySpec(A.weekly_unique_users_approx, None),
+    # Reformulated r10 (VERDICT r9 #2): the scale-path distinct estimate
+    # is now a KMV bottom-k estimator over a cross-engine integer hash —
+    # deterministic, so fully value-hash oracled where the previous
+    # approx_count_distinct (HLL++) could only ever be rows-only checked.
+    # The HLL++ variant remains a pytest-only accuracy demo
+    # (A.weekly_unique_users_hll).
+    "q_weekly_unique_users_approx": QuerySpec(
+        A.weekly_unique_users_approx, A.WEEKLY_UNIQUE_USERS_APPROX_SQL
+    ),
     # --- temporal joins (as-of, range/band) --------------------------------
     "q_asof_purchases": QuerySpec(T.asof_purchases, T.ASOF_PURCHASES_SQL),
     "q_range_join_bands": QuerySpec(T.range_join_value_bands, T.RANGE_JOIN_VALUE_BANDS_SQL),
@@ -2503,6 +2500,25 @@ QUERIES: dict[str, QuerySpec] = {
     # pipeline runs before shipping a quasi-identifier join table
     "x_k_anonymity": QuerySpec(k_anonymity_customers, K_ANONYMITY_CUSTOMERS_SQL),
     "x_l_diversity": QuerySpec(l_diversity_customers, L_DIVERSITY_CUSTOMERS_SQL),
+    # --- round-10 additions: the staged txn-ops wave (VERDICT r9 #1) -------
+    # atomic predicate-scoped overwrite (Delta replaceWhere backfill)
+    "q_txn_replace_where": QuerySpec(
+        TD.txn_replace_where_backfill, TD.TXN_REPLACE_WHERE_SQL
+    ),
+    # Z-order (Morton) clustering compaction -> 2-D box scan prunes files
+    "q_txn_zorder_box": QuerySpec(TD.txn_zorder_box_scan, TD.TXN_ZORDER_SQL),
+    # vacuum lifecycle: retention sweep whose oracle re-reads the table
+    "q_txn_vacuum": QuerySpec(TD.txn_vacuum_lifecycle, TD.TXN_VACUUM_SQL),
+    # zero-copy shallow clone -> what-if mutation, source untouched
+    "q_txn_clone": QuerySpec(TD.txn_clone_what_if, TD.TXN_CLONE_SQL),
+    # streaming CDF source: per-commit change diffs drive a rollup
+    "s_stream_txn_cdf": QuerySpec(
+        TD.stream_txn_cdf_rollup, TD.STREAM_TXN_CDF_SQL
+    ),
+    # CDF-driven incremental re-embedding (sync cost ~ changed docs)
+    "x_cdf_reembed": QuerySpec(TD.txn_cdf_reembed, TD.TXN_CDF_REEMBED_SQL),
+    # RAG parent-document retrieval (child-chunk hits -> parent contexts)
+    "x_parent_retrieval": QuerySpec(TD._parent_retrieval, TD._parent_retrieval_sql()),
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -3014,7 +3030,57 @@ _ROUND9_OLDEST_REVERIFY = [
 
 _ROUND9_WINDOW = _ROUND9_NEW + _ROUND9_OLDEST_REVERIFY
 
-_front = _REFERENCE_MODELS + _ROUND9_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r09 (all 50 green).
+_DRIVER_VERIFIED_R09 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND9_WINDOW)
+
+# Round-10 window, block 1: the SEVEN staged txn-ops queries (VERDICT r9
+# #1 — replaceWhere backfill, Z-order box scan, vacuum lifecycle, shallow
+# clone what-if, streaming CDF source, CDF-driven incremental re-embed,
+# RAG parent retrieval) plus the TWO reformulated former no-oracle rows
+# (VERDICT r9 #2 — the value-distribution exact percentile and the KMV
+# bottom-k distinct estimator, both now fully value-hash oracled; their
+# only prior driver rows are r1 `err: no_oracle`).
+_ROUND10_NEW = [
+    "q_txn_replace_where", "q_txn_zorder_box", "q_txn_vacuum",
+    "q_txn_clone", "s_stream_txn_cdf", "x_cdf_reembed",
+    "x_parent_retrieval",
+    "q_revenue_percentiles_approx", "q_weekly_unique_users_approx",
+]
+
+# Block 2: the vintage-tail drain (VERDICT r9 #3) — ALL 22 queries whose
+# last driver verdict is round 1 or 2, then 12 structurally diverse
+# round-3 vintages (TPC-H relational staples, both streaming twins, the
+# two top-cost text-index/near-dup queries, ANN recall + hybrid fusion).
+# The 24 remaining r3 vintages rotate in the round-11 window:
+# x_bm25_search, x_boilerplate_strip, x_bpe_merges, x_bpe_segment,
+# x_curriculum_order, x_filter_funnel, x_hashed_knn, x_ivfpq_residual,
+# x_l2_topk, x_matryoshka_topk, x_minhash_audit, x_mixture_plan,
+# x_mmr_topk, x_neardup_minhash, x_neardup_minhash_checked,
+# x_simhash_checked, x_source_caps, x_sq8_topk, x_stratified_exact_n,
+# x_substring_contam, x_temperature_mix, x_token_budget_select,
+# x_weighted_jaccard, x_winnowing.
+_ROUND10_OLDEST_REVERIFY = [
+    # r1 vintage (4)
+    "x_corpus_ngrams", "x_repetition_signals", "x_unigram_logprob",
+    "x_vocab_coverage",
+    # r2 vintage (18)
+    "x_chunk_documents", "x_decontaminate", "x_dup_span_coverage",
+    "x_fingerprint", "x_hash_sample", "x_ivf_assign",
+    "x_ivfpq_index_search", "x_kmeans_refine", "x_language_profile",
+    "x_ngram_containment", "x_ngram_jaccard", "x_ngram_jaccard_filtered",
+    "x_pack_documents", "x_pq_topk", "x_semdedup", "x_source_overlap",
+    "x_token_histogram", "x_training_pipeline",
+    # r3 vintage (12 of 36)
+    "q_large_volume_orders", "q_market_share", "q_min_cost_supplier",
+    "q_nation_trade", "q_returned_revenue", "q_shipping_priority",
+    "s_stream_sessionize", "s_stream_top_types",
+    "x_simhash_neardup", "x_bm25_index_search", "x_ann_recall",
+    "x_hybrid_rrf",
+]
+
+_ROUND10_WINDOW = _ROUND10_NEW + _ROUND10_OLDEST_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND10_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
@@ -3022,11 +3088,11 @@ assert len(_front) == len(set(_front)) == 50, len(_front)
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
-    | _DRIVER_VERIFIED_R08
-) - set(_ROUND9_WINDOW)
+    | _DRIVER_VERIFIED_R08 | _DRIVER_VERIFIED_R09
+) - set(_ROUND10_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
-# Window accounting: with the round-9 window in place, every query outside
+# Window accounting: with the round-10 window in place, every query outside
 # the window carries a prior-round driver verdict.
 assert _tail_unverified == [], _tail_unverified[:5]
 QUERIES = {name: QUERIES[name] for name in _front + _rest}

@@ -459,10 +459,99 @@ ORDER BY event_type, week
 """
 
 
+#: KMV (bottom-k minimum values) estimator parameters.  The hash is TWO
+#: LCG rounds mod 2^31 — Hull-Dobell parameters, so each round is a
+#: PERMUTATION of [0, 2^31): no engineered collisions, and the arithmetic
+#: (integer multiply/add/mod on non-negative operands) evaluates
+#: bit-identically in Spark SQL and DuckDB, which is what makes the
+#: estimate oracle-expressible where HLL++ sketches are engine-specific.
+_KMV_K = 64
+_KMV_M = 2_147_483_648  # 2^31, the hash space
+_KMV_HASH = (
+    "((((user_id * 1103515245 + 12345) % 2147483648)"
+    " * 1103515245 + 12345) % 2147483648)"
+)
+
+
 def weekly_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documented 100 TB escape hatch for count(distinct): HyperLogLog++
-    (one pass, no expand plan).  Engine-specific estimate -> rows-only check;
-    accuracy vs the exact count is asserted in tests/test_ext.py."""
+    """The 100 TB escape hatch for count(distinct), DETERMINISTIC form
+    (VERDICT r9 #2): a KMV / bottom-k distinct estimator (Bar-Yossef et
+    al. 2002).  Hash each user id to [0, 2^31) with a cross-engine
+    integer permutation, keep each week's k=64 SMALLEST distinct hashes
+    (k sized so the estimator branch FIRES at the sf0.01 driver gate,
+    where weeks hold ~150 distinct users — k=256 would always take the
+    exact-count fallback and leave the estimator dark),
+    and estimate the cardinality from the k-th minimum:
+
+        n̂ = floor((k-1) * M / (h_k + 1));    n̂ = exact count when n < k
+
+    Every step is integer-or-single-IEEE-division arithmetic, so the
+    DuckDB twin computes the IDENTICAL estimate — a full value-hash
+    oracle where the previous ``approx_count_distinct`` (HLL++)
+    formulation could only ever be rows-only checked.  Scale shape: the
+    shuffle carries (week, 8-byte hash) distinct pairs with map-side
+    partial distinct, the per-week sort ranks at most the distinct
+    hashes, and the estimator state is mergeable and bounded by k.
+    Accuracy vs the exact distinct count is asserted in tests/test_ext.py
+    (~1/sqrt(k) ≈ 13% expected relative error).  The engine-native HLL++
+    variant lives on as :func:`weekly_unique_users_hll` (pytest-only
+    demo)."""
+    ev = load_table(spark, sf_dir, "events")
+    # NULL ids are excluded like count(distinct)'s (and a NULL hash would
+    # rank NULLS FIRST in Spark but NULLS LAST in DuckDB)
+    hashes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.expr(_KMV_HASH).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("week").orderBy("h")
+    ranked = hashes.select("week", "h", F.row_number().over(w).alias("rn"))
+    est = F.coalesce(
+        F.floor(
+            F.lit(float((_KMV_K - 1) * _KMV_M))
+            / (F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))) + 1)
+        ),
+        F.count(F.lit(1)),
+    )
+    return (
+        ranked.groupBy("week")
+        .agg(est.cast("bigint").alias("approx_unique_users"))
+        .orderBy("week")
+    )
+
+
+WEEKLY_UNIQUE_USERS_APPROX_SQL = """
+WITH hashes AS (
+    SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+           ((((user_id * 1103515245 + 12345) % 2147483648)
+             * 1103515245 + 12345) % 2147483648) AS h
+    FROM events
+    WHERE user_id IS NOT NULL
+), ranked AS (
+    SELECT week, h, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+    FROM hashes
+)
+SELECT week,
+       CAST(COALESCE(
+           FLOOR(63.0 * 2147483648 / (MAX(CASE WHEN rn = 64 THEN h END) + 1)),
+           COUNT(*)
+       ) AS BIGINT) AS approx_unique_users
+FROM ranked
+GROUP BY week
+ORDER BY week
+"""
+
+
+def weekly_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native sketch variant (``approx_count_distinct``,
+    HyperLogLog++ — one pass, no expand plan, mergeable).  Its per-week
+    estimates are ENGINE-SPECIFIC (DuckDB's HLL differs in variant and
+    seeding), so it carries no cross-engine oracle and is a pytest-only
+    demo; the registered ``q_weekly_unique_users_approx`` uses the
+    deterministic KMV formulation above."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))

@@ -641,11 +641,91 @@ ORDER BY user_id, event_type
 
 
 def revenue_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB twin of :func:`revenue_percentiles`: ``approx_percentile``
-    (t-digest style sketch, mergeable across partitions — no per-group sort,
-    bounded memory).  Approximate and engine-specific, so rows-only checked;
-    the accuracy bound vs the exact percentiles is asserted in
-    ``tests/test_scale_features.py``."""
+    """The 100 TB twin of :func:`revenue_percentiles`, DETERMINISTIC form
+    (VERDICT r9 #2): exact interpolated percentiles computed WITHOUT a
+    per-group row sort, via the value-distribution relation —
+
+    1. collapse rows to per-(priority, cents) COUNTS: a relation bounded
+       by the price DOMAIN, not the row count (map-side partial agg does
+       the heavy lifting; at 100 TB the shuffle carries distinct values);
+    2. one window pass over that tiny relation yields each value's
+       cumulative rank;
+    3. the p-th percentile is the pair of values straddling rank
+       (n-1)*p, interpolated exactly like ``percentile_cont``.
+
+    Bit-identical to the sorting aggregate, so the DuckDB ``quantile_cont``
+    oracle value-hashes — replacing the previous ``approx_percentile``
+    t-digest formulation whose outputs were engine-specific and could
+    never carry a cross-engine oracle (its accuracy demo lives on in
+    tests/test_scale_features.py as :func:`revenue_percentiles_tdigest`).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    per_val = o.groupBy("o_orderpriority", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # percentile()/quantile_cont IGNORE NULL values while COUNT(*) counts
+    # every row — ranks interpolate over the NON-NULL value distribution
+    # (n_nn), n_orders reports the full group size, and an all-NULL group
+    # yields NULL percentiles on both engines
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.filter(F.col("c").isNotNull()).select(
+        "o_orderpriority", "c", F.sum("n").over(w).alias("cum")
+    )
+    tot = per_val.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n_all"),
+        F.sum(F.when(F.col("c").isNotNull(), F.col("n"))).alias("n_nn"),
+    )
+    j = cum.join(F.broadcast(tot), "o_orderpriority", "right")
+
+    def _lo_hi(p: float, tag: str):
+        rn = (F.col("n_nn") - 1).cast("double") * F.lit(p)
+        return [
+            F.min(
+                F.when(F.col("cum") >= F.floor(rn) + 1, F.col("c"))
+            ).alias(f"_lo_{tag}"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(rn) + 1, F.col("c"))
+            ).alias(f"_hi_{tag}"),
+        ]
+
+    agg = j.groupBy("o_orderpriority").agg(
+        F.max("n_all").alias("n_orders"),
+        F.max("n_nn").alias("_n_nn"),
+        *_lo_hi(0.5, "p50"),
+        *_lo_hi(0.9, "p90"),
+        *_lo_hi(0.99, "p99"),
+    )
+
+    def _interp(p: float, tag: str):
+        rn = (F.col("_n_nn") - 1).cast("double") * F.lit(p)
+        frac = rn - F.floor(rn).cast("double")
+        lo = F.col(f"_lo_{tag}").cast("double")
+        hi = F.col(f"_hi_{tag}").cast("double")
+        return F.round(lo + (hi - lo) * frac, 6).alias(f"{tag}_cents")
+
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        _interp(0.5, "p50"),
+        _interp(0.9, "p90"),
+        _interp(0.99, "p99"),
+    ).orderBy("o_orderpriority")
+
+
+def revenue_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native sketch variant (``approx_percentile``, t-digest
+    style, mergeable across partitions — bounded memory, no sort).  Its
+    outputs are ENGINE-SPECIFIC, so it carries no cross-engine oracle and
+    is a pytest-only demo (accuracy vs the exact percentiles asserted in
+    tests/test_scale_features.py); the registered
+    ``q_revenue_percentiles_approx`` uses the deterministic
+    value-distribution formulation above."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", cents("o_totalprice").alias("c")
     )
@@ -658,6 +738,18 @@ def revenue_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+REVENUE_PERCENTILES_APPROX_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5), 6) AS p50_cents,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9), 6) AS p90_cents,
+       ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.99), 6) AS p99_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 
 def shipping_priority(

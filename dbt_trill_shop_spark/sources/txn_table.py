@@ -82,6 +82,8 @@ class Snapshot:
     bloom_spec: tuple[tuple[str, int, int], ...] = ()  # (col, m_bits, k) sorted
     dropped: tuple[str, ...] = ()  # DROPped column names still physically present
     root: str = ""  # the table root this snapshot folded from (sidecar base)
+    generated: tuple[tuple[str, str], ...] = ()  # (col, generation expr) sorted
+    ndv_spec: tuple[tuple[str, int], ...] = ()  # (col, k sketch size) sorted
 
 
 def _log_dir(root: str) -> str:
@@ -208,6 +210,8 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "constraints": dict(snap.constraints),
         "bloom": {c: [m, k] for c, m, k in snap.bloom_spec},
         "dropped": list(snap.dropped),
+        "generated": dict(snap.generated),
+        "ndv": {c: k for c, k in snap.ndv_spec},
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -230,6 +234,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     constraints: dict[str, str] = {}
     bloom: dict[str, list] = {}
     dropped: list[str] = []
+    generated: dict[str, str] = {}
+    ndv: dict[str, int] = {}
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -242,6 +248,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         constraints = dict(ckpt.get("constraints", {}))
         bloom = dict(ckpt.get("bloom", {}))
         dropped = list(ckpt.get("dropped", []))
+        generated = dict(ckpt.get("generated", {}))
+        ndv = dict(ckpt.get("ndv", {}))
     for v in versions:
         if v < start:
             continue
@@ -267,6 +275,10 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             bloom = dict(e["bloom"])
         if "dropped" in e:  # drop/purge commits carry the full list
             dropped = list(e["dropped"])
+        if "generated" in e:  # generated-column-changing commits carry the map
+            generated = dict(e["generated"])
+        if "ndv" in e:  # ndv-sketch-spec-changing commits carry the map
+            ndv = dict(e["ndv"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -279,6 +291,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         bloom_spec=tuple(sorted((c, int(v[0]), int(v[1])) for c, v in bloom.items())),
         dropped=tuple(sorted(dropped)),
         root=root,
+        generated=tuple(sorted(generated.items())),
+        ndv_spec=tuple(sorted((c, int(k)) for c, k in ndv.items())),
     )
 
 
@@ -976,16 +990,88 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
     return keep
 
 
+def _compute_ndv_sketches(
+    spark: SparkSession, root: str, items, spec
+) -> dict[str, dict]:
+    """Per-file KMV (bottom-k minimum values) NDV sketches for the spec'd
+    columns over an explicit (rel_path, schema_json) file list — ONE
+    column-pruned Spark job, same write-time cost class as the Bloom
+    build.  The sketch is the file's ``k`` SMALLEST DISTINCT 32-bit
+    hashes of the column (md5 hex prefix of the value's string form — the
+    same cross-engine hash discipline as the registered KMV estimator in
+    operators/analytics.py), so table-level NDV merges as pure log
+    arithmetic: the union of per-file bottom-k sets contains the global
+    bottom-k (any of the k globally-smallest hashes is among its own
+    file's k smallest), and the estimate needs ZERO data I/O — the
+    statistics a query planner's join ordering wants at 100 TB without
+    re-scanning anything.  NULLs contribute nothing; a file where the
+    column is absent (pre-evolution) or all-NULL records an empty list."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    out: dict[str, dict] = {rel: {c: [] for c, _ in spec} for rel, _ in items}
+    by_schema: dict[str, list[str]] = {}
+    for rel, sj in items:
+        by_schema.setdefault(sj, []).append(rel)
+    for sj, rels in by_schema.items():
+        schema = StructType.fromJson(json.loads(sj))
+        names = {f.name for f in schema.fields}
+        use = [(c, k) for c, k in spec if c in names]
+        if not use:
+            continue
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        fcol = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__f")
+        entries = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.conv(
+                        F.substring(F.md5(F.col(c).cast("string")), 1, 8),
+                        16, 10,
+                    ).cast("bigint").alias("h"),
+                ),
+            )
+            for c, _ in use
+        ]
+        kmax = {c: k for c, k in use}
+        w = W.partitionBy("__f", "c").orderBy("h")
+        rows = (
+            df.select(fcol, F.explode(F.array(*entries)).alias("e"))
+            .where(F.col("e").isNotNull())
+            .select("__f", F.col("e.c").alias("c"), F.col("e.h").alias("h"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.lit(max(kmax.values())))
+            .groupBy("__f", "c")
+            .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+            .collect()
+        )
+        for r in rows:
+            out[r["__f"]][r["c"]] = [int(h) for h in r["hs"][: kmax[r["c"]]]]
+    return out
+
+
+_NDV_KEY = "__ndv"
+_NDV_SPACE = 1 << 32  # md5 8-hex-char prefix hash space
+
+
 def _stage_files(
-    df: DataFrame, root: str, bloom_spec=()
+    df: DataFrame, root: str, bloom_spec=(), ndv_spec=()
 ) -> tuple[list[str], str, dict]:
     """Write ``df``'s partitions as immutable uuid-named parquet files
     DIRECTLY under ``root`` (object-store posture: no rename of data
     bytes; names never collide, so a crashed writer leaves only
     unreferenced files for vacuum).  Returns (relative paths, schema,
     per-file footer stats for data skipping).  When the table carries a
-    Bloom spec, each new file's blooms are computed here (one extra
-    column-pruned pass over the just-staged files) and ride its stats."""
+    Bloom spec and/or an NDV-sketch spec, each new file's blooms/sketches
+    are computed here (one extra column-pruned pass each over the
+    just-staged files) and ride its stats."""
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(root, exist_ok=True)
@@ -1014,6 +1100,12 @@ def _stage_files(
             entry = _bloom_write_sidecar(root, bl)
             if entry:
                 stats[rel][_BLOOM_KEY] = entry
+    if ndv_spec and rels:
+        sketches = _compute_ndv_sketches(
+            df.sparkSession, root, [(r, schema_json) for r in rels], ndv_spec
+        )
+        for rel, sk in sketches.items():
+            stats[rel][_NDV_KEY] = sk
     return rels, schema_json, stats
 
 
@@ -1090,13 +1182,39 @@ def _commit_pinned(
 
 
 def _table_meta(root: str):
-    """(constraints, bloom_spec, dropped) of the current snapshot — one
-    fold; an uncreated table has none."""
+    """(constraints, bloom_spec, dropped, ndv_spec) of the current
+    snapshot — one fold; an uncreated table has none."""
     try:
         s = snapshot(root)
-        return s.constraints, s.bloom_spec, s.dropped
+        return s.constraints, s.bloom_spec, s.dropped, s.ndv_spec
     except FileNotFoundError:
-        return (), (), ()
+        return (), (), (), ()
+
+
+def _apply_generated(df: DataFrame, root: str) -> DataFrame:
+    """Compute the table's GENERATED columns for a batch that omits them
+    (the Delta write-path convenience): each missing generated column is
+    appended as its expression CAST to the table's declared type.  Batches
+    that SUPPLY the column are left alone — the implicit CHECK constraint
+    (``set_generated_txn``) validates them in the staging pass.  One
+    narrow projection, no shuffle; a fresh table has no declarations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    try:
+        snap = snapshot(root)
+    except FileNotFoundError:
+        return df
+    if not snap.generated:
+        return df
+    types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+    }
+    for col, expr in snap.generated:
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr).cast(types[col]))
+    return df
 
 
 def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
@@ -1128,12 +1246,12 @@ def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
     return df.withColumn(first, out_col)
 
 
-def _stage_checked(df: DataFrame, root: str, constraints, bloom_spec=()):
+def _stage_checked(df: DataFrame, root: str, constraints, bloom_spec=(), ndv_spec=()):
     """Stage with constraint checks embedded; surface a violating row as
     ConstraintViolation instead of a raw executor stack."""
     try:
         return _stage_files(
-            _with_constraint_checks(df, constraints), root, bloom_spec
+            _with_constraint_checks(df, constraints), root, bloom_spec, ndv_spec
         )
     except Exception as ex:  # noqa: BLE001 - re-raise below unless ours
         s = str(ex)
@@ -1186,6 +1304,93 @@ def drop_constraint_txn(root: str, name: str) -> int:
     return _commit_pinned(
         root, snap.version, "set_constraint", [], snap.schema_json,
         "drop constraint", extra={"constraints": cons},
+    )
+
+
+def _gen_constraint(col: str) -> str:
+    """Name of the implicit CHECK constraint enforcing a generated
+    column's value; riding the ordinary constraints map means EVERY write
+    path (append, MERGE, DV UPDATE, replaceWhere) validates supplied
+    values in-pass with zero extra plumbing."""
+    return f"__gen_{col}"
+
+
+def set_generated_txn(
+    spark: SparkSession, root: str, mapping: dict[str, str]
+) -> int:
+    """Declare GENERATED COLUMNS (Delta's ``GENERATED ALWAYS AS (expr)``):
+    each column in ``mapping`` must equal its SQL expression evaluated
+    over the same row.  Writers that OMIT the column get it computed
+    in-pass (the convenience); writers that SUPPLY it are validated by an
+    implicit CHECK constraint ``col <=> (expr)`` (the correctness) — a
+    mismatched value fails the staging pass before any log entry exists,
+    on every write path (append/MERGE/DV-UPDATE/replaceWhere) because the
+    check rides the ordinary constraints map.
+
+    The 100 TB point is PARTITION-PRUNING SYNERGY: a generated
+    ``event_date = CAST(ts AS DATE)`` materializes a low-cardinality
+    clustering key whose per-file min/max stats the log already skips on
+    — queries filter the generated column directly and never open
+    out-of-range files, exactly Delta's generated-partition-column
+    design.
+
+    Declaring validates every EXISTING row first (one scan, same as
+    ``add_constraint_txn``); the commit is metadata-only.  NULL-safe
+    equality (``<=>``) is the match predicate, so expr-NULL rows must
+    carry NULL.  Pinned OCC."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    names = {
+        f.name for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+    }
+    cons = dict(snap.constraints)
+    gen = dict(snap.generated)
+    for col, expr in mapping.items():
+        if col not in names:
+            raise ValueError(
+                f"generated column {col!r} not in table schema "
+                f"(have {sorted(names)}); write it once first"
+            )
+        if col in gen:
+            raise ValueError(
+                f"column {col!r} is already generated as {gen[col]!r}"
+            )
+        check = f"{col} <=> ({expr})"
+        bad = (
+            read_txn(spark, root, version=snap.version)
+            .filter(~F.coalesce(F.expr(check), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot declare {col!r} GENERATED AS ({expr}): existing "
+                f"row violates it, e.g. {bad[0].asDict()}"
+            )
+        gen[col] = expr
+        cons[_gen_constraint(col)] = check
+    return _commit_pinned(
+        root, snap.version, "set_generated", [], snap.schema_json,
+        "set generated", extra={"generated": gen, "constraints": cons},
+    )
+
+
+def drop_generated_txn(root: str, col: str) -> int:
+    """Remove a column's GENERATED declaration (and its implicit CHECK)
+    with one metadata-only commit; the column itself stays, now freely
+    writable.  Unknown names are loud."""
+    snap = snapshot(root)
+    gen = dict(snap.generated)
+    if col not in gen:
+        raise ValueError(f"column {col!r} is not generated (have {sorted(gen)})")
+    del gen[col]
+    cons = dict(snap.constraints)
+    cons.pop(_gen_constraint(col), None)
+    return _commit_pinned(
+        root, snap.version, "set_generated", [], snap.schema_json,
+        "drop generated", extra={"generated": gen, "constraints": cons},
     )
 
 
@@ -1307,6 +1512,109 @@ def set_bloom_txn(
     )
 
 
+def set_ndv_txn(
+    spark: SparkSession, root: str, spec: dict, backfill: bool = True
+) -> int:
+    """Declare per-file KMV NDV SKETCHES for the given columns — the
+    ANALYZE-statistics layer a cost-based planner needs at 100 TB, kept
+    incrementally in the log instead of recomputed by table scans
+    (Delta's ``ANALYZE ... COMPUTE STATISTICS`` / Iceberg's
+    ``distinct_counts`` puffin stats).  ``spec`` maps column -> k (sketch
+    size; expected relative error ~ 1/sqrt(k)).  The spec is a table
+    property: every subsequent write / MERGE / compaction computes its
+    new files' sketches in-pass (one column-pruned pass, bounded at k
+    values per file per column), and ``ndv_estimate_txn`` merges them
+    into table-level distinct-count estimates with ZERO data I/O.
+
+    Columns are restricted to integer/string types: the sketch hash is
+    the md5 prefix of the value's STRING form, and only those casts are
+    bit-identical across engines (the property that makes the estimates
+    cross-engine oracle-checkable; float formatting is not).
+    ``backfill=True`` sketches the CURRENT live files (one column-pruned
+    scan) and republishes their stats as a metadata-only commit, DV
+    chains re-applied — same shape as the Bloom backfill.  Pinned OCC."""
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    fields = {
+        f.name: f.dataType.typeName()
+        for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+    }
+    ok_types = {"byte", "short", "integer", "long", "string"}
+    norm: dict[str, int] = {}
+    for c, k in spec.items():
+        if c not in fields:
+            raise ValueError(
+                f"ndv column {c!r} not in table schema (have {sorted(fields)})"
+            )
+        if fields[c] not in ok_types:
+            raise ValueError(
+                f"ndv column {c!r} has type {fields[c]!r}; only integer and "
+                "string columns sketch cross-engine-deterministically"
+            )
+        if int(k) < 8:
+            raise ValueError(f"ndv sketch for {c!r} needs k >= 8 (got {k})")
+        norm[c] = int(k)
+    merged = {c: k for c, k in snap.ndv_spec}
+    merged.update(norm)
+    pairs = tuple(sorted(norm.items()))
+    actions: list[dict] = []
+    if backfill and snap.files:
+        items = [
+            (os.path.relpath(p, root), sj)
+            for p, sj in zip(snap.files, snap.file_schemas)
+        ]
+        sketches = _compute_ndv_sketches(spark, root, items, pairs)
+        dv_applies: dict[str, list[str]] = {}
+        for (rel, sj), st, dvs in zip(items, snap.file_stats, snap.file_dvs):
+            new_st = dict(st)
+            sk = dict(new_st.get(_NDV_KEY) or {})
+            sk.update(sketches.get(rel, {}))
+            new_st[_NDV_KEY] = sk
+            actions.append({"add": rel, "stats": new_st, "schema": sj})
+            for d in dvs:
+                dv_applies.setdefault(d, []).append(rel)
+        actions += [
+            {"dv": d, "applies": sorted(rels)}
+            for d, rels in sorted(dv_applies.items())
+        ]
+    return _commit_pinned(
+        root, snap.version, "set_ndv", actions, snap.schema_json,
+        "set ndv", extra={"ndv": merged},
+    )
+
+
+def ndv_estimate_txn(root: str, version: int | None = None) -> dict[str, int]:
+    """Table-level distinct-count estimates per sketched column from the
+    LOG ALONE — no data file opens, so the planner statistics cost is
+    O(files × k) integers however big the table is.  Merging is the KMV
+    union property: the k smallest hashes globally are each among their
+    own file's k smallest, so bottom-k of the union of per-file sketches
+    equals bottom-k of the raw data, and
+
+        n̂ = floor((k-1) * 2^32 / (h_k + 1));   exact count when < k
+
+    — the same estimator (and the same md5-prefix hash) as the registered
+    ``q_weekly_unique_users_approx``, hence DuckDB-oracle-checkable.
+    Files written BEFORE the spec existed have no sketch and contribute
+    nothing; backfill covers them (``set_ndv_txn``).  Known staleness,
+    shared with every log-stats design: DV-tombstoned rows still count
+    until a rewrite materializes them away (stats describe written
+    files)."""
+    snap = snapshot(root, version=version)
+    out: dict[str, int] = {}
+    for col, k in snap.ndv_spec:
+        union: set[int] = set()
+        for st in snap.file_stats:
+            union.update((st.get(_NDV_KEY) or {}).get(col, ()))
+        if len(union) < k:
+            out[col] = len(union)
+        else:
+            h_k = sorted(union)[k - 1]
+            out[col] = int((k - 1) * _NDV_SPACE // (h_k + 1))
+    return out
+
+
 def write_txn(
     df: DataFrame,
     root: str,
@@ -1359,7 +1667,7 @@ def write_txn(
         if seen is not None and seen >= app_ver:
             return _list_versions(root)[-1]  # already applied: no-op
         extra = {**(extra or {}), "app_txn": [app_id, app_ver]}
-    cons, bloom_spec, dropped = _table_meta(root)
+    cons, bloom_spec, dropped, ndv_spec = _table_meta(root)
     zombie = sorted(set(df.columns) & set(dropped))
     if zombie:
         # re-adding a DROPped name would resurrect the old files' physical
@@ -1370,7 +1678,8 @@ def write_txn(
             "in old files; compact_txn first (purges them physically and "
             "clears the tombstone), then re-add"
         )
-    rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec)
+    df = _apply_generated(df, root)
+    rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec, ndv_spec)
     adds = [{"add": r, "stats": stats[r]} for r in rels]
     if expected_base_version is not None:
         pin = expected_base_version
@@ -1637,7 +1946,7 @@ def merge_txn(
     ).join(source, on=keys, how="left_anti")
     merged = survivors.unionByName(source.select(*target_cols))
     rels, schema_json, stats = _stage_checked(
-        merged, root, snap.constraints, snap.bloom_spec
+        merged, root, snap.constraints, snap.bloom_spec, snap.ndv_spec
     )
     actions = [
         {"remove": os.path.relpath(snap.files[i], root)} for i in touched
@@ -1808,7 +2117,7 @@ def update_txn_dv(
         ]
     ).coalesce(1)
     rels, schema_json, stats = _stage_checked(
-        updated, root, snap.constraints, snap.bloom_spec
+        updated, root, snap.constraints, snap.bloom_spec, snap.ndv_spec
     )
     rel, applies = dv
     actions = [{"dv": rel, "applies": _applies_rels(snap, applies)}] + [
@@ -1870,7 +2179,7 @@ def replace_where_txn(
     from pyspark.sql.types import StructType
 
     snap = snapshot(root)
-    cons, bloom_spec, dropped = _table_meta(root)
+    cons, bloom_spec, dropped, _ndv = _table_meta(root)
     zombie = sorted(set(df.columns) & set(dropped))
     if zombie:
         raise ValueError(
@@ -1903,7 +2212,8 @@ def replace_where_txn(
     confine = ("__replace_where__", f"coalesce(({predicate}), false)")
     try:
         rels, new_schema_json, stats = _stage_checked(
-            df, root, list(cons) + [confine], bloom_spec
+            _apply_generated(df, root), root, list(cons) + [confine],
+            bloom_spec, snap.ndv_spec,
         )
     except ConstraintViolation as ex:
         if "__replace_where__" in str(ex):
@@ -2025,6 +2335,8 @@ def restore_txn(root: str, version: int) -> int:
         "constraints": dict(target.constraints),
         "bloom": {c: [m, k] for c, m, k in target.bloom_spec},
         "dropped": list(target.dropped),
+        "generated": dict(target.generated),
+        "ndv": {c: k for c, k in target.ndv_spec},
     }
     return _commit_pinned(
         root, cur.version, "restore", actions, target.schema_json, "restore",
@@ -2088,7 +2400,9 @@ def compact_txn(
         df = df.repartitionByRange(target_files, *[F_col(c) for c in cluster_by])
     else:
         df = df.coalesce(target_files)
-    rels, schema_json, stats = _stage_files(df, root, snap.bloom_spec)
+    rels, schema_json, stats = _stage_files(
+        df, root, snap.bloom_spec, snap.ndv_spec
+    )
     return _commit_commuting_rewrite(
         root,
         snap,
@@ -2256,7 +2570,9 @@ def optimize_txn(
     items = [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in small]
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     df = _scan_files(spark, items, want, root=root).coalesce(int(n_out))
-    rels, schema_json, stats = _stage_files(df, root, snap.bloom_spec)
+    rels, schema_json, stats = _stage_files(
+        df, root, snap.bloom_spec, snap.ndv_spec
+    )
     return _commit_commuting_rewrite(
         root,
         snap,
@@ -2806,6 +3122,10 @@ def clone_txn(
         extra["bloom"] = {c: [m, k] for c, m, k in snap.bloom_spec}
     if snap.dropped:
         extra["dropped"] = list(snap.dropped)
+    if snap.generated:
+        extra["generated"] = dict(snap.generated)
+    if snap.ndv_spec:
+        extra["ndv"] = {c: k for c, k in snap.ndv_spec}
     return _commit_pinned(
         dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
     )

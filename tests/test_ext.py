@@ -163,9 +163,16 @@ def _px_native_minhash_candidates_sound_and_high_recall(spark, sf_dir):
 
 
 def _px_approx_count_distinct_accuracy(spark, sf_dir):
-    """HLL estimate (rsd=2%) must land within 5% of the exact distinct count
-    on every week bucket — the documented count(distinct) escape hatch."""
-    from dbt_trill_shop_spark.operators.analytics import weekly_unique_users_approx
+    """Both count(distinct) escape hatches stay accurate on every week
+    bucket: the engine-native HLL demo (rsd=2%) within 5%, and the
+    REGISTERED deterministic KMV bottom-k estimator (reformulated r10,
+    VERDICT r9 #2) within its ~1/sqrt(k) envelope (k=64 -> 13% expected;
+    asserted at 2x = 26%, and exact below k by construction)."""
+    from dbt_trill_shop_spark.operators.analytics import (
+        _KMV_K,
+        weekly_unique_users_approx,
+        weekly_unique_users_hll,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     exact = {
@@ -174,10 +181,17 @@ def _px_approx_count_distinct_accuracy(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    approx = {r.week: r.approx_unique_users for r in weekly_unique_users_approx(spark, sf_dir).collect()}
+    approx = {r.week: r.approx_unique_users for r in weekly_unique_users_hll(spark, sf_dir).collect()}
     assert approx.keys() == exact.keys()
     for wk, n in exact.items():
         assert abs(approx[wk] - n) <= max(0.05 * n, 2), (wk, approx[wk], n)
+    kmv = {r.week: r.approx_unique_users for r in weekly_unique_users_approx(spark, sf_dir).collect()}
+    assert kmv.keys() == exact.keys()
+    for wk, n in exact.items():
+        if n < _KMV_K:
+            assert kmv[wk] == n, (wk, kmv[wk], n)  # exact below k
+        else:
+            assert abs(kmv[wk] - n) <= 0.26 * n, (wk, kmv[wk], n)
 
 
 def test_stratified_sampling_and_mixture_plan(spark, sf_dir):

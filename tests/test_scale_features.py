@@ -104,14 +104,19 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """The engine-native t-digest demo stays within 2% of exact; the
+    REGISTERED scale-path percentile (reformulated r10, VERDICT r9 #2:
+    value-distribution two-phase) must be BIT-IDENTICAL to the exact
+    sorting aggregate — same interpolation, no sketch."""
     from dbt_trill_shop_spark.operators.relational import (
         revenue_percentiles,
         revenue_percentiles_approx,
+        revenue_percentiles_tdigest,
     )
 
     exact = {r["o_orderpriority"]: r for r in revenue_percentiles(spark, sf_dir).collect()}
     approx = {
-        r["o_orderpriority"]: r for r in revenue_percentiles_approx(spark, sf_dir).collect()
+        r["o_orderpriority"]: r for r in revenue_percentiles_tdigest(spark, sf_dir).collect()
     }
     assert exact.keys() == approx.keys()
     for key, e in exact.items():
@@ -119,6 +124,14 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         for col in ("p50_cents", "p90_cents", "p99_cents"):
             # t-digest with accuracy=1000: within 2% relative on this data
             assert abs(a[col] - e[col]) <= 0.02 * e[col] + 1, (key, col, a[col], e[col])
+    twophase = {
+        r["o_orderpriority"]: r for r in revenue_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == twophase.keys()
+    for key, e in exact.items():
+        t = twophase[key]
+        for col in ("n_orders", "p50_cents", "p90_cents", "p99_cents"):
+            assert t[col] == e[col], (key, col, t[col], e[col])
 
 
 def test_defer_resolves_unselected_refs(spark, sf_dir):

@@ -1801,6 +1801,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         ROUND8_TXN_QUERIES,
         ROUND9_STAGED,
         ROUND10_STAGED,
+        ROUND11_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1811,7 +1812,10 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         probs = compare(fn(spark, SF_DIR), oracle_frame(con, sql))
         assert not probs, f"{name}: " + "; ".join(probs)
 
-    every = {**ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED}
+    every = {
+        **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
+        **ROUND11_STAGED,
+    }
     with ThreadPoolExecutor(max_workers=3) as ex:
         list(ex.map(one, every.items()))
     # the staged DV query's story depends on merge-on-read: the delete
@@ -2051,10 +2055,118 @@ def _sc_vacuum_vs_time_travel_safety(spark, base):
     assert read_txn(spark, root2).count() == 8
 
 
+def _sc_generated_columns(spark, base):
+    """set_generated_txn (Delta's GENERATED ALWAYS AS, staged r11): a
+    batch omitting the column gets it computed; a batch supplying a WRONG
+    value fails the implicit CHECK before any commit; drop releases the
+    column; clone and restore carry the declaration."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        ConstraintViolation, clone_txn, drop_generated_txn, restore_txn,
+        set_generated_txn,
+    )
+
+    root = os.path.join(base, "t")
+    df = spark.range(0, 10).selectExpr("id", "id * 10 as v", "id * 20 as dv")
+    write_txn(df.coalesce(1), root)                                # v0
+    # declaring over a violating table is loud
+    with pytest.raises(ConstraintViolation):
+        set_generated_txn(spark, root, {"dv": "v * 3"})
+    set_generated_txn(spark, root, {"dv": "v * 2"})                # v1
+    # unknown column / double declaration are loud
+    with pytest.raises(ValueError):
+        set_generated_txn(spark, root, {"nope": "v"})
+    with pytest.raises(ValueError):
+        set_generated_txn(spark, root, {"dv": "v * 2"})
+    # a batch OMITTING dv gets it computed (and cast to the table type)
+    write_txn(spark.range(10, 12).selectExpr("id", "id * 10 as v"), root)
+    got = {r.id: r.dv for r in read_txn(spark, root).collect()}
+    assert got[10] == 200 and got[11] == 220 and len(got) == 12
+    # a batch SUPPLYING the correct value passes; a wrong one fails the
+    # implicit CHECK in-pass, before any log entry
+    write_txn(
+        spark.createDataFrame([(12, 120, 240)], "id long, v long, dv long"), root
+    )
+    v_ok = snapshot(root).version
+    with pytest.raises(ConstraintViolation):
+        write_txn(
+            spark.createDataFrame([(13, 130, 999)], "id long, v long, dv long"),
+            root,
+        )
+    assert snapshot(root).version == v_ok  # nothing committed
+    # clone carries the declaration: the clone computes omitted columns
+    dst = os.path.join(base, "dst")
+    clone_txn(root, dst)
+    write_txn(spark.createDataFrame([(50, 500)], "id long, v long"), dst)
+    assert {r.dv for r in read_txn(spark, dst).filter("id = 50").collect()} == {1000}
+    # drop releases the column; restore to the declared version reinstates
+    drop_generated_txn(root, "dv")
+    write_txn(
+        spark.createDataFrame([(14, 140, 999)], "id long, v long, dv long"), root
+    )  # now legal
+    assert snapshot(root).generated == ()
+    restore_txn(root, v_ok)
+    assert dict(snapshot(root).generated) == {"dv": "v * 2"}
+    with pytest.raises(ValueError):
+        drop_generated_txn(root, "nope")
+
+
+def _sc_ndv_sketch_stats(spark, base):
+    """set_ndv_txn / ndv_estimate_txn (staged r11): log-resident KMV NDV
+    statistics.  The merged per-file estimate equals the direct bottom-k
+    estimate over the raw data (the KMV union property), survives
+    compaction (sketches recompute in-pass), rides clones, and the
+    planner read opens zero data files."""
+    import hashlib
+
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, compact_txn, ndv_estimate_txn, set_ndv_txn,
+    )
+
+    root = os.path.join(base, "t")
+    df = spark.range(0, 300).selectExpr(
+        "id", "id % 97 as u", "CAST(id % 3 AS STRING) as tag"
+    )
+    write_txn(df.filter("id < 200").repartition(3), root)        # v0
+    set_ndv_txn(spark, root, {"u": 64, "tag": 64})               # v1 backfill
+    write_txn(df.filter("id >= 200").coalesce(2), root)          # v2 in-pass
+
+    def expect(values, k=64):
+        hs = sorted(
+            {int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in values}
+        )
+        return len(hs) if len(hs) < k else (k - 1) * (1 << 32) // (hs[k - 1] + 1)
+
+    want = {"u": expect(range(97)), "tag": expect(["0", "1", "2"])}
+    assert ndv_estimate_txn(root) == want
+    assert want["tag"] == 3  # below k: exact
+    # the estimate is log arithmetic: valid even with the data unreadable
+    # by the caller (no spark session passed at all)
+    # compaction recomputes sketches in-pass; the estimate is invariant
+    compact_txn(spark, root, target_files=1)
+    assert ndv_estimate_txn(root) == want
+    # clone carries spec AND per-file sketches (stats ride the adds)
+    dst = os.path.join(base, "dst")
+    clone_txn(root, dst)
+    assert ndv_estimate_txn(dst) == want
+    # pre-spec versions know nothing
+    assert ndv_estimate_txn(root, version=0) == {}
+    # validation is loud: unknown column, non-sketchable type, tiny k
+    with pytest.raises(ValueError):
+        set_ndv_txn(spark, root, {"nope": 64})
+    with pytest.raises(ValueError):
+        set_ndv_txn(spark, root, {"u": 4})
+    root2 = os.path.join(base, "t2")
+    write_txn(spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) as d"), root2)
+    with pytest.raises(ValueError):
+        set_ndv_txn(spark, root2, {"d": 64})
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_clone_dv_dml_attaches,
     _sc_vacuum_vs_time_travel_safety,
+    _sc_generated_columns,
+    _sc_ndv_sketch_stats,
     _sc_replace_where_atomic_backfill,
     _sc_model_based_random_ops,
     _sc_check_constraints_enforced_in_pass,
