@@ -2336,6 +2336,207 @@ QUALIFY rank <= {k}
 """
 
 
+def prf_expanded_search(
+    docs: DataFrame,
+    n_queries: int = 3,
+    q_terms: int = 5,
+    f_docs: int = 5,
+    e_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio / RM3-lite,
+    staged r11): run BM25, assume the top ``f_docs`` hits are relevant,
+    mine the ``e_terms`` highest-weight NEW terms from them (weight = the
+    same BM25 term partial, summed over the feedback docs), append them
+    to the query, and re-search — the classic recall-recovery loop of
+    every production search stack, here as one lazy plan.
+
+    Determinism/exactness: both passes use :func:`bm25_search`'s
+    expression tree with int64 micro-unit rounding per (term, doc)
+    partial, expansion-term ties break on the term string, so final
+    ranks value-hash cross-engine.  Scale shape: same inverted-index
+    posture as BM25 (tf checkpointed ONCE and reused by both passes and
+    the mining step; query/feedback relations broadcast; the corpus text
+    never shuffles) — the second pass touches only postings of the
+    expanded term set."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        docs.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.split(F.col(text_col), " "), 1, q_terms)).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    part = F.round(idf * tf_norm * 1_000_000, 0).cast("bigint")
+
+    def score(terms: DataFrame) -> DataFrame:
+        return (
+            tf.join(F.broadcast(terms), "term")
+            .join(F.broadcast(df_rel), "term")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id", F.col(id_col).alias("hit_id"), part.alias("s_micro")
+            )
+            .groupBy("query_id", "hit_id")
+            .agg(F.sum("s_micro").alias("score_micro"))
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("hit_id")
+    )
+    fb = (
+        score(qterms)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= f_docs)
+        .select("query_id", F.col("hit_id").alias(id_col))
+    )
+    # mine expansion terms: the same BM25 partial, summed over the
+    # feedback docs, minus the original query terms
+    mined = (
+        tf.join(F.broadcast(fb), id_col)
+        .join(F.broadcast(df_rel), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "term", part.alias("w_micro"))
+        .groupBy("query_id", "term")
+        .agg(F.sum("w_micro").alias("w_micro"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("w_micro"), F.asc("term"))
+    expansion = (
+        mined.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") <= e_terms)
+        .select("query_id", "term")
+    )
+    expanded = qterms.unionByName(expansion).distinct()
+    return (
+        score(expanded)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "hit_id", "rank", "score_micro")
+    )
+
+
+PRF_EXPANDED_SEARCH_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(STR_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(STR_SPLIT(text, ' ')[1 : {q_terms}]) AS term
+    FROM documents WHERE doc_id < {n_queries}
+),
+scored1 AS (
+    SELECT q.query_id, tf.doc_id AS hit_id,
+           CAST(SUM(CAST(ROUND(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM tf
+    JOIN qterms q USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id
+),
+fb AS (
+    SELECT query_id, hit_id AS doc_id FROM (
+        SELECT query_id, hit_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, hit_id ASC) AS r
+        FROM scored1
+    ) WHERE r <= {f_docs}
+),
+mined AS (
+    SELECT f.query_id, tf.term,
+           CAST(SUM(CAST(ROUND(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS w_micro
+    FROM tf
+    JOIN fb f ON f.doc_id = tf.doc_id
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qterms q
+        WHERE q.query_id = f.query_id AND q.term = tf.term
+    )
+    GROUP BY f.query_id, tf.term
+),
+expansion AS (
+    SELECT query_id, term FROM (
+        SELECT query_id, term,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY w_micro DESC, term ASC) AS r
+        FROM mined
+    ) WHERE r <= {e_terms}
+),
+expanded AS (
+    SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, term FROM qterms
+        UNION ALL
+        SELECT query_id, term FROM expansion
+    )
+),
+scored2 AS (
+    SELECT q.query_id, tf.doc_id AS hit_id,
+           CAST(SUM(CAST(ROUND(
+               LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM tf
+    JOIN expanded q USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, hit_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, hit_id ASC) AS BIGINT)
+           AS rank,
+       score_micro
+FROM scored2
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def search_snippets(
     docs: DataFrame,
     hits: DataFrame,

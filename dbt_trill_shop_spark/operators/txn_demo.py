@@ -1194,6 +1194,89 @@ ORDER BY column_name
 """
 
 
+# the overlap demo's orders band: ONE data year (order dates start
+# 1995-01-01), so each customer holds ~1.5 orders in-band and the
+# band-vs-dimension key overlap is genuinely partial (~78%), not 0 or 1
+_OVERLAP_BAND = "1996-01-01"
+
+
+def txn_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY OVERLAP from log sketches (staged r11): two txn tables
+    (orders keyed o_custkey, customer keyed c_custkey) each carry KMV NDV
+    sketches; ``ndv_overlap_estimate_txn`` estimates their key overlap —
+    union NDV, intersection NDV, Jaccard — from the LOGS ALONE (zero data
+    file opens on either side), the statistic a planner needs to pick a
+    join strategy at 100 TB.  The oracle reproduces the identical KMV set
+    arithmetic from the raw tables (the sketch-union property makes the
+    merged log sketch equal the direct bottom-k), so the planner numbers
+    are value-hash verified.  TPC-H shape makes the estimate meaningful:
+    every order's custkey exists in customer, but only ~2/3 of customers
+    have orders."""
+    from ..sources.txn_table import ndv_overlap_estimate_txn, set_ndv_txn
+
+    # the orders side is one date band (a backfill-scoped table) so the
+    # overlap question is non-trivial: which fraction of the customer
+    # dimension does this band touch?
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_OVERLAP_BAND))
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ra, rb = _tmp_root("ovl_a"), _tmp_root("ovl_b")
+    write_txn(orders.repartition(4), ra)
+    set_ndv_txn(spark, ra, {"o_custkey": 64})
+    write_txn(cust.repartition(2), rb)
+    set_ndv_txn(spark, rb, {"c_custkey": 64})
+    est = ndv_overlap_estimate_txn(ra, "o_custkey", rb, "c_custkey")
+    return spark.createDataFrame(
+        [(est["union_ndv"], est["intersection_ndv"], est["jaccard_ppm"])],
+        "union_ndv long, intersection_ndv long, jaccard_ppm long",
+    )
+
+
+TXN_SKETCH_OVERLAP_SQL = f"""
+WITH ha AS (
+    SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS h
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_orderdate < TIMESTAMP '{_OVERLAP_BAND} 00:00:00'
+),
+a AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+      WHERE rn <= 64),
+hb AS (
+    SELECT DISTINCT CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS h
+    FROM customer WHERE c_custkey IS NOT NULL
+),
+b AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+      WHERE rn <= 64),
+su AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)),
+s AS (SELECT h, rn FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM su)
+      WHERE rn <= 64),
+m AS (
+    SELECT COUNT(*) AS n_s,
+           MAX(CASE WHEN rn = 64 THEN h END) AS h_k,
+           SUM(CASE WHEN h IN (SELECT h FROM a)
+                     AND h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS matches
+    FROM s
+),
+u AS (
+    SELECT n_s, matches,
+           CASE WHEN n_s < 64 THEN n_s
+                ELSE (63 * 4294967296) // (h_k + 1) END AS union_ndv
+    FROM m
+)
+SELECT CAST(COALESCE(union_ndv, 0) AS BIGINT) AS union_ndv,
+       CAST(COALESCE(matches * union_ndv // NULLIF(n_s, 0), 0) AS BIGINT)
+           AS intersection_ndv,
+       CAST(COALESCE(matches * 1000000 // NULLIF(n_s, 0), 0) AS BIGINT)
+           AS jaccard_ppm
+FROM u
+"""
+
+
 def _x_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.textstats import maxsim_rerank
 
@@ -1214,6 +1297,34 @@ def _maxsim_sql() -> str:
     )
 
 
+def _s_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_kmv_users
+
+    return stream_kmv_users(spark, sf_dir)
+
+
+def _stream_kmv_sql() -> str:
+    # the bounded-state stream drain must equal the registered BATCH KMV
+    # estimator exactly (same hash, same k, same formula)
+    from ..operators.analytics import WEEKLY_UNIQUE_USERS_APPROX_SQL
+
+    return WEEKLY_UNIQUE_USERS_APPROX_SQL
+
+
+def _x_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.textstats import prf_expanded_search
+
+    return prf_expanded_search(load_table(spark, sf_dir, "documents"))
+
+
+def _prf_sql() -> str:
+    from ..ext.textstats import PRF_EXPANDED_SEARCH_SQL_TEMPLATE
+
+    return PRF_EXPANDED_SEARCH_SQL_TEMPLATE.format(
+        n_queries=3, q_terms=5, f_docs=5, e_terms=3, k=10, k1=1.2, b=0.75
+    )
+
+
 def _semihard_negatives_sql() -> str:
     from ..ext.textstats import SEMIHARD_NEGATIVES_SQL_TEMPLATE
 
@@ -1226,8 +1337,11 @@ def _semihard_negatives_sql() -> str:
 ROUND11_STAGED: dict = {
     "q_txn_generated_cols": (txn_generated_columns, TXN_GENERATED_SQL),
     "q_txn_ndv_stats": (txn_ndv_stats, TXN_NDV_SQL),
+    "q_txn_sketch_overlap": (txn_sketch_overlap, TXN_SKETCH_OVERLAP_SQL),
     "x_maxsim_rerank": (_x_maxsim, _maxsim_sql()),
     "x_semihard_negatives": (_x_semihard_negatives, _semihard_negatives_sql()),
+    "s_stream_kmv_users": (_s_stream_kmv, _stream_kmv_sql()),
+    "x_prf_expansion": (_x_prf, _prf_sql()),
 }
 
 # REGISTERED in round 10 (harness.py round-10 additions — VERDICT r9 #1);

@@ -1615,6 +1615,62 @@ def ndv_estimate_txn(root: str, version: int | None = None) -> dict[str, int]:
     return out
 
 
+def _merged_sketch(root: str, col: str, version: int | None = None) -> tuple[list[int], int]:
+    """(bottom-k of the union of per-file sketches, k) for one sketched
+    column — the table-level KMV sketch, recovered from the log alone."""
+    snap = snapshot(root, version=version)
+    spec = dict(snap.ndv_spec)
+    if col not in spec:
+        raise ValueError(
+            f"column {col!r} has no NDV sketch on {root} "
+            f"(have {sorted(spec)}); set_ndv_txn first"
+        )
+    k = spec[col]
+    union: set[int] = set()
+    for st in snap.file_stats:
+        union.update((st.get(_NDV_KEY) or {}).get(col, ()))
+    return sorted(union)[:k], k
+
+
+def ndv_overlap_estimate_txn(
+    root_a: str, col_a: str, root_b: str, col_b: str
+) -> dict[str, int]:
+    """JOIN-KEY OVERLAP estimate between two sketched columns from the
+    LOG ALONE — the statistic a cost-based planner wants before picking a
+    join strategy at 100 TB (estimated matching-key count ~ join
+    selectivity), computed without opening a single data file on either
+    side.  Classic KMV set arithmetic (Beyer et al., SIGMOD 2007): with
+    ``S`` = the k smallest hashes of sketch(A) ∪ sketch(B),
+
+        union_ndv        ≈ the plain KMV estimate on S
+        jaccard          ≈ |S ∩ A ∩ B| / |S|   (matches among the bottom-k)
+        intersection_ndv ≈ matches * union_ndv // |S|
+
+    All integer arithmetic over the same md5-prefix hashes the sketches
+    were built with, so the estimates are cross-engine oracle-checkable.
+    Both sketches should use the same k (the union truncates to the
+    smaller).  Returns {"union_ndv", "intersection_ndv", "jaccard_ppm"}.
+    """
+    sa, ka = _merged_sketch(root_a, col_a)
+    sb, kb = _merged_sketch(root_b, col_b)
+    k = min(ka, kb)
+    set_a, set_b = set(sa), set(sb)
+    s = sorted(set_a | set_b)[:k]
+    if not s:
+        return {"union_ndv": 0, "intersection_ndv": 0, "jaccard_ppm": 0}
+    if len(s) < k:
+        union_ndv = len(s)
+    else:
+        union_ndv = (k - 1) * _NDV_SPACE // (s[k - 1] + 1)
+    matches = sum(1 for h in s if h in set_a and h in set_b)
+    inter = matches * union_ndv // len(s)
+    return {
+        "union_ndv": union_ndv,
+        "intersection_ndv": inter,
+        "jaccard_ppm": matches * 1_000_000 // len(s),
+    }
+
+
 def write_txn(
     df: DataFrame,
     root: str,

@@ -292,6 +292,80 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def kmv_users_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-user estimator (staged r11): the BOUNDED-
+    STATE twin of ``stream_distinct_users`` — ``dropDuplicates`` keeps one
+    state row PER KEY forever (unbounded on an unbounded stream), while
+    the KMV sketch keeps exactly the ``k`` smallest distinct hashes per
+    week: per-window state is k longs at ANY stream length, the property
+    a 100 TB/day stream needs.  Same estimator, same two-round-LCG
+    permutation hash, and the same estimate as the registered batch
+    query ``q_weekly_unique_users_approx`` (operators/analytics.py) —
+    the lambda-architecture guarantee that stream and batch agree.
+
+    Emission (update mode): each micro-batch emits every updated week's
+    CURRENT estimate.  The estimate is MONOTONE NON-DECREASING over a
+    week's lifetime — below k it is the growing distinct-hash count; at
+    the crossing, floor((k-1)·M/(h_k+1)) >= k-1 because h_k <= M-1; past
+    it, h_k only shrinks — so ``MAX() GROUP BY week`` over the drained
+    updates recovers exactly the final (= batch) estimate, keeping the
+    drain oracle-checkable against plain SQL."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.analytics import _KMV_HASH, _KMV_M
+
+    out_schema = "week date, approx_unique_users long"
+    state_schema = "hs array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (week,) = key
+        prev = (
+            np.asarray(state.get[0], dtype="int64")
+            if state.exists
+            else np.empty(0, dtype="int64")
+        )
+        arrs = [pdf["h"].to_numpy() for pdf in pdfs if len(pdf)]
+        hs = np.unique(np.concatenate([prev] + arrs)) if arrs else prev
+        hs = hs[:k]  # np.unique sorts ascending -> the k smallest survive
+        state.update((hs.tolist(),))
+        est = (
+            int(hs.size)
+            if hs.size < k
+            else (k - 1) * _KMV_M // (int(hs[k - 1]) + 1)
+        )
+        yield pd.DataFrame({"week": [week], "approx_unique_users": [est]})
+
+    from pyspark.sql import functions as F
+
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.expr(_KMV_HASH).alias("h"),
+    )
+    return hashed.groupBy("week").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness entry: drain the bounded-state KMV estimator and recover
+    each week's final estimate (max over its monotone update trail)."""
+    from pyspark.sql import functions as F
+
+    sink = run_stream_to_memory(
+        kmv_users_stream(stream_events(spark, sf_dir)),
+        output_mode="update",
+        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+    )
+    return (
+        sink.groupBy("week")
+        .agg(F.max("approx_unique_users").alias("approx_unique_users"))
+        .orderBy("week")
+    )
+
+
 def purchase_attribution_stream(
     events: DataFrame,
     watermark: str = "14 days",
