@@ -1,6 +1,7 @@
-"""Pooled-scenario worker: the suite's three largest serial blocks — the
-txn-table ACID scenarios, the ext planted-signal pool, and the ext pooled
-checks — in ONE SIBLING PROCESS of the main suite.  Same measured
+"""Pooled-scenario worker: the suite's largest serial blocks — the
+txn-table ACID scenarios, the ext planted-signal pool, the ext pooled
+checks, and (since r10) the incremental/snapshot materialization
+scenarios — in ONE SIBLING PROCESS of the main suite.  Same measured
 reasoning as the oracle-parity sibling: each pool is dominated by py4j
 job submission + tiny local I/O that never saturates the box, so a
 sibling overlaps the rest of the suite for nearly free wall-clock
@@ -38,6 +39,7 @@ def main(sf_dir: str, out_path: str) -> None:
     from dbt_trill_shop_spark.session import get_spark
     from tests.test_ext import _POOLED_CHECKS
     from tests.test_ext_planted import _PLANTED
+    from tests.test_incremental_snapshot import _INCR_SCENARIOS
     from tests.test_txn_table import _SCENARIOS
 
     spark = get_spark(
@@ -78,13 +80,18 @@ def main(sf_dir: str, out_path: str) -> None:
         ("txn", _SCENARIOS, txn_one, 8),
         ("ext_checks", _POOLED_CHECKS, check_one, 12),
         ("ext_planted", _PLANTED, check_one, 12),
+        # demoted r10 (VERDICT r9 #4): Project builds register model-named
+        # temp views/sources without per-project scoping, so this pool is
+        # SERIAL (workers=1) — still off the main suite's critical path
+        ("incremental", _INCR_SCENARIOS, txn_one, 1),
     ):
         g0 = time.time()
         with ThreadPoolExecutor(max_workers=workers) as ex:
             problems += [p for p in ex.map(runner, fns) if p]
         timings[name] = round(time.time() - g0, 1)
     result = {
-        "n_scenarios": len(_SCENARIOS) + len(_POOLED_CHECKS) + len(_PLANTED),
+        "n_scenarios": len(_SCENARIOS) + len(_POOLED_CHECKS) + len(_PLANTED)
+        + len(_INCR_SCENARIOS),
         "elapsed_sec": round(time.time() - t0, 1),
         "group_sec": timings,
         "problems": problems,

@@ -1,7 +1,20 @@
 """Incremental materialization and SCD2 snapshots: incremental rebuilds must
-equal a from-scratch rebuild, and snapshots must capture version history."""
+equal a from-scratch rebuild, and snapshots must capture version history.
+
+DEMOTED to the scenarios sibling in round 10 (VERDICT r9 #4: the suite's
+idle wall is structurally >300 s, so the largest main-process serial
+blocks move to the overlapped pools — this file was ~76 s of the
+critical path by --durations).  Every test is now a ``_sc_*(spark,
+base)`` scenario in ``_INCR_SCENARIOS``, run SERIALLY inside the sibling
+(workers=1): Project builds register temp views / sources by model name
+(``events_copy``, ``events_src``) with no per-project scoping, so
+intra-pool threading would collide; serial-in-sibling still takes the
+whole block off the main suite's critical path.  Join point:
+tests/test_z_scenarios_join.py.  Only the spark-free checksum test stays
+a direct pytest test."""
 
 import datetime
+import os
 
 import pytest
 
@@ -10,24 +23,22 @@ from pyspark.sql import functions as F
 from dbt_trill_shop_spark.catalog import load_table
 from dbt_trill_shop_spark.core import Materialization, Model, Project, SnapshotStore
 
+from .conftest import SF_DIR
+
 
 def _sorted_rows(df, *cols):
     return [tuple(r) for r in df.orderBy(*cols).collect()]
 
 
-@pytest.fixture
-def events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events")
+def _events(spark):
+    return load_table(spark, SF_DIR, "events")
 
 
-def test_incremental_merge_equals_full_rebuild(spark, events, tmp_path):
+def _sc_incremental_merge_equals_full_rebuild(spark, base):
     """Build daily per-user totals incrementally (two batches split by ts)
     and compare with a single full build."""
+    events = _events(spark)
     cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
-
-    def make_project(name):
-        p = Project(name, warehouse_dir=str(tmp_path / name))
-        return p
 
     def agg(df):
         return (
@@ -44,7 +55,7 @@ def test_incremental_merge_equals_full_rebuild(spark, events, tmp_path):
 
     # incremental: batch 1 = events below cutoff, batch 2 = recompute the
     # *affected users'* aggregates over all their events (merge upserts them)
-    p = make_project("inc")
+    p = Project("inc", warehouse_dir=os.path.join(base, "inc"))
     state = {"phase": 1}
 
     def builder(s, ref):
@@ -75,8 +86,9 @@ def test_incremental_merge_equals_full_rebuild(spark, events, tmp_path):
     p.drop_warehouse()
 
 
-def test_incremental_append(spark, events, tmp_path):
-    p = Project("app", warehouse_dir=str(tmp_path / "app"))
+def _sc_incremental_append(spark, base):
+    events = _events(spark)
+    p = Project("app", warehouse_dir=os.path.join(base, "app"))
     state = {"phase": 1}
 
     def builder(s, ref):
@@ -99,14 +111,15 @@ def test_incremental_append(spark, events, tmp_path):
     p.drop_warehouse()
 
 
-def test_txn_table_materialization_time_travel(spark, events, tmp_path):
+def _sc_txn_table_materialization_time_travel(spark, base):
     """materialized='txn_table' (VERDICT r7 #4): each build() is one atomic
     log commit, so a mart gains time travel across rebuilds — ref_at()
     answers "what did this mart say before today's run?" — and a reader
     pinned to the previous version still sees a consistent file list."""
     from dbt_trill_shop_spark.core.jinja_lite import sql_model
 
-    p = Project("txnmart", warehouse_dir=str(tmp_path / "txnmart"))
+    events = _events(spark)
+    p = Project("txnmart", warehouse_dir=os.path.join(base, "txnmart"))
     state = {"cap": 100}
 
     def builder(s, ref):
@@ -138,7 +151,7 @@ def test_txn_table_materialization_time_travel(spark, events, tmp_path):
     )
     assert m.materialization is Materialization.TXN_TABLE
     # time travel on a non-txn model is loud
-    p2 = Project("plain", warehouse_dir=str(tmp_path / "plain"))
+    p2 = Project("plain", warehouse_dir=os.path.join(base, "plain"))
     p2.add_model(Model("t", lambda s, ref: events.limit(1)))
     p2.build(spark, run_tests=False)
     with pytest.raises(ValueError):
@@ -147,14 +160,14 @@ def test_txn_table_materialization_time_travel(spark, events, tmp_path):
     p2.drop_warehouse()
 
 
-def test_snapshot_scd2(spark, tmp_path):
+def _sc_snapshot_scd2(spark, base):
     d = datetime.date
     rows1 = [(1, "a", d(2024, 1, 1)), (2, "b", d(2024, 1, 1))]
     rows2 = [(1, "a2", d(2024, 2, 1)), (2, "b", d(2024, 1, 1)), (3, "c", d(2024, 2, 1))]
     src1 = spark.createDataFrame(rows1, "id int, val string, updated_at date")
     src2 = spark.createDataFrame(rows2, "id int, val string, updated_at date")
 
-    store = SnapshotStore(str(tmp_path / "snap"))
+    store = SnapshotStore(os.path.join(base, "snap"))
     s1 = store.run(spark, src1, unique_key="id", updated_at="updated_at")
     assert s1.filter(F.col("dbt_valid_to").isNull()).count() == 2
 
@@ -175,13 +188,14 @@ def test_snapshot_scd2(spark, tmp_path):
     assert s3.count() == len(s2_rows) == 4
 
 
-def test_incremental_sql_file_model(spark, events, tmp_path):
+def _sc_incremental_sql_file_model(spark, base):
     """The dbt idiom: a SQL-text model with {% if is_incremental() %} and
     {{ this }} — first build takes the full select, the rebuild's branch
     restricts to rows newer than the materialized table, and append-merge
     reproduces the full result exactly."""
     from dbt_trill_shop_spark.core.jinja_lite import sql_model
 
+    events = _events(spark)
     cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
 
     sql = """
@@ -192,7 +206,7 @@ def test_incremental_sql_file_model(spark, events, tmp_path):
     WHERE event_id > (SELECT MAX(event_id) FROM {{ this }})
     {% endif %}
     """
-    p = Project("inc_sql", warehouse_dir=str(tmp_path / "inc_sql"))
+    p = Project("inc_sql", warehouse_dir=os.path.join(base, "inc_sql"))
     m = sql_model("events_copy", sql)
     assert m.materialization is Materialization.INCREMENTAL
     assert m.incremental_strategy == "append"
@@ -213,13 +227,11 @@ def test_incremental_sql_file_model(spark, events, tmp_path):
     assert out.select("event_id").distinct().count() == events.count()
 
 
-def test_snapshot_check_strategy(spark, tmp_path):
+def _sc_snapshot_check_strategy(spark, base):
     """dbt 'check' snapshot strategy: change detection by comparing declared
     columns (no updated_at needed); changed keys close at snapshot_at and
     reopen, unchanged pass through, vanished keys stay open."""
-    from dbt_trill_shop_spark.core import SnapshotStore
-
-    store = SnapshotStore(str(tmp_path / "snap_check"))
+    store = SnapshotStore(os.path.join(base, "snap_check"))
     v1 = spark.createDataFrame(
         [(1, "ada", "eng"), (2, "grace", "eng"), (3, "alan", "math")],
         "id long, name string, dept string",
@@ -245,10 +257,12 @@ def test_snapshot_check_strategy(spark, tmp_path):
     assert s2.count() == 5
 
 
-def test_incremental_insert_overwrite(spark, events, tmp_path):
+def _sc_incremental_insert_overwrite(spark, base):
     """insert_overwrite strategy: the batch replaces ONLY its own partitions
     (dynamic partitionOverwriteMode); untouched partitions survive, and the
     final table equals a full rebuild."""
+    events = _events(spark)
+
     def agg(df):
         return (
             df.groupBy("event_type")
@@ -265,7 +279,7 @@ def test_incremental_insert_overwrite(spark, events, tmp_path):
 
     p = Project(
         "iow",
-        warehouse_dir=str(tmp_path / "iow"),
+        warehouse_dir=os.path.join(base, "iow"),
         table_partition_cols={"by_type": ["event_type"]},
     )
     state = {"phase": 1}
@@ -297,19 +311,18 @@ def test_incremental_insert_overwrite(spark, events, tmp_path):
     got = sorted(map(tuple, p.relations["by_type"].select("event_type", "n", "max_event_id").collect()))
     assert got == sorted(map(tuple, full.select("event_type", "n", "max_event_id").collect()))
     # and partition directories exist per event_type (physical layout)
-    import os
-
-    base = p.table_path(p.models["by_type"])
-    assert any(d.startswith("event_type=") for d in os.listdir(base))
+    bdir = p.table_path(p.models["by_type"])
+    assert any(d.startswith("event_type=") for d in os.listdir(bdir))
 
 
-def test_full_refresh_rebuilds_incremental(spark, events, tmp_path):
+def _sc_full_refresh_rebuilds_incremental(spark, base):
     """dbt --full-refresh: an incremental model ignores its existing table
     and rebuilds from scratch (is_incremental() compiles False) — observable
     when the source SHRINKS: plain incremental append keeps stale history,
     full refresh reflects only the current source."""
     from dbt_trill_shop_spark.core.jinja_lite import sql_model
 
+    events = _events(spark)
     cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
     sql = """
     {{ config(materialized='incremental', incremental_strategy='append') }}
@@ -319,7 +332,7 @@ def test_full_refresh_rebuilds_incremental(spark, events, tmp_path):
     WHERE event_id > (SELECT MAX(event_id) FROM {{ this }})
     {% endif %}
     """
-    p = Project("fr", warehouse_dir=str(tmp_path / "fr"))
+    p = Project("fr", warehouse_dir=os.path.join(base, "fr"))
     p.add_model(sql_model("events_copy", sql))
 
     p.add_source("events_src", events)
@@ -337,16 +350,15 @@ def test_full_refresh_rebuilds_incremental(spark, events, tmp_path):
     assert p.relations["events_copy"].count() == half.count()
 
 
-def test_swap_crash_recovery(spark, events, tmp_path):
+def _sc_swap_crash_recovery(spark, base):
     """A build (or streaming merge) killed between the swap's two renames
     leaves the table only in .__old__; the next incremental build must
     restore it — NOT treat the model as a first build and lose history."""
-    import os
-
     from dbt_trill_shop_spark.core.dag import recover_swap
 
+    events = _events(spark)
     cutoff = events.approxQuantile("event_id", [0.5], 0.0)[0]
-    p = Project("crash", warehouse_dir=str(tmp_path / "crash"))
+    p = Project("crash", warehouse_dir=os.path.join(base, "crash"))
     p.add_model(
         Model(
             "ev",
@@ -375,6 +387,20 @@ def test_swap_crash_recovery(spark, events, tmp_path):
     p.add_source("events_src", events)
     p.build(spark, run_tests=False)
     assert p.relations["ev"].count() == events.count()  # history survived
+
+
+# Run order: longest first (LPT) — scd2/merge dominate the serial pool.
+_INCR_SCENARIOS = [
+    _sc_snapshot_scd2,
+    _sc_incremental_merge_equals_full_rebuild,
+    _sc_snapshot_check_strategy,
+    _sc_incremental_sql_file_model,
+    _sc_txn_table_materialization_time_travel,
+    _sc_incremental_insert_overwrite,
+    _sc_full_refresh_rebuilds_incremental,
+    _sc_swap_crash_recovery,
+    _sc_incremental_append,
+]
 
 
 def test_builder_checksum_is_process_stable():
