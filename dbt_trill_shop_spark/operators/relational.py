@@ -522,6 +522,47 @@ ORDER BY o_orderpriority
 """
 
 
+# Recursive-CTE surface (staged r11): WITH RECURSIVE landed in Spark 4
+# (SPARK-24497) — the warehouse-SQL hierarchy/graph idiom (org charts,
+# BOM rollups, category trees) expressed ONCE and run VERBATIM on both
+# engines, like the correlated-subquery surface below.  The hierarchy is
+# a deterministic binary tree over customer keys (parent = floor(k/2),
+# root = key 1), so depth = floor(log2(k)) + 1 and the recursion is
+# O(log n) iterations — each iteration is one hash join against the
+# frontier, exactly the checkpointed-frontier shape the BFS operator
+# uses, but planned by the engine.  Money stays BIGINT cents with an
+# explicit CAST on the sum (DuckDB widens SUM(BIGINT) to HUGEINT, Spark
+# keeps long — the cast pins both to int64; per-depth groups over a
+# dimension table stay far from the 9.2e18 edge).
+RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS id, 1 AS depth,
+           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+    FROM customer WHERE c_custkey = 1
+    UNION ALL
+    SELECT c.c_custkey, ch.depth + 1,
+           CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+    FROM customer c
+    JOIN chain ch ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = ch.id
+)
+SELECT depth,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MIN(id) AS min_id,
+       MAX(id) AS max_id
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-level rollup of a recursive hierarchy — the IDENTICAL
+    ``WITH RECURSIVE`` text runs on Spark and on the DuckDB oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)
+
+
 # Correlated-subquery surface: expressed as SQL on purpose — the point is
 # Catalyst's decorrelation (RewriteCorrelatedScalarSubquery turns the scalar
 # subquery into an aggregate + join; EXISTS/NOT EXISTS become semi/anti

@@ -1311,6 +1311,30 @@ def _stream_kmv_sql() -> str:
     return WEEKLY_UNIQUE_USERS_APPROX_SQL
 
 
+def _s_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_purchase_attribution_outer
+
+    return stream_purchase_attribution_outer(spark, sf_dir)
+
+
+def _stream_outer_sql() -> str:
+    from ..streaming.events import STREAM_ATTRIBUTION_OUTER_SQL
+
+    return STREAM_ATTRIBUTION_OUTER_SQL
+
+
+def _q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import recursive_hierarchy
+
+    return recursive_hierarchy(spark, sf_dir)
+
+
+def _recursive_sql() -> str:
+    from .relational import RECURSIVE_HIERARCHY_SQL
+
+    return RECURSIVE_HIERARCHY_SQL
+
+
 def _x_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.textstats import prf_expanded_search
 
@@ -1342,6 +1366,8 @@ ROUND11_STAGED: dict = {
     "x_semihard_negatives": (_x_semihard_negatives, _semihard_negatives_sql()),
     "s_stream_kmv_users": (_s_stream_kmv, _stream_kmv_sql()),
     "x_prf_expansion": (_x_prf, _prf_sql()),
+    "q_recursive_hierarchy": (_q_recursive, _recursive_sql()),
+    "s_stream_attribution_outer": (_s_stream_outer, _stream_outer_sql()),
 }
 
 # REGISTERED in round 10 (harness.py round-10 additions — VERDICT r9 #1);

@@ -431,6 +431,172 @@ JOIN events p
 """
 
 
+def stream_purchase_attribution_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "14 days",
+    attribution_minutes: int = 60,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (staged r11): every purchase
+    emits — attributed rows carry their click ids, ORPHAN purchases (no
+    click in the preceding hour) emit with a NULL click once the
+    watermark PROVES no qualifying click can still arrive.  This is the
+    semantics production attribution actually needs (the inner join
+    silently drops organic purchases) and the state story is the point:
+    Spark holds a purchase in the join state only until
+    ``watermark > purchase_ts``, then either emits the NULL row or
+    discards — bounded state on an unbounded stream.
+
+    Outer results are emitted by state EVICTION, so a BOUNDED drain needs
+    an end-of-stream flush: watermarks only advance between micro-batches,
+    and the final batch's unmatched rows would otherwise sit in state
+    forever.  The drain stages the normalized events as one file plus
+    far-future sentinel ticks (one click + one purchase per tick file,
+    negative ids, disjoint negative user ids so they join nothing real;
+    the output filter on non-negative purchase ids drops their own rows)
+    with staggered mtimes — the tick batches advance the watermark past
+    every real event and the following batch applies it, exactly the
+    heartbeat/tick pattern an unbounded production stream gets for free
+    from the next day's data.  The drained result equals the batch LEFT
+    JOIN, so the oracle is plain SQL.
+
+    Engine note (measured, Spark 4.1): under the default
+    ``multipleWatermarkPolicy=min``, the SYMMETRIC self-join topology
+    (both watermark operators fed by branches of one events stream) never
+    advances the global watermark past the REAL data's max − delay — the
+    tick batches raise one operator's stat while the min stays pinned at
+    the batch-0 value, and ~half the orphans never emit.  The drain
+    therefore pins ``multipleWatermarkPolicy=max`` FOR THIS QUERY
+    (captured at query start; restored after): with both sides reading
+    the SAME files in the SAME micro-batches, neither side can run ahead
+    of the other's data, so max and min are semantically identical here —
+    no real row can be late-dropped — and max actually propagates the
+    tick.  Asymmetric-source production joins should keep min."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    row = ev.agg(F.max("ts").alias("m")).first()
+    base = tempfile.mkdtemp(prefix=f"stream_outer_{os.getpid()}_")
+    _WM_POLICY = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev_policy = spark.conf.get(_WM_POLICY, "min")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "b0")
+        )
+        part = next(
+            f
+            for f in sorted(os.listdir(os.path.join(base, "b0")))
+            if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(base, "b0", part), os.path.join(base, "events.parquet")
+        )
+        shutil.rmtree(os.path.join(base, "b0"), ignore_errors=True)
+        now = _time.time()
+        os.utime(os.path.join(base, "events.parquet"), (now - 10, now - 10))
+        # an EMPTY corpus needs no flush (nothing can be in join state)
+        # and a NULL-ts tick would be meaningless to the watermark
+        for i, days in enumerate((120, 121) if row["m"] is not None else ()):
+            tick = spark.createDataFrame(
+                [
+                    (-(2 * i + 1), row["m"], -1, "click", 0.0, "{}"),
+                    (-(2 * i + 2), row["m"], -2, "purchase", 0.0, "{}"),
+                ],
+                _EVENTS_NATIVE_SCHEMA,
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            tick.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"t{i}")
+            )
+            part = next(
+                f
+                for f in sorted(os.listdir(os.path.join(base, f"t{i}")))
+                if f.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(base, f"t{i}", part),
+                os.path.join(base, f"tick{i}.parquet"),
+            )
+            shutil.rmtree(os.path.join(base, f"t{i}"), ignore_errors=True)
+            os.utime(
+                os.path.join(base, f"tick{i}.parquet"),
+                (now - 5 + i, now - 5 + i),
+            )
+        src = (
+            spark.readStream.schema(_EVENTS_NATIVE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base)
+        )
+        # the ticks must flow THROUGH the watermark operators (a filter
+        # upstream of withWatermark that dropped them would hide them and
+        # the watermark would never pass the real data's tail), so each
+        # tick file carries one click AND one purchase on disjoint
+        # negative user ids — they equi-join only each other, and the
+        # output filter on the real, non-negative purchase ids drops
+        # their rows
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", watermark)
+        )
+        cond = (
+            (purchases.user_id == clicks.c_user_id)
+            & (purchases.purchase_ts >= clicks.click_ts)
+            & (
+                purchases.purchase_ts
+                <= clicks.click_ts
+                + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+            )
+        )
+        joined = (
+            purchases.join(clicks, cond, "leftOuter")
+            .filter(F.col("purchase_id") >= 0)
+            .select("user_id", "purchase_id", "click_id")
+        )
+        spark.conf.set(_WM_POLICY, "max")  # see Engine note above
+        return run_stream_to_memory(
+            joined,
+            output_mode="append",
+            shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+        )
+    finally:
+        spark.conf.set(_WM_POLICY, prev_policy)
+        # the drain has fully materialized into the memory sink by the
+        # time run_stream_to_memory returns; the staged dir can go
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_ATTRIBUTION_OUTER_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+WHERE p.event_type = 'purchase'
+"""
+
+
 def stream_merge_into_table(
     stream: DataFrame,
     path: str,

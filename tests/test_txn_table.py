@@ -2098,6 +2098,27 @@ def _sc_generated_columns(spark, base):
     clone_txn(root, dst)
     write_txn(spark.createDataFrame([(50, 500)], "id long, v long"), dst)
     assert {r.dv for r in read_txn(spark, dst).filter("id = 50").collect()} == {1000}
+    # MERGE supplying a wrong generated value fails the implicit CHECK
+    # too (the constraint rides the ordinary map -> every write path)
+    with pytest.raises(ConstraintViolation):
+        merge_txn(
+            spark,
+            spark.createDataFrame([(40, 400, 999)], "id long, v long, dv long"),
+            root, on="id",
+        )
+    # the declaration survives the checkpoint FAST PATH (pool pins
+    # _CHECKPOINT_EVERY=4; cross it, then fold from the checkpoint)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    while snapshot(root).version % tt._CHECKPOINT_EVERY != 0:
+        write_txn(spark.createDataFrame([(60, 600)], "id long, v long"), root)
+    assert os.path.exists(
+        tt._ckpt_path(root, snapshot(root).version)
+    )
+    write_txn(spark.createDataFrame([(61, 610)], "id long, v long"), root)
+    assert dict(snapshot(root).generated) == {"dv": "v * 2"}  # via ckpt
+    got_ck = {r.id: r.dv for r in read_txn(spark, root).collect()}
+    assert got_ck[60] == 1200 and got_ck[61] == 1220
     # drop releases the column; restore to the declared version reinstates
     drop_generated_txn(root, "dv")
     write_txn(
@@ -2150,6 +2171,20 @@ def _sc_ndv_sketch_stats(spark, base):
     assert ndv_estimate_txn(dst) == want
     # pre-spec versions know nothing
     assert ndv_estimate_txn(root, version=0) == {}
+    # the spec AND per-file sketches survive the checkpoint fast path
+    # (pool pins _CHECKPOINT_EVERY=4; push past it, fold from checkpoint)
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    while snapshot(root).version % tt._CHECKPOINT_EVERY != 0:
+        write_txn(df.filter("id < 0"), root)  # empty appends advance the log
+    write_txn(df.filter("id < 0"), root)
+    assert os.path.exists(
+        tt._ckpt_path(root, snapshot(root).version - 1)
+    ) or any(
+        f.startswith("checkpoint-")
+        for f in os.listdir(tt._log_dir(root))
+    )
+    assert ndv_estimate_txn(root) == want  # folded through the checkpoint
     # validation is loud: unknown column, non-sketchable type, tiny k
     with pytest.raises(ValueError):
         set_ndv_txn(spark, root, {"nope": 64})
