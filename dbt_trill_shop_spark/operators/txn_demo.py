@@ -58,11 +58,15 @@ def _drain_complete(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
     low for the tiny stateful aggregate."""
     import uuid
 
+    import time as _time
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     last = None
     try:
-        for _ in range(3):
+        for attempt in range(4):
+            if attempt:  # back off: immediate re-spawn hits the same
+                _time.sleep(2 * attempt)  # saturation that killed attempt 1
             name = f"{tag}_{uuid.uuid4().hex[:10]}"
             q = (
                 agg.writeStream.outputMode("complete")

@@ -294,16 +294,38 @@ def stream_synthetic_rollup(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # bounded retry + backoff on worker-SPAWN infrastructure flakes
+        # only, same envelope as every other drain (SCALE.md r9/r10)
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(4):
+            if attempt:
+                _time.sleep(2 * attempt)
+            name = f"pystream_{uuid.uuid4().hex[:10]}"
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                break
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise
+                last = ex
+                if not any(
+                    m in str(ex)
+                    for m in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
+                    raise
+            finally:
+                q.stop()
+        else:
+            raise last
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (

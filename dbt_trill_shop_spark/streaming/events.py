@@ -131,15 +131,43 @@ def run_stream_to_memory(
             _drain_conf_depth[0] += 1
         restore = True
     try:
-        name = name or f"stream_{uuid.uuid4().hex[:12]}"
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # bounded retry with backoff on the worker-SPAWN infrastructure
+        # flakes only ("failed to connect back" = spawn, "worker exited
+        # unexpectedly" = OOM-kill under a saturated box; see SCALE.md r9/
+        # r10 notes) — every other failure re-raises immediately.  The
+        # backoff matters: an immediate re-spawn hits the same saturation
+        # that killed the first attempt.
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(4):
+            if attempt:
+                _time.sleep(2 * attempt)
+            qname = f"{name}_{attempt}" if name else f"stream_{uuid.uuid4().hex[:12]}"
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(qname)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                name = qname
+                break
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise
+                last = ex
+                q.stop()
+                if not any(
+                    m in str(ex)
+                    for m in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
+                    raise
+        else:
+            raise last
     finally:
         if restore:
             with _drain_conf_lock:
@@ -643,13 +671,38 @@ def stream_merge_into_table(
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # bounded retry + backoff on worker-SPAWN infrastructure flakes
+        # (same envelope as run_stream_to_memory) — SAFE here because the
+        # checkpoint makes the restart exactly-once: a completed batch is
+        # never re-merged, an uncommitted one re-runs its merge whole
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(4):
+            if attempt:
+                _time.sleep(2 * attempt)
+            q = (
+                stream.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                break
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise
+                last = ex
+                q.stop()
+                if not any(
+                    m in str(ex)
+                    for m in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
+                    raise
+        else:
+            raise last
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

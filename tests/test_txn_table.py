@@ -685,8 +685,12 @@ def _sc_stream_source_tails_commits(spark, base):
         # starts five short-lived streams, each spawning data-source
         # workers); a bounded retry on exactly that error keeps the
         # scenario's assertions honest without masking real failures
+        import time as _time
+
         last = None
-        for _ in range(3):
+        for attempt in range(4):
+            if attempt:  # back off before re-spawning into saturation
+                _time.sleep(2 * attempt)
             name = f"tail_{uuid.uuid4().hex[:10]}"
             q = (
                 src.writeStream.outputMode("append")
@@ -768,8 +772,12 @@ def _sc_stream_cdf_tails_changes(spark, base):
     compact_txn(spark, root, target_files=1)               # v4: not data
 
     def drain(src):
+        import time as _time
+
         last = None
-        for _ in range(3):  # worker-spawn flake retry (see tails_commits)
+        for attempt in range(4):  # worker-spawn flake retry + backoff
+            if attempt:
+                _time.sleep(2 * attempt)
             name = f"cdf_{uuid.uuid4().hex[:10]}"
             q = (
                 src.writeStream.outputMode("append")
