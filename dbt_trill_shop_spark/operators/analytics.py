@@ -2501,6 +2501,109 @@ GROUP BY n1, n2
 """
 
 
+#: PSI band width / count: fixed $50k cents bands over the bounded TPC-H
+#: price domain (~$800..$560k), capped at 12 bands — fixed-width (not
+#: sampled-quantile) so the bands are LITERALS both engines share.
+_PSI_BAND_CENTS = 5_000_000
+_PSI_N_BANDS = 12
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift monitor (staged r11) — the
+    standard production check that a feature's distribution hasn't
+    shifted between a reference corpus snapshot and the current one
+    (PSI > 0.2 conventionally blocks a model refresh; for training-data
+    pipelines it flags source drift between crawls).  Reference = orders
+    before 1996, current = 1996 on; feature = order value in fixed $50k
+    bands;
+
+        PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)
+
+    with Laplace-smoothed fractions p_b = (n_b + 1) / (n + B) so empty
+    bands are well-defined (the standard epsilon-free guard).  Exactness
+    discipline: band counts are int64; each fraction is ONE division of
+    identical integers; each band's contribution rounds to int64
+    micro-units before any sum (the BM25 ``ln`` precedent — both engines
+    evaluate the identical expression tree on identical operands).
+    Output is PER-BAND (band, counts, psi_contrib_micro) — the total is
+    one SUM away, and per-band rows make the verdict attributable.
+    Scale shape: one groupBy over the fact table with map-side combine;
+    the band relation is B rows; no window, no driver loop."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", cents("o_totalprice").alias("c")
+    )
+    band = F.least(
+        F.floor(F.col("c") / F.lit(_PSI_BAND_CENTS)),
+        F.lit(_PSI_N_BANDS - 1),
+    ).cast("bigint")
+    counts = (
+        o.select(
+            band.alias("band"),
+            (F.col("o_orderdate") < F.lit("1996-01-01")).alias("is_ref"),
+        )
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+            # NULL dates land in CURRENT on both engines (CASE ELSE
+            # semantics — when(~is_ref) would send NULL to neither side)
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("n_cur"),
+        )
+    )
+    # every band surfaces (Laplace smoothing needs absent bands too)
+    bands = spark.range(_PSI_N_BANDS).select(F.col("id").alias("band"))
+    full = bands.join(counts, "band", "left").select(
+        "band",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = full.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = full.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + _PSI_N_BANDS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + _PSI_N_BANDS
+    ).cast("double")
+    contrib = F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint")
+    return j.select(
+        "band", "n_ref", "n_cur", contrib.alias("psi_contrib_micro")
+    ).orderBy("band")
+
+
+PSI_DRIFT_SQL = f"""
+WITH o AS (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c, o_orderdate
+    FROM orders
+),
+counts AS (
+    SELECT LEAST(CAST(FLOOR(c / {_PSI_BAND_CENTS}) AS BIGINT),
+                 {_PSI_N_BANDS - 1}) AS band,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+    FROM o GROUP BY 1
+),
+full_bands AS (
+    SELECT b.band, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+    FROM (SELECT unnest(range(0, {_PSI_N_BANDS})) AS band) b
+    LEFT JOIN counts USING (band)
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM full_bands)
+SELECT band, n_ref, n_cur,
+       CAST(ROUND(
+           (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {_PSI_N_BANDS} AS DOUBLE)
+            - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_N_BANDS} AS DOUBLE))
+           * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {_PSI_N_BANDS} AS DOUBLE))
+                / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_N_BANDS} AS DOUBLE)))
+           * 1000000, 0) AS BIGINT) AS psi_contrib_micro
+FROM full_bands CROSS JOIN tot
+ORDER BY band
+"""
+
+
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of order totals — the classic
     anomalous-bookkeeping screen: natural multi-magnitude amounts follow

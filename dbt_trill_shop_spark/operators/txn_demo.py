@@ -1315,6 +1315,18 @@ def _stream_kmv_sql() -> str:
     return WEEKLY_UNIQUE_USERS_APPROX_SQL
 
 
+def _x_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import psi_drift
+
+    return psi_drift(spark, sf_dir)
+
+
+def _psi_sql() -> str:
+    from .analytics import PSI_DRIFT_SQL
+
+    return PSI_DRIFT_SQL
+
+
 def _s_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_purchase_attribution_outer
 
@@ -1372,6 +1384,7 @@ ROUND11_STAGED: dict = {
     "x_prf_expansion": (_x_prf, _prf_sql()),
     "q_recursive_hierarchy": (_q_recursive, _recursive_sql()),
     "s_stream_attribution_outer": (_s_stream_outer, _stream_outer_sql()),
+    "x_psi_drift": (_x_psi, _psi_sql()),
 }
 
 # REGISTERED in round 10 (harness.py round-10 additions — VERDICT r9 #1);
