@@ -1281,6 +1281,86 @@ FROM u
 """
 
 
+def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL MERGE grammar (staged r11): one statement applies a CDC batch
+    to the customer txn table — matched 'D' rows hard-delete, matched 'U'
+    rows update (balance += the customer's 1996+ order cents), unmatched
+    source rows would insert (none here: FK), and targets NOT matched by
+    source purge when their balance is negative (the full-sync clause,
+    which forces the honest table-wide rewrite — see merge_when_txn).
+    The oracle reproduces the exact clause semantics with a LEFT JOIN +
+    two NOT filters, so every branch of the grammar is value-hash
+    verified."""
+    from ..sources.txn_table import merge_when_txn
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_OVERLAP_BAND))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("ord_cents")
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    root = _tmp_root("mergewhen")
+    write_txn(cust.repartition(4), root)
+    merge_when_txn(
+        spark, src, root, on="c_custkey",
+        matched_update={"cents": "t.cents + s.ord_cents"},
+        matched_delete="s.op = 'D'",
+        not_matched_by_source_delete="t.cents < 0",
+    )
+    return (
+        read_txn(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+TXN_MERGE_WHEN_SQL = f"""
+WITH src AS (
+    SELECT o_custkey AS k,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS ord_cents,
+           CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{{band}} 00:00:00'
+    GROUP BY o_custkey
+),
+tgt AS (
+    SELECT c_custkey AS k, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+    FROM customer
+),
+m AS (
+    SELECT t.c_mktsegment,
+           CASE WHEN s.k IS NOT NULL THEN t.cents + s.ord_cents
+                ELSE t.cents END AS cents
+    FROM tgt t LEFT JOIN src s ON t.k = s.k
+    WHERE NOT COALESCE(s.op = 'D', FALSE)
+      AND NOT (s.k IS NULL AND COALESCE(t.cents < 0, FALSE))
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS total_dollars
+FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment
+""".replace("{band}", _OVERLAP_BAND)
+
+
 def _x_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.textstats import maxsim_rerank
 
@@ -1385,6 +1465,7 @@ ROUND11_STAGED: dict = {
     "q_recursive_hierarchy": (_q_recursive, _recursive_sql()),
     "s_stream_attribution_outer": (_s_stream_outer, _stream_outer_sql()),
     "x_psi_drift": (_x_psi, _psi_sql()),
+    "q_txn_merge_when": (txn_merge_when, TXN_MERGE_WHEN_SQL),
 }
 
 # REGISTERED in round 10 (harness.py round-10 additions — VERDICT r9 #1);

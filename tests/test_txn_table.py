@@ -2204,12 +2204,97 @@ def _sc_ndv_sketch_stats(spark, base):
         set_ndv_txn(spark, root2, {"d": 64})
 
 
+def _sc_merge_when_full_grammar(spark, base):
+    """merge_when_txn (staged r11): every clause of the full MERGE
+    grammar, its 3VL condition semantics, and the pruning contract —
+    file-pruned WITHOUT the BY SOURCE clause, table-wide WITH it."""
+    from dbt_trill_shop_spark.sources.txn_table import merge_when_txn
+
+    root = os.path.join(base, "t")
+    # two range-disjoint files so pruning is observable
+    write_txn(spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200), (3, "c", 300)], "id long, tag string, v long"
+    ).coalesce(1), root)
+    write_txn(spark.createDataFrame(
+        [(10, "x", 50), (11, "y", 1100)], "id long, tag string, v long"
+    ).coalesce(1), root)
+    files_before = set(snapshot(root).files)
+
+    # WITHOUT the BY SOURCE clause: only the file whose key range holds a
+    # source key is rewritten — the other survives BY PATH
+    src = spark.createDataFrame(
+        [(2, "U", 999), (3, "D", 0), (7, "I", 700)], "id long, op string, nv long"
+    )
+    merge_when_txn(
+        spark, src, root, on="id",
+        matched_update={"v": "s.nv"},
+        matched_delete="s.op = 'D'",
+        unmatched_insert={"v": "s.nv", "tag": "lower(s.op)"},
+    )
+    files_after = set(snapshot(root).files)
+    survivors = files_before & files_after
+    assert len(survivors) == 1, (files_before, files_after)  # 10/11 file kept
+    got = {r.id: (r.tag, r.v) for r in read_txn(spark, root).collect()}
+    assert got == {
+        1: ("a", 100), 2: ("b", 999), 7: ("i", 700),
+        10: ("x", 50), 11: ("y", 1100),
+    }, got
+
+    # 3VL: a NULL condition keeps the row (both clause kinds)
+    src2 = spark.createDataFrame([(1, None, 5)], "id long, op string, nv long")
+    merge_when_txn(
+        spark, src2, root, on="id",
+        matched_delete="s.op = 'D'",        # NULL op -> keep
+        insert_unmatched=False,
+        not_matched_by_source_delete="t.v > NULL",  # NULL -> keep everything
+    )
+    assert read_txn(spark, root).count() == 5
+
+    # WITH the BY SOURCE clause: every file is rewritten (no per-file stat
+    # can prove source ABSENCE), and unmatched low-v targets purge
+    files_pre = set(snapshot(root).files)
+    merge_when_txn(
+        spark,
+        spark.createDataFrame([(11, "U", 1111)], "id long, op string, nv long"),
+        root, on="id",
+        matched_update={"v": "s.nv"},
+        not_matched_by_source_delete="t.v < 100",
+    )
+    assert not (files_pre & set(snapshot(root).files))  # full rewrite
+    got = {r.id: r.v for r in read_txn(spark, root).collect()}
+    # 10 purged (50 < 100); 1 survives exactly at the boundary (100 !< 100)
+    assert got == {1: 100, 2: 999, 7: 700, 11: 1111}, got
+
+    # empty source: no-op without the BY SOURCE clause (version unchanged)
+    v = snapshot(root).version
+    merge_when_txn(
+        spark,
+        spark.createDataFrame([], "id long, op string, nv long"),
+        root, on="id", matched_update={"v": "s.nv"},
+    )
+    assert snapshot(root).version == v
+    # ... but WITH it, the purge still applies
+    merge_when_txn(
+        spark,
+        spark.createDataFrame([], "id long, op string, nv long"),
+        root, on="id", not_matched_by_source_delete="t.v >= 1000",
+    )
+    assert {r.id for r in read_txn(spark, root).collect()} == {1, 2, 7}
+
+    # loud validation: unknown UPDATE / INSERT columns
+    with pytest.raises(ValueError, match="UPDATE SET"):
+        merge_when_txn(spark, src, root, on="id", matched_update={"nope": "1"})
+    with pytest.raises(ValueError, match="INSERT maps"):
+        merge_when_txn(spark, src, root, on="id", unmatched_insert={"nope": "1"})
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_clone_dv_dml_attaches,
     _sc_vacuum_vs_time_travel_safety,
     _sc_generated_columns,
     _sc_ndv_sketch_stats,
+    _sc_merge_when_full_grammar,
     _sc_replace_where_atomic_backfill,
     _sc_model_based_random_ops,
     _sc_check_constraints_enforced_in_pass,
