@@ -869,12 +869,34 @@ def _compute_blooms(
             .collect()
         )
         mk = {c: (m, k) for c, m, k in use}
+        # the scan's __f is a BASENAME while `out` is keyed by the item
+        # rel path — on a SHALLOW CLONE the rel is a traversal path
+        # ('../src/part-x.parquet'), so keying by basename directly would
+        # miss (the same coordinate mismatch _applies_rels fixes for DV
+        # attachment; ADVICE r10 medium).  uuid-named staging makes
+        # basenames unique; assert rather than silently overwrite.
+        rel_of = _basename_rel_map(rels)
         for r in rows:
             m, k = mk[r["c"]]
-            out[r["__f"]][r["c"]] = {
+            out[rel_of[r["__f"]]][r["c"]] = {
                 "m": m, "k": k, "b64": _bloom_pack(r["bits"], m)
             }
     return out
+
+
+def _basename_rel_map(rels) -> dict[str, str]:
+    """basename -> rel-path map for a live-set file list; LOUD on a
+    basename collision (impossible for uuid-staged files, but a silent
+    overwrite here would attach one file's statistics to another)."""
+    rel_of: dict[str, str] = {}
+    for rel in rels:
+        b = os.path.basename(rel)
+        if b in rel_of and rel_of[b] != rel:
+            raise ValueError(
+                f"basename collision in live set: {rel_of[b]!r} vs {rel!r}"
+            )
+        rel_of[b] = rel
+    return rel_of
 
 
 def _bloom_probe_bits(spark: SparkSession, schema, probes) -> dict:
@@ -1052,8 +1074,15 @@ def _compute_ndv_sketches(
             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
             .collect()
         )
+        # basename -> rel remap: on a shallow clone the items carry
+        # traversal rel paths while __f is the basename (same coordinate
+        # fix as _compute_blooms / _applies_rels; ADVICE r10 medium —
+        # set_ndv_txn(backfill=True) on a clone raised KeyError here).
+        rel_of = _basename_rel_map(rels)
         for r in rows:
-            out[r["__f"]][r["c"]] = [int(h) for h in r["hs"][: kmax[r["c"]]]]
+            out[rel_of[r["__f"]]][r["c"]] = [
+                int(h) for h in r["hs"][: kmax[r["c"]]]
+            ]
     return out
 
 
@@ -1555,6 +1584,22 @@ def set_ndv_txn(
         if int(k) < 8:
             raise ValueError(f"ndv sketch for {c!r} needs k >= 8 (got {k})")
         norm[c] = int(k)
+    # RAISING a column's k without a backfill would silently BIAS the
+    # estimator (ADVICE r10 low): files sketched under the old smaller k
+    # were truncated there, so bottom-k_new of the union is no longer
+    # guaranteed to equal the global bottom-k_new (the KMV union property
+    # the estimate depends on) — a plausible-looking wrong number.
+    # Lowering k is always sound (bottom-k' ⊆ the recorded bottom-k).
+    old_spec = dict(snap.ndv_spec)
+    k_raised = sorted(
+        c for c, k in norm.items() if c in old_spec and k > old_spec[c]
+    )
+    if k_raised and not backfill and snap.files:
+        raise ValueError(
+            f"raising k for sketched column(s) {k_raised} requires "
+            "backfill=True: existing per-file sketches were truncated at "
+            "the old k, so estimates under the larger k would be biased"
+        )
     merged = {c: k for c, k in snap.ndv_spec}
     merged.update(norm)
     pairs = tuple(sorted(norm.items()))
@@ -1939,6 +1984,61 @@ def _merge_touched_indices(
     return sorted(touched)
 
 
+def _guard_ambiguous_merge_source(
+    spark: SparkSession, source: DataFrame, snap, keys: list[str],
+    touched: list[int], want, root: str,
+) -> None:
+    """Raise when MULTIPLE source rows would match ONE target row — the
+    Delta ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`` contract
+    (ADVICE r10 / VERDICT r10 #1).  Without it the upsert's union lands
+    duplicate keys and ``merge_when_txn``'s left join silently FANS OUT
+    the matched target row (two updated copies survive the commit) — a
+    correctness violation on a legal CDC input (late + early version of
+    the same key in one batch).
+
+    Cost shape: the common (unique-key) case is ONE tiny aggregation over
+    the already-localCheckpointed source — no target I/O.  Only when the
+    source actually carries duplicate keys does the probe scan, and then
+    only the already-file-pruned touched set, semi-joined against the
+    broadcast duplicate-key list with ``limit(1)``.  Rows with a NULL in
+    any join key never match a target (MERGE equi-join semantics), so
+    they are excluded; duplicate keys that match NO target row are
+    Delta-legal (each inserts) and pass."""
+    from pyspark.sql import functions as F
+
+    if not touched:
+        return
+    dup = (
+        source.na.drop(subset=keys)
+        .groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .drop("count")
+    )
+    if dup.isEmpty():
+        return
+    hit = (
+        _scan_files(
+            spark,
+            [
+                (snap.files[i], snap.file_schemas[i], snap.file_dvs[i])
+                for i in touched
+            ],
+            want,
+            root=root,
+        )
+        .join(F.broadcast(dup), on=keys, how="left_semi")
+        .limit(1)
+    )
+    if not hit.isEmpty():
+        raise ValueError(
+            "MERGE: multiple source rows matched the same target row "
+            f"(duplicate join key(s) on {keys} in the source); a target row "
+            "can only be modified by one source row — deduplicate the CDC "
+            "batch first (e.g. keep the latest version per key)"
+        )
+
+
 def merge_txn(
     spark: SparkSession, source: DataFrame, root: str, on: list[str] | str,
     evolve_schema: bool = False,
@@ -1964,7 +2064,13 @@ def merge_txn(
     ``evolve_schema=True`` opts into Delta's automatic schema evolution
     instead: the new columns extend the table schema, untouched files
     surface NULL for them by the additive-evolution read rule — no
-    rewrite of anything the merge wasn't touching anyway."""
+    rewrite of anything the merge wasn't touching anyway.
+
+    AMBIGUOUS sources are LOUD (Delta parity): if two source rows carry
+    the same join key AND that key matches a target row, the merge
+    raises instead of landing both copies — see
+    :func:`_guard_ambiguous_merge_source`.  Duplicate keys that match
+    nothing insert as-is, exactly like Delta's INSERT clause."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1994,6 +2100,7 @@ def merge_txn(
     # the anti-join: materialize it once
     source = source.localCheckpoint(eager=True)
     touched = _merge_touched_indices(spark, source, snap, keys)
+    _guard_ambiguous_merge_source(spark, source, snap, keys, touched, want, root)
     survivors = _scan_files(
         spark,
         [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],
@@ -2049,7 +2156,12 @@ def merge_when_txn(
     OCC; constraints/blooms/NDV sketches validate and compute in the
     single staging pass; the change feed reports removes+adds as the
     full logical diff.  Returns the committed version (the current one
-    when nothing could change: empty source, no BY SOURCE clause)."""
+    when nothing could change: empty source, no BY SOURCE clause).
+
+    AMBIGUOUS sources are LOUD (Delta parity): two source rows with the
+    same join key matching one target row would FAN OUT the left join —
+    the guard raises before anything is staged; see
+    :func:`_guard_ambiguous_merge_source`."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2066,6 +2178,7 @@ def merge_when_txn(
         touched = list(range(len(snap.files)))  # full scan, see docstring
     else:
         touched = sorted(_merge_touched_indices(spark, source, snap, keys))
+    _guard_ambiguous_merge_source(spark, source, snap, keys, touched, want, root)
     t = _scan_files(
         spark,
         [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],

@@ -16,6 +16,7 @@ the stream rollup omits unique_users (the batch twin provides it).
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import uuid
 
@@ -91,6 +92,44 @@ GROUP BY CAST(date_trunc('week', ts) AS DATE), event_type
 _drain_conf_lock = threading.Lock()
 _drain_conf_depth = [0]
 _drain_conf_prev: list[str | None] = [None]
+
+# Reference-counted watermark-policy pin for MULTI-WATERMARK drains
+# (ADVICE r10 / VERDICT r10 #3).  multipleWatermarkPolicy is session-global
+# on a shared SparkSession, and the pooled parity/scenario siblings drain
+# concurrently — a plain set/restore around one drain both leaks the 'max'
+# override into other multi-watermark drains mid-flight (policy=max is only
+# safe for symmetric same-source topologies) and races the restore (ABA:
+# a concurrent unpin clobbers the override mid-drain).  Pinning is instead
+# a condition-guarded refcount: same-policy pins nest, a CONFLICTING pin
+# WAITS until the active one drains out (pins last one availableNow drain,
+# seconds), and only the last pin out restores the caller's value.
+_WM_POLICY_CONF = "spark.sql.streaming.multipleWatermarkPolicy"
+_wm_cond = threading.Condition()
+_wm_state: dict = {"policy": None, "depth": 0, "prev": None}
+
+
+@contextlib.contextmanager
+def _pinned_watermark_policy(spark: SparkSession, policy: str):
+    """Hold ``multipleWatermarkPolicy=policy`` for the block; see the
+    _wm_state comment for the concurrency contract."""
+    with _wm_cond:
+        while _wm_state["depth"] > 0 and _wm_state["policy"] != policy:
+            _wm_cond.wait(timeout=600)
+        if _wm_state["depth"] == 0:
+            _wm_state["prev"] = spark.conf.get(_WM_POLICY_CONF, "min")
+            _wm_state["policy"] = policy
+            spark.conf.set(_WM_POLICY_CONF, policy)
+        _wm_state["depth"] += 1
+    try:
+        yield
+    finally:
+        with _wm_cond:
+            _wm_state["depth"] -= 1
+            if _wm_state["depth"] == 0:
+                spark.conf.set(_WM_POLICY_CONF, _wm_state["prev"])
+                _wm_state["policy"] = None
+                _wm_state["prev"] = None
+                _wm_cond.notify_all()
 
 
 def run_stream_to_memory(
@@ -440,13 +479,19 @@ def purchase_attribution_stream(
 
 
 def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harness entry: stream-stream attribution join drained to batch."""
+    """Harness entry: stream-stream attribution join drained to batch.
+
+    The drain PINS ``multipleWatermarkPolicy=min`` (the default, and this
+    inner join's documented contract) so a concurrently draining
+    max-pinned query (``stream_purchase_attribution_outer``) can never
+    leak ``max`` into this query's start — conflicting pins serialize."""
     ev = stream_events(spark, sf_dir)
-    return run_stream_to_memory(
-        purchase_attribution_stream(ev),
-        output_mode="append",
-        shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
-    )
+    with _pinned_watermark_policy(spark, "min"):
+        return run_stream_to_memory(
+            purchase_attribution_stream(ev),
+            output_mode="append",
+            shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+        )
 
 
 STREAM_ATTRIBUTION_SQL = """
@@ -494,8 +539,10 @@ def stream_purchase_attribution_outer(
     advances the global watermark past the REAL data's max − delay — the
     tick batches raise one operator's stat while the min stays pinned at
     the batch-0 value, and ~half the orphans never emit.  The drain
-    therefore pins ``multipleWatermarkPolicy=max`` FOR THIS QUERY
-    (captured at query start; restored after): with both sides reading
+    therefore pins ``multipleWatermarkPolicy=max`` FOR THIS QUERY via the
+    refcounted ``_pinned_watermark_policy`` (conflicting concurrent pins
+    wait; the last pin out restores the caller's value — exception-safe,
+    no ABA clobber): with both sides reading
     the SAME files in the SAME micro-batches, neither side can run ahead
     of the other's data, so max and min are semantically identical here —
     no real row can be late-dropped — and max actually propagates the
@@ -509,8 +556,6 @@ def stream_purchase_attribution_outer(
     )
     row = ev.agg(F.max("ts").alias("m")).first()
     base = tempfile.mkdtemp(prefix=f"stream_outer_{os.getpid()}_")
-    _WM_POLICY = "spark.sql.streaming.multipleWatermarkPolicy"
-    prev_policy = spark.conf.get(_WM_POLICY, "min")
     try:
         ev.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(base, "b0")
@@ -601,14 +646,14 @@ def stream_purchase_attribution_outer(
             .filter(F.col("purchase_id") >= 0)
             .select("user_id", "purchase_id", "click_id")
         )
-        spark.conf.set(_WM_POLICY, "max")  # see Engine note above
-        return run_stream_to_memory(
-            joined,
-            output_mode="append",
-            shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
-        )
+        # see Engine note above; refcounted pin, conflicting drains wait
+        with _pinned_watermark_policy(spark, "max"):
+            return run_stream_to_memory(
+                joined,
+                output_mode="append",
+                shuffle_partitions=_DRAIN_SHUFFLE_PARTITIONS,
+            )
     finally:
-        spark.conf.set(_WM_POLICY, prev_policy)
         # the drain has fully materialized into the memory sink by the
         # time run_stream_to_memory returns; the staged dir can go
         shutil.rmtree(base, ignore_errors=True)

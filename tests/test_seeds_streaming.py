@@ -601,3 +601,60 @@ def test_json_quarantine_routes_malformed_rows(spark, tmp_path):
     bad = [r["raw_record"] for r in quarantine.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
     release()  # the shared parse cache must be releasable after consumption
+
+
+def test_watermark_policy_pin_refcounts_and_excludes(spark):
+    """ADVICE r10 / VERDICT r10 #3: the multipleWatermarkPolicy pin used
+    by the outer-attribution drain is a condition-guarded REFCOUNT, not a
+    plain set/restore — a conflicting concurrent pin WAITS (it can never
+    observe the other policy at its query start), nesting the same policy
+    is re-entrant, the exception path restores, and the last pin out puts
+    the caller's value back (no ABA clobber)."""
+    import threading
+    import time
+
+    import pytest
+
+    from dbt_trill_shop_spark.streaming import events as ev
+
+    prev = spark.conf.get(ev._WM_POLICY_CONF, "min")
+    order = []
+    inside_max = threading.Event()
+
+    def holder():
+        with ev._pinned_watermark_policy(spark, "max"):
+            order.append(("max-in", spark.conf.get(ev._WM_POLICY_CONF)))
+            inside_max.set()
+            time.sleep(0.8)  # conflicting pin below must wait this out
+            order.append(("max-out", spark.conf.get(ev._WM_POLICY_CONF)))
+
+    def conflicting():
+        inside_max.wait(timeout=30)
+        with ev._pinned_watermark_policy(spark, "min"):
+            order.append(("min-in", spark.conf.get(ev._WM_POLICY_CONF)))
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=conflicting)
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert order == [
+        ("max-in", "max"), ("max-out", "max"), ("min-in", "min")
+    ], order
+    assert spark.conf.get(ev._WM_POLICY_CONF, "min") == prev
+    assert ev._wm_state["depth"] == 0
+
+    # same-policy pins nest (no deadlock, inner sees the pinned value)
+    with ev._pinned_watermark_policy(spark, "max"):
+        with ev._pinned_watermark_policy(spark, "max"):
+            assert spark.conf.get(ev._WM_POLICY_CONF) == "max"
+        assert spark.conf.get(ev._WM_POLICY_CONF) == "max"  # not restored yet
+    assert spark.conf.get(ev._WM_POLICY_CONF, "min") == prev
+
+    # the exception path restores too
+    with pytest.raises(RuntimeError, match="boom"):
+        with ev._pinned_watermark_policy(spark, "max"):
+            raise RuntimeError("boom")
+    assert spark.conf.get(ev._WM_POLICY_CONF, "min") == prev
+    assert ev._wm_state == {"policy": None, "depth": 0, "prev": None}

@@ -1824,8 +1824,17 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
         **ROUND11_STAGED,
     }
+    from dbt_trill_shop_spark.streaming import events as _ev
+
+    policy_before = spark.conf.get(_ev._WM_POLICY_CONF, "min")
     with ThreadPoolExecutor(max_workers=3) as ex:
         list(ex.map(one, every.items()))
+    # VERDICT r10 #4: s_stream_attribution_outer's multipleWatermarkPolicy
+    # pin (policy=max, safe only for its symmetric topology) must not LEAK
+    # past its drain — the refcount must be fully unwound and the session
+    # value restored, even with the parity drains running concurrently
+    assert _ev._wm_state["depth"] == 0, _ev._wm_state
+    assert spark.conf.get(_ev._WM_POLICY_CONF, "min") == policy_before
     # the staged DV query's story depends on merge-on-read: the delete
     # commit must leave the data file set byte-identical
     import dbt_trill_shop_spark.sources.txn_table as _tt
@@ -2288,8 +2297,122 @@ def _sc_merge_when_full_grammar(spark, base):
         merge_when_txn(spark, src, root, on="id", unmatched_insert={"nope": "1"})
 
 
+def _sc_merge_rejects_ambiguous_source(spark, base):
+    """ADVICE r10 / VERDICT r10 #1: a CDC batch carrying TWO rows for one
+    join key that matches a target row must raise (Delta's
+    multiple-source-rows-matched error) in BOTH merge paths — before the
+    guard, merge_txn landed both copies and merge_when_txn's left join
+    fanned the matched target row out into two updated survivors.
+    Duplicate keys that match NO target row stay Delta-legal (each
+    inserts), and NULL join keys never match, so all-NULL dups insert."""
+    from dbt_trill_shop_spark.sources.txn_table import merge_when_txn
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 6).coalesce(1), root)
+    v = snapshot(root).version
+
+    dup_matched = spark.createDataFrame(
+        [(3, 31), (3, 32), (9, 90)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_txn(spark, dup_matched, root, on="id")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_when_txn(spark, dup_matched, root, on="id", matched_update={"v": "s.v"})
+    # ... including the table-wide BY SOURCE path (touched = all files)
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_when_txn(
+            spark, dup_matched, root, on="id",
+            matched_update={"v": "s.v"},
+            not_matched_by_source_delete="t.v < 0",
+        )
+    assert snapshot(root).version == v  # nothing staged, nothing committed
+    assert not [f for f in os.listdir(root) if f.startswith("_staging_")]
+
+    # duplicate UNMATCHED keys are Delta-legal: both rows insert
+    dup_unmatched = spark.createDataFrame(
+        [(100, 1), (100, 2), (3, 33)], "id long, v long"
+    )
+    merge_txn(spark, dup_unmatched, root, on="id")
+    got = sorted(
+        (r.id, r.v) for r in read_txn(spark, root).filter("id >= 100 OR id = 3").collect()
+    )
+    assert got == [(3, 33), (100, 1), (100, 2)], got
+
+    # NULL join keys never match a target: all-NULL dups pass and insert
+    dup_null = spark.createDataFrame([(None, 7), (None, 8)], "id long, v long")
+    merge_when_txn(spark, dup_null, root, on="id")
+    assert read_txn(spark, root).filter("id IS NULL").count() == 2
+
+    # multi-key: duplicate on (id, tag) matching one target row raises
+    root2 = os.path.join(base, "t2")
+    write_txn(_df(spark, 0, 4, extra="a"), root2)
+    src = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 11)], "id long, tag string, v long"
+    ).select("id", "v", "tag")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_txn(spark, src, root2, on=["id", "tag"])
+    # same key pair duplicated but matching nothing: inserts both
+    src2 = spark.createDataFrame(
+        [(1, "zz", 10), (1, "zz", 11)], "id long, tag string, v long"
+    ).select("id", "v", "tag")
+    merge_txn(spark, src2, root2, on=["id", "tag"])
+    assert read_txn(spark, root2).filter("tag = 'zz'").count() == 2
+
+
+def _sc_stats_backfill_on_clone(spark, base):
+    """ADVICE r10 (medium): statistics BACKFILL on a SHALLOW CLONE — the
+    clone's live set is keyed by traversal rel paths
+    ('../src/part-x.parquet') while the compute jobs' _metadata.file_path
+    yields basenames; before the basename->rel remap,
+    set_ndv_txn(backfill=True) crashed with KeyError and
+    set_bloom_txn(backfill=True) silently attached NOTHING (the same
+    coordinate defect _applies_rels fixed for DV attachment).  Also pins
+    the k-RAISE contract (ADVICE r10 low): growing a sketched column's k
+    without backfill would bias the estimator, so it is loud."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, ndv_estimate_txn, set_bloom_txn, set_ndv_txn,
+    )
+
+    src = os.path.join(base, "src")
+    # key hash-scattered across 3 files: every file's [min, max] spans the
+    # domain, so only an ATTACHED bloom can prune a point lookup
+    write_txn(
+        spark.range(0, 3000)
+        .selectExpr("id * 7919 % 100000 as k", "id % 7 as u")
+        .repartition(3),
+        src,
+    )
+    dst = os.path.join(base, "dst")
+    clone_txn(src, dst)
+
+    # clone-then-backfill: crashed (KeyError) before the remap
+    set_ndv_txn(spark, dst, {"u": 64}, backfill=True)
+    assert ndv_estimate_txn(dst) == {"u": 7}  # below k: exact
+
+    # bloom backfill on the clone: the bitsets must ATTACH; before the fix
+    # they were silently dropped and the point lookup opened all 3 files
+    assert len(tt._keep_files(spark, snapshot(dst), {"k": (7919, 7919)})) == 3
+    set_bloom_txn(spark, dst, {"k": 16384}, backfill=True)
+    got = read_txn(spark, dst, where="k = 7919")
+    assert [(r.k, r.u) for r in got.collect()] == [(7919, 1)]
+    assert len(got.inputFiles()) <= 2, got.inputFiles()  # bloom pruned
+
+    # k-raise without backfill: loud (biased estimates otherwise)
+    with pytest.raises(ValueError, match="backfill"):
+        set_ndv_txn(spark, dst, {"u": 128}, backfill=False)
+    # with backfill: legal, re-sketched at the new k, estimate intact
+    set_ndv_txn(spark, dst, {"u": 128}, backfill=True)
+    assert ndv_estimate_txn(dst) == {"u": 7}
+    # lowering k never needs a backfill (bottom-k' ⊆ recorded bottom-k)
+    set_ndv_txn(spark, dst, {"u": 64}, backfill=False)
+    assert ndv_estimate_txn(dst) == {"u": 7}
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_merge_rejects_ambiguous_source,
+    _sc_stats_backfill_on_clone,
     _sc_clone_dv_dml_attaches,
     _sc_vacuum_vs_time_travel_safety,
     _sc_generated_columns,
