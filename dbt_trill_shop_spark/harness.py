@@ -2519,6 +2519,17 @@ QUERIES: dict[str, QuerySpec] = {
     "x_cdf_reembed": QuerySpec(TD.txn_cdf_reembed, TD.TXN_CDF_REEMBED_SQL),
     # RAG parent-document retrieval (child-chunk hits -> parent contexts)
     "x_parent_retrieval": QuerySpec(TD._parent_retrieval, TD._parent_retrieval_sql()),
+    # --- round-11 additions: the staged wave (VERDICT r10 #1) --------------
+    # generated columns, log-resident NDV stats, KMV sketch overlap, ColBERT
+    # MaxSim rerank, semi-hard negative mining, bounded-state streaming KMV,
+    # PRF query expansion, Spark 4 recursive CTE, left-outer stream-stream
+    # attribution, PSI drift monitor, and the full MERGE grammar — the
+    # (fn, oracle) pairs come from the named staging dict the pooled parity
+    # scenario and the degenerate sweep have exercised since round 10.
+    **{
+        name: QuerySpec(fn, sql)
+        for name, (fn, sql) in TD.ROUND11_STAGED.items()
+    },
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -3080,7 +3091,57 @@ _ROUND10_OLDEST_REVERIFY = [
 
 _ROUND10_WINDOW = _ROUND10_NEW + _ROUND10_OLDEST_REVERIFY
 
-_front = _REFERENCE_MODELS + _ROUND10_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r10 (all 50 green).
+_DRIVER_VERIFIED_R10 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND10_WINDOW)
+
+# Round-11 window, block 1: the ELEVEN round-10-staged queries (VERDICT r10
+# #1) in staging order — generated columns, NDV stats, sketch overlap,
+# MaxSim rerank, semi-hard negatives, streaming KMV, PRF expansion,
+# recursive CTE, left-outer streaming attribution, PSI drift, full MERGE
+# grammar.  All carried DuckDB oracles, plan-audit-clean plans, degenerate
+# sweeps, and pooled-scenario coverage before registering.
+_ROUND11_NEW = [
+    "q_txn_generated_cols", "q_txn_ndv_stats", "q_txn_sketch_overlap",
+    "x_maxsim_rerank", "x_semihard_negatives", "s_stream_kmv_users",
+    "x_prf_expansion", "q_recursive_hierarchy", "s_stream_attribution_outer",
+    "x_psi_drift", "q_txn_merge_when",
+]
+
+# Block 2: the vintage-tail rotation (VERDICT r10 #3) — ALL 24 remaining
+# round-3 vintages (named in the round-10 comment above), then 8
+# structurally diverse round-4 vintages (streaming sketches, the two
+# end-to-end pipeline composites, analytic staples, LSH vector search,
+# decimal-discipline revenue).  The 32 remaining r4 vintages rotate in the
+# round-12 window: q_blocking_suppliers, q_bloom_prefilter,
+# q_brand_suppliers, q_custdist, q_disjunctive_revenue,
+# q_dominant_suppliers, q_hll_users, q_holt_forecast,
+# q_idle_rich_customers, q_important_parts, q_late_shipments,
+# q_order_priority_counts, q_promo_revenue, q_record_linkage,
+# q_retention_cohorts, q_small_qty_revenue, q_top_supplier,
+# s_stream_countmin, s_stream_ewma, s_stream_pysource,
+# s_stream_segment_rollup, s_stream_sliding_rollup, x_cdc_chunks,
+# x_cluster_sample, x_coverage_select, x_embedding_dim_stats, x_hash_split,
+# x_importance_weights, x_soft_dedup, x_source_divergence,
+# x_training_order, x_upsample_realize.
+_ROUND11_OLDEST_REVERIFY = [
+    # r3 vintage (all 24)
+    "x_bm25_search", "x_boilerplate_strip", "x_bpe_merges", "x_bpe_segment",
+    "x_curriculum_order", "x_filter_funnel", "x_hashed_knn",
+    "x_ivfpq_residual", "x_l2_topk", "x_matryoshka_topk", "x_minhash_audit",
+    "x_mixture_plan", "x_mmr_topk", "x_neardup_minhash",
+    "x_neardup_minhash_checked", "x_simhash_checked", "x_source_caps",
+    "x_sq8_topk", "x_stratified_exact_n", "x_substring_contam",
+    "x_temperature_mix", "x_token_budget_select", "x_weighted_jaccard",
+    "x_winnowing",
+    # r4 vintage (8 of 40)
+    "s_stream_hll", "s_stream_drift", "x_rag_pipeline",
+    "x_curation_pipeline_v2", "q_window_funnel", "q_markov_stationary",
+    "x_knn_lsh", "q_decimal_revenue",
+]
+
+_ROUND11_WINDOW = _ROUND11_NEW + _ROUND11_OLDEST_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND11_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
@@ -3088,8 +3149,8 @@ assert len(_front) == len(set(_front)) == 50, len(_front)
 _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
-    | _DRIVER_VERIFIED_R08 | _DRIVER_VERIFIED_R09
-) - set(_ROUND10_WINDOW)
+    | _DRIVER_VERIFIED_R08 | _DRIVER_VERIFIED_R09 | _DRIVER_VERIFIED_R10
+) - set(_ROUND11_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
 # Window accounting: with the round-10 window in place, every query outside

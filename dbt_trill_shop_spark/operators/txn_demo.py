@@ -1451,6 +1451,169 @@ def _semihard_negatives_sql() -> str:
     return SEMIHARD_NEGATIVES_SQL_TEMPLATE.format(num_anchors=8, k_negatives=5, dim=32)
 
 
+def txn_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED txn table (staged r12): orders land
+    PARTITIONED BY order year — partition tuples live in the LOG (flat
+    uuid file names, the Delta add.partitionValues design), so the
+    ``o_year >= 1996`` scan prunes every other year's files from pure log
+    arithmetic before any I/O, including the NULL partition (two injected
+    NULL-year rows land under ``__HIVE_DEFAULT_PARTITION__`` and are
+    provably excluded by any interval).  The pooled scenario plan-asserts
+    the strict-subset inputFiles contract; this query returns the
+    partition-banded aggregate plain SQL reproduces."""
+    from ..sources.txn_table import snapshot as _snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    nulls = spark.createDataFrame(
+        [(-1, None, 0), (-2, None, 100)], "o_orderkey long, o_year int, cents long"
+    )
+    root = _tmp_root("partprune")
+    write_txn(
+        orders.unionByName(nulls).repartition(4), root, partition_by=["o_year"]
+    )
+    # every live file must carry its partition tuple in the log
+    assert all(
+        "__pv" in st for st in _snap(root).file_stats
+    ), "partition tuples missing from the log"
+    got = read_txn(spark, root, where="o_year >= 1996")
+    return (
+        got.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TXN_PARTITIONED_SQL = """
+WITH src AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_year, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM src
+WHERE o_year >= 1996
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def txn_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (staged r12): events land PARTITIONED
+    BY event_type; ONE ``overwrite_partitions`` commit then replaces
+    exactly the partitions present in the batch — the recomputed
+    ``purchase`` partition (cents doubled) swaps atomically, a brand-new
+    ``synthetic`` partition lands, and every other event type's files
+    survive BY PATH (metadata-only removes for the replaced partition;
+    the pooled scenario asserts the survivor paths).  This is the daily
+    recompute-one-day-and-swap at 100 TB: cost ∝ the recomputed
+    partition, never the table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("dynover")
+    write_txn(ev.repartition(4), root, partition_by=["event_type"])
+    batch = (
+        ev.filter("event_type = 'purchase'")
+        .withColumn("cents", (F.col("cents") * 2).cast("bigint"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "synthetic", 12345)],
+                "event_id long, event_type string, cents long",
+            )
+        )
+    )
+    write_txn(batch, root, mode="overwrite_partitions")
+    return (
+        read_txn(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TXN_DYNAMIC_OVERWRITE_SQL = """
+WITH src AS (
+    SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+final AS (
+    SELECT event_type, cents FROM src WHERE event_type <> 'purchase'
+    UNION ALL
+    SELECT event_type, cents * 2 FROM src WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'synthetic', 12345
+)
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def txn_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition statistics from the LOG ALONE (staged r12): row
+    counts per order-year partition derived purely from the committed
+    add-actions' ``__pv`` (partition tuple) and ``__nulls`` (per-column
+    [null, total] counts) stats — ZERO data-file opens, the
+    SHOW PARTITIONS / partition-level ANALYZE a planner wants at 100 TB
+    for O(files) metadata instead of a table scan.  The driver-side loop
+    is over file STATS (metadata-sized by construction), never rows; the
+    oracle recomputes the same counts the slow way, by scanning."""
+    from collections import Counter
+
+    from ..sources.txn_table import snapshot as _snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = _tmp_root("partstats")
+    write_txn(orders.repartition(4), root, partition_by=["o_year"])
+    counts: Counter = Counter()
+    for st in _snap(root).file_stats:
+        pv = st["__pv"]
+        nulls = st.get("__nulls") or {}
+        n_rows = max((t for _n, t in nulls.values()), default=0)
+        counts[int(pv["o_year"])] += n_rows
+    return spark.createDataFrame(
+        sorted(counts.items()), "o_year bigint, n_orders bigint"
+    ).orderBy("o_year")
+
+
+TXN_PARTITION_STATS_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# Staged for the round-12 window (the round-11 registry freezes at 320):
+# the partitioned-table wave — creation-time PARTITIONED BY with
+# log-resident partition tuples, exact pruning, dynamic partition
+# overwrite, and zero-I/O partition statistics.
+ROUND12_STAGED: dict = {
+    "q_txn_partitioned_prune": (txn_partitioned_prune, TXN_PARTITIONED_SQL),
+    "q_txn_dynamic_overwrite": (txn_dynamic_overwrite, TXN_DYNAMIC_OVERWRITE_SQL),
+    "q_txn_partition_stats": (txn_partition_stats, TXN_PARTITION_STATS_SQL),
+}
+
+
 # Staged for the round-11 window (the round-10 registry is frozen at 309):
 # parity-tested alongside the registered queries by the pooled scenario,
 # degenerate-swept by the empty-sweep sibling.

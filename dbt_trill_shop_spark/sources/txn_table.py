@@ -84,6 +84,7 @@ class Snapshot:
     root: str = ""  # the table root this snapshot folded from (sidecar base)
     generated: tuple[tuple[str, str], ...] = ()  # (col, generation expr) sorted
     ndv_spec: tuple[tuple[str, int], ...] = ()  # (col, k sketch size) sorted
+    partition_cols: tuple[str, ...] = ()  # creation-time PARTITIONED BY, ordered
 
 
 def _log_dir(root: str) -> str:
@@ -212,6 +213,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "dropped": list(snap.dropped),
         "generated": dict(snap.generated),
         "ndv": {c: k for c, k in snap.ndv_spec},
+        "partition": list(snap.partition_cols),
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -236,6 +238,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     dropped: list[str] = []
     generated: dict[str, str] = {}
     ndv: dict[str, int] = {}
+    partition: list[str] = []
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -250,6 +253,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         dropped = list(ckpt.get("dropped", []))
         generated = dict(ckpt.get("generated", {}))
         ndv = dict(ckpt.get("ndv", {}))
+        partition = list(ckpt.get("partition", []))
     for v in versions:
         if v < start:
             continue
@@ -279,6 +283,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             generated = dict(e["generated"])
         if "ndv" in e:  # ndv-sketch-spec-changing commits carry the map
             ndv = dict(e["ndv"])
+        if "partition" in e:  # set once, at creation (or clone creation)
+            partition = list(e["partition"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -293,6 +299,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         root=root,
         generated=tuple(sorted(generated.items())),
         ndv_spec=tuple(sorted((c, int(k)) for c, k in ndv.items())),
+        partition_cols=tuple(partition),
     )
 
 
@@ -421,6 +428,13 @@ def _prune_from_predicate(predicate: str) -> dict:
     s = re.sub(
         ident0 + r"\s+IS\s+(NOT\s+)?NULL", _take_null, s, flags=re.IGNORECASE
     )
+    # DATE '...' literals contribute their ISO string as the bound: both
+    # footer stats and partition-value stats record dates STRINGIFIED in
+    # ISO form, which orders exactly like the dates themselves, so
+    # `d >= DATE'2024-01-02'` prunes as the plain string comparison.
+    # (TIMESTAMP literals are deliberately not rewritten: their footer
+    # string form is engine-formatted and not reliably comparable.)
+    s = re.sub(r"\bDATE\s*(\x00\d+\x00)", r"\1", s, flags=re.IGNORECASE)
     if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bCASE\b", s, re.IGNORECASE):
         return {}
     lit = r"(\x00\d+\x00|-?\d+(?:\.\d+)?)"
@@ -553,13 +567,16 @@ def _scan_files(
                 "__pos", F.lit(None).cast("bigint")
             )
         return df
-    groups: dict[str, tuple[list, set]] = {}
+    groups: dict[str, tuple[list, set, dict]] = {}
     for item in files_with_schemas:
         path, sj = item[0], item[1]
         dvs = tuple(item[2]) if len(item) > 2 else ()
-        g = groups.setdefault(sj, ([], set()))
+        pv = item[3] if len(item) > 3 else None
+        g = groups.setdefault(sj, ([], set(), {}))
         g[0].append(path)
         g[1].update(dvs)
+        if pv:
+            g[2][os.path.basename(path)] = pv
     # COALESCE schema generations (VERDICT r8 #2, low): a long-lived table
     # accrues one commit-time schema per additive evolution; one scan group
     # per generation builds an O(generations) left-deep union plan.  Spark's
@@ -570,12 +587,13 @@ def _scan_files(
     # one-sided fields nullable).  The plan is then O(distinct
     # type-conflicting generations): one group in the common case.  Type
     # mismatches (heterogeneous RESTORE history) keep separate groups.
-    buckets: list[tuple[dict, list, set]] = []  # ({name: field}, paths, dvs)
-    for sj, (paths, dvs) in groups.items():
+    # ({name: field}, paths, dvs, {basename: pv})
+    buckets: list[tuple[dict, list, set, dict]] = []
+    for sj, (paths, dvs, pvs) in groups.items():
         fields = {
             f["name"]: f for f in json.loads(sj)["fields"]
         }
-        for bfields, bpaths, bdvs in buckets:
+        for bfields, bpaths, bdvs, bpvs in buckets:
             if any(
                 n in bfields and bfields[n]["type"] != f["type"]
                 for n, f in fields.items()
@@ -592,16 +610,26 @@ def _scan_files(
                     bfields[n] = {**bfields[n], "nullable": True}
             bpaths.extend(paths)
             bdvs.update(dvs)
+            bpvs.update(pvs)
             break
         else:
-            buckets.append((dict(fields), list(paths), set(dvs)))
+            buckets.append((dict(fields), list(paths), set(dvs), dict(pvs)))
     df = None
-    for bfields, paths, dvs in buckets:
+    for bfields, paths, dvs, pvs in buckets:
+        # PARTITION columns live in metadata, not in the data bytes: read
+        # the physical fields only, then reattach the values per file via
+        # ONE broadcast (basename -> partition tuple) metadata join — the
+        # scan stays a single node however many partitions it spans, and
+        # the map is file-count-sized, never data-sized.
+        pv_cols = sorted({c for pv in pvs.values() for c in pv})
         schema = StructType.fromJson(
-            {"type": "struct", "fields": list(bfields.values())}
+            {
+                "type": "struct",
+                "fields": [f for n, f in bfields.items() if n not in pv_cols],
+            }
         )
         part = spark.read.schema(schema).parquet(*paths)
-        if dvs or keep_pos:
+        if dvs or keep_pos or pv_cols:
             part = part.select(
                 "*",
                 F.element_at(
@@ -619,8 +647,42 @@ def _scan_files(
                 (F.col("__file") == dv_df["file"]) & (F.col("__pos") == dv_df["pos"]),
                 "left_anti",
             )
-            if not keep_pos:
-                part = part.drop("__file", "__pos")
+        if pv_cols:
+            pv_type = {
+                c: bfields[c]["type"] for c in pv_cols if c in bfields
+            }
+            rows = [
+                tuple([b] + [pv.get(c) for c in pv_cols])
+                for b, pv in sorted(pvs.items())
+            ]
+            pv_df = spark.createDataFrame(
+                rows,
+                StructType.fromJson(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "__pvfile", "type": "string", "nullable": False}
+                        ]
+                        + [
+                            {"name": f"__pv_{c}", "type": "string", "nullable": True}
+                            for c in pv_cols
+                        ],
+                    }
+                ),
+            ).select(
+                "__pvfile",
+                *[
+                    F.col(f"__pv_{c}").cast(pv_type.get(c, "string")).alias(c)
+                    for c in pv_cols
+                ],
+            )
+            part = part.join(
+                F.broadcast(pv_df),
+                F.col("__file") == pv_df["__pvfile"],
+                "left",
+            ).drop("__pvfile")
+        if (dvs or pv_cols) and not keep_pos:
+            part = part.drop("__file", "__pos")
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
     for f in want.fields:
         if f.name not in df.columns:
@@ -952,6 +1014,27 @@ def _bloom_may_match(root: str, stats: dict, probe_bits: dict) -> bool:
     return True
 
 
+def _pv_may_match(pv, bounds: dict) -> bool:
+    """Exact NULL-partition pruning: a file whose recorded partition value
+    for a bounded column is NULL can match no interval (SQL comparisons
+    with NULL are never true; prune intervals only ever derive from such
+    comparisons), so it prunes — the [v, v] stats entry that handles
+    non-null partition values is simply absent for the NULL partition."""
+    if not pv:
+        return True
+    return not any(c in pv and pv[c] is None for c in bounds)
+
+
+def _snap_item(snap: Snapshot, i: int):
+    """One snapshot file as a _scan_files item: (path, commit-time schema,
+    dv sidecars, partition values) — the 4th element reattaches partition
+    columns (metadata-resident on partitioned tables) at scan time."""
+    return (
+        snap.files[i], snap.file_schemas[i], snap.file_dvs[i],
+        snap.file_stats[i].get(_PV_KEY),
+    )
+
+
 def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
     """The snapshot's (path, schema, dvs) file list after data skipping:
     interval min/max pruning plus Bloom-filter pruning for point-equality
@@ -961,11 +1044,15 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
     interval pruning is useless — together they cover the two lookup
     shapes a 100 TB scan actually meets."""
     keep = [
-        (path, sj, dvs)
+        (path, sj, dvs, st.get(_PV_KEY))
         for path, sj, st, dvs in zip(
             snap.files, snap.file_schemas, snap.file_stats, snap.file_dvs
         )
-        if not bounds or _file_may_match(st, bounds)
+        if not bounds
+        or (
+            _pv_may_match(st.get(_PV_KEY), bounds)
+            and _file_may_match(st, bounds)
+        )
     ]
     if snap.bloom_spec and bounds:
         from pyspark.sql.types import (
@@ -1089,9 +1176,57 @@ def _compute_ndv_sketches(
 _NDV_KEY = "__ndv"
 _NDV_SPACE = 1 << 32  # md5 8-hex-char prefix hash space
 
+# Per-file PARTITION VALUES (Delta's add.partitionValues / Iceberg's
+# partition tuples): a reserved stats key mapping partition column ->
+# raw string value (None for the NULL partition).  Riding the stats dict
+# means pv survives every existing metadata path — fold, checkpoints,
+# RESTORE re-adds, clones, stats backfills — with zero extra plumbing.
+_PV_KEY = "__pv"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Types whose partition-directory string form round-trips losslessly AND
+# whose log-recorded [v, v] stats compare correctly in the existing
+# pruning machinery (ints as ints; string/date lexicographic).
+_PARTITIONABLE_TYPES = {"byte", "short", "integer", "long", "string", "date"}
+
+
+def _parse_pv_dirs(rel_dir: str, pcols: list[str]) -> dict:
+    """Parse hive-encoded ``col=value`` path segments (the layout
+    ``df.write.partitionBy`` produces in staging) back into the raw
+    string partition values, URL-decoded; NULL partitions map to None.
+    Loud on layout drift — a mis-parsed segment would mislabel every row
+    of the file."""
+    from urllib.parse import unquote
+
+    segs = [s for s in rel_dir.split(os.sep) if s]
+    if len(segs) != len(pcols):
+        raise ValueError(
+            f"staging layout drift: expected {pcols} partition dirs, got {segs!r}"
+        )
+    pv: dict = {}
+    for seg, col in zip(segs, pcols):
+        name, eq, val = seg.partition("=")
+        if not eq or name != col:
+            raise ValueError(
+                f"staging layout drift: segment {seg!r} does not encode {col!r}"
+            )
+        pv[col] = None if val == _HIVE_NULL else unquote(val)
+    return pv
+
+
+def _pv_stat_value(raw: str | None, type_name: str):
+    """The log-stats form of one partition value: ints as ints (the
+    pruning comparators expect them), everything else the raw string
+    (date/string bounds are stringified in footer stats already)."""
+    if raw is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    return raw
+
 
 def _stage_files(
-    df: DataFrame, root: str, bloom_spec=(), ndv_spec=()
+    df: DataFrame, root: str, bloom_spec=(), ndv_spec=(), partition_cols=None
 ) -> tuple[list[str], str, dict]:
     """Write ``df``'s partitions as immutable uuid-named parquet files
     DIRECTLY under ``root`` (object-store posture: no rename of data
@@ -1100,23 +1235,62 @@ def _stage_files(
     per-file footer stats for data skipping).  When the table carries a
     Bloom spec and/or an NDV-sketch spec, each new file's blooms/sketches
     are computed here (one extra column-pruned pass each over the
-    just-staged files) and ride its stats."""
+    just-staged files) and ride its stats.
+
+    PARTITIONED tables (``partition_cols``; None = read the table's
+    creation-time spec): the staging write is ``partitionBy`` — each
+    staged file holds exactly ONE partition tuple, the partition columns
+    are NOT stored in the data bytes (the Delta/Iceberg layout: values
+    live in metadata, reads reattach them) — but the published layout
+    stays FLAT uuid names; the partition tuple rides the add-action stats
+    as ``__pv`` plus exact ``[v, v]`` min/max entries, so every existing
+    pruning/DML/maintenance path gets EXACT partition pruning from pure
+    log arithmetic with no directory listings.  Scale shape: a query
+    touching k of N partitions opens k partitions' files having read only
+    the log, and dynamic partition overwrite drops replaced partitions
+    metadata-only."""
+    if partition_cols is None:
+        try:
+            partition_cols = snapshot(root).partition_cols
+        except FileNotFoundError:
+            partition_cols = ()
+    pcols = list(partition_cols)
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"batch is missing partition column(s) {missing} "
+            f"(table is PARTITIONED BY {pcols})"
+        )
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    if pcols:
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
     os.makedirs(root, exist_ok=True)
+    type_of = {f.name: f.dataType.typeName() for f in df.schema.fields}
     rels = []
     stats: dict[str, dict] = {}
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
+    leaves = []
+    for dirpath, _dirs, fnames in sorted(os.walk(staging)):
+        for f in sorted(fnames):
+            if f.endswith(".parquet"):
+                leaves.append((dirpath, f))
+    for dirpath, f in leaves:
         rel = f"part-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(staging, f), os.path.join(root, rel))
+        os.replace(os.path.join(dirpath, f), os.path.join(root, rel))
         rels.append(rel)
         stats[rel] = _file_stats(os.path.join(root, rel))
         # file size rides the stats (reserved key, like __bloom) so
         # maintenance ops (optimize_txn bin-packing) plan from the log
         # instead of HEAD-ing every object at 100 TB
         stats[rel]["__bytes"] = os.path.getsize(os.path.join(root, rel))
+        if pcols:
+            pv = _parse_pv_dirs(os.path.relpath(dirpath, staging), pcols)
+            stats[rel][_PV_KEY] = pv
+            for c, raw in pv.items():
+                v = _pv_stat_value(raw, type_of[c])
+                if v is not None:  # NULL partition: no bounds, never pruned
+                    stats[rel][c] = [v, v]
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -1275,12 +1449,19 @@ def _with_constraint_checks(df: DataFrame, constraints) -> DataFrame:
     return df.withColumn(first, out_col)
 
 
-def _stage_checked(df: DataFrame, root: str, constraints, bloom_spec=(), ndv_spec=()):
+def _stage_checked(
+    df: DataFrame, root: str, constraints, bloom_spec=(), ndv_spec=(),
+    partition_cols=None,
+):
     """Stage with constraint checks embedded; surface a violating row as
-    ConstraintViolation instead of a raw executor stack."""
+    ConstraintViolation instead of a raw executor stack.
+    ``partition_cols=None`` reads the table's creation-time spec (the
+    default for every rewrite path — MERGE, DV UPDATE, replaceWhere,
+    compaction — so rewrites of a partitioned table stay partitioned)."""
     try:
         return _stage_files(
-            _with_constraint_checks(df, constraints), root, bloom_spec, ndv_spec
+            _with_constraint_checks(df, constraints), root, bloom_spec,
+            ndv_spec, partition_cols,
         )
     except Exception as ex:  # noqa: BLE001 - re-raise below unless ours
         s = str(ex)
@@ -1443,6 +1624,11 @@ def drop_column_txn(root: str, col: str) -> int:
         raise ValueError(f"no column {col!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the table's last column")
+    if col in snap.partition_cols:
+        raise ValueError(
+            f"column {col!r} is a partition column (PARTITIONED BY "
+            f"{list(snap.partition_cols)}); the partition spec is immutable"
+        )
     referenced = [
         n for n, expr in snap.constraints
         if re.search(rf"\b{re.escape(col)}\b", expr)
@@ -1500,6 +1686,12 @@ def set_bloom_txn(
     for c, v in spec.items():
         if c not in names:
             raise ValueError(f"bloom column {c!r} not in table schema (have {sorted(names)})")
+        if c in snap.partition_cols:
+            raise ValueError(
+                f"bloom on partition column {c!r} is pointless and unsound: "
+                "its values are metadata-resident ([v, v] stats already "
+                "prune exactly) and absent from the data bytes"
+            )
         m, k = (int(v[0]), int(v[1])) if isinstance(v, (tuple, list)) else (int(v), 5)
         if m < 8 or k < 1:
             raise ValueError(f"bloom spec for {c!r} needs m >= 8 bits, k >= 1 (got m={m}, k={k})")
@@ -1575,6 +1767,12 @@ def set_ndv_txn(
         if c not in fields:
             raise ValueError(
                 f"ndv column {c!r} not in table schema (have {sorted(fields)})"
+            )
+        if c in snap.partition_cols:
+            raise ValueError(
+                f"ndv sketch on partition column {c!r} is unsound: its "
+                "values are metadata-resident (count the distinct __pv "
+                "tuples in the log — exact and free), not in the data bytes"
             )
         if fields[c] not in ok_types:
             raise ValueError(
@@ -1724,6 +1922,7 @@ def write_txn(
     extra: dict | None = None,
     expected_base_version: int | None = None,
     app_txn: tuple | None = None,
+    partition_by: list[str] | str | None = None,
 ) -> int:
     """Commit ``df`` to the table atomically; returns the committed
     version.  ``append`` adds files; ``overwrite`` removes every file
@@ -1755,11 +1954,55 @@ def write_txn(
     later one (returns the current head).  The watermark re-checks
     inside the OCC retry loop, so two racing writers with the same
     (app_id, version) apply exactly once: the loser's retry sees the
-    winner's watermark."""
-    if mode not in ("append", "overwrite"):
+    winner's watermark.
+
+    ``partition_by`` (CREATION ONLY — the first commit of a new table)
+    declares hive-style PARTITIONED BY columns: every file then belongs
+    to exactly one partition tuple, recorded in the log (never in paths —
+    the layout stays flat uuid names), giving EXACT partition pruning,
+    metadata-only dynamic overwrite, and partition-aligned rewrites for
+    every DML/maintenance path.  Partition columns must be int/string/
+    date typed (their directory string form must round-trip losslessly).
+
+    ``mode="overwrite_partitions"`` is DYNAMIC PARTITION OVERWRITE
+    (Spark's ``partitionOverwriteMode=dynamic`` / Delta's
+    replaceWhere-by-partition): one atomic commit that replaces EXACTLY
+    the partitions present in the batch — their live files drop by
+    metadata-only removes, untouched partitions survive by path, and the
+    commit is pinned to the writer's snapshot (TxnConflict on any
+    interleaved commit, like every read-modify-write here).  The daily
+    recompute-one-day-and-swap backfill at 100 TB is this mode on a
+    date-partitioned table: cost ∝ the recomputed day, never the table."""
+    if mode not in ("append", "overwrite", "overwrite_partitions"):
         raise ValueError(mode)
     if expected_base_version is not None and mode != "overwrite":
         raise ValueError("expected_base_version applies to overwrite commits only")
+    exists = bool(_list_versions(root))
+    if partition_by is not None:
+        pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        if exists:
+            have = list(snapshot(root).partition_cols)
+            if pcols != have:
+                raise ValueError(
+                    f"partition_by is creation-only: table is PARTITIONED BY "
+                    f"{have}, got {pcols}"
+                )
+        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for c in pcols:
+            if c not in types:
+                raise ValueError(f"partition column {c!r} not in batch schema")
+            if types[c] not in _PARTITIONABLE_TYPES:
+                raise ValueError(
+                    f"partition column {c!r} has type {types[c]!r}; only "
+                    f"{sorted(_PARTITIONABLE_TYPES)} partition losslessly"
+                )
+        if not exists:
+            extra = {**(extra or {}), "partition": pcols}
+    if mode == "overwrite_partitions":
+        if not (exists and snapshot(root).partition_cols):
+            raise ValueError(
+                "overwrite_partitions requires an existing PARTITIONED table"
+            )
     if app_txn is not None:
         if mode != "append":
             raise ValueError("app_txn idempotence applies to append commits only")
@@ -1780,7 +2023,10 @@ def write_txn(
             "clears the tombstone), then re-add"
         )
     df = _apply_generated(df, root)
-    rels, schema_json, stats = _stage_checked(df, root, cons, bloom_spec, ndv_spec)
+    rels, schema_json, stats = _stage_checked(
+        df, root, cons, bloom_spec, ndv_spec,
+        partition_cols=pcols if (partition_by is not None and not exists) else None,
+    )
     adds = [{"add": r, "stats": stats[r]} for r in rels]
     if expected_base_version is not None:
         pin = expected_base_version
@@ -1816,13 +2062,27 @@ def write_txn(
                 actions = [
                     {"remove": os.path.relpath(p, root)} for p in live
                 ] + actions
+        elif mode == "overwrite_partitions":
+            # replace exactly the partitions the batch carries: live files
+            # whose log-recorded partition tuple matches drop by
+            # metadata-only removes; every other partition survives BY PATH
+            batch_pvs = {
+                tuple(sorted((stats[r].get(_PV_KEY) or {}).items()))
+                for r in rels
+            }
+            cur = _fold(root, versions)
+            actions = [
+                {"remove": os.path.relpath(p, root)}
+                for p, st in zip(cur.files, cur.file_stats)
+                if tuple(sorted((st.get(_PV_KEY) or {}).items())) in batch_pvs
+            ] + actions
         entry = _build_entry(mode, base + 1, actions, schema_json, extra)
         if _try_commit(root, base + 1, entry):
             _maybe_checkpoint(root, base + 1)
             return base + 1
-        if mode == "overwrite":
+        if mode in ("overwrite", "overwrite_partitions"):
             raise TxnConflict(
-                f"overwrite of {root} lost the race for version {base + 1}"
+                f"{mode} of {root} lost the race for version {base + 1}"
             )
     raise TxnConflict(f"append to {root} exhausted {max_retries} retries")
 
@@ -2021,7 +2281,7 @@ def _guard_ambiguous_merge_source(
         _scan_files(
             spark,
             [
-                (snap.files[i], snap.file_schemas[i], snap.file_dvs[i])
+                _snap_item(snap, i)
                 for i in touched
             ],
             want,
@@ -2103,7 +2363,7 @@ def merge_txn(
     _guard_ambiguous_merge_source(spark, source, snap, keys, touched, want, root)
     survivors = _scan_files(
         spark,
-        [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],
+        [_snap_item(snap, i) for i in touched],
         want,
         root=root,
     ).join(source, on=keys, how="left_anti")
@@ -2181,7 +2441,7 @@ def merge_when_txn(
     _guard_ambiguous_merge_source(spark, source, snap, keys, touched, want, root)
     t = _scan_files(
         spark,
-        [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in touched],
+        [_snap_item(snap, i) for i in touched],
         want,
         root=root,
     ).alias("t")
@@ -2673,7 +2933,13 @@ def compact_txn(
     every output file then covers a tight RECTANGLE in (a, b) space, so
     the log's min/max stats prune on EITHER dimension, not just the
     leading one (lexicographic range clustering prunes only on the first
-    column)."""
+    column).
+
+    On a PARTITIONED table the rewrite is partition-ALIGNED by
+    construction (staging splits by partition tuple), so ``target_files``
+    is a per-Spark-partition pre-split and the output file count is at
+    least the live partition count — Delta's OPTIMIZE has the same floor,
+    because a data file can never span two partitions."""
     snap = snapshot(root)
     df = read_txn(spark, root)
     if cluster_by and zorder:
@@ -2864,7 +3130,7 @@ def optimize_txn(
     if len(small) < 2:
         return snap.version
     want = StructType.fromJson(json.loads(snap.schema_json))
-    items = [(snap.files[i], snap.file_schemas[i], snap.file_dvs[i]) for i in small]
+    items = [_snap_item(snap, i) for i in small]
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     df = _scan_files(spark, items, want, root=root).coalesce(int(n_out))
     rels, schema_json, stats = _stage_files(
@@ -3423,6 +3689,10 @@ def clone_txn(
         extra["generated"] = dict(snap.generated)
     if snap.ndv_spec:
         extra["ndv"] = {c: k for c, k in snap.ndv_spec}
+    if snap.partition_cols:
+        # the clone stays partitioned: per-file partition tuples already
+        # ride the copied stats; the spec itself must carry over too
+        extra["partition"] = list(snap.partition_cols)
     return _commit_pinned(
         dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
     )

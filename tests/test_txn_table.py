@@ -1810,6 +1810,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         ROUND9_STAGED,
         ROUND10_STAGED,
         ROUND11_STAGED,
+        ROUND12_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1822,7 +1823,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
     every = {
         **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
-        **ROUND11_STAGED,
+        **ROUND11_STAGED, **ROUND12_STAGED,
     }
     from dbt_trill_shop_spark.streaming import events as _ev
 
@@ -2409,8 +2410,127 @@ def _sc_stats_backfill_on_clone(spark, base):
     assert ndv_estimate_txn(dst) == {"u": 7}
 
 
+def _sc_partitioned_tables(spark, base):
+    """PARTITIONED BY (staged r12): partition tuples live in the log
+    (flat uuid file layout — add-action ``__pv`` stats plus exact
+    ``[v, v]`` bounds), giving exact pruning including the NULL
+    partition, metadata-only dynamic partition overwrite with untouched
+    partitions surviving BY PATH, partition-aligned DML/compaction,
+    clone/restore carry, checkpoint-fast-path persistence, and an
+    immutable creation-only spec."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, delete_txn_dv, restore_txn, set_bloom_txn, set_ndv_txn,
+    )
+
+    root = os.path.join(base, "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)],
+        "id long, cat string, v long",
+    )
+    write_txn(df.coalesce(1), root, partition_by=["cat"])
+    snap0 = snapshot(root)
+    assert snap0.partition_cols == ("cat",)
+    assert all("__pv" in st for st in snap0.file_stats)
+    # one file per partition tuple (coalesce(1) pre-split): a, b, NULL
+    assert len(snap0.files) == 3
+    # round trip reattaches the metadata-resident partition column
+    assert sorted(
+        (r.id, r.cat, r.v) for r in read_txn(spark, root).collect()
+    ) == [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)]
+    # EXACT pruning: equality opens only the matching partition's file,
+    # and the NULL partition is provably excluded by any interval
+    got = read_txn(spark, root, where="cat = 'a'")
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    assert len(got.inputFiles()) == 1
+    # dynamic partition overwrite: partition 'a' swaps, 'b' and the NULL
+    # partition survive BY PATH, and a brand-new partition lands
+    survivors = {
+        p for p, st in zip(snap0.files, snap0.file_stats)
+        if st["__pv"]["cat"] != "a"
+    }
+    write_txn(
+        spark.createDataFrame(
+            [(9, "a", 90), (10, "c", 100)], "id long, cat string, v long"
+        ),
+        root, mode="overwrite_partitions",
+    )
+    snap1 = snapshot(root)
+    assert survivors <= set(snap1.files)
+    assert not any(
+        st["__pv"]["cat"] == "a" and p not in survivors
+        for p, st in zip(snap1.files, snap1.file_stats) if p in snap0.files
+    )
+    got = {r.id: r.cat for r in read_txn(spark, root).collect()}
+    assert got == {3: "b", 4: None, 9: "a", 10: "c"}, got
+    # DML keeps the table partitioned: merge rewrites carry fresh __pv
+    merge_txn(
+        spark,
+        spark.createDataFrame([(3, "b", 33), (7, "d", 70)], "id long, cat string, v long"),
+        root, on="id",
+    )
+    assert all("__pv" in st for st in snapshot(root).file_stats)
+    delete_txn_dv(spark, root, "id = 9")
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [3, 4, 7, 10]
+    # compaction is partition-aligned (a data file never spans two
+    # partitions) and preserves rows + pv coverage
+    compact_txn(spark, root, target_files=1)
+    snap2 = snapshot(root)
+    assert len(snap2.files) == len(
+        {tuple(sorted(st["__pv"].items())) for st in snap2.file_stats}
+    )
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [3, 4, 7, 10]
+    # clone carries the spec and tuples; restore rewinds them
+    dst = os.path.join(base, "dst")
+    clone_txn(root, dst)
+    assert snapshot(dst).partition_cols == ("cat",)
+    assert read_txn(spark, dst, where="cat = 'b'").count() == 1
+    restore_txn(root, 0)
+    assert snapshot(root).partition_cols == ("cat",)
+    assert sorted(r.id for r in read_txn(spark, root).collect()) == [1, 2, 3, 4]
+    # the spec survives the checkpoint FAST PATH (pool pins
+    # _CHECKPOINT_EVERY=4; cross it, fold from the checkpoint)
+    while snapshot(root).version % tt._CHECKPOINT_EVERY != 0:
+        write_txn(
+            spark.createDataFrame([(50, "a", 500)], "id long, cat string, v long"),
+            root,
+        )
+    write_txn(
+        spark.createDataFrame([(51, "a", 510)], "id long, cat string, v long"), root
+    )
+    assert snapshot(root).partition_cols == ("cat",)  # via ckpt
+    assert read_txn(spark, root, where="cat = 'b'").count() == 1
+    # guards: creation-only spec, no bloom/ndv/drop on partition columns,
+    # batches must carry the partition column, dynamic overwrite needs a
+    # partitioned table
+    with pytest.raises(ValueError, match="creation-only"):
+        write_txn(df, root, partition_by=["v"])
+    with pytest.raises(ValueError, match="partition"):
+        set_bloom_txn(spark, root, {"cat": 256})
+    with pytest.raises(ValueError, match="partition"):
+        set_ndv_txn(spark, root, {"cat": 64})
+    with pytest.raises(ValueError, match="partition"):
+        tt.drop_column_txn(root, "cat")
+    with pytest.raises(ValueError, match="partition column"):
+        write_txn(spark.createDataFrame([(1, 5)], "id long, v long"), root)
+    root2 = os.path.join(base, "unpart")
+    write_txn(_df(spark, 0, 3), root2)
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        write_txn(_df(spark, 0, 3), root2, mode="overwrite_partitions")
+    # DATE partitions prune through DATE literals (ISO-string bounds)
+    root3 = os.path.join(base, "dates")
+    d = spark.sql(
+        "SELECT id, DATE'2024-01-01' + CAST(id % 3 AS INT) AS d FROM range(9)"
+    ).coalesce(1)
+    write_txn(d, root3, partition_by=["d"])
+    g = read_txn(spark, root3, where="d = DATE'2024-01-02'")
+    assert g.count() == 3 and len(g.inputFiles()) == 1
+    assert dict(read_txn(spark, root3).dtypes)["d"] == "date"
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_partitioned_tables,
     _sc_merge_rejects_ambiguous_source,
     _sc_stats_backfill_on_clone,
     _sc_clone_dv_dml_attaches,
