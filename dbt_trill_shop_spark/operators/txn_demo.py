@@ -1585,12 +1585,13 @@ def txn_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_txn(orders.repartition(4), root, partition_by=["o_year"])
     counts: Counter = Counter()
     for st in _snap(root).file_stats:
-        pv = st["__pv"]
+        raw = st["__pv"]["o_year"]  # None = the NULL partition
         nulls = st.get("__nulls") or {}
         n_rows = max((t for _n, t in nulls.values()), default=0)
-        counts[int(pv["o_year"])] += n_rows
+        counts[None if raw is None else int(raw)] += n_rows
     return spark.createDataFrame(
-        sorted(counts.items()), "o_year bigint, n_orders bigint"
+        sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)),
+        "o_year bigint, n_orders bigint",
     ).orderBy("o_year")
 
 
@@ -1603,14 +1604,66 @@ ORDER BY o_year
 """
 
 
+def txn_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY RENAME COLUMN (staged r12): half the orders land as
+    ``cents``, the column renames to ``price_cents`` (one commit, zero
+    data bytes moved — old files keep their physical name and reads remap
+    through the ordered rename chain), the other half lands natively
+    under the new name, and a DELETE then filters under it — mixed
+    physical generations behave as ONE logical column.  The result is the
+    per-status aggregate plain SQL reproduces from the source table."""
+    from ..sources.txn_table import delete_txn, rename_column_txn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("renamecol")
+    write_txn(orders.filter("o_orderkey % 2 = 0").coalesce(2), root)
+    rename_column_txn(root, "cents", "price_cents")
+    write_txn(
+        orders.filter("o_orderkey % 2 = 1")
+        .withColumnRenamed("cents", "price_cents")
+        .coalesce(2),
+        root,
+    )
+    delete_txn(spark, root, "price_cents < 1000000")  # drop orders under $10k
+    return (
+        read_txn(spark, root)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("price_cents").alias("total_dollars"),
+        )
+        .orderBy("status")
+    )
+
+
+TXN_RENAME_COLUMN_SQL = """
+WITH src AS (
+    SELECT o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+)
+SELECT status, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(price_cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM src
+WHERE price_cents >= 1000000
+GROUP BY status
+ORDER BY status
+"""
+
+
 # Staged for the round-12 window (the round-11 registry freezes at 320):
-# the partitioned-table wave — creation-time PARTITIONED BY with
-# log-resident partition tuples, exact pruning, dynamic partition
-# overwrite, and zero-I/O partition statistics.
+# the table-layout wave — creation-time PARTITIONED BY with log-resident
+# partition tuples, exact pruning, dynamic partition overwrite, zero-I/O
+# partition statistics, and metadata-only column rename.
 ROUND12_STAGED: dict = {
     "q_txn_partitioned_prune": (txn_partitioned_prune, TXN_PARTITIONED_SQL),
     "q_txn_dynamic_overwrite": (txn_dynamic_overwrite, TXN_DYNAMIC_OVERWRITE_SQL),
     "q_txn_partition_stats": (txn_partition_stats, TXN_PARTITION_STATS_SQL),
+    "q_txn_rename_col": (txn_rename_column, TXN_RENAME_COLUMN_SQL),
 }
 
 

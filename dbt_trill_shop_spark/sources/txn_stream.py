@@ -54,11 +54,39 @@ except ImportError:  # pragma: no cover - import-gated like pydatasource.py
     InputPartition = object
 
 
+def _file_name_map(file_schema_json: str, renames) -> dict:
+    """{current-logical-name: physical-name-in-file} for the fields whose
+    name the table's ordered rename chain has moved — computed DRIVER-side
+    per file (metadata arithmetic) so executors read the right physical
+    parquet columns on renamed tables."""
+    names = [f["name"] for f in json.loads(file_schema_json)["fields"]]
+    cur = list(names)
+    for phys, logical in renames or ():
+        if phys in cur and logical not in cur:
+            cur[cur.index(phys)] = logical
+    return {c: n for c, n in zip(cur, names) if c != n}
+
+
+def _pv_arrow_column(raw, arrow_type, n):
+    """A constant Arrow column for one metadata-resident PARTITION value
+    (string form cast to the logical type; None = the NULL partition)."""
+    import pyarrow as pa
+
+    if raw is None:
+        return pa.nulls(n, type=arrow_type)
+    return pa.array([raw] * n, type=pa.string()).cast(arrow_type)
+
+
 class _TxnFilePartition(InputPartition):
-    def __init__(self, path: str, file_schema_json: str, version: int) -> None:
+    def __init__(
+        self, path: str, file_schema_json: str, version: int,
+        pv: dict | None = None, name_map: dict | None = None,
+    ) -> None:
         self.path = path
         self.file_schema_json = file_schema_json
         self.version = version
+        self.pv = pv or {}
+        self.name_map = name_map or {}
 
 
 class _TxnStreamReader(DataSourceStreamReader):
@@ -186,10 +214,14 @@ class _TxnStreamReader(DataSourceStreamReader):
             adds = [a for a in e["actions"] if "add" in a]
             lo = s_k if (v == s_v and s_k is not None) else 0
             hi = e_k if (v == e_v and e_k is not None) else len(adds)
+            renames = snapshot(self.root).renames
             for a in adds[lo:hi]:
+                sj = a.get("schema", e["schema"])
                 parts.append(
                     _TxnFilePartition(
-                        os.path.join(self.root, a["add"]), e["schema"], v
+                        os.path.join(self.root, a["add"]), sj, v,
+                        pv=(a.get("stats") or {}).get("__pv"),
+                        name_map=_file_name_map(sj, renames),
                     )
                 )
         return parts
@@ -208,19 +240,30 @@ class _TxnStreamReader(DataSourceStreamReader):
             f.name for f in StructType.fromJson(json.loads(partition.file_schema_json)).fields
         }
         want_names = [f.name for f in self.schema.fields]
+        phys_of = {n: partition.name_map.get(n, n) for n in want_names}
+        # partition columns are in the RECORDED schema but not in the data
+        # bytes (metadata-resident) — never ask the parquet reader for them
         tbl = pq.read_table(
             partition.path,
-            columns=[n for n in want_names if n in file_fields],
+            columns=[
+                phys_of[n]
+                for n in want_names
+                if phys_of[n] in file_fields and n not in partition.pv
+            ],
         )
         n = tbl.num_rows
         cols = []
         for f in self.schema.fields:
             at = to_arrow_type(f.dataType)
-            if f.name in file_fields:
-                c = tbl.column(f.name)
+            phys = phys_of[f.name]
+            if phys in file_fields and f.name not in partition.pv:
+                c = tbl.column(phys)
                 if c.type != at:
                     c = c.cast(at)
                 cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+            elif f.name in partition.pv:
+                # metadata-resident partition value: constant column
+                cols.append(_pv_arrow_column(partition.pv[f.name], at, n))
             else:
                 cols.append(pa.nulls(n, type=at))
         out = pa.table(cols, names=want_names)
@@ -234,6 +277,7 @@ class _TxnCdfPartition(InputPartition):
     def __init__(
         self, root: str, rel: str, file_schema_json: str, version: int,
         change: str, dvs: list[str], dv: str | None,
+        pv: dict | None = None, name_map: dict | None = None,
     ) -> None:
         self.root = root
         self.rel = rel
@@ -242,6 +286,8 @@ class _TxnCdfPartition(InputPartition):
         self.change = change  # 'insert' | 'delete' | 'delete_at'
         self.dvs = dvs        # tombstone sidecars to EXCLUDE
         self.dv = dv          # delete_at: sidecar whose positions to SELECT
+        self.pv = pv or {}    # metadata-resident partition values
+        self.name_map = name_map or {}  # logical -> physical (renames)
 
 
 class _TxnCdfStreamReader(DataSourceStreamReader):
@@ -285,10 +331,13 @@ class _TxnCdfStreamReader(DataSourceStreamReader):
                 f"{versions[0]}); re-seed the consumer from a snapshot"
             )
         plan = _changes_plan(self.root, versions, s_v, e_v)
+        renames = snapshot(self.root).renames
         return [
             _TxnCdfPartition(
                 self.root, item["rel"], item["schema"], item["v"],
                 item["change"], item.get("dvs", []), item.get("dv"),
+                pv=item.get("pv"),
+                name_map=_file_name_map(item["schema"], renames),
             )
             for item in plan
         ]
@@ -318,8 +367,14 @@ class _TxnCdfStreamReader(DataSourceStreamReader):
             for f in self.schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
+        phys_of = {n: partition.name_map.get(n, n) for n in data_names}
         tbl = pq.read_table(
-            path, columns=[n for n in data_names if n in file_fields]
+            path,
+            columns=[
+                phys_of[n]
+                for n in data_names
+                if phys_of[n] in file_fields and n not in partition.pv
+            ],
         )
         n = tbl.num_rows
 
@@ -349,8 +404,10 @@ class _TxnCdfStreamReader(DataSourceStreamReader):
                 c = pa.nulls(m, type=at).fill_null(change)
             elif f.name == "_commit_version":
                 c = pa.nulls(m, type=at).fill_null(partition.version)
-            elif f.name in file_fields:
-                c = tbl.column(f.name)
+            elif f.name in partition.pv:
+                c = _pv_arrow_column(partition.pv[f.name], at, m)
+            elif phys_of.get(f.name, f.name) in file_fields:
+                c = tbl.column(phys_of.get(f.name, f.name))
                 if c.type != at:
                     c = c.cast(at)
                 c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c

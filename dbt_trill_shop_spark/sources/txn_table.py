@@ -85,6 +85,7 @@ class Snapshot:
     generated: tuple[tuple[str, str], ...] = ()  # (col, generation expr) sorted
     ndv_spec: tuple[tuple[str, int], ...] = ()  # (col, k sketch size) sorted
     partition_cols: tuple[str, ...] = ()  # creation-time PARTITIONED BY, ordered
+    renames: tuple[tuple[str, str], ...] = ()  # (physical, logical) ORDERED chain
 
 
 def _log_dir(root: str) -> str:
@@ -214,6 +215,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "generated": dict(snap.generated),
         "ndv": {c: k for c, k in snap.ndv_spec},
         "partition": list(snap.partition_cols),
+        "renames": [list(r) for r in snap.renames],
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -239,6 +241,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     generated: dict[str, str] = {}
     ndv: dict[str, int] = {}
     partition: list[str] = []
+    renames: list[list[str]] = []
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -254,6 +257,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         generated = dict(ckpt.get("generated", {}))
         ndv = dict(ckpt.get("ndv", {}))
         partition = list(ckpt.get("partition", []))
+        renames = [list(r) for r in ckpt.get("renames", [])]
     for v in versions:
         if v < start:
             continue
@@ -285,6 +289,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             ndv = dict(e["ndv"])
         if "partition" in e:  # set once, at creation (or clone creation)
             partition = list(e["partition"])
+        if "renames" in e:  # rename commits carry the full ordered chain
+            renames = [list(r) for r in e["renames"]]
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -300,6 +306,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         generated=tuple(sorted(generated.items())),
         ndv_spec=tuple(sorted((c, int(k)) for c, k in ndv.items())),
         partition_cols=tuple(partition),
+        renames=tuple((a, b) for a, b in renames),
     )
 
 
@@ -530,7 +537,7 @@ def read_txn(
             if c not in bounds:  # explicit prune wins on conflict
                 bounds[c] = iv
     keep = _keep_files(spark, snap, bounds)
-    out = _scan_files(spark, keep, want, root=root)
+    out = _scan_files(spark, keep, want, root=root, renames=snap.renames)
     if where is not None:
         out = out.filter(F.expr(where))
     return out
@@ -542,6 +549,7 @@ def _scan_files(
     want,
     root: str | None = None,
     keep_pos: bool = False,
+    renames=(),
 ) -> DataFrame:
     """Scan an explicit (path, commit-time-schema-json[, dv-rels]) file
     list, grouped by schema, reconciled via
@@ -593,7 +601,13 @@ def _scan_files(
         fields = {
             f["name"]: f for f in json.loads(sj)["fields"]
         }
-        for bfields, bpaths, bdvs, bpvs in buckets:
+        # a RENAMED table keeps one scan group per schema generation:
+        # pre-rename generations carry the PHYSICAL name, post-rename ones
+        # the logical, and merging them would blend a physical source
+        # column into a bucket that already has its logical target —
+        # the per-bucket rename guard would then skip, silently NULLing
+        # the old generation's values.  Compaction re-unifies generations.
+        for bfields, bpaths, bdvs, bpvs in ([] if renames else buckets):
             if any(
                 n in bfields and bfields[n]["type"] != f["type"]
                 for n, f in fields.items()
@@ -629,6 +643,13 @@ def _scan_files(
             }
         )
         part = spark.read.schema(schema).parquet(*paths)
+        # apply the table's ORDERED rename chain (physical -> logical):
+        # a file written before a rename carries the physical name; one
+        # written after already has the logical name (guarded no-op).
+        # Chained and swapped renames resolve by order.
+        for _phys, _logical in renames:
+            if _phys in part.columns and _logical not in part.columns:
+                part = part.withColumnRenamed(_phys, _logical)
         if dvs or keep_pos or pv_cols:
             part = part.select(
                 "*",
@@ -1385,13 +1406,13 @@ def _commit_pinned(
 
 
 def _table_meta(root: str):
-    """(constraints, bloom_spec, dropped, ndv_spec) of the current
-    snapshot — one fold; an uncreated table has none."""
+    """(constraints, bloom_spec, dropped, ndv_spec, renames) of the
+    current snapshot — one fold; an uncreated table has none."""
     try:
         s = snapshot(root)
-        return s.constraints, s.bloom_spec, s.dropped, s.ndv_spec
+        return s.constraints, s.bloom_spec, s.dropped, s.ndv_spec, s.renames
     except FileNotFoundError:
-        return (), (), (), ()
+        return (), (), (), (), ()
 
 
 def _apply_generated(df: DataFrame, root: str) -> DataFrame:
@@ -1648,6 +1669,111 @@ def drop_column_txn(root: str, col: str) -> int:
     return _commit_pinned(
         root, snap.version, "drop_column", [], json.dumps(narrowed),
         "drop column", extra=extra,
+    )
+
+
+def _guard_chain_reuse(batch_cols, root: str, renames) -> None:
+    """Refuse a batch that introduces a NEW column named like a rename
+    chain's PHYSICAL source: the read-side chain would relabel the new
+    column's values into the renamed-away column on any file that lacks
+    the rename target (a legal partial-column write) — silent corruption.
+    Together with ``rename_column_txn``'s no-source-reuse target guard,
+    this keeps the invariant the chain's soundness rests on: a column
+    named like chain source ``s_i`` can only ever mean "logical ``s_i``
+    as of just before chain entry i".  Compaction materializes the chain
+    and frees the names."""
+    if not renames:
+        return
+    try:
+        live = {
+            f["name"]
+            for f in json.loads(snapshot(root).schema_json)["fields"]
+        }
+    except FileNotFoundError:
+        return
+    sources = {phys for phys, _ in renames}
+    clash = sorted((set(batch_cols) - live) & sources)
+    if clash:
+        raise ValueError(
+            f"columns {clash} are physical source names in the table's "
+            "rename chain; compact_txn first (materializes the chain), "
+            "then re-add"
+        )
+
+
+def rename_column_txn(root: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as ONE metadata-only commit (Delta's
+    column-mapping rename): the snapshot schema carries the new name and
+    the table's ORDERED rename chain records ``(physical, logical)`` —
+    files written before the rename keep their physical bytes untouched
+    and every read remaps them through the chain (``_scan_files``), so a
+    100 TB table renames instantly.  Chained renames (a->b then b->c) and
+    swaps resolve by chain order; files written AFTER the rename carry
+    the new name natively and the chain no-ops on them (the guard is
+    "physical present AND logical absent").  Time travel to pre-rename
+    versions shows the old name; RESTORE reinstates the old chain.
+
+    Cost contract: a renamed table reads with one scan group per schema
+    GENERATION (the generation-coalescing merge is disabled while a chain
+    is active — blending a physical source into a bucket that already
+    has its logical target would silently NULL the old generation);
+    ``compact_txn`` rewrites everything under the current logical names
+    and re-unifies.  Loud rejections keep the rename sound: the old name
+    must exist; the new name must collide with nothing live, DROPped, or
+    mid-chain; partition columns (their tuples key the log), bloomed /
+    sketched / generated / constraint-referenced columns (their specs and
+    expressions hold the name) must shed those bindings first."""
+    import re
+
+    snap = snapshot(root)
+    fields = json.loads(snap.schema_json)
+    names = [f["name"] for f in fields["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if new in snap.dropped:
+        raise ValueError(
+            f"{new!r} was DROPped and its data is still present in old "
+            "files; compact_txn first, then rename"
+        )
+    if any(new == phys for phys, _ in snap.renames):
+        raise ValueError(
+            f"{new!r} is a physical name still live in the rename chain; "
+            "compact_txn to materialize the chain first"
+        )
+    if old in snap.partition_cols:
+        raise ValueError(
+            f"column {old!r} is a partition column; the partition spec "
+            "(and its log-recorded tuples) is immutable"
+        )
+    for what, exprs in (
+        ("CHECK constraint", snap.constraints),
+        ("generated-column expression", snap.generated),
+    ):
+        hit = [
+            n for n, expr in exprs if re.search(rf"\b{re.escape(old)}\b", expr)
+        ] + [n for n, _ in exprs if n == old and what.startswith("generated")]
+        if hit:
+            raise ValueError(
+                f"column {old!r} is bound by {what}(s) {sorted(set(hit))}; "
+                "drop them first"
+            )
+    if any(c == old for c, _, _ in snap.bloom_spec) or any(
+        c == old for c, _ in snap.ndv_spec
+    ):
+        raise ValueError(
+            f"column {old!r} has a bloom/ndv spec keyed by name; retire the "
+            "spec first (per-file sketches are recorded under it)"
+        )
+    renamed = dict(fields)
+    renamed["fields"] = [
+        ({**f, "name": new} if f["name"] == old else f) for f in fields["fields"]
+    ]
+    chain = [list(r) for r in snap.renames] + [[old, new]]
+    return _commit_pinned(
+        root, snap.version, "rename_column", [], json.dumps(renamed),
+        "rename column", extra={"renames": chain},
     )
 
 
@@ -2011,7 +2137,7 @@ def write_txn(
         if seen is not None and seen >= app_ver:
             return _list_versions(root)[-1]  # already applied: no-op
         extra = {**(extra or {}), "app_txn": [app_id, app_ver]}
-    cons, bloom_spec, dropped, ndv_spec = _table_meta(root)
+    cons, bloom_spec, dropped, ndv_spec, renames = _table_meta(root)
     zombie = sorted(set(df.columns) & set(dropped))
     if zombie:
         # re-adding a DROPped name would resurrect the old files' physical
@@ -2022,6 +2148,7 @@ def write_txn(
             "in old files; compact_txn first (purges them physically and "
             "clears the tombstone), then re-add"
         )
+    _guard_chain_reuse(df.columns, root, renames)
     df = _apply_generated(df, root)
     rels, schema_json, stats = _stage_checked(
         df, root, cons, bloom_spec, ndv_spec,
@@ -2286,6 +2413,7 @@ def _guard_ambiguous_merge_source(
             ],
             want,
             root=root,
+            renames=snap.renames,
         )
         .join(F.broadcast(dup), on=keys, how="left_semi")
         .limit(1)
@@ -2344,6 +2472,8 @@ def merge_txn(
             f"merge source has columns absent from the target: {extra_cols} "
             "(pass evolve_schema=True to extend the table schema)"
         )
+    if extra_cols:
+        _guard_chain_reuse(extra_cols, root, snap.renames)
     zombie = sorted(set(extra_cols) & set(snap.dropped))
     if zombie:
         raise ValueError(
@@ -2366,6 +2496,7 @@ def merge_txn(
         [_snap_item(snap, i) for i in touched],
         want,
         root=root,
+        renames=snap.renames,
     ).join(source, on=keys, how="left_anti")
     merged = survivors.unionByName(source.select(*target_cols))
     rels, schema_json, stats = _stage_checked(
@@ -2444,6 +2575,7 @@ def merge_when_txn(
         [_snap_item(snap, i) for i in touched],
         want,
         root=root,
+        renames=snap.renames,
     ).alias("t")
     s = source.withColumn("__m", F.lit(1)).alias("s")
     joined = t.join(
@@ -2558,7 +2690,9 @@ def delete_txn_dv(spark: SparkSession, root: str, predicate: str) -> int:
     # can contribute no tombstones)
     bounds = _prune_from_predicate(predicate)
     items = _keep_files(spark, snap, bounds)
-    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
+    scan = _scan_files(
+        spark, items, want, root=root, keep_pos=True, renames=snap.renames
+    )
     matches = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
     dv = _write_dv_sidecar(matches, root)
     if dv is None:
@@ -2653,7 +2787,9 @@ def update_txn_dv(
         raise ValueError(f"UPDATE sets columns absent from the table: {unknown}")
     bounds = _prune_from_predicate(predicate)
     items = _keep_files(spark, snap, bounds)
-    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
+    scan = _scan_files(
+        spark, items, want, root=root, keep_pos=True, renames=snap.renames
+    )
     matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
     # one pass feeds both sides: tombstones AND updated rows derive from
     # the same materialized match set (localCheckpoint keeps the filter
@@ -2736,7 +2872,7 @@ def replace_where_txn(
     from pyspark.sql.types import StructType
 
     snap = snapshot(root)
-    cons, bloom_spec, dropped, _ndv = _table_meta(root)
+    cons, bloom_spec, dropped, _ndv, _ren = _table_meta(root)
     zombie = sorted(set(df.columns) & set(dropped))
     if zombie:
         raise ValueError(
@@ -2766,6 +2902,7 @@ def replace_where_txn(
             f"columns {retyped}; only column ADDITIONS are allowed "
             "(type changes require a full overwrite)"
         )
+    _guard_chain_reuse(df.columns, root, snap.renames)
     confine = ("__replace_where__", f"coalesce(({predicate}), false)")
     try:
         rels, new_schema_json, stats = _stage_checked(
@@ -2786,7 +2923,9 @@ def replace_where_txn(
     want = StructType.fromJson(json.loads(snap.schema_json))
     bounds = _prune_from_predicate(predicate)
     items = _keep_files(spark, snap, bounds)
-    scan = _scan_files(spark, items, want, root=root, keep_pos=True)
+    scan = _scan_files(
+        spark, items, want, root=root, keep_pos=True, renames=snap.renames
+    )
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     # ONE materialized pass feeds both the per-file coverage counts and
     # the DV sidecar write (ADVICE r10 low): a non-deterministic predicate
@@ -2894,6 +3033,7 @@ def restore_txn(root: str, version: int) -> int:
         "dropped": list(target.dropped),
         "generated": dict(target.generated),
         "ndv": {c: k for c, k in target.ndv_spec},
+        "renames": [list(r) for r in target.renames],
     }
     return _commit_pinned(
         root, cur.version, "restore", actions, target.schema_json, "restore",
@@ -2973,9 +3113,17 @@ def compact_txn(
         adds=[{"add": r, "stats": stats[r], "schema": schema_json} for r in rels],
         what="compact",
         schema_json=schema_json,
-        # a FULL rewrite purges DROPped columns physically (the rewrite
-        # read the logical schema), so their re-add tombstones can clear
-        extra={"dropped": []} if snap.dropped else None,
+        # a FULL rewrite purges DROPped columns physically and writes
+        # every row under the CURRENT logical names (the rewrite read the
+        # logical schema), so drop tombstones AND the rename chain clear
+        extra=(
+            {
+                **({"dropped": []} if snap.dropped else {}),
+                **({"renames": []} if snap.renames else {}),
+            }
+            if (snap.dropped or snap.renames)
+            else None
+        ),
     )
 
 
@@ -3132,7 +3280,9 @@ def optimize_txn(
     want = StructType.fromJson(json.loads(snap.schema_json))
     items = [_snap_item(snap, i) for i in small]
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
-    df = _scan_files(spark, items, want, root=root).coalesce(int(n_out))
+    df = _scan_files(
+        spark, items, want, root=root, renames=snap.renames
+    ).coalesce(int(n_out))
     rels, schema_json, stats = _stage_files(
         df, root, snap.bloom_spec, snap.ndv_spec
     )
@@ -3190,9 +3340,10 @@ def _changes_plan(
             # (checkpoint-accelerated), not once per removed file
             prior = _fold(root, [x for x in versions if x < v])
             prior_map = {
-                os.path.relpath(p, root): (s, dvs)
-                for p, s, dvs in zip(
-                    prior.files, prior.file_schemas, prior.file_dvs
+                os.path.relpath(p, root): (s, dvs, st.get(_PV_KEY))
+                for p, s, st, dvs in zip(
+                    prior.files, prior.file_schemas, prior.file_stats,
+                    prior.file_dvs,
                 )
             }
         # dv actions that apply to files ADDED in this same entry (RESTORE
@@ -3215,7 +3366,7 @@ def _changes_plan(
                         continue  # applied to a file added this entry
                     plan.append({
                         "change": "delete_at", "v": v, "rel": rel,
-                        "schema": ent[0], "dv": a["dv"],
+                        "schema": ent[0], "dv": a["dv"], "pv": ent[2],
                     })
                 continue
             rel = a.get("add") or a.get("remove")
@@ -3227,6 +3378,7 @@ def _changes_plan(
                     # RESTORE re-adds carry the file's original schema
                     "schema": a.get("schema", e["schema"]),
                     "dvs": list(entry_dvs.get(rel, ())),
+                    "pv": (a.get("stats") or {}).get(_PV_KEY),
                 })
             else:
                 ent = prior_map.get(rel) if prior_map else None
@@ -3234,14 +3386,17 @@ def _changes_plan(
                     continue  # removed file never visible in a snapshot
                 plan.append({
                     "change": "delete", "v": v, "rel": rel,
-                    "schema": ent[0], "dvs": list(ent[1]),
+                    "schema": ent[0], "dvs": list(ent[1]), "pv": ent[2],
                 })
         if prior_map is not None:
             # roll the prior-live map forward past this commit so the next
             # version's delete lookups see v's own adds/removes/tombstones
             for a in e["actions"]:
                 if "add" in a:
-                    prior_map[a["add"]] = (a.get("schema", e["schema"]), ())
+                    prior_map[a["add"]] = (
+                        a.get("schema", e["schema"]), (),
+                        (a.get("stats") or {}).get(_PV_KEY),
+                    )
                 elif "remove" in a:
                     prior_map.pop(a["remove"], None)
             for a in e["actions"]:
@@ -3250,8 +3405,8 @@ def _changes_plan(
                 if "dv" in a:
                     for f in a["applies"]:
                         if f in prior_map:
-                            s, dvs = prior_map[f]
-                            prior_map[f] = (s, dvs + (a["dv"],))
+                            s, dvs, pv = prior_map[f]
+                            prior_map[f] = (s, dvs + (a["dv"],), pv)
     return plan
 
 
@@ -3302,11 +3457,37 @@ def read_txn_changes(
     plan = _changes_plan(root, versions, from_version, to_version)
     parts = []
     if plan:
+        # change rows surface under the CURRENT logical column names and
+        # with partition columns REATTACHED (they are metadata-resident on
+        # partitioned tables; reading the bytes alone would NULL them)
+        _renames = snapshot(root, version=to_version).renames
 
-        def _file_df(rel, sj, dvs, keep_tombstoned=False):
-            df = spark.read.schema(
-                StructType.fromJson(json.loads(sj))
-            ).parquet(os.path.join(root, rel))
+        def _attach_pv(df, pv, sj):
+            if not pv:
+                return df
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(sj)).fields
+            }
+            for c, raw in pv.items():
+                df = df.withColumn(
+                    c, F.lit(raw).cast("string").cast(types.get(c, "string"))
+                )
+            return df
+
+        def _apply_chain(df):
+            for phys, logical in _renames:
+                if phys in df.columns and logical not in df.columns:
+                    df = df.withColumnRenamed(phys, logical)
+            return df
+
+        def _file_df(rel, sj, dvs, keep_tombstoned=False, pv=None):
+            df = _attach_pv(
+                spark.read.schema(
+                    StructType.fromJson(json.loads(sj))
+                ).parquet(os.path.join(root, rel)),
+                pv, sj,
+            )
             if dvs and not keep_tombstoned:
                 df = df.select(
                     "*",
@@ -3323,15 +3504,18 @@ def read_txn_changes(
                     (F.col("__f") == dv_df["file"]) & (F.col("__p") == dv_df["pos"]),
                     "left_anti",
                 ).drop("__f", "__p")
-            return df
+            return _apply_chain(df)
 
         for item in plan:
             v = item["v"]
             if item["change"] == "delete_at":
                 dv_df = spark.read.parquet(os.path.join(root, item["dv"]))
-                df = spark.read.schema(
-                    StructType.fromJson(json.loads(item["schema"]))
-                ).parquet(os.path.join(root, item["rel"])).select(
+                df = _attach_pv(
+                    spark.read.schema(
+                        StructType.fromJson(json.loads(item["schema"]))
+                    ).parquet(os.path.join(root, item["rel"])),
+                    item.get("pv"), item["schema"],
+                ).select(
                     "*",
                     F.element_at(
                         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -3344,6 +3528,7 @@ def read_txn_changes(
                     & (F.col("__p") == dv_df["pos"]),
                     "left_semi",
                 ).drop("__f", "__p")
+                df = _apply_chain(df)
                 parts.append(
                     df.withColumn("_change_type", F.lit("delete")).withColumn(
                         "_commit_version", F.lit(v).cast("bigint")
@@ -3351,7 +3536,10 @@ def read_txn_changes(
                 )
                 continue
             parts.append(
-                _file_df(item["rel"], item["schema"], item["dvs"]).withColumn(
+                _file_df(
+                    item["rel"], item["schema"], item["dvs"],
+                    pv=item.get("pv"),
+                ).withColumn(
                     "_change_type", F.lit(item["change"])
                 ).withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -3693,6 +3881,9 @@ def clone_txn(
         # the clone stays partitioned: per-file partition tuples already
         # ride the copied stats; the spec itself must carry over too
         extra["partition"] = list(snap.partition_cols)
+    if snap.renames:
+        # referenced source files keep physical names: the chain rides
+        extra["renames"] = [list(r) for r in snap.renames]
     return _commit_pinned(
         dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
     )

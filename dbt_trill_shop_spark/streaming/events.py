@@ -523,12 +523,13 @@ def stream_purchase_attribution_outer(
     Outer results are emitted by state EVICTION, so a BOUNDED drain needs
     an end-of-stream flush: watermarks only advance between micro-batches,
     and the final batch's unmatched rows would otherwise sit in state
-    forever.  The drain stages the normalized events as one file plus
-    far-future sentinel ticks (one click + one purchase per tick file,
-    negative ids, disjoint negative user ids so they join nothing real;
-    the output filter on non-negative purchase ids drops their own rows)
-    with staggered mtimes — the tick batches advance the watermark past
-    every real event and the following batch applies it, exactly the
+    forever.  The drain stages the normalized events as several
+    same-mtime files plus ONE far-future sentinel tick (one click + one
+    purchase, negative ids, disjoint negative user ids so they join
+    nothing real; the output filter on non-negative purchase ids drops
+    their own rows) — batch 0 reads every events file and the tick
+    (raising the watermark stat past all real data), then availableNow's
+    trailing NO-DATA batch applies it and evicts, exactly the
     heartbeat/tick pattern an unbounded production stream gets for free
     from the next day's data.  The drained result equals the batch LEFT
     JOIN, so the oracle is plain SQL.
@@ -551,29 +552,45 @@ def stream_purchase_attribution_outer(
     import tempfile
     import time as _time
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    # only clicks and purchases can ever join: filter BEFORE staging so
+    # the stream never carries the other event types through the
+    # watermark operators (same rows out; ~60% less state-machine input).
+    # The watermark flush contract needs the max ts of the KEPT types.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .filter(F.col("event_type").isin("click", "purchase"))
     )
     row = ev.agg(F.max("ts").alias("m")).first()
     base = tempfile.mkdtemp(prefix=f"stream_outer_{os.getpid()}_")
     try:
-        ev.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, "b0")
-        )
-        part = next(
-            f
-            for f in sorted(os.listdir(os.path.join(base, "b0")))
-            if f.endswith(".parquet")
-        )
-        os.replace(
-            os.path.join(base, "b0", part), os.path.join(base, "events.parquet")
-        )
-        shutil.rmtree(os.path.join(base, "b0"), ignore_errors=True)
+        # the real data lands as SEVERAL same-mtime files so batch 0 reads
+        # them in parallel (the r10 single-file staging serialized the
+        # whole corpus through one task); the empty corpus keeps the
+        # single-file path (coalesce(1) guarantees one schema-carrying
+        # part file, and no ticks are needed anyway)
+        staged = ev.repartition(7) if row["m"] is not None else ev.coalesce(1)
+        staged.write.mode("overwrite").parquet(os.path.join(base, "b0"))
         now = _time.time()
-        os.utime(os.path.join(base, "events.parquet"), (now - 10, now - 10))
+        n_events = 0
+        for part in sorted(os.listdir(os.path.join(base, "b0"))):
+            if not part.endswith(".parquet"):
+                continue
+            dst = os.path.join(base, f"events_{n_events}.parquet")
+            os.replace(os.path.join(base, "b0", part), dst)
+            os.utime(dst, (now - 10, now - 10))
+            n_events += 1
+        shutil.rmtree(os.path.join(base, "b0"), ignore_errors=True)
         # an EMPTY corpus needs no flush (nothing can be in join state)
         # and a NULL-ts tick would be meaningless to the watermark
-        for i, days in enumerate((120, 121) if row["m"] is not None else ()):
+        # ONE tick suffices: availableNow runs a trailing NO-DATA batch
+        # whenever the last data batch advanced the watermark (measured:
+        # the 0-input-row batch in the drain's progress log), and that
+        # batch performs the eviction — the r10 second tick file bought a
+        # whole extra ~2 s micro-batch for nothing.  The pooled scenario
+        # and the oracle comparison fail loudly if an engine change ever
+        # stops flushing.
+        for i, days in enumerate((120,) if row["m"] is not None else ()):
             tick = spark.createDataFrame(
                 [
                     (-(2 * i + 1), row["m"], -1, "click", 0.0, "{}"),
@@ -602,9 +619,16 @@ def stream_purchase_attribution_outer(
                 os.path.join(base, f"tick{i}.parquet"),
                 (now - 5 + i, now - 5 + i),
             )
+        # TWO micro-batches instead of one-per-file: batch 0 takes every
+        # events file PLUS tick0 (mtime order puts the ticks last, the
+        # trigger cap admits exactly n_events + 1 files), so tick0's
+        # watermark raise lands at batch-0 end; batch 1 is tick1 alone and
+        # APPLIES it — state evicts, orphans emit.  Same flush semantics
+        # as the r10 one-file-per-batch staging at a third of the
+        # micro-batch overhead.
         src = (
             spark.readStream.schema(_EVENTS_NATIVE_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(n_events + 1))
             .parquet(base)
         )
         # the ticks must flow THROUGH the watermark operators (a filter

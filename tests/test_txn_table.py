@@ -2517,6 +2517,26 @@ def _sc_partitioned_tables(spark, base):
     write_txn(_df(spark, 0, 3), root2)
     with pytest.raises(ValueError, match="PARTITIONED"):
         write_txn(_df(spark, 0, 3), root2, mode="overwrite_partitions")
+    # the CHANGE FEED reattaches metadata-resident partition values (they
+    # are not in the data bytes; before the pv plumbing they surfaced
+    # NULL), and a dynamic overwrite reports exactly the replaced
+    # partition's rows as the delete/insert pair
+    from dbt_trill_shop_spark.sources.txn_table import read_txn_changes
+
+    cdf_root = os.path.join(base, "cdf")
+    write_txn(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "id long, cat string, v long"),
+        cdf_root, partition_by=["cat"],
+    )
+    write_txn(
+        spark.createDataFrame([(9, "a", 9)], "id long, cat string, v long"),
+        cdf_root, mode="overwrite_partitions",
+    )
+    ch = {
+        (r.id, r.cat, r._change_type)
+        for r in read_txn_changes(spark, cdf_root, from_version=0).collect()
+    }
+    assert ch == {(1, "a", "delete"), (9, "a", "insert")}, ch
     # DATE partitions prune through DATE literals (ISO-string bounds)
     root3 = os.path.join(base, "dates")
     d = spark.sql(
@@ -2528,9 +2548,96 @@ def _sc_partitioned_tables(spark, base):
     assert dict(read_txn(spark, root3).dtypes)["d"] == "date"
 
 
+def _sc_rename_column(spark, base):
+    """RENAME COLUMN (staged r12): metadata-only, ordered rename chain —
+    old files read their physical bytes remapped to the logical name,
+    writes after the rename carry the new name natively, chained renames
+    resolve by order, DML works under the new name, compaction
+    materializes the chain (names free again), RESTORE rewinds names AND
+    chain, clones carry it, and both reuse hazards (rename target / new
+    batch column named like a chain source) are loud."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, compact_txn as _compact, rename_column_txn, restore_txn,
+    )
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    root = os.path.join(base, "t")
+    write_txn(_df(spark, 0, 5), root)                          # v0: (id, v)
+    rename_column_txn(root, "v", "value")                      # v1
+    assert read_txn(spark, root).columns == ["id", "value"]
+    assert {r.value for r in read_txn(spark, root).collect()} == {0, 10, 20, 30, 40}
+    # post-rename writes carry the logical name; mixed generations read
+    write_txn(spark.createDataFrame([(9, 90)], "id long, value long"), root)
+    rename_column_txn(root, "value", "amount")                 # chained
+    got = {r.id: r.amount for r in read_txn(spark, root).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40, 9: 90}
+    # DML under the new name (merge + 3VL delete)
+    merge_txn(spark, spark.createDataFrame([(0, 5)], "id long, amount long"), root, on="id")
+    delete_txn(spark, root, "amount > 80")
+    assert {r.id: r.amount for r in read_txn(spark, root).collect()} == {
+        0: 5, 1: 10, 2: 20, 3: 30, 4: 40
+    }
+    # time travel shows era-correct names
+    assert read_txn(spark, root, version=0).columns == ["id", "v"]
+    # reuse hazards are LOUD until compaction materializes the chain
+    with pytest.raises(ValueError, match="rename chain"):
+        rename_column_txn(root, "id", "value")
+    with pytest.raises(ValueError, match="rename chain"):
+        write_txn(
+            spark.createDataFrame([(7, 70, 700)], "id long, amount long, v long"),
+            root,
+        )
+    v_pre = snapshot(root).version
+    _compact(spark, root, target_files=1)
+    assert snapshot(root).renames == ()
+    rename_column_txn(root, "id", "value")  # the name is free again
+    assert read_txn(spark, root).columns == ["value", "amount"]
+    # RESTORE rewinds schema AND chain; the pre-compact state still reads
+    restore_txn(root, v_pre)
+    assert read_txn(spark, root).columns == ["id", "amount"]
+    assert len(snapshot(root).renames) == 2
+    assert {r.id: r.amount for r in read_txn(spark, root).collect()} == {
+        0: 5, 1: 10, 2: 20, 3: 30, 4: 40
+    }
+    # the chain folds through the checkpoint fast path
+    while snapshot(root).version % tt._CHECKPOINT_EVERY != 0:
+        write_txn(spark.createDataFrame([(50, 500)], "id long, amount long"), root)
+    write_txn(spark.createDataFrame([(51, 510)], "id long, amount long"), root)
+    assert len(snapshot(root).renames) == 2
+    assert read_txn(spark, root).filter("id = 1").first().amount == 10
+    # clone carries the chain; source-file physical names still remap
+    dst = os.path.join(base, "c")
+    clone_txn(root, dst)
+    assert read_txn(spark, dst).columns == ["id", "amount"]
+    assert read_txn(spark, dst).filter("id = 1").first().amount == 10
+    # the CHANGE FEED surfaces rows under the range-END's logical names:
+    # a head read remaps pre-rename files through the chain; a range
+    # pinned inside the v-era keeps that era's name (Delta's
+    # schema-at-end-version rule)
+    from dbt_trill_shop_spark.sources.txn_table import read_txn_changes
+
+    ch = read_txn_changes(spark, root, from_version=-1).filter(
+        "_commit_version = 0"
+    )
+    assert "amount" in ch.columns and "v" not in ch.columns
+    assert {r.amount for r in ch.collect()} == {0, 10, 20, 30, 40}
+    era = read_txn_changes(spark, root, from_version=-1, to_version=0)
+    assert "v" in era.columns and "amount" not in era.columns
+    # guards: unknown column, collision, bound columns
+    with pytest.raises(ValueError, match="no column"):
+        rename_column_txn(root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column_txn(root, "amount", "id")
+    root2 = os.path.join(base, "t2")
+    write_txn(spark.range(3).selectExpr("id", "id % 2 as p"), root2, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition"):
+        rename_column_txn(root2, "p", "q")
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_partitioned_tables,
+    _sc_rename_column,
     _sc_merge_rejects_ambiguous_source,
     _sc_stats_backfill_on_clone,
     _sc_clone_dv_dml_attaches,
