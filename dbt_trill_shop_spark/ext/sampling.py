@@ -1102,3 +1102,90 @@ SELECT n_docs, n_chunks, doc_tokens, chunk_tokens,
        CAST(chunk_tokens * 1000000 // doc_tokens AS BIGINT) AS inflation_ppm
 FROM c CROSS JOIN d
 """
+
+
+def preference_pairs(docs: DataFrame) -> DataFrame:
+    """DPO/RLHF PREFERENCE-PAIR MINING (staged r12): within each prompt
+    group — here (source, lang), the grouping a real pipeline would key
+    by prompt id — pick the highest- and lowest-scoring responses as the
+    (chosen, rejected) pair, with a deterministic total order so the
+    pairs are reproducible run-to-run and engine-to-engine: score =
+    alphabetic character count (integer, cross-engine bit-identical),
+    ties broken by doc_id.  Groups with fewer than two documents or zero
+    margin yield no pair (a tie teaches the reward model nothing).
+
+    Scale shape: one hash shuffle on the group key, two windowed
+    rank-1 picks inside each group, no self-join and no text movement —
+    at 100 TB the shuffle carries (group, score, id), and text is only
+    read in the scoring projection.  This is the construction step for
+    DPO datasets (Rafailov et al., 2023) over scored candidate pools."""
+    scored = docs.select(
+        "source", "lang", "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias(
+            "score"
+        ),
+    )
+    w_best = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").desc(), F.col("doc_id").desc()
+    )
+    w_worst = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_best).alias("__rb"),
+        F.row_number().over(w_worst).alias("__rw"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("source", "lang")
+        ).alias("n_candidates"),
+    )
+    best = ranked.filter("__rb = 1").select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+    )
+    worst = ranked.filter("__rw = 1").select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["source", "lang"])
+        .filter("n_candidates >= 2 AND chosen_score > rejected_score")
+        .select(
+            "source", "lang", "chosen_id", "rejected_id",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("bigint").alias("margin"),
+            "n_candidates",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+PREFERENCE_PAIRS_SQL = """
+WITH scored AS (
+    SELECT source, lang, doc_id,
+           CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS score
+    FROM documents
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY score DESC, doc_id DESC) AS rb,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY score ASC, doc_id ASC) AS rw,
+           COUNT(*) OVER (PARTITION BY source, lang) AS n_candidates
+    FROM scored
+)
+SELECT b.source, b.lang,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       CAST(b.score - w.score AS BIGINT) AS margin,
+       CAST(b.n_candidates AS BIGINT) AS n_candidates
+FROM (SELECT * FROM ranked WHERE rb = 1) b
+JOIN (SELECT * FROM ranked WHERE rw = 1) w
+  ON b.source = w.source AND b.lang = w.lang
+WHERE b.n_candidates >= 2 AND b.score > w.score
+ORDER BY b.source, b.lang
+"""

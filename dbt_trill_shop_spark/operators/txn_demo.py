@@ -1659,11 +1659,85 @@ ORDER BY status
 # the table-layout wave — creation-time PARTITIONED BY with log-resident
 # partition tuples, exact pruning, dynamic partition overwrite, zero-I/O
 # partition statistics, and metadata-only column rename.
+def txn_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (staged r12): customers land in two
+    batches on a table whose ``row_id`` the LOG assigns — a backfill
+    rewrite ranks the first batch by the declared unique key
+    (two-phase bucketed rank, no single-task window), the second batch
+    continues the high watermark the commit log carries forward, and a
+    DELETE preserves assigned ids without moving it.  Deterministic by
+    the order_by contract, so plain ROW_NUMBER SQL reproduces every id."""
+    from ..sources.txn_table import delete_txn, set_identity_txn
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    root = _tmp_root("identity")
+    write_txn(cust.filter("c_custkey % 2 = 0").repartition(4), root)
+    set_identity_txn(spark, root, "row_id", order_by="c_custkey", start=1000, step=2)
+    write_txn(cust.filter("c_custkey % 2 = 1").repartition(4), root)
+    delete_txn(spark, root, "bal_cents < 0")
+    return (
+        read_txn(spark, root)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("row_id").cast("decimal(38,0)"))
+            .cast("double").alias("row_id_sum"),
+            F.min("row_id").alias("row_id_min"),
+            F.max("row_id").alias("row_id_max"),
+        )
+        .orderBy("segment")
+    )
+
+
+TXN_IDENTITY_SQL = """
+WITH src AS (
+    SELECT c_custkey, c_mktsegment AS segment,
+           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+    FROM customer
+),
+ids AS (
+    SELECT segment, bal_cents,
+           1000 + 2 * (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) AS row_id
+    FROM src WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT segment, bal_cents,
+           1000 + 2 * ((SELECT COUNT(*) FROM src WHERE c_custkey % 2 = 0)
+                       + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) AS row_id
+    FROM src WHERE c_custkey % 2 = 1
+)
+SELECT segment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(row_id AS HUGEINT)) AS DOUBLE) AS row_id_sum,
+       MIN(row_id) AS row_id_min, MAX(row_id) AS row_id_max
+FROM ids
+WHERE bal_cents >= 0
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+def _x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import preference_pairs
+
+    return preference_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _preference_pairs_sql() -> str:
+    from ..ext.sampling import PREFERENCE_PAIRS_SQL
+
+    return PREFERENCE_PAIRS_SQL
+
+
 ROUND12_STAGED: dict = {
     "q_txn_partitioned_prune": (txn_partitioned_prune, TXN_PARTITIONED_SQL),
     "q_txn_dynamic_overwrite": (txn_dynamic_overwrite, TXN_DYNAMIC_OVERWRITE_SQL),
     "q_txn_partition_stats": (txn_partition_stats, TXN_PARTITION_STATS_SQL),
     "q_txn_rename_col": (txn_rename_column, TXN_RENAME_COLUMN_SQL),
+    "q_txn_identity": (txn_identity_column, TXN_IDENTITY_SQL),
+    "x_preference_pairs": (_x_preference_pairs, _preference_pairs_sql()),
 }
 
 

@@ -86,6 +86,8 @@ class Snapshot:
     ndv_spec: tuple[tuple[str, int], ...] = ()  # (col, k sketch size) sorted
     partition_cols: tuple[str, ...] = ()  # creation-time PARTITIONED BY, ordered
     renames: tuple[tuple[str, str], ...] = ()  # (physical, logical) ORDERED chain
+    # (col, start, step, next, order-by tuple) — GENERATED ALWAYS AS IDENTITY
+    identity_spec: tuple = ()
 
 
 def _log_dir(root: str) -> str:
@@ -216,6 +218,10 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         "ndv": {c: k for c, k in snap.ndv_spec},
         "partition": list(snap.partition_cols),
         "renames": [list(r) for r in snap.renames],
+        "identity": {
+            c: [st, sp, nx, list(ob)]
+            for c, st, sp, nx, ob in snap.identity_spec
+        },
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -242,6 +248,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     ndv: dict[str, int] = {}
     partition: list[str] = []
     renames: list[list[str]] = []
+    identity: dict = {}
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -258,6 +265,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         ndv = dict(ckpt.get("ndv", {}))
         partition = list(ckpt.get("partition", []))
         renames = [list(r) for r in ckpt.get("renames", [])]
+        identity = dict(ckpt.get("identity", {}))
     for v in versions:
         if v < start:
             continue
@@ -291,6 +299,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             partition = list(e["partition"])
         if "renames" in e:  # rename commits carry the full ordered chain
             renames = [list(r) for r in e["renames"]]
+        if "identity" in e:  # identity writes carry the updated watermark map
+            identity = dict(e["identity"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -307,6 +317,12 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         ndv_spec=tuple(sorted((c, int(k)) for c, k in ndv.items())),
         partition_cols=tuple(partition),
         renames=tuple((a, b) for a, b in renames),
+        identity_spec=tuple(
+            sorted(
+                (c, int(v[0]), int(v[1]), int(v[2]), tuple(v[3]))
+                for c, v in identity.items()
+            )
+        ),
     )
 
 
@@ -1650,6 +1666,14 @@ def drop_column_txn(root: str, col: str) -> int:
             f"column {col!r} is a partition column (PARTITIONED BY "
             f"{list(snap.partition_cols)}); the partition spec is immutable"
         )
+    bound = {c for c, *_ in snap.identity_spec} | {
+        oc for _c, _s, _p, _n, ob in snap.identity_spec for oc in ob
+    }
+    if col in bound:
+        raise ValueError(
+            f"column {col!r} is bound by an IDENTITY declaration "
+            "(generated column or its order_by key)"
+        )
     referenced = [
         n for n, expr in snap.constraints
         if re.search(rf"\b{re.escape(col)}\b", expr)
@@ -1701,6 +1725,116 @@ def _guard_chain_reuse(batch_cols, root: str, renames) -> None:
         )
 
 
+def set_identity_txn(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    order_by: list[str] | str,
+    start: int = 1,
+    step: int = 1,
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS IDENTITY (Delta's identity
+    columns): every subsequent write that the table accepts gets the
+    column ASSIGNED — contiguous values from a HIGH-WATERMARK the commit
+    log carries forward — and a batch that tries to SUPPLY the column is
+    rejected (ALWAYS semantics; Delta raises the same way).  Existing
+    rows are backfilled in one rewrite commit (identity on existing data
+    is a rewrite everywhere — Delta simply forbids ALTERing one on).
+
+    DETERMINISM contract (what makes the assignment oracle-checkable and
+    re-runnable): ``order_by`` names columns forming a UNIQUE key; each
+    batch's ids are its rank order under that key.  Assignment is the
+    two-phase bucketed rank (operators/twophase.bucketed_rank — range
+    buckets + per-bucket offsets), NEVER a single-task global window, so
+    a 100 TB backfill or a wide batch ranks in parallel.  Delta instead
+    assigns per-task ranges (non-deterministic values, possible gaps);
+    this design trades a batch-local rank shuffle for reproducibility.
+
+    CONCURRENCY: an identity write commits PINNED to the snapshot whose
+    watermark assigned its ids — a racing commit raises TxnConflict
+    instead of ever re-issuing the same ids (the allocation serializes,
+    exactly like Delta's identity high-watermark).  The watermark rides
+    every identity commit's entry and folds like the other table
+    properties."""
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    fields = {f.name for f in StructType.fromJson(json.loads(snap.schema_json)).fields}
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    if col in fields:
+        raise ValueError(
+            f"identity column {col!r} already exists in the schema; "
+            "identity declares a NEW generated column"
+        )
+    if col in snap.dropped:
+        raise ValueError(f"{col!r} was DROPped; compact_txn first")
+    if dict(snap.generated).get(col) or any(c == col for c, *_ in snap.identity_spec):
+        raise ValueError(f"{col!r} already has a generation rule")
+    missing = [c for c in order if c not in fields]
+    if missing:
+        raise ValueError(f"identity order_by columns {missing} not in schema")
+    if int(step) == 0:
+        raise ValueError("identity step must be non-zero")
+    ident = {
+        c: [st, sp, nx, list(ob)] for c, st, sp, nx, ob in snap.identity_spec
+    }
+    rows = read_txn(spark, root, version=snap.version)
+    n = rows.count()
+    ident[col] = [int(start), int(step), int(start) + int(step) * n, order]
+    if n == 0:
+        # metadata-only declaration: schema widens, watermark = start
+        wider = json.loads(snap.schema_json)
+        wider["fields"] = list(wider["fields"]) + [
+            {"name": col, "type": "long", "nullable": False, "metadata": {}}
+        ]
+        return _commit_pinned(
+            root, snap.version, "set_identity", [], json.dumps(wider),
+            "set identity", extra={"identity": ident},
+        )
+    assigned = _assign_identity(rows, col, int(start), int(step), order)
+    rels, schema_json, stats = _stage_checked(
+        assigned, root, snap.constraints, snap.bloom_spec, snap.ndv_spec
+    )
+    actions = [
+        {"remove": os.path.relpath(p, root)} for p in snap.files
+    ] + [{"add": r, "stats": stats[r]} for r in rels]
+    return _commit_pinned(
+        root, snap.version, "set_identity", actions, schema_json,
+        "set identity", extra={"identity": ident},
+    )
+
+
+def _assign_identity(
+    df: DataFrame, col: str, next_val: int, step: int, order: list[str]
+) -> DataFrame:
+    """Assign ``col = next_val + step * (rank - 1)`` with rank = the
+    batch's 1-based order under ``order`` — via the two-phase bucketed
+    rank when the leading key is numeric (scale path: range buckets +
+    broadcast offsets, no single-task window), else a plain window (the
+    caller documented order_by as a unique key; non-numeric leading keys
+    are rare and bounded by the batch)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    lead = df.schema[order[0]].dataType
+    if isinstance(lead, NumericType):
+        from ..operators.twophase import bucketed_rank, quantile_bucket
+
+        b = quantile_bucket(df, order[0], n=64)
+        ranked = bucketed_rank(
+            b, F.col("__tp_qb"), [F.col(c) for c in order], out="__id_rn"
+        ).drop("__tp_qb")
+    else:
+        ranked = df.withColumn(
+            "__id_rn", F.row_number().over(W.orderBy(*[F.col(c) for c in order]))
+        )
+    return ranked.withColumn(
+        col,
+        (F.lit(next_val) + F.lit(step) * (F.col("__id_rn") - F.lit(1))).cast("long"),
+    ).drop("__id_rn")
+
+
 def rename_column_txn(root: str, old: str, new: str) -> int:
     """ALTER TABLE RENAME COLUMN as ONE metadata-only commit (Delta's
     column-mapping rename): the snapshot schema carries the new name and
@@ -1746,6 +1880,14 @@ def rename_column_txn(root: str, old: str, new: str) -> int:
         raise ValueError(
             f"column {old!r} is a partition column; the partition spec "
             "(and its log-recorded tuples) is immutable"
+        )
+    id_bound = {c for c, *_ in snap.identity_spec} | {
+        oc for _c, _s, _p, _n, ob in snap.identity_spec for oc in ob
+    }
+    if old in id_bound:
+        raise ValueError(
+            f"column {old!r} is bound by an IDENTITY declaration "
+            "(generated column or its order_by key); not renameable"
         )
     for what, exprs in (
         ("CHECK constraint", snap.constraints),
@@ -2049,6 +2191,7 @@ def write_txn(
     expected_base_version: int | None = None,
     app_txn: tuple | None = None,
     partition_by: list[str] | str | None = None,
+    _preserve_identity: bool = False,
 ) -> int:
     """Commit ``df`` to the table atomically; returns the committed
     version.  ``append`` adds files; ``overwrite`` removes every file
@@ -2150,11 +2293,70 @@ def write_txn(
         )
     _guard_chain_reuse(df.columns, root, renames)
     df = _apply_generated(df, root)
+    # GENERATED ALWAYS AS IDENTITY: assign from the snapshot's high
+    # watermark and commit PINNED to that snapshot — allocation serializes
+    # (a racing commit raises TxnConflict; ids are never re-issued).
+    id_snap = snapshot(root) if exists else None
+    ident = {
+        c: (st0, sp, nx, list(ob))
+        for c, st0, sp, nx, ob in (id_snap.identity_spec if id_snap else ())
+    }
+    id_map: dict | None = None
+    if ident and _preserve_identity:
+        # internal row-preserving rewrite (DELETE's kept rows): the ids
+        # are already assigned and must survive verbatim; the watermark
+        # does not move
+        ident = {}
+    if ident:
+        clash = sorted(set(df.columns) & set(ident))
+        if clash:
+            raise ValueError(
+                f"columns {clash} are GENERATED ALWAYS AS IDENTITY; the "
+                "batch must omit them (the table assigns the values)"
+            )
+        if expected_base_version is not None and expected_base_version != id_snap.version:
+            raise TxnConflict(
+                "identity assignment reads the head watermark; the pinned "
+                f"base {expected_base_version} is stale (head {id_snap.version})"
+            )
+        id_map = {
+            c: [st0, sp, nx, ob] for c, (st0, sp, nx, ob) in ident.items()
+        }
+        for c, (st0, sp, nx, ob) in ident.items():
+            df = _assign_identity(df, c, nx, sp, ob)
+        df = df.localCheckpoint(eager=True)
+        n_batch = df.count()
+        for c, (st0, sp, nx, ob) in ident.items():
+            id_map[c] = [st0, sp, nx + sp * n_batch, ob]
+        extra = {**(extra or {}), "identity": id_map}
     rels, schema_json, stats = _stage_checked(
         df, root, cons, bloom_spec, ndv_spec,
         partition_cols=pcols if (partition_by is not None and not exists) else None,
     )
     adds = [{"add": r, "stats": stats[r]} for r in rels]
+    if id_map is not None:
+        # pinned identity commit (any mode): removes computed against the
+        # SAME snapshot whose watermark assigned the ids
+        if mode == "overwrite":
+            actions = [
+                {"remove": os.path.relpath(p, root)} for p in id_snap.files
+            ] + adds
+        elif mode == "overwrite_partitions":
+            batch_pvs = {
+                tuple(sorted((stats[r].get(_PV_KEY) or {}).items()))
+                for r in rels
+            }
+            actions = [
+                {"remove": os.path.relpath(p, root)}
+                for p, st in zip(id_snap.files, id_snap.file_stats)
+                if tuple(sorted((st.get(_PV_KEY) or {}).items())) in batch_pvs
+            ] + adds
+        else:
+            actions = adds
+        return _commit_pinned(
+            root, id_snap.version, mode, actions, schema_json,
+            "identity write", extra,
+        )
     if expected_base_version is not None:
         pin = expected_base_version
         versions = _list_versions(root)
@@ -2488,6 +2690,13 @@ def merge_txn(
         target_cols = [f.name for f in want.fields]
     # a CDC batch is small by contract and feeds several probe jobs plus
     # the anti-join: materialize it once
+    if snap.identity_spec:
+        raise ValueError(
+            "MERGE on a table with IDENTITY columns is not supported: the "
+            "replace-by-key upsert cannot both preserve matched rows' ids "
+            "and assign unmatched ones under ALWAYS semantics; use "
+            "delete_txn + write_txn"
+        )
     source = source.localCheckpoint(eager=True)
     touched = _merge_touched_indices(spark, source, snap, keys)
     _guard_ambiguous_merge_source(spark, source, snap, keys, touched, want, root)
@@ -2562,6 +2771,11 @@ def merge_when_txn(
     target_cols = [f.name for f in want.fields]
     # extra source columns are legal here (op flags, CDC payloads) — they
     # feed conditions/updates and never land in the table
+    if snap.identity_spec:
+        raise ValueError(
+            "MERGE on a table with IDENTITY columns is not supported; "
+            "use delete_txn + write_txn"
+        )
     source = source.localCheckpoint(eager=True)
     if not_matched_by_source_delete is None and source.isEmpty():
         return snap.version
@@ -2658,7 +2872,8 @@ def delete_txn(spark: SparkSession, root: str, predicate: str) -> int:
         ~F.coalesce(F.expr(predicate), F.lit(False))
     )
     return write_txn(
-        kept, root, mode="overwrite", expected_base_version=snap.version
+        kept, root, mode="overwrite", expected_base_version=snap.version,
+        _preserve_identity=True,
     )
 
 
@@ -2785,6 +3000,12 @@ def update_txn_dv(
     unknown = sorted(set(set_exprs) - set(names))
     if unknown:
         raise ValueError(f"UPDATE sets columns absent from the table: {unknown}")
+    id_cols = sorted(set(set_exprs) & {c for c, *_ in snap.identity_spec})
+    if id_cols:
+        raise ValueError(
+            f"columns {id_cols} are GENERATED ALWAYS AS IDENTITY and "
+            "cannot be UPDATEd"
+        )
     bounds = _prune_from_predicate(predicate)
     items = _keep_files(spark, snap, bounds)
     scan = _scan_files(
@@ -2903,6 +3124,12 @@ def replace_where_txn(
             "(type changes require a full overwrite)"
         )
     _guard_chain_reuse(df.columns, root, snap.renames)
+    if snap.identity_spec:
+        raise ValueError(
+            "replace_where on a table with IDENTITY columns is not "
+            "supported: the incoming batch cannot supply ALWAYS-generated "
+            "ids; use delete_txn + write_txn"
+        )
     confine = ("__replace_where__", f"coalesce(({predicate}), false)")
     try:
         rels, new_schema_json, stats = _stage_checked(
@@ -3034,6 +3261,10 @@ def restore_txn(root: str, version: int) -> int:
         "generated": dict(target.generated),
         "ndv": {c: k for c, k in target.ndv_spec},
         "renames": [list(r) for r in target.renames],
+        "identity": {
+            c: [st, sp, nx, list(ob)]
+            for c, st, sp, nx, ob in target.identity_spec
+        },
     }
     return _commit_pinned(
         root, cur.version, "restore", actions, target.schema_json, "restore",
@@ -3884,6 +4115,11 @@ def clone_txn(
     if snap.renames:
         # referenced source files keep physical names: the chain rides
         extra["renames"] = [list(r) for r in snap.renames]
+    if snap.identity_spec:
+        extra["identity"] = {
+            c: [st, sp, nx, list(ob)]
+            for c, st, sp, nx, ob in snap.identity_spec
+        }
     return _commit_pinned(
         dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
     )

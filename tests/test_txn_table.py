@@ -2634,10 +2634,102 @@ def _sc_rename_column(spark, base):
         rename_column_txn(root2, "p", "q")
 
 
+def _sc_identity_columns(spark, base):
+    """GENERATED ALWAYS AS IDENTITY (staged r12): deterministic
+    contiguous assignment from a log-carried high watermark — backfill
+    rewrites existing rows ranked by the declared unique key, appends
+    continue the watermark, supplying/updating/merging the column is
+    loud, DELETE preserves assigned ids without moving the watermark,
+    RESTORE rewinds it, clones carry it, and the declaration rides the
+    checkpoint fast path."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, delete_txn_dv, rename_column_txn, restore_txn,
+        set_identity_txn, update_txn_dv,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(
+        spark.createDataFrame(
+            [(30, "c"), (10, "a"), (20, "b")], "k long, name string"
+        ),
+        root,
+    )
+    set_identity_txn(spark, root, "row_id", order_by="k", start=100, step=10)
+    assert sorted((r.k, r.row_id) for r in read_txn(spark, root).collect()) == [
+        (10, 100), (20, 110), (30, 120)
+    ]
+    # appends rank within the batch and continue the watermark
+    write_txn(
+        spark.createDataFrame([(50, "e"), (40, "d")], "k long, name string"), root
+    )
+    assert sorted((r.k, r.row_id) for r in read_txn(spark, root).collect()) == [
+        (10, 100), (20, 110), (30, 120), (40, 130), (50, 140)
+    ]
+    # ALWAYS semantics: supplying / UPDATEing / MERGEing the column is loud
+    with pytest.raises(ValueError, match="IDENTITY"):
+        write_txn(
+            spark.createDataFrame([(60, "f", 1)], "k long, name string, row_id long"),
+            root,
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        update_txn_dv(spark, root, "k = 10", {"row_id": "0"})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        merge_txn(
+            spark,
+            spark.createDataFrame([(10, "x", 1)], "k long, name string, row_id long"),
+            root, on="k",
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        rename_column_txn(root, "row_id", "rid2")
+    # DELETE / DV-delete / compaction preserve assigned ids; the
+    # watermark does not move, so the next append stays gapless
+    delete_txn(spark, root, "k = 20")
+    delete_txn_dv(spark, root, "k = 40")
+    compact_txn(spark, root, target_files=1)
+    assert sorted((r.k, r.row_id) for r in read_txn(spark, root).collect()) == [
+        (10, 100), (30, 120), (50, 140)
+    ]
+    write_txn(spark.createDataFrame([(70, "g")], "k long, name string"), root)
+    assert read_txn(spark, root).filter("k = 70").first().row_id == 150
+    # RESTORE rewinds rows AND the watermark
+    restore_txn(root, 1)
+    assert sorted(
+        (c, nx) for c, _s, _p, nx, _o in snapshot(root).identity_spec
+    ) == [("row_id", 130)]
+    write_txn(spark.createDataFrame([(99, "z")], "k long, name string"), root)
+    assert read_txn(spark, root).filter("k = 99").first().row_id == 130
+    # empty-table declaration is metadata-only; clone carries watermark;
+    # the spec folds through the checkpoint fast path
+    root2 = os.path.join(base, "e")
+    write_txn(spark.createDataFrame([], "k long, name string"), root2)
+    set_identity_txn(spark, root2, "rid", order_by="k")
+    write_txn(spark.createDataFrame([(5, "z"), (3, "y")], "k long, name string"), root2)
+    assert sorted((r.k, r.rid) for r in read_txn(spark, root2).collect()) == [
+        (3, 1), (5, 2)
+    ]
+    dst = os.path.join(base, "c")
+    clone_txn(root2, dst)
+    write_txn(spark.createDataFrame([(9, "w")], "k long, name string"), dst)
+    assert read_txn(spark, dst).filter("k = 9").first().rid == 3
+    while snapshot(root2).version % tt._CHECKPOINT_EVERY != 0:
+        write_txn(spark.createDataFrame([], "k long, name string"), root2)
+    write_txn(spark.createDataFrame([(8, "v")], "k long, name string"), root2)
+    assert read_txn(spark, root2).filter("k = 8").first().rid == 3  # via ckpt
+    # declaration guards: existing column, bad order_by, zero step
+    with pytest.raises(ValueError, match="already exists"):
+        set_identity_txn(spark, root2, "k", order_by="k")
+    with pytest.raises(ValueError, match="not in schema"):
+        set_identity_txn(spark, root2, "x", order_by="nope")
+    with pytest.raises(ValueError, match="step"):
+        set_identity_txn(spark, root2, "x", order_by="k", step=0)
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_partitioned_tables,
     _sc_rename_column,
+    _sc_identity_columns,
     _sc_merge_rejects_ambiguous_source,
     _sc_stats_backfill_on_clone,
     _sc_clone_dv_dml_attaches,
