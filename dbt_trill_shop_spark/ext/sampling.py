@@ -1189,3 +1189,109 @@ JOIN (SELECT * FROM ranked WHERE rw = 1) w
 WHERE b.n_candidates >= 2 AND b.score > w.score
 ORDER BY b.source, b.lang
 """
+
+
+def span_corruption_plan(
+    docs: DataFrame, span_len: int = 4, rate: int = 5
+) -> DataFrame:
+    """T5-style SPAN-CORRUPTION planning (staged r12): per source, how
+    many tokens a span-corruption pretraining objective would mask —
+    spans are ``span_len``-token blocks selected DETERMINISTICALLY by the
+    md5-prefix hash of (doc_id, block) mod ``rate`` (expected corruption
+    1/rate), so the plan is reproducible run-to-run and engine-to-engine
+    (no RNG; the same hash-as-randomness discipline as the hash split).
+
+    Scale shape: the explode is over BLOCK indices (n_tokens / span_len
+    per doc), never tokens or text; the only shuffle is the per-source
+    aggregation of integer counts.  Output: per-source doc/token/span/
+    masked counts plus corruption_ppm (integer micro-units)."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
+    )
+    n_blocks = F.floor((F.col("n") + span_len - 1) / span_len).cast("long")
+    blocks = toks.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("blk"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("blk").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    masked = blocks.filter(F.pmod(h, F.lit(rate)) == 0).select(
+        "source",
+        F.least(F.lit(span_len), F.col("n") - F.col("blk") * span_len).alias("m"),
+    )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    ms = masked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("m").cast("bigint").alias("masked_tokens"),
+    )
+    return (
+        base.join(ms, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("masked_tokens"), F.lit(0))
+            .cast("bigint").alias("masked_tokens"),
+            F.expr(
+                "coalesce(masked_tokens, 0) * 1000000 DIV total_tokens"
+            ).alias("corruption_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+SPAN_CORRUPTION_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id, source, n,
+           unnest(range(0, (n + {span_len} - 1) // {span_len})) AS blk
+    FROM toks
+),
+masked AS (
+    SELECT source, LEAST({span_len}, n - blk * {span_len}) AS m
+    FROM blocks
+    WHERE CAST('0x' || substring(
+              md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)),
+              1, 8) AS BIGINT) % {rate} = 0
+),
+base AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY source
+),
+ms AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(m) AS BIGINT) AS masked_tokens
+    FROM masked GROUP BY source
+)
+SELECT base.source, n_docs, total_tokens,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(masked_tokens, 0) AS masked_tokens,
+       CAST(COALESCE(masked_tokens, 0) * 1000000 // total_tokens AS BIGINT)
+           AS corruption_ppm
+FROM base LEFT JOIN ms ON base.source = ms.source
+ORDER BY base.source
+"""

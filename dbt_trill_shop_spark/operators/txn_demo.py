@@ -1472,8 +1472,10 @@ def txn_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, None, 0), (-2, None, 100)], "o_orderkey long, o_year int, cents long"
     )
     root = _tmp_root("partprune")
+    # 2 pre-split tasks x 8 year-partitions: enough files to observe
+    # pruning without paying 32 per-file stat footers at build time
     write_txn(
-        orders.unionByName(nulls).repartition(4), root, partition_by=["o_year"]
+        orders.unionByName(nulls).repartition(2), root, partition_by=["o_year"]
     )
     # every live file must carry its partition tuple in the log
     assert all(
@@ -1719,6 +1721,49 @@ ORDER BY segment
 """
 
 
+def stream_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over a PARTITIONED txn table (staged r12): events
+    land PARTITIONED BY event_type in two commits; the stream tails the
+    log and the executor-side Arrow reader reattaches the
+    metadata-resident partition column as a CONSTANT column per file —
+    before the r11 fix it surfaced NULL, silently corrupting any
+    downstream keyed on it.  The drained per-type rollup equals plain
+    SQL over the source table."""
+    from ..sources.txn_stream import stream_txn_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("streamparttail")
+    # one file per partition tuple per commit (coalesce(1) pre-split):
+    # the stream plans one input partition per FILE, so the build keeps
+    # the file count at (commits x live types), not (tasks x types)
+    write_txn(
+        ev.filter("event_id % 2 = 0").coalesce(1), root,
+        partition_by=["event_type"],
+    )
+    write_txn(ev.filter("event_id % 2 = 1").coalesce(1), root)
+    src = stream_txn_table(spark, root)
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dollars("cents").alias("total_dollars"),
+    )
+    return _drain_complete(spark, agg, "part_tail").orderBy("event_type")
+
+
+STREAM_PARTITIONED_TAIL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sampling import preference_pairs
 
@@ -1731,13 +1776,29 @@ def _preference_pairs_sql() -> str:
     return PREFERENCE_PAIRS_SQL
 
 
+def _x_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import span_corruption_plan
+
+    return span_corruption_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _span_corruption_sql() -> str:
+    from ..ext.sampling import SPAN_CORRUPTION_SQL_TEMPLATE
+
+    return SPAN_CORRUPTION_SQL_TEMPLATE.format(span_len=4, rate=5)
+
+
 ROUND12_STAGED: dict = {
     "q_txn_partitioned_prune": (txn_partitioned_prune, TXN_PARTITIONED_SQL),
     "q_txn_dynamic_overwrite": (txn_dynamic_overwrite, TXN_DYNAMIC_OVERWRITE_SQL),
     "q_txn_partition_stats": (txn_partition_stats, TXN_PARTITION_STATS_SQL),
     "q_txn_rename_col": (txn_rename_column, TXN_RENAME_COLUMN_SQL),
     "q_txn_identity": (txn_identity_column, TXN_IDENTITY_SQL),
+    "s_stream_partitioned_tail": (
+        stream_partitioned_tail, STREAM_PARTITIONED_TAIL_SQL
+    ),
     "x_preference_pairs": (_x_preference_pairs, _preference_pairs_sql()),
+    "x_span_corruption": (_x_span_corruption, _span_corruption_sql()),
 }
 
 
