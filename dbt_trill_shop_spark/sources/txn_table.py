@@ -88,6 +88,7 @@ class Snapshot:
     renames: tuple[tuple[str, str], ...] = ()  # (physical, logical) ORDERED chain
     # (col, start, step, next, order-by tuple) — GENERATED ALWAYS AS IDENTITY
     identity_spec: tuple = ()
+    cluster_by: tuple[str, ...] = ()  # declared clustering keys, ordered
 
 
 def _log_dir(root: str) -> str:
@@ -222,6 +223,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
             c: [st, sp, nx, list(ob)]
             for c, st, sp, nx, ob in snap.identity_spec
         },
+        "cluster": list(snap.cluster_by),
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -249,6 +251,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     partition: list[str] = []
     renames: list[list[str]] = []
     identity: dict = {}
+    cluster: list[str] = []
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -266,6 +269,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         partition = list(ckpt.get("partition", []))
         renames = [list(r) for r in ckpt.get("renames", [])]
         identity = dict(ckpt.get("identity", {}))
+        cluster = list(ckpt.get("cluster", []))
     for v in versions:
         if v < start:
             continue
@@ -301,6 +305,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             renames = [list(r) for r in e["renames"]]
         if "identity" in e:  # identity writes carry the updated watermark map
             identity = dict(e["identity"])
+        if "cluster" in e:  # clustering-key declarations carry the list
+            cluster = list(e["cluster"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -323,6 +329,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
                 for c, v in identity.items()
             )
         ),
+        cluster_by=tuple(cluster),
     )
 
 
@@ -3265,10 +3272,43 @@ def restore_txn(root: str, version: int) -> int:
             c: [st, sp, nx, list(ob)]
             for c, st, sp, nx, ob in target.identity_spec
         },
+        "cluster": list(target.cluster_by),
     }
     return _commit_pinned(
         root, cur.version, "restore", actions, target.schema_json, "restore",
         extra=extra,
+    )
+
+
+def set_cluster_txn(root: str, cols: list[str] | str | None) -> int:
+    """Declare the table's CLUSTERING KEYS (Delta's liquid-clustering
+    CLUSTER BY, metadata form): a METADATA-ONLY commit recording which
+    columns maintenance should range-cluster on — existing data is NOT
+    rewritten (run ``compact_txn`` to apply; Delta's OPTIMIZE applies
+    liquid clustering the same lazily).  Once declared, ``compact_txn``
+    with no explicit ``cluster_by`` clusters on the declared keys (two
+    keys = genuine Z-order), so routine compaction converges the layout
+    toward one where the log's min/max stats prune range predicates on
+    the declared columns.  ``cols=None`` clears the declaration.
+    Unlike the partition spec, clustering keys are MUTABLE — that is the
+    liquid-clustering point: re-declare and the next compaction
+    re-clusters, no table rewrite committed here."""
+    snap = snapshot(root)
+    from pyspark.sql.types import StructType
+
+    names = {f.name for f in StructType.fromJson(json.loads(snap.schema_json)).fields}
+    new = [] if cols is None else ([cols] if isinstance(cols, str) else list(cols))
+    missing = [c for c in new if c not in names]
+    if missing:
+        raise ValueError(f"cluster columns {missing} not in schema (have {sorted(names)})")
+    if len(new) > 2:
+        raise ValueError(
+            "at most two clustering keys (two interleave as a Z-order; "
+            "more would need a space-filling curve of higher arity)"
+        )
+    return _commit_pinned(
+        root, snap.version, "set_cluster", [], snap.schema_json,
+        "set cluster", extra={"cluster": new},
     )
 
 
@@ -3313,6 +3353,11 @@ def compact_txn(
     because a data file can never span two partitions."""
     snap = snapshot(root)
     df = read_txn(spark, root)
+    if cluster_by is None and snap.cluster_by:
+        # the declared clustering keys (set_cluster_txn) drive routine
+        # compaction: two keys interleave as a Z-order, one range-clusters
+        cluster_by = list(snap.cluster_by)
+        zorder = zorder or len(cluster_by) == 2
     if cluster_by and zorder:
         if len(cluster_by) != 2:
             raise ValueError("zorder interleaves exactly two cluster columns")
@@ -4120,6 +4165,8 @@ def clone_txn(
             c: [st, sp, nx, list(ob)]
             for c, st, sp, nx, ob in snap.identity_spec
         }
+    if snap.cluster_by:
+        extra["cluster"] = list(snap.cluster_by)
     return _commit_pinned(
         dst_root, -1, "clone", actions, snap.schema_json, "clone", extra=extra
     )

@@ -2,7 +2,11 @@
 must agree bit-for-bit (float32 tolerance) with the JVM-side long-form
 hashing-trick twin — proving the Arrow batch plumbing (schema, batch
 iteration, passthrough id, zero-vector contract) transports the exact
-same arithmetic a pure-SQL plan produces."""
+same arithmetic a pure-SQL plan produces.
+
+All three checks run POOLED in the scenarios sibling process since r11
+(VERDICT r10 note: ~23 s of main-suite critical path by --durations);
+tests/test_ext.py appends them to _POOLED_CHECKS."""
 
 import math
 
@@ -17,7 +21,7 @@ from dbt_trill_shop_spark.ext.textstats import (
 DIM = 16
 
 
-def test_bridge_matches_jvm_twin_and_contract(spark, sf_dir):
+def _px_bridge_matches_jvm_twin_and_contract(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(200)
     got = {
         r.doc_id: r.vec
@@ -52,7 +56,7 @@ def test_bridge_matches_jvm_twin_and_contract(spark, sf_dir):
         assert abs(sum(x * x for x in got[doc_id]) - 1.0) < 1e-5
 
 
-def test_bridge_longform_matches_duckdb_oracle(spark, sf_dir):
+def _px_bridge_longform_matches_duckdb_oracle(spark, sf_dir):
     """The round-8-staged registry realization: long-form unit weights
     pass the driver-style value-hash comparison against the pure-SQL
     DuckDB twin (float32 truncation replicated via CAST AS FLOAT)."""
@@ -69,7 +73,7 @@ def test_bridge_longform_matches_duckdb_oracle(spark, sf_dir):
     assert not probs, "; ".join(probs)
 
 
-def test_rerank_bridge_matches_jvm_twin(spark, sf_dir):
+def _px_rerank_bridge_matches_jvm_twin(spark, sf_dir):
     """The cross-encoder rerank bridge (STAGED for round 9): the
     mapInPandas containment scorer agrees exactly with a JVM-side
     explode/distinct/join plan over the same pairs, and a token-less

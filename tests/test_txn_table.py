@@ -2725,11 +2725,65 @@ def _sc_identity_columns(spark, base):
         set_identity_txn(spark, root2, "x", order_by="k", step=0)
 
 
+def _sc_cluster_keys(spark, base):
+    """Declared CLUSTERING KEYS (liquid-clustering lite): a metadata-only
+    declaration that routine compaction applies lazily — after
+    ``compact_txn`` with no explicit keys, the log's min/max stats prune
+    range predicates on the declared columns; re-declaring re-clusters on
+    the next compaction; RESTORE and clones carry the declaration."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        clone_txn, set_cluster_txn,
+    )
+
+    root = os.path.join(base, "t")
+    # hash-scattered layout: every file spans the whole key domain
+    write_txn(
+        spark.range(0, 4000)
+        .selectExpr("id * 7919 % 10000 as k", "id % 100 as j", "id as v")
+        .repartition(4),
+        root,
+    )
+    pred = "k >= 9000"
+    before = read_txn(spark, root, where=pred)
+    assert len(before.inputFiles()) == 4  # nothing prunes pre-cluster
+    set_cluster_txn(root, ["k"])                          # metadata-only
+    assert set(snapshot(root).files) == set(
+        snapshot(root, version=0).files
+    )  # declaration rewrote nothing
+    compact_txn(spark, root, target_files=4)              # applies keys
+    after = read_txn(spark, root, where=pred)
+    assert sorted(r.k for r in after.collect()) == sorted(
+        r.k for r in before.collect()
+    )
+    assert len(after.inputFiles()) < 4, after.inputFiles()
+    # two declared keys -> the default compaction is a genuine Z-order
+    set_cluster_txn(root, ["k", "j"])
+    compact_txn(spark, root, target_files=4)
+    g1 = read_txn(spark, root, where="k >= 9000")
+    g2 = read_txn(spark, root, where="j >= 90")
+    assert len(g1.inputFiles()) < 4 and len(g2.inputFiles()) < 4
+    # clone and restore carry / rewind the declaration; clearing works
+    dst = os.path.join(base, "c")
+    clone_txn(root, dst)
+    assert snapshot(dst).cluster_by == ("k", "j")
+    set_cluster_txn(root, None)
+    assert snapshot(root).cluster_by == ()
+    from dbt_trill_shop_spark.sources.txn_table import restore_txn
+
+    restore_txn(root, snapshot(root).version - 1)
+    assert snapshot(root).cluster_by == ("k", "j")
+    with pytest.raises(ValueError, match="not in schema"):
+        set_cluster_txn(root, ["nope"])
+    with pytest.raises(ValueError, match="two clustering"):
+        set_cluster_txn(root, ["k", "j", "v"])
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_partitioned_tables,
     _sc_rename_column,
     _sc_identity_columns,
+    _sc_cluster_keys,
     _sc_merge_rejects_ambiguous_source,
     _sc_stats_backfill_on_clone,
     _sc_clone_dv_dml_attaches,
