@@ -904,8 +904,18 @@ def _bloom_pack(bits, m: int) -> str:
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
+def _chain_names(field_names, renames):
+    """A file-schema field-name list remapped through the table's ordered
+    rename chain — the LOGICAL names its columns answer to now."""
+    cur = list(field_names)
+    for phys, logical in renames or ():
+        if phys in cur and logical not in cur:
+            cur[cur.index(phys)] = logical
+    return cur
+
+
 def _compute_blooms(
-    spark: SparkSession, root: str, items, spec
+    spark: SparkSession, root: str, items, spec, renames=()
 ) -> dict[str, dict]:
     """Per-file Bloom filters for the spec'd columns over an explicit
     (rel_path, schema_json) file list — ONE column-pruned Spark job (the
@@ -929,7 +939,11 @@ def _compute_blooms(
         by_schema.setdefault(sj, []).append(rel)
     for sj, rels in by_schema.items():
         schema = StructType.fromJson(json.loads(sj))
-        names = {f.name for f in schema.fields}
+        # pre-rename files carry PHYSICAL names: spec columns are LOGICAL,
+        # so membership and the scan both go through the rename chain —
+        # before this, a backfill on a renamed column recorded exclude-all
+        # bitsets for every old file (silent wrong pruning).
+        names = set(_chain_names([f.name for f in schema.fields], renames))
         use = [(c, m, k) for c, m, k in spec if c in names]
         # columns absent from this schema generation: all-NULL by
         # evolution semantics -> exclude-all empty bitset, no scan needed
@@ -948,6 +962,9 @@ def _compute_blooms(
         df = spark.read.schema(schema).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        for _phys, _logical in renames or ():
+            if _phys in df.columns and _logical not in df.columns:
+                df = df.withColumnRenamed(_phys, _logical)
         entries = []
         for c, m, k in use:
             for s in range(k):
@@ -1059,14 +1076,30 @@ def _bloom_may_match(root: str, stats: dict, probe_bits: dict) -> bool:
 
 
 def _pv_may_match(pv, bounds: dict) -> bool:
-    """Exact NULL-partition pruning: a file whose recorded partition value
-    for a bounded column is NULL can match no interval (SQL comparisons
-    with NULL are never true; prune intervals only ever derive from such
-    comparisons), so it prunes — the [v, v] stats entry that handles
-    non-null partition values is simply absent for the NULL partition."""
+    """Exact partition pruning for the cases interval stats cannot see:
+
+    - INTERVAL bound (len-2): the NULL partition can match no comparison
+      (SQL three-valued logic), so it prunes; non-null partition values
+      prune via their [v, v] stats entry in _file_may_match.
+    - NULLNESS mark (len-1, from ``col IS [NOT] NULL``): a partition
+      value is constant per file, so nullness is decided EXACTLY —
+      ``IS NULL`` prunes every non-NULL partition and keeps the NULL one
+      (the partition column is not in the data bytes, so the generic
+      __nulls-stats path never fires for it), and ``IS NOT NULL`` prunes
+      exactly the NULL partition."""
     if not pv:
         return True
-    return not any(c in pv and pv[c] is None for c in bounds)
+    for c, bound in bounds.items():
+        if c not in pv:
+            continue
+        if len(bound) == 1:
+            if bound[0] == "__isnull" and pv[c] is not None:
+                return False
+            if bound[0] == "__notnull" and pv[c] is None:
+                return False
+        elif pv[c] is None:
+            return False
+    return True
 
 
 def _snap_item(snap: Snapshot, i: int):
@@ -1144,7 +1177,7 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
 
 
 def _compute_ndv_sketches(
-    spark: SparkSession, root: str, items, spec
+    spark: SparkSession, root: str, items, spec, renames=()
 ) -> dict[str, dict]:
     """Per-file KMV (bottom-k minimum values) NDV sketches for the spec'd
     columns over an explicit (rel_path, schema_json) file list — ONE
@@ -1169,13 +1202,18 @@ def _compute_ndv_sketches(
         by_schema.setdefault(sj, []).append(rel)
     for sj, rels in by_schema.items():
         schema = StructType.fromJson(json.loads(sj))
-        names = {f.name for f in schema.fields}
+        # logical-name membership + post-read remap, same rename-chain
+        # discipline as _compute_blooms (old files carry physical names)
+        names = set(_chain_names([f.name for f in schema.fields], renames))
         use = [(c, k) for c, k in spec if c in names]
         if not use:
             continue
         df = spark.read.schema(schema).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        for _phys, _logical in renames or ():
+            if _phys in df.columns and _logical not in df.columns:
+                df = df.withColumnRenamed(_phys, _logical)
         fcol = F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1
         ).alias("__f")
@@ -1980,7 +2018,7 @@ def set_bloom_txn(
             (os.path.relpath(p, root), sj)
             for p, sj in zip(snap.files, snap.file_schemas)
         ]
-        blooms = _compute_blooms(spark, root, items, triples)
+        blooms = _compute_blooms(spark, root, items, triples, snap.renames)
         dv_applies: dict[str, list[str]] = {}
         for rel_sj, p, st, dvs in zip(
             items, snap.files, snap.file_stats, snap.file_dvs
@@ -2082,7 +2120,7 @@ def set_ndv_txn(
             (os.path.relpath(p, root), sj)
             for p, sj in zip(snap.files, snap.file_schemas)
         ]
-        sketches = _compute_ndv_sketches(spark, root, items, pairs)
+        sketches = _compute_ndv_sketches(spark, root, items, pairs, snap.renames)
         dv_applies: dict[str, list[str]] = {}
         for (rel, sj), st, dvs in zip(items, snap.file_stats, snap.file_dvs):
             new_st = dict(st)

@@ -2517,6 +2517,22 @@ def _sc_partitioned_tables(spark, base):
     write_txn(_df(spark, 0, 3), root2)
     with pytest.raises(ValueError, match="PARTITIONED"):
         write_txn(_df(spark, 0, 3), root2, mode="overwrite_partitions")
+    # NULLNESS predicates prune EXACTLY on partition values (a partition
+    # value is constant per file): IS NULL keeps only the NULL partition
+    # — the first cut pruned it (silent empty result) because nullness
+    # marks are 1-tuples, not intervals — and IS NOT NULL drops it
+    nroot = os.path.join(base, "nulls")
+    write_txn(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (4, None, 40)],
+            "id long, cat string, v long",
+        ).coalesce(1),
+        nroot, partition_by=["cat"],
+    )
+    gn = read_txn(spark, nroot, where="cat IS NULL")
+    assert [r.id for r in gn.collect()] == [4] and len(gn.inputFiles()) == 1
+    gnn = read_txn(spark, nroot, where="cat IS NOT NULL")
+    assert gnn.count() == 2 and len(gnn.inputFiles()) == 2
     # the CHANGE FEED reattaches metadata-resident partition values (they
     # are not in the data bytes; before the pv plumbing they surfaced
     # NULL), and a dynamic overwrite reports exactly the replaced
@@ -2623,6 +2639,27 @@ def _sc_rename_column(spark, base):
     assert {r.amount for r in ch.collect()} == {0, 10, 20, 30, 40}
     era = read_txn_changes(spark, root, from_version=-1, to_version=0)
     assert "v" in era.columns and "amount" not in era.columns
+    # statistics backfill AFTER a rename reads old files through the
+    # chain: spec columns are LOGICAL, files carry PHYSICAL names — the
+    # first cut recorded exclude-all blooms / empty sketches for every
+    # pre-rename file (silent wrong pruning, zero NDV)
+    from dbt_trill_shop_spark.sources.txn_table import (
+        ndv_estimate_txn, set_bloom_txn, set_ndv_txn,
+    )
+
+    root3 = os.path.join(base, "t3")
+    write_txn(
+        spark.range(0, 2000)
+        .selectExpr("id * 7919 % 100000 as k", "id as v")
+        .repartition(3),
+        root3,
+    )
+    rename_column_txn(root3, "k", "key")
+    set_bloom_txn(spark, root3, {"key": 16384}, backfill=True)
+    gb = read_txn(spark, root3, where="key = 7919")
+    assert gb.count() == 1 and len(gb.inputFiles()) <= 2
+    set_ndv_txn(spark, root3, {"key": 64}, backfill=True)
+    assert ndv_estimate_txn(root3)["key"] > 1000
     # guards: unknown column, collision, bound columns
     with pytest.raises(ValueError, match="no column"):
         rename_column_txn(root, "nope", "x")
