@@ -1519,7 +1519,10 @@ def txn_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, never the table."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        "event_type",
+        # partition-key hygiene: '' is indistinguishable from NULL in the
+        # hive dir encoding, and the engine rejects it loudly — normalize
+        # to the NULL partition like a real ingest would
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
     root = _tmp_root("dynover")
@@ -1548,7 +1551,8 @@ def txn_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TXN_DYNAMIC_OVERWRITE_SQL = """
 WITH src AS (
-    SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    SELECT NULLIF(event_type, '') AS event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
     FROM events
 ),
 final AS (
@@ -1733,7 +1737,8 @@ def stream_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        "event_type",
+        # same partition-key hygiene as txn_dynamic_overwrite: '' -> NULL
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
     root = _tmp_root("streamparttail")
@@ -1754,12 +1759,12 @@ def stream_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_PARTITIONED_TAIL_SQL = """
-SELECT event_type,
+SELECT NULLIF(event_type, '') AS event_type,
        COUNT(*) AS n_events,
        ROUND(CAST(SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
                            AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
 FROM events
-GROUP BY event_type
+GROUP BY NULLIF(event_type, '')
 ORDER BY event_type
 """
 

@@ -1539,10 +1539,33 @@ def _stage_checked(
     ConstraintViolation instead of a raw executor stack.
     ``partition_cols=None`` reads the table's creation-time spec (the
     default for every rewrite path — MERGE, DV UPDATE, replaceWhere,
-    compaction — so rewrites of a partitioned table stay partitioned)."""
+    compaction — so rewrites of a partitioned table stay partitioned).
+
+    EMPTY-STRING partition values are rejected IN the staging pass (an
+    implicit CHECK, zero extra jobs): the hive directory encoding cannot
+    distinguish '' from NULL (`partitionBy` writes both as the default
+    partition), so the classic Spark/Hive behavior silently reads ''
+    rows back as NULL — loud beats that corruption."""
+    if partition_cols is None:
+        try:
+            partition_cols = snapshot(root).partition_cols
+        except FileNotFoundError:
+            partition_cols = ()
+    checks = list(constraints)
+    str_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "string"
+    }
+    for c in partition_cols:
+        if c in str_cols:
+            checks.append(
+                (
+                    f"__pv_nonempty_{c}",
+                    f"{c} IS NULL OR {c} <> ''",
+                )
+            )
     try:
         return _stage_files(
-            _with_constraint_checks(df, constraints), root, bloom_spec,
+            _with_constraint_checks(df, checks), root, bloom_spec,
             ndv_spec, partition_cols,
         )
     except Exception as ex:  # noqa: BLE001 - re-raise below unless ours

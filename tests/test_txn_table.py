@@ -2533,6 +2533,17 @@ def _sc_partitioned_tables(spark, base):
     assert [r.id for r in gn.collect()] == [4] and len(gn.inputFiles()) == 1
     gnn = read_txn(spark, nroot, where="cat IS NOT NULL")
     assert gnn.count() == 2 and len(gnn.inputFiles()) == 2
+    # EMPTY-STRING partition values are LOUD in the staging pass: the
+    # hive dir encoding cannot distinguish '' from NULL, so the classic
+    # engine behavior silently reads '' rows back as NULL — corruption
+    from dbt_trill_shop_spark.sources.txn_table import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation, match="__pv_nonempty"):
+        write_txn(
+            spark.createDataFrame([(9, "", 9)], "id long, cat string, v long"),
+            nroot,
+        )
+    assert read_txn(spark, nroot).count() == 3  # nothing committed
     # the CHANGE FEED reattaches metadata-resident partition values (they
     # are not in the data bytes; before the pv plumbing they surfaced
     # NULL), and a dynamic overwrite reports exactly the replaced
