@@ -3087,6 +3087,46 @@ def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
     assert sorted(r.id for r in read_txn(spark, root).collect()) == [7, 8]
 
 
+def test_overwrite_partitions_conflict_raises(spark, tmp_path, monkeypatch):
+    """Serial (patches module internals the pooled threads would see):
+    DYNAMIC PARTITION OVERWRITE computes its remove-set from the snapshot
+    it staged against, so an interloper taking the next version between
+    that fold and the commit must surface as TxnConflict — a silent retry
+    could drop a concurrent append into the replaced partition.  Identity
+    tables get the same contract through the pinned identity commit."""
+    root = str(tmp_path / "tdp")
+    write_txn(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"),
+        root, partition_by=["cat"],
+    )
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    monkeypatch.setattr(tt, "_list_versions", lambda r: [0])
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(os.path.join(root, "_txn", f"{1:010d}.json"), "w") as fh:
+        json.dump(
+            {"version": 1, "mode": "append", "actions": [],
+             "schema": spark.createDataFrame(
+                 [], "id long, cat string").schema.json(), "ts_ms": 1},
+            fh,
+        )
+    with pytest.raises(TxnConflict):
+        write_txn(
+            spark.createDataFrame([(9, "a")], "id long, cat string"),
+            root, mode="overwrite_partitions",
+        )
+    monkeypatch.undo()
+    # with the full log visible it commits, replacing exactly partition a
+    v = write_txn(
+        spark.createDataFrame([(9, "a")], "id long, cat string"),
+        root, mode="overwrite_partitions",
+    )
+    assert v == 2
+    assert sorted((r.id, r.cat) for r in read_txn(spark, root).collect()) == [
+        (2, "b"), (9, "a")
+    ]
+
+
 def test_replace_where_conflict_raises(spark, tmp_path, monkeypatch):
     """Serial (patches module internals the pooled threads would see):
     replaceWhere is pinned read-modify-write — its remove/tombstone set
