@@ -2530,6 +2530,19 @@ QUERIES: dict[str, QuerySpec] = {
         name: QuerySpec(fn, sql)
         for name, (fn, sql) in TD.ROUND11_STAGED.items()
     },
+    # --- round-12 additions: the staged wave (VERDICT r11 #1/#3) -----------
+    # the partitioned-table physical layer (partition pruning from pure log
+    # arithmetic, dynamic partition overwrite, zero-I/O per-partition stats),
+    # metadata-only RENAME COLUMN, GENERATED ALWAYS AS IDENTITY, the
+    # partitioned streaming tail, two training-data composites (DPO
+    # preference-pair mining, T5 span-corruption planning), and the
+    # declared-clustering-keys declare -> compact -> box-scan-prune demo —
+    # the (fn, oracle) pairs come from the named staging dict the pooled
+    # parity scenario and the degenerate sweep exercise.
+    **{
+        name: QuerySpec(fn, sql)
+        for name, (fn, sql) in TD.ROUND12_STAGED.items()
+    },
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -3141,7 +3154,49 @@ _ROUND11_OLDEST_REVERIFY = [
 
 _ROUND11_WINDOW = _ROUND11_NEW + _ROUND11_OLDEST_REVERIFY
 
-_front = _REFERENCE_MODELS + _ROUND11_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r11 (all 50 green).
+_DRIVER_VERIFIED_R11 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND11_WINDOW)
+
+# Round-12 window, block 1: the NINE new queries — the eight round-11-staged
+# (VERDICT r11 #1: partition pruning, dynamic partition overwrite, log-only
+# partition stats, RENAME COLUMN, identity columns, partitioned streaming
+# tail, DPO preference pairs, T5 span corruption) plus the clustering-keys
+# declare -> compact -> box-scan-prune demo (VERDICT r11 #3) built this
+# round.  All carry DuckDB oracles, plan-audit-clean plans, degenerate
+# sweeps, and pooled-scenario coverage.
+_ROUND12_NEW = [
+    "q_txn_partitioned_prune", "q_txn_dynamic_overwrite",
+    "q_txn_partition_stats", "q_txn_rename_col", "q_txn_identity",
+    "s_stream_partitioned_tail", "x_preference_pairs", "x_span_corruption",
+    "q_txn_cluster_prune",
+]
+
+# Block 2: the vintage-tail rotation (VERDICT r11 #2) — ALL 32 remaining
+# round-4 vintages (named in the round-11 comment above), then the 2 oldest
+# round-5 vintages in their r5 window order.  The ninth new query
+# (q_txn_cluster_prune, VERDICT r11 #3) takes the slot the SCALE.md plan
+# gave a third r5; the r5 drain continues at the front of the r13 reverify
+# block (next oldest: x_length_bias, q_rfm_segments, q_churn, ...).
+_ROUND12_OLDEST_REVERIFY = [
+    # r4 vintage (all 32)
+    "q_blocking_suppliers", "q_bloom_prefilter", "q_brand_suppliers",
+    "q_custdist", "q_disjunctive_revenue", "q_dominant_suppliers",
+    "q_hll_users", "q_holt_forecast", "q_idle_rich_customers",
+    "q_important_parts", "q_late_shipments", "q_order_priority_counts",
+    "q_promo_revenue", "q_record_linkage", "q_retention_cohorts",
+    "q_small_qty_revenue", "q_top_supplier", "s_stream_countmin",
+    "s_stream_ewma", "s_stream_pysource", "s_stream_segment_rollup",
+    "s_stream_sliding_rollup", "x_cdc_chunks", "x_cluster_sample",
+    "x_coverage_select", "x_embedding_dim_stats", "x_hash_split",
+    "x_importance_weights", "x_soft_dedup", "x_source_divergence",
+    "x_training_order", "x_upsample_realize",
+    # r5 vintage (2 oldest, r5 window order)
+    "x_stopword_discovery", "x_ppl_buckets",
+]
+
+_ROUND12_WINDOW = _ROUND12_NEW + _ROUND12_OLDEST_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND12_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
@@ -3150,7 +3205,8 @@ _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
     | _DRIVER_VERIFIED_R08 | _DRIVER_VERIFIED_R09 | _DRIVER_VERIFIED_R10
-) - set(_ROUND11_WINDOW)
+    | _DRIVER_VERIFIED_R11
+) - set(_ROUND12_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
 # Window accounting: with the round-10 window in place, every query outside

@@ -197,6 +197,11 @@ class _TxnStreamReader(DataSourceStreamReader):
                 f"{listed[0]}); the cleaned commits cannot be replayed"
             )
         parts: list[_TxnFilePartition] = []
+        # one log fold per partitions() call, not one per version entry —
+        # the rename chain is a property of the CURRENT snapshot, and the
+        # per-version fold was O(versions^2) log work on the hot
+        # microbatch-planning path (ADVICE r12 low)
+        renames = snapshot(self.root).renames
         for v in listed:
             if v < s_v or (v == s_v and s_k is None) or v > e_v:
                 continue
@@ -214,7 +219,6 @@ class _TxnStreamReader(DataSourceStreamReader):
             adds = [a for a in e["actions"] if "add" in a]
             lo = s_k if (v == s_v and s_k is not None) else 0
             hi = e_k if (v == e_v and e_k is not None) else len(adds)
-            renames = snapshot(self.root).renames
             for a in adds[lo:hi]:
                 sj = a.get("schema", e["schema"])
                 parts.append(

@@ -386,13 +386,103 @@ def _file_may_match(stats: dict, prune: dict) -> bool:
             continue  # unknown range: cannot prove exclusion, keep
         mn, mx = stats[col]
         try:
-            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            if hi is not None:
+                # _PrefixHi: the bound zero-extends under SQL's cast, so a
+                # prefix-equal (longer) stat string could be temporally
+                # EQUAL — only a strictly-greater prefix proves exclusion
+                mn_c = (
+                    mn[: len(hi)]
+                    if isinstance(hi, _PrefixHi) and isinstance(mn, str)
+                    else mn
+                )
+                if mn_c > hi:
+                    return False
+            if lo is not None and mx < lo:
                 return False
         except TypeError:
             # caller's bound type is incomparable with the recorded stat
             # (str vs numeric): exclusion unprovable, keep the file
             continue
     return True
+
+
+class _DateLit(str):
+    """String bound derived from a SQL ``DATE'...'`` literal, marked so
+    ``_keep_files`` can type-check it against the snapshot schema before
+    it prunes anything.  The bare 10-char ISO form compares correctly
+    against a DATE column's stringified footer stats, but a TIMESTAMP
+    column's stats stringify as ``'YYYY-MM-DD HH:MM:SS'`` — which compares
+    GREATER than the bare date, so an unmarked upper bound would prune a
+    file whose matching rows sit exactly at midnight of the bound date
+    (``ts <= DATE'2024-01-02'`` with file min ``2024-01-02 00:00:00``).
+    Marked bounds therefore apply ONLY to date-typed columns; on any other
+    type the conjunct contributes nothing, the sound pre-rewrite behavior
+    (ADVICE r12 high)."""
+
+    __slots__ = ()
+
+
+class _PrefixHi(str):
+    """Upper bound that must PREFIX-compare against longer stat strings.
+    A str bound on a TIMESTAMP column zero-extends when SQL casts it
+    ('2024-01-02' compares as midnight), but the file's stringified stat
+    '2024-01-02 00:00:00' compares GREATER than the bare bound, so the
+    plain comparison would prune a file whose matching rows sit exactly
+    at the zero-extension.  Exclusion therefore requires
+    ``min[:len(hi)] > hi``: a prefix-equal stat could be temporally equal
+    (matches ``<=``), only a strictly-greater prefix proves exclusion."""
+
+    __slots__ = ()
+
+
+def _typed_bounds(snap: "Snapshot", bounds: dict) -> dict:
+    """Type-check string bounds against the snapshot schema before any
+    file is pruned with them (ADVICE r12 high):
+
+    - ``_DateLit`` bounds (from ``DATE'...'`` literals) apply exactly on
+      DATE columns, prefix-compare (upper bound) on TIMESTAMP columns,
+      and are DROPPED on every other type — a string column compares
+      under cast-to-date semantics (leading whitespace trims, alternate
+      formats parse) that raw string order does not model, so the
+      conjunct contributes nothing there, the sound pre-rewrite behavior.
+    - plain str upper bounds on TIMESTAMP columns become ``_PrefixHi``:
+      SQL zero-extends the literal when casting ('2024-01-02' means
+      midnight), so the plain comparison against the file's longer
+      stringified stat would prune the midnight row's file.  Lower
+      bounds stay plain: ``max < lo`` with a timestamp-string max
+      already implies every row is strictly before the zero-extension.
+    """
+    marked = any(
+        len(b) == 2
+        and any(isinstance(v, str) for v in b if v is not None)
+        for b in bounds.values()
+    )
+    if not marked:
+        return bounds
+    from pyspark.sql.types import DateType, StructType, TimestampType
+
+    try:
+        from pyspark.sql.types import TimestampNTZType
+
+        ts_types = (TimestampType, TimestampNTZType)
+    except ImportError:  # pragma: no cover - older pyspark
+        ts_types = (TimestampType,)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    out: dict = {}
+    for c, b in bounds.items():
+        if len(b) != 2:
+            out[c] = b
+            continue
+        lo, hi = b
+        dt = dtypes.get(c)
+        has_date_lit = isinstance(lo, _DateLit) or isinstance(hi, _DateLit)
+        if has_date_lit and not isinstance(dt, (DateType, *ts_types)):
+            continue  # cast semantics unmodeled: contribute nothing
+        if isinstance(dt, ts_types) and isinstance(hi, str):
+            hi = _PrefixHi(hi)
+        out[c] = (lo, hi)
+    return out
 
 
 _CMP_RE = None  # compiled lazily in _prune_from_predicate
@@ -458,13 +548,23 @@ def _prune_from_predicate(predicate: str) -> dict:
     s = re.sub(
         ident0 + r"\s+IS\s+(NOT\s+)?NULL", _take_null, s, flags=re.IGNORECASE
     )
-    # DATE '...' literals contribute their ISO string as the bound: both
-    # footer stats and partition-value stats record dates STRINGIFIED in
+    # DATE '...' literals contribute their ISO string as the bound: a
+    # DATE column's footer stats and partition-value stats stringify in
     # ISO form, which orders exactly like the dates themselves, so
     # `d >= DATE'2024-01-02'` prunes as the plain string comparison.
-    # (TIMESTAMP literals are deliberately not rewritten: their footer
-    # string form is engine-formatted and not reliably comparable.)
-    s = re.sub(r"\bDATE\s*(\x00\d+\x00)", r"\1", s, flags=re.IGNORECASE)
+    # The literal is MARKED (_DateLit) so _keep_files applies it only to
+    # date-typed columns — against a TIMESTAMP column's longer
+    # 'YYYY-MM-DD HH:MM:SS' stat strings the bare-date comparison is
+    # unsound (ADVICE r12 high).  (TIMESTAMP literals are deliberately not
+    # rewritten: their footer string form is engine-formatted and not
+    # reliably comparable.)
+    date_idx: set[int] = set()
+
+    def _unwrap_date(m):
+        date_idx.add(int(m.group(1)[1:-1]))
+        return m.group(1)
+
+    s = re.sub(r"\bDATE\s*(\x00\d+\x00)", _unwrap_date, s, flags=re.IGNORECASE)
     if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bCASE\b", s, re.IGNORECASE):
         return {}
     lit = r"(\x00\d+\x00|-?\d+(?:\.\d+)?)"
@@ -472,7 +572,8 @@ def _prune_from_predicate(predicate: str) -> dict:
 
     def parse_lit(t: str):
         if t.startswith("\x00"):
-            return strings[int(t[1:-1])]
+            i = int(t[1:-1])
+            return _DateLit(strings[i]) if i in date_idx else strings[i]
         return float(t) if "." in t else int(t)
 
     out: dict[str, list] = {}
@@ -1119,7 +1220,14 @@ def _keep_files(spark: SparkSession, snap: Snapshot, bounds: dict):
     columns; Blooms answer equality on HIGH-CARDINALITY, unclustered
     columns where every file's [min, max] spans the whole domain and
     interval pruning is useless — together they cover the two lookup
-    shapes a 100 TB scan actually meets."""
+    shapes a 100 TB scan actually meets.
+
+    Bounds pass through ``_typed_bounds`` first: DATE-literal and
+    timestamp-string bounds are type-checked against the snapshot schema
+    so no stringified-stat comparison can prune a file whose rows match
+    under SQL's cast semantics (ADVICE r12 high)."""
+    if bounds:
+        bounds = _typed_bounds(snap, bounds)
     keep = [
         (path, sj, dvs, st.get(_PV_KEY))
         for path, sj, st, dvs in zip(

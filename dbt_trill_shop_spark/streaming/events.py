@@ -619,13 +619,13 @@ def stream_purchase_attribution_outer(
                 os.path.join(base, f"tick{i}.parquet"),
                 (now - 5 + i, now - 5 + i),
             )
-        # TWO micro-batches instead of one-per-file: batch 0 takes every
-        # events file PLUS tick0 (mtime order puts the ticks last, the
-        # trigger cap admits exactly n_events + 1 files), so tick0's
-        # watermark raise lands at batch-0 end; batch 1 is tick1 alone and
-        # APPLIES it — state evicts, orphans emit.  Same flush semantics
-        # as the r10 one-file-per-batch staging at a third of the
-        # micro-batch overhead.
+        # ONE data micro-batch: it takes every events file PLUS the single
+        # tick (mtime order puts the tick last; the trigger cap admits
+        # exactly n_events + 1 files), so the tick's watermark raise lands
+        # at batch-0 end, and availableNow's trailing NO-DATA batch
+        # applies it — state evicts, orphans emit (see the tick-staging
+        # comment above).  Same flush semantics as the r10
+        # one-file-per-batch staging at a fraction of the overhead.
         src = (
             spark.readStream.schema(_EVENTS_NATIVE_SCHEMA)
             .option("maxFilesPerTrigger", str(n_events + 1))

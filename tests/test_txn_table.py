@@ -3061,6 +3061,90 @@ def test_prune_predicate_masks_string_literals():
     }
 
 
+def test_date_bound_type_gate(spark, tmp_path):
+    """ADVICE r12 (high): DATE-literal bounds are type-checked against
+    the snapshot schema before pruning.  A TIMESTAMP column's footer
+    stats stringify as 'YYYY-MM-DD HH:MM:SS', which compares GREATER
+    than the bare 'YYYY-MM-DD' bound, so `ts <= DATE'2024-01-02'` used
+    to prune the file whose min is exactly midnight of the bound date —
+    silently dropping matching rows.  Same hazard for a PLAIN string
+    upper bound on a timestamp column (SQL zero-extends the literal when
+    casting): both now prefix-compare, and DATE bounds on string columns
+    (cast semantics raw string order does not model) contribute nothing."""
+    import dbt_trill_shop_spark.sources.txn_table as tt
+
+    # unit: the literal comes back marked
+    b = tt._prune_from_predicate("ts <= DATE'2024-01-02'")
+    assert b == {"ts": (None, "2024-01-02")}
+    assert isinstance(b["ts"][1], tt._DateLit)
+    # masked plain strings stay unmarked
+    b2 = tt._prune_from_predicate("ts <= '2024-01-02'")
+    assert not isinstance(b2["ts"][1], tt._DateLit)
+
+    # end-to-end: Spark's default INT96 timestamps carry no parquet
+    # min/max, but a session writing TIMESTAMP_MICROS (a public conf any
+    # user can set) records them — stringified 'YYYY-MM-DD HH:MM:SS' in
+    # the log.  One file's min is exactly midnight of the bound date,
+    # one file strictly after it.
+    root = str(tmp_path / "tsgate")
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        write_txn(
+            spark.sql(
+                "SELECT id, TIMESTAMP'2024-01-02 00:00:00' + "
+                "make_interval(0,0,0,0,CAST(id AS INT)) AS ts FROM range(3)"
+            ).coalesce(1),
+            root,
+        )
+        write_txn(
+            spark.sql(
+                "SELECT id, TIMESTAMP'2024-01-03 05:00:00' AS ts "
+                "FROM range(10, 12)"
+            ).coalesce(1),
+            root,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert "ts" in tt.snapshot(root).file_stats[0], "micros stats recorded"
+    # the midnight row survives a DATE upper bound (was pruned pre-fix) …
+    g = read_txn(spark, root, where="ts <= DATE'2024-01-02'")
+    assert [r.id for r in g.collect()] == [0]
+    # … and the later file is still pruned (prefix-compare keeps skipping)
+    assert len(g.inputFiles()) == 1
+    # plain string upper bound: same zero-extension semantics, same fix
+    g2 = read_txn(spark, root, where="ts <= '2024-01-02'")
+    assert [r.id for r in g2.collect()] == [0]
+    assert len(g2.inputFiles()) == 1
+    # lower bounds prune exactly as before (sound without prefix logic)
+    g3 = read_txn(spark, root, where="ts >= DATE'2024-01-03'")
+    assert sorted(r.id for r in g3.collect()) == [10, 11]
+    assert len(g3.inputFiles()) == 1
+
+    # DATE bound on a STRING column contributes nothing (cast semantics) —
+    # rows still filter correctly, no file is skipped
+    root2 = str(tmp_path / "strgate")
+    write_txn(
+        spark.createDataFrame(
+            [(1, " 2024-01-05"), (2, "2024-01-01")], "id long, s string"
+        ).coalesce(1),
+        root2,
+    )
+    write_txn(
+        spark.createDataFrame([(3, "2023-12-31")], "id long, s string").coalesce(1),
+        root2,
+    )
+    g4 = read_txn(spark, root2, where="s >= DATE'2024-01-02'")
+    # ' 2024-01-05' trims under the cast and matches, though its raw
+    # string sorts below the bound — the file must not be pruned
+    assert [r.id for r in g4.collect()] == [1]
+    assert len(g4.inputFiles()) == 2
+
+
 def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
     """Serial (patches module internals the pooled threads would see):
     another writer takes version 1 BETWEEN our snapshot and our commit —
