@@ -208,3 +208,314 @@ SELECT doc_id,
            AS n_bpe_tokens
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer EM (Kudo 2018, SentencePiece's unigram model) — the
+# r13-shortlist item whose hard part is CROSS-ENGINE DETERMINISM: every EM
+# quantity is an exact integer (piece costs in micro-nats, Viterbi totals as
+# int64 sums) and every argmin/argmax carries a total tie-break, so Spark and
+# the generated DuckDB oracle replay the identical algebra.
+
+
+def _viterbi_usage(words: DataFrame, costs: dict, piece_max_len: int) -> DataFrame:
+    """E-step: per-word Viterbi segmentation under the current piece costs,
+    rolled up to per-piece usage counts (weighted by word frequency).
+
+    Spark-first shape: the whole DP runs INSIDE one whole-stage-codegen
+    expression per word — the cost table rides as a ``create_map`` literal
+    (vocab-bounded, the kmeans-centroid-broadcast idiom), ``aggregate`` over
+    the position sequence builds the dp array (each step an ``array_min``
+    over the ≤ piece_max_len candidate spans, struct-lexicographic on
+    (total, j) so ties prefer the LONGER piece), and a second ``aggregate``
+    walks the backpointers to emit the segmentation.  No joins, no shuffles
+    beyond the final usage groupBy; absent pieces cost 2^40 (they can never
+    beat a feasible path — every single char of a kept word is in the
+    vocab, so a feasible path always exists)."""
+    BIG = 1 << 40
+    P = int(piece_max_len)
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(costs.items()) for x in kv]
+    )
+    dp = F.expr(
+        f"""
+        aggregate(
+          sequence(1, length(w)),
+          array(named_struct('total', CAST(0 AS BIGINT), 'j', -1, 'l', 0)),
+          (acc, i) -> array_append(acc,
+            array_min(transform(sequence(1, least(i, {P})),
+              l -> named_struct(
+                'total', acc[i - l].total
+                         + coalesce(_cm[substring(w, i - l + 1, l)],
+                                    CAST({BIG} AS BIGINT)),
+                'j', i - l,
+                'l', l)))))
+        """
+    )
+    bt = F.expr(
+        """
+        aggregate(
+          sequence(1, length(w)),
+          named_struct('pos', length(w), 'ps', CAST(array() AS ARRAY<STRING>)),
+          (acc, x) -> IF(acc.pos > 0,
+            named_struct(
+              'pos', _dp[acc.pos].j,
+              'ps', array_append(acc.ps,
+                        substring(w, _dp[acc.pos].j + 1, _dp[acc.pos].l))),
+            acc)).ps
+        """
+    )
+    return (
+        words.withColumn("_cm", map_expr)
+        .withColumn("_dp", dp)
+        .select("freq", F.explode(bt).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+    )
+
+
+def unigram_lm_em(
+    docs: DataFrame,
+    max_vocab: int = 400,
+    n_pieces: int = 160,
+    piece_max_len: int = 4,
+    word_max_len: int = 12,
+    em_rounds: int = 2,
+    top_out: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary via EM (Kudo 2018): seed the piece
+    inventory with the corpus's most frequent substrings (length 1..
+    ``piece_max_len``) of the top-``max_vocab`` words, then alternate
+    Viterbi segmentation (E) with count re-estimation (M); returns the
+    ``top_out`` pieces by final usage as (piece, usage, cost_micro).
+
+    Determinism contract (the hard part — SentencePiece breaks ties by
+    float likelihood): piece costs are ln-of-integer micro-nats rounded
+    once; Viterbi totals are int64 sums of those ints with the
+    (total, j) struct-lexicographic tie-break; the M-step is add-one
+    smoothed over the FULL seed vocabulary (no piece ever reaches
+    ln(0), and zero-usage pieces just decay) — so both engines pick
+    identical segmentations and identical final tables.
+
+    Scale shape: ONE corpus-sized pass (the word-frequency groupBy,
+    map-side combined); everything after is vocab-bounded — candidate
+    counts are (words × L × P) integer rows, the EM loop's driver
+    collects are ≤ vocab-sized (the bpe_merges / kmeans_refine idiom),
+    and the E-step is a single codegen stage over the word table."""
+    spark = docs.sparkSession
+    out_schema = "piece string, usage bigint, cost_micro bigint"
+    words = (
+        word_frequencies(docs, max_vocab, text_col)
+        .filter(F.length("w") <= word_max_len)
+        .localCheckpoint(eager=True)
+    )
+    P, L = int(piece_max_len), int(word_max_len)
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), "
+                f"i -> transform(sequence(1, least({P}, length(w) - i + 1)), "
+                f"l -> substring(w, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    cand = subs.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    topv = cand.orderBy(F.desc("cnt"), F.asc("piece")).limit(int(n_pieces))
+    singles = cand.filter(F.length("piece") == 1)
+    vocab0 = (
+        topv.unionByName(singles).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+    )
+    cost_rows = (
+        vocab0.crossJoin(F.broadcast(vocab0.agg(F.sum("cnt").alias("tot"))))
+        .select(
+            "piece",
+            F.round(
+                (
+                    F.log(F.col("tot").cast("double"))
+                    - F.log(F.col("cnt").cast("double"))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+        .collect()
+    )
+    costs = {r["piece"]: int(r["cost"]) for r in cost_rows}
+    if not costs:  # degenerate corpus: no words survive the cut
+        return spark.createDataFrame([], out_schema)
+    final_rows: list = []
+    for _ in range(int(em_rounds)):
+        usage = {
+            r["piece"]: int(r["usage"])
+            for r in _viterbi_usage(words, costs, P).collect()
+        }
+        # M-step in Spark expressions (ln/round must match the E-step's
+        # engine exactly); add-one smoothing over the FULL seed vocab
+        mu = spark.createDataFrame(
+            sorted((p, usage.get(p, 0) + 1, usage.get(p, 0)) for p in costs),
+            "piece string, cnt long, usage long",
+        )
+        final_rows = (
+            mu.crossJoin(F.broadcast(mu.agg(F.sum("cnt").alias("tot"))))
+            .select(
+                "piece",
+                "usage",
+                F.round(
+                    (
+                        F.log(F.col("tot").cast("double"))
+                        - F.log(F.col("cnt").cast("double"))
+                    )
+                    * 1_000_000,
+                    0,
+                )
+                .cast("bigint")
+                .alias("cost"),
+            )
+            .collect()
+        )
+        costs = {r["piece"]: int(r["cost"]) for r in final_rows}
+    table = spark.createDataFrame(
+        sorted((r["piece"], int(r["usage"]), int(r["cost"])) for r in final_rows),
+        out_schema,
+    )
+    return (
+        table.orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(int(top_out))
+        .select("piece", "usage", "cost_micro")
+    )
+
+
+def unigram_lm_em_sql(
+    max_vocab: int = 400,
+    n_pieces: int = 160,
+    piece_max_len: int = 4,
+    word_max_len: int = 12,
+    em_rounds: int = 2,
+    top_out: int = 48,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_em`: the identical integer
+    algebra, with the per-word Viterbi DP UNROLLED into one CTE pair per
+    position (forward) and per step (backtrace) per EM round — the
+    knn_pagerank_sql recipe scaled up.  The tie-break is the same
+    (total ASC, j ASC), absent pieces simply don't join (they could
+    never beat a feasible path), and the M-step's add-one smoothing
+    runs over the full seed vocabulary."""
+    P, L, R = int(piece_max_len), int(word_max_len), int(em_rounds)
+    parts = [
+        f"""
+WITH words AS MATERIALIZED (
+    SELECT w, freq FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '{_WORD_SPLIT}')) AS w
+            FROM documents
+        ) WHERE w <> ''
+        GROUP BY w ORDER BY freq DESC, w ASC LIMIT {int(max_vocab)}
+    ) WHERE LEN(w) <= {L}
+),
+pos AS MATERIALIZED (SELECT w, freq, LEN(w) AS n FROM words),
+spans AS MATERIALIZED (
+    SELECT p.w, p.freq, j.j, j.j + l.l AS i, l.l AS l,
+           substring(p.w, j.j + 1, l.l) AS piece
+    FROM pos p, range(0, {L}) j(j), range(1, {P + 1}) l(l)
+    WHERE j.j + l.l <= p.n
+),
+cand AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM spans GROUP BY piece),
+topv AS (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece ASC LIMIT {int(n_pieces)}),
+vocab0 AS MATERIALIZED (
+    SELECT piece, MAX(cnt) AS cnt FROM (
+        SELECT * FROM topv
+        UNION ALL
+        SELECT piece, cnt FROM cand WHERE LEN(piece) = 1
+    ) GROUP BY piece
+),
+tot0 AS (SELECT SUM(cnt) AS tot FROM vocab0),
+cost0 AS MATERIALIZED (
+    SELECT piece,
+           CAST(ROUND((LN(CAST(tot AS DOUBLE)) - LN(CAST(cnt AS DOUBLE)))
+                      * 1000000, 0) AS BIGINT) AS cost
+    FROM vocab0, tot0
+)"""
+    ]
+    for r in range(1, R + 1):
+        parts.append(
+            f""",
+sc{r} AS MATERIALIZED (
+    SELECT s.w, s.j, s.i, s.l, c.cost
+    FROM spans s JOIN cost{r - 1} c ON s.piece = c.piece
+),
+dp{r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS total FROM words)"""
+        )
+        for i in range(1, L + 1):
+            parts.append(
+                f""",
+n{r}_{i} AS MATERIALIZED (
+    SELECT w, {i} AS i, total, j, l FROM (
+        SELECT s.w, d.total + s.cost AS total, s.j, s.l,
+               ROW_NUMBER() OVER (PARTITION BY s.w
+                                  ORDER BY d.total + s.cost ASC, s.j ASC) AS rn
+        FROM sc{r} s JOIN dp{r}_{i - 1} d ON s.w = d.w AND s.j = d.pos
+        WHERE s.i = {i}
+    ) WHERE rn = 1
+),
+dp{r}_{i} AS MATERIALIZED (
+    SELECT * FROM dp{r}_{i - 1}
+    UNION ALL SELECT w, {i} AS pos, total FROM n{r}_{i}
+)"""
+            )
+        bp_union = "\n    UNION ALL ".join(
+            f"SELECT w, i, j, l FROM n{r}_{i}" for i in range(1, L + 1)
+        )
+        parts.append(
+            f""",
+bp{r} AS MATERIALIZED (
+    {bp_union}
+),
+bt{r}_0 AS MATERIALIZED (SELECT w, freq, n AS pos FROM pos)"""
+        )
+        for k in range(1, L + 1):
+            parts.append(
+                f""",
+bt{r}_{k} AS MATERIALIZED (
+    SELECT b.w, b.freq, bp.j AS pos,
+           substring(b.w, bp.j + 1, bp.l) AS piece
+    FROM bt{r}_{k - 1} b JOIN bp{r} bp ON b.w = bp.w AND b.pos = bp.i
+    WHERE b.pos > 0
+)"""
+            )
+        seg_union = "\n    UNION ALL ".join(
+            f"SELECT piece, freq FROM bt{r}_{k}" for k in range(1, L + 1)
+        )
+        parts.append(
+            f""",
+usage{r} AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+    {seg_union}
+    ) GROUP BY piece
+),
+mu{r} AS MATERIALIZED (
+    SELECT v.piece, COALESCE(u.usage, 0) + 1 AS cnt,
+           CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage
+    FROM vocab0 v LEFT JOIN usage{r} u USING (piece)
+),
+mtot{r} AS (SELECT SUM(cnt) AS tot FROM mu{r}),
+cost{r} AS MATERIALIZED (
+    SELECT piece,
+           CAST(ROUND((LN(CAST(tot AS DOUBLE)) - LN(CAST(cnt AS DOUBLE)))
+                      * 1000000, 0) AS BIGINT) AS cost
+    FROM mu{r}, mtot{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT piece, usage, cost_micro FROM (
+    SELECT m.piece, m.usage, c.cost AS cost_micro,
+           ROW_NUMBER() OVER (ORDER BY m.usage DESC, m.piece ASC) AS rn
+    FROM mu{R} m JOIN cost{R} c ON m.piece = c.piece
+) WHERE rn <= {int(top_out)}
+ORDER BY usage DESC, piece ASC"""
+    )
+    return "".join(parts)

@@ -2631,6 +2631,117 @@ ORDER BY rank_micro DESC, vec_id"""
     return "".join(parts)
 
 
+def knn_label_propagation(
+    embeddings: DataFrame, k: int = 5, n_iters: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Label-propagation communities over the UNDIRECTED mutual-kNN graph
+    (Raghavan et al. 2007, synchronous variant) — the cheap community
+    detector a curation pipeline runs to find topical clusters / dup
+    families without a target cluster count.  Every node starts as its
+    own label; each iteration reassigns it the most frequent label among
+    its mutual neighbors, and after ``n_iters`` rounds the surviving
+    labels are the communities.
+
+    Determinism (the hard part of LPA — the classic formulation breaks
+    ties randomly and updates asynchronously): updates are SYNCHRONOUS
+    (iteration t reads only iteration t-1's labels), the tie-break is
+    total (neighbor-label count DESC, then smallest label), the
+    iteration count is FIXED rather than convergence-tested, and
+    isolated nodes (no mutual edges) keep their own label — so the
+    result is pure integer algebra both engines replay identically.
+
+    Distributed shape (the ``knn_pagerank`` recipe): the mutual edge
+    relation (≤ k·N rows of two int64s) is checkpointed once; each
+    iteration is ONE hash shuffle keyed by node (the neighbor-label
+    count) plus a window argmax, re-checkpointed per step so the lazy
+    plan never replays earlier iterations.  O(iters) jobs at any scale,
+    and the labels relation never carries text or vectors."""
+    mutual = knn_mutual_edges(embeddings, k, id_col, vec_col, candidates)
+    adj = (
+        mutual.select(F.col("query_id").alias("v"), F.col("neighbor_id").alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = embeddings.select(F.col(id_col).alias("vec_id")).localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select("vec_id", F.col("vec_id").cast("bigint").alias("lab"))
+    wl = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(n_iters):
+        counts = (
+            adj.join(
+                labels.select(F.col("vec_id").alias("u"), "lab"), "u"
+            )
+            .groupBy(F.col("v").alias("vec_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("lab").alias("wlab"))
+        )
+        labels = (
+            nodes.join(winner, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("wlab"), F.col("vec_id").cast("bigint")).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "vec_id", F.col("lab").alias("community")
+    ).orderBy("vec_id")
+
+
+def knn_label_propagation_sql(k: int = 5, n_iters: int = 4) -> str:
+    """DuckDB oracle for :func:`knn_label_propagation`: identical
+    synchronous integer updates, one CTE pair (neighbor-label counts,
+    window argmax) per iteration — the ``knn_pagerank_sql`` recipe."""
+    parts = [
+        "WITH "
+        + _KNN_GRAPH_EDGES_CTE.format(k=k)
+        + """,
+mutual AS (
+    SELECT e1.query_id AS v, e1.neighbor_id AS u
+    FROM edges e1 JOIN edges e2
+      ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+),
+nodes AS (SELECT DISTINCT vec_id FROM embeddings),
+l0 AS (SELECT vec_id, CAST(vec_id AS BIGINT) AS lab FROM nodes)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+c{t} AS (
+    SELECT m.v AS vec_id, l.lab, COUNT(*) AS c
+    FROM mutual m JOIN l{t - 1} l ON m.u = l.vec_id
+    GROUP BY 1, 2
+),
+w{t} AS (
+    SELECT vec_id, lab FROM (
+        SELECT vec_id, lab,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c{t}
+    ) r WHERE rn = 1
+),
+l{t} AS (
+    SELECT n.vec_id,
+           CAST(COALESCE(w.lab, n.vec_id) AS BIGINT) AS lab
+    FROM nodes n LEFT JOIN w{t} w USING (vec_id)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, lab AS community FROM l{n_iters}
+ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 def knn_clustering_coefficients(
     embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding", candidates: DataFrame | None = None,

@@ -1894,6 +1894,140 @@ ROUND12_STAGED: dict = {
 }
 
 
+def txn_mv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven incremental MV over a PARTITIONED source (r13
+    shortlist): the two r11/r12 capabilities composed — the change feed
+    of a partitioned table reattaches METADATA-RESIDENT partition values
+    (they are not in the data bytes), and a DYNAMIC PARTITION OVERWRITE
+    emits exactly the replaced partition's delete/insert pairs — so an
+    aggregate mart GROUPED BY THE PARTITION COLUMN stays fresh by
+    folding per-commit diffs whose cost is ∝ the replaced partition,
+    never the table.  Sequence: partitioned ingest -> MV bootstrap ->
+    dynamic overwrite (purchase partition recomputed ×2 cents + a new
+    synthetic partition) -> delta-sync -> plain append -> delta-sync.
+    The final MV must equal a full GROUP BY of the final table state
+    (the oracle); NULL partition groups survive (the sync's union+
+    re-aggregate treats NULL keys like SQL GROUP BY, and the oracle's
+    IS DISTINCT FROM mirrors the engine keeping the NULL partition by
+    path)."""
+    from ..sources.txn_mv import sync_agg_mv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("mvpart")
+    mv = _tmp_root("mvpartagg")
+    write_txn(ev.repartition(4), root, partition_by=["event_type"])   # v0
+    sync_agg_mv(spark, root, mv, ["event_type"], ["cents"])           # bootstrap
+    batch = (
+        ev.filter("event_type = 'purchase'")
+        .withColumn("cents", (F.col("cents") * 2).cast("bigint"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "synthetic", 12345)],
+                "event_id long, event_type string, cents long",
+            )
+        )
+    )
+    write_txn(batch, root, mode="overwrite_partitions")               # v1
+    sync_agg_mv(spark, root, mv, ["event_type"], ["cents"])           # swap diff
+    write_txn(
+        spark.createDataFrame(
+            [(-2, "click", 777)], "event_id long, event_type string, cents long"
+        ),
+        root,
+    )                                                                 # v2
+    sync_agg_mv(spark, root, mv, ["event_type"], ["cents"])           # append diff
+    return (
+        read_txn(spark, mv)
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("sum_cents").cast("double") / 100.0, 2).alias(
+                "total_dollars"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+TXN_MV_PARTITIONED_SQL = """
+WITH src AS (
+    SELECT NULLIF(event_type, '') AS event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+final AS (
+    SELECT event_type, cents FROM src WHERE event_type IS DISTINCT FROM 'purchase'
+    UNION ALL
+    SELECT event_type, cents * 2 FROM src WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'synthetic', 12345
+    UNION ALL
+    SELECT 'click', 777
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+           AS total_dollars
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _x_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import knn_label_propagation
+
+    return knn_label_propagation(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_iters=4
+    )
+
+
+def _label_prop_sql() -> str:
+    from ..ext.similarity import knn_label_propagation_sql
+
+    return knn_label_propagation_sql(k=5, n_iters=4)
+
+
+# Staged for the round-13 window (VERDICT r11 #6: the r13-shortlist
+# operator started early): label-propagation communities over the mutual
+# kNN graph — deterministic synchronous updates with total tie-breaks,
+# oracle via iterated SQL CTEs.  Parity-tested by the pooled scenario and
+# degenerate-swept by the empty-sweep sibling, like every staged wave.
+def _x_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.textstats import kneser_ney_bigram
+
+    return kneser_ney_bigram(load_table(spark, sf_dir, "documents"))
+
+
+def _kn_bigram_sql() -> str:
+    from ..ext.textstats import KNESER_NEY_BIGRAM_SQL
+
+    return KNESER_NEY_BIGRAM_SQL
+
+
+def _x_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import unigram_lm_em
+
+    return unigram_lm_em(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_em_sql() -> str:
+    from ..ext.bpe import unigram_lm_em_sql
+
+    return unigram_lm_em_sql()
+
+
+ROUND13_STAGED: dict = {
+    "x_label_propagation": (_x_label_prop, _label_prop_sql()),
+    "x_kneser_ney_ppl": (_x_kn_bigram, _kn_bigram_sql()),
+    "q_txn_mv_partitioned": (txn_mv_partitioned, TXN_MV_PARTITIONED_SQL),
+    "x_unigram_lm_em": (_x_unigram_em, _unigram_em_sql()),
+}
+
+
 # Staged for the round-11 window (the round-10 registry is frozen at 309):
 # parity-tested alongside the registered queries by the pooled scenario,
 # degenerate-swept by the empty-sweep sibling.

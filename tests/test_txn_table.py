@@ -1811,6 +1811,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         ROUND10_STAGED,
         ROUND11_STAGED,
         ROUND12_STAGED,
+        ROUND13_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1823,7 +1824,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
 
     every = {
         **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
-        **ROUND11_STAGED, **ROUND12_STAGED,
+        **ROUND11_STAGED, **ROUND12_STAGED, **ROUND13_STAGED,
     }
     from dbt_trill_shop_spark.streaming import events as _ev
 
