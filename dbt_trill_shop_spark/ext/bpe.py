@@ -218,42 +218,33 @@ FROM documents
 # the generated DuckDB oracle replay the identical algebra.
 
 
-def _viterbi_usage(words: DataFrame, costs: dict, piece_max_len: int) -> DataFrame:
-    """E-step: per-word Viterbi segmentation under the current piece costs,
-    rolled up to per-piece usage counts (weighted by word frequency).
+_VITERBI_BIG = 1 << 40  # infeasible-span cost: never beats a feasible path
 
-    Spark-first shape: the whole DP runs INSIDE one whole-stage-codegen
-    expression per word — the cost table rides as a ``create_map`` literal
-    (vocab-bounded, the kmeans-centroid-broadcast idiom), ``aggregate`` over
-    the position sequence builds the dp array (each step an ``array_min``
-    over the ≤ piece_max_len candidate spans, struct-lexicographic on
-    (total, j) so ties prefer the LONGER piece), and a second ``aggregate``
-    walks the backpointers to emit the segmentation.  No joins, no shuffles
-    beyond the final usage groupBy; absent pieces cost 2^40 (they can never
-    beat a feasible path — every single char of a kept word is in the
-    vocab, so a feasible path always exists)."""
-    BIG = 1 << 40
-    P = int(piece_max_len)
-    map_expr = F.create_map(
-        *[F.lit(x) for kv in sorted(costs.items()) for x in kv]
-    )
-    dp = F.expr(
-        f"""
+
+def _dp_expr(piece_max_len: int) -> str:
+    """Forward Viterbi DP as ONE SQL expression over the word column ``w``
+    and a cost-map column ``_cm``: ``aggregate`` over positions builds the
+    dp array, each step an ``array_min`` over the ≤ piece_max_len candidate
+    spans — struct-lexicographic on (total, j), so cost ties prefer the
+    LONGER piece.  Spans absent from the map cost 2^40: they can never win
+    while any feasible candidate exists, and when NONE is feasible (a char
+    outside the vocabulary) the tie-break still makes the choice total."""
+    return f"""
         aggregate(
           sequence(1, length(w)),
           array(named_struct('total', CAST(0 AS BIGINT), 'j', -1, 'l', 0)),
           (acc, i) -> array_append(acc,
-            array_min(transform(sequence(1, least(i, {P})),
+            array_min(transform(sequence(1, least(i, {int(piece_max_len)})),
               l -> named_struct(
                 'total', acc[i - l].total
                          + coalesce(_cm[substring(w, i - l + 1, l)],
-                                    CAST({BIG} AS BIGINT)),
+                                    CAST({_VITERBI_BIG} AS BIGINT)),
                 'j', i - l,
                 'l', l)))))
         """
-    )
-    bt = F.expr(
-        """
+
+
+_BT_EXPR = """
         aggregate(
           sequence(1, length(w)),
           named_struct('pos', length(w), 'ps', CAST(array() AS ARRAY<STRING>)),
@@ -264,11 +255,30 @@ def _viterbi_usage(words: DataFrame, costs: dict, piece_max_len: int) -> DataFra
                         substring(w, _dp[acc.pos].j + 1, _dp[acc.pos].l))),
             acc)).ps
         """
+
+
+def _with_viterbi(words: DataFrame, costs: dict, piece_max_len: int) -> DataFrame:
+    """``words`` (needs a ``w`` column) extended with ``_dp`` (the dp
+    array) and ``_ps`` (the segmentation pieces).  The cost table rides as
+    a ``create_map`` literal (vocab-bounded — the kmeans-centroid-broadcast
+    idiom), so the whole DP runs inside one whole-stage-codegen expression
+    per word: no joins, no shuffles."""
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(costs.items()) for x in kv]
     )
     return (
         words.withColumn("_cm", map_expr)
-        .withColumn("_dp", dp)
-        .select("freq", F.explode(bt).alias("piece"))
+        .withColumn("_dp", F.expr(_dp_expr(piece_max_len)))
+        .withColumn("_ps", F.expr(_BT_EXPR))
+    )
+
+
+def _viterbi_usage(words: DataFrame, costs: dict, piece_max_len: int) -> DataFrame:
+    """E-step: per-word Viterbi segmentation under the current piece costs,
+    rolled up to per-piece usage counts (weighted by word frequency)."""
+    return (
+        _with_viterbi(words, costs, piece_max_len)
+        .select("freq", F.explode("_ps").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("usage"))
     )
@@ -305,6 +315,36 @@ def unigram_lm_em(
     and the E-step is a single codegen stage over the word table."""
     spark = docs.sparkSession
     out_schema = "piece string, usage bigint, cost_micro bigint"
+    costs, final_rows = _unigram_em_costs(
+        docs, max_vocab, n_pieces, piece_max_len, word_max_len, em_rounds,
+        text_col,
+    )
+    if not final_rows:  # degenerate corpus: no words survive the cut
+        return spark.createDataFrame([], out_schema)
+    table = spark.createDataFrame(
+        sorted((r["piece"], int(r["usage"]), int(r["cost"])) for r in final_rows),
+        out_schema,
+    )
+    return (
+        table.orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(int(top_out))
+        .select("piece", "usage", "cost_micro")
+    )
+
+
+def _unigram_em_costs(
+    docs: DataFrame,
+    max_vocab: int,
+    n_pieces: int,
+    piece_max_len: int,
+    word_max_len: int,
+    em_rounds: int,
+    text_col: str,
+) -> tuple[dict, list]:
+    """The EM training loop shared by :func:`unigram_lm_em` (vocabulary
+    report) and :func:`unigram_fertility` (corpus-wide application):
+    returns (final piece→cost_micro dict, final collected M-step rows)."""
+    spark = docs.sparkSession
     words = (
         word_frequencies(docs, max_vocab, text_col)
         .filter(F.length("w") <= word_max_len)
@@ -346,7 +386,7 @@ def unigram_lm_em(
     )
     costs = {r["piece"]: int(r["cost"]) for r in cost_rows}
     if not costs:  # degenerate corpus: no words survive the cut
-        return spark.createDataFrame([], out_schema)
+        return {}, []
     final_rows: list = []
     for _ in range(int(em_rounds)):
         usage = {
@@ -378,14 +418,77 @@ def unigram_lm_em(
             .collect()
         )
         costs = {r["piece"]: int(r["cost"]) for r in final_rows}
-    table = spark.createDataFrame(
-        sorted((r["piece"], int(r["usage"]), int(r["cost"])) for r in final_rows),
-        out_schema,
+    return costs, final_rows
+
+
+def unigram_fertility(
+    docs: DataFrame,
+    max_vocab: int = 400,
+    n_pieces: int = 160,
+    piece_max_len: int = 4,
+    word_max_len: int = 12,
+    em_rounds: int = 2,
+    seg_word_max_len: int = 16,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Apply the EM-trained unigram tokenizer CORPUS-WIDE: per-source word
+    and piece totals plus fertility (pieces per word, ppm) — the standard
+    tokenizer-quality readout a pipeline runs before committing to a vocab
+    (high fertility on a source = the tokenizer fragments it; compare
+    against the BPE twin ``tokenizer_fertility``).
+
+    Segmentation covers every corpus word up to ``seg_word_max_len`` chars
+    (longer tail words are out of the report's scope on BOTH engines, so
+    the cut is part of the contract, not a silent truncation — the word
+    histogram is bounded either way).  Words containing characters outside
+    the trained vocabulary segment through the 2^40 infeasible-span cost:
+    the (total, j) tie-break keeps even those paths engine-identical.
+
+    Scale shape: two corpus passes (EM's word-frequency groupBy + this
+    query's per-source word counts), then everything is vocabulary- or
+    word-histogram-bounded; the Viterbi runs once per DISTINCT word in one
+    codegen stage and joins back to the (source, word) counts by word."""
+    spark = docs.sparkSession
+    out_schema = (
+        "source string, n_words bigint, n_pieces bigint, fertility_ppm bigint"
+    )
+    costs, _rows = _unigram_em_costs(
+        docs, max_vocab, n_pieces, piece_max_len, word_max_len, em_rounds,
+        text_col,
+    )
+    if not costs:
+        return spark.createDataFrame([], out_schema)
+    cw = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
+            ).alias("w"),
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= int(seg_word_max_len)))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dw = cw.select("w").distinct()
+    seg = _with_viterbi(dw, costs, piece_max_len).select(
+        "w", F.size("_ps").cast("bigint").alias("np")
     )
     return (
-        table.orderBy(F.desc("usage"), F.asc("piece"))
-        .limit(int(top_out))
-        .select("piece", "usage", "cost_micro")
+        cw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000000 DIV n_words").alias("fertility_ppm"),
+        )
+        .orderBy("source")
     )
 
 
@@ -404,6 +507,32 @@ def unigram_lm_em_sql(
     (total ASC, j ASC), absent pieces simply don't join (they could
     never beat a feasible path), and the M-step's add-one smoothing
     runs over the full seed vocabulary."""
+    R = int(em_rounds)
+    return (
+        _unigram_em_ctes(max_vocab, n_pieces, piece_max_len, word_max_len, R)
+        + f"""
+SELECT piece, usage, cost_micro FROM (
+    SELECT m.piece, m.usage, c.cost AS cost_micro,
+           ROW_NUMBER() OVER (ORDER BY m.usage DESC, m.piece ASC) AS rn
+    FROM mu{R} m JOIN cost{R} c ON m.piece = c.piece
+) WHERE rn <= {int(top_out)}
+ORDER BY usage DESC, piece ASC"""
+    )
+
+
+def _unigram_em_ctes(
+    max_vocab: int,
+    n_pieces: int,
+    piece_max_len: int,
+    word_max_len: int,
+    em_rounds: int,
+) -> str:
+    """The shared WITH-body of the unigram-EM oracles: seed vocabulary and
+    costs, then per round the forward-DP / backtrace / usage / M-step CTE
+    chain, ending at ``mu{R}`` / ``cost{R}``.  Every multiply-referenced
+    CTE is MATERIALIZED — DuckDB inlines CTEs by default, and the dp chain
+    references its predecessor twice, which inlined would expand 2^L
+    copies of the base relation."""
     P, L, R = int(piece_max_len), int(word_max_len), int(em_rounds)
     parts = [
         f"""
@@ -509,13 +638,99 @@ cost{r} AS MATERIALIZED (
     FROM mu{r}, mtot{r}
 )"""
         )
+    return "".join(parts)
+
+
+def unigram_fertility_sql(
+    max_vocab: int = 400,
+    n_pieces: int = 160,
+    piece_max_len: int = 4,
+    word_max_len: int = 12,
+    em_rounds: int = 2,
+    seg_word_max_len: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`unigram_fertility`: the shared EM CTEs,
+    then corpus-wide segmentation — spans LEFT-join the final costs with
+    the same 2^40 infeasible fallback as the Spark map lookup (segmentation
+    must cover words whose characters the vocabulary never saw), the same
+    unrolled forward DP / backtrace, and a per-source rollup."""
+    P, R = int(piece_max_len), int(em_rounds)
+    S = int(seg_word_max_len)
+    parts = [
+        _unigram_em_ctes(max_vocab, n_pieces, piece_max_len, word_max_len, R),
+        f""",
+cw AS MATERIALIZED (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '{_WORD_SPLIT}')) AS w
+        FROM documents
+    ) WHERE w <> '' AND LEN(w) <= {S}
+    GROUP BY source, w
+),
+dw AS MATERIALIZED (SELECT w, LEN(w) AS n FROM (SELECT DISTINCT w FROM cw)),
+sspans AS MATERIALIZED (
+    SELECT d.w, j.j, j.j + l.l AS i, l.l AS l,
+           COALESCE(c.cost, {_VITERBI_BIG}) AS cost
+    FROM dw d
+    CROSS JOIN range(0, {S}) j(j)
+    CROSS JOIN range(1, {P + 1}) l(l)
+    LEFT JOIN cost{R} c ON substring(d.w, j.j + 1, l.l) = c.piece
+    WHERE j.j + l.l <= d.n
+),
+sdp_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS total FROM dw)""",
+    ]
+    for i in range(1, S + 1):
+        parts.append(
+            f""",
+sn_{i} AS MATERIALIZED (
+    SELECT w, {i} AS i, total, j, l FROM (
+        SELECT s.w, d.total + s.cost AS total, s.j, s.l,
+               ROW_NUMBER() OVER (PARTITION BY s.w
+                                  ORDER BY d.total + s.cost ASC, s.j ASC) AS rn
+        FROM sspans s JOIN sdp_{i - 1} d ON s.w = d.w AND s.j = d.pos
+        WHERE s.i = {i}
+    ) WHERE rn = 1
+),
+sdp_{i} AS MATERIALIZED (
+    SELECT * FROM sdp_{i - 1}
+    UNION ALL SELECT w, {i} AS pos, total FROM sn_{i}
+)"""
+        )
+    sbp_union = "\n    UNION ALL ".join(
+        f"SELECT w, i, j FROM sn_{i}" for i in range(1, S + 1)
+    )
     parts.append(
-        f"""
-SELECT piece, usage, cost_micro FROM (
-    SELECT m.piece, m.usage, c.cost AS cost_micro,
-           ROW_NUMBER() OVER (ORDER BY m.usage DESC, m.piece ASC) AS rn
-    FROM mu{R} m JOIN cost{R} c ON m.piece = c.piece
-) WHERE rn <= {int(top_out)}
-ORDER BY usage DESC, piece ASC"""
+        f""",
+sbp AS MATERIALIZED (
+    {sbp_union}
+),
+sbt_0 AS MATERIALIZED (SELECT w, n AS pos FROM dw)"""
+    )
+    for k in range(1, S + 1):
+        parts.append(
+            f""",
+sbt_{k} AS MATERIALIZED (
+    SELECT b.w, bp.j AS pos
+    FROM sbt_{k - 1} b JOIN sbp bp ON b.w = bp.w AND b.pos = bp.i
+    WHERE b.pos > 0
+)"""
+        )
+    steps_union = "\n    UNION ALL ".join(
+        f"SELECT w FROM sbt_{k}" for k in range(1, S + 1)
+    )
+    parts.append(
+        f""",
+npieces AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM (
+    {steps_union}
+    ) GROUP BY w
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * np) AS BIGINT) AS n_pieces,
+       CAST(SUM(cnt * np) * 1000000 // SUM(cnt) AS BIGINT) AS fertility_ppm
+FROM cw JOIN npieces USING (w)
+GROUP BY source
+ORDER BY source"""
     )
     return "".join(parts)

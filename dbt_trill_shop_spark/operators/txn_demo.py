@@ -2020,11 +2020,24 @@ def _unigram_em_sql() -> str:
     return unigram_lm_em_sql()
 
 
+def _x_unigram_fert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import unigram_fertility
+
+    return unigram_fertility(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_fert_sql() -> str:
+    from ..ext.bpe import unigram_fertility_sql
+
+    return unigram_fertility_sql()
+
+
 ROUND13_STAGED: dict = {
     "x_label_propagation": (_x_label_prop, _label_prop_sql()),
     "x_kneser_ney_ppl": (_x_kn_bigram, _kn_bigram_sql()),
     "q_txn_mv_partitioned": (txn_mv_partitioned, TXN_MV_PARTITIONED_SQL),
     "x_unigram_lm_em": (_x_unigram_em, _unigram_em_sql()),
+    "x_unigram_fertility": (_x_unigram_fert, _unigram_fert_sql()),
 }
 
 

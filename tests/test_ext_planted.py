@@ -514,7 +514,78 @@ def _px_dedup_quality_canonical_keeps_best_logit(spark):
     assert out[5]["kept_doc_id"] == 5 and out[5]["n_members"] == 1
 
 
+def _px_label_propagation_two_planted_cliques(spark):
+    from dbt_trill_shop_spark.ext.similarity import knn_label_propagation
+
+    # two far-apart 5-point clusters with DISTINCT coordinates; k=4 makes
+    # each cluster a mutual clique.  Synchronous LPA with the (count DESC,
+    # label ASC) tie-break converges each clique to its minimum member id
+    # by round 2 (round 1: everyone adopts the smallest OTHER id; round 2:
+    # the minimum flows back) — stable thereafter, so 4 rounds must land
+    # exactly {A -> 0, B -> 1}.
+    rows = [(2 * i, [float(i), 0.25 * i], 0) for i in range(5)]
+    rows += [(2 * i + 1, [50.0 + i, 50.0 + 0.25 * i], 0) for i in range(5)]
+    got = {
+        r["vec_id"]: r["community"]
+        for r in knn_label_propagation(_vecs(spark, rows), k=4, n_iters=4).collect()
+    }
+    assert got == {**{2 * i: 0 for i in range(5)}, **{2 * i + 1: 1 for i in range(5)}}, got
+
+
+def _px_kneser_ney_stock_phrases_score_low(spark):
+    from dbt_trill_shop_spark.ext.textstats import kneser_ney_bigram
+
+    # doc 0 repeats one stock bigram; doc 1 is all singleton bigrams.
+    # The repeated bigram's discounted ML term dominates -> doc 0 must
+    # score a LOWER mean neg-logprob than the all-novel doc, and the
+    # bigram counts are exact.
+    docs = spark.createDataFrame(
+        [
+            (0, "san francisco san francisco san francisco"),
+            (1, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in kneser_ney_bigram(docs).collect()}
+    assert got[0]["n_bigrams"] == 5 and got[1]["n_bigrams"] == 5
+    assert got[0]["avg_neg_logp_kn"] < got[1]["avg_neg_logp_kn"], got
+
+
+def _px_unigram_em_learns_whole_word_piece(spark):
+    from dbt_trill_shop_spark.ext.bpe import unigram_fertility, unigram_lm_em
+
+    # 'abab' dominates a corpus with enough filler mass that the
+    # whole-word piece beats two 'ab' pieces (single piece wins once
+    # total piece mass > 4x the word's count), so EM's Viterbi assigns
+    # every occurrence to 'abab' and the M-step concentrates usage there.
+    docs = spark.createDataFrame(
+        [(i, "abab abab abab") for i in range(10)]
+        + [(100 + i, "red green blue cyan pink gold") for i in range(3)],
+        "doc_id long, text string",
+    )
+    table = unigram_lm_em(docs, max_vocab=50, n_pieces=40, top_out=40)
+    rows = {r["piece"]: r["usage"] for r in table.collect()}
+    assert rows.get("abab") == 30, rows
+    assert rows.get("ab", 0) == 0, rows
+    # fertility: the dominant word stays WHOLE (exactly 1 piece/word);
+    # the rare filler words fragment more — the tokenizer-quality signal
+    # the report exists to surface (observed deterministic value: 27
+    # pieces over 18 words = 1.5 under this seed vocab)
+    docs2 = docs.withColumn(
+        "source", F.when(F.col("doc_id") < 100, "rep").otherwise("filler")
+    )
+    fert = {
+        r["source"]: r
+        for r in unigram_fertility(docs2, max_vocab=50, n_pieces=40).collect()
+    }
+    assert fert["rep"]["n_words"] == 30 and fert["rep"]["fertility_ppm"] == 1_000_000, fert
+    assert fert["filler"]["fertility_ppm"] == 1_500_000, fert
+
+
 _PLANTED = [
+    _px_label_propagation_two_planted_cliques,
+    _px_kneser_ney_stock_phrases_score_low,
+    _px_unigram_em_learns_whole_word_piece,
     _px_knn_homophily_pure_and_anti_clusters,
     _px_knn_hubness_planted_hub_histogram,
     _px_patch_stats_ascii_tiles,
