@@ -2630,3 +2630,202 @@ SELECT log2_df_bucket, n_shingles, CAST(pm AS BIGINT) AS pair_mass,
 FROM agg CROSS JOIN tot
 ORDER BY log2_df_bucket
 """
+
+
+def trajectory_neardup(
+    events: DataFrame,
+    gap_minutes: int = 720,
+    min_events: int = 4,
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate SESSION TRAJECTORIES — behavioral dedup for
+    agent-rollout / clickstream training data: two sessions whose ordered
+    event-type sequences share most of their n-grams are the same behavior
+    replayed, and an RL/behavior-cloning pipeline dedups them exactly like
+    a text pipeline dedups documents.
+
+    Composition of the house pieces, in the order a 100 TB run needs:
+
+    1. gap-based sessionization (the ``q_sessionize_events`` two-window
+       pattern, windows partitioned by user_id);
+    2. trajectory string per session = ordered event types joined by
+       spaces (sessions under ``min_events`` carry no behavioral signal
+       and are dropped);
+    3. EXACT grouping of identical trajectories FIRST — the dominant
+       duplicate mass is byte-identical short sessions, and skipping this
+       step makes candidate pairs quadratic in each identical family
+       (1 000 same-trajectory sessions = half a million pairs);
+    4. banded-MinHash candidates + exact n-gram Jaccard verify
+       (:func:`neardup_minhash_checked`) across the DISTINCT trajectory
+       representatives only.
+
+    Output: one row PER DISTINCT TRAJECTORY that has at least one near-dup
+    partner — (doc_id, n_sessions, n_neighbors, dup_session_mass), where
+    doc_id is the group's minimum ``user_id * 1000000 + session_id`` key
+    (oracle-transparent arithmetic; a deployment with >10^6 sessions per
+    user or >9×10^6 users would use a struct key or xxhash64 instead),
+    n_neighbors counts the group's near-dup partners and dup_session_mass
+    sums THEIR session counts — the redundancy readout a keep/drop policy
+    weights by.  The near-dup PAIR relation stays internal: same-length
+    short trajectories form large near-dup families, so the pair set
+    grows quadratically in family size while this report stays bounded by
+    the distinct-trajectory count (itself bounded by the event-type
+    alphabet, not the corpus)."""
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > int(gap_minutes) * 60 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    traj = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .filter(F.col("n_events") >= int(min_events))
+    )
+    groups = (
+        traj.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min(
+                F.col("user_id") * 1_000_000 + F.col("session_id")
+            ).cast("bigint").alias("doc_id"),
+        )
+        .localCheckpoint(eager=True)  # feeds the near-dup pipeline twice
+    )
+    pairs = neardup_minhash_checked(
+        groups.select("doc_id", "text"),
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_len=shingle_len,
+        jaccard_threshold=jaccard_threshold,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nb")
+    ).union(pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nb")))
+    nb_sizes = groups.select(
+        F.col("doc_id").alias("nb"), F.col("n_sessions").alias("nb_sessions")
+    )
+    return (
+        sym.join(nb_sizes, "nb")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum("nb_sessions").cast("bigint").alias("dup_session_mass"),
+        )
+        .join(groups.select("doc_id", "n_sessions"), "doc_id")
+        .select("doc_id", "n_sessions", "n_neighbors", "dup_session_mass")
+        .orderBy("doc_id")
+    )
+
+
+def trajectory_neardup_sql(
+    gap_minutes: int = 720,
+    min_events: int = 4,
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :func:`trajectory_neardup`: the registered
+    sessionization SQL, the exact-group CTE, then the shared md5 MinHash
+    band chain (``_minhash_md5_band_sql`` with the trajectory groups as
+    the source) and the checked-verify tail."""
+    base = _minhash_md5_band_sql(
+        num_hashes, bands, shingle_len, source="gdocs"
+    )
+    return rf"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > CAST({int(gap_minutes)} AS BIGINT) * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM flagged
+),
+traj AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS text
+    FROM sessioned
+    GROUP BY user_id, session_id
+    HAVING COUNT(*) >= {int(min_events)}
+),
+gdocs AS (
+    SELECT text,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MIN(user_id * 1000000 + session_id) AS BIGINT) AS doc_id
+    FROM traj GROUP BY text
+),
+{base},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bidx = b.bidx AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.id_a
+    JOIN shingles b ON b.doc_id = c.id_b AND b.s = a.s
+    GROUP BY c.id_a, c.id_b
+)
+,
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {jaccard_threshold}
+),
+sym AS (
+    SELECT id_a AS doc_id, id_b AS nb FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id, id_a AS nb FROM pairs
+)
+SELECT s.doc_id,
+       g.n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(gn.n_sessions) AS BIGINT) AS dup_session_mass
+FROM sym s
+JOIN gdocs gn ON gn.doc_id = s.nb
+JOIN gdocs g ON g.doc_id = s.doc_id
+GROUP BY s.doc_id, g.n_sessions
+ORDER BY s.doc_id
+"""

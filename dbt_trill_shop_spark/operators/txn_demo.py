@@ -2026,6 +2026,18 @@ def _x_unigram_fert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(load_table(spark, sf_dir, "documents"))
 
 
+def _x_traj_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import trajectory_neardup
+
+    return trajectory_neardup(load_table(spark, sf_dir, "events"))
+
+
+def _traj_neardup_sql() -> str:
+    from ..ext.dedup import trajectory_neardup_sql
+
+    return trajectory_neardup_sql()
+
+
 def _unigram_fert_sql() -> str:
     from ..ext.bpe import unigram_fertility_sql
 
@@ -2038,6 +2050,7 @@ ROUND13_STAGED: dict = {
     "q_txn_mv_partitioned": (txn_mv_partitioned, TXN_MV_PARTITIONED_SQL),
     "x_unigram_lm_em": (_x_unigram_em, _unigram_em_sql()),
     "x_unigram_fertility": (_x_unigram_fert, _unigram_fert_sql()),
+    "x_trajectory_neardup": (_x_traj_neardup, _traj_neardup_sql()),
 }
 
 
