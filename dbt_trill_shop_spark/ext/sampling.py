@@ -1295,3 +1295,75 @@ SELECT base.source, n_docs, total_tokens,
 FROM base LEFT JOIN ms ON base.source = ms.source
 ORDER BY base.source
 """
+
+
+def group_advantages(docs: DataFrame) -> DataFrame:
+    """GRPO-style GROUP-RELATIVE ADVANTAGES (Shao et al. 2024's
+    group-relative policy optimization, the critic-free normalization):
+    within each prompt group — the same (source, lang) grouping and
+    deterministic integer score as :func:`preference_pairs`, so the two
+    ops describe the same candidate pools — every response's advantage is
+    its score centered and scaled by the GROUP's own statistics:
+
+        adv_ppm = (n·r_i − Σr) · 10^6  DIV  max(⌊√(n·Σr² − (Σr)²)⌋, 1)
+
+    i.e. (r_i − mean)/σ in parts-per-million, kept EXACT-integer end to
+    end: the centered numerator is pure int64 algebra, n·Σr² − (Σr)² is
+    n²·σ² exactly, and the single float touch is IEEE-correctly-rounded
+    ``sqrt`` of that integer, floored — bit-identical across engines
+    (the same discipline as the micro-nat ln recipe).  Groups of one
+    yield no row (σ undefined, the advantage teaches nothing); an
+    all-equal group's σ floor of 1 sends every advantage to 0 rather
+    than dividing by zero.
+
+    Scale shape: one hash shuffle on the group key; every statistic is a
+    window aggregate over it; the output carries (group, id, ints) —
+    text is read only in the scoring projection, and nothing is ever
+    corpus × corpus."""
+    scored = docs.select(
+        "source", "lang", "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias(
+            "score"
+        ),
+    )
+    g = Window.partitionBy("source", "lang")
+    stats = scored.select(
+        "*",
+        F.count(F.lit(1)).over(g).alias("n"),
+        F.sum("score").over(g).alias("s"),
+        F.sum(F.col("score").cast("bigint") * F.col("score")).over(g).alias("q"),
+    ).filter(F.col("n") >= 2)
+    return stats.select(
+        "source", "lang", "doc_id",
+        F.col("score").cast("bigint").alias("score"),
+        F.expr(
+            "(n * score - s) * 1000000 DIV "
+            "GREATEST(CAST(FLOOR(SQRT(CAST(n * q - s * s AS DOUBLE))) "
+            "AS BIGINT), 1)"
+        ).alias("adv_ppm"),
+    ).orderBy("source", "lang", "doc_id")
+
+
+GROUP_ADVANTAGES_SQL = """
+WITH scored AS (
+    SELECT source, lang, doc_id,
+           CAST(LEN(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS score
+    FROM documents
+),
+stats AS (
+    SELECT source, lang, doc_id, score,
+           COUNT(*) OVER g AS n,
+           SUM(score) OVER g AS s,
+           SUM(score * score) OVER g AS q
+    FROM scored
+    WINDOW g AS (PARTITION BY source, lang)
+)
+SELECT source, lang, doc_id, score,
+       CAST((n * score - s) * 1000000 //
+            GREATEST(CAST(FLOOR(SQRT(CAST(n * q - s * s AS DOUBLE)))
+                     AS BIGINT), 1) AS BIGINT) AS adv_ppm
+FROM stats
+WHERE n >= 2
+ORDER BY source, lang, doc_id
+"""

@@ -2026,6 +2026,18 @@ def _x_unigram_fert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(load_table(spark, sf_dir, "documents"))
 
 
+def _x_group_adv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import group_advantages
+
+    return group_advantages(load_table(spark, sf_dir, "documents"))
+
+
+def _group_adv_sql() -> str:
+    from ..ext.sampling import GROUP_ADVANTAGES_SQL
+
+    return GROUP_ADVANTAGES_SQL
+
+
 def _x_traj_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import trajectory_neardup
 
@@ -2051,6 +2063,7 @@ ROUND13_STAGED: dict = {
     "x_unigram_lm_em": (_x_unigram_em, _unigram_em_sql()),
     "x_unigram_fertility": (_x_unigram_fert, _unigram_fert_sql()),
     "x_trajectory_neardup": (_x_traj_neardup, _traj_neardup_sql()),
+    "x_group_advantages": (_x_group_adv, _group_adv_sql()),
 }
 
 
