@@ -293,6 +293,7 @@ def unigram_lm_em(
     em_rounds: int = 2,
     top_out: int = 48,
     text_col: str = "text",
+    keep_pieces: int | None = None,
 ) -> DataFrame:
     """Unigram-LM tokenizer vocabulary via EM (Kudo 2018): seed the piece
     inventory with the corpus's most frequent substrings (length 1..
@@ -317,7 +318,7 @@ def unigram_lm_em(
     out_schema = "piece string, usage bigint, cost_micro bigint"
     costs, final_rows = _unigram_em_costs(
         docs, max_vocab, n_pieces, piece_max_len, word_max_len, em_rounds,
-        text_col,
+        text_col, keep_pieces=keep_pieces,
     )
     if not final_rows:  # degenerate corpus: no words survive the cut
         return spark.createDataFrame([], out_schema)
@@ -340,10 +341,20 @@ def _unigram_em_costs(
     word_max_len: int,
     em_rounds: int,
     text_col: str,
+    keep_pieces: int | None = None,
 ) -> tuple[dict, list]:
     """The EM training loop shared by :func:`unigram_lm_em` (vocabulary
     report) and :func:`unigram_fertility` (corpus-wide application):
-    returns (final piece→cost_micro dict, final collected M-step rows)."""
+    returns (final piece→cost_micro dict, final collected M-step rows).
+
+    ``keep_pieces`` enables the SentencePiece PRUNING round: after every
+    E-step the live vocabulary shrinks to the top-``keep_pieces`` pieces
+    by (usage DESC, piece ASC) UNION all single-char pieces (the
+    feasibility floor — every word must stay segmentable), and the
+    M-step's add-one smoothing runs over the SURVIVORS only, so costs
+    renormalize to the pruned inventory.  ``None`` (default) keeps the
+    full seed vocabulary every round — the original behavior, unchanged
+    for the staged x_unigram_lm_em / x_unigram_fertility paths."""
     spark = docs.sparkSession
     words = (
         word_frequencies(docs, max_vocab, text_col)
@@ -393,10 +404,17 @@ def _unigram_em_costs(
             r["piece"]: int(r["usage"])
             for r in _viterbi_usage(words, costs, P).collect()
         }
+        live = sorted(costs)
+        if keep_pieces is not None:
+            ranked = sorted(live, key=lambda p: (-usage.get(p, 0), p))
+            kept = set(ranked[: int(keep_pieces)])
+            kept |= {p for p in live if len(p) == 1}  # feasibility floor
+            live = sorted(kept)
         # M-step in Spark expressions (ln/round must match the E-step's
-        # engine exactly); add-one smoothing over the FULL seed vocab
+        # engine exactly); add-one smoothing over the LIVE vocabulary
+        # (the full seed vocab unless a pruning round shrank it)
         mu = spark.createDataFrame(
-            sorted((p, usage.get(p, 0) + 1, usage.get(p, 0)) for p in costs),
+            sorted((p, usage.get(p, 0) + 1, usage.get(p, 0)) for p in live),
             "piece string, cnt long, usage long",
         )
         final_rows = (
@@ -499,6 +517,7 @@ def unigram_lm_em_sql(
     word_max_len: int = 12,
     em_rounds: int = 2,
     top_out: int = 48,
+    keep_pieces: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`unigram_lm_em`: the identical integer
     algebra, with the per-word Viterbi DP UNROLLED into one CTE pair per
@@ -509,7 +528,10 @@ def unigram_lm_em_sql(
     runs over the full seed vocabulary."""
     R = int(em_rounds)
     return (
-        _unigram_em_ctes(max_vocab, n_pieces, piece_max_len, word_max_len, R)
+        _unigram_em_ctes(
+            max_vocab, n_pieces, piece_max_len, word_max_len, R,
+            keep_pieces=keep_pieces,
+        )
         + f"""
 SELECT piece, usage, cost_micro FROM (
     SELECT m.piece, m.usage, c.cost AS cost_micro,
@@ -526,6 +548,7 @@ def _unigram_em_ctes(
     piece_max_len: int,
     word_max_len: int,
     em_rounds: int,
+    keep_pieces: int | None = None,
 ) -> str:
     """The shared WITH-body of the unigram-EM oracles: seed vocabulary and
     costs, then per round the forward-DP / backtrace / usage / M-step CTE
@@ -567,7 +590,8 @@ cost0 AS MATERIALIZED (
            CAST(ROUND((LN(CAST(tot AS DOUBLE)) - LN(CAST(cnt AS DOUBLE)))
                       * 1000000, 0) AS BIGINT) AS cost
     FROM vocab0, tot0
-)"""
+),
+vcb0 AS MATERIALIZED (SELECT piece FROM vocab0)"""
     ]
     for r in range(1, R + 1):
         parts.append(
@@ -618,18 +642,35 @@ bt{r}_{k} AS MATERIALIZED (
         seg_union = "\n    UNION ALL ".join(
             f"SELECT piece, freq FROM bt{r}_{k}" for k in range(1, L + 1)
         )
+        if keep_pieces is not None:
+            prune = f""",
+kept{r} AS MATERIALIZED (
+    SELECT piece FROM (
+        SELECT v.piece,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(u.usage, 0) DESC,
+                                  v.piece ASC) AS rn
+        FROM vcb{r - 1} v LEFT JOIN usage{r} u USING (piece)
+    ) WHERE rn <= {int(keep_pieces)}
+    UNION
+    SELECT piece FROM vcb{r - 1} WHERE LEN(piece) = 1
+)"""
+            live = f"kept{r}"
+        else:
+            prune = ""
+            live = f"vcb{r - 1}"
         parts.append(
             f""",
 usage{r} AS MATERIALIZED (
     SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
     {seg_union}
     ) GROUP BY piece
-),
+){prune},
 mu{r} AS MATERIALIZED (
     SELECT v.piece, COALESCE(u.usage, 0) + 1 AS cnt,
            CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage
-    FROM vocab0 v LEFT JOIN usage{r} u USING (piece)
+    FROM {live} v LEFT JOIN usage{r} u USING (piece)
 ),
+vcb{r} AS MATERIALIZED (SELECT piece FROM mu{r}),
 mtot{r} AS (SELECT SUM(cnt) AS tot FROM mu{r}),
 cost{r} AS MATERIALIZED (
     SELECT piece,

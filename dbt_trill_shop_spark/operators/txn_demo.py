@@ -2026,6 +2026,18 @@ def _x_unigram_fert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(load_table(spark, sf_dir, "documents"))
 
 
+def _x_unigram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import unigram_lm_em
+
+    return unigram_lm_em(load_table(spark, sf_dir, "documents"), keep_pieces=96)
+
+
+def _unigram_pruned_sql() -> str:
+    from ..ext.bpe import unigram_lm_em_sql
+
+    return unigram_lm_em_sql(keep_pieces=96)
+
+
 def _x_group_adv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sampling import group_advantages
 
@@ -2064,6 +2076,9 @@ ROUND13_STAGED: dict = {
     "x_unigram_fertility": (_x_unigram_fert, _unigram_fert_sql()),
     "x_trajectory_neardup": (_x_traj_neardup, _traj_neardup_sql()),
     "x_group_advantages": (_x_group_adv, _group_adv_sql()),
+    # SentencePiece pruning round: live vocab shrinks to the top pieces
+    # by usage (+ the single-char feasibility floor) after every E-step
+    "x_unigram_pruned": (_x_unigram_pruned, _unigram_pruned_sql()),
 }
 
 
