@@ -2632,6 +2632,31 @@ ORDER BY log2_df_bucket
 """
 
 
+def _traj_doc_id():
+    """Composite ``user_id * 10^6 + session_id`` trajectory key with the
+    bound ENFORCED in-expression (the house raise_error guard, ADVICE
+    r12): a session_id ≥ 10^6 would silently collide two distinct
+    trajectory groups onto one doc_id, so it raises instead.  A
+    deployment past the bound re-keys with a struct or
+    ``xxhash64(user_id, session_id)``."""
+    return F.when(
+        F.col("session_id") < 1_000_000,
+        F.col("user_id") * 1_000_000 + F.col("session_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("trajectory_neardup: session_id "),
+                F.col("session_id").cast("string"),
+                F.lit(
+                    " >= 1e6 overflows the user_id*1e6+session_id "
+                    "doc_id key; re-key with a struct or "
+                    "xxhash64(user_id, session_id)"
+                ),
+            )
+        ).cast("bigint")
+    )
+
+
 def trajectory_neardup(
     events: DataFrame,
     gap_minutes: int = 720,
@@ -2666,7 +2691,10 @@ def trajectory_neardup(
     partner — (doc_id, n_sessions, n_neighbors, dup_session_mass), where
     doc_id is the group's minimum ``user_id * 1000000 + session_id`` key
     (oracle-transparent arithmetic; a deployment with >10^6 sessions per
-    user or >9×10^6 users would use a struct key or xxhash64 instead),
+    user or >9×10^6 users would use a struct key or xxhash64 instead —
+    and the bound is ENFORCED, not assumed: a session_id ≥ 10^6 raises
+    in the keying expression rather than silently colliding two distinct
+    trajectory groups onto one doc_id),
     n_neighbors counts the group's near-dup partners and dup_session_mass
     sums THEIR session counts — the redundancy readout a keep/drop policy
     weights by.  The near-dup PAIR relation stays internal: same-length
@@ -2714,9 +2742,7 @@ def trajectory_neardup(
         traj.groupBy("text")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            F.min(
-                F.col("user_id") * 1_000_000 + F.col("session_id")
-            ).cast("bigint").alias("doc_id"),
+            F.min(_traj_doc_id()).cast("bigint").alias("doc_id"),
         )
         .localCheckpoint(eager=True)  # feeds the near-dup pipeline twice
     )

@@ -1297,6 +1297,18 @@ ORDER BY base.source
 """
 
 
+# The GRPO advantage quotient over pre-aggregated group stats (n bigint,
+# s = Σr and q = Σr² as decimal(38,0), score int/bigint).  Module-level so
+# the overflow-widening test can drive it with hand-built near-int64-max
+# stats without re-deriving the algebra (ADVICE r12: the int64 form
+# silently wrapped where the oracle's HUGEINT did not).
+_ADV_PPM_EXPR = (
+    "CAST((CAST(n AS DECIMAL(38,0)) * score - s) * 1000000 DIV "
+    "GREATEST(CAST(FLOOR(SQRT(CAST(CAST(n AS DECIMAL(38,0)) * q "
+    "- s * s AS DOUBLE))) AS BIGINT), 1) AS BIGINT)"
+)
+
+
 def group_advantages(docs: DataFrame) -> DataFrame:
     """GRPO-style GROUP-RELATIVE ADVANTAGES (Shao et al. 2024's
     group-relative policy optimization, the critic-free normalization):
@@ -1308,10 +1320,13 @@ def group_advantages(docs: DataFrame) -> DataFrame:
         adv_ppm = (n·r_i − Σr) · 10^6  DIV  max(⌊√(n·Σr² − (Σr)²)⌋, 1)
 
     i.e. (r_i − mean)/σ in parts-per-million, kept EXACT-integer end to
-    end: the centered numerator is pure int64 algebra, n·Σr² − (Σr)² is
-    n²·σ² exactly, and the single float touch is IEEE-correctly-rounded
-    ``sqrt`` of that integer, floored — bit-identical across engines
-    (the same discipline as the micro-nat ln recipe).  Groups of one
+    end: Σr, Σr² and every product ride decimal(38,0) (HUGEINT in the
+    oracle — the kneser_ney accumulator recipe, so no group size or
+    score magnitude can wrap int64), n·Σr² − (Σr)² is n²·σ² exactly,
+    and the single float touch is IEEE-correctly-rounded ``sqrt`` of
+    that integer, floored — bit-identical across engines (the same
+    discipline as the micro-nat ln recipe).  The quotient itself is
+    |r−mean|/σ·10⁶ ≲ √n·10⁶, comfortably int64.  Groups of one
     yield no row (σ undefined, the advantage teaches nothing); an
     all-equal group's σ floor of 1 sends every advantage to 0 rather
     than dividing by zero.
@@ -1330,17 +1345,15 @@ def group_advantages(docs: DataFrame) -> DataFrame:
     stats = scored.select(
         "*",
         F.count(F.lit(1)).over(g).alias("n"),
-        F.sum("score").over(g).alias("s"),
-        F.sum(F.col("score").cast("bigint") * F.col("score")).over(g).alias("q"),
+        F.sum(F.col("score").cast("decimal(38,0)")).over(g).alias("s"),
+        F.sum(
+            F.col("score").cast("decimal(38,0)") * F.col("score")
+        ).over(g).alias("q"),
     ).filter(F.col("n") >= 2)
     return stats.select(
         "source", "lang", "doc_id",
         F.col("score").cast("bigint").alias("score"),
-        F.expr(
-            "(n * score - s) * 1000000 DIV "
-            "GREATEST(CAST(FLOOR(SQRT(CAST(n * q - s * s AS DOUBLE))) "
-            "AS BIGINT), 1)"
-        ).alias("adv_ppm"),
+        F.expr(_ADV_PPM_EXPR).alias("adv_ppm"),
     ).orderBy("source", "lang", "doc_id")
 
 

@@ -2543,6 +2543,18 @@ QUERIES: dict[str, QuerySpec] = {
         name: QuerySpec(fn, sql)
         for name, (fn, sql) in TD.ROUND12_STAGED.items()
     },
+    # --- round-13 additions: the staged wave (VERDICT r12 #1) --------------
+    # label-propagation communities, Kneser-Ney bigram perplexity, the
+    # partitioned-source incremental MV (partitioned-CDF composition), the
+    # SentencePiece unigram-LM trilogy (EM seed -> pruning round ->
+    # fertility report), session-trajectory near-dup (behavioral dedup),
+    # and GRPO group-relative advantages — the (fn, oracle) pairs come from
+    # the named staging dict the pooled parity scenario and the degenerate
+    # sweep have exercised since round 12.
+    **{
+        name: QuerySpec(fn, sql)
+        for name, (fn, sql) in TD.ROUND13_STAGED.items()
+    },
 }
 
 # Driver verification order. The round-1 driver recorded CORRECTNESS rows for
@@ -3196,7 +3208,58 @@ _ROUND12_OLDEST_REVERIFY = [
 
 _ROUND12_WINDOW = _ROUND12_NEW + _ROUND12_OLDEST_REVERIFY
 
-_front = _REFERENCE_MODELS + _ROUND12_WINDOW
+# Queries with a green driver verdict in CORRECTNESS_r12 (all 50 green).
+_DRIVER_VERIFIED_R12 = frozenset(_REFERENCE_MODELS) | frozenset(_ROUND12_WINDOW)
+
+# =============================================================================
+# ROUND-13 WINDOW — THE ONE PINNED LIST (VERDICT r12 "What's wrong" #2).
+# SCALE.md's round-12 notes hold three successive drafts of this plan
+# (6-staged / 7-staged / 8-staged arithmetic); THIS block is the final,
+# binding form and supersedes all of them:
+#   7 reference models + 8 round-12-staged new + 27 r5 vintages (ALL that
+#   remain — the r5 drain completes this round) + 8 oldest r6 vintages
+#   = 50, reverify share 42.
+# The 27 r5 names below are exactly the queries whose latest green driver
+# verdict is CORRECTNESS_r05 (recomputed mechanically over all twelve
+# CORRECTNESS files), in their r5 window order; the 8 r6 names are the
+# oldest r6-vintage entries in their r6 window order.
+# =============================================================================
+
+# Block 1: the EIGHT round-12-staged queries (VERDICT r12 #1) in staging
+# order — label-propagation communities, Kneser-Ney bigram perplexity,
+# partitioned-source incremental MV, the SentencePiece unigram-LM trilogy
+# (EM, fertility, pruning round), session-trajectory near-dup, and GRPO
+# group-relative advantages.  All carry DuckDB oracles, plan-audit-clean
+# plans, degenerate sweeps, and pooled-scenario coverage.
+_ROUND13_NEW = [
+    "x_label_propagation", "x_kneser_ney_ppl", "q_txn_mv_partitioned",
+    "x_unigram_lm_em", "x_unigram_fertility", "x_trajectory_neardup",
+    "x_group_advantages", "x_unigram_pruned",
+]
+
+# Block 2: the vintage-tail rotation (VERDICT r12 #2) — ALL 27 remaining
+# round-5 vintages in r5 window order (the r5 vintage drains COMPLETELY;
+# the oldest surviving vintage becomes r6), then the 8 oldest round-6
+# vintages in r6 window order.
+_ROUND13_OLDEST_REVERIFY = [
+    # r5 vintage (all 27 remaining)
+    "x_length_bias", "q_rfm_segments", "q_churn", "q_ltv_cohorts",
+    "q_kaplan_meier", "q_cusum", "q_wilson_ranking", "q_ab_ztest",
+    "q_ab_power", "q_runs_test", "q_iqr_outliers", "q_histogram_quantiles",
+    "q_weekly_anomalies", "x_zipf_slope", "x_char_entropy",
+    "x_ttr_by_source", "x_source_entropy", "x_vocab_growth",
+    "x_langid_confusion", "x_corpus_report", "x_prefix_templates",
+    "q_python_datasource", "q_sql_udf_macros", "q_user_ewma",
+    "q_forecast_revenue", "q_event_transitions", "q_interpolate_daily",
+    # r6 vintage (8 oldest, r6 window order)
+    "d_metrics_events", "q_variant_props", "m_patch_stats",
+    "m_scene_changes", "m_shot_stats", "m_flatness", "m_vad_segments",
+    "x_calibration",
+]
+
+_ROUND13_WINDOW = _ROUND13_NEW + _ROUND13_OLDEST_REVERIFY
+
+_front = _REFERENCE_MODELS + _ROUND13_WINDOW
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 assert len(_front) == len(set(_front)) == 50, len(_front)
 # Past the window: every remaining query has a driver verdict from a prior
@@ -3205,8 +3268,8 @@ _DRIVER_VERIFIED = (
     _DRIVER_VERIFIED_R01_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06 | _DRIVER_VERIFIED_R07
     | _DRIVER_VERIFIED_R08 | _DRIVER_VERIFIED_R09 | _DRIVER_VERIFIED_R10
-    | _DRIVER_VERIFIED_R11
-) - set(_ROUND12_WINDOW)
+    | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
+) - set(_ROUND13_WINDOW)
 _rest = [n for n in QUERIES if n not in set(_front)]
 _tail_unverified = [n for n in _rest if n not in _DRIVER_VERIFIED]
 # Window accounting: with the round-10 window in place, every query outside

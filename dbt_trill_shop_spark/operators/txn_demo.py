@@ -1478,9 +1478,9 @@ def txn_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.unionByName(nulls).repartition(2), root, partition_by=["o_year"]
     )
     # every live file must carry its partition tuple in the log
-    assert all(
-        "__pv" in st for st in _snap(root).file_stats
-    ), "partition tuples missing from the log"
+    # (explicit raise, not assert: the gate must survive `python -O`)
+    if not all("__pv" in st for st in _snap(root).file_stats):
+        raise RuntimeError("partition tuples missing from the log")
     got = read_txn(spark, root, where="o_year >= 1996")
     return (
         got.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
@@ -1840,12 +1840,16 @@ def txn_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     year_scan = read_txn(spark, root, where="o_year = 1995")
     box = "o_year = 1995 AND mo BETWEEN 4 AND 6 AND cb < 64"
     got = read_txn(spark, root, where=box)
-    # stats assertion (plan-level, zero jobs): pruned files never open
+    # stats check (plan-level, zero jobs): pruned files never open.
+    # Explicit raises, not asserts — the physical-behavior gate must
+    # survive `python -O` (ADVICE r12).
     year_files = set(year_scan.inputFiles())
     box_files = set(got.inputFiles())
-    assert box_files <= year_files, "box scan escaped its partition"
-    if len(year_files) >= 4:  # degenerate inputs: nothing to prune
-        assert len(box_files) < len(year_files), (
+    if not box_files <= year_files:
+        raise RuntimeError("box scan escaped its partition")
+    if len(year_files) >= 4 and not len(box_files) < len(year_files):
+        # < 4 files means degenerate inputs: nothing to prune
+        raise RuntimeError(
             "declared clustering keys failed to prune the box scan "
             f"({len(box_files)} of {len(year_files)} partition files open)"
         )

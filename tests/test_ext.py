@@ -1645,6 +1645,56 @@ def test_stdlib_header_decode_malformed_containers():
 
 
 # ---------------------------------------------------------------------------
+def test_trajectory_doc_id_guard_raises_past_bound(spark):
+    """The composite trajectory key computes user_id*1e6+session_id below
+    the bound and RAISES (not collides) at session_id >= 1e6 (ADVICE r12:
+    the docstring acknowledged the limit but nothing enforced it)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from dbt_trill_shop_spark.ext.dedup import _traj_doc_id
+
+    ok = spark.createDataFrame(
+        [(7, 999_999), (3, 0)], "user_id long, session_id long"
+    )
+    got = {r[0] for r in ok.select(_traj_doc_id()).collect()}
+    assert got == {7 * 1_000_000 + 999_999, 3_000_000}
+    bad = spark.createDataFrame([(7, 1_000_000)], "user_id long, session_id long")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        bad.select(_traj_doc_id()).collect()
+    assert "session_id 1000000 >= 1e6" in str(ei.value)
+
+
+def test_group_advantage_expr_exact_past_int64(spark):
+    """The GRPO advantage quotient stays exact where the old int64 form
+    wrapped (ADVICE r12): with scores near 2^62, n*q - s*s and
+    (n*score - s)*1e6 both exceed int64 but the decimal(38,0) algebra
+    matches arbitrary-precision Python replicating the same single
+    float-sqrt touch."""
+    import math
+
+    from dbt_trill_shop_spark.ext.sampling import _ADV_PPM_EXPR
+
+    from decimal import Decimal
+
+    a, b = 4 * 10**18, 3 * 10**18
+    n, s, q = 2, a + b, a * a + b * b
+    rows = [(n, Decimal(s), Decimal(q), r) for r in (a, b)]
+    df = spark.createDataFrame(rows, "n long, s decimal(38,0), q decimal(38,0), score long")
+    got = [r[0] for r in df.select(F.expr(_ADV_PPM_EXPR)).collect()]
+
+    def expect(r):
+        num = (n * r - s) * 1_000_000
+        sig = max(math.floor(math.sqrt(float(n * q - s * s))), 1)
+        return abs(num) // sig * (1 if num >= 0 else -1)  # DIV truncates to 0
+
+    assert got == [expect(a), expect(b)]
+    # sanity: the intermediates genuinely exceed int64, so the old form
+    # could not have computed this without wraparound
+    assert n * q - s * s > 2**63 and abs((n * a - s) * 1_000_000) > 2**63
+
+
 # Pooled lane for the slow independent checks above (the _px_* helpers).
 #
 # Same trade as tests/test_oracle_parity.py's chunks: these 34 checks are
