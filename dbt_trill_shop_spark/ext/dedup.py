@@ -1466,6 +1466,10 @@ def incremental_neardup_store(
     )
     kept = incremental_neardup(bb, seen, id_col=id_col)
     kept = kept.localCheckpoint(eager=True)  # pin rows pre-append
+    if kept.isEmpty():
+        # nothing to append — and skipping also avoids CREATING a
+        # schema-less parquet dir a later read could not infer
+        return kept
     kept.select(id_col, "bidx", "bk").write.mode("append").parquet(store_path)
     spark.catalog.refreshByPath(store_path)
     return kept
@@ -2657,6 +2661,97 @@ def _traj_doc_id():
     )
 
 
+def trajectory_relation(
+    events: DataFrame, gap_minutes: int = 720, min_events: int = 4
+) -> DataFrame:
+    """One row PER SESSION TRAJECTORY: gap-based sessionization (the
+    ``q_sessionize_events`` two-window pattern, windows partitioned by
+    user_id) folded to (user_id, session_id, n_events, text) where text
+    is the session's ordered event types joined by spaces; sessions
+    under ``min_events`` carry no behavioral signal and are dropped.
+    Shared by the batch near-dup report (:func:`trajectory_neardup`) and
+    the streaming band-store composition (:func:`trajectory_dedup_store`)
+    so the two can never drift on sessionization semantics."""
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > int(gap_minutes) * 60 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .filter(F.col("n_events") >= int(min_events))
+    )
+
+
+def trajectory_dedup_store(
+    spark,
+    events_batch: DataFrame,
+    store_path: str,
+    gap_minutes: int = 720,
+    min_events: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """CONTINUOUS BEHAVIORAL DEDUP (r14 shortlist, VERDICT r12 #6): one
+    ingestion batch of rollout/clickstream EVENTS dedups against the
+    persisted MinHash band store, trajectory-wise — the crawl-dedup shape
+    applied to agent-rollout data, where each producer commit delivers
+    whole sessions and downstream training must not re-ingest behaviors
+    it already holds.
+
+    Composition of two proven pieces, nothing new to verify:
+    :func:`trajectory_relation` turns the batch's events into
+    (doc_id, text) trajectory docs (doc_id = the guarded
+    user_id*1e6+session_id composite), then
+    :func:`incremental_neardup_store` treats those docs exactly like
+    crawl documents — band keys vs the store, collisions dropped,
+    survivors' bands appended.  Returns the surviving band rows
+    (doc_id, bidx, bk), like its document twin.
+
+    Scale shape: per batch, sessionization shuffles the BATCH only
+    (partitioned by user_id); the store exchange carries 16-byte band
+    keys, never event text; state growth is ``bands`` rows per kept
+    trajectory, independent of event volume."""
+    traj = trajectory_relation(events_batch, gap_minutes, min_events)
+    docs = traj.select(_traj_doc_id().cast("bigint").alias("doc_id"), "text")
+    return incremental_neardup_store(
+        spark,
+        docs,
+        store_path,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_len=shingle_len,
+    )
+
+
 def trajectory_neardup(
     events: DataFrame,
     gap_minutes: int = 720,
@@ -2702,42 +2797,7 @@ def trajectory_neardup(
     grows quadratically in family size while this report stays bounded by
     the distinct-trajectory count (itself bounded by the event-type
     alphabet, not the corpus)."""
-    gap_us = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
-    )
-    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            gap_us.isNull() | (gap_us > int(gap_minutes) * 60 * 1_000_000), 1
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("is_start").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    traj = (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
-                ),
-                " ",
-            ).alias("text"),
-        )
-        .filter(F.col("n_events") >= int(min_events))
-    )
+    traj = trajectory_relation(events, gap_minutes, min_events)
     groups = (
         traj.groupBy("text")
         .agg(
@@ -2770,6 +2830,96 @@ def trajectory_neardup(
         .select("doc_id", "n_sessions", "n_neighbors", "dup_session_mass")
         .orderBy("doc_id")
     )
+
+
+def stream_trajectory_dedup_sql(
+    n_batches: int = 3,
+    gap_minutes: int = 720,
+    min_events: int = 4,
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> str:
+    """DuckDB oracle for the commit-by-commit trajectory dedup
+    (:func:`trajectory_dedup_store` driven by the txn streaming tail):
+    the even-user half of the corpus, batched ``(user_id % 6) // 2``
+    (whole users per commit, so sessionization commutes with the batch
+    split), and the store fold is the sequential chain — batch 0 all
+    survives; batch m's docs drop iff ANY band key collides with the
+    union of prior survivors' bands (incremental_neardup semantics: no
+    within-batch drops, collisions need no exact verify).  Output:
+    (batch_no, n_kept) per batch."""
+    base = _minhash_md5_band_sql(num_hashes, bands, shingle_len, source="docs")
+    chain = []
+    for m in range(n_batches):
+        if m == 0:
+            chain.append("s0 AS (SELECT doc_id FROM docs WHERE b = 0)")
+            chain.append(
+                "bands0 AS (SELECT DISTINCT bd.bidx, bd.bk FROM banded_b bd "
+                "WHERE bd.b = 0)"
+            )
+        else:
+            chain.append(
+                f"hits{m} AS (SELECT DISTINCT bd.doc_id FROM banded_b bd "
+                f"JOIN bands{m - 1} p ON p.bidx = bd.bidx AND p.bk = bd.bk "
+                f"WHERE bd.b = {m})"
+            )
+            chain.append(
+                f"s{m} AS (SELECT d.doc_id FROM docs d "
+                f"ANTI JOIN hits{m} h ON h.doc_id = d.doc_id "
+                f"WHERE d.b = {m})"
+            )
+            chain.append(
+                f"bands{m} AS (SELECT bidx, bk FROM bands{m - 1} UNION "
+                f"SELECT DISTINCT bd.bidx, bd.bk FROM banded_b bd "
+                f"JOIN s{m} s ON s.doc_id = bd.doc_id)"
+            )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({m} AS BIGINT) AS batch_no, "
+        f"(SELECT COUNT(*) FROM s{m}) AS n_kept"
+        for m in range(n_batches)
+    )
+    chain_sql = ",\n".join(chain)
+    return rf"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > CAST({int(gap_minutes)} AS BIGINT) * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WHERE user_id % 2 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM flagged
+),
+traj AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS text
+    FROM sessioned
+    GROUP BY user_id, session_id
+    HAVING COUNT(*) >= {int(min_events)}
+),
+docs AS (
+    SELECT CAST((user_id % {2 * int(n_batches)}) // 2 AS BIGINT) AS b,
+           CAST(user_id * 1000000 + session_id AS BIGINT) AS doc_id,
+           text
+    FROM traj
+),
+{base},
+banded_b AS (
+    SELECT bd.doc_id, bd.bidx, bd.bk, d.b
+    FROM banded bd JOIN docs d ON d.doc_id = bd.doc_id
+),
+{chain_sql}
+{rows}
+ORDER BY batch_no
+"""
 
 
 def trajectory_neardup_sql(

@@ -2072,6 +2072,202 @@ def _unigram_fert_sql() -> str:
     return unigram_fertility_sql()
 
 
+def txn_recluster_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIQUID RE-CLUSTERING ON A LIVE PARTITIONED TABLE (r14 shortlist,
+    VERDICT r12 #5): the composition that makes clustering keys genuinely
+    MUTABLE at scale.  A 100 TB table cannot adopt new clustering by full
+    rewrite; the only deployable path is partition-at-a-time maintenance
+    — Delta's ``OPTIMIZE tbl WHERE <partition>`` applied under whatever
+    keys are CURRENTLY declared — so partitions compacted under different
+    declarations coexist, and correctness must come from per-file stats,
+    not a table-level layout assumption.
+
+    The demo drives exactly that life-cycle on one table:
+
+    1. ingest orders PARTITIONED BY o_year (1995-1997), 2 pre-split
+       tasks per partition spanning the full (mo, cb, cents) domain —
+       the realistic no-layout start;
+    2. declare CLUSTER BY (mo, cb); scoped-compact ONLY partition 1995
+       — it adopts the (mo, cb) Z-order (Morton rectangles per file);
+    3. RE-declare CLUSTER BY (cb, cents) — metadata-only, instant;
+       scoped-compact ONLY partition 1996 — it adopts the NEW keys
+       while 1995 keeps the old layout and 1997 keeps raw ingest;
+    4. physical gates (explicit raises, python -O safe): a (mo, cb) box
+       on 1995 and a (cb, cents) box on 1996 each open a strict subset
+       of their partition's files, and partition 1997's file set is
+       byte-identical to ingest — the two scoped rewrites provably never
+       touched it.
+
+    The returned aggregate unions the two box scans, so the value-hash
+    oracle checks the MIXED-layout read path end to end; pruning is
+    per-file Morton-rectangle arithmetic from the log, zero data I/O.
+    Reference parity: the reference's one physical hint is partitioning
+    (models/docs/google_trends_docs.md:39); this extends the declared-
+    clustering surface (q_txn_cluster_prune) to the mutable,
+    incrementally-adopted form Delta ships as liquid clustering."""
+    from ..sources.txn_table import compact_txn, read_txn, set_cluster_txn
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            (F.col("o_custkey") % 256).cast("bigint").alias("cb"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .filter("o_year BETWEEN 1995 AND 1997")
+    )
+    root = _tmp_root("recluster")
+    write_txn(orders.repartition(2), root, partition_by=["o_year"])
+    ingest_97 = set(read_txn(spark, root, where="o_year = 1997").inputFiles())
+
+    set_cluster_txn(root, ["mo", "cb"])           # declaration #1
+    compact_txn(spark, root, target_files=4, where="o_year = 1995")
+    set_cluster_txn(root, ["cb", "cents"])        # re-declaration: instant
+    compact_txn(spark, root, target_files=4, where="o_year = 1996")
+
+    def _gate(year: int, box: str) -> DataFrame:
+        part_files = set(
+            read_txn(spark, root, where=f"o_year = {year}").inputFiles()
+        )
+        scan = read_txn(spark, root, where=box)
+        box_files = set(scan.inputFiles())
+        if not box_files <= part_files:
+            raise RuntimeError(f"box scan escaped partition {year}")
+        if len(part_files) >= 4 and not len(box_files) < len(part_files):
+            # < 4 files means degenerate inputs: nothing to prune
+            raise RuntimeError(
+                f"clustering keys failed to prune partition {year}'s box "
+                f"scan ({len(box_files)} of {len(part_files)} files open)"
+            )
+        return scan
+
+    got95 = _gate(1995, "o_year = 1995 AND mo BETWEEN 4 AND 6 AND cb < 64")
+    got96 = _gate(1996, "o_year = 1996 AND cb < 64 AND cents < 5000000")
+    final_97 = set(read_txn(spark, root, where="o_year = 1997").inputFiles())
+    if final_97 != ingest_97:
+        raise RuntimeError(
+            "scoped compaction leaked outside its partition scope: "
+            "partition 1997's file set changed"
+        )
+    return (
+        got95.unionByName(got96)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars("cents").alias("total_dollars"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def stream_trajectory_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BEHAVIORAL DEDUP AGAINST THE PERSISTED BAND STORE (r14
+    shortlist, VERDICT r12 #6): crawl-style continuous rollout data —
+    agent sessions landing commit-by-commit in a txn table — dedups
+    trajectory-wise as it arrives, so downstream training never
+    re-ingests a behavior it already holds.
+
+    Two producer commits land whole users (the even-user half of the
+    corpus, split ``(user_id % 4) // 2`` — whole users per commit, so
+    gap-sessionization commutes with the batch split); after each commit
+    ONE incremental drain of the txn streaming tail (checkpointed
+    offsets: each drain sees exactly the new commit) runs the composed
+    pipeline ``trajectory_relation -> incremental_neardup_store``
+    (:func:`...ext.dedup.trajectory_dedup_store`): the batch's events
+    sessionize into trajectory docs, band keys probe the persisted
+    store, colliding trajectories drop, survivors' bands append.  Output
+    is the per-commit ingestion ledger (batch_no, n_kept).
+
+    Scale shape: per batch the sessionize windows shuffle BATCH events
+    only; the store probe exchanges 16-byte band keys, never event text;
+    store growth is bands-per-kept-trajectory, independent of event
+    volume.  The worker-spawn retry envelope (house pattern) fires only
+    before any compute starts, so a retried drain re-runs its store
+    append whole — and a torn append surfaces as a loud failure, never
+    silent drift."""
+    import time as _time
+
+    from ..ext.dedup import trajectory_dedup_store
+    from ..sources.txn_stream import stream_txn_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    root = _tmp_root("trajstream")
+    store = root + "_bands"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ledger: list[tuple[int, int]] = []
+
+    for m in (0, 1):
+        write_txn(events.filter(F.col("user_id") % 4 == 2 * m), root)
+
+        def drain(batch: DataFrame, _bid: int, m: int = m) -> None:
+            kept = trajectory_dedup_store(spark, batch, store)
+            ledger.append((m, kept.select("doc_id").distinct().count()))
+
+        last: Exception | None = None
+        for attempt in range(4):
+            if attempt:
+                _time.sleep(2 * attempt)
+            q = (
+                stream_txn_table(spark, root)
+                .writeStream.foreachBatch(drain)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                break
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise
+                last = ex
+                q.stop()
+                if not any(
+                    s in str(ex)
+                    for s in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
+                    raise
+        else:
+            raise last
+        if not any(row[0] == m for row in ledger):
+            ledger.append((m, 0))  # empty commit: no micro-batch fires
+
+    return spark.createDataFrame(
+        sorted(ledger), "batch_no bigint, n_kept bigint"
+    ).orderBy("batch_no")
+
+
+def _stream_traj_dedup_sql() -> str:
+    from ..ext.dedup import stream_trajectory_dedup_sql
+
+    return stream_trajectory_dedup_sql(n_batches=2)
+
+
+TXN_RECLUSTER_LIVE_SQL = """
+WITH src AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(o_custkey % 256 AS BIGINT) AS cb,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_year, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars
+FROM src
+WHERE (o_year = 1995 AND mo BETWEEN 4 AND 6 AND cb < 64)
+   OR (o_year = 1996 AND cb < 64 AND cents < 5000000)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 ROUND13_STAGED: dict = {
     "x_label_propagation": (_x_label_prop, _label_prop_sql()),
     "x_kneser_ney_ppl": (_x_kn_bigram, _kn_bigram_sql()),
@@ -2083,6 +2279,22 @@ ROUND13_STAGED: dict = {
     # SentencePiece pruning round: live vocab shrinks to the top pieces
     # by usage (+ the single-char feasibility floor) after every E-step
     "x_unigram_pruned": (_x_unigram_pruned, _unigram_pruned_sql()),
+}
+
+
+# Staged for the round-14 window (the round-13 registry is frozen at 337):
+# parity-tested alongside the registered queries by the pooled scenario,
+# degenerate-swept by the empty-sweep sibling.
+ROUND14_STAGED: dict = {
+    # VERDICT r12 #5: liquid re-clustering on a live partitioned table —
+    # declare -> scoped-compact 1995 -> RE-declare -> scoped-compact 1996
+    # -> mixed-layout box scans prune per partition, 1997 untouched
+    "q_txn_recluster_live": (txn_recluster_live, TXN_RECLUSTER_LIVE_SQL),
+    # VERDICT r12 #6: commit-by-commit behavioral dedup — the txn
+    # streaming tail drives trajectory_relation -> persisted band store
+    "s_stream_trajectory_dedup": (
+        stream_trajectory_dedup, _stream_traj_dedup_sql()
+    ),
 }
 
 

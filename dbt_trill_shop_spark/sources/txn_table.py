@@ -3481,12 +3481,62 @@ def set_cluster_txn(root: str, cols: list[str] | str | None) -> int:
     )
 
 
+def _partition_scope(spark: SparkSession, snap: Snapshot, where: str) -> list[int]:
+    """Indices of snapshot files whose PARTITION TUPLE satisfies ``where``
+    — evaluated EXACTLY (full SQL semantics over typed casts of the
+    tuple values), never approximated by stats pruning: a maintenance
+    rewrite's remove-set must equal its read-set or rows in a
+    conservatively-kept file would be silently lost, so may-match
+    pruning is unusable here.  The predicate may reference partition
+    columns ONLY — any other name fails Spark analysis loudly, which is
+    the validation.  The evaluated relation is metadata-sized: one row
+    per DISTINCT partition tuple, not per file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    pcols = list(snap.partition_cols)
+    if not pcols:
+        raise ValueError(
+            "where-scoped compaction requires a PARTITIONED table "
+            "(the scope predicate selects whole partitions)"
+        )
+    pvs: list[tuple] = []
+    for i, st in enumerate(snap.file_stats):
+        pv = st.get(_PV_KEY)
+        if pv is None:
+            raise ValueError(
+                f"file {snap.files[i]} carries no partition tuple in the log"
+            )
+        pvs.append(
+            tuple(None if pv.get(c) is None else str(pv.get(c)) for c in pcols)
+        )
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+    distinct = sorted(set(pvs), key=lambda t: tuple((v is None, v) for v in t))
+    ddl = ", ".join(["__tidx int"] + [f"__raw_{c} string" for c in pcols])
+    tup_df = spark.createDataFrame(
+        [(idx, *t) for idx, t in enumerate(distinct)], ddl
+    ).select(
+        "__tidx",
+        *[
+            F.col(f"__raw_{c}").cast(type_of.get(c, "string")).alias(c)
+            for c in pcols
+        ],
+    )
+    matched = {
+        distinct[r[0]]  # Row attr access rejects dunder names; index instead
+        for r in tup_df.filter(F.expr(where)).select("__tidx").collect()
+    }
+    return [i for i, t in enumerate(pvs) if t in matched]
+
+
 def compact_txn(
     spark: SparkSession,
     root: str,
     target_files: int = 8,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    where: str | None = None,
 ) -> int:
     """Rewrite the current snapshot's files into ``target_files`` larger
     ones (small-file compaction — the routine maintenance op at scale
@@ -3519,9 +3569,42 @@ def compact_txn(
     construction (staging splits by partition tuple), so ``target_files``
     is a per-Spark-partition pre-split and the output file count is at
     least the live partition count — Delta's OPTIMIZE has the same floor,
-    because a data file can never span two partitions."""
+    because a data file can never span two partitions.
+
+    ``where`` SCOPES the rewrite to whole partitions (Delta's
+    ``OPTIMIZE tbl WHERE <partition predicate>``): only files whose
+    partition tuple satisfies the predicate (evaluated exactly — see
+    :func:`_partition_scope`) are read, rewritten and removed; every
+    other file is untouched bytes AND untouched metadata.  This is the
+    only maintenance shape that survives 100 TB — a full rewrite of a
+    petabyte table to adopt new clustering is not a plan, but
+    partition-at-a-time re-clustering amortized over routine maintenance
+    is, and it is exactly how liquid clustering rolls out new keys: each
+    subsequently-compacted partition adopts the CURRENT declared keys
+    while unmaintained partitions keep their old layout, correct
+    throughout because pruning derives from per-file stats, not from a
+    table-level layout assumption.  A scoped rewrite never clears drop
+    tombstones or the rename chain (untouched files may still need
+    them).  An empty scope is a no-op returning the current version."""
     snap = snapshot(root)
-    df = read_txn(spark, root)
+    if where is not None:
+        from pyspark.sql.types import StructType
+
+        scope = _partition_scope(spark, snap, where)
+        if not scope:
+            return snap.version
+        want = StructType.fromJson(json.loads(snap.schema_json))
+        df = _scan_files(
+            spark,
+            [_snap_item(snap, i) for i in scope],
+            want,
+            root=root,
+            renames=snap.renames,
+        )
+        removed_paths = [snap.files[i] for i in scope]
+    else:
+        df = read_txn(spark, root)
+        removed_paths = list(snap.files)
     if cluster_by is None and snap.cluster_by:
         # the declared clustering keys (set_cluster_txn) drive routine
         # compaction: two keys interleave as a Z-order, one range-clusters
@@ -3554,20 +3637,29 @@ def compact_txn(
     return _commit_commuting_rewrite(
         root,
         snap,
-        removed=[os.path.relpath(p, root) for p in snap.files],
+        removed=[os.path.relpath(p, root) for p in removed_paths],
         adds=[{"add": r, "stats": stats[r], "schema": schema_json} for r in rels],
+        # mode stays "compact" for the scoped form too: the CDF planner's
+        # pass-through rule keys on mode, and a scoped rewrite is equally
+        # row-preserving; the scope predicate rides as an inert audit key.
         what="compact",
         schema_json=schema_json,
         # a FULL rewrite purges DROPped columns physically and writes
         # every row under the CURRENT logical names (the rewrite read the
-        # logical schema), so drop tombstones AND the rename chain clear
+        # logical schema), so drop tombstones AND the rename chain clear.
+        # A SCOPED rewrite clears neither: untouched files still carry
+        # physical names / dropped bytes and need the chain to resolve.
         extra=(
-            {
-                **({"dropped": []} if snap.dropped else {}),
-                **({"renames": []} if snap.renames else {}),
-            }
-            if (snap.dropped or snap.renames)
-            else None
+            (
+                {
+                    **({"dropped": []} if snap.dropped else {}),
+                    **({"renames": []} if snap.renames else {}),
+                }
+                if (snap.dropped or snap.renames)
+                else None
+            )
+            if where is None
+            else {"scope": where}
         ),
     )
 

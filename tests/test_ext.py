@@ -1645,6 +1645,33 @@ def test_stdlib_header_decode_malformed_containers():
 
 
 # ---------------------------------------------------------------------------
+def test_trajectory_dedup_store_roundtrip_and_replay(spark, sf_dir, tmp_path):
+    """Behavioral band-store ingestion (STAGED r14): first pass keeps the
+    batch's trajectories and persists their band keys; an exact replay of
+    the same events drops every trajectory (band collision with the
+    store); the store accumulates only survivors' band rows."""
+    from dbt_trill_shop_spark.catalog import load_table
+    from dbt_trill_shop_spark.ext.dedup import (
+        trajectory_dedup_store,
+        trajectory_relation,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter("user_id % 7 = 0")
+    store = str(tmp_path / "traj_band_store")
+
+    n_traj = trajectory_relation(events).count()
+    assert n_traj > 0  # the slice must carry real sessions
+    kept1 = trajectory_dedup_store(spark, events, store)
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").distinct().collect()}
+    assert ids1 and len(ids1) <= n_traj
+
+    # exact replay: every trajectory's bands collide with the store
+    kept2 = trajectory_dedup_store(spark, events, store)
+    assert kept2.count() == 0
+    # store contents = exactly the first pass's surviving band rows
+    assert spark.read.parquet(store).count() == len(ids1) * 4
+
+
 def test_trajectory_doc_id_guard_raises_past_bound(spark):
     """The composite trajectory key computes user_id*1e6+session_id below
     the bound and RAISES (not collides) at session_id >= 1e6 (ADVICE r12:

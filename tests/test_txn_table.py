@@ -1812,6 +1812,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         ROUND11_STAGED,
         ROUND12_STAGED,
         ROUND13_STAGED,
+        ROUND14_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1825,6 +1826,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     every = {
         **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
         **ROUND11_STAGED, **ROUND12_STAGED, **ROUND13_STAGED,
+        **ROUND14_STAGED,
     }
     from dbt_trill_shop_spark.streaming import events as _ev
 
@@ -2827,8 +2829,65 @@ def _sc_cluster_keys(spark, base):
         set_cluster_txn(root, ["k", "j", "v"])
 
 
+def _sc_scoped_compaction(spark, base):
+    """Partition-scoped compaction (Delta's OPTIMIZE ... WHERE, r14
+    shortlist): only files whose partition tuple satisfies the predicate
+    are rewritten; every other file is untouched bytes AND metadata;
+    rows are preserved exactly; the scope is evaluated with full SQL
+    semantics (not stats may-match); a scoped rewrite never clears the
+    rename chain; empty scope is a no-op; unpartitioned tables and
+    non-partition predicates fail loudly."""
+    from dbt_trill_shop_spark.sources.txn_table import rename_column_txn
+
+    root = os.path.join(base, "t")
+    write_txn(
+        spark.range(0, 2000)
+        .selectExpr("id % 2 as p", "id as k", "id * 10 as v")
+        .repartition(4),
+        root,
+        partition_by=["p"],
+    )
+    snap0 = snapshot(root)
+    want = sorted((r.p, r.k, r.v) for r in read_txn(spark, root).collect())
+    files_p0 = {f for f, st in zip(snap0.files, snap0.file_stats)
+                if st["__pv"]["p"] == "0"}
+    files_p1 = set(snap0.files) - files_p0
+    assert len(files_p0) == 4 and len(files_p1) == 4
+
+    compact_txn(spark, root, target_files=1, where="p = 0")
+    snap1 = snapshot(root)
+    new_p0 = {f for f, st in zip(snap1.files, snap1.file_stats)
+              if st["__pv"]["p"] == "0"}
+    assert len(new_p0) == 1 and not (new_p0 & files_p0)  # p=0 rewritten
+    assert files_p1 <= set(snap1.files)                  # p=1 untouched
+    got = sorted((r.p, r.k, r.v) for r in read_txn(spark, root).collect())
+    assert got == want                                   # rows preserved
+
+    # empty scope: no commit at all
+    v = snapshot(root).version
+    assert compact_txn(spark, root, where="p = 99") == v
+    assert snapshot(root).version == v
+
+    # a scoped rewrite must NOT clear the rename chain — the untouched
+    # partition's files still carry the physical name
+    rename_column_txn(root, "v", "val")
+    compact_txn(spark, root, target_files=1, where="p = 0")
+    assert snapshot(root).renames  # chain survives the scoped rewrite
+    got2 = sorted((r.p, r.k, r.val) for r in read_txn(spark, root).collect())
+    assert got2 == want                                  # p=1 resolves via chain
+
+    # loud failures: unpartitioned table; non-partition predicate
+    flat = os.path.join(base, "flat")
+    write_txn(spark.range(5).selectExpr("id", "id as v"), flat)
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        compact_txn(spark, flat, where="id = 1")
+    with pytest.raises(Exception, match="k"):
+        compact_txn(spark, root, where="k > 10")  # k is not a partition col
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
+    _sc_scoped_compaction,
     _sc_partitioned_tables,
     _sc_rename_column,
     _sc_identity_columns,
