@@ -2244,6 +2244,98 @@ def stream_trajectory_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("batch_no")
 
 
+def txn_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RESIDENT QUANTILE STATISTICS (r14 shortlist, VERDICT r12
+    final note): the NDV/Bloom pattern applied to quantiles — per-file
+    DDSketch-style histograms (Masson et al., VLDB 2019) with the float
+    log replaced by EXACT integer bucket arithmetic
+    (``_qh_bucket_sql``), declared once and then maintained IN-PASS by
+    every write, so table-level quantile estimates need ZERO data I/O:
+    merging is per-bucket count summation, sound under any file layout
+    (appends, compaction, partitioning) because the bucket of a value
+    never depends on which file holds it — the same
+    layout-invariance that makes the estimate DuckDB-oracle-checkable
+    with no knowledge of file boundaries.
+
+    Story: half of orders lands (3 files) -> ``set_quantile_txn``
+    backfills their histograms (one column-pruned scan, metadata-only
+    commit) -> the other half appends (its files sketch in-pass) ->
+    ``quantile_estimate_txn`` reads p25/p50/p75/p95 of the cents column
+    from the log alone.  A physical gate (explicit raise) proves every
+    live file carries its histogram.  At 100 TB this is the ANALYZE
+    loop a planner or drift monitor runs per table per hour — cost
+    O(files x ~500 ints), not O(rows)."""
+    from ..sources.txn_table import (
+        _QH_KEY,
+        quantile_estimate_txn,
+        set_quantile_txn,
+    )
+    from ..sources.txn_table import snapshot as _snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = _tmp_root("quantstats")
+    write_txn(orders.filter("o_orderkey % 2 = 0").repartition(3), root)
+    set_quantile_txn(spark, root, ["cents"])        # declare + backfill
+    write_txn(                                       # sketches in-pass
+        orders.filter("o_orderkey % 2 = 1").repartition(2), root, mode="append"
+    )
+    snap = _snap(root)
+    if snap.files and not all(
+        (st.get(_QH_KEY) or {}).get("cents") for st in snap.file_stats
+    ):
+        raise RuntimeError(
+            "a live file is missing its quantile histogram: backfill or "
+            "in-pass sketching failed"
+        )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    n, est = quantile_estimate_txn(root, "cents", qs)
+    rows = [(int(q * 100), int(est[q]), int(n)) for q in qs if q in est]
+    return spark.createDataFrame(
+        sorted(rows), "q_pct bigint, est_cents bigint, n bigint"
+    ).orderBy("q_pct")
+
+
+# The oracle replays the IDENTICAL integer bucket algebra over the source
+# rows (LENGTH(bin(v)) is the msb count in DuckDB too) and the identical
+# rank convention — layout-invariance means it needs no file knowledge.
+TXN_QUANTILE_STATS_SQL = """
+WITH src AS (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+),
+b AS (
+    SELECT CASE WHEN v <= 15 THEN v
+           ELSE 8 * LENGTH(bin(v))
+                + (v >> (LENGTH(bin(v)) - 4)) - 32 END AS bkt
+    FROM src WHERE v IS NOT NULL
+),
+h AS (SELECT bkt, COUNT(*) AS cnt FROM b GROUP BY bkt),
+c AS (
+    SELECT bkt, SUM(cnt) OVER (ORDER BY bkt) AS cum,
+           (SELECT COUNT(*) FROM b) AS n
+    FROM h
+),
+qs AS (SELECT * FROM (VALUES (25), (50), (75), (95)) t(qp)),
+pick AS (
+    SELECT qp,
+           (SELECT MIN(bkt) FROM c
+            WHERE cum >= GREATEST((qp * n + 99) // 100, 1)) AS bkt,
+           n
+    FROM qs CROSS JOIN (SELECT DISTINCT n FROM c) tn
+)
+SELECT CAST(qp AS BIGINT) AS q_pct,
+       CAST(CASE WHEN bkt <= 15 THEN bkt
+            ELSE (8 + (bkt + 32) % 8) << ((bkt + 32) // 8 - 5) END
+            AS BIGINT) AS est_cents,
+       CAST(n AS BIGINT) AS n
+FROM pick
+WHERE n > 0
+ORDER BY q_pct
+"""
+
+
 def _stream_traj_dedup_sql() -> str:
     from ..ext.dedup import stream_trajectory_dedup_sql
 
@@ -2295,6 +2387,9 @@ ROUND14_STAGED: dict = {
     "s_stream_trajectory_dedup": (
         stream_trajectory_dedup, _stream_traj_dedup_sql()
     ),
+    # VERDICT r12 final-note shortlist: mergeable log-resident quantile
+    # histograms (exact-integer DDSketch buckets; ANALYZE with zero I/O)
+    "q_txn_quantile_stats": (txn_quantile_stats, TXN_QUANTILE_STATS_SQL),
 }
 
 

@@ -89,6 +89,7 @@ class Snapshot:
     # (col, start, step, next, order-by tuple) — GENERATED ALWAYS AS IDENTITY
     identity_spec: tuple = ()
     cluster_by: tuple[str, ...] = ()  # declared clustering keys, ordered
+    quantile_cols: tuple[str, ...] = ()  # per-file quantile-histogram columns
 
 
 def _log_dir(root: str) -> str:
@@ -224,6 +225,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
             for c, st, sp, nx, ob in snap.identity_spec
         },
         "cluster": list(snap.cluster_by),
+        "quantile": list(snap.quantile_cols),
     }
     if any(snap.file_dvs):  # fast-path readers need DV support too
         ckpt["require"] = ["deletion_vectors"]
@@ -252,6 +254,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
     renames: list[list[str]] = []
     identity: dict = {}
     cluster: list[str] = []
+    quantile: list[str] = []
     ckpt = _latest_checkpoint(root, versions[-1]) if versions else None
     if ckpt is not None:
         live = {
@@ -270,6 +273,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
         renames = [list(r) for r in ckpt.get("renames", [])]
         identity = dict(ckpt.get("identity", {}))
         cluster = list(ckpt.get("cluster", []))
+        quantile = list(ckpt.get("quantile", []))
     for v in versions:
         if v < start:
             continue
@@ -307,6 +311,8 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             identity = dict(e["identity"])
         if "cluster" in e:  # clustering-key declarations carry the list
             cluster = list(e["cluster"])
+        if "quantile" in e:  # quantile-histogram declarations carry the list
+            quantile = list(e["quantile"])
     return Snapshot(
         version=versions[-1] if versions else -1,
         files=tuple(os.path.join(root, f) for f in live),
@@ -330,6 +336,7 @@ def _fold(root: str, versions: list[int]) -> Snapshot:
             )
         ),
         cluster_by=tuple(cluster),
+        quantile_cols=tuple(sorted(quantile)),
     )
 
 
@@ -1364,6 +1371,222 @@ def _compute_ndv_sketches(
 
 
 _NDV_KEY = "__ndv"
+_QH_KEY = "__qh"
+
+
+def _qh_bucket_sql(col: str) -> str:
+    """The deterministic integer bucket id of a NON-NEGATIVE integer
+    value (DDSketch-style relative-accuracy buckets — Masson et al.,
+    VLDB 2019 — with the float log replaced by EXACT integer arithmetic
+    so Spark and DuckDB can never disagree at a boundary): values 0-15
+    get exact singleton buckets; past that, a bucket is (number of bits,
+    top 4 bits) — 8 sub-buckets per octave, so bucket width / lower
+    bound <= 1/8 (~12.5% relative value resolution; rank resolution is
+    exact at bucket granularity).  The same expression runs verbatim in
+    Spark SQL and DuckDB (LENGTH(bin(v)) is the msb count in both)."""
+    return (
+        f"CASE WHEN {col} <= 15 THEN {col} "
+        f"ELSE 8 * LENGTH(bin({col})) "
+        f"+ SHIFTRIGHT({col}, CAST(LENGTH(bin({col})) AS INT) - 4) - 32 END"
+    )
+
+
+def _qh_lower(b: int) -> int:
+    """Lower bound of quantile-histogram bucket ``b`` (inverse of
+    :func:`_qh_bucket_sql`) — the deterministic representative value a
+    quantile estimate reports."""
+    if b <= 15:
+        return b
+    ln = (b + 32) // 8 - 1
+    top4 = 8 + (b + 32) % 8
+    return top4 << (ln - 4)
+
+
+def _compute_quantile_hists(
+    spark: SparkSession, root: str, items, cols, renames=()
+) -> dict[str, dict]:
+    """Per-file QUANTILE HISTOGRAMS {bucket_id: count} for the spec'd
+    columns over an explicit (rel_path, schema_json) file list — ONE
+    column-pruned Spark job, the same write-time cost class as the
+    Bloom/NDV builds.  Buckets are the exact-integer DDSketch-style ids
+    of :func:`_qh_bucket_sql`, so the table-level histogram merges as
+    pure per-bucket count SUMMATION — partition-layout-invariant by
+    construction, which is both what makes log-only quantile estimates
+    sound under compaction/appends AND what makes them cross-engine
+    oracle-checkable (DuckDB computes the identical histogram from the
+    source rows with no knowledge of file boundaries).  NULLs contribute
+    nothing; a file where the column is absent records an empty map;
+    NEGATIVE values raise (the bucket algebra is defined on
+    non-negative integers — widen by offsetting at the caller)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    out: dict[str, dict] = {rel: {c: {} for c in cols} for rel, _ in items}
+    by_schema: dict[str, list[str]] = {}
+    for rel, sj in items:
+        by_schema.setdefault(sj, []).append(rel)
+    for sj, rels in by_schema.items():
+        schema = StructType.fromJson(json.loads(sj))
+        names = set(_chain_names([f.name for f in schema.fields], renames))
+        use = [c for c in cols if c in names]
+        if not use:
+            continue
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        for _phys, _logical in renames or ():
+            if _phys in df.columns and _logical not in df.columns:
+                df = df.withColumnRenamed(_phys, _logical)
+        fcol = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__f")
+        entries = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.expr(_qh_bucket_sql(c)).cast("bigint").alias("b"),
+                ),
+            )
+            for c in use
+        ]
+        rows = (
+            df.select(fcol, F.explode(F.array(*entries)).alias("e"))
+            .where(F.col("e").isNotNull())
+            .select("__f", F.col("e.c").alias("c"), F.col("e.b").alias("b"))
+            .groupBy("__f", "c", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rel_of = _basename_rel_map(rels)
+        for r in rows:
+            if r["b"] < 0:
+                raise ValueError(
+                    f"quantile histogram on {r['c']!r} met a negative "
+                    "value; the bucket algebra is defined on non-negative "
+                    "integers (offset the column or store magnitudes)"
+                )
+            out[rel_of[r["__f"]]][r["c"]][str(int(r["b"]))] = int(r["n"])
+    return out
+
+
+def set_quantile_txn(
+    spark: SparkSession, root: str, cols, backfill: bool = True
+) -> int:
+    """Declare per-file QUANTILE HISTOGRAMS for the given columns — the
+    mergeable quantile statistics a planner / data-quality monitor wants
+    at 100 TB without scanning anything (the NDV/Bloom pattern applied
+    to quantiles; DDSketch-style buckets with exact integer boundaries).
+    Every subsequent write / MERGE / compaction computes its new files'
+    histograms in-pass (one column-pruned pass, bounded at ~500 buckets
+    per file per column), and :func:`quantile_estimate_txn` merges them
+    into table-level quantile estimates with ZERO data I/O — per-bucket
+    count summation, sound under any file layout.
+
+    Columns must be non-negative integer-typed (the exact-integer bucket
+    algebra is what makes estimates bit-identical across engines).
+    ``backfill=True`` sketches the CURRENT live files (one column-pruned
+    scan) and republishes their stats as a metadata-only commit, DV
+    chains re-applied — same shape as the Bloom/NDV backfills.  Known
+    staleness, shared with every log-stats design: DV-tombstoned rows
+    still count until a rewrite materializes them away."""
+    from pyspark.sql.types import StructType
+
+    snap = snapshot(root)
+    fields = {
+        f.name: f.dataType.typeName()
+        for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+    }
+    ok_types = {"byte", "short", "integer", "long"}
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    for c in cols:
+        if c not in fields:
+            raise ValueError(
+                f"quantile column {c!r} not in table schema (have {sorted(fields)})"
+            )
+        if c in snap.partition_cols:
+            raise ValueError(
+                f"quantile histogram on partition column {c!r} is "
+                "pointless: its per-partition values are metadata-resident"
+            )
+        if fields[c] not in ok_types:
+            raise ValueError(
+                f"quantile column {c!r} has type {fields[c]!r}; only "
+                "integer columns bucket cross-engine-deterministically"
+            )
+    merged = sorted(set(snap.quantile_cols) | set(cols))
+    actions: list[dict] = []
+    if backfill and snap.files:
+        items = [
+            (os.path.relpath(p, root), sj)
+            for p, sj in zip(snap.files, snap.file_schemas)
+        ]
+        hists = _compute_quantile_hists(
+            spark, root, items, sorted(set(cols)), snap.renames
+        )
+        dv_applies: dict[str, list[str]] = {}
+        for (rel, sj), st, dvs in zip(items, snap.file_stats, snap.file_dvs):
+            new_st = dict(st)
+            qh = dict(new_st.get(_QH_KEY) or {})
+            qh.update(hists.get(rel, {}))
+            new_st[_QH_KEY] = qh
+            actions.append({"add": rel, "stats": new_st, "schema": sj})
+            for d in dvs:
+                dv_applies.setdefault(d, []).append(rel)
+        actions += [
+            {"dv": d, "applies": sorted(rels)}
+            for d, rels in sorted(dv_applies.items())
+        ]
+    return _commit_pinned(
+        root, snap.version, "set_quantile", actions, snap.schema_json,
+        "set quantile", extra={"quantile": merged},
+    )
+
+
+def quantile_estimate_txn(
+    root: str, col: str, qs, version: int | None = None
+) -> tuple[int, dict[float, int]]:
+    """Table-level quantile estimates for a sketched column from the LOG
+    ALONE — no data file opens, so the statistics cost is O(files ×
+    buckets) integers however big the table is.  Merging is per-bucket
+    count summation (layout-invariant); the estimate for quantile ``q``
+    is the LOWER BOUND of the first bucket whose cumulative count
+    reaches rank ``ceil(q * n)`` — a deterministic convention with
+    relative value error bounded by the bucket resolution (~12.5%) and
+    exact rank arithmetic.  Returns ``(n, {q: estimate})``; an empty /
+    unsketched table returns ``(0, {})``.  Files written BEFORE the
+    declaration have no histogram and contribute nothing until a
+    backfill or rewrite covers them."""
+    snap = snapshot(root, version=version)
+    if col not in snap.quantile_cols:
+        raise ValueError(
+            f"column {col!r} carries no quantile histogram "
+            f"(declared: {list(snap.quantile_cols)})"
+        )
+    total: dict[int, int] = {}
+    for st in snap.file_stats:
+        for b, n in ((st.get(_QH_KEY) or {}).get(col) or {}).items():
+            total[int(b)] = total.get(int(b), 0) + int(n)
+    n = sum(total.values())
+    if n == 0:
+        return 0, {}
+    out: dict[float, int] = {}
+    buckets = sorted(total.items())
+    import math
+    from fractions import Fraction
+
+    for q in qs:
+        # exact decimal reading of q (str round-trips the literal), so
+        # ceil(q*n) can never be off by one from float representation
+        rank = math.ceil(Fraction(str(q)) * n)
+        rank = max(1, min(rank, n))
+        cum = 0
+        for b, cnt in buckets:
+            cum += cnt
+            if cum >= rank:
+                out[q] = _qh_lower(b)
+                break
+    return n, out
 _NDV_SPACE = 1 << 32  # md5 8-hex-char prefix hash space
 
 # Per-file PARTITION VALUES (Delta's add.partitionValues / Iceberg's
@@ -1499,6 +1722,18 @@ def _stage_files(
         )
         for rel, sk in sketches.items():
             stats[rel][_NDV_KEY] = sk
+    # quantile-histogram spec is a table property read from the log (the
+    # fold is checkpoint-accelerated); a brand-new table has none yet
+    try:
+        qcols = snapshot(root).quantile_cols
+    except FileNotFoundError:
+        qcols = ()
+    if qcols and rels:
+        hists = _compute_quantile_hists(
+            df.sparkSession, root, [(r, schema_json) for r in rels], qcols
+        )
+        for rel, qh in hists.items():
+            stats[rel][_QH_KEY] = qh
     return rels, schema_json, stats
 
 

@@ -2885,9 +2885,71 @@ def _sc_scoped_compaction(spark, base):
         compact_txn(spark, root, where="k > 10")  # k is not a partition col
 
 
+def _sc_quantile_histograms(spark, base):
+    """Log-resident quantile statistics (r14 shortlist): declare +
+    backfill computes per-file histograms; subsequent writes sketch
+    in-pass; estimates from the log alone match exact-rank arithmetic
+    over the raw rows; compaction re-sketches its outputs so estimates
+    survive rewrites; declaration-time and data-time violations are
+    loud."""
+    from dbt_trill_shop_spark.sources.txn_table import (
+        _QH_KEY,
+        _qh_lower,
+        compact_txn,
+        quantile_estimate_txn,
+        set_quantile_txn,
+    )
+
+    root = os.path.join(base, "t")
+    write_txn(
+        spark.range(0, 3000).selectExpr("id", "id * id % 50000 as v"), root
+    )
+    set_quantile_txn(spark, root, ["v"])                    # backfill
+    write_txn(
+        spark.range(3000, 5000).selectExpr("id", "id * 3 % 70000 as v"),
+        root,
+    )                                                       # in-pass
+    assert all(
+        (st.get(_QH_KEY) or {}).get("v") for st in snapshot(root).file_stats
+    )
+    raw = sorted(r.v for r in read_txn(spark, root).select("v").collect())
+
+    def bucket(v):
+        return v if v <= 15 else 8 * v.bit_length() + (v >> (v.bit_length() - 4)) - 32
+
+    import math
+
+    def expect(q):
+        # first bucket whose cumulative count reaches ceil(q*n)
+        target = bucket(raw[math.ceil(q * len(raw)) - 1])
+        return _qh_lower(target)
+
+    n, est = quantile_estimate_txn(root, "v", [0.25, 0.5, 0.9])
+    assert n == len(raw)
+    assert est == {q: expect(q) for q in (0.25, 0.5, 0.9)}
+    # estimates survive a full rewrite (compaction re-sketches in-pass)
+    compact_txn(spark, root, target_files=2)
+    n2, est2 = quantile_estimate_txn(root, "v", [0.25, 0.5, 0.9])
+    assert (n2, est2) == (n, est)
+    # loud failures: unknown column, non-integer type, negative values
+    with pytest.raises(ValueError, match="not in table schema"):
+        set_quantile_txn(spark, root, ["nope"])
+    root2 = os.path.join(base, "t2")
+    write_txn(spark.range(5).selectExpr("id", "'x' as s"), root2)
+    with pytest.raises(ValueError, match="only integer"):
+        set_quantile_txn(spark, root2, ["s"])
+    root3 = os.path.join(base, "t3")
+    write_txn(spark.range(5).selectExpr("id", "id - 10 as v"), root3)
+    with pytest.raises(ValueError, match="negative"):
+        set_quantile_txn(spark, root3, ["v"])
+    with pytest.raises(ValueError, match="no quantile histogram"):
+        quantile_estimate_txn(root, "id", [0.5])
+
+
 _SCENARIOS = [
     _sc_demo_queries_match_duckdb_oracles,  # longest first (LPT)
     _sc_scoped_compaction,
+    _sc_quantile_histograms,
     _sc_partitioned_tables,
     _sc_rename_column,
     _sc_identity_columns,
