@@ -2283,8 +2283,10 @@ def txn_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter("o_orderkey % 2 = 1").repartition(2), root, mode="append"
     )
     snap = _snap(root)
+    # key presence, not non-emptiness: an all-NULL file legitimately
+    # records an EMPTY histogram (degenerate-input contract)
     if snap.files and not all(
-        (st.get(_QH_KEY) or {}).get("cents") for st in snap.file_stats
+        "cents" in (st.get(_QH_KEY) or {}) for st in snap.file_stats
     ):
         raise RuntimeError(
             "a live file is missing its quantile histogram: backfill or "
