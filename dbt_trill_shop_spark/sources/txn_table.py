@@ -1484,7 +1484,10 @@ def set_quantile_txn(
     count summation, sound under any file layout.
 
     Columns must be non-negative integer-typed (the exact-integer bucket
-    algebra is what makes estimates bit-identical across engines).
+    algebra is what makes estimates bit-identical across engines); a
+    later write carrying a negative value fails its staging pass loudly
+    — the same contract class as a CHECK constraint, and the backfill
+    raises the same way if EXISTING rows violate it.
     ``backfill=True`` sketches the CURRENT live files (one column-pruned
     scan) and republishes their stats as a metadata-only commit, DV
     chains re-applied — same shape as the Bloom/NDV backfills.  Known
@@ -1541,6 +1544,35 @@ def set_quantile_txn(
         root, snap.version, "set_quantile", actions, snap.schema_json,
         "set quantile", extra={"quantile": merged},
     )
+
+
+def quantile_commit_hists(
+    root: str, col: str
+) -> list[tuple[int, str, dict[int, int]]]:
+    """Per-COMMIT bucket histograms of the files each log entry ADDED,
+    for a quantile-sketched column — the ingestion-batch view of the
+    table's distribution, from the log alone (zero data I/O).  Returns
+    ``(version, mode, {bucket: count})`` for every entry whose add
+    actions carry histograms; entries that re-add existing files
+    (backfills, compactions, RESTOREs) appear under their own mode so a
+    caller monitoring INGESTION drift can filter to ``append`` /
+    ``overwrite`` commits and treat maintenance modes as it sees fit.
+    This is the per-batch data-quality feed a 100 TB pipeline wants:
+    each producer commit's distribution is already summarized in its
+    add-action stats, so drift detection is per-bucket integer
+    arithmetic over ~500-entry maps, never a scan."""
+    out: list[tuple[int, str, dict[int, int]]] = []
+    for v in _list_versions(root):
+        e = _read_entry(root, v)
+        h: dict[int, int] = {}
+        for a in e["actions"]:
+            if "add" not in a:
+                continue
+            for b, n in ((a.get("stats", {}).get(_QH_KEY) or {}).get(col) or {}).items():
+                h[int(b)] = h.get(int(b), 0) + int(n)
+        if h:
+            out.append((v, e.get("mode", ""), h))
+    return out
 
 
 def quantile_estimate_txn(
