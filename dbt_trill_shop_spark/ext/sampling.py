@@ -1380,3 +1380,145 @@ FROM stats
 WHERE n >= 2
 ORDER BY source, lang, doc_id
 """
+
+
+def doremi_mix(
+    docs: DataFrame,
+    eta_ppm: int = 500_000,
+    smoothing_ppm: int = 100_000,
+    iterations: int = 3,
+) -> DataFrame:
+    """DOMAIN MIXTURE REWEIGHTING, DoReMi-style (Xie et al. 2023's
+    group-DRO recipe: upweight domains with EXCESS loss over a
+    reference, then smooth toward uniform) — the step between
+    :func:`mixture_plan`'s hand-set weights and a trained proxy model.
+    The published algorithm's per-round proxy loss is replaced by a
+    deterministic noisiness proxy (non-alpha character rate — the same
+    class of cheap quality signal the filter funnel uses), so the op is
+    the exact multiplicative-weights fold on a fixed payoff:
+
+        f_s   = (10^12 + eta·excess_s) // 10^6          (always > 0)
+        w'_s  = w_s · f_s // 10^6,  then renormalize to Σ = 10^6
+        final = ((10^6 − sm)·w_T + sm·uniform) // 10^6
+
+    with loss_s = ⌊10^6·Σ nonalpha / Σ chars⌋, excess_s = loss_s −
+    corpus baseline.  EVERY quantity is an integer in ppm; products
+    ride Python arbitrary-precision on a SOURCES-sized collect (the
+    vocab/centroid-sized driver-loop budget) and HUGEINT in the oracle;
+    numerators are kept provably non-negative so floor and truncating
+    division agree across engines (DuckDB ``//`` truncates toward zero,
+    Python ``//`` floors — they differ BELOW zero only).
+
+    Scale shape: one hash aggregation over (source) — two decimal(38,0)
+    sums and a count per source, full codegen, text never shuffles; the
+    iteration itself is O(sources × T) driver arithmetic.  Output: one
+    row per source (n_docs, loss_ppm, excess_ppm, weight_ppm)."""
+    per = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.length(
+                    F.regexp_replace(F.col("text"), "[a-zA-Z]", "")
+                ).cast("decimal(38,0)")
+            ).alias("na"),
+            F.sum(F.length("text").cast("decimal(38,0)")).alias("ch"),
+        )
+        .collect()
+    )
+    if not per:
+        return docs.sparkSession.createDataFrame(
+            [], "source string, n_docs bigint, loss_ppm bigint, "
+                "excess_ppm bigint, weight_ppm bigint"
+        )
+    stats = {
+        r["source"]: (int(r["n_docs"]), int(r["na"]), int(r["ch"]))
+        for r in per
+    }
+    tot_na = sum(na for _n, na, _c in stats.values())
+    tot_ch = sum(c for _n, _na, c in stats.values())
+    base = (tot_na * 1_000_000) // tot_ch
+    loss = {s: (na * 1_000_000) // c for s, (_n, na, c) in stats.items()}
+    excess = {s: loss[s] - base for s in stats}
+    n = len(stats)
+    w = {s: 1_000_000 // n for s in stats}
+    for _t in range(int(iterations)):
+        raw = {
+            s: w[s] * ((10**12 + int(eta_ppm) * excess[s]) // 1_000_000)
+            // 1_000_000
+            for s in stats
+        }
+        tot = sum(raw.values())
+        w = {s: (raw[s] * 1_000_000) // tot for s in stats}
+    uni = 1_000_000 // n
+    sm = int(smoothing_ppm)
+    final = {
+        s: ((1_000_000 - sm) * w[s] + sm * uni) // 1_000_000 for s in stats
+    }
+    rows = [
+        (s, stats[s][0], loss[s], excess[s], final[s])
+        for s in sorted(stats)
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "source string, n_docs bigint, loss_ppm bigint, "
+        "excess_ppm bigint, weight_ppm bigint",
+    ).orderBy("source")
+
+
+def doremi_mix_sql(
+    eta_ppm: int = 500_000,
+    smoothing_ppm: int = 100_000,
+    iterations: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`doremi_mix`: the identical integer
+    algebra with the multiplicative-weights rounds unrolled as CTEs
+    (w0 -> w1 -> ... -> wT), HUGEINT products throughout."""
+    chain = [
+        "w0 AS (SELECT source, CAST(1000000 // (SELECT COUNT(*) FROM per) "
+        "AS HUGEINT) AS w FROM per)"
+    ]
+    for t in range(1, int(iterations) + 1):
+        chain.append(
+            f"r{t} AS (SELECT p.source, w{t - 1}.w * "
+            f"((1000000000000 + {int(eta_ppm)} * p.excess_ppm) // 1000000) "
+            f"// 1000000 AS raw FROM per p JOIN w{t - 1} ON w{t - 1}.source "
+            f"= p.source)"
+        )
+        chain.append(
+            f"w{t} AS (SELECT source, raw * 1000000 // "
+            f"(SELECT SUM(raw) FROM r{t}) AS w FROM r{t})"
+        )
+    chain_sql = ",\n".join(chain)
+    T = int(iterations)
+    sm = int(smoothing_ppm)
+    return rf"""
+WITH per0 AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CAST(LEN(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+               AS HUGEINT)) AS na,
+           SUM(CAST(LEN(text) AS HUGEINT)) AS ch
+    FROM documents
+    WHERE text IS NOT NULL AND LEN(text) > 0
+    GROUP BY source
+),
+tot AS (SELECT SUM(na) AS tna, SUM(ch) AS tch FROM per0),
+per AS (
+    SELECT source, n_docs,
+           na * 1000000 // ch AS loss_ppm,
+           na * 1000000 // ch - (SELECT tna * 1000000 // tch FROM tot)
+               AS excess_ppm
+    FROM per0
+),
+{chain_sql}
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.loss_ppm AS BIGINT) AS loss_ppm,
+       CAST(p.excess_ppm AS BIGINT) AS excess_ppm,
+       CAST(((1000000 - {sm}) * w{T}.w
+             + {sm} * (1000000 // (SELECT COUNT(*) FROM per)))
+            // 1000000 AS BIGINT) AS weight_ppm
+FROM per p JOIN w{T} ON w{T}.source = p.source
+ORDER BY p.source
+"""

@@ -2451,6 +2451,18 @@ def _stream_traj_dedup_sql() -> str:
     return stream_trajectory_dedup_sql(n_batches=2)
 
 
+def _x_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import doremi_mix
+
+    return doremi_mix(load_table(spark, sf_dir, "documents"))
+
+
+def _doremi_mix_sql() -> str:
+    from ..ext.sampling import doremi_mix_sql
+
+    return doremi_mix_sql()
+
+
 TXN_RECLUSTER_LIVE_SQL = """
 WITH src AS (
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
@@ -2502,6 +2514,9 @@ ROUND14_STAGED: dict = {
     # the histogram layer as a data-quality monitor: per-commit
     # total-variation drift vs the base table, pure log arithmetic
     "q_txn_quantile_drift": (txn_quantile_drift, TXN_QUANTILE_DRIFT_SQL),
+    # DoReMi-style excess-loss mixture reweighting (exact-integer
+    # multiplicative weights; Xie et al. 2023)
+    "x_doremi_mix": (_x_doremi_mix, _doremi_mix_sql()),
 }
 
 
