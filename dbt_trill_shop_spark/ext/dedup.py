@@ -2832,6 +2832,56 @@ def trajectory_neardup(
     )
 
 
+def dedup_store_gc(
+    spark,
+    store_path: str,
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """BAND-STORE GARBAGE COLLECTION: remove the persisted band rows of
+    documents that have been DELETED upstream, so the dedup store stays
+    consistent with retention / right-to-be-forgotten deletes — a doc
+    purged from the corpus must stop blocking the future re-ingestion
+    of its near-duplicates, and its fingerprint rows are themselves
+    derived data a deletion obligation extends to.  Intended feed: the
+    txn table's change data feed (``read_txn_changes`` rows with
+    ``_change_type = 'delete'``), so GC cost tracks CHANGES, never
+    corpus size.
+
+    Note the deliberate asymmetry with exact-dup families: removing doc
+    X's rows does NOT remove band keys that X's surviving duplicates
+    also emitted — a re-ingested copy of X stays blocked exactly when a
+    twin of X still lives in the corpus.  That is the correct
+    semantics, and it falls out of keying the store by (doc_id, band):
+    GC deletes BY DOC, collisions probe BY KEY.
+
+    The rewrite is crash-safe: survivors land in a sibling temp dir and
+    swap atomically (the house two-rename swap with ``recover_swap``
+    run first).  Returns the number of band rows removed.  Shuffle
+    shape: one broadcast-able anti-join of (id, bidx, bk) rows against
+    the deleted-id set — 16-byte keys, never text."""
+    import os
+
+    from ..core.dag import recover_swap, swap_into_place
+
+    recover_swap(store_path)
+    if not os.path.exists(store_path):
+        return 0
+    store = spark.read.parquet(store_path)
+    ids = deleted_ids.select(F.col(id_col)).distinct()
+    kept = store.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    removed = store.count() - kept.count()
+    if removed == 0:
+        return 0
+    tmp = store_path + ".__new__"
+    kept.write.mode("overwrite").parquet(tmp)
+    swap_into_place(tmp, store_path)
+    spark.catalog.refreshByPath(store_path)
+    return removed
+
+
 def stream_trajectory_dedup_sql(
     n_batches: int = 3,
     gap_minutes: int = 720,

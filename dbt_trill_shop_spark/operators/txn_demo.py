@@ -2451,6 +2451,125 @@ def _stream_traj_dedup_sql() -> str:
     return stream_trajectory_dedup_sql(n_batches=2)
 
 
+def dedup_store_gc_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-DRIVEN DEDUP-STORE GARBAGE COLLECTION (r14 staged): retention
+    and right-to-be-forgotten deletes must propagate to DERIVED data —
+    a document purged from the corpus must stop blocking re-ingestion
+    of its near-duplicates, and its fingerprint rows are themselves
+    subject to the deletion obligation.  The composition closes that
+    loop with change-proportional cost:
+
+    1. the corpus lands in a txn table; the persisted MinHash band
+       store ingests it (``incremental_neardup_store``);
+    2. a retention DELETE tombstones a slice merge-on-read
+       (``delete_txn_dv`` — data files untouched);
+    3. the CHANGE DATA FEED (pure log arithmetic) yields exactly the
+       deleted doc ids, which drive ``dedup_store_gc`` — an anti-join
+       rewrite of the store with an atomic two-rename swap;
+    4. re-ingested COPIES of the deleted docs now survive UNLESS a
+       surviving twin still emits their band keys (GC deletes BY DOC,
+       collisions probe BY KEY — the correct asymmetry for exact-dup
+       families), while copies of never-deleted docs stay fully
+       blocked by their own live fingerprints.
+
+    Output: the four-phase ledger (band_rows_removed, deleted_docs,
+    readmitted, control_readmitted), each count reproduced by the
+    oracle from the shared md5 band chain with zero knowledge of the
+    store layout."""
+    from ..ext.dedup import dedup_store_gc, incremental_neardup_store
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _tmp_root("storegc")
+    store = root + "_bands"
+    shutil.rmtree(store, ignore_errors=True)
+    write_txn(docs, root)                               # v0: the corpus
+    incremental_neardup_store(spark, read_txn(spark, root), store)
+    delete_txn_dv(spark, root, "doc_id % 7 = 3")        # v1: retention
+    deleted = (
+        read_txn_changes(spark, root, from_version=0)
+        .filter("_change_type = 'delete'")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds GC and the count
+    )
+    removed = dedup_store_gc(spark, store, deleted)
+    n_deleted = deleted.count()
+    copies = docs.filter("doc_id % 7 = 3").withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    kept = incremental_neardup_store(spark, copies, store)
+    readmitted = kept.select("doc_id").distinct().count()
+    ctrl = docs.filter("doc_id % 7 = 1").withColumn(
+        "doc_id", F.col("doc_id") + 20_000_000
+    )
+    kept2 = incremental_neardup_store(spark, ctrl, store)
+    ctrl_readmitted = kept2.select("doc_id").distinct().count()
+    rows = [
+        ("band_rows_removed", removed),
+        ("control_readmitted", ctrl_readmitted),
+        ("deleted_docs", n_deleted),
+        ("readmitted", readmitted),
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, n bigint"
+    ).orderBy("phase")
+
+
+def _dedup_store_gc_sql() -> str:
+    from ..ext.dedup import _minhash_md5_band_sql
+
+    base = _minhash_md5_band_sql(8, 4, 3, source="src")
+    return rf"""
+WITH src AS (SELECT doc_id, text FROM documents),
+{base},
+d AS (SELECT doc_id FROM src WHERE doc_id % 7 = 3),
+remaining AS (
+    SELECT DISTINCT bidx, bk FROM banded
+    WHERE doc_id NOT IN (SELECT doc_id FROM d)
+),
+copies AS (
+    SELECT DISTINCT doc_id FROM banded
+    WHERE doc_id IN (SELECT doc_id FROM d)
+),
+hits AS (
+    SELECT DISTINCT b.doc_id
+    FROM banded b
+    JOIN remaining r ON r.bidx = b.bidx AND r.bk = b.bk
+    WHERE b.doc_id IN (SELECT doc_id FROM d)
+),
+readmit_ids AS (
+    SELECT c.doc_id FROM copies c ANTI JOIN hits h ON h.doc_id = c.doc_id
+),
+store2 AS (
+    SELECT bidx, bk FROM remaining
+    UNION
+    SELECT b.bidx, b.bk FROM banded b
+    JOIN readmit_ids s ON s.doc_id = b.doc_id
+),
+ctrl AS (SELECT DISTINCT doc_id FROM banded WHERE doc_id % 7 = 1),
+ctrl_hits AS (
+    SELECT DISTINCT b.doc_id
+    FROM banded b
+    JOIN store2 r ON r.bidx = b.bidx AND r.bk = b.bk
+    WHERE b.doc_id IN (SELECT doc_id FROM ctrl)
+),
+ctrl_readmit AS (
+    SELECT COUNT(*) AS n
+    FROM ctrl c ANTI JOIN ctrl_hits h ON h.doc_id = c.doc_id
+)
+SELECT 'band_rows_removed' AS phase,
+       CAST((SELECT COUNT(*) FROM banded
+             WHERE doc_id IN (SELECT doc_id FROM d)) AS BIGINT) AS n
+UNION ALL
+SELECT 'control_readmitted', CAST((SELECT n FROM ctrl_readmit) AS BIGINT)
+UNION ALL
+SELECT 'deleted_docs', CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+UNION ALL
+SELECT 'readmitted', CAST((SELECT COUNT(*) FROM readmit_ids) AS BIGINT)
+ORDER BY phase
+"""
+
+
 def _x_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sampling import doremi_mix
 
@@ -2517,6 +2636,8 @@ ROUND14_STAGED: dict = {
     # DoReMi-style excess-loss mixture reweighting (exact-integer
     # multiplicative weights; Xie et al. 2023)
     "x_doremi_mix": (_x_doremi_mix, _doremi_mix_sql()),
+    # retention deletes propagate to derived data: CDF -> band-store GC
+    "x_dedup_store_gc": (dedup_store_gc_demo, _dedup_store_gc_sql()),
 }
 
 
