@@ -2116,7 +2116,9 @@ def txn_recluster_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") % 256).cast("bigint").alias("cb"),
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         )
-        .filter("o_year BETWEEN 1995 AND 1997")
+        # half the keyspace: the demo proves layout behavior, and every
+        # gate is count-based — ingest mass is pure cost here
+        .filter("o_year BETWEEN 1995 AND 1997 AND o_orderkey % 2 = 0")
     )
     root = _tmp_root("recluster")
     write_txn(orders.repartition(2), root, partition_by=["o_year"])
@@ -2589,6 +2591,7 @@ WITH src AS (
            CAST(o_custkey % 256 AS BIGINT) AS cb,
            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
     FROM orders
+    WHERE o_orderkey % 2 = 0
 )
 SELECT o_year, COUNT(*) AS n_orders,
        ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_dollars

@@ -2876,6 +2876,27 @@ def _sc_scoped_compaction(spark, base):
     got2 = sorted((r.p, r.k, r.val) for r in read_txn(spark, root).collect())
     assert got2 == want                                  # p=1 resolves via chain
 
+    # deletion vectors: a scoped rewrite MATERIALIZES the scope's
+    # tombstones (reads post-DV rows, removes file + sidecar refs) and
+    # leaves the other partition's DV chain alone
+    from dbt_trill_shop_spark.sources.txn_table import delete_txn_dv
+
+    delete_txn_dv(spark, root, "p = 0 AND k < 100")   # 50 rows of p=0
+    delete_txn_dv(spark, root, "p = 1 AND k < 100")   # 50 rows of p=1
+    want3 = sorted(
+        (r.p, r.k, r.val) for r in read_txn(spark, root).collect()
+    )
+    assert len(want3) == 2000 - 100
+    compact_txn(spark, root, target_files=1, where="p = 0")
+    s3 = snapshot(root)
+    for f, dvs, st in zip(s3.files, s3.file_dvs, s3.file_stats):
+        if st["__pv"]["p"] == "0":
+            assert not dvs  # p=0 tombstones materialized away
+        else:
+            assert dvs      # p=1 chain untouched
+    got3 = sorted((r.p, r.k, r.val) for r in read_txn(spark, root).collect())
+    assert got3 == want3
+
     # loud failures: unpartitioned table; non-partition predicate
     flat = os.path.join(base, "flat")
     write_txn(spark.range(5).selectExpr("id", "id as v"), flat)
