@@ -2572,6 +2572,97 @@ ORDER BY phase
 """
 
 
+def txn_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION DISTRIBUTION PROFILE FROM THE LOG ALONE (r14
+    staged): the two metadata layers composed — partition tuples ride
+    add-action stats (``__pv``, r12) and quantile histograms ride them
+    too (``__qh``, this round), so partition-level skew and
+    distribution shift need ZERO data I/O: group per-file histograms by
+    partition tuple, sum per bucket, walk each partition's histogram.
+    This is the report a 100 TB maintenance planner reads hourly —
+    which partitions are heavy (compact/split candidates), where the
+    value distribution moved (stale-stats candidates) — at O(files ×
+    ~500 ints).
+
+    Story: orders (3 years, partitioned by o_year) lands partitioned;
+    the cents histogram is declared + backfilled; one more year appends
+    with in-pass sketches; the profile reports per-year row count,
+    row-share in ppm, and the p50 cents estimate — all reproduced by
+    the oracle from source rows with the identical integer bucket walk
+    and no knowledge of files or partitions-as-layout."""
+    from ..sources.txn_table import (
+        quantile_partition_profile,
+        set_quantile_txn,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .filter("o_year BETWEEN 1994 AND 1997")
+    )
+    root = _tmp_root("partprofile")
+    write_txn(
+        orders.filter("o_year <= 1996").repartition(2),
+        root,
+        partition_by=["o_year"],
+    )
+    set_quantile_txn(spark, root, ["cents"])        # declare + backfill
+    write_txn(orders.filter("o_year = 1997").repartition(2), root)  # in-pass
+    prof = quantile_partition_profile(root, "cents", [0.5])
+    total = sum(n for _pv, n, _e in prof)
+    rows = [
+        (int(pv["o_year"]), n, (n * 1_000_000) // total, ests[0.5])
+        for pv, n, ests in prof
+        if n > 0 and pv.get("o_year") is not None
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_year int, n_rows bigint, share_ppm bigint, p50_cents bigint",
+    ).orderBy("o_year")
+
+
+TXN_PARTITION_PROFILE_SQL = """
+WITH src AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1994 AND 1997
+),
+b AS (
+    SELECT o_year,
+           CASE WHEN v <= 15 THEN v
+           ELSE 8 * LENGTH(bin(v))
+                + (v >> (LENGTH(bin(v)) - 4)) - 32 END AS bkt
+    FROM src WHERE v IS NOT NULL
+),
+h AS (SELECT o_year, bkt, COUNT(*) AS cnt FROM b GROUP BY o_year, bkt),
+c AS (
+    SELECT o_year, bkt,
+           SUM(cnt) OVER (PARTITION BY o_year ORDER BY bkt) AS cum,
+           SUM(cnt) OVER (PARTITION BY o_year) AS n
+    FROM h
+),
+p50 AS (
+    SELECT o_year, MIN(bkt) AS bkt, MIN(n) AS n
+    FROM c WHERE cum >= (n + 1) // 2 GROUP BY o_year
+),
+tot AS (SELECT COUNT(*) AS t FROM b)
+SELECT o_year,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN bkt <= 15 THEN bkt
+            ELSE (8 + (bkt + 32) % 8) << ((bkt + 32) // 8 - 5) END
+            AS BIGINT) AS p50_cents
+FROM p50
+WHERE n > 0
+ORDER BY o_year
+"""
+
+
 def _x_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.sampling import doremi_mix
 
@@ -2641,6 +2732,11 @@ ROUND14_STAGED: dict = {
     "x_doremi_mix": (_x_doremi_mix, _doremi_mix_sql()),
     # retention deletes propagate to derived data: CDF -> band-store GC
     "x_dedup_store_gc": (dedup_store_gc_demo, _dedup_store_gc_sql()),
+    # __pv x __qh composed: per-partition skew/distribution report with
+    # zero data I/O
+    "q_txn_partition_profile": (
+        txn_partition_profile, TXN_PARTITION_PROFILE_SQL
+    ),
 }
 
 

@@ -1575,6 +1575,55 @@ def quantile_commit_hists(
     return out
 
 
+def quantile_partition_profile(
+    root: str, col: str, qs, version: int | None = None
+) -> list[tuple[dict, int, dict]]:
+    """PER-PARTITION distribution profile for a quantile-sketched column
+    of a PARTITIONED table, from the log alone: per-file histograms
+    group by their metadata-resident partition tuple (``__pv``) and
+    merge by per-bucket summation, then each partition answers the same
+    deterministic quantile walk as :func:`quantile_estimate_txn`.
+    Returns ``[(partition_values, n_rows, {q: estimate}), ...]`` sorted
+    by partition tuple — the partition-skew / imbalance report a 100 TB
+    maintenance planner wants (which partitions are heavy, where the
+    distribution shifted) at O(files × buckets) integers, zero scans."""
+    import math
+    from fractions import Fraction
+
+    snap = snapshot(root, version=version)
+    if col not in snap.quantile_cols:
+        raise ValueError(
+            f"column {col!r} carries no quantile histogram "
+            f"(declared: {list(snap.quantile_cols)})"
+        )
+    if not snap.partition_cols:
+        raise ValueError("partition profile requires a PARTITIONED table")
+    per: dict[tuple, dict[int, int]] = {}
+    for st in snap.file_stats:
+        pv = st.get(_PV_KEY) or {}
+        key = tuple((c, pv.get(c)) for c in snap.partition_cols)
+        hist = per.setdefault(key, {})
+        for b, n in ((st.get(_QH_KEY) or {}).get(col) or {}).items():
+            hist[int(b)] = hist.get(int(b), 0) + int(n)
+    out = []
+    for key in sorted(per, key=lambda k: tuple((v is None, v) for _c, v in k)):
+        hist = per[key]
+        n = sum(hist.values())
+        ests: dict[float, int] = {}
+        if n:
+            buckets = sorted(hist.items())
+            for q in qs:
+                rank = max(1, min(math.ceil(Fraction(str(q)) * n), n))
+                cum = 0
+                for b, cnt in buckets:
+                    cum += cnt
+                    if cum >= rank:
+                        ests[q] = _qh_lower(b)
+                        break
+        out.append((dict(key), n, ests))
+    return out
+
+
 def quantile_estimate_txn(
     root: str, col: str, qs, version: int | None = None
 ) -> tuple[int, dict[float, int]]:
