@@ -549,6 +549,7 @@ def _unigram_em_ctes(
     word_max_len: int,
     em_rounds: int,
     keep_pieces: int | None = None,
+    train_where: str = "TRUE",
 ) -> str:
     """The shared WITH-body of the unigram-EM oracles: seed vocabulary and
     costs, then per round the forward-DP / backtrace / usage / M-step CTE
@@ -563,7 +564,7 @@ WITH words AS MATERIALIZED (
     SELECT w, freq FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '{_WORD_SPLIT}')) AS w
-            FROM documents
+            FROM documents WHERE {train_where}
         ) WHERE w <> ''
         GROUP BY w ORDER BY freq DESC, w ASC LIMIT {int(max_vocab)}
     ) WHERE LEN(w) <= {L}
@@ -689,6 +690,8 @@ def unigram_fertility_sql(
     word_max_len: int = 12,
     em_rounds: int = 2,
     seg_word_max_len: int = 16,
+    train_where: str = "TRUE",
+    transfer_delta: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`unigram_fertility`: the shared EM CTEs,
     then corpus-wide segmentation — spans LEFT-join the final costs with
@@ -698,7 +701,10 @@ def unigram_fertility_sql(
     P, R = int(piece_max_len), int(em_rounds)
     S = int(seg_word_max_len)
     parts = [
-        _unigram_em_ctes(max_vocab, n_pieces, piece_max_len, word_max_len, R),
+        _unigram_em_ctes(
+            max_vocab, n_pieces, piece_max_len, word_max_len, R,
+            train_where=train_where,
+        ),
         f""",
 cw AS MATERIALIZED (
     SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -765,7 +771,33 @@ npieces AS MATERIALIZED (
     SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM (
     {steps_union}
     ) GROUP BY w
-)
+)"""
+    )
+    if transfer_delta:
+        # per-source fertility PLUS its gap to the corpus-wide rate —
+        # the transfer readout (vocab trained on ``train_where`` only)
+        parts.append(
+            """,
+roll AS MATERIALIZED (
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * np) AS BIGINT) AS n_pieces
+    FROM cw JOIN npieces USING (w)
+    GROUP BY source
+),
+tot AS (SELECT SUM(n_pieces) AS tp, SUM(n_words) AS tw FROM roll)
+SELECT source, n_words, n_pieces,
+       CAST(CAST(n_pieces AS HUGEINT) * 1000000 // n_words AS BIGINT)
+           AS fertility_ppm,
+       CAST(CAST(n_pieces AS HUGEINT) * 1000000 // n_words
+            - (SELECT tp * 1000000 // tw FROM tot) AS BIGINT)
+           AS transfer_delta_ppm
+FROM roll
+ORDER BY source"""
+        )
+    else:
+        parts.append(
+            """
 SELECT source,
        CAST(SUM(cnt) AS BIGINT) AS n_words,
        CAST(SUM(cnt * np) AS BIGINT) AS n_pieces,
@@ -773,5 +805,93 @@ SELECT source,
 FROM cw JOIN npieces USING (w)
 GROUP BY source
 ORDER BY source"""
-    )
+        )
     return "".join(parts)
+
+
+def unigram_transfer_fertility(
+    docs: DataFrame,
+    train_where: str = "source <= 'src0'",
+    max_vocab: int = 400,
+    n_pieces: int = 160,
+    piece_max_len: int = 4,
+    word_max_len: int = 12,
+    em_rounds: int = 2,
+    seg_word_max_len: int = 16,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """TOKENIZER TRANSFER readout: train the unigram-LM vocabulary on
+    the ``train_where`` slice ONLY (one source, one language, a
+    sample), apply it CORPUS-WIDE, and report each source's fertility
+    plus its gap to the corpus-wide rate — the quantitative answer to
+    "whose text does this vocabulary fragment?", i.e. the vocabulary-
+    coverage question a multilingual/multi-domain pipeline must settle
+    before committing to a tokenizer (Kudo 2018's fertility metric,
+    cross-slice).  transfer_delta_ppm > 0 marks sources the trained
+    slice under-serves.
+
+    Contract: ``train_where`` must select a slice that yields a
+    non-empty vocabulary on real corpora; when the whole corpus is
+    degenerate (empty / NULL / empty-string texts) both engines return
+    zero rows.  Scale shape identical to :func:`unigram_fertility`
+    (training is vocab-bounded, segmentation runs once per distinct
+    word, the rollup is per-source); the delta is one broadcast
+    1-row cross join."""
+    spark = docs.sparkSession
+    out_schema = (
+        "source string, n_words bigint, n_pieces bigint, "
+        "fertility_ppm bigint, transfer_delta_ppm bigint"
+    )
+    costs, _rows = _unigram_em_costs(
+        docs.filter(F.expr(train_where)), max_vocab, n_pieces,
+        piece_max_len, word_max_len, em_rounds, text_col,
+    )
+    if not costs:
+        return spark.createDataFrame([], out_schema)
+    cw = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
+            ).alias("w"),
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= int(seg_word_max_len)))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dw = cw.select("w").distinct()
+    seg = _with_viterbi(dw, costs, piece_max_len).select(
+        "w", F.size("_ps").cast("bigint").alias("np")
+    )
+    roll = (
+        cw.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("bigint").alias("n_pieces"),
+        )
+        .localCheckpoint(eager=True)  # feeds the rollup AND the total
+    )
+    tot = roll.agg(
+        F.sum(F.col("n_pieces").cast("decimal(38,0)")).alias("tp"),
+        F.sum(F.col("n_words").cast("decimal(38,0)")).alias("tw"),
+    )
+    return (
+        roll.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST(CAST(n_pieces AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_words AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(CAST(n_pieces AS DECIMAL(38,0)) * 1000000 DIV n_words "
+                "- tp * 1000000 DIV tw AS BIGINT)"
+            ).alias("transfer_delta_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -2740,6 +2740,30 @@ ROUND14_STAGED: dict = {
 }
 
 
+def _x_unigram_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import unigram_transfer_fertility
+
+    return unigram_transfer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_transfer_sql() -> str:
+    from ..ext.bpe import unigram_fertility_sql
+
+    return unigram_fertility_sql(
+        train_where="source <= 'src0'", transfer_delta=True
+    )
+
+
+# Staged for the round-15 window (the r14 wave above is frozen at 7):
+# parity-tested alongside the registered queries by the pooled scenario,
+# degenerate-swept by the empty-sweep sibling.
+ROUND15_STAGED: dict = {
+    # tokenizer transfer: vocab trained on ONE source slice, applied
+    # corpus-wide; per-source fertility + gap to the corpus-wide rate
+    "x_unigram_transfer": (_x_unigram_transfer, _unigram_transfer_sql()),
+}
+
+
 # Staged for the round-11 window (the round-10 registry is frozen at 309):
 # parity-tested alongside the registered queries by the pooled scenario,
 # degenerate-swept by the empty-sweep sibling.

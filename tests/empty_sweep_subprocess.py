@@ -106,13 +106,14 @@ def main(schema_sf_dir: str, out_path: str) -> None:
     # not a registration-time retrofit (SCALE.md round-7 house rules)
     from dbt_trill_shop_spark.operators.txn_demo import (
         ROUND11_STAGED, ROUND12_STAGED, ROUND13_STAGED, ROUND14_STAGED,
+        ROUND15_STAGED,
     )
 
     staged = {
         name: fn
         for name, (fn, _sql) in {
             **ROUND11_STAGED, **ROUND12_STAGED, **ROUND13_STAGED,
-            **ROUND14_STAGED,
+            **ROUND14_STAGED, **ROUND15_STAGED,
         }.items()
         if name not in QUERIES  # registration moves a query to the main lane
     }

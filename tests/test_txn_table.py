@@ -1813,6 +1813,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
         ROUND12_STAGED,
         ROUND13_STAGED,
         ROUND14_STAGED,
+        ROUND15_STAGED,
         txn_skipping_scan,
     )
     from .oracle_utils import compare, duck_connection, oracle_frame
@@ -1826,7 +1827,7 @@ def _sc_demo_queries_match_duckdb_oracles(spark, base):
     every = {
         **ROUND8_TXN_QUERIES, **ROUND9_STAGED, **ROUND10_STAGED,
         **ROUND11_STAGED, **ROUND12_STAGED, **ROUND13_STAGED,
-        **ROUND14_STAGED,
+        **ROUND14_STAGED, **ROUND15_STAGED,
     }
     from dbt_trill_shop_spark.streaming import events as _ev
 
@@ -2965,6 +2966,31 @@ def _sc_quantile_histograms(spark, base):
         set_quantile_txn(spark, root3, ["v"])
     with pytest.raises(ValueError, match="no quantile histogram"):
         quantile_estimate_txn(root, "id", [0.5])
+    # partition profile: per-partition walk matches per-slice expectation
+    from dbt_trill_shop_spark.sources.txn_table import (
+        quantile_partition_profile,
+    )
+
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        quantile_partition_profile(root, "v", [0.5])  # t is unpartitioned
+    proot = os.path.join(base, "tp")
+    write_txn(
+        spark.range(0, 1200).selectExpr(
+            "id % 3 as p", "id as k", "id * id % 9000 as v"
+        ),
+        proot,
+        partition_by=["p"],
+    )
+    set_quantile_txn(spark, proot, ["v"])
+    prof = quantile_partition_profile(proot, "v", [0.5])
+    assert [pv["p"] for pv, _n, _e in prof] == ["0", "1", "2"]
+    raw_by_p: dict = {}
+    for r in read_txn(spark, proot).collect():
+        raw_by_p.setdefault(str(r.p), []).append(r.v)
+    for pv, n, ests in prof:
+        vals = sorted(raw_by_p[pv["p"]])
+        assert n == len(vals)
+        assert ests[0.5] == _qh_lower(bucket(vals[(len(vals) + 1) // 2 - 1]))
 
 
 _SCENARIOS = [
