@@ -1376,10 +1376,64 @@ def neardup_minhash_checked(
         .distinct()
     )
     docs_sub = docs.join(cand_ids, id_col, "left_semi")
-    exact = ngram_jaccard_pairs(
-        docs_sub, text_col, id_col, shingle_len, threshold=jaccard_threshold
+    # Verify PER CANDIDATE PAIR (the oracle's own join shape) instead of
+    # re-deriving every pair sharing a shingle among candidate docs and
+    # intersecting with `pairs` at the end: the shingle self-join's fan-out
+    # is Σ_shingle df² (quadratic in each common shingle's doc frequency —
+    # 4.09M rows for 6.6k trajectory docs at sf0.1), while keying by the
+    # banded pairs bounds it at Σ_pairs |shingles(a)| (1.12M rows there,
+    # 3.6× fewer) and can never blow up on a hub shingle the banding
+    # already declined to collide.  Same rows out: a pair survives iff it
+    # is banded-candidate AND exact-Jaccard ≥ threshold.
+    return _ngram_jaccard_for_pairs(
+        docs_sub, pairs, text_col, id_col, shingle_len, jaccard_threshold
     )
-    return exact.join(pairs, ["id_a", "id_b"], "inner")
+
+
+def _ngram_jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard for a GIVEN candidate-pair relation (id_a,
+    id_b): attach side a's distinct shingle hashes to each pair, probe
+    side b's on (id_b, sh), count matches per pair — the shuffle carries
+    |pairs| × |shingles(a)| rows of three int64s, never the Σ df²
+    fan-out of the all-pairs-sharing-a-shingle self-join
+    (:func:`ngram_jaccard_pairs`), and never text.  A pair with an empty
+    intersection drops (no row survives the probe), exactly like the
+    self-join shape.  Jaccard and rounding identical to
+    :func:`ngram_jaccard_pairs`."""
+    sh = _distinct_shingle_rel(docs, text_col, id_col, shingle_len).select(
+        id_col, F.xxhash64("s").alias("sh")
+    )
+    # feeds the sizes agg AND both probe sides — materialize once, like
+    # the self-join variant does
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 9
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def neardup_minhash_checked_sql(

@@ -863,16 +863,42 @@ def _sc_stream_rate_limited_admission(spark, base):
             _time.sleep(0.1)
         return [p for p in q.recentProgress if p["numInputRows"] > 0]
 
+    def _start_positioned(src, prefix):
+        # bounded retry on the worker-SPAWN infrastructure flake only (the
+        # _drain_complete pattern): each short-lived stream spawns Python
+        # data-source workers, and a saturated box occasionally fails the
+        # connect-back during the FIRST micro-batch; any other failure
+        # re-raises immediately.
+        last = None
+        for attempt in range(4):
+            if attempt:
+                _time.sleep(2 * attempt)
+            nm = f"{prefix}_{uuid.uuid4().hex[:10]}"
+            qq = (
+                src.writeStream.outputMode("append").format("memory")
+                .queryName(nm).start()
+            )
+            try:
+                qq.processAllAvailable()                   # positions stream
+                return nm, qq
+            except Exception as ex:  # noqa: BLE001 - filtered re-raise below
+                last = ex
+                qq.stop()
+                if not any(
+                    p in str(ex)
+                    for p in (
+                        "failed to connect back",
+                        "worker exited unexpectedly",
+                    )
+                ):
+                    raise
+        raise last
+
     root = os.path.join(base, "t")
     write_txn(_df(spark, 0, 3).coalesce(1), root)         # v0: 1 file
-    name = f"rl_{uuid.uuid4().hex[:10]}"
     src = stream_txn_table(spark, root, max_files_per_trigger=1)
-    q = (
-        src.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-    )
+    name, q = _start_positioned(src, "rl")
     try:
-        q.processAllAvailable()                            # positions stream
         n0 = len(_data_progress(q, 3))
         # producer burst AFTER the stream is live: 2 commits x 2 files
         # of EXACTLY 3 rows each (the range source's numPartitions split
@@ -901,14 +927,9 @@ def _sc_stream_rate_limited_admission(spark, base):
     # so the same burst shape drains one file at a time
     root2 = os.path.join(base, "tb")
     write_txn(_df(spark, 0, 3).coalesce(1), root2)
-    name2 = f"rlb_{uuid.uuid4().hex[:10]}"
     src2 = stream_txn_table(spark, root2, max_bytes_per_trigger=1)
-    q2 = (
-        src2.writeStream.outputMode("append").format("memory")
-        .queryName(name2).start()
-    )
+    name2, q2 = _start_positioned(src2, "rlb")
     try:
-        q2.processAllAvailable()
         m0 = len(_data_progress(q2, 3))
         write_txn(
             spark.range(3, 9, 1, 2).selectExpr("id", "id * 10 as v"), root2
