@@ -308,34 +308,50 @@ def simhash_near_duplicates(
     5k docs observed; hamming<=12 keeps the true near-dups and drops the
     noise before it ever rides the distinct shuffle)."""
     sim = simhash(docs, text_col, id_col)
-    # the fingerprint relation feeds BOTH sides of every band self-join
-    # (2*bands consumers) — materialize once or the 64-agg computation
-    # re-runs eight times
+    # the fingerprint relation feeds both sides of the band self-join —
+    # materialize once or the 64-agg computation re-runs per side
     sim = sim.localCheckpoint(eager=True)
     width = 64 // bands
     mask = (1 << width) - 1
-    pairs = None
-    for b in range(bands):
-        band_col = F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-        banded = sim.select(F.col(id_col), F.col("simhash"), band_col.alias("band"))
-        left = banded.alias("l")
-        right = banded.alias("r")
-        cand = left.join(right, on="band").filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        cand = cand.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
-        if max_hamming is not None:
-            cand = cand.filter(
-                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-                <= max_hamming
+    # LONG-FORM banding (the minhash_banded_candidates recipe): explode the
+    # ``bands`` band values to (id, bidx, band) rows and run ONE self-join
+    # keyed on (bidx, band) instead of ``bands`` separate joins unioned —
+    # identical pair set (a pair collides on band b iff it matches at that
+    # index either way), same shuffled bytes (bands·N short rows once vs N
+    # rows bands times), but one exchange pair + one distinct instead of
+    # 2·bands exchanges and a bands-branch union feeding the distinct.
+    banded = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
             )
-        pairs = cand if pairs is None else pairs.union(cand)
-    assert pairs is not None
+        ).alias("bidx", "band"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "bidx", "band",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "bidx", "band",
+    )
+    pairs = left.join(right, ["bidx", "band"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming
+        )
     return (
-        pairs.distinct()
+        pairs.select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .drop("sim_a", "sim_b")
     )
