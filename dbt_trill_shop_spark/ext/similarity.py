@@ -2225,7 +2225,7 @@ ORDER BY dim
 
 
 def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
-                   n_blk: int = 4) -> DataFrame:
+                   n_blk: int = 4, per_query_topk: int | None = None) -> DataFrame:
     """All-pairs exact L2 distances (micro-unit int64) as a block-tile Arrow
     gemm: ids hash into ``n_blk`` row blocks, each (bx, by) tile is one
     ``applyInPandas`` group computing its distance tile from ONE int64
@@ -2233,6 +2233,14 @@ def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
     as the bitext miner; the interpreted per-pair fold would be ~50× slower
     and the long-form dim join multiplies rows by the dimension count.
     Output: (query_id, neighbor_id, d2), self-pairs excluded.
+
+    ``per_query_topk=k`` keeps, per tile, only each query's k nearest BY
+    (d2, neighbor_id) — map-side partial top-k (the combiner idiom): a
+    query's global k nearest are each the nearest within their own tile,
+    so the union of tile-local top-ks provably contains the global top-k
+    and the downstream rank produces identical rows.  The pair exchange
+    then carries N·k·n_blk rows instead of N² (4M → 160k at the eval
+    corpus; the gemm compute itself is unchanged and stays in the tile).
     """
     import numpy as np
     import pandas as pd
@@ -2285,11 +2293,35 @@ def _l2_pairs_gemm(embeddings: DataFrame, id_col: str, vec_col: str,
         yi = py["_id"].to_numpy(dtype=np.int64)
         xm = np.stack(px["mv"].to_numpy()).astype(np.int64)
         ym = np.stack(py["mv"].to_numpy()).astype(np.int64)
+        if per_query_topk is not None:
+            # columns sorted by neighbor id so a STABLE argsort on d2 alone
+            # breaks ties by ascending neighbor_id — the exact (d2, id)
+            # order the downstream global rank uses
+            yo = np.argsort(yi, kind="stable")
+            yi, ym = yi[yo], ym[yo]
         d2 = (
             (xm * xm).sum(axis=1)[:, None]
             + (ym * ym).sum(axis=1)[None, :]
             - 2 * (xm @ ym.T)
         )
+        if per_query_topk is not None:
+            kk = min(int(per_query_topk), d2.shape[1])
+            # self-pairs must not occupy a top-k slot (they are excluded
+            # from the result): push them past every real candidate
+            d2m = np.where(
+                yi[None, :] == xi[:, None], np.iinfo(np.int64).max, d2
+            )
+            idx = np.argsort(d2m, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(len(xi)), kk)
+            cols = idx.ravel()
+            out = pd.DataFrame(
+                {
+                    "query_id": xi[rows],
+                    "neighbor_id": yi[cols],
+                    "d2": d2[rows, cols],
+                }
+            )
+            return out[out["query_id"] != out["neighbor_id"]]
         gi, gj = np.meshgrid(np.arange(len(xi)), np.arange(len(yi)), indexing="ij")
         out = pd.DataFrame(
             {
@@ -2399,7 +2431,10 @@ def knn_graph_edges(
     graph algebra is unchanged and the all-pairs gemm never runs
     (plan-guarded in tests/test_plans.py)."""
     if candidates is None:
-        pairs = _l2_pairs_gemm(embeddings, id_col, vec_col)
+        # tile-local partial top-k: the pair exchange feeding the global
+        # rank carries N·k·n_blk rows instead of N² (identical final rows —
+        # a query's global k nearest are each top-k within their own tile)
+        pairs = _l2_pairs_gemm(embeddings, id_col, vec_col, per_query_topk=k)
     else:
         pairs = exact_pair_distances(embeddings, candidates, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
