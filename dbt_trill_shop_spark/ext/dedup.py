@@ -266,25 +266,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     bit values, then sign -> bit.  Deterministic (xxhash64 seed fixed by Spark).
     """
     # signed-64 bit masks: bit 63 is the sign bit, so its mask is -(2^63)
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    # (written shiftleft(1L, 63) — the min-long literal does not parse as
+    # a bare constant).  The 64 aggregates and the 64-branch recombination
+    # are emitted as SQL strings parsed JVM-side: Column-by-Column they
+    # are ~800 py4j round-trips of pure driver time per call (the
+    # bootstrap_mean_ci lesson); the parsed trees are identical.
+    def _mask(i: int) -> str:
+        return f"{1 << i}L" if i < 63 else "shiftleft(1L, 63)"
+
     toks = docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
     bit_sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(masks[i])) != 0, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (h & {_mask(i)}) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"b{i}")
             for i in range(64)
         ]
     )
     sim = bit_sums.select(
         F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(masks[i])).otherwise(F.lit(0).cast("long"))
+        F.expr(
+            "("
+            + " + ".join(
+                f"CASE WHEN b{i} > 0 THEN {_mask(i)} ELSE 0L END"
                 for i in range(64)
-            ],
-            F.lit(0).cast("long"),
+            )
+            + ")"
         ).alias("simhash"),
     )
     return sim

@@ -1187,25 +1187,15 @@ ORDER BY user_id
 """
 
 
-def _morton_expr(a: Column, b: Column, bits: int = 16) -> Column:
-    """Bit-interleave the low ``bits`` of two int columns into one Z-order
-    key (a's bit i -> position 2i, b's -> 2i+1).  Built from literal-shift
-    terms (no higher-order functions), so it compiles to one flat codegen
-    expression."""
-    terms = []
-    for i in range(bits):
-        terms.append(
-            (F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("bigint"))
-            * F.lit(1 << (2 * i))
-        )
-        terms.append(
-            (F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("bigint"))
-            * F.lit(1 << (2 * i + 1))
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _morton_expr(a_sql: str, b_sql: str, bits: int = 16) -> Column:
+    """Bit-interleave the low ``bits`` of two int operands (SQL expression
+    strings) into one Z-order key (a's bit i -> position 2i, b's -> 2i+1).
+    Built from literal-shift terms (no higher-order functions), so it
+    compiles to one flat codegen expression — and parsed from ONE SQL
+    string (the oracle twin :func:`_morton_sql`) rather than 2·bits
+    Column-by-Column py4j terms, which cost ~0.25 s of driver time per
+    call for zero plan difference."""
+    return F.expr(_morton_sql(a_sql, b_sql, bits))
 
 
 def _morton_sql(a: str, b: str, bits: int = 16) -> str:
@@ -1232,7 +1222,7 @@ def zorder_keys(spark: SparkSession, sf_dir: str, sample_mod: int = 500) -> Data
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % sample_mod == 0
     )
-    z = _morton_expr(F.col("l_partkey").cast("int"), F.col("l_suppkey").cast("int"))
+    z = _morton_expr("CAST(l_partkey AS INT)", "CAST(l_suppkey AS INT)")
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
@@ -1934,41 +1924,32 @@ def bootstrap_mean_ci(
         )
     )
 
-    def u_expr(b: int):
+    # The wide expression lists below are emitted as SQL strings parsed
+    # JVM-side (selectExpr / F.expr): the Column-by-Column build is ~1.5k
+    # py4j round-trips costing seconds of pure driver time per call
+    # (measured build 1.9-4.7 s vs <0.1 s parse) — the parsed trees are the
+    # identical expressions, so the plan and results are unchanged.
+    def u_sql(b: int) -> str:
         return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("o_orderkey").cast("string"), F.lit(f":{b // 4}")
-                        )
-                    ),
-                    (b % 4) * 8 + 1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 1_000_000
+            f"(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
+            f"':{b // 4}')), {(b % 4) * 8 + 1}, 8), 16, 10) AS BIGINT) "
+            f"% 1000000)"
         )
 
     # uniforms hoisted into their own projection: inside the aggregate a
     # 5-branch CASE would re-evaluate its md5 lane per branch if the wide
     # expression list falls out of whole-stage codegen (no subexpression
     # sharing in interpreted mode)
-    lanes = orders.select(
-        "v_c", *[u_expr(b).alias(f"u_{b}") for b in range(n_replicas)]
+    lanes = orders.selectExpr(
+        "v_c", *[f"{u_sql(b)} AS u_{b}" for b in range(n_replicas)]
     )
 
-    def w_of(b: int):
+    def w_sql(b: int) -> str:
         # branchless inverse CDF: w = #(thresholds <= u) — boolean sums
         # codegen tighter than a 5-branch CASE chain (measured 3.5 -> 2.6 s)
-        u = F.col(f"u_{b}")
         return (
-            (u >= 367879).cast("long")
-            + (u >= 735759).cast("long")
-            + (u >= 919699).cast("long")
-            + (u >= 981012).cast("long")
+            f"(CAST(u_{b} >= 367879 AS BIGINT) + CAST(u_{b} >= 735759 AS BIGINT)"
+            f" + CAST(u_{b} >= 919699 AS BIGINT) + CAST(u_{b} >= 981012 AS BIGINT))"
         )
 
     aggs = [
@@ -1976,9 +1957,8 @@ def bootstrap_mean_ci(
         F.sum("v_c").alias("sv"),
     ]
     for b in range(n_replicas):
-        w = w_of(b)
-        aggs.append(F.sum(w).alias(f"sw_{b}"))
-        aggs.append(F.sum(w * F.col("v_c")).alias(f"swv_{b}"))
+        aggs.append(F.expr(f"sum({w_sql(b)})").alias(f"sw_{b}"))
+        aggs.append(F.expr(f"sum({w_sql(b)} * v_c)").alias(f"swv_{b}"))
     wide = lanes.agg(*aggs)
     # A replica whose every row drew Poisson weight 0 has NO sample — its
     # mean is undefined (and the raw divide is an ANSI DIVIDE_BY_ZERO
@@ -1991,25 +1971,15 @@ def bootstrap_mean_ci(
     # rank-2 lower bound and rank-(m-1) = rank-1 upper bound INVERT, and at
     # m = 3 they collapse to the same replica — both bounds go NULL below
     # m = 4 so a degenerate interval is reported as unknown, not malformed.
+    structs = ", ".join(
+        f"named_struct('b', {b}, 'rep_mean', CASE WHEN sw_{b} > 0 THEN "
+        f"CAST(swv_{b} AS DOUBLE) / sw_{b} / 100.0 END)"
+        for b in range(n_replicas)
+    )
     reps = wide.select(
         "n_rows",
         "sv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.when(
-                            F.col(f"sw_{b}") > 0,
-                            F.col(f"swv_{b}").cast("double")
-                            / F.col(f"sw_{b}")
-                            / 100.0,
-                        ).alias("rep_mean"),
-                    )
-                    for b in range(n_replicas)
-                ]
-            )
-        ).alias("r"),
+        F.expr(f"explode(array({structs}))").alias("r"),
     ).select("n_rows", "sv", F.col("r.b").alias("b"), F.col("r.rep_mean").alias("rep_mean"))
     w_rank = Window.orderBy(F.asc_nulls_last("rep_mean"), F.asc("b"))
     w_all = Window.partitionBy().rowsBetween(

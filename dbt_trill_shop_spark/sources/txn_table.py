@@ -3935,9 +3935,7 @@ def compact_txn(
         a, b = cluster_by
         df = quantile_bucket(df, a, n=256).withColumnRenamed("__tp_qb", "__za")
         df = quantile_bucket(df, b, n=256).withColumnRenamed("__tp_qb", "__zb")
-        z = _morton_expr(
-            F_col("__za").cast("int"), F_col("__zb").cast("int"), bits=8
-        )
+        z = _morton_expr("CAST(__za AS INT)", "CAST(__zb AS INT)", bits=8)
         df = (
             df.withColumn("__z", z)
             .repartitionByRange(target_files, F_col("__z"))

@@ -415,7 +415,7 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     )
-    z = li.withColumn("z", _morton_expr(F.col("p").cast("int"), F.col("s").cast("int")))
+    z = li.withColumn("z", _morton_expr("CAST(p AS INT)", "CAST(s AS INT)"))
 
     def locality(order_col):
         from pyspark.sql import Window
