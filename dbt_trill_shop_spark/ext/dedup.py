@@ -2195,12 +2195,13 @@ def coverage_select(
     picks: list[tuple[int, int, int, int]] = []
     total = 0
     for step in range(1, k + 1):
+        # No picked-ids anti-join: a picked doc's shingles are all in
+        # ``covered``, so its rows vanish from the anti-join and it can
+        # never win a later argmax — the explicit id filter was a second
+        # redundant join per step.  (Shrinking ``remaining`` in place
+        # instead was measured SLOWER: it re-checkpoints the big uncovered
+        # relation every step, while ``covered`` stays pick-sized.)
         remaining = sh if covered is None else sh.join(covered, "s", "left_anti")
-        if picks:
-            picked_ids = spark.createDataFrame(
-                [(p[1],) for p in picks], f"{id_col} long"
-            )
-            remaining = remaining.join(picked_ids, id_col, "left_anti")
         top = (
             remaining.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("g"))
@@ -2213,10 +2214,11 @@ def coverage_select(
         doc, gain = top[0][0], top[0][1]
         total += gain
         picks.append((step, doc, gain, total))
-        new_cov = sh.filter(F.col(id_col) == doc).select("s")
-        covered = (
-            new_cov if covered is None else covered.union(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+        if step < k:  # the final pick needs no covered-set growth job
+            new_cov = sh.filter(F.col(id_col) == doc).select("s")
+            covered = (
+                new_cov if covered is None else covered.union(new_cov).distinct()
+            ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         picks, "step long, doc_id long, gain long, covered_total long"
     )
