@@ -64,7 +64,7 @@ def _drain_complete(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     last = None
     try:
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:  # back off: immediate re-spawn hits the same
                 _time.sleep(2 * attempt)  # saturation that killed attempt 1
             name = f"{tag}_{uuid.uuid4().hex[:10]}"
@@ -2212,7 +2212,7 @@ def stream_trajectory_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ledger.append((m, kept.select("doc_id").distinct().count()))
 
         last: Exception | None = None
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:
                 _time.sleep(2 * attempt)
             q = (

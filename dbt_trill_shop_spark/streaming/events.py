@@ -179,7 +179,7 @@ def run_stream_to_memory(
         import time as _time
 
         last: Exception | None = None
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:
                 _time.sleep(2 * attempt)
             qname = f"{name}_{attempt}" if name else f"stream_{uuid.uuid4().hex[:12]}"
@@ -747,7 +747,7 @@ def stream_merge_into_table(
         import time as _time
 
         last: Exception | None = None
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:
                 _time.sleep(2 * attempt)
             q = (

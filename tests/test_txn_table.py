@@ -688,7 +688,7 @@ def _sc_stream_source_tails_commits(spark, base):
         import time as _time
 
         last = None
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:  # back off before re-spawning into saturation
                 _time.sleep(2 * attempt)
             name = f"tail_{uuid.uuid4().hex[:10]}"
@@ -775,7 +775,7 @@ def _sc_stream_cdf_tails_changes(spark, base):
         import time as _time
 
         last = None
-        for attempt in range(4):  # worker-spawn flake retry + backoff
+        for attempt in range(6):  # worker-spawn flake retry + backoff
             if attempt:
                 _time.sleep(2 * attempt)
             name = f"cdf_{uuid.uuid4().hex[:10]}"
@@ -870,7 +870,7 @@ def _sc_stream_rate_limited_admission(spark, base):
         # connect-back during the FIRST micro-batch; any other failure
         # re-raises immediately.
         last = None
-        for attempt in range(4):
+        for attempt in range(6):
             if attempt:
                 _time.sleep(2 * attempt)
             nm = f"{prefix}_{uuid.uuid4().hex[:10]}"
