@@ -61,15 +61,24 @@ def build_text_index(
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
 
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df (per-term doc count) as a window over the SAME exchange the bucket
+    # layout already needs: hashpartitioning(term_bucket) satisfies the
+    # window's (term_bucket, term) clustering (term_bucket is a pure function
+    # of term, so every term's rows co-locate), and the window's
+    # (term_bucket, term) sort IS the write-side ordering — one exchange +
+    # one sort of the corpus-sized tf relation total, vs the former per-term
+    # groupBy exchange + join back (guide §2.4: two operations keyed the
+    # same way share one exchange).  Measured at sf0.1: postings plan 6
+    # Exchanges + SortMergeJoin -> 1 Exchange, identical rows/schema/meta.
+    w = Window.partitionBy("term_bucket", "term")
     postings = (
-        tf.join(df_rel, "term")
-        .withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
+        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("term_bucket")
+        .withColumn("df", F.count(F.lit(1)).over(w))
         .select("term_bucket", "term", "doc_id", "tf", "df")
     )
     (
-        postings.repartition("term_bucket")
-        .sortWithinPartitions("term")
+        postings.sortWithinPartitions("term_bucket", "term")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
