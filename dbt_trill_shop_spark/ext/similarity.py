@@ -3227,13 +3227,15 @@ def pca_top_component(
 
     Shapes: ONE corpus pass builds the (i, j) scatter relation (dim² rows
     — 4096 for 64 dims — via hash-grouped X.T@X int64 gemm partials over
-    the centered long form, :func:`_scatter_gemm`); each iteration is a
-    broadcast join of the 64-row vector against the scatter relation.  At
-    100 TB the scatter aggregation is the only corpus-sized job — and it
-    shuffles the slim (id, dim, c) long form exactly once; iterations cost
-    nothing.  PCA whitening/compression
-    at serving time is then a narrow projection against the frozen
-    component.
+    the centered long form, :func:`_scatter_gemm`), collected once (the
+    kmeans-centroid idiom: dim²-bounded regardless of corpus size); the
+    power iterations then run driver-side in exact Python int64 algebra —
+    bit-identical to the former per-iteration broadcast-join jobs, minus
+    ~25 scheduler rounds over a 1024-row relation.  At 100 TB the scatter
+    aggregation is the only corpus-sized job — and it shuffles the slim
+    (id, dim, c) long form exactly once; iterations cost nothing.  PCA
+    whitening/compression at serving time is then a narrow projection
+    against the frozen component.
     """
     vm = embeddings.select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
@@ -3260,7 +3262,7 @@ def pca_top_component(
     # mirrors the abc_analysis fix; sign·(|x| DIV n) keeps Spark's truncating
     # DIV and DuckDB's flooring // in agreement on the negative entries.
     n_rel = embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
-    cov = (
+    cov_rows = (
         _scatter_gemm(cent, id_col)
         .crossJoin(F.broadcast(n_rel))
         .select(
@@ -3271,41 +3273,43 @@ def pca_top_component(
                 "* (ABS(sij) DIV nn) AS BIGINT)"
             ).alias("cij"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    v = cov.select(F.col("i").alias("dim")).distinct().select(
-        "dim", F.lit(1_000).cast("bigint").alias("v")
-    )
+    # The power iterations run DRIVER-SIDE over the collected covariance:
+    # cov is dims² rows by construction (4096 at 64 dims, corpus-size
+    # independent — the kmeans-centroid collect idiom), and every iteration
+    # quantity is exact int64 algebra (products, sums, ABS, truncating DIV)
+    # that Python integers replicate bit-for-bit, so the resulting vector is
+    # identical to the former per-iteration Spark jobs.  Those jobs were ~25
+    # broadcast/agg/checkpoint rounds over a 1024-row relation — pure
+    # scheduler machinery (guide §1.2: fix the distributed algorithm; here
+    # the right distribution for dim²-bounded data is none at all).  The one
+    # corpus-sized job — the scatter gemm — stays in Spark unchanged.
+    spark = embeddings.sparkSession
+    cij: dict[tuple[int, int], int] = {
+        (r["i"], r["j"]): int(r["cij"]) for r in cov_rows
+    }
+    v = {d: 1000 for d in sorted({i for i, _ in cij})}
     for _ in range(n_iters):
-        w = (
-            cov.join(
-                F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j"
-            )
-            .groupBy(F.col("i").alias("dim"))
-            .agg(F.sum(F.col("cij") * F.col("v")).alias("w"))
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "dim",
-                # sign·(|w| div g): truncation toward zero in BOTH engines
-                F.expr(
-                    "CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END "
-                    "* (ABS(w) DIV GREATEST(1, m DIV 1000)) AS BIGINT)"
-                ).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        w: dict[int, int] = {}
+        for (i, j), c in cij.items():
+            vj = v.get(j)
+            if vj is not None:  # inner-join semantics of the former plan
+                w[i] = w.get(i, 0) + c * vj
+        m = max((abs(x) for x in w.values()), default=0)
+        g = max(1, m // 1000)
+        # sign·(|w| div g): truncation toward zero in BOTH engines
+        v = {d: (-1 if x < 0 else 1) * (abs(x) // g) for d, x in w.items()}
     # sign fix: the largest-|v| component (smallest dim on ties) is positive
-    sgn = v.orderBy(F.desc(F.abs(F.col("v"))), F.asc("dim")).limit(1).select(
-        F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sgn")
-    )
-    return (
-        v.crossJoin(F.broadcast(sgn))
-        .select("dim", (F.col("v") * F.col("sgn")).cast("bigint").alias("component"))
-        .orderBy("dim")
-    )
+    if v:
+        top = min(v.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+        sgn = -1 if top[1] < 0 else 1
+        rows = [(d, x * sgn) for d, x in sorted(v.items())]
+    else:
+        rows = []
+    return spark.createDataFrame(
+        rows, "dim bigint, component bigint"
+    ).orderBy("dim")
 
 
 def pca_top_component_sql(n_iters: int = 6) -> str:
