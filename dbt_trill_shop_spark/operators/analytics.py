@@ -3923,29 +3923,33 @@ def markov_stationary(
     All arithmetic is integer: the matrix is :func:`event_transitions`'
     ppm rows, π starts uniform in ppm, and each step is
     π'(to) = (Σ π(from)·ppm(from→to)) div 10⁶ — sum-then-divide, so one
-    floor per (iteration, type).  The |types|²-row matrix checkpoints
-    once; each iteration joins it with the |types|-row π (broadcast).
-    The oracle replays identical steps as chained CTEs.
+    floor per (iteration, type).  The |types|²-row matrix is the output
+    of the one corpus-sized job and COLLECTS once (alphabet-bounded by
+    construction — 25 rows here, corpus-size independent); the power
+    iterations then run driver-side in exact Python int64 algebra,
+    bit-identical to the former per-iteration broadcast-join jobs
+    (~3 jobs × n_iters of scheduler machinery over those 25 rows — the
+    pca_top_component recipe).  The oracle replays identical steps as
+    chained CTEs.
     """
-    trans = event_transitions(spark, sf_dir).select(
-        "from_type", "to_type", "ppm"
-    ).localCheckpoint(eager=True)
-    types = trans.select(F.col("from_type").alias("event_type")).distinct()
-    pi = types.select(
-        "event_type", F.lit(1_000_000 // n_types).cast("bigint").alias("p")
+    trans = (
+        event_transitions(spark, sf_dir)
+        .select("from_type", "to_type", "ppm")
+        .collect()
     )
+    pi = {
+        t: 1_000_000 // n_types for t in {r["from_type"] for r in trans}
+    }
     for _ in range(n_iters):
-        pi = (
-            trans.join(
-                F.broadcast(pi.withColumnRenamed("event_type", "from_type")),
-                "from_type",
-            )
-            .groupBy(F.col("to_type").alias("event_type"))
-            .agg(F.expr("CAST(SUM(p * ppm) DIV 1000000 AS BIGINT)").alias("p"))
-            .localCheckpoint(eager=True)
-        )
-    return pi.select(
-        "event_type", F.col("p").alias("stationary_ppm")
+        acc: dict = {}
+        for r in trans:
+            p = pi.get(r["from_type"])
+            if p is not None:  # inner-join semantics of the former plan
+                acc[r["to_type"]] = acc.get(r["to_type"], 0) + p * int(r["ppm"])
+        # non-negative operands: truncating DIV == Python floor division
+        pi = {t: s // 1_000_000 for t, s in acc.items()}
+    return spark.createDataFrame(
+        sorted(pi.items()), "event_type string, stationary_ppm bigint"
     ).orderBy("event_type")
 
 
