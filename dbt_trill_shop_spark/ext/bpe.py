@@ -49,28 +49,6 @@ def word_frequencies(docs: DataFrame, max_vocab: int, text_col: str = "text") ->
     )
 
 
-def _encoded(words: DataFrame) -> DataFrame:
-    """Wrap every character of ``w`` as ``SEP + c + SEP`` (initial symbols)."""
-    return words.select(
-        F.regexp_replace("w", "(.)", SEP + "$1" + SEP).alias("s"), "freq"
-    )
-
-
-def _pair_counts(words: DataFrame) -> DataFrame:
-    toks = F.filter(F.split("s", SEP), lambda x: x != F.lit(""))
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
-    )
-    return (
-        words.select(F.explode(pairs).alias("p"), "freq")
-        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-        .agg(F.sum("freq").alias("pair_count"))
-    )
-
-
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
@@ -80,38 +58,45 @@ def bpe_merges(
     """Learn the first ``n_merges`` BPE merges; returns one row per merge:
     (merge_rank, lhs, rhs, pair_count), rank-ordered.
 
-    Ties break (count desc, lhs asc, rhs asc) — binary string comparison in
-    both engines, so the learned merge table is engine-exact.
-    """
+    Ties break (count desc, lhs asc, rhs asc) — tokens are [a-z]+ only
+    (the ``_WORD_SPLIT`` tokenizer), so Python/Spark/DuckDB string
+    comparison is the identical byte order and the learned merge table is
+    engine-exact.
+
+    The word table is ``max_vocab`` rows BY CONSTRUCTION (corpus-size
+    independent — the one corpus-sized pass is :func:`word_frequencies`),
+    so the merge loop runs DRIVER-SIDE over the collected words: pair
+    counting is exact integer sums, the argmax tie-break is total, and
+    the merge rewrite is the same leftmost-non-overlapping literal
+    replace (str.replace == F.replace semantics, guarded by
+    test_bpe_run_merging_is_leftmost_nonoverlapping's planted twin).  The
+    former per-merge Spark rounds — an explode/groupBy/TakeOrdered
+    argmax plus a replace+checkpoint, ~2 jobs × n_merges over the
+    2000-row relation — were pure scheduler machinery (the
+    pca_top_component recipe)."""
     spark = docs.sparkSession
-    words = _encoded(word_frequencies(docs, max_vocab, text_col)).localCheckpoint()
+    freq_rows = word_frequencies(docs, max_vocab, text_col).collect()
+    # SEP-wrap every char (initial symbols): "ab" -> "␟a␟␟b␟"
+    words = [
+        ("".join(SEP + ch + SEP for ch in r["w"]), int(r["freq"]))
+        for r in freq_rows
+    ]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        counts: dict[tuple[str, str], int] = {}
+        for s, freq in words:
+            toks = [t for t in s.split(SEP) if t]
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
             break
-        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["pair_count"])
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((rank, lhs, rhs, cnt))
-        # checkpoint the merge result each iteration: the replace literals
-        # change per merge, so left lazy they splice into the pair-count
-        # plan and force a fresh whole-stage-codegen compile of the big
-        # zip_with/slice expression EVERY iteration (~1 s x n_merges cold).
-        # Materialized, the pair-count plan is byte-identical across
-        # iterations (scan of a checkpointed relation) and compiles once;
-        # the vocab relation is max_vocab rows, so the checkpoint is free.
-        words = words.withColumn(
-            "s",
-            F.replace(
-                "s",
-                F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
-                F.lit(SEP + lhs + rhs + SEP),
-            ),
-        ).localCheckpoint()
+        pat = SEP + lhs + SEP + SEP + rhs + SEP
+        rep = SEP + lhs + rhs + SEP
+        words = [(s.replace(pat, rep), freq) for s, freq in words]
     return spark.createDataFrame(
         merges, "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
     )
