@@ -3136,9 +3136,14 @@ def knn_bfs_hops(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.limit(1).count() == 0:
             break
+        # no re-checkpoint of visited: it is a union of ALREADY-checkpointed
+        # frontiers (the source row + one materialized nxt per hop), so its
+        # lineage stays flat and each hop's anti-join scans the in-memory
+        # blocks directly — re-materializing the whole visited set was one
+        # extra job per hop for nothing
         visited = visited.union(
             nxt.select(id_col, F.lit(hop).cast("bigint").alias("hop"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     labeled = (
         embeddings.select(id_col)
