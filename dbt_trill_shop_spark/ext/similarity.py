@@ -1424,43 +1424,50 @@ def mmr_topk(
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    sel = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "cand_id", F.lit(1).cast("bigint").alias("pick_rank"))
+    # The greedy trace runs DRIVER-SIDE over the two collected tables: both
+    # are KB-scale BY CONSTRUCTION (cand = queries × pool rows, cc =
+    # queries × pool² — corpus-size independent, already coalesced to one
+    # partition), and every pick quantity is exact int64 algebra
+    # (lam10·d2 − inv10·min_d2 with total (key, cand_id) tie-breaks) that
+    # Python integers replicate bit-for-bit.  The former per-step Spark
+    # rounds — two broadcast joins, a window argmin and a checkpoint per
+    # pick, ~30 jobs of scheduler machinery over those KB — are gone (the
+    # pca_top_component recipe); the corpus-sized work (relevance pass,
+    # pool cut, candidate-candidate distances) is unchanged above.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    by_q: dict = {}
+    for r in cand.collect():
+        by_q.setdefault(r["query_id"], []).append((r["cand_id"], int(r["d2"])))
+    ccd = {(r["query_id"], r["a"], r["b"]): int(r["d2"]) for r in cc.collect()}
+    out = []
+    for q, cands in sorted(by_q.items()):
+        picked = [min(cands, key=lambda cd: (cd[1], cd[0]))[0]]
+        out.append((q, picked[0], 1))
+        for t in range(2, k + 1):
+            best = None
+            for c, d2 in cands:
+                if c in picked:
+                    continue
+                mind = min(
+                    (ccd[(q, c, s)] for s in picked if (q, c, s) in ccd),
+                    default=None,
+                )
+                if mind is None:  # inner-join semantics of the former plan
+                    continue
+                key = (lam10 * d2 - inv10 * mind, c)
+                if best is None or key < best:
+                    best, chosen = key, c
+            if best is None:
+                break
+            picked.append(chosen)
+            out.append((q, chosen, t))
+    base = cand.select("query_id", F.col("cand_id").alias("neighbor_id")).schema
+    schema = StructType(
+        list(base.fields) + [StructField("pick_rank", LongType(), False)]
     )
-    # every per-iteration relation is KB-scale: broadcast the selected set
-    # into each join so the greedy loop never shuffles
-    for t in range(2, k + 1):
-        # checkpoint the KB-scale selection at each step boundary: without it
-        # the lazy `sel` plan deepens every iteration and the final action
-        # replays pick_2..pick_{t-1}'s joins once per later step (quadratic
-        # stages).  Checkpointing on entry (not after the union) keeps the
-        # LAST iteration's join structure visible to plan inspection.
-        sel = sel.coalesce(1).localCheckpoint(eager=True)
-        min_d2 = (
-            cc.join(
-                F.broadcast(sel.select("query_id", F.col("cand_id").alias("b"))),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.min("d2").alias("min_d2"))
-        )
-        remaining = cand.join(
-            F.broadcast(sel.select("query_id", "cand_id")),
-            ["query_id", "cand_id"],
-            "left_anti",
-        )
-        key = F.lit(lam10) * F.col("d2") - F.lit(inv10) * F.col("min_d2")
-        ws = Window.partitionBy("query_id").orderBy(key.asc(), F.asc("cand_id"))
-        pick = (
-            remaining.join(F.broadcast(min_d2), ["query_id", "cand_id"])
-            .withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", F.lit(t).cast("bigint").alias("pick_rank"))
-        )
-        sel = sel.unionByName(pick)
-    return sel.select("query_id", F.col("cand_id").alias("neighbor_id"), "pick_rank")
+    return spark.createDataFrame(out, schema)
 
 
 def mmr_topk_sql(

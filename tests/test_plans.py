@@ -186,15 +186,20 @@ def test_sq8_topk_broadcasts_query_codes(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_mmr_greedy_loop_broadcasts_selected_set(spark, sf_dir):
+def test_mmr_greedy_trace_is_driver_side_local_relation(spark, sf_dir):
+    """The k-step greedy trace runs driver-side over the collected
+    (queries × pool) / (queries × pool²) tables — the returned relation
+    must be a bounded LOCAL one (no joins, no exchanges: the corpus-sized
+    work all happens upstream of the two collects), and its row count is
+    capped at queries × k by construction."""
     from dbt_trill_shop_spark.ext.similarity import mmr_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    plan = _plan(mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=6))
-    # the k-step greedy loop joins KB-scale relations: broadcasts, never a
-    # sort-merge shuffle or cartesian product inside the loop
-    assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    out = mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=6)
+    plan = _plan(out)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert out.count() <= 3 * 3
 
 
 def test_incremental_neardup_shuffles_hashes_only(spark, sf_dir):
