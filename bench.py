@@ -94,6 +94,36 @@ def gate_env_factor(env_factor: float, confirm_env: float | None) -> float:
     return env_factor if confirm_env is None else min(env_factor, confirm_env)
 
 
+def gate_cpus_match(run_cpus: int, baseline_cpus: int | None) -> bool:
+    """Whether the regression gate applies to this run, pure for unit tests
+    (VERDICT r13 #2): the committed baseline is a record at a specific core
+    count, so comparing a different-`$SPARK_GRAFT_CPUS` probe against it
+    manufactures regressions out of the core-count mismatch (the driver's
+    8-core scaling probe exited rc=2 on six such artifacts in r13).  A
+    baseline with no recorded core count (legacy) is judged as before."""
+    return baseline_cpus is None or run_cpus == baseline_cpus
+
+
+def chunk_query_lines(queries: dict, limit: int = 1800) -> list[str]:
+    """Split the per-query timings dict into several ``{"queries": {...}}``
+    JSON lines, each under ``limit`` bytes, pure for unit tests (VERDICT r13
+    #1): the driver keeps only a bounded tail of output and parses lines from
+    it, so one ~8 KB line risks head-truncation (the r01/r02 failure), while
+    bounded chunks emitted immediately before the final summary line all
+    survive."""
+    lines: list[str] = []
+    cur: dict = {}
+    for k, v in queries.items():
+        cur[k] = v
+        if len(json.dumps({"queries": cur}, separators=(",", ":"))) > limit and len(cur) > 1:
+            cur.popitem()
+            lines.append(json.dumps({"queries": cur}, separators=(",", ":")))
+            cur = {k: v}
+    if cur:
+        lines.append(json.dumps({"queries": cur}, separators=(",", ":")))
+    return lines
+
+
 def gate_should_fail(
     regressions: dict, env: dict, env_factor: float = 1.0
 ) -> bool:
@@ -128,6 +158,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     spark = get_spark(app_name="trillshop-bench")
+    # Keep the driver-parsed output tail clean (VERDICT r13 #1): Spark's WARN
+    # flood (WindowExec notices, checkpoint unpersist chatter) between our
+    # JSON lines and process exit is what pushed the per-query timings out of
+    # the driver's bounded tail for two rounds.  Logging level does not touch
+    # the timing methodology; override with SPARK_GRAFT_BENCH_LOGLEVEL to get
+    # the diagnostics back.
+    spark.sparkContext.setLogLevel(
+        os.environ.get("SPARK_GRAFT_BENCH_LOGLEVEL", "ERROR")
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
     # warm the driver-side parquet file listings (InMemoryFileIndex builds at
     # DataFrame creation — metadata only, no data read) so the first measured
@@ -218,21 +257,13 @@ def main() -> None:
     headline_cold = round(sum(timings[q] for q in headline if q in timings), 3)
     headline_warm = round(sum(warm.values()), 3)
     value = min(headline_cold, headline_warm)
-    # The driver keeps only a bounded TAIL of stdout and parses the LAST
-    # line.  Rounds 1-2 emitted one big line; at 287 queries it is ~7 KB, the
-    # tail buffer truncates its HEAD, and the leading "metric"/"value" fields
-    # were lost both rounds (BENCH_r0{1,2}.json parsed:null).  Fix per
-    # VERDICT.md: per-query timings go on their own line first, then a final
-    # <200-byte summary line carrying only the headline fields.
-    print(
-        json.dumps(
-            {
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "headline_warm_queries": warm,
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Per-query timings are emitted at the very END of the run (immediately
+    # before the final summary line) — see the block above that print.  They
+    # used to be printed HERE, before the regression gate, and for two rounds
+    # the gate's confirmation re-runs flooded enough log output after them to
+    # push them out of the driver's bounded output tail (VERDICT r13 #1:
+    # PERF per_query empty, now_bench_ok false).  The timings themselves are
+    # unchanged — only where they are printed moved.
     # Regression gate (VERDICT r2 #7, made BINDING per VERDICT r3 #3): diff
     # per-query times against the committed baseline for this sf and flag
     # >1.5x slowdowns that also cost >0.3 s absolute (sub-300 ms queries are
@@ -254,10 +285,33 @@ def main() -> None:
     baseline_all: dict = {}
     env_factor = 1.0
     gate_env = 1.0
+    run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline_all = json.load(fh)
         base_sf = baseline_all.get(str(sf), {})
+        # The gate only judges runs at the baseline's recorded core count
+        # (VERDICT r13 #2): a lower-core probe is uniformly slower in ways the
+        # sweep-median normalizer cannot fully absorb (serial fractions differ
+        # per query), so its "regressions" are core-count artifacts.  Skip the
+        # gate — the per-query timings still go to stdout for the driver's
+        # scaling analysis.
+        base_cpus = baseline_all.get("_cpus", {}).get(str(sf))
+        if not gate_cpus_match(run_cpus, base_cpus):
+            print(
+                json.dumps(
+                    {
+                        "bench_gate_skipped": {
+                            "reason": "cpu_count_mismatch",
+                            "baseline_cpus": base_cpus,
+                            "run_cpus": run_cpus,
+                        }
+                    },
+                    separators=(",", ":"),
+                ),
+                file=sys.stderr,
+            )
+            base_sf = {}
         regressions = check_regressions(timings, base_sf, allowlist)
         env_factor = sweep_slowdown(timings, base_sf)
         gate_env = env_factor
@@ -346,8 +400,19 @@ def main() -> None:
         )
     if os.environ.get("SPARK_GRAFT_BENCH_UPDATE") == "1":
         baseline_all[str(sf)] = timings
+        # Record the core count the baseline was measured at so future
+        # different-core probes skip the gate instead of exiting 2 on
+        # core-count artifacts (gate_cpus_match).
+        baseline_all.setdefault("_cpus", {})[str(sf)] = run_cpus
         with open(base_path, "w") as fh:
             json.dump(baseline_all, fh, indent=0, sort_keys=True)
+    # Per-query timings, emitted LAST before the summary so no later log
+    # output can push them out of the driver's bounded tail (VERDICT r13 #1).
+    # Chunked into <1.8 KB lines so no single line risks head-truncation (the
+    # r01/r02 one-big-line failure).  Same numbers the gate judged above.
+    for line in chunk_query_lines({k: round(v, 2) for k, v in timings.items()}):
+        print(line)
+    print(json.dumps({"headline_warm_queries": warm}, separators=(",", ":")))
     print(
         json.dumps(
             {

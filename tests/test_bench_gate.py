@@ -135,6 +135,57 @@ def test_committed_allowlist_is_valid():
         )
 
 
+def test_gate_skipped_on_core_count_mismatch():
+    """VERDICT r13 #2: the committed baseline is a 32-core record; judging an
+    8-core probe against it manufactures regressions out of the core-count
+    mismatch.  The gate applies only when the run's core count matches the
+    baseline's recorded one (legacy baselines without a record keep the old
+    always-judge behavior)."""
+    from bench import gate_cpus_match
+
+    assert gate_cpus_match(32, 32)
+    assert not gate_cpus_match(8, 32)
+    assert not gate_cpus_match(32, 8)
+    # legacy baseline with no recorded core count -> gate still applies
+    assert gate_cpus_match(8, None)
+
+
+def test_committed_baseline_records_core_count():
+    path = os.path.join(REPO, "bench_baseline.json")
+    with open(path) as fh:
+        base = json.load(fh)
+    cpus = base.get("_cpus", {})
+    for sf in base:
+        if sf.startswith("_"):
+            continue
+        assert sf in cpus and isinstance(cpus[sf], int), (
+            f"baseline for sf {sf} must record its core count"
+        )
+
+
+def test_per_query_lines_are_chunked_and_lossless():
+    """VERDICT r13 #1: per-query timings must reach the driver's bounded
+    output tail — every emitted line stays under the limit and the union of
+    chunks reproduces the full timings dict exactly."""
+    from bench import chunk_query_lines
+
+    q = {f"q_some_rather_long_query_name_{i:03d}": round(0.01 * i, 2) for i in range(400)}
+    lines = chunk_query_lines(q)
+    merged: dict = {}
+    for line in lines:
+        assert len(line) <= 1800
+        payload = json.loads(line)
+        assert set(payload) == {"queries"}
+        merged.update(payload["queries"])
+    assert merged == q
+    # tiny dicts come out as one line; empty input emits nothing
+    assert len(chunk_query_lines({"a": 1.0})) == 1
+    assert chunk_query_lines({}) == []
+    # an oversized single entry still gets emitted rather than dropped
+    big = {"x" * 2500: 1.0}
+    assert json.loads(chunk_query_lines(big)[0])["queries"] == big
+
+
 def test_confirmation_pass_clears_flakes_keeps_regressions():
     from bench import still_regressed
 
