@@ -561,7 +561,14 @@ def stream_purchase_attribution_outer(
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .filter(F.col("event_type").isin("click", "purchase"))
     )
-    row = ev.agg(F.max("ts").alias("m")).first()
+    # the max ts comes back as a session-TZ-formatted micros string, not a
+    # Python datetime: the tick below is built as a SQL TIMESTAMP literal
+    # (see the LocalRelation note there), and a text round-trip through
+    # date_format/TIMESTAMP'' in the SAME session timezone is exact at the
+    # column's micros precision
+    row = ev.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("m")
+    ).first()
     base = tempfile.mkdtemp(prefix=f"stream_outer_{os.getpid()}_")
     try:
         # the real data lands as SEVERAL same-mtime files so batch 0 reads
@@ -591,16 +598,24 @@ def stream_purchase_attribution_outer(
         # and the oracle comparison fail loudly if an engine change ever
         # stops flushing.
         for i, days in enumerate((120,) if row["m"] is not None else ()):
-            tick = spark.createDataFrame(
-                [
-                    (-(2 * i + 1), row["m"], -1, "click", 0.0, "{}"),
-                    (-(2 * i + 2), row["m"], -2, "purchase", 0.0, "{}"),
-                ],
-                _EVENTS_NATIVE_SCHEMA,
-            ).select(
-                "event_id",
-                (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-                "user_id", "event_type", "value", "props",
+            # inline VALUES (LocalRelation), not createDataFrame: the latter
+            # parallelizes the 2 rows over defaultParallelism partitions and
+            # the coalesce(1) write then walks every one through a Python
+            # worker round-trip — measured 4.7-5.4 s for this 2-row tick vs
+            # 0.13 s for the pure-JVM literal relation (guide §4: the py4j/
+            # Python boundary has no business in a constant-building path)
+            tick = spark.sql(
+                f"""
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       TIMESTAMP'{row["m"]}' + INTERVAL {days} DAYS AS ts,
+                       CAST(user_id AS BIGINT) AS user_id,
+                       event_type,
+                       CAST(value AS DOUBLE) AS value,
+                       props
+                FROM VALUES ({-(2 * i + 1)}, -1, 'click', 0.0D, '{{}}'),
+                            ({-(2 * i + 2)}, -2, 'purchase', 0.0D, '{{}}')
+                     AS t(event_id, user_id, event_type, value, props)
+                """
             )
             tick.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(base, f"t{i}")
