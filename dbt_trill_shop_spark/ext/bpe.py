@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import values_relation
+
 SEP = "\x1f"  # unit separator: never produced by the [a-z]+ tokenizer
 
 _WORD_SPLIT = "[^a-z]+"
@@ -97,8 +99,8 @@ def bpe_merges(
         pat = SEP + lhs + SEP + SEP + rhs + SEP
         rep = SEP + lhs + rhs + SEP
         words = [(s.replace(pat, rep), freq) for s, freq in words]
-    return spark.createDataFrame(
-        merges, "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+    return values_relation(
+        spark, merges, "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
     )
 
 
@@ -314,8 +316,9 @@ def unigram_lm_em(
         text_col, keep_pieces=keep_pieces,
     )
     if not final_rows:  # degenerate corpus: no words survive the cut
-        return spark.createDataFrame([], out_schema)
-    table = spark.createDataFrame(
+        return values_relation(spark, [], out_schema)
+    table = values_relation(
+        spark,
         sorted((r["piece"], int(r["usage"]), int(r["cost"])) for r in final_rows),
         out_schema,
     )
@@ -336,7 +339,7 @@ def _norm_costs(spark, rows: list) -> list:
     and bit-equal costs to the former crossJoin(broadcast(agg)) shape."""
     tot = sum(cnt for _, cnt, _ in rows)
     return (
-        spark.createDataFrame(rows, "piece string, cnt long, usage long")
+        values_relation(spark, rows, "piece string, cnt long, usage long")
         .select(
             "piece",
             "usage",
@@ -479,7 +482,7 @@ def unigram_fertility(
         text_col,
     )
     if not costs:
-        return spark.createDataFrame([], out_schema)
+        return values_relation(spark, [], out_schema)
     cw = (
         docs.select(
             F.col(source_col).alias("source"),
@@ -851,7 +854,7 @@ def unigram_transfer_fertility(
         piece_max_len, word_max_len, em_rounds, text_col,
     )
     if not costs:
-        return spark.createDataFrame([], out_schema)
+        return values_relation(spark, [], out_schema)
     cw = (
         docs.select(
             F.col(source_col).alias("source"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..localrel import values_relation
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -2219,8 +2220,8 @@ def coverage_select(
             covered = (
                 new_cov if covered is None else covered.union(new_cov).distinct()
             ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        picks, "step long, doc_id long, gain long, covered_total long"
+    return values_relation(
+        spark, picks, "step long, doc_id long, gain long, covered_total long"
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..localrel import values_relation
 
 
 def stratified_sample(
@@ -1428,7 +1429,8 @@ def doremi_mix(
         .collect()
     )
     if not per:
-        return docs.sparkSession.createDataFrame(
+        return values_relation(
+            docs.sparkSession,
             [], "source string, n_docs bigint, loss_ppm bigint, "
                 "excess_ppm bigint, weight_ppm bigint"
         )
@@ -1460,7 +1462,8 @@ def doremi_mix(
         (s, stats[s][0], loss[s], excess[s], final[s])
         for s in sorted(stats)
     ]
-    return docs.sparkSession.createDataFrame(
+    return values_relation(
+        docs.sparkSession,
         rows,
         "source string, n_docs bigint, loss_ppm bigint, "
         "excess_ppm bigint, weight_ppm bigint",

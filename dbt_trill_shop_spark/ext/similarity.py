@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import values_relation
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -1464,10 +1466,11 @@ def mmr_topk(
             picked.append(chosen)
             out.append((q, chosen, t))
     base = cand.select("query_id", F.col("cand_id").alias("neighbor_id")).schema
-    schema = StructType(
-        list(base.fields) + [StructField("pick_rank", LongType(), False)]
+    ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in base.fields]
+        + ["pick_rank bigint"]
     )
-    return spark.createDataFrame(out, schema)
+    return values_relation(spark, out, ddl)
 
 
 def mmr_topk_sql(
@@ -3136,8 +3139,8 @@ def knn_bfs_hops(
         .localCheckpoint(eager=True)
     )
     spark = embeddings.sparkSession
-    visited = spark.createDataFrame(
-        [(source_id, 0)], f"{id_col} long, hop long"
+    visited = values_relation(
+        spark, [(source_id, 0)], f"{id_col} long, hop long"
     ).localCheckpoint(eager=True)
     frontier = visited.select(id_col)
     for hop in range(1, max_hops + 1):
@@ -3328,8 +3331,8 @@ def pca_top_component(
         rows = [(d, x * sgn) for d, x in sorted(v.items())]
     else:
         rows = []
-    return spark.createDataFrame(
-        rows, "dim bigint, component bigint"
+    return values_relation(
+        spark, rows, "dim bigint, component bigint"
     ).orderBy("dim")
 
 

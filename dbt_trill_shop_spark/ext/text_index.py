@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..localrel import values_relation
 
 
 def _term_bucket(col, n_buckets: int):
@@ -137,8 +138,8 @@ def search_text_index(
     # Explicit schema: an empty query batch (drained upstream filter, empty
     # corpus at build time) must return an empty result, not crash schema
     # inference — the one failure the empty-input sweep found (SCALE.md).
-    qdf = spark.createDataFrame(
-        query_terms, "query_id bigint, term string"
+    qdf = values_relation(
+        spark, query_terms, "query_id bigint, term string"
     ).distinct()
 
     postings = (

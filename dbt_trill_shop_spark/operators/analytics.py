@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..localrel import values_relation
 
 from ..catalog import load_table
 from ..functions import generate_surrogate_key
@@ -3948,8 +3949,8 @@ def markov_stationary(
                 acc[r["to_type"]] = acc.get(r["to_type"], 0) + p * int(r["ppm"])
         # non-negative operands: truncating DIV == Python floor division
         pi = {t: s // 1_000_000 for t, s in acc.items()}
-    return spark.createDataFrame(
-        sorted(pi.items()), "event_type string, stationary_ppm bigint"
+    return values_relation(
+        spark, sorted(pi.items()), "event_type string, stationary_ppm bigint"
     ).orderBy("event_type")
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..localrel import values_relation
 from ..sources.txn_table import (
     delete_txn,
     delete_txn_dv,
@@ -1164,8 +1165,8 @@ def txn_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_ndv_txn(spark, root, {"user_id": 64, "event_type": 64})     # v1
     write_txn(ev.filter("event_id % 3 = 2").coalesce(2), root)      # v2
     est = ndv_estimate_txn(root)
-    return spark.createDataFrame(
-        sorted(est.items()), "column_name string, est_ndv long"
+    return values_relation(
+        spark, sorted(est.items()), "column_name string, est_ndv long"
     ).orderBy("column_name")
 
 
@@ -1233,7 +1234,8 @@ def txn_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_txn(cust.repartition(2), rb)
     set_ndv_txn(spark, rb, {"c_custkey": 64})
     est = ndv_overlap_estimate_txn(ra, "o_custkey", rb, "c_custkey")
-    return spark.createDataFrame(
+    return values_relation(
+        spark,
         [(est["union_ndv"], est["intersection_ndv"], est["jaccard_ppm"])],
         "union_ndv long, intersection_ndv long, jaccard_ppm long",
     )
@@ -1468,8 +1470,9 @@ def txn_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("o_year"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    nulls = spark.createDataFrame(
-        [(-1, None, 0), (-2, None, 100)], "o_orderkey long, o_year int, cents long"
+    nulls = values_relation(
+        spark, [(-1, None, 0), (-2, None, 100)],
+        "o_orderkey long, o_year int, cents long",
     )
     root = _tmp_root("partprune")
     # 2 pre-split tasks x 8 year-partitions: enough files to observe
@@ -1531,7 +1534,8 @@ def txn_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter("event_type = 'purchase'")
         .withColumn("cents", (F.col("cents") * 2).cast("bigint"))
         .unionByName(
-            spark.createDataFrame(
+            values_relation(
+                spark,
                 [(-1, "synthetic", 12345)],
                 "event_id long, event_type string, cents long",
             )
@@ -1600,7 +1604,8 @@ def txn_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls = st.get("__nulls") or {}
         n_rows = max((t for _n, t in nulls.values()), default=0)
         counts[None if raw is None else int(raw)] += n_rows
-    return spark.createDataFrame(
+    return values_relation(
+        spark,
         sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)),
         "o_year bigint, n_orders bigint",
     ).orderBy("o_year")
@@ -1929,7 +1934,8 @@ def txn_mv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter("event_type = 'purchase'")
         .withColumn("cents", (F.col("cents") * 2).cast("bigint"))
         .unionByName(
-            spark.createDataFrame(
+            values_relation(
+                spark,
                 [(-1, "synthetic", 12345)],
                 "event_id long, event_type string, cents long",
             )
@@ -1938,8 +1944,9 @@ def txn_mv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_txn(batch, root, mode="overwrite_partitions")               # v1
     sync_agg_mv(spark, root, mv, ["event_type"], ["cents"])           # swap diff
     write_txn(
-        spark.createDataFrame(
-            [(-2, "click", 777)], "event_id long, event_type string, cents long"
+        values_relation(
+            spark, [(-2, "click", 777)],
+            "event_id long, event_type string, cents long",
         ),
         root,
     )                                                                 # v2
@@ -2241,8 +2248,8 @@ def stream_trajectory_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not any(row[0] == m for row in ledger):
             ledger.append((m, 0))  # empty commit: no micro-batch fires
 
-    return spark.createDataFrame(
-        sorted(ledger), "batch_no bigint, n_kept bigint"
+    return values_relation(
+        spark, sorted(ledger), "batch_no bigint, n_kept bigint"
     ).orderBy("batch_no")
 
 
@@ -2297,8 +2304,8 @@ def txn_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [0.25, 0.5, 0.75, 0.95]
     n, est = quantile_estimate_txn(root, "cents", qs)
     rows = [(int(q * 100), int(est[q]), int(n)) for q in qs if q in est]
-    return spark.createDataFrame(
-        sorted(rows), "q_pct bigint, est_cents bigint, n bigint"
+    return values_relation(
+        spark, sorted(rows), "q_pct bigint, est_cents bigint, n bigint"
     ).orderBy("q_pct")
 
 
@@ -2395,8 +2402,8 @@ def txn_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in set(base) | set(h)
         )
         rows.append((batch_of[v], nm, (s * 1_000_000) // (2 * nm * n0)))
-    return spark.createDataFrame(
-        sorted(rows), "batch_no bigint, n_rows bigint, drift_ppm bigint"
+    return values_relation(
+        spark, sorted(rows), "batch_no bigint, n_rows bigint, drift_ppm bigint"
     ).orderBy("batch_no")
 
 
@@ -2512,8 +2519,8 @@ def dedup_store_gc_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("deleted_docs", n_deleted),
         ("readmitted", readmitted),
     ]
-    return spark.createDataFrame(
-        rows, "phase string, n bigint"
+    return values_relation(
+        spark, rows, "phase string, n bigint"
     ).orderBy("phase")
 
 
@@ -2619,7 +2626,8 @@ def txn_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pv, n, ests in prof
         if n > 0 and pv.get("o_year") is not None
     ]
-    return spark.createDataFrame(
+    return values_relation(
+        spark,
         sorted(rows),
         "o_year int, n_rows bigint, share_ppm bigint, p50_cents bigint",
     ).orderBy("o_year")

@@ -47,6 +47,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
 
+from ..localrel import values_relation
+
 _LOG_DIR = "_txn"
 _VERSION_DIGITS = 10
 
@@ -807,19 +809,12 @@ def _scan_files(
                 tuple([b] + [pv.get(c) for c in pv_cols])
                 for b, pv in sorted(pvs.items())
             ]
-            pv_df = spark.createDataFrame(
+            pv_df = values_relation(
+                spark,
                 rows,
-                StructType.fromJson(
-                    {
-                        "type": "struct",
-                        "fields": [
-                            {"name": "__pvfile", "type": "string", "nullable": False}
-                        ]
-                        + [
-                            {"name": f"__pv_{c}", "type": "string", "nullable": True}
-                            for c in pv_cols
-                        ],
-                    }
+                ", ".join(
+                    ["__pvfile string"]
+                    + [f"__pv_{c} string" for c in pv_cols]
                 ),
             ).select(
                 "__pvfile",
@@ -2942,7 +2937,12 @@ def _interval_touched(
         # Spark's string cast of those types is the same ISO text, which
         # compares lexicographically consistently with the parquet bounds
         probe_key = probe_key.cast("string")
-    rdf = spark.createDataFrame(ranged, ["f_idx", "lo", "hi"])
+    bound_t = {bool: "boolean", int: "bigint", float: "double", str: "string"}[
+        type(lo0)
+    ]
+    rdf = values_relation(
+        spark, ranged, f"f_idx bigint, lo {bound_t}, hi {bound_t}"
+    )
     hits = (
         source.select(probe_key.alias("_mk"))
         .where(F.col("_mk").isNotNull())
@@ -3830,8 +3830,8 @@ def _partition_scope(spark: SparkSession, snap: Snapshot, where: str) -> list[in
     type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
     distinct = sorted(set(pvs), key=lambda t: tuple((v is None, v) for v in t))
     ddl = ", ".join(["__tidx int"] + [f"__raw_{c} string" for c in pcols])
-    tup_df = spark.createDataFrame(
-        [(idx, *t) for idx, t in enumerate(distinct)], ddl
+    tup_df = values_relation(
+        spark, [(idx, *t) for idx, t in enumerate(distinct)], ddl
     ).select(
         "__tidx",
         *[
@@ -4458,8 +4458,10 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             StructField("mv_source_version", LongType(), True),
         ]
     )
-    return spark.createDataFrame(
-        sorted(rows, key=lambda r: -r[0]), schema
+    return values_relation(
+        spark,
+        sorted(rows, key=lambda r: -r[0]),
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields),
     )
 
 
