@@ -67,7 +67,10 @@ def bpe_merges(
 
     The word table is ``max_vocab`` rows BY CONSTRUCTION (corpus-size
     independent — the one corpus-sized pass is :func:`word_frequencies`),
-    so the merge loop runs DRIVER-SIDE over the collected words: pair
+    so the merge loop runs DRIVER-SIDE over the collected words (EAGER:
+    the corpus pass executes at call time, and the Python pair counts are
+    exact unbounded ints — engine parity assumes they fit int64, which
+    max_vocab·word_len bounds by construction): pair
     counting is exact integer sums, the argmax tie-break is total, and
     the merge rewrite is the same leftmost-non-overlapping literal
     replace (str.replace == F.replace semantics, guarded by

@@ -1390,6 +1390,17 @@ def mmr_topk(
 
     Returns (query_id, neighbor_id, pick_rank), pick_rank 1..k in selection
     order.
+
+    EAGER: the greedy trace runs at call time (the queries×pool relevance
+    and queries×pool² redundancy tables collect to the driver), so calling
+    this builds no lazy plan — it executes the corpus pass immediately.
+    The collected tables are |queries|·pool and |queries|·pool² rows; the
+    API contract assumes a bounded query batch (hundreds, not millions) —
+    a corpus-sized ``queries`` input belongs in a different operator.
+    Driver-side arithmetic is unbounded Python int (exact); the engines
+    it mirrors use int64, so parity assumes magnitudes stay inside int64 —
+    the micro-unit substrate overflows int64 only past ~9e18, far beyond
+    any real embedding scale here.
     """
     lam10, inv10 = lam_tenths, 10 - lam_tenths
     vm = _vec_micro_long(embeddings, id_col, vec_col).localCheckpoint(eager=True)
@@ -3253,9 +3264,13 @@ def pca_top_component(
     — 4096 for 64 dims — via hash-grouped X.T@X int64 gemm partials over
     the centered long form, :func:`_scatter_gemm`), collected once (the
     kmeans-centroid idiom: dim²-bounded regardless of corpus size); the
-    power iterations then run driver-side in exact Python int64 algebra —
+    power iterations then run driver-side in exact Python integer algebra —
     bit-identical to the former per-iteration broadcast-join jobs, minus
-    ~25 scheduler rounds over a 1024-row relation.  At 100 TB the scatter
+    ~25 scheduler rounds over a 1024-row relation.  EAGER: that collect
+    runs the scatter job at call time (no lazy plan), and parity with the
+    int64-based engines assumes the c·vj accumulations stay inside int64
+    (milli-unit centered values keep them orders of magnitude below the
+    ~9e18 line; document-scale inputs cannot overflow it).  At 100 TB the scatter
     aggregation is the only corpus-sized job — and it shuffles the slim
     (id, dim, c) long form exactly once; iterations cost nothing.  PCA
     whitening/compression at serving time is then a narrow projection

@@ -3926,8 +3926,10 @@ def markov_stationary(
     π'(to) = (Σ π(from)·ppm(from→to)) div 10⁶ — sum-then-divide, so one
     floor per (iteration, type).  The |types|²-row matrix is the output
     of the one corpus-sized job and COLLECTS once (alphabet-bounded by
-    construction — 25 rows here, corpus-size independent); the power
-    iterations then run driver-side in exact Python int64 algebra,
+    construction — 25 rows here, corpus-size independent; EAGER — the
+    corpus job runs at call time); the power
+    iterations then run driver-side in exact Python integer algebra
+    (unbounded ints; π·ppm sums stay far inside the engines' int64),
     bit-identical to the former per-iteration broadcast-join jobs
     (~3 jobs × n_iters of scheduler machinery over those 25 rows — the
     pca_top_component recipe).  The oracle replays identical steps as

@@ -630,8 +630,8 @@ def test_pca_scatter_is_gemm_not_self_join(spark, sf_dir):
         F.col("dim").cast("bigint").alias("dim"),
         F.round(F.col("x") * 1000, 0).cast("bigint").alias("c"),
     )
-    # (pca_top_component checkpoints the scatter eagerly, which truncates
-    # its lineage out of the final plan — guard the scatter relation itself)
+    # (pca_top_component collects the scatter driver-side, so it never
+    # appears in the returned relation's plan — guard _scatter_gemm itself)
     plan = _plan(_scatter_gemm(cent, "vec_id"))
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
