@@ -2937,11 +2937,15 @@ def _interval_touched(
         # Spark's string cast of those types is the same ISO text, which
         # compares lexicographically consistently with the parquet bounds
         probe_key = probe_key.cast("string")
-    bound_t = {bool: "boolean", int: "bigint", float: "double", str: "string"}[
+    bound_t = {bool: "boolean", int: "bigint", float: "double", str: "string"}.get(
         type(lo0)
-    ]
-    rdf = values_relation(
-        spark, ranged, f"f_idx bigint, lo {bound_t}, hi {bound_t}"
+    )
+    rdf = (
+        values_relation(spark, ranged, f"f_idx bigint, lo {bound_t}, hi {bound_t}")
+        if bound_t is not None
+        # stats of a type the literal renderer doesn't know: keep the old
+        # inference path rather than guessing a CAST
+        else spark.createDataFrame(ranged, ["f_idx", "lo", "hi"])
     )
     hits = (
         source.select(probe_key.alias("_mk"))
