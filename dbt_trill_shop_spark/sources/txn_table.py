@@ -46,6 +46,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import lit as F_lit
+from pyspark.sql.functions import percentile_approx as F_percentile_approx
 
 from ..localrel import values_relation
 
@@ -3934,11 +3936,32 @@ def compact_txn(
         if len(cluster_by) != 2:
             raise ValueError("zorder interleaves exactly two cluster columns")
         from ..operators.analytics import _morton_expr
-        from ..operators.twophase import quantile_bucket
+        from ..operators.twophase import _bucket_by_boundaries
 
         a, b = cluster_by
-        df = quantile_bucket(df, a, n=256).withColumnRenamed("__tp_qb", "__za")
-        df = quantile_bucket(df, b, n=256).withColumnRenamed("__tp_qb", "__zb")
+        # both columns' quantile boundaries from ONE aggregation job
+        # (quantile_bucket per column = one full-scan job each; the two
+        # sketches are independent aggregates, so sharing the scan cannot
+        # change either — guide §1.2, don't read the input twice for two
+        # reductions).  Boundary semantics identical to quantile_bucket
+        # (same percentiles list, same accuracy, same empty-input rule).
+        pcts = [i / 256.0 for i in range(1, 256)]
+        qrow = df.agg(
+            F_percentile_approx(a, pcts, 10000).alias("__qa"),
+            F_percentile_approx(b, pcts, 10000).alias("__qb"),
+        ).first()
+        qa = list(qrow[0]) if qrow is not None and qrow[0] is not None else []
+        qb = list(qrow[1]) if qrow is not None and qrow[1] is not None else []
+        df = (
+            _bucket_by_boundaries(df, a, qa, out="__za")
+            if qa
+            else df.withColumn("__za", F_lit(0).cast("bigint"))
+        )
+        df = (
+            _bucket_by_boundaries(df, b, qb, out="__zb")
+            if qb
+            else df.withColumn("__zb", F_lit(0).cast("bigint"))
+        )
         z = _morton_expr("CAST(__za AS INT)", "CAST(__zb AS INT)", bits=8)
         df = (
             df.withColumn("__z", z)
