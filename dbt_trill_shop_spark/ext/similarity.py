@@ -2711,9 +2711,10 @@ def knn_label_propagation(
     Distributed shape (the ``knn_pagerank`` recipe): the mutual edge
     relation (≤ k·N rows of two int64s) is checkpointed once; each
     iteration is ONE hash shuffle keyed by node (the neighbor-label
-    count) plus a window argmax, re-checkpointed per step so the lazy
-    plan never replays earlier iterations.  O(iters) jobs at any scale,
-    and the labels relation never carries text or vectors."""
+    count) plus an aggregate argmax sharing that exchange,
+    re-checkpointed per step so the lazy plan never replays earlier
+    iterations.  O(iters) jobs at any scale, and the labels relation
+    never carries text or vectors."""
     mutual = knn_mutual_edges(embeddings, k, id_col, vec_col, candidates)
     adj = (
         mutual.select(F.col("query_id").alias("v"), F.col("neighbor_id").alias("u"))
@@ -2722,17 +2723,34 @@ def knn_label_propagation(
     nodes = embeddings.select(F.col(id_col).alias("vec_id")).localCheckpoint(
         eager=True
     )
+    # ISOLATED nodes (no mutual edge) never appear in adj — as v or u, the
+    # relation is symmetric — so their label is their own id at every
+    # iteration and none of their rows can influence a connected node's
+    # count.  Compute them ONCE and union them back per step instead of
+    # left-joining the full node set every iteration (guide §1.2: the old
+    # shape re-ran a nodes⟕winner join per iteration whose only effect was
+    # re-attaching these constant rows; a connected node always has ≥ 1
+    # neighbor-label count, so `winner` covers every connected node and
+    # the coalesce branch only ever fired for isolated ones).
+    isolated = (
+        nodes.join(adj.select(F.col("v").alias("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", F.col("vec_id").cast("bigint").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select("vec_id", F.col("vec_id").cast("bigint").alias("lab"))
-    wl = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(n_iters):
         # re-key the joined edges by v BEFORE the (v, lab) count: hash(v)
         # satisfies both the groupBy's (v, lab) clustering AND the argmax
-        # window's vec_id partitioning (guide §2.4 — two operations keyed
-        # the same way share one exchange), so the window's own exchange
-        # disappears.  The repartition ships raw (v, lab) edge rows where
-        # the old shape shipped (v, lab) partial counts — equal volume,
-        # since mutual-kNN degree ≤ k means map-side partials almost never
-        # combine.  A/B: 44 → 40 jobs, identical rows.
+        # aggregate's vec_id grouping (guide §2.4 — two operations keyed
+        # the same way share one exchange).  The repartition ships raw
+        # (v, lab) edge rows where the old shape shipped (v, lab) partial
+        # counts — equal volume, since mutual-kNN degree ≤ k means
+        # map-side partials almost never combine.  The argmax itself is
+        # min_by over the (-c, lab) struct — highest count, then smallest
+        # label, the same total tie-break as the previous row_number
+        # window without its per-partition sort (c ≥ 1 bounds -c safely;
+        # labels are never negated).  A/B vs the window+left-join shape:
+        # identical rows, 2.34 → 1.98 s warm median.
         counts = (
             adj.join(
                 labels.select(F.col("vec_id").alias("u"), "lab"), "u"
@@ -2741,21 +2759,12 @@ def knn_label_propagation(
             .groupBy(F.col("v").alias("vec_id"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        winner = (
-            counts.withColumn("rn", F.row_number().over(wl))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("lab").alias("wlab"))
+        winner = counts.groupBy("vec_id").agg(
+            F.min_by(
+                "lab", F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+            ).alias("lab")
         )
-        labels = (
-            nodes.join(winner, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.coalesce(F.col("wlab"), F.col("vec_id").cast("bigint")).alias(
-                    "lab"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+        labels = winner.unionByName(isolated).localCheckpoint(eager=True)
     return labels.select(
         "vec_id", F.col("lab").alias("community")
     ).orderBy("vec_id")
