@@ -2629,6 +2629,21 @@ def knn_pagerank(
         eager=True
     )
     base = (100 - damping_pct) * 1_000_000 // 100
+    # nodes with NO in-edge receive m = 0 every iteration, i.e. the
+    # constant rank ``base`` — compute that set ONCE and union it back per
+    # step instead of left-joining the full node set every iteration (the
+    # label-propagation restructure; the contribution aggregate covers
+    # exactly the nodes with >= 1 in-edge, so the coalesce branch only
+    # ever fired for this constant set).
+    noin = (
+        nodes.join(
+            edges.select(F.col("neighbor_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        .select("vec_id", F.lit(base).cast("bigint").alias("r"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("vec_id", F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(n_iters):
         contrib = (
@@ -2639,14 +2654,13 @@ def knn_pagerank(
             .agg(F.sum(F.expr(f"r DIV {k}")).alias("m"))
         )
         ranks = (
-            nodes.join(contrib, "vec_id", "left")
-            .select(
+            contrib.select(
                 "vec_id",
                 F.expr(
-                    f"CAST({base} + ({damping_pct} * COALESCE(m, 0)) DIV 100 "
-                    "AS BIGINT)"
+                    f"CAST({base} + ({damping_pct} * m) DIV 100 AS BIGINT)"
                 ).alias("r"),
             )
+            .unionByName(noin)
             .localCheckpoint(eager=True)
         )
     return ranks.select(
@@ -3172,8 +3186,13 @@ def knn_bfs_hops(
             .distinct()
             .join(visited.select(id_col), id_col, "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        # LAZY checkpoint + count in ONE job: the eager checkpoint
+        # materialized the frontier and a separate limit(1).count() probed
+        # emptiness — but the count IS the materializing action, so fusing
+        # them halves the per-hop job count (the blocks persist on this
+        # first computation exactly as with eager=True).
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         # no re-checkpoint of visited: it is a union of ALREADY-checkpointed
         # frontiers (the source row + one materialized nxt per hop), so its
