@@ -705,8 +705,13 @@ def connected_components(
         stepped = labels.join(neigh, labels.node == neigh.src, "left").select(
             "node", new.alias("label"), (new != F.col("label")).alias("chg")
         )
-        stepped = stepped.localCheckpoint(eager=True)  # cut lineage per iter
-        changed = stepped.filter("chg").limit(1).count()
+        # LAZY checkpoint: the convergence probe below is the materializing
+        # action (a full count of changed rows scans every partition, so
+        # all blocks persist), fusing the old eager-checkpoint job and the
+        # limit(1) probe job into ONE job per iteration — same verdict,
+        # count > 0 iff any row changed.
+        stepped = stepped.localCheckpoint(eager=False)  # cut lineage per iter
+        changed = stepped.filter("chg").count()
         labels = stepped.select("node", "label")
         if changed == 0:
             break

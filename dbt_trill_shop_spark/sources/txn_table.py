@@ -2813,7 +2813,10 @@ def write_txn(
         }
         for c, (st0, sp, nx, ob) in ident.items():
             df = _assign_identity(df, c, nx, sp, ob)
-        df = df.localCheckpoint(eager=True)
+        # LAZY checkpoint + count in ONE job (the count is the
+        # materializing action; blocks persist exactly as with eager=True,
+        # and the stage write below rides them)
+        df = df.localCheckpoint(eager=False)
         n_batch = df.count()
         for c, (st0, sp, nx, ob) in ident.items():
             id_map[c] = [st0, sp, nx + sp * n_batch, ob]
